@@ -1,0 +1,350 @@
+package graft
+
+import graft.model.RuleJson
+import graft.rules.{RuleEvaluator, RuleSetExecutor}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The correctness/bench query battery for the rule-engine surface
+  * (SURVEY §2). Each entry exercises one operator family end-to-end: rule
+  * JSON → parse → validate → compile to Column → execute, and carries an
+  * equivalent DuckDB SQL oracle.
+  */
+object Queries {
+
+  final case class Q(run: (SparkSession, String) => DataFrame, sql: Option[String])
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which the
+    * vectorized reader rejects; read nanos as long and convert losslessly to
+    * a micros timestamp (the generator emits micro-aligned values).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Evaluate a rule-JSON string against a table. */
+  private def rule(tableName: String, json: String,
+                   params: Map[String, Any] = Map.empty)
+                  (spark: SparkSession, dir: String): DataFrame =
+    RuleEvaluator(table(spark, dir, tableName), RuleJson.parseRule(json), params)
+
+  // --- §2.2 comparison family -------------------------------------------------
+
+  private val comparisonQueries: Seq[(String, Q)] = Seq(
+    "q_equal" -> Q(
+      rule("customer",
+        """{"Name":"eq","Conditions":{"Conditions":[
+             {"Property":"c_mktsegment","Operator":"Equal","Value":"BUILDING"}]}}"""),
+      Some("SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'")),
+
+    "q_notequal" -> Q(
+      rule("customer",
+        """{"Conditions":{"Conditions":[
+             {"Property":"c_mktsegment","Operator":"NotEqual","Value":"BUILDING"}]}}"""),
+      Some("SELECT * FROM customer WHERE c_mktsegment <> 'BUILDING'")),
+
+    "q_gt" -> Q(
+      rule("customer",
+        """{"Conditions":{"Conditions":[
+             {"Property":"c_acctbal","Operator":"GreaterThan","Value":5000}]}}"""),
+      Some("SELECT * FROM customer WHERE c_acctbal > 5000")),
+
+    "q_gte" -> Q(
+      rule("part",
+        """{"Conditions":{"Conditions":[
+             {"Property":"p_size","Operator":"GreaterThanOrEqual","Value":30}]}}"""),
+      Some("SELECT * FROM part WHERE p_size >= 30")),
+
+    "q_lt" -> Q(
+      rule("part",
+        """{"Conditions":{"Conditions":[
+             {"Property":"p_retailprice","Operator":"LessThan","Value":1200}]}}"""),
+      Some("SELECT * FROM part WHERE p_retailprice < 1200")),
+
+    "q_lte" -> Q(
+      rule("supplier",
+        """{"Conditions":{"Conditions":[
+             {"Property":"s_acctbal","Operator":"LessThanOrEqual","Value":5000}]}}"""),
+      Some("SELECT * FROM supplier WHERE s_acctbal <= 5000")),
+
+    // Numeric lift: a string property under an ordered comparison is compared
+    // as DECIMAL(38,18) (reference decimal.Parse semantics, SURVEY §2.2).
+    "q_numeric_lift" -> Q(
+      (s, dir) => {
+        val df = table(s, dir, "nation")
+          .withColumn("nk_str", col("n_nationkey").cast("string"))
+        RuleEvaluator(df, RuleJson.parseRule(
+          """{"Conditions":{"Conditions":[
+               {"Property":"nk_str","Operator":"GreaterThan","Value":"10"}]}}"""))
+      },
+      Some("""SELECT *, CAST(n_nationkey AS VARCHAR) AS nk_str FROM nation
+             WHERE CAST(CAST(n_nationkey AS VARCHAR) AS DECIMAL(38,18)) > CAST('10' AS DECIMAL(38,18))""")),
+  )
+
+  // --- §2.2 membership + string methods ---------------------------------------
+
+  private val stringQueries: Seq[(String, Q)] = Seq(
+    "q_in" -> Q(
+      rule("customer",
+        """{"Conditions":{"Conditions":[
+             {"Property":"c_mktsegment","Operator":"In","Value":["BUILDING","AUTOMOBILE"]}]}}"""),
+      Some("SELECT * FROM customer WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')")),
+
+    "q_notin" -> Q(
+      rule("customer",
+        """{"Conditions":{"Conditions":[
+             {"Property":"c_mktsegment","Operator":"NotIn","Value":["BUILDING","AUTOMOBILE"]}]}}"""),
+      Some("SELECT * FROM customer WHERE c_mktsegment NOT IN ('BUILDING','AUTOMOBILE')")),
+
+    // JSON numeric array elements on an int column — a superset of the
+    // reference, which only reads array elements as strings (SURVEY §2.7.6).
+    "q_in_coerce" -> Q(
+      rule("part",
+        """{"Conditions":{"Conditions":[
+             {"Property":"p_size","Operator":"In","Value":[5,10,15]}]}}"""),
+      Some("SELECT * FROM part WHERE p_size IN (5,10,15)")),
+
+    "q_contains" -> Q(
+      rule("part",
+        """{"Conditions":{"Conditions":[
+             {"Property":"p_name","Operator":"Contains","Value":"bolt"}]}}"""),
+      Some("SELECT * FROM part WHERE contains(p_name, 'bolt')")),
+
+    "q_notcontains" -> Q(
+      rule("part",
+        """{"Conditions":{"Conditions":[
+             {"Property":"p_name","Operator":"NotContains","Value":"bolt"}]}}"""),
+      Some("SELECT * FROM part WHERE NOT contains(p_name, 'bolt')")),
+
+    "q_startswith" -> Q(
+      rule("part",
+        """{"Conditions":{"Conditions":[
+             {"Property":"p_name","Operator":"StartsWith","Value":"large"}]}}"""),
+      Some("SELECT * FROM part WHERE p_name LIKE 'large%'")),
+
+    "q_endswith" -> Q(
+      rule("part",
+        """{"Conditions":{"Conditions":[
+             {"Property":"p_name","Operator":"EndsWith","Value":"widget"}]}}"""),
+      Some("SELECT * FROM part WHERE p_name LIKE '%widget'")),
+  )
+
+  // --- §2.2 null / emptiness family (on a derived nullable/empty column) ------
+
+  private def docsWithMaybe(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").withColumn("maybe",
+      when(col("n_chars") % 7 === 0, lit(null).cast("string"))
+        .when(col("n_chars") % 5 === 0, lit(""))
+        .otherwise(col("source")))
+
+  private val maybeSql =
+    "CASE WHEN n_chars % 7 = 0 THEN NULL WHEN n_chars % 5 = 0 THEN '' ELSE source END"
+
+  private def maybeRule(op: String)(s: SparkSession, dir: String): DataFrame =
+    RuleEvaluator(docsWithMaybe(s, dir), RuleJson.parseRule(
+      s"""{"Conditions":{"Conditions":[
+            {"Property":"maybe","Operator":"$op","Value":null}]}}"""))
+
+  private val nullQueries: Seq[(String, Q)] = Seq(
+    "q_null" -> Q(maybeRule("Null"),
+      Some(s"SELECT *, $maybeSql AS maybe FROM documents WHERE ($maybeSql) IS NULL")),
+    "q_notnull" -> Q(maybeRule("NotNull"),
+      Some(s"SELECT *, $maybeSql AS maybe FROM documents WHERE ($maybeSql) IS NOT NULL")),
+    "q_empty" -> Q(maybeRule("Empty"),
+      Some(s"SELECT *, $maybeSql AS maybe FROM documents WHERE ($maybeSql) IS NULL OR ($maybeSql) = ''")),
+    "q_notempty" -> Q(maybeRule("NotEmpty"),
+      Some(s"SELECT *, $maybeSql AS maybe FROM documents WHERE ($maybeSql) IS NOT NULL AND ($maybeSql) <> ''")),
+    "q_nullorempty" -> Q(maybeRule("NullOrEmpty"),
+      Some(s"SELECT *, $maybeSql AS maybe FROM documents WHERE ($maybeSql) IS NULL OR ($maybeSql) = ''")),
+    "q_notnullorempty" -> Q(maybeRule("NotNullOrEmpty"),
+      Some(s"SELECT *, $maybeSql AS maybe FROM documents WHERE ($maybeSql) IS NOT NULL AND ($maybeSql) <> ''")),
+  )
+
+  // --- §2.2 regex-count + If + Dynamic* families -------------------------------
+
+  private val advancedQueries: Seq[(String, Q)] = Seq(
+    "q_regex_gt" -> Q(
+      rule("events",
+        """{"Conditions":{"Conditions":[
+             {"Property":"props","Operator":"ContainIfCountIsGreater",
+              "Value":{"Target":"[0-9]","Threshold":"2"}}]}}"""),
+      Some("SELECT * FROM events WHERE len(regexp_extract_all(props, '[0-9]')) > 2")),
+
+    "q_regex_lt" -> Q(
+      rule("events",
+        """{"Conditions":{"Conditions":[
+             {"Property":"props","Operator":"ContainIfCountIsLess",
+              "Value":{"Target":"[0-9]","Threshold":2}}]}}"""),
+      Some("SELECT * FROM events WHERE len(regexp_extract_all(props, '[0-9]')) < 2")),
+
+    "q_regex_must" -> Q(
+      rule("events",
+        """{"Conditions":{"Conditions":[
+             {"Property":"props","Operator":"MustContainIfCountIsGreater",
+              "Value":{"Target":"[0-9]","Required":"K","Threshold":"1"}}]}}"""),
+      Some("""SELECT * FROM events WHERE len(regexp_extract_all(props, '[0-9]')) > 1
+             AND contains(lower(props), lower('K'))""")),
+
+    "q_if" -> Q(
+      rule("orders",
+        """{"Conditions":{"Conditions":[
+             {"Property":"o_orderstatus","Operator":"If",
+              "Value":{"Check":{"Property":"o_orderstatus","Operator":"Equal","Value":"F"},
+                       "Then":{"Property":"o_totalprice","Operator":"GreaterThan","Value":150000}}}]}}"""),
+      Some("SELECT * FROM orders WHERE (o_orderstatus <> 'F') OR (o_totalprice > 150000)")),
+
+    "q_bool_tree" -> Q(
+      rule("customer",
+        """{"Conditions":{"LogicalOperator":"AND","Conditions":[
+             {"Property":"c_mktsegment","Operator":"Equal","Value":"BUILDING"}],
+           "Groups":[{"LogicalOperator":"OR","Negate":true,"Conditions":[
+             {"Property":"c_acctbal","Operator":"GreaterThan","Value":8000},
+             {"Property":"c_nationkey","Operator":"LessThan","Value":5}]}]}}"""),
+      Some("""SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
+             AND NOT (c_acctbal > 8000 OR c_nationkey < 5)""")),
+
+    "q_empty_rule" -> Q(
+      rule("region", """{"Name":"empty","Conditions":{"Conditions":[]}}"""),
+      Some("SELECT * FROM region")),
+
+    "q_dynamic_equal" -> Q(
+      rule("customer",
+        """{"Conditions":{"Conditions":[
+             {"Property":"c_mktsegment","Operator":"DynamicEqual","Value":null}]}}""",
+        Map("c_mktsegment" -> "MACHINERY")),
+      Some("SELECT * FROM customer WHERE c_mktsegment = 'MACHINERY'")),
+
+    "q_dynamic_guard" -> Q(
+      rule("region",
+        """{"Conditions":{"Conditions":[
+             {"Property":"r_name","Operator":"DynamicNotNullOrEmpty","Value":null}]}}""",
+        Map("r_name" -> "x")),
+      Some("SELECT * FROM region")),
+
+    "q_dynamic_empty" -> Q(
+      rule("region",
+        """{"Conditions":{"Conditions":[
+             {"Property":"r_name","Operator":"DynamicEmpty","Value":null}]}}""",
+        Map("r_name" -> "x")),
+      Some("SELECT * FROM region WHERE FALSE")),
+  )
+
+  // --- §2.4 group-by + argmin/argmax/count -------------------------------------
+
+  private val aggQueries: Seq[(String, Q)] = Seq(
+    // argmin row per group; ties broken by the full row (ascending).
+    "q_argmin" -> Q(
+      rule("customer",
+        """{"Conditions":{"Conditions":[]},
+           "GroupBy":["c_mktsegment"],
+           "Aggregation":{"AggregateProperty":"c_acctbal","AggregateFunction":"Min"}}"""),
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM
+             (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal, c_custkey, c_name, c_nationkey) rn FROM customer) t
+             WHERE rn = 1""")),
+
+    "q_argmax" -> Q(
+      rule("orders",
+        """{"Conditions":{"Conditions":[
+             {"Property":"o_orderstatus","Operator":"Equal","Value":"O"}]},
+           "GroupBy":["o_orderpriority"],
+           "Aggregation":{"AggregateProperty":"o_totalprice","AggregateFunction":"Max"}}"""),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM
+             (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey DESC, o_custkey DESC, o_orderstatus DESC,
+                        o_orderdate DESC) rn FROM orders WHERE o_orderstatus = 'O') t
+             WHERE rn = 1""")),
+
+    // String-typed aggregate property orders NUMERICALLY ("10" > "9"):
+    // legacy ConvertToDecimal semantics, AggregationEngine.cs:75-87.
+    "q_argmin_strnum" -> Q(
+      (s, dir) => {
+        val df = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_quantity").cast("int").cast("string").as("qty_str"))
+        RuleEvaluator(df, RuleJson.parseRule(
+          """{"Conditions":{"Conditions":[]},
+             "GroupBy":["l_returnflag"],
+             "Aggregation":{"AggregateProperty":"qty_str","AggregateFunction":"Max"}}"""))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, qty_str FROM
+             (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY CAST(qty_str AS DECIMAL(38,18)) DESC, l_orderkey DESC, l_linenumber DESC,
+                        l_returnflag DESC, qty_str DESC) rn
+              FROM (SELECT l_orderkey, l_linenumber, l_returnflag,
+                      CAST(CAST(FLOOR(l_quantity) AS INTEGER) AS VARCHAR) AS qty_str FROM lineitem)) t
+             WHERE rn = 1""")),
+
+    // Multi-key Count (legacy engine: AggregationEngine.cs:12-25,45-46).
+    "q_groupcount" -> Q(
+      (s, dir) => rule("lineitem",
+        """{"Conditions":{"Conditions":[]},
+           "GroupBy":["l_returnflag","l_linestatus"],
+           "Aggregation":{"AggregateProperty":"l_orderkey","AggregateFunction":"Count"}}""")(s, dir)
+        .withColumnRenamed("count", "cnt"),
+      Some("SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem GROUP BY 1, 2")),
+
+    // Empty GroupBy ⇒ grand aggregate (legacy engine, AggregationEngine.cs:17-25).
+    "q_global_count" -> Q(
+      (s, dir) => rule("orders",
+        """{"Conditions":{"Conditions":[
+             {"Property":"o_orderstatus","Operator":"Equal","Value":"F"}]},
+           "GroupBy":[],
+           "Aggregation":{"AggregateProperty":"o_orderkey","AggregateFunction":"Count"}}""")(s, dir)
+        .withColumnRenamed("count", "cnt"),
+      Some("SELECT count(*) AS cnt FROM orders WHERE o_orderstatus = 'F'")),
+
+    "q_global_min" -> Q(
+      rule("supplier",
+        """{"Conditions":{"Conditions":[]},
+           "GroupBy":[],
+           "Aggregation":{"AggregateProperty":"s_acctbal","AggregateFunction":"Min"}}"""),
+      Some("""SELECT * FROM supplier
+             ORDER BY s_acctbal, s_suppkey, s_name, s_nationkey LIMIT 1""")),
+  )
+
+  // --- §2.5 multi-rule UNION DISTINCT ------------------------------------------
+
+  private val ruleSetQueries: Seq[(String, Q)] = Seq(
+    // Two filter-only rules fuse into ONE scan (OR of predicates) + distinct.
+    "q_union_rules" -> Q(
+      (s, dir) => RuleSetExecutor.executeAll(table(s, dir, "customer"), Seq(
+        RuleJson.parseRule(
+          """{"Conditions":{"Conditions":[
+               {"Property":"c_acctbal","Operator":"GreaterThan","Value":9000}]}}"""),
+        RuleJson.parseRule(
+          """{"Conditions":{"Conditions":[
+               {"Property":"c_mktsegment","Operator":"Equal","Value":"MACHINERY"}]}}"""))),
+      Some("""SELECT * FROM customer WHERE c_acctbal > 9000
+             UNION SELECT * FROM customer WHERE c_mktsegment = 'MACHINERY'""")),
+
+    // Filter rule + aggregating rule (argmin rows) unioned and deduped.
+    "q_union_mixed" -> Q(
+      (s, dir) => RuleSetExecutor.executeAll(table(s, dir, "customer"), Seq(
+        RuleJson.parseRule(
+          """{"Conditions":{"Conditions":[
+               {"Property":"c_acctbal","Operator":"GreaterThan","Value":9500}]}}"""),
+        RuleJson.parseRule(
+          """{"Conditions":{"Conditions":[]},
+             "GroupBy":["c_mktsegment"],
+             "Aggregation":{"AggregateProperty":"c_acctbal","AggregateFunction":"Min"}}"""))),
+      Some("""SELECT * FROM customer WHERE c_acctbal > 9500
+             UNION
+             SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM
+               (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey, c_name, c_nationkey) rn FROM customer) t
+             WHERE rn = 1""")),
+  )
+
+  def engineQueries: Seq[(String, Q)] =
+    comparisonQueries ++ stringQueries ++ nullQueries ++ advancedQueries ++
+      aggQueries ++ ruleSetQueries
+
+  def all: Seq[(String, Q)] = engineQueries ++ ExtQueries.all
+}

@@ -1,0 +1,39 @@
+package graft.rules
+
+import graft.model.RuleDefinition
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-rule execution: UNION DISTINCT of per-rule results
+  * (reference `RuleDefinitionExecutor.Executes`,
+  * `RuleDefinitionExecutor.cs:8-28` — per-rule evaluation, `Concat`, then
+  * `HashSet` dedup).
+  *
+  * Multi-query optimization the reference lacks (it re-scans the full input
+  * once per rule, `RuleDefinitionExecutor.cs:15-22`): all FILTER-ONLY rules
+  * are fused into a single scan with an OR of their predicates — equivalent
+  * to union-then-distinct because distinct collapses per-rule multiplicity.
+  * At 100 TB this turns N full-table scans into one. Aggregating rules still
+  * run individually (their group-by shapes differ), then everything unions
+  * by name and deduplicates (one hash-exchange).
+  */
+object RuleSetExecutor {
+
+  def execute(df: DataFrame, rule: RuleDefinition,
+              params: Map[String, Any] = Map.empty): DataFrame =
+    RuleEvaluator(df, rule, params)
+
+  def executeAll(df: DataFrame, rules: Seq[RuleDefinition],
+                 params: Map[String, Any] = Map.empty): DataFrame = {
+    require(rules.nonEmpty, "at least one rule is required")
+    val (filterOnly, aggregating) = rules.partition(_.aggregation.isEmpty)
+    val fused: Option[DataFrame] =
+      if (filterOnly.isEmpty) None
+      else {
+        val preds = filterOnly.map(r => RuleEvaluator.predicate(df, r, params))
+        Some(df.filter(preds.reduce(_ || _)))
+      }
+    val parts = fused.toSeq ++ aggregating.map(r => RuleEvaluator(df, r, params))
+    parts.reduce(_ unionByName _).dropDuplicates()
+  }
+}
