@@ -1,8 +1,252 @@
 package graft
 
-/** LLM-data-pipeline extension query battery (dedup, similarity search, text
-  * analysis, multimodal) — filled in alongside graft.operators / graft.functions.
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline extension battery: dedup, similarity search, text
+  * analysis, multimodal plumbing, event windows/sessions — each a
+  * first-class operator with a DuckDB oracle where SQL can express it.
   */
 object ExtQueries {
-  def all: Seq[(String, Queries.Q)] = Seq.empty
+  import Queries.{Q, table, events}
+
+  // DuckDB mirror of TextFunctions.tokens
+  private val sqlTokens =
+    raw"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0)"
+
+  private val textQueries: Seq[(String, Q)] = Seq(
+    "q_token_count" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens")),
+      Some(s"SELECT doc_id, CAST(len($sqlTokens) AS BIGINT) AS n_tokens FROM documents")),
+
+    "q_quality" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          punctRatio(col("text")).as("punct_ratio"),
+          stopwordRatio(col("text")).as("stopword_ratio"),
+          qualityScore(col("text")).as("quality")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, $sqlTokens AS toks FROM documents),
+        m AS (SELECT doc_id,
+          CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) END AS punct_ratio,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE) / len(toks) END AS stopword_ratio,
+          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_signal
+        FROM t)
+        SELECT doc_id, punct_ratio, stopword_ratio,
+          greatest(least(len_signal * 0.4 + least(stopword_ratio * 4.0, 1.0) * 0.4
+            + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 1.0), 0.0) AS quality
+        FROM m""")),
+
+    "q_lang_id" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), langId(col("text")).as("lang_pred")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang, $sqlTokens AS toks FROM documents),
+        sc AS (SELECT doc_id, lang,
+          len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','it'], x))) AS s_en,
+          len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
+          len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))) AS s_fr,
+          len(list_filter(toks, x -> list_contains(['el','los','las','es','un','una','que','en'], x))) AS s_es
+        FROM t)
+        SELECT doc_id, lang,
+          CASE WHEN greatest(s_en,s_de,s_fr,s_es) > 0 AND s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'
+               WHEN greatest(s_en,s_de,s_fr,s_es) > 0 AND s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de'
+               WHEN greatest(s_en,s_de,s_fr,s_es) > 0 AND s_fr = greatest(s_en,s_de,s_fr,s_es) THEN 'fr'
+               WHEN greatest(s_en,s_de,s_fr,s_es) > 0 AND s_es = greatest(s_en,s_de,s_fr,s_es) THEN 'es'
+               ELSE 'und' END AS lang_pred
+        FROM sc""")),
+
+    "q_fingerprint" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp")),
+      Some("SELECT doc_id, md5(text) AS fp FROM documents")),
+  )
+
+  private val dedupQueries: Seq[(String, Q)] = Seq(
+    // Exact dedup: smallest doc_id survives per distinct text.
+    "q_dedup_exact" -> Q(
+      (s, dir) => Dedup.exact(table(s, dir, "documents"), col("text"), col("doc_id")),
+      Some("""SELECT doc_id, text, lang, source, n_chars FROM
+             (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn
+              FROM documents) t WHERE rn = 1""")),
+
+    // Exact word-trigram Jaccard pairs (≥ 0.5). Oracle does the naive
+    // quadratic version; the Spark path adds only a provably lossless
+    // size-ratio guard, so results must match exactly.
+    "q_dedup_ngram" -> Q(
+      (s, dir) => Dedup.ngramJaccardPairs(table(s, dir, "documents"),
+        "doc_id", "text", shingleSize = 3, threshold = 0.5),
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+          FROM (SELECT doc_id, $sqlTokens AS toks FROM documents)
+          WHERE len(toks) >= 3)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""")),
+
+    // MinHash-LSH near-dup pairs — approximate by construction (banding +
+    // signature estimate), so rows-only checked; the exact twin above is the
+    // correctness anchor.
+    "q_dedup_minhash" -> Q(
+      (s, dir) => Dedup.minhashPairs(table(s, dir, "documents"),
+        "doc_id", "text", shingleSize = 3, numHashes = 128, bands = 32,
+        threshold = 0.5).select(col("id1"), col("id2")),
+      None),
+
+    // SimHash near-dup pairs (Hamming ≤ 3 over 64-bit token simhash).
+    "q_dedup_simhash" -> Q(
+      (s, dir) => Dedup.simhashPairs(table(s, dir, "documents"),
+        "doc_id", "text", maxDistance = 3),
+      None),
+
+    // Corpus after greedy near-dup removal (LSH pairs, smaller id survives).
+    "q_neardup_drop" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Dedup.dropNearDuplicates(docs, "doc_id",
+          Dedup.minhashPairs(docs, "doc_id", "text", shingleSize = 3,
+            numHashes = 128, bands = 32, threshold = 0.5))
+      },
+      None),
+
+    // Embedding-cosine near-dup pairs: exact brute force, double math on
+    // both sides (DuckDB must cast FLOAT[] → DOUBLE[] to match).
+    "q_embed_neardup" -> Q(
+      (s, dir) => Dedup.embeddingPairs(table(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45),
+      Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
+             FROM embeddings a, embeddings b
+             WHERE a.vec_id < b.vec_id
+               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45""")),
+  )
+
+  private val simQueries: Seq[(String, Q)] = Seq(
+    // Exact cosine top-10 for the vec_id=0 query vector.
+    "q_sim_topk" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](emb.columns.indexOf("embedding"))
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", q, k = 10)
+      },
+      Some("""SELECT vec_id,
+               list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cos
+             FROM embeddings WHERE vec_id <> 0
+             ORDER BY cos DESC, vec_id LIMIT 10""")),
+
+    // LSH-bucketed approximate top-k — approximate by construction, rows-only.
+    "q_ann_lsh" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](emb.columns.indexOf("embedding"))
+        Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", q, k = 10, planes = 4, probes = 4)
+      },
+      None),
+  )
+
+  private val multimodalQueries: Seq[(String, Q)] = Seq(
+    // Binary payload column + typed metadata plumbing.
+    "q_mm_payload" -> Q(
+      (s, dir) => Multimodal.withPayload(table(s, dir, "documents"), "text")
+        .select(col("doc_id"), octet_length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("digest"),
+          col("media_meta.declared_bytes").as("declared_bytes")),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             md5(text) AS digest,
+             CAST(octet_length(encode(text)) AS BIGINT) AS declared_bytes
+             FROM documents""")),
+
+    // Per-partition stub decode + feature extraction (deterministic fake
+    // decoder; FNV checksum not expressible in DuckDB → rows-only).
+    "q_mm_decode" -> Q(
+      (s, dir) => Multimodal.decodeFeatures(
+        Multimodal.withPayload(table(s, dir, "documents"), "text"), "doc_id"),
+      None),
+  )
+
+  private val eventQueries: Seq[(String, Q)] = Seq(
+    "q_events_window" -> Q(
+      (s, dir) => EventStreams.windowedStatsBatch(events(s, dir)),
+      Some("""SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+             FROM events GROUP BY 1, 2""")),
+
+    "q_events_session" -> Q(
+      (s, dir) => EventStreams.sessionizeBatch(events(s, dir), gapMinutes = 30),
+      Some("""
+        WITH lagged AS (
+          SELECT user_id, event_id, ts,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        flagged AS (
+          SELECT *, CASE WHEN prev_ts IS NULL
+              OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+          FROM lagged),
+        sess AS (
+          SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM flagged)
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+          count(*) AS n_events
+        FROM sess GROUP BY user_id, sess_id""")),
+  )
+
+  // Headline analytical queries (bench anchors; also oracle-checked).
+  private val headlineQueries: Seq[(String, Q)] = Seq(
+    "q1_agg" -> Q(
+      (s, dir) => table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_price"),
+          count(lit(1)).as("cnt")),
+      Some("""SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+               count(*) AS cnt
+             FROM lineitem GROUP BY 1, 2""")),
+
+    // 3-table join: dimension side broadcast, fact-side aggregation.
+    "q3_topk_join" -> Q(
+      (s, dir) => {
+        val cust = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = table(s, dir, "orders")
+        val li = table(s, dir, "lineitem")
+        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("decimal(38,4)").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             WHERE c_mktsegment = 'BUILDING'
+             GROUP BY l_orderkey
+             ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+  )
+
+  def all: Seq[(String, Q)] =
+    textQueries ++ dedupQueries ++ simQueries ++ multimodalQueries ++
+      eventQueries ++ headlineQueries
 }

@@ -173,8 +173,8 @@ object Queries {
       rule("events",
         """{"Conditions":{"Conditions":[
              {"Property":"props","Operator":"ContainIfCountIsGreater",
-              "Value":{"Target":"[0-9]","Threshold":"2"}}]}}"""),
-      Some("SELECT * FROM events WHERE len(regexp_extract_all(props, '[0-9]')) > 2")),
+              "Value":{"Target":"[02468]","Threshold":"1"}}]}}"""),
+      Some("SELECT * FROM events WHERE len(regexp_extract_all(props, '[02468]')) > 1")),
 
     "q_regex_lt" -> Q(
       rule("events",

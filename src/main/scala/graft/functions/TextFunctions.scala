@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data pipelines:
+  * tokenization, shingling, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is composed from `org.apache.spark.sql.functions._` —
+  * codegen'd, pushdown-friendly, zero UDFs — so a 100 TB text sweep runs at
+  * parquet-scan speed.
+  */
+object TextFunctions {
+
+  /** Lower-cased whitespace tokens; empty/blank text → empty array. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Token count as BIGINT (matches DuckDB's len()). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Sliding word k-shingles joined with single spaces, deduplicated —
+    * the standard unit for n-gram Jaccard / MinHash document similarity.
+    */
+  def wordShingles(text: Column, k: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      WordShingles(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), k))
+
+  /** Punctuation character count / total characters (0 for empty text). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(regexp_count(text, lit("[.,!?;:]")).cast("double") / length(text))
+
+  private val stopwordsEn = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  /** Fraction of tokens that are common English stopwords — a standard
+    * fluency signal in web-corpus quality filters.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(size(filter(t, w => w.isin(stopwordsEn: _*))).cast("double") / size(t))
+  }
+
+  /** Composite document-quality score in [0,1]: length signal + stopword
+    * fluency − punctuation noise. Deterministic per-row arithmetic (safe to
+    * oracle against DuckDB bit-for-bit).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenSignal = least(length(text).cast("double") / 500.0, lit(1.0))
+    val fluency = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val noise = least(punctRatio(text) * 10.0, lit(1.0))
+    greatest(least(lenSignal * 0.4 + fluency * 0.4 + (lit(1.0) - noise) * 0.2, lit(1.0)), lit(0.0))
+  }
+
+  private val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "un", "una", "que", "en"))
+
+  /** N-gram-free language ID heuristic: argmax over per-language stopword
+    * hit counts, ties broken by declaration order (en > de > fr > es);
+    * no hits at all → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scores = langStopwords.map { case (lang, words) =>
+      lang -> size(filter(t, w => w.isin(words.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, score), acc) =>
+      when(best > 0 && score === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Content-defined document fingerprint (md5 of the exact text) — the
+    * exact-dedup key.
+    */
+  def fingerprint(text: Column): Column = md5(text)
+}

@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.functions.{SimHashFunctions, TextFunctions, VectorFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB): every candidate-generation step is a hash-bucket
+  * shuffle (LSH bands / SimHash chunks), never an O(n²) cross join; the
+  * quadratic work only happens WITHIN buckets, whose expected size is O(1)
+  * for non-pathological corpora. Exact paths used for oracle-checked
+  * correctness queries state their blocking predicate explicitly.
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving row per distinct value of `key` — the row
+    * with the smallest `order` column (deterministic, unlike dropDuplicates).
+    * Plans as a hash aggregate with map-side combine: one shuffle of one
+    * struct per (partition, key).
+    */
+  def exact(df: DataFrame, key: Column, order: Column): DataFrame = {
+    val rowStruct = struct(df.columns.map(col): _*)
+    df.groupBy(key.as("__key"))
+      .agg(graft.functions.ArgExtremum
+        .argRow(rowStruct, struct(order, rowStruct), isMax = false).as("__row"))
+      .select("__row.*")
+  }
+
+  /** MinHash signature of a shingle-set column — one-pass native expression
+    * (see [[graft.functions.MinHashSignature]]).
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    graft.functions.MinHashFunctions.minhashSignature(shingles, numHashes)
+
+  /** MinHash + LSH near-duplicate PAIRS (docId1 < docId2).
+    *
+    * banding: the signature splits into `bands` bands of `rows` hashes; docs
+    * agreeing on ANY whole band become candidates (one shuffle keyed by
+    * (band index, band hash)); candidates are verified by the signature-level
+    * Jaccard estimate (fraction of agreeing minhashes) ≥ `threshold`.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, numHashes: Int = 128,
+                   bands: Int = 32, threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sigs = df
+      .select(col(idCol).as("id"),
+        TextFunctions.wordShingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      // Exchange barrier: materialize the signature ONCE per row. Without it
+      // Catalyst inlines the signature expression into all 32 band structs on
+      // both self-join sides; with it, the shuffle output is reused across
+      // the join sides (ReuseExchange), so shingling+hashing runs once.
+      .repartition(col("id"))
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bh"))))
+          .as("bucket"))
+      .select(col("id"), col("sig"), col("bucket.band"), col("bucket.bh"))
+    // Candidates as PRIMITIVE id pairs only (a hash-aggregable distinct);
+    // signatures re-join afterwards — keeping array columns inside the
+    // dropDuplicates would force a SortAggregate over every candidate.
+    val a = banded.select(col("band"), col("bh"), col("id").as("id1"))
+    val b = banded.select(col("band"), col("bh"), col("id").as("id2"))
+    val cand = a.join(b, Seq("band", "bh")).filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val s1 = sigs.select(col("id").as("id1"), col("sig").as("sig1"))
+    val s2 = sigs.select(col("id").as("id2"), col("sig").as("sig2"))
+    cand.join(s1, "id1").join(s2, "id2")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), p => p))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id1", "id2", "est_jaccard")
+  }
+
+  /** Greedy near-dup removal from a pair list: drop every doc that has a
+    * near-duplicate with a smaller id (single aggregation, no iterative
+    * connected components — the standard one-pass policy for corpus dedup).
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val toDrop = pairs.select(col("id2").as("__drop")).distinct()
+    df.join(toDrop, df(idCol) === col("__drop"), "left_anti")
+  }
+
+  /** SimHash near-duplicate pairs with Hamming distance ≤ `maxDistance`.
+    *
+    * Candidate generation by the pigeonhole principle: the 64-bit hash splits
+    * into `maxDistance + 1` chunks; a pair within distance d must agree on at
+    * least one whole chunk, so candidates come from a hash-bucket join on
+    * (chunk index, chunk value) — no cross join.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDistance: Int = 3): DataFrame = {
+    val chunks = maxDistance + 1
+    val bits = 64 / chunks
+    val hashed = df.select(col(idCol).as("id"),
+      SimHashFunctions.simhashText(col(textCol)).as("sh"))
+    val chunked = hashed.select(col("id"), col("sh"),
+      explode(array((0 until chunks).map(c => struct(lit(c).as("chunk"),
+        shiftright(col("sh"), c * bits).bitwiseAND(lit((1L << bits) - 1)).as("cv"))): _*))
+        .as("b"))
+      .select(col("id"), col("sh"), col("b.chunk"), col("b.cv"))
+    val a = chunked.select(col("chunk"), col("cv"), col("id").as("id1"), col("sh").as("sh1"))
+    val b = chunked.select(col("chunk"), col("cv"), col("id").as("id2"), col("sh").as("sh2"))
+    a.join(b, Seq("chunk", "cv")).filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= maxDistance)
+      .select("id1", "id2", "hamming")
+  }
+
+  /** EXACT n-gram Jaccard pairs ≥ `threshold` via PREFIX FILTERING — the
+    * scalable exact set-similarity join (PPJoin family), not an O(n²) cross
+    * join.
+    *
+    * Shingles hash to longs and sort ascending (a global canonical order).
+    * For Jaccard ≥ τ a pair must share ≥ ⌈τ·|S|⌉ elements, so each side must
+    * expose a common element within its first |S| − ⌈τ·|S|⌉ + 1 sorted
+    * elements (the "prefix"): candidates come from an equi-join on exploded
+    * prefix elements — a hash-bucket shuffle whose volume is data-dependent,
+    * not quadratic. Candidates are verified with an exact linear merge
+    * intersect ([[graft.functions.SortedIntersectCount]]). Provably no
+    * qualifying pair is lost; the only approximation is the ~2⁻⁶⁴ shingle
+    * hash collision.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+        explode(TextFunctions.wordShingles(col(textCol), shingleSize)).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    // Global document frequency per shingle: prefixes are taken in ASCENDING
+    // df order (rarest shingles first, PPJoin's canonical ordering), so hot
+    // shingles never enter a prefix and candidate posting lists stay small.
+    val freq = ex.groupBy("h").agg(count(lit(1)).as("freq"))
+    val sets = ex.join(freq, "h")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("freq"), col("h")))).as("fh"))
+      .select(col("id"),
+        transform(col("fh"), x => x("h")).as("dfo"), // df-ordered, for prefixes
+        array_sort(transform(col("fh"), x => x("h"))).as("hs"), // value-sorted, for merge verify
+        size(col("fh")).as("sz"))
+    val prefixLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    val prefixes = sets.select(col("id"), col("sz"),
+      explode(slice(col("dfo"), lit(1), prefixLen)).as("tok"))
+    val cands = prefixes.select(col("tok"), col("id").as("id1"), col("sz").as("sz1"))
+      .join(prefixes.select(col("tok"), col("id").as("id2"), col("sz").as("sz2")), Seq("tok"))
+      .filter(col("id1") < col("id2"))
+      // lossless size bound: J ≥ τ ⇒ min ≥ τ/(1+τ)·(sum)
+      .filter(least(col("sz1"), col("sz2")).cast("double") >=
+        lit(threshold / (1 + threshold)) * (col("sz1") + col("sz2")))
+      .select("id1", "id2").distinct()
+    val s1 = sets.select(col("id").as("id1"), col("hs").as("hs1"), col("sz").as("sz1"))
+    val s2 = sets.select(col("id").as("id2"), col("hs").as("hs2"), col("sz").as("sz2"))
+    cands.join(s1, "id1").join(s2, "id2")
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.column(col("hs1"), col("hs2")).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** Embedding-cosine near-duplicate pairs ≥ `threshold`, brute-force with a
+    * broadcast-friendly shape for correctness; ANN variant lives in
+    * [[Similarity]].
+    */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("cos", VectorFunctions.cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .select("id1", "id2", "cos")
+  }
+}

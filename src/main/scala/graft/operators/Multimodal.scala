@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Extracted per-item features of a decoded media payload. */
+final case class MediaFeatures(
+    media_id: Long,
+    n_bytes: Long,
+    checksum: Long,
+    width: Int,
+    height: Int,
+    format: String)
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, decoded/feature-extracted per partition.
+  *
+  * The decode step is a clearly-marked deterministic STUB — image/audio
+  * codec libraries are not in this container. Everything Spark-side is real
+  * and tested: the binary column schema, the typed `Dataset` boundary, the
+  * per-partition batch shape (one decoder init per partition, streamed
+  * iterator — the exact shape a JNI/FFI decoder needs at scale), and the
+  * columnar hand-off back to SQL.
+  */
+object Multimodal {
+
+  /** Attach an opaque binary payload column + typed metadata struct — the
+    * canonical multimodal table shape (`payload binary, media_meta struct`).
+    * Here the payload is the UTF-8 encoding of a text column (the container
+    * has no real media), but nothing downstream depends on that.
+    */
+  def withPayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", encode(col(textCol), "UTF-8"))
+      .withColumn("media_meta", struct(
+        lit("text/plain").as("mime"),
+        octet_length(col(textCol)).cast("long").as("declared_bytes")))
+
+  /** Per-partition decode + feature extraction over the binary payload.
+    *
+    * STUB decode: `fakeDecode` stands in for a real codec call; it is
+    * deterministic so results are testable. The partition iterator shape is
+    * the real contract — a production decoder would init its native context
+    * once per partition exactly here.
+    */
+  def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batches =>
+        // real decoder init would happen once per partition, here:
+        batches.map { case (id, bytes) => fakeDecode(id, bytes) }
+      }
+      .toDF()
+  }
+
+  /** Deterministic stand-in for a media decoder (??? in spirit): derives
+    * plausible image-like features purely from the bytes.
+    */
+  private def fakeDecode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    MediaFeatures(
+      media_id = id,
+      n_bytes = bytes.length.toLong,
+      checksum = h,
+      width = 64 + (math.floorMod(h, 512L)).toInt,
+      height = 64 + (math.floorMod(h >>> 16, 512L)).toInt,
+      format = "stub/raw")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]] — exact cosine top-k. Plans as scan → codegen'd
+  *    cosine → TakeOrderedAndProject: each partition keeps only its local
+  *    top-k, the driver merges k·numPartitions rows. No shuffle of the data;
+  *    this IS the right plan even at 100 TB when k is small.
+  *  - [[lshTopK]] — random-hyperplane LSH: vectors bucket by the sign
+  *    pattern of `planes` seeded random projections; the query probes only
+  *    its own bucket (and optionally 1-bit-flip neighbors), turning top-k
+  *    into a partition-pruned lookup. Recall/cost tunes via `planes` /
+  *    `probes`.
+  */
+object Similarity {
+
+  /** Exact cosine top-k against a constant query vector. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Float], k: Int): DataFrame = {
+    val q = typedLit(query)
+    df.select(col(idCol), VectorFunctions.cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic seeded pseudo-random hyperplanes (driver-side constants —
+    * broadcast as literals into codegen).
+    */
+  private[operators] def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Float]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)((rng.nextGaussian()).toFloat))
+  }
+
+  /** Sign-pattern LSH bucket id of a vector column. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Float]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(vec, typedLit(p), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: brute-force only within the query's
+    * bucket (plus `probes` 1-bit-flip neighbor buckets for recall).
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int,
+              planes: Int = 8, seed: Long = 42L, probes: Int = 2): DataFrame = {
+    val hp = hyperplanes(planes, query.length, seed)
+    val qBucket: Long = hp.zipWithIndex.map { case (p, i) =>
+      val dot = p.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      if (dot >= 0) 1L << i else 0L
+    }.sum
+    val probeBuckets: Seq[Long] =
+      qBucket +: (0 until math.min(probes, planes)).map(i => qBucket ^ (1L << i))
+    val bucketed = df.withColumn("__bucket", lshBucket(col(vecCol), hp))
+      .filter(col("__bucket").isin(probeBuckets: _*))
+    bruteForceTopK(bucketed, idCol, vecCol, query, k)
+  }
+}

@@ -86,8 +86,9 @@ object RuleEvaluator {
         val rowStruct = struct(df.columns.map(col): _*)
         val ordStruct = struct(
           (ord.as("__graft_ord") +: df.columns.map(col)): _*)
-        val a = if (mm == "min") min_by(rowStruct, ordStruct)
-                else max_by(rowStruct, ordStruct)
+        // custom hash-aggregable argmin/argmax (min_by/max_by with a struct
+        // ordering key would force SortAggregate — see ArgExtremumRow docs)
+        val a = graft.functions.ArgExtremum.argRow(rowStruct, ordStruct, isMax = mm == "max")
         val agged =
           if (keys.isEmpty) df.agg(a.as("__graft_row"))
           else df.groupBy(keys: _*).agg(a.as("__graft_row"))

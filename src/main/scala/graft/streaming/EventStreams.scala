@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                       event_type: String, value: Double)
+
+final case class SessionSummary(user_id: Long, session_start: java.sql.Timestamp,
+                                session_end: java.sql.Timestamp, n_events: Long)
+
+/** Structured-Streaming operators over the events stream. Each transform has
+  * a batch twin with identical semantics so correctness can be
+  * oracle-checked on the batch path while tests drive the streaming path
+  * through a MemoryStream.
+  */
+object EventStreams {
+
+  /** Hourly tumbling-window stats. Streaming: watermarked event-time window
+    * (state bounded by the watermark — safe for unbounded streams).
+    */
+  def windowedStatsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+      .select(col("window.start").as("h"), col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Batch twin of [[windowedStatsStream]] (same output schema/values for
+    * fully-arrived data).
+    */
+  def windowedStatsBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+
+  /** Batch sessionization: a session breaks after `gapMinutes` of
+    * inactivity. One shuffle (partition by user), sort within partitions —
+    * the classic lag + running-sum plan.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(byUser))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+  }
+
+  /** Streaming sessionization via per-key mutable state
+    * (`flatMapGroupsWithState`): emits a [[SessionSummary]] when a session
+    * closes on timeout. State per user is O(1) — start/end/count — so the
+    * operator scales to arbitrarily many users.
+    */
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), SessionSummary](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, batch: Iterator[Event],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (start, end, n, _) = state.get
+            state.remove()
+            Iterator.single(SessionSummary(
+              userId, new java.sql.Timestamp(start), new java.sql.Timestamp(end), n))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionSummary]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some((start, end, n, _)) if t - end <= gapMs =>
+                  cur = Some((start, t max end, n + 1, userId))
+                case Some((start, end, n, _)) =>
+                  closed ::= SessionSummary(
+                    userId, new java.sql.Timestamp(start), new java.sql.Timestamp(end), n)
+                  cur = Some((t, t, 1L, userId))
+                case None =>
+                  cur = Some((t, t, 1L, userId))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

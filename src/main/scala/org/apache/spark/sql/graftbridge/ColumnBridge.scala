@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column↔Expression converters.
+  *
+  * Spark 4.x hides the classic `Column(expr)` constructor behind
+  * `org.apache.spark.sql.classic.ExpressionUtils`, which is package-private
+  * to `org.apache.spark.sql`; this object lives in that namespace purely to
+  * re-export the two converters needed to register custom Catalyst
+  * expressions as user-facing `Column` functions.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
