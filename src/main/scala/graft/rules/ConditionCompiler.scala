@@ -43,8 +43,10 @@ object ConditionCompiler {
 
     // Numeric lift: string property + ordered comparison → compare as decimal
     // (reference wraps the access in decimal.Parse, IQueryableRuleEvaluator.cs:128-132).
+    // try_cast: unparseable → null → predicate false (declared divergence
+    // §2.7.1; plain cast would THROW under Spark 4's default ANSI mode).
     val (lhs, lhsType): (Column, DataType) =
-      if (numericOps(op) && dt == StringType) (raw.cast(LiftType), LiftType) else (raw, dt)
+      if (numericOps(op) && dt == StringType) (raw.try_cast(LiftType), LiftType) else (raw, dt)
 
     // A JSON-null value resolves to the external parameter keyed by the
     // property name (IQueryableRuleEvaluator.cs:238-241, 313-329).
@@ -196,7 +198,7 @@ object ConditionCompiler {
     case RuleValue.Bool(b) => dt match {
       case BooleanType => lit(b)
       case StringType  => lit(b.toString)
-      case other       => lit(b).cast(other)
+      case other       => lit(b).try_cast(other)
     }
     case RuleValue.Num(n) => dt match {
       case StringType      => lit(n.underlying.stripTrailingZeros.toPlainString)
@@ -206,12 +208,12 @@ object ConditionCompiler {
       case FloatType       => lit(n.toFloat)
       case ShortType       => lit(n.toShort)
       case ByteType        => lit(n.toByte)
-      case d: DecimalType  => lit(n.underlying).cast(d)
-      case other           => lit(n.underlying).cast(other)
+      case d: DecimalType  => lit(n.underlying).try_cast(d)
+      case other           => lit(n.underlying).try_cast(other)
     }
     case RuleValue.Str(s) => dt match {
       case StringType => lit(s)
-      case other      => lit(s).cast(other) // numeric/timestamp/bool parse; null on failure
+      case other      => lit(s).try_cast(other) // numeric/timestamp/bool parse; null on failure
     }
     case other => throw new IllegalArgumentException(
       s"Cannot use structured value $other as a comparison constant.")

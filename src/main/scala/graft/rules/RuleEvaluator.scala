@@ -81,7 +81,7 @@ object RuleEvaluator {
         val aggName = RuleValidator.resolve(df.schema, agg.aggregateProperty).get
         val ord =
           if (df.schema(aggName).dataType == StringType)
-            col(aggName).cast(ConditionCompiler.LiftType)
+            col(aggName).try_cast(ConditionCompiler.LiftType)
           else col(aggName)
         val rowStruct = struct(df.columns.map(col): _*)
         val ordStruct = struct(

@@ -62,15 +62,18 @@ object EventStreams {
     * closes on timeout. State per user is O(1) — start/end/count — so the
     * operator scales to arbitrarily many users.
     */
-  def sessionizeStream(events: Dataset[Event], gapMinutes: Int): Dataset[SessionSummary] = {
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int,
+                       timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[SessionSummary] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60L * 1000L
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
 
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Long, Long, Long), SessionSummary](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeout) {
         (userId: Long, batch: Iterator[Event],
          state: GroupState[(Long, Long, Long, Long)]) =>
           if (state.hasTimedOut) {
@@ -97,7 +100,7 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
             }
             closed.reverseIterator
           }

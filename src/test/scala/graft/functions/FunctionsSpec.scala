@@ -1,0 +1,91 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens / tokenCount handle empties, whitespace runs, case") {
+    val df = Seq("  Hello   WORLD  ", "", "   ", "one").toDF("text")
+    val got = df.select(TextFunctions.tokenCount(col("text"))).as[Long].collect().toSeq
+    assert(got == Seq(2L, 0L, 0L, 1L))
+  }
+
+  test("wordShingles: distinct sliding windows; fewer tokens than k -> empty") {
+    val df = Seq("a b c d", "a b a b a b", "a b").toDF("text")
+    val got = df.select(TextFunctions.wordShingles(col("text"), 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b a", "b a b")) // distinct
+    assert(got(2) == Seq.empty)
+  }
+
+  test("langId picks max stopword hits with declaration-order ties; und for none") {
+    val df = Seq(
+      "the cat and the dog is in that house",
+      "der hund und die katze ist nicht da",
+      "xyzzy plugh").toDF("text")
+    val got = df.select(TextFunctions.langId(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "und"))
+  }
+
+  test("qualityScore stays in [0,1] and rewards fluent text") {
+    val df = Seq(
+      "the engine is a part of the system and it is good that it runs in time",
+      ";;;;;;;;;;").toDF("text")
+    val got = df.select(TextFunctions.qualityScore(col("text"))).as[Double].collect()
+    assert(got.forall(s => s >= 0.0 && s <= 1.0))
+    assert(got(0) > got(1))
+  }
+
+  test("cosine: known vectors, zero-norm guard, codegen path") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f)),
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 2f), Seq(2f, 4f)),
+      (Seq(0f, 0f), Seq(1f, 1f))).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(math.abs(got(2) - 1.0) < 1e-12)
+    assert(got(3) == 0.0)
+  }
+
+  test("simhash: identical token sets agree; near sets are close, far sets far") {
+    val a = SimHash64.ofStrings(Seq("spark", "query", "engine", "fast", "scan"))
+    val b = SimHash64.ofStrings(Seq("spark", "query", "engine", "fast", "scans"))
+    val c = SimHash64.ofStrings(Seq("entirely", "different", "words", "here", "now"))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(a, a) == 0)
+    assert(ham(a, b) < ham(a, c))
+  }
+
+  test("simhashText column == simhash64(tokens) composition") {
+    val df = Seq("The quick Brown fox", "  one   two  ").toDF("text")
+    val fused = df.select(SimHashFunctions.simhashText(col("text"))).as[Long].collect().toSeq
+    val composed = df.select(SimHashFunctions.simhash64(TextFunctions.tokens(col("text"))))
+      .as[Long].collect().toSeq
+    assert(fused == composed)
+  }
+
+  test("minhash signature: equal sets -> equal sigs; estimate tracks jaccard") {
+    val df = Seq(
+      ("x", "a b c d e f g h i j k l m n o p"),
+      ("y", "a b c d e f g h i j k l m n o p"),
+      ("z", "q r s t u v w x y z a2 b2 c2 d2 e2 f2")).toDF("id", "text")
+    val sigs = df.select(col("id"), MinHashFunctions.minhashSignature(
+        TextFunctions.wordShingles(col("text"), 2), 64).as("sig"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(sigs("x") == sigs("y"))
+    val est = sigs("x").zip(sigs("z")).count { case (p, q) => p == q } / 64.0
+    assert(est < 0.2) // disjoint shingle sets
+  }
+
+  test("sortedIntersectCount merges correctly") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 8L)),
+      (Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+    val got = df.select(SortedIntersectCount.column(col("a"), col("b"))).as[Long].collect().toSeq
+    assert(got == Seq(2L, 0L))
+  }
+}

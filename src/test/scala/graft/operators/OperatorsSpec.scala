@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    (3L, "completely unrelated text about spark query engines and distributed joins"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "another fully distinct document mentioning embeddings and similarity search")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest id per key, deterministically") {
+    val got = Dedup.exact(docs, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("ngram Jaccard prefix-filter join finds near-dups and exact dups, no false pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // near-dup
+    assert(pairs.contains((1L, 4L))) // exact dup
+    assert(pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash LSH pairs find the same near-dup cluster") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 3, 128, 32, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash pairs: exact dup has distance 0; unrelated docs excluded") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 4L)) == 0L)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("dropNearDuplicates keeps smallest id of each cluster") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 3, 128, 32, 0.5)
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(3L) && kept.contains(5L))
+    assert(!kept.contains(4L) && !kept.contains(2L))
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Seq(1f, 0f, 0f)),
+    (1L, Seq(0.9f, 0.1f, 0f)),
+    (2L, Seq(0f, 1f, 0f)),
+    (3L, Seq(0.8f, 0.2f, 0f)),
+    (4L, Seq(0f, 0f, 1f))).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK orders by cosine desc with id tiebreak") {
+    val got = Similarity.bruteForceTopK(vecs.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", Seq(1f, 0f, 0f), 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L))
+  }
+
+  test("embeddingPairs finds the near-parallel cluster only") {
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", 0.95)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("lshTopK returns a subset of true neighbors (never fabricates rows)") {
+    val got = Similarity.lshTopK(vecs.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", Seq(1f, 0f, 0f), 3, planes = 2, probes = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.subsetOf(Set(1L, 2L, 3L, 4L)))
+  }
+
+  test("multimodal payload + stub decode plumbing is deterministic and typed") {
+    val out = Multimodal.decodeFeatures(
+      Multimodal.withPayload(docs, "text"), "doc_id")
+    assert(out.columns.toSeq ==
+      Seq("media_id", "n_bytes", "checksum", "width", "height", "format"))
+    val rows = out.as[MediaFeatures].collect().sortBy(_.media_id)
+    assert(rows.length == 5)
+    val text1 = docs.filter(col("doc_id") === 1L).select("text").as[String].head()
+    assert(rows(0).n_bytes == text1.getBytes("UTF-8").length.toLong)
+    val again = Multimodal.decodeFeatures(
+      Multimodal.withPayload(docs, "text"), "doc_id").as[MediaFeatures].collect().sortBy(_.media_id)
+    assert(rows.toSeq == again.toSeq)
+    assert(rows.forall(r => r.width >= 64 && r.height >= 64))
+  }
+}

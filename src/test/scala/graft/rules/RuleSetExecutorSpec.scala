@@ -1,0 +1,53 @@
+package graft.rules
+
+import graft.SparkSpec
+import graft.model.RuleJson
+
+class RuleSetExecutorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("a", 1), ("b", 5), ("c", 9), ("d", 5)
+  ).toDF("k", "v")
+
+  private def r(json: String) = RuleJson.parseRule(json)
+
+  test("union distinct of overlapping filter rules = fused OR + distinct") {
+    val rules = Seq(
+      r("""{"Conditions":{"Conditions":[{"Property":"v","Operator":"GreaterThan","Value":4}]}}"""),
+      r("""{"Conditions":{"Conditions":[{"Property":"v","Operator":"Equal","Value":5}]}}"""))
+    val got = RuleSetExecutor.executeAll(df, rules)
+      .select("k").as[String].collect().toSet
+    assert(got == Set("b", "c", "d"))
+  }
+
+  test("fused plan scans the input once for N filter-only rules") {
+    val rules = Seq(
+      r("""{"Conditions":{"Conditions":[{"Property":"v","Operator":"Equal","Value":1}]}}"""),
+      r("""{"Conditions":{"Conditions":[{"Property":"v","Operator":"Equal","Value":9}]}}"""),
+      r("""{"Conditions":{"Conditions":[{"Property":"k","Operator":"Equal","Value":"b"}]}}"""))
+    val plan = RuleSetExecutor.executeAll(df, rules).queryExecution.optimizedPlan
+    val scans = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(scans.length == 1, s"expected one fused scan, got ${scans.length}")
+  }
+
+  test("mixed filter + aggregating rules union by name and dedupe") {
+    val rules = Seq(
+      r("""{"Conditions":{"Conditions":[{"Property":"v","Operator":"GreaterThan","Value":8}]}}"""),
+      r("""{"Conditions":{"Conditions":[]},"GroupBy":["v"],
+           "Aggregation":{"AggregateProperty":"k","AggregateFunction":"Min"}}"""))
+    val got = RuleSetExecutor.executeAll(df, rules)
+      .select("k").as[String].collect().toSet
+    // rule2 argmin per v-group: a (v=1), b (v=5), c (v=9); rule1 adds c (dup)
+    assert(got == Set("a", "b", "c"))
+  }
+
+  test("single rule pass-through") {
+    val got = RuleSetExecutor.execute(df,
+      r("""{"Conditions":{"Conditions":[{"Property":"k","Operator":"Equal","Value":"a"}]}}"""))
+      .select("k").as[String].collect().toSeq
+    assert(got == Seq("a"))
+  }
+}

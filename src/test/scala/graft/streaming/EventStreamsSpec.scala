@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 2024-01-01 10:00:00 UTC + `minute` minutes. */
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val events = Seq(
+    Event(1L, ts(0), 1L, "click", 1.0),
+    Event(2L, ts(5), 1L, "click", 2.0),
+    Event(3L, ts(50), 1L, "view", 3.0), // >30min gap -> new session
+    Event(4L, ts(0), 2L, "click", 4.0),
+    Event(5L, ts(65), 2L, "click", 5.0) // crosses hour window too
+  )
+
+  test("windowedStatsStream over a MemoryStream matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.windowedStatsStream(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("win_out")
+      .select("h", "event_type", "cnt", "sum_value")
+      .as[(Timestamp, String, Long, java.math.BigDecimal)].collect().toSet
+    val batch = EventStreams.windowedStatsBatch(events.toDF())
+      .as[(Timestamp, String, Long, java.math.BigDecimal)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("sessionizeBatch splits on gap > 30min per user") {
+    val sessions = EventStreams.sessionizeBatch(events.toDF(), 30)
+      .select("user_id", "n_events").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(sessions(1L) == Seq(1L, 2L)) // [e1,e2], [e3]
+    assert(sessions(2L) == Seq(1L, 1L)) // [e4], [e5]
+  }
+
+  test("sessionizeStream emits sessions closed by in-batch gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    // NoTimeout keeps the test deterministic: ProcessingTimeTimeout makes
+    // the engine run unbounded empty micro-batches to evaluate timeouts.
+    val q = EventStreams.sessionizeStream(mem.toDS(), 30,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      // surfaces the query's own exception on failure instead of hanging
+      assert(q.awaitTermination(120000), "streaming query did not finish in time")
+    } finally q.stop()
+    val closed = spark.table("sess_out")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSeq
+    // user 1's first session (2 events) and user 2's first (1 event) are
+    // closed by newer in-batch events; still-open sessions stay in state
+    // (the timeout-driven flush is exercised in production by the
+    // ProcessingTimeTimeout wall clock, not reachable deterministically here)
+    assert(closed.contains((1L, 2L)))
+    assert(closed.contains((2L, 1L)))
+  }
+}
