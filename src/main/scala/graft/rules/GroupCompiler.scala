@@ -2,7 +2,7 @@ package graft.rules
 
 import graft.model.ConditionGroup
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{coalesce, lit}
 import org.apache.spark.sql.types.StructType
 
 /** Folds a recursive [[ConditionGroup]] into one boolean [[Column]]
@@ -13,6 +13,14 @@ import org.apache.spark.sql.types.StructType
   * (`:108-110`); an empty group folds to TRUE (`:103-106`); `Negate` wraps
   * the folded body in NOT (`:112-115`). Spark's `And`/`Or` short-circuit in
   * codegen, so the mapping is 1:1.
+  *
+  * Two-valued null semantics, pushdown-preserving: at a FILTER boundary,
+  * a null predicate result drops the row exactly like `false`, and null
+  * propagates through AND/OR monotonically — so leaves need no wrapping and
+  * the plain predicate tree stays parquet-pushable (`PushedFilters`). The
+  * ONLY non-monotone spot is `Negate`: `NOT null` must evaluate to the
+  * reference's `NOT false = true`, so exactly there the body is coalesced
+  * to false before negation.
   */
 object GroupCompiler {
 
@@ -26,6 +34,6 @@ object GroupCompiler {
         cs.reduce(_ || _)
       case cs => cs.reduce(_ && _)
     }
-    if (g.negate) !body else body
+    if (g.negate) !coalesce(body, lit(false)) else body
   }
 }

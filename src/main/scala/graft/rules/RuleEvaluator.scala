@@ -29,10 +29,11 @@ object RuleEvaluator {
     RuleValidator.validate(df.schema, rule)
     val filtered = rule.conditions match {
       case Some(g) if !g.isEmpty =>
-        // coalesce(p, false): SQL three-valued logic collapses to the
-        // reference's two-valued .NET semantics at the filter boundary
-        // (SURVEY §7.3.1).
-        df.filter(coalesce(GroupCompiler.compile(df.schema, g, params), lit(false)))
+        // No root coalesce: a null predicate drops the row at the filter
+        // boundary exactly like false, and leaving the tree bare keeps it
+        // parquet-pushable; only Negate needs null-collapsing (see
+        // GroupCompiler).
+        df.filter(GroupCompiler.compile(df.schema, g, params))
       case _ => df
     }
     rule.aggregation match {
@@ -46,10 +47,18 @@ object RuleEvaluator {
     */
   def predicate(df: DataFrame, rule: RuleDefinition,
                 params: Map[String, Any] = Map.empty): Column = {
+    coalesce(rawPredicate(df, rule, params), lit(false))
+  }
+
+  /** Like [[predicate]] but without the null-collapsing wrapper — safe (and
+    * pushdown-friendly) wherever the consumer is a filter/OR context in
+    * which null behaves as false.
+    */
+  private[rules] def rawPredicate(df: DataFrame, rule: RuleDefinition,
+                                  params: Map[String, Any]): Column = {
     RuleValidator.validate(df.schema, rule)
     rule.conditions match {
-      case Some(g) if !g.isEmpty =>
-        coalesce(GroupCompiler.compile(df.schema, g, params), lit(false))
+      case Some(g) if !g.isEmpty => GroupCompiler.compile(df.schema, g, params)
       case _ => lit(true)
     }
   }

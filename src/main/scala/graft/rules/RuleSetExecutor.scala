@@ -30,7 +30,7 @@ object RuleSetExecutor {
     val fused: Option[DataFrame] =
       if (filterOnly.isEmpty) None
       else {
-        val preds = filterOnly.map(r => RuleEvaluator.predicate(df, r, params))
+        val preds = filterOnly.map(r => RuleEvaluator.rawPredicate(df, r, params))
         Some(df.filter(preds.reduce(_ || _)))
       }
     val parts = fused.toSeq ++ aggregating.map(r => RuleEvaluator(df, r, params))
