@@ -41,7 +41,11 @@ final case class ConditionGroup(
     negate: Boolean = false,
     conditions: Seq[Condition] = Nil,
     groups: Seq[ConditionGroup] = Nil) {
-  def isEmpty: Boolean = conditions.isEmpty && groups.forall(_.isEmpty)
+  /** True when the group carries no semantic content — used to skip the
+    * filter stage entirely. A NEGATED empty group is NOT contentless: it
+    * compiles to `NOT true = false` and must keep the filter.
+    */
+  def isEmpty: Boolean = !negate && conditions.isEmpty && groups.forall(_.isEmpty)
 }
 
 /** `{AggregateProperty, AggregateFunction}` with
