@@ -65,6 +65,22 @@ object ExtQueries {
       (s, dir) => table(s, dir, "documents")
         .select(col("doc_id"), fingerprint(col("text")).as("fp")),
       Some("SELECT doc_id, md5(text) AS fp FROM documents")),
+
+    // Winnowing fingerprints: substring-sharing pairs via an inverted-index
+    // join on local-min Rabin-Karp hashes (shared-fingerprint count >= 3).
+    // Rolling-hash arithmetic is not expressible in DuckDB SQL -> rows-only.
+    "q_fingerprint_winnow" -> Q(
+      (s, dir) => {
+        val fps = table(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.RollingFingerprint.column(col("text"), 9, 4)).as("fp"))
+        val a = fps.select(col("doc_id").as("id1"), col("fp"))
+        val b = fps.select(col("doc_id").as("id2"), col("fp"))
+        a.join(b, "fp").filter(col("id1") < col("id2"))
+          .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 3)
+      },
+      None),
   )
 
   private val dedupQueries: Seq[(String, Q)] = Seq(

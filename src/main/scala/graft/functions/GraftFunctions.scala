@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** SQL-surface registration of the library's native expressions, so
+  * `spark.sql` users get them as first-class functions:
+  *
+  * {{{
+  * GraftFunctions.register(spark)
+  * spark.sql("SELECT cosine_similarity(a.embedding, b.embedding) ...")
+  * }}}
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val all: Map[String, Seq[Expression] => Expression] = Map(
+    "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
+    "simhash64" -> (es => SimHash64(es(0))),
+    "simhash_text" -> (es => SimHashText(es(0))),
+    "word_shingles" -> (es => WordShingles(es(0), intLit(es(1), "shingle size"))),
+    "minhash_signature" -> (es => MinHashSignature(es(0), intLit(es(1), "num hashes"))),
+    "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
+    "rolling_fingerprint" -> (es => RollingFingerprint(es(0),
+      intLit(es(1), "k-gram size"), intLit(es(2), "window"))))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      ColumnBridge.registerFunction(spark, name, builder)
+    }
+}
+
+/** `SparkSessionExtensions` hook — enable with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` so every session
+  * (including SQL-only ones) starts with the function surface installed.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions", name),
+        builder))
+    }
+}

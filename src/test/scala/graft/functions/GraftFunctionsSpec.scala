@@ -1,0 +1,39 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native expressions register as SQL functions") {
+    GraftFunctions.register(spark)
+    Seq(("a b c d", Seq(1f, 0f), Seq(1f, 0f))).toDF("text", "v1", "v2")
+      .createOrReplaceTempView("gf_t")
+    val row = spark.sql(
+      """SELECT cosine_similarity(v1, v2) AS cos,
+                simhash_text(text) AS sh,
+                size(word_shingles(text, 2)) AS n_sh,
+                size(minhash_signature(word_shingles(text, 2), 16)) AS n_mh,
+                size(rolling_fingerprint(text, 3, 2)) AS n_fp
+         FROM gf_t""").head()
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+    assert(row.getLong(1) == SimHash64.computeText(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c d")))
+    assert(row.getInt(2) == 3)
+    assert(row.getInt(3) == 16)
+    assert(row.getInt(4) > 0)
+  }
+
+  test("rolling fingerprints overlap for shared substrings, disjoint otherwise") {
+    val df = Seq(
+      ("x", "the quick brown fox jumps over the lazy dog in the morning light"),
+      ("y", "yesterday the quick brown fox jumps over the lazy dog happily"),
+      ("z", "1234567890 zzzz qqqq wwww eeee rrrr tttt yyyy uuuu iiii oooo")).toDF("id", "text")
+    val fps = df.select($"id", RollingFingerprint.column($"text", 9, 4))
+      .as[(String, Seq[Long])].collect().toMap
+    val shared = fps("x").toSet & fps("y").toSet
+    val farOff = fps("x").toSet & fps("z").toSet
+    assert(shared.nonEmpty, "near-copies must share fingerprints")
+    assert(farOff.isEmpty, "unrelated docs should not collide")
+  }
+}
