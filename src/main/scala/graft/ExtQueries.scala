@@ -70,16 +70,7 @@ object ExtQueries {
     // join on local-min Rabin-Karp hashes (shared-fingerprint count >= 3).
     // Rolling-hash arithmetic is not expressible in DuckDB SQL -> rows-only.
     "q_fingerprint_winnow" -> Q(
-      (s, dir) => {
-        val fps = table(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(graft.functions.RollingFingerprint.column(col("text"), 9, 4)).as("fp"))
-        val a = fps.select(col("doc_id").as("id1"), col("fp"))
-        val b = fps.select(col("doc_id").as("id2"), col("fp"))
-        a.join(b, "fp").filter(col("id1") < col("id2"))
-          .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
-          .filter(col("shared") >= 3)
-      },
+      (s, dir) => Dedup.winnowPairs(table(s, dir, "documents"), "doc_id", "text"),
       None),
   )
 

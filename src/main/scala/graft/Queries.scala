@@ -233,6 +233,22 @@ object Queries {
              {"Property":"r_name","Operator":"DynamicEmpty","Value":null}]}}""",
         Map("r_name" -> "x")),
       Some("SELECT * FROM region WHERE FALSE")),
+
+    // blank-string param -> IsNullOrWhiteSpace(constant) folds to TRUE
+    "q_dynamic_blank" -> Q(
+      rule("region",
+        """{"Conditions":{"Conditions":[
+             {"Property":"r_name","Operator":"DynamicNullOrEmpty","Value":null}]}}""",
+        Map("r_name" -> "   ")),
+      Some("SELECT * FROM region")),
+
+    // non-empty param -> NotEmpty(constant) folds to TRUE
+    "q_dynamic_notempty" -> Q(
+      rule("nation",
+        """{"Conditions":{"Conditions":[
+             {"Property":"n_name","Operator":"DynamicNotEmpty","Value":null}]}}""",
+        Map("n_name" -> "x")),
+      Some("SELECT * FROM nation")),
   )
 
   // --- §2.4 group-by + argmin/argmax/count -------------------------------------

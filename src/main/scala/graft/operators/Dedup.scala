@@ -165,6 +165,29 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Substring-sharing pairs via winnowing fingerprints
+    * ([[graft.functions.RollingFingerprint]]): inverted-index join on the
+    * local-minimum Rabin–Karp hashes, pairs ranked by shared-fingerprint
+    * count. `maxDf` drops fingerprints appearing in more than that many
+    * documents (boilerplate/stop-phrases) — the posting-list cap that keeps
+    * the join linear-ish at corpus scale; detection quality for distinctive
+    * shared substrings is unaffected.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 12, w: Int = 16,
+                  minShared: Int = 3, maxDf: Int = 100): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+        explode(graft.functions.RollingFingerprint.column(col(textCol), k, w)).as("fp"))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+    val indexed = fps.join(rare, "fp")
+    val a = indexed.select(col("fp"), col("id").as("id1"))
+    val b = indexed.select(col("fp"), col("id").as("id2"))
+    a.join(b, "fp").filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Embedding-cosine near-duplicate pairs ≥ `threshold`, brute-force with a
     * broadcast-friendly shape for correctness; ANN variant lives in
     * [[Similarity]].

@@ -80,6 +80,14 @@ class OperatorsSpec extends SparkSpec {
     assert(got.subsetOf(Set(1L, 2L, 3L, 4L)))
   }
 
+  test("winnowPairs finds substring-sharing docs via fingerprint index") {
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text",
+      k = 12, w = 4, minShared = 2, maxDf = 10)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // long shared prefix
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("multimodal payload + stub decode plumbing is deterministic and typed") {
     val out = Multimodal.decodeFeatures(
       Multimodal.withPayload(docs, "text"), "doc_id")

@@ -39,6 +39,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("file-source streaming over the real events parquet matches batch") {
+    val batchEvents = graft.Queries.events(spark, sf()) // sets nanosAsLong conf
+    val rawSchema = spark.read.parquet(sf() + "/events.parquet").schema
+    // the file stream source requires a DIRECTORY; stage a symlink
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(sf() + "/events.parquet"))
+    val stream = spark.readStream.schema(rawSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val q = EventStreams.windowedStatsStream(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("file_win_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("file_win_out")
+      .select("h", "event_type", "cnt", "sum_value")
+      .as[(Timestamp, String, Long, java.math.BigDecimal)].collect().toSet
+    val batch = EventStreams.windowedStatsBatch(batchEvents)
+      .as[(Timestamp, String, Long, java.math.BigDecimal)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("sessionizeBatch splits on gap > 30min per user") {
     val sessions = EventStreams.sessionizeBatch(events.toDF(), 30)
       .select("user_id", "n_events").as[(Long, Long)].collect()
