@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.{SimHashFunctions, TextFunctions, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
@@ -34,6 +35,13 @@ object Dedup {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     graft.functions.MinHashFunctions.minhashSignature(shingles, numHashes)
 
+  /** Persist an intermediate that multiple plan branches consume. Storage is
+    * reclaimed by Spark's ContextCleaner once the DataFrame is unreferenced;
+    * pass `materialize = false` on the operators to keep plans fully lazy.
+    */
+  private def materialized(enabled: Boolean, df: DataFrame): DataFrame =
+    if (enabled) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+
   /** MinHash + LSH near-duplicate PAIRS (docId1 < docId2).
     *
     * banding: the signature splits into `bands` bands of `rows` hashes; docs
@@ -43,19 +51,18 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, numHashes: Int = 128,
-                   bands: Int = 32, threshold: Double = 0.7): DataFrame = {
+                   bands: Int = 32, threshold: Double = 0.7,
+                   materialize: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sigs = df
+    // Materialized once (compact: id + numHashes longs): the signature table
+    // feeds the banding explode AND both verify-join sides — without a
+    // barrier every consumer re-tokenizes and re-hashes the full corpus.
+    val sigs = materialized(materialize, df
       .select(col(idCol).as("id"),
         TextFunctions.wordShingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
-      // Exchange barrier: materialize the signature ONCE per row. Without it
-      // Catalyst inlines the signature expression into all 32 band structs on
-      // both self-join sides; with it, the shuffle output is reused across
-      // the join sides (ReuseExchange), so shingling+hashing runs once.
-      .repartition(col("id"))
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig")))
     val banded = sigs.select(col("id"), col("sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bh"))))
@@ -129,21 +136,22 @@ object Dedup {
     * hash collision.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val ex = df.select(col(idCol).as("id"),
+                        shingleSize: Int = 3, threshold: Double = 0.5,
+                        materialize: Boolean = true): DataFrame = {
+    val ex = materialized(materialize, df.select(col(idCol).as("id"),
         explode(TextFunctions.wordShingles(col(textCol), shingleSize)).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
+      .select(col("id"), xxhash64(col("tok")).as("h")))
     // Global document frequency per shingle: prefixes are taken in ASCENDING
     // df order (rarest shingles first, PPJoin's canonical ordering), so hot
     // shingles never enter a prefix and candidate posting lists stay small.
     val freq = ex.groupBy("h").agg(count(lit(1)).as("freq"))
-    val sets = ex.join(freq, "h")
+    val sets = materialized(materialize, ex.join(freq, "h")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("freq"), col("h")))).as("fh"))
       .select(col("id"),
         transform(col("fh"), x => x("h")).as("dfo"), // df-ordered, for prefixes
         array_sort(transform(col("fh"), x => x("h"))).as("hs"), // value-sorted, for merge verify
-        size(col("fh")).as("sz"))
+        size(col("fh")).as("sz")))
     val prefixLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
     val prefixes = sets.select(col("id"), col("sz"),
       explode(slice(col("dfo"), lit(1), prefixLen)).as("tok"))
