@@ -23,9 +23,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def execute(name: String): Unit =
+    def execute(name: String): Unit = {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      // operators persist shared intermediates (Dedup.materialized); drop
+      // them so every timed run measures the query, not a cache read
+      spark.catalog.clearCache()
+    }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>

@@ -23,9 +23,14 @@ object Dedup {
     */
   def exact(df: DataFrame, key: Column, order: Column): DataFrame = {
     val rowStruct = struct(df.columns.map(col): _*)
+    // tie-break only on orderable columns (maps can't join an ordering struct)
+    val orderable = df.schema.fields
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+      .map(f => col(f.name))
     df.groupBy(key.as("__key"))
       .agg(graft.functions.ArgExtremum
-        .argRow(rowStruct, struct(order, rowStruct), isMax = false).as("__row"))
+        .argRow(rowStruct, struct((order +: orderable): _*), isMax = false).as("__row"))
       .select("__row.*")
   }
 

@@ -15,10 +15,11 @@ import org.apache.spark.sql.types.StringType
   * Scale notes (100 TB design point):
   *  - The predicate is one narrow `filter` over declarative `Column`s —
   *    Catalyst pushes it into the scan and whole-stage-codegens it; no UDFs.
-  *  - argmin/argmax uses `min_by`/`max_by`, which plans as a hash aggregate
-  *    with map-side partial aggregation: ONE shuffle of one struct per
-  *    (partition, group), instead of the window-function alternative that
-  *    shuffles and sorts every surviving row.
+  *  - argmin/argmax uses the custom [[graft.functions.ArgExtremumRow]]
+  *    aggregate, which plans as ObjectHashAggregate with map-side partial
+  *    aggregation: ONE shuffle of one struct per (partition, group), with
+  *    no sort (`min_by`/`max_by` over a struct ordering key would force
+  *    SortAggregate, and a window function would shuffle+sort every row).
   */
 object RuleEvaluator {
 
@@ -42,8 +43,10 @@ object RuleEvaluator {
     }
   }
 
-  /** The rule's filter as a bare Column — used by [[RuleSetExecutor]] to fuse
-    * several filter-only rules into a single scan.
+  /** The rule's filter as a standalone two-valued Column (never null) — for
+    * callers composing rules into their own projections/joins, where SQL
+    * null would otherwise leak. [[RuleSetExecutor]] uses the raw variant
+    * internally since filter/OR contexts treat null as false already.
     */
   def predicate(df: DataFrame, rule: RuleDefinition,
                 params: Map[String, Any] = Map.empty): Column = {
@@ -93,15 +96,23 @@ object RuleEvaluator {
             col(aggName).try_cast(ConditionCompiler.LiftType)
           else col(aggName)
         val rowStruct = struct(df.columns.map(col): _*)
-        val ordStruct = struct(
-          (ord.as("__graft_ord") +: df.columns.map(col)): _*)
+        // tie-break on every ORDERABLE column (maps etc. can't participate
+        // in an ordering struct; the aggregate property itself must be
+        // orderable or the rule is invalid anyway)
+        val orderableCols = df.schema.fields
+          .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(f.dataType))
+          .map(f => col(f.name))
+        val ordStruct = struct((ord.as("__graft_ord") +: orderableCols): _*)
         // custom hash-aggregable argmin/argmax (min_by/max_by with a struct
         // ordering key would force SortAggregate — see ArgExtremumRow docs)
         val a = graft.functions.ArgExtremum.argRow(rowStruct, ordStruct, isMax = mm == "max")
         val agged =
           if (keys.isEmpty) df.agg(a.as("__graft_row"))
           else df.groupBy(keys: _*).agg(a.as("__graft_row"))
-        agged.select("__graft_row.*")
+        // a grand aggregate over zero input rows yields a null struct —
+        // emit no row (reference: no groups -> no output), not an all-null row
+        agged.where(col("__graft_row").isNotNull).select("__graft_row.*")
       case other =>
         throw new IllegalArgumentException(s"Unsupported aggregate function '$other'.")
     }

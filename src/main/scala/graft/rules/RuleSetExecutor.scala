@@ -34,6 +34,13 @@ object RuleSetExecutor {
         Some(df.filter(preds.reduce(_ || _)))
       }
     val parts = fused.toSeq ++ aggregating.map(r => RuleEvaluator(df, r, params))
+    val schemas = parts.map(_.columns.toSeq).distinct
+    if (schemas.length > 1)
+      throw new graft.model.RuleValidator.RuleValidationException(
+        "Rules in one set must produce union-compatible schemas; got " +
+          schemas.map(_.mkString("(", ",", ")")).mkString(" vs ") +
+          ". Count-aggregating rules cannot be unioned with row-shaped results " +
+          "(the reference engine fails the equivalent cast, RuleDefinitionExecutor.cs:38).")
     parts.reduce(_ unionByName _).dropDuplicates()
   }
 }

@@ -72,6 +72,25 @@ class RuleEvaluatorSpec extends SparkSpec {
     assert(out == Map("g1" -> 1L, "g2" -> 4L))
   }
 
+  test("grand Min over zero matching rows returns an EMPTY result, not an all-null row") {
+    val out = RuleEvaluator(df, rule(
+      """{"Conditions":{"Conditions":[{"Property":"value","Operator":"GreaterThan","Value":1e12}]},
+         "GroupBy":[],
+         "Aggregation":{"AggregateProperty":"value","AggregateFunction":"Min"}}"""))
+    assert(out.count() == 0L)
+  }
+
+  test("Min/Max works when the table has an unorderable (map) column") {
+    val withMap = df.withColumn("m",
+      org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("k"), org.apache.spark.sql.functions.col("id")))
+    val out = RuleEvaluator(withMap, rule(
+      """{"Conditions":{"Conditions":[]},"GroupBy":["grp"],
+         "Aggregation":{"AggregateProperty":"value","AggregateFunction":"Min"}}"""))
+      .select("grp", "id").as[(String, Long)].collect().toMap
+    assert(out == Map("g1" -> 2L, "g2" -> 3L))
+  }
+
   test("validation: GroupBy without Aggregation / bad aggregate property / bad function") {
     intercept[RuleValidator.RuleValidationException](RuleEvaluator(df, rule(
       """{"Conditions":{"Conditions":[]},"GroupBy":["grp"]}""")))

@@ -67,7 +67,40 @@ class RulePropertySpec extends SparkSpec {
       op <- Gen.oneOf("In", "NotIn")
       vs <- Gen.nonEmptyListOf(Gen.oneOf(strVals ++ numStrVals))
     } yield Condition(p, op, RuleValue.Arr(vs.map(vStr))),
-    Gen.oneOf(true, false).map(v => Condition("b", "Equal", RuleValue.Bool(v))))
+    Gen.oneOf(true, false).map(v => Condition("b", "Equal", RuleValue.Bool(v))),
+    for { // regex-count thresholds (string Threshold half the time)
+      p <- Gen.oneOf("s", "ns", "n")
+      op <- Gen.oneOf("ContainIfCountIsGreater", "ContainIfCountIsLess")
+      target <- Gen.oneOf("[0-9]", "[a-z]", "a", "[A-Za-z]")
+      th <- Gen.choose(0, 3)
+      asStr <- Gen.oneOf(true, false)
+    } yield Condition(p, op, RuleValue.Obj(Seq(
+      "Target" -> vStr(target),
+      "Threshold" -> (if (asStr) vStr(th.toString) else RuleValue.Num(BigDecimal(th)))))),
+    for { // MustContain: regex count + case-insensitive required substring
+      target <- Gen.oneOf("[0-9]", "[a-z]")
+      req <- Gen.oneOf("A", "g", "2")
+      th <- Gen.choose(0, 2)
+    } yield Condition("s", "MustContainIfCountIsGreater", RuleValue.Obj(Seq(
+      "Target" -> vStr(target), "Required" -> vStr(req),
+      "Threshold" -> vStr(th.toString)))),
+    for { // material implication over two simple sub-conditions
+      cp <- Gen.oneOf("i", "b")
+      cv <- Gen.choose(-2, 12)
+      tp <- Gen.oneOf("d", "s")
+      tv <- Gen.oneOf(strVals)
+    } yield Condition("s", "If", RuleValue.Obj(Seq(
+      "Check" -> RuleValue.Obj(Seq(
+        "Property" -> vStr(cp), "Operator" -> vStr(if (cp == "b") "Equal" else "GreaterThan"),
+        "Value" -> (if (cp == "b") RuleValue.Bool(cv % 2 == 0) else RuleValue.Num(BigDecimal(cv))))),
+      "Then" -> RuleValue.Obj(Seq(
+        "Property" -> vStr(tp), "Operator" -> vStr("Equal"),
+        "Value" -> (if (tp == "d") RuleValue.Num(BigDecimal(1.5)) else vStr(tv))))))),
+    for { // Dynamic family against the fixed external params
+      p <- Gen.oneOf("s", "ns", "i")
+      op <- Gen.oneOf("DynamicEqual", "DynamicNullOrEmpty", "DynamicNotNullOrEmpty",
+        "DynamicEmpty", "DynamicNotEmpty")
+    } yield Condition(p, op, RuleValue.Null))
 
   private def genGroup(depth: Int): Gen[ConditionGroup] = for {
     logic <- Gen.oneOf("AND", "OR")
@@ -77,6 +110,9 @@ class RulePropertySpec extends SparkSpec {
     nSub <- if (depth <= 0) Gen.const(0) else Gen.choose(0, 2)
     subs <- Gen.listOfN(nSub, genGroup(depth - 1))
   } yield ConditionGroup(logic, negate, conds, subs)
+
+  /** Fixed external params, mirrored between engine call and interpreter. */
+  private val extParams: Map[String, Any] = Map("s" -> "Gamma", "ns" -> "10", "i" -> 5)
 
   // --- the independent interpreter (two-valued .NET-style logic) ------------
 
@@ -164,6 +200,68 @@ class RulePropertySpec extends SparkSpec {
         case "s" | "n" | "ns" => str != null && str.nonEmpty
         case _ => cv != null
       }
+
+      case op @ ("ContainIfCountIsGreater" | "ContainIfCountIsLess" |
+                 "MustContainIfCountIsGreater") =>
+        val o = c.value.asInstanceOf[RuleValue.Obj]
+        def s(k: String) = o.get(k).collect {
+          case RuleValue.Str(x) => x
+          case RuleValue.Num(x) => x.underlying.stripTrailingZeros.toPlainString
+        }
+        val target = s("Target").get
+        val th = s("Threshold").map(_.trim.toInt).getOrElse(0)
+        if (str == null) false
+        else {
+          val m = java.util.regex.Pattern.compile(target).matcher(str)
+          var count = 0
+          while (m.find()) count += 1
+          op match {
+            case "ContainIfCountIsGreater" => count > th
+            case "ContainIfCountIsLess" => count < th
+            case _ =>
+              count > th && str.toLowerCase.contains(s("Required").get.toLowerCase)
+          }
+        }
+
+      case "If" =>
+        val o = c.value.asInstanceOf[RuleValue.Obj]
+        def inner(k: String): Condition = {
+          val io = o.get(k).get.asInstanceOf[RuleValue.Obj]
+          Condition(
+            io.get("Property").collect { case RuleValue.Str(x) => x }.get,
+            io.get("Operator").collect { case RuleValue.Str(x) => x }.get,
+            io.get("Value").getOrElse(RuleValue.Null))
+        }
+        if (interpretCond(r, inner("Check"))) interpretCond(r, inner("Then")) else true
+
+      case "DynamicEqual" =>
+        val pv = extParams(c.property)
+        val rv = pv match {
+          case x: String => RuleValue.Str(x)
+          case x: Int => RuleValue.Num(BigDecimal(x))
+          case _ => RuleValue.Null
+        }
+        cv == coerce(rv, c.property)
+      case "DynamicNullOrEmpty" => extParams(c.property) match {
+        case s: String => s.trim.isEmpty
+        case null => true
+        case _ => false
+      }
+      case "DynamicNotNullOrEmpty" => extParams(c.property) match {
+        case s: String => s.trim.nonEmpty
+        case null => false
+        case _ => true
+      }
+      case "DynamicNotEmpty" => extParams(c.property) match {
+        case s: String => s.nonEmpty
+        case null => false
+        case _ => true
+      }
+      case "DynamicEmpty" => extParams(c.property) match {
+        case s: String => s.isEmpty
+        case null => true
+        case _ => false
+      }
     }
   }
 
@@ -180,7 +278,7 @@ class RulePropertySpec extends SparkSpec {
     val prop = Prop.forAllNoShrink(Gen.listOfN(40, genRow), genGroup(2)) { (rows, group) =>
       val rule = RuleDefinition(name = "prop", conditions = Some(group))
       val df = rows.toDF()
-      val got = RuleEvaluator(df, rule).select("id").as[Int].collect().sorted.toSeq
+      val got = RuleEvaluator(df, rule, extParams).select("id").as[Int].collect().sorted.toSeq
       val want = rows.filter(interpretGroup(_, group)).map(_.id).sorted
       if (got != want) {
         println(s"MISMATCH group=$group\n got=$got\n want=$want")

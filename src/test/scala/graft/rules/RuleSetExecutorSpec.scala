@@ -44,6 +44,16 @@ class RuleSetExecutorSpec extends SparkSpec {
     assert(got == Set("a", "b", "c"))
   }
 
+  test("mixing a Count rule with row-shaped rules fails with a clear error") {
+    val rules = Seq(
+      r("""{"Conditions":{"Conditions":[{"Property":"v","Operator":"GreaterThan","Value":4}]}}"""),
+      r("""{"Conditions":{"Conditions":[]},"GroupBy":["v"],
+           "Aggregation":{"AggregateProperty":"k","AggregateFunction":"Count"}}"""))
+    val e = intercept[graft.model.RuleValidator.RuleValidationException](
+      RuleSetExecutor.executeAll(df, rules))
+    assert(e.getMessage.contains("union-compatible"))
+  }
+
   test("single rule pass-through") {
     val got = RuleSetExecutor.execute(df,
       r("""{"Conditions":{"Conditions":[{"Property":"k","Operator":"Equal","Value":"a"}]}}"""))

@@ -28,14 +28,22 @@ def main(sf_dir, out_dir):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
-    for name in sorted(os.listdir(out_dir)):
+    dirs = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+    # an oracle-listed query with NO output dir means Verify errored on it —
+    # that's a failure, not a skip
+    for missing in sorted(set(oracle) - dirs):
+        n_fail += 1
+        print(f"  [FAIL] {missing}: no output written (query errored in Verify)")
+    for name in sorted(dirs):
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
-            continue
         files = glob.glob(os.path.join(d, "*.parquet"))
         got = con.sql(f"SELECT * FROM read_parquet({files!r})").df() if files else None
         if name not in oracle:
             print(f"  [rows-only] {name}: {0 if got is None else len(got)} rows")
+            continue
+        if got is None:
+            n_fail += 1
+            print(f"  [FAIL] {name}: output dir has no parquet files")
             continue
         exp = con.sql(oracle[name]).df()
         ok, why = True, ""
