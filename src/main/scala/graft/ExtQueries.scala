@@ -165,6 +165,18 @@ object ExtQueries {
           "vec_id", "embedding", q, k = 10, planes = 4, probes = 4)
       },
       None),
+
+    // IVF (k-means inverted file) approximate top-k — rows-only.
+    "q_ann_ivf" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](emb.columns.indexOf("embedding"))
+        val idx = Similarity.buildIvf(emb.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", nClusters = 16)
+        Similarity.ivfTopK(idx, "vec_id", "embedding", q, k = 10, nprobe = 4)
+      },
+      None),
   )
 
   private val multimodalQueries: Seq[(String, Q)] = Seq(

@@ -143,9 +143,9 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5,
                         materialize: Boolean = true): DataFrame = {
-    val ex = materialized(materialize, df.select(col(idCol).as("id"),
+    val ex = df.select(col(idCol).as("id"),
         explode(TextFunctions.wordShingles(col(textCol), shingleSize)).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h")))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
     // Global document frequency per shingle: prefixes are taken in ASCENDING
     // df order (rarest shingles first, PPJoin's canonical ordering), so hot
     // shingles never enter a prefix and candidate posting lists stay small.

@@ -62,4 +62,41 @@ object Similarity {
       .filter(col("__bucket").isin(probeBuckets: _*))
     bruteForceTopK(bucketed, idCol, vecCol, query, k)
   }
+
+  /** An IVF (inverted-file) index: k-means coarse centroids + per-vector
+    * cluster assignment, built once and reused across queries — the
+    * standard billion-scale ANN layout. At query time only the `nprobe`
+    * clusters nearest to the query are scanned.
+    *
+    * The assigned table should be written partitioned by `__cluster` in
+    * production so a probe prunes to `nprobe` partitions at the source.
+    */
+  final case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]])
+
+  def buildIvf(df: DataFrame, idCol: String, vecCol: String,
+               nClusters: Int, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = df.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("__features"))
+    val model = new KMeans().setK(nClusters).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("__cluster")
+      .fit(feat)
+    val assigned = model.transform(feat).drop("__features")
+    IvfIndex(assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Approximate top-k through an IVF index: scan only the `nprobe` nearest
+    * clusters.
+    */
+  def ivfTopK(index: IvfIndex, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int, nprobe: Int = 2): DataFrame = {
+    def dist(c: Array[Double]): Double =
+      math.sqrt(c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val probe = index.centroids.zipWithIndex
+      .sortBy { case (c, _) => dist(c) }
+      .take(nprobe).map(_._2)
+    val candidates = index.assigned.filter(col("__cluster").isin(probe: _*))
+    bruteForceTopK(candidates.drop("__cluster"), idCol, vecCol, query, k)
+  }
 }

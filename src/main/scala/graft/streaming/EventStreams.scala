@@ -37,6 +37,16 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
 
+  /** Streaming exactly-once dedup on an id column: watermarked
+    * `dropDuplicates`, so state holds only ids newer than the watermark
+    * horizon — the standard at-least-once → exactly-once repair stage in
+    * event ingestion. State is bounded; safe on unbounded streams.
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  watermarkDelay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicates(idCols :+ "ts")
+
   /** Batch sessionization: a session breaks after `gapMinutes` of
     * inactivity. One shuffle (partition by user), sort within partitions —
     * the classic lag + running-sum plan.

@@ -73,6 +73,15 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
 
+  test("IVF index: clustered probe finds the near-parallel neighbors") {
+    val idx = Similarity.buildIvf(vecs, "vec_id", "embedding", nClusters = 2)
+    assert(idx.centroids.length == 2)
+    val got = Similarity.ivfTopK(idx, "vec_id", "embedding", Seq(1f, 0f, 0f), 2, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    // cluster containing the x-axis family must surface 0 and 1 first
+    assert(got == Seq(0L, 1L))
+  }
+
   test("lshTopK returns a subset of true neighbors (never fabricates rows)") {
     val got = Similarity.lshTopK(vecs.filter(col("vec_id") =!= 0),
       "vec_id", "embedding", Seq(1f, 0f, 0f), 3, planes = 2, probes = 2)

@@ -62,6 +62,18 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("dedupStream drops replayed events within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events ++ Seq(events.head, events(1)): _*) // replay two events
+    val q = EventStreams.dedupStream(mem.toDF(), Seq("event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("dedup_out").select("event_id").as[Long].collect().toSeq
+    assert(ids.sorted == events.map(_.event_id).sorted)
+  }
+
   test("sessionizeBatch splits on gap > 30min per user") {
     val sessions = EventStreams.sessionizeBatch(events.toDF(), 30)
       .select("user_id", "n_events").as[(Long, Long)].collect()
