@@ -358,9 +358,28 @@ object Queries {
              WHERE rn = 1""")),
   )
 
+  private val tagQueries: Seq[(String, Q)] = Seq(
+    // One-scan rule-hit tagging: every rule becomes a boolean column.
+    "q_rule_tags" -> Q(
+      (s, dir) => RuleSetExecutor.tagAll(
+        table(s, dir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment"),
+        Seq(
+          RuleJson.parseRule(
+            """{"Name":"big_balance","Conditions":{"Conditions":[
+                 {"Property":"c_acctbal","Operator":"GreaterThan","Value":9000}]}}"""),
+          RuleJson.parseRule(
+            """{"Name":"machinery","Conditions":{"Conditions":[
+                 {"Property":"c_mktsegment","Operator":"Equal","Value":"MACHINERY"}]}}"""))),
+      Some("""SELECT c_custkey, c_acctbal, c_mktsegment,
+               c_acctbal > 9000 AS big_balance,
+               c_mktsegment = 'MACHINERY' AS machinery,
+               (c_acctbal > 9000 OR c_mktsegment = 'MACHINERY') AS "__matched_any"
+             FROM customer""")),
+  )
+
   def engineQueries: Seq[(String, Q)] =
     comparisonQueries ++ stringQueries ++ nullQueries ++ advancedQueries ++
-      aggQueries ++ ruleSetQueries
+      aggQueries ++ ruleSetQueries ++ tagQueries
 
   def all: Seq[(String, Q)] = engineQueries ++ ExtQueries.all
 }

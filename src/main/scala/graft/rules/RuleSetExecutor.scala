@@ -23,6 +23,28 @@ object RuleSetExecutor {
               params: Map[String, Any] = Map.empty): DataFrame =
     RuleEvaluator(df, rule, params)
 
+  /** Rule-hit analytics: ONE scan evaluating every rule's predicate as a
+    * boolean tag column (named by rule, falling back to `rule_<i>`), plus a
+    * `__matched_any` column. The workhorse for "which rules fire on which
+    * rows / how often" dashboards — N rules cost one pass, no union, no
+    * shuffle.
+    */
+  def tagAll(df: DataFrame, rules: Seq[RuleDefinition],
+             params: Map[String, Any] = Map.empty): DataFrame = {
+    require(rules.nonEmpty, "at least one rule is required")
+    require(rules.forall(_.aggregation.isEmpty),
+      "tagAll applies to filter rules (aggregating rules change the row shape)")
+    val named = rules.zipWithIndex.map { case (r, i) =>
+      val name = if (r.name != null && r.name.nonEmpty) r.name else s"rule_$i"
+      name -> RuleEvaluator.predicate(df, r, params)
+    }
+    val tagged = named.foldLeft(df) { case (acc, (name, pred)) =>
+      acc.withColumn(name, pred)
+    }
+    tagged.withColumn("__matched_any",
+      named.map { case (n, _) => col(n) }.reduce(_ || _))
+  }
+
   def executeAll(df: DataFrame, rules: Seq[RuleDefinition],
                  params: Map[String, Any] = Map.empty): DataFrame = {
     require(rules.nonEmpty, "at least one rule is required")

@@ -289,4 +289,53 @@ class RulePropertySpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(40).withWorkers(1), prop)
     assert(result.passed, s"property falsified: ${result.status}")
   }
+
+  // --- aggregation path: argmin/argmax/count vs interpreter -----------------
+
+  /** Interpreter for the aggregate stage (declared semantics: numeric-string
+    * ordering via decimal, unparseable→null sorts first asc/never wins desc,
+    * full-row tie-break).
+    */
+  private def interpretAgg(rows: Seq[PRow], groupBy: Seq[String],
+                           aggProp: String, fn: String): Seq[PRow] = {
+    def ordKey(r: PRow): Option[BigDecimal] = aggProp match {
+      case "ns" => parseDec(r.ns)
+      case "i" => Some(BigDecimal(r.i))
+      case "d" => Some(BigDecimal(r.d))
+    }
+    // null ordering key sorts FIRST ascending (Spark/C# default-comparer match)
+    implicit val optOrd: Ordering[Option[BigDecimal]] =
+      Ordering.Option(Ordering[BigDecimal])
+    val rowOrd = Ordering.by((r: PRow) =>
+      (ordKey(r), r.id, r.s, r.ns, r.i, r.d, r.b, Option(r.n)))
+    rows.groupBy(r => groupBy.map(colVal(r, _))).values.map { grp =>
+      fn match {
+        case "Min" => grp.min(rowOrd)
+        case "Max" => grp.max(rowOrd)
+      }
+    }.toSeq
+  }
+
+  test("random groupBy + argmin/argmax: Spark engine == interpreter") {
+    val genAgg = for {
+      keys <- Gen.someOf(Seq("s", "b", "i")).map(_.toSeq)
+      prop <- Gen.oneOf("ns", "i", "d")
+      fn <- Gen.oneOf("Min", "Max")
+    } yield (keys, prop, fn)
+    val prop = Prop.forAllNoShrink(Gen.listOfN(30, genRow), genAgg) {
+      case (rows0, (keys, aggProp, fn)) =>
+        // unique ids so full-row tie-break == id tie-break in the interpreter
+        val rows = rows0.zipWithIndex.map { case (r, i) => r.copy(id = i) }
+        val rule = RuleDefinition(name = "agg", conditions = None,
+          groupBy = keys, aggregation = Some(Aggregation(aggProp, fn)))
+        val got = RuleEvaluator(rows.toDF(), rule)
+          .select("id").as[Int].collect().sorted.toSeq
+        val want = interpretAgg(rows, keys, aggProp, fn).map(_.id).sorted
+        if (got != want) println(s"AGG MISMATCH keys=$keys prop=$aggProp fn=$fn\n got=$got\n want=$want")
+        got == want
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30).withWorkers(1), prop)
+    assert(result.passed, s"property falsified: ${result.status}")
+  }
 }

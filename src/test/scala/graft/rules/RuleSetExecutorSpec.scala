@@ -54,6 +54,23 @@ class RuleSetExecutorSpec extends SparkSpec {
     assert(e.getMessage.contains("union-compatible"))
   }
 
+  test("tagAll produces per-rule boolean tags in one scan") {
+    val rules = Seq(
+      r("""{"Name":"big","Conditions":{"Conditions":[{"Property":"v","Operator":"GreaterThan","Value":4}]}}"""),
+      r("""{"Name":"is_b","Conditions":{"Conditions":[{"Property":"k","Operator":"Equal","Value":"b"}]}}"""))
+    val tagged = RuleSetExecutor.tagAll(df, rules)
+    assert(tagged.columns.toSeq == Seq("k", "v", "big", "is_b", "__matched_any"))
+    val rows = tagged.select("k", "big", "is_b", "__matched_any")
+      .as[(String, Boolean, Boolean, Boolean)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(rows("a") == ((false, false, false)))
+    assert(rows("b") == ((true, true, true)))
+    assert(rows("c") == ((true, false, true)))
+    val scans = tagged.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(scans.length == 1)
+  }
+
   test("single rule pass-through") {
     val got = RuleSetExecutor.execute(df,
       r("""{"Conditions":{"Conditions":[{"Property":"k","Operator":"Equal","Value":"a"}]}}"""))
