@@ -200,6 +200,22 @@ object ExtQueries {
   )
 
   private val eventQueries: Seq[(String, Q)] = Seq(
+    // AS-OF join: each purchase gets the user's latest prior click.
+    "q_asof_join" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+        graft.operators.Joins.asOf(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts")
+      },
+      Some("""SELECT p.user_id, p.event_id, p.ts, p.event_type, p.value, p.props,
+               c.event_id AS r_event_id, c.ts AS r_ts, c.event_type AS r_event_type,
+               c.value AS r_value, c.props AS r_props
+             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+               ON p.user_id = c.user_id AND c.ts <= p.ts""")),
+
     "q_events_window" -> Q(
       (s, dir) => EventStreams.windowedStatsBatch(events(s, dir)),
       Some("""SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS cnt,

@@ -13,6 +13,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    try:
+        if v != v:  # NaN / NaT: self-inequality would fail identical rows
+            return "__null__"
+    except (TypeError, ValueError):
+        pass
     if isinstance(v, float):
         return round(v, 9)
     if isinstance(v, list):
