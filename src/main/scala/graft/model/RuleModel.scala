@@ -81,6 +81,63 @@ object RuleJson {
 
   def parseRule(json: String): RuleDefinition = ruleFromNode(mapper.readTree(json))
 
+  /** Serializes a rule back to the reference's JSON shape (PascalCase
+    * fields, enum-as-string) — `parseRule(write(r)) == r`.
+    */
+  def write(rule: RuleDefinition): String = {
+    val root = mapper.createObjectNode()
+    if (rule.name.nonEmpty) root.put("Name", rule.name)
+    if (rule.comment.nonEmpty) root.put("Comment", rule.comment)
+    if (rule.version != 0) root.put("Version", rule.version)
+    root.put("IsActive", rule.isActive)
+    if (rule.createdBy.nonEmpty) root.put("CreatedBy", rule.createdBy)
+    if (rule.sourceType.nonEmpty) root.put("SourceType", rule.sourceType)
+    if (rule.targetType.nonEmpty) root.put("TargetType", rule.targetType)
+    if (rule.errorMessage.nonEmpty) root.put("ErrorMessage", rule.errorMessage)
+    rule.conditions.foreach(g => root.set[JsonNode]("Conditions", groupToNode(g)))
+    if (rule.groupBy.nonEmpty) {
+      val arr = root.putArray("GroupBy")
+      rule.groupBy.foreach(arr.add)
+    }
+    rule.aggregation.foreach { a =>
+      val o = root.putObject("Aggregation")
+      o.put("AggregateProperty", a.aggregateProperty)
+      o.put("AggregateFunction", a.aggregateFunction)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  private def groupToNode(g: ConditionGroup): JsonNode = {
+    val o = mapper.createObjectNode()
+    o.put("LogicalOperator", g.logicalOperator)
+    o.put("Negate", g.negate)
+    val cs = o.putArray("Conditions")
+    g.conditions.foreach { c =>
+      val cn = cs.addObject()
+      cn.put("Property", c.property)
+      cn.put("Operator", c.operator)
+      cn.set[JsonNode]("Value", valueToNode(c.value))
+    }
+    val gs = o.putArray("Groups")
+    g.groups.foreach(sub => gs.add(groupToNode(sub)))
+    o
+  }
+
+  private def valueToNode(v: RuleValue): JsonNode = v match {
+    case RuleValue.Null => mapper.nullNode()
+    case RuleValue.Str(s) => mapper.getNodeFactory.textNode(s)
+    case RuleValue.Num(n) => mapper.getNodeFactory.numberNode(n.underlying)
+    case RuleValue.Bool(b) => mapper.getNodeFactory.booleanNode(b)
+    case RuleValue.Arr(xs) =>
+      val a = mapper.createArrayNode()
+      xs.foreach(x => a.add(valueToNode(x)))
+      a
+    case RuleValue.Obj(fields) =>
+      val o = mapper.createObjectNode()
+      fields.foreach { case (k, x) => o.set[JsonNode](k, valueToNode(x)) }
+      o
+  }
+
   def parseRules(json: String): Seq[RuleDefinition] = {
     val n = mapper.readTree(json)
     require(n.isArray, "expected a JSON array of rules")
