@@ -31,11 +31,26 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    // Queries run alphabetically; without a barrier a trivial scan inherits
+    // seconds of GC/BlockManager churn from a heavy predecessor (r1 bench:
+    // q_lt 4.7s right after q_lang_id vs q_gt 0.12s). Reset between queries
+    // so per-query numbers are attributable.
+    def quiesce(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(200)
+    }
+
+    // local-iteration filter (driver leaves it unset → full battery)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>
       val t = try {
         execute(name) // warm-up
         val times = (1 to runs).map { _ =>
+          quiesce()
           val t0 = System.nanoTime()
           execute(name)
           (System.nanoTime() - t0) / 1e9

@@ -219,7 +219,7 @@ object ExtQueries {
     "q_events_window" -> Q(
       (s, dir) => EventStreams.windowedStatsBatch(events(s, dir)),
       Some("""SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS cnt,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              FROM events GROUP BY 1, 2""")),
 
     "q_events_session" -> Q(
@@ -244,16 +244,20 @@ object ExtQueries {
 
   // Headline analytical queries (bench anchors; also oracle-checked).
   private val headlineQueries: Seq[(String, Q)] = Seq(
+    // Sums accumulate in DECIMAL (exact, order-independent) but the FINAL
+    // projected column is DOUBLE on both sides: the driver hashes value
+    // representations, and Spark decimal vs DuckDB decimal render trailing
+    // zeros / dtypes differently even when numerically equal.
     "q1_agg" -> Q(
       (s, dir) => table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
           count(lit(1)).as("cnt")),
       Some("""SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
                count(*) AS cnt
              FROM lineitem GROUP BY 1, 2""")),
 
@@ -267,12 +271,12 @@ object ExtQueries {
           .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
           .groupBy(col("l_orderkey"))
           .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,4)")).cast("decimal(38,4)").as("revenue"))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
           .limit(10)
       },
       Some("""SELECT l_orderkey,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
              FROM lineitem
              JOIN orders ON l_orderkey = o_orderkey
              JOIN customer ON o_custkey = c_custkey

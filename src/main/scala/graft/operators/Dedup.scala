@@ -130,36 +130,33 @@ object Dedup {
     * scalable exact set-similarity join (PPJoin family), not an O(n²) cross
     * join.
     *
-    * Shingles hash to longs and sort ascending (a global canonical order).
-    * For Jaccard ≥ τ a pair must share ≥ ⌈τ·|S|⌉ elements, so each side must
-    * expose a common element within its first |S| − ⌈τ·|S|⌉ + 1 sorted
-    * elements (the "prefix"): candidates come from an equi-join on exploded
-    * prefix elements — a hash-bucket shuffle whose volume is data-dependent,
-    * not quadratic. Candidates are verified with an exact linear merge
-    * intersect ([[graft.functions.SortedIntersectCount]]). Provably no
-    * qualifying pair is lost; the only approximation is the ~2⁻⁶⁴ shingle
-    * hash collision.
+    * Shingles hash to longs and sort ascending — ONE fused per-row
+    * expression ([[graft.functions.HashedShingles]]), no corpus-wide
+    * frequency shuffle. Prefix filtering is exact under ANY fixed global
+    * total order of the shingle universe: for Jaccard ≥ τ a pair must share
+    * ≥ ⌈τ·|S|⌉ elements, so each side must expose a common element within
+    * its first |S| − ⌈τ·|S|⌉ + 1 sorted elements (the "prefix"). Candidates
+    * come from an equi-join on exploded prefix elements — a hash-bucket
+    * shuffle whose volume is data-dependent, not quadratic — and are
+    * verified with an exact linear merge intersect
+    * ([[graft.functions.SortedIntersectCount]]). Provably no qualifying
+    * pair is lost; the only approximation is the ~2⁻⁶⁴ shingle hash
+    * collision. (r1 used the df-ascending PPJoin order, which minimizes
+    * candidates but cost two full-corpus shuffles + a per-doc sort to
+    * compute — 47% of the whole bench; the value order is frequency-blind
+    * but free.)
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5,
                         materialize: Boolean = true): DataFrame = {
-    val ex = df.select(col(idCol).as("id"),
-        explode(TextFunctions.wordShingles(col(textCol), shingleSize)).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-    // Global document frequency per shingle: prefixes are taken in ASCENDING
-    // df order (rarest shingles first, PPJoin's canonical ordering), so hot
-    // shingles never enter a prefix and candidate posting lists stay small.
-    val freq = ex.groupBy("h").agg(count(lit(1)).as("freq"))
-    val sets = materialized(materialize, ex.join(freq, "h")
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("freq"), col("h")))).as("fh"))
-      .select(col("id"),
-        transform(col("fh"), x => x("h")).as("dfo"), // df-ordered, for prefixes
-        array_sort(transform(col("fh"), x => x("h"))).as("hs"), // value-sorted, for merge verify
-        size(col("fh")).as("sz")))
+    val sets = materialized(materialize, df
+      .select(col(idCol).as("id"),
+        graft.functions.HashedShingles.column(col(textCol), shingleSize).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("id"), col("hs"), size(col("hs")).as("sz")))
     val prefixLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
     val prefixes = sets.select(col("id"), col("sz"),
-      explode(slice(col("dfo"), lit(1), prefixLen)).as("tok"))
+      explode(slice(col("hs"), lit(1), prefixLen)).as("tok"))
     val cands = prefixes.select(col("tok"), col("id").as("id1"), col("sz").as("sz1"))
       .join(prefixes.select(col("tok"), col("id").as("id2"), col("sz").as("sz2")), Seq("tok"))
       .filter(col("id1") < col("id2"))

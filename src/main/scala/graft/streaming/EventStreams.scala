@@ -19,13 +19,16 @@ object EventStreams {
 
   /** Hourly tumbling-window stats. Streaming: watermarked event-time window
     * (state bounded by the watermark — safe for unbounded streams).
+    * Sums accumulate in DECIMAL (exact regardless of partition order); the
+    * projected column is DOUBLE — the canonical output representation every
+    * engine renders identically.
     */
   def windowedStatsStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("h"), col("event_type"), col("cnt"), col("sum_value"))
 
   /** Batch twin of [[windowedStatsStream]] (same output schema/values for
@@ -35,7 +38,7 @@ object EventStreams {
     events
       .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
   /** Streaming exactly-once dedup on an id column: watermarked
     * `dropDuplicates`, so state holds only ids newer than the watermark

@@ -13,16 +13,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    """REPRESENTATION-sensitive canonical form, mimicking the driver's gate
+    (which hashes formatted values after sorting columns by name). No numeric
+    rounding: Decimal('123.40') must NOT equal 123.4 here, because it does not
+    hash-equal on the driver either. Queries must emit canonical dtypes
+    (DOUBLE, not DECIMAL) on both the Spark and the oracle side."""
     try:
         if v != v:  # NaN / NaT: self-inequality would fail identical rows
             return "__null__"
     except (TypeError, ValueError):
         pass
-    if isinstance(v, float):
-        return round(v, 9)
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
-    return v
+    if isinstance(v, float):
+        return repr(float(v))
+    return str(v)
 
 
 def main(sf_dir, out_dir):
