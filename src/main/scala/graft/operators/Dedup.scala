@@ -198,15 +198,48 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
-  /** Embedding-cosine near-duplicate pairs ≥ `threshold`, brute-force with a
-    * broadcast-friendly shape for correctness; ANN variant lives in
-    * [[Similarity]].
+  /** Embedding-cosine near-duplicate pairs ≥ `threshold` — EXACT brute
+    * force. O(n²): this is the ORACLE ANCHOR for small corpora and the
+    * recall reference for [[embeddingPairsLsh]], which is the production
+    * path at scale.
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
     val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
     a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("cos", VectorFunctions.cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .select("id1", "id2", "cos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs via MULTI-TABLE sign-LSH
+    * blocking — the production embedding near-dup path: candidates come
+    * from a hash-bucket equi-join on (table, bucket) codes
+    * ([[graft.functions.LshBucketCodes]]), never a cross join, then verify
+    * with exact double cosine. Quadratic work happens only WITHIN buckets
+    * (expected O(n²/2^planes) per table).
+    *
+    * Recall for a pair at angle θ is 1 − (1 − (1 − θ/π)^planes)^tables:
+    * more tables buy recall, more planes cut candidates. Defaults target
+    * the near-dup regime (cos ≥ ~0.8); lower `planes` for lower thresholds.
+    */
+  def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, planes: Int = 8, tables: Int = 6,
+                        seed: Long = 42L,
+                        materialize: Boolean = true): DataFrame = {
+    val base = materialized(materialize,
+      df.select(col(idCol).as("id"), col(vecCol).as("v")))
+    val bucketed = base.select(col("id"),
+      explode(graft.functions.LshBucketCodes.column(col("v"), planes, tables, seed))
+        .as("bkt"))
+    val cand = bucketed.select(col("bkt"), col("id").as("id1"))
+      .join(bucketed.select(col("bkt"), col("id").as("id2")), Seq("bkt"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    cand
+      .join(base.select(col("id").as("id1"), col("v").as("v1")), "id1")
+      .join(base.select(col("id").as("id2"), col("v").as("v2")), "id2")
       .withColumn("cos", VectorFunctions.cosine(col("v1"), col("v2")))
       .filter(col("cos") >= threshold)
       .select("id1", "id2", "cos")

@@ -43,9 +43,17 @@ object Joins {
         lit(null).cast(lType).as("__l"),
         struct(rPayload.map(col): _*).as("__r")): _*)
 
-    // right rows sort BEFORE left rows at equal ts (__src 0 < 1) => `<=` asof
+    // right rows sort BEFORE left rows at equal ts (__src 0 < 1) => `<=` asof.
+    // The right-row tiebreak orders only ORDERABLE right columns — a map
+    // column in the payload would fail analysis inside an ordering struct
+    // (same guard Dedup.exact applies).
+    val rOrderable = rType.fields.filter(f =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+      .map(f => col(s"__r.${f.name}"))
+    val tieBreak: Seq[org.apache.spark.sql.Column] =
+      if (rOrderable.isEmpty) Nil else Seq(struct(rOrderable: _*))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__src"), col("__r"))
+      .orderBy(col("__t") +: col("__src") +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     lSide.unionByName(rSide)
       .withColumn("__carried", last(col("__r"), ignoreNulls = true).over(w))

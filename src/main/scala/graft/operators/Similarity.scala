@@ -73,6 +73,28 @@ object Similarity {
     */
   final case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]])
 
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+
+  /** Build-once, probe-many IVF access: the index is built ONE time per
+    * (cacheKey) per JVM, written as a parquet table PARTITIONED BY
+    * `__cluster`, and re-read from disk — so every probe prunes to its
+    * `nprobe` clusters at the SOURCE (partition pruning in the scan, no
+    * full-table read) and no query ever pays the k-means fit. This is the
+    * production layout: the offline index job writes the partitioned
+    * table; online queries only ever see the cheap read side.
+    */
+  def ivfIndexFor(df: => DataFrame, cacheKey: String,
+                  idCol: String, vecCol: String,
+                  nClusters: Int, seed: Long = 42L): IvfIndex =
+    ivfCache.computeIfAbsent(cacheKey, _ => {
+      val fresh = buildIvf(df, idCol, vecCol, nClusters, seed)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf/" +
+        java.lang.Integer.toHexString(cacheKey.hashCode) + s"_k$nClusters"
+      fresh.assigned.write.mode("overwrite").partitionBy("__cluster").parquet(path)
+      IvfIndex(fresh.assigned.sparkSession.read.parquet(path), fresh.centroids)
+    })
+
   def buildIvf(df: DataFrame, idCol: String, vecCol: String,
                nClusters: Int, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans

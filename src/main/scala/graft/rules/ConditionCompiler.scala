@@ -202,12 +202,21 @@ object ConditionCompiler {
     }
     case RuleValue.Num(n) => dt match {
       case StringType      => lit(n.underlying.stripTrailingZeros.toPlainString)
-      case IntegerType     => lit(n.toInt)
-      case LongType        => lit(n.toLong)
+      // Integral columns: a whole in-range constant narrows to the exact
+      // column type (comparison stays pushdown-able into the scan). A
+      // FRACTIONAL or out-of-range constant must NOT be truncated/wrapped
+      // (r1 compiled `> 10.6` on an int column as `> 10` — silently
+      // matching different rows): compare against the exact decimal and
+      // let Spark widen the column. Documented divergence from the
+      // reference's Convert.ChangeType half-even rounding — exact
+      // comparison is the only self-consistent reading of the rule.
+      case IntegerType if n.isWhole && n.isValidInt  => lit(n.toInt)
+      case LongType    if n.isWhole && n.isValidLong => lit(n.toLong)
+      case ShortType   if n.isWhole && n.isValidShort => lit(n.toShort)
+      case ByteType    if n.isWhole && n.isValidByte  => lit(n.toByte)
+      case IntegerType | LongType | ShortType | ByteType => lit(n.underlying)
       case DoubleType      => lit(n.toDouble)
       case FloatType       => lit(n.toFloat)
-      case ShortType       => lit(n.toShort)
-      case ByteType        => lit(n.toByte)
       case d: DecimalType  => lit(n.underlying).try_cast(d)
       case other           => lit(n.underlying).try_cast(other)
     }

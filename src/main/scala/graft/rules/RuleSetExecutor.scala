@@ -38,11 +38,20 @@ object RuleSetExecutor {
       val name = if (r.name != null && r.name.nonEmpty) r.name else s"rule_$i"
       name -> RuleEvaluator.predicate(df, r, params)
     }
-    val tagged = named.foldLeft(df) { case (acc, (name, pred)) =>
-      acc.withColumn(name, pred)
-    }
-    tagged.withColumn("__matched_any",
-      named.map { case (n, _) => col(n) }.reduce(_ || _))
+    // a rule named like an input column would silently SHADOW the data
+    // column (and corrupt later predicates referencing it) — reject both
+    // kinds of collision up front
+    val lowerInput = df.columns.map(_.toLowerCase).toSet
+    val shadowing = named.map(_._1).filter(n => lowerInput.contains(n.toLowerCase))
+    require(shadowing.isEmpty,
+      s"rule names collide with input columns: ${shadowing.mkString(", ")}")
+    val dupes = named.map(_._1.toLowerCase).groupBy(identity).filter(_._2.size > 1).keys
+    require(dupes.isEmpty, s"duplicate rule names: ${dupes.mkString(", ")}")
+    // ONE projection for all N rules — a per-rule withColumn fold costs
+    // O(N²) analysis at rule-catalog scale (thousands of rules)
+    df.select(df.columns.map(col) ++
+      named.map { case (name, pred) => pred.as(name) } :+
+      named.map(_._2).reduce(_ || _).as("__matched_any"): _*)
   }
 
   def executeAll(df: DataFrame, rules: Seq[RuleDefinition],

@@ -40,15 +40,17 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
-  /** Streaming exactly-once dedup on an id column: watermarked
-    * `dropDuplicates`, so state holds only ids newer than the watermark
-    * horizon — the standard at-least-once → exactly-once repair stage in
-    * event ingestion. State is bounded; safe on unbounded streams.
+  /** Streaming exactly-once dedup on an id column: watermark-bounded state,
+    * keyed on the ids ALONE (`dropDuplicatesWithinWatermark`) — a replayed
+    * event is deduplicated even when the retransmission carries a different
+    * event timestamp, which `dropDuplicates(idCols :+ "ts")` would miss.
+    * The standard at-least-once → exactly-once repair stage in event
+    * ingestion; state is bounded by the watermark horizon.
     */
   def dedupStream(events: DataFrame, idCols: Seq[String],
                   watermarkDelay: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermarkDelay)
-      .dropDuplicates(idCols :+ "ts")
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
   /** Batch sessionization: a session breaks after `gapMinutes` of
     * inactivity. One shuffle (partition by user), sort within partitions —
@@ -78,6 +80,12 @@ object EventStreams {
   def sessionizeStream(events: Dataset[Event], gapMinutes: Int,
                        timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
       : Dataset[SessionSummary] = {
+    // session expiry uses setTimeoutDuration, which only
+    // ProcessingTimeTimeout supports — EventTimeTimeout would throw
+    // UnsupportedOperationException at RUNTIME on the first batch
+    require(timeout != GroupStateTimeout.EventTimeTimeout,
+      "sessionizeStream supports ProcessingTimeTimeout or NoTimeout; " +
+        "EventTimeTimeout needs setTimeoutTimestamp-based expiry")
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60L * 1000L

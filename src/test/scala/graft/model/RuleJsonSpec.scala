@@ -36,6 +36,23 @@ class RuleJsonSpec extends AnyFunSuite {
     assert(r.conditions.get.conditions.head.value == RuleValue.Null)
   }
 
+  test("reference-authored metadata round-trips losslessly: CreatedAt, Integration, double Version") {
+    val json = """{"Name":"meta","Version":1.5,"IsActive":true,
+        "CreatedBy":"ops","CreatedAt":"2024-03-01T12:34:56Z",
+        "SourceType":"User","TargetType":"User",
+        "Integration":{"CompositeId":"tenant-7:ruleset-3"},
+        "Conditions":{"Conditions":[{"Property":"p","Operator":"Equal","Value":1}]}}"""
+    val parsed = RuleJson.parseRule(json)
+    assert(parsed.version == 1.5)
+    assert(parsed.createdAt == "2024-03-01T12:34:56Z")
+    assert(parsed.integration.contains(IntegrationBinding(Some("tenant-7:ruleset-3"))))
+    val roundTripped = RuleJson.parseRule(RuleJson.write(parsed))
+    assert(roundTripped == parsed)
+    // the written JSON must carry the fields, not just survive reparse defaults
+    val out = RuleJson.write(parsed)
+    assert(out.contains("CreatedAt") && out.contains("CompositeId") && out.contains("1.5"))
+  }
+
   test("parseRules reads a rule array") {
     val rs = RuleJson.parseRules("""[{"Name":"a"},{"Name":"b"}]""")
     assert(rs.map(_.name) == Seq("a", "b"))

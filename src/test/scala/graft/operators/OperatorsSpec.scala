@@ -73,6 +73,34 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
 
+  test("embeddingPairsLsh: subset of exact pairs, full recall on near-parallel cluster, NO cross join in plan") {
+    val lsh = Dedup.embeddingPairsLsh(vecs, "vec_id", "embedding", 0.95,
+      planes = 2, tables = 8)
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH pair join must not degenerate to a cross join:\n$plan")
+    val got = lsh.select("id1", "id2").as[(Long, Long)].collect().toSet
+    val exact = Dedup.embeddingPairs(vecs, "vec_id", "embedding", 0.95)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact), "verify step must keep only true pairs")
+    // 8 tables × 2 planes on a 3-vector near-parallel cluster: recall 1.0
+    assert(got == exact)
+  }
+
+  test("ivfIndexFor memoizes the build and probes with SOURCE partition pruning") {
+    val idx = Similarity.ivfIndexFor(vecs, cacheKey = "operators-spec-vecs",
+      "vec_id", "embedding", nClusters = 2)
+    val again = Similarity.ivfIndexFor(
+      sys.error("must not rebuild"): org.apache.spark.sql.DataFrame,
+      cacheKey = "operators-spec-vecs", "vec_id", "embedding", nClusters = 2)
+    assert(again eq idx, "second lookup must hit the cache without touching df")
+    val probe = Similarity.ivfTopK(idx, "vec_id", "embedding", Seq(1f, 0f, 0f), 2, nprobe = 1)
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("__cluster"),
+      s"probe must prune __cluster partitions at the source:\n$scan")
+    assert(probe.select("vec_id").as[Long].collect().toSeq == Seq(0L, 1L))
+  }
+
   test("IVF index: clustered probe finds the near-parallel neighbors") {
     val idx = Similarity.buildIvf(vecs, "vec_id", "embedding", nClusters = 2)
     assert(idx.centroids.length == 2)

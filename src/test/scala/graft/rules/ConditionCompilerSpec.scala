@@ -48,6 +48,24 @@ class ConditionCompilerSpec extends SparkSpec {
     assert(run(cond("loginname", "EQUAL", "\"bob\"")) == Set("bob"))
   }
 
+  test("fractional / out-of-range constants against integral columns compare EXACTLY") {
+    val nums = Seq((1, "a"), (10, "b"), (11, "c"), (2147483647, "d")).toDF("n", "tag")
+    def runN(json: String): Set[String] =
+      RuleEvaluator(nums, RuleJson.parseRule(json), Map.empty)
+        .select("tag").as[String].collect().toSet
+    // 10.6 must NOT truncate to 10 (which would wrongly admit 11 via > 10
+    // ... wrongly admit nothing new but change boundaries): > 10.6 admits 11+
+    assert(runN(cond("n", "GreaterThan", "10.6")) == Set("c", "d"))
+    assert(runN(cond("n", "LessThan", "10.6")) == Set("a", "b"))
+    // equality with a fractional constant can never hold for an int column
+    assert(runN(cond("n", "Equal", "10.6")) == Set.empty)
+    // out-of-range constant must not wrap around Int.MaxValue
+    assert(runN(cond("n", "LessThan", "3000000000")) == Set("a", "b", "c", "d"))
+    assert(runN(cond("n", "GreaterThan", "3000000000")) == Set.empty)
+    // whole in-range constants stay exact-typed (the pushdown-friendly path)
+    assert(runN(cond("n", "GreaterThanOrEqual", "11")) == Set("c", "d"))
+  }
+
   test("In / NotIn; NotIn keeps rows with null column (C# equality chain)") {
     assert(run(cond("CompanyCode", "In", """["C1","C3"]""")) ==
       Set("alice", "carol", "dave"))

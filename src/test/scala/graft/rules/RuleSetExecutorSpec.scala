@@ -71,6 +71,32 @@ class RuleSetExecutorSpec extends SparkSpec {
     assert(scans.length == 1)
   }
 
+  test("tagAll: ONE Project node for 100 rules (no per-rule withColumn fold)") {
+    val rules = (1 to 100).map(i =>
+      r(s"""{"Name":"r$i","Conditions":{"Conditions":[{"Property":"v","Operator":"GreaterThan","Value":$i}]}}"""))
+    val tagged = RuleSetExecutor.tagAll(df, rules)
+    assert(tagged.columns.length == 2 + 100 + 1)
+    def nProjects(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.analyzed.collect {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+      }.length
+    // exactly ONE Project added on top of the input plan, holding all 101 tags
+    assert(nProjects(tagged) == nProjects(df) + 1,
+      s"expected one added Project, got ${nProjects(tagged) - nProjects(df)}")
+  }
+
+  test("tagAll rejects rule names that shadow input columns or each other") {
+    val shadow = Seq(
+      r("""{"Name":"V","Conditions":{"Conditions":[{"Property":"v","Operator":"GreaterThan","Value":1}]}}"""))
+    val e1 = intercept[IllegalArgumentException](RuleSetExecutor.tagAll(df, shadow))
+    assert(e1.getMessage.contains("collide"))
+    val dup = Seq(
+      r("""{"Name":"same","Conditions":{"Conditions":[{"Property":"v","Operator":"GreaterThan","Value":1}]}}"""),
+      r("""{"Name":"SAME","Conditions":{"Conditions":[{"Property":"v","Operator":"LessThan","Value":5}]}}"""))
+    val e2 = intercept[IllegalArgumentException](RuleSetExecutor.tagAll(df, dup))
+    assert(e2.getMessage.contains("duplicate"))
+  }
+
   test("single rule pass-through") {
     val got = RuleSetExecutor.execute(df,
       r("""{"Conditions":{"Conditions":[{"Property":"k","Operator":"Equal","Value":"a"}]}}"""))

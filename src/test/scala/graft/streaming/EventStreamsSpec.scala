@@ -32,9 +32,9 @@ class EventStreamsSpec extends SparkSpec {
 
     val streamed = spark.table("win_out")
       .select("h", "event_type", "cnt", "sum_value")
-      .as[(Timestamp, String, Long, java.math.BigDecimal)].collect().toSet
+      .as[(Timestamp, String, Long, Double)].collect().toSet
     val batch = EventStreams.windowedStatsBatch(events.toDF())
-      .as[(Timestamp, String, Long, java.math.BigDecimal)].collect().toSet
+      .as[(Timestamp, String, Long, Double)].collect().toSet
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
@@ -56,22 +56,32 @@ class EventStreamsSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.table("file_win_out")
       .select("h", "event_type", "cnt", "sum_value")
-      .as[(Timestamp, String, Long, java.math.BigDecimal)].collect().toSet
+      .as[(Timestamp, String, Long, Double)].collect().toSet
     val batch = EventStreams.windowedStatsBatch(batchEvents)
-      .as[(Timestamp, String, Long, java.math.BigDecimal)].collect().toSet
+      .as[(Timestamp, String, Long, Double)].collect().toSet
     assert(streamed == batch && batch.nonEmpty)
   }
 
-  test("dedupStream drops replayed events within the watermark horizon") {
+  test("dedupStream drops replayed events — even retransmissions with a DIFFERENT ts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
-    mem.addData(events ++ Seq(events.head, events(1)): _*) // replay two events
+    // replay event 1 verbatim and event 2 with a shifted retransmission ts
+    mem.addData(events ++ Seq(events.head, events(1).copy(ts = ts(7))): _*)
     val q = EventStreams.dedupStream(mem.toDF(), Seq("event_id"))
       .writeStream.outputMode("append")
       .format("memory").queryName("dedup_out").start()
     try q.processAllAvailable() finally q.stop()
     val ids = spark.table("dedup_out").select("event_id").as[Long].collect().toSeq
     assert(ids.sorted == events.map(_.event_id).sorted)
+  }
+
+  test("sessionizeStream rejects EventTimeTimeout up front (runtime-unsupported)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val e = intercept[IllegalArgumentException](
+      EventStreams.sessionizeStream(mem.toDS(), 30,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout))
+    assert(e.getMessage.contains("EventTimeTimeout"))
   }
 
   test("sessionizeBatch splits on gap > 30min per user") {
