@@ -16,6 +16,15 @@ object ExtQueries {
   private val sqlTokens =
     raw"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0)"
 
+  /** Golden-fixture oracle: an INDEPENDENT single-node brute-force
+    * recomputation of a deterministic operator over the sf0.01 corpus
+    * (see [[graft.tools.GoldenGen]] in test sources), committed as parquet
+    * and SELECTed directly by the DuckDB gate. Anchors the operators whose
+    * logic (rolling hashes, banded signatures) plain SQL cannot express.
+    */
+  private def golden(name: String): Option[String] =
+    Some(s"SELECT * FROM read_parquet('/root/repo/src/test/resources/golden/$name/*.parquet')")
+
   private val textQueries: Seq[(String, Q)] = Seq(
     "q_token_count" -> Q(
       (s, dir) => table(s, dir, "documents")
@@ -68,10 +77,11 @@ object ExtQueries {
 
     // Winnowing fingerprints: substring-sharing pairs via an inverted-index
     // join on local-min Rabin-Karp hashes (shared-fingerprint count >= 3).
-    // Rolling-hash arithmetic is not expressible in DuckDB SQL -> rows-only.
+    // Rolling-hash arithmetic is not expressible in DuckDB SQL -> golden
+    // fixture from the independent brute-force recomputation.
     "q_fingerprint_winnow" -> Q(
       (s, dir) => Dedup.winnowPairs(table(s, dir, "documents"), "doc_id", "text"),
-      None),
+      golden("q_fingerprint_winnow")),
   )
 
   private val dedupQueries: Seq[(String, Q)] = Seq(
@@ -102,20 +112,23 @@ object ExtQueries {
           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""")),
 
-    // MinHash-LSH near-dup pairs — approximate by construction (banding +
-    // signature estimate), so rows-only checked; the exact twin above is the
-    // correctness anchor.
+    // MinHash-LSH near-dup pairs — approximate wrt true Jaccard but fully
+    // DETERMINISTIC given the seeds, so the golden brute-force (all-pairs
+    // band agreement + signature estimate) is an exact oracle for the
+    // distributed banding/join/distinct machinery.
     "q_dedup_minhash" -> Q(
       (s, dir) => Dedup.minhashPairs(table(s, dir, "documents"),
         "doc_id", "text", shingleSize = 3, numHashes = 128, bands = 32,
         threshold = 0.5).select(col("id1"), col("id2")),
-      None),
+      golden("q_dedup_minhash")),
 
     // SimHash near-dup pairs (Hamming ≤ 3 over 64-bit token simhash).
+    // Pigeonhole chunking is lossless for d ≤ 3 over 4 chunks, so the
+    // golden all-pairs Hamming scan is the exact expectation.
     "q_dedup_simhash" -> Q(
       (s, dir) => Dedup.simhashPairs(table(s, dir, "documents"),
         "doc_id", "text", maxDistance = 3),
-      None),
+      golden("q_dedup_simhash")),
 
     // Corpus after greedy near-dup removal (LSH pairs, smaller id survives).
     "q_neardup_drop" -> Q(
@@ -125,7 +138,7 @@ object ExtQueries {
           Dedup.minhashPairs(docs, "doc_id", "text", shingleSize = 3,
             numHashes = 128, bands = 32, threshold = 0.5))
       },
-      None),
+      golden("q_neardup_drop")),
 
     // LSH-blocked embedding near-dup pairs — the PRODUCTION path (bucket
     // join, no cross join; approximate recall by construction → rows-only,
@@ -206,11 +219,12 @@ object ExtQueries {
              FROM documents""")),
 
     // Per-partition stub decode + feature extraction (deterministic fake
-    // decoder; FNV checksum not expressible in DuckDB → rows-only).
+    // decoder; FNV arithmetic not expressible in DuckDB → golden fixture
+    // from the independent recomputation).
     "q_mm_decode" -> Q(
       (s, dir) => Multimodal.decodeFeatures(
         Multimodal.withPayload(table(s, dir, "documents"), "text"), "doc_id"),
-      None),
+      golden("q_mm_decode")),
   )
 
   private val eventQueries: Seq[(String, Q)] = Seq(

@@ -1,0 +1,133 @@
+package graft.tools
+
+import graft.functions.{MinHashSignature, RollingFingerprint, SimHash64, WordShingles}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Generates the GOLDEN ORACLE FIXTURES under `src/test/resources/golden/`:
+  * brute-force O(n²) single-node recomputations of the deterministic dedup /
+  * multimodal operators over the sf0.01 corpus, written as parquet the
+  * DuckDB correctness gate SELECTs directly.
+  *
+  * INDEPENDENCE: only the per-row hash primitives (simhash / minhash
+  * signature / rolling fingerprint — the algorithm definitions themselves)
+  * are shared with the engine. Everything the DISTRIBUTED operators do —
+  * pigeonhole chunk bucketing, LSH banding, posting-list joins,
+  * df capping, pair dedup, greedy drop — is recomputed here as plain
+  * all-pairs Scala loops, so the fixtures catch any candidate-generation
+  * loss or join/aggregation bug.
+  *
+  * Run: `sbt "Test/runMain graft.tools.GoldenGen"` (then commit the parquet).
+  */
+object GoldenGen {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outBase = args.lift(1).getOrElse("src/test/resources/golden")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs: Array[(Long, String)] = docsDf
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val n = docs.length
+    require(n > 0 && n <= 2000, s"golden generation is brute-force; got $n docs")
+
+    def write(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val dir = s"$outBase/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(dir)
+      // keep only the part file: _SUCCESS/.crc would be git noise
+      new java.io.File(dir).listFiles().foreach { f =>
+        if (!f.getName.endsWith(".parquet")) f.delete()
+      }
+      println(s"[golden] $name: ${df.count()} rows -> $dir")
+    }
+
+    // ---- q_dedup_simhash: all-pairs Hamming over 64-bit simhash ----------
+    // (pigeonhole chunking in the operator is provably lossless for
+    // hamming <= 3 over 4 chunks, so brute force IS the exact expectation)
+    val sh = docs.map { case (id, t) =>
+      id -> SimHash64.computeText(UTF8String.fromString(t))
+    }
+    val simPairs = for {
+      i <- (0 until n).iterator
+      j <- (i + 1) until n
+      d = java.lang.Long.bitCount(sh(i)._2 ^ sh(j)._2)
+      if d <= 3
+    } yield (sh(i)._1, sh(j)._1, d)
+    write(simPairs.toSeq.toDF("id1", "id2", "hamming"), "q_dedup_simhash")
+
+    // ---- q_fingerprint_winnow: shared winnowing fingerprints ------------
+    // k=12, w=16, minShared=3, maxDf=100 (battery params)
+    val fps: Array[(Long, Set[Long])] = docs.map { case (id, t) =>
+      val arr = RollingFingerprint.compute(UTF8String.fromString(t), 12, 16)
+      id -> arr.toLongArray().toSet
+    }
+    val df = scala.collection.mutable.HashMap.empty[Long, Int]
+    fps.foreach { case (_, s) => s.foreach(fp => df(fp) = df.getOrElse(fp, 0) + 1) }
+    val kept: Set[Long] = df.collect { case (fp, c) if c >= 2 && c <= 100 => fp }.toSet
+    val keptFps = fps.map { case (id, s) => id -> s.intersect(kept) }
+    val winnowPairs = for {
+      i <- (0 until n).iterator
+      j <- (i + 1) until n
+      shared = keptFps(i)._2.intersect(keptFps(j)._2).size.toLong
+      if shared >= 3L
+    } yield (keptFps(i)._1, keptFps(j)._1, shared)
+    write(winnowPairs.toSeq.toDF("id1", "id2", "shared"), "q_fingerprint_winnow")
+
+    // ---- q_dedup_minhash: banded signature agreement ---------------------
+    // shingleSize=3, numHashes=128, bands=32 (rows=4), threshold=0.5
+    val numHashes = 128
+    val bands = 32
+    val rows = numHashes / bands
+    val sigs: Array[(Long, Array[Long])] = docs.flatMap { case (id, t) =>
+      val shingles = WordShingles.compute(UTF8String.fromString(t), 3)
+      if (shingles.numElements() == 0) None
+      else Some(id -> MinHashSignature.compute(shingles, numHashes).toLongArray())
+    }
+    def bandAgree(a: Array[Long], b: Array[Long]): Boolean =
+      (0 until bands).exists { bd =>
+        var r = 0
+        var ok = true
+        while (ok && r < rows) { ok = a(bd * rows + r) == b(bd * rows + r); r += 1 }
+        ok
+      }
+    val m = sigs.length
+    val minhashPairs = (for {
+      i <- (0 until m).iterator
+      j <- (i + 1) until m
+      if bandAgree(sigs(i)._2, sigs(j)._2)
+      est = sigs(i)._2.zip(sigs(j)._2).count { case (x, y) => x == y }.toDouble / numHashes
+      if est >= 0.5
+    } yield {
+      val (a, b) = (sigs(i)._1, sigs(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSeq
+    write(minhashPairs.toDF("id1", "id2"), "q_dedup_minhash")
+
+    // ---- q_neardup_drop: greedy removal from the minhash pairs ----------
+    val dropped: Set[Long] = minhashPairs.map(_._2).toSet
+    val keptIds = docs.map(_._1).filterNot(dropped).toSet
+    write(docsDf.filter($"doc_id".isInCollection(keptIds)), "q_neardup_drop")
+
+    // ---- q_mm_decode: deterministic stub decode features ----------------
+    // independent re-statement of the documented fake-decode arithmetic
+    val mm = docs.map { case (id, t) =>
+      val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var h = 0xcbf29ce484222325L
+      bytes.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      (id, bytes.length.toLong, h,
+        64 + math.floorMod(h, 512L).toInt,
+        64 + math.floorMod(h >>> 16, 512L).toInt,
+        "stub/raw")
+    }
+    write(mm.toSeq.toDF("media_id", "n_bytes", "checksum", "width", "height", "format"),
+      "q_mm_decode")
+
+    spark.stop()
+  }
+}
