@@ -250,6 +250,17 @@ object ExtQueries {
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              FROM events GROUP BY 1, 2""")),
 
+    // Stream-stream interval join's batch twin: purchase ← clicks of the
+    // same user within the preceding hour.
+    "q_events_join" -> Q(
+      (s, dir) => EventStreams.clickPurchaseJoinBatch(events(s, dir), windowMinutes = 60),
+      Some("""SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+               c.event_id AS click_id, c.ts AS click_ts
+             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             JOIN (SELECT * FROM events WHERE event_type = 'click') c
+               ON p.user_id = c.user_id
+              AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE""")),
+
     "q_events_session" -> Q(
       (s, dir) => EventStreams.sessionizeBatch(events(s, dir), gapMinutes = 30),
       Some("""

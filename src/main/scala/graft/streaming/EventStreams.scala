@@ -52,6 +52,60 @@ object EventStreams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** STREAM-STREAM interval join: each purchase pairs with every click by
+    * the same user in the preceding `windowMinutes`. Both sides are
+    * watermarked and the join carries an event-time range condition, so
+    * Spark bounds the buffered state on each side by the watermark + range
+    * span — the canonical attribution join, safe on unbounded streams.
+    */
+  def clickPurchaseJoinStream(events: DataFrame, windowMinutes: Int = 60,
+                              watermarkDelay: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    purchases.join(clicks,
+      col("p_user_id") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
+  /** Batch twin of [[clickPurchaseJoinStream]]: plans as one equi-join on
+    * user_id with the range condition applied as a post-join filter — no
+    * row explosion beyond the per-user click×purchase products, and AQE
+    * handles user skew.
+    */
+  def clickPurchaseJoinBatch(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    purchases.join(clicks, Seq("user_id"))
+      .filter(col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
+  /** `foreachBatch` sink writing each micro-batch as parquet PARTITIONED BY
+    * event date — the standard streaming-ingest → partitioned-lake layout
+    * (downstream batch queries prune by date at the source). Exactly-once
+    * per partition-dir comes from parquet's atomic task commits + the
+    * sink's idempotent overwrite of a batch's own output.
+    */
+  def toPartitionedParquet(events: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      batch.withColumn("event_date", to_date(col("ts")))
+        .withColumn("__batch_id", lit(batchId))
+        .write.mode("append").partitionBy("event_date").parquet(path)
+    }
+
   /** Batch sessionization: a session breaks after `gapMinutes` of
     * inactivity. One shuffle (partition by user), sort within partitions —
     * the classic lag + running-sum plan.

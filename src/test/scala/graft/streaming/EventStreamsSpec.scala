@@ -84,6 +84,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(e.getMessage.contains("EventTimeTimeout"))
   }
 
+  test("clickPurchaseJoinStream (stream-stream interval join) matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val both = events ++ Seq(
+      Event(6L, ts(10), 1L, "purchase", 9.0),  // joins clicks at ts(0), ts(5)
+      Event(7L, ts(120), 2L, "purchase", 9.0)) // joins click at ts(65)
+    val mem = MemoryStream[Event]
+    mem.addData(both: _*)
+    val q = EventStreams.clickPurchaseJoinStream(mem.toDF(), windowMinutes = 60)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("join_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("join_out")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    val batch = EventStreams.clickPurchaseJoinBatch(both.toDF(), windowMinutes = 60)
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch == Set((6L, 1L), (6L, 2L), (7L, 5L)))
+  }
+
+  test("toPartitionedParquet lands micro-batches date-partitioned on disk") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.toPartitionedParquet(mem.toDF(), dir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    val back = spark.read.parquet(dir)
+    assert(back.count() == events.length)
+    assert(back.columns.contains("event_date"))
+    // partition pruning: a date filter must reach the scan as a PartitionFilter
+    val pruned = back.filter(col("event_date") === "2024-01-01")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_date"))
+  }
+
   test("sessionizeBatch splits on gap > 30min per user") {
     val sessions = EventStreams.sessionizeBatch(events.toDF(), 30)
       .select("user_id", "n_events").as[(Long, Long)].collect()
