@@ -107,11 +107,13 @@ object Dedup {
     * (chunk index, chunk value) — no cross join.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDistance: Int = 3): DataFrame = {
+                   maxDistance: Int = 3, materialize: Boolean = true): DataFrame = {
     val chunks = maxDistance + 1
     val bits = 64 / chunks
-    val hashed = df.select(col(idCol).as("id"),
-      SimHashFunctions.simhashText(col(textCol)).as("sh"))
+    // two longs per doc, consumed by BOTH self-join sides — materialize so
+    // the corpus is tokenized+hashed once, not once per side
+    val hashed = materialized(materialize, df.select(col(idCol).as("id"),
+      SimHashFunctions.simhashText(col(textCol)).as("sh")))
     val chunked = hashed.select(col("id"), col("sh"),
       explode(array((0 until chunks).map(c => struct(lit(c).as("chunk"),
         shiftright(col("sh"), c * bits).bitwiseAND(lit((1L << bits) - 1)).as("cv"))): _*))
@@ -185,9 +187,13 @@ object Dedup {
     */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 12, w: Int = 16,
-                  minShared: Int = 3, maxDf: Int = 100): DataFrame = {
-    val fps = df.select(col(idCol).as("id"),
-        explode(graft.functions.RollingFingerprint.column(col(textCol), k, w)).as("fp"))
+                  minShared: Int = 3, maxDf: Int = 100,
+                  materialize: Boolean = true): DataFrame = {
+    // the exploded posting list feeds the df-count aggregation AND the
+    // inverted-index join — materialize so the rolling-hash pass over the
+    // corpus runs once
+    val fps = materialized(materialize, df.select(col(idCol).as("id"),
+        explode(graft.functions.RollingFingerprint.column(col(textCol), k, w)).as("fp")))
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
     val indexed = fps.join(rare, "fp")

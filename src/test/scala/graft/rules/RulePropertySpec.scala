@@ -316,6 +316,36 @@ class RulePropertySpec extends SparkSpec {
     }.toSeq
   }
 
+  // --- multi-rule path: fused executeAll vs union-distinct interpreter ------
+
+  test("random rule SETS: fused executeAll == union-distinct interpreter") {
+    val genRules = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, genGroup(1)))
+      .map(_.zipWithIndex.map { case (g, i) =>
+        RuleDefinition(name = s"r$i", conditions = Some(g))
+      })
+    val withAgg = Gen.oneOf(true, false)
+    val prop = Prop.forAllNoShrink(Gen.listOfN(40, genRow), genRules, withAgg) {
+      (rows0, filterRules, addAgg) =>
+        // unique ids: full-row distinct == id distinct, and the argmin
+        // tie-break matches the interpreter's id ordering
+        val rows = rows0.zipWithIndex.map { case (r, i) => r.copy(id = i) }
+        val aggRule = RuleDefinition(name = "agg", conditions = None,
+          groupBy = Seq("b"), aggregation = Some(Aggregation("i", "Min")))
+        val rules = if (addAgg) filterRules :+ aggRule else filterRules
+        val got = RuleSetExecutor.executeAll(rows.toDF(), rules, extParams)
+          .select("id").as[Int].collect().sorted.toSeq
+        val wantFilter = rows.filter(r =>
+          filterRules.exists(rule => interpretGroup(r, rule.conditions.get)))
+        val wantAgg = if (addAgg) interpretAgg(rows, Seq("b"), "i", "Min") else Nil
+        val want = (wantFilter ++ wantAgg).map(_.id).distinct.sorted
+        if (got != want) println(s"SET MISMATCH rules=$rules\n got=$got\n want=$want")
+        got == want
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30).withWorkers(1), prop)
+    assert(result.passed, s"property falsified: ${result.status}")
+  }
+
   test("random groupBy + argmin/argmax: Spark engine == interpreter") {
     val genAgg = for {
       keys <- Gen.someOf(Seq("s", "b", "i")).map(_.toSeq)
