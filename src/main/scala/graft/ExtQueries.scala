@@ -146,7 +146,7 @@ object ExtQueries {
     // few planes, many tables for recall.
     "q_embed_neardup_lsh" -> Q(
       (s, dir) => Dedup.embeddingPairsLsh(table(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.45, planes = 4, tables = 8),
+        "vec_id", "embedding", threshold = 0.45, planes = 3, tables = 8),
       None),
 
     // Embedding-cosine near-dup pairs: exact brute force, double math on
@@ -185,7 +185,7 @@ object ExtQueries {
         val q = emb.filter(col("vec_id") === 0)
           .head().getSeq[Float](emb.columns.indexOf("embedding"))
         Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
-          "vec_id", "embedding", q, k = 10, planes = 4, probes = 4)
+          "vec_id", "embedding", q, k = 10, planes = 4, tables = 8)
       },
       None),
 

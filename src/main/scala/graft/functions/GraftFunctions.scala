@@ -30,10 +30,12 @@ object GraftFunctions {
     "rolling_fingerprint" -> (es => RollingFingerprint(es(0),
       intLit(es(1), "k-gram size"), intLit(es(2), "window"))))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>
       ColumnBridge.registerFunction(spark, name, builder)
     }
+    graft.plans.EvaluateRuleTvf.register(spark)
+  }
 }
 
 /** `SparkSessionExtensions` hook — enable with
@@ -41,7 +43,7 @@ object GraftFunctions {
   * (including SQL-only ones) starts with the function surface installed.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -49,4 +51,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           "graft.functions", name),
         builder))
     }
+    graft.plans.EvaluateRuleTvf.all.foreach { case (name, builder) =>
+      ext.injectTableFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.plans", name),
+        builder))
+    }
+  }
 }

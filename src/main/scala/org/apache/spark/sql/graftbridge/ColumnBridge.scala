@@ -24,4 +24,15 @@ object ColumnBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Registers a table-valued function builder (`FROM fn(...)` SQL surface)
+    * — the runtime alternative to SparkSessionExtensions.injectTableFunction.
+    */
+  def registerTableFunction(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

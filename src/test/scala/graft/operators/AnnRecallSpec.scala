@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Measured recall of the approximate ANN tier against exact brute force on
+  * the real sf0.01 embeddings (500 × 64-dim) — the three battery queries
+  * that stay rows-only in the driver gate are pinned HERE instead: if a
+  * parameter change silently collapses recall, this suite fails.
+  */
+class AnnRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+
+  private def queryVec(id: Long): Seq[Float] =
+    emb.filter(col("vec_id") === id)
+      .head().getSeq[Float](emb.columns.indexOf("embedding"))
+
+  private def topIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("vec_id").as[Long].collect().toSet
+
+  test("lshTopK recall@10 vs brute force (averaged over 5 queries)") {
+    val recalls = (0L to 4L).map { qid =>
+      val q = queryVec(qid)
+      val rest = emb.filter(col("vec_id") =!= qid)
+      val exact = topIds(Similarity.bruteForceTopK(rest, "vec_id", "embedding", q, 10))
+      val approx = topIds(Similarity.lshTopK(rest, "vec_id", "embedding", q, 10,
+        planes = 4, tables = 8))
+      exact.intersect(approx).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"lshTopK mean recall@10 = $mean%.2f (per-query: ${recalls.mkString(", ")})")
+    assert(mean >= 0.5, f"LSH recall collapsed: $mean%.2f")
+  }
+
+  test("ivfTopK recall@10 vs brute force (averaged over 5 queries)") {
+    val idx = Similarity.ivfIndexFor(emb, cacheKey = "recall-spec-sf001",
+      "vec_id", "embedding", nClusters = 16)
+    val recalls = (0L to 4L).map { qid =>
+      val q = queryVec(qid)
+      val exact = topIds(Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") =!= qid), "vec_id", "embedding", q, 10))
+      val approx = topIds(Similarity.ivfTopK(idx, "vec_id", "embedding", q, 11, nprobe = 4)
+        .filter(col("vec_id") =!= qid).limit(10))
+      exact.intersect(approx).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"ivfTopK mean recall@10 (nprobe=4/16) = $mean%.2f")
+    assert(mean >= 0.6, f"IVF recall collapsed: $mean%.2f")
+  }
+
+  test("embeddingPairsLsh pair recall vs exact pairs at the battery parameters") {
+    val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.45)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", 0.45,
+      planes = 3, tables = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "verify step must admit only true pairs")
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    info(f"embeddingPairsLsh recall = $recall%.2f (${lsh.size}/${exact.size} pairs)")
+    assert(recall >= 0.6, f"pair recall collapsed: $recall%.2f")
+  }
+}

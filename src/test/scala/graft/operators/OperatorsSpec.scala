@@ -112,7 +112,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("lshTopK returns a subset of true neighbors (never fabricates rows)") {
     val got = Similarity.lshTopK(vecs.filter(col("vec_id") =!= 0),
-      "vec_id", "embedding", Seq(1f, 0f, 0f), 3, planes = 2, probes = 2)
+      "vec_id", "embedding", Seq(1f, 0f, 0f), 3, planes = 2, tables = 4)
       .select("vec_id").as[Long].collect().toSet
     assert(got.subsetOf(Set(1L, 2L, 3L, 4L)))
   }
