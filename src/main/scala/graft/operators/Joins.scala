@@ -63,6 +63,71 @@ object Joins {
         rPayload.map(c => col(s"__carried.$c").as(c)): _*)
   }
 
+  /** RANGE JOIN (point-in-interval) WITHOUT an equi-key: each left "point"
+    * row joins every right "interval" row with `lo <= point <= hi`.
+    *
+    * Spark plans a bare inequality join as BroadcastNestedLoopJoin (O(|L|·|R|)
+    * comparisons, broadcast of a whole side) — a scale-killer. This operator
+    * BINS the range dimension instead: the point side computes one bin
+    * `floor(point / binWidth)`, the interval side explodes into every bin it
+    * covers, and the join becomes a plain hash equi-join on the bin followed
+    * by the exact range predicate. Each (point, interval) pair meets in
+    * EXACTLY one bin (the point's), so no distinct is needed.
+    *
+    * Cost: one shuffle of |L| + |R|·(avg interval span / binWidth) rows.
+    * Pick `binWidth` near the typical interval length — replication stays
+    * O(1) per interval while bucket population stays selective. Numeric and
+    * timestamp columns both work: values are cast to DOUBLE (timestamps →
+    * epoch seconds) for binning only; the verify predicate compares the
+    * original values.
+    *
+    * The reference has no join surface at all (SURVEY §2.5); this extends the
+    * engine the same way [[asOf]] does, for the interval-attachment shapes
+    * ("which maintenance window / session / price band does this row fall
+    * in") that training-data pipelines hit constantly.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                pointCol: String, loCol: String, hiCol: String,
+                binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val pBin = floor(points.col(pointCol).cast("double") / binWidth).cast("long")
+    val iLo = floor(intervals.col(loCol).cast("double") / binWidth).cast("long")
+    val iHi = floor(intervals.col(hiCol).cast("double") / binWidth).cast("long")
+    val p = points.withColumn("__bin", pBin)
+    val i = intervals.withColumn("__bin", explode(sequence(iLo, iHi)))
+    p.join(i, Seq("__bin"))
+      .filter(p.col(pointCol) >= i.col(loCol) && p.col(pointCol) <= i.col(hiCol))
+      .drop("__bin")
+  }
+
+  /** INTERVAL-OVERLAP JOIN without an equi-key: pairs of rows (a from
+    * `left`, b from `right`) whose intervals `[lo, hi]` intersect.
+    *
+    * Same binning idea as [[rangeJoin]], plus the canonical-bin trick to
+    * emit each overlapping pair exactly once WITHOUT a distinct: two
+    * overlapping intervals share every bin covering their intersection, so
+    * the pair is kept only in the FIRST such bin, `floor(max(lo_a, lo_b) /
+    * binWidth)` — a post-join filter, not a dedup shuffle.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          leftLo: String, leftHi: String,
+                          rightLo: String, rightHi: String,
+                          binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("__bin", explode(sequence(
+        floor(df.col(lo).cast("double") / binWidth).cast("long"),
+        floor(df.col(hi).cast("double") / binWidth).cast("long"))))
+    val l = binned(left, leftLo, leftHi)
+    val r = binned(right, rightLo, rightHi)
+    l.join(r, Seq("__bin"))
+      .filter(l.col(leftLo) <= r.col(rightHi) && r.col(rightLo) <= l.col(leftHi))
+      .filter(col("__bin") === floor(
+        greatest(l.col(leftLo).cast("double"), r.col(rightLo).cast("double")) / binWidth)
+        .cast("long"))
+      .drop("__bin")
+  }
+
   /** Inner equi-join with KEY SALTING for skew: the left side spreads each
     * hot key across `saltBuckets` partitions (deterministic per-row salt),
     * the right side replicates `saltBuckets`×. Result is exactly the plain
