@@ -227,6 +227,22 @@ object ExtQueries {
       golden("q_mm_decode")),
   )
 
+  // Shared DuckDB CTE: gap-based sessionization of the events table
+  // (mirrors EventStreams.sessionizeBatch at gapMinutes = 30).
+  private val sessionCte = """
+        WITH lagged AS (
+          SELECT user_id, event_id, ts,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        flagged AS (
+          SELECT *, CASE WHEN prev_ts IS NULL
+              OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+          FROM lagged),
+        sess AS (
+          SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM flagged)"""
+
   private val eventQueries: Seq[(String, Q)] = Seq(
     // AS-OF join: each purchase gets the user's latest prior click.
     "q_asof_join" -> Q(
@@ -261,21 +277,63 @@ object ExtQueries {
                ON p.user_id = c.user_id
               AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE""")),
 
+    // RANGE JOIN (no equi-key): each purchase event attaches to every
+    // multi-event session (any user's) whose time window covers it. Spark
+    // would plan the bare inequality join as a BroadcastNestedLoopJoin;
+    // Joins.rangeJoin turns it into a binned hash equi-join (30-min bins
+    // ~ the typical session length). Oracle does the naive inequality join.
+    "q_range_join" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+        val sess = EventStreams.sessionizeBatch(ev, gapMinutes = 30)
+          .filter(col("n_events") >= 2)
+          .select(col("user_id").as("sess_user_id"),
+            col("session_start"), col("session_end"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.operators.Joins.rangeJoin(purchases, sess,
+          "ts", "session_start", "session_end", binWidth = 1800)
+      },
+      Some(s"""
+        $sessionCte,
+        agg AS (SELECT user_id AS sess_user_id, min(ts) AS session_start,
+                  max(ts) AS session_end, count(*) AS n
+                FROM sess GROUP BY user_id, sess_id),
+        p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, p.ts, a.sess_user_id, a.session_start, a.session_end
+        FROM p JOIN agg a ON p.ts >= a.session_start AND p.ts <= a.session_end
+        WHERE a.n >= 2""")),
+
+    // INTERVAL-OVERLAP JOIN (no equi-key): pairs of concurrent multi-event
+    // sessions across users — binned equi-join + canonical-bin filter, each
+    // overlapping pair emitted exactly once, no distinct, no cross join.
+    "q_range_overlap" -> Q(
+      (s, dir) => {
+        val sess = EventStreams.sessionizeBatch(events(s, dir), gapMinutes = 30)
+          .filter(col("n_events") >= 2)
+        val a = sess.select(col("user_id").as("u1"),
+          col("session_start").as("start1"), col("session_end").as("end1"))
+        val b = sess.select(col("user_id").as("u2"),
+          col("session_start").as("start2"), col("session_end").as("end2"))
+        graft.operators.Joins.intervalOverlapJoin(a, b,
+          "start1", "end1", "start2", "end2", binWidth = 1800)
+          .filter(struct(col("u1"), col("start1")) < struct(col("u2"), col("start2")))
+      },
+      Some(s"""
+        $sessionCte,
+        agg AS (SELECT user_id, min(ts) AS s, max(ts) AS e, count(*) AS n
+                FROM sess GROUP BY user_id, sess_id)
+        SELECT a.user_id AS u1, a.s AS start1, a.e AS end1,
+               b.user_id AS u2, b.s AS start2, b.e AS end2
+        FROM agg a JOIN agg b
+          ON a.s <= b.e AND b.s <= a.e
+         AND (a.user_id, a.s) < (b.user_id, b.s)
+        WHERE a.n >= 2 AND b.n >= 2""")),
+
     "q_events_session" -> Q(
       (s, dir) => EventStreams.sessionizeBatch(events(s, dir), gapMinutes = 30),
-      Some("""
-        WITH lagged AS (
-          SELECT user_id, event_id, ts,
-            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-          FROM events),
-        flagged AS (
-          SELECT *, CASE WHEN prev_ts IS NULL
-              OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
-          FROM lagged),
-        sess AS (
-          SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS UNBOUNDED PRECEDING) AS sess_id
-          FROM flagged)
+      Some(s"""
+        $sessionCte
         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
           count(*) AS n_events
         FROM sess GROUP BY user_id, sess_id""")),

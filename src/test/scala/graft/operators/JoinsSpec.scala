@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 import java.sql.Timestamp
 
@@ -23,6 +24,59 @@ class JoinsSpec extends SparkSpec {
     assert(got("t2").contains(102.0)) // latest prior
     assert(got("t3").isEmpty)         // quote is later than the trade
     assert(got("t4").isEmpty)         // no quotes for uid 3
+  }
+
+  test("rangeJoin equals the naive inequality join, for every bin width") {
+    val points = Seq((1L, 3.0), (2L, 17.5), (3L, 100.0), (4L, -5.0), (5L, 20.0))
+      .toDF("pid", "x")
+    val intervals = Seq((10L, 0.0, 10.0), (11L, 15.0, 20.0), (12L, 17.5, 17.5),
+      (13L, -10.0, 250.0), (14L, 30.0, 40.0)).toDF("iid", "lo", "hi")
+    val naive = points.join(intervals,
+        points("x") >= intervals("lo") && points("x") <= intervals("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(naive.nonEmpty)
+    for (w <- Seq(0.5, 1.0, 7.0, 1000.0)) {
+      val got = Joins.rangeJoin(points, intervals, "x", "lo", "hi", binWidth = w)
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == naive, s"binWidth=$w")
+    }
+  }
+
+  test("rangeJoin works on timestamp columns") {
+    val points = Seq((1L, ts(5)), (2L, ts(30)), (3L, ts(59))).toDF("pid", "t")
+    val intervals = Seq((10L, ts(0), ts(10)), (11L, ts(25), ts(58))).toDF("iid", "lo", "hi")
+    val got = Joins.rangeJoin(points, intervals, "t", "lo", "hi", binWidth = 600)
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 10L), (2L, 11L)))
+  }
+
+  test("intervalOverlapJoin equals the naive overlap join, exactly once per pair") {
+    val a = Seq((1L, 0.0, 10.0), (2L, 5.0, 6.0), (3L, 50.0, 90.0), (4L, 89.9, 200.0))
+      .toDF("aid", "alo", "ahi")
+    val b = Seq((10L, 9.0, 55.0), (11L, 300.0, 310.0), (12L, -20.0, 0.0))
+      .toDF("bid", "blo", "bhi")
+    val naive = a.join(b, a("alo") <= b("bhi") && b("blo") <= a("ahi"))
+      .select("aid", "bid").as[(Long, Long)].collect().sorted.toSeq
+    assert(naive.nonEmpty)
+    for (w <- Seq(1.0, 8.0, 500.0)) {
+      val got = Joins.intervalOverlapJoin(a, b, "alo", "ahi", "blo", "bhi", binWidth = w)
+        .select("aid", "bid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == naive, s"binWidth=$w") // sorted equality catches duplicates too
+    }
+  }
+
+  test("range joins plan as hash equi-joins, never nested-loop/cartesian") {
+    val points = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("pid", "x")
+    val intervals = (1 to 50).map(i => (i.toLong, i * 2.0, i * 2.0 + 5)).toDF("iid", "lo", "hi")
+    for (df <- Seq(
+      Joins.rangeJoin(points, intervals, "x", "lo", "hi", binWidth = 5),
+      Joins.intervalOverlapJoin(intervals, intervals
+          .select(col("iid").as("jid"), col("lo").as("l2"), col("hi").as("h2")),
+        "lo", "hi", "l2", "h2", binWidth = 5))) {
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+        phys.linesIterator.take(20).mkString("\n"))
+    }
   }
 
   test("saltedInner equals the plain inner join") {
