@@ -206,6 +206,43 @@ object ExtQueries {
       None),
   )
 
+  private val curationQueries: Seq[(String, Q)] = Seq(
+    // Deterministic stratified sample: 20 docs per language, ranked by
+    // (md5(text), doc_id) — reproducible across engines/partitionings. One
+    // ObjectHashAggregate (bounded per-group heap, map-side combine), not a
+    // window sort of whole strata.
+    "q_sample_stratified" -> Q(
+      (s, dir) => graft.operators.Sampling.stratifiedExactN(
+        table(s, dir, "documents"), Seq("lang"), n = 20,
+        orderBy = Seq(md5(col("text")), col("doc_id"))),
+      Some("""SELECT doc_id, text, lang, source, n_chars FROM
+             (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) rn
+              FROM documents) t WHERE rn <= 20""")),
+
+    // Deterministic uniform sample: global smallest-50 by (md5(text), doc_id)
+    // — plans as TakeOrderedAndProject (per-partition top-k, no shuffle).
+    "q_sample_uniform" -> Q(
+      (s, dir) => graft.operators.Sampling.uniformExactN(
+        table(s, dir, "documents"), n = 50,
+        orderBy = Seq(md5(col("text")), col("doc_id"))),
+      Some("""SELECT doc_id, text, lang, source, n_chars FROM documents
+              ORDER BY md5(text), doc_id LIMIT 50""")),
+
+    // One-pass table profile (exact distinct for the oracle; production
+    // default is the HLL sketch).
+    "q_profile" -> Q(
+      (s, dir) => graft.operators.Profile.profile(
+        table(s, dir, "documents"), exactDistinct = true),
+      Some(Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+             count(*) - count($c) AS n_nulls,
+             count(DISTINCT $c) AS n_distinct,
+             CAST(min($c) AS VARCHAR) AS min_value,
+             CAST(max($c) AS VARCHAR) AS max_value
+           FROM documents"""
+      }.mkString(" UNION ALL "))),
+  )
+
   private val multimodalQueries: Seq[(String, Q)] = Seq(
     // Binary payload column + typed metadata plumbing.
     "q_mm_payload" -> Q(
@@ -389,6 +426,6 @@ object ExtQueries {
   )
 
   def all: Seq[(String, Q)] =
-    textQueries ++ dedupQueries ++ simQueries ++ multimodalQueries ++
-      eventQueries ++ headlineQueries
+    textQueries ++ dedupQueries ++ simQueries ++ curationQueries ++
+      multimodalQueries ++ eventQueries ++ headlineQueries
 }

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (Some(1L), Some("b"), 2.5),
+    (Some(2L), None, 1.0),
+    (None, Some("a"), 1.0)
+  ).toDF("id", "s", "x")
+
+  test("profile computes counts, nulls, exact distinct, min/max per column") {
+    val p = Profile.profile(df, exactDistinct = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(p("id") == ((3L, 1L, 2L, "1", "2")))
+    assert(p("s") == ((3L, 1L, 2L, "a", "b")))
+    assert(p("x") == ((3L, 0L, 2L, "1.0", "2.5")))
+  }
+
+  test("profile tolerates non-orderable (map) columns as count-only") {
+    val withMap = df.withColumn("m", map(lit("k"), col("x")))
+    val row = Profile.profile(withMap).filter(col("column") === "m").collect().head
+    assert(row.getLong(1) == 3L && row.getLong(2) == 0L)
+    assert(row.isNullAt(3) && row.isNullAt(4) && row.isNullAt(5))
+  }
+
+  test("default (approx) profile is a single aggregate without Expand") {
+    val plan = Profile.profile(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+  }
+}

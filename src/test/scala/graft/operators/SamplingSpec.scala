@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TopN
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha", "en"), (2L, "bravo", "en"), (3L, "charlie", "en"),
+    (4L, "delta", "en"), (5L, "eins", "de"), (6L, "zwei", "de"),
+    (7L, "drei", "de"), (8L, "uno", "es")
+  ).toDF("id", "text", "lang")
+
+  test("stratifiedExactN equals the window row_number formulation") {
+    val w = Window.partitionBy("lang").orderBy(md5(col("text")), col("id"))
+    val expected = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    val got = Sampling.stratifiedExactN(docs, Seq("lang"), 2,
+        Seq(md5(col("text")), col("id")))
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(got == expected && got.size == 2 + 2 + 1) // es has only one row
+  }
+
+  test("stratifiedExactN plans as ObjectHashAggregate, not a window sort") {
+    val plan = Sampling.stratifiedExactN(docs, Seq("lang"), 2, Seq(col("id")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("TopN.rows keeps rank order, handles ties and n > group size") {
+    val df = Seq((1, 30), (1, 10), (1, 20), (1, 10), (2, 5))
+      .toDF("k", "v")
+    val got = df.groupBy("k")
+      .agg(TopN.rows(struct(col("v")), struct(col("v")), n = 3, isMax = false).as("top"))
+      .select(col("k"), col("top.v").as("vs"))
+      .as[(Int, Seq[Int])].collect().toMap
+    assert(got(1) == Seq(10, 10, 20)) // both tied 10s kept, ascending
+    assert(got(2) == Seq(5))          // n larger than the group
+    val gotMax = df.groupBy("k")
+      .agg(TopN.rows(struct(col("v")), struct(col("v")), n = 2, isMax = true).as("top"))
+      .select(col("k"), col("top.v").as("vs"))
+      .as[(Int, Seq[Int])].collect().toMap
+    assert(gotMax(1) == Seq(30, 20)) // descending rank order
+  }
+
+  test("TopN.rows survives serialize/merge across many partitions") {
+    val df = spark.range(1000).repartition(13)
+      .select((col("id") % 4).as("k"), col("id").as("v"))
+    val got = df.groupBy("k")
+      .agg(TopN.rows(struct(col("v")), struct(col("v")), n = 3, isMax = false).as("top"))
+      .select(col("k"), col("top.v").as("vs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(0L) == Seq(0L, 4L, 8L) && got(3L) == Seq(3L, 7L, 11L))
+  }
+
+  test("uniformExactN takes the globally smallest n, deterministic") {
+    val got = Sampling.uniformExactN(docs, 3, Seq(md5(col("text")), col("id")))
+      .select("id").as[Long].collect().toSeq
+    val expected = docs.select(col("id"), md5(col("text")).as("h"))
+      .as[(Long, String)].collect().sortBy(r => (r._2, r._1)).take(3).map(_._1).toSeq
+    assert(got == expected)
+  }
+}
