@@ -314,6 +314,19 @@ object ExtQueries {
                ON p.user_id = c.user_id
               AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE""")),
 
+    // Left-outer twin of the interval join: purchases with NO prior click
+    // survive with null click columns (the streaming twin holds them until
+    // the watermark proves completeness, then emits identically).
+    "q_events_join_outer" -> Q(
+      (s, dir) => EventStreams.clickPurchaseJoinBatch(events(s, dir),
+        windowMinutes = 60, joinType = "left_outer"),
+      Some("""SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+               c.event_id AS click_id, c.ts AS click_ts
+             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+               ON p.user_id = c.user_id
+              AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE""")),
+
     // RANGE JOIN (no equi-key): each purchase event attaches to every
     // multi-event session (any user's) whose time window covers it. Spark
     // would plan the bare inequality join as a BroadcastNestedLoopJoin;

@@ -59,7 +59,8 @@ object EventStreams {
     * span — the canonical attribution join, safe on unbounded streams.
     */
   def clickPurchaseJoinStream(events: DataFrame, windowMinutes: Int = 60,
-                              watermarkDelay: String = "2 hours"): DataFrame = {
+                              watermarkDelay: String = "2 hours",
+                              joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", watermarkDelay)
@@ -67,27 +68,37 @@ object EventStreams {
       .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", watermarkDelay)
+    // user_id projects from the LEFT side: under left_outer the right side
+    // is null for attribution-less purchases. With joinType="left_outer"
+    // the watermark also bounds when an unmatched purchase can be emitted
+    // (state for it is provably complete) — the engine holds it until the
+    // click watermark passes purchase_ts, then emits it with null clicks.
     purchases.join(clicks,
       col("p_user_id") === col("user_id") &&
         col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
-      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      joinType)
+      .select(col("p_user_id").as("user_id"), col("purchase_id"), col("purchase_ts"),
         col("click_id"), col("click_ts"))
   }
 
   /** Batch twin of [[clickPurchaseJoinStream]]: plans as one equi-join on
-    * user_id with the range condition applied as a post-join filter — no
-    * row explosion beyond the per-user click×purchase products, and AQE
-    * handles user skew.
+    * user_id (the range condition rides inside the join, required for outer
+    * correctness) — no row explosion beyond the per-user click×purchase
+    * products, and AQE handles user skew.
     */
-  def clickPurchaseJoinBatch(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+  def clickPurchaseJoinBatch(events: DataFrame, windowMinutes: Int = 60,
+                             joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
-    purchases.join(clicks, Seq("user_id"))
-      .filter(col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      joinType)
       .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
         col("click_id"), col("click_ts"))
   }
@@ -105,6 +116,22 @@ object EventStreams {
         .withColumn("__batch_id", lit(batchId))
         .write.mode("append").partitionBy("event_date").parquet(path)
     }
+
+  /** Replay source for the [[toPartitionedParquet]] lake layout: stream the
+    * partitioned parquet directory back (schema discovered from a batch
+    * read). With `Trigger.AvailableNow` this is the standard backfill /
+    * reprocess loop — rerun a streaming transform over the full history
+    * with bounded per-batch state, then stop. `maxFilesPerTrigger` caps
+    * micro-batch size so replaying years of history cannot build one giant
+    * batch.
+    */
+  def fromPartitionedParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+                             maxFilesPerTrigger: Int = 1000): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+  }
 
   /** Batch sessionization: a session breaks after `gapMinutes` of
     * inactivity. One shuffle (partition by user), sort within partitions —

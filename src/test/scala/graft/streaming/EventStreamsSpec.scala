@@ -103,6 +103,68 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch == Set((6L, 1L), (6L, 2L), (7L, 5L)))
   }
 
+  test("left-outer stream-stream join emits unmatched purchases after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val both = events ++ Seq(
+      Event(6L, ts(10), 1L, "purchase", 9.0),  // joins clicks at ts(0), ts(5)
+      Event(8L, ts(200), 3L, "purchase", 9.0)) // user 3 has no clicks at all
+    val mem = MemoryStream[Event]
+    mem.addData(both: _*)
+    val q = EventStreams.clickPurchaseJoinStream(mem.toDF(), windowMinutes = 60,
+        watermarkDelay = "1 minutes", joinType = "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("outer_join_out").start()
+    // outer results release only once BOTH sides' watermarks pass the join
+    // window; sentinels must survive each side's event_type filter (a
+    // "view" would be dropped BEFORE the watermark node and advance
+    // nothing). The sentinel purchase itself stays held (above the joint
+    // watermark), so it is excluded from the comparison.
+    val sentinels = Seq(Event(98L, ts(10000), 9L, "click", 0.0),
+      Event(99L, ts(10020), 9L, "purchase", 0.0))
+    try {
+      q.processAllAvailable()
+      mem.addData(sentinels: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("outer_join_out")
+      .filter(col("purchase_id") =!= 99L)
+      .select("user_id", "purchase_id", "click_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val batch = EventStreams.clickPurchaseJoinBatch(
+        (both ++ sentinels).toDF(), windowMinutes = 60, joinType = "left_outer")
+      .filter(col("purchase_id") =!= 99L)
+      .select("user_id", "purchase_id", "click_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(streamed == batch)
+    assert(batch.contains((3L, 8L, None))) // the attribution-less purchase
+    assert(batch.contains((1L, 6L, Some(1L))) && batch.contains((1L, 6L, Some(2L))))
+  }
+
+  test("AvailableNow replay over the partitioned sink reproduces the batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    // 1. land the history through the streaming sink
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val sink = EventStreams.toPartitionedParquet(mem.toDF(), dir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(sink.awaitTermination(120000)) finally sink.stop()
+    // 2. replay the lake directory as a bounded stream and re-aggregate
+    val replay = EventStreams.fromPartitionedParquet(spark, dir, maxFilesPerTrigger = 2)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.windowedStatsStream(replay)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("replay_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    val replayed = spark.table("replay_out")
+      .select("h", "event_type", "cnt", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val batch = EventStreams.windowedStatsBatch(events.toDF())
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(replayed == batch && batch.nonEmpty)
+  }
+
   test("toPartitionedParquet lands micro-batches date-partitioned on disk") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
