@@ -32,8 +32,8 @@ object Similarity {
     * the SAME hyperplane family [[graft.functions.LshBucketCodes]] uses on
     * the column side.
     */
-  private[operators] def queryBucketCodes(query: Seq[Float], planes: Int,
-                                          tables: Int, seed: Long): Seq[Long] = {
+  private[graft] def queryBucketCodes(query: Seq[Float], planes: Int,
+                                      tables: Int, seed: Long): Seq[Long] = {
     val hp = graft.functions.LshBucketCodes.planesFor(planes, tables, seed, query.length)
     (0 until tables).map { t =>
       var code = 0L
