@@ -16,6 +16,12 @@ object ExtQueries {
   private val sqlTokens =
     raw"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0)"
 
+  // the PII patterns are RE2-compatible by construction (TextFunctions),
+  // so the same strings drop into DuckDB SQL literals verbatim
+  private val sqlEmailPattern = graft.functions.TextFunctions.emailPattern
+  private val sqlUrlPattern = graft.functions.TextFunctions.urlPattern
+  private val sqlPhonePattern = graft.functions.TextFunctions.phonePattern
+
   /** Golden-fixture oracle: an INDEPENDENT single-node brute-force
     * recomputation of a deterministic operator over the sf0.01 corpus
     * (see [[graft.tools.GoldenGen]] in test sources), committed as parquet
@@ -74,6 +80,55 @@ object ExtQueries {
       (s, dir) => table(s, dir, "documents")
         .select(col("doc_id"), fingerprint(col("text")).as("fp")),
       Some("SELECT doc_id, md5(text) AS fp FROM documents")),
+
+    // PII redaction (emails → URLs → phone runs, RE2-compatible patterns so
+    // Spark's Java regex and DuckDB's RE2 agree) + the audit counts. The
+    // synthetic corpus carries no PII of its own, so every 7th document is
+    // deterministically enriched with an email + phone contact line on BOTH
+    // sides — the oracle then verifies real redaction work, not a no-op.
+    "q_scrub_pii" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com or 555-123-4567")))
+            .otherwise(col("text")))
+        .select(col("doc_id"), scrubPii(col("text")).as("clean"),
+          piiCounts(col("text")).as("__pii"))
+        .select(col("doc_id"), col("clean"), col("__pii.n_email"),
+          col("__pii.n_url"), col("__pii.n_phone")),
+      Some(s"""
+        WITH enriched AS (SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0
+               THEN text || ' contact user' || doc_id || '@example.com or 555-123-4567'
+               ELSE text END AS text
+          FROM documents),
+        s AS (SELECT doc_id, text,
+          regexp_replace(text, '$sqlEmailPattern', '<EMAIL>', 'g') AS after_email
+          FROM enriched),
+        s2 AS (SELECT doc_id, text, after_email,
+          regexp_replace(after_email, '$sqlUrlPattern', '<URL>', 'g') AS after_url
+          FROM s)
+        SELECT doc_id,
+          regexp_replace(after_url, '$sqlPhonePattern', '<PHONE>', 'g') AS clean,
+          CAST(len(regexp_extract_all(text, '$sqlEmailPattern')) AS INT) AS n_email,
+          CAST(len(regexp_extract_all(after_email, '$sqlUrlPattern')) AS INT) AS n_url,
+          CAST(len(regexp_extract_all(after_url, '$sqlPhonePattern')) AS INT) AS n_phone
+        FROM s2""")),
+
+    // Vocabulary mining: 10 most frequent tokens per language — two bounded
+    // aggregations (map-side partial on both), never a full vocabulary sort.
+    "q_top_tokens" -> Q(
+      (s, dir) => graft.operators.TextStats.topTokensPerGroup(
+        table(s, dir, "documents"), Seq("lang"), col("text"), k = 10),
+      Some(s"""
+        WITH tok AS (SELECT lang, unnest($sqlTokens) AS token FROM documents),
+        cnt AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2)
+        SELECT lang, token, cnt, rank FROM (
+          SELECT lang, token, cnt,
+            row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rank
+          FROM cnt) t
+        WHERE rank <= 10""")),
 
     // Winnowing fingerprints: substring-sharing pairs via an inverted-index
     // join on local-min Rabin-Karp hashes (shared-fingerprint count >= 3).

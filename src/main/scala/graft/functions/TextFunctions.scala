@@ -72,4 +72,39 @@ object TextFunctions {
     * exact-dedup key.
     */
   def fingerprint(text: Column): Column = md5(text)
+
+  // PII patterns deliberately use only RE2-compatible syntax (no
+  // backreferences, no lookaround) so the same pattern strings run
+  // identically under Java regex (Spark) and RE2 (DuckDB, and the regex
+  // engines most scrubbing services standardize on).
+  private[graft] val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val urlPattern = "https?://[^\\s]+"
+  private[graft] val phonePattern =
+    "(?:\\+?[0-9]{1,3}[-. ]?)?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+
+  /** PII scrubbing: emails, URLs, then phone-like number runs replaced with
+    * typed placeholder tags — the standard pre-training redaction pass.
+    * Order matters (emails before phones: a phone regex must not eat the
+    * digits of an already-tagged email; URLs before phones: ports/paths
+    * contain digit runs). Pure `regexp_replace` chain — codegen'd,
+    * scan-speed, no UDF.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        urlPattern, "<URL>"),
+      phonePattern, "<PHONE>")
+
+  /** Count of PII matches by kind, as a struct — the audit twin of
+    * [[scrubPii]] (what would be redacted, without redacting).
+    */
+  def piiCounts(text: Column): Column = {
+    val afterEmail = regexp_replace(text, emailPattern, "<EMAIL>")
+    val afterUrl = regexp_replace(afterEmail, urlPattern, "<URL>")
+    struct(
+      regexp_count(text, lit(emailPattern)).as("n_email"),
+      regexp_count(afterEmail, lit(urlPattern)).as("n_url"),
+      regexp_count(afterUrl, lit(phonePattern)).as("n_phone"))
+  }
 }

@@ -88,4 +88,31 @@ class FunctionsSpec extends SparkSpec {
     val got = df.select(SortedIntersectCount.column(col("a"), col("b"))).as[Long].collect().toSeq
     assert(got == Seq(2L, 0L))
   }
+
+  test("scrubPii replaces emails, URLs, and phone runs with typed tags") {
+    val df = Seq(
+      "mail me at jane.doe+spam@example.co.uk today",
+      "see https://example.com/p?id=123&x=4 for details",
+      "call +1 (555) 123-4567 or 555.987.6543",
+      "nothing sensitive here"
+    ).toDF("text")
+    val got = df.select(TextFunctions.scrubPii(col("text"))).as[String].collect().toSeq
+    assert(got(0) == "mail me at <EMAIL> today")
+    assert(got(1) == "see <URL> for details")
+    assert(got(2) == "call <PHONE> or <PHONE>")
+    assert(got(3) == "nothing sensitive here")
+  }
+
+  test("scrubPii order: an email's digits never half-match as a phone") {
+    val df = Seq("reach 5551234567a@mail1234567890.com now").toDF("text")
+    val got = df.select(TextFunctions.scrubPii(col("text"))).as[String].collect().head
+    assert(got == "reach <EMAIL> now")
+  }
+
+  test("piiCounts reports per-kind match counts without redacting") {
+    val df = Seq("a@b.co and c@d.io via https://e.fg call 555-123-4567").toDF("text")
+    val got = df.select(TextFunctions.piiCounts(col("text")).as("p"))
+      .select("p.n_email", "p.n_url", "p.n_phone").as[(Int, Int, Int)].collect().head
+    assert(got == ((2, 1, 1)))
+  }
 }
