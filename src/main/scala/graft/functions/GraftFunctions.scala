@@ -20,6 +20,14 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  /** Lift a Column→Column composition into an expression builder, so
+    * operators composed from `functions._` register exactly like native
+    * expressions.
+    */
+  private def composed(f: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)
+      : Seq[Expression] => Expression =
+    es => ColumnBridge.eagerExpression(f(es.map(ColumnBridge.column)))
+
   val all: Map[String, Seq[Expression] => Expression] = Map(
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
@@ -28,7 +36,14 @@ object GraftFunctions {
     "minhash_signature" -> (es => MinHashSignature(es(0), intLit(es(1), "num hashes"))),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
     "rolling_fingerprint" -> (es => RollingFingerprint(es(0),
-      intLit(es(1), "k-gram size"), intLit(es(2), "window"))))
+      intLit(es(1), "k-gram size"), intLit(es(2), "window"))),
+    // text-pipeline surface (Column compositions over built-ins)
+    "graft_tokens" -> composed(cs => TextFunctions.tokens(cs(0))),
+    "token_count" -> composed(cs => TextFunctions.tokenCount(cs(0))),
+    "quality_score" -> composed(cs => TextFunctions.qualityScore(cs(0))),
+    "lang_id" -> composed(cs => TextFunctions.langId(cs(0))),
+    "scrub_pii" -> composed(cs => TextFunctions.scrubPii(cs(0))),
+    "pii_counts" -> composed(cs => TextFunctions.piiCounts(cs(0))))
 
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>

@@ -16,6 +16,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column→Expression conversion. `expression` wraps the column's
+    * node tree in a lazy `ColumnNodeExpression` that some analyzer paths
+    * (e.g. struct-field extraction on a SQL function's result) cannot see
+    * through; this converts the node tree to a real Catalyst expression up
+    * front. Required for registering Column-composed operators as SQL
+    * functions.
+    */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Registers a native expression builder as a session-local SQL function
     * (the runtime alternative to SparkSessionExtensions.injectFunction).
     */

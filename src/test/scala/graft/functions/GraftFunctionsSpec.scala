@@ -24,6 +24,24 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.getInt(4) > 0)
   }
 
+  test("composed text operators register as SQL functions too") {
+    GraftFunctions.register(spark)
+    Seq("the cat and the hat wrote to a.b@c.de from https://x.io")
+      .toDF("text").createOrReplaceTempView("gf_text")
+    val row = spark.sql(
+      """SELECT token_count(text) AS n,
+                lang_id(text) AS lang,
+                quality_score(text) AS q,
+                scrub_pii(text) AS clean,
+                pii_counts(text).n_email AS n_email
+         FROM gf_text""").head()
+    assert(row.getLong(0) == 10L)
+    assert(row.getString(1) == "en")
+    assert(row.getDouble(2) > 0 && row.getDouble(2) <= 1.0)
+    assert(row.getString(3) == "the cat and the hat wrote to <EMAIL> from <URL>")
+    assert(row.getInt(4) == 1)
+  }
+
   test("rolling fingerprints overlap for shared substrings, disjoint otherwise") {
     val df = Seq(
       ("x", "the quick brown fox jumps over the lazy dog in the morning light"),
