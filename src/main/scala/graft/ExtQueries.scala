@@ -283,6 +283,39 @@ object ExtQueries {
       Some("""SELECT doc_id, text, lang, source, n_chars FROM documents
               ORDER BY md5(text), doc_id LIMIT 50""")),
 
+    // Overlapping token-window chunking (40-token windows every 20) — the
+    // long-document → training-sequence splitter. Narrow, no shuffle.
+    "q_chunk_tokens" -> Q(
+      (s, dir) => graft.operators.Chunking.chunkByTokens(
+        table(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 40, stride = 20),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+        st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 20)) AS start
+               FROM t WHERE len(toks) > 0)
+        SELECT doc_id, CAST(start // 20 AS BIGINT) AS chunk_id,
+          array_to_string(list_slice(toks, start + 1, start + 40), ' ') AS chunk_text,
+          CAST(len(list_slice(toks, start + 1, start + 40)) AS BIGINT) AS n_tokens
+        FROM st""")),
+
+    // Contiguous-fill sequence packing into 2000-token bins, doc_id order.
+    // The Spark side computes the global running token total with a
+    // two-level distributed prefix sum (bucket sums → tiny bucket-offset
+    // window → within-bucket window); the oracle is the single-window
+    // formulation the distributed plan must reproduce exactly.
+    "q_pack_budget" -> Q(
+      (s, dir) => graft.operators.Chunking.packByTokenBudget(
+        table(s, dir, "documents"), "doc_id", "text",
+        budgetTokens = 2000, bucketSize = 100)
+        .select("doc_id", "lang", "n_tokens", "pack_id"),
+      Some(s"""
+        WITH n AS (SELECT doc_id, lang, CAST(len($sqlTokens) AS BIGINT) AS n_tokens
+                   FROM documents),
+        c AS (SELECT *, COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+              FROM n)
+        SELECT doc_id, lang, n_tokens, CAST(before // 2000 AS BIGINT) AS pack_id FROM c""")),
+
     // One-pass table profile (exact distinct for the oracle; production
     // default is the HLL sketch).
     "q_profile" -> Q(

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence-shaping operators for LLM training pipelines: split long
+  * documents into token windows, and pack documents into fixed token-budget
+  * bins.
+  */
+object Chunking {
+
+  /** Overlapping token-window chunks: each document splits into windows of
+    * `chunkTokens` tokens starting every `stride` tokens (partial tail
+    * windows included; empty documents produce no chunks).
+    *
+    * Pure narrow transformation — tokenize once, `transform` over the start
+    * offsets, one `posexplode` — all codegen'd built-ins, embarrassingly
+    * parallel, nothing shuffles.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), size(col("__toks")) - 1, lit(stride)),
+          start => slice(col("__toks"), start + 1, lit(chunkTokens))))
+          .as(Seq("chunk_id", "__chunk")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(col("__chunk"), " ").as("chunk_text"),
+        size(col("__chunk")).cast("long").as("n_tokens"))
+  }
+
+  /** Contiguous-fill sequence packing: documents, taken in `orderCol`
+    * order, are assigned to consecutive bins of `budgetTokens` tokens;
+    * `pack_id = floor(tokens_before / budget)` where `tokens_before` is the
+    * exact global running token total of all preceding documents.
+    *
+    * The global prefix sum is computed DISTRIBUTED, textbook two-level:
+    * coarse buckets of `orderCol` (`floor(order / bucketSize)`) aggregate
+    * their token sums (one hash aggregate); bucket prefix offsets are a
+    * window over the TINY bucket-sum table (rows = n_buckets, not n_docs);
+    * offsets broadcast-join back and a within-bucket window finishes the
+    * per-document running total. No single task ever sorts or scans the
+    * full corpus — the classic `sum() OVER (ORDER BY ...)` formulation
+    * plans as ONE partition holding every row, which is exactly what dies
+    * first at 100 TB.
+    */
+  def packByTokenBudget(df: DataFrame, orderCol: String, textCol: String,
+                        budgetTokens: Long, bucketSize: Long = 1000L): DataFrame = {
+    require(budgetTokens > 0 && bucketSize > 0, "budget and bucketSize must be positive")
+    val withN = df
+      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
+      .withColumn("__bucket", floor(col(orderCol) / bucketSize))
+    val bucketSums = withN.groupBy("__bucket")
+      .agg(sum(col("n_tokens")).as("__bucket_sum"))
+    // window over n_buckets rows — orders of magnitude smaller than the data
+    val bucketOffsets = bucketSums
+      .withColumn("__bucket_offset",
+        coalesce(sum(col("__bucket_sum"))
+          .over(Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__bucket", "__bucket_offset")
+    val withinBucket = Window.partitionBy("__bucket").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withN
+      .join(broadcast(bucketOffsets), "__bucket")
+      .withColumn("__before",
+        col("__bucket_offset") + coalesce(sum(col("n_tokens")).over(withinBucket), lit(0L)))
+      // integral div, not floor(double /): a double quotient can misround
+      // at exact bin boundaries once running totals pass 2^53-scale math
+      .withColumn("pack_id", expr(s"__before div $budgetTokens"))
+      .drop("__bucket", "__bucket_offset", "__before")
+  }
+}
