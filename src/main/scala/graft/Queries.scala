@@ -358,6 +358,28 @@ object Queries {
              WHERE rn = 1""")),
   )
 
+  private val sqlSurfaceQueries: Seq[(String, Q)] = Seq(
+    // The SAME engine through the SQL-only table-valued function surface:
+    // evaluate_rule splices the library's logical plan into a spark.sql
+    // query at analysis time. Rule = filter + group-by + argmax row, i.e.
+    // the deepest engine path, gated end-to-end through SQL.
+    "q_sql_tvf" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        table(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT * FROM evaluate_rule('orders_v',
+          '{"Conditions":{"Conditions":[
+              {"Property":"o_orderstatus","Operator":"Equal","Value":"O"}]},
+            "GroupBy":["o_orderpriority"],
+            "Aggregation":{"AggregateProperty":"o_totalprice","AggregateFunction":"Max"}}')""")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM
+             (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey DESC, o_custkey DESC, o_orderstatus DESC,
+                        o_orderdate DESC) rn FROM orders WHERE o_orderstatus = 'O') t
+             WHERE rn = 1""")),
+  )
+
   private val tagQueries: Seq[(String, Q)] = Seq(
     // One-scan rule-hit tagging: every rule becomes a boolean column.
     "q_rule_tags" -> Q(
@@ -379,7 +401,7 @@ object Queries {
 
   def engineQueries: Seq[(String, Q)] =
     comparisonQueries ++ stringQueries ++ nullQueries ++ advancedQueries ++
-      aggQueries ++ ruleSetQueries ++ tagQueries
+      aggQueries ++ ruleSetQueries ++ sqlSurfaceQueries ++ tagQueries
 
   def all: Seq[(String, Q)] = engineQueries ++ ExtQueries.all
 }

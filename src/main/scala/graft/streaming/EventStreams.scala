@@ -153,6 +153,69 @@ object EventStreams {
       .select("user_id", "session_start", "session_end", "n_events")
   }
 
+  /** EVENT-TIME sessionization via per-key mutable state: sessions close
+    * when the WATERMARK passes session_end + gap — fully deterministic in
+    * event time (replaying the same stream yields the same sessions at the
+    * same points, unlike the wall-clock variant below). State per user is
+    * O(1); `setTimeoutTimestamp` is clamped above the current watermark
+    * (required by the engine when late data arrives after the horizon).
+    */
+  def sessionizeStreamEventTime(events: Dataset[Event], gapMinutes: Int,
+                                watermarkDelay: String = "2 hours")
+      : Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (start, end, n, _) = state.get
+            state.remove()
+            Iterator.single(SessionSummary(
+              userId, new java.sql.Timestamp(start), new java.sql.Timestamp(end), n))
+          } else {
+            val (closed, cur) = mergeSessions(userId, batch, state.getOption, gapMs)
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(s._2 + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Shared in-batch session merge: fold a batch of events (sorted by
+    * event time) into the open session, closing on gap breaks. Returns
+    * (sessions closed by this batch, the still-open session).
+    */
+  private def mergeSessions(userId: Long, batch: Iterator[Event],
+                            open: Option[(Long, Long, Long, Long)], gapMs: Long)
+      : (List[SessionSummary], Option[(Long, Long, Long, Long)]) = {
+    val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var closed = List.empty[SessionSummary]
+    var cur = open
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some((start, end, n, _)) if t - end <= gapMs =>
+          cur = Some((start, t max end, n + 1, userId))
+        case Some((start, end, n, _)) =>
+          closed ::= SessionSummary(
+            userId, new java.sql.Timestamp(start), new java.sql.Timestamp(end), n)
+          cur = Some((t, t, 1L, userId))
+        case None =>
+          cur = Some((t, t, 1L, userId))
+      }
+    }
+    (closed.reverse, cur)
+  }
+
   /** Streaming sessionization via per-key mutable state
     * (`flatMapGroupsWithState`): emits a [[SessionSummary]] when a session
     * closes on timeout. State per user is O(1) — start/end/count — so the
@@ -184,27 +247,12 @@ object EventStreams {
             Iterator.single(SessionSummary(
               userId, new java.sql.Timestamp(start), new java.sql.Timestamp(end), n))
           } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var closed = List.empty[SessionSummary]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some((start, end, n, _)) if t - end <= gapMs =>
-                  cur = Some((start, t max end, n + 1, userId))
-                case Some((start, end, n, _)) =>
-                  closed ::= SessionSummary(
-                    userId, new java.sql.Timestamp(start), new java.sql.Timestamp(end), n)
-                  cur = Some((t, t, 1L, userId))
-                case None =>
-                  cur = Some((t, t, 1L, userId))
-              }
-            }
+            val (closed, cur) = mergeSessions(userId, batch, state.getOption, gapMs)
             cur.foreach { s =>
               state.update(s)
               if (useTimeout) state.setTimeoutDuration(gapMs)
             }
-            closed.reverseIterator
+            closed.iterator
           }
       }
   }

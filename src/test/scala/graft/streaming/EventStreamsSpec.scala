@@ -190,6 +190,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(sessions(2L) == Seq(1L, 1L)) // [e4], [e5]
   }
 
+  test("sessionizeStreamEventTime closes ALL sessions once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.sessionizeStreamEventTime(mem.toDS(), gapMinutes = 30,
+        watermarkDelay = "1 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_et_out").start()
+    try {
+      q.processAllAvailable()
+      // a far-future event advances the watermark past every open
+      // session's end + gap → event-time timeouts fire deterministically
+      mem.addData(Event(100L, ts(10000), 9L, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_et_out")
+      .filter(col("user_id") =!= 9L)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    val batch = EventStreams.sessionizeBatch(events.toDF(), 30)
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(streamed == batch) // every session, not just in-batch-closed ones
+    assert(batch.size == 4)
+  }
+
   test("sessionizeStream emits sessions closed by in-batch gaps") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
