@@ -195,6 +195,31 @@ object ExtQueries {
       },
       golden("q_neardup_drop")),
 
+    // Transitive near-dup clustering: connected components over the
+    // MinHash-LSH pair graph (A~B, B~C ⇒ one cluster even without an A~C
+    // pair). The oracle computes the closure independently — a recursive
+    // CTE over the committed golden pair fixture (itself exact-checked by
+    // q_dedup_minhash) — so the distributed hash-min iteration is gated
+    // against a genuinely different algorithm.
+    "q_dedup_clusters" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Dedup.connectedComponents(docs, "doc_id",
+          Dedup.minhashPairs(docs, "doc_id", "text", shingleSize = 3,
+            numHashes = 128, bands = 32, threshold = 0.5))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        edges AS (SELECT id1, id2 FROM
+          read_parquet('/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')),
+        und AS (SELECT id1 AS a, id2 AS b FROM edges
+                UNION SELECT id2, id1 FROM edges),
+        reach AS (SELECT a, b FROM und
+                  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+        SELECT d.doc_id AS id, COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""")),
+
     // LSH-blocked embedding near-dup pairs — the PRODUCTION path (bucket
     // join, no cross join; approximate recall by construction → rows-only,
     // anchored by the exact q_embed_neardup twin below). Low threshold ⇒

@@ -99,6 +99,76 @@ object Dedup {
     df.join(toDrop, df(idCol) === col("__drop"), "left_anti")
   }
 
+  /** CONNECTED COMPONENTS over a near-duplicate pair list: every document
+    * labeled with the smallest id reachable through the pair graph — the
+    * transitive closure [[dropNearDuplicates]]' one-hop policy misses
+    * (A~B, B~C ⇒ {A,B,C} is ONE cluster even when A~C was never emitted).
+    * The canonical cluster-then-keep-one stage of corpus dedup.
+    *
+    * Hash-min label propagation WITH pointer jumping: per round every node
+    * takes the min of its own, its neighbors', and its current label's
+    * label (path compression) — two joins + one hash aggregate per round,
+    * converging in O(log n) rounds (plain 1-hop propagation needs
+    * O(diameter), which a 10⁶-long chain turns into 10⁶ shuffles).
+    * Iterating a fixpoint is a driver-side LOOP over plans, never over
+    * rows; `localCheckpoint` cuts the growing lineage each round so the
+    * plan stays O(1) deep. Rows never collect to the driver — per round it
+    * sees one Boolean (converged?).
+    */
+  def connectedComponents(df: DataFrame, idCol: String, pairs: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    val und = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // iterate ONLY over nodes that have an edge: isolated documents (the
+    // overwhelming majority of a corpus) can never change label, so the
+    // iteration state is O(|near-dup subgraph|), not O(corpus) — they
+    // rejoin with their own id as component at the end
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // 1-hop: min label among neighbors
+      val neighborMin = und
+        .join(labels, und("src") === labels("id"))
+        .groupBy(col("dst").as("nb_id"))
+        .agg(min(col("component")).as("nb_comp"))
+      val propagated = labels
+        .join(neighborMin, labels("id") === col("nb_id"), "left")
+        .select(col("id"), col("component").as("__old"),
+          least(col("component"), coalesce(col("nb_comp"), col("component")))
+            .as("__c1"))
+      // pointer jump: follow the label's own label (path compression)
+      val jumpTo = propagated.select(col("id").as("j_id"), col("__c1").as("j_comp"))
+      val next = propagated
+        .join(jumpTo, propagated("__c1") === col("j_id"), "left")
+        .select(col("id"),
+          least(col("__c1"), coalesce(col("j_comp"), col("__c1"))).as("component"),
+          (least(col("__c1"), coalesce(col("j_comp"), col("__c1"))) < col("__old"))
+            .as("__improved"))
+      val checkpointed = next.localCheckpoint(true)
+      converged = checkpointed.filter(col("__improved")).isEmpty
+      labels = checkpointed.drop("__improved")
+      iter += 1
+    }
+    und.unpersist()
+    df.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("id", "__lid"), col("id") === col("__lid"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Transitive near-duplicate removal: one surviving document (the
+    * smallest id) per connected component of the pair graph.
+    */
+  def dropNearDuplicateClusters(df: DataFrame, idCol: String,
+                                pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val keep = connectedComponents(df, idCol, pairs, maxIter)
+      .filter(col("id") === col("component")).select("id")
+    df.join(keep, df(idCol) === col("id"), "left_semi")
+  }
+
   /** SimHash near-duplicate pairs with Hamming distance ≤ `maxDistance`.
     *
     * Candidate generation by the pigeonhole principle: the 64-bit hash splits

@@ -53,6 +53,38 @@ class OperatorsSpec extends SparkSpec {
     assert(!kept.contains(4L) && !kept.contains(2L))
   }
 
+  test("connectedComponents labels transitive clusters with the min reachable id") {
+    // chain 10-20, 20-30 (no 10-30 pair) + pair 40-50 + isolated 60
+    val nodes = Seq(10L, 20L, 30L, 40L, 50L, 60L).toDF("doc_id")
+    val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      40L -> 40L, 50L -> 40L, 60L -> 60L))
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 2 iterations of 1-hop)") {
+    val n = 30
+    val nodes = (1L to n.toLong).toDF("doc_id")
+    val pairs = (1L until n.toLong).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(1L)) // the whole chain is one component
+  }
+
+  test("dropNearDuplicateClusters beats the one-hop greedy policy on shared-id2 graphs") {
+    // pairs (1,2) and (3,2): greedy drops only {2} and keeps BOTH 1 and 3,
+    // though 1~2~3 is one transitive cluster; components keep just 1
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (3L, 2L)).toDF("id1", "id2")
+    val greedy = Dedup.dropNearDuplicates(nodes, "doc_id", pairs)
+      .as[Long].collect().toSet
+    val transitive = Dedup.dropNearDuplicateClusters(nodes, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(greedy == Set(1L, 3L, 9L))
+    assert(transitive == Set(1L, 9L))
+  }
+
   private lazy val vecs = Seq(
     (0L, Seq(1f, 0f, 0f)),
     (1L, Seq(0.9f, 0.1f, 0f)),
