@@ -356,6 +356,22 @@ object ExtQueries {
       }.mkString(" UNION ALL "))),
   )
 
+  private val quantileQueries: Seq[(String, Q)] = Seq(
+    // Per-language length quantiles (exact interpolation for the oracle;
+    // production default is the t-digest sketch). Quartile fractions of
+    // integer inputs are exact dyadics, so Spark's percentile and DuckDB's
+    // quantile_cont agree bit-for-bit.
+    "q_group_quantiles" -> Q(
+      (s, dir) => graft.operators.Profile.groupQuantiles(
+        table(s, dir, "documents"), Seq("lang"), "n_chars",
+        probs = Seq(0.25, 0.5, 0.75), exact = true),
+      Some("""SELECT lang,
+               quantile_cont(n_chars, 0.25) AS p25,
+               quantile_cont(n_chars, 0.50) AS p50,
+               quantile_cont(n_chars, 0.75) AS p75
+             FROM documents GROUP BY lang""")),
+  )
+
   private val multimodalQueries: Seq[(String, Q)] = Seq(
     // Binary payload column + typed metadata plumbing.
     "q_mm_payload" -> Q(
@@ -553,5 +569,5 @@ object ExtQueries {
 
   def all: Seq[(String, Q)] =
     textQueries ++ dedupQueries ++ simQueries ++ curationQueries ++
-      multimodalQueries ++ eventQueries ++ headlineQueries
+      quantileQueries ++ multimodalQueries ++ eventQueries ++ headlineQueries
 }

@@ -42,6 +42,28 @@ object Profile {
           .as(s"__max_$c"))
     }
     val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    finish(one, names)
+  }
+
+  /** Per-group quantiles of a numeric column. `exact=false` (default, the
+    * scale path) uses the t-digest sketch (`approx_percentile`): fixed
+    * memory per group, mergeable map-side. `exact=true` buffers every
+    * group value in the aggregation buffer — O(|group|) memory, the
+    * documented hazard — but interpolates precisely (used by the oracle
+    * battery, where quantile definitions must match DuckDB bit-for-bit).
+    */
+  def groupQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     probs: Seq[Double], exact: Boolean = false): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1), "probs in [0,1]")
+    val aggsQ = probs.map { p =>
+      val name = s"p${(p * 100).round}"
+      if (exact) percentile(col(valueCol), lit(p)).as(name)
+      else percentile_approx(col(valueCol), lit(p), lit(10000)).as(name)
+    }
+    df.groupBy(groupCols.map(col): _*).agg(aggsQ.head, aggsQ.tail: _*)
+  }
+
+  private def finish(one: DataFrame, names: Seq[String]): DataFrame = {
     val perCol = names.map { c =>
       struct(lit(c).as("column"),
         col("__n").as("n_rows"),

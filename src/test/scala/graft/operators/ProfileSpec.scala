@@ -28,6 +28,17 @@ class ProfileSpec extends SparkSpec {
     assert(row.isNullAt(3) && row.isNullAt(4) && row.isNullAt(5))
   }
 
+  test("groupQuantiles exact mode interpolates like the SQL percentile definition") {
+    val data = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 10)).toDF("g", "v")
+    val got = Profile.groupQuantiles(data, Seq("g"), "v", Seq(0.5), exact = true)
+      .as[(String, Double)].collect().toMap
+    assert(got("a") == 2.5 && got("b") == 10.0)
+    // approx mode still lands on a real data value
+    val approx = Profile.groupQuantiles(data, Seq("g"), "v", Seq(0.5))
+      .as[(String, Double)].collect().toMap
+    assert(Set(2.0, 3.0).contains(approx("a")))
+  }
+
   test("default (approx) profile is a single aggregate without Expand") {
     val plan = Profile.profile(df).queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), plan)
