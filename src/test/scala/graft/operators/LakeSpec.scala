@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parquetFilesPerDir(root: String): Map[String, Int] = {
+    val dirs = Files.list(Paths.get(root)).iterator()
+    var m = Map.empty[String, Int]
+    dirs.forEachRemaining { d =>
+      if (Files.isDirectory(d) && d.getFileName.toString.contains("=")) {
+        val n = Files.list(d).iterator()
+        var c = 0
+        n.forEachRemaining(f => if (f.toString.endsWith(".parquet")) c += 1)
+        m += d.getFileName.toString -> c
+      }
+    }
+    m
+  }
+
+  test("writePartitioned emits one file per partition dir (vs task-explosion default)") {
+    val df = (1 to 4000).map(i => (i.toLong, s"2024-01-${i % 5 + 10}")).toDF("id", "dt")
+      .repartition(16) // simulate many upstream tasks
+    val controlled = Files.createTempDirectory("lake_ctl").toString
+    val naive = Files.createTempDirectory("lake_naive").toString
+    Lake.writePartitioned(df, controlled, Seq("dt"))
+    df.write.mode("overwrite").partitionBy("dt").parquet(naive)
+    val ctl = parquetFilesPerDir(controlled)
+    val nv = parquetFilesPerDir(naive)
+    assert(ctl.size == 5 && ctl.values.forall(_ == 1), ctl.toString)
+    assert(nv.values.sum > ctl.values.sum, s"naive=$nv controlled=$ctl")
+    // content survives the rerouting
+    assert(spark.read.parquet(controlled).count() == 4000)
+  }
+
+  test("filesPerPartition salt spreads a hot partition across bounded files") {
+    val df = (1 to 3000).map(i => (i.toLong, "2024-01-10")).toDF("id", "dt")
+      .repartition(16) // one hot partition value
+    val out = Files.createTempDirectory("lake_hot").toString
+    Lake.writePartitioned(df, out, Seq("dt"), filesPerPartition = 3)
+    val files = parquetFilesPerDir(out)
+    // hash-distributed: at most filesPerPartition, more than the single
+    // file the unsalted path would produce
+    assert(files("dt=2024-01-10") >= 2 && files("dt=2024-01-10") <= 3, files.toString)
+    assert(spark.read.parquet(out).select(sum("id")).as[Long].head() ==
+      (1 to 3000).map(_.toLong).sum)
+  }
+}
