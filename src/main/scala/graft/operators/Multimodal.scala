@@ -54,6 +54,39 @@ object Multimodal {
       .toDF()
   }
 
+  /** Frame sampling over a video-like binary payload: emit every
+    * `everyNth` fixed-size frame as its own row (media_id, frame_idx,
+    * frame) — the demux → sample → one-row-per-frame shape a real video
+    * pipeline needs before per-frame feature extraction.
+    *
+    * The "demuxer" is the same documented stub class as [[decodeFeatures]]
+    * (fixed `frameBytes` slices stand in for codec frame boundaries); the
+    * Spark plumbing is the real contract: a per-partition iterator that
+    * FLATMAPS frames out lazily — one demuxer init per partition, no
+    * buffering of a whole video's frames in memory, rows stream straight
+    * into the downstream columnar batch.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String = "payload",
+                   frameBytes: Int = 32, everyNth: Int = 2): DataFrame = {
+    require(frameBytes > 0 && everyNth > 0, "frameBytes and everyNth must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { items =>
+        // real demuxer/native context init would happen once per partition
+        items.flatMap { case (id, bytes) =>
+          val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+          Iterator.range(0, nFrames, everyNth).map { f =>
+            val from = f * frameBytes
+            (id, f.toLong, java.util.Arrays.copyOfRange(
+              bytes, from, math.min(from + frameBytes, bytes.length)))
+          }
+        }
+      }
+      .toDF(idCol, "frame_idx", "frame")
+  }
+
   /** Deterministic stand-in for a media decoder (??? in spirit): derives
     * plausible image-like features purely from the bytes.
     */

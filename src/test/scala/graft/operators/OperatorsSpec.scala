@@ -53,6 +53,22 @@ class OperatorsSpec extends SparkSpec {
     assert(!kept.contains(4L) && !kept.contains(2L))
   }
 
+  test("sampleFrames emits every Nth fixed-size slice with a short tail frame") {
+    val df = Seq((7L, "abcdefghij")).toDF("media_id", "text") // 10 bytes
+    val frames = Multimodal.sampleFrames(
+        Multimodal.withPayload(df, "text"), "media_id",
+        frameBytes = 3, everyNth = 2)
+      .as[(Long, Long, Array[Byte])].collect()
+      .map(t => (t._2, new String(t._3, "UTF-8"))).sortBy(_._1).toSeq
+    // frames: [abc][def][ghi][j] -> sampled 0 and 2
+    assert(frames == Seq((0L, "abc"), (2L, "ghi")))
+    val all = Multimodal.sampleFrames(
+        Multimodal.withPayload(df, "text"), "media_id",
+        frameBytes = 3, everyNth = 1)
+      .as[(Long, Long, Array[Byte])].collect().map(t => new String(t._3, "UTF-8")).sorted.toSeq
+    assert(all == Seq("abc", "def", "ghi", "j")) // tail kept, shorter
+  }
+
   test("connectedComponents labels transitive clusters with the min reachable id") {
     // chain 10-20, 20-30 (no 10-30 pair) + pair 40-50 + isolated 60
     val nodes = Seq(10L, 20L, 30L, 40L, 50L, 60L).toDF("doc_id")
