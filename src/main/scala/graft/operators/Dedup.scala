@@ -123,9 +123,12 @@ object Dedup {
     // iterate ONLY over nodes that have an edge: isolated documents (the
     // overwhelming majority of a corpus) can never change label, so the
     // iteration state is O(|near-dup subgraph|), not O(corpus) — they
-    // rejoin with their own id as component at the end
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // rejoin with their own id as component at the end. Initial labels
+    // already fold in the 1-hop neighbor minimum (round one for free:
+    // one aggregate instead of a full propagate+jump+converge round).
+    var labels = und.select(col("dst").as("id"), col("src").as("component"))
+      .union(und.select(col("src").as("id"), col("src").as("component")))
+      .groupBy("id").agg(min(col("component")).as("component"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
