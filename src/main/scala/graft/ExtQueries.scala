@@ -76,6 +76,23 @@ object ExtQueries {
                ELSE 'und' END AS lang_pred
         FROM sc""")),
 
+    // BPE-ish pretokenization (GPT-2 regex family, lookahead-free so the
+    // identical pattern runs under Java regex and DuckDB's RE2): the token
+    // stream + count an LLM tokenizer budget is measured in.
+    "q_bpe_tokens" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), bpeTokens(col("text")).as("toks"),
+          bpeTokenCount(col("text")).as("n_bpe")),
+      Some {
+        val pat = graft.functions.TextFunctions.bpePattern.replace("'", "''")
+        raw"""SELECT doc_id,
+               list_filter(regexp_extract_all(text, '$pat'),
+                           x -> NOT regexp_matches(x, '^\s+$$')) AS toks,
+               CAST(len(list_filter(regexp_extract_all(text, '$pat'),
+                           x -> NOT regexp_matches(x, '^\s+$$'))) AS BIGINT) AS n_bpe
+             FROM documents"""
+      }),
+
     "q_fingerprint" -> Q(
       (s, dir) => table(s, dir, "documents")
         .select(col("doc_id"), fingerprint(col("text")).as("fp")),
@@ -409,6 +426,25 @@ object ExtQueries {
             ROWS UNBOUNDED PRECEDING) AS sess_id
           FROM flagged)"""
 
+  private val resizeQueries: Seq[(String, Q)] = Seq(
+    // Resize planning on decoded features: fit into a 224×224 box, aspect
+    // preserved, no upscaling. Oracle applies the same IEEE arithmetic to
+    // the golden decode fixture.
+    "q_mm_resize" -> Q(
+      (s, dir) => Multimodal.resizeToFit(
+        Multimodal.decodeFeatures(
+          Multimodal.withPayload(table(s, dir, "documents"), "text"), "doc_id"),
+        targetW = 224, targetH = 224)
+        .select("media_id", "width", "height", "resized_width", "resized_height"),
+      Some("""
+        SELECT media_id, width, height,
+          CAST(greatest(floor(width * least(224.0 / width, 224.0 / height, 1.0)), 1) AS INT)
+            AS resized_width,
+          CAST(greatest(floor(height * least(224.0 / width, 224.0 / height, 1.0)), 1) AS INT)
+            AS resized_height
+        FROM read_parquet('/root/repo/src/test/resources/golden/q_mm_decode/*.parquet')""")),
+  )
+
   private val eventQueries: Seq[(String, Q)] = Seq(
     // AS-OF join: each purchase gets the user's latest prior click.
     "q_asof_join" -> Q(
@@ -569,5 +605,6 @@ object ExtQueries {
 
   def all: Seq[(String, Q)] =
     textQueries ++ dedupQueries ++ simQueries ++ curationQueries ++
-      quantileQueries ++ multimodalQueries ++ eventQueries ++ headlineQueries
+      quantileQueries ++ multimodalQueries ++ resizeQueries ++
+      eventQueries ++ headlineQueries
 }

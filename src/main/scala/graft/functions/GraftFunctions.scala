@@ -43,7 +43,9 @@ object GraftFunctions {
     "quality_score" -> composed(cs => TextFunctions.qualityScore(cs(0))),
     "lang_id" -> composed(cs => TextFunctions.langId(cs(0))),
     "scrub_pii" -> composed(cs => TextFunctions.scrubPii(cs(0))),
-    "pii_counts" -> composed(cs => TextFunctions.piiCounts(cs(0))))
+    "pii_counts" -> composed(cs => TextFunctions.piiCounts(cs(0))),
+    "bpe_tokens" -> composed(cs => TextFunctions.bpeTokens(cs(0))),
+    "bpe_token_count" -> composed(cs => TextFunctions.bpeTokenCount(cs(0))))
 
   def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>

@@ -19,6 +19,27 @@ object TextFunctions {
   /** Token count as BIGINT (matches DuckDB's len()). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** GPT-2-style pretokenizer pattern: contraction suffixes, then
+    * space-prefixed letter runs, digit runs, punctuation runs, then
+    * whitespace runs. Deliberately lookahead-free so the identical string
+    * runs under Java regex and RE2 (the original GPT-2 pattern's `\s+(?!\S)`
+    * lookahead only affects trailing-space attachment, irrelevant for
+    * counting and splitting).
+    */
+  private[graft] val bpePattern =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish pretokenization (the GPT-2 regex family): the token stream a
+    * byte-pair encoder would merge — the unit that makes "token counts"
+    * comparable to LLM tokenizer budgets, unlike whitespace words.
+    */
+  def bpeTokens(text: Column): Column =
+    filter(regexp_extract_all(text, lit(bpePattern), lit(0)),
+      t => !(t rlike "^\\s+$"))
+
+  /** BPE-ish token count as BIGINT (whitespace runs excluded). */
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast("long")
+
   /** Sliding word k-shingles joined with single spaces, deduplicated —
     * the standard unit for n-gram Jaccard / MinHash document similarity.
     */

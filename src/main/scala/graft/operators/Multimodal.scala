@@ -87,6 +87,28 @@ object Multimodal {
       .toDF(idCol, "frame_idx", "frame")
   }
 
+  /** Resize planning over decoded media features: fit (width, height)
+    * into a target box preserving aspect ratio — the standard
+    * downscale-before-embedding step. Pure integer column arithmetic
+    * (codegen'd); the actual pixel resample belongs to the per-partition
+    * decoder ([[decodeFeatures]]' stub boundary), but the geometry — what
+    * production schedulers size buffers and batch shapes with — is real.
+    * Upscaling is not performed (scale capped at 1).
+    */
+  def resizeToFit(df: DataFrame, targetW: Int, targetH: Int,
+                  widthCol: String = "width", heightCol: String = "height"): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target box must be positive")
+    // scale = min(tw/w, th/h, 1); new dims = max(1, floor(dim * scale))
+    val scale = least(
+      lit(targetW).cast("double") / col(widthCol),
+      lit(targetH).cast("double") / col(heightCol),
+      lit(1.0))
+    df.withColumn("resized_width",
+        greatest(floor(col(widthCol) * scale), lit(1)).cast("int"))
+      .withColumn("resized_height",
+        greatest(floor(col(heightCol) * scale), lit(1)).cast("int"))
+  }
+
   /** Deterministic stand-in for a media decoder (??? in spirit): derives
     * plausible image-like features purely from the bytes.
     */

@@ -109,6 +109,14 @@ class FunctionsSpec extends SparkSpec {
     assert(got == "reach <EMAIL> now")
   }
 
+  test("bpeTokens splits contractions, space-prefixed words, digits, punct") {
+    val df = Seq("I'll pay 42 dollars, don't worry!").toDF("text")
+    val got = df.select(TextFunctions.bpeTokens(col("text"))).as[Seq[String]].collect().head
+    assert(got == Seq("I", "'ll", " pay", " 42", " dollars", ",", " don", "'t", " worry", "!"))
+    val n = df.select(TextFunctions.bpeTokenCount(col("text"))).as[Long].collect().head
+    assert(n == 10L)
+  }
+
   test("piiCounts reports per-kind match counts without redacting") {
     val df = Seq("a@b.co and c@d.io via https://e.fg call 555-123-4567").toDF("text")
     val got = df.select(TextFunctions.piiCounts(col("text")).as("p"))

@@ -53,6 +53,17 @@ class OperatorsSpec extends SparkSpec {
     assert(!kept.contains(4L) && !kept.contains(2L))
   }
 
+  test("resizeToFit preserves aspect ratio, never upscales, floors at 1px") {
+    val feats = Seq((1L, 448, 224), (2L, 100, 50), (3L, 10000, 2))
+      .toDF("media_id", "width", "height")
+    val got = Multimodal.resizeToFit(feats, 224, 224)
+      .select("media_id", "resized_width", "resized_height")
+      .as[(Long, Int, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1L) == ((224, 112)))  // downscale by the binding axis
+    assert(got(2L) == ((100, 50)))   // already fits: untouched
+    assert(got(3L)._1 == 224 && got(3L)._2 == 1) // extreme ratio floors at 1
+  }
+
   test("sampleFrames emits every Nth fixed-size slice with a short tail frame") {
     val df = Seq((7L, "abcdefghij")).toDF("media_id", "text") // 10 bytes
     val frames = Multimodal.sampleFrames(
