@@ -212,6 +212,25 @@ object ExtQueries {
       },
       golden("q_neardup_drop")),
 
+    // INCREMENTAL dedup: a "new batch" (doc_id >= 250) probed against the
+    // persisted band index of the "history" (doc_id < 250) — the history is
+    // joined, never re-hashed. Oracle: the exact golden full-corpus pair
+    // fixture restricted to cross pairs (deterministic seeds make the
+    // split-and-probe path produce identical band collisions).
+    "q_dedup_incremental" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Dedup.incrementalNearDups(
+          docs.filter(col("doc_id") >= 250), "doc_id", "text",
+          Dedup.minhashBandIndex(docs.filter(col("doc_id") < 250), "doc_id", "text",
+            shingleSize = 3, numHashes = 128, bands = 32),
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.5)
+          .select("new_id", "old_id")
+      },
+      Some("""SELECT id2 AS new_id, id1 AS old_id
+             FROM read_parquet('/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')
+             WHERE id1 < 250 AND id2 >= 250""")),
+
     // Transitive near-dup clustering: connected components over the
     // MinHash-LSH pair graph (A~B, B~C ⇒ one cluster even without an A~C
     // pair). The oracle computes the closure independently — a recursive

@@ -90,6 +90,63 @@ object Dedup {
       .select("id1", "id2", "est_jaccard")
   }
 
+  /** The persisted MinHash BAND INDEX of a corpus: one row per (band,
+    * band-hash, id) plus the full signature — written once per corpus
+    * snapshot (bucketed by the band key in production so incremental
+    * probes co-locate). This is what makes dedup INCREMENTAL: a new batch
+    * checks against all history by joining this table, never re-hashing
+    * the historical corpus.
+    */
+  def minhashBandIndex(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, numHashes: Int = 128,
+                       bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    df.select(col(idCol).as("id"),
+        TextFunctions.wordShingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bh"))))
+          .as("bucket"))
+      .select(col("id"), col("sig"), col("bucket.band"), col("bucket.bh"))
+  }
+
+  /** INCREMENTAL near-dup detection: pairs (new doc, indexed doc) where a
+    * new batch collides with the persisted [[minhashBandIndex]] of the
+    * historical corpus — the daily-ingest shape. Cost is proportional to
+    * |new batch| × collision rate: the history is only ever JOINED (by
+    * its band key), never re-tokenized or re-hashed. Candidates verify
+    * against the signature-level Jaccard estimate exactly like
+    * [[minhashPairs]]; new-batch ids may equal indexed ids (a re-ingest)
+    * and such self-matches are excluded.
+    */
+  def incrementalNearDups(newDocs: DataFrame, idCol: String, textCol: String,
+                          bandIndex: DataFrame,
+                          shingleSize: Int = 3, numHashes: Int = 128,
+                          bands: Int = 32, threshold: Double = 0.7,
+                          materialize: Boolean = true): DataFrame = {
+    val newIdx = materialized(materialize,
+      minhashBandIndex(newDocs, idCol, textCol, shingleSize, numHashes, bands))
+    val cand = newIdx.select(col("band"), col("bh"), col("id").as("new_id"))
+      .join(bandIndex.select(col("band"), col("bh"), col("id").as("old_id")),
+        Seq("band", "bh"))
+      .filter(col("new_id") =!= col("old_id"))
+      .select("new_id", "old_id").distinct()
+    val newSigs = newIdx.select(col("id").as("new_id"), col("sig").as("new_sig"))
+      .dropDuplicates("new_id")
+    val oldSigs = bandIndex.select(col("id").as("old_id"), col("sig").as("old_sig"))
+      .dropDuplicates("old_id")
+    cand.join(newSigs, "new_id").join(oldSigs, "old_id")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("new_sig"), col("old_sig"), (x, y) => x === y), p => p))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("new_id", "old_id", "est_jaccard")
+  }
+
   /** Greedy near-dup removal from a pair list: drop every doc that has a
     * near-duplicate with a smaller id (single aggregation, no iterative
     * connected components — the standard one-pass policy for corpus dedup).

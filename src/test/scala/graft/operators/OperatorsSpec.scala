@@ -53,6 +53,28 @@ class OperatorsSpec extends SparkSpec {
     assert(!kept.contains(4L) && !kept.contains(2L))
   }
 
+  test("incrementalNearDups against a band index == cross-slice of full-corpus pairs") {
+    val history = docs.filter($"doc_id" <= 3)
+    val fresh = docs.filter($"doc_id" > 3) // docs 4 (dup of 1) and 5
+    val index = Dedup.minhashBandIndex(history, "doc_id", "text")
+    val inc = Dedup.incrementalNearDups(fresh, "doc_id", "text", index, threshold = 0.5)
+      .select("new_id", "old_id").as[(Long, Long)].collect()
+      .map(p => Set(p._1, p._2)).toSet
+    val full = Dedup.minhashPairs(docs, "doc_id", "text", 3, 128, 32, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect()
+      .filter(p => (p._1 > 3) != (p._2 > 3)) // exactly one side in the new batch
+      .map(p => Set(p._1, p._2)).toSet
+    assert(inc == full && inc.contains(Set(1L, 4L)))
+  }
+
+  test("incrementalNearDups excludes self-matches on re-ingest") {
+    val index = Dedup.minhashBandIndex(docs, "doc_id", "text")
+    val again = Dedup.incrementalNearDups(docs.filter($"doc_id" === 3), "doc_id", "text",
+      index, threshold = 0.5)
+    assert(again.filter($"new_id" === $"old_id").isEmpty)
+    assert(again.isEmpty) // doc 3 has no near-dups besides itself
+  }
+
   test("resizeToFit preserves aspect ratio, never upscales, floors at 1px") {
     val feats = Seq((1L, 448, 224), (2L, 100, 50), (3L, 10000, 2))
       .toDF("media_id", "width", "height")
