@@ -378,6 +378,20 @@ object Queries {
                ORDER BY o_totalprice DESC, o_orderkey DESC, o_custkey DESC, o_orderstatus DESC,
                         o_orderdate DESC) rn FROM orders WHERE o_orderstatus = 'O') t
              WHERE rn = 1""")),
+
+    // Multi-rule UNION DISTINCT through the evaluate_rules TVF.
+    "q_sql_tvf_rules" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        table(s, dir, "customer").createOrReplaceTempView("customer_v")
+        s.sql("""SELECT * FROM evaluate_rules('customer_v',
+          '[{"Conditions":{"Conditions":[
+               {"Property":"c_acctbal","Operator":"GreaterThan","Value":9000}]}},
+            {"Conditions":{"Conditions":[
+               {"Property":"c_mktsegment","Operator":"Equal","Value":"MACHINERY"}]}}]')""")
+      },
+      Some("""SELECT * FROM customer WHERE c_acctbal > 9000
+             UNION SELECT * FROM customer WHERE c_mktsegment = 'MACHINERY'""")),
   )
 
   private val tagQueries: Seq[(String, Q)] = Seq(

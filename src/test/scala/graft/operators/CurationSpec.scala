@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fluent = "the cat and the hat is in the house and it is a good day " * 3
+
+  test("pretrainingPipeline: scrub, filter, dedup transitively, chunk, pack") {
+    val docs = Seq(
+      (1L, s"$fluent contact me at a.b@example.com"),
+      (2L, s"$fluent contact me at a.b@example.com"),       // exact dup of 1
+      (3L, s"$fluent contact me at a.b@example.com please"), // near dup of 1
+      (4L, "der die das und ist nicht ein zu " * 6),          // German: filtered
+      (5L, "x! y? z!!!"),                                     // low quality: filtered
+      (6L, "it is a fine morning and the river is calm today so we walk to " +
+        "the old market and buy fresh bread and it is good " * 3)
+    ).toDF("doc_id", "text")
+    val out = Curation.pretrainingPipeline(docs, "doc_id", "text",
+      Curation.Config(chunkTokens = 16, chunkStride = 16, packBudgetTokens = 40,
+        nearDupThreshold = 0.5))
+    val rows = out.select("doc_id", "chunk_id", "chunk_text", "n_tokens", "pack_id")
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    // survivors: 1 (smallest of the transitive {1,2,3} cluster) and 6
+    assert(rows.map(_._1).toSet == Set(1L, 6L))
+    // PII never reaches the chunks
+    assert(rows.forall(!_._3.contains("example.com")))
+    assert(rows.exists(_._3.contains("<email>"))) // chunk tokens are lowercased
+    // chunking respects the token budget per chunk
+    assert(rows.forall(_._4 <= 16))
+    // packs fill contiguously from 0
+    val packs = rows.map(_._5).distinct.sorted
+    assert(packs.head == 0L && packs == (0L to packs.last).toSeq)
+  }
+}
