@@ -37,6 +37,33 @@ class JoinPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("TopNRows == window row_number formulation for random groups/ties/n") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val genRows: Gen[List[(Int, Int, Int)]] = Gen.listOfN(40, for {
+      k <- Gen.choose(0, 3)
+      v <- Gen.choose(-5, 5) // narrow range forces ties
+      tb <- Gen.choose(0, 100)
+    } yield (k, v, tb))
+    val prop = Prop.forAll(genRows, Gen.choose(1, 6), Gen.oneOf(false, true)) {
+      (rows, n, isMax) =>
+        val df = rows.toDF("k", "v", "tb").repartition(5)
+        val ord = if (isMax) Seq(col("v").desc, col("tb").desc) else Seq(col("v"), col("tb"))
+        val w = Window.partitionBy("k").orderBy(ord: _*)
+        val expected = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+          .select("k", "v", "tb").as[(Int, Int, Int)].collect().sorted.toSeq
+        val got = df.groupBy("k")
+          .agg(graft.functions.TopN.rows(
+            struct(col("v"), col("tb")), struct(col("v"), col("tb")), n, isMax).as("t"))
+          .select(col("k"), explode(col("t")).as("r"))
+          .select(col("k"), col("r.v"), col("r.tb")).as[(Int, Int, Int)]
+          .collect().sorted.toSeq
+        got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("intervalOverlapJoin == naive overlap join for random data and bin widths") {
     val prop = Prop.forAll(genIntervals, genIntervals, Gen.oneOf(0.7, 7.0, 31.0)) {
       (as, bs, w) =>
