@@ -257,13 +257,15 @@ object ExtQueries {
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""")),
 
     // LSH-blocked embedding near-dup pairs — the PRODUCTION path (bucket
-    // join, no cross join; approximate recall by construction → rows-only,
-    // anchored by the exact q_embed_neardup twin below). Low threshold ⇒
-    // few planes, many tables for recall.
+    // join, no cross join). Approximate wrt TRUE near-dup recall (see the
+    // exact q_embed_neardup twin + ANN_SWEEP.md) but fully DETERMINISTIC
+    // given the seeded hyperplanes, so the golden all-pairs recomputation
+    // (driver-loop bucket codes + sequential-cosine verify) exact-checks
+    // the distributed explode/join/distinct machinery.
     "q_embed_neardup_lsh" -> Q(
       (s, dir) => Dedup.embeddingPairsLsh(table(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.45, planes = 3, tables = 8),
-      None),
+      golden("q_embed_neardup_lsh")),
 
     // Embedding-cosine near-dup pairs: exact brute force, double math on
     // both sides (DuckDB must cast FLOAT[] → DOUBLE[] to match). The oracle
@@ -294,7 +296,10 @@ object ExtQueries {
              FROM embeddings WHERE vec_id <> 0
              ORDER BY cos DESC, vec_id LIMIT 10""")),
 
-    // LSH-bucketed approximate top-k — approximate by construction, rows-only.
+    // LSH-bucketed approximate top-k — approximate wrt exact top-k (recall
+    // quantified in ANN_SWEEP.md) but deterministic given the seeds: the
+    // golden driver-loop recomputation exact-checks the in-scan
+    // arrays_overlap candidate filter + TakeOrdered path.
     "q_ann_lsh" -> Q(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
@@ -303,7 +308,7 @@ object ExtQueries {
         Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
           "vec_id", "embedding", q, k = 10, planes = 4, tables = 8)
       },
-      None),
+      golden("q_ann_lsh")),
 
     // IVF (k-means inverted file) approximate top-k — rows-only. The index
     // is built ONCE per dataset (offline in production; memoized +

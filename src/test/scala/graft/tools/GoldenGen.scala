@@ -128,6 +128,56 @@ object GoldenGen {
     write(mm.toSeq.toDF("media_id", "n_bytes", "checksum", "width", "height", "format"),
       "q_mm_decode")
 
+    // ---- LSH embedding queries: DETERMINISTIC given the seeded planes ----
+    // Shared primitive: only the hyperplane family (planesFor) + the
+    // sequential cosine loop (same accumulation order → bitwise-equal
+    // doubles). The distributed machinery — bucket-code explode, band join,
+    // distinct, arrays_overlap candidate filter, TakeOrdered — is
+    // recomputed as plain driver loops via the query-side code path.
+    val embs: Array[(Long, Seq[Float])] = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().sortBy(_._1)
+    require(embs.nonEmpty && embs.length <= 2000, s"got ${embs.length} vectors")
+
+    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      val len = math.min(a.length, b.length)
+      while (i < len) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y; i += 1
+      }
+      val denom = math.sqrt(nx) * math.sqrt(ny)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+
+    // q_embed_neardup_lsh: planes=3, tables=8, seed=42, threshold=0.45
+    val codes3 = embs.map { case (id, v) =>
+      id -> graft.operators.Similarity.queryBucketCodes(v, 3, 8, 42L).toSet
+    }.toMap
+    val lshPairs = for {
+      i <- (0 until embs.length).iterator
+      j <- (i + 1) until embs.length
+      (id1, v1) = embs(i); (id2, v2) = embs(j)
+      if codes3(id1).intersect(codes3(id2)).nonEmpty
+      cos = cosine(v1, v2)
+      if cos >= 0.45
+    } yield (id1, id2, cos)
+    write(lshPairs.toSeq.toDF("id1", "id2", "cos"), "q_embed_neardup_lsh")
+
+    // q_ann_lsh: query = vec_id 0, planes=4, tables=8, seed=42, k=10,
+    // candidates by code overlap, exact cosine, (cos desc, vec_id) order
+    val qVec = embs.find(_._1 == 0L).get._2
+    val qCodes = graft.operators.Similarity.queryBucketCodes(qVec, 4, 8, 42L).toSet
+    val annTop = embs.iterator
+      .filter(_._1 != 0L)
+      .filter { case (id, v) =>
+        graft.operators.Similarity.queryBucketCodes(v, 4, 8, 42L)
+          .toSet.intersect(qCodes).nonEmpty
+      }
+      .map { case (id, v) => (id, cosine(qVec, v)) }
+      .toSeq.sortBy { case (id, c) => (-c, id) }.take(10)
+    write(annTop.toDF("vec_id", "cos"), "q_ann_lsh")
+
     spark.stop()
   }
 }
