@@ -78,16 +78,20 @@ object ExtQueries {
 
     // BPE-ish pretokenization (GPT-2 regex family, lookahead-free so the
     // identical pattern runs under Java regex and DuckDB's RE2): the token
-    // stream + count an LLM tokenizer budget is measured in.
+    // stream + count an LLM tokenizer budget is measured in. The token
+    // ARRAY joins on U+0001 (never produced by the tokenizer) because the
+    // gate hashes scalar cells — the raw array stays covered by
+    // TextFunctionsSpec.
     "q_bpe_tokens" -> Q(
       (s, dir) => table(s, dir, "documents")
-        .select(col("doc_id"), bpeTokens(col("text")).as("toks"),
+        .select(col("doc_id"),
+          array_join(bpeTokens(col("text")), "\u0001").as("toks_joined"),
           bpeTokenCount(col("text")).as("n_bpe")),
       Some {
         val pat = graft.functions.TextFunctions.bpePattern.replace("'", "''")
         raw"""SELECT doc_id,
-               list_filter(regexp_extract_all(text, '$pat'),
-                           x -> NOT regexp_matches(x, '^\s+$$')) AS toks,
+               array_to_string(list_filter(regexp_extract_all(text, '$pat'),
+                           x -> NOT regexp_matches(x, '^\s+$$')), chr(1)) AS toks_joined,
                CAST(len(list_filter(regexp_extract_all(text, '$pat'),
                            x -> NOT regexp_matches(x, '^\s+$$'))) AS BIGINT) AS n_bpe
              FROM documents"""
@@ -156,6 +160,18 @@ object ExtQueries {
       golden("q_fingerprint_winnow")),
   )
 
+  /** The SHARED MinHash index of the documents corpus (battery params:
+    * shingle 3, 128 hashes, 32 bands): built once per JVM and re-read from
+    * its parquet layout, so the four pair pipelines below (pairs, greedy
+    * drop, clustering, incremental) consume one signature pass — the
+    * nightly-index-job shape — instead of re-tokenizing the corpus per
+    * query.
+    */
+  private def docsMinhashIdx(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Dedup.minhashIndexFor(table(s, dir, "documents"),
+      cacheKey = s"$dir/documents!minhash!3!128!32",
+      "doc_id", "text", shingleSize = 3, numHashes = 128, bands = 32)
+
   private val dedupQueries: Seq[(String, Q)] = Seq(
     // Exact dedup: smallest doc_id survives per distinct text.
     "q_dedup_exact" -> Q(
@@ -189,9 +205,8 @@ object ExtQueries {
     // band agreement + signature estimate) is an exact oracle for the
     // distributed banding/join/distinct machinery.
     "q_dedup_minhash" -> Q(
-      (s, dir) => Dedup.minhashPairs(table(s, dir, "documents"),
-        "doc_id", "text", shingleSize = 3, numHashes = 128, bands = 32,
-        threshold = 0.5).select(col("id1"), col("id2")),
+      (s, dir) => Dedup.minhashPairsFromIndex(docsMinhashIdx(s, dir),
+        numHashes = 128, threshold = 0.5).select(col("id1"), col("id2")),
       golden("q_dedup_minhash")),
 
     // SimHash near-dup pairs (Hamming ≤ 3 over 64-bit token simhash).
@@ -204,12 +219,9 @@ object ExtQueries {
 
     // Corpus after greedy near-dup removal (LSH pairs, smaller id survives).
     "q_neardup_drop" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        Dedup.dropNearDuplicates(docs, "doc_id",
-          Dedup.minhashPairs(docs, "doc_id", "text", shingleSize = 3,
-            numHashes = 128, bands = 32, threshold = 0.5))
-      },
+      (s, dir) => Dedup.dropNearDuplicates(table(s, dir, "documents"), "doc_id",
+        Dedup.minhashPairsFromIndex(docsMinhashIdx(s, dir),
+          numHashes = 128, threshold = 0.5)),
       golden("q_neardup_drop")),
 
     // INCREMENTAL dedup: a "new batch" (doc_id >= 250) probed against the
@@ -219,12 +231,11 @@ object ExtQueries {
     // split-and-probe path produce identical band collisions).
     "q_dedup_incremental" -> Q(
       (s, dir) => {
-        val docs = table(s, dir, "documents")
-        Dedup.incrementalNearDups(
-          docs.filter(col("doc_id") >= 250), "doc_id", "text",
-          Dedup.minhashBandIndex(docs.filter(col("doc_id") < 250), "doc_id", "text",
-            shingleSize = 3, numHashes = 128, bands = 32),
-          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.5)
+        val idx = docsMinhashIdx(s, dir)
+        Dedup.incrementalNearDupsIndexed(
+          Dedup.sliceIndex(idx, col("id") >= 250),
+          Dedup.sliceIndex(idx, col("id") < 250),
+          numHashes = 128, threshold = 0.5)
           .select("new_id", "old_id")
       },
       Some("""SELECT id2 AS new_id, id1 AS old_id
@@ -238,12 +249,9 @@ object ExtQueries {
     // q_dedup_minhash) — so the distributed hash-min iteration is gated
     // against a genuinely different algorithm.
     "q_dedup_clusters" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        Dedup.connectedComponents(docs, "doc_id",
-          Dedup.minhashPairs(docs, "doc_id", "text", shingleSize = 3,
-            numHashes = 128, bands = 32, threshold = 0.5))
-      },
+      (s, dir) => Dedup.connectedComponents(table(s, dir, "documents"), "doc_id",
+        Dedup.minhashPairsFromIndex(docsMinhashIdx(s, dir),
+          numHashes = 128, threshold = 0.5)),
       Some(s"""
         WITH RECURSIVE
         edges AS (SELECT id1, id2 FROM
@@ -578,6 +586,33 @@ object ExtQueries {
         FROM sess GROUP BY user_id, sess_id""")),
   )
 
+  private val layoutQueries: Seq[(String, Q)] = Seq(
+    // Shuffle-free co-located join over the bucketed-table layout: both
+    // sides written bucketed by the join key ONCE per JVM (the nightly
+    // layout job), then joined with no Exchange on either side
+    // (spec-pinned in BucketingSpec; this row makes the layout's RESULT
+    // driver-verifiable against a plain join oracle).
+    "q_bucketed_join" -> Q(
+      (s, dir) => {
+        val sfx = java.lang.Integer.toHexString(dir.hashCode)
+        val o = graft.operators.Bucketing.ensureBucketed(
+          s, s"b_orders_$sfx", Seq("o_orderkey"), 8)(table(s, dir, "orders"))
+        val l = graft.operators.Bucketing.ensureBucketed(
+          s, s"b_lineitem_$sfx", Seq("l_orderkey"), 8)(table(s, dir, "lineitem"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          // long-cents accumulation, same as q1_agg (exact for 2-dec money)
+          .agg((sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
+            .as("sum_price"),
+            count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT o_orderstatus,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               count(*) AS cnt
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY 1""")),
+  )
+
   // Headline analytical queries (bench anchors; also oracle-checked).
   private val headlineQueries: Seq[(String, Q)] = Seq(
     // Money sums accumulate as LONG CENTS — exact and order-independent like
@@ -630,5 +665,5 @@ object ExtQueries {
   def all: Seq[(String, Q)] =
     textQueries ++ dedupQueries ++ simQueries ++ curationQueries ++
       quantileQueries ++ multimodalQueries ++ resizeQueries ++
-      eventQueries ++ headlineQueries
+      eventQueries ++ layoutQueries ++ headlineQueries
 }

@@ -20,13 +20,22 @@ object Queries {
 
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which the
     * vectorized reader rejects; read nanos as long and convert losslessly to
-    * a micros timestamp (the generator emits micro-aligned values).
+    * a micros timestamp (the generator emits micro-aligned values). The
+    * nanosAsLong flag rides as a READER option (merged into this relation's
+    * scan-side hadoop conf only) instead of a session-conf mutation, so no
+    * other battery query sees it; the explicit schema skips the footer
+    * inference step, which only consults the session conf.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+  private[graft] val eventsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING")
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .schema(eventsSchema)
+      .parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 
   /** Evaluate a rule-JSON string against a table. */
   private def rule(tableName: String, json: String,
@@ -378,6 +387,20 @@ object Queries {
                ORDER BY o_totalprice DESC, o_orderkey DESC, o_custkey DESC, o_orderstatus DESC,
                         o_orderdate DESC) rn FROM orders WHERE o_orderstatus = 'O') t
              WHERE rn = 1""")),
+
+    // externalParams through SQL: the optional third TVF argument is a
+    // JSON object resolved by the Dynamic* operator family — the same
+    // param path the library's evaluate(…, externalParams) takes.
+    "q_sql_tvf_params" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        table(s, dir, "customer").createOrReplaceTempView("customer_v")
+        s.sql("""SELECT * FROM evaluate_rule('customer_v',
+          '{"Conditions":{"Conditions":[
+              {"Property":"c_mktsegment","Operator":"DynamicEqual","Value":null}]}}',
+          '{"c_mktsegment":"MACHINERY"}')""")
+      },
+      Some("SELECT * FROM customer WHERE c_mktsegment = 'MACHINERY'")),
 
     // Multi-rule UNION DISTINCT through the evaluate_rules TVF.
     "q_sql_tvf_rules" -> Q(

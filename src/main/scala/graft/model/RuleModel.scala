@@ -163,6 +163,16 @@ object RuleJson {
 
   def parseValue(json: String): RuleValue = valueFromNode(mapper.readTree(json))
 
+  /** Parses a JSON OBJECT (`{"name": value, ...}`) of external parameters
+    * into the map the evaluator's Dynamic* operators resolve against
+    * (values arrive as [[RuleValue]], which the compiler accepts as-is).
+    */
+  def parseParams(json: String): Map[String, Any] = {
+    val n = mapper.readTree(json)
+    require(n.isObject, "expected a JSON object of external parameters")
+    n.properties().asScala.map(e => e.getKey -> (valueFromNode(e.getValue): Any)).toMap
+  }
+
   private def field(n: JsonNode, name: String): Option[JsonNode] =
     n.properties().asScala
       .collectFirst { case e if e.getKey.equalsIgnoreCase(name) => e.getValue }

@@ -33,4 +33,16 @@ object Bucketing {
     */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Write-once access to a bucketed layout: builds and writes the table
+    * only if the catalog doesn't already have it, then reads it back — the
+    * amortization contract of bucketing (one shuffle at write time, zero
+    * on every subsequent join/aggregate).
+    */
+  def ensureBucketed(spark: SparkSession, table: String, keys: Seq[String],
+                     numBuckets: Int)(build: => DataFrame): DataFrame = {
+    if (!spark.catalog.tableExists(table))
+      writeBucketed(build, table, keys, numBuckets)
+    spark.table(table)
+  }
 }

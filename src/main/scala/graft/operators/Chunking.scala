@@ -50,11 +50,27 @@ object Chunking {
     * first at 100 TB.
     */
   def packByTokenBudget(df: DataFrame, orderCol: String, textCol: String,
-                        budgetTokens: Long, bucketSize: Long = 1000L): DataFrame = {
+                        budgetTokens: Long, bucketSize: Long = 1000L): DataFrame =
+    packByTokenBudget(df, Seq(orderCol), textCol, budgetTokens, bucketSize)
+
+  /** Composite-key variant: global order is LEXICOGRAPHIC over `orderCols`
+    * (e.g. `(doc_id, chunk_id)`) — no fused numeric key, so no overflow and
+    * no silent collision cap. Only the FIRST column buckets the coarse
+    * prefix sum (it must be numeric and must dominate the order, which a
+    * lexicographic key guarantees); the within-bucket window orders by the
+    * full composite.
+    */
+  def packByTokenBudget(df: DataFrame, orderCols: Seq[String], textCol: String,
+                        budgetTokens: Long, bucketSize: Long): DataFrame = {
     require(budgetTokens > 0 && bucketSize > 0, "budget and bucketSize must be positive")
+    require(orderCols.nonEmpty, "at least one order column required")
+    require(df.schema(orderCols.head).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"leading order column '${orderCols.head}' must be numeric " +
+        "(it buckets the distributed prefix sum)")
     val withN = df
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
-      .withColumn("__bucket", floor(col(orderCol) / bucketSize))
+      .withColumn("__bucket", floor(col(orderCols.head) / bucketSize))
     val bucketSums = withN.groupBy("__bucket")
       .agg(sum(col("n_tokens")).as("__bucket_sum"))
     // window over n_buckets rows — orders of magnitude smaller than the data
@@ -64,7 +80,8 @@ object Chunking {
           .over(Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select("__bucket", "__bucket_offset")
-    val withinBucket = Window.partitionBy("__bucket").orderBy(orderCol)
+    val withinBucket = Window.partitionBy("__bucket")
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     withN
       .join(broadcast(bucketOffsets), "__bucket")

@@ -41,15 +41,13 @@ object Curation {
       Dedup.minhashPairs(exactDeduped, idCol, textCol,
         threshold = cfg.nearDupThreshold))
     val chunks = Chunking.chunkByTokens(nearDeduped, idCol, textCol,
-      cfg.chunkTokens, cfg.chunkStride)
-    // a deterministic GLOBAL order key for packing: (doc, chunk) composite.
-    // Chunk counts are bounded by doc length / stride, far below the 1e6
-    // spacing; bucketSize covers ~1000 docs per prefix-sum bucket.
-    val ordered = chunks
-      .withColumn("__ord", col(idCol) * 1000000L + col("chunk_id"))
+        cfg.chunkTokens, cfg.chunkStride)
       .withColumnRenamed("chunk_text", "__text")
-    Chunking.packByTokenBudget(ordered, "__ord", "__text",
-      cfg.packBudgetTokens, bucketSize = 1000000000L)
+    // deterministic GLOBAL packing order = lexicographic (doc, chunk): the
+    // composite-key prefix sum buckets on the doc id (~1000 docs/bucket) —
+    // no fused numeric key, so arbitrary id magnitudes and chunk counts.
+    Chunking.packByTokenBudget(chunks, Seq(idCol, "chunk_id"), "__text",
+      cfg.packBudgetTokens, bucketSize = 1000L)
       .withColumnRenamed("__text", "chunk_text")
       .select(idCol, "chunk_id", "chunk_text", "n_tokens", "pack_id")
   }

@@ -14,7 +14,7 @@ import org.apache.spark.storage.StorageLevel
   * for non-pathological corpora. Exact paths used for oracle-checked
   * correctness queries state their blocking predicate explicitly.
   */
-object Dedup {
+object Dedup extends org.apache.spark.internal.Logging {
 
   /** Exact dedup: one surviving row per distinct value of `key` — the row
     * with the smallest `order` column (deterministic, unlike dropDuplicates).
@@ -59,29 +59,85 @@ object Dedup {
                    bands: Int = 32, threshold: Double = 0.7,
                    materialize: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rows = numHashes / bands
     // Materialized once (compact: id + numHashes longs): the signature table
     // feeds the banding explode AND both verify-join sides — without a
     // barrier every consumer re-tokenizes and re-hashes the full corpus.
-    val sigs = materialized(materialize, df
-      .select(col(idCol).as("id"),
+    val sigs = materialized(materialize,
+      signatureTable(df, idCol, textCol, shingleSize, numHashes))
+    minhashPairsFromIndex(MinhashIndex(sigs, bandTable(sigs, numHashes, bands)),
+      numHashes, threshold)
+  }
+
+  /** The signature table (id, sig) of a corpus — ONE tokenize+hash pass. */
+  private def signatureTable(df: DataFrame, idCol: String, textCol: String,
+                             shingleSize: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("id"),
         TextFunctions.wordShingles(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig")))
-    val banded = sigs.select(col("id"), col("sig"),
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+
+  /** Banded (id, band, bh) rows derived from a signature table. */
+  private def bandTable(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sigs.select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bh"))))
           .as("bucket"))
-      .select(col("id"), col("sig"), col("bucket.band"), col("bucket.bh"))
+      .select(col("id"), col("bucket.band"), col("bucket.bh"))
+  }
+
+  /** A PERSISTED MinHash index of a corpus snapshot, split into its two
+    * production tables: `sigs` (id, sig — the verify side) and `bands`
+    * (id, band, bh — the candidate-generation side, bucketed by the band
+    * key in production). Every pair pipeline over the same corpus — pairs,
+    * greedy drop, clustering, incremental probing — consumes ONE shared
+    * signature pass through this layout instead of re-tokenizing the
+    * corpus per query, which is exactly how a nightly index job amortizes
+    * at 100 TB.
+    */
+  final case class MinhashIndex(sigs: DataFrame, bands: DataFrame)
+
+  private val minhashIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, MinhashIndex]()
+
+  /** Build-once, consume-many index access: built ONE time per (JVM,
+    * cacheKey), written as parquet, and re-read from disk — so consumers
+    * across independent queries (and cache clears) share the single
+    * signature pass. Mirrors [[Similarity.ivfIndexFor]].
+    */
+  def minhashIndexFor(df: => DataFrame, cacheKey: String,
+                      idCol: String, textCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 128,
+                      bands: Int = 32): MinhashIndex =
+    minhashIndexCache.computeIfAbsent(cacheKey, _ => {
+      require(numHashes % bands == 0, "numHashes must divide into bands")
+      val sigs = signatureTable(df, idCol, textCol, shingleSize, numHashes)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_minhash/" +
+        java.lang.Integer.toHexString(cacheKey.hashCode) + s"_h${numHashes}_b$bands"
+      val spark = sigs.sparkSession
+      sigs.write.mode("overwrite").parquet(s"$base/sigs")
+      bandTable(sigs, numHashes, bands).write.mode("overwrite").parquet(s"$base/bands")
+      sigs.unpersist()
+      MinhashIndex(spark.read.parquet(s"$base/sigs"),
+        spark.read.parquet(s"$base/bands"))
+    })
+
+  /** Near-duplicate pairs from a prebuilt [[MinhashIndex]]: banded
+    * candidate equi-join + signature-estimate verify — identical semantics
+    * to [[minhashPairs]], zero tokenization.
+    */
+  def minhashPairsFromIndex(index: MinhashIndex, numHashes: Int,
+                            threshold: Double): DataFrame = {
     // Candidates as PRIMITIVE id pairs only (a hash-aggregable distinct);
     // signatures re-join afterwards — keeping array columns inside the
     // dropDuplicates would force a SortAggregate over every candidate.
-    val a = banded.select(col("band"), col("bh"), col("id").as("id1"))
-    val b = banded.select(col("band"), col("bh"), col("id").as("id2"))
+    val a = index.bands.select(col("band"), col("bh"), col("id").as("id1"))
+    val b = index.bands.select(col("band"), col("bh"), col("id").as("id2"))
     val cand = a.join(b, Seq("band", "bh")).filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    val s1 = sigs.select(col("id").as("id1"), col("sig").as("sig1"))
-    val s2 = sigs.select(col("id").as("id2"), col("sig").as("sig2"))
+    val s1 = index.sigs.select(col("id").as("id1"), col("sig").as("sig1"))
+    val s2 = index.sigs.select(col("id").as("id2"), col("sig").as("sig2"))
     cand.join(s1, "id1").join(s2, "id2")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), p => p))
@@ -89,6 +145,32 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select("id1", "id2", "est_jaccard")
   }
+
+  /** Incremental probe between two [[MinhashIndex]] SLICES (e.g. today's
+    * batch vs the historical snapshot): candidate pairs from the band
+    * join, verified on the signature estimate — [[incrementalNearDups]]
+    * without re-hashing either side.
+    */
+  def incrementalNearDupsIndexed(newIndex: MinhashIndex, oldIndex: MinhashIndex,
+                                 numHashes: Int, threshold: Double): DataFrame = {
+    val cand = newIndex.bands.select(col("band"), col("bh"), col("id").as("new_id"))
+      .join(oldIndex.bands.select(col("band"), col("bh"), col("id").as("old_id")),
+        Seq("band", "bh"))
+      .filter(col("new_id") =!= col("old_id"))
+      .select("new_id", "old_id").distinct()
+    cand
+      .join(newIndex.sigs.select(col("id").as("new_id"), col("sig").as("new_sig")), "new_id")
+      .join(oldIndex.sigs.select(col("id").as("old_id"), col("sig").as("old_sig")), "old_id")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("new_sig"), col("old_sig"), (x, y) => x === y), p => p))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("new_id", "old_id", "est_jaccard")
+  }
+
+  /** Restrict an index to the ids a predicate keeps (both tables). */
+  def sliceIndex(index: MinhashIndex, keep: Column): MinhashIndex =
+    MinhashIndex(index.sigs.filter(keep), index.bands.filter(keep))
 
   /** The persisted MinHash BAND INDEX of a corpus: one row per (band,
     * band-hash, id) plus the full signature — written once per corpus
@@ -208,11 +290,20 @@ object Dedup {
           least(col("__c1"), coalesce(col("j_comp"), col("__c1"))).as("component"),
           (least(col("__c1"), coalesce(col("j_comp"), col("__c1"))) < col("__old"))
             .as("__improved"))
-      val checkpointed = next.localCheckpoint(true)
-      converged = checkpointed.filter(col("__improved")).isEmpty
+      // ONE job per round: a LAZY checkpoint materializes (and truncates
+      // lineage) as a side effect of the convergence aggregate running
+      // over it — r4 spent a second full job per round on an eager
+      // checkpoint followed by a separate filter(...).isEmpty probe.
+      val checkpointed = next.localCheckpoint(false)
+      val improved = checkpointed
+        .agg(sum(when(col("__improved"), 1L).otherwise(0L))).head()
+      converged = improved.isNullAt(0) || improved.getLong(0) == 0L
       labels = checkpointed.drop("__improved")
       iter += 1
     }
+    if (!converged)
+      logWarning(s"connectedComponents did NOT converge after $maxIter rounds " +
+        "— component labels may be incomplete (raise maxIter)")
     und.unpersist()
     df.select(col(idCol).as("id"))
       .join(labels.withColumnRenamed("id", "__lid"), col("id") === col("__lid"), "left")

@@ -37,20 +37,34 @@ object EvaluateRuleTvf {
     SparkSession.getActiveSession.getOrElse(
       throw new IllegalStateException("no active SparkSession"))
 
-  /** `evaluate_rule(table, ruleJson)` → the rule's result plan. */
+  private def paramsArg(args: Seq[Expression], at: Int): Map[String, Any] =
+    if (args.length > at) RuleJson.parseParams(stringLit(args(at), "params json"))
+    else Map.empty
+
+  /** `evaluate_rule(table, ruleJson[, paramsJson])` → the rule's result
+    * plan; the optional third argument is a JSON object of external
+    * parameters for the Dynamic* operator family, identical to the
+    * library path's `externalParams`.
+    */
   val evaluateRule: Seq[Expression] => LogicalPlan = { args =>
-    require(args.length == 2, "usage: evaluate_rule('<table>', '<rule json>')")
+    require(args.length == 2 || args.length == 3,
+      "usage: evaluate_rule('<table>', '<rule json>'[, '<params json object>'])")
     val spark = activeSession
     val df = spark.table(stringLit(args.head, "table name"))
-    plan(RuleEvaluator(df, RuleJson.parseRule(stringLit(args(1), "rule json"))))
+    plan(RuleEvaluator(df, RuleJson.parseRule(stringLit(args(1), "rule json")),
+      paramsArg(args, 2)))
   }
 
-  /** `evaluate_rules(table, rulesJson)` → UNION DISTINCT of the rules. */
+  /** `evaluate_rules(table, rulesJson[, paramsJson])` → UNION DISTINCT of
+    * the rules, sharing one external-parameter object.
+    */
   val evaluateRules: Seq[Expression] => LogicalPlan = { args =>
-    require(args.length == 2, "usage: evaluate_rules('<table>', '<rules json array>')")
+    require(args.length == 2 || args.length == 3,
+      "usage: evaluate_rules('<table>', '<rules json array>'[, '<params json object>'])")
     val spark = activeSession
     val df = spark.table(stringLit(args.head, "table name"))
-    plan(RuleSetExecutor.executeAll(df, RuleJson.parseRules(stringLit(args(1), "rules json"))))
+    plan(RuleSetExecutor.executeAll(df,
+      RuleJson.parseRules(stringLit(args(1), "rules json")), paramsArg(args, 2)))
   }
 
   val all: Map[String, Seq[Expression] => LogicalPlan] = Map(

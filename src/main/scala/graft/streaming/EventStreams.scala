@@ -154,10 +154,13 @@ object EventStreams {
   }
 
   /** EVENT-TIME sessionization via per-key mutable state: sessions close
-    * when the WATERMARK passes session_end + gap — fully deterministic in
-    * event time (replaying the same stream yields the same sessions at the
-    * same points, unlike the wall-clock variant below). State per user is
-    * O(1); `setTimeoutTimestamp` is clamped above the current watermark
+    * when the WATERMARK passes session_end + gap — deterministic in event
+    * time (replaying the same stream yields the same sessions at the same
+    * points, unlike the wall-clock variant below; see [[mergeSessions]] for
+    * the one cross-batch emission caveat). Out-of-order events within the
+    * watermark merge correctly on both sides of the open session (start
+    * moves backward via the interval merge). State per user is O(1);
+    * `setTimeoutTimestamp` is clamped above the current watermark
     * (required by the engine when late data arrives after the horizon).
     */
   def sessionizeStreamEventTime(events: Dataset[Event], gapMinutes: Int,
@@ -190,30 +193,47 @@ object EventStreams {
       }
   }
 
-  /** Shared in-batch session merge: fold a batch of events (sorted by
-    * event time) into the open session, closing on gap breaks. Returns
-    * (sessions closed by this batch, the still-open session).
+  /** Shared in-batch session merge, as an INTERVAL MERGE over the open
+    * session plus the batch's events: every event is an (t, t, 1) interval,
+    * the open state a compressed (start, end, n) one; intervals sort by
+    * start and chain-merge while the gap to the predecessor ≤ gapMs. This
+    * handles out-of-order events on BOTH sides of the open session — an
+    * event older than start merges with start = min (or forms its own
+    * earlier session when it is more than a gap before start), an event
+    * inside [start, end] just counts. All but the latest merged session
+    * close; the latest stays open. Returns (closed sessions ascending, the
+    * still-open session).
+    *
+    * Cross-batch caveat (documented, inherent to incremental emission): a
+    * session closed here because a LATER event in the same batch broke the
+    * gap is final — an even-later micro-batch can no longer extend it, even
+    * inside the watermark, while the same two events arriving in one batch
+    * would have produced the same two sessions anyway. Determinism holds
+    * for any arrival order of the SAME events within a batch, and for any
+    * batch split of an in-order stream.
     */
   private def mergeSessions(userId: Long, batch: Iterator[Event],
                             open: Option[(Long, Long, Long, Long)], gapMs: Long)
       : (List[SessionSummary], Option[(Long, Long, Long, Long)]) = {
-    val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-    var closed = List.empty[SessionSummary]
-    var cur = open
-    sorted.foreach { e =>
-      val t = e.ts.getTime
-      cur match {
-        case Some((start, end, n, _)) if t - end <= gapMs =>
-          cur = Some((start, t max end, n + 1, userId))
-        case Some((start, end, n, _)) =>
-          closed ::= SessionSummary(
-            userId, new java.sql.Timestamp(start), new java.sql.Timestamp(end), n)
-          cur = Some((t, t, 1L, userId))
-        case None =>
-          cur = Some((t, t, 1L, userId))
+    val intervals =
+      (batch.map(e => (e.ts.getTime, e.ts.getTime, 1L)) ++
+        open.iterator.map { case (s, e, n, _) => (s, e, n) })
+        .toSeq.sortBy { case (s, e, _) => (s, e) }
+    var merged = List.empty[(Long, Long, Long)] // descending by start
+    intervals.foreach { case (s, e, n) =>
+      merged match {
+        case (ps, pe, pn) :: rest if s - pe <= gapMs =>
+          merged = (ps, math.max(pe, e), pn + n) :: rest
+        case _ =>
+          merged = (s, e, n) :: merged
       }
     }
-    (closed.reverse, cur)
+    val ascending = merged.reverse
+    val closed = ascending.dropRight(1).map { case (s, e, n) =>
+      SessionSummary(userId, new java.sql.Timestamp(s), new java.sql.Timestamp(e), n)
+    }
+    val cur = ascending.lastOption.map { case (s, e, n) => (s, e, n, userId) }
+    (closed, cur)
   }
 
   /** Streaming sessionization via per-key mutable state

@@ -40,14 +40,16 @@ class EventStreamsSpec extends SparkSpec {
   }
 
   test("file-source streaming over the real events parquet matches batch") {
-    val batchEvents = graft.Queries.events(spark, sf()) // sets nanosAsLong conf
-    val rawSchema = spark.read.parquet(sf() + "/events.parquet").schema
+    val batchEvents = graft.Queries.events(spark, sf())
     // the file stream source requires a DIRECTORY; stage a symlink
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"),
       java.nio.file.Paths.get(sf() + "/events.parquet"))
-    val stream = spark.readStream.schema(rawSchema)
+    // same scoped nanosAsLong reader option + explicit schema as the batch
+    // reader — the session conf stays untouched on purpose
+    val stream = spark.readStream.schema(graft.Queries.eventsSchema)
+      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
       .parquet(dir.toString)
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     val q = EventStreams.windowedStatsStream(stream)
