@@ -41,8 +41,21 @@ object Bucketing {
     */
   def ensureBucketed(spark: SparkSession, table: String, keys: Seq[String],
                      numBuckets: Int)(build: => DataFrame): DataFrame = {
-    if (!spark.catalog.tableExists(table))
+    if (!spark.catalog.tableExists(table)) {
+      // a previous JVM's leftover warehouse directory fails CREATE with
+      // LOCATION_ALREADY_EXISTS (overwrite only applies to catalog-known
+      // tables) — clear the stale location first
+      val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
+      val loc = new java.io.File(
+        if (wh.getPath != null && wh.getPath.nonEmpty) wh.getPath
+        else wh.toString, table.toLowerCase)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (loc.exists()) rm(loc)
       writeBucketed(build, table, keys, numBuckets)
+    }
     spark.table(table)
   }
 }

@@ -103,6 +103,20 @@ object Similarity {
       IvfIndex(fresh.assigned.sparkSession.read.parquet(path), fresh.centroids)
     })
 
+  /** Load a written IVF index layout: `path/assigned` (parquet partitioned
+    * by `__cluster`) + `path/centroids` (cluster, centroid). The read side
+    * of the offline index job — probes against it prune partitions at the
+    * source.
+    */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select("cluster", "centroid")
+      .orderBy("cluster").collect()
+      .map(_.getSeq[Double](1).toArray)
+    IvfIndex(assigned, centroids)
+  }
+
   def buildIvf(df: DataFrame, idCol: String, vecCol: String,
                nClusters: Int, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans

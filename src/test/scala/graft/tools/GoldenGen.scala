@@ -178,6 +178,46 @@ object GoldenGen {
       .toSeq.sortBy { case (id, c) => (-c, id) }.take(10)
     write(annTop.toDF("vec_id", "cos"), "q_ann_lsh")
 
+    // ---- q_ann_ivf: committed seeded IVF index + expected probe top-k ---
+    // The k-means fit is the one non-replayable build step, so the SEEDED
+    // INDEX ITSELF is the fixture (assigned table partitioned by cluster +
+    // centroids). The expected probe result is then recomputed with plain
+    // driver loops OVER THE COMMITTED INDEX — centroid L2 ranking,
+    // nprobe=4 cluster filter, exact cosine, (cos desc, id) top-10 — so
+    // the distributed partition-pruned probe is what the gate checks.
+    val ivf = graft.operators.Similarity.buildIvf(
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter($"vec_id" =!= 0L).select("vec_id", "embedding"),
+      "vec_id", "embedding", nClusters = 16, seed = 42L)
+    val idxDir = s"$outBase/ivf_index"
+    ivf.assigned.coalesce(1).write.mode("overwrite")
+      .partitionBy("__cluster").parquet(s"$idxDir/assigned")
+    ivf.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idxDir/centroids")
+    def cleanTree(f: java.io.File): Unit =
+      f.listFiles().foreach { c =>
+        if (c.isDirectory) cleanTree(c)
+        else if (!c.getName.endsWith(".parquet")) c.delete()
+      }
+    cleanTree(new java.io.File(idxDir))
+    val assignedBack: Array[(Long, Seq[Float], Int)] = spark.read
+      .parquet(s"$idxDir/assigned")
+      .select("vec_id", "embedding", "__cluster")
+      .as[(Long, Seq[Float], Int)].collect()
+    def l2(c: Array[Double]): Double =
+      math.sqrt(c.zip(qVec).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val probe = ivf.centroids.zipWithIndex
+      .sortBy { case (c, _) => l2(c) }.take(4).map(_._2).toSet
+    val ivfTop = assignedBack.iterator
+      .filter { case (_, _, cl) => probe.contains(cl) }
+      .map { case (id, v, _) => (id, cosine(qVec, v)) }
+      .toSeq.sortBy { case (id, c) => (-c, id) }.take(10)
+    write(ivfTop.toDF("vec_id", "cos"), "q_ann_ivf")
+    println(s"[golden] ivf_index: ${assignedBack.length} vectors, " +
+      s"${ivf.centroids.length} centroids -> $idxDir")
+
     spark.stop()
   }
 }
