@@ -151,6 +151,36 @@ object ExtQueries {
           FROM cnt) t
         WHERE rank <= 10""")),
 
+    // Repetition quality signals (the pretraining "repetition rules"
+    // family): duplicate-line fraction (narrow array arithmetic) and
+    // top-bigram fraction (distributed two-aggregation max, never a
+    // per-row quadratic loop).
+    "q_repetition" -> Q(
+      (s, dir) => graft.operators.TextStats.repetitionSignals(
+        table(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""
+        WITH lines AS (SELECT doc_id,
+          list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
+          FROM documents),
+        ls AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+          CASE WHEN len(ls) > 0
+               THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
+               ELSE 0.0 END AS dup_line_frac
+          FROM lines),
+        t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+        bg AS (SELECT doc_id,
+          unnest(list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          FROM t WHERE len(toks) >= 2),
+        cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        top AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+          CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+          FROM cnt GROUP BY doc_id)
+        SELECT l.doc_id AS id, l.n_lines, l.dup_line_frac,
+          COALESCE(t.n_bigrams, 0) AS n_bigrams,
+          COALESCE(t.top_bigram_frac, 0.0) AS top_bigram_frac
+        FROM ls l LEFT JOIN top t ON l.doc_id = t.doc_id""")),
+
     // Winnowing fingerprints: substring-sharing pairs via an inverted-index
     // join on local-min Rabin-Karp hashes (shared-fingerprint count >= 3).
     // Rolling-hash arithmetic is not expressible in DuckDB SQL -> golden
@@ -397,11 +427,11 @@ object ExtQueries {
               FROM n)
         SELECT doc_id, lang, n_tokens, CAST(before // 2000 AS BIGINT) AS pack_id FROM c""")),
 
-    // The END-TO-END curation pipeline (scrub → lang/quality filter →
+    // The END-TO-END curation pipeline (lang/quality filter → scrub →
     // exact dedup → transitive near-dup removal → chunk → pack), gated by
     // chaining the per-stage oracle SQL. The scrub stage is provably a
     // no-op on this corpus (0 regex hits for all three PII patterns,
-    // verified in DuckDB), so the oracle chain starts at the filters; the
+    // verified in DuckDB), so the oracle chain skips it; the
     // near-dup stage reuses the exact golden pair fixture restricted to
     // filter+dedup survivors (band collisions are per-pair, so the
     // full-corpus fixture restricted to surviving endpoints IS the pair

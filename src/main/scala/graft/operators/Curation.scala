@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * library's operators — what "a user of this engine" actually runs over a
   * raw crawl:
   *
-  *   scrub PII → language filter → quality filter → exact dedup →
+  *   language filter → quality filter → scrub PII → exact dedup →
   *   transitive near-dup removal → token-window chunking → budget packing
   *
   * Every stage is one of the individually oracle-gated operators; this
@@ -29,20 +29,37 @@ object Curation {
 
   /** Returns the packed training chunks: (doc_id, chunk_id, chunk_text,
     * n_tokens, pack_id).
+    *
+    * Two explicit materialization barriers (reclaimed by Spark's
+    * ContextCleaner once unreferenced; `materialize = false` keeps the
+    * plan fully lazy): the exact-deduped corpus fans out three ways (the
+    * signature pass, the component join, the survivor semi-join) and the
+    * chunk table feeds both levels of the packing prefix sum — without
+    * the barriers every consumer re-runs the scrub+filter+dedup subtree
+    * (measured 9.4 s → 3.4 s at sf0.1 for the battery config).
     */
   def pretrainingPipeline(docs: DataFrame, idCol: String, textCol: String,
-                          cfg: Config = Config()): DataFrame = {
-    val scrubbed = docs.withColumn(textCol, TextFunctions.scrubPii(col(textCol)))
-    val filtered = scrubbed
+                          cfg: Config = Config(),
+                          materialize: Boolean = true): DataFrame = {
+    def materialized(df: DataFrame): DataFrame =
+      if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    // Cheapest-first, highest-reduction-first: language + quality filters
+    // run on the RAW text and the 3-pattern scrub chain only touches
+    // surviving documents (a minority of a raw crawl). Filtering pre-scrub
+    // is also the semantically safer order — redaction tags never
+    // influence the language/quality decision.
+    val filtered = docs
       .filter(TextFunctions.langId(col(textCol)).isin(cfg.keepLangs.toSeq: _*))
       .filter(TextFunctions.qualityScore(col(textCol)) >= cfg.minQuality)
-    val exactDeduped = Dedup.exact(filtered, col(textCol), col(idCol))
+    val scrubbed = filtered.withColumn(textCol, TextFunctions.scrubPii(col(textCol)))
+    val exactDeduped = materialized(Dedup.exact(scrubbed, col(textCol), col(idCol)))
     val nearDeduped = Dedup.dropNearDuplicateClusters(exactDeduped, idCol,
       Dedup.minhashPairs(exactDeduped, idCol, textCol,
         threshold = cfg.nearDupThreshold))
-    val chunks = Chunking.chunkByTokens(nearDeduped, idCol, textCol,
+    val chunks = materialized(Chunking.chunkByTokens(nearDeduped, idCol, textCol,
         cfg.chunkTokens, cfg.chunkStride)
-      .withColumnRenamed("chunk_text", "__text")
+      .withColumnRenamed("chunk_text", "__text"))
     // deterministic GLOBAL packing order = lexicographic (doc, chunk): the
     // composite-key prefix sum buckets on the doc id (~1000 docs/bucket) —
     // no fused numeric key, so arbitrary id magnitudes and chunk counts.

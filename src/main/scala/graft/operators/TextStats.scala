@@ -35,4 +35,52 @@ object TextStats {
         col("__t.token").as("token"), col("__t.cnt").as("cnt"),
         (col("__pos") + 1).cast("long").as("rank")): _*)
   }
+
+  /** Per-document REPETITION signals — the standard pretraining quality
+    * filters for boilerplate/spam (the "repetition rules" family):
+    *
+    *  - `dup_line_frac`: fraction of the document's newline-separated
+    *    non-blank lines that are repeats of an earlier line
+    *    (`1 − distinct/total`; 0 for ≤1 line). Pure narrow array
+    *    arithmetic — `array_distinct` is linear per row, no shuffle.
+    *  - `top_bigram_frac`: occurrences of the most frequent word bigram
+    *    over total bigrams (0 when < 2 tokens). Computed DISTRIBUTED:
+    *    explode bigrams → per-(doc, bigram) count (map-side combine
+    *    collapses repeats before the shuffle) → per-doc max — two hash
+    *    aggregations, never an O(tokens²) per-row loop, so a single
+    *    pathological 10⁶-token document cannot stall a task.
+    *
+    * Output: (id, n_lines, dup_line_frac, n_bigrams, top_bigram_frac);
+    * documents with no tokens/lines keep zeros (never dropped here —
+    * thresholding is the caller's policy).
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
+    val lineStats = df.select(col(idCol).as("id"),
+        size(lines).as("n_lines"),
+        size(array_distinct(lines)).as("__n_distinct"))
+      .select(col("id"), col("n_lines").cast("long").as("n_lines"),
+        when(col("n_lines") > 0,
+          (col("n_lines") - col("__n_distinct")).cast("double") / col("n_lines"))
+          .otherwise(lit(0.0)).as("dup_line_frac"))
+    val toks = TextFunctions.tokens(col(textCol))
+    val bigrams = df.select(col(idCol).as("id"), toks.as("__toks"))
+      // guard BEFORE sequence(): sequence(1, size-1) with size < 2 would
+      // generate a DESCENDING range, not an empty one
+      .filter(size(col("__toks")) >= 2)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => concat_ws(" ", element_at(col("__toks"), i),
+          element_at(col("__toks"), i + 1)))).as("bigram"))
+    val topBigram = bigrams.groupBy("id", "bigram")
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy("id")
+      .agg(sum(col("__cnt")).as("n_bigrams"), max(col("__cnt")).as("__max"))
+      .select(col("id").as("__bid"), col("n_bigrams"),
+        (col("__max").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+    lineStats.join(topBigram, col("id") === col("__bid"), "left")
+      .select(col("id"), col("n_lines"), col("dup_line_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
 }

@@ -44,6 +44,34 @@ class ChunkingSpec extends SparkSpec {
     assert(expected.map(_._3).distinct.size > 5) // actually spans many packs
   }
 
+  test("composite-order packing (doc, chunk) matches the single-window reference") {
+    val docs = (0L until 40L).map(i => (i, ("w " * (3 + (i * 5 % 17)).toInt).trim))
+      .toDF("doc_id", "text").repartition(5)
+    val chunks = Chunking.chunkByTokens(docs, "doc_id", "text", 4, 4)
+    val got = Chunking.packByTokenBudget(chunks, Seq("doc_id", "chunk_id"),
+        "chunk_text", budgetTokens = 11, bucketSize = 7)
+      .select("doc_id", "chunk_id", "pack_id")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val w = Window.orderBy("doc_id", "chunk_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = chunks
+      .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("chunk_text")))
+      .withColumn("before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("pack_id", expr("before div 11"))
+      .select("doc_id", "chunk_id", "pack_id")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == expected)
+    assert(expected.map(_._3).distinct.size > 3)
+  }
+
+  test("packByTokenBudget rejects a non-numeric leading order column") {
+    val docs = Seq(("a", "x y"), ("b", "z")).toDF("sid", "text")
+    val e = intercept[IllegalArgumentException] {
+      Chunking.packByTokenBudget(docs, Seq("sid"), "text", 10, 5)
+    }
+    assert(e.getMessage.contains("must be numeric"))
+  }
+
   test("packByTokenBudget never windows over a single global partition") {
     val docs = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
     val plan = Chunking.packByTokenBudget(docs, "doc_id", "text", 10, 1)

@@ -67,6 +67,30 @@ class OperatorsSpec extends SparkSpec {
     assert(inc == full && inc.contains(Set(1L, 4L)))
   }
 
+  test("minhashPairsFromIndex over the persisted index == direct minhashPairs") {
+    val idx = Dedup.minhashIndexFor(docs, cacheKey = "opspec!docs", "doc_id", "text")
+    val fromIdx = Dedup.minhashPairsFromIndex(idx, numHashes = 128, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val direct = Dedup.minhashPairs(docs, "doc_id", "text", 3, 128, 32, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(fromIdx == direct)
+    assert(fromIdx.contains((1L, 4L))) // the exact dup must collide
+  }
+
+  test("sliced-index incremental probe == incrementalNearDups on raw slices") {
+    val idx = Dedup.minhashIndexFor(docs, cacheKey = "opspec!docs", "doc_id", "text")
+    val viaIdx = Dedup.incrementalNearDupsIndexed(
+        Dedup.sliceIndex(idx, col("id") >= 4), Dedup.sliceIndex(idx, col("id") < 4),
+        numHashes = 128, threshold = 0.5)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    val direct = Dedup.incrementalNearDups(docs.filter($"doc_id" >= 4), "doc_id", "text",
+        Dedup.minhashBandIndex(docs.filter($"doc_id" < 4), "doc_id", "text"),
+        threshold = 0.5)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(viaIdx == direct)
+    assert(viaIdx.contains((4L, 1L)))
+  }
+
   test("incrementalNearDups excludes self-matches on re-ingest") {
     val index = Dedup.minhashBandIndex(docs, "doc_id", "text")
     val again = Dedup.incrementalNearDups(docs.filter($"doc_id" === 3), "doc_id", "text",

@@ -36,4 +36,25 @@ class TextStatsSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("repetitionSignals: duplicate lines and dominant bigrams, zero-safe") {
+    val rep = Seq(
+      // 4 non-blank lines, 2 of them repeats of "spam spam"; bigrams of
+      // "spam spam spam spam a" = [spam spam ×3, spam a] → top 3/4
+      (1L, "spam spam\nspam spam\n\nspam spam\nunique line a"),
+      (2L, "all distinct lines\nno repeats here"), // top bigram ties at 1
+      (3L, "one"),                                 // 1 token → no bigrams
+      (4L, "")                                     // empty → all zeros
+    ).toDF("doc_id", "text")
+    val got = TextStats.repetitionSignals(rep, "doc_id", "text")
+      .as[(Long, Long, Double, Long, Double)].collect().sortBy(_._1).toSeq
+    val (id1, n1, dup1, nb1, top1) = got(0)
+    assert((id1, n1, nb1) == (1L, 4L, 8L))
+    assert(dup1 == 0.5) // 2 repeated lines of 4
+    // tokenization sees newlines as whitespace: 6×spam + unique line a =
+    // 9 tokens → 8 bigrams, "spam spam" 5 of them
+    assert(top1 == 5.0 / 8.0)
+    assert(got(2) == ((3L, 1L, 0.0, 0L, 0.0)))
+    assert(got(3) == ((4L, 0L, 0.0, 0L, 0.0)))
+  }
 }

@@ -46,6 +46,34 @@ class EvaluateRuleTvfSpec extends SparkSpec {
     assert(got == 2L) // b (250) and d (42); c (999) filtered by the outer WHERE
   }
 
+  test("the optional third TVF argument supplies externalParams (Dynamic*)") {
+    setup
+    val json = """{"Conditions":{"Conditions":[
+        {"Property":"company","Operator":"DynamicEqual","Value":null}]}}"""
+    val viaSql = spark.sql(
+      s"""SELECT name FROM evaluate_rule('accounts', '$json', '{"company":"C1"}')""")
+      .as[String].collect().toSet
+    val viaApi = RuleEvaluator(spark.table("accounts"), RuleJson.parseRule(json),
+        Map("company" -> "C1"))
+      .select("name").as[String].collect().toSet
+    assert(viaSql == viaApi && viaSql == Set("a", "c"))
+    // evaluate_rules shares the same params object across its rules
+    val viaRules = spark.sql(
+      s"""SELECT name FROM evaluate_rules('accounts', '[$json]', '{"company":"C3"}')""")
+      .as[String].collect().toSet
+    assert(viaRules == Set("d"))
+  }
+
+  test("a non-object params argument fails with a clear message") {
+    setup
+    val json = """{"Conditions":{"Conditions":[
+        {"Property":"company","Operator":"DynamicEqual","Value":null}]}}"""
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM evaluate_rule('accounts', '$json', '[1,2]')").collect()
+    }
+    assert(e.getMessage.contains("JSON object"))
+  }
+
   test("a bad rule surfaces a clear error at analysis") {
     setup
     val e = intercept[Exception](spark.sql(

@@ -217,6 +217,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.size == 4)
   }
 
+  test("event-time sessionization merges late events on BOTH sides of the open session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // batch 1 opens a session at [120, 125] for user 7
+    mem.addData(Event(10L, ts(120), 7L, "click", 0.0),
+      Event(11L, ts(125), 7L, "click", 0.0))
+    val q = EventStreams.sessionizeStreamEventTime(mem.toDS(), gapMinutes = 30,
+        watermarkDelay = "10 hours") // wide watermark: late events admitted
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_late_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: one late event 20 min BEFORE the open start (within the
+      // gap → start must move backward to 100), one 90 min earlier still
+      // (> gap before the new start → its own, immediately-closed session)
+      mem.addData(Event(12L, ts(100), 7L, "view", 0.0),
+        Event(13L, ts(10), 7L, "view", 0.0))
+      q.processAllAvailable()
+      // a far-future event for another user pushes the watermark past
+      // every open session's end + gap → event-time timeout fires
+      mem.addData(Event(99L, ts(100000), 8L, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_late_out")
+      .filter(col("user_id") === 7L)
+      .select("session_start", "session_end", "n_events")
+      .as[(Timestamp, Timestamp, Long)].collect().toSet
+    assert(got == Set((ts(10), ts(10), 1L), (ts(100), ts(125), 3L)))
+  }
+
   test("sessionizeStream emits sessions closed by in-batch gaps") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
