@@ -181,12 +181,55 @@ object ExtQueries {
           COALESCE(t.top_bigram_frac, 0.0) AS top_bigram_frac
         FROM ls l LEFT JOIN top t ON l.doc_id = t.doc_id""")),
 
+    // Corpus-frequency token rarity (perplexity-proxy quality signal):
+    // vocabulary counts joined back per occurrence, all-integer aggregates
+    // (exact + aggregation-order-free; logs are an offline concern).
+    "q_rarity" -> Q(
+      (s, dir) => graft.operators.TextStats.tokenRarity(
+        table(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+        vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+        SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(cnt) AS BIGINT) AS sum_token_cnt,
+          CAST(min(cnt) AS BIGINT) AS min_cnt,
+          CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        FROM tok JOIN vocab USING (token) GROUP BY doc_id""")),
+
+    // Benchmark decontamination: documents sharing any word 8-gram with
+    // the "benchmark" slice (doc_id % 10 = 0), with distinct-shared-gram
+    // counts. Engine joins on HASHED grams (8 bytes/gram, fused per-row
+    // expression); the oracle intersects the raw string grams — equality
+    // of results is the ~2^-64 collision argument q_dedup_ngram already
+    // pins.
+    "q_decontaminate" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.operators.Curation.contaminationHits(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 10 === 0), "text", ngramSize = 8)
+      },
+      Some {
+        val gram = (1 to 7).foldLeft("toks[i]") { (acc, k) => s"$acc || ' ' || toks[i+$k]" }
+        s"""
+        WITH tk AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+        g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 6),
+                i -> $gram)) AS gs
+              FROM tk WHERE len(toks) >= 8),
+        bench AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id % 10 = 0),
+        dg AS (SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id % 10 <> 0)
+        SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM dg JOIN bench USING (gr) GROUP BY 1"""
+      }),
+
     // Winnowing fingerprints: substring-sharing pairs via an inverted-index
     // join on local-min Rabin-Karp hashes (shared-fingerprint count >= 3).
     // Rolling-hash arithmetic is not expressible in DuckDB SQL -> golden
     // fixture from the independent brute-force recomputation.
     "q_fingerprint_winnow" -> Q(
-      (s, dir) => Dedup.winnowPairs(table(s, dir, "documents"), "doc_id", "text"),
+      (s, dir) => Dedup.winnowPairsFromPostings(
+        Dedup.winnowPostingsFor(table(s, dir, "documents"),
+          cacheKey = s"$dir/documents!winnow", "doc_id", "text")),
       golden("q_fingerprint_winnow")),
   )
 
@@ -214,8 +257,10 @@ object ExtQueries {
     // quadratic version; the Spark path adds only a provably lossless
     // size-ratio guard, so results must match exactly.
     "q_dedup_ngram" -> Q(
-      (s, dir) => Dedup.ngramJaccardPairs(table(s, dir, "documents"),
-        "doc_id", "text", shingleSize = 3, threshold = 0.5),
+      (s, dir) => Dedup.ngramJaccardPairsFromSets(
+        Dedup.ngramSetsFor(table(s, dir, "documents"),
+          cacheKey = s"$dir/documents!ngram", "doc_id", "text"),
+        threshold = 0.5),
       Some(s"""
         WITH sh AS (
           SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
@@ -243,8 +288,10 @@ object ExtQueries {
     // Pigeonhole chunking is lossless for d ≤ 3 over 4 chunks, so the
     // golden all-pairs Hamming scan is the exact expectation.
     "q_dedup_simhash" -> Q(
-      (s, dir) => Dedup.simhashPairs(table(s, dir, "documents"),
-        "doc_id", "text", maxDistance = 3),
+      (s, dir) => Dedup.simhashPairsFromTable(
+        Dedup.simhashTableFor(table(s, dir, "documents"),
+          cacheKey = s"$dir/documents!simhash", "doc_id", "text"),
+        maxDistance = 3),
       golden("q_dedup_simhash")),
 
     // Corpus after greedy near-dup removal (LSH pairs, smaller id survives).

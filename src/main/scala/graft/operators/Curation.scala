@@ -27,6 +27,45 @@ object Curation {
       chunkStride: Int = 512,
       packBudgetTokens: Long = 4096L)
 
+  /** BENCHMARK DECONTAMINATION hit counts: for every document sharing at
+    * least one word `ngramSize`-gram with the benchmark corpus (an eval
+    * set whose presence in training data would leak), the number of
+    * distinct shared n-grams. The standard overlap-decontamination stage
+    * of a pretraining pipeline.
+    *
+    * Plan shape at 100 TB: both sides reduce to DISTINCT HASHED n-grams
+    * ([[graft.functions.HashedShingles]] — one fused per-row expression,
+    * 8 bytes per gram), candidates come from one hash equi-join on the
+    * gram — the benchmark side is tiny relative to the corpus (an eval
+    * suite), so AQE broadcasts it and the corpus never shuffles. No text
+    * ever leaves the scan.
+    */
+  def contaminationHits(docs: DataFrame, idCol: String, textCol: String,
+                        benchmark: DataFrame, benchTextCol: String,
+                        ngramSize: Int = 8): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(graft.functions.HashedShingles.column(col(benchTextCol), ngramSize))
+        .as("__gram"))
+      .distinct()
+    val docGrams = docs.select(col(idCol).as("id"),
+      // HashedShingles emits DISTINCT grams per doc, so the post-join
+      // count is exactly |shared distinct grams| with no dedup step
+      explode(graft.functions.HashedShingles.column(col(textCol), ngramSize)).as("__gram"))
+    docGrams.join(benchGrams, "__gram")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Drop every document sharing ≥ `minHits` distinct n-grams with the
+    * benchmark corpus — [[contaminationHits]] as a filter.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    ngramSize: Int = 8, minHits: Int = 1): DataFrame = {
+    val bad = contaminationHits(docs, idCol, textCol, benchmark, benchTextCol, ngramSize)
+      .filter(col("n_hits") >= minHits).select(col("id"))
+    docs.join(bad, docs(idCol) === bad("id"), "left_anti")
+  }
+
   /** Returns the packed training chunks: (doc_id, chunk_id, chunk_text,
     * n_tokens, pack_id).
     *

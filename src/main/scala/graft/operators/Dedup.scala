@@ -47,6 +47,23 @@ object Dedup extends org.apache.spark.internal.Logging {
   private def materialized(enabled: Boolean, df: DataFrame): DataFrame =
     if (enabled) df.persist(StorageLevel.MEMORY_AND_DISK) else df
 
+  private val diskMemoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Build-once, consume-many corpus artifact: built ONE time per (JVM,
+    * kind, cacheKey), written as parquet, re-read from disk — the
+    * persisted-index layout every dedup signature family shares (the
+    * nightly index job writes it; every probe/pair query only ever reads).
+    */
+  private def diskMemo(kind: String, cacheKey: String)(build: => DataFrame): DataFrame =
+    diskMemoCache.computeIfAbsent(s"$kind!$cacheKey", _ => {
+      val df = build
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_index/" +
+        kind + "_" + java.lang.Integer.toHexString(cacheKey.hashCode)
+      df.write.mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path)
+    })
+
   /** MinHash + LSH near-duplicate PAIRS (docId1 < docId2).
     *
     * banding: the signature splits into `bands` bands of `rows` hashes; docs
@@ -328,13 +345,25 @@ object Dedup extends org.apache.spark.internal.Logging {
     * (chunk index, chunk value) — no cross join.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDistance: Int = 3, materialize: Boolean = true): DataFrame = {
-    val chunks = maxDistance + 1
-    val bits = 64 / chunks
+                   maxDistance: Int = 3, materialize: Boolean = true): DataFrame =
     // two longs per doc, consumed by BOTH self-join sides — materialize so
     // the corpus is tokenized+hashed once, not once per side
-    val hashed = materialized(materialize, df.select(col(idCol).as("id"),
-      SimHashFunctions.simhashText(col(textCol)).as("sh")))
+    simhashPairsFromTable(materialized(materialize,
+      simhashTable(df, idCol, textCol)), maxDistance)
+
+  /** The (id, sh) 64-bit simhash table of a corpus — one hash pass. */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), SimHashFunctions.simhashText(col(textCol)).as("sh"))
+
+  /** [[simhashTable]] memoized to its persisted parquet layout. */
+  def simhashTableFor(df: => DataFrame, cacheKey: String,
+                      idCol: String, textCol: String): DataFrame =
+    diskMemo("simhash", cacheKey)(simhashTable(df, idCol, textCol))
+
+  /** [[simhashPairs]] from a prebuilt (id, sh) table — zero hashing. */
+  def simhashPairsFromTable(hashed: DataFrame, maxDistance: Int): DataFrame = {
+    val chunks = maxDistance + 1
+    val bits = 64 / chunks
     val chunked = hashed.select(col("id"), col("sh"),
       explode(array((0 until chunks).map(c => struct(lit(c).as("chunk"),
         shiftright(col("sh"), c * bits).bitwiseAND(lit((1L << bits) - 1)).as("cv"))): _*))
@@ -371,12 +400,27 @@ object Dedup extends org.apache.spark.internal.Logging {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5,
-                        materialize: Boolean = true): DataFrame = {
-    val sets = materialized(materialize, df
-      .select(col(idCol).as("id"),
+                        materialize: Boolean = true): DataFrame =
+    ngramJaccardPairsFromSets(materialized(materialize,
+      ngramSetTable(df, idCol, textCol, shingleSize)), threshold)
+
+  /** The (id, hs, sz) sorted-hashed-shingle-set table — one pass. */
+  def ngramSetTable(df: DataFrame, idCol: String, textCol: String,
+                    shingleSize: Int): DataFrame =
+    df.select(col(idCol).as("id"),
         graft.functions.HashedShingles.column(col(textCol), shingleSize).as("hs"))
       .filter(size(col("hs")) > 0)
-      .select(col("id"), col("hs"), size(col("hs")).as("sz")))
+      .select(col("id"), col("hs"), size(col("hs")).as("sz"))
+
+  /** [[ngramSetTable]] memoized to its persisted parquet layout. */
+  def ngramSetsFor(df: => DataFrame, cacheKey: String,
+                   idCol: String, textCol: String,
+                   shingleSize: Int = 3): DataFrame =
+    diskMemo(s"ngramsets$shingleSize", cacheKey)(
+      ngramSetTable(df, idCol, textCol, shingleSize))
+
+  /** [[ngramJaccardPairs]] from a prebuilt set table — zero tokenization. */
+  def ngramJaccardPairsFromSets(sets: DataFrame, threshold: Double): DataFrame = {
     val prefixLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
     val prefixes = sets.select(col("id"), col("sz"),
       explode(slice(col("hs"), lit(1), prefixLen)).as("tok"))
@@ -409,12 +453,28 @@ object Dedup extends org.apache.spark.internal.Logging {
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 12, w: Int = 16,
                   minShared: Int = 3, maxDf: Int = 100,
-                  materialize: Boolean = true): DataFrame = {
+                  materialize: Boolean = true): DataFrame =
     // the exploded posting list feeds the df-count aggregation AND the
     // inverted-index join — materialize so the rolling-hash pass over the
     // corpus runs once
-    val fps = materialized(materialize, df.select(col(idCol).as("id"),
-        explode(graft.functions.RollingFingerprint.column(col(textCol), k, w)).as("fp")))
+    winnowPairsFromPostings(materialized(materialize,
+      winnowPostingsTable(df, idCol, textCol, k, w)), minShared, maxDf)
+
+  /** The exploded (id, fp) winnowing posting list — one rolling-hash pass. */
+  def winnowPostingsTable(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, w: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(graft.functions.RollingFingerprint.column(col(textCol), k, w)).as("fp"))
+
+  /** [[winnowPostingsTable]] memoized to its persisted parquet layout. */
+  def winnowPostingsFor(df: => DataFrame, cacheKey: String,
+                        idCol: String, textCol: String,
+                        k: Int = 12, w: Int = 16): DataFrame =
+    diskMemo(s"winnow${k}_$w", cacheKey)(winnowPostingsTable(df, idCol, textCol, k, w))
+
+  /** [[winnowPairs]] from a prebuilt posting list — zero hashing. */
+  def winnowPairsFromPostings(fps: DataFrame, minShared: Int = 3,
+                              maxDf: Int = 100): DataFrame = {
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
     val indexed = fps.join(rare, "fp")

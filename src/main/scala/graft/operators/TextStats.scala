@@ -83,4 +83,35 @@ object TextStats {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
   }
+
+  /** CORPUS-FREQUENCY rarity profile per document — the join-based
+    * perplexity-proxy quality signal (documents dominated by tokens the
+    * corpus has never seen again are OCR garbage / codes / spam; documents
+    * of only ultra-common tokens are boilerplate):
+    *
+    *  - `n_tokens`: occurrences in the document (duplicates count);
+    *  - `sum_token_cnt`: Σ over occurrences of the token's CORPUS count
+    *    (normalize offline: avg corpus frequency = sum/n);
+    *  - `min_cnt`: the rarest token's corpus count;
+    *  - `n_hapax`: occurrences whose token appears exactly once corpus-wide.
+    *
+    * All-INTEGER aggregates on purpose: exact and aggregation-order-free
+    * on every engine (a log-prob sum of doubles would be partition-order
+    * dependent; take logs of the returned sums offline). Two hash
+    * aggregations + one (token → corpus count) join; the vocabulary is
+    * Zipf-small relative to the corpus, and map-side combine collapses
+    * repeated tokens before both shuffles. Documents with zero tokens do
+    * not appear.
+    */
+  def tokenRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("__cnt"))
+    toks.join(vocab, "token")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__cnt")).as("sum_token_cnt"),
+        min(col("__cnt")).as("min_cnt"),
+        sum(when(col("__cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+  }
 }

@@ -91,6 +91,52 @@ class OperatorsSpec extends SparkSpec {
     assert(viaIdx.contains((4L, 1L)))
   }
 
+  test("memoized simhash/ngram/winnow tables reproduce the direct pair paths") {
+    val sim = Dedup.simhashPairsFromTable(
+        Dedup.simhashTableFor(docs, "opspec!sim", "doc_id", "text"), maxDistance = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(sim == Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet)
+    val ngram = Dedup.ngramJaccardPairsFromSets(
+        Dedup.ngramSetsFor(docs, "opspec!ngram", "doc_id", "text"), threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(ngram == Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet)
+    assert(ngram.contains((1L, 4L)))
+    val winnow = Dedup.winnowPairsFromPostings(
+        Dedup.winnowPostingsFor(docs, "opspec!winnow", "doc_id", "text"),
+        minShared = 1, maxDf = 100)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(winnow == Dedup.winnowPairs(docs, "doc_id", "text",
+        minShared = 1, maxDf = 100)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet)
+  }
+
+  test("contaminationHits counts distinct shared n-grams; decontaminate drops them") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("bid", "btext")
+    val hits = graft.operators.Curation.contaminationHits(
+        docs, "doc_id", "text", bench, "btext", ngramSize = 8)
+      .as[(Long, Long)].collect().toMap
+    // docs 1, 2, 4 contain the benchmark's full 9-token sentence prefix
+    // ("the quick ... dog" = two 8-grams, both shared)
+    assert(hits.keySet == Set(1L, 2L, 4L))
+    assert(hits.values.toSet == Set(2L))
+    val kept = graft.operators.Curation.decontaminate(
+        docs, "doc_id", "text", bench, "btext", ngramSize = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 5L))
+  }
+
+  test("tokenRarity: integer-exact corpus-frequency profile") {
+    val tiny = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = graft.operators.TextStats.tokenRarity(tiny, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // corpus counts: a=2, b=2, c=1
+    assert(got == Seq(
+      (1L, 3L, 2L + 2L + 2L, 2L, 0L), // a a b → sum 6, min 2, no hapax
+      (2L, 2L, 2L + 1L, 1L, 1L)))     // b c → sum 3, min 1, c is hapax
+  }
+
   test("incrementalNearDups excludes self-matches on re-ingest") {
     val index = Dedup.minhashBandIndex(docs, "doc_id", "text")
     val again = Dedup.incrementalNearDups(docs.filter($"doc_id" === 3), "doc_id", "text",
