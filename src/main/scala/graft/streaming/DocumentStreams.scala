@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** STREAMING document ingestion with near-duplicate suppression against a
+  * GROWING persisted MinHash band index — the streaming twin of
+  * [[graft.operators.Dedup.incrementalNearDups]]:
+  *
+  * per micro-batch —
+  *  1. signature + band rows for the batch (one narrow hash pass);
+  *  2. near-dups of HISTORY: band-collision join against the persisted
+  *     index (history is only ever JOINED, never re-hashed), verified on
+  *     the signature-estimate threshold;
+  *  3. near-dups WITHIN the batch: the usual banded pair path over the
+  *     batch's own (tiny) index, greedy smallest-id survivor;
+  *  4. survivors append to the document lake (tagged `__batch_id`, the
+  *     same idempotence marker [[EventStreams.toPartitionedParquet]]
+  *     uses), and THEIR band rows append to the index — so batch N+1
+  *     dedups against the original history AND batches 1..N.
+  *
+  * The index stays O(corpus) on disk and the per-batch cost is
+  * O(batch × collision rate): exactly the daily-ingest contract, but at
+  * micro-batch granularity. In production the index table is bucketed by
+  * (band, bh) ([[graft.operators.Bucketing]]) so the probe join is
+  * shuffle-free.
+  */
+object DocumentStreams {
+
+  /** Wire a streaming document source into the ingest-dedup loop.
+    * `indexPath` must hold the historical [[Dedup.minhashBandIndex]] rows
+    * (id, sig, band, bh); `outPath` receives surviving documents.
+    */
+  def ingestDedup(newDocs: DataFrame, idCol: String, textCol: String,
+                  indexPath: String, outPath: String,
+                  shingleSize: Int = 3, numHashes: Int = 128,
+                  bands: Int = 32, threshold: Double = 0.7): DataStreamWriter[Row] =
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processBatch(batch, batchId, idCol, textCol, indexPath, outPath,
+        shingleSize, numHashes, bands, threshold)
+    }
+
+  /** One micro-batch of the ingest-dedup loop (factored out so batch
+    * semantics are testable without a streaming harness).
+    */
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+                                      idCol: String, textCol: String,
+                                      indexPath: String, outPath: String,
+                                      shingleSize: Int, numHashes: Int,
+                                      bands: Int, threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val history = spark.read.parquet(indexPath)
+    val newIdx = Dedup.minhashBandIndex(batch, idCol, textCol,
+        shingleSize, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val asIndex = graft.operators.Dedup.MinhashIndex(
+      newIdx.select("id", "sig").dropDuplicates("id"),
+      newIdx.select("id", "band", "bh"))
+    // near-dups of history: drop the NEW doc
+    val dupOfHistory = Dedup.incrementalNearDupsIndexed(
+        asIndex, graft.operators.Dedup.MinhashIndex(
+          history.select("id", "sig").dropDuplicates("id"),
+          history.select("id", "band", "bh")),
+        numHashes, threshold)
+      .select(col("new_id").as("__drop"))
+    // near-dups within the batch: smallest id survives
+    val dupInBatch = Dedup.minhashPairsFromIndex(asIndex, numHashes, threshold)
+      .select(col("id2").as("__drop"))
+    val dropIds = dupOfHistory.union(dupInBatch).distinct()
+    val survivors = batch
+      .join(dropIds, batch(idCol) === col("__drop"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    survivors.withColumn("__batch_id", lit(batchId))
+      .write.mode("append").parquet(outPath)
+    // the index grows by the SURVIVORS' band rows only — dropped docs must
+    // not suppress future docs they themselves never entered the lake for
+    newIdx.join(survivors.select(col(idCol).as("__keep")),
+        newIdx("id") === col("__keep"), "left_semi")
+      .write.mode("append").parquet(indexPath)
+    survivors.unpersist()
+    newIdx.unpersist()
+  }
+}

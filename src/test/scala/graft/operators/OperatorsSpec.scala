@@ -112,6 +112,15 @@ class OperatorsSpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSet)
   }
 
+  test("contamination join is a hash equi-join on the gram, never a cross join") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("bid", "btext")
+    val plan = graft.operators.Curation.contaminationHits(
+        docs, "doc_id", "text", bench, "btext", ngramSize = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"decontamination must stay a gram equi-join:\n$plan")
+  }
+
   test("contaminationHits counts distinct shared n-grams; decontaminate drops them") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("bid", "btext")
     val hits = graft.operators.Curation.contaminationHits(
