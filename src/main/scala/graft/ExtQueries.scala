@@ -532,6 +532,29 @@ object ExtQueries {
           CAST(before // 2000 AS BIGINT) AS pack_id
         FROM packed""")),
 
+    // Data mixing: deterministic per-language token-budget allocation
+    // (60/20/20 en/de/fr of an 8000-token budget; es has zero weight and
+    // must vanish). Engine: per-source two-level prefix sum in hash
+    // order; oracle: the single-window formulation.
+    "q_mixture" -> Q(
+      (s, dir) => graft.operators.Mixing.allocateByTokenBudget(
+        table(s, dir, "documents"), "doc_id", "text", "lang",
+        Map("en" -> 0.6, "de" -> 0.2, "fr" -> 0.2), totalBudget = 8000L),
+      Some(s"""
+        WITH n AS (SELECT doc_id, lang, md5(text) AS h,
+                     CAST(len($sqlTokens) AS BIGINT) AS n_tokens
+                   FROM documents),
+        a AS (SELECT *,
+          CASE lang WHEN 'en' THEN CAST(floor(8000 * 0.6) AS BIGINT)
+                    WHEN 'de' THEN CAST(floor(8000 * 0.2) AS BIGINT)
+                    WHEN 'fr' THEN CAST(floor(8000 * 0.2) AS BIGINT)
+                    ELSE 0 END AS alloc,
+          COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+          FROM n)
+        SELECT doc_id, lang, n_tokens FROM a
+        WHERE alloc > 0 AND before + n_tokens <= alloc""")),
+
     // One-pass table profile (exact distinct for the oracle; production
     // default is the HLL sketch).
     "q_profile" -> Q(
