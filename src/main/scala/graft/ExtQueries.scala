@@ -275,6 +275,33 @@ object ExtQueries {
           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""")),
 
+    // Cross-document repeated-line (boilerplate) removal: later
+    // occurrences of any ≥10-char line drop, the globally-first survives,
+    // short/blank lines always stay. Engine shuffles 64-bit line hashes +
+    // a hash-aggregate first-occurrence (never a per-line window); the
+    // oracle is the window formulation over raw line text.
+    "q_line_dedup" -> Q(
+      (s, dir) => Dedup.dropRepeatedLines(table(s, dir, "documents"),
+        "doc_id", "text", minLineLen = 10),
+      Some("""
+        WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+                   FROM documents),
+        r AS (SELECT doc_id, line, pos,
+                CASE WHEN length(line) >= 10
+                     THEN row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
+                     ELSE 1 END AS rn
+              FROM l),
+        k AS (SELECT doc_id, line, pos FROM r WHERE rn = 1),
+        agg AS (SELECT doc_id AS id,
+                  string_agg(line, chr(10) ORDER BY pos) AS text,
+                  CAST(count(*) AS BIGINT) AS n_kept
+                FROM k GROUP BY doc_id)
+        SELECT a.id, a.text,
+          CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+          CAST(len(string_split(d.text, chr(10))) - a.n_kept AS BIGINT) AS n_dropped
+        FROM agg a JOIN documents d ON a.id = d.doc_id""")),
+
     // MinHash-LSH near-dup pairs — approximate wrt true Jaccard but fully
     // DETERMINISTIC given the seeds, so the golden brute-force (all-pairs
     // band agreement + signature estimate) is an exact oracle for the

@@ -337,6 +337,49 @@ object Dedup extends org.apache.spark.internal.Logging {
     df.join(keep, df(idCol) === col("id"), "left_semi")
   }
 
+  /** CROSS-DOCUMENT repeated-line removal — boilerplate dedup at
+    * sub-document granularity (headers, navigation chrome, license
+    * blocks): every occurrence of a line that already appeared earlier in
+    * the corpus (earlier = smaller `(id, position)`) is dropped; the
+    * globally-first occurrence survives. Lines shorter than `minLineLen`
+    * characters (blank lines, separators) are always kept — deduping "",
+    * "---" or "}" would shred every document.
+    *
+    * Scale: lines shuffle by their 64-bit hash, never by line text; the
+    * first-occurrence computation is a hash aggregate (`min(struct(id,
+    * pos))` with map-side combine — NOT a per-line window, which would
+    * sort millions of tiny partitions); reassembly is one groupBy(id)
+    * with an `array_sort` on (pos, line) structs, so no per-document
+    * ordering relies on `collect_list`'s arrival order.
+    *
+    * Returns (id, text — surviving lines joined by newline, n_lines,
+    * n_dropped).
+    */
+  def dropRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+                        minLineLen: Int = 10): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("__lh", xxhash64(col("line")))
+    val firstSeen = lines.filter(length(col("line")) >= minLineLen)
+      .groupBy("__lh")
+      .agg(min(struct(col("id"), col("pos"))).as("__first"))
+    val kept = lines
+      .join(firstSeen, Seq("__lh"), "left")
+      .filter(length(col("line")) < minLineLen ||
+        (col("__first.id") === col("id") && col("__first.pos") === col("pos")))
+    kept.groupBy("id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as(textCol),
+        count(lit(1)).as("__n_kept"))
+      .join(df.select(col(idCol).as("__oid"),
+          size(split(col(textCol), "\n")).cast("long").as("n_lines")),
+        col("id") === col("__oid"))
+      .select(col("id"), col(textCol), col("n_lines"),
+        (col("n_lines") - col("__n_kept")).as("n_dropped"))
+  }
+
   /** SimHash near-duplicate pairs with Hamming distance ≤ `maxDistance`.
     *
     * Candidate generation by the pigeonhole principle: the 64-bit hash splits

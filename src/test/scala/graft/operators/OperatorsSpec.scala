@@ -67,6 +67,29 @@ class OperatorsSpec extends SparkSpec {
     assert(inc == full && inc.contains(Set(1L, 4L)))
   }
 
+  test("dropRepeatedLines keeps the globally-first occurrence, spares short lines") {
+    val pages = Seq(
+      (1L, "SHARED NAVIGATION HEADER\nunique article one body text\n--"),
+      (2L, "SHARED NAVIGATION HEADER\nunique article two body text\n--"),
+      (3L, "totally original page with no boilerplate")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropRepeatedLines(pages, "doc_id", "text", minLineLen = 10)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "SHARED NAVIGATION HEADER\nunique article one body text\n--", 3L, 0L),
+      // doc 2 loses the header (doc 1 owns the first occurrence) but
+      // keeps the short "--" separator
+      (2L, "unique article two body text\n--", 3L, 1L),
+      (3L, "totally original page with no boilerplate", 1L, 0L)))
+  }
+
+  test("dropRepeatedLines plans a hash aggregate, not a per-line window") {
+    val pages = Seq((1L, "aaaaaaaaaaaa\nbbbbbbbbbbbb")).toDF("doc_id", "text")
+    val plan = Dedup.dropRepeatedLines(pages, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("minhashPairsFromIndex over the persisted index == direct minhashPairs") {
     val idx = Dedup.minhashIndexFor(docs, cacheKey = "opspec!docs", "doc_id", "text")
     val fromIdx = Dedup.minhashPairsFromIndex(idx, numHashes = 128, threshold = 0.5)
