@@ -559,6 +559,24 @@ object ExtQueries {
           CAST(before // 2000 AS BIGINT) AS pack_id
         FROM packed""")),
 
+    // Deterministic split assignment: doc_id-keyed 75/12.5/12.5
+    // train/val/test (binary-exact boundaries), reproducible across
+    // engines — pure per-row hash arithmetic, no shuffle.
+    "q_split" -> Q(
+      (s, dir) => graft.operators.Sampling.assignSplit(
+        table(s, dir, "documents").select("doc_id", "lang"),
+        col("doc_id"),
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)),
+      Some("""
+        SELECT doc_id, lang,
+          CASE WHEN u < 0.75 THEN 'train'
+               WHEN u < 0.875 THEN 'val'
+               ELSE 'test' END AS split
+        FROM (SELECT doc_id, lang,
+                CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  / 4294967296.0 AS u
+              FROM documents)""")),
+
     // Data mixing: deterministic per-language token-budget allocation
     // (60/20/20 en/de/fr of an 8000-token budget; es has zero weight and
     // must vanish). Engine: per-source two-level prefix sum in hash

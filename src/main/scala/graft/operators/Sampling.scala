@@ -42,4 +42,35 @@ object Sampling {
     */
   def uniformExactN(df: DataFrame, n: Int, orderBy: Seq[Column]): DataFrame =
     df.orderBy(orderBy: _*).limit(n)
+
+  /** DETERMINISTIC train/val/test (or arbitrary) split assignment, keyed
+    * on any column: rows with the same `key` ALWAYS land in the same
+    * split, across runs, engines, partitionings, and growing data —
+    * `randomSplit` guarantees none of that. Pass a GROUP key (near-dup
+    * cluster id, source domain) instead of the row id and the split is
+    * leakage-aware: a whole cluster moves together, so no near-duplicate
+    * of a training document can sit in the eval split.
+    *
+    * The split point is `u = first-8-hex-chars(md5(key)) / 2³²` compared
+    * against the cumulative fraction boundaries — pure per-row arithmetic,
+    * no shuffle, no state. Boundaries accumulate in IEEE doubles; prefer
+    * binary-exact fractions (0.75/0.125/0.125) when a second system must
+    * reproduce the boundary values bit-for-bit.
+    */
+  def assignSplit(df: DataFrame, key: Column,
+                  fractions: Seq[(String, Double)],
+                  splitCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "fractions must be positive")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val u = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    val boundaries = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val assigned = fractions.init.zip(boundaries.init)
+      .foldRight(lit(fractions.last._1): Column) { case (((name, _), b), acc) =>
+        when(u < b, name).otherwise(acc)
+      }
+    df.withColumn(splitCol, assigned)
+  }
 }

@@ -65,4 +65,32 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, String)].collect().sortBy(r => (r._2, r._1)).take(3).map(_._1).toSeq
     assert(got == expected)
   }
+
+  test("assignSplit is stable per key, partitioning-independent, ~fractional") {
+    val big = (0L until 2000L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val fr = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val a = Sampling.assignSplit(big, col("id"), fr)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.assignSplit(big.repartition(13), col("id"), fr)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a == b) // partitioning-independent
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1500) < 100)
+    assert(math.abs(counts("val") - 250) < 60)
+    assert(math.abs(counts("test") - 250) < 60)
+    // growing the table never reassigns an existing key
+    val grown = Sampling.assignSplit(
+        (0L until 3000L).map(i => (i, s"doc $i")).toDF("id", "text"), col("id"), fr)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a.forall { case (k, v) => grown(k) == v })
+  }
+
+  test("assignSplit keyed on a group column moves whole groups together") {
+    val grouped = Sampling.assignSplit(docs, col("lang"),
+      Seq("train" -> 0.5, "test" -> 0.5))
+    val perLang = grouped.groupBy("lang")
+      .agg(countDistinct(col("split")).as("n"))
+      .select("n").as[Long].collect()
+    assert(perLang.forall(_ == 1L))
+  }
 }
