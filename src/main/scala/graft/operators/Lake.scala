@@ -36,4 +36,30 @@ object Lake {
       }
     routed.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
   }
+
+  /** GLOBALLY-ORDERED SHARD EXPORT — the final "emit training shards"
+    * step: rows ordered by `orderBy` are written as `numShards` parquet
+    * shards such that shard i holds a contiguous range of the global
+    * order and every shard is sorted internally (a trainer streaming
+    * shard 0, 1, 2… reads the corpus in exact curriculum/pack order).
+    *
+    * `repartitionByRange` samples the order keys to compute balanced
+    * range boundaries (one pass), then each task sorts only its own
+    * shard — the full corpus is never sorted in one task, unlike
+    * `orderBy(...).coalesce(n)`. Returns the shard → row-count manifest,
+    * computed from the written files.
+    */
+  def writeOrderedShards(df: DataFrame, path: String,
+                         orderBy: Seq[org.apache.spark.sql.Column],
+                         numShards: Int,
+                         mode: String = "overwrite"): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    df.repartitionByRange(numShards, orderBy: _*)
+      .sortWithinPartitions(orderBy: _*)
+      .withColumn("shard", spark_partition_id().cast("long"))
+      .write.mode(mode).partitionBy("shard").parquet(path)
+    df.sparkSession.read.parquet(path)
+      .groupBy("shard").agg(count(lit(1)).as("n_rows"))
+      .orderBy("shard")
+  }
 }

@@ -37,6 +37,26 @@ class LakeSpec extends SparkSpec {
     assert(spark.read.parquet(controlled).count() == 4000)
   }
 
+  test("writeOrderedShards: contiguous global ranges, sorted within each shard") {
+    val df = (0L until 5000L).map(i => (i, (i * 2654435761L) % 100000L))
+      .toDF("id", "ord").repartition(11)
+    val out = Files.createTempDirectory("lake_shards").toString
+    val manifest = Lake.writeOrderedShards(df, out, Seq(col("ord"), col("id")), 8)
+      .as[(Long, Long)].collect().toSeq
+    assert(manifest.map(_._2).sum == 5000L)
+    assert(manifest.size == 8 && manifest.map(_._1) == manifest.map(_._1).sorted)
+    val back = spark.read.parquet(out)
+    // cross-shard: shard i's max key < shard i+1's min key
+    val ranges = back.groupBy("shard")
+      .agg(min(col("ord")).as("lo"), max(col("ord")).as("hi"))
+      .orderBy("shard").as[(Long, Long, Long)].collect()
+    ranges.sliding(2).foreach { case Array(a, b) => assert(a._3 <= b._2) case _ => }
+    // within-shard: file row order is the sort order
+    val shard0 = spark.read.parquet(s"$out/shard=0").select("ord").as[Long].collect().toSeq
+    assert(shard0 == shard0.sorted)
+    assert(back.count() == 5000)
+  }
+
   test("filesPerPartition salt spreads a hot partition across bounded files") {
     val df = (1 to 3000).map(i => (i.toLong, "2024-01-10")).toDF("id", "dt")
       .repartition(16) // one hot partition value
