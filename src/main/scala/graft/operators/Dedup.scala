@@ -353,7 +353,11 @@ object Dedup extends org.apache.spark.internal.Logging {
     * ordering relies on `collect_list`'s arrival order.
     *
     * Returns (id, text — surviving lines joined by newline, n_lines,
-    * n_dropped).
+    * n_dropped). A document that loses EVERY line (all lines ≥
+    * `minLineLen` and all seen earlier — i.e. pure boilerplate / a full
+    * later duplicate) is dropped from the output entirely, which is the
+    * dedup-correct outcome; documents containing any short line keep at
+    * least those.
     */
   def dropRepeatedLines(df: DataFrame, idCol: String, textCol: String,
                         minLineLen: Int = 10): DataFrame = {

@@ -55,7 +55,8 @@ object Sampling {
     * against the cumulative fraction boundaries — pure per-row arithmetic,
     * no shuffle, no state. Boundaries accumulate in IEEE doubles; prefer
     * binary-exact fractions (0.75/0.125/0.125) when a second system must
-    * reproduce the boundary values bit-for-bit.
+    * reproduce the boundary values bit-for-bit. A NULL key hashes to NULL
+    * and lands in the LAST split (every `when` comparison is null-false).
     */
   def assignSplit(df: DataFrame, key: Column,
                   fractions: Seq[(String, Double)],
