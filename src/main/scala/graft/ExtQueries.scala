@@ -446,6 +446,32 @@ object ExtQueries {
       golden("q_ann_ivf")),
   )
 
+  private val pqQueries: Seq[(String, Q)] = Seq(
+    // PRODUCT-QUANTIZATION ADC top-k: 64-dim floats → 8 byte-codes
+    // against a committed per-subspace codebook (the k-means fits are the
+    // non-replayable step, exactly like q_ann_ivf); the gate checks the
+    // distributed encode + asymmetric-distance scan against a driver-loop
+    // recomputation over the same codebook. At bench SFs the codebook
+    // builds once per JVM via the memoized offline path.
+    "q_ann_pq" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](emb.columns.indexOf("embedding"))
+        val (cb, cbTag) =
+          if (dir.endsWith("sf0.01"))
+            (Similarity.loadPqCodebook(s,
+              "/root/repo/src/test/resources/golden/pq_codebook"), "fix")
+          else (Similarity.pqCodebookFor(emb.filter(col("vec_id") =!= 0),
+            cacheKey = s"$dir/embeddings!pq!8!16", "embedding"), "built")
+        Similarity.pqTopK(
+          Similarity.pqEncodedFor(emb.filter(col("vec_id") =!= 0),
+            cacheKey = s"$dir/embeddings!pqenc!$cbTag", "vec_id", "embedding", cb),
+          q, cb, k = 10)
+      },
+      golden("q_ann_pq")),
+  )
+
   private val curationQueries: Seq[(String, Q)] = Seq(
     // Deterministic stratified sample: 20 docs per language, ranked by
     // (md5(text), doc_id) — reproducible across engines/partitionings. One
@@ -873,7 +899,7 @@ object ExtQueries {
   )
 
   def all: Seq[(String, Q)] =
-    textQueries ++ dedupQueries ++ simQueries ++ curationQueries ++
-      quantileQueries ++ multimodalQueries ++ resizeQueries ++
-      eventQueries ++ layoutQueries ++ headlineQueries
+    textQueries ++ dedupQueries ++ simQueries ++ pqQueries ++
+      curationQueries ++ quantileQueries ++ multimodalQueries ++
+      resizeQueries ++ eventQueries ++ layoutQueries ++ headlineQueries
 }

@@ -143,4 +143,149 @@ object Similarity {
     val candidates = index.assigned.filter(col("__cluster").isin(probe: _*))
     bruteForceTopK(candidates.drop("__cluster"), idCol, vecCol, query, k)
   }
+
+  // --- Product quantization ----------------------------------------------
+
+  /** A PRODUCT-QUANTIZATION codebook: the vector space splits into `m`
+    * contiguous subspaces of `subDim` dims; each subspace carries `k`
+    * k-means centroids (`centroids(sub)(code)` = one sub-centroid). A
+    * vector encodes as `m` small codes (1 byte each at k ≤ 256) — a
+    * 64-dim float vector compresses 256 B → 8 B, which is what lets a
+    * billion-vector index live in memory. Queries score candidates with
+    * ASYMMETRIC DISTANCE (ADC): one `m × k` lookup table of exact
+    * query-to-sub-centroid distances, then each candidate costs `m` table
+    * lookups — no float math per candidate.
+    */
+  final case class PqCodebook(subDim: Int, centroids: Array[Array[Array[Double]]]) {
+    def m: Int = centroids.length
+    def k: Int = centroids.head.length
+  }
+
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PqCodebook]()
+
+  /** Build-once per (JVM, cacheKey) codebook access — the offline-fit
+    * contract of [[ivfIndexFor]] for the PQ tier.
+    */
+  def pqCodebookFor(df: => DataFrame, cacheKey: String, vecCol: String,
+                    m: Int = 8, k: Int = 16, seed: Long = 42L): PqCodebook =
+    pqCache.computeIfAbsent(cacheKey, _ => buildPqCodebook(df, vecCol, m, k, seed))
+
+  /** Load a committed codebook layout: parquet rows (sub, code, centroid). */
+  def loadPqCodebook(spark: org.apache.spark.sql.SparkSession, path: String): PqCodebook = {
+    val rows = spark.read.parquet(path)
+      .select("sub", "code", "centroid")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val centroids = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { case (s, c, v) => centroids(s)(c) = v }
+    PqCodebook(centroids(0)(0).length, centroids)
+  }
+
+  /** Fit a PQ codebook: one (distributed, seeded) k-means per subspace.
+    * Offline build-once, like [[buildIvf]].
+    */
+  def buildPqCodebook(df: DataFrame, vecCol: String, m: Int = 8, k: Int = 16,
+                      seed: Long = 42L): PqCodebook = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val centroids = (0 until m).map { s =>
+      val sub = df.select(array_to_vector(
+        slice(col(vecCol), s * subDim + 1, subDim).cast("array<double>"))
+        .as("__features"))
+      new KMeans().setK(k).setSeed(seed + s)
+        .setFeaturesCol("__features").setPredictionCol("__c")
+        .fit(sub).clusterCenters.map(_.toArray)
+    }.toArray
+    PqCodebook(subDim, centroids)
+  }
+
+  /** Encode a vector column to its `m` PQ codes (nearest sub-centroid per
+    * subspace, squared-L2, first-min tie-break) — pure built-in
+    * higher-order functions, embarrassingly parallel, no shuffle.
+    */
+  def pqEncode(vec: Column, cb: PqCodebook): Column =
+    array((0 until cb.m).map { s =>
+      val sub = slice(vec, s * cb.subDim + 1, cb.subDim).cast("array<double>")
+      val dists = array(cb.centroids(s).map { c =>
+        aggregate(
+          zip_with(sub, typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+
+  /** The persisted PQ-encoded table (id + codes) for a corpus — the
+    * build-once artifact ADC queries scan.
+    */
+  def pqEncodeTable(df: DataFrame, idCol: String, vecCol: String,
+                    cb: PqCodebook): DataFrame =
+    df.select(col(idCol).as("id"), pqEncode(col(vecCol), cb).as("code"))
+
+  private val pqEncodedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** [[pqEncodeTable]] memoized to its parquet layout — encoded ONCE per
+    * (JVM, cacheKey); every ADC query reads the 8-byte codes from disk,
+    * which is the whole point of PQ (the production index job writes this
+    * table; queries never re-encode).
+    */
+  def pqEncodedFor(df: => DataFrame, cacheKey: String, idCol: String,
+                   vecCol: String, cb: PqCodebook): DataFrame =
+    pqEncodedCache.computeIfAbsent(cacheKey, _ => {
+      val enc = pqEncodeTable(df, idCol, vecCol, cb)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq/" +
+        java.lang.Integer.toHexString(cacheKey.hashCode)
+      enc.write.mode("overwrite").parquet(path)
+      enc.sparkSession.read.parquet(path)
+    })
+
+  /** ADC approximate top-k over a PQ-encoded table: the query's `m × k`
+    * distance table computes ONCE on the driver; every candidate then
+    * costs `m` array lookups inside the scan — a narrow filterless pass +
+    * TakeOrdered, no join, no shuffle, no per-candidate float math.
+    */
+  def pqTopK(encoded: DataFrame, query: Seq[Float], cb: PqCodebook,
+             k: Int): DataFrame = {
+    val table: Array[Array[Double]] = Array.tabulate(cb.m) { s =>
+      cb.centroids(s).map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < cb.subDim) {
+          val diff = query(s * cb.subDim + i).toDouble - c(i)
+          d += diff * diff
+          i += 1
+        }
+        d
+      }
+    }
+    val dist = (0 until cb.m).map { s =>
+      element_at(typedLit(table(s).toSeq), col("code").getItem(s) + 1)
+    }.reduce(_ + _)
+    encoded.select(col("id"), dist.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("id"))
+      .limit(k)
+  }
+
+  /** PQ SHORTLIST + EXACT RERANK — the production PQ query shape: ADC
+    * ranks the whole corpus from codes alone (8 B/vector in memory),
+    * the top-`shortlist` ids broadcast back against the stored vectors,
+    * and exact cosine re-ranks the final `k`. Recall is set by the
+    * shortlist size, not the code coarseness, so 32-bit codes suffice
+    * for the scan while the rerank touches only `shortlist` full
+    * vectors.
+    */
+  def pqTopKRerank(encoded: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, query: Seq[Float], cb: PqCodebook,
+                   k: Int, shortlist: Int = 100): DataFrame = {
+    val sl = pqTopK(encoded, query, cb, shortlist).select(col("id").as("__sl_id"))
+    bruteForceTopK(
+      corpus.join(broadcast(sl), corpus(idCol) === col("__sl_id"), "left_semi"),
+      idCol, vecCol, query, k)
+  }
 }

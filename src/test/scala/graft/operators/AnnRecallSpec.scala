@@ -50,6 +50,57 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.6, f"IVF recall collapsed: $mean%.2f")
   }
 
+  test("pqTopK (ADC) recall@10 vs exact L2 brute force, and plan shape") {
+    val cb = Similarity.pqCodebookFor(emb.select("embedding"),
+      cacheKey = "recall-spec-pq", "embedding", m = 8, k = 16)
+    val encoded = Similarity.pqEncodeTable(emb, "vec_id", "embedding", cb)
+      .persist()
+    // codes are valid and deterministic under repartitioning
+    val codes = encoded.select(col("id"), col("code")).as[(Long, Seq[Int])]
+      .collect().toMap
+    assert(codes.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    val again = Similarity.pqEncodeTable(emb.repartition(13), "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes == again)
+    val recalls = (0L to 4L).map { qid =>
+      val q = queryVec(qid)
+      // exact squared-L2 ranking (what ADC approximates)
+      val exact = emb.filter(col("vec_id") =!= qid)
+        .select(col("vec_id"),
+          aggregate(zip_with(col("embedding").cast("array<double>"),
+              typedLit(q.map(_.toDouble)), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, v) => a + v).as("d"))
+        .orderBy(col("d").asc, col("vec_id")).limit(10)
+        .select("vec_id").as[Long].collect().toSet
+      val approx = Similarity.pqTopK(encoded.filter(col("id") =!= qid), q, cb, 10)
+        .select("id").as[Long].collect().toSet
+      exact.intersect(approx).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    // ADC alone with 32-bit codes is the SHORTLIST generator, not the
+    // final ranking (measured 0.26 here) — guard collapse only
+    info(f"pqTopK (ADC-alone) mean recall@10 (m=8,k=16) = $mean%.2f")
+    assert(mean >= 0.15, f"PQ ADC recall collapsed: $mean%.2f")
+    // the production shape: ADC shortlist-100 + exact rerank
+    val rerankRecalls = (0L to 4L).map { qid =>
+      val q = queryVec(qid)
+      val rest = emb.filter(col("vec_id") =!= qid)
+      val exact = topIds(Similarity.bruteForceTopK(rest, "vec_id", "embedding", q, 10))
+      val approx = topIds(Similarity.pqTopKRerank(
+        encoded.filter(col("id") =!= qid), rest, "vec_id", "embedding", q, cb,
+        k = 10, shortlist = 100))
+      exact.intersect(approx).size / 10.0
+    }
+    val rerankMean = rerankRecalls.sum / rerankRecalls.size
+    info(f"pqTopKRerank mean recall@10 (shortlist=100/500) = $rerankMean%.2f")
+    assert(rerankMean >= 0.7, f"PQ rerank recall collapsed: $rerankMean%.2f")
+    // ADC scan is narrow + TakeOrdered: no join, no shuffle
+    val plan = Similarity.pqTopK(encoded, queryVec(0L), cb, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Exchange"), plan)
+    encoded.unpersist()
+  }
+
   test("embeddingPairsLsh pair recall vs exact pairs at the battery parameters") {
     val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.45)
       .select("id1", "id2").as[(Long, Long)].collect().toSet

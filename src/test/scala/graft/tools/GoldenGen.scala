@@ -218,6 +218,62 @@ object GoldenGen {
     println(s"[golden] ivf_index: ${assignedBack.length} vectors, " +
       s"${ivf.centroids.length} centroids -> $idxDir")
 
+    // ---- q_ann_pq: committed PQ codebook + expected ADC top-k ----------
+    // The per-subspace k-means fits are the non-replayable step, so the
+    // CODEBOOK is the fixture; expected top-10 is a driver-loop encode +
+    // ADC over the committed codebook (same arithmetic order as the
+    // engine's zip_with/aggregate expressions).
+    val pqCb = graft.operators.Similarity.buildPqCodebook(
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter($"vec_id" =!= 0L).select("embedding"),
+      "embedding", m = 8, k = 16, seed = 42L)
+    val cbRows = for {
+      s <- 0 until pqCb.m; c <- 0 until pqCb.k
+    } yield (s, c, pqCb.centroids(s)(c).toSeq)
+    write(cbRows.toDF("sub", "code", "centroid"), "pq_codebook")
+    val cb = graft.operators.Similarity.loadPqCodebook(spark,
+      s"$outBase/pq_codebook") // exercise the same load path the gate uses
+    def encodeOne(v: Seq[Float]): Array[Int] =
+      Array.tabulate(cb.m) { s =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.k) {
+          var d = 0.0
+          var i = 0
+          while (i < cb.subDim) {
+            val diff = v(s * cb.subDim + i).toDouble - cb.centroids(s)(c)(i)
+            d += diff * diff
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = c } // strict <: first min wins
+          c += 1
+        }
+        best
+      }
+    val adcTable = Array.tabulate(cb.m) { s =>
+      cb.centroids(s).map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < cb.subDim) {
+          val diff = qVec(s * cb.subDim + i).toDouble - c(i)
+          d += diff * diff
+          i += 1
+        }
+        d
+      }
+    }
+    val pqTop = embs.iterator.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        val code = encodeOne(v)
+        var d = 0.0
+        var s = 0
+        while (s < cb.m) { d += adcTable(s)(code(s)); s += 1 }
+        (id, d)
+      }
+      .toSeq.sortBy { case (id, d) => (d, id) }.take(10)
+    write(pqTop.toDF("id", "adc_dist"), "q_ann_pq")
+
     spark.stop()
   }
 }
