@@ -23,6 +23,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Keep sbt's "[success] Total time..." epilogue out of run output — the
+// bench driver keeps only the last 2000 chars of stdout, and every byte
+// after graft.Bench's JSON line eats into that window.
+Global / showSuccess := false
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

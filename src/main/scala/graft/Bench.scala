@@ -59,10 +59,34 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
       name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures only the last 2000 chars of output, and a
+    // 90+-query map at full double precision overflows it (BENCH_r05.json:
+    // "parsed": null — only the tail of the line survived). So: the FULL
+    // per-query map goes to BENCH_FULL.json (committed with the repo), and
+    // the stdout JSON line inlines the slowest queries up to a fixed
+    // character budget — those are the rows a perf audit needs first.
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+    try
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // stdout line is the contract; file is best-effort
+    val budget = 1600 // chars for the inline map; total line stays < ~1780
+    val sb = new StringBuilder
+    var kept = 0
+    for ((k, v) <- results.sortBy(-_._2)) {
+      val entry = (if (kept > 0) "," else "") + "\"" + k + "\":" + fmt(v)
+      if (sb.length + entry.length <= budget) { sb.append(entry); kept += 1 }
+    }
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":{$sb},"sf":"$sfDir","full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }
