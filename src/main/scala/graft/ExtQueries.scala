@@ -102,6 +102,70 @@ object ExtQueries {
         .select(col("doc_id"), fingerprint(col("text")).as("fp")),
       Some("SELECT doc_id, md5(text) AS fp FROM documents")),
 
+    // Heuristic quality rules (the Gopher/C4 pre-filter family): one
+    // tokenize-once narrow projection, integer numerators, one division per
+    // signal at the end — bit-identical across engines. Thresholds chosen
+    // to split this corpus non-trivially (280 keep / 220 drop at sf0.01).
+    "q_quality_rules" -> Q(
+      (s, dir) => graft.operators.TextStats.qualityRuleSignals(
+        table(s, dir, "documents"), "doc_id", "text",
+        graft.operators.TextStats.QualityRules(
+          minTokens = 20, maxTokens = 80,
+          minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+          maxSymbolRatio = 0.1, maxBulletFrac = 0.9,
+          minAlphaFrac = 0.8, minStopwordHits = 2)),
+      Some(raw"""
+        WITH t AS (SELECT doc_id, text, $sqlTokens AS toks,
+                     string_split(text, chr(10)) AS ls FROM documents),
+        m AS (SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks) END AS mean_word_len,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / len(toks) END AS symbol_ratio,
+          CAST(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE) / len(ls) AS bullet_frac,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks) END AS alpha_frac,
+          CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','of','to','in','is','it','that'], x))) AS BIGINT) AS stopword_hits
+        FROM t)
+        SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, bullet_frac,
+          alpha_frac, stopword_hits,
+          CAST(CASE WHEN n_tokens BETWEEN 20 AND 80
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                AND alpha_frac >= 0.8 AND stopword_hits >= 2
+                THEN 1 ELSE 0 END AS INT) AS keep
+        FROM m""")),
+
+    // Canonical normalization (lower → NFC → whitespace collapse → trim)
+    // + the near-exact dedup fingerprint over it. The corpus is already
+    // lowercase/single-spaced, so every 5th document is deterministically
+    // enriched with case, extra whitespace, and a DECOMPOSED accent
+    // (e + U+0301) on BOTH sides — the oracle then checks real composition
+    // work (100 changed / 400 untouched at sf0.01), not a no-op.
+    "q_normalize" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(lit("HEADER  Line\n"), col("text"), lit("  Cafe\u0301 TAIL")))
+            .otherwise(col("text")))
+        .select(col("doc_id"),
+          normalizeText(col("text")).as("norm"),
+          md5(normalizeText(col("text"))).as("norm_fp"),
+          (normalizeText(col("text")) =!= col("text")).cast("int").as("changed")),
+      Some(raw"""
+        WITH enriched AS (SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0
+               THEN 'HEADER  Line' || chr(10) || text || '  Cafe' || chr(769) || ' TAIL'
+               ELSE text END AS text
+          FROM documents),
+        n AS (SELECT doc_id, text,
+          trim(regexp_replace(nfc_normalize(lower(text)), '\s+', ' ', 'g')) AS norm
+          FROM enriched)
+        SELECT doc_id, norm, md5(norm) AS norm_fp,
+          CAST(CASE WHEN norm <> text THEN 1 ELSE 0 END AS INT) AS changed
+        FROM n""")),
+
     // PII redaction (emails → URLs → phone runs, RE2-compatible patterns so
     // Spark's Java regex and DuckDB's RE2 agree) + the audit counts. The
     // synthetic corpus carries no PII of its own, so every 7th document is
@@ -446,6 +510,78 @@ object ExtQueries {
       golden("q_ann_ivf")),
   )
 
+  private val knnQueries: Seq[(String, Q)] = Seq(
+    // Batch kNN JOIN, exact: every query vector (vec_id % 50 = 0) gets its
+    // 5 nearest corpus vectors. Queries broadcast; the corpus side never
+    // shuffles; per-query top-k collapses map-side in the bounded heap.
+    // Oracle: the naive cross join + row_number window.
+    "q_knn_join" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Similarity.knnJoin(
+          emb.filter(col("vec_id") % 50 === 0),
+          emb.filter(col("vec_id") % 50 =!= 0),
+          "vec_id", "embedding", k = 5)
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+              CAST(c.embedding AS DOUBLE[])) AS cos
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id % 50 = 0 AND c.vec_id % 50 <> 0)
+        SELECT query_id, neighbor_id, cos, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+          FROM pairs) t
+        WHERE rank <= 5""")),
+
+    // LSH-blocked kNN join — the production path (banded equi-join on
+    // exploded bucket codes, ids-only pair distinct, exact rerank).
+    // Approximate wrt exact kNN but DETERMINISTIC given the seeded planes,
+    // so the golden driver-loop recomputation (bucket overlap + sequential
+    // cosine + per-query sort) exact-checks the distributed machinery.
+    "q_knn_join_lsh" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Similarity.knnJoinLsh(
+          emb.filter(col("vec_id") % 50 === 0),
+          emb.filter(col("vec_id") % 50 =!= 0),
+          "vec_id", "embedding", k = 5, planes = 3, tables = 8)
+      },
+      golden("q_knn_join_lsh")),
+
+    // CLUSTER-BALANCED sampling: exact-5 per IVF cluster in deterministic
+    // hash order — the "semantic diversity" selection stage (per-cluster
+    // quotas instead of frequency-weighted sampling). Reuses the committed
+    // IVF fixture at the gate SF (the memoized production index at bench
+    // SFs) and the bounded-heap stratified sampler — no new machinery,
+    // which is the point: diversity sampling IS stratification over the
+    // clustering.
+    "q_cluster_sample" -> Q(
+      (s, dir) => {
+        val idx =
+          if (dir.endsWith("sf0.01"))
+            Similarity.loadIvf(s, "/root/repo/src/test/resources/golden/ivf_index")
+          else Similarity.ivfIndexFor(
+            table(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+            cacheKey = s"$dir/embeddings!vec_id!16",
+            "vec_id", "embedding", nClusters = 16)
+        graft.operators.Sampling.stratifiedExactN(
+          idx.assigned.select(col("__cluster").cast("int").as("cluster"), col("vec_id")),
+          Seq("cluster"), n = 5,
+          orderBy = Seq(md5(col("vec_id").cast("string")), col("vec_id")))
+      },
+      Some("""
+        SELECT CAST(__cluster AS INT) AS cluster, vec_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY __cluster
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) rn
+          FROM read_parquet(
+            '/root/repo/src/test/resources/golden/ivf_index/assigned/*/*.parquet',
+            hive_partitioning=1)) t
+        WHERE rn <= 5""")),
+  )
+
   private val pqQueries: Seq[(String, Q)] = Seq(
     // PRODUCT-QUANTIZATION ADC top-k: 64-dim floats → 8 byte-codes
     // against a committed per-subspace codebook (the k-means fits are the
@@ -625,6 +761,37 @@ object ExtQueries {
           FROM n)
         SELECT doc_id, lang, n_tokens FROM a
         WHERE alloc > 0 AND before + n_tokens <= alloc""")),
+
+    // UPSAMPLING mixture: weights that EXCEED source availability repeat
+    // the source in full epochs (de: 2 full + partial at sf0.01) plus a
+    // deterministic hash-order partial pass — the Wikipedia-at-5-epochs
+    // shape. Engine: per-source totals broadcast + explode(sequence) +
+    // the shared prefix sum; oracle: unnest(range) + single window.
+    "q_mixture_epochs" -> Q(
+      (s, dir) => graft.operators.Mixing.allocateWithEpochs(
+        table(s, dir, "documents"), "doc_id", "text", "lang",
+        Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), totalBudget = 30000L),
+      Some(s"""
+        WITH n AS (SELECT doc_id, lang, md5(text) AS h,
+                     CAST(len($sqlTokens) AS BIGINT) AS n_tokens FROM documents),
+        a AS (SELECT *, CASE lang WHEN 'en' THEN CAST(floor(30000 * 0.5) AS BIGINT)
+                                  WHEN 'de' THEN CAST(floor(30000 * 0.3) AS BIGINT)
+                                  WHEN 'fr' THEN CAST(floor(30000 * 0.2) AS BIGINT)
+                                  ELSE 0 END AS alloc FROM n),
+        f AS (SELECT * FROM a WHERE alloc > 0),
+        t AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS T FROM f GROUP BY 1),
+        e AS (SELECT f.*, t.T,
+                CAST(CASE WHEN t.T > 0 THEN f.alloc // t.T ELSE 0 END AS BIGINT) AS epochs
+              FROM f JOIN t USING (lang)),
+        e2 AS (SELECT *, alloc - epochs * T AS rem FROM e),
+        fullp AS (SELECT doc_id, lang, n_tokens, unnest(range(epochs)) AS epoch
+                  FROM e2 WHERE epochs > 0),
+        w AS (SELECT *, COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM e2),
+        part AS (SELECT doc_id, lang, n_tokens, epochs AS epoch FROM w
+                 WHERE before + n_tokens <= rem)
+        SELECT doc_id, lang, n_tokens, epoch FROM fullp
+        UNION ALL SELECT * FROM part""")),
 
     // One-pass table profile (exact distinct for the oracle; production
     // default is the HLL sketch).
@@ -899,7 +1066,7 @@ object ExtQueries {
   )
 
   def all: Seq[(String, Q)] =
-    textQueries ++ dedupQueries ++ simQueries ++ pqQueries ++
+    textQueries ++ dedupQueries ++ simQueries ++ knnQueries ++ pqQueries ++
       curationQueries ++ quantileQueries ++ multimodalQueries ++
       resizeQueries ++ eventQueries ++ layoutQueries ++ headlineQueries
 }

@@ -52,7 +52,7 @@ object TextFunctions {
     when(length(text) === 0, lit(0.0))
       .otherwise(regexp_count(text, lit("[.,!?;:]")).cast("double") / length(text))
 
-  private val stopwordsEn = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+  private[graft] val stopwordsEn = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
   /** Fraction of tokens that are common English stopwords — a standard
     * fluency signal in web-corpus quality filters.
@@ -93,6 +93,20 @@ object TextFunctions {
     * exact-dedup key.
     */
   def fingerprint(text: Column): Column = md5(text)
+
+  /** Canonical text normalization for dedup preprocessing: lowercase →
+    * Unicode NFC composition ([[NormalizeNfc]]) → whitespace runs collapsed
+    * to single spaces → trim. Two documents differing only in case, line
+    * wrapping, or accent encoding normalize to the same string, so
+    * `md5(normalizeText(..))` is the NEAR-exact dedup key one tier softer
+    * than [[fingerprint]]. Pure narrow per-row work — codegen'd end to end,
+    * no shuffle, scan speed.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        NormalizeNfc(org.apache.spark.sql.graftbridge.ColumnBridge.expression(lower(text)))),
+      "\\s+", " "))
 
   // PII patterns deliberately use only RE2-compatible syntax (no
   // backreferences, no lookaround) so the same pattern strings run

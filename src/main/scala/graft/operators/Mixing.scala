@@ -26,21 +26,32 @@ import org.apache.spark.sql.functions._
   */
 object Mixing {
 
-  def allocateByTokenBudget(df: DataFrame, idCol: String, textCol: String,
-                            sourceCol: String, weights: Map[String, Double],
-                            totalBudget: Long): DataFrame = {
+  /** The deterministic (source, hash-order) base table every allocator
+    * shares: (__id, __src, n_tokens, __h, __alloc, __bucket), zero-weight
+    * sources already dropped.
+    */
+  private def allocBase(df: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String, weights: Map[String, Double],
+                        totalBudget: Long): DataFrame = {
     require(totalBudget > 0, "totalBudget must be positive")
     require(weights.values.forall(_ >= 0), "weights must be non-negative")
     val allocExpr = weights.foldLeft(lit(0L)) { case (acc, (src, w)) =>
       when(col("__src") === src, lit(math.floor(totalBudget * w).toLong))
         .otherwise(acc)
     }
-    val base = df.select(col(idCol).as("__id"), col(sourceCol).as("__src"),
+    df.select(col(idCol).as("__id"), col(sourceCol).as("__src"),
         TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
         md5(col(textCol)).as("__h"))
       .withColumn("__alloc", allocExpr)
       .filter(col("__alloc") > 0)
       .withColumn("__bucket", conv(substring(col("__h"), 1, 4), 16, 10).cast("long"))
+  }
+
+  /** Adds `__before` = per-source running token total over the
+    * deterministic (__h, __id) order — the two-level distributed prefix
+    * sum described above.
+    */
+  private def withRunningTotal(base: DataFrame): DataFrame = {
     val bucketSums = base.groupBy("__src", "__bucket")
       .agg(sum(col("n_tokens")).as("__bsum"))
     val bucketOffsets = bucketSums
@@ -54,10 +65,55 @@ object Mixing {
       .join(broadcast(bucketOffsets), Seq("__src", "__bucket"))
       .withColumn("__before",
         col("__boff") + coalesce(sum(col("n_tokens")).over(within), lit(0L)))
+  }
+
+  def allocateByTokenBudget(df: DataFrame, idCol: String, textCol: String,
+                            sourceCol: String, weights: Map[String, Double],
+                            totalBudget: Long): DataFrame =
+    withRunningTotal(allocBase(df, idCol, textCol, sourceCol, weights, totalBudget))
       // never-exceed contract: a document is taken only if it fits the
       // remaining allocation entirely (a giant first document can yield an
       // empty source rather than a blown budget)
       .filter(col("__before") + col("n_tokens") <= col("__alloc"))
       .select(col("__id").as(idCol), col("__src").as(sourceCol), col("n_tokens"))
+
+  /** UPSAMPLING mixture: [[allocateByTokenBudget]] for the case every real
+    * mixture hits — a high-weight source SMALLER than its allocation (the
+    * Wikipedia-at-5-epochs shape). Each source repeats in full
+    * `floor(alloc / sourceTokens)` times (`epoch` 0..e-1), and the
+    * remaining `alloc − e·sourceTokens` tokens fill one last partial pass
+    * (epoch `e`) in the same deterministic hash order and never-exceed
+    * contract as the plain allocator. Output one row per (document, epoch)
+    * — the downstream shuffler/packer sees repetition explicitly instead
+    * of a hidden multiplier.
+    *
+    * Scale: the per-source totals table is one map-side-combined aggregate
+    * (|sources| rows, broadcast back); full epochs are a narrow
+    * `explode(sequence)` — no shuffle grows with the epoch count; the
+    * partial pass reuses the two-level prefix sum. A source large enough
+    * to need no repetition degenerates to exactly the plain allocator's
+    * rows with epoch 0.
+    */
+  def allocateWithEpochs(df: DataFrame, idCol: String, textCol: String,
+                         sourceCol: String, weights: Map[String, Double],
+                         totalBudget: Long): DataFrame = {
+    val base = allocBase(df, idCol, textCol, sourceCol, weights, totalBudget)
+    val perSource = base.groupBy("__src")
+      .agg(sum(col("n_tokens")).as("__T"), max(col("__alloc")).as("__a"))
+      .withColumn("__epochs",
+        when(col("__T") > 0, expr("__a div __T")).otherwise(lit(0L)))
+      .withColumn("__rem", col("__a") - col("__epochs") * col("__T"))
+      .select("__src", "__epochs", "__rem")
+    val joined = base.join(broadcast(perSource), "__src")
+    val fullEpochs = joined.filter(col("__epochs") >= 1)
+      .select(col("__id"), col("__src"), col("n_tokens"),
+        explode(sequence(lit(0L), col("__epochs") - 1)).as("epoch"))
+    val partial = withRunningTotal(joined)
+      .filter(col("__before") + col("n_tokens") <= col("__rem"))
+      .select(col("__id"), col("__src"), col("n_tokens"),
+        col("__epochs").as("epoch"))
+    fullEpochs.unionByName(partial)
+      .select(col("__id").as(idCol), col("__src").as(sourceCol),
+        col("n_tokens"), col("epoch"))
   }
 }

@@ -144,6 +144,79 @@ object Similarity {
     bruteForceTopK(candidates.drop("__cluster"), idCol, vecCol, query, k)
   }
 
+  // --- kNN join ------------------------------------------------------------
+
+  /** Group top-k of a scored (query_id, neighbor_id, cos) table: per query,
+    * the k highest-cosine neighbors (ties by id), ranked 1..k. One
+    * ObjectHashAggregate over the bounded [[graft.functions.TopNRows]] heap
+    * — map-side combine reduces every partition's share of a query to ≤ k
+    * rows before the shuffle, so a query with millions of candidates ships
+    * k·partitions rows, where the `row_number` window formulation would
+    * sort whole candidate sets in single tasks.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopN.rows(
+        struct(col("neighbor_id"), col("cos")),
+        struct((-col("cos")).as("neg_cos"), col("neighbor_id")),
+        k, isMax = false).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("query_id"), col("__t.neighbor_id").as("neighbor_id"),
+        col("__t.cos").as("cos"), (col("__pos") + 1).cast("long").as("rank"))
+
+  /** Batch kNN JOIN, exact: EVERY query vector gets its k nearest corpus
+    * vectors by cosine — the all-queries-at-once shape (dedup against a
+    * reference set, retrieval eval, embedding-cluster labeling), not the
+    * one-query probe of [[bruteForceTopK]].
+    *
+    * The query side broadcasts (a query batch is thousands of rows; the
+    * CORPUS is the 100 TB side and never shuffles): each corpus partition
+    * streams its rows past the broadcast queries, scoring Q cosines per
+    * row, and the bounded heap collapses to k·|queries| rows map-side.
+    * Exact cost is Q·N cosines by definition — when Q·N is too hot, use
+    * [[knnJoinLsh]], which prunes candidates to shared LSH buckets first.
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
+      .crossJoin(q)
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("__cvec"), col("__qvec")).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Batch kNN join, LSH-blocked — the production path when Q·N exact
+    * scoring is too hot: candidates are (query, corpus) pairs sharing a
+    * full sign-pattern bucket in ANY of `tables` hyperplane tables (same
+    * family as [[lshTopK]]), generated by one hash equi-join on exploded
+    * bucket codes with a primitive-pair distinct — never a cross join.
+    * Survivors score exact cosine and rank through the same bounded heap,
+    * so output ⊆ [[knnJoin]]'s and equals it on every candidate pair.
+    * Deterministic given the seed (recall tunes via planes/tables —
+    * measured in ANN_SWEEP.md for this plane family).
+    */
+  def knnJoinLsh(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, k: Int,
+                 planes: Int = 3, tables: Int = 8, seed: Long = 42L): DataFrame = {
+    def codes(c: Column) = graft.functions.LshBucketCodes.column(c, planes, tables, seed)
+    val qCodes = queries.select(col(idCol).as("query_id"),
+      explode(codes(col(vecCol))).as("__code"))
+    val cCodes = corpus.select(col(idCol).as("neighbor_id"),
+      explode(codes(col(vecCol))).as("__code"))
+    // ids-only candidate pairs (two longs), deduped BEFORE any vector moves
+    val pairs = cCodes.join(qCodes, "__code")
+      .select("query_id", "neighbor_id").distinct()
+    val scored = pairs
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))),
+        "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("__cvec"), col("__qvec")).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
   // --- Product quantization ----------------------------------------------
 
   /** A PRODUCT-QUANTIZATION codebook: the vector space splits into `m`

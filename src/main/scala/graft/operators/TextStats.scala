@@ -84,6 +84,78 @@ object TextStats {
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** Thresholds for [[qualityRuleSignals]] — the heuristic document-quality
+    * rule family from published web-corpus pipelines (Gopher's quality
+    * filters, Rae et al. 2021; C4's heuristics, Raffel et al. 2020).
+    * Defaults are the commonly published ones; every battery/test use sets
+    * them explicitly.
+    */
+  final case class QualityRules(
+      minTokens: Long = 50, maxTokens: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      minAlphaFrac: Double = 0.8, minStopwordHits: Long = 2)
+
+  /** Per-document HEURISTIC QUALITY-RULE signals + keep decision — the
+    * standard Gopher/C4-style pre-filter that runs before any model-based
+    * scoring at corpus scale:
+    *
+    *  - `n_tokens`: whitespace token count (bounds catch fragments and
+    *    concatenation blobs);
+    *  - `mean_word_len`: mean token length in chars (OCR noise and
+    *    codes/URLs fall outside [3, 10]);
+    *  - `symbol_ratio`: (`#` chars + `...` runs) per token (template/paste
+    *    artifacts);
+    *  - `bullet_frac`: fraction of lines starting with a bullet
+    *    (`-`, `*`, `•`) — navigation/listing pages;
+    *  - `alpha_frac`: fraction of tokens containing a Latin letter
+    *    (binary junk, digit tables);
+    *  - `stopword_hits`: occurrences from the common-English stopword list
+    *    (fluency floor);
+    *  - `keep`: 1 iff every rule passes (INT, not BOOLEAN, so engines hash
+    *    the same representation).
+    *
+    * One narrow projection — tokenize once, every signal derives from the
+    * same pass; all numerators are integers and every division happens once
+    * at the end, so two engines computing these signals agree bit-for-bit.
+    * No shuffle at all: this filter runs at parquet-scan speed over 100 TB.
+    */
+  def qualityRuleSignals(df: DataFrame, idCol: String, textCol: String,
+                         rules: QualityRules = QualityRules()): DataFrame = {
+    val counts = df.select(col(idCol),
+        TextFunctions.tokens(col(textCol)).as("__toks"),
+        split(col(textCol), "\n").as("__lines"),
+        (regexp_count(col(textCol), lit("#")) +
+          regexp_count(col(textCol), lit("\\.\\.\\."))).cast("long").as("__sym"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        aggregate(col("__toks"), lit(0L), (a, t) => a + length(t)).as("__charsum"),
+        size(filter(col("__toks"), t => t.rlike("[a-z]"))).cast("long").as("__alpha"),
+        size(filter(col("__toks"), t => t.isin(TextFunctions.stopwordsEn: _*)))
+          .cast("long").as("stopword_hits"),
+        col("__sym"),
+        size(col("__lines")).cast("long").as("__nlines"),
+        size(filter(col("__lines"), l => l.rlike("^\\s*[-*•]")))
+          .cast("long").as("__bullets"))
+    val signals = counts.select(col(idCol), col("n_tokens"),
+      when(col("n_tokens") > 0, col("__charsum").cast("double") / col("n_tokens"))
+        .otherwise(lit(0.0)).as("mean_word_len"),
+      when(col("n_tokens") > 0, col("__sym").cast("double") / col("n_tokens"))
+        .otherwise(lit(0.0)).as("symbol_ratio"),
+      // split() yields >= 1 line for any non-null text, so no zero guard
+      (col("__bullets").cast("double") / col("__nlines")).as("bullet_frac"),
+      when(col("n_tokens") > 0, col("__alpha").cast("double") / col("n_tokens"))
+        .otherwise(lit(0.0)).as("alpha_frac"),
+      col("stopword_hits"))
+    signals.withColumn("keep",
+      (col("n_tokens").between(rules.minTokens, rules.maxTokens) &&
+        col("mean_word_len").between(rules.minMeanWordLen, rules.maxMeanWordLen) &&
+        col("symbol_ratio") <= rules.maxSymbolRatio &&
+        col("bullet_frac") <= rules.maxBulletFrac &&
+        col("alpha_frac") >= rules.minAlphaFrac &&
+        col("stopword_hits") >= rules.minStopwordHits).cast("int"))
+  }
+
   /** CORPUS-FREQUENCY rarity profile per document — the join-based
     * perplexity-proxy quality signal (documents dominated by tokens the
     * corpus has never seen again are OCR garbage / codes / spam; documents

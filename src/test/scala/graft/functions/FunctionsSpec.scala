@@ -123,4 +123,27 @@ class FunctionsSpec extends SparkSpec {
       .select("p.n_email", "p.n_url", "p.n_phone").as[(Int, Int, Int)].collect().head
     assert(got == ((2, 1, 1)))
   }
+
+  test("normalizeText: case, whitespace runs, and NFC composition fold together") {
+    val decomposed = "Cafe\u0301" // e + combining acute
+    val precomposed = "caf\u00e9" // precomposed e-acute
+    val df = Seq(
+      s"  HELLO   World\n$decomposed  ",
+      s"hello world $precomposed",
+      "").toDF("text")
+    val got = df.select(TextFunctions.normalizeText(col("text"))).as[String].collect().toSeq
+    assert(got(0) == s"hello world $precomposed")
+    assert(got(0) == got(1)) // the dedup property: both render to one key
+    assert(got(2) == "")
+    // idempotent: normalizing a normalized string is the identity
+    val twice = df.select(
+      TextFunctions.normalizeText(TextFunctions.normalizeText(col("text")))).as[String].collect().toSeq
+    assert(twice == got)
+  }
+
+  test("normalizeText is null-safe and ASCII-stable") {
+    val df = Seq(Option("plain ascii stays"), None).toDF("text")
+    val got = df.select(TextFunctions.normalizeText(col("text"))).as[Option[String]].collect().toSeq
+    assert(got == Seq(Some("plain ascii stays"), None))
+  }
 }

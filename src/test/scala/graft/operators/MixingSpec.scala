@@ -43,6 +43,56 @@ class MixingSpec extends SparkSpec {
     assert(totals.values.forall(_ <= 250L))
   }
 
+  test("allocateWithEpochs: full passes + deterministic partial, never exceeding alloc") {
+    // web/books each get 2000 tokens; make books tiny so it upsamples
+    // (deterministic subset — a limit() would pick different rows per
+    // evaluation and this test evaluates the plan several times)
+    val small = docs.filter(col("source") =!= "books" ||
+      (col("source") === "books" && col("doc_id") < 60))
+    val budget = 4000L
+    val got = Mixing.allocateWithEpochs(small, "doc_id", "text", "source",
+      weights, budget)
+    val perSrc = got.groupBy("source")
+      .agg(sum("n_tokens").as("t"), max("epoch").as("maxEpoch"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val avail = small
+      .withColumn("n", graft.functions.TextFunctions.tokenCount(col("text")))
+      .groupBy("source").agg(sum("n").as("t"))
+      .as[(String, Long)].collect().toMap
+    // never-exceed per source, and the small source repeated (epoch >= 1)
+    assert(perSrc("web")._1 <= 2000L && perSrc("books")._1 <= 2000L)
+    assert(perSrc("books")._2 >= 1L, s"books should upsample: $perSrc vs $avail")
+    // every full epoch contains the whole source exactly once
+    val booksIds = small.filter(col("source") === "books")
+      .select("doc_id").as[Long].collect().toSet
+    val epoch0 = got.filter(col("source") === "books" && col("epoch") === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(epoch0 == booksIds)
+    // the partial (last) epoch is the plain allocator run at the remainder
+    val booksT = avail("books")
+    val epochs = 2000L / booksT
+    val rem = 2000L - epochs * booksT
+    val partial = got.filter(col("source") === "books" && col("epoch") === epochs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val expectedPartial = Mixing.allocateByTokenBudget(
+        small.filter(col("source") === "books"), "doc_id", "text", "source",
+        Map("books" -> 1.0), totalBudget = math.max(rem, 1L))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    if (rem > 0) assert(partial == expectedPartial) else assert(partial.isEmpty)
+  }
+
+  test("allocateWithEpochs degenerates to allocateByTokenBudget when no source upsamples") {
+    val budget = 500L // well under every source's total
+    val got = Mixing.allocateWithEpochs(docs, "doc_id", "text", "source",
+        weights, budget)
+      .as[(Long, String, Long, Long)].collect().sorted.toSeq
+    val plain = Mixing.allocateByTokenBudget(docs, "doc_id", "text", "source",
+        weights, budget)
+      .as[(Long, String, Long)].collect()
+      .map { case (id, s, n) => (id, s, n, 0L) }.sorted.toSeq
+    assert(got == plain)
+  }
+
   test("the only unbounded-partition window runs over the bucket-sum table") {
     val plan = Mixing.allocateByTokenBudget(docs, "doc_id", "text", "source",
         weights, 500L)

@@ -57,4 +57,42 @@ class TextStatsSpec extends SparkSpec {
     assert(got(2) == ((3L, 1L, 0.0, 0L, 0.0)))
     assert(got(3) == ((4L, 0L, 0.0, 0L, 0.0)))
   }
+
+  test("qualityRuleSignals: each rule trips independently; keep is their AND") {
+    val rules = TextStats.QualityRules(
+      minTokens = 4, maxTokens = 20, minMeanWordLen = 2.0, maxMeanWordLen = 8.0,
+      maxSymbolRatio = 0.2, maxBulletFrac = 0.5, minAlphaFrac = 0.5,
+      minStopwordHits = 2)
+    val docsQ = Seq(
+      (1L, "the cat and the dog sat in that warm house"),   // passes all
+      (2L, "the cat"),                                      // too few tokens
+      (3L, "the #### cat and #### the dog in it"),          // symbol-heavy
+      (4L, "- the cat\n- and dog\n- it naps\n* the end"),   // bullets 4/4
+      (5L, "12 34 56 78 90 11 the of"),                     // alpha 2/8 < 0.5
+      (6L, "zebra quokka lemur gnu ibex okapi")              // 0 stopword hits
+    ).toDF("doc_id", "text")
+    val got = TextStats.qualityRuleSignals(docsQ, "doc_id", "text", rules)
+      .orderBy("doc_id")
+      .select("doc_id", "keep").as[(Long, Int)].collect().toSeq
+    assert(got == Seq(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0, 6L -> 0))
+    // spot-check the signal arithmetic on doc 1: 10 tokens, 33 chars
+    val row = TextStats.qualityRuleSignals(docsQ, "doc_id", "text", rules)
+      .filter(col("doc_id") === 1L)
+      .select("n_tokens", "mean_word_len", "symbol_ratio", "bullet_frac",
+        "alpha_frac", "stopword_hits")
+      .as[(Long, Double, Double, Double, Double, Long)].collect().head
+    assert(row._1 == 10L)
+    assert(row._2 == 33.0 / 10.0)
+    assert(row._3 == 0.0 && row._4 == 0.0)
+    assert(row._5 == 1.0)
+    assert(row._6 == 5L) // the, and, the, in, that
+  }
+
+  test("qualityRuleSignals is one narrow pass — no shuffle, no join") {
+    val plan = TextStats.qualityRuleSignals(
+        Seq((1L, "some text")).toDF("doc_id", "text"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
 }

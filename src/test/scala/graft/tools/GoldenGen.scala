@@ -178,6 +178,23 @@ object GoldenGen {
       .toSeq.sortBy { case (id, c) => (-c, id) }.take(10)
     write(annTop.toDF("vec_id", "cos"), "q_ann_lsh")
 
+    // q_knn_join_lsh: queries = vec_id % 50 == 0, corpus = rest,
+    // planes=3, tables=8, seed=42, k=5 — per query: bucket-overlap
+    // candidates, exact cosine, (cos desc, id) top-5 with 1-based rank.
+    val knnQueries = embs.filter(_._1 % 50 == 0)
+    val knnCorpus = embs.filter(_._1 % 50 != 0)
+    val knnRows = knnQueries.flatMap { case (qid, qv) =>
+      val qc = codes3(qid)
+      knnCorpus.iterator
+        .filter { case (cid, _) => codes3(cid).intersect(qc).nonEmpty }
+        .map { case (cid, cv) => (cid, cosine(qv, cv)) }
+        .toSeq.sortBy { case (cid, c) => (-c, cid) }.take(5)
+        .zipWithIndex
+        .map { case ((cid, c), i) => (qid, cid, c, (i + 1).toLong) }
+    }
+    write(knnRows.toSeq.toDF("query_id", "neighbor_id", "cos", "rank"),
+      "q_knn_join_lsh")
+
     // ---- q_ann_ivf: committed seeded IVF index + expected probe top-k ---
     // The k-means fit is the one non-replayable build step, so the SEEDED
     // INDEX ITSELF is the fixture (assigned table partitioned by cluster +
