@@ -608,6 +608,75 @@ object ExtQueries {
       golden("q_ann_pq")),
   )
 
+  /** The chained per-stage DuckDB oracle of `Curation.pretrainingPipeline`
+    * (battery config: en / 0.3 / near-dup 0.5 / chunk 40/40 / pack 2000).
+    * The scrub stage is provably a no-op on this corpus (0 regex hits for
+    * all three PII patterns, verified in DuckDB), so the chain skips it;
+    * the near-dup stage reuses the exact golden pair fixture restricted to
+    * filter+dedup survivors (band collisions are per-pair, so the
+    * full-corpus fixture restricted to surviving endpoints IS the pair set
+    * of the filtered corpus). `decontam = true` inserts the
+    * q_decontaminate CTEs (benchmark = raw doc_id % 10 = 0 slice) between
+    * near-dup removal and chunking.
+    */
+  private def curationOracleSql(decontam: Boolean): String = {
+    val gram = (1 to 7).foldLeft("toks[i]") { (acc, k) => s"$acc || ' ' || toks[i+$k]" }
+    val decontamCtes = if (!decontam) "" else s""",
+        sg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+                 i -> $gram))) AS gr
+               FROM (SELECT doc_id, $sqlTokens AS toks FROM surv) WHERE len(toks) >= 8),
+        bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+                 i -> $gram))) AS gr
+               FROM (SELECT $sqlTokens AS toks FROM documents WHERE doc_id % 10 = 0)
+               WHERE len(toks) >= 8),
+        contaminated AS (SELECT DISTINCT doc_id FROM sg JOIN bg USING (gr)),
+        final AS (SELECT doc_id, text FROM surv
+                  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))"""
+    val src = if (decontam) "final" else "surv"
+    s"""
+        WITH RECURSIVE
+        t0 AS (SELECT doc_id, text, $sqlTokens AS toks FROM documents),
+        feat AS (SELECT doc_id, text, toks,
+          CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) END AS punct_ratio,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE) / len(toks) END AS stopword_ratio,
+          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_signal,
+          len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','it'], x))) AS s_en,
+          len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
+          len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))) AS s_fr,
+          len(list_filter(toks, x -> list_contains(['el','los','las','es','un','una','que','en'], x))) AS s_es
+          FROM t0),
+        kept AS (SELECT doc_id, text FROM feat
+          WHERE greatest(s_en, s_de, s_fr, s_es) > 0
+            AND s_en = greatest(s_en, s_de, s_fr, s_es)
+            AND greatest(least(len_signal * 0.4 + least(stopword_ratio * 4.0, 1.0) * 0.4
+                  + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 1.0), 0.0) >= 0.3),
+        exact AS (SELECT doc_id, text FROM
+          (SELECT doc_id, text, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn
+           FROM kept) WHERE rn = 1),
+        edges AS (SELECT id1, id2 FROM
+          read_parquet('/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')
+          WHERE id1 IN (SELECT doc_id FROM exact) AND id2 IN (SELECT doc_id FROM exact)),
+        und AS (SELECT id1 AS a, id2 AS b FROM edges UNION SELECT id2, id1 FROM edges),
+        reach AS (SELECT a, b FROM und
+                  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+        surv AS (SELECT e.doc_id, e.text FROM exact e LEFT JOIN comp c ON e.doc_id = c.id
+                 WHERE c.id IS NULL OR c.component = e.doc_id)$decontamCtes,
+        st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start
+               FROM (SELECT doc_id, $sqlTokens AS toks FROM $src) WHERE len(toks) > 0),
+        chunks AS (SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_id,
+          array_to_string(list_slice(toks, start + 1, start + 40), ' ') AS chunk_text,
+          CAST(len(list_slice(toks, start + 1, start + 40)) AS BIGINT) AS n_tokens
+          FROM st),
+        packed AS (SELECT *, COALESCE(sum(n_tokens) OVER (ORDER BY doc_id, chunk_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM chunks)
+        SELECT doc_id, chunk_id, chunk_text, n_tokens,
+          CAST(before // 2000 AS BIGINT) AS pack_id
+        FROM packed"""
+  }
+
   private val curationQueries: Seq[(String, Q)] = Seq(
     // Deterministic stratified sample: 20 docs per language, ranked by
     // (md5(text), doc_id) — reproducible across engines/partitionings. One
@@ -678,48 +747,25 @@ object ExtQueries {
         graft.operators.Curation.Config(
           keepLangs = Set("en"), minQuality = 0.3, nearDupThreshold = 0.5,
           chunkTokens = 40, chunkStride = 40, packBudgetTokens = 2000L)),
-      Some(s"""
-        WITH RECURSIVE
-        t0 AS (SELECT doc_id, text, $sqlTokens AS toks FROM documents),
-        feat AS (SELECT doc_id, text, toks,
-          CASE WHEN length(text) = 0 THEN 0.0
-               ELSE CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) END AS punct_ratio,
-          CASE WHEN len(toks) = 0 THEN 0.0
-               ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE) / len(toks) END AS stopword_ratio,
-          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_signal,
-          len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','it'], x))) AS s_en,
-          len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
-          len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))) AS s_fr,
-          len(list_filter(toks, x -> list_contains(['el','los','las','es','un','una','que','en'], x))) AS s_es
-          FROM t0),
-        kept AS (SELECT doc_id, text FROM feat
-          WHERE greatest(s_en, s_de, s_fr, s_es) > 0
-            AND s_en = greatest(s_en, s_de, s_fr, s_es)
-            AND greatest(least(len_signal * 0.4 + least(stopword_ratio * 4.0, 1.0) * 0.4
-                  + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 1.0), 0.0) >= 0.3),
-        exact AS (SELECT doc_id, text FROM
-          (SELECT doc_id, text, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn
-           FROM kept) WHERE rn = 1),
-        edges AS (SELECT id1, id2 FROM
-          read_parquet('/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')
-          WHERE id1 IN (SELECT doc_id FROM exact) AND id2 IN (SELECT doc_id FROM exact)),
-        und AS (SELECT id1 AS a, id2 AS b FROM edges UNION SELECT id2, id1 FROM edges),
-        reach AS (SELECT a, b FROM und
-                  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-        comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
-        surv AS (SELECT e.doc_id, e.text FROM exact e LEFT JOIN comp c ON e.doc_id = c.id
-                 WHERE c.id IS NULL OR c.component = e.doc_id),
-        st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start
-               FROM (SELECT doc_id, $sqlTokens AS toks FROM surv) WHERE len(toks) > 0),
-        chunks AS (SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_id,
-          array_to_string(list_slice(toks, start + 1, start + 40), ' ') AS chunk_text,
-          CAST(len(list_slice(toks, start + 1, start + 40)) AS BIGINT) AS n_tokens
-          FROM st),
-        packed AS (SELECT *, COALESCE(sum(n_tokens) OVER (ORDER BY doc_id, chunk_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM chunks)
-        SELECT doc_id, chunk_id, chunk_text, n_tokens,
-          CAST(before // 2000 AS BIGINT) AS pack_id
-        FROM packed""")),
+      Some(curationOracleSql(decontam = false))),
+
+    // The same pipeline with the DECONTAMINATION stage enabled: after
+    // near-dup removal, any document sharing a word 8-gram with the
+    // "benchmark" slice (raw doc_id % 10 = 0) drops before chunking. The
+    // oracle chain inserts the q_decontaminate CTEs (raw string grams vs
+    // the engine's hashed grams — the q_dedup_ngram collision argument).
+    "q_curation_decontam" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.operators.Curation.pretrainingPipeline(
+          docs, "doc_id", "text",
+          graft.operators.Curation.Config(
+            keepLangs = Set("en"), minQuality = 0.3, nearDupThreshold = 0.5,
+            chunkTokens = 40, chunkStride = 40, packBudgetTokens = 2000L),
+          decontaminateAgainst =
+            Some((docs.filter(col("doc_id") % 10 === 0), "text")))
+      },
+      Some(curationOracleSql(decontam = true))),
 
     // Deterministic split assignment: doc_id-keyed 75/12.5/12.5
     // train/val/test (binary-exact boundaries), reproducible across

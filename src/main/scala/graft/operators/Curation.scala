@@ -25,7 +25,9 @@ object Curation {
       nearDupThreshold: Double = 0.7,
       chunkTokens: Int = 512,
       chunkStride: Int = 512,
-      packBudgetTokens: Long = 4096L)
+      packBudgetTokens: Long = 4096L,
+      decontamNgram: Int = 8,
+      decontamMinHits: Int = 1)
 
   /** BENCHMARK DECONTAMINATION hit counts: for every document sharing at
     * least one word `ngramSize`-gram with the benchmark corpus (an eval
@@ -77,9 +79,16 @@ object Curation {
     * the barriers every consumer re-runs the scrub+filter+dedup subtree
     * (measured 9.4 s → 3.4 s at sf0.1 for the battery config).
     */
+  /** Optional `decontaminateAgainst = Some((benchmarkDf, itsTextCol))`
+    * inserts the [[decontaminate]] stage (drop any document sharing ≥
+    * `cfg.decontamMinHits` distinct word `cfg.decontamNgram`-grams with the
+    * benchmark corpus) after near-dup removal — dedup first, so the
+    * gram-join only scans surviving documents.
+    */
   def pretrainingPipeline(docs: DataFrame, idCol: String, textCol: String,
                           cfg: Config = Config(),
-                          materialize: Boolean = true): DataFrame = {
+                          materialize: Boolean = true,
+                          decontaminateAgainst: Option[(DataFrame, String)] = None): DataFrame = {
     def materialized(df: DataFrame): DataFrame =
       if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
@@ -96,7 +105,12 @@ object Curation {
     val nearDeduped = Dedup.dropNearDuplicateClusters(exactDeduped, idCol,
       Dedup.minhashPairs(exactDeduped, idCol, textCol,
         threshold = cfg.nearDupThreshold))
-    val chunks = materialized(Chunking.chunkByTokens(nearDeduped, idCol, textCol,
+    val decontaminated = decontaminateAgainst match {
+      case Some((bench, bCol)) => decontaminate(nearDeduped, idCol, textCol,
+        bench, bCol, cfg.decontamNgram, cfg.decontamMinHits)
+      case None => nearDeduped
+    }
+    val chunks = materialized(Chunking.chunkByTokens(decontaminated, idCol, textCol,
         cfg.chunkTokens, cfg.chunkStride)
       .withColumnRenamed("chunk_text", "__text"))
     // deterministic GLOBAL packing order = lexicographic (doc, chunk): the

@@ -34,4 +34,23 @@ class CurationSpec extends SparkSpec {
     val packs = rows.map(_._5).distinct.sorted
     assert(packs.head == 0L && packs == (0L to packs.last).toSeq)
   }
+
+  test("pretrainingPipeline with decontamination drops benchmark-overlapping docs") {
+    val unique = "it is a fine morning and the river is calm today so we walk " +
+      "to the old market and buy fresh bread and it is good"
+    val docs = Seq(
+      (1L, fluent),           // survives filters; no benchmark overlap
+      (6L, unique * 2)        // shares an 8-gram with the benchmark below
+    ).toDF("doc_id", "text")
+    val benchmark = Seq(s"an eval question mentions: $unique").toDF("text")
+    val cfg = Curation.Config(chunkTokens = 16, chunkStride = 16,
+      packBudgetTokens = 40, nearDupThreshold = 0.5)
+    val without = Curation.pretrainingPipeline(docs, "doc_id", "text", cfg)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val withDecon = Curation.pretrainingPipeline(docs, "doc_id", "text", cfg,
+        decontaminateAgainst = Some((benchmark, "text")))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(without == Set(1L, 6L))
+    assert(withDecon == Set(1L)) // doc 6 is contaminated
+  }
 }
