@@ -551,6 +551,35 @@ object ExtQueries {
       },
       golden("q_knn_join_lsh")),
 
+    // SEMANTIC DEDUP (SemDeDup policy): within-cluster embedding near-dup
+    // removal over the IVF assignments — pair generation is one self
+    // equi-join on the cluster key (partition-local in the index layout),
+    // exact cosine verify, smaller id survives. Cross-cluster pairs are
+    // deliberately out of scope (the policy's documented approximation).
+    "q_semantic_dedup" -> Q(
+      (s, dir) => {
+        val idx =
+          if (dir.endsWith("sf0.01"))
+            Similarity.loadIvf(s, "/root/repo/src/test/resources/golden/ivf_index")
+          else Similarity.ivfIndexFor(
+            table(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+            cacheKey = s"$dir/embeddings!vec_id!16",
+            "vec_id", "embedding", nClusters = 16)
+        Dedup.semanticDedup(idx.assigned, "vec_id", "embedding", threshold = 0.45)
+          .select(col("vec_id"), col("__cluster").cast("int").as("cluster"))
+      },
+      Some("""
+        WITH a AS (SELECT CAST(__cluster AS INT) AS c, vec_id,
+                     CAST(embedding AS DOUBLE[]) AS e
+                   FROM read_parquet(
+                     '/root/repo/src/test/resources/golden/ivf_index/assigned/*/*.parquet',
+                     hive_partitioning=1)),
+        p AS (SELECT y.vec_id AS i2 FROM a x JOIN a y
+                ON x.c = y.c AND x.vec_id < y.vec_id
+              WHERE list_cosine_similarity(x.e, y.e) >= 0.45)
+        SELECT vec_id, c AS cluster FROM a
+        WHERE vec_id NOT IN (SELECT DISTINCT i2 FROM p)""")),
+
     // CLUSTER-BALANCED sampling: exact-5 per IVF cluster in deterministic
     // hash order — the "semantic diversity" selection stage (per-cluster
     // quotas instead of frequency-weighted sampling). Reuses the committed

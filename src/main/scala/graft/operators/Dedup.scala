@@ -547,6 +547,35 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select("id1", "id2", "cos")
   }
 
+  /** SEMANTIC DEDUP (the SemDeDup policy, Abbas et al. 2023,
+    * arXiv:2303.09540): embedding near-dup removal blocked by a coarse
+    * k-means clustering — within each cluster, pairs at cosine ≥
+    * `threshold` are near-duplicates and the smaller id survives; pairs
+    * CROSSING cluster boundaries are deliberately never examined (that is
+    * the approximation that makes the policy tractable, identical to the
+    * paper's).
+    *
+    * Input is an IVF assignment table ([[Similarity.ivfIndexFor]] /
+    * `loadIvf`): the cluster id is `clusterCol`. Pair generation is one
+    * self equi-join ON THE CLUSTER KEY — quadratic work happens only
+    * within clusters (Σ|cluster|² instead of n²), and because the index
+    * layout is partitioned by cluster, candidates are partition-local at
+    * the source. Verification is the exact codegen'd cosine.
+    */
+  def semanticDedup(assigned: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double,
+                    clusterCol: String = "__cluster"): DataFrame = {
+    val a = assigned.select(col(clusterCol).as("__c"),
+      col(idCol).as("id1"), col(vecCol).as("__v1"))
+    val b = assigned.select(col(clusterCol).as("__c"),
+      col(idCol).as("id2"), col(vecCol).as("__v2"))
+    val pairs = a.join(b, "__c")
+      .filter(col("id1") < col("id2"))
+      .filter(VectorFunctions.cosine(col("__v1"), col("__v2")) >= threshold)
+      .select("id1", "id2")
+    dropNearDuplicates(assigned, idCol, pairs)
+  }
+
   /** Embedding-cosine near-duplicate pairs via MULTI-TABLE sign-LSH
     * blocking — the production embedding near-dup path: candidates come
     * from a hash-bucket equi-join on (table, bucket) codes

@@ -270,6 +270,25 @@ class OperatorsSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("semanticDedup drops within-cluster near-dups only; cross-cluster pairs are out of scope") {
+    // hand-assigned clusters: 0/1/3 are near-parallel; put 3 in ANOTHER
+    // cluster so its pairs with 0/1 must NOT be examined
+    val assigned = Seq(
+      (0L, Seq(1f, 0f, 0f), 10),
+      (1L, Seq(0.9f, 0.1f, 0f), 10),  // ~cos 0.99 with 0 → dropped (same cluster)
+      (3L, Seq(0.8f, 0.2f, 0f), 20),  // near-dup of 0/1 but other cluster → kept
+      (2L, Seq(0f, 1f, 0f), 10),      // same cluster as 0, far → kept
+      (4L, Seq(0f, 0f, 1f), 20)       // far → kept
+    ).toDF("vec_id", "embedding", "__cluster")
+    val kept = Dedup.semanticDedup(assigned, "vec_id", "embedding", threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L, 4L))
+    // pair generation is a cluster-key equi-join — never a cross join
+    val plan = Dedup.semanticDedup(assigned, "vec_id", "embedding", 0.95)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("ivfIndexFor memoizes the build and probes with SOURCE partition pruning") {
     val idx = Similarity.ivfIndexFor(vecs, cacheKey = "operators-spec-vecs",
       "vec_id", "embedding", nClusters = 2)
