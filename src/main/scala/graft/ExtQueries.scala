@@ -770,12 +770,20 @@ object ExtQueries {
     // filter+dedup survivors (band collisions are per-pair, so the
     // full-corpus fixture restricted to surviving endpoints IS the pair
     // set of the filtered corpus).
+    // Both pipeline rows feed the near-dup stage from the SHARED persisted
+    // band index (minhashPairsFromIndex over docsMinhashIdx) — the nightly
+    // production shape; the pipeline restricts the full-corpus pairs to
+    // filter+dedup survivors (per-pair band collisions make that exactly
+    // the filtered corpus's pair set — the same argument the oracle chain
+    // itself rests on, and spec-pinned in CurationSpec).
     "q_curation_pipeline" -> Q(
       (s, dir) => graft.operators.Curation.pretrainingPipeline(
         table(s, dir, "documents"), "doc_id", "text",
         graft.operators.Curation.Config(
           keepLangs = Set("en"), minQuality = 0.3, nearDupThreshold = 0.5,
-          chunkTokens = 40, chunkStride = 40, packBudgetTokens = 2000L)),
+          chunkTokens = 40, chunkStride = 40, packBudgetTokens = 2000L),
+        nearDupPairs = Some(Dedup.minhashPairsFromIndex(docsMinhashIdx(s, dir),
+          numHashes = 128, threshold = 0.5))),
       Some(curationOracleSql(decontam = false))),
 
     // The same pipeline with the DECONTAMINATION stage enabled: after
@@ -792,7 +800,9 @@ object ExtQueries {
             keepLangs = Set("en"), minQuality = 0.3, nearDupThreshold = 0.5,
             chunkTokens = 40, chunkStride = 40, packBudgetTokens = 2000L),
           decontaminateAgainst =
-            Some((docs.filter(col("doc_id") % 10 === 0), "text")))
+            Some((docs.filter(col("doc_id") % 10 === 0), "text")),
+          nearDupPairs = Some(Dedup.minhashPairsFromIndex(docsMinhashIdx(s, dir),
+            numHashes = 128, threshold = 0.5)))
       },
       Some(curationOracleSql(decontam = true))),
 

@@ -84,11 +84,23 @@ object Curation {
     * `cfg.decontamMinHits` distinct word `cfg.decontamNgram`-grams with the
     * benchmark corpus) after near-dup removal — dedup first, so the
     * gram-join only scans surviving documents.
+    *
+    * Optional `nearDupPairs = Some(pairs)` supplies a PRECOMPUTED
+    * full-corpus near-dup pair table (id1, id2) — the nightly persisted
+    * band index ([[Dedup.minhashIndexFor]] → `minhashPairsFromIndex`) —
+    * instead of re-hashing the filtered corpus inside the pipeline. Sound
+    * because band collisions are a PER-PAIR property: the full-corpus
+    * pair set restricted to pairs whose both endpoints survived
+    * filtering+dedup is exactly the pair set of the filtered corpus
+    * (spec-pinned equivalence). This is the production shape — the
+    * signature pass is the pipeline's most expensive stage and the index
+    * job already paid it.
     */
   def pretrainingPipeline(docs: DataFrame, idCol: String, textCol: String,
                           cfg: Config = Config(),
                           materialize: Boolean = true,
-                          decontaminateAgainst: Option[(DataFrame, String)] = None): DataFrame = {
+                          decontaminateAgainst: Option[(DataFrame, String)] = None,
+                          nearDupPairs: Option[DataFrame] = None): DataFrame = {
     def materialized(df: DataFrame): DataFrame =
       if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
@@ -102,9 +114,15 @@ object Curation {
       .filter(TextFunctions.qualityScore(col(textCol)) >= cfg.minQuality)
     val scrubbed = filtered.withColumn(textCol, TextFunctions.scrubPii(col(textCol)))
     val exactDeduped = materialized(Dedup.exact(scrubbed, col(textCol), col(idCol)))
-    val nearDeduped = Dedup.dropNearDuplicateClusters(exactDeduped, idCol,
-      Dedup.minhashPairs(exactDeduped, idCol, textCol,
-        threshold = cfg.nearDupThreshold))
+    val pairs = nearDupPairs match {
+      case Some(p) =>
+        val ids = exactDeduped.select(col(idCol).as("__sid"))
+        p.join(ids, col("id1") === col("__sid"), "left_semi")
+          .join(ids, col("id2") === col("__sid"), "left_semi")
+      case None => Dedup.minhashPairs(exactDeduped, idCol, textCol,
+        threshold = cfg.nearDupThreshold)
+    }
+    val nearDeduped = Dedup.dropNearDuplicateClusters(exactDeduped, idCol, pairs)
     val decontaminated = decontaminateAgainst match {
       case Some((bench, bCol)) => decontaminate(nearDeduped, idCol, textCol,
         bench, bCol, cfg.decontamNgram, cfg.decontamMinHits)

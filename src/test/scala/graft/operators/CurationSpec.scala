@@ -53,4 +53,27 @@ class CurationSpec extends SparkSpec {
     assert(without == Set(1L, 6L))
     assert(withDecon == Set(1L)) // doc 6 is contaminated
   }
+
+  test("pretrainingPipeline(nearDupPairs = full-corpus pairs) == the self-contained path") {
+    val docs = Seq(
+      (1L, s"$fluent alpha"),
+      (2L, s"$fluent alpha"),            // exact dup of 1
+      (3L, s"$fluent alpha beta"),       // near dup of 1
+      (4L, "der die das und ist nicht ein zu " * 6), // filtered out
+      (6L, "it is a fine morning and the river is calm today so we walk to " +
+        "the old market and buy fresh bread and it is good " * 3)
+    ).toDF("doc_id", "text")
+    val cfg = Curation.Config(chunkTokens = 16, chunkStride = 16,
+      packBudgetTokens = 40, nearDupThreshold = 0.5)
+    val self = Curation.pretrainingPipeline(docs, "doc_id", "text", cfg)
+      .as[(Long, Long, String, Long, Long)].collect().sorted.toSeq
+    // the precomputed table carries FULL-corpus pairs (including pairs with
+    // the filtered-out doc 4) — the pipeline must restrict to survivors
+    val fullPairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+    val indexed = Curation.pretrainingPipeline(docs, "doc_id", "text", cfg,
+        nearDupPairs = Some(fullPairs))
+      .as[(Long, Long, String, Long, Long)].collect().sorted.toSeq
+    assert(indexed == self)
+    assert(self.nonEmpty)
+  }
 }
