@@ -23,10 +23,11 @@ object PlanAudit {
     val n = SparkEntry.entry(spark).count()
     println(s"[audit] entry rows=$n")
 
-    Queries.all.foreach { case (name, q) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val df = q.run(spark, sfDir)
+        val df = fn(spark, sfDir)
         val plan = df.queryExecution.executedPlan
+        val planStr = plan.toString
         val scans = plan.collect {
           case a: AdaptiveSparkPlanExec => a.executedPlan.collect { case s: FileSourceScanExec => s }
           case s: FileSourceScanExec => Seq(s)
@@ -36,7 +37,12 @@ object PlanAudit {
           val cols = s.requiredSchema.fieldNames.length
           s"cols=$cols pushed=$pushed"
         }.mkString("; ")
-        println(s"[audit] $name :: $scanInfo")
+        // cheap scale signals: shuffle count + scale-killer operators
+        val exchanges = "Exchange".r.findAllIn(planStr).length
+        val killers = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+          .filter(planStr.contains).mkString(",")
+        val flag = if (killers.nonEmpty) s" !!$killers" else ""
+        println(s"[audit] $name :: shuffles=$exchanges$flag :: $scanInfo")
       } catch { case e: Throwable => println(s"[audit] $name FAILED: ${e.getMessage}") }
     }
     spark.stop()
