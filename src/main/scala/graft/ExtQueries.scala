@@ -1065,6 +1065,33 @@ object ExtQueries {
          AND (a.user_id, a.s) < (b.user_id, b.s)
         WHERE a.n >= 2 AND b.n >= 2""")),
 
+    // CONVERSION FUNNEL (view → click → purchase): per user, earliest view,
+    // earliest click at-or-after it, earliest purchase at-or-after that;
+    // stage = deepest step reached. Per step one user-key hash equi-join
+    // (ordering as a join filter, no theta join) + one map-side-combined
+    // min aggregation — no per-user window sorts.
+    "q_events_funnel" -> Q(
+      (s, dir) => EventStreams.funnel(events(s, dir), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase")),
+      Some("""
+        WITH v AS (SELECT user_id, min(ts) AS ts_1 FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT v.user_id, v.ts_1, min(e.ts) AS ts_2
+              FROM v LEFT JOIN events e
+                ON e.user_id = v.user_id AND e.event_type = 'click'
+               AND e.ts >= v.ts_1
+              GROUP BY 1, 2),
+        p AS (SELECT c.user_id, c.ts_1, c.ts_2, min(e.ts) AS ts_3
+              FROM c LEFT JOIN events e
+                ON e.user_id = c.user_id AND e.event_type = 'purchase'
+               AND e.ts >= c.ts_2
+              GROUP BY 1, 2, 3)
+        SELECT user_id, ts_1, ts_2, ts_3,
+          CAST(CASE WHEN ts_3 IS NOT NULL THEN 3
+                    WHEN ts_2 IS NOT NULL THEN 2
+                    ELSE 1 END AS INT) AS stage
+        FROM p""")),
+
     "q_events_session" -> Q(
       (s, dir) => EventStreams.sessionizeBatch(events(s, dir), gapMinutes = 30),
       Some(s"""

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -151,6 +151,42 @@ object EventStreams {
       .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"))
       .select("user_id", "session_start", "session_end", "n_events")
+  }
+
+  /** CONVERSION FUNNEL: per user, the earliest `steps.head` event, then
+    * per later step the earliest event AT OR AFTER the previous step's
+    * chosen timestamp (strictly ordered progression; an out-of-order
+    * conversion — a click before the first view — does not count).
+    * Output: one row per user who reached step 1, with `ts_1..ts_n`
+    * (null once the funnel breaks) and `stage` = deepest step reached.
+    *
+    * Plan shape: per step, one hash EQUI-join on the user key (the
+    * timestamp ordering rides as a join filter, never a range/theta join)
+    * + one hash aggregation with map-side combine — a user with millions
+    * of step events collapses to one row per map task before the shuffle.
+    * No windows, so no per-user sort of whole event histories; step count
+    * is the only multiplier, and funnels are short by nature.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("ts_1"))
+    val full = steps.zipWithIndex.tail.foldLeft(first) { case (acc, (step, i)) =>
+      val k = i + 1
+      val next = events.filter(col(typeCol) === step)
+        .select(col(userCol).as("__u"), col(tsCol).as("__t"))
+      val carried = (Seq(userCol) ++ (1 until k).map(j => s"ts_$j")).map(col)
+      acc.join(next,
+          col(userCol) === col("__u") && col("__t") >= col(s"ts_${k - 1}"),
+          "left")
+        .groupBy(carried: _*)
+        .agg(min(col("__t")).as(s"ts_$k"))
+    }
+    val stage = (2 to steps.length).foldLeft(lit(1): Column) { (acc, k) =>
+      when(col(s"ts_$k").isNotNull, lit(k)).otherwise(acc)
+    }
+    full.withColumn("stage", stage.cast("int"))
   }
 
   /** EVENT-TIME sessionization via per-key mutable state: sessions close

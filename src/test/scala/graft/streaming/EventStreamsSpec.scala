@@ -272,4 +272,32 @@ class EventStreamsSpec extends SparkSpec {
     assert(closed.contains((1L, 2L)))
     assert(closed.contains((2L, 1L)))
   }
+
+  test("funnel: strictly ordered progression, same-ts counts, no-first-step users absent") {
+    val fe = Seq(
+      // user 1: complete funnel in order → stage 3
+      Event(10L, ts(0), 1L, "view", 0), Event(11L, ts(1), 1L, "click", 0),
+      Event(12L, ts(2), 1L, "purchase", 0),
+      // user 2: only click BEFORE the first view → click doesn't qualify, stage 1
+      Event(20L, ts(2), 2L, "click", 0), Event(21L, ts(5), 2L, "view", 0),
+      // user 3: click at the SAME ts as the view (>= counts) → stage 2
+      Event(30L, ts(0), 3L, "view", 0), Event(31L, ts(0), 3L, "click", 0),
+      // user 4: no view at all → absent from the funnel
+      Event(40L, ts(0), 4L, "click", 0), Event(41L, ts(1), 4L, "purchase", 0),
+      // user 5: purchase BEFORE the qualifying click → stage 2
+      Event(50L, ts(0), 5L, "view", 0), Event(51L, ts(3), 5L, "click", 0),
+      Event(52L, ts(1), 5L, "purchase", 0)
+    ).toDF()
+    val got = EventStreams.funnel(fe, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select("user_id", "stage").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2, 5L -> 2))
+    // earliest-qualifying timestamps, not just any qualifying ones
+    val row1 = EventStreams.funnel(fe, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .filter(col("user_id") === 1L)
+      .select("ts_1", "ts_2", "ts_3").as[(Timestamp, Timestamp, Timestamp)]
+      .collect().head
+    assert(row1 == ((ts(0), ts(1), ts(2))))
+  }
 }
