@@ -81,9 +81,16 @@ object Bench {
     val budget = 1600 // chars for the inline map; total line stays < ~1780
     val sb = new StringBuilder
     var kept = 0
-    for ((k, v) <- results.sortBy(-_._2)) {
+    // stop at the FIRST entry that doesn't fit so the inline map is a
+    // strict slowest-first prefix — continuing would let a fast query
+    // with a short name slip in ahead of a skipped slower one
+    val it = results.sortBy(-_._2).iterator
+    var full = false
+    while (it.hasNext && !full) {
+      val (k, v) = it.next()
       val entry = (if (kept > 0) "," else "") + "\"" + k + "\":" + fmt(v)
       if (sb.length + entry.length <= budget) { sb.append(entry); kept += 1 }
+      else full = true
     }
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":{$sb},"sf":"$sfDir","full":"BENCH_FULL.json"}""")

@@ -95,6 +95,17 @@ object Curation {
     * (spec-pinned equivalence). This is the production shape — the
     * signature pass is the pipeline's most expensive stage and the index
     * job already paid it.
+    *
+    * CONTRACT on the supplied pairs: they must have been computed over
+    * text IDENTICAL to this pipeline's POST-SCRUB text. The inline path
+    * (`nearDupPairs = None`) minhashes the scrubbed text; an index built
+    * over raw text diverges silently on any corpus where
+    * [[graft.functions.TextFunctions.scrubPii]] actually rewrites
+    * documents (redaction tags perturb shingles, so signatures — and
+    * hence the pair set — differ). Either build the index over
+    * `scrubPii(text)` (the right nightly-job shape: scrub once, index
+    * the scrubbed lake), or only feed a raw-text index to a pipeline
+    * whose corpus the scrub provably leaves untouched.
     */
   def pretrainingPipeline(docs: DataFrame, idCol: String, textCol: String,
                           cfg: Config = Config(),

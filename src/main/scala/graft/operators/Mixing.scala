@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
   */
 object Mixing {
 
+  /** Block width for the two-level epoch explode in [[allocateWithEpochs]]
+    * — bounds every generated array to max(epochs/4096, 4096) elements.
+    */
+  private val EpochBlock = 4096L
+
   /** The deterministic (source, hash-order) base table every allocator
     * shares: (__id, __src, n_tokens, __h, __alloc, __bucket), zero-weight
     * sources already dropped.
@@ -88,11 +93,15 @@ object Mixing {
     * of a hidden multiplier.
     *
     * Scale: the per-source totals table is one map-side-combined aggregate
-    * (|sources| rows, broadcast back); full epochs are a narrow
-    * `explode(sequence)` — no shuffle grows with the epoch count; the
-    * partial pass reuses the two-level prefix sum. A source large enough
-    * to need no repetition degenerates to exactly the plain allocator's
-    * rows with epoch 0.
+    * (|sources| rows, broadcast back); full epochs are a narrow TWO-LEVEL
+    * explode (blocks of [[EpochBlock]] epochs, then offsets within the
+    * block) — no shuffle grows with the epoch count, and no task ever
+    * materializes an array longer than `max(epochs/EpochBlock,
+    * EpochBlock)` elements, so a tiny source paired with a huge budget
+    * (millions of epochs) costs O(output rows), not an epochs-length
+    * array per document row. The partial pass reuses the two-level prefix
+    * sum. A source large enough to need no repetition degenerates to
+    * exactly the plain allocator's rows with epoch 0.
     */
   def allocateWithEpochs(df: DataFrame, idCol: String, textCol: String,
                          sourceCol: String, weights: Map[String, Double],
@@ -105,9 +114,18 @@ object Mixing {
       .withColumn("__rem", col("__a") - col("__epochs") * col("__T"))
       .select("__src", "__epochs", "__rem")
     val joined = base.join(broadcast(perSource), "__src")
+    // epoch 0..e-1 via two bounded explodes: per-row array length is
+    // ceil(e / EpochBlock) for the block index and ≤ EpochBlock for the
+    // offsets — never e itself (a single explode(sequence(0, e-1)) would
+    // allocate an e-element array per document row and OOM a task once
+    // budgets push epochs into the millions)
     val fullEpochs = joined.filter(col("__epochs") >= 1)
+      .withColumn("__blk",
+        explode(sequence(lit(0L), expr(s"(__epochs - 1) div $EpochBlock"))))
       .select(col("__id"), col("__src"), col("n_tokens"),
-        explode(sequence(lit(0L), col("__epochs") - 1)).as("epoch"))
+        explode(sequence(col("__blk") * EpochBlock,
+          least(col("__epochs") - 1, (col("__blk") + 1) * EpochBlock - 1)))
+          .as("epoch"))
     val partial = withRunningTotal(joined)
       .filter(col("__before") + col("n_tokens") <= col("__rem"))
       .select(col("__id"), col("__src"), col("n_tokens"),

@@ -93,6 +93,16 @@ class MixingSpec extends SparkSpec {
     assert(got == plain)
   }
 
+  test("epoch generation crosses the 4096-epoch block boundary without gaps") {
+    // one 1-token doc, budget 10000 → epochs 0..9999 span three explode
+    // blocks; the two-level explode must emit every epoch exactly once
+    val tiny = Seq((1L, "books", "w")).toDF("doc_id", "source", "text")
+    val got = Mixing.allocateWithEpochs(tiny, "doc_id", "text", "source",
+        Map("books" -> 1.0), totalBudget = 10000L)
+      .select("epoch").as[Long].collect().sorted.toSeq
+    assert(got == (0L until 10000L).toSeq)
+  }
+
   test("the only unbounded-partition window runs over the bucket-sum table") {
     val plan = Mixing.allocateByTokenBudget(docs, "doc_id", "text", "source",
         weights, 500L)
