@@ -1128,6 +1128,104 @@ object ExtQueries {
              GROUP BY 1""")),
   )
 
+  private val analyticsQueries: Seq[(String, Q)] = Seq(
+    // PIVOT with explicit values (no distinct-discovery job) and
+    // zero-filled absent cells: order counts by priority × status.
+    "q_pivot" -> Q(
+      (s, dir) => graft.operators.Analytics.pivotCounts(
+        table(s, dir, "orders"), Seq("o_orderpriority"), "o_orderstatus",
+        Seq("F", "O", "P")),
+      Some("""SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+             FROM orders GROUP BY 1""")),
+
+    // ROLLUP (year, status) with the grouping-id convention; money sums
+    // accumulate as long cents (the q1_agg pattern).
+    "q_rollup" -> Q(
+      (s, dir) => graft.operators.Analytics.rollupAgg(
+        table(s, dir, "orders")
+          .withColumn("yr", year(col("o_orderdate")).cast("int")),
+        Seq("yr", "o_orderstatus"),
+        Seq(count(lit(1)).as("cnt"),
+          (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0)
+            .as("sum_price"))),
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus,
+               count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus) AS INT) AS gid
+             FROM orders
+             GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)""")),
+
+    // COHORT RETENTION over the events table: users bucketed by
+    // first-event day, counted once per later active day-offset.
+    "q_retention" -> Q(
+      (s, dir) => graft.operators.Analytics.retentionCohorts(
+        events(s, dir), "user_id", "ts"),
+      Some("""
+        WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort
+                   FROM events GROUP BY 1),
+        act AS (SELECT DISTINCT e.user_id, f.cohort,
+                  CAST(date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS INT) AS k
+                FROM events e JOIN f USING (user_id))
+        SELECT cohort, k, count(*) AS n_users FROM act GROUP BY 1, 2""")),
+
+    // DETERMINISTIC weighted sample (A-ES, proportional to n_chars):
+    // hash-uniform u, ln(u)/w ranking, largest-50. The ln(u)/w key itself
+    // is never emitted (last-ulp libm variation) — only its ORDER is used,
+    // identically on both engines.
+    "q_weighted_sample" -> Q(
+      (s, dir) => graft.operators.Sampling.weightedSample(
+        table(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        n = 50, weight = col("n_chars"), key = col("doc_id")),
+      Some("""
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT doc_id, lang, n_chars,
+            ln(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0) / n_chars AS aes
+          FROM documents WHERE n_chars > 0)
+        ORDER BY aes DESC, doc_id LIMIT 50""")),
+
+    // SALIENT TERMS: top-3 per document by (tf DESC, df ASC, token) —
+    // integer-exact keyword screening; the (tf, df) pair ships so true
+    // tf-idf curves apply offline.
+    "q_salient_terms" -> Q(
+      (s, dir) => graft.operators.TextStats.salientTerms(
+        table(s, dir, "documents"), "doc_id", "text", k = 3),
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+        SELECT doc_id AS id, token, tf, df, rank FROM (
+          SELECT doc_id, token, tf, df,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY tf DESC, df, token) AS rank
+          FROM tf JOIN dfq USING (token)) t
+        WHERE rank <= 3""")),
+
+    // EXACT integer outlier flag: per-user purchase values more than
+    // 1.5σ from the user's mean, in cleared-denominator long arithmetic —
+    // bit-identical across engines where a float mean/std pipeline is
+    // aggregation-order dependent.
+    "q_outliers" -> Q(
+      (s, dir) => graft.operators.Analytics.flagOutliers(
+        events(s, dir)
+          .withColumn("cents", round(col("value") * 100).cast("long")),
+        Seq("user_id"), col("cents"), kNum = 3, kDen = 2)
+        .filter(col("outlier") === 1)
+        .select("event_id", "user_id", "cents", "n"),
+      Some("""
+        WITH c AS (SELECT event_id, user_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        st AS (SELECT user_id, count(*) AS n, sum(cents) AS s,
+                 sum(cents * cents) AS sq FROM c GROUP BY 1)
+        SELECT event_id, user_id, cents, n
+        FROM c JOIN st USING (user_id)
+        WHERE n >= 2
+          AND 4 * (n * cents - s) * (n * cents - s) > 9 * (n * sq - s * s)""")),
+  )
+
   // Headline analytical queries (bench anchors; also oracle-checked).
   private val headlineQueries: Seq[(String, Q)] = Seq(
     // Money sums accumulate as LONG CENTS — exact and order-independent like
@@ -1180,5 +1278,6 @@ object ExtQueries {
   def all: Seq[(String, Q)] =
     textQueries ++ dedupQueries ++ simQueries ++ knnQueries ++ pqQueries ++
       curationQueries ++ quantileQueries ++ multimodalQueries ++
-      resizeQueries ++ eventQueries ++ layoutQueries ++ headlineQueries
+      resizeQueries ++ eventQueries ++ layoutQueries ++ analyticsQueries ++
+      headlineQueries
 }

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** OLAP analytics operators over event/fact tables: pivot, rollup/cube,
+  * cohort retention, and exact statistical outlier flagging — the
+  * reporting tier a data-curation pipeline feeds.
+  */
+object Analytics {
+
+  /** PIVOT: one count column per `pivotValues` entry, zero-filled.
+    *
+    * `pivotValues` is REQUIRED, not discovered: Spark's value-less
+    * `pivot(col)` runs a separate driver-side distinct job over the pivot
+    * column before it can even plan — at 100 TB that is a full extra scan,
+    * and an unbounded column cardinality would explode the schema. With
+    * explicit values the whole pivot compiles to ONE hash aggregate whose
+    * buffer holds |values| conditional counts per row key — a single
+    * shuffle of |rowKeys| × |values| cells, map-side combined.
+    *
+    * Absent (rowKey, value) combinations surface as 0, not NULL (Spark's
+    * raw pivot-count leaves them NULL; a count of nothing is zero).
+    */
+  def pivotCounts(df: DataFrame, rowCols: Seq[String], pivotCol: String,
+                  pivotValues: Seq[String]): DataFrame = {
+    require(rowCols.nonEmpty, "rowCols must be non-empty")
+    require(pivotValues.nonEmpty, "pivotValues must be explicit (a value-less" +
+      " pivot adds a driver-side distinct-discovery job over the full table)")
+    val pivoted = df.groupBy(rowCols.map(col): _*)
+      .pivot(pivotCol, pivotValues)
+      .agg(count(lit(1)))
+    pivoted.select(rowCols.map(col) ++
+      pivotValues.map(v => coalesce(col(s"`$v`"), lit(0L)).as(v)): _*)
+  }
+
+  /** ROLLUP aggregation with the grouping-id convention: one row per
+    * prefix level of `keys` (full detail → grand total), `gid` = Spark's
+    * `grouping_id()` as INT so consumers can tell a rolled-up NULL from a
+    * data NULL without guessing.
+    *
+    * Scale: Spark plans rollup as Expand (|keys|+1 copies of each input
+    * row) + one hash aggregate — but partial aggregation runs AFTER the
+    * expand on the map side, so the shuffle carries ≈ groups × levels
+    * rows, not rows × levels. The level count is the one multiplier to
+    * watch: rollup is linear in |keys|, cube is 2^|keys| — prefer rollup
+    * unless every margin is genuinely needed.
+    */
+  def rollupAgg(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty && aggs.nonEmpty, "keys and aggs must be non-empty")
+    df.rollup(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail :+ grouping_id().cast("int").as("gid"): _*)
+  }
+
+  /** CUBE twin of [[rollupAgg]] — every subset of `keys` (2^|keys| grouping
+    * sets; see the scale note there).
+    */
+  def cubeAgg(df: DataFrame, keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty && aggs.nonEmpty, "keys and aggs must be non-empty")
+    df.cube(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail :+ grouping_id().cast("int").as("gid"): _*)
+  }
+
+  /** COHORT RETENTION: users bucketed by the day of their FIRST event
+    * (`cohort`), counted once per day-offset `k` at which they were active
+    * again → (cohort DATE, k INT, n_users BIGINT). The k = 0 row is the
+    * cohort's size; n_users at k > 0 over it is the classic retention
+    * curve.
+    *
+    * Plan shape: one user-keyed aggregate for first-event timestamps
+    * (map-side combined min), one user-keyed equi-join back (the cohort
+    * table is |users| rows — AQE broadcasts it when it fits), a DISTINCT
+    * on (user, cohort, k) so a user active 1000× on day k counts once
+    * (map-side partial dedup bounds the shuffle at users × active-days),
+    * then the final (cohort, k) count. No windows, no per-user sorts —
+    * a user with millions of events collapses on the map side.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firstEvent = events.groupBy(col(userCol).as("__u"))
+      .agg(to_date(min(col(tsCol))).as("cohort"))
+    events.select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .join(firstEvent, "__u")
+      .select(col("__u"), col("cohort"),
+        datediff(col("__d"), col("cohort")).as("k"))
+      .distinct()
+      .groupBy("cohort", "k")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** EXACT per-group statistical outlier flag: marks rows where
+    * `|x − mean| > (kNum/kDen) · stddev_pop` of the row's group — in PURE
+    * INTEGER arithmetic, so two engines agree bit-for-bit (a
+    * floating-point mean/stddev pipeline is partition-order dependent).
+    *
+    * The test |x − μ| > k·σ is squared and cleared of denominators:
+    *
+    *   kDen² · (n·x − sum)²  >  kNum² · (n·Σx² − sum²)
+    *
+    * where sum/Σx² are the group's integer sums of `value` (callers
+    * quantize, e.g. money → cents). Groups with n < 2 never flag (σ is
+    * meaningless). Output: the input columns + `n` (group size) +
+    * `outlier` (INT 0/1).
+    *
+    * Plan shape: ONE map-side-combined aggregate for the (n, sum, sumsq)
+    * table — |groups| rows, AQE broadcasts it — and one equi-join back;
+    * the fact side never shuffles when the stats table broadcasts.
+    *
+    * Overflow bound (callers must check at their scale): the comparison
+    * needs `kDen²·(n·maxAbs)²` and `kNum²·n·maxAbs²` within ±9.2e18
+    * (long). E.g. cents ≤ 10⁶ (a $10k cap) allows n up to ~10⁶ per group
+    * at k = 3/1. Beyond that, lift the two product expressions to
+    * DECIMAL(38,0) — the structure is unchanged.
+    */
+  def flagOutliers(df: DataFrame, groupCols: Seq[String], value: Column,
+                   kNum: Long, kDen: Long): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(kNum > 0 && kDen > 0, "threshold k = kNum/kDen must be positive")
+    val v = value.cast("long")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(v).as("__sum"), sum(v * v).as("__sumsq"))
+    val dev = col("n") * v - col("__sum")
+    val varn = col("n") * col("__sumsq") - col("__sum") * col("__sum")
+    df.join(stats, groupCols)
+      .withColumn("outlier",
+        (col("n") >= 2 &&
+          lit(kDen * kDen) * dev * dev > lit(kNum * kNum) * varn).cast("int"))
+      .drop("__sum", "__sumsq")
+  }
+}

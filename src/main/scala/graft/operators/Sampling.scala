@@ -43,6 +43,28 @@ object Sampling {
   def uniformExactN(df: DataFrame, n: Int, orderBy: Seq[Column]): DataFrame =
     df.orderBy(orderBy: _*).limit(n)
 
+  /** DETERMINISTIC weighted sample WITHOUT replacement: the `n` rows with
+    * the largest A-ES key (Efraimidis & Spirakis 2006: key = u^(1/w),
+    * compared as ln(u)/w — same order, better numerics), where `u` is the
+    * hash-uniform `first-8-hex(md5(key)) / 2³²` (the [[assignSplit]]
+    * contract: reproducible across runs, engines, and partitionings, no
+    * RNG state). Inclusion probability is proportional-to-weight at each
+    * of the n draws — the standard one-pass weighted reservoir semantics.
+    *
+    * Rows with non-positive weight are excluded (a zero weight must never
+    * be sampled; ln(u)/0 is undefined). Plans as TakeOrderedAndProject:
+    * each partition keeps a local top-n heap, the driver merges
+    * n·partitions candidates — no shuffle of the data, same as
+    * [[uniformExactN]]. The ln(u)/w sort key is NOT emitted: its last-ulp
+    * bits are libm-dependent, and ranking only needs its order.
+    */
+  def weightedSample(df: DataFrame, n: Int, weight: Column, key: Column): DataFrame = {
+    val u = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    val aesKey = log(u) / weight.cast("double")
+    df.filter(weight > 0).orderBy(aesKey.desc, key).limit(n)
+  }
+
   /** DETERMINISTIC train/val/test (or arbitrary) split assignment, keyed
     * on any column: rows with the same `key` ALWAYS land in the same
     * split, across runs, engines, partitionings, and growing data —

@@ -156,6 +156,42 @@ object TextStats {
         col("stopword_hits") >= rules.minStopwordHits).cast("int"))
   }
 
+  /** SALIENT TERMS per document: the `k` tokens ranked by (term frequency
+    * DESC, document frequency ASC, token ASC) — "most frequent rarest" —
+    * the keyword-extraction stage of corpus exploration.
+    *
+    * The lexicographic (tf, −df) rank is deliberately used INSTEAD of the
+    * tf·ln(N/df) product: it needs no floating-point log (whose last-ulp
+    * bits differ between libms, so two engines could disagree on ranks at
+    * exact score ties), every comparison is integer-exact, and the raw
+    * (tf, df) pair is returned so callers wanting true tf-idf scores can
+    * apply any idf curve offline. Note it is NOT order-equivalent to
+    * tf·idf across different tf values (a rarer term never outranks a more
+    * frequent one here) — it is a deterministic screening rank, not a
+    * relevance score.
+    *
+    * Plan shape: explode → per-(doc, token) count (map-side combine) →
+    * vocabulary df aggregate (Zipf-small, map-side combine) → token-keyed
+    * equi-join → per-doc bounded TopN heap ([[graft.functions.TopNRows]]).
+    * No windows: a `row_number` formulation would sort every document's
+    * whole vocabulary inside single tasks.
+    */
+  def salientTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = df.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "token")
+      .groupBy("id")
+      .agg(TopN.rows(
+        struct(col("token"), col("tf"), col("df")),
+        struct((-col("tf")).as("neg_tf"), col("df"), col("token")),
+        k, isMax = false).as("__top"))
+      .select(col("id"), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("id"), col("__t.token").as("token"), col("__t.tf").as("tf"),
+        col("__t.df").as("df"), (col("__pos") + 1).cast("long").as("rank"))
+  }
+
   /** CORPUS-FREQUENCY rarity profile per document — the join-based
     * perplexity-proxy quality signal (documents dominated by tokens the
     * corpus has never seen again are OCR garbage / codes / spam; documents

@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pivotCounts zero-fills absent cells and matches conditional aggregation") {
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "y"))
+      .toDF("row", "piv")
+    val got = Analytics.pivotCounts(df, Seq("row"), "piv", Seq("x", "y", "z"))
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    // "z" never occurs; "b"/"x" absent — both must be 0, not null
+    assert(got == Seq(("a", 2L, 1L, 0L), ("b", 0L, 1L, 0L)))
+  }
+
+  test("pivotCounts requires explicit values (no discovery scan)") {
+    val df = Seq(("a", "x")).toDF("row", "piv")
+    intercept[IllegalArgumentException] {
+      Analytics.pivotCounts(df, Seq("row"), "piv", Seq.empty)
+    }
+  }
+
+  test("rollupAgg emits every prefix level with the grouping-id convention") {
+    val df = Seq((2024, "F", 10L), (2024, "O", 20L), (2025, "F", 5L))
+      .toDF("yr", "st", "v")
+    val got = Analytics.rollupAgg(df, Seq("yr", "st"), Seq(sum("v").as("s")))
+      .as[(Option[Int], Option[String], Long, Int)].collect().toSet
+    assert(got == Set(
+      (Some(2024), Some("F"), 10L, 0), (Some(2024), Some("O"), 20L, 0),
+      (Some(2025), Some("F"), 5L, 0),
+      (Some(2024), None, 30L, 1), (Some(2025), None, 5L, 1),
+      (None, None, 35L, 3)))
+    // cube adds the (None, st) margins rollup omits
+    val cube = Analytics.cubeAgg(df, Seq("yr", "st"), Seq(sum("v").as("s")))
+      .as[(Option[Int], Option[String], Long, Int)].collect().toSet
+    assert(cube.contains((None, Some("F"), 15L, 2)))
+    assert(cube.contains((None, Some("O"), 20L, 2)))
+    assert((cube -- got).forall(_._4 == 2))
+  }
+
+  test("rollupAgg distinguishes a rolled-up NULL from a data NULL via gid") {
+    val df = Seq((Some(2024), 1L), (None, 2L)).toDF("yr", "v")
+    val got = Analytics.rollupAgg(df, Seq("yr"), Seq(sum("v").as("s")))
+      .as[(Option[Int], Long, Int)].collect().toSet
+    // the NULL data group (gid 0) and the grand total (gid 1) both have
+    // yr = NULL — only gid tells them apart
+    assert(got == Set((Some(2024), 1L, 0), (None, 2L, 0), (None, 3L, 1)))
+  }
+
+  test("retentionCohorts counts each user once per active offset day") {
+    val ev = Seq(
+      // user 1: first on day 0, active days 0 (twice), 1, 3
+      (1L, "2024-01-01 08:00:00"), (1L, "2024-01-01 20:00:00"),
+      (1L, "2024-01-02 12:00:00"), (1L, "2024-01-04 09:00:00"),
+      // user 2: first on day 0, active days 0, 1
+      (2L, "2024-01-01 10:00:00"), (2L, "2024-01-02 10:00:00"),
+      // user 3: first on day 1, active day 1 only
+      (3L, "2024-01-02 23:00:00")
+    ).toDF("user_id", "s").withColumn("ts", to_timestamp(col("s")))
+    val got = Analytics.retentionCohorts(ev, "user_id", "ts")
+      .as[(java.sql.Date, Int, Long)].collect()
+      .map { case (c, k, n) => (c.toString, k, n) }.toSet
+    assert(got == Set(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 2L), ("2024-01-01", 3, 1L),
+      ("2024-01-02", 0, 1L)))
+  }
+
+  test("flagOutliers matches the floating-point |x-mean| > k*stddev_pop reference") {
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, (i % 5).toLong, rng.nextInt(2000).toLong)
+    }
+    val df = rows.toDF("id", "g", "v")
+    val got = Analytics.flagOutliers(df, Seq("g"), col("v"), kNum = 3, kDen = 2)
+      .filter(col("outlier") === 1).select("id").as[Long].collect().toSet
+    val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      val vs = rs.map(_._3.toDouble)
+      val mean = vs.sum / vs.size
+      val sd = math.sqrt(vs.map(x => (x - mean) * (x - mean)).sum / vs.size)
+      rs.filter(r => math.abs(r._3 - mean) > 1.5 * sd).map(_._1)
+    }.toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("flagOutliers never flags groups of one; stats table joins back n") {
+    val df = Seq((1L, "a", 100L), (2L, "b", 5L), (3L, "b", 5L))
+      .toDF("id", "g", "v")
+    val got = Analytics.flagOutliers(df, Seq("g"), col("v"), 3, 1)
+      .select("id", "n", "outlier").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 1L, 0), (2L, 2L, 0), (3L, 2L, 0)))
+  }
+
+  test("weightedSample excludes non-positive weights and is partitioning-independent") {
+    val df = (1L to 500L).map(i => (i, if (i % 100 == 0) 0L else i % 7 + 1))
+      .toDF("id", "w")
+    val a = Sampling.weightedSample(df, 40, col("w"), col("id"))
+      .select("id").as[Long].collect().toSeq
+    val b = Sampling.weightedSample(df.repartition(13), 40, col("w"), col("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(a == b)
+    assert(a.size == 40 && a.forall(_ % 100 != 0))
+  }
+
+  test("weightedSample favors heavy rows (A-ES proportionality sanity)") {
+    // 1000 rows, 10 of them with 100x the weight of the rest: the heavy
+    // rows must be strongly over-represented in a 100-row sample
+    val df = (1L to 1000L).map(i => (i, if (i <= 10) 1000L else 10L))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, 100, col("w"), col("id"))
+      .select("id").as[Long].collect()
+    assert(got.count(_ <= 10) >= 6, s"heavy rows sampled: ${got.count(_ <= 10)}")
+  }
+
+  test("weightedSample plans as TakeOrdered (no shuffle of the data)") {
+    val df = (1L to 100L).map(i => (i, i % 5 + 1)).toDF("id", "w")
+    val plan = Sampling.weightedSample(df, 10, col("w"), col("id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("salientTerms equals the window formulation and stays window-free") {
+    val docs = Seq(
+      (1L, "apple apple apple zebra common common"),
+      (2L, "common zebra zebra banana"),
+      (3L, "common apple")
+    ).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id").as("id"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id").orderBy(col("tf").desc, col("df"), col("token"))
+    val expected = tf.join(dfq, "token")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2)
+      .select("id", "token", "tf", "df", "rank")
+      .as[(Long, String, Long, Long, Long)].collect().sorted.toSeq
+    val got = TextStats.salientTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Long, Long)].collect().sorted.toSeq
+    assert(got == expected)
+    // rarity breaks the tf tie: doc 2's tf-1 candidates are banana (df 1)
+    // and common (df 3) — the rarer banana takes rank 2 behind zebra (tf 2)
+    val doc2 = got.filter(_._1 == 2L).sortBy(_._5).map(_._2)
+    assert(doc2 == Seq("zebra", "banana"))
+    val plan = TextStats.salientTerms(docs, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+}
