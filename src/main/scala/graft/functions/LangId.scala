@@ -42,6 +42,14 @@ object LangIdText {
     langStopwords.map(l => UTF8String.fromString(l._1)).toArray
   private val und = UTF8String.fromString("und")
 
+  // vote-table accessors for fused expressions ([[LangQualityKeep]])
+  private[functions] def numLangs: Int = langs.length
+  private[functions] def langName(i: Int): String = langStopwords(i)._1
+  private[functions] def voteMask(token: String): Int = {
+    val m = wordMask.get(token)
+    if (m == null) 0 else m.intValue()
+  }
+
   // word -> bitmask of languages claiming it (a word may vote for several,
   // e.g. "un" is both French and Spanish)
   private val wordMask: java.util.HashMap[String, Integer] = {

@@ -89,6 +89,19 @@ object TextFunctions {
         LangIdText(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text))),
       lit("und"))
 
+  /** Fused language+quality admission predicate — bit-identical to
+    * `langId(text).isin(keepLangs) && qualityScore(text) >= minQuality`
+    * but ONE tokenization pass and fully codegen'd (the composed form
+    * tokenizes twice and its higher-order-function chain is
+    * CodegenFallback). The curation pipeline's filter stage.
+    */
+  def langQualityKeep(text: Column, keepLangs: Set[String],
+                      minQuality: Double): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      LangQualityKeep(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
+        keepLangs.toSeq.sorted, minQuality))
+
   /** Content-defined document fingerprint (md5 of the exact text) — the
     * exact-dedup key.
     */

@@ -115,14 +115,16 @@ object Curation {
     def materialized(df: DataFrame): DataFrame =
       if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
-    // Cheapest-first, highest-reduction-first: language + quality filters
-    // run on the RAW text and the 3-pattern scrub chain only touches
-    // surviving documents (a minority of a raw crawl). Filtering pre-scrub
-    // is also the semantically safer order — redaction tags never
-    // influence the language/quality decision.
-    val filtered = docs
-      .filter(TextFunctions.langId(col(textCol)).isin(cfg.keepLangs.toSeq: _*))
-      .filter(TextFunctions.qualityScore(col(textCol)) >= cfg.minQuality)
+    // Cheapest-first, highest-reduction-first: the language + quality
+    // filter runs on the RAW text and the 3-pattern scrub chain only
+    // touches surviving documents (a minority of a raw crawl). Filtering
+    // pre-scrub is also the semantically safer order — redaction tags
+    // never influence the language/quality decision. The predicate is the
+    // FUSED native expression (one tokenization, codegen'd) —
+    // bit-identical to the composed langId/qualityScore filters
+    // (spec-pinned).
+    val filtered = docs.filter(
+      TextFunctions.langQualityKeep(col(textCol), cfg.keepLangs, cfg.minQuality))
     val scrubbed = filtered.withColumn(textCol, TextFunctions.scrubPii(col(textCol)))
     val exactDeduped = materialized(Dedup.exact(scrubbed, col(textCol), col(idCol)))
     val pairs = nearDupPairs match {

@@ -29,6 +29,34 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq("en", "de", "und"))
   }
 
+  test("langQualityKeep == the composed langId/qualityScore predicate, corpus + edges") {
+    val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id").cast("string").as("k"), col("text"))
+    val edges = Seq(
+      ("e1", null.asInstanceOf[String]), ("e2", ""), ("e3", "   \t  "),
+      ("e4", "xyzzy plugh"), // und
+      ("e5", "der hund und die katze ist nicht da und der hund ist gut"),
+      ("e6", "the cat and the dog is in that house and it is the best"),
+      ("e7", ";;;;;;;;;; the ;;;;;;;;;;"),
+      ("e8", "the " * 200) // long, pure stopwords
+    ).toDF("k", "text")
+    for (df <- Seq(corpus, edges);
+         (langs, q) <- Seq(Set("en") -> 0.3, Set("en", "de") -> 0.55,
+           Set("und") -> 0.0)) {
+      val composed = df
+        .filter(TextFunctions.langId(col("text")).isin(langs.toSeq: _*))
+        .filter(TextFunctions.qualityScore(col("text")) >= q)
+        .select("k").as[String].collect().sorted.toSeq
+      val fused = df
+        .filter(TextFunctions.langQualityKeep(col("text"), langs, q))
+        .select("k").as[String].collect().sorted.toSeq
+      assert(fused == composed, s"langs=$langs q=$q")
+    }
+    // the corpus split is non-trivial at the battery config
+    val kept = corpus.filter(TextFunctions.langQualityKeep(col("text"), Set("en"), 0.3)).count()
+    assert(kept > 0 && kept < corpus.count())
+  }
+
   test("qualityScore stays in [0,1] and rewards fluent text") {
     val df = Seq(
       "the engine is a part of the system and it is good that it runs in time",
