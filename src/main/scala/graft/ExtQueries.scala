@@ -1128,6 +1128,35 @@ object ExtQueries {
              GROUP BY 1""")),
   )
 
+  private val zorderQueries: Seq[(String, Q)] = Seq(
+    // Z-ORDERED layout scan: the events table laid out on the Morton
+    // interleave of (user_id, cents) — written once per JVM (the nightly
+    // layout job), then a two-dimensional range predicate + aggregate
+    // over the z-ordered files must equal the same query on the raw
+    // table. The layout's PRUNING property (every z dimension's min/max
+    // footer span narrow in every file) is spec-pinned in LakeSpec; this
+    // row makes the layout's correctness driver-visible.
+    "q_zorder_scan" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .select("event_id", "user_id", "cents")
+        graft.operators.Lake.ensureZOrdered(ev, s"$dir/events!zorder",
+            Seq("user_id", "cents"))
+          .filter(col("user_id").between(40, 90) &&
+            col("cents").between(10000L, 30000L))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+      },
+      Some("""
+        SELECT user_id, count(*) AS cnt,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM events
+        WHERE user_id BETWEEN 40 AND 90
+          AND CAST(round(value * 100) AS BIGINT) BETWEEN 10000 AND 30000
+        GROUP BY 1""")),
+  )
+
   private val analyticsQueries: Seq[(String, Q)] = Seq(
     // PIVOT with explicit values (no distinct-discovery job) and
     // zero-filled absent cells: order counts by priority × status.
@@ -1278,6 +1307,6 @@ object ExtQueries {
   def all: Seq[(String, Q)] =
     textQueries ++ dedupQueries ++ simQueries ++ knnQueries ++ pqQueries ++
       curationQueries ++ quantileQueries ++ multimodalQueries ++
-      resizeQueries ++ eventQueries ++ layoutQueries ++ analyticsQueries ++
-      headlineQueries
+      resizeQueries ++ eventQueries ++ layoutQueries ++ zorderQueries ++
+      analyticsQueries ++ headlineQueries
 }

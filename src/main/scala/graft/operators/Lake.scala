@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Batch lake-layout writer with SMALL-FILES CONTROL.
@@ -62,4 +62,81 @@ object Lake {
       .groupBy("shard").agg(count(lit(1)).as("n_rows"))
       .orderBy("shard")
   }
+
+  /** The Morton (Z-curve) interleave of `zCols`, each equal-width
+    * bucketized to `bitsPerDim` bits over its [min, max] range — the sort
+    * key that makes [[writeZOrdered]] cluster EVERY listed dimension at
+    * once. Pure integer shift/mask Column arithmetic after one min/max
+    * aggregate per call (a single pass, collected to the driver — the
+    * standard offline-layout-job shape).
+    */
+  def zOrderValue(df: DataFrame, zCols: Seq[String], bitsPerDim: Int = 8): Column = {
+    require(zCols.size >= 2, "z-ordering needs >= 2 dimensions (use a plain sort for 1)")
+    require(bitsPerDim >= 1 && bitsPerDim * zCols.size <= 60,
+      s"bitsPerDim * dims must fit a long (<= 60), got ${bitsPerDim * zCols.size}")
+    val aggs = zCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__min_$c"),
+      max(col(c)).cast("double").as(s"__max_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val nBuckets = 1 << bitsPerDim
+    val dims = zCols.zipWithIndex.map { case (c, d) =>
+      val lo = stats.getAs[Double](s"__min_$c")
+      val hi = stats.getAs[Double](s"__max_$c")
+      // degenerate range → every row in bucket 0
+      val bucket =
+        if (hi <= lo) lit(0L)
+        else least(greatest(
+          floor((col(c).cast("double") - lit(lo)) / lit((hi - lo) / nBuckets))
+            .cast("long"), lit(0L)), lit(nBuckets - 1L))
+      (bucket, d)
+    }
+    // interleave: bit i of dimension d lands at position i*D + d
+    val terms = for {
+      (bucket, d) <- dims
+      i <- 0 until bitsPerDim
+    } yield shiftleft(shiftright(bucket, i).bitwiseAND(lit(1L)), i * zCols.size + d)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-ORDERED layout: rows sorted by the Morton interleave of `zCols`
+    * and range-split into `numFiles` parquet files — so EVERY z dimension
+    * is clustered in every file (each file's min/max footer span is
+    * ~2^⌈log₄ numFiles⌉ times narrower than the column's range, for 2
+    * dims), and a predicate on ANY of the dimensions prunes row groups
+    * at scan time. A single-column sort clusters only that column: its
+    * files span the full range of every other dimension, and predicates
+    * on those prune nothing. The one-pass min/max job + sampled
+    * `repartitionByRange` keep the whole layout job at two scans, no
+    * global sort in any task.
+    *
+    * Pruning is statistical, not universal: a file whose z range
+    * straddles a high-bit curve transition (the jump between quadrants)
+    * spans wide in one dimension — O(log numFiles) such files exist, the
+    * rest cluster tightly (spec-pinned in LakeSpec).
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    bitsPerDim: Int = 8, numFiles: Int = 16,
+                    mode: String = "overwrite"): Unit = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    df.withColumn("__z", zOrderValue(df, zCols, bitsPerDim))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
+
+  private val zMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Build-once z-ordered copy per (JVM, cacheKey) — the nightly layout
+    * job every scan query then reads (the [[graft.operators.Bucketing]]
+    * `ensureBucketed` contract, for files instead of tables).
+    */
+  def ensureZOrdered(df: DataFrame, cacheKey: String, zCols: Seq[String],
+                     bitsPerDim: Int = 8, numFiles: Int = 16): DataFrame =
+    zMemo.computeIfAbsent(cacheKey, _ => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder/" +
+        java.lang.Integer.toHexString(cacheKey.hashCode)
+      writeZOrdered(df, path, zCols, bitsPerDim, numFiles)
+      df.sparkSession.read.parquet(path)
+    })
 }

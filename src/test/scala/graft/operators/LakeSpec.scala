@@ -57,6 +57,67 @@ class LakeSpec extends SparkSpec {
     assert(back.count() == 5000)
   }
 
+  test("writeZOrdered clusters EVERY z dimension per file; a 1-dim sort does not") {
+    // 2 independent uniform dims; 16 z-range files should each span ~1/4
+    // of BOTH dims (4x4 Morton tiles), while an x-sorted layout leaves y
+    // unclustered (full range in every file)
+    val rng = new scala.util.Random(11)
+    val df = (0 until 20000).map { _ =>
+      (rng.nextInt(100000).toLong, rng.nextInt(100000).toLong)
+    }.toDF("x", "y").repartition(8)
+    def perFileSpans(path: String): Seq[(Double, Double)] = {
+      val withFile = spark.read.parquet(path)
+        .withColumn("f", input_file_name())
+        .groupBy("f")
+        .agg((max("x") - min("x")).cast("double").as("xs"),
+          (max("y") - min("y")).cast("double").as("ys"))
+      withFile.select("xs", "ys").as[(Double, Double)].collect().toSeq
+    }
+    val zout = Files.createTempDirectory("lake_z").toString
+    Lake.writeZOrdered(df, zout, Seq("x", "y"), bitsPerDim = 8, numFiles = 16)
+    val zspans = perFileSpans(zout)
+    assert(zspans.size == 16)
+    // typical file spans ~1/4..1/2 of each dim; a FEW files legitimately
+    // straddle a top-bit curve transition (the z jump between quadrants)
+    // and span wide in one dim — so assert the mean plus a bounded
+    // crosser count, not a universal max
+    val meanX = zspans.map(_._1).sum / zspans.size
+    val meanY = zspans.map(_._2).sum / zspans.size
+    assert(meanX < 50000 && meanY < 50000, s"meanX=$meanX meanY=$meanY")
+    assert(zspans.count(_._1 > 60000) <= 2 && zspans.count(_._2 > 60000) <= 2,
+      zspans.toString)
+    val xout = Files.createTempDirectory("lake_x").toString
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xout)
+    val xspans = perFileSpans(xout)
+    // the x-sort clusters x tightly but leaves y effectively unclustered
+    assert(xspans.forall { case (_, ys) => ys > 80000 }, xspans.toString)
+    // content survives the layout
+    assert(spark.read.parquet(zout).count() == 20000)
+    assert(spark.read.parquet(zout).agg(sum("x")).as[Long].head() ==
+      df.agg(sum("x")).as[Long].head())
+  }
+
+  test("zOrderValue interleaves bits and clamps degenerate/edge values") {
+    val df = Seq((0L, 0L), (255L, 255L), (255L, 0L), (128L, 128L))
+      .toDF("x", "y")
+    // range [0,255], 4 bits/dim -> bucket = v div 16 (almost: equal-width
+    // over [0, 255+eps)); max value clamps to bucket 15
+    val got = df.withColumn("z", Lake.zOrderValue(df, Seq("x", "y"), bitsPerDim = 4))
+      .select("x", "y", "z").as[(Long, Long, Long)].collect()
+      .map { case (x, y, z) => (x, y) -> z }.toMap
+    def interleave(bx: Long, by: Long): Long =
+      (0 until 4).map(i => (((bx >> i) & 1L) << (2 * i)) | (((by >> i) & 1L) << (2 * i + 1))).sum
+    assert(got((0L, 0L)) == 0L)
+    assert(got((255L, 255L)) == interleave(15, 15)) // clamped, not bucket 16
+    assert(got((255L, 0L)) == interleave(15, 0))
+    // a constant dimension degenerates to bucket 0 everywhere
+    val const = Seq((1L, 7L), (2L, 7L)).toDF("x", "y")
+    val zc = const.withColumn("z", Lake.zOrderValue(const, Seq("x", "y"), 4))
+      .select("z").as[Long].collect().toSet
+    assert(zc.forall(z => (0 until 4).forall(i => ((z >> (2 * i + 1)) & 1L) == 0L)))
+  }
+
   test("filesPerPartition salt spreads a hot partition across bounded files") {
     val df = (1 to 3000).map(i => (i.toLong, "2024-01-10")).toDF("id", "dt")
       .repartition(16) // one hot partition value
