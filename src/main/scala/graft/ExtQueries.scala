@@ -1187,6 +1187,43 @@ object ExtQueries {
              FROM orders
              GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)""")),
 
+    // CUBE twin of q_rollup: every (yr, status) margin, driver-visible.
+    "q_cube" -> Q(
+      (s, dir) => graft.operators.Analytics.cubeAgg(
+        table(s, dir, "orders")
+          .withColumn("yr", year(col("o_orderdate")).cast("int")),
+        Seq("yr", "o_orderstatus"),
+        Seq(count(lit(1)).as("cnt"))),
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus,
+               count(*) AS cnt,
+               CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus) AS INT) AS gid
+             FROM orders
+             GROUP BY CUBE (year(o_orderdate), o_orderstatus)""")),
+
+    // ROBUST Tukey-fence outliers per user over purchase cents: Q1/Q3 at
+    // dyadic 0.25/0.75 of integer cents and a dyadic fence multiplier
+    // keep every fence exactly representable — both engines flag
+    // identical rows. (Uniform synthetic values have no 1.5-IQR tail;
+    // k=0.25 exercises real flags.)
+    "q_outliers_iqr" -> Q(
+      (s, dir) => graft.operators.Analytics.tukeyOutliers(
+        events(s, dir)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .select("event_id", "user_id", "cents"),
+        Seq("user_id"), col("cents"), k = 0.25)
+        .filter(col("outlier") === 1)
+        .select("event_id", "user_id", "cents", "q1", "q3"),
+      Some("""
+        WITH c AS (SELECT event_id, user_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        st AS (SELECT user_id,
+                 quantile_cont(cents, 0.25) AS q1,
+                 quantile_cont(cents, 0.75) AS q3
+               FROM c GROUP BY 1)
+        SELECT event_id, user_id, cents, q1, q3
+        FROM c JOIN st USING (user_id)
+        WHERE cents < q1 - 0.25 * (q3 - q1) OR cents > q3 + 0.25 * (q3 - q1)""")),
+
     // COHORT RETENTION over the events table: users bucketed by
     // first-event day, counted once per later active day-offset.
     "q_retention" -> Q(

@@ -87,6 +87,34 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** ROBUST (Tukey-fence) per-group outlier flag: marks rows outside
+    * `[Q1 − k·IQR, Q3 + k·IQR]` of their group — the boxplot rule, immune
+    * to the outliers themselves inflating the spread the way
+    * [[flagOutliers]]' σ is.
+    *
+    * Cross-engine exactness comes from DYADIC arithmetic: Q1/Q3 are
+    * exact-interpolation quantiles at 0.25/0.75 (quarters of integer
+    * inputs are exact dyadic rationals — the [[Profile.groupQuantiles]]
+    * parity argument), and a dyadic `k` (0.25, 0.5, 1.5, …) keeps the
+    * fences exactly representable, so Spark and any IEEE engine flag
+    * identical rows. Exact quantiles shuffle the group's values to one
+    * aggregate buffer (same hazard as every exact-percentile op —
+    * documented in Profile); the stats table is |groups| rows, broadcast
+    * back, and the fact side never shuffles.
+    */
+  def tukeyOutliers(df: DataFrame, groupCols: Seq[String], value: Column,
+                    k: Double = 1.5): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(k >= 0, "fence multiplier k must be non-negative")
+    val v = value.cast("double")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(v, lit(0.25)).as("q1"), percentile(v, lit(0.75)).as("q3"))
+    val iqr = col("q3") - col("q1")
+    df.join(stats, groupCols)
+      .withColumn("outlier",
+        (v < col("q1") - lit(k) * iqr || v > col("q3") + lit(k) * iqr).cast("int"))
+  }
+
   /** EXACT per-group statistical outlier flag: marks rows where
     * `|x − mean| > (kNum/kDen) · stddev_pop` of the row's group — in PURE
     * INTEGER arithmetic, so two engines agree bit-for-bit (a

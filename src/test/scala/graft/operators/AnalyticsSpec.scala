@@ -114,6 +114,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.count(_ <= 10) >= 6, s"heavy rows sampled: ${got.count(_ <= 10)}")
   }
 
+  test("weightedSample == the exact driver-side A-ES reference") {
+    val rows = (1L to 300L).map(i => (i, i % 13 + 1))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSample(df, 25, col("w"), col("id"))
+      .select("id").as[Long].collect().toSeq
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val expected = rows
+      .map { case (id, w) => (math.log(u(id)) / w, id) }
+      .sortBy { case (key, id) => (-key, id) }
+      .take(25).map(_._2)
+    assert(got == expected)
+  }
+
+  test("tukeyOutliers flags exactly the rows outside dyadic Q1/Q3 fences") {
+    // group a: 1..12 plus a far outlier; group b: tight cluster, none flagged
+    val rows = (1L to 12L).map(v => ("a", v)) ++ Seq(("a", 1000L)) ++
+      (50L to 55L).map(v => ("b", v))
+    val df = rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    val flagged = Analytics.tukeyOutliers(df, Seq("g"), col("v"), k = 1.5)
+      .filter(col("outlier") === 1)
+      .select("g", "v").as[(String, Long)].collect().toSet
+    // driver reference with exact-interpolation quantiles
+    def quantile(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted; val pos = p * (s.size - 1)
+      val lo = pos.toInt; val frac = pos - lo
+      if (lo + 1 < s.size) s(lo) + (s(lo + 1) - s(lo)) * frac else s(lo)
+    }
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val vs = rs.map(_._2.toDouble)
+      val (q1, q3) = (quantile(vs, 0.25), quantile(vs, 0.75))
+      rs.filter(r => r._2 < q1 - 1.5 * (q3 - q1) || r._2 > q3 + 1.5 * (q3 - q1))
+        .map(r => (g, r._2))
+    }.toSet
+    assert(flagged == expected && flagged.contains(("a", 1000L)))
+    assert(!flagged.exists(_._1 == "b"))
+  }
+
   test("weightedSample plans as TakeOrdered (no shuffle of the data)") {
     val df = (1L to 100L).map(i => (i, i % 5 + 1)).toDF("id", "w")
     val plan = Sampling.weightedSample(df, 10, col("w"), col("id"))
