@@ -286,6 +286,36 @@ object ExtQueries {
         FROM dg JOIN bench USING (gr) GROUP BY 1"""
       }),
 
+    // DSIR importance statistics: integer sufficient stats of the hashed
+    // word-bigram likelihood ratio between the "target" slice (doc_id %
+    // 10 = 0, standing in for the high-quality corpus) and the raw rest.
+    // Engine joins HASHED grams; the oracle intersects raw string grams
+    // (the q_dedup_ngram collision argument). Importance weights are one
+    // log away offline — the sums ship exact.
+    "q_importance" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.operators.TextStats.importanceStats(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 10 === 0), "text", ngramSize = 2)
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+        g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS gr
+              FROM tk WHERE len(toks) >= 2),
+        raw AS (SELECT doc_id, gr FROM g WHERE doc_id % 10 <> 0),
+        rawcnt AS (SELECT gr, count(*) AS rc FROM raw GROUP BY 1),
+        tgtcnt AS (SELECT gr, count(*) AS tc FROM g WHERE doc_id % 10 = 0 GROUP BY 1)
+        SELECT r.doc_id AS id, CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(sum(COALESCE(t.tc, 0)) AS BIGINT) AS sum_target_cnt,
+          CAST(sum(c.rc) AS BIGINT) AS sum_corpus_cnt,
+          CAST(sum(CASE WHEN t.tc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen_target
+        FROM raw r
+        JOIN rawcnt c USING (gr)
+        LEFT JOIN tgtcnt t USING (gr)
+        GROUP BY 1""")),
+
     // Winnowing fingerprints: substring-sharing pairs via an inverted-index
     // join on local-min Rabin-Karp hashes (shared-fingerprint count >= 3).
     // Rolling-hash arithmetic is not expressible in DuckDB SQL -> golden

@@ -192,6 +192,52 @@ object TextStats {
         col("__t.df").as("df"), (col("__pos") + 1).cast("long").as("rank"))
   }
 
+  /** DSIR-STYLE importance statistics (the data-selection primitive of
+    * "Data Selection for Language Models via Importance Resampling", Xie
+    * et al. 2023): per raw-corpus document, the integer sufficient
+    * statistics of the hashed-n-gram likelihood ratio between a TARGET
+    * corpus (the distribution you want more of) and the raw corpus:
+    *
+    *  - `n_grams`: the document's distinct word n-grams;
+    *  - `sum_target_cnt` / `sum_corpus_cnt`: Σ over those grams of the
+    *    gram's occurrence count in the target / raw corpus (a gram = one
+    *    count per document that contains it, the distinct-gram convention
+    *    of [[graft.functions.HashedShingles]]);
+    *  - `n_unseen_target`: grams the target corpus has never seen.
+    *
+    * ALL-INTEGER on purpose (the [[tokenRarity]] argument): exact and
+    * aggregation-order-free on every engine; the importance weight
+    * Σ log(p_target/p_raw) is one log away offline, where smoothing and
+    * temperature are policy anyway.
+    *
+    * Plan shape: grams travel as 64-bit hashes (8 bytes, never strings —
+    * the q_dedup_ngram collision argument), both count tables are
+    * Zipf-small hash aggregates with map-side combine, and the two joins
+    * are gram-keyed equi-joins (target table is eval-suite-sized → AQE
+    * broadcasts it; the raw vocabulary is the one genuinely large side
+    * and shuffles once).
+    */
+  def importanceStats(docs: DataFrame, idCol: String, textCol: String,
+                      target: DataFrame, targetTextCol: String,
+                      ngramSize: Int = 2): DataFrame = {
+    val docGrams = docs.select(col(idCol).as("id"),
+      explode(graft.functions.HashedShingles.column(col(textCol), ngramSize))
+        .as("__g"))
+    val rawCnt = docGrams.groupBy("__g").agg(count(lit(1)).as("__raw_cnt"))
+    val targetCnt = target.select(
+        explode(graft.functions.HashedShingles.column(col(targetTextCol), ngramSize))
+          .as("__g"))
+      .groupBy("__g").agg(count(lit(1)).as("__tgt_cnt"))
+    docGrams
+      .join(rawCnt, "__g")
+      .join(targetCnt, Seq("__g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__tgt_cnt"), lit(0L))).as("sum_target_cnt"),
+        sum(col("__raw_cnt")).as("sum_corpus_cnt"),
+        sum(when(col("__tgt_cnt").isNull, 1L).otherwise(0L)).as("n_unseen_target"))
+  }
+
   /** CORPUS-FREQUENCY rarity profile per document — the join-based
     * perplexity-proxy quality signal (documents dominated by tokens the
     * corpus has never seen again are OCR garbage / codes / spam; documents

@@ -95,4 +95,37 @@ class TextStatsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.contains("Join"), plan)
   }
+
+  test("importanceStats == a driver string-gram reference (exact integer sums)") {
+    val raw = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "the quick red fox"),
+      (3L, "zzz yyy xxx www"),
+      (4L, "a")) // < 2 tokens -> no grams -> absent from output
+    val tgt = Seq("the quick brown dog", "quick brown shoes on the quick brown")
+    val got = TextStats.importanceStats(
+        raw.toDF("id", "text"), "id", "text",
+        tgt.map(Tuple1(_)).toDF("t"), "t", ngramSize = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    def grams(s: String): Seq[String] =
+      s.split("\\s+").filter(_.nonEmpty).sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq.distinct
+    val rawCnt = raw.flatMap(d => grams(d._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val tgtCnt = tgt.flatMap(grams).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val expected = raw.filter(d => grams(d._2).nonEmpty).map { d =>
+      val gs = grams(d._2)
+      d._1 -> (gs.size.toLong,
+        gs.map(g => tgtCnt.getOrElse(g, 0L)).sum,
+        gs.map(rawCnt).sum,
+        gs.count(g => !tgtCnt.contains(g)).toLong)
+    }.toMap
+    assert(got == expected)
+    // sanity: doc 1 shares "the quick"+"quick brown" with the target,
+    // doc 3 shares nothing
+    assert(got(1L)._2 > 0 && got(3L)._2 == 0L && got(3L)._4 == got(3L)._1)
+    assert(!got.contains(4L))
+  }
 }
