@@ -70,26 +70,51 @@ object Lake {
     * aggregate per call (a single pass, collected to the driver — the
     * standard offline-layout-job shape).
     */
-  def zOrderValue(df: DataFrame, zCols: Seq[String], bitsPerDim: Int = 8): Column = {
+  def zOrderValue(df: DataFrame, zCols: Seq[String], bitsPerDim: Int = 8,
+                  quantileBuckets: Boolean = false): Column = {
     require(zCols.size >= 2, "z-ordering needs >= 2 dimensions (use a plain sort for 1)")
     require(bitsPerDim >= 1 && bitsPerDim * zCols.size <= 60,
       s"bitsPerDim * dims must fit a long (<= 60), got ${bitsPerDim * zCols.size}")
-    val aggs = zCols.flatMap(c => Seq(
-      min(col(c)).cast("double").as(s"__min_$c"),
-      max(col(c)).cast("double").as(s"__max_$c")))
-    val stats = df.agg(aggs.head, aggs.tail: _*).head()
     val nBuckets = 1 << bitsPerDim
-    val dims = zCols.zipWithIndex.map { case (c, d) =>
-      val lo = stats.getAs[Double](s"__min_$c")
-      val hi = stats.getAs[Double](s"__max_$c")
-      // degenerate range → every row in bucket 0
-      val bucket =
-        if (hi <= lo) lit(0L)
-        else least(greatest(
-          floor((col(c).cast("double") - lit(lo)) / lit((hi - lo) / nBuckets))
-            .cast("long"), lit(0L)), lit(nBuckets - 1L))
-      (bucket, d)
-    }
+    val dims =
+      if (quantileBuckets) {
+        // QUANTILE buckets: boundary b_k = the k/nBuckets quantile (one
+        // approxQuantile sketch pass per call), bucket = |{b_k <= v}| —
+        // equal-POPULATION buckets, so a skewed dimension (most real
+        // ones) still spreads across all 2^bits codes instead of
+        // collapsing into bucket 0 and pruning nothing. The per-row
+        // membership count is a higher-order function over ≤ 2^bits−1
+        // boundaries — interpreted, but this is the offline layout job,
+        // not a query path.
+        val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+        zCols.zipWithIndex.map { case (c, d) =>
+          val bs = df.stat.approxQuantile(c, probs, 0.001)
+            .distinct.sorted // duplicate boundaries (heavy values) collapse
+          val bucket =
+            if (bs.isEmpty) lit(0L)
+            else size(filter(lit(bs), b => b <= col(c).cast("double"))).cast("long")
+          (bucket, d)
+        }
+      } else {
+        // EQUAL-WIDTH buckets: one min/max pass, pure codegen'd per-row
+        // arithmetic; right for ~uniform dimensions, degenerates on
+        // heavy-tailed ones (spec-pinned contrast).
+        val aggs = zCols.flatMap(c => Seq(
+          min(col(c)).cast("double").as(s"__min_$c"),
+          max(col(c)).cast("double").as(s"__max_$c")))
+        val stats = df.agg(aggs.head, aggs.tail: _*).head()
+        zCols.zipWithIndex.map { case (c, d) =>
+          val lo = stats.getAs[Double](s"__min_$c")
+          val hi = stats.getAs[Double](s"__max_$c")
+          // degenerate range → every row in bucket 0
+          val bucket =
+            if (hi <= lo) lit(0L)
+            else least(greatest(
+              floor((col(c).cast("double") - lit(lo)) / lit((hi - lo) / nBuckets))
+                .cast("long"), lit(0L)), lit(nBuckets - 1L))
+          (bucket, d)
+        }
+      }
     // interleave: bit i of dimension d lands at position i*D + d
     val terms = for {
       (bucket, d) <- dims
@@ -116,9 +141,10 @@ object Lake {
     */
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
                     bitsPerDim: Int = 8, numFiles: Int = 16,
-                    mode: String = "overwrite"): Unit = {
+                    mode: String = "overwrite",
+                    quantileBuckets: Boolean = false): Unit = {
     require(numFiles >= 1, "numFiles must be >= 1")
-    df.withColumn("__z", zOrderValue(df, zCols, bitsPerDim))
+    df.withColumn("__z", zOrderValue(df, zCols, bitsPerDim, quantileBuckets))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

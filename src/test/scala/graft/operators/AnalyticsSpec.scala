@@ -68,6 +68,32 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-02", 0, 1L)))
   }
 
+  test("retentionCohorts == a driver reference on random event streams") {
+    val rng = new scala.util.Random(23)
+    val evs = (0 until 3000).map { _ =>
+      (rng.nextInt(80).toLong, // user
+        java.sql.Timestamp.valueOf(f"2024-01-${rng.nextInt(28) + 1}%02d " +
+          f"${rng.nextInt(24)}%02d:${rng.nextInt(60)}%02d:00"))
+    }
+    val got = Analytics.retentionCohorts(
+        evs.toDF("user_id", "ts").repartition(7), "user_id", "ts")
+      .as[(java.sql.Date, Int, Long)].collect()
+      .map { case (c, k, n) => (c.toString, k) -> n }.toMap
+    val expected = {
+      val firstDay = evs.groupBy(_._1).view
+        .mapValues(_.map(_._2.toLocalDateTime.toLocalDate).min).toMap
+      evs.map { case (u, ts) =>
+        val d = ts.toLocalDateTime.toLocalDate
+        val cohort = firstDay(u)
+        (u, cohort.toString,
+          java.time.temporal.ChronoUnit.DAYS.between(cohort, d).toInt)
+      }.distinct
+        .groupBy { case (_, c, k) => (c, k) }.view.mapValues(_.size.toLong).toMap
+    }
+    assert(got == expected)
+    assert(got.keys.exists(_._2 > 0)) // real retention offsets, not all k=0
+  }
+
   test("flagOutliers matches the floating-point |x-mean| > k*stddev_pop reference") {
     val rng = new scala.util.Random(7)
     val rows = (0 until 400).map { i =>

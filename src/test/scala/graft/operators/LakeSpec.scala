@@ -118,6 +118,30 @@ class LakeSpec extends SparkSpec {
     assert(zc.forall(z => (0 until 4).forall(i => ((z >> (2 * i + 1)) & 1L) == 0L)))
   }
 
+  test("quantile z buckets spread a heavy-tailed dimension; equal-width collapses") {
+    // x ~ heavy-tailed: 95% in [0, 100], 5% up to 1e6
+    val rng = new scala.util.Random(5)
+    val df = (0 until 10000).map { _ =>
+      val x = if (rng.nextInt(20) == 0) rng.nextInt(1000000).toLong
+              else rng.nextInt(100).toLong
+      (x, rng.nextInt(1000).toLong)
+    }.toDF("x", "y")
+    def xBucketCounts(quantile: Boolean): Map[Long, Long] = {
+      // recover the x bucket from the z value: even bit positions
+      val z = df.withColumn("z", Lake.zOrderValue(df, Seq("x", "y"), 4, quantile))
+      z.withColumn("xb", (0 until 4).map(i =>
+          shiftleft(shiftright(col("z"), 2 * i).bitwiseAND(lit(1L)), i))
+          .reduce(_.bitwiseOR(_)))
+        .groupBy("xb").count().as[(Long, Long)].collect().toMap
+    }
+    val ew = xBucketCounts(quantile = false)
+    val qb = xBucketCounts(quantile = true)
+    // equal-width: the 95% mass lands in bucket 0 -> x prunes nothing
+    assert(ew(0L) > 9000, ew.toString)
+    // quantile: all 16 buckets populated, none dominating
+    assert(qb.size == 16 && qb.values.max < 2500, qb.toString)
+  }
+
   test("filesPerPartition salt spreads a hot partition across bounded files") {
     val df = (1 to 3000).map(i => (i.toLong, "2024-01-10")).toDF("id", "dt")
       .repartition(16) // one hot partition value
