@@ -1254,6 +1254,26 @@ object ExtQueries {
         FROM c JOIN st USING (user_id)
         WHERE cents < q1 - 0.25 * (q3 - q1) OR cents > q3 + 0.25 * (q3 - q1)""")),
 
+    // PER-USER ordered window signals: 3-row moving sum + lag delta over
+    // integer cents, deterministic (ts, event_id) order — the window-
+    // function family, integer-exact on both engines.
+    "q_window_ts" -> Q(
+      (s, dir) => graft.operators.Analytics.timeSeriesStats(
+        events(s, dir)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .select("event_id", "user_id", "ts", "cents"),
+        Seq("user_id"), Seq("ts", "event_id"), col("cents"), frameRows = 3)
+        .select("event_id", "user_id", "cents", "mov_sum", "delta"),
+      Some("""
+        WITH c AS (SELECT event_id, user_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        SELECT event_id, user_id, cents,
+          CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_sum,
+          cents - lag(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS delta
+        FROM c""")),
+
     // COHORT RETENTION over the events table: users bucketed by
     // first-event day, counted once per later active day-offset.
     "q_retention" -> Q(

@@ -87,6 +87,35 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** PER-ENTITY ordered time-series signals — the window-function family:
+    * `mov_sum` (sum of `value` over the current + `frameRows − 1`
+    * preceding rows) and `delta` (difference from the previous row; NULL
+    * on each entity's first row). Integer inputs stay integer-exact —
+    * sums and differences, never a float mean.
+    *
+    * This IS Spark's window operator, deliberately: ORDERED per-entity
+    * computation is the one shape where a window beats aggregation
+    * composition. Scale behavior: one hash partition per entity, a sort
+    * WITHIN partitions only (no global sort), state bounded by the frame.
+    * The hazard is entity skew — one user with 10⁸ events sorts in a
+    * single task; mitigate upstream by time-bucketing the entity key
+    * (e.g. (user, month)) when entities are unbounded, which this
+    * operator supports by passing composite `entityCols`.
+    */
+  def timeSeriesStats(df: DataFrame, entityCols: Seq[String],
+                      orderCols: Seq[String], value: Column,
+                      frameRows: Int = 3): DataFrame = {
+    require(entityCols.nonEmpty && orderCols.nonEmpty,
+      "entityCols and orderCols must be non-empty")
+    require(frameRows >= 1, "frameRows must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(entityCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("mov_sum",
+        sum(value).over(w.rowsBetween(-(frameRows - 1).toLong, 0)))
+      .withColumn("delta", value - lag(value, 1).over(w))
+  }
+
   /** ROBUST (Tukey-fence) per-group outlier flag: marks rows outside
     * `[Q1 − k·IQR, Q3 + k·IQR]` of their group — the boxplot rule, immune
     * to the outliers themselves inflating the spread the way

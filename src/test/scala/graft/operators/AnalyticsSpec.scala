@@ -94,6 +94,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.keys.exists(_._2 > 0)) // real retention offsets, not all k=0
   }
 
+  test("timeSeriesStats: frame-bounded moving sum, null-first delta, composite entity") {
+    val df = Seq(
+      ("u1", 1L, 10L), ("u1", 2L, 30L), ("u1", 3L, 20L), ("u1", 4L, 40L),
+      ("u2", 1L, 5L)
+    ).toDF("u", "seq", "v")
+    val got = Analytics.timeSeriesStats(df, Seq("u"), Seq("seq"), col("v"), 3)
+      .select("u", "seq", "mov_sum", "delta")
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    assert(got == Set(
+      ("u1", 1L, 10L, None), ("u1", 2L, 40L, Some(20L)),
+      ("u1", 3L, 60L, Some(-10L)), ("u1", 4L, 90L, Some(20L)),
+      ("u2", 1L, 5L, None)))
+  }
+
   test("flagOutliers matches the floating-point |x-mean| > k*stddev_pop reference") {
     val rng = new scala.util.Random(7)
     val rows = (0 until 400).map { i =>
