@@ -924,6 +924,18 @@ object ExtQueries {
   )
 
   private val quantileQueries: Seq[(String, Q)] = Seq(
+    // EXACT integer equal-width histogram of document lengths: bucket
+    // boundaries via integer division only, so both engines bucket
+    // identically (no float-boundary wobble).
+    "q_histogram" -> Q(
+      (s, dir) => graft.operators.Profile.histogram(
+        table(s, dir, "documents"), "n_chars", nBuckets = 16),
+      Some("""
+        WITH s AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents)
+        SELECT ((n_chars - mn) * 16) // (mx - mn + 1) AS bucket,
+          count(*) AS cnt, min(n_chars) AS lo, max(n_chars) AS hi
+        FROM documents, s GROUP BY 1""")),
+
     // Per-language length quantiles (exact interpolation for the oracle;
     // production default is the t-digest sketch). Quartile fractions of
     // integer inputs are exact dyadics, so Spark's percentile and DuckDB's

@@ -63,6 +63,36 @@ object Profile {
     df.groupBy(groupCols.map(col): _*).agg(aggsQ.head, aggsQ.tail: _*)
   }
 
+  /** EQUAL-WIDTH histogram of an INTEGER column in exact integer
+    * arithmetic: bucket = `(v − min) · nBuckets div (max − min + 1)` —
+    * always 0..nBuckets−1, every boundary computed in integer division,
+    * so two engines bucket identically (a float-width histogram can
+    * disagree at exact boundaries). Returns one row per NON-EMPTY bucket:
+    * (bucket, cnt, lo, hi) with lo/hi the bucket's observed value range.
+    *
+    * One min/max pass + one hash aggregate (map-side combined; at most
+    * nBuckets groups shuffle). Overflow bound: `(max − min) · nBuckets`
+    * must fit a long — true for any realistic profile; pre-scale the
+    * column otherwise. For DOUBLE columns use [[groupQuantiles]] or a
+    * width_bucket projection instead — floats have no exact-boundary
+    * story.
+    */
+  def histogram(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val v = col(valueCol).cast("long")
+    val bounds = df.agg(min(v).as("lo"), max(v).as("hi")).head()
+    if (bounds.isNullAt(0))
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as("bucket"), lit(0L).as("cnt"),
+          lit(0L).as("lo"), lit(0L).as("hi")).limit(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = hi - lo + 1
+    df.select(expr(s"((CAST($valueCol AS BIGINT) - $lo) * $nBuckets) div $width")
+        .as("bucket"), v.as("__v"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+  }
+
   private def finish(one: DataFrame, names: Seq[String]): DataFrame = {
     val perCol = names.map { c =>
       struct(lit(c).as("column"),

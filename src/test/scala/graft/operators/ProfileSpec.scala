@@ -43,4 +43,19 @@ class ProfileSpec extends SparkSpec {
     val plan = Profile.profile(df).queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), plan)
   }
+  test("histogram: exact integer buckets, observed ranges, empty/degenerate inputs") {
+    val df = (0L until 160L).map(v => Tuple1(v)).toDF("v")
+    val got = Profile.histogram(df, "v", 16)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // 160 values over [0,159], width 160 -> 10 per bucket, exact ranges
+    assert(got == (0L until 16L).map(b => (b, 10L, b * 10, b * 10 + 9)))
+    // all-equal column: one bucket holds everything
+    val const = Seq(7L, 7L, 7L).map(Tuple1(_)).toDF("v")
+    val g2 = Profile.histogram(const, "v", 8)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(g2 == Seq((0L, 3L, 7L, 7L)))
+    // empty input -> empty histogram (no NPE on null bounds)
+    val empty = df.filter(col("v") < 0)
+    assert(Profile.histogram(empty, "v", 4).count() == 0)
+  }
 }
