@@ -151,6 +151,53 @@ object Lake {
       .write.mode(mode).parquet(path)
   }
 
+  /** COMPACTION: rewrite a parquet directory into
+    * `ceil(totalBytes / targetFileBytes)` files — the maintenance job
+    * that undoes small-file accumulation from streaming appends and
+    * over-parallel writers (millions of tiny files tax every listing,
+    * footer read, and task-scheduling pass downstream).
+    *
+    * Sizing comes from the FILESYSTEM (input file lengths), not row
+    * counts — compression ratio is data-dependent and row counts lie
+    * about bytes. The rewrite goes through a temp directory then an
+    * atomic-as-the-FS-allows swap, so a reader never sees a half-written
+    * mix of old and new files. Plain `repartition` (round-robin) spreads
+    * rows evenly regardless of input skew; pass `sortBy` to additionally
+    * restore an ordering/clustering ([[writeZOrdered]]'s z column, a
+    * timestamp) that compaction would otherwise destroy.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long = 128L << 20,
+              sortBy: Seq[Column] = Nil): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val dir = new java.io.File(path)
+    require(dir.isDirectory, s"$path is not a directory")
+    val totalBytes = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
+    val tmp = path.stripSuffix("/") + ".__compact_tmp"
+    val routed =
+      if (sortBy.nonEmpty)
+        df.repartitionByRange(nFiles, sortBy: _*).sortWithinPartitions(sortBy: _*)
+      else df.repartition(nFiles)
+    routed.write.mode("overwrite").parquet(tmp)
+    val old = path.stripSuffix("/") + ".__compact_old"
+    val fs = new java.io.File(tmp)
+    val target = new java.io.File(path)
+    val bak = new java.io.File(old)
+    deleteRecursively(bak)
+    require(target.renameTo(bak), s"could not move $path aside")
+    require(fs.renameTo(target), s"could not move compacted files into $path")
+    deleteRecursively(bak)
+    nFiles
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    if (f.exists()) { f.delete(); () }
+  }
+
   private val zMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Build-once z-ordered copy per (JVM, cacheKey) — the nightly layout

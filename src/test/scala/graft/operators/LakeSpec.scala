@@ -142,6 +142,38 @@ class LakeSpec extends SparkSpec {
     assert(qb.size == 16 && qb.values.max < 2500, qb.toString)
   }
 
+  test("compact rewrites many small files into size-targeted few, content intact") {
+    val out = Files.createTempDirectory("lake_compact").toString
+    val df = (0L until 20000L).map(i => (i, s"payload for row $i"))
+      .toDF("id", "payload")
+    df.repartition(64).write.mode("overwrite").parquet(out) // 64 tiny files
+    def parquetFiles(p: String): Array[java.io.File] =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    val before = parquetFiles(out)
+    assert(before.length == 64)
+    val totalBytes = before.map(_.length()).sum
+    val n = Lake.compact(spark, out, targetFileBytes = totalBytes / 4 + 1)
+    val after = parquetFiles(out)
+    assert(n == 4 && after.length == 4, s"n=$n files=${after.length}")
+    // no temp/backup remnants, content identical
+    assert(!new java.io.File(out + ".__compact_tmp").exists())
+    assert(!new java.io.File(out + ".__compact_old").exists())
+    val back = spark.read.parquet(out)
+    assert(back.count() == 20000 &&
+      back.agg(sum("id")).as[Long].head() == (0L until 20000L).sum)
+    // sortBy variant restores clustering: per-file id ranges disjoint
+    Lake.compact(spark, out, targetFileBytes = totalBytes / 4 + 1,
+      sortBy = Seq(col("id")))
+    val ranges = spark.read.parquet(out)
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"))
+      .select("lo", "hi").as[(Long, Long)].collect().sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 < b._1, ranges.mkString(","))
+      case _ =>
+    }
+  }
+
   test("filesPerPartition salt spreads a hot partition across bounded files") {
     val df = (1 to 3000).map(i => (i.toLong, "2024-01-10")).toDF("id", "dt")
       .repartition(16) // one hot partition value
