@@ -1315,6 +1315,33 @@ object ExtQueries {
           FROM documents WHERE n_chars > 0)
         ORDER BY aes DESC, doc_id LIMIT 50""")),
 
+    // CONTRASTIVE negative mining: 5 deterministic pseudo-random corpus
+    // negatives per anchor (doc_id % 50 = 0) via hash-bucket probes —
+    // never a cross join. Same md5 arithmetic on both engines.
+    "q_negatives" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.operators.Sampling.negativePairs(
+          docs.filter(col("doc_id") % 50 === 0), "doc_id",
+          docs, "doc_id", k = 5, nBuckets = 32)
+      },
+      Some("""
+        WITH cand AS (SELECT doc_id AS c,
+            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS b
+          FROM documents),
+        slots AS (SELECT a.doc_id AS anchor, r.i AS slot,
+            CAST(('0x' || substring(md5(CAST(a.doc_id AS VARCHAR) || ':' ||
+              CAST(r.i AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS b
+          FROM documents a, range(5) r(i) WHERE a.doc_id % 50 = 0),
+        j AS (SELECT anchor, slot, c,
+                md5(CAST(anchor AS VARCHAR) || ':' || CAST(slot AS VARCHAR)
+                  || ':' || CAST(c AS VARCHAR)) AS h
+              FROM slots JOIN cand USING (b) WHERE c <> anchor)
+        SELECT anchor, slot, c AS negative FROM (
+          SELECT *, row_number() OVER (PARTITION BY anchor, slot
+            ORDER BY h, c) AS rn FROM j) t
+        WHERE rn = 1""")),
+
     // SALIENT TERMS: top-3 per document by (tf DESC, df ASC, token) —
     // integer-exact keyword screening; the (tf, df) pair ships so true
     // tf-idf curves apply offline.

@@ -65,6 +65,49 @@ object Sampling {
     df.filter(weight > 0).orderBy(aesKey.desc, key).limit(n)
   }
 
+  /** DETERMINISTIC random NEGATIVE PAIRS for contrastive training: each
+    * anchor gets `k` pseudo-random corpus rows ("negatives") WITHOUT a
+    * cross join — the naive anchors × corpus enumeration is the classic
+    * scale-killer of embedding-model data prep.
+    *
+    * Mechanism: corpus rows land in `nBuckets` hash buckets once; each
+    * (anchor, slot i < k) probes bucket `h(anchor:i) mod nBuckets` and
+    * takes the candidate minimizing `md5(anchor:i:candidate)` — all
+    * md5-derived (the [[assignSplit]] contract), so the selection is
+    * reproducible across runs, engines, and partitionings. One equi-join
+    * on the bucket key + one bounded argmin aggregate; join volume is
+    * `anchors × k × corpus/nBuckets` — size `nBuckets` so buckets hold
+    * O(100) rows and the probe costs anchors×k×100, not anchors×corpus.
+    *
+    * Semantics callers must know: slots sample with replacement (two
+    * slots of one anchor can draw the same negative — dedupe downstream
+    * if undesired); an empty bucket yields no row for its slot (buckets
+    * are ~corpus/nBuckets rows, so only a tiny corpus can starve one);
+    * self-pairs are excluded when anchor and candidate ids collide.
+    * Output: (anchor, slot, negative).
+    */
+  def negativePairs(anchors: DataFrame, anchorIdCol: String,
+                    corpus: DataFrame, corpusIdCol: String,
+                    k: Int, nBuckets: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    def h8(c: Column): Column =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    val cand = corpus.select(col(corpusIdCol).as("__cand"),
+      (h8(col(corpusIdCol).cast("string")) % nBuckets).as("__b"))
+    val slots = anchors.select(col(anchorIdCol).as("anchor"))
+      .withColumn("slot", explode(sequence(lit(0L), lit(k - 1L))))
+      .withColumn("__b", h8(concat(col("anchor").cast("string"), lit(":"),
+        col("slot").cast("string"))) % nBuckets)
+    slots.join(cand, "__b")
+      .filter(col("__cand") =!= col("anchor"))
+      .withColumn("__h", md5(concat(col("anchor").cast("string"), lit(":"),
+        col("slot").cast("string"), lit(":"), col("__cand").cast("string"))))
+      .groupBy("anchor", "slot")
+      .agg(min(struct(col("__h"), col("__cand"))).as("__m"))
+      .select(col("anchor"), col("slot"), col("__m.__cand").as("negative"))
+  }
+
   /** DETERMINISTIC train/val/test (or arbitrary) split assignment, keyed
     * on any column: rows with the same `key` ALWAYS land in the same
     * split, across runs, engines, partitionings, and growing data —

@@ -197,6 +197,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(!flagged.exists(_._1 == "b"))
   }
 
+  test("negativePairs == driver reference; no self-pairs; partitioning-independent") {
+    val corpus = (0L until 400L).map(i => Tuple1(i)).toDF("id")
+    val anchors = corpus.filter(col("id") % 40 === 0)
+    val got = Sampling.negativePairs(anchors, "id", corpus, "id", k = 4, nBuckets = 16)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val gotRep = Sampling.negativePairs(
+        anchors.repartition(7), "id", corpus.repartition(5), "id", 4, 16)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == gotRep)
+    assert(got.forall { case (a, _, n) => a != n })
+    // 10 anchors x 4 slots, every bucket populated at 400/16 = 25 rows
+    assert(got.size == 40)
+    // exact driver reference with the same md5 arithmetic
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    def h8(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    val candB = (0L until 400L).groupBy(c => h8(c.toString) % 16)
+    val expected = (for {
+      a <- 0L until 400L if a % 40 == 0
+      i <- 0L until 4L
+    } yield {
+      val b = h8(s"$a:$i") % 16
+      val c = candB.getOrElse(b, Seq.empty).filter(_ != a)
+        .minBy(c => (md5hex(s"$a:$i:$c"), c))
+      (a, i, c)
+    }).sorted.toSeq
+    assert(got == expected)
+  }
+
   test("weightedSample plans as TakeOrdered (no shuffle of the data)") {
     val df = (1L to 100L).map(i => (i, i % 5 + 1)).toDF("id", "w")
     val plan = Sampling.weightedSample(df, 10, col("w"), col("id"))
