@@ -1299,6 +1299,23 @@ object ExtQueries {
                 FROM events e JOIN f USING (user_id))
         SELECT cohort, k, count(*) AS n_users FROM act GROUP BY 1, 2""")),
 
+    // PER-LANGUAGE weighted sample: 10 docs per language, A-ES keys
+    // proportional to n_chars — group quotas + within-group weighting in
+    // one bounded-heap aggregate. Oracle: the row_number window over the
+    // identical ln(u)/w expression.
+    "q_weighted_stratified" -> Q(
+      (s, dir) => graft.operators.Sampling.stratifiedWeightedSample(
+        table(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        Seq("lang"), n = 10, weight = col("n_chars"), key = col("doc_id")),
+      Some("""
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT doc_id, lang, n_chars,
+            row_number() OVER (PARTITION BY lang ORDER BY
+              ln(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 / 4294967296.0) / n_chars DESC, doc_id) AS rn
+          FROM documents WHERE n_chars > 0) t
+        WHERE rn <= 10""")),
+
     // DETERMINISTIC weighted sample (A-ES, proportional to n_chars):
     // hash-uniform u, ln(u)/w ranking, largest-50. The ln(u)/w key itself
     // is never emitted (last-ulp libm variation) — only its ORDER is used,

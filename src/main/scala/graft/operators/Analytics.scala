@@ -27,6 +27,8 @@ object Analytics {
     require(rowCols.nonEmpty, "rowCols must be non-empty")
     require(pivotValues.nonEmpty, "pivotValues must be explicit (a value-less" +
       " pivot adds a driver-side distinct-discovery job over the full table)")
+    require(pivotValues.forall(!_.contains("`")),
+      "pivot values must not contain backticks (column-name quoting)")
     val pivoted = df.groupBy(rowCols.map(col): _*)
       .pivot(pivotCol, pivotValues)
       .agg(count(lit(1)))

@@ -165,6 +165,11 @@ object Lake {
     * rows evenly regardless of input skew; pass `sortBy` to additionally
     * restore an ordering/clustering ([[writeZOrdered]]'s z column, a
     * timestamp) that compaction would otherwise destroy.
+    *
+    * UNPARTITIONED directories only (enforced): compacting a
+    * `partitionBy` layout through here would flatten it — run one
+    * compact() per leaf directory instead, which is also the natural
+    * parallelization of the maintenance job.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long = 128L << 20,
@@ -174,6 +179,9 @@ object Lake {
     require(dir.isDirectory, s"$path is not a directory")
     val totalBytes = dir.listFiles().filter(_.getName.endsWith(".parquet"))
       .map(_.length()).sum
+    require(totalBytes > 0,
+      s"$path holds no top-level parquet files — for a partitioned layout, " +
+        "compact each leaf directory (compacting the root would flatten it)")
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(path)
     val tmp = path.stripSuffix("/") + ".__compact_tmp"

@@ -65,6 +65,34 @@ object Sampling {
     df.filter(weight > 0).orderBy(aesKey.desc, key).limit(n)
   }
 
+  /** PER-STRATUM [[weightedSample]]: the `n` largest A-ES keys within
+    * each distinct `strataCols` combination — weighted sampling that
+    * respects group quotas (n per language/source, proportional to
+    * weight within the group). Completes the sampler matrix:
+    * uniform/weighted × global/stratified.
+    *
+    * Same bounded-heap plan as [[stratifiedExactN]] (one
+    * ObjectHashAggregate over [[graft.functions.TopN]], map-side
+    * combine), so a hot stratum ships n·partitions candidate rows, never
+    * its population; the A-ES key is order-only here too.
+    */
+  def stratifiedWeightedSample(df: DataFrame, strataCols: Seq[String], n: Int,
+                               weight: Column, key: Column): DataFrame = {
+    require(strataCols.nonEmpty, "strataCols must be non-empty")
+    val u = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    // TopN ranks ASCENDING on the struct; negate the key to take the
+    // A-ES maxima, tiebreak on the caller's key
+    val positive = df.filter(weight > 0)
+    val rowStruct = struct(positive.columns.map(col): _*)
+    positive.groupBy(strataCols.map(col): _*)
+      .agg(TopN.rows(rowStruct,
+        struct((-(log(u) / weight.cast("double"))).as("neg_aes"), key),
+        n, isMax = false).as("__rows"))
+      .select(explode(col("__rows")).as("__row"))
+      .select("__row.*")
+  }
+
   /** DETERMINISTIC random NEGATIVE PAIRS for contrastive training: each
     * anchor gets `k` pseudo-random corpus rows ("negatives") WITHOUT a
     * cross join — the naive anchors × corpus enumeration is the classic

@@ -197,6 +197,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(!flagged.exists(_._1 == "b"))
   }
 
+  test("stratifiedWeightedSample == per-stratum weightedSample, window-free") {
+    val df = (1L to 600L).map(i => (i, Seq("a", "b", "c")(i.toInt % 3), i % 9 + 1))
+      .toDF("id", "g", "w")
+    val got = Sampling.stratifiedWeightedSample(df, Seq("g"), 7, col("w"), col("id"))
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    val expected = Seq("a", "b", "c").flatMap { g =>
+      Sampling.weightedSample(df.filter(col("g") === g), 7, col("w"), col("id"))
+        .as[(Long, String, Long)].collect()
+    }.sorted.toSeq
+    assert(got == expected && got.size == 21)
+    val plan = Sampling.stratifiedWeightedSample(df, Seq("g"), 7, col("w"), col("id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"), plan)
+  }
+
   test("negativePairs == driver reference; no self-pairs; partitioning-independent") {
     val corpus = (0L until 400L).map(i => Tuple1(i)).toDF("id")
     val anchors = corpus.filter(col("id") % 40 === 0)
