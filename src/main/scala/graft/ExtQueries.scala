@@ -1024,6 +1024,33 @@ object ExtQueries {
              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
                ON p.user_id = c.user_id AND c.ts <= p.ts""")),
 
+    // FORWARD as-of with tolerance: each purchase gets the user's NEXT
+    // click within 30 minutes (pandas merge_asof(direction='forward',
+    // tolerance=...)). Same union-sort plan, time-reversed; the tolerance
+    // is a post-mask, not a join condition. Tie at equal ts -> largest
+    // right ordering (event_id), mirrored in the oracle's ORDER BY.
+    "q_asof_forward" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+        graft.operators.Joins.asOf(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          direction = "forward", tolerance = Some(1800.0))
+      },
+      Some("""
+        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT * FROM events WHERE event_type = 'click'),
+        j AS (SELECT p.event_id AS pid, c.event_id AS r_event_id, c.ts AS r_ts,
+                c.event_type AS r_event_type, c.value AS r_value, c.props AS r_props,
+                row_number() OVER (PARTITION BY p.event_id
+                  ORDER BY c.ts, c.event_id DESC) AS rn
+              FROM p JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts
+               AND epoch(c.ts) - epoch(p.ts) <= 1800)
+        SELECT p.user_id, p.event_id, p.ts, p.event_type, p.value, p.props,
+               j.r_event_id, j.r_ts, j.r_event_type, j.r_value, j.r_props
+        FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON p.event_id = j.pid""")),
+
     "q_events_window" -> Q(
       (s, dir) => EventStreams.windowedStatsBatch(events(s, dir)),
       Some("""SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS cnt,

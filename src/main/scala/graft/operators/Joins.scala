@@ -9,22 +9,35 @@ import org.apache.spark.sql.types.StructType
   */
 object Joins {
 
-  /** AS-OF (left) join: for each left row, attach the LATEST right row with
-    * `right.ts <= left.ts` per key — the canonical feature-attachment join
-    * of training-data pipelines ("state of the user at event time").
+  /** AS-OF (left) join: for each left row, attach per key the LATEST right
+    * row with `right.ts <= left.ts` (`direction = "backward"`, the
+    * default) or the EARLIEST right row with `right.ts >= left.ts`
+    * (`direction = "forward"`) — the canonical feature-attachment join of
+    * training-data pipelines ("state of the user at event time" /
+    * "next action after the event"). Optional `tolerance` (in the ts
+    * column's natural units — seconds for timestamps) nulls the match
+    * when the attached row is further than that from the left row, the
+    * pandas `merge_asof` contract.
     *
     * Implementation is the union-sort trick, NOT a range join: tag both
     * sides, union, one window pass per key ordered by (ts, side) carrying
-    * the last-seen right row forward. Cost = ONE shuffle + sort of
-    * |L| + |R| rows — no range-condition row explosion, no broadcast
-    * requirement, and AQE handles skewed keys. Right columns come back
-    * prefixed (`rightPrefix`); left rows with no prior right row get nulls.
+    * the last-seen right row forward (time-reversed for `forward`).
+    * Cost = ONE shuffle + sort of |L| + |R| rows — no range-condition row
+    * explosion, no broadcast requirement, and AQE handles skewed keys;
+    * the tolerance is a post-mask, not a join condition, so it never
+    * changes the plan shape. Right columns come back prefixed
+    * (`rightPrefix`); left rows with no qualifying right row get nulls.
     * Ties on (key, ts) between right rows break toward the largest
-    * remaining right-row ordering (deterministic).
+    * right-row ordering in both directions (deterministic).
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String,
-           rightPrefix: String = "r_"): DataFrame = {
+           rightPrefix: String = "r_",
+           direction: String = "backward",
+           tolerance: Option[Double] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
     val rRenamed = right.columns.filterNot(keys.contains)
       .foldLeft(right)((d, c) => d.withColumnRenamed(c, rightPrefix + c))
     val lPayload = left.columns.filterNot(keys.contains)
@@ -43,24 +56,38 @@ object Joins {
         lit(null).cast(lType).as("__l"),
         struct(rPayload.map(col): _*).as("__r")): _*)
 
-    // right rows sort BEFORE left rows at equal ts (__src 0 < 1) => `<=` asof.
-    // The right-row tiebreak orders only ORDERABLE right columns — a map
-    // column in the payload would fail analysis inside an ordering struct
-    // (same guard Dedup.exact applies).
+    // right rows sort BEFORE left rows at equal ts (__src 0 < 1) => the
+    // as-of comparison is INCLUSIVE in both directions. For `forward` the
+    // time axis reverses; __src stays ascending so equal-ts right rows
+    // still precede the left row in iteration order. The right-row
+    // tiebreak orders only ORDERABLE right columns — a map column in the
+    // payload would fail analysis inside an ordering struct (same guard
+    // Dedup.exact applies).
     val rOrderable = rType.fields.filter(f =>
       org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
       .map(f => col(s"__r.${f.name}"))
     val tieBreak: Seq[org.apache.spark.sql.Column] =
       if (rOrderable.isEmpty) Nil else Seq(struct(rOrderable: _*))
+    val tOrder = if (direction == "backward") col("__t") else col("__t").desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t") +: col("__src") +: tieBreak: _*)
+      .orderBy(tOrder +: col("__src") +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    lSide.unionByName(rSide)
+    val joined = lSide.unionByName(rSide)
       .withColumn("__carried", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
-      .select(keys.map(col) ++
-        lPayload.map(c => col(s"__l.$c").as(c)) ++
-        rPayload.map(c => col(s"__carried.$c").as(c)): _*)
+    val masked = tolerance match {
+      case None => joined
+      case Some(tol) =>
+        // natural-unit distance: timestamps cast to epoch seconds,
+        // numerics to their value
+        val dist = abs(col(s"__carried.${rightPrefix + rightTs}").cast("double") -
+          col("__t").cast("double"))
+        joined.withColumn("__carried",
+          when(dist <= tol, col("__carried")).otherwise(lit(null).cast(rType)))
+    }
+    masked.select(keys.map(col) ++
+      lPayload.map(c => col(s"__l.$c").as(c)) ++
+      rPayload.map(c => col(s"__carried.$c").as(c)): _*)
   }
 
   /** RANGE JOIN (point-in-interval) WITHOUT an equi-key: each left "point"

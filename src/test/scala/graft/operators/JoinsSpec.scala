@@ -26,6 +26,38 @@ class JoinsSpec extends SparkSpec {
     assert(got("t4").isEmpty)         // no quotes for uid 3
   }
 
+  test("asOf forward attaches the earliest right row at-or-after; tolerance masks") {
+    val trades = Seq(
+      (1L, ts(5), "t1"), (1L, ts(20), "t2"), (2L, ts(10), "t3"), (3L, ts(1), "t4")
+    ).toDF("uid", "ts", "trade")
+    val quotes = Seq(
+      (1L, ts(0), 100.0), (1L, ts(5), 101.0), (1L, ts(15), 102.0),
+      (2L, ts(11), 50.0)
+    ).toDF("uid", "ts", "px")
+    val fwd = Joins.asOf(trades, quotes, Seq("uid"), "ts", "ts",
+        direction = "forward")
+      .select("trade", "r_px").as[(String, Option[Double])].collect().toMap
+    assert(fwd("t1").contains(101.0)) // equal timestamp counts (>=)
+    assert(fwd("t2").isEmpty)         // nothing after 10:20
+    assert(fwd("t3").contains(50.0))  // the next quote
+    assert(fwd("t4").isEmpty)
+    // 1-minute tolerance: t3's next quote (60 s ahead) survives, a
+    // 59-second bound masks it to null while the row itself remains
+    val tight = Joins.asOf(trades, quotes, Seq("uid"), "ts", "ts",
+        direction = "forward", tolerance = Some(59.0))
+      .select("trade", "r_px").as[(String, Option[Double])].collect().toMap
+    assert(tight("t3").isEmpty && tight.size == 4)
+    val loose = Joins.asOf(trades, quotes, Seq("uid"), "ts", "ts",
+        direction = "forward", tolerance = Some(60.0))
+      .select("trade", "r_px").as[(String, Option[Double])].collect().toMap
+    assert(loose("t3").contains(50.0))
+    // backward tolerance: t2's latest prior (5 min back) masks under 240 s
+    val back = Joins.asOf(trades, quotes, Seq("uid"), "ts", "ts",
+        tolerance = Some(240.0))
+      .select("trade", "r_px").as[(String, Option[Double])].collect().toMap
+    assert(back("t2").isEmpty && back("t1").contains(101.0))
+  }
+
   test("rangeJoin equals the naive inequality join, for every bin width") {
     val points = Seq((1L, 3.0), (2L, 17.5), (3L, 100.0), (4L, -5.0), (5L, 20.0))
       .toDF("pid", "x")
