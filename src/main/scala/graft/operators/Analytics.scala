@@ -141,9 +141,24 @@ object Analytics {
     val stats = df.groupBy(groupCols.map(col): _*)
       .agg(percentile(v, lit(0.25)).as("q1"), percentile(v, lit(0.75)).as("q3"))
     val iqr = col("q3") - col("q1")
-    df.join(stats, groupCols)
+    // null-SAFE join: groupBy treats NULL keys as a group, so a plain
+    // equi-join back would silently DROP every null-keyed input row
+    joinStatsBack(df, stats, groupCols)
       .withColumn("outlier",
-        (v < col("q1") - lit(k) * iqr || v > col("q3") + lit(k) * iqr).cast("int"))
+        coalesce(
+          (v < col("q1") - lit(k) * iqr || v > col("q3") + lit(k) * iqr)
+            .cast("int"), lit(0)))
+  }
+
+  /** Join a per-group stats table back onto the fact side with NULL-SAFE
+    * key equality — `groupBy` puts null keys in a group of their own, and
+    * a plain equi-join would drop those rows on the way back.
+    */
+  private def joinStatsBack(df: DataFrame, stats: DataFrame,
+                            groupCols: Seq[String]): DataFrame = {
+    val statsR = groupCols.foldLeft(stats)((d, c) => d.withColumnRenamed(c, s"__g_$c"))
+    val cond = groupCols.map(c => df(c) <=> statsR(s"__g_$c")).reduce(_ && _)
+    df.join(statsR, cond).drop(groupCols.map(c => s"__g_$c"): _*)
   }
 
   /** EXACT per-group statistical outlier flag: marks rows where
@@ -179,10 +194,13 @@ object Analytics {
       .agg(count(lit(1)).as("n"), sum(v).as("__sum"), sum(v * v).as("__sumsq"))
     val dev = col("n") * v - col("__sum")
     val varn = col("n") * col("__sumsq") - col("__sum") * col("__sum")
-    df.join(stats, groupCols)
+    // null-safe join back: see joinStatsBack — a plain equi-join would
+    // drop null-keyed rows instead of flagging them 0 within their group
+    joinStatsBack(df, stats, groupCols)
       .withColumn("outlier",
-        (col("n") >= 2 &&
-          lit(kDen * kDen) * dev * dev > lit(kNum * kNum) * varn).cast("int"))
+        coalesce((col("n") >= 2 &&
+          lit(kDen * kDen) * dev * dev > lit(kNum * kNum) * varn).cast("int"),
+          lit(0)))
       .drop("__sum", "__sumsq")
   }
 }

@@ -58,8 +58,12 @@ object Dedup extends org.apache.spark.internal.Logging {
   private def diskMemo(kind: String, cacheKey: String)(build: => DataFrame): DataFrame =
     diskMemoCache.computeIfAbsent(s"$kind!$cacheKey", _ => {
       val df = build
+      // md5 of the FULL key, not a 32-bit hashCode: colliding keys would
+      // silently share (and overwrite) one index directory
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(cacheKey.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_index/" +
-        kind + "_" + java.lang.Integer.toHexString(cacheKey.hashCode)
+        kind + "_" + digest
       df.write.mode("overwrite").parquet(path)
       df.sparkSession.read.parquet(path)
     })

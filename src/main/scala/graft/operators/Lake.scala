@@ -87,8 +87,11 @@ object Lake {
         // boundaries — interpreted, but this is the offline layout job,
         // not a query path.
         val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+        // ONE multi-column sketch pass for all dimensions (the
+        // per-column overload would scan the input once per dimension)
+        val allBs = df.stat.approxQuantile(zCols.toArray, probs, 0.001)
         zCols.zipWithIndex.map { case (c, d) =>
-          val bs = df.stat.approxQuantile(c, probs, 0.001)
+          val bs = allBs(d)
             .distinct.sorted // duplicate boundaries (heavy values) collapse
           val bucket =
             if (bs.isEmpty) lit(0L)
@@ -161,7 +164,10 @@ object Lake {
     * counts — compression ratio is data-dependent and row counts lie
     * about bytes. The rewrite goes through a temp directory then an
     * atomic-as-the-FS-allows swap, so a reader never sees a half-written
-    * mix of old and new files. Plain `repartition` (round-robin) spreads
+    * mix of old and new files — though between the two renames there is
+    * a brief window where the path does not exist (two renames cannot be
+    * jointly atomic on a generic filesystem); a failed second rename
+    * rolls the original back into place. Plain `repartition` (round-robin) spreads
     * rows evenly regardless of input skew; pass `sortBy` to additionally
     * restore an ordering/clustering ([[writeZOrdered]]'s z column, a
     * timestamp) that compaction would otherwise destroy.
@@ -196,7 +202,10 @@ object Lake {
     val bak = new java.io.File(old)
     deleteRecursively(bak)
     require(target.renameTo(bak), s"could not move $path aside")
-    require(fs.renameTo(target), s"could not move compacted files into $path")
+    if (!fs.renameTo(target)) {
+      bak.renameTo(target) // roll the original back before failing
+      throw new IllegalStateException(s"could not move compacted files into $path")
+    }
     deleteRecursively(bak)
     nFiles
   }
@@ -215,8 +224,11 @@ object Lake {
   def ensureZOrdered(df: DataFrame, cacheKey: String, zCols: Seq[String],
                      bitsPerDim: Int = 8, numFiles: Int = 16): DataFrame =
     zMemo.computeIfAbsent(cacheKey, _ => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder/" +
-        java.lang.Integer.toHexString(cacheKey.hashCode)
+      // md5 of the FULL key: a 32-bit hashCode dir name lets two distinct
+      // keys collide and silently overwrite each other's layout
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(cacheKey.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder/$digest"
       writeZOrdered(df, path, zCols, bitsPerDim, numFiles)
       df.sparkSession.read.parquet(path)
     })

@@ -69,6 +69,7 @@ object Profile {
     * so two engines bucket identically (a float-width histogram can
     * disagree at exact boundaries). Returns one row per NON-EMPTY bucket:
     * (bucket, cnt, lo, hi) with lo/hi the bucket's observed value range.
+    * NULL values are excluded ([[profile]]'s n_nulls counts them).
     *
     * One min/max pass + one hash aggregate (map-side combined; at most
     * nBuckets groups shuffle). Overflow bound: `(max − min) · nBuckets`
@@ -87,7 +88,11 @@ object Profile {
           lit(0L).as("lo"), lit(0L).as("hi")).limit(0)
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = hi - lo + 1
-    df.select(expr(s"((CAST($valueCol AS BIGINT) - $lo) * $nBuckets) div $width")
+    // NULL values are EXCLUDED (they have no bucket; Profile.profile's
+    // n_nulls counts them) — keeping them would emit an out-of-contract
+    // bucket=NULL row
+    df.filter(v.isNotNull)
+      .select(expr(s"((CAST($valueCol AS BIGINT) - $lo) * $nBuckets) div $width")
         .as("bucket"), v.as("__v"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("cnt"), min(col("__v")).as("lo"), max(col("__v")).as("hi"))

@@ -15,6 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The shared hash-uniform contract every deterministic sampler keys on:
+    * `first-8-hex-chars(md5(key))` as a long in [0, 2³²). ONE definition
+    * on purpose — assignSplit/weightedSample/negativePairs docstrings all
+    * pin reproducibility to this exact expression, so a drift in one copy
+    * would silently break cross-operator agreement.
+    */
+  private[operators] def hashLong(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** [[hashLong]] scaled to a uniform double in [0, 1). */
+  private[operators] def hashUniform(key: Column): Column =
+    hashLong(key).cast("double") / 4294967296.0
+
   /** Exact-N per stratum: the `n` rows with the smallest `orderBy` key in
     * each distinct combination of `strataCols`.
     *
@@ -59,10 +72,12 @@ object Sampling {
     * bits are libm-dependent, and ranking only needs its order.
     */
   def weightedSample(df: DataFrame, n: Int, weight: Column, key: Column): DataFrame = {
-    val u = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("double") / 4294967296.0
-    val aesKey = log(u) / weight.cast("double")
-    df.filter(weight > 0).orderBy(aesKey.desc, key).limit(n)
+    val aesKey = log(hashUniform(key)) / weight.cast("double")
+    // NULL keys/weights are EXCLUDED, not ranked: a null hash has no
+    // defined draw, and engines disagree on where NULL sorts (desc
+    // NULLS LAST here vs nulls-first in an aggregate buffer ordering) —
+    // dropping is the only cross-path-consistent semantics
+    df.filter(weight > 0 && key.isNotNull).orderBy(aesKey.desc, key).limit(n)
   }
 
   /** PER-STRATUM [[weightedSample]]: the `n` largest A-ES keys within
@@ -79,11 +94,12 @@ object Sampling {
   def stratifiedWeightedSample(df: DataFrame, strataCols: Seq[String], n: Int,
                                weight: Column, key: Column): DataFrame = {
     require(strataCols.nonEmpty, "strataCols must be non-empty")
-    val u = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("double") / 4294967296.0
+    val u = hashUniform(key)
     // TopN ranks ASCENDING on the struct; negate the key to take the
-    // A-ES maxima, tiebreak on the caller's key
-    val positive = df.filter(weight > 0)
+    // A-ES maxima, tiebreak on the caller's key. NULL keys/weights drop
+    // (same contract as weightedSample: TopN's interpreted struct
+    // ordering is nulls-FIRST, which would rank an undefined draw BEST)
+    val positive = df.filter(weight > 0 && key.isNotNull)
     val rowStruct = struct(positive.columns.map(col): _*)
     positive.groupBy(strataCols.map(col): _*)
       .agg(TopN.rows(rowStruct,
@@ -119,10 +135,9 @@ object Sampling {
                     k: Int, nBuckets: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(nBuckets >= 1, "nBuckets must be >= 1")
-    def h8(c: Column): Column =
-      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    def h8(c: Column): Column = hashLong(c)
     val cand = corpus.select(col(corpusIdCol).as("__cand"),
-      (h8(col(corpusIdCol).cast("string")) % nBuckets).as("__b"))
+      (h8(col(corpusIdCol)) % nBuckets).as("__b"))
     val slots = anchors.select(col(anchorIdCol).as("anchor"))
       .withColumn("slot", explode(sequence(lit(0L), lit(k - 1L))))
       .withColumn("__b", h8(concat(col("anchor").cast("string"), lit(":"),
@@ -158,8 +173,7 @@ object Sampling {
       "fractions must be positive")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       "fractions must sum to 1")
-    val u = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("double") / 4294967296.0
+    val u = hashUniform(key)
     val boundaries = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
     val assigned = fractions.init.zip(boundaries.init)
       .foldRight(lit(fractions.last._1): Column) { case (((name, _), b), acc) =>

@@ -125,6 +125,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("outlier flags keep NULL-group rows and drop nothing") {
+    val df = Seq(
+      (1L, Some("a"), 10L), (2L, Some("a"), 11L), (3L, None, 5L), (4L, None, 500L),
+      (5L, None, 6L)
+    ).toDF("id", "g", "v")
+    // k = 1: a 3-row group's max attainable z is (n-1)/sqrt(n) ~ 1.15,
+    // so any larger k could never flag inside the null group
+    val z = Analytics.flagOutliers(df, Seq("g"), col("v"), 1, 1)
+    assert(z.count() == 5) // the null group survives the join back
+    // the null group IS a group: its own stats flag its own outlier
+    val zNull = z.filter(col("g").isNull).select("id", "outlier")
+      .as[(Long, Int)].collect().toMap
+    assert(zNull(4L) == 1 && zNull(3L) == 0 && zNull(5L) == 0)
+    val t = Analytics.tukeyOutliers(df, Seq("g"), col("v"), k = 1.5)
+    assert(t.count() == 5)
+  }
+
+  test("weighted samplers drop NULL keys/weights instead of ranking them") {
+    val df = Seq(
+      (Some(1L), Some(10L), "a"), (Some(2L), Some(10L), "a"),
+      (None, Some(10L), "a"), (Some(4L), None, "a"), (Some(5L), Some(10L), "a")
+    ).toDF("id", "w", "g")
+    val flat = Sampling.weightedSample(df, 10, col("w"), col("id"))
+      .select("id").as[Option[Long]].collect().toSet
+    assert(flat == Set(Some(1L), Some(2L), Some(5L)))
+    val strat = Sampling.stratifiedWeightedSample(df, Seq("g"), 10, col("w"), col("id"))
+      .select("id").as[Option[Long]].collect().toSet
+    assert(strat == flat)
+  }
+
   test("flagOutliers never flags groups of one; stats table joins back n") {
     val df = Seq((1L, "a", 100L), (2L, "b", 5L), (3L, "b", 5L))
       .toDF("id", "g", "v")

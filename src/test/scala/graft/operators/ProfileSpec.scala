@@ -57,5 +57,10 @@ class ProfileSpec extends SparkSpec {
     // empty input -> empty histogram (no NPE on null bounds)
     val empty = df.filter(col("v") < 0)
     assert(Profile.histogram(empty, "v", 4).count() == 0)
+    // NULL values are excluded, never an out-of-contract bucket=NULL row
+    val withNulls = Seq(Some(1L), Some(2L), None).toDF("v")
+    val g3 = Profile.histogram(withNulls, "v", 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(g3 == Seq((0L, 1L, 1L, 1L), (1L, 1L, 2L, 2L)))
   }
 }
