@@ -1178,7 +1178,7 @@ object ExtQueries {
     // driver-verifiable against a plain join oracle).
     "q_bucketed_join" -> Q(
       (s, dir) => {
-        val sfx = java.lang.Integer.toHexString(dir.hashCode)
+        val sfx = graft.operators.KeyDigest(dir)
         val o = graft.operators.Bucketing.ensureBucketed(
           s, s"b_orders_$sfx", Seq("o_orderkey"), 8)(table(s, dir, "orders"))
         val l = graft.operators.Bucketing.ensureBucketed(

@@ -60,10 +60,8 @@ object Dedup extends org.apache.spark.internal.Logging {
       val df = build
       // md5 of the FULL key, not a 32-bit hashCode: colliding keys would
       // silently share (and overwrite) one index directory
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(cacheKey.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_index/" +
-        kind + "_" + digest
+        kind + "_" + KeyDigest(cacheKey)
       df.write.mode("overwrite").parquet(path)
       df.sparkSession.read.parquet(path)
     })
@@ -135,7 +133,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       val sigs = signatureTable(df, idCol, textCol, shingleSize, numHashes)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_minhash/" +
-        java.lang.Integer.toHexString(cacheKey.hashCode) + s"_h${numHashes}_b$bands"
+        KeyDigest(cacheKey) + s"_h${numHashes}_b$bands"
       val spark = sigs.sparkSession
       sigs.write.mode("overwrite").parquet(s"$base/sigs")
       bandTable(sigs, numHashes, bands).write.mode("overwrite").parquet(s"$base/bands")

@@ -226,9 +226,8 @@ object Lake {
     zMemo.computeIfAbsent(cacheKey, _ => {
       // md5 of the FULL key: a 32-bit hashCode dir name lets two distinct
       // keys collide and silently overwrite each other's layout
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(cacheKey.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder/$digest"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder/" +
+        KeyDigest(cacheKey)
       writeZOrdered(df, path, zCols, bitsPerDim, numFiles)
       df.sparkSession.read.parquet(path)
     })

@@ -98,7 +98,7 @@ object Similarity {
     ivfCache.computeIfAbsent(cacheKey, _ => {
       val fresh = buildIvf(df, idCol, vecCol, nClusters, seed)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf/" +
-        java.lang.Integer.toHexString(cacheKey.hashCode) + s"_k$nClusters"
+        KeyDigest(cacheKey) + s"_k$nClusters"
       fresh.assigned.write.mode("overwrite").partitionBy("__cluster").parquet(path)
       IvfIndex(fresh.assigned.sparkSession.read.parquet(path), fresh.centroids)
     })
@@ -313,7 +313,7 @@ object Similarity {
     pqEncodedCache.computeIfAbsent(cacheKey, _ => {
       val enc = pqEncodeTable(df, idCol, vecCol, cb)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq/" +
-        java.lang.Integer.toHexString(cacheKey.hashCode)
+        KeyDigest(cacheKey)
       enc.write.mode("overwrite").parquet(path)
       enc.sparkSession.read.parquet(path)
     })
