@@ -171,9 +171,12 @@ object Analytics {
     *   kDen² · (n·x − sum)²  >  kNum² · (n·Σx² − sum²)
     *
     * where sum/Σx² are the group's integer sums of `value` (callers
-    * quantize, e.g. money → cents). Groups with n < 2 never flag (σ is
-    * meaningless). Output: the input columns + `n` (group size) +
-    * `outlier` (INT 0/1).
+    * quantize, e.g. money → cents) and n counts the group's NON-NULL
+    * values — sum() skips nulls, so n must too or the algebra above
+    * inflates n and mis-flags every row in any group containing nulls.
+    * Null-valued rows themselves never flag (dev is null → 0). Groups
+    * with n < 2 never flag (σ is meaningless). Output: the input
+    * columns + `n` (non-null group size) + `outlier` (INT 0/1).
     *
     * Plan shape: ONE map-side-combined aggregate for the (n, sum, sumsq)
     * table — |groups| rows, AQE broadcasts it — and one equi-join back;
@@ -191,7 +194,7 @@ object Analytics {
     require(kNum > 0 && kDen > 0, "threshold k = kNum/kDen must be positive")
     val v = value.cast("long")
     val stats = df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"), sum(v).as("__sum"), sum(v * v).as("__sumsq"))
+      .agg(count(v).as("n"), sum(v).as("__sum"), sum(v * v).as("__sumsq"))
     val dev = col("n") * v - col("__sum")
     val varn = col("n") * col("__sumsq") - col("__sum") * col("__sum")
     // null-safe join back: see joinStatsBack — a plain equi-join would

@@ -112,6 +112,28 @@ object Curation {
                           materialize: Boolean = true,
                           decontaminateAgainst: Option[(DataFrame, String)] = None,
                           nearDupPairs: Option[DataFrame] = None): DataFrame = {
+    val nearDeduped = curatedCorpus(docs, idCol, textCol, cfg, materialize, nearDupPairs)
+    val decontaminated = decontaminateAgainst match {
+      case Some((bench, bCol)) => decontaminate(nearDeduped, idCol, textCol,
+        bench, bCol, cfg.decontamNgram, cfg.decontamMinHits)
+      case None => nearDeduped
+    }
+    chunkAndPack(decontaminated, idCol, textCol, cfg, materialize)
+  }
+
+  /** The pipeline PREFIX — language/quality filter → PII scrub → exact
+    * dedup → transitive near-dup removal — as a standalone stage: the
+    * curated (but not yet chunked) corpus. Factored out because it is the
+    * expensive, VARIANT-INDEPENDENT part: every downstream variant
+    * (plain, decontaminated-against-benchmark-X, different chunk/pack
+    * geometry) consumes the SAME curated corpus, so a job running several
+    * variants should build this once ([[curatedCorpusFor]] persists it)
+    * instead of paying the scrub+signature+CC chain per variant.
+    */
+  def curatedCorpus(docs: DataFrame, idCol: String, textCol: String,
+                    cfg: Config = Config(),
+                    materialize: Boolean = true,
+                    nearDupPairs: Option[DataFrame] = None): DataFrame = {
     def materialized(df: DataFrame): DataFrame =
       if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
@@ -135,13 +157,20 @@ object Curation {
       case None => Dedup.minhashPairs(exactDeduped, idCol, textCol,
         threshold = cfg.nearDupThreshold)
     }
-    val nearDeduped = Dedup.dropNearDuplicateClusters(exactDeduped, idCol, pairs)
-    val decontaminated = decontaminateAgainst match {
-      case Some((bench, bCol)) => decontaminate(nearDeduped, idCol, textCol,
-        bench, bCol, cfg.decontamNgram, cfg.decontamMinHits)
-      case None => nearDeduped
-    }
-    val chunks = materialized(Chunking.chunkByTokens(decontaminated, idCol, textCol,
+    Dedup.dropNearDuplicateClusters(exactDeduped, idCol, pairs)
+  }
+
+  /** The pipeline SUFFIX — token-window chunking → budget packing — over
+    * an already-curated corpus. Output: (doc_id, chunk_id, chunk_text,
+    * n_tokens, pack_id), identical to [[pretrainingPipeline]]'s.
+    */
+  def chunkAndPack(corpus: DataFrame, idCol: String, textCol: String,
+                   cfg: Config = Config(),
+                   materialize: Boolean = true): DataFrame = {
+    def materialized(df: DataFrame): DataFrame =
+      if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val chunks = materialized(Chunking.chunkByTokens(corpus, idCol, textCol,
         cfg.chunkTokens, cfg.chunkStride)
       .withColumnRenamed("chunk_text", "__text"))
     // deterministic GLOBAL packing order = lexicographic (doc, chunk): the
@@ -151,5 +180,33 @@ object Curation {
       cfg.packBudgetTokens, bucketSize = 1000L)
       .withColumnRenamed("__text", "chunk_text")
       .select(idCol, "chunk_id", "chunk_text", "n_tokens", "pack_id")
+  }
+
+  private val curatedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** [[curatedCorpus]] memoized to its parquet layout — built ONCE per
+    * (JVM, cacheKey, prefix-shaping config), written under
+    * `spark.graft.indexDir` ([[IndexRoot]]) and re-read from disk, so
+    * every pipeline variant over the same corpus (± decontamination,
+    * different chunk geometry) shares one scrub+signature+CC pass — the
+    * same build-once contract as [[Dedup.minhashIndexFor]]. Only the
+    * PREFIX-shaping config fields key the artifact (chunk/pack geometry
+    * is a suffix concern).
+    */
+  def curatedCorpusFor(docs: => DataFrame, cacheKey: String,
+                       idCol: String, textCol: String,
+                       cfg: Config = Config(),
+                       nearDupPairs: => Option[DataFrame] = None): DataFrame = {
+    val fullKey = s"$cacheKey|id=$idCol|txt=$textCol|langs=" +
+      s"${cfg.keepLangs.toSeq.sorted.mkString(",")}|q=${cfg.minQuality}" +
+      s"|ndt=${cfg.nearDupThreshold}|pairs=${nearDupPairs.isDefined}"
+    curatedCache.computeIfAbsent(fullKey, _ => {
+      val cur = curatedCorpus(docs, idCol, textCol, cfg,
+        materialize = true, nearDupPairs = nearDupPairs)
+      val path = graft.operators.IndexRoot.path(cur.sparkSession, "curated", fullKey)
+      cur.write.mode("overwrite").parquet(path)
+      cur.sparkSession.read.parquet(path)
+    })
   }
 }

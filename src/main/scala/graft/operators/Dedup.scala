@@ -59,9 +59,10 @@ object Dedup extends org.apache.spark.internal.Logging {
     diskMemoCache.computeIfAbsent(s"$kind!$cacheKey", _ => {
       val df = build
       // md5 of the FULL key, not a 32-bit hashCode: colliding keys would
-      // silently share (and overwrite) one index directory
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_index/" +
-        kind + "_" + KeyDigest(cacheKey)
+      // silently share (and overwrite) one index directory. Root comes
+      // from spark.graft.indexDir (shared storage on a cluster; see
+      // [[IndexRoot]]) — never a bare node-local tmpdir off local mode.
+      val path = IndexRoot.path(df.sparkSession, kind, cacheKey)
       df.write.mode("overwrite").parquet(path)
       df.sparkSession.read.parquet(path)
     })
@@ -127,20 +128,23 @@ object Dedup extends org.apache.spark.internal.Logging {
   def minhashIndexFor(df: => DataFrame, cacheKey: String,
                       idCol: String, textCol: String,
                       shingleSize: Int = 3, numHashes: Int = 128,
-                      bands: Int = 32): MinhashIndex =
-    minhashIndexCache.computeIfAbsent(cacheKey, _ => {
+                      bands: Int = 32): MinhashIndex = {
+    // memo key and path fold in EVERY parameter that changes the artifact
+    // — same cacheKey with different knobs must not share an index
+    val fullKey = s"$cacheKey|id=$idCol|txt=$textCol|s=$shingleSize|h=$numHashes|b=$bands"
+    minhashIndexCache.computeIfAbsent(fullKey, _ => {
       require(numHashes % bands == 0, "numHashes must divide into bands")
       val sigs = signatureTable(df, idCol, textCol, shingleSize, numHashes)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_minhash/" +
-        KeyDigest(cacheKey) + s"_h${numHashes}_b$bands"
       val spark = sigs.sparkSession
+      val base = IndexRoot.path(spark, "minhash", fullKey)
       sigs.write.mode("overwrite").parquet(s"$base/sigs")
       bandTable(sigs, numHashes, bands).write.mode("overwrite").parquet(s"$base/bands")
       sigs.unpersist()
       MinhashIndex(spark.read.parquet(s"$base/sigs"),
         spark.read.parquet(s"$base/bands"))
     })
+  }
 
   /** Near-duplicate pairs from a prebuilt [[MinhashIndex]]: banded
     * candidate equi-join + signature-estimate verify — identical semantics

@@ -38,6 +38,20 @@ object Joins {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
+    // the tolerance mask measures distance via cast-to-double; a ts type
+    // where that cast yields NULL (DATE, non-numeric strings) would
+    // silently null EVERY match instead of failing — reject it up front
+    tolerance.foreach { _ =>
+      import org.apache.spark.sql.types.{NumericType, TimestampNTZType, TimestampType}
+      Seq(s"left.$leftTs" -> left.schema(leftTs).dataType,
+          s"right.$rightTs" -> right.schema(rightTs).dataType).foreach {
+        case (nm, dt) =>
+          require(dt.isInstanceOf[NumericType] ||
+              dt == TimestampType || dt == TimestampNTZType,
+            s"asOf tolerance needs a numeric or timestamp ts column; " +
+              s"$nm is $dt (its cast to double is null, which would null every match)")
+      }
+    }
     val rRenamed = right.columns.filterNot(keys.contains)
       .foldLeft(right)((d, c) => d.withColumnRenamed(c, rightPrefix + c))
     val lPayload = left.columns.filterNot(keys.contains)

@@ -181,38 +181,40 @@ object Lake {
               targetFileBytes: Long = 128L << 20,
               sortBy: Seq[Column] = Nil): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val dir = new java.io.File(path)
-    require(dir.isDirectory, s"$path is not a directory")
-    val totalBytes = dir.listFiles().filter(_.getName.endsWith(".parquet"))
-      .map(_.length()).sum
+    // Hadoop FileSystem API throughout — the writer accepts any FS URI
+    // (hdfs://, s3a://, file:), so listing and the swap must too; a
+    // java.io.File implementation silently only worked on local paths
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(target) && fs.getFileStatus(target).isDirectory,
+      s"$path is not a directory")
+    val totalBytes = fs.listStatus(target)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
     require(totalBytes > 0,
       s"$path holds no top-level parquet files — for a partitioned layout, " +
         "compact each leaf directory (compacting the root would flatten it)")
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(path)
-    val tmp = path.stripSuffix("/") + ".__compact_tmp"
+    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".__compact_tmp")
     val routed =
       if (sortBy.nonEmpty)
         df.repartitionByRange(nFiles, sortBy: _*).sortWithinPartitions(sortBy: _*)
       else df.repartition(nFiles)
-    routed.write.mode("overwrite").parquet(tmp)
-    val old = path.stripSuffix("/") + ".__compact_old"
-    val fs = new java.io.File(tmp)
-    val target = new java.io.File(path)
-    val bak = new java.io.File(old)
-    deleteRecursively(bak)
-    require(target.renameTo(bak), s"could not move $path aside")
-    if (!fs.renameTo(target)) {
-      bak.renameTo(target) // roll the original back before failing
+    routed.write.mode("overwrite").parquet(tmp.toString)
+    // rename-based swap: atomic per rename on HDFS/posix; an object store
+    // (s3a) emulates rename by copy — correct but not atomic, so run
+    // compaction there in a maintenance window (same caveat as every
+    // rename-committer on S3)
+    val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".__compact_old")
+    fs.delete(bak, true)
+    require(fs.rename(target, bak), s"could not move $path aside")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(bak, target) // roll the original back before failing
       throw new IllegalStateException(s"could not move compacted files into $path")
     }
-    deleteRecursively(bak)
+    fs.delete(bak, true)
     nFiles
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    if (f.exists()) { f.delete(); () }
   }
 
   private val zMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
@@ -222,13 +224,17 @@ object Lake {
     * `ensureBucketed` contract, for files instead of tables).
     */
   def ensureZOrdered(df: DataFrame, cacheKey: String, zCols: Seq[String],
-                     bitsPerDim: Int = 8, numFiles: Int = 16): DataFrame =
-    zMemo.computeIfAbsent(cacheKey, _ => {
-      // md5 of the FULL key: a 32-bit hashCode dir name lets two distinct
-      // keys collide and silently overwrite each other's layout
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder/" +
-        KeyDigest(cacheKey)
+                     bitsPerDim: Int = 8, numFiles: Int = 16): DataFrame = {
+    // memo key and path fold in the layout parameters too — the same
+    // cacheKey with different zCols/bits/files must not share an artifact
+    // (matching the minhash/IVF memo convention)
+    val fullKey = s"$cacheKey|z=${zCols.mkString(",")}|bits=$bitsPerDim|n=$numFiles"
+    zMemo.computeIfAbsent(fullKey, _ => {
+      // root from spark.graft.indexDir ([[IndexRoot]]): shared storage on
+      // a cluster, node-local tmpdir only in local mode
+      val path = IndexRoot.path(df.sparkSession, "zorder", fullKey)
       writeZOrdered(df, path, zCols, bitsPerDim, numFiles)
       df.sparkSession.read.parquet(path)
     })
+  }
 }

@@ -28,6 +28,15 @@ object Sampling {
   private[operators] def hashUniform(key: Column): Column =
     hashLong(key).cast("double") / 4294967296.0
 
+  /** [[hashUniform]] with u = 0 floored to 2⁻³² — the A-ES draw: ln(u)
+    * must stay finite, so the (p ≈ 2⁻³² per key) all-zero md5 prefix maps
+    * to the worst-possible finite key instead of NULL here / an ln(0)
+    * error in a SQL oracle. Only the ORDER of draws matters, and the
+    * floor preserves it (u = 0 was already the guaranteed-last draw).
+    */
+  private[operators] def aesUniform(key: Column): Column =
+    greatest(hashLong(key), lit(1L)).cast("double") / 4294967296.0
+
   /** Exact-N per stratum: the `n` rows with the smallest `orderBy` key in
     * each distinct combination of `strataCols`.
     *
@@ -72,7 +81,7 @@ object Sampling {
     * bits are libm-dependent, and ranking only needs its order.
     */
   def weightedSample(df: DataFrame, n: Int, weight: Column, key: Column): DataFrame = {
-    val aesKey = log(hashUniform(key)) / weight.cast("double")
+    val aesKey = log(aesUniform(key)) / weight.cast("double")
     // NULL keys/weights are EXCLUDED, not ranked: a null hash has no
     // defined draw, and engines disagree on where NULL sorts (desc
     // NULLS LAST here vs nulls-first in an aggregate buffer ordering) —
@@ -94,7 +103,7 @@ object Sampling {
   def stratifiedWeightedSample(df: DataFrame, strataCols: Seq[String], n: Int,
                                weight: Column, key: Column): DataFrame = {
     require(strataCols.nonEmpty, "strataCols must be non-empty")
-    val u = hashUniform(key)
+    val u = aesUniform(key)
     // TopN ranks ASCENDING on the struct; negate the key to take the
     // A-ES maxima, tiebreak on the caller's key. NULL keys/weights drop
     // (same contract as weightedSample: TopN's interpreted struct

@@ -94,14 +94,18 @@ object Similarity {
     */
   def ivfIndexFor(df: => DataFrame, cacheKey: String,
                   idCol: String, vecCol: String,
-                  nClusters: Int, seed: Long = 42L): IvfIndex =
-    ivfCache.computeIfAbsent(cacheKey, _ => {
+                  nClusters: Int, seed: Long = 42L): IvfIndex = {
+    // fold every artifact-shaping parameter into the memo key and path
+    val fullKey = s"$cacheKey|id=$idCol|vec=$vecCol|k=$nClusters|seed=$seed"
+    ivfCache.computeIfAbsent(fullKey, _ => {
       val fresh = buildIvf(df, idCol, vecCol, nClusters, seed)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf/" +
-        KeyDigest(cacheKey) + s"_k$nClusters"
+      // root from spark.graft.indexDir — shared storage on a cluster
+      // ([[IndexRoot]]); node-local tmpdir only in local mode
+      val path = IndexRoot.path(fresh.assigned.sparkSession, "ivf", fullKey)
       fresh.assigned.write.mode("overwrite").partitionBy("__cluster").parquet(path)
       IvfIndex(fresh.assigned.sparkSession.read.parquet(path), fresh.centroids)
     })
+  }
 
   /** Load a written IVF index layout: `path/assigned` (parquet partitioned
     * by `__cluster`) + `path/centroids` (cluster, centroid). The read side
@@ -175,9 +179,21 @@ object Similarity {
     * row, and the bounded heap collapses to k·|queries| rows map-side.
     * Exact cost is Q·N cosines by definition — when Q·N is too hot, use
     * [[knnJoinLsh]], which prunes candidates to shared LSH buckets first.
+    *
+    * GUARDED: the broadcast contract is enforced, not assumed —
+    * `maxQueries` (default 100k) bounds the query side with one cheap
+    * `limit(n+1).count`; beyond it a broadcast would OOM the driver and
+    * the Q·N scoring would dwarf [[knnJoinLsh]], so the error says to use
+    * that instead (or raise the bound deliberately).
     */
   def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int): DataFrame = {
+              vecCol: String, k: Int, maxQueries: Long = 100000L): DataFrame = {
+    require(maxQueries > 0, "maxQueries must be positive")
+    val qCount = queries.limit((maxQueries + 1).min(Int.MaxValue).toInt).count()
+    require(qCount <= maxQueries,
+      s"knnJoin broadcasts the query side, but it exceeds $maxQueries rows — " +
+        "use knnJoinLsh (bucketed candidates, no broadcast) for large query " +
+        "batches, or raise maxQueries if the driver can hold the broadcast")
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qvec")))
     val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
       .crossJoin(q)
@@ -309,14 +325,16 @@ object Similarity {
     * table; queries never re-encode).
     */
   def pqEncodedFor(df: => DataFrame, cacheKey: String, idCol: String,
-                   vecCol: String, cb: PqCodebook): DataFrame =
-    pqEncodedCache.computeIfAbsent(cacheKey, _ => {
+                   vecCol: String, cb: PqCodebook): DataFrame = {
+    // the codebook shapes the artifact too: fold its geometry in
+    val fullKey = s"$cacheKey|id=$idCol|vec=$vecCol|m=${cb.m}|k=${cb.k}"
+    pqEncodedCache.computeIfAbsent(fullKey, _ => {
       val enc = pqEncodeTable(df, idCol, vecCol, cb)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq/" +
-        KeyDigest(cacheKey)
+      val path = IndexRoot.path(enc.sparkSession, "pq", fullKey)
       enc.write.mode("overwrite").parquet(path)
       enc.sparkSession.read.parquet(path)
     })
+  }
 
   /** ADC approximate top-k over a PQ-encoded table: the query's `m × k`
     * distance table computes ONCE on the driver; every candidate then

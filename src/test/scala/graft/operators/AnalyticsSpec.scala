@@ -155,6 +155,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(strat == flat)
   }
 
+  test("flagOutliers counts only non-null values: null values inflate nothing") {
+    // group stats must come from the 4 non-null values (mean 10, sd≈0 tail
+    // vs the 100 spike); a count(*)-style n of 5 would inflate the n·x−sum
+    // algebra and mis-flag every row of the group
+    val df = Seq(
+      (1L, "a", Some(9L)), (2L, "a", Some(10L)), (3L, "a", Some(11L)),
+      (4L, "a", Some(100L)), (5L, "a", None)
+    ).toDF("id", "g", "v")
+    val got = Analytics.flagOutliers(df, Seq("g"), col("v"), kNum = 3, kDen = 2)
+      .select("id", "n", "outlier").as[(Long, Long, Int)].collect().toSet
+    // reference over non-null values: mean 32.5, sd_pop ~ 39.0 => only 100
+    // exceeds 1.5*sd; the null-valued row joins back with outlier 0
+    val vs = Seq(9.0, 10.0, 11.0, 100.0)
+    val mean = vs.sum / vs.size
+    val sd = math.sqrt(vs.map(x => (x - mean) * (x - mean)).sum / vs.size)
+    val expect = Set(
+      (1L, 4L, if (math.abs(9 - mean) > 1.5 * sd) 1 else 0),
+      (2L, 4L, if (math.abs(10 - mean) > 1.5 * sd) 1 else 0),
+      (3L, 4L, if (math.abs(11 - mean) > 1.5 * sd) 1 else 0),
+      (4L, 4L, if (math.abs(100 - mean) > 1.5 * sd) 1 else 0),
+      (5L, 4L, 0))
+    assert(got == expect)
+    assert(got.exists(_._3 == 1)) // the spike does flag
+  }
+
   test("flagOutliers never flags groups of one; stats table joins back n") {
     val df = Seq((1L, "a", 100L), (2L, "b", 5L), (3L, "b", 5L))
       .toDF("id", "g", "v")

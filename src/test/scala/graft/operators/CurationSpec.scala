@@ -54,6 +54,32 @@ class CurationSpec extends SparkSpec {
     assert(withDecon == Set(1L)) // doc 6 is contaminated
   }
 
+  test("shared persisted prefix: chunkAndPack(curatedCorpusFor) == pretrainingPipeline") {
+    val docs = Seq(
+      (1L, s"$fluent alpha"),
+      (2L, s"$fluent alpha"),
+      (3L, s"$fluent alpha beta"),
+      (6L, "it is a fine morning and the river is calm today so we walk to " +
+        "the old market and buy fresh bread and it is good " * 3)
+    ).toDF("doc_id", "text")
+    val cfg = Curation.Config(chunkTokens = 16, chunkStride = 16,
+      packBudgetTokens = 40, nearDupThreshold = 0.5)
+    val whole = Curation.pretrainingPipeline(docs, "doc_id", "text", cfg)
+      .as[(Long, Long, String, Long, Long)].collect().sorted.toSeq
+    // the two-variant battery shape: one persisted prefix, two suffixes
+    val cur = Curation.curatedCorpusFor(docs,
+      cacheKey = s"curationspec_${System.nanoTime}", "doc_id", "text", cfg)
+    val viaPrefix = Curation.chunkAndPack(cur, "doc_id", "text", cfg)
+      .as[(Long, Long, String, Long, Long)].collect().sorted.toSeq
+    assert(viaPrefix == whole && whole.nonEmpty)
+    val decon = Curation.chunkAndPack(
+      Curation.decontaminate(cur, "doc_id", "text",
+        docs.filter($"doc_id" === 6L), "text", 8, 1),
+      "doc_id", "text", cfg)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(decon == Set(1L)) // doc 6 self-contaminates; {1,2,3} collapse to 1
+  }
+
   test("pretrainingPipeline(nearDupPairs = full-corpus pairs) == the self-contained path") {
     val docs = Seq(
       (1L, s"$fluent alpha"),

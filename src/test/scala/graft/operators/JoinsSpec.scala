@@ -58,6 +58,22 @@ class JoinsSpec extends SparkSpec {
     assert(back("t2").isEmpty && back("t1").contains(101.0))
   }
 
+  test("asOf with tolerance rejects ts types whose double cast is null") {
+    // a DATE ts would cast to null inside the tolerance mask and silently
+    // null EVERY match — the guard must fail fast instead
+    val left = Seq((1L, java.sql.Date.valueOf("2024-01-02"), "x"))
+      .toDF("uid", "ts", "payload")
+    val right = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 1.0))
+      .toDF("uid", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      Joins.asOf(left, right, Seq("uid"), "ts", "ts", tolerance = Some(5.0))
+    }
+    assert(e.getMessage.contains("numeric or timestamp"))
+    // without tolerance the same DATE columns are fine (ordering only)
+    val ok = Joins.asOf(left, right, Seq("uid"), "ts", "ts")
+    assert(ok.count() == 1)
+  }
+
   test("rangeJoin equals the naive inequality join, for every bin width") {
     val points = Seq((1L, 3.0), (2L, 17.5), (3L, 100.0), (4L, -5.0), (5L, 20.0))
       .toDF("pid", "x")

@@ -61,6 +61,17 @@ class KnnJoinSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("knnJoin refuses an oversized query side and points at knnJoinLsh") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnJoin(emb, corpus, "vec_id", "embedding", 3, maxQueries = 50L)
+    }
+    assert(e.getMessage.contains("knnJoinLsh"))
+    // at exactly the bound it runs (the guard is <=, not <)
+    val ok = Similarity.knnJoin(queries, corpus, "vec_id", "embedding", 3,
+      maxQueries = 3L)
+    assert(ok.count() == 9)
+  }
+
   test("knnJoin plans the bounded heap (ObjectHashAggregate), not a window sort") {
     val plan = Similarity.knnJoin(queries, corpus, "vec_id", "embedding", 5)
       .queryExecution.executedPlan.toString

@@ -142,6 +142,25 @@ class LakeSpec extends SparkSpec {
     assert(qb.size == 16 && qb.values.max < 2500, qb.toString)
   }
 
+  test("index memos honor spark.graft.indexDir and distinguish layout params") {
+    val root = Files.createTempDirectory("graft_idxroot").toString
+    spark.conf.set(IndexRoot.ConfKey, root)
+    try {
+      val df = (1L to 64L).map(i => (i, i % 8, i % 5)).toDF("id", "x", "y")
+      val key = s"lakespec_idxroot_${System.nanoTime}"
+      val a = Lake.ensureZOrdered(df, key, Seq("x", "y"), bitsPerDim = 8, numFiles = 2)
+      // artifact lands under the CONFIGURED root, not java.io.tmpdir
+      val zorderDir = Paths.get(root, "zorder")
+      assert(Files.isDirectory(zorderDir) && Files.list(zorderDir).count() == 1)
+      // same cacheKey, different layout params => a DIFFERENT artifact
+      // (the memo folds zCols/bits/numFiles into the digest)
+      val b = Lake.ensureZOrdered(df, key, Seq("x", "y"), bitsPerDim = 4, numFiles = 1)
+      assert(Files.list(zorderDir).count() == 2)
+      assert(a.count() == 64 && b.count() == 64)
+      assert(a.inputFiles.toSet != b.inputFiles.toSet)
+    } finally spark.conf.unset(IndexRoot.ConfKey)
+  }
+
   test("compact rewrites many small files into size-targeted few, content intact") {
     val out = Files.createTempDirectory("lake_compact").toString
     val df = (0L until 20000L).map(i => (i, s"payload for row $i"))
