@@ -97,6 +97,18 @@ object ExtQueries {
              FROM documents"""
       }),
 
+    // FULL vocab-driven BPE (committed merges fixture, greedy ranked merge
+    // loop inside the codegen'd expression): real subword tokens, not
+    // pretokens. The merge loop is not SQL-expressible → golden fixture
+    // from an independently-written single-node encoder over the same
+    // committed merges file.
+    "q_bpe_merge" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(bpeEncode(col("text")), "\u0001").as("toks_joined"),
+          bpeTokenCount(col("text"), graft.functions.BpeVocab.bundled).as("n_tokens")),
+      golden("q_bpe_merge")),
+
     "q_fingerprint" -> Q(
       (s, dir) => table(s, dir, "documents")
         .select(col("doc_id"), fingerprint(col("text")).as("fp")),
@@ -976,13 +988,24 @@ object ExtQueries {
              CAST(octet_length(encode(text)) AS BIGINT) AS declared_bytes
              FROM documents""")),
 
-    // Per-partition stub decode + feature extraction (deterministic fake
-    // decoder; FNV arithmetic not expressible in DuckDB → golden fixture
-    // from the independent recomputation).
+    // REAL codec round-trip: withImagePayload encodes a PNG (even id) /
+    // BMP (odd id) with arithmetic dimensions via the JDK's own ImageIO
+    // writers; decodeFeatures parses width/height/format back out of the
+    // actual byte stream with the matching readers. The oracle recomputes
+    // the dimension arithmetic — so a header-parse bug, format confusion,
+    // or encoder/decoder disagreement all fail the gate. (n_bytes/checksum
+    // are codec-dependent encodings, deliberately not projected.)
     "q_mm_decode" -> Q(
       (s, dir) => Multimodal.decodeFeatures(
-        Multimodal.withPayload(table(s, dir, "documents"), "text"), "doc_id"),
-      golden("q_mm_decode")),
+        Multimodal.withImagePayload(
+          table(s, dir, "documents").select("doc_id"), "doc_id"), "doc_id")
+        .select("media_id", "width", "height", "format"),
+      Some("""
+        SELECT doc_id AS media_id,
+          CAST(8 + doc_id % 57 AS INT) AS width,
+          CAST(8 + doc_id % 41 AS INT) AS height,
+          CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format
+        FROM documents""")),
   )
 
   // Shared DuckDB CTE: gap-based sessionization of the events table
@@ -1002,22 +1025,28 @@ object ExtQueries {
           FROM flagged)"""
 
   private val resizeQueries: Seq[(String, Q)] = Seq(
-    // Resize planning on decoded features: fit into a 224×224 box, aspect
+    // Resize planning over REAL-decoded dimensions: fit into a 32×32 box
+    // (payload dims reach 64×48, so both axes actually downscale), aspect
     // preserved, no upscaling. Oracle applies the same IEEE arithmetic to
-    // the golden decode fixture.
+    // the same arithmetic dimensions.
     "q_mm_resize" -> Q(
       (s, dir) => Multimodal.resizeToFit(
         Multimodal.decodeFeatures(
-          Multimodal.withPayload(table(s, dir, "documents"), "text"), "doc_id"),
-        targetW = 224, targetH = 224)
+          Multimodal.withImagePayload(
+            table(s, dir, "documents").select("doc_id"), "doc_id"), "doc_id"),
+        targetW = 32, targetH = 32)
         .select("media_id", "width", "height", "resized_width", "resized_height"),
       Some("""
+        WITH d AS (SELECT doc_id AS media_id,
+                     CAST(8 + doc_id % 57 AS INT) AS width,
+                     CAST(8 + doc_id % 41 AS INT) AS height
+                   FROM documents)
         SELECT media_id, width, height,
-          CAST(greatest(floor(width * least(224.0 / width, 224.0 / height, 1.0)), 1) AS INT)
+          CAST(greatest(floor(width * least(32.0 / width, 32.0 / height, 1.0)), 1) AS INT)
             AS resized_width,
-          CAST(greatest(floor(height * least(224.0 / width, 224.0 / height, 1.0)), 1) AS INT)
+          CAST(greatest(floor(height * least(32.0 / width, 32.0 / height, 1.0)), 1) AS INT)
             AS resized_height
-        FROM read_parquet('/root/repo/src/test/resources/golden/q_mm_decode/*.parquet')""")),
+        FROM d""")),
   )
 
   private val eventQueries: Seq[(String, Q)] = Seq(

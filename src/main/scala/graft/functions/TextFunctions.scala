@@ -40,6 +40,20 @@ object TextFunctions {
   /** BPE-ish token count as BIGINT (whitespace runs excluded). */
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast("long")
 
+  /** FULL vocab-driven BPE encoding: [[bpeTokens]]' pretoken stream with
+    * the ranked merges table greedily applied within each pretoken
+    * ([[BpeEncode]]) — real subword tokens, the unit an LLM training
+    * budget is actually denominated in (pretokens drift 15–30% on prose).
+    * Defaults to the bundled merges fixture.
+    */
+  def bpeEncode(text: Column, vocab: BpeVocab = BpeVocab.bundled): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      BpeEncode(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), vocab))
+
+  /** Merges-aware token count as BIGINT: `size(bpeEncode(text, vocab))`. */
+  def bpeTokenCount(text: Column, vocab: BpeVocab): Column =
+    size(bpeEncode(text, vocab)).cast("long")
+
   /** Sliding word k-shingles joined with single spaces, deduplicated —
     * the standard unit for n-gram Jaccard / MinHash document similarity.
     */

@@ -15,12 +15,13 @@ final case class MediaFeatures(
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded/feature-extracted per partition.
   *
-  * The decode step is a clearly-marked deterministic STUB — image/audio
-  * codec libraries are not in this container. Everything Spark-side is real
-  * and tested: the binary column schema, the typed `Dataset` boundary, the
-  * per-partition batch shape (one decoder init per partition, streamed
-  * iterator — the exact shape a JNI/FFI decoder needs at scale), and the
-  * columnar hand-off back to SQL.
+  * Image decode is REAL — `javax.imageio` (PNG/BMP/JPEG/GIF ship with the
+  * JDK) parses the payload header inside the per-partition iterator, so
+  * width/height/format come from the actual codec, and a corrupt payload
+  * degrades to a sentinel row instead of failing the job. Only the VIDEO
+  * path ([[sampleFrames]]) keeps a documented stub demuxer (no container
+  * format libs in the JDK); its per-partition flatMap shape is the real
+  * contract a native demuxer would drop into.
   */
 object Multimodal {
 
@@ -35,12 +36,54 @@ object Multimodal {
         lit("text/plain").as("mime"),
         octet_length(col(textCol)).cast("long").as("declared_bytes")))
 
-  /** Per-partition decode + feature extraction over the binary payload.
-    *
-    * STUB decode: `fakeDecode` stands in for a real codec call; it is
-    * deterministic so results are testable. The partition iterator shape is
-    * the real contract — a production decoder would init its native context
-    * once per partition exactly here.
+  /** Attach a REAL image payload: a deterministic solid-color PNG (even
+    * id) or BMP (odd id) whose dimensions are pure functions of the id —
+    * `width = 8 + id mod 57`, `height = 8 + id mod 41` — encoded with the
+    * JDK's own codecs once per row, per partition. The arithmetic
+    * dimensions are the point: a SQL oracle can recompute them, so the
+    * [[decodeFeatures]] round-trip (real encoder → real header parse) is
+    * gateable end-to-end without a golden fixture.
+    */
+  def withImagePayload(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        // one encoder context per partition (ImageIO plugin lookup is
+        // per-call cheap, but the no-disk-cache switch is global)
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val w = 8 + math.floorMod(id, 57L).toInt
+          val h = 8 + math.floorMod(id, 41L).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (math.floorMod(id * 0x9e3779b9L, 0xffffffL)).toInt
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, out)
+          (id, out.toByteArray)
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
+  /** Per-partition REAL decode + feature extraction over the binary
+    * payload: `javax.imageio` finds a reader for the byte stream and
+    * parses width/height/format FROM THE HEADER — no full pixel decode,
+    * which is the production shape (dimension/format audits over a media
+    * lake read headers, not rasters; full decode belongs to the consumer
+    * that needs pixels). A payload no JDK reader recognizes (corrupt
+    * bytes, unsupported codec, truncated header) yields the sentinel
+    * `(width = -1, height = -1, format = "invalid")` — one bad blob must
+    * never kill a 100 TB scan. `checksum` is an FNV-1a of the raw bytes
+    * (content audit), `n_bytes` the payload size.
     */
   def decodeFeatures(df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
     val spark = df.sparkSession
@@ -48,10 +91,35 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { batches =>
-        // real decoder init would happen once per partition, here:
-        batches.map { case (id, bytes) => fakeDecode(id, bytes) }
+        javax.imageio.ImageIO.setUseCache(false) // header parse stays in-memory
+        batches.map { case (id, bytes) => decodeImage(id, bytes) }
       }
       .toDF()
+  }
+
+  /** Header-only image parse via the JDK codecs; sentinel on any failure. */
+  private def decodeImage(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    val invalid = MediaFeatures(id, bytes.length.toLong, h, -1, -1, "invalid")
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) invalid
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            MediaFeatures(id, bytes.length.toLong, h,
+              r.getWidth(0), r.getHeight(0),
+              r.getFormatName.toLowerCase(java.util.Locale.ROOT))
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => invalid }
   }
 
   /** Frame sampling over a video-like binary payload: emit every
@@ -109,19 +177,4 @@ object Multimodal {
         greatest(floor(col(heightCol) * scale), lit(1)).cast("int"))
   }
 
-  /** Deterministic stand-in for a media decoder (??? in spirit): derives
-    * plausible image-like features purely from the bytes.
-    */
-  private def fakeDecode(id: Long, bytes: Array[Byte]): MediaFeatures = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
-    MediaFeatures(
-      media_id = id,
-      n_bytes = bytes.length.toLong,
-      checksum = h,
-      width = 64 + (math.floorMod(h, 512L)).toInt,
-      height = 64 + (math.floorMod(h >>> 16, 512L)).toInt,
-      format = "stub/raw")
-  }
 }

@@ -145,6 +145,54 @@ class FunctionsSpec extends SparkSpec {
     assert(n == 10L)
   }
 
+  test("bpeEncode applies ranked merges greedily by RANK, not position") {
+    // (b,c) outranks (a,b): a positional/left-first encoder would emit
+    // ["ab","c"], the reference greedy-by-rank loop emits ["a","bc"]
+    val v = BpeVocab(Seq(("b", "c"), ("a", "b")))
+    val df = Seq("abc").toDF("text")
+    val got = df.select(TextFunctions.bpeEncode(col("text"), v)).as[Seq[String]].collect().head
+    assert(got == Seq("a", "bc"))
+  }
+
+  test("bpeEncode merges EVERY occurrence of the best pair per round") {
+    val v = BpeVocab(Seq(("a", "a")))
+    val df = Seq("aaaa", "aaa").toDF("text")
+    val got = df.select(TextFunctions.bpeEncode(col("text"), v)).as[Seq[String]].collect()
+    assert(got(0) == Seq("aa", "aa")) // both disjoint occurrences, one round
+    assert(got(1) == Seq("aa", "a"))  // left-to-right on the odd tail
+  }
+
+  test("bpeEncode works within pretokens incl. space prefixes; count shrinks vs chars") {
+    val v = BpeVocab(Seq(("l", "o"), ("lo", "w"), (" ", "l")))
+    val df = Seq("low low").toDF("text")
+    val got = df.select(TextFunctions.bpeEncode(col("text"), v)).as[Seq[String]].collect().head
+    // "low" → merges (l,o)+(lo,w) → ["low"]; " low" → (" ",l) wins first
+    // (rank 2 < nothing? no: (l,o) rank 0 wins) → [" ","low"]
+    assert(got == Seq("low", " ", "low"))
+    val n = df.select(TextFunctions.bpeTokenCount(col("text"), v)).as[Long].collect().head
+    assert(n == 3L)
+  }
+
+  test("bundled merges load; merged counts never exceed pretoken counts") {
+    assert(BpeVocab.bundled.size > 50)
+    val df = Seq(
+      "the cat and the hat is in the house and it is a good day",
+      "numbers 12345 and punctuation!!! also survive the merge loop").toDF("text")
+    val pre = df.select(TextFunctions.bpeTokenCount(col("text"))).as[Long].collect()
+    val merged = df.select(TextFunctions.bpeTokenCount(col("text"), BpeVocab.bundled))
+      .as[Long].collect()
+    val chars = df.select(TextFunctions.bpeTokens(col("text"))).as[Seq[String]].collect()
+      .map(_.map(_.length.toLong).sum)
+    // subword counts sit between pretoken count (merges never cross a
+    // pretoken boundary) and character count (every merge shrinks), and
+    // the merged stream reconstructs the exact pretoken text
+    assert(merged.zip(pre).forall { case (m, p) => m >= p })
+    assert(merged.zip(chars).forall { case (m, c) => m < c })
+    val toks = df.select(TextFunctions.bpeEncode(col("text"))).as[Seq[String]].collect()
+    val pretoks = df.select(TextFunctions.bpeTokens(col("text"))).as[Seq[String]].collect()
+    assert(toks.zip(pretoks).forall { case (t, p) => t.mkString == p.mkString })
+  }
+
   test("piiCounts reports per-kind match counts without redacting") {
     val df = Seq("a@b.co and c@d.io via https://e.fg call 555-123-4567").toDF("text")
     val got = df.select(TextFunctions.piiCounts(col("text")).as("p"))

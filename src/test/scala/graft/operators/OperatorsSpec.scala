@@ -327,18 +327,42 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
-  test("multimodal payload + stub decode plumbing is deterministic and typed") {
+  test("decodeFeatures parses real PNG/BMP headers back from withImagePayload") {
+    val ids = Seq(0L, 1L, 2L, 57L, 113L, 9999L).toDF("doc_id")
     val out = Multimodal.decodeFeatures(
-      Multimodal.withPayload(docs, "text"), "doc_id")
+      Multimodal.withImagePayload(ids, "doc_id"), "doc_id")
     assert(out.columns.toSeq ==
       Seq("media_id", "n_bytes", "checksum", "width", "height", "format"))
     val rows = out.as[MediaFeatures].collect().sortBy(_.media_id)
-    assert(rows.length == 5)
-    val text1 = docs.filter(col("doc_id") === 1L).select("text").as[String].head()
-    assert(rows(0).n_bytes == text1.getBytes("UTF-8").length.toLong)
+    rows.foreach { r =>
+      // the DECODED dimensions equal the encode-side arithmetic — a true
+      // codec round-trip, not an echo of metadata
+      assert(r.width == 8 + math.floorMod(r.media_id, 57L).toInt)
+      assert(r.height == 8 + math.floorMod(r.media_id, 41L).toInt)
+      assert(r.format == (if (r.media_id % 2 == 0) "png" else "bmp"))
+      assert(r.n_bytes > 0)
+    }
     val again = Multimodal.decodeFeatures(
-      Multimodal.withPayload(docs, "text"), "doc_id").as[MediaFeatures].collect().sortBy(_.media_id)
+      Multimodal.withImagePayload(ids, "doc_id"), "doc_id")
+      .as[MediaFeatures].collect().sortBy(_.media_id)
     assert(rows.toSeq == again.toSeq)
-    assert(rows.forall(r => r.width >= 64 && r.height >= 64))
+  }
+
+  test("decodeFeatures degrades corrupt/non-image payloads to the sentinel row") {
+    // text bytes are not a decodable image: a 100 TB scan must flag the
+    // row, never throw
+    val out = Multimodal.decodeFeatures(
+      Multimodal.withPayload(docs, "text"), "doc_id")
+      .as[MediaFeatures].collect().sortBy(_.media_id)
+    assert(out.length == 5)
+    assert(out.forall(r => r.width == -1 && r.height == -1 && r.format == "invalid"))
+    val text1 = docs.filter(col("doc_id") === 1L).select("text").as[String].head()
+    assert(out(0).n_bytes == text1.getBytes("UTF-8").length.toLong)
+    // a TRUNCATED real image header (first 8 bytes of a PNG) is also invalid
+    val png = Multimodal.withImagePayload(Seq(2L).toDF("doc_id"), "doc_id")
+      .select("payload").as[Array[Byte]].head()
+    val truncated = Seq((7L, java.util.Arrays.copyOf(png, 8))).toDF("doc_id", "payload")
+    val t = Multimodal.decodeFeatures(truncated, "doc_id").as[MediaFeatures].head()
+    assert(t.width == -1 && t.format == "invalid")
   }
 }

@@ -4,6 +4,8 @@ import graft.functions.{MinHashSignature, RollingFingerprint, SimHash64, WordShi
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.unsafe.types.UTF8String
 
+import scala.jdk.CollectionConverters._
+
 /** Generates the GOLDEN ORACLE FIXTURES under `src/test/resources/golden/`:
   * brute-force O(n²) single-node recomputations of the deterministic dedup /
   * multimodal operators over the sf0.01 corpus, written as parquet the
@@ -114,19 +116,53 @@ object GoldenGen {
     val keptIds = docs.map(_._1).filterNot(dropped).toSet
     write(docsDf.filter($"doc_id".isInCollection(keptIds)), "q_neardup_drop")
 
-    // ---- q_mm_decode: deterministic stub decode features ----------------
-    // independent re-statement of the documented fake-decode arithmetic
-    val mm = docs.map { case (id, t) =>
-      val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var h = 0xcbf29ce484222325L
-      bytes.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
-      (id, bytes.length.toLong, h,
-        64 + math.floorMod(h, 512L).toInt,
-        64 + math.floorMod(h >>> 16, 512L).toInt,
-        "stub/raw")
+    // (q_mm_decode no longer needs a golden fixture: the real ImageIO
+    // round-trip has arithmetic dimensions a plain SQL oracle recomputes)
+
+    // ---- q_bpe_merge: vocab-driven BPE over the committed merges file ----
+    // Independent encoder: same merges fixture and pretokenizer pattern
+    // (the algorithm definitions), but a separately-written list-based
+    // greedy loop — catches rank-order, merge-all-occurrences, and
+    // flattening bugs in the engine's codegen'd expression.
+    val mergeRanks: Map[(String, String), Int] =
+      java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("src/main/resources/graft/bpe/merges_en.txt"))
+        .asScala.filter(l => l.nonEmpty && !l.startsWith("#"))
+        .zipWithIndex.map { case (l, i) =>
+          val sp = l.split("\t", 2); ((sp(0), sp(1)), i)
+        }.toMap
+    val bpePat = java.util.regex.Pattern.compile(
+      graft.functions.TextFunctions.bpePattern)
+    def encodeRef(word: String): List[String] = {
+      var syms = word.map(String.valueOf).toList
+      var go = syms.length > 1
+      while (go) {
+        val ranks = syms.zip(syms.tail).map(p => mergeRanks.getOrElse(p, Int.MaxValue))
+        val best = if (ranks.isEmpty) Int.MaxValue else ranks.min
+        if (best == Int.MaxValue) go = false
+        else {
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var rest = syms
+          while (rest.nonEmpty) rest match {
+            case a :: b :: t if mergeRanks.getOrElse((a, b), Int.MaxValue) == best =>
+              out += a + b; rest = t
+            case a :: t => out += a; rest = t
+          }
+          syms = out.toList
+        }
+      }
+      syms
     }
-    write(mm.toSeq.toDF("media_id", "n_bytes", "checksum", "width", "height", "format"),
-      "q_mm_decode")
+    val bpeRows = docs.map { case (id, t) =>
+      val mt = bpePat.matcher(t)
+      val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (mt.find()) {
+        val w = mt.group()
+        if (!w.forall(Character.isWhitespace)) toks ++= encodeRef(w)
+      }
+      (id, toks.mkString("\u0001"), toks.length.toLong)
+    }
+    write(bpeRows.toSeq.toDF("doc_id", "toks_joined", "n_tokens"), "q_bpe_merge")
 
     // ---- LSH embedding queries: DETERMINISTIC given the seeded planes ----
     // Shared primitive: only the hyperplane family (planesFor) + the
