@@ -47,12 +47,22 @@ object GraftFunctions {
     "bpe_tokens" -> composed(cs => TextFunctions.bpeTokens(cs(0))),
     "bpe_token_count" -> composed(cs => TextFunctions.bpeTokenCount(cs(0))))
 
-  def register(spark: SparkSession): Unit = {
-    all.foreach { case (name, builder) =>
-      ColumnBridge.registerFunction(spark, name, builder)
+  // IDEMPOTENT per session: callers sprinkle register() defensively (every
+  // SQL-surface query path), and createOrReplaceTempFunction logs a
+  // "replaced a previously registered function" warning on each repeat —
+  // noise in every bench/verify tail. Weak keys: a dropped session must
+  // not be pinned by this guard.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  def register(spark: SparkSession): Unit =
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      all.foreach { case (name, builder) =>
+        ColumnBridge.registerFunction(spark, name, builder)
+      }
+      graft.plans.EvaluateRuleTvf.register(spark)
     }
-    graft.plans.EvaluateRuleTvf.register(spark)
-  }
 }
 
 /** `SparkSessionExtensions` hook — enable with
