@@ -1,0 +1,111 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-decade-further scaling evidence: derives a 10× corpus ("sf1") from
+  * the sf0.1 test tables and times the five most expensive battery
+  * pipelines on both, printing the markdown for SCALE.md.
+  *
+  * The derivation keeps the WORKLOAD SHAPE neutral rather than the exact
+  * statistics:
+  *  - documents replicate 10× with shifted ids; replicas k ≥ 1 tag every
+  *    3rd token with a replica suffix, so cross-replica shingle Jaccard
+  *    falls to ~(2/3)³ ≈ 0.3 — far below the 0.5 near-dup threshold —
+  *    and the near-dup pair graph scales ~10× instead of forming
+  *    10-replica cliques (which would measure a different algorithm).
+  *  - embeddings replicate 10× with dimensions ROTATED by k: rotation
+  *    preserves every within-replica inner product (the pair structure
+  *    per replica is isomorphic to the original), while cross-replica
+  *    cosines are random-vector small — no synthetic pair inflation.
+  *
+  * Run: sbt 'runMain graft.tools.ScaleTen [sf01Dir] [outDir]'
+  */
+object ScaleTen {
+  def main(args: Array[String]): Unit = {
+    val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", "16g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      val docs = spark.read.parquet(s"$sf01/documents.parquet")
+      val replicas = (0 until 10).map { k =>
+        val tagged =
+          if (k == 0) col("text")
+          else array_join(
+            transform(split(col("text"), " "),
+              (w, i) => when(i % 3 === 0, concat(w, lit(s"x$k"))).otherwise(w)),
+            " ")
+        docs.select(
+          (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          tagged.as("text"),
+          col("lang"), col("source"),
+          length(tagged).cast("long").as("n_chars"))
+      }
+      replicas.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+      val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+      val embReplicas = (0 until 10).map { k =>
+        val rotated =
+          if (k == 0) col("embedding")
+          else concat(slice(col("embedding"), k + 1, 64 - k),
+            slice(col("embedding"), 1, k))
+        emb.select(
+          (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          rotated.as("embedding"),
+          col("label"))
+      }
+      embReplicas.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      println(s"derived 10x corpus at $out")
+    }
+
+    val names = Seq("q_curation_pipeline", "q_curation_decontam",
+      "q_dedup_clusters", "q_repetition", "q_embed_neardup_lsh")
+
+    def time(name: String, dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = graft.SparkEntry.queries(name)(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    // warm the JVM (codegen, classloading) on the small corpus so the
+    // sf0.1 column measures data work, not first-query compilation
+    names.foreach(n => time(n, "/root/testdata/sf0.01"))
+
+    println("\n| query | sf0.1 | sf1 (10x) | time ratio | sf1 rows |")
+    println("|---|---|---|---|---|")
+    names.foreach { n =>
+      val (t01, _) = time(n, sf01)
+      val (t1, rows1) = time(n, out)
+      println(f"| $n | $t01%.2f s | $t1%.2f s | ${t1 / t01}%.1f× | $rows1 |")
+    }
+
+    // LSH density response: at 10× corpus density the FIXED battery
+    // tuning (planes=3) lets within-bucket candidate pairs grow ~100×;
+    // the documented response is +log2(growth) planes. Measure both.
+    def embedLsh(dir: String, planes: Int, tables: Int): (Double, Long) = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val t0 = System.nanoTime()
+      val rows = graft.operators.Dedup.embeddingPairsLsh(
+        emb, "vec_id", "embedding", threshold = 0.45,
+        planes = planes, tables = tables).count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    println("\n| embeddingPairsLsh @ sf1 | planes | tables | time | pairs found |")
+    println("|---|---|---|---|---|")
+    for ((p, t) <- Seq((3, 8), (4, 8), (4, 16), (5, 16), (5, 32), (6, 32))) {
+      val (sec, pairs) = embedLsh(out, p, t)
+      println(f"| sf1 | $p | $t | $sec%.2f s | $pairs |")
+    }
+    spark.stop()
+  }
+}
