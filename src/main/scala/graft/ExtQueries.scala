@@ -109,6 +109,15 @@ object ExtQueries {
           bpeTokenCount(col("text"), graft.functions.BpeVocab.bundled).as("n_tokens")),
       golden("q_bpe_merge")),
 
+    // Chunking denominated in REAL merged tokens (the LLM context unit):
+    // windows of 24 subwords, chunk text = subword concatenation. Golden
+    // fixture from the independent encoder + a plain slicing loop.
+    "q_chunk_bpe" -> Q(
+      (s, dir) => graft.operators.Chunking.chunkByBpeTokens(
+        table(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 24, stride = 24),
+      golden("q_chunk_bpe")),
+
     "q_fingerprint" -> Q(
       (s, dir) => table(s, dir, "documents")
         .select(col("doc_id"), fingerprint(col("text")).as("fp")),

@@ -45,7 +45,12 @@ object GraftFunctions {
     "scrub_pii" -> composed(cs => TextFunctions.scrubPii(cs(0))),
     "pii_counts" -> composed(cs => TextFunctions.piiCounts(cs(0))),
     "bpe_tokens" -> composed(cs => TextFunctions.bpeTokens(cs(0))),
-    "bpe_token_count" -> composed(cs => TextFunctions.bpeTokenCount(cs(0))))
+    "bpe_token_count" -> composed(cs => TextFunctions.bpeTokenCount(cs(0))),
+    // vocab-driven merges (the bundled table; a custom vocab goes through
+    // the Column API, which takes the BpeVocab object)
+    "bpe_encode" -> (es => BpeEncode(es(0), BpeVocab.bundled)),
+    "bpe_token_count_merged" -> composed(cs =>
+      TextFunctions.bpeTokenCount(cs(0), BpeVocab.bundled)))
 
   // IDEMPOTENT per session: callers sprinkle register() defensively (every
   // SQL-surface query path), and createOrReplaceTempFunction logs a

@@ -34,6 +34,31 @@ object Chunking {
         size(col("__chunk")).cast("long").as("n_tokens"))
   }
 
+  /** [[chunkByTokens]] denominated in REAL BPE tokens: windows count
+    * `chunkTokens` SUBWORDS of the vocab's merge table
+    * ([[graft.functions.BpeEncode]]) instead of whitespace words — the
+    * unit an LLM context budget is actually measured in. `chunk_text` is
+    * the concatenation of the window's subwords (subwords carry their
+    * leading spaces, so concatenation reconstructs the exact pretoken
+    * stream — no separator injected). Same narrow no-shuffle plan.
+    */
+  def chunkByBpeTokens(df: DataFrame, idCol: String, textCol: String,
+                       chunkTokens: Int, stride: Int,
+                       vocab: graft.functions.BpeVocab = graft.functions.BpeVocab.bundled)
+      : DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    df.select(col(idCol), TextFunctions.bpeEncode(col(textCol), vocab).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), size(col("__toks")) - 1, lit(stride)),
+          start => slice(col("__toks"), start + 1, lit(chunkTokens))))
+          .as(Seq("chunk_id", "__chunk")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(col("__chunk"), "").as("chunk_text"),
+        size(col("__chunk")).cast("long").as("n_tokens"))
+  }
+
   /** Contiguous-fill sequence packing: documents, taken in `orderCol`
     * order, are assigned to consecutive bins of `budgetTokens` tokens;
     * `pack_id = floor(tokens_before / budget)` where `tokens_before` is the
@@ -61,7 +86,19 @@ object Chunking {
     * full composite.
     */
   def packByTokenBudget(df: DataFrame, orderCols: Seq[String], textCol: String,
-                        budgetTokens: Long, bucketSize: Long): DataFrame = {
+                        budgetTokens: Long, bucketSize: Long): DataFrame =
+    packByTokenBudget(df, orderCols, textCol, budgetTokens, bucketSize,
+      TextFunctions.tokenCount)
+
+  /** Counter-parameterized variant: `tokenCounter` maps the text column to
+    * its BIGINT token count — pass
+    * `TextFunctions.bpeTokenCount(_, vocab)` to denominate the budget in
+    * REAL merged tokens instead of whitespace words. Plan unchanged.
+    */
+  def packByTokenBudget(df: DataFrame, orderCols: Seq[String], textCol: String,
+                        budgetTokens: Long, bucketSize: Long,
+                        tokenCounter: org.apache.spark.sql.Column =>
+                          org.apache.spark.sql.Column): DataFrame = {
     require(budgetTokens > 0 && bucketSize > 0, "budget and bucketSize must be positive")
     require(orderCols.nonEmpty, "at least one order column required")
     require(df.schema(orderCols.head).dataType
@@ -69,7 +106,7 @@ object Chunking {
       s"leading order column '${orderCols.head}' must be numeric " +
         "(it buckets the distributed prefix sum)")
     val withN = df
-      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
+      .withColumn("n_tokens", tokenCounter(col(textCol)))
       .withColumn("__bucket", floor(col(orderCols.head) / bucketSize))
     val bucketSums = withN.groupBy("__bucket")
       .agg(sum(col("n_tokens")).as("__bucket_sum"))

@@ -18,6 +18,27 @@ class ChunkingSpec extends SparkSpec {
       (2L, 0L, "x y", 2L)))  // doc 3 produces nothing
   }
 
+  test("chunkByBpeTokens windows real subwords; concatenation reconstructs the stream") {
+    val v = graft.functions.BpeVocab(Seq(("l", "o"), ("lo", "w")))
+    val docs = Seq((1L, "low low low low low"), (3L, "")).toDF("doc_id", "text")
+    val got = Chunking.chunkByBpeTokens(docs, "doc_id", "text",
+        chunkTokens = 4, stride = 4, vocab = v)
+      .as[(Long, Long, String, Long)].collect().toSeq.sorted
+    // subwords: ["low", " ", "low", " ", "low", " ", "low", " ", "low"] (9)
+    assert(got == Seq(
+      (1L, 0L, "low low ", 4L),
+      (1L, 1L, "low low ", 4L),
+      (1L, 2L, "low", 1L))) // tail; empty doc emits nothing
+    assert(got.map(_._3).mkString == "low low low low low")
+    // budgets in merged tokens: the pack counter variant agrees with the
+    // chunker's own n_tokens denominations
+    val packed = Chunking.packByTokenBudget(
+      docs.filter($"doc_id" === 1L), Seq("doc_id"), "text",
+      budgetTokens = 4L, bucketSize = 10L,
+      tokenCounter = c => graft.functions.TextFunctions.bpeTokenCount(c, v))
+    assert(packed.select("n_tokens").as[Long].head() == 9L)
+  }
+
   test("chunkByTokens plans without shuffles (narrow transformation)") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = Chunking.chunkByTokens(docs, "doc_id", "text", 4, 3)

@@ -153,16 +153,32 @@ object GoldenGen {
       }
       syms
     }
-    val bpeRows = docs.map { case (id, t) =>
+    val bpeToks: Array[(Long, Vector[String])] = docs.map { case (id, t) =>
       val mt = bpePat.matcher(t)
-      val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+      val toks = Vector.newBuilder[String]
       while (mt.find()) {
         val w = mt.group()
         if (!w.forall(Character.isWhitespace)) toks ++= encodeRef(w)
       }
-      (id, toks.mkString("\u0001"), toks.length.toLong)
+      (id, toks.result())
     }
-    write(bpeRows.toSeq.toDF("doc_id", "toks_joined", "n_tokens"), "q_bpe_merge")
+    write(bpeToks.map { case (id, toks) =>
+      (id, toks.mkString("\u0001"), toks.length.toLong)
+    }.toSeq.toDF("doc_id", "toks_joined", "n_tokens"), "q_bpe_merge")
+
+    // ---- q_chunk_bpe: token windows over the merged-subword stream ------
+    // (chunkTokens = 24, stride = 24 — the battery row's params; chunk
+    // text is subword concatenation, which reconstructs the pretoken
+    // stream exactly)
+    val bpeChunks = bpeToks.flatMap { case (id, toks) =>
+      if (toks.isEmpty) Nil
+      else (0 until toks.length by 24).zipWithIndex.map { case (start, ci) =>
+        val w = toks.slice(start, start + 24)
+        (id, ci.toLong, w.mkString(""), w.length.toLong)
+      }
+    }
+    write(bpeChunks.toSeq.toDF("doc_id", "chunk_id", "chunk_text", "n_tokens"),
+      "q_chunk_bpe")
 
     // ---- LSH embedding queries: DETERMINISTIC given the seeded planes ----
     // Shared primitive: only the hyperplane family (planesFor) + the
