@@ -31,6 +31,21 @@ object ExtQueries {
   private def golden(name: String): Option[String] =
     Some(s"SELECT * FROM read_parquet('/root/repo/src/test/resources/golden/$name/*.parquet')")
 
+  // Raw-string-gram contamination oracle, shared by the exact and
+  // Bloom-pushdown battery rows (identical expected output by design).
+  private val decontaminateOracleSql: String = {
+    val gram = (1 to 7).foldLeft("toks[i]") { (acc, k) => s"$acc || ' ' || toks[i+$k]" }
+    s"""
+        WITH tk AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+        g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 6),
+                i -> $gram)) AS gs
+              FROM tk WHERE len(toks) >= 8),
+        bench AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id % 10 = 0),
+        dg AS (SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id % 10 <> 0)
+        SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM dg JOIN bench USING (gr) GROUP BY 1"""
+  }
+
   private val textQueries: Seq[(String, Q)] = Seq(
     "q_token_count" -> Q(
       (s, dir) => table(s, dir, "documents")
@@ -294,18 +309,23 @@ object ExtQueries {
           docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
           docs.filter(col("doc_id") % 10 === 0), "text", ngramSize = 8)
       },
-      Some {
-        val gram = (1 to 7).foldLeft("toks[i]") { (acc, k) => s"$acc || ' ' || toks[i+$k]" }
-        s"""
-        WITH tk AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
-        g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 6),
-                i -> $gram)) AS gs
-              FROM tk WHERE len(toks) >= 8),
-        bench AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id % 10 = 0),
-        dg AS (SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id % 10 <> 0)
-        SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_hits
-        FROM dg JOIN bench USING (gr) GROUP BY 1"""
-      }),
+      Some(decontaminateOracleSql)),
+
+    // The same contamination scan through the Bloom-filter semi-join
+    // pushdown (the very-large-benchmark-suite regime: sketch pre-filter
+    // in the corpus scan, then the exact gram join). Bloom filters have no
+    // false negatives and the exact join removes false positives, so this
+    // gates BIT-IDENTICAL output — same oracle — through a genuinely
+    // different physical plan.
+    "q_decontam_bloom" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.operators.Curation.contaminationHits(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 10 === 0), "text", ngramSize = 8,
+          bloom = Some(graft.operators.Curation.BloomConfig(fpp = 0.01)))
+      },
+      Some(decontaminateOracleSql)),
 
     // DSIR importance statistics: integer sufficient stats of the hashed
     // word-bigram likelihood ratio between the "target" slice (doc_id %

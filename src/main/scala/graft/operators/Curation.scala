@@ -29,6 +29,14 @@ object Curation {
       decontamNgram: Int = 8,
       decontamMinHits: Int = 1)
 
+  /** Tuning for the optional Bloom-filter semi-join pushdown of
+    * [[contaminationHits]]. `expectedItems` overrides the default
+    * benchmark-gram count job when the caller already knows the
+    * cardinality (e.g. from the eval suite's manifest).
+    */
+  final case class BloomConfig(fpp: Double = 0.01,
+                               expectedItems: Option[Long] = None)
+
   /** BENCHMARK DECONTAMINATION hit counts: for every document sharing at
     * least one word `ngramSize`-gram with the benchmark corpus (an eval
     * set whose presence in training data would leak), the number of
@@ -41,11 +49,23 @@ object Curation {
     * gram — the benchmark side is tiny relative to the corpus (an eval
     * suite), so AQE broadcasts it and the corpus never shuffles. No text
     * ever leaves the scan.
+    *
+    * `bloom = Some(cfg)` adds a BLOOM-FILTER SEMI-JOIN PUSHDOWN for the
+    * regime where the benchmark gram set outgrows the broadcast budget
+    * (a full eval-suite library is 10⁷–10⁹ distinct grams): the benchmark
+    * grams are folded into a ~10-bit-per-gram sketch
+    * ([[graft.functions.BloomMightContainLong]]) that pre-filters the
+    * corpus grams IN THE SCAN STAGE, before the gram shuffle of the
+    * then-sort-merge join — so the 100 TB side ships ~fpp of its grams
+    * instead of all of them. No false negatives ⇒ the post-join output is
+    * EXACTLY the unfiltered path's (spec-pinned; `q_decontam_bloom` gates
+    * it against the same oracle as `q_decontaminate`).
     */
   def contaminationHits(docs: DataFrame, idCol: String, textCol: String,
                         benchmark: DataFrame, benchTextCol: String,
-                        ngramSize: Int = 8): DataFrame = {
-    val benchGrams = benchmark
+                        ngramSize: Int = 8,
+                        bloom: Option[BloomConfig] = None): DataFrame = {
+    val benchGrams0 = benchmark
       .select(explode(graft.functions.HashedShingles.column(col(benchTextCol), ngramSize))
         .as("__gram"))
       .distinct()
@@ -53,7 +73,19 @@ object Curation {
       // HashedShingles emits DISTINCT grams per doc, so the post-join
       // count is exactly |shared distinct grams| with no dedup step
       explode(graft.functions.HashedShingles.column(col(textCol), ngramSize)).as("__gram"))
-    docGrams.join(benchGrams, "__gram")
+    val (benchGrams, probes) = bloom match {
+      case None => (benchGrams0, docGrams)
+      case Some(bc) =>
+        // The gram table fans out twice (sketch build + exact join) —
+        // persist so the benchmark text is shingled once.
+        val grams = benchGrams0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = math.max(bc.expectedItems.getOrElse(grams.count()), 1L)
+        val sketch = grams.stat.bloomFilter("__gram", n, bc.fpp)
+        (grams, docGrams.filter(
+          graft.functions.BloomMightContainLong.column(col("__gram"), sketch)))
+    }
+    probes.join(benchGrams, "__gram")
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
   }
 
@@ -62,8 +94,10 @@ object Curation {
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     benchmark: DataFrame, benchTextCol: String,
-                    ngramSize: Int = 8, minHits: Int = 1): DataFrame = {
-    val bad = contaminationHits(docs, idCol, textCol, benchmark, benchTextCol, ngramSize)
+                    ngramSize: Int = 8, minHits: Int = 1,
+                    bloom: Option[BloomConfig] = None): DataFrame = {
+    val bad = contaminationHits(docs, idCol, textCol, benchmark, benchTextCol,
+        ngramSize, bloom)
       .filter(col("n_hits") >= minHits).select(col("id"))
     docs.join(bad, docs(idCol) === bad("id"), "left_anti")
   }

@@ -222,4 +222,25 @@ class FunctionsSpec extends SparkSpec {
     val got = df.select(TextFunctions.normalizeText(col("text"))).as[Option[String]].collect().toSeq
     assert(got == Seq(Some("plain ascii stays"), None))
   }
+
+  test("bloomMightContainLong: no false negatives; null-safe; FP rate near fpp") {
+    val inserted = (0L until 2000L).map(_ * 2654435761L + 7L)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(inserted.size.toLong, 0.03)
+    inserted.foreach(bloom.putLong)
+    val probesHit = inserted.map(Option(_))
+    val probesMiss = (1L to 20000L).map(v => Option(v * 40503L + 3L))
+      .filterNot(o => inserted.contains(o.get))
+    val df = (probesHit ++ probesMiss ++ Seq(Option.empty[Long])).toDF("v")
+    val got = df.select(col("v"),
+        BloomMightContainLong.column(col("v"), bloom).as("hit"))
+      .as[(Option[Long], Option[Boolean])].collect()
+    // every inserted key answers true (no false negatives)
+    val byVal = got.collect { case (Some(v), Some(h)) => v -> h }.toMap
+    assert(inserted.forall(byVal(_)))
+    // null probe -> null, not a crash or false
+    assert(got.contains((None, None)))
+    // FP rate on the miss set is within 4x of the configured 3%
+    val fpRate = probesMiss.count(o => byVal(o.get)).toDouble / probesMiss.size
+    assert(fpRate < 0.12, s"fpRate=$fpRate")
+  }
 }

@@ -80,6 +80,39 @@ class CurationSpec extends SparkSpec {
     assert(decon == Set(1L)) // doc 6 self-contaminates; {1,2,3} collapse to 1
   }
 
+  test("contaminationHits with Bloom pushdown == exact path (no false negatives)") {
+    val unique = "it is a fine morning and the river is calm today so we walk " +
+      "to the old market and buy fresh bread and it is good"
+    val docs = Seq(
+      (1L, fluent),
+      (2L, unique * 2),
+      (3L, s"prefix words then $unique and a tail"),
+      (4L, "completely different words that never shingle with anything here " * 4)
+    ).toDF("doc_id", "text")
+    val benchmark = Seq(s"an eval question mentions: $unique",
+      fluent.take(200)).toDF("text")
+    val exact = Curation.contaminationHits(docs, "doc_id", "text",
+        benchmark, "text", ngramSize = 8)
+      .as[(Long, Long)].collect().sorted.toSeq
+    // sweep fpp including an aggressive one — output must stay identical
+    // because the exact join scrubs every Bloom false positive
+    for (fpp <- Seq(0.5, 0.01)) {
+      val bloomed = Curation.contaminationHits(docs, "doc_id", "text",
+          benchmark, "text", ngramSize = 8,
+          bloom = Some(Curation.BloomConfig(fpp = fpp)))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(bloomed == exact, s"fpp=$fpp")
+    }
+    assert(exact.nonEmpty)
+    // decontaminate through the same pushdown
+    val d0 = Curation.decontaminate(docs, "doc_id", "text", benchmark, "text")
+      .select("doc_id").as[Long].collect().toSet
+    val d1 = Curation.decontaminate(docs, "doc_id", "text", benchmark, "text",
+        bloom = Some(Curation.BloomConfig()))
+      .select("doc_id").as[Long].collect().toSet
+    assert(d1 == d0)
+  }
+
   test("pretrainingPipeline(nearDupPairs = full-corpus pairs) == the self-contained path") {
     val docs = Seq(
       (1L, s"$fluent alpha"),
