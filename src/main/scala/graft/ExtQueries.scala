@@ -1460,6 +1460,38 @@ object ExtQueries {
     // SALIENT TERMS: top-3 per document by (tf DESC, df ASC, token) —
     // integer-exact keyword screening; the (tf, df) pair ships so true
     // tf-idf curves apply offline.
+    // BM25 ranked retrieval: top-10 documents for a 3-term keyword query.
+    // Both engines compute the same double formula in the same operation
+    // order, but the projected battery columns are the INTEGER sufficient
+    // stats + rank (the q_weighted_sample precedent: ln may differ in the
+    // last ulp between libms, which can only flip a rank at a near-exact
+    // score collision between different stat vectors).
+    "q_bm25" -> Q(
+      (s, dir) => graft.operators.Search.bm25TopK(
+          table(s, dir, "documents"), "doc_id", "text",
+          Seq("vector", "spark", "customer"), k = 10)
+        .select("id", "rank", "n_terms", "sum_tf", "dl"),
+      Some(s"""
+        WITH lens AS (SELECT doc_id, CAST(len($sqlTokens) AS BIGINT) AS dl FROM documents),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) AS tot FROM lens),
+        tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+               WHERE token IN ('vector', 'spark', 'customer') GROUP BY 1, 2),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (SELECT doc_id,
+            sum(ln((nd - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+              * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+              / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / (tot / nd)))) AS score,
+            CAST(count(*) AS BIGINT) AS n_terms,
+            CAST(sum(tf) AS BIGINT) AS sum_tf,
+            max(dl) AS dl
+          FROM tf JOIN dfq USING (token) JOIN lens USING (doc_id) CROSS JOIN stats
+          GROUP BY doc_id)
+        SELECT doc_id AS id,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          n_terms, sum_tf, dl
+        FROM scored ORDER BY score DESC, doc_id LIMIT 10""")),
+
     "q_salient_terms" -> Q(
       (s, dir) => graft.operators.TextStats.salientTerms(
         table(s, dir, "documents"), "doc_id", "text", k = 3),

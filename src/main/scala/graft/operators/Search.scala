@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.functions.{TextFunctions, TopN}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ranked keyword retrieval over a document corpus — the "find me the
+  * relevant documents" primitive of corpus exploration, eval-set mining,
+  * and targeted-slice extraction.
+  *
+  * Scoring is standard BM25 (Robertson–Spärck Jones, the Lucene "plus one"
+  * idf variant, so idf is always positive):
+  *
+  *   score(D,Q) = Σ_{t∈Q∩D} ln(1 + (N − df + 0.5)/(df + 0.5))
+  *                · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *
+  * Plan shape at 100 TB: the corpus explodes to (doc, token) postings but
+  * the query-term filter lands IMMEDIATELY inside the same select — only
+  * postings of the |Q| query terms (a vanishing fraction of the corpus)
+  * survive the scan stage, so the per-(doc,term) tf aggregate and
+  * everything after it is query-sized, not corpus-sized. The corpus-wide
+  * statistics (N, total token count → avgdl) come from one separate
+  * map-side-combined aggregate producing a SINGLE row that broadcasts; the
+  * per-term df table is ≤|Q| rows and broadcasts likewise. The final top-k
+  * is a TakeOrdered (bounded heap, no global sort).
+  */
+object Search {
+
+  /** Top-`k` documents by BM25 over `queryTerms` (caller supplies terms in
+    * the token dialect of [[TextFunctions.tokens]] — lowercase,
+    * whitespace-split). Output: (id, rank, n_terms, sum_tf, dl) plus the
+    * double `score`.
+    *
+    * Ties break on ascending id, so ranks are total and deterministic.
+    * NOTE for cross-engine gating: `score` is a sum of `ln` terms and may
+    * differ in the last ulp between libms; rank flips need a near-exact
+    * score collision between documents with DIFFERENT integer stats
+    * (identical stats produce identical scores on any one engine, so ties
+    * resolve by id identically everywhere). Gate rows should project the
+    * integer columns (the [[Sampling.weightedSample]] precedent).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    val terms = queryTerms.distinct
+    // postings of the query terms only — the filter sits in the scan stage
+    val tf = docs.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    // per-term document frequency (≤ |Q| rows)
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // corpus-wide N and avgdl: one single-row aggregate, broadcast by AQE
+    val lens = docs.select(col(idCol).as("id"),
+      TextFunctions.tokenCount(col(textCol)).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val nd = col("n_docs").cast("double")
+    val avgdl = col("total_dl").cast("double") / nd
+    val idf = log((nd - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5) + 1.0)
+    val tfd = col("tf").cast("double")
+    val dld = col("dl").cast("double")
+    val termScore = idf * (tfd * (k1 + 1.0)) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * dld / avgdl))
+    val perDoc = tf.join(dfreq, "token").join(lens, "id").crossJoin(stats)
+      .groupBy("id")
+      .agg(sum(termScore).as("score"),
+        count(lit(1)).as("n_terms"),
+        sum(col("tf")).as("sum_tf"),
+        max(col("dl")).as("dl"))
+    val top = perDoc
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+    // rank within the already-bounded k rows: the window is k-rows-wide,
+    // not corpus-wide, so the single-partition sort is O(k)
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("id"))).cast("long"))
+      .select("id", "rank", "n_terms", "sum_tf", "dl", "score")
+  }
+
+  /** The corpus-side inverted-postings table (token → sorted doc ids with
+    * tf), for persisting under [[IndexRoot]] and re-serving many queries
+    * without re-exploding the corpus: the nightly-index shape of
+    * [[bm25TopK]]. Output: (token, df, postings:array<struct<id,tf>>).
+    * Zipf guard: `maxPostings` caps each token's list (most-frequent docs
+    * kept, deterministic ties) so stopword rows cannot balloon a single
+    * aggregation buffer; capped tokens are near-useless for ranking anyway
+    * (their idf ≈ 0).
+    */
+  def invertedPostings(docs: DataFrame, idCol: String, textCol: String,
+                       maxPostings: Int = 10000): DataFrame = {
+    val tf = docs.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token", "id").agg(count(lit(1)).as("tf"))
+    tf.groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        TopN.rows(struct(col("id"), col("tf")),
+          struct((-col("tf")).as("neg_tf"), col("id")),
+          maxPostings, isMax = false).as("postings"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val filler = "lorem words pad the document out " // 6 tokens
+
+  test("bm25TopK: tf raises rank, length normalization lowers it, idf weights rarity") {
+    val docs = Seq(
+      (1L, s"apple $filler"),                       // 1×apple, short
+      (2L, s"apple apple apple $filler"),           // 3×apple, short
+      (3L, s"apple ${filler * 20}"),                // 1×apple, long
+      (4L, filler * 4),                             // no match
+      (5L, s"banana $filler"),                      // rare term (df=1)
+      (6L, s"apple banana $filler")                 // both terms
+    ).toDF("doc_id", "text")
+    val got = Search.bm25TopK(docs, "doc_id", "text", Seq("apple", "banana"), k = 10)
+      .select("id", "rank", "n_terms", "sum_tf", "dl")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    val ranks = got.map(r => r._1 -> r._2).toMap
+    // non-matching doc 4 never appears
+    assert(!ranks.contains(4L) && got.length == 5)
+    // two-term doc 6 beats every single-term doc of similar length
+    assert(ranks(6L) < ranks(1L) && ranks(6L) < ranks(5L))
+    // higher tf at equal length wins
+    assert(ranks(2L) < ranks(1L))
+    // same tf, longer doc loses (length normalization)
+    assert(ranks(1L) < ranks(3L))
+    // integer stats are faithful
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(6L)._3 == 2 && byId(6L)._4 == 2)
+    assert(byId(2L)._4 == 3)
+  }
+
+  test("bm25TopK: k bounds output; ties resolve by ascending id; empty query refused") {
+    val docs = (1L to 8L).map(i => (i, s"target $filler")).toDF("doc_id", "text")
+    val got = Search.bm25TopK(docs, "doc_id", "text", Seq("target"), k = 3)
+      .select("id", "rank").as[(Long, Long)].collect().sortBy(_._2)
+    // all scores identical -> ids in ascending order fill the ranks
+    assert(got.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    intercept[IllegalArgumentException] {
+      Search.bm25TopK(docs, "doc_id", "text", Seq.empty, k = 3)
+    }
+  }
+
+  test("invertedPostings: df exact, postings tf-ordered, Zipf cap holds") {
+    val docs = Seq(
+      (1L, "alpha alpha beta"),
+      (2L, "alpha beta beta beta"),
+      (3L, "alpha gamma")
+    ).toDF("doc_id", "text")
+    val got = Search.invertedPostings(docs, "doc_id", "text", maxPostings = 2)
+      .as[(String, Long, Seq[(Long, Long)])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("alpha")._1 == 3)            // df counts all three docs…
+    assert(got("alpha")._2.length == 2)     // …but postings cap at 2
+    // highest-tf docs survive the cap: doc 1 (tf 2) then doc 2/3 (tf 1, min id)
+    assert(got("alpha")._2.head == (1L, 2L))
+    assert(got("beta")._2 == Seq((2L, 3L), (1L, 1L)))
+    assert(got("gamma") == (1L, Seq((3L, 1L))))
+  }
+}
