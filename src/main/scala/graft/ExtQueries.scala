@@ -124,6 +124,17 @@ object ExtQueries {
           bpeTokenCount(col("text"), graft.functions.BpeVocab.bundled).as("n_tokens")),
       golden("q_bpe_merge")),
 
+    // BYTE-LEVEL BPE (exact GPT-2 semantics: bytes_to_unicode remap, then
+    // the ranked merge loop over the byte alphabet) — lossless on any
+    // input, zero unknown tokens. Golden fixture from an independent
+    // encoder with its OWN remap table built from the published ranges.
+    "q_bpe_bytes" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(bpeEncodeBytes(col("text")), "").as("toks_joined"),
+          bpeTokenCountBytes(col("text")).as("n_tokens")),
+      golden("q_bpe_bytes")),
+
     // Chunking denominated in REAL merged tokens (the LLM context unit):
     // windows of 24 subwords, chunk text = subword concatenation. Golden
     // fixture from the independent encoder + a plain slicing loop.

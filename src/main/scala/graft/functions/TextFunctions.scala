@@ -54,6 +54,21 @@ object TextFunctions {
   def bpeTokenCount(text: Column, vocab: BpeVocab): Column =
     size(bpeEncode(text, vocab)).cast("long")
 
+  /** BYTE-LEVEL vocab-driven BPE ([[ByteLevel]] remap, then the same
+    * greedy merge loop): exact GPT-2 tokenizer semantics — lossless on any
+    * input (emoji, CJK, mixed encodings), 256-symbol base alphabet, zero
+    * unknown tokens. A real GPT-2 `merges.txt` (tab-reformatted) drops in
+    * as the vocab; defaults to the bundled byte-level fixture.
+    */
+  def bpeEncodeBytes(text: Column, vocab: BpeVocab = BpeVocab.bundledBytes): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      BpeEncode(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
+        vocab, byteLevel = true))
+
+  /** Byte-level merges-aware token count as BIGINT. */
+  def bpeTokenCountBytes(text: Column, vocab: BpeVocab = BpeVocab.bundledBytes): Column =
+    size(bpeEncodeBytes(text, vocab)).cast("long")
+
   /** Sliding word k-shingles joined with single spaces, deduplicated —
     * the standard unit for n-gram Jaccard / MinHash document similarity.
     */

@@ -223,6 +223,40 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq(Some("plain ascii stays"), None))
   }
 
+  test("ByteLevel remap is a bijection on bytes and lossless on any text") {
+    // 256 distinct target chars, all "printable" (none in the control range)
+    val targets = (0 until 256).map(ByteLevel.byteToChar(_))
+    assert(targets.distinct.length == 256)
+    assert(targets.forall(c => c.toInt >= 33))
+    // canonical anchors from the published table
+    assert(ByteLevel.encode(" ") == "Ġ")  // space -> Ġ
+    assert(ByteLevel.encode("\n") == "Ċ") // newline -> Ċ
+    assert(ByteLevel.encode("A") == "A")       // printable ASCII fixed
+    // decode . encode == identity across scripts and multi-byte sequences
+    for (s <- Seq("plain ascii", "naïve café", "日本語テキスト", "🎉 emoji!",
+        "mixed: Ωmega + עברית", "\t weirdbytes")) {
+      assert(ByteLevel.decode(ByteLevel.encode(s)) == s)
+    }
+  }
+
+  test("bpeEncodeBytes: byte-level tokens, Ġ space prefix, lossless concat") {
+    val df = Seq((1L, "the cat said: naïve 🎉"),
+                 (2L, "")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextFunctions.bpeEncodeBytes(col("text")).as("toks"),
+        TextFunctions.bpeTokenCountBytes(col("text")).as("n"))
+      .as[(Long, Seq[String], Long)].collect().map(r => r._1 -> r).toMap
+    val toks = got(1L)._2
+    assert(toks.nonEmpty && got(1L)._3 == toks.length)
+    // space-prefixed pretokens carry the Ġ symbol, never a raw space
+    assert(toks.exists(_.startsWith("Ġ")) && !toks.exists(_.contains(" ")))
+    // concatenating all tokens and decoding reconstructs the pretoken
+    // stream (= original text minus the dropped whitespace separators)
+    val decoded = ByteLevel.decode(toks.mkString(""))
+    assert(decoded == "the cat said: naïve 🎉")
+    assert(got(2L)._2.isEmpty && got(2L)._3 == 0L)
+  }
+
   test("bloomMightContainLong: no false negatives; null-safe; FP rate near fpp") {
     val inserted = (0L until 2000L).map(_ * 2654435761L + 7L)
     val bloom = org.apache.spark.util.sketch.BloomFilter.create(inserted.size.toLong, 0.03)

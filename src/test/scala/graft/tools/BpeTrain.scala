@@ -54,10 +54,18 @@ object BpeTrain {
     merges.result()
   }
 
+  /** Pass `--bytes` as the 4th arg to learn over the [[graft.functions.ByteLevel]]
+    * remapped corpus (the GPT-2 byte-level alphabet) — writes
+    * `merges_en_bytes.txt` by default in that mode.
+    */
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val out = args.lift(1).getOrElse("src/main/resources/graft/bpe/merges_en.txt")
-    val nMerges = args.lift(2).map(_.toInt).getOrElse(512)
+    val byteLevel = args.contains("--bytes")
+    val pos = args.filterNot(_ == "--bytes")
+    val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = pos.lift(1).getOrElse(
+      if (byteLevel) "src/main/resources/graft/bpe/merges_en_bytes.txt"
+      else "src/main/resources/graft/bpe/merges_en.txt")
+    val nMerges = pos.lift(2).map(_.toInt).getOrElse(512)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -70,6 +78,7 @@ object BpeTrain {
         val ws = Iterator.continually(if (m.find()) Some(m.group()) else None)
           .takeWhile(_.isDefined).map(_.get)
         ws.filterNot(_.forall(Character.isWhitespace))
+          .map(w => if (byteLevel) graft.functions.ByteLevel.encode(w) else w)
       }
       .foldLeft(Map.empty[String, Long])((acc, w) => acc.updated(w, acc.getOrElse(w, 0L) + 1))
     val merges = learn(counts, nMerges)

@@ -133,18 +133,18 @@ object GoldenGen {
         }.toMap
     val bpePat = java.util.regex.Pattern.compile(
       graft.functions.TextFunctions.bpePattern)
-    def encodeRef(word: String): List[String] = {
+    def encodeRefWith(ranksMap: Map[(String, String), Int])(word: String): List[String] = {
       var syms = word.map(String.valueOf).toList
       var go = syms.length > 1
       while (go) {
-        val ranks = syms.zip(syms.tail).map(p => mergeRanks.getOrElse(p, Int.MaxValue))
+        val ranks = syms.zip(syms.tail).map(p => ranksMap.getOrElse(p, Int.MaxValue))
         val best = if (ranks.isEmpty) Int.MaxValue else ranks.min
         if (best == Int.MaxValue) go = false
         else {
           val out = scala.collection.mutable.ListBuffer.empty[String]
           var rest = syms
           while (rest.nonEmpty) rest match {
-            case a :: b :: t if mergeRanks.getOrElse((a, b), Int.MaxValue) == best =>
+            case a :: b :: t if ranksMap.getOrElse((a, b), Int.MaxValue) == best =>
               out += a + b; rest = t
             case a :: t => out += a; rest = t
           }
@@ -153,6 +153,7 @@ object GoldenGen {
       }
       syms
     }
+    def encodeRef(word: String): List[String] = encodeRefWith(mergeRanks)(word)
     val bpeToks: Array[(Long, Vector[String])] = docs.map { case (id, t) =>
       val mt = bpePat.matcher(t)
       val toks = Vector.newBuilder[String]
@@ -179,6 +180,44 @@ object GoldenGen {
     }
     write(bpeChunks.toSeq.toDF("doc_id", "chunk_id", "chunk_text", "n_tokens"),
       "q_chunk_bpe")
+
+    // ---- q_bpe_bytes: BYTE-LEVEL BPE over the byte-level merges file ----
+    // Same independent greedy loop, but each pretoken passes through an
+    // INDEPENDENTLY-WRITTEN bytes_to_unicode remap first (table built from
+    // the published GPT-2 ranges here, not from graft.functions.ByteLevel —
+    // a transposed range or off-by-one in either implementation breaks the
+    // fixture match).
+    val byteRanks: Map[(String, String), Int] =
+      java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("src/main/resources/graft/bpe/merges_en_bytes.txt"))
+        .asScala.filter(l => l.nonEmpty && !l.startsWith("#"))
+        .zipWithIndex.map { case (l, i) =>
+          val sp = l.split("\t", 2); ((sp(0), sp(1)), i)
+        }.toMap
+    val b2u: Map[Int, Char] = {
+      val keep = (33 to 126) ++ (161 to 172) ++ (174 to 255)
+      val keepSet = keep.toSet
+      var next = 256
+      (0 to 255).map { b =>
+        if (keepSet(b)) b -> b.toChar
+        else { val c = next.toChar; next += 1; b -> c }
+      }.toMap
+    }
+    def remap(w: String): String =
+      w.getBytes("UTF-8").map(b => b2u(b & 0xff)).mkString
+    val byteToks: Array[(Long, Vector[String])] = docs.map { case (id, t) =>
+      val mt = bpePat.matcher(t)
+      val toks = Vector.newBuilder[String]
+      while (mt.find()) {
+        val w = mt.group()
+        if (!w.forall(Character.isWhitespace))
+          toks ++= encodeRefWith(byteRanks)(remap(w))
+      }
+      (id, toks.result())
+    }
+    write(byteToks.map { case (id, toks) =>
+      (id, toks.mkString(""), toks.length.toLong)
+    }.toSeq.toDF("doc_id", "toks_joined", "n_tokens"), "q_bpe_bytes")
 
     // ---- LSH embedding queries: DETERMINISTIC given the seeded planes ----
     // Shared primitive: only the hyperplane family (planesFor) + the
