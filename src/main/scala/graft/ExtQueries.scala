@@ -1468,6 +1468,37 @@ object ExtQueries {
             ORDER BY h, c) AS rn FROM j) t
         WHERE rn = 1""")),
 
+    // MODEL-BASED quality classification: fastText-style hashed-bigram
+    // linear model, committed Q16-quantized weights fixture (trained by
+    // tools/QualityTrain against heuristic-quality labels, 0.996 train
+    // acc). Integer logits: exact BIGINT sums on both engines; sigmoid is
+    // one exp away offline, the keep decision gates here exactly.
+    "q_quality_model" -> Q(
+      (s, dir) => graft.operators.TextStats.modelQualityScore(
+        table(s, dir, "documents"), "doc_id", "text",
+        s.read.parquet("/root/repo/src/test/resources/golden/quality_weights"),
+        nBuckets = 1024),
+      Some(s"""
+        WITH tk AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+        uni AS (SELECT doc_id, unnest(toks) AS f FROM tk),
+        bi AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS f
+               FROM tk WHERE len(toks) >= 2),
+        feats AS (SELECT doc_id,
+            CAST(('0x' || substring(md5(f), 1, 8)) AS BIGINT) % 1024 AS b
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        w AS (SELECT bucket, w_q16
+              FROM read_parquet('/root/repo/src/test/resources/golden/quality_weights/*.parquet')),
+        s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                CAST(sum(COALESCE(w_q16, 0)) AS BIGINT) AS sw
+              FROM feats LEFT JOIN w ON b = bucket GROUP BY 1),
+        bias AS (SELECT w_q16 AS b0 FROM w WHERE bucket = -1)
+        SELECT d.doc_id AS id,
+          COALESCE(n_feats, CAST(0 AS BIGINT)) AS n_feats,
+          b0 + COALESCE(sw, CAST(0 AS BIGINT)) AS logit_q16,
+          CAST(b0 + COALESCE(sw, CAST(0 AS BIGINT)) >= 0 AS INT) AS keep
+        FROM documents d CROSS JOIN bias LEFT JOIN s ON d.doc_id = s.doc_id""")),
+
     // SALIENT TERMS: top-3 per document by (tf DESC, df ASC, token) —
     // integer-exact keyword screening; the (tf, df) pair ships so true
     // tf-idf curves apply offline.

@@ -268,4 +268,58 @@ object TextStats {
         min(col("__cnt")).as("min_cnt"),
         sum(when(col("__cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
   }
+
+  /** MODEL-BASED quality classification — the learned companion to the
+    * heuristic [[qualityRuleSignals]]: a fastText-style linear classifier
+    * over HASHED unigram+bigram bag-of-words features (Joulin et al.
+    * 2016), the standard "quality model" stage of a pretraining pipeline
+    * (trained on a small labeled set, applied to the whole crawl).
+    *
+    * `weights` is (bucket BIGINT, w_q16 BIGINT): per-bucket weights
+    * QUANTIZED to Q16 fixed-point (w·2¹⁶ rounded at training time —
+    * [[graft.tools.QualityTrain]] writes this format), with the bias as
+    * the `bucket = -1` row. Integer weights on purpose: the per-document
+    * logit is then an exact BIGINT sum, aggregation-order-free on every
+    * engine (a float dot product differs between partitionings, let alone
+    * engines); `sigmoid(logit_q16 / 65536.0)` is one exp away offline,
+    * and the keep DECISION (`logit ≥ threshold`) is integer-exact here.
+    *
+    * Feature hashing is the [[Sampling.assignSplit]] md5 contract
+    * (`first-8-hex(md5(feature)) % nBuckets`) — reproducible across runs,
+    * engines, and training/serving skew; `nBuckets` must match training.
+    *
+    * Plan shape at 100 TB: features explode corpus-side but collapse
+    * straight into a per-doc hash aggregate after a BROADCAST join against
+    * the weight table (≤ nBuckets rows by construction — fastText's whole
+    * point is that the model stays tiny); no shuffle carries a feature
+    * string, documents without features keep the bias logit via the final
+    * left join.
+    */
+  def modelQualityScore(docs: DataFrame, idCol: String, textCol: String,
+                        weights: DataFrame, nBuckets: Int,
+                        thresholdQ16: Long = 0L): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val toks = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("__t"))
+    val uni = toks.select(col("id"), explode(col("__t")).as("__f"))
+    val bi = toks.filter(size(col("__t")) >= 2).select(col("id"),
+      explode(transform(slice(col("__t"), lit(1), size(col("__t")) - 1),
+        (x, i) => concat(x, lit(" "), element_at(col("__t"), i + 2)))).as("__f"))
+    val feats = uni.unionByName(bi)
+      .select(col("id"), (Sampling.hashLong(col("__f")) % nBuckets).as("__b"))
+    val featWeights = broadcast(
+      weights.filter(col("bucket") >= 0).select(col("bucket"), col("w_q16")))
+    val summed = feats.join(featWeights, col("__b") === col("bucket"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("w_q16"), lit(0L))).as("__sw"))
+    val bias = broadcast(
+      weights.filter(col("bucket") === -1).select(col("w_q16").as("__bias")))
+    docs.select(col(idCol).as("id")).join(summed, Seq("id"), "left")
+      .crossJoin(bias)
+      .select(col("id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        (col("__bias") + coalesce(col("__sw"), lit(0L))).as("logit_q16"))
+      .withColumn("keep", (col("logit_q16") >= thresholdQ16).cast("int"))
+  }
 }

@@ -128,4 +128,36 @@ class TextStatsSpec extends SparkSpec {
     assert(got(1L)._2 > 0 && got(3L)._2 == 0L && got(3L)._4 == got(3L)._1)
     assert(!got.contains(4L))
   }
+
+  test("modelQualityScore == driver reference; bias-only empty docs; threshold") {
+    import graft.tools.QualityTrain.featureBuckets
+    val nBuckets = 64
+    val docs = Seq(
+      (1L, "good clean prose with many words"),
+      (2L, "good clean prose"),
+      (3L, "zzz!!!"),
+      (4L, ""),            // no tokens: bias-only
+      (5L, "good good good") // repeated features count per occurrence (bag)
+    ).toDF("doc_id", "text")
+    // hand weight table: every bucket weighted by its index (signed), bias 100
+    val weights = ((-1L, 100L) +:
+      (0 until nBuckets).map(b => (b.toLong, (b - 32).toLong * 3L)))
+      .toDF("bucket", "w_q16")
+    val got = TextStats.modelQualityScore(docs, "doc_id", "text",
+        weights, nBuckets, thresholdQ16 = 0L)
+      .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    // independent reference via the trainer's own hashing (same md5 contract)
+    val texts = Map(1L -> "good clean prose with many words",
+      2L -> "good clean prose", 3L -> "zzz!!!", 4L -> "", 5L -> "good good good")
+    for ((id, t) <- texts) {
+      val bs = featureBuckets(t, nBuckets)
+      val logit = 100L + bs.map(b => (b - 32).toLong * 3L).sum
+      assert(got(id)._2 == bs.length.toLong, s"n_feats doc $id")
+      assert(got(id)._3 == logit, s"logit doc $id")
+      assert(got(id)._4 == (if (logit >= 0) 1 else 0), s"keep doc $id")
+    }
+    assert(got(4L)._2 == 0L && got(4L)._3 == 100L && got(4L)._4 == 1)
+    // bag semantics: doc 5 has 3 unigram occurrences + 2 bigram occurrences
+    assert(got(5L)._2 == 5L)
+  }
 }
