@@ -82,4 +82,103 @@ object DocumentStreams {
     survivors.unpersist()
     newIdx.unpersist()
   }
+
+  /** STREAMING INGEST-TIME CURATION — the streaming twin of
+    * [[graft.operators.Curation.curatedCorpus]]: each micro-batch runs
+    * admission (fused language+quality predicate) → PII scrub → exact
+    * dedup (within batch AND against a growing text-hash index) →
+    * near-dedup (within batch AND against the growing band index), and
+    * survivors append to the curated lake. The batch pipeline's
+    * transitive-cluster policy (smallest id per cluster survives) becomes
+    * FIRST-ARRIVAL-WINS here — the only policy an online system can
+    * implement without revoking already-published documents; when
+    * duplicates arrive after their originals the two policies coincide
+    * (spec-pinned against the batch [[graft.operators.Curation]] prefix).
+    *
+    * State is two append-only parquet indices, both O(corpus) and both
+    * probe-joined per batch (history is never re-hashed or re-scanned in
+    * full): `exactIndexPath` holds one 8-byte xxhash64 of each published
+    * document's SCRUBBED text; `bandIndexPath` holds the published band
+    * rows ([[Dedup.minhashBandIndex]] layout). Bootstraps from empty —
+    * absent indices mean no history yet.
+    */
+  def ingestCurated(newDocs: DataFrame, idCol: String, textCol: String,
+                    cfg: graft.operators.Curation.Config,
+                    exactIndexPath: String, bandIndexPath: String,
+                    outPath: String,
+                    shingleSize: Int = 3, numHashes: Int = 128,
+                    bands: Int = 32): DataStreamWriter[Row] =
+    newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processCuratedBatch(batch, batchId, idCol, textCol, cfg,
+        exactIndexPath, bandIndexPath, outPath, shingleSize, numHashes, bands)
+    }
+
+  private def pathExists(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** One micro-batch of the curated-ingest loop (factored out for direct
+    * batch-semantics testing, like [[processBatch]]).
+    */
+  private[streaming] def processCuratedBatch(batch: DataFrame, batchId: Long,
+                                             idCol: String, textCol: String,
+                                             cfg: graft.operators.Curation.Config,
+                                             exactIndexPath: String,
+                                             bandIndexPath: String,
+                                             outPath: String,
+                                             shingleSize: Int, numHashes: Int,
+                                             bands: Int): Unit = {
+    val spark = batch.sparkSession
+    import graft.functions.TextFunctions
+    val admitted = batch.filter(
+      TextFunctions.langQualityKeep(col(textCol), cfg.keepLangs, cfg.minQuality))
+    val scrubbed = admitted.withColumn(textCol,
+      TextFunctions.scrubPii(col(textCol)))
+    // exact dedup: smallest id in batch survives; anything matching a
+    // published text hash is a replay/duplicate of history
+    val exactDeduped = Dedup.exact(scrubbed, col(textCol), col(idCol))
+      .withColumn("__th", xxhash64(col(textCol)))
+    val fresh0 =
+      if (pathExists(spark, exactIndexPath))
+        exactDeduped.join(spark.read.parquet(exactIndexPath),
+          exactDeduped("__th") === col("th"), "left_anti")
+      else exactDeduped
+    val fresh = fresh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // near-dedup: batch band rows probe the growing index, then pair
+    // within the batch (first-arrival-wins == smallest id in batch)
+    val newIdx = Dedup.minhashBandIndex(fresh, idCol, textCol,
+        shingleSize, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val asIndex = graft.operators.Dedup.MinhashIndex(
+      newIdx.select("id", "sig").dropDuplicates("id"),
+      newIdx.select("id", "band", "bh"))
+    val dupInBatch = Dedup.minhashPairsFromIndex(asIndex, numHashes,
+        cfg.nearDupThreshold)
+      .select(col("id2").as("__drop"))
+    val dropIds = (if (pathExists(spark, bandIndexPath)) {
+      val history = spark.read.parquet(bandIndexPath)
+      Dedup.incrementalNearDupsIndexed(
+          asIndex, graft.operators.Dedup.MinhashIndex(
+            history.select("id", "sig").dropDuplicates("id"),
+            history.select("id", "band", "bh")),
+          numHashes, cfg.nearDupThreshold)
+        .select(col("new_id").as("__drop"))
+        .union(dupInBatch)
+    } else dupInBatch).distinct()
+    val survivors = fresh
+      .join(dropIds, fresh(idCol) === col("__drop"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    survivors.drop("__th").withColumn("__batch_id", lit(batchId))
+      .write.mode("append").parquet(outPath)
+    newIdx.join(survivors.select(col(idCol).as("__keep")),
+        newIdx("id") === col("__keep"), "left_semi")
+      .write.mode("append").parquet(bandIndexPath)
+    survivors.select(col("__th").as("th"))
+      .write.mode("append").parquet(exactIndexPath)
+    survivors.unpersist()
+    newIdx.unpersist()
+    fresh.unpersist()
+  }
 }
