@@ -322,6 +322,37 @@ object ExtQueries {
       },
       Some(decontaminateOracleSql)),
 
+    // EXACT REPEATED-SPAN detection (Lee et al. 2021 ExactSubstr family):
+    // maximal token spans covered by 8-grams occurring >= 2 times in the
+    // corpus. Engine hashes grams (8 bytes); oracle intersects raw string
+    // grams (the q_dedup_ngram collision argument); the span algebra
+    // (per-doc gaps-and-islands) must agree exactly.
+    "q_span_dedup" -> Q(
+      (s, dir) => graft.operators.Dedup.repeatedSpans(
+        table(s, dir, "documents"), "doc_id", "text",
+        gramSize = 8, minCount = 2, minSpanTokens = 8),
+      Some {
+        val gram = (1 to 7).foldLeft("toks[i]") { (acc, k) => s"$acc || ' ' || toks[i+$k]" }
+        s"""
+        WITH tk AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+        g0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 6, 1)),
+                 i -> {'pos': i - 1, 'gr': $gram})) AS u FROM tk),
+        g AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.gr AS gr FROM g0),
+        cnt AS (SELECT gr, count(*) AS c FROM g GROUP BY 1),
+        dup AS (SELECT doc_id, pos FROM g JOIN cnt USING (gr) WHERE c >= 2),
+        isl AS (SELECT doc_id, pos,
+            sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM (SELECT doc_id, pos,
+                  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM dup)),
+        spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+                  FROM isl GROUP BY doc_id, island)
+        SELECT doc_id AS id, span_start, span_end,
+          span_end - span_start + 1 AS span_tokens
+        FROM spans WHERE span_end - span_start + 1 >= 8"""
+      }),
+
     // The same contamination scan through the Bloom-filter semi-join
     // pushdown (the very-large-benchmark-suite regime: sketch pre-filter
     // in the corpus scan, then the exact gram join). Bloom filters have no

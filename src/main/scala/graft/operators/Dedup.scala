@@ -390,6 +390,90 @@ object Dedup extends org.apache.spark.internal.Logging {
         (col("n_lines") - col("__n_kept")).as("n_dropped"))
   }
 
+  /** EXACT REPEATED-SPAN detection — substring-level dedup in the style of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al. 2021, the ExactSubstr stage): maximal token spans covered by word
+    * `gramSize`-grams that occur ≥ `minCount` times ANYWHERE in the corpus
+    * (across documents or repeated within one). Returns (id, span_start,
+    * span_end, span_tokens) in 0-based token positions; only spans of ≥
+    * `minSpanTokens` tokens are reported.
+    *
+    * The suffix-array machinery of the paper is a single-node construct;
+    * the same duplicated-span set falls out relationally: positional
+    * grams (narrow per-row expression, 8-byte hashes — the q_dedup_ngram
+    * collision argument), one corpus-wide gram-count hash aggregate
+    * (map-side combined), an equi-join back, and per-DOCUMENT
+    * gaps-and-islands windows (partitioned by id — no global window
+    * anywhere). At 100 TB the count table is the big intermediate; it
+    * shuffles 8-byte keys once and `minCount` prunes it before the join
+    * (a Bloom pushdown of the duplicated-gram set, as in
+    * [[Curation.contaminationHits]], slots in front of the join verbatim
+    * if even that table outgrows broadcast).
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    gramSize: Int = 8, minCount: Long = 2,
+                    minSpanTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= gramSize)
+    val posGrams = toks.select(col("id"),
+      posexplode(transform(sequence(lit(0), size(col("__t")) - gramSize),
+        i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(gramSize))))))
+        .as(Seq("pos", "__g")))
+    val dupGrams = posGrams.groupBy("__g").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("__g")
+    val dupPos = posGrams.join(dupGrams, "__g")
+      .select(col("id"), col("pos").cast("long").as("pos"))
+    val w = Window.partitionBy("id").orderBy("pos")
+    // gaps-and-islands: gram windows [p, p+k-1] chain while the next start
+    // is within k of the previous (covered tokens stay contiguous)
+    val isl = dupPos
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= gramSize, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("__isl", sum(col("__new")).over(w))
+    isl.groupBy(col("id"), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + gramSize - 1).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select("id", "span_start", "span_end", "span_tokens")
+  }
+
+  /** [[repeatedSpans]] as a text transform: duplicated spans are CUT from
+    * every document carrying them (all occurrences — the aggressive
+    * variant; pair with a first-occurrence policy offline if one copy
+    * should survive). Documents with no qualifying span pass through with
+    * their text BYTE-IDENTICAL (whitespace preserved); touched documents
+    * are rebuilt from the surviving tokens of the [[graft.functions.TextFunctions.tokens]]
+    * dialect, single-space joined. Output: the input columns with
+    * `textCol` rewritten, plus `n_cut_tokens`.
+    *
+    * The rebuild is pure array arithmetic on the (small) per-doc span
+    * list — token positions never explode or shuffle; only span structs
+    * move.
+    */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          gramSize: Int = 8, minCount: Long = 2,
+                          minSpanTokens: Int = 8): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, gramSize, minCount, minSpanTokens)
+    val byDoc = spans.groupBy(col("id").as("__sid"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"),
+        sum(col("span_tokens")).as("__n_cut"))
+    val t = TextFunctions.tokens(col(textCol))
+    val keptIdx = filter(sequence(lit(0), size(t) - 1),
+      i => !exists(col("__spans"), s =>
+        i >= s.getField("span_start") && i <= s.getField("span_end")))
+    docs.join(byDoc, docs(idCol) === col("__sid"), "left")
+      .withColumn(textCol,
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(concat_ws(" ",
+            transform(keptIdx, i => element_at(t, (i + 1).cast("int"))))))
+      .withColumn("n_cut_tokens", coalesce(col("__n_cut"), lit(0L)))
+      .drop("__sid", "__spans", "__n_cut")
+  }
+
   /** SimHash near-duplicate pairs with Hamming distance ≤ `maxDistance`.
     *
     * Candidate generation by the pigeonhole principle: the 64-bit hash splits

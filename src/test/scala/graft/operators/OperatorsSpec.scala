@@ -83,6 +83,45 @@ class OperatorsSpec extends SparkSpec {
       (3L, "totally original page with no boilerplate", 1L, 0L)))
   }
 
+  test("repeatedSpans finds maximal cross-doc and within-doc spans; removeRepeatedSpans cuts them") {
+    // 10 shared boilerplate tokens (b0..b9) embedded in distinct contexts,
+    // plus doc 3 repeating ITS OWN 8-token phrase twice
+    val boiler = (0 until 10).map(i => s"b$i").mkString(" ")
+    val selfRep = (0 until 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1a u1b u1c $boiler u1d u1e"),
+      (2L, s"$boiler v2a v2b v2c v2d v2e v2f"),
+      (3L, s"w3a $selfRep w3b $selfRep w3c"),
+      (4L, "clean x1 x2 x3 x4 x5 x6 x7 x8 x9 !with? original.punct")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text",
+        gramSize = 8, minCount = 2, minSpanTokens = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1: boiler at tokens 3..12; doc 2: tokens 0..9;
+    // doc 3: selfRep at 1..8 and 10..17 (two islands, gap of 1 token)
+    assert(spans == Set((1L, 3L, 12L, 10L), (2L, 0L, 9L, 10L),
+      (3L, 1L, 8L, 8L), (3L, 10L, 17L, 8L)))
+    val cut = Dedup.removeRepeatedSpans(docs, "doc_id", "text",
+        gramSize = 8, minCount = 2, minSpanTokens = 8)
+      .select("doc_id", "text", "n_cut_tokens")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(cut(1L)._2 == "u1a u1b u1c u1d u1e" && cut(1L)._3 == 10L)
+    assert(cut(2L)._2 == "v2a v2b v2c v2d v2e v2f")
+    assert(cut(3L)._2 == "w3a w3b w3c" && cut(3L)._3 == 16L)
+    // untouched docs pass through BYTE-identical (punctuation, case)
+    assert(cut(4L)._2 == "clean x1 x2 x3 x4 x5 x6 x7 x8 x9 !with? original.punct")
+    assert(cut(4L)._3 == 0L)
+  }
+
+  test("repeatedSpans windows partition by document — no global window") {
+    val docs = Seq((1L, ("t " * 20).trim)).toDF("doc_id", "text")
+    val plan = Dedup.repeatedSpans(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    // every Window in the plan carries the per-doc partition spec
+    val windows = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(windows.nonEmpty && windows.forall(_.contains("id#")), plan)
+  }
+
   test("dropRepeatedLines plans a hash aggregate, not a per-line window") {
     val pages = Seq((1L, "aaaaaaaaaaaa\nbbbbbbbbbbbb")).toDF("doc_id", "text")
     val plan = Dedup.dropRepeatedLines(pages, "doc_id", "text")
