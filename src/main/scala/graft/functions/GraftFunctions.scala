@@ -50,7 +50,12 @@ object GraftFunctions {
     // the Column API, which takes the BpeVocab object)
     "bpe_encode" -> (es => BpeEncode(es(0), BpeVocab.bundled)),
     "bpe_token_count_merged" -> composed(cs =>
-      TextFunctions.bpeTokenCount(cs(0), BpeVocab.bundled)))
+      TextFunctions.bpeTokenCount(cs(0), BpeVocab.bundled)),
+    // byte-level (GPT-2 bytes_to_unicode alphabet; lossless on any input)
+    "bpe_encode_bytes" -> (es => BpeEncode(es(0), BpeVocab.bundledBytes,
+      byteLevel = true)),
+    "bpe_token_count_bytes" -> composed(cs =>
+      TextFunctions.bpeTokenCountBytes(cs(0))))
 
   // IDEMPOTENT per session: callers sprinkle register() defensively (every
   // SQL-surface query path), and createOrReplaceTempFunction logs a

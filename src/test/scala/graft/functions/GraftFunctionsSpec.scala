@@ -42,6 +42,19 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.getInt(4) == 1)
   }
 
+  test("byte-level BPE functions register and round-trip through SQL") {
+    GraftFunctions.register(spark)
+    Seq("the cat said naïve 🎉").toDF("text").createOrReplaceTempView("gf_bytes")
+    val row = spark.sql(
+      """SELECT bpe_encode_bytes(text) AS toks,
+                bpe_token_count_bytes(text) AS n
+         FROM gf_bytes""").head()
+    val toks = row.getSeq[String](0)
+    assert(toks.nonEmpty && row.getLong(1) == toks.length.toLong)
+    assert(toks.exists(_.startsWith("Ġ")) && !toks.exists(_.contains(" ")))
+    assert(ByteLevel.decode(toks.mkString("")) == "the cat said naïve 🎉")
+  }
+
   test("rolling fingerprints overlap for shared substrings, disjoint otherwise") {
     val df = Seq(
       ("x", "the quick brown fox jumps over the lazy dog in the morning light"),
