@@ -412,15 +412,19 @@ object Dedup extends org.apache.spark.internal.Logging {
     */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                     gramSize: Int = 8, minCount: Long = 2,
-                    minSpanTokens: Int = 8): DataFrame = {
+                    minSpanTokens: Int = 8,
+                    materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= gramSize)
-    val posGrams = toks.select(col("id"),
+    // the positional gram table feeds BOTH the corpus count aggregate and
+    // the join back — materialize so text tokenizes+hashes once, not once
+    // per consumer (the minhashPairs fan-out argument)
+    val posGrams = materialized(materialize, toks.select(col("id"),
       posexplode(transform(sequence(lit(0), size(col("__t")) - gramSize),
         i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(gramSize))))))
-        .as(Seq("pos", "__g")))
+        .as(Seq("pos", "__g"))))
     val dupGrams = posGrams.groupBy("__g").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount).select("__g")
     val dupPos = posGrams.join(dupGrams, "__g")
