@@ -301,11 +301,13 @@ object TextStats {
     require(nBuckets >= 1, "nBuckets must be >= 1")
     val toks = docs.select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("__t"))
-    val uni = toks.select(col("id"), explode(col("__t")).as("__f"))
-    val bi = toks.filter(size(col("__t")) >= 2).select(col("id"),
-      explode(transform(slice(col("__t"), lit(1), size(col("__t")) - 1),
-        (x, i) => concat(x, lit(" "), element_at(col("__t"), i + 2)))).as("__f"))
-    val feats = uni.unionByName(bi)
+    // unigrams ++ bigrams in ONE array so the text tokenizes and explodes
+    // once (a union of two selects scans the corpus twice)
+    val bigrams = transform(
+      slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+      (x, i) => concat(x, lit(" "), element_at(col("__t"), i + 2)))
+    val feats = toks
+      .select(col("id"), explode(concat(col("__t"), bigrams)).as("__f"))
       .select(col("id"), (Sampling.hashLong(col("__f")) % nBuckets).as("__b"))
     val featWeights = broadcast(
       weights.filter(col("bucket") >= 0).select(col("bucket"), col("w_q16")))
