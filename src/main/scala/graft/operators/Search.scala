@@ -100,4 +100,62 @@ object Search {
           struct((-col("tf")).as("neg_tf"), col("id")),
           maxPostings, isMax = false).as("postings"))
   }
+
+  /** A persisted BM25 index: [[invertedPostings]] plus the per-document
+    * token lengths (the two tables [[bm25TopKIndexed]] serves from).
+    */
+  final case class BmIndex(lengths: DataFrame, postings: DataFrame)
+
+  /** Build the serving tables for [[bm25TopKIndexed]] — one corpus pass
+    * for the lengths, one explode+two-aggregate pass for the postings.
+    * Persist both under [[IndexRoot]] for the build-once/serve-many shape
+    * (the [[Dedup.minhashBandIndex]] contract).
+    */
+  def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                     maxPostings: Int = 10000): BmIndex =
+    BmIndex(
+      docs.select(col(idCol).as("id"),
+        TextFunctions.tokenCount(col(textCol)).as("dl")),
+      invertedPostings(docs, idCol, textCol, maxPostings))
+
+  /** [[bm25TopK]] served FROM the persisted index: reads ≤ |Q| postings
+    * rows (token-keyed — with the postings parquet bucketed or sorted by
+    * token this is a pruned point lookup, never a corpus scan), explodes
+    * only the matched postings, joins document lengths for the candidates
+    * and runs the same scoring formula. Equal to the scan path whenever no
+    * matched token overflowed `maxPostings` (spec-pinned); an overflowed
+    * token contributes its top-`maxPostings` docs only — the standard
+    * impact-ordered-index approximation, and those tokens carry idf ≈ 0.
+    */
+  def bm25TopKIndexed(index: BmIndex, queryTerms: Seq[String], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopKIndexed: empty query")
+    val terms = queryTerms.distinct
+    val matched = index.postings.filter(col("token").isin(terms: _*))
+    val tf = matched.select(col("token"), col("df"),
+        explode(col("postings")).as("__p"))
+      .select(col("token"), col("df"),
+        col("__p.id").as("id"), col("__p.tf").as("tf"))
+    val stats = index.lengths
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val nd = col("n_docs").cast("double")
+    val avgdl = col("total_dl").cast("double") / nd
+    val idf = log((nd - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5) + 1.0)
+    val tfd = col("tf").cast("double")
+    val dld = col("dl").cast("double")
+    val termScore = idf * (tfd * (k1 + 1.0)) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * dld / avgdl))
+    val perDoc = tf.join(index.lengths, "id").crossJoin(stats)
+      .groupBy("id")
+      .agg(sum(termScore).as("score"),
+        count(lit(1)).as("n_terms"),
+        sum(col("tf")).as("sum_tf"),
+        max(col("dl")).as("dl"))
+    val top = perDoc.orderBy(col("score").desc, col("id")).limit(k)
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("id"))).cast("long"))
+      .select("id", "rank", "n_terms", "sum_tf", "dl", "score")
+  }
 }

@@ -315,8 +315,12 @@ object TextStats {
       .groupBy("id")
       .agg(count(lit(1)).as("n_feats"),
         sum(coalesce(col("w_q16"), lit(0L))).as("__sw"))
+    // aggregate, not filter+select: a weights table WITHOUT a bias row
+    // would make the cross join silently return zero rows — sum-over-empty
+    // coalesces to bias 0 instead
     val bias = broadcast(
-      weights.filter(col("bucket") === -1).select(col("w_q16").as("__bias")))
+      weights.filter(col("bucket") === -1)
+        .agg(coalesce(sum(col("w_q16")), lit(0L)).as("__bias")))
     docs.select(col(idCol).as("id")).join(summed, Seq("id"), "left")
       .crossJoin(bias)
       .select(col("id"),

@@ -69,12 +69,22 @@ object ScaleTen {
     }
 
     val names = Seq("q_curation_pipeline", "q_curation_decontam",
-      "q_dedup_clusters", "q_repetition", "q_embed_neardup_lsh")
+      "q_dedup_clusters", "q_repetition", "q_embed_neardup_lsh",
+      // round-8 additions: span dedup (positional grams + per-doc windows),
+      // quality model (md5 feature hashing), BM25 (scan-stage term filter),
+      // Bloom-pushdown decontamination
+      "q_span_dedup", "q_quality_model", "q_bm25", "q_decontam_bloom")
 
+    // noop sink, not count(): count() lets Catalyst ELIMINATE work that
+    // doesn't affect cardinality (q_quality_model's final left join has a
+    // unique right key, so count() skipped the entire scoring pipeline);
+    // the noop write forces every column of every row
     def time(name: String, dir: String): (Double, Long) = {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
       val t0 = System.nanoTime()
-      val rows = graft.SparkEntry.queries(name)(spark, dir).count()
-      ((System.nanoTime() - t0) / 1e9, rows)
+      df.write.mode("overwrite").format("noop").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, df.count())
     }
 
     // warm the JVM (codegen, classloading) on the small corpus so the

@@ -46,6 +46,29 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopKIndexed == the scan path when no matched token overflows the cap") {
+    val docs = Seq(
+      (1L, s"apple $filler"),
+      (2L, s"apple apple apple $filler"),
+      (3L, s"apple ${filler * 20}"),
+      (4L, filler * 4),
+      (5L, s"banana $filler"),
+      (6L, s"apple banana $filler")
+    ).toDF("doc_id", "text")
+    val idx = Search.buildBm25Index(docs, "doc_id", "text", maxPostings = 100)
+    val scan = Search.bm25TopK(docs, "doc_id", "text",
+        Seq("apple", "banana"), k = 10)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val served = Search.bm25TopKIndexed(idx, Seq("apple", "banana"), k = 10)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(served == scan && scan.nonEmpty)
+    // an overflowed token degrades to its top-cap docs, never errors
+    val tiny = Search.buildBm25Index(docs, "doc_id", "text", maxPostings = 2)
+    val capped = Search.bm25TopKIndexed(tiny, Seq("apple"), k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(capped.size == 2 && capped.subsetOf(Set(1L, 2L, 3L, 6L)))
+  }
+
   test("invertedPostings: df exact, postings tf-ordered, Zipf cap holds") {
     val docs = Seq(
       (1L, "alpha alpha beta"),

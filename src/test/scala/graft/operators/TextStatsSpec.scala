@@ -159,5 +159,11 @@ class TextStatsSpec extends SparkSpec {
     assert(got(4L)._2 == 0L && got(4L)._3 == 100L && got(4L)._4 == 1)
     // bag semantics: doc 5 has 3 unigram occurrences + 2 bigram occurrences
     assert(got(5L)._2 == 5L)
+    // a weights table WITHOUT a bias row means bias 0, not an empty result
+    val noBias = TextStats.modelQualityScore(docs, "doc_id", "text",
+        weights.filter($"bucket" >= 0), nBuckets)
+      .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(noBias.size == 5 && noBias(4L)._3 == 0L)
+    assert(noBias(1L)._3 == got(1L)._3 - 100L)
   }
 }
