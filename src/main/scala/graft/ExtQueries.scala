@@ -860,6 +860,37 @@ object ExtQueries {
       Some("""SELECT doc_id, text, lang, source, n_chars FROM documents
               ORDER BY md5(text), doc_id LIMIT 50""")),
 
+    // PER-SOURCE DOCUMENT CAP: at most 10 docs per source, best quality
+    // first (common-crawl-style per-host caps — stops one domain from
+    // dominating the mix). Same bounded-heap aggregate as the stratified
+    // sample; the ordering key is the float quality score, which is
+    // bit-identical across engines (q_quality proves it), tie-broken by
+    // doc_id.
+    "q_source_cap" -> Q(
+      (s, dir) => graft.operators.Sampling.stratifiedExactN(
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            qualityScore(col("text")).as("quality")),
+        Seq("source"), n = 10,
+        orderBy = Seq(negate(col("quality")), col("doc_id"))),
+      Some(s"""
+        WITH t AS (SELECT doc_id, source, text, $sqlTokens AS toks FROM documents),
+        m AS (SELECT doc_id, source,
+          CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) END AS punct_ratio,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE) / len(toks) END AS stopword_ratio,
+          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_signal
+        FROM t),
+        q AS (SELECT doc_id, source,
+          greatest(least(len_signal * 0.4 + least(stopword_ratio * 4.0, 1.0) * 0.4
+            + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 1.0), 0.0) AS quality
+        FROM m)
+        SELECT doc_id, source, quality FROM (
+          SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY quality DESC, doc_id) AS rn FROM q) r
+        WHERE rn <= 10""")),
+
     // Overlapping token-window chunking (40-token windows every 20) — the
     // long-document → training-sequence splitter. Narrow, no shuffle.
     "q_chunk_tokens" -> Q(
@@ -1004,6 +1035,56 @@ object ExtQueries {
         SELECT doc_id, lang, n_tokens, epoch FROM fullp
         UNION ALL SELECT * FROM part""")),
 
+    // TEMPERATURE-BALANCED mixture: weights derived from the corpus as
+    // c^0.5 (the multilingual α-sampling knob) — no caller weight map.
+    // The only float step (sqrt, correctly rounded by IEEE-754 in both
+    // engines) is quantized to an integer Q20 before any sum or division,
+    // so the allocation arithmetic is exact integer on both sides.
+    "q_mixture_temp" -> Q(
+      (s, dir) => graft.operators.Mixing.allocateByTemperature(
+        table(s, dir, "documents"), "doc_id", "text", "lang",
+        alpha = 0.5, totalBudget = 20000L),
+      Some(s"""
+        WITH n AS (SELECT doc_id, lang, md5(text) AS h,
+                     CAST(len($sqlTokens) AS BIGINT) AS n_tokens FROM documents),
+        t AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS c FROM n GROUP BY 1),
+        qt AS (SELECT lang, CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1048576) AS BIGINT) AS q
+               FROM t WHERE c > 0),
+        al AS (SELECT lang, CAST((q * 20000) // (SELECT sum(q) FROM qt) AS BIGINT) AS alloc
+               FROM qt),
+        w AS (SELECT n.doc_id, n.lang, n.n_tokens, n.h, al.alloc,
+                COALESCE(sum(n_tokens) OVER (PARTITION BY n.lang ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+              FROM n JOIN al USING (lang) WHERE al.alloc > 0)
+        SELECT doc_id, lang, n_tokens FROM w
+        WHERE before + n_tokens <= alloc""")),
+
+    // DATA-QUALITY EXPECTATIONS: five named row contracts checked in ONE
+    // scan (one aggregate; adding a rule adds a counter, not a pass).
+    // NULL predicate results count as violations by contract.
+    "q_expectations" -> Q(
+      (s, dir) => graft.operators.Profile.expectations(
+        table(s, dir, "documents"), Seq(
+          "doc_id_not_null" -> col("doc_id").isNotNull,
+          "n_chars_consistent" -> (col("n_chars") === length(col("text"))),
+          "lang_known" -> col("lang").isin("en", "de", "fr", "es"),
+          "text_min_80_chars" -> (length(col("text")) >= 80),
+          "source_well_formed" -> col("source").rlike("^src[0-9]+$"))),
+      Some {
+        val rules = Seq(
+          "doc_id_not_null" -> "doc_id IS NOT NULL",
+          "n_chars_consistent" -> "n_chars = length(text)",
+          "lang_known" -> "lang IN ('en','de','fr','es')",
+          "text_min_80_chars" -> "length(text) >= 80",
+          "source_well_formed" -> "regexp_matches(source, '^src[0-9]+$')")
+        rules.map { case (name, pred) =>
+          s"""SELECT '$name' AS rule, count(*) AS n_rows,
+               CAST(sum(CASE WHEN COALESCE($pred, false) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+               CAST(sum(CASE WHEN COALESCE($pred, false) THEN 0 ELSE 1 END) = 0 AS INT) AS pass
+             FROM documents"""
+        }.mkString(" UNION ALL ")
+      }),
+
     // One-pass table profile (exact distinct for the oracle; production
     // default is the HLL sketch).
     "q_profile" -> Q(
@@ -1136,6 +1217,27 @@ object ExtQueries {
              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
              ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
                ON p.user_id = c.user_id AND c.ts <= p.ts""")),
+
+    // CHANGELOG → CURRENT STATE (CDC last-write-wins merge): events as a
+    // per-user upsert log versioned by (ts, event_id); a user whose
+    // LATEST event is an 'error' is a tombstone and drops entirely —
+    // older rows must not resurface. One ObjectHashAggregate argmax (no
+    // per-key sort; a million-update hot key still reduces map-side).
+    "q_cdc_snapshot" -> Q(
+      (s, dir) => graft.operators.Lake.latestSnapshot(
+          events(s, dir)
+            .withColumn("cents", round(col("value") * 100).cast("long"))
+            .select("event_id", "user_id", "event_type", "cents", "ts"),
+          Seq("user_id"), Seq(col("ts"), col("event_id")),
+          isDelete = col("event_type") === "error")
+        .select("event_id", "user_id", "event_type", "cents"),
+      Some("""
+        WITH c AS (SELECT event_id, user_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents, ts FROM events),
+        r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn FROM c)
+        SELECT event_id, user_id, event_type, cents FROM r
+        WHERE rn = 1 AND event_type <> 'error'""")),
 
     // FORWARD as-of with tolerance: each purchase gets the user's NEXT
     // click within 30 minutes (pandas merge_asof(direction='forward',
@@ -1544,26 +1646,23 @@ object ExtQueries {
           table(s, dir, "documents"), "doc_id", "text",
           Seq("vector", "spark", "customer"), k = 10)
         .select("id", "rank", "n_terms", "sum_tf", "dl"),
-      Some(s"""
-        WITH lens AS (SELECT doc_id, CAST(len($sqlTokens) AS BIGINT) AS dl FROM documents),
-        stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) AS tot FROM lens),
-        tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
-        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-               WHERE token IN ('vector', 'spark', 'customer') GROUP BY 1, 2),
-        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        scored AS (SELECT doc_id,
-            sum(ln((nd - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
-              * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
-              / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / (tot / nd)))) AS score,
-            CAST(count(*) AS BIGINT) AS n_terms,
-            CAST(sum(tf) AS BIGINT) AS sum_tf,
-            max(dl) AS dl
-          FROM tf JOIN dfq USING (token) JOIN lens USING (doc_id) CROSS JOIN stats
-          GROUP BY doc_id)
-        SELECT doc_id AS id,
-          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
-          n_terms, sum_tf, dl
-        FROM scored ORDER BY score DESC, doc_id LIMIT 10""")),
+      bm25OracleSql),
+
+    // The same ranking served FROM the index tables ([[Search.buildBm25Index]]
+    // → [[Search.bm25TopKIndexed]]): only the ≤|Q| matched postings rows
+    // move and the corpus is never re-scanned — the build-once/serve-many
+    // shape. Output equals the scan path whenever no matched token
+    // overflows the postings cap (spec-pinned), so the two rows share one
+    // oracle.
+    "q_bm25_indexed" -> Q(
+      (s, dir) => {
+        val idx = graft.operators.Search.buildBm25Index(
+          table(s, dir, "documents"), "doc_id", "text")
+        graft.operators.Search.bm25TopKIndexed(
+            idx, Seq("vector", "spark", "customer"), k = 10)
+          .select("id", "rank", "n_terms", "sum_tf", "dl")
+      },
+      bm25OracleSql),
 
     "q_salient_terms" -> Q(
       (s, dir) => graft.operators.TextStats.salientTerms(
@@ -1600,6 +1699,33 @@ object ExtQueries {
         WHERE n >= 2
           AND 4 * (n * cents - s) * (n * cents - s) > 9 * (n * sq - s * s)""")),
   )
+
+  /** One oracle for BOTH `q_bm25` and `q_bm25_indexed` — the indexed
+    * serving path is contractually equal to the scan path when no matched
+    * token overflows the postings cap (true here: the corpus is far below
+    * the default cap).
+    */
+  private lazy val bm25OracleSql: Option[String] =
+    Some(s"""
+        WITH lens AS (SELECT doc_id, CAST(len($sqlTokens) AS BIGINT) AS dl FROM documents),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) AS tot FROM lens),
+        tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+               WHERE token IN ('vector', 'spark', 'customer') GROUP BY 1, 2),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (SELECT doc_id,
+            sum(ln((nd - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+              * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+              / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / (tot / nd)))) AS score,
+            CAST(count(*) AS BIGINT) AS n_terms,
+            CAST(sum(tf) AS BIGINT) AS sum_tf,
+            max(dl) AS dl
+          FROM tf JOIN dfq USING (token) JOIN lens USING (doc_id) CROSS JOIN stats
+          GROUP BY doc_id)
+        SELECT doc_id AS id,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          n_terms, sum_tf, dl
+        FROM scored ORDER BY score DESC, doc_id LIMIT 10""")
 
   // Headline analytical queries (bench anchors; also oracle-checked).
   private val headlineQueries: Seq[(String, Q)] = Seq(

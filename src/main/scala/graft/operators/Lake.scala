@@ -63,6 +63,37 @@ object Lake {
       .orderBy("shard")
   }
 
+  /** CHANGELOG → CURRENT-STATE snapshot: the last-write-wins CDC merge
+    * (the "apply the upsert/delete log" read every mutable-table lake
+    * keeps re-running). For each key the row with the LARGEST
+    * `versionCols` struct survives; if that surviving row matches
+    * `isDelete` the key is a tombstone and is dropped entirely — an older
+    * non-delete row must NOT resurface. Callers should make the version
+    * struct a total order (e.g. `(ts, seq)` with a unique seq) or ties
+    * resolve by first-merged, which is partitioning-dependent.
+    *
+    * Scale: ONE ObjectHashAggregate shuffle via
+    * [[graft.functions.ArgExtremumRow]] — map-side partial argmax reduces
+    * each partition's share of a key to one row before the exchange, and
+    * no per-key sort ever happens (the `row_number() OVER key` CDC
+    * formulation sorts whole hot keys in single tasks; a million-update
+    * key dies there and survives here).
+    */
+  def latestSnapshot(changelog: DataFrame, keyCols: Seq[String],
+                     versionCols: Seq[Column],
+                     isDelete: Column = lit(false)): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(versionCols.nonEmpty, "versionCols must be non-empty")
+    val rowStruct = struct(
+      changelog.columns.map(col) :+ isDelete.cast("boolean").as("__del"): _*)
+    changelog.groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.ArgExtremum
+        .argRow(rowStruct, struct(versionCols: _*), isMax = true).as("__row"))
+      .filter(!coalesce(col("__row.__del"), lit(false)))
+      .select(col("__row.*"))
+      .drop("__del")
+  }
+
   /** The Morton (Z-curve) interleave of `zCols`, each equal-width
     * bucketized to `bitsPerDim` bits over its [min, max] range — the sort
     * key that makes [[writeZOrdered]] cluster EVERY listed dimension at

@@ -31,9 +31,18 @@ object Mixing {
     */
   private val EpochBlock = 4096L
 
-  /** The deterministic (source, hash-order) base table every allocator
-    * shares: (__id, __src, n_tokens, __h, __alloc, __bucket), zero-weight
-    * sources already dropped.
+  /** The deterministic hash-order document table every allocator shares:
+    * (__id, __src, n_tokens, __h, __bucket).
+    */
+  private def hashBase(df: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), col(sourceCol).as("__src"),
+        TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
+        md5(col(textCol)).as("__h"))
+      .withColumn("__bucket", conv(substring(col("__h"), 1, 4), 16, 10).cast("long"))
+
+  /** [[hashBase]] plus `__alloc` from a caller-fixed weight map,
+    * zero-weight sources already dropped.
     */
   private def allocBase(df: DataFrame, idCol: String, textCol: String,
                         sourceCol: String, weights: Map[String, Double],
@@ -44,12 +53,9 @@ object Mixing {
       when(col("__src") === src, lit(math.floor(totalBudget * w).toLong))
         .otherwise(acc)
     }
-    df.select(col(idCol).as("__id"), col(sourceCol).as("__src"),
-        TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
-        md5(col(textCol)).as("__h"))
+    hashBase(df, idCol, textCol, sourceCol)
       .withColumn("__alloc", allocExpr)
       .filter(col("__alloc") > 0)
-      .withColumn("__bucket", conv(substring(col("__h"), 1, 4), 16, 10).cast("long"))
   }
 
   /** Adds `__before` = per-source running token total over the
@@ -81,6 +87,60 @@ object Mixing {
       // empty source rather than a blown budget)
       .filter(col("__before") + col("n_tokens") <= col("__alloc"))
       .select(col("__id").as(idCol), col("__src").as(sourceCol), col("n_tokens"))
+
+  /** TEMPERATURE-BALANCED mixture: mixture weights DERIVED from the corpus
+    * itself as `w_s ∝ c_s^α` (c_s = source s's token count) — the standard
+    * multilingual/multi-domain rebalancing knob (α = 1 keeps natural
+    * proportions, α → 0 approaches uniform, α = 0.5 is the common
+    * compromise). No caller-supplied weight map: the per-source totals are
+    * one map-side-combined aggregate over the corpus.
+    *
+    * Cross-engine exactness: the only float step is `c^α` itself, which is
+    * immediately quantized to the integer `q_s = floor(c_s^α · 2²⁰)`; the
+    * allocation `floor(B · q_s / Σq)` is then pure integer arithmetic
+    * (decimal(38,0) product, integral division) — no float SUM whose
+    * accumulation order could differ between engines. α = 0.5 / 1.0 / 0.0
+    * use sqrt / identity / indicator, all correctly rounded by IEEE-754,
+    * so those temperatures are bit-deterministic everywhere; other α rely
+    * on libm `pow` agreement (a 1-ulp divergence flips `q_s` only when
+    * `c^α·2²⁰` lands within an ulp of an integer, p ≈ 2⁻³³ per source).
+    *
+    * Selection within each source is the same deterministic hash order and
+    * never-exceed contract as [[allocateByTokenBudget]] (shared prefix-sum
+    * machinery). Output: one row per taken document
+    * (idCol, sourceCol, n_tokens).
+    */
+  def allocateByTemperature(df: DataFrame, idCol: String, textCol: String,
+                            sourceCol: String, alpha: Double,
+                            totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, "totalBudget must be positive")
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val base = hashBase(df, idCol, textCol, sourceCol)
+    val cD = col("__c").cast("double")
+    val pw =
+      if (alpha == 1.0) cD
+      else if (alpha == 0.5) sqrt(cD)
+      else if (alpha == 0.0) when(cD > 0, lit(1.0)).otherwise(lit(0.0))
+      else pow(cD, lit(alpha))
+    val q = base.groupBy("__src").agg(sum(col("n_tokens")).as("__c"))
+      .withColumn("__q", floor(pw * (1L << 20)).cast("long"))
+      .filter(col("__q") > 0)
+    // Σq is an INTEGER sum (order-independent); the per-source allocation
+    // is an exact integral division of the decimal product, so every
+    // engine floors the same rational number. The unpartitioned window
+    // runs over the |sources|-row aggregate table, never over data rows.
+    // (NOT named __Q: SQL resolution is case-insensitive, so an expr
+    // referencing __Q silently binds to __q.)
+    val alloc = q
+      .withColumn("__qsum", sum(col("__q")).over(Window.partitionBy()))
+      .withColumn("__alloc",
+        expr(s"(CAST(__q AS DECIMAL(38,0)) * CAST($totalBudget AS DECIMAL(38,0))) div __qsum"))
+      .filter(col("__alloc") > 0)
+      .select("__src", "__alloc")
+    withRunningTotal(base.join(broadcast(alloc), "__src"))
+      .filter(col("__before") + col("n_tokens") <= col("__alloc"))
+      .select(col("__id").as(idCol), col("__src").as(sourceCol), col("n_tokens"))
+  }
 
   /** UPSAMPLING mixture: [[allocateByTokenBudget]] for the case every real
     * mixture hits — a high-weight source SMALLER than its allocation (the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.RowOrdering
 import org.apache.spark.sql.functions._
 
@@ -96,6 +96,39 @@ object Profile {
         .as("bucket"), v.as("__v"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("cnt"), min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+  }
+
+  /** DATA-QUALITY EXPECTATIONS report: evaluate every named row predicate
+    * in ONE scan and return one row per rule —
+    * (rule, n_rows, n_violations, pass) — the contract-check gate a
+    * pipeline runs before promoting a table (the Deequ/Great-Expectations
+    * shape, as a single aggregate).
+    *
+    * A row VIOLATES a rule when its predicate is false OR NULL —
+    * three-valued logic would otherwise let a NULL-riddled column "pass"
+    * every check silently; write `isNull`-tolerant predicates explicitly
+    * where NULL is acceptable.
+    *
+    * Scale: all rules fold into one map-side-combined aggregate over a
+    * single pass (no per-rule scans, no shuffle of data rows — only the
+    * one-row aggregate moves), then pivot to per-rule rows driver-free via
+    * explode. Adding a rule adds one long counter per task, not a pass.
+    */
+  def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "rules must be non-empty")
+    val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
+      case ((_, pred), i) =>
+        sum(when(coalesce(pred.cast("boolean"), lit(false)), 0L).otherwise(1L))
+          .as(s"__v_$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val perRule = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"),
+        col("__n").as("n_rows"),
+        coalesce(col(s"__v_$i"), lit(0L)).as("n_violations"),
+        (coalesce(col(s"__v_$i"), lit(0L)) === 0L).cast("int").as("pass"))
+    }
+    one.select(explode(array(perRule: _*)).as("__r")).select("__r.*")
   }
 
   private def finish(one: DataFrame, names: Seq[String]): DataFrame = {

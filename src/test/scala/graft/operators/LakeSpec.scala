@@ -205,4 +205,33 @@ class LakeSpec extends SparkSpec {
     assert(spark.read.parquet(out).select(sum("id")).as[Long].head() ==
       (1 to 3000).map(_.toLong).sum)
   }
+
+  test("latestSnapshot: last write wins, tombstones drop keys, older rows never resurface") {
+    // (key, version, op, payload) — key 1 updated twice; key 2 deleted
+    // LAST (must vanish even though older upserts exist); key 3 has a
+    // delete in the MIDDLE (latest upsert must resurface the key with the
+    // newest payload, not the pre-delete one); key 4 delete-only.
+    val log = Seq(
+      (1L, 1L, "u", "a"), (1L, 3L, "u", "c"), (1L, 2L, "u", "b"),
+      (2L, 1L, "u", "x"), (2L, 2L, "d", ""),
+      (3L, 1L, "u", "p"), (3L, 2L, "d", ""), (3L, 3L, "u", "q"),
+      (4L, 1L, "d", "")
+    ).toDF("k", "v", "op", "payload").repartition(5)
+    val got = Lake.latestSnapshot(log, Seq("k"), Seq(col("v")),
+        isDelete = col("op") === "d")
+      .select("k", "v", "op", "payload")
+      .as[(Long, Long, String, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, 3L, "u", "c"), (3L, 3L, "u", "q")))
+    // one ObjectHashAggregate, no sort, no window
+    val plan = Lake.latestSnapshot(log, Seq("k"), Seq(col("v")),
+        isDelete = col("op") === "d")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"), plan)
+    // version tie-break: a composite (v, seq) version is a total order
+    val tied = Seq((1L, 1L, 10L, "old"), (1L, 1L, 20L, "new"))
+      .toDF("k", "v", "seq", "payload")
+    val snap = Lake.latestSnapshot(tied, Seq("k"), Seq(col("v"), col("seq")))
+      .select("payload").as[String].collect().toSeq
+    assert(snap == Seq("new"))
+  }
 }

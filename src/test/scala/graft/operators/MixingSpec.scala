@@ -103,6 +103,72 @@ class MixingSpec extends SparkSpec {
     assert(got == (0L until 10000L).toSeq)
   }
 
+  test("allocateByTemperature == driver BigInt reference; α interpolates toward uniform") {
+    val budget = 900L
+    // driver reference: per-source totals → q = floor(sqrt(c)·2^20) →
+    // alloc = floor(B·q/Σq) in BigInt, then the same window take
+    val totals = docs
+      .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("text")))
+      .groupBy("source").agg(sum("n_tokens").as("c"))
+      .as[(String, Long)].collect().toMap
+    def refAllocs(alpha: Double): Map[String, Long] = {
+      val q = totals.map { case (s, c) =>
+        s -> BigInt(math.floor(math.sqrt(c.toDouble) * (1L << 20)).toLong)
+      }.filter(_._2 > 0)
+      val sumQ = q.values.sum
+      require(alpha == 0.5)
+      q.map { case (s, qs) => s -> (BigInt(budget) * qs / sumQ).toLong }
+        .filter(_._2 > 0)
+    }
+    val allocs = refAllocs(0.5)
+    val w = Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val allocExpr = allocs.foldLeft(lit(0L)) { case (acc, (s, a)) =>
+      when(col("source") === s, lit(a)).otherwise(acc)
+    }
+    val expected = docs
+      .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("text")))
+      .withColumn("alloc", allocExpr)
+      .withColumn("before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter(col("alloc") > 0 && col("before") + col("n_tokens") <= col("alloc"))
+      .select("doc_id", "source", "n_tokens")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    val got = Mixing.allocateByTemperature(docs, "doc_id", "text", "source",
+        alpha = 0.5, totalBudget = budget)
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got == expected && got.nonEmpty)
+    // partitioning invariance
+    val rep = Mixing.allocateByTemperature(docs.repartition(13), "doc_id",
+        "text", "source", alpha = 0.5, totalBudget = budget)
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(rep == got)
+  }
+
+  test("allocateByTemperature: α=1 matches natural proportions, α=0 equalizes") {
+    def takenTokens(alpha: Double): Map[String, Long] =
+      Mixing.allocateByTemperature(docs, "doc_id", "text", "source",
+          alpha, totalBudget = 600L)
+        .groupBy("source").agg(sum("n_tokens").as("t"))
+        .as[(String, Long)].collect().toMap
+    val natural = docs
+      .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("text")))
+      .groupBy("source").agg(sum("n_tokens").as("c"))
+      .as[(String, Long)].collect().toMap
+    val at1 = takenTokens(1.0)
+    val at0 = takenTokens(0.0)
+    // α=0: every source's ALLOCATION is floor(B/3)=200 (uniform weights);
+    // the take fills it to within one document of 200 per source
+    assert(at0.keySet == natural.keySet)
+    assert(at0.values.forall(t => t <= 200L))
+    // α=1 allocations track natural shares: the largest source keeps the
+    // largest take, and the spread RATIO between extremes exceeds α=0's
+    val spread = (m: Map[String, Long]) =>
+      m.values.max.toDouble / m.values.min.max(1L)
+    assert(spread(at1) >= spread(at0))
+    // never-exceed per source at any α
+    assert(at1.values.sum <= 600L && at0.values.sum <= 600L)
+  }
+
   test("the only unbounded-partition window runs over the bucket-sum table") {
     val plan = Mixing.allocateByTokenBudget(docs, "doc_id", "text", "source",
         weights, 500L)

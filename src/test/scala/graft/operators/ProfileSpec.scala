@@ -63,4 +63,32 @@ class ProfileSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(g3 == Seq((0L, 1L, 1L, 1L), (1L, 1L, 2L, 2L)))
   }
+
+  test("expectations: one scan, per-rule counts, NULL predicates violate") {
+    val df = Seq(
+      (Some(1L), Some("en"), 100L),
+      (Some(2L), Some("de"), 10L),
+      (Some(3L), None, 200L),       // NULL lang -> lang rule violates
+      (None, Some("en"), 300L)      // NULL id
+    ).toDF("id", "lang", "n")
+    val got = Profile.expectations(df, Seq(
+        "id_not_null" -> col("id").isNotNull,
+        "lang_known" -> col("lang").isin("en", "de"),
+        "n_at_least_50" -> (col("n") >= 50L)))
+      .as[(String, Long, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      ("id_not_null", 4L, 1L, 0),
+      ("lang_known", 4L, 1L, 0),     // NULL lang counts as a violation
+      ("n_at_least_50", 4L, 1L, 0)))
+    // all-pass table: pass flag flips to 1
+    val clean = Profile.expectations(df.filter(col("id").isNotNull && col("lang").isNotNull),
+        Seq("id_not_null" -> col("id").isNotNull))
+      .as[(String, Long, Long, Int)].collect().toSeq
+    assert(clean == Seq(("id_not_null", 2L, 0L, 1)))
+    // one scan: a single aggregate, no join/union of per-rule scans
+    val plan = Profile.expectations(df, Seq(
+        "a" -> col("id").isNotNull, "b" -> (col("n") > 0L)))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union") && !plan.contains("Join"), plan)
+  }
 }
