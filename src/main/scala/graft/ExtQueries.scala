@@ -307,6 +307,94 @@ object ExtQueries {
           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
         FROM tok JOIN vocab USING (token) GROUP BY doc_id""")),
 
+    // BIGRAM-LM "perplexity" filter (CCNet family): per-doc surprisal
+    // under the corpus's own bigram model, in EXACT INTEGER BITS
+    // (bitlen differences — ln's libm rounding differs across engines,
+    // bit-length does not). Engine joins hashed bigrams (8 bytes); the
+    // oracle uses raw strings (the q_dedup_ngram collision argument).
+    "q_perplexity" -> Q(
+      (s, dir) => graft.operators.TextStats.bigramBitCost(
+        table(s, dir, "documents"), "doc_id", "text", keepMilliBits = 4700L),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+        bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+                 unnest(toks[2:len(toks)]) AS w2 FROM t WHERE len(toks) >= 2),
+        c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+        v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS vs FROM
+                (SELECT unnest($sqlTokens) AS token FROM documents)),
+        cost AS (SELECT doc_id,
+            CAST(length(bin(c1 + vs)) - length(bin(c12)) AS BIGINT) AS cost
+          FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                  CAST(sum(cost) AS BIGINT) AS bit_cost FROM cost GROUP BY 1)
+        SELECT d.doc_id AS id,
+          CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+          CAST(COALESCE(a.bit_cost, 0) AS BIGINT) AS bit_cost,
+          CAST(COALESCE(a.bit_cost * 1000 // a.n_bigrams, 0) AS BIGINT) AS milli_bits,
+          CAST(COALESCE(a.bit_cost * 1000 // a.n_bigrams, 0) <= 4700 AS INT) AS keep
+        FROM documents d LEFT JOIN agg a USING (doc_id)""")),
+
+    // FREQUENCY-RANKED VOCABULARY: dense ids 0..n-1 by (count desc, token
+    // asc) under a bounded-heap cap — the "train the tokenizer vocab"
+    // step. The full token universe never sorts (TopNRows aggregate).
+    "q_vocab" -> Q(
+      (s, dir) => graft.operators.TextStats.buildVocab(
+        table(s, dir, "documents"), col("text"), maxVocab = 1000),
+      Some(s"""
+        WITH tok AS (SELECT unnest($sqlTokens) AS token FROM documents),
+        cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1)
+        SELECT token, cnt, CAST(rn - 1 AS BIGINT) AS id FROM (
+          SELECT token, cnt,
+            row_number() OVER (ORDER BY cnt DESC, token) AS rn FROM cnt) r
+        WHERE rn <= 1000""")),
+
+    // Vocab-id ENCODING (the serving half): each doc as its ordered id
+    // sequence, OOV → -1, token-less docs keep an empty sequence. The
+    // vocab broadcasts; one doc-id shuffle; order restored by carried
+    // position, never a window sort.
+    "q_vocab_encode" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.operators.TextStats.encodeWithVocab(
+          docs, "doc_id", col("text"),
+          graft.operators.TextStats.buildVocab(docs, col("text"), maxVocab = 200))
+      },
+      Some(s"""
+        WITH tok AS (SELECT unnest($sqlTokens) AS token FROM documents),
+        cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+        vocab AS (SELECT token, CAST(rn - 1 AS BIGINT) AS vid FROM (
+          SELECT token, cnt,
+            row_number() OVER (ORDER BY cnt DESC, token) AS rn FROM cnt) r
+          WHERE rn <= 200),
+        t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+        pos AS (SELECT doc_id, unnest(toks) AS token,
+                  unnest(range(1, len(toks) + 1)) AS p FROM t),
+        enc AS (SELECT doc_id,
+                  list(COALESCE(vid, -1) ORDER BY p) AS token_ids
+                FROM pos LEFT JOIN vocab USING (token) GROUP BY doc_id)
+        SELECT d.doc_id AS id,
+          COALESCE(e.token_ids, CAST([] AS BIGINT[])) AS token_ids,
+          CAST(COALESCE(len(e.token_ids), 0) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN enc e USING (doc_id)""")),
+
+    // KEY-SKEW profile: the 20 heaviest event users with exact counts and
+    // integer ppm share — the pre-shuffle "which keys melt a task" report.
+    // Bounded heap + single-row total broadcast; no full key sort.
+    "q_key_skew" -> Q(
+      (s, dir) => graft.operators.Profile.keySkew(
+        events(s, dir).select("user_id", "event_type"), Seq("user_id"), k = 20),
+      Some("""
+        WITH cnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+                     FROM events GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+                  CAST(count(*) AS BIGINT) AS n_keys FROM cnt)
+        SELECT user_id, cnt, CAST(rn AS BIGINT) AS rank, n_keys,
+          CAST(cnt * 1000000 // tot AS BIGINT) AS ppm
+        FROM (SELECT user_id, cnt,
+                row_number() OVER (ORDER BY cnt DESC, user_id) AS rn FROM cnt) r
+        CROSS JOIN tot WHERE rn <= 20""")),
+
     // Benchmark decontamination: documents sharing any word 8-gram with
     // the "benchmark" slice (doc_id % 10 = 0), with distinct-shared-gram
     // counts. Engine joins on HASHED grams (8 bytes/gram, fused per-row

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.TopN
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.RowOrdering
 import org.apache.spark.sql.functions._
@@ -129,6 +130,37 @@ object Profile {
         (coalesce(col(s"__v_$i"), lit(0L)) === 0L).cast("int").as("pass"))
     }
     one.select(explode(array(perRule: _*)).as("__r")).select("__r.*")
+  }
+
+  /** KEY-SKEW profile: the `k` heaviest keys with exact counts, integer
+    * parts-per-million share, and rank — the "which keys will melt my
+    * shuffle" report an operator run consults before picking a salting /
+    * AQE-skew strategy (one hot key at 100 TB is a task that never
+    * finishes; this tells you it exists BEFORE the job does).
+    *
+    * Scale: per-key counts are one map-side-combined hash aggregate; the
+    * top-k is a BOUNDED [[graft.functions.TopNRows]] heap (rank order
+    * cnt desc, then key asc — deterministic under ties), so the full key
+    * universe never sorts; the grand total is a single-row aggregate the
+    * k winners cross-join against (broadcast — the Search single-row
+    * stats idiom). `ppm` is exact integer `cnt·10⁶ div total`: no float
+    * share, identical on every engine.
+    */
+  def keySkew(df: DataFrame, keyCols: Seq[String], k: Int): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(k > 0, "k must be positive")
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("__tot"),
+      count(lit(1)).as("n_keys"))
+    counts.agg(TopN.rows(
+        struct(keyCols.map(col) :+ col("cnt"): _*),
+        struct((-col("cnt")).as("neg_cnt") +: keyCols.map(col): _*),
+        k, isMax = false).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("__t.*"), (col("__pos") + 1).cast("long").as("rank"))
+      .crossJoin(broadcast(totals))
+      .withColumn("ppm", expr("cnt * 1000000 div __tot"))
+      .drop("__tot")
   }
 
   private def finish(one: DataFrame, names: Seq[String]): DataFrame = {

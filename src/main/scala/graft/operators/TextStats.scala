@@ -328,4 +328,123 @@ object TextStats {
         (col("__bias") + coalesce(col("__sw"), lit(0L))).as("logit_q16"))
       .withColumn("keep", (col("logit_q16") >= thresholdQ16).cast("int"))
   }
+
+  /** BIGRAM-LM "perplexity" filter (the CCNet-family idea: score each
+    * document under a language model trained on the corpus itself; flag
+    * the tails). The per-bigram surprisal is measured in EXACT INTEGER
+    * BITS: for each adjacent pair (w1, w2),
+    *
+    *   cost = bitlen(C(w1·) + V) − bitlen(C(w1,w2))
+    *
+    * where C(w1,w2) is the corpus bigram count, C(w1·) the prefix count,
+    * V the distinct-unigram vocabulary size (the +V add-one-smoothing
+    * denominator), and bitlen(x) = length of x's binary representation —
+    * an integer ⌈log2⌉ both Spark (`bin`) and any SQL engine compute
+    * bit-identically, unlike `ln` (whose libm rounding differs across
+    * platforms — the reason the score is bits, not nats). Per document:
+    * `n_bigrams`, total `bit_cost`, `milli_bits` = cost·1000 div n (the
+    * filterable per-bigram surprisal), and `keep` = milli_bits ≤
+    * threshold. Documents with < 2 tokens carry zero cost and keep=1
+    * (thresholding tails is the policy here; short-doc policy is
+    * [[qualityRuleSignals]]').
+    *
+    * Plan shape at 100 TB: one tokenize+explode pass; bigrams travel as
+    * 64-bit hashes (8 bytes, never strings — the q_dedup_ngram collision
+    * argument); the bigram and prefix count tables are Zipf-bounded hash
+    * aggregates with map-side combine; V is a single-row broadcast; the
+    * per-doc reduce is all-integer so aggregation order cannot change a
+    * single output bit.
+    */
+  def bigramBitCost(df: DataFrame, idCol: String, textCol: String,
+                    keepMilliBits: Long = Long.MaxValue): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("__t"))
+    val pairs = toks.select(col("id"), explode(transform(
+        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+        (x, i) => struct(x.as("w1"), element_at(col("__t"), i + 2).as("w2"))))
+        .as("__bg"))
+      .select(col("id"),
+        xxhash64(col("__bg.w1")).as("__h1"),
+        xxhash64(col("__bg.w1"), col("__bg.w2")).as("__h12"))
+    val bigCnt = pairs.groupBy("__h12").agg(count(lit(1)).as("__c12"))
+    val preCnt = pairs.groupBy("__h1").agg(count(lit(1)).as("__c1"))
+    val vocabSize = df.select(
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .agg(count_distinct(col("__tok")).as("__v"))
+    def bitlen(c: Column): Column = length(bin(c)).cast("long")
+    val perDoc = pairs
+      .join(bigCnt, "__h12").join(preCnt, "__h1")
+      .crossJoin(broadcast(vocabSize))
+      .select(col("id"),
+        (bitlen(col("__c1") + col("__v")) - bitlen(col("__c12"))).as("__cost"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__cost")).as("bit_cost"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("bit_cost"), lit(0L)).as("bit_cost"))
+      .withColumn("milli_bits",
+        when(col("n_bigrams") > 0L, expr("bit_cost * 1000 div n_bigrams"))
+          .otherwise(0L))
+      .withColumn("keep", (col("milli_bits") <= keepMilliBits).cast("int"))
+  }
+
+  /** FREQUENCY-RANKED VOCABULARY: the `maxVocab` most frequent tokens with
+    * dense ids 0..n-1 assigned by (count desc, token asc) — the
+    * "train the tokenizer's vocab" step every pipeline runs before
+    * [[encodeWithVocab]] freezes text into id sequences.
+    *
+    * Scale: token counts are one map-side-combined hash aggregate (the
+    * token universe is Zipf-bounded — sublinear in corpus size); the rank
+    * assignment is a BOUNDED [[graft.functions.TopNRows]] heap, not a
+    * global sort: every partition reduces to ≤ maxVocab entries before the
+    * single-row exchange, so the full vocabulary never sorts anywhere and
+    * the one reduce task holds O(maxVocab) — real vocabs cap at 10⁴–10⁶
+    * entries by design, which is why this is an aggregate and not a
+    * `row_number` window (that would sort the whole vocabulary in one
+    * task with no partial aggregation).
+    */
+  def buildVocab(df: DataFrame, text: Column, maxVocab: Int): DataFrame = {
+    require(maxVocab > 0, "maxVocab must be positive")
+    df.select(explode(TextFunctions.tokens(text)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .agg(TopN.rows(
+        struct(col("token"), col("cnt")),
+        struct((-col("cnt")).as("neg_cnt"), col("token")),
+        maxVocab, isMax = false).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("__t.token").as("token"), col("__t.cnt").as("cnt"),
+        col("__pos").cast("long").as("id"))
+  }
+
+  /** Encode each document as its [[buildVocab]] id sequence (order
+    * preserved; out-of-vocabulary tokens become `unkId`) — the serving
+    * half of the vocab contract: train once, freeze, encode everywhere.
+    *
+    * Scale: the vocab BROADCASTS (capped by construction at maxVocab
+    * rows), so the corpus explodes to (id, pos, token) and collapses
+    * straight back into a per-doc hash aggregate — one shuffle on the doc
+    * id, nothing wide ever carries a token string. The per-doc
+    * `sort_array` re-establishes token order in O(len log len) per row,
+    * NOT a window sort (collect_list order is partition-dependent;
+    * sorting by the carried `pos` makes the result partitioning-free).
+    * Token-less documents keep an EMPTY sequence via the final left join.
+    */
+  def encodeWithVocab(df: DataFrame, idCol: String, text: Column,
+                      vocab: DataFrame, unkId: Long = -1L): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(TextFunctions.tokens(text)).as(Seq("__pos", "token")))
+    val encoded = toks
+      .join(broadcast(vocab.select(col("token"), col("id").as("__tid"))),
+        Seq("token"), "left")
+      .groupBy("id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"),
+          coalesce(col("__tid"), lit(unkId)).as("tid")))),
+        x => x("tid")).as("token_ids"))
+    df.select(col(idCol).as("id")).join(encoded, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("token_ids"), array().cast("array<bigint>")).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
 }

@@ -91,4 +91,23 @@ class ProfileSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("Union") && !plan.contains("Join"), plan)
   }
+
+  test("keySkew: heaviest keys, deterministic tie order, exact ppm share") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
+      Seq("d")).toDF("k")
+    val got = Profile.keySkew(df, Seq("k"), k = 3)
+      .select("k", "cnt", "rank", "n_keys", "ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // ties (b=c=3) break by key ascending; ppm is integer floor of 1e6
+    assert(got == Seq(
+      ("a", 6L, 1L, 4L, 6L * 1000000L / 13L),
+      ("b", 3L, 2L, 4L, 3L * 1000000L / 13L),
+      ("c", 3L, 3L, 4L, 3L * 1000000L / 13L)))
+    // k larger than the key universe returns every key
+    assert(Profile.keySkew(df, Seq("k"), k = 100).count() == 4L)
+    // bounded plan: an ObjectHashAggregate heap, never a window sort
+    val plan = Profile.keySkew(df, Seq("k"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
 }

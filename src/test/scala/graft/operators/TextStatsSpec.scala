@@ -166,4 +166,70 @@ class TextStatsSpec extends SparkSpec {
     assert(noBias.size == 5 && noBias(4L)._3 == 0L)
     assert(noBias(1L)._3 == got(1L)._3 - 100L)
   }
+
+  test("bigramBitCost == driver integer reference; short docs zero-cost") {
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b c"),
+      (3L, "x"),     // < 2 tokens: zero bigrams, keep
+      (4L, "")
+    ).toDF("doc_id", "text")
+    // corpus bigrams: (a,b)x3 [doc1 twice? no: doc1 pairs = (a,b),(b,a),(a,b)]
+    // -> c12: (a,b)=3, (b,a)=1, (b,c)=1; prefix c1: a=3, b=2; V=4 (a,b,c,x)
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val cost = Map( // (w1,w2) -> bitlen(c1+V) - bitlen(c12)
+      ("a", "b") -> (bitlen(3 + 4) - bitlen(3)),
+      ("b", "a") -> (bitlen(2 + 4) - bitlen(1)),
+      ("b", "c") -> (bitlen(2 + 4) - bitlen(1)))
+    val expect = Map(
+      1L -> (3L, cost(("a", "b")) * 2 + cost(("b", "a"))),
+      2L -> (2L, cost(("a", "b")) + cost(("b", "c"))),
+      3L -> (0L, 0L), 4L -> (0L, 0L))
+    val got = TextStats.bigramBitCost(docs, "doc_id", "text", keepMilliBits = 2000L)
+      .as[(Long, Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    for ((id, (n, bits)) <- expect) {
+      assert(got(id)._2 == n, s"n_bigrams doc $id")
+      assert(got(id)._3 == bits, s"bit_cost doc $id")
+      val milli = if (n == 0) 0L else bits * 1000 / n
+      assert(got(id)._4 == milli, s"milli_bits doc $id")
+      assert(got(id)._5 == (if (milli <= 2000) 1 else 0), s"keep doc $id")
+    }
+  }
+
+  test("buildVocab: rank by count desc then token asc, cap, dense ids") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "a cat")
+    ).toDF("doc_id", "text")
+    val got = TextStats.buildVocab(docs, $"text", maxVocab = 4)
+      .as[(String, Long, Long)].collect().toSeq
+    // counts: the=3, cat=2, sat=2, then (a, dog, mat, on)=1 -> 'a' wins asc
+    assert(got == Seq(("the", 3L, 0L), ("cat", 2L, 1L), ("sat", 2L, 2L),
+      ("a", 1L, 3L)))
+    // cap above the vocab size returns the whole vocabulary
+    assert(TextStats.buildVocab(docs, $"text", maxVocab = 100).count() == 7L)
+    // bounded heap, never a global window sort
+    val plan = TextStats.buildVocab(docs, $"text", maxVocab = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("encodeWithVocab: order preserved, OOV -> unk, empty docs empty") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, ""),                       // token-less: empty sequence
+      (3L, "unseen words only")
+    ).toDF("doc_id", "text")
+    val vocab = TextStats.buildVocab(docs.filter($"doc_id" === 1L), $"text",
+      maxVocab = 100)
+    val ids = vocab.as[(String, Long, Long)].collect()
+      .map(v => v._1 -> v._3).toMap
+    val got = TextStats.encodeWithVocab(docs, "doc_id", $"text", vocab)
+      .as[(Long, Seq[Long], Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == Seq("the", "cat", "sat", "on", "the", "mat").map(ids))
+    assert(got(1L)._3 == 6L)
+    assert(got(2L)._2.isEmpty && got(2L)._3 == 0L)
+    assert(got(3L)._2 == Seq(-1L, -1L, -1L) && got(3L)._3 == 3L)
+  }
 }
