@@ -1332,6 +1332,24 @@ object ExtQueries {
     // tolerance=...)). Same union-sort plan, time-reversed; the tolerance
     // is a post-mask, not a join condition. Tie at equal ts -> largest
     // right ordering (event_id), mirrored in the oracle's ORDER BY.
+    // EXACT-INTEGER PAGERANK (3 damped rounds, Q40 fixed point) over the
+    // customer↔supplier co-purchase graph — link-analysis quality
+    // weighting (the CommonCrawl host-rank idea). Floor division on
+    // non-negative longs at every step: both engines produce identical
+    // bits, unlike float PageRank whose sums depend on aggregation order.
+    "q_pagerank" -> Q(
+      (s, dir) => {
+        val pairs = table(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+          .join(table(s, dir, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+        val edges = pairs.union(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 3)
+      },
+      pagerankOracleSql(3)),
+
     "q_asof_forward" -> Q(
       (s, dir) => {
         val ev = events(s, dir)
@@ -1787,6 +1805,37 @@ object ExtQueries {
         WHERE n >= 2
           AND 4 * (n * cents - s) * (n * cents - s) > 9 * (n * sq - s * s)""")),
   )
+
+  /** DuckDB mirror of [[graft.operators.Graph.pageRank]]'s exact integer
+    * iteration, unrolled to `iters` CTEs over the customer↔supplier
+    * co-purchase graph. The arithmetic is floor division on non-negative
+    * longs at every step, so both engines produce identical bits.
+    */
+  private def pagerankOracleSql(iters: Int): Option[String] = {
+    val q = 1L << 40
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (SELECT n.node,
+           CAST((($q * 15) // 100) // c + COALESCE(s.i, 0) AS BIGINT) AS r
+         FROM nodes n CROSS JOIN nn
+         LEFT JOIN (SELECT e.dst,
+             CAST(sum((r.r * 85) // (100 * o.od)) AS BIGINT) AS i
+           FROM e JOIN r${k - 1} r ON e.src = r.node
+           JOIN outd o ON e.src = o.src
+           GROUP BY e.dst) s ON n.node = s.dst)"""
+    }.mkString(",\n")
+    Some(s"""
+      WITH pr AS (SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (SELECT DISTINCT src, dst FROM
+              (SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr)),
+      outd AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY 1),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nodes),
+      r0 AS (SELECT node, CAST($q // c AS BIGINT) AS r
+             FROM nodes CROSS JOIN nn),
+      $rounds
+      SELECT node, r AS rank_q FROM r$iters""")
+  }
 
   /** One oracle for BOTH `q_bm25` and `q_bm25_indexed` — the indexed
     * serving path is contractually equal to the scan path when no matched

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algorithms over edge tables — the link-analysis tier a
+  * web-crawl curation pipeline uses for host/page quality weighting
+  * (CommonCrawl-style harmonic/PageRank centrality feeding per-source
+  * sampling weights; see [[Sampling.stratifiedExactN]] /
+  * [[Mixing.allocateByTemperature]] for the consumers).
+  *
+  * Pointer-jumping connected components live in [[Dedup]] (near-dup
+  * clustering); this file holds rank propagation.
+  */
+object Graph {
+
+  /** PAGERANK with EXACT INTEGER arithmetic — `iterations` rounds of the
+    * standard damped propagation, every step in fixed-point Q-space
+    * (`scaleBits` fractional bits, damping 0.85 as the rational 85/100):
+    *
+    *   rank⁰(v)   = Q div n
+    *   rank^k(v)  = (Q·15 div 100) div n  +  Σ_{u→v} rank^{k-1}(u)·85 div (100·outdeg(u))
+    *
+    * Floor division everywhere, all operands non-negative — so every
+    * engine (and every partitioning) computes the SAME bits: float
+    * PageRank sums in aggregation order, which differs run to run;
+    * integer sums cannot. The truncated remainders (and the mass of
+    * DANGLING nodes — no out-edges) simply leak, which is fine for the
+    * purpose: ranks are a relative quality ordering, not a probability
+    * measure; callers wanting the classic distribution can renormalize
+    * offline.
+    *
+    * Scale: the Pregel shape, relationally — per iteration ONE join of
+    * the rank table onto edges (shuffle keyed by src) and ONE map-side-
+    * combined aggregate onto dst; the node universe and out-degree tables
+    * build once and persist. A hot dst (every page links to the hub)
+    * reduces map-side; a hot src broadcasts its rank row naturally with
+    * the join. `iterations` is small and fixed (rank ordering stabilizes
+    * in a handful of rounds — the classic 10-15 for full convergence);
+    * each round materializes via `persist` so lineage stays O(1), not
+    * O(iterations).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 3, scaleBits: Int = 40): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(scaleBits >= 10 && scaleBits <= 46,
+      "scaleBits in [10, 46]: rank·85 must stay far from Long overflow")
+    val q = 1L << scaleBits
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist()
+    val outd = e.groupBy("src").agg(count(lit(1)).as("__od")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().persist()
+    val nCount = nodes.agg(count(lit(1)).as("__c"))
+    var rank = nodes.crossJoin(broadcast(nCount))
+      .select(col("node"), expr(s"$q div __c").as("rank_q"))
+    var previous: Option[DataFrame] = None
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(outd, "src")
+        .select(col("dst"), expr("(rank_q * 85) div (100 * __od)").as("__contrib"))
+        .groupBy("dst").agg(sum(col("__contrib")).as("__in"))
+      val next = nodes.crossJoin(broadcast(nCount))
+        .join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (expr(s"(($q * 15) div 100) div __c") + coalesce(col("__in"), lit(0L)))
+            .as("rank_q"))
+        .persist()
+      next.count() // materialize before unpersisting the parent
+      previous.foreach(_.unpersist())
+      previous = Some(next)
+      rank = next
+    }
+    rank
+  }
+}

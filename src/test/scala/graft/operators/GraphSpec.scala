@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent driver-side mirror of the exact integer iteration. */
+  private def ref(edges: Seq[(String, String)], iters: Int,
+                  q: Long): Map[String, Long] = {
+    val e = edges.distinct
+    val outd = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val c = nodes.size.toLong
+    var r = nodes.map(n => n -> q / c).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for ((s, d) <- e) in(d) += r(s) * 85 / (100 * outd(s))
+      r = nodes.map(n => n -> ((q * 15 / 100) / c + in(n))).toMap
+    }
+    r
+  }
+
+  private val edges = Seq(
+    ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("d", "a"),
+    ("a", "b") // duplicate edge: must count once
+  )
+
+  test("pageRank == exact integer reference; duplicate edges collapse") {
+    val df = edges.toDF("src", "dst")
+    for (iters <- Seq(1, 3)) {
+      val got = Graph.pageRank(df, "src", "dst", iterations = iters)
+        .as[(String, Long)].collect().toMap
+      assert(got == ref(edges, iters, 1L << 40), s"iters=$iters")
+    }
+  }
+
+  test("pageRank: dangling-node mass leaks, hub accumulates, determinism") {
+    // d has no in-edges: rank falls to the base term after round 1
+    val df = edges.toDF("src", "dst")
+    val got = Graph.pageRank(df, "src", "dst", iterations = 2)
+      .as[(String, Long)].collect().toMap
+    val q = 1L << 40
+    assert(got("d") == (q * 15 / 100) / 4)
+    // the a↔b 2-cycle holds nearly all mass; 'd' (no in-edges) is last
+    assert(got("a") > got("c") && got("b") > got("c") && got("c") > got("d"))
+    // repartitioned input produces identical bits (integer sums are
+    // aggregation-order-free)
+    val shuffled = Graph.pageRank(df.repartition(7), "src", "dst", iterations = 2)
+      .as[(String, Long)].collect().toMap
+    assert(shuffled == got)
+  }
+
+  test("pageRank guards") {
+    val df = edges.toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(df, "src", "dst", iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(df, "src", "dst", scaleBits = 60)
+    }
+  }
+}
