@@ -307,6 +307,77 @@ object ExtQueries {
           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
         FROM tok JOIN vocab USING (token) GROUP BY doc_id""")),
 
+    // RAW-CRAWL HTML → text extraction: script/style blocks dropped, tags
+    // to spaces, common entities decoded, whitespace collapsed — the
+    // codegen'd regexp chain that runs before every text operator on a
+    // markup corpus. The HTML is built from table columns with identical
+    // literals in both engines, so the strip itself is what's gated.
+    "q_html_strip" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val html = concat(
+          lit("<html><head><title>"), col("source"),
+          lit("</title><style>p {color: red}</style></head><body><h1>"),
+          col("source"),
+          lit("</h1><script type=\"text/js\">var x = 1 < 2;</script><p>"),
+          col("text"),
+          lit("</p><a href=\"http://x.com\">link &amp; more</a>&nbsp;" +
+            "&#39;q&#39; &lt;tag&gt; &quot;qq&quot;</body></html>"))
+        docs.select(col("doc_id"),
+            graft.functions.TextFunctions.stripHtml(html).as("clean"))
+          .withColumn("n_chars", length(col("clean")).cast("long"))
+      },
+      Some(raw"""
+        WITH h AS (SELECT doc_id,
+            '<html><head><title>' || source ||
+            '</title><style>p {color: red}</style></head><body><h1>' ||
+            source ||
+            '</h1><script type="text/js">var x = 1 < 2;</script><p>' ||
+            text ||
+            '</p><a href="http://x.com">link &amp; more</a>&nbsp;' ||
+            '&#39;q&#39; &lt;tag&gt; &quot;qq&quot;</body></html>' AS html
+          FROM documents),
+        s1 AS (SELECT doc_id, regexp_replace(html,
+            '(?is)<(script|style)[^>]*>.*?</(script|style)\s*>', ' ', 'g') AS t
+          FROM h),
+        s2 AS (SELECT doc_id,
+            regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s1),
+        s3 AS (SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(t,
+                '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+                '&#39;', chr(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
+            AS t FROM s2),
+        s4 AS (SELECT doc_id,
+            trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean FROM s3)
+        SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_chars
+        FROM s4""")),
+
+    // URL host extraction (per-host caps / host-level crawl aggregation):
+    // lower-cased authority host, userinfo and port stripped, '' for
+    // non-URLs — same regexp_extract no-match contract on both engines.
+    "q_url_host" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val url = when(col("doc_id") % 97 === 0, lit("not a url"))
+          .otherwise(concat(
+            lit("https://user@"), col("source"), lit(".Example.COM"),
+            when(col("doc_id") % 2 === 0, lit(":8443")).otherwise(lit("")),
+            lit("/docs/"), col("doc_id"), lit("?ref=1#top")))
+        docs.select(col("doc_id"),
+          graft.functions.TextFunctions.urlHost(url).as("host"))
+      },
+      Some("""
+        WITH u AS (SELECT doc_id,
+            CASE WHEN doc_id % 97 = 0 THEN 'not a url'
+                 ELSE 'https://user@' || source || '.Example.COM' ||
+                   CASE WHEN doc_id % 2 = 0 THEN ':8443' ELSE '' END ||
+                   '/docs/' || doc_id || '?ref=1#top' END AS url
+          FROM documents)
+        SELECT doc_id, lower(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
+        FROM u""")),
+
     // BIGRAM-LM "perplexity" filter (CCNet family): per-doc surprisal
     // under the corpus's own bigram model, in EXACT INTEGER BITS
     // (bitlen differences — ln's libm rounding differs across engines,

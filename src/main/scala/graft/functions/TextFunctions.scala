@@ -173,6 +173,43 @@ object TextFunctions {
         urlPattern, "<URL>"),
       phonePattern, "<PHONE>")
 
+  /** HTML → text extraction — the raw-crawl boilerplate strip that runs
+    * BEFORE every other text operator when the corpus arrives as markup:
+    * `<script>`/`<style>` blocks (content and all) removed, every
+    * remaining tag replaced by a space (so `</p><p>` keeps word
+    * boundaries), the six ubiquitous entities decoded (`&amp;` LAST so an
+    * `&amp;lt;` cannot double-decode), whitespace collapsed, trimmed.
+    *
+    * Not a full HTML5 parser by design: comments/CDATA and exotic
+    * entities pass through as text — at crawl scale the win is a
+    * codegen'd `regexp_replace` chain at scan speed, not DOM fidelity
+    * (a DOM parse is a `mapPartitions` job an order of magnitude
+    * slower). RE2-compatible patterns only (the [[scrubPii]] contract):
+    * the same strings run identically under Java regex and RE2.
+    */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Lower-cased host of a URL (`https://User@Ex.COM:8080/p?q` →
+    * `ex.com`) — the key for per-host caps ([[graft.operators.Sampling]])
+    * and host-level aggregation over a crawl. Empty string when the input
+    * is not an absolute URL (same no-match contract as `regexp_extract`
+    * on every engine). Registered-domain (PSL) grouping is out of scope —
+    * that needs the public-suffix table, a broadcast-join concern, not a
+    * scalar function.
+    */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1))
+
   /** Count of PII matches by kind, as a struct — the audit twin of
     * [[scrubPii]] (what would be redacted, without redacting).
     */

@@ -277,4 +277,34 @@ class FunctionsSpec extends SparkSpec {
     val fpRate = probesMiss.count(o => byVal(o.get)).toDouble / probesMiss.size
     assert(fpRate < 0.12, s"fpRate=$fpRate")
   }
+
+  test("stripHtml: blocks die with their content, tags keep boundaries, entities decode") {
+    val cases = Seq(
+      "<p>hello</p><p>world</p>" -> "hello world",
+      // script/style content must vanish entirely (case-insensitive,
+      // multi-line, attributes on the tag)
+      "a<SCRIPT type=\"x\">var y = 1 < 2;\nalert()</SCRIPT>b" -> "a b",
+      "a<style>p {color: red}</style>b" -> "a b",
+      // entities, &amp; decoded last so &amp;lt; cannot double-decode
+      "x &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp; y &amp;lt;" ->
+        "x <tag> \"q\" 's' & y &lt;",
+      "  a  \n\t b  " -> "a b",
+      "plain text" -> "plain text")
+    val got = cases.map(_._1).toDF("h")
+      .select(TextFunctions.stripHtml(col("h"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("urlHost: lower-cased host, userinfo/port stripped, '' on non-URLs") {
+    val cases = Seq(
+      "https://Example.COM/path?q=1" -> "example.com",
+      "http://user:pw@Host.org:8080/x" -> "host.org",
+      "ftp://files.example.net" -> "files.example.net",
+      "https://example.com#frag" -> "example.com",
+      "not a url" -> "",
+      "relative/path" -> "")
+    val got = cases.map(_._1).toDF("u")
+      .select(TextFunctions.urlHost(col("u"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
 }
