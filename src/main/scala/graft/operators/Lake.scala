@@ -81,15 +81,22 @@ object Lake {
     */
   def latestSnapshot(changelog: DataFrame, keyCols: Seq[String],
                      versionCols: Seq[Column],
-                     isDelete: Column = lit(false)): DataFrame = {
+                     isDelete: Column = lit(false),
+                     keepTombstones: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(versionCols.nonEmpty, "versionCols must be non-empty")
     val rowStruct = struct(
       changelog.columns.map(col) :+ isDelete.cast("boolean").as("__del"): _*)
-    changelog.groupBy(keyCols.map(col): _*)
+    val latest = changelog.groupBy(keyCols.map(col): _*)
       .agg(graft.functions.ArgExtremum
         .argRow(rowStruct, struct(versionCols: _*), isMax = true).as("__row"))
-      .filter(!coalesce(col("__row.__del"), lit(false)))
+    // keepTombstones: the INCREMENTAL maintenance mode
+    // ([[graft.streaming.ChangeStreams.cdcSnapshotStream]]) — the winning
+    // delete row survives WITH its `__del` marker so a later micro-batch
+    // merging an older late row still loses to the tombstone; the
+    // read view filters `__del` at the end
+    if (keepTombstones) latest.select(col("__row.*"))
+    else latest.filter(!coalesce(col("__row.__del"), lit(false)))
       .select(col("__row.*"))
       .drop("__del")
   }

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming lake maintenance over CHANGELOG streams — the incremental
+  * twin of [[graft.operators.Lake.latestSnapshot]]: a mutable table's
+  * upsert/delete log arrives as micro-batches and a current-state
+  * snapshot parquet is kept continuously merged, so readers always see
+  * last-write-wins state without ever replaying the full log.
+  *
+  * Tombstones PERSIST in the snapshot (with a `__del` marker): a delete
+  * must keep winning against older updates that arrive in LATER
+  * micro-batches (out-of-order logs are the norm — partitioned topics
+  * guarantee per-key order at best, and late replays not even that).
+  * [[readSnapshot]] is the consumer view with tombstones filtered.
+  * Dropping tombstones whose version is older than every producer's
+  * watermark is a retention policy the caller can run as a maintenance
+  * job; the merge itself never needs it.
+  *
+  * Scale: each micro-batch costs ONE ObjectHashAggregate argmax over
+  * (snapshot ∪ batch) — map-side partial, no per-key sort, a
+  * million-update hot key reduces before the exchange (the
+  * [[graft.operators.Lake.latestSnapshot]] argument) — plus a swap-safe
+  * rewrite of the snapshot. That is the classic copy-on-write merge
+  * cadence: amortize with batch triggers sized so the snapshot rewrite
+  * (O(live keys)) dominates the log read (O(batch)), and compact/bucket
+  * the snapshot by key so the union's aggregate reads co-partitioned
+  * input.
+  */
+object ChangeStreams {
+
+  /** Continuously merge a changelog stream into a snapshot parquet at
+    * `snapshotPath`. `isDelete` marks tombstone rows; `versionCols`
+    * must give each key a total order (e.g. `(ts, seq)`) or ties break
+    * partitioning-dependently. Bootstraps from an absent snapshot.
+    */
+  def cdcSnapshotStream(changelog: DataFrame, keyCols: Seq[String],
+                        versionCols: Seq[String], isDelete: Column,
+                        snapshotPath: String): DataStreamWriter[Row] =
+    changelog.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      mergeBatch(batch, keyCols, versionCols, isDelete, snapshotPath)
+    }
+
+  /** One micro-batch of the merge loop (factored out so batch semantics
+    * are testable without a streaming harness — the
+    * [[DocumentStreams.processBatch]] convention).
+    */
+  private[streaming] def mergeBatch(batch: DataFrame, keyCols: Seq[String],
+                                    versionCols: Seq[String], isDelete: Column,
+                                    snapshotPath: String): Unit = {
+    val spark = batch.sparkSession
+    val dataCols = batch.columns.toSeq
+    val marked = batch.withColumn("__is_del",
+      coalesce(isDelete.cast("boolean"), lit(false)))
+    val target = new org.apache.hadoop.fs.Path(snapshotPath)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val unioned =
+      if (fs.exists(target))
+        spark.read.parquet(snapshotPath)
+          .withColumnRenamed("__del", "__is_del")
+          .select(marked.columns.map(col): _*)
+          .union(marked)
+      else marked
+    val merged = graft.operators.Lake.latestSnapshot(
+        unioned, keyCols, versionCols.map(col),
+        isDelete = col("__is_del"), keepTombstones = true)
+      .select(dataCols.map(col) :+ col("__del"): _*)
+    // swap-safe rewrite: the snapshot is both input and output of this
+    // batch, so write aside and rename (the Lake.compact swap; rename is
+    // atomic on HDFS/posix, copy-emulated on object stores)
+    val tmp = new org.apache.hadoop.fs.Path(
+      snapshotPath.stripSuffix("/") + ".__merge_tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(
+      snapshotPath.stripSuffix("/") + ".__merge_old")
+    fs.delete(bak, true)
+    if (fs.exists(target))
+      require(fs.rename(target, bak), s"could not move $snapshotPath aside")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(bak, target)
+      throw new IllegalStateException(
+        s"could not move merged snapshot into $snapshotPath")
+    }
+    fs.delete(bak, true)
+  }
+
+  /** The consumer view of [[cdcSnapshotStream]]'s snapshot: live rows
+    * only (tombstones filtered, marker dropped).
+    */
+  def readSnapshot(spark: SparkSession, snapshotPath: String): DataFrame = {
+    val snap = spark.read.parquet(snapshotPath)
+    snap.filter(!col("__del")).drop("__del")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Lake
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class ChangeStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  // changelog rows: (key, value, version, op)
+  private val b1 = Seq(
+    ("a", 10L, 1L, "upsert"),
+    ("a", 11L, 2L, "upsert"),   // in-batch LWW: v2 wins
+    ("b", 20L, 1L, "upsert"),
+    ("c", 30L, 1L, "upsert"))
+  private val b2 = Seq(
+    ("b", 0L, 3L, "delete"),    // tombstone for b
+    ("c", 31L, 2L, "upsert"),   // cross-batch update
+    ("d", 40L, 1L, "upsert"))
+  private val b3 = Seq(
+    ("b", 22L, 2L, "upsert"),   // LATE, older than b's tombstone: stays dead
+    ("a", 9L, 1L, "upsert"))    // late, older than a's v2: ignored
+
+  test("cdcSnapshotStream: LWW across batches, tombstones beat late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val snapPath = tmp("graft_snap") + "/snap"
+    val mem = MemoryStream[(String, Long, Long, String)]
+    val stream = mem.toDF().toDF("k", "v", "ver", "op")
+    val q = ChangeStreams.cdcSnapshotStream(stream, Seq("k"), Seq("ver"),
+      isDelete = col("op") === "delete", snapPath).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = ChangeStreams.readSnapshot(spark, snapPath)
+      .select("k", "v", "ver").as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 11L, 2L), ("c", 31L, 2L), ("d", 40L, 1L)))
+    // the tombstone row itself persists in the raw snapshot
+    val raw = spark.read.parquet(snapPath)
+    assert(raw.filter(col("__del")).select("k").as[String].collect().toSeq
+      == Seq("b"))
+  }
+
+  test("incremental merge == batch latestSnapshot over the whole log") {
+    val snapPath = tmp("graft_snap2") + "/snap"
+    for (b <- Seq(b1, b2, b3)) {
+      ChangeStreams.mergeBatch(b.toDF("k", "v", "ver", "op"), Seq("k"),
+        Seq("ver"), col("op") === "delete", snapPath)
+    }
+    val incremental = ChangeStreams.readSnapshot(spark, snapPath)
+      .select("k", "v", "ver").as[(String, Long, Long)].collect().toSet
+    val batch = Lake.latestSnapshot((b1 ++ b2 ++ b3).toDF("k", "v", "ver", "op"),
+        Seq("k"), Seq(col("ver")), isDelete = col("op") === "delete")
+      .select("k", "v", "ver").as[(String, Long, Long)].collect().toSet
+    assert(incremental == batch)
+  }
+
+  test("mergeBatch bootstraps from an absent snapshot") {
+    val snapPath = tmp("graft_snap3") + "/snap"
+    ChangeStreams.mergeBatch(b1.toDF("k", "v", "ver", "op"), Seq("k"),
+      Seq("ver"), col("op") === "delete", snapPath)
+    val got = ChangeStreams.readSnapshot(spark, snapPath)
+      .select("k", "v").as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 11L, "b" -> 20L, "c" -> 30L))
+  }
+}
