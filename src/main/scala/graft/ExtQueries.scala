@@ -1125,6 +1125,24 @@ object ExtQueries {
     // Deterministic split assignment: doc_id-keyed 75/12.5/12.5
     // train/val/test (binary-exact boundaries), reproducible across
     // engines — pure per-row hash arithmetic, no shuffle.
+    // DETERMINISTIC per-stratum Bernoulli sample (sampleBy without the
+    // randomness): keep iff hash32(doc_id) < floor(frac(lang)·2³²) —
+    // binary-exact fractions, driver-computed integer thresholds, one
+    // pushdown-friendly filter. Unlisted strata drop entirely.
+    "q_sample_frac" -> Q(
+      (s, dir) => graft.operators.Sampling.sampleByFraction(
+        table(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        col("doc_id"), "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0)),
+      Some("""
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT doc_id, lang, n_chars,
+            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+          FROM documents)
+        WHERE (lang = 'en' AND h < 2147483648)
+           OR (lang = 'de' AND h < 1073741824)
+           OR (lang = 'fr' AND h < 4294967296)""")),
+
     "q_split" -> Q(
       (s, dir) => graft.operators.Sampling.assignSplit(
         table(s, dir, "documents").select("doc_id", "lang"),
@@ -1397,6 +1415,54 @@ object ExtQueries {
                 ORDER BY ts DESC, event_id DESC) AS rn FROM c)
         SELECT event_id, user_id, event_type, cents FROM r
         WHERE rn = 1 AND event_type <> 'error'""")),
+
+    // SNAPSHOT DIFF (the inverse of the CDC merge): the changelog that
+    // turns yesterday's partial-state snapshot into today's — one
+    // null-safe full-outer join, struct compare, op in
+    // {insert, update, delete}. Old = the LWW state of a filtered log
+    // slice, new = of the full log, both via latestSnapshot semantics.
+    "q_snapshot_diff" -> Q(
+      (s, dir) => {
+        val base = events(s, dir)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .select("event_id", "user_id", "event_type", "cents", "ts")
+        def snap(log: org.apache.spark.sql.DataFrame) =
+          graft.operators.Lake.latestSnapshot(log, Seq("user_id"),
+              Seq(col("ts"), col("event_id")),
+              isDelete = col("event_type") === "error")
+            .select("user_id", "event_type", "cents", "event_id")
+        graft.operators.Lake.diffSnapshots(
+          snap(base.filter(col("event_id") % 4 =!= 0 &&
+            col("user_id") % 11 =!= 0)),
+          snap(base), Seq("user_id"))
+      },
+      Some("""
+        WITH c AS (SELECT event_id, user_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents, ts FROM events),
+        snew AS (SELECT user_id, event_type, cents, event_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn FROM c) r
+          WHERE rn = 1 AND event_type <> 'error'),
+        sold AS (SELECT user_id, event_type, cents, event_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn FROM c
+            WHERE event_id % 4 <> 0 AND user_id % 11 <> 0) r
+          WHERE rn = 1 AND event_type <> 'error')
+        SELECT * FROM (
+          SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+            CASE WHEN o.user_id IS NULL THEN 'insert'
+                 WHEN n.user_id IS NULL THEN 'delete'
+                 WHEN NOT (o.event_type IS NOT DISTINCT FROM n.event_type
+                       AND o.cents IS NOT DISTINCT FROM n.cents
+                       AND o.event_id IS NOT DISTINCT FROM n.event_id)
+                   THEN 'update' END AS op,
+            CASE WHEN n.user_id IS NULL THEN o.event_type
+                 ELSE n.event_type END AS event_type,
+            CASE WHEN n.user_id IS NULL THEN o.cents ELSE n.cents END AS cents,
+            CASE WHEN n.user_id IS NULL THEN o.event_id
+                 ELSE n.event_id END AS event_id
+          FROM sold o FULL OUTER JOIN snew n ON o.user_id = n.user_id) d
+        WHERE op IS NOT NULL""")),
 
     // FORWARD as-of with tolerance: each purchase gets the user's NEXT
     // click within 30 minutes (pandas merge_asof(direction='forward',
@@ -1684,6 +1750,29 @@ object ExtQueries {
         SELECT event_id, user_id, cents, q1, q3
         FROM c JOIN st USING (user_id)
         WHERE cents < q1 - 0.25 * (q3 - q1) OR cents > q3 + 0.25 * (q3 - q1)""")),
+
+    // WINSORIZE: clip each event's cents into its event-type's exact
+    // [p(1/64), p(63/64)] band — heavy-tail taming without row drops.
+    // Dyadic probs over integer cents: the interpolated fences and the
+    // clipped doubles are bit-identical on both engines (the
+    // q_outliers_iqr argument).
+    "q_winsorize" -> Q(
+      (s, dir) => graft.operators.Analytics.winsorize(
+        events(s, dir)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .select("event_id", "event_type", "cents"),
+        Seq("event_type"), col("cents")),
+      Some("""
+        WITH c AS (SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        st AS (SELECT event_type,
+                 quantile_cont(cents, 0.015625) AS lo,
+                 quantile_cont(cents, 0.984375) AS hi
+               FROM c GROUP BY 1)
+        SELECT event_id, event_type, cents,
+          CASE WHEN cents IS NULL THEN NULL
+               ELSE least(greatest(CAST(cents AS DOUBLE), lo), hi) END AS winsorized
+        FROM c JOIN st USING (event_type)""")),
 
     // PER-USER ordered window signals: 3-row moving sum + lag delta over
     // integer cents, deterministic (ts, event_id) order — the window-

@@ -150,6 +150,34 @@ object Analytics {
             .cast("int"), lit(0)))
   }
 
+  /** WINSORIZE: clip `value` into its group's exact
+    * [p(pLo), p(pHi)] percentile band — the "tame the heavy tail without
+    * dropping rows" normalization (outlier-robust aggregates, feature
+    * clipping before training). NULL values stay NULL (they are not
+    * clipped to the floor — [[flagOutliers]]' null discipline).
+    *
+    * Cross-engine exactness is the [[tukeyOutliers]] dyadic argument:
+    * keep pLo/pHi dyadic (defaults 1/64 and 63/64 — the "p1.5/p98.5"
+    * band) over integer-valued inputs and the exact-interpolation
+    * percentile produces identical doubles on every IEEE engine. Exact
+    * per-group percentiles buffer the group's values (the documented
+    * [[Profile.groupQuantiles]] hazard); the stats table is |groups| rows
+    * broadcast back, and the fact side never shuffles.
+    */
+  def winsorize(df: DataFrame, groupCols: Seq[String], value: Column,
+                pLo: Double = 0.015625, pHi: Double = 0.984375): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(pLo >= 0 && pLo < pHi && pHi <= 1, "need 0 <= pLo < pHi <= 1")
+    val v = value.cast("double")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(v, lit(pLo)).as("__lo"), percentile(v, lit(pHi)).as("__hi"))
+    joinStatsBack(df, stats, groupCols)
+      .withColumn("winsorized",
+        when(v.isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(v, col("__lo")), col("__hi"))))
+      .drop("__lo", "__hi")
+  }
+
   /** Join a per-group stats table back onto the fact side with NULL-SAFE
     * key equality — `groupBy` puts null keys in a group of their own, and
     * a plain equi-join would drop those rows on the way back.

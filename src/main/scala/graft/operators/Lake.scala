@@ -101,6 +101,60 @@ object Lake {
       .drop("__del")
   }
 
+  /** SNAPSHOT DIFF — the inverse of [[latestSnapshot]]: compare two
+    * versions of a keyed table and emit the changelog that turns `old`
+    * into `new` — one row per changed key with `op` ∈
+    * {insert, update, delete} plus the new-version values (old values for
+    * deletes). Unchanged keys emit nothing. The everyday lake questions
+    * — "what did yesterday's run change", "generate a CDC feed from two
+    * snapshots", incremental-downstream triggering — are all this
+    * operator.
+    *
+    * Change detection compares the non-key columns as a STRUCT with
+    * null-safe equality (`<=>`): a NULL→value or value→NULL transition is
+    * an update, NULL==NULL is unchanged — exactly the semantics a
+    * changelog consumer needs. Keys must be unique per side (a snapshot,
+    * not a log — run [[latestSnapshot]] first otherwise).
+    *
+    * Scale: ONE null-safe full-outer equi-join on the key columns —
+    * shuffle-partitioned both sides, AQE handles size asymmetry; the
+    * struct comparison is a codegen'd per-row predicate, no second pass,
+    * no row hashing (hash-compare would false-negative on hash collisions
+    * and still read every column — the struct compare reads the same
+    * bytes and is exact).
+    */
+  def diffSnapshots(oldSnap: DataFrame, newSnap: DataFrame,
+                    keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(oldSnap.columns.sameElements(newSnap.columns),
+      "snapshots must share a schema")
+    val valCols = oldSnap.columns.filterNot(keyCols.contains).toSeq
+    val o = oldSnap.select(
+      struct(keyCols.map(col): _*).as("__k"),
+      struct(valCols.map(col): _*).as("__ov"))
+    val n = newSnap.select(
+      struct(keyCols.map(col): _*).as("__k"),
+      struct(valCols.map(col): _*).as("__nv"))
+    // null-safe join keys: a NULL key component must match itself or a
+    // key with NULL in it could never be diffed
+    val joined = o.join(n, o("__k") <=> n("__k"), "full_outer")
+    joined
+      .withColumn("op",
+        when(o("__k").isNull, lit("insert"))
+          .when(n("__k").isNull, lit("delete"))
+          .when(!(col("__ov") <=> col("__nv")), lit("update"))
+          .otherwise(lit(null)))
+      .filter(col("op").isNotNull)
+      .select(Seq(coalesce(o("__k"), n("__k")).as("__key"), col("op")) ++
+        // deletes carry the old values; inserts/updates the NEW row as-is
+        // (a per-column coalesce would resurrect old values under
+        // value→NULL updates)
+        valCols.map(c => when(col("op") === "delete", col(s"__ov.$c"))
+          .otherwise(col(s"__nv.$c")).as(c)): _*)
+      .select(keyCols.map(c => col(s"__key.$c")) ++
+        (col("op") +: valCols.map(col)): _*)
+  }
+
   /** The Morton (Z-curve) interleave of `zCols`, each equal-width
     * bucketized to `bitsPerDim` bits over its [min, max] range — the sort
     * key that makes [[writeZOrdered]] cluster EVERY listed dimension at

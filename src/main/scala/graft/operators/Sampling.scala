@@ -190,4 +190,34 @@ object Sampling {
       }
     df.withColumn(splitCol, assigned)
   }
+
+  /** DETERMINISTIC per-stratum Bernoulli sampling — `sampleBy` without
+    * the randomness: a row survives iff
+    * `hash32(key) < floor(fraction(stratum) · 2³²)`, so the SAME rows
+    * survive on every run, every engine, every partitioning — which is
+    * what makes downstream caches, A/B slices, and incremental re-runs
+    * of a pipeline reproducible (the [[assignSplit]] coin, reused as an
+    * inclusion test). Strata absent from `fractions` drop entirely;
+    * fraction 1.0 keeps the whole stratum; the integer threshold is
+    * computed ONCE driver-side so the comparison is a pure long compare
+    * (no per-row float multiply to disagree about).
+    *
+    * One narrow filter — no shuffle, no state, pushes down past column
+    * pruning like any predicate. The sample FRACTION is exact only in
+    * expectation (each key is one Bernoulli draw); for exact-N-per-
+    * stratum use [[stratifiedExactN]].
+    */
+  def sampleByFraction(df: DataFrame, key: Column, strataCol: String,
+                       fractions: Map[String, Double]): DataFrame = {
+    require(fractions.nonEmpty, "fractions must be non-empty")
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    val thresholds = fractions.map { case (s, f) =>
+      s -> math.floor(f * 4294967296.0).toLong
+    }
+    val thresholdExpr = thresholds.foldLeft(lit(-1L)) { case (acc, (s, t)) =>
+      when(col(strataCol) === s, lit(t)).otherwise(acc)
+    }
+    df.filter(hashLong(key) < thresholdExpr)
+  }
 }

@@ -332,4 +332,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("winsorize clips to exact dyadic fences, NULLs stay NULL") {
+    val df = ((1L to 64L).map(v => ("g", Some(v))) :+ ("g", Option.empty[Long]))
+      .toDF("g", "v")
+    val got = Analytics.winsorize(df, Seq("g"), col("v"),
+        pLo = 0.25, pHi = 0.75)
+      .select("v", "winsorized").as[(Option[Long], Option[Double])]
+      .collect().toMap
+    // exact interpolation over 1..64: p25 = 1 + 63*0.25 = 16.75, p75 = 48.25
+    assert(got(Some(1L)).contains(16.75))
+    assert(got(Some(16L)).contains(16.75))
+    assert(got(Some(17L)).contains(17.0))   // inside the band: untouched
+    assert(got(Some(48L)).contains(48.0))
+    assert(got(Some(49L)).contains(48.25))
+    assert(got(Some(64L)).contains(48.25))
+    assert(got(None).isEmpty)               // NULL never clips to the floor
+  }
 }

@@ -206,6 +206,35 @@ class LakeSpec extends SparkSpec {
       (1 to 3000).map(_.toLong).sum)
   }
 
+  test("diffSnapshots: insert/update/delete, null-safe values and keys, no-change silence") {
+    val oldSnap = Seq(
+      (Some(1L), Some("a"), Some(10L)),  // unchanged
+      (Some(2L), Some("b"), Some(20L)),  // value update
+      (Some(3L), Some("c"), Some(30L)),  // deleted
+      (Some(4L), None, Some(40L)),       // NULL -> value update
+      (Some(5L), Some("e"), Some(50L)),  // value -> NULL update
+      (None, Some("nk"), Some(70L))      // NULL key, unchanged
+    ).toDF("k", "s", "v")
+    val newSnap = Seq(
+      (Some(1L), Some("a"), Some(10L)),
+      (Some(2L), Some("b"), Some(21L)),
+      (Some(4L), Some("d"), Some(40L)),
+      (Some(5L), Some("e"), None),
+      (Some(6L), Some("f"), Some(60L)),  // inserted
+      (None, Some("nk"), Some(70L))
+    ).toDF("k", "s", "v")
+    val got = Lake.diffSnapshots(oldSnap, newSnap, Seq("k"))
+      .as[(Option[Long], String, Option[String], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.size == 5) // keys 1 and NULL emit nothing
+    assert(got(Some(2L)) == ((Some(2L), "update", Some("b"), Some(21L))))
+    assert(got(Some(3L)) == ((Some(3L), "delete", Some("c"), Some(30L))))
+    assert(got(Some(4L)) == ((Some(4L), "update", Some("d"), Some(40L))))
+    // value -> NULL carries the NEW null, not the resurrected old value
+    assert(got(Some(5L)) == ((Some(5L), "update", Some("e"), None)))
+    assert(got(Some(6L)) == ((Some(6L), "insert", Some("f"), Some(60L))))
+  }
+
   test("latestSnapshot: last write wins, tombstones drop keys, older rows never resurface") {
     // (key, version, op, payload) — key 1 updated twice; key 2 deleted
     // LAST (must vanish even though older upserts exist); key 3 has a

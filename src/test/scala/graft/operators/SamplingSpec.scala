@@ -93,4 +93,26 @@ class SamplingSpec extends SparkSpec {
       .select("n").as[Long].collect()
     assert(perLang.forall(_ == 1L))
   }
+
+  test("sampleByFraction: deterministic, per-stratum rates, unlisted strata drop") {
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "g")
+    val fracs = Map("a" -> 0.25, "b" -> 1.0)
+    val got = Sampling.sampleByFraction(df, col("id"), "g", fracs)
+    val byG = got.groupBy("g").count().as[(String, Long)].collect().toMap
+    // b keeps everything; a lands near 25% (Bernoulli, 2000 draws)
+    assert(byG("b") == 2000L)
+    assert(byG("a") > 350L && byG("a") < 650L, s"a=${byG("a")}")
+    // unlisted stratum drops entirely
+    val dropped = Sampling.sampleByFraction(df, col("id"), "g", Map("a" -> 0.5))
+    assert(dropped.filter(col("g") === "b").count() == 0L)
+    // stable: same ids survive under a different partitioning
+    val ids1 = got.select("id").as[Long].collect().toSet
+    val ids2 = Sampling.sampleByFraction(df.repartition(13), col("id"), "g", fracs)
+      .select("id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+    // fraction 0 keeps nothing
+    assert(Sampling.sampleByFraction(df, col("id"), "g", Map("a" -> 0.0))
+      .count() == 0L)
+  }
 }
