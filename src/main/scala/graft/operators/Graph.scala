@@ -37,11 +37,17 @@ object Graph {
     * reduces map-side; a hot src broadcasts its rank row naturally with
     * the join. `iterations` is small and fixed (rank ordering stabilizes
     * in a handful of rounds — the classic 10-15 for full convergence);
-    * each round materializes via `persist` so lineage stays O(1), not
-    * O(iterations).
+    * every round gets a `persist` barrier so no stage recomputes a prior
+    * round. SHORT chains (≤ 5 rounds) stay LAZY — a single final action
+    * walks the persisted chain, avoiding the per-round action+AQE job
+    * overhead that otherwise dominates wall-clock; LONG chains flip to
+    * eager per-round materialization (count, then unpersist-behind),
+    * which bounds live cache at two rank tables and keeps the evaluated
+    * lineage flat. `eagerEveryRound` overrides the heuristic.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int = 3, scaleBits: Int = 40): DataFrame = {
+               iterations: Int = 3, scaleBits: Int = 40,
+               eagerEveryRound: Option[Boolean] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(scaleBits >= 10 && scaleBits <= 46,
       "scaleBits in [10, 46]: rank·85 must stay far from Long overflow")
@@ -52,6 +58,7 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().persist()
     val nCount = nodes.agg(count(lit(1)).as("__c"))
+    val eager = eagerEveryRound.getOrElse(iterations > 5)
     var rank = nodes.crossJoin(broadcast(nCount))
       .select(col("node"), expr(s"$q div __c").as("rank_q"))
     var previous: Option[DataFrame] = None
@@ -67,9 +74,11 @@ object Graph {
           (expr(s"(($q * 15) div 100) div __c") + coalesce(col("__in"), lit(0L)))
             .as("rank_q"))
         .persist()
-      next.count() // materialize before unpersisting the parent
-      previous.foreach(_.unpersist())
-      previous = Some(next)
+      if (eager) {
+        next.count() // materialize before unpersisting the parent
+        previous.foreach(_.unpersist())
+        previous = Some(next)
+      }
       rank = next
     }
     rank

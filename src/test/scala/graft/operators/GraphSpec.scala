@@ -29,11 +29,18 @@ class GraphSpec extends SparkSpec {
 
   test("pageRank == exact integer reference; duplicate edges collapse") {
     val df = edges.toDF("src", "dst")
-    for (iters <- Seq(1, 3)) {
+    // 1 and 3 take the lazy path, 6 the eager per-round path
+    for (iters <- Seq(1, 3, 6)) {
       val got = Graph.pageRank(df, "src", "dst", iterations = iters)
         .as[(String, Long)].collect().toMap
       assert(got == ref(edges, iters, 1L << 40), s"iters=$iters")
     }
+    // both modes agree bit-for-bit on the same chain length
+    val lazy3 = Graph.pageRank(df, "src", "dst", iterations = 3,
+      eagerEveryRound = Some(false)).as[(String, Long)].collect().toMap
+    val eager3 = Graph.pageRank(df, "src", "dst", iterations = 3,
+      eagerEveryRound = Some(true)).as[(String, Long)].collect().toMap
+    assert(lazy3 == eager3)
   }
 
   test("pageRank: dangling-node mass leaks, hub accumulates, determinism") {
