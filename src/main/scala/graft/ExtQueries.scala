@@ -1774,6 +1774,60 @@ object ExtQueries {
                ELSE least(greatest(CAST(cents AS DOUBLE), lo), hi) END AS winsorized
         FROM c JOIN st USING (event_type)""")),
 
+    // PER-GROUP STANDARDIZATION: z-scores whose float tail is one
+    // integer-numerator division and one correctly-rounded sqrt — no
+    // order-dependent float accumulation, so the doubles are
+    // bit-identical across engines (flagOutliers' algebra, emitting the
+    // score instead of the flag).
+    "q_standardize" -> Q(
+      (s, dir) => graft.operators.Analytics.standardize(
+        events(s, dir)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .select("event_id", "event_type", "cents"),
+        Seq("event_type"), col("cents")),
+      Some("""
+        WITH c AS (SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        st AS (SELECT event_type, CAST(count(cents) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS s,
+                 CAST(sum(cents * cents) AS BIGINT) AS sq
+               FROM c GROUP BY 1)
+        SELECT event_id, event_type, cents, n,
+          CASE WHEN cents IS NULL THEN NULL
+               WHEN n < 2 OR n * sq - s * s = 0 THEN 0.0
+               ELSE CAST(n * cents - s AS DOUBLE) / sqrt(CAST(n * sq - s * s AS DOUBLE))
+          END AS z
+        FROM c JOIN st USING (event_type)""")),
+
+    // MERGE OVERLAPPING INTERVALS (gaps-and-islands): each event opens a
+    // 5-minute activity window; overlapping/touching windows per user
+    // coalesce into spans. Per-KEY windows only (parallel across users),
+    // then one map-side-combined aggregate.
+    "q_merge_intervals" -> Q(
+      (s, dir) => graft.operators.Joins.mergeIntervals(
+        events(s, dir).select(col("user_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + 300000000L).as("end_us")),
+        Seq("user_id"), "start_us", "end_us"),
+      Some("""
+        WITH iv AS (SELECT user_id, epoch_us(ts) AS start_us,
+                      epoch_us(ts) + 300000000 AS end_us FROM events),
+        mx AS (SELECT user_id, start_us, end_us,
+                 max(end_us) OVER (PARTITION BY user_id
+                   ORDER BY start_us, end_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev
+               FROM iv),
+        isl AS (SELECT user_id, start_us, end_us,
+                  CAST(sum(CASE WHEN start_us > max_prev THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY start_us, end_us
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS island
+                FROM mx)
+        SELECT user_id, CAST(min(start_us) AS BIGINT) AS start_us,
+          CAST(max(end_us) AS BIGINT) AS end_us,
+          CAST(count(*) AS BIGINT) AS n_merged
+        FROM isl GROUP BY user_id, island""")),
+
     // PER-USER ordered window signals: 3-row moving sum + lag delta over
     // integer cents, deterministic (ts, event_id) order — the window-
     // function family, integer-exact on both engines.

@@ -178,6 +178,46 @@ object Analytics {
       .drop("__lo", "__hi")
   }
 
+  /** PER-GROUP STANDARDIZATION (z-score transform) — the score-emitting
+    * sibling of [[flagOutliers]]: every row gets
+    * `z = (x − μ) / σ_pop` of its group, as a DOUBLE that is
+    * bit-identical on every IEEE engine despite being float. The trick
+    * is the operation ORDER: all accumulation happens in exact integer
+    * sums (n, Σx, Σx²), and the float tail is
+    *
+    *   z = (n·x − Σx) / sqrt(n·Σx² − Σx²₍sq₎)  ·  (exactly, in this order)
+    *
+    * — an integer numerator, one correctly-rounded `sqrt` of an integer
+    * (IEEE-754 guarantees sqrt, unlike ln/exp), and ONE division. No
+    * order-dependent float sum ever happens, so partitioning cannot
+    * change a bit. Note the n·… clearing means this equals
+    * (x−μ)/σ_pop algebraically: (n·x−S)/√(n·Σx²−S²) =
+    * (x−S/n)/√((n·Σx²−S²)/n²).
+    *
+    * NULL values keep NULL z. Zero-variance groups (all values equal)
+    * and groups with n < 2 emit z = 0 for every member (the "no signal"
+    * convention — a 0/0 NaN would poison downstream sorts). Same
+    * overflow bound as [[flagOutliers]].
+    *
+    * Plan shape: one map-side-combined (n, sum, sumsq) aggregate,
+    * broadcast-joined back; the fact side never shuffles.
+    */
+  def standardize(df: DataFrame, groupCols: Seq[String],
+                  value: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val v = value.cast("long")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(count(v).as("n"), sum(v).as("__sum"), sum(v * v).as("__sumsq"))
+    val varClear = col("n") * col("__sumsq") - col("__sum") * col("__sum")
+    joinStatsBack(df, stats, groupCols)
+      .withColumn("z",
+        when(v.isNull, lit(null).cast("double"))
+          .when(col("n") < 2 || varClear === 0L, lit(0.0))
+          .otherwise((col("n") * v - col("__sum")).cast("double") /
+            sqrt(varClear.cast("double"))))
+      .drop("__sum", "__sumsq")
+  }
+
   /** Join a per-group stats table back onto the fact side with NULL-SAFE
     * key equality — `groupBy` puts null keys in a group of their own, and
     * a plain equi-join would drop those rows on the way back.

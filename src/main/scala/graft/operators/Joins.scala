@@ -187,4 +187,40 @@ object Joins {
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     l.join(r, keys :+ "__salt").drop("__salt")
   }
+
+  /** MERGE OVERLAPPING INTERVALS per key (gaps-and-islands): closed
+    * intervals `[start, end]` that overlap OR touch an earlier
+    * interval's span coalesce into one row —
+    * (keys…, start, end, n_merged) — the temporal-normalization step
+    * behind availability windows, coverage spans, validity-period
+    * dedup, and sessionization with explicit extents.
+    *
+    * Island detection is the classic prefix trick: in per-key
+    * (start, end) order, a row OPENS a new island iff its start exceeds
+    * the running max of every earlier end (not just the previous row's —
+    * an early long interval can swallow several later short ones); the
+    * island id is the running count of opens, and one hash aggregate per
+    * (key, island) emits the merged span.
+    *
+    * Scale: per-KEY windows only — the [[graft.operators
+    * .Analytics.timeSeriesStats]] argument: a window partitioned by the
+    * entity key sorts each entity's own rows, parallel across keys;
+    * nothing global sorts. The follow-up aggregate is map-side combined.
+    * A single entity with millions of intervals is the documented
+    * hot-key hazard (same as every per-entity ordered computation).
+    */
+  def mergeIntervals(df: DataFrame, keyCols: Seq[String],
+                     startCol: String, endCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val opens = when(col(startCol) > prevMax, 1L).otherwise(0L)
+    df.withColumn("__island", sum(opens).over(w))
+      .groupBy((keyCols :+ "__island").map(col): _*)
+      .agg(min(col(startCol)).as(startCol), max(col(endCol)).as(endCol),
+        count(lit(1)).as("n_merged"))
+      .drop("__island")
+  }
 }

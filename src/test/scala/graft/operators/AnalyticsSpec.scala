@@ -333,6 +333,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("standardize: exact z algebra, zero-variance and NULL conventions") {
+    val df = Seq(
+      ("g", Some(1L)), ("g", Some(2L)), ("g", Some(3L)),
+      ("g", Option.empty[Long]),            // NULL value: z NULL, n unaffected
+      ("const", Some(5L)), ("const", Some(5L)),  // zero variance: z = 0
+      ("single", Some(7L))                  // n = 1: z = 0
+    ).toDF("g", "v")
+    val got = Analytics.standardize(df, Seq("g"), col("v"))
+      .select("g", "v", "z").as[(String, Option[Long], Option[Double])]
+      .collect()
+    val gRows = got.filter(_._1 == "g").map(r => r._2 -> r._3).toMap
+    // n=3, S=6, Sq=14 -> nSq - S^2 = 6; z(x) = (3x-6)/sqrt(6)
+    assert(gRows(Some(1L)).contains(-3.0 / math.sqrt(6.0)))
+    assert(gRows(Some(2L)).contains(0.0))
+    assert(gRows(Some(3L)).contains(3.0 / math.sqrt(6.0)))
+    assert(gRows(None).isEmpty)
+    assert(got.filter(_._1 == "const").forall(_._3.contains(0.0)))
+    assert(got.filter(_._1 == "single").forall(_._3.contains(0.0)))
+  }
+
   test("winsorize clips to exact dyadic fences, NULLs stay NULL") {
     val df = ((1L to 64L).map(v => ("g", Some(v))) :+ ("g", Option.empty[Long]))
       .toDF("g", "v")

@@ -127,6 +127,27 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("mergeIntervals: overlap and touch coalesce, long interval swallows, per-key") {
+    val iv = Seq(
+      // key a: [1,5],[3,6] overlap; [6,8] touches; [10,11] separate
+      ("a", 1L, 5L), ("a", 3L, 6L), ("a", 6L, 8L), ("a", 10L, 11L),
+      // key b: early LONG interval swallows two later short ones, then gap
+      ("b", 0L, 100L), ("b", 10L, 20L), ("b", 30L, 40L), ("b", 200L, 210L),
+      // key c: single interval passes through
+      ("c", 7L, 9L)
+    ).toDF("k", "s", "e")
+    val got = Joins.mergeIntervals(iv, Seq("k"), "s", "e")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", 1L, 8L, 3L), ("a", 10L, 11L, 1L),
+      ("b", 0L, 100L, 3L), ("b", 200L, 210L, 1L),
+      ("c", 7L, 9L, 1L)))
+    // partitioning-independent
+    val reGot = Joins.mergeIntervals(iv.repartition(5), Seq("k"), "s", "e")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(reGot == got)
+  }
+
   test("saltedInner equals the plain inner join") {
     val left = (1 to 500).map(i => (i % 3, i)).toDF("k", "v")   // hot keys
     val right = Seq((0, "a"), (1, "b"), (1, "c"), (5, "z")).toDF("k", "w")
