@@ -939,7 +939,8 @@ object ExtQueries {
     * q_decontaminate CTEs (benchmark = raw doc_id % 10 = 0 slice) between
     * near-dup removal and chunking.
     */
-  private def curationOracleSql(decontam: Boolean): String = {
+  private def curationOracleSql(decontam: Boolean,
+                                spans: Boolean = false): String = {
     val gram = (1 to 7).foldLeft("toks[i]") { (acc, k) => s"$acc || ' ' || toks[i+$k]" }
     val decontamCtes = if (!decontam) "" else s""",
         sg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 6),
@@ -952,7 +953,39 @@ object ExtQueries {
         contaminated AS (SELECT DISTINCT doc_id FROM sg JOIN bg USING (gr)),
         final AS (SELECT doc_id, text FROM surv
                   WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))"""
-    val src = if (decontam) "final" else "surv"
+    val src0 = if (decontam) "final" else "surv"
+    // ExactSubstr stage (q_span_dedup's raw-string-gram formulation, run
+    // over the curated survivors): spans of >= spanMinTokens covered by
+    // corpus-repeated 8-grams are CUT, touched docs rebuilt from the
+    // surviving tokens single-space joined, untouched docs byte-identical
+    val spanCtes = if (!spans) "" else s""",
+        tkS AS (SELECT doc_id, text, $sqlTokens AS toks FROM $src0),
+        gS0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 6, 1)),
+                  i -> {'pos': i - 1, 'gr': $gram})) AS u FROM tkS),
+        gS AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.gr AS gr FROM gS0),
+        cntS AS (SELECT gr, count(*) AS c FROM gS GROUP BY 1),
+        dupS AS (SELECT doc_id, pos FROM gS JOIN cntS USING (gr) WHERE c >= 2),
+        islS AS (SELECT doc_id, pos,
+            sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM (SELECT doc_id, pos,
+                  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM dupS)),
+        spansS AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+                   FROM islS GROUP BY doc_id, island),
+        spB AS (SELECT doc_id, list({'s': s, 'e': e}) AS sp FROM spansS
+                WHERE e - s + 1 >= 8 GROUP BY doc_id),
+        respanned AS (SELECT t.doc_id,
+            CASE WHEN b.sp IS NULL THEN t.text
+                 ELSE array_to_string(list_filter(
+                   list_transform(range(1, len(t.toks) + 1),
+                     i -> CASE WHEN len(list_filter(b.sp,
+                            x -> i - 1 >= x.s AND i - 1 <= x.e)) = 0
+                          THEN t.toks[i] END),
+                   x -> x IS NOT NULL), ' ')
+            END AS text
+          FROM tkS t LEFT JOIN spB b USING (doc_id))"""
+    val src = if (spans) "respanned" else src0
     s"""
         WITH RECURSIVE
         t0 AS (SELECT doc_id, text, $sqlTokens AS toks FROM documents),
@@ -983,7 +1016,7 @@ object ExtQueries {
                   UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
         comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
         surv AS (SELECT e.doc_id, e.text FROM exact e LEFT JOIN comp c ON e.doc_id = c.id
-                 WHERE c.id IS NULL OR c.component = e.doc_id)$decontamCtes,
+                 WHERE c.id IS NULL OR c.component = e.doc_id)$decontamCtes$spanCtes,
         st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start
                FROM (SELECT doc_id, $sqlTokens AS toks FROM $src) WHERE len(toks) > 0),
         chunks AS (SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_id,
@@ -1110,6 +1143,21 @@ object ExtQueries {
     // "benchmark" slice (raw doc_id % 10 = 0) drops before chunking. The
     // oracle chain inserts the q_decontaminate CTEs (raw string grams vs
     // the engine's hashed grams — the q_dedup_ngram collision argument).
+    // Curation with the ExactSubstr SPAN-REMOVAL stage enabled (Lee et
+    // al. 2021): corpus-repeated 8-gram spans are cut from the curated
+    // survivors before chunking. Consumes the same shared persisted
+    // prefix as the other two pipeline rows; only the span+chunk suffix
+    // is this row's own work. Spec pins pretrainingPipeline(
+    // dropRepeatedSpans = true) == this composition.
+    "q_curation_spans" -> Q(
+      (s, dir) => graft.operators.Curation.chunkAndPack(
+        graft.operators.Dedup.removeRepeatedSpans(
+            docsCurated(s, dir), "doc_id", "text",
+            gramSize = 8, minCount = 2, minSpanTokens = 8)
+          .drop("n_cut_tokens"),
+        "doc_id", "text", curationCfg),
+      Some(curationOracleSql(decontam = false, spans = true))),
+
     "q_curation_decontam" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")

@@ -27,7 +27,14 @@ object Curation {
       chunkStride: Int = 512,
       packBudgetTokens: Long = 4096L,
       decontamNgram: Int = 8,
-      decontamMinHits: Int = 1)
+      decontamMinHits: Int = 1,
+      // optional ExactSubstr stage ([[graft.operators.Dedup
+      // .removeRepeatedSpans]]) between near-dedup and chunking: cut
+      // token spans covered by corpus-repeated spanGram-grams
+      dropRepeatedSpans: Boolean = false,
+      spanGram: Int = 8,
+      spanMinCount: Long = 2,
+      spanMinTokens: Int = 8)
 
   /** Tuning for the optional Bloom-filter semi-join pushdown of
     * [[contaminationHits]]. `expectedItems` overrides the default
@@ -152,7 +159,15 @@ object Curation {
         bench, bCol, cfg.decontamNgram, cfg.decontamMinHits)
       case None => nearDeduped
     }
-    chunkAndPack(decontaminated, idCol, textCol, cfg, materialize)
+    // ExactSubstr stage AFTER document-level dedup (span counts must not
+    // include near-dup copies about to be dropped) and BEFORE chunking
+    // (chunks must tokenize the cut text)
+    val spanClean =
+      if (!cfg.dropRepeatedSpans) decontaminated
+      else graft.operators.Dedup.removeRepeatedSpans(decontaminated, idCol,
+          textCol, cfg.spanGram, cfg.spanMinCount, cfg.spanMinTokens)
+        .drop("n_cut_tokens")
+    chunkAndPack(spanClean, idCol, textCol, cfg, materialize)
   }
 
   /** The pipeline PREFIX — language/quality filter → PII scrub → exact
