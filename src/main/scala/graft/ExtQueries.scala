@@ -1284,6 +1284,52 @@ object ExtQueries {
         SELECT doc_id, lang, n_tokens FROM w
         WHERE before + n_tokens <= alloc""")),
 
+    // QUALITY-WEIGHTED mixture via the WEIGHT-TABLE allocator (the
+    // composition form: weights produced by another operator flow in as a
+    // DataFrame, no driver collect). Per-source weight = integer mean of
+    // per-doc Q16-quantized quality — per-doc floats quantize BEFORE any
+    // sum, so both engines aggregate exact integers.
+    "q_mixture_quality" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val w = docs.select(col("source"),
+            floor(qualityScore(col("text")) * 65536).cast("long").as("__wq"))
+          .groupBy("source")
+          .agg(expr("sum(__wq) div count(1)").as("weight_q"))
+        graft.operators.Mixing.allocateByWeightTable(
+          docs, "doc_id", "text", "source", w, "weight_q",
+          totalBudget = 20000L)
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, source, text, $sqlTokens AS toks FROM documents),
+        m AS (SELECT doc_id, source, text, toks,
+          CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) END AS punct_ratio,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE) / len(toks) END AS stopword_ratio,
+          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_signal
+        FROM t),
+        qual AS (SELECT doc_id, source, text, toks,
+          greatest(least(len_signal * 0.4 + least(stopword_ratio * 4.0, 1.0) * 0.4
+            + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 1.0), 0.0) AS quality
+        FROM m),
+        wq AS (SELECT source,
+                 CAST(sum(CAST(floor(quality * 65536) AS BIGINT)) // count(*) AS BIGINT) AS w
+               FROM qual GROUP BY 1),
+        pos AS (SELECT source, w FROM wq WHERE w > 0),
+        al AS (SELECT source,
+                 CAST((w * 20000) // (SELECT sum(w) FROM pos) AS BIGINT) AS alloc
+               FROM pos),
+        n AS (SELECT doc_id, source, md5(text) AS h,
+                CAST(len(toks) AS BIGINT) AS n_tokens FROM qual),
+        wd AS (SELECT n.doc_id, n.source, n.n_tokens, al.alloc,
+                 COALESCE(sum(n_tokens) OVER (PARTITION BY n.source
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+               FROM n JOIN al USING (source) WHERE al.alloc > 0)
+        SELECT doc_id, source, n_tokens FROM wd
+        WHERE before + n_tokens <= alloc""")),
+
     // DATA-QUALITY EXPECTATIONS: five named row contracts checked in ONE
     // scan (one aggregate; adding a rule adds a counter, not a pass).
     // NULL predicate results count as violations by contract.

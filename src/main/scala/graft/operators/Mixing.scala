@@ -142,6 +142,45 @@ object Mixing {
       .select(col("__id").as(idCol), col("__src").as(sourceCol), col("n_tokens"))
   }
 
+  /** WEIGHT-TABLE mixture: [[allocateByTokenBudget]] with the weights as
+    * a DATAFRAME of integer-quantized rows `(sourceCol, weight_q)`
+    * instead of a driver-side map — the COMPOSITION form: per-source
+    * weights computed by another operator (mean quality score, PageRank
+    * of the source's host, label propensity) flow straight in without a
+    * driver collect. Sources absent from the table (or with
+    * non-positive weight) drop entirely.
+    *
+    * The caller provides weights ALREADY quantized to integers (Q16/Q20
+    * — their choice, only ratios matter): quantization is where
+    * float-determinism policy lives, and it belongs to the producer of
+    * the weights (the [[allocateByTemperature]] discipline). From there
+    * everything is exact: Σw is an integer sum, each allocation is
+    * `floor(B·w / Σw)` via a decimal(38,0) product and integral
+    * division, and document selection is the shared deterministic
+    * hash-order prefix-sum. The weight table is |sources|-row and
+    * broadcasts; the one window runs over that aggregate table, never
+    * data rows.
+    */
+  def allocateByWeightTable(df: DataFrame, idCol: String, textCol: String,
+                            sourceCol: String, weights: DataFrame,
+                            weightCol: String,
+                            totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, "totalBudget must be positive")
+    val base = hashBase(df, idCol, textCol, sourceCol)
+    val q = weights.select(col(sourceCol).as("__src"),
+        col(weightCol).cast("long").as("__q"))
+      .filter(col("__q") > 0)
+    val alloc = q
+      .withColumn("__qsum", sum(col("__q")).over(Window.partitionBy()))
+      .withColumn("__alloc",
+        expr(s"(CAST(__q AS DECIMAL(38,0)) * CAST($totalBudget AS DECIMAL(38,0))) div __qsum"))
+      .filter(col("__alloc") > 0)
+      .select("__src", "__alloc")
+    withRunningTotal(base.join(broadcast(alloc), "__src"))
+      .filter(col("__before") + col("n_tokens") <= col("__alloc"))
+      .select(col("__id").as(idCol), col("__src").as(sourceCol), col("n_tokens"))
+  }
+
   /** UPSAMPLING mixture: [[allocateByTokenBudget]] for the case every real
     * mixture hits — a high-weight source SMALLER than its allocation (the
     * Wikipedia-at-5-epochs shape). Each source repeats in full

@@ -169,6 +169,30 @@ class MixingSpec extends SparkSpec {
     assert(at1.values.sum <= 600L && at0.values.sum <= 600L)
   }
 
+  test("allocateByWeightTable == allocateByTemperature(α=1) on token-count weights") {
+    // weights ∝ per-source token counts: the Q20 scaling of α=1 cancels
+    // in floor(B·w/Σw), so the two allocators must agree row-for-row
+    val counts = docs
+      .withColumn("n", graft.functions.TextFunctions.tokenCount(col("text")))
+      .groupBy("source").agg(sum("n").as("weight_q"))
+    val viaTable = Mixing.allocateByWeightTable(docs, "doc_id", "text",
+        "source", counts, "weight_q", totalBudget = 300L)
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    val viaTemp = Mixing.allocateByTemperature(docs, "doc_id", "text",
+        "source", alpha = 1.0, totalBudget = 300L)
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(viaTable == viaTemp && viaTable.nonEmpty)
+    // a source missing from the weight table contributes nothing
+    val partial = Mixing.allocateByWeightTable(docs, "doc_id", "text",
+      "source", counts.filter(col("source") =!= "a"), "weight_q", 300L)
+    assert(partial.filter(col("source") === "a").count() == 0L)
+    // non-positive weights drop their source
+    val zeroed = counts.withColumn("weight_q",
+      when(col("source") === "b", lit(0L)).otherwise(col("weight_q")))
+    assert(Mixing.allocateByWeightTable(docs, "doc_id", "text", "source",
+      zeroed, "weight_q", 300L).filter(col("source") === "b").count() == 0L)
+  }
+
   test("the only unbounded-partition window runs over the bucket-sum table") {
     val plan = Mixing.allocateByTokenBudget(docs, "doc_id", "text", "source",
         weights, 500L)
