@@ -68,12 +68,53 @@ object ScaleTen {
       println(s"derived 10x corpus at $out")
     }
 
+    if (!new java.io.File(s"$out/events.parquet").exists()) {
+      // keep ts as the RAW nanos BIGINT (no timestamp conversion): the
+      // derived file then reads through Queries.events exactly like the
+      // original (plain INT64 matches the BIGINT schema; div 1000 still
+      // lands on micros)
+      val ev = spark.read
+        .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .schema(graft.Queries.eventsSchema)
+        .parquet(s"$sf01/events.parquet")
+      (0 until 10).map { k =>
+        ev.select(
+          (col("event_id") + lit(k * 10000000L)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(k * 100000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+      // 10 disjoint copies of the co-purchase graph (shifted keys):
+      // PageRank's node and edge universes both scale 10×
+      val ord = spark.read.parquet(s"$sf01/orders.parquet")
+      (0 until 10).map { k =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * 100000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(k * 10000000L))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+      val li = spark.read.parquet(s"$sf01/lineitem.parquet")
+      (0 until 10).map { k =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(k * 10000000L))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      println(s"derived 10x events/orders/lineitem at $out")
+    }
+
     val names = Seq("q_curation_pipeline", "q_curation_decontam",
       "q_dedup_clusters", "q_repetition", "q_embed_neardup_lsh",
       // round-8 additions: span dedup (positional grams + per-doc windows),
       // quality model (md5 feature hashing), BM25 (scan-stage term filter),
       // Bloom-pushdown decontamination
-      "q_span_dedup", "q_quality_model", "q_bm25", "q_decontam_bloom")
+      "q_span_dedup", "q_quality_model", "q_bm25", "q_decontam_bloom",
+      // round-8 second wave: bigram LM (largest gram join), vocab-id
+      // encoding (broadcast join + per-doc rebuild), span-removal curation
+      // suffix, iterative PageRank, per-key interval islands, full-outer
+      // snapshot diff
+      "q_perplexity", "q_vocab_encode", "q_curation_spans", "q_pagerank",
+      "q_merge_intervals", "q_snapshot_diff")
 
     // noop sink, not count(): count() lets Catalyst ELIMINATE work that
     // doesn't affect cardinality (q_quality_model's final left join has a
