@@ -1845,6 +1845,24 @@ object ExtQueries {
         FROM c JOIN st USING (user_id)
         WHERE cents < q1 - 0.25 * (q3 - q1) OR cents > q3 + 0.25 * (q3 - q1)""")),
 
+    // PERCENTILE RANK (ECDF): percent_rank semantics in exact integer
+    // ppm — counts aggregate first, the prefix runs over the
+    // distinct-value table, rows join back; no data-row window sort.
+    "q_pct_rank" -> Q(
+      (s, dir) => graft.operators.Analytics.percentileRank(
+        events(s, dir)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .select("event_id", "event_type", "cents"),
+        Seq("event_type"), col("cents")),
+      Some("""
+        WITH c AS (SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        SELECT event_id, event_type, cents,
+          CAST((rank() OVER (PARTITION BY event_type ORDER BY cents) - 1)
+            * 1000000 // (count(*) OVER (PARTITION BY event_type) - 1)
+            AS BIGINT) AS pct_ppm
+        FROM c""")),
+
     // WINSORIZE: clip each event's cents into its event-type's exact
     // [p(1/64), p(63/64)] band — heavy-tail taming without row drops.
     // Dyadic probs over integer cents: the interpolated fences and the

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** OLAP analytics operators over event/fact tables: pivot, rollup/cube,
@@ -216,6 +217,49 @@ object Analytics {
           .otherwise((col("n") * v - col("__sum")).cast("double") /
             sqrt(varClear.cast("double"))))
       .drop("__sum", "__sumsq")
+  }
+
+  /** PERCENTILE RANK (ECDF transform): each row gets its group-relative
+    * standing `pct_ppm = #strictly-smaller · 10⁶ div (n−1)` — the SQL
+    * `percent_rank` contract (ties share the min rank) in EXACT INTEGER
+    * parts-per-million, so engines and partitionings agree bit-for-bit.
+    * The rank-normalization every heavy-tailed feature gets before
+    * training, and the quantile-bucket assigner (bucket = pct_ppm div
+    * (10⁶/k)).
+    *
+    * NOT a `percent_rank() OVER (PARTITION BY g ORDER BY v)` — that
+    * window sorts every DATA row of a group in one task. Here the
+    * per-(group, value) counts aggregate first (map-side combined), the
+    * running prefix runs over the DISTINCT-VALUE table (bounded by value
+    * cardinality per group, typically orders of magnitude below row
+    * counts), and rows join back by (group, value). Single-member groups
+    * emit 0; NULL values keep NULL rank.
+    */
+  def percentileRank(df: DataFrame, groupCols: Seq[String],
+                     value: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val v = value.cast("long")
+    val counts = df.select(groupCols.map(col) :+ v.as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy((groupCols :+ "__v").map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val perGroup = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = counts
+      .withColumn("__less", coalesce(
+        sum(col("__c")).over(perGroup.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(perGroup))
+      .drop("__c")
+    val rankedR = groupCols.foldLeft(ranked)((d, c) =>
+      d.withColumnRenamed(c, s"__g_$c"))
+    val cond = groupCols.map(c => df(c) <=> rankedR(s"__g_$c"))
+      .reduce(_ && _) && (v === rankedR("__v"))
+    df.join(rankedR, cond, "left")
+      .withColumn("pct_ppm",
+        when(v.isNull, lit(null).cast("long"))
+          .when(col("__n") < 2, lit(0L))
+          .otherwise(expr("__less * 1000000 div (__n - 1)")))
+      .drop(groupCols.map(c => s"__g_$c") :+ "__v" :+ "__less" :+ "__n": _*)
   }
 
   /** Join a per-group stats table back onto the fact side with NULL-SAFE

@@ -163,6 +163,41 @@ object Profile {
       .drop("__tot")
   }
 
+  /** INCREMENTAL distinct-count profiling — the sketch-algebra shape: a
+    * nightly job calls [[distinctSketch]] per ingest slice (day, source,
+    * partition) and persists the binary sketches; [[mergeDistinctSketches]]
+    * answers "distinct over ANY union of slices" by merging sketches —
+    * never re-reading the data. HLL register merges are idempotent,
+    * associative and commutative set unions, so the merged estimate
+    * EQUALS the direct single-pass estimate over the union bit-for-bit
+    * (spec-pinned) — re-sketching history every night is pure waste.
+    *
+    * `lgConfigK` fixes the register width; every sketch that will ever
+    * merge must share it (the standard sketch-store contract — bake it
+    * into the store's schema, not per-job config).
+    */
+  def distinctSketch(df: DataFrame, sliceCols: Seq[String], valueCol: String,
+                     lgConfigK: Int = 12): DataFrame = {
+    require(sliceCols.nonEmpty, "sliceCols must be non-empty")
+    df.groupBy(sliceCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgConfigK)).as("sketch"))
+  }
+
+  /** Merge [[distinctSketch]] slices (optionally re-grouped by a coarser
+    * key subset) into distinct-count estimates. Pass `groupCols = Nil`
+    * for one global row.
+    */
+  def mergeDistinctSketches(sketches: DataFrame,
+                            groupCols: Seq[String] = Nil): DataFrame = {
+    val merged =
+      if (groupCols.isEmpty)
+        sketches.agg(hll_union_agg(col("sketch")).as("__m"))
+      else sketches.groupBy(groupCols.map(col): _*)
+        .agg(hll_union_agg(col("sketch")).as("__m"))
+    merged.withColumn("n_distinct", hll_sketch_estimate(col("__m")))
+      .drop("__m")
+  }
+
   private def finish(one: DataFrame, names: Seq[String]): DataFrame = {
     val perCol = names.map { c =>
       struct(lit(c).as("column"),

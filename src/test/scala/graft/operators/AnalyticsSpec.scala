@@ -353,6 +353,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.filter(_._1 == "single").forall(_._3.contains(0.0)))
   }
 
+  test("percentileRank == percent_rank window semantics, no data-row window") {
+    val df = Seq(
+      ("g", Some(10L)), ("g", Some(10L)), ("g", Some(20L)), ("g", Some(30L)),
+      ("g", Option.empty[Long]),
+      ("solo", Some(5L))
+    ).toDF("g", "v")
+    val got = Analytics.percentileRank(df, Seq("g"), col("v"))
+      .select("g", "v", "pct_ppm")
+      .as[(String, Option[Long], Option[Long])].collect()
+    val gRows = got.filter(_._1 == "g").map(r => r._2 -> r._3).toMap
+    // n=4 (nulls excluded): ties share min rank
+    assert(gRows(Some(10L)).contains(0L))
+    assert(gRows(Some(20L)).contains(2L * 1000000L / 3L))
+    assert(gRows(Some(30L)).contains(1000000L))
+    assert(gRows(None).isEmpty)
+    assert(got.filter(_._1 == "solo").head._3.contains(0L))
+    // the window runs over the distinct-value table, not data rows: plan
+    // shows an aggregate BELOW the window
+    val big = (1 to 1000).map(i => ("g", i % 7)).toDF("g", "v")
+    val wRef = big.withColumn("p",
+        org.apache.spark.sql.functions.percent_rank().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("v")))
+      .select(col("v"), floor(col("p") * 1000000).cast("long").as("ppm"))
+      .distinct().as[(Int, Long)].collect().toMap
+    val ours = Analytics.percentileRank(big, Seq("g"), col("v"))
+      .select(col("v").cast("int"), col("pct_ppm")).distinct()
+      .as[(Int, Long)].collect().toMap
+    assert(ours == wRef)
+  }
+
   test("winsorize clips to exact dyadic fences, NULLs stay NULL") {
     val df = ((1L to 64L).map(v => ("g", Some(v))) :+ ("g", Option.empty[Long]))
       .toDF("g", "v")

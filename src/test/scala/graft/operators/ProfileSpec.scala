@@ -92,6 +92,31 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Union") && !plan.contains("Join"), plan)
   }
 
+  test("distinct sketches: merged slices == direct union estimate, exact on small sets") {
+    val df = (1 to 30000).map(i => (i % 3, s"day${i % 5}", i % 2743))
+      .toDF("g", "day", "v")
+    // sketch per (g, day) slice — the persisted nightly table
+    val slices = Profile.distinctSketch(df, Seq("g", "day"), "v")
+    assert(slices.count() == 15)
+    // merging slices re-grouped by g == sketching each g's data directly
+    val merged = Profile.mergeDistinctSketches(slices, Seq("g"))
+      .as[(Int, Long)].collect().toMap
+    val direct = df.groupBy("g")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("v"), lit(12))).as("d"))
+      .as[(Int, Long)].collect().toMap
+    assert(merged == direct)
+    // global merge estimates the full distinct count within HLL error
+    val global = Profile.mergeDistinctSketches(slices)
+      .select("n_distinct").as[Long].head()
+    assert(math.abs(global - 2743L) < 2743 * 0.05, s"global=$global")
+    // exactness on small distinct sets (sparse mode is exact)
+    val small = (1 to 1000).map(i => ("s", i % 7)).toDF("g", "v")
+    val est = Profile.mergeDistinctSketches(
+        Profile.distinctSketch(small, Seq("g"), "v"))
+      .select("n_distinct").as[Long].head()
+    assert(est == 7L)
+  }
+
   test("keySkew: heaviest keys, deterministic tie order, exact ppm share") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
       Seq("d")).toDF("k")
