@@ -348,24 +348,31 @@ object TextStats {
     * (thresholding tails is the policy here; short-doc policy is
     * [[qualityRuleSignals]]').
     *
-    * Plan shape at 100 TB: one tokenize+explode pass; bigrams travel as
-    * 64-bit hashes (8 bytes, never strings — the q_dedup_ngram collision
-    * argument); the bigram and prefix count tables are Zipf-bounded hash
-    * aggregates with map-side combine; V is a single-row broadcast; the
-    * per-doc reduce is all-integer so aggregation order cannot change a
-    * single output bit.
+    * Plan shape at 100 TB: ONE tokenize+explode pass — the hashed pair
+    * table persists and feeds all three consumers (bigram counts, prefix
+    * counts, the scoring join); without the barrier the corpus would
+    * re-tokenize once per consumer. Bigrams travel as 64-bit hashes
+    * (8 bytes, never strings — the q_dedup_ngram collision argument);
+    * the count tables are Zipf-bounded hash aggregates with map-side
+    * combine; V is a single-row broadcast; the per-doc reduce is
+    * all-integer so aggregation order cannot change a single output bit.
     */
   def bigramBitCost(df: DataFrame, idCol: String, textCol: String,
-                    keepMilliBits: Long = Long.MaxValue): DataFrame = {
+                    keepMilliBits: Long = Long.MaxValue,
+                    materialize: Boolean = true): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("__t"))
-    val pairs = toks.select(col("id"), explode(transform(
+    val pairsRaw = toks.select(col("id"), explode(transform(
         slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
         (x, i) => struct(x.as("w1"), element_at(col("__t"), i + 2).as("w2"))))
         .as("__bg"))
       .select(col("id"),
         xxhash64(col("__bg.w1")).as("__h1"),
         xxhash64(col("__bg.w1"), col("__bg.w2")).as("__h12"))
+    val pairs =
+      if (materialize)
+        pairsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pairsRaw
     val bigCnt = pairs.groupBy("__h12").agg(count(lit(1)).as("__c12"))
     val preCnt = pairs.groupBy("__h1").agg(count(lit(1)).as("__c1"))
     val vocabSize = df.select(
