@@ -1845,6 +1845,30 @@ object ExtQueries {
         FROM c JOIN st USING (user_id)
         WHERE cents < q1 - 0.25 * (q3 - q1) OR cents > q3 + 0.25 * (q3 - q1)""")),
 
+    // ROBUST SCALING: (x − median)/MAD per event-type — the 50%-breakdown
+    // normalization monitoring pipelines use where one outlier would
+    // corrupt mean/stddev. Dyadic exact medians over integer cents →
+    // identical doubles on both engines.
+    "q_robust_scale" -> Q(
+      (s, dir) => graft.operators.Analytics.robustStandardize(
+        events(s, dir)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .select("event_id", "event_type", "cents"),
+        Seq("event_type"), col("cents")),
+      Some("""
+        WITH c AS (SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        med AS (SELECT event_type, quantile_cont(CAST(cents AS DOUBLE), 0.5) AS m
+                FROM c GROUP BY 1),
+        mad AS (SELECT event_type,
+                  quantile_cont(abs(CAST(cents AS DOUBLE) - m), 0.5) AS d
+                FROM c JOIN med USING (event_type) GROUP BY 1)
+        SELECT event_id, event_type, cents,
+          CASE WHEN cents IS NULL THEN NULL
+               WHEN d = 0 THEN 0.0
+               ELSE (CAST(cents AS DOUBLE) - m) / d END AS robust_z
+        FROM c JOIN med USING (event_type) JOIN mad USING (event_type)""")),
+
     // PERCENTILE RANK (ECDF): percent_rank semantics in exact integer
     // ppm — counts aggregate first, the prefix runs over the
     // distinct-value table, rows join back; no data-row window sort.

@@ -219,6 +219,43 @@ object Analytics {
       .drop("__sum", "__sumsq")
   }
 
+  /** ROBUST per-group scaling — the median/MAD twin of [[standardize]]:
+    * `robust_z = (x − median) / MAD` where MAD is the median absolute
+    * deviation. One genuine outlier corrupts a mean/stddev z-score for
+    * its whole group (the outlier drags the very statistics meant to
+    * expose it); median and MAD have a 50% breakdown point, which is why
+    * monitoring and anomaly pipelines scale with them.
+    *
+    * Cross-engine exactness: both medians are EXACT interpolated
+    * percentiles at the dyadic 0.5 over integer inputs (the
+    * [[tukeyOutliers]] argument — halves of integers are exactly
+    * representable; |x − median| is then a sum/abs of exact doubles,
+    * and its median is again exact), so the one division produces
+    * identical doubles everywhere. Zero-MAD groups (≥ half the group at
+    * the median) emit 0 — the [[standardize]] degenerate convention;
+    * NULLs stay NULL.
+    *
+    * Two exact-percentile aggregates (each buffers the group — the
+    * documented hazard), two |groups|-row broadcast joins; the fact
+    * side never shuffles.
+    */
+  def robustStandardize(df: DataFrame, groupCols: Seq[String],
+                        value: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val v = value.cast("double")
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(v, lit(0.5)).as("__med"))
+    val withMed = joinStatsBack(df, med, groupCols)
+    val mad = withMed.groupBy(groupCols.map(col): _*)
+      .agg(percentile(abs(v - col("__med")), lit(0.5)).as("__mad"))
+    joinStatsBack(withMed, mad, groupCols)
+      .withColumn("robust_z",
+        when(v.isNull, lit(null).cast("double"))
+          .when(col("__mad") === 0.0, lit(0.0))
+          .otherwise((v - col("__med")) / col("__mad")))
+      .drop("__med", "__mad")
+  }
+
   /** PERCENTILE RANK (ECDF transform): each row gets its group-relative
     * standing `pct_ppm = #strictly-smaller · 10⁶ div (n−1)` — the SQL
     * `percent_rank` contract (ties share the min rank) in EXACT INTEGER

@@ -40,6 +40,12 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.getDouble(2) > 0 && row.getDouble(2) <= 1.0)
     assert(row.getString(3) == "the cat and the hat wrote to <EMAIL> from <URL>")
     assert(row.getInt(4) == 1)
+    // crawl-ingest surface
+    val crawl = spark.sql(
+      """SELECT strip_html('<p>a</p><script>x</script><p>b &amp; c</p>') AS t,
+                url_host('https://u@Host.Org:81/p?q') AS h""").head()
+    assert(crawl.getString(0) == "a b & c")
+    assert(crawl.getString(1) == "host.org")
   }
 
   test("byte-level BPE functions register and round-trip through SQL") {

@@ -353,6 +353,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.filter(_._1 == "single").forall(_._3.contains(0.0)))
   }
 
+  test("robustStandardize: median/MAD algebra, outlier immunity, degenerate groups") {
+    val df = Seq(
+      ("g", Some(1L)), ("g", Some(2L)), ("g", Some(3L)), ("g", Some(4L)),
+      ("g", Some(1000000L)),            // the outlier
+      ("g", Option.empty[Long]),
+      ("const", Some(5L)), ("const", Some(5L)), ("const", Some(9L))
+    ).toDF("g", "v")
+    val got = Analytics.robustStandardize(df, Seq("g"), col("v"))
+      .select("g", "v", "robust_z")
+      .as[(String, Option[Long], Option[Double])].collect()
+    val gRows = got.filter(_._1 == "g").map(r => r._2 -> r._3).toMap
+    // median = 3, deviations (2,1,0,1,999997) -> MAD = 1
+    assert(gRows(Some(3L)).contains(0.0))
+    assert(gRows(Some(1L)).contains(-2.0))
+    assert(gRows(Some(4L)).contains(1.0))
+    assert(gRows(Some(1000000L)).contains(999997.0))
+    assert(gRows(None).isEmpty)
+    // vs standardize: the outlier inflates stddev so inliers' |z| < 1,
+    // while robust_z keeps them at honest scale
+    val z = Analytics.standardize(df.filter(col("v").isNotNull), Seq("g"), col("v"))
+      .filter(col("g") === "g" && col("v") === 1L)
+      .select("z").as[Double].head()
+    assert(math.abs(z) < 1.0 && gRows(Some(1L)).get.abs == 2.0)
+    // zero-MAD group (majority at the median): every member 0
+    assert(got.filter(_._1 == "const").forall(_._3.contains(0.0)))
+  }
+
   test("percentileRank == percent_rank window semantics, no data-row window") {
     val df = Seq(
       ("g", Some(10L)), ("g", Some(10L)), ("g", Some(20L)), ("g", Some(30L)),

@@ -92,6 +92,24 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Union") && !plan.contains("Join"), plan)
   }
 
+  test("groupQuantiles approx mode stays inside a ±2% rank band on skewed data") {
+    // Zipf-shaped: value i appears ~2000/i times — the skew that breaks
+    // naive samplers
+    val rows = (1 to 200).flatMap(i => Seq.fill(2000 / i)(("g", i)))
+    val df = rows.toDF("g", "v")
+    val probs = Seq(0.5, 0.9, 0.99)
+    def q(p: Double, exact: Boolean): Double =
+      Profile.groupQuantiles(df, Seq("g"), "v", Seq(p), exact = exact)
+        .select(col(s"p${(p * 100).round}")).as[Double].head()
+    for (p <- probs) {
+      val approx = q(p, exact = false)
+      val lo = q(math.max(0.0, p - 0.02), exact = true)
+      val hi = q(math.min(1.0, p + 0.02), exact = true)
+      assert(approx >= lo - 1e-9 && approx <= hi + 1e-9,
+        s"p=$p approx=$approx outside [$lo, $hi]")
+    }
+  }
+
   test("distinct sketches: merged slices == direct union estimate, exact on small sets") {
     val df = (1 to 30000).map(i => (i % 3, s"day${i % 5}", i % 2743))
       .toDF("g", "day", "v")
