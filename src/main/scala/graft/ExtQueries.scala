@@ -1581,6 +1581,33 @@ object ExtQueries {
       },
       pagerankOracleSql(3)),
 
+    // NEAREST as-of (pandas merge_asof direction='nearest'): each
+    // purchase gets the user's temporally CLOSEST click within 30
+    // minutes, equal distance breaking backward. One union exchange,
+    // two in-partition carries — never a join of two as-of results.
+    "q_asof_nearest" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+        graft.operators.Joins.asOf(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          direction = "nearest", tolerance = Some(1800.0))
+      },
+      Some("""
+        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT * FROM events WHERE event_type = 'click'),
+        j AS (SELECT p.event_id AS pid, c.event_id AS r_event_id, c.ts AS r_ts,
+                c.event_type AS r_event_type, c.value AS r_value, c.props AS r_props,
+                row_number() OVER (PARTITION BY p.event_id
+                  ORDER BY abs(epoch(c.ts) - epoch(p.ts)),
+                    CAST(c.ts <= p.ts AS INT) DESC, c.event_id DESC) AS rn
+              FROM p JOIN c ON p.user_id = c.user_id
+               AND abs(epoch(c.ts) - epoch(p.ts)) <= 1800)
+        SELECT p.user_id, p.event_id, p.ts, p.event_type, p.value, p.props,
+               j.r_event_id, j.r_ts, j.r_event_type, j.r_value, j.r_props
+        FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON p.event_id = j.pid""")),
+
     "q_asof_forward" -> Q(
       (s, dir) => {
         val ev = events(s, dir)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -11,10 +11,13 @@ object Joins {
 
   /** AS-OF (left) join: for each left row, attach per key the LATEST right
     * row with `right.ts <= left.ts` (`direction = "backward"`, the
-    * default) or the EARLIEST right row with `right.ts >= left.ts`
-    * (`direction = "forward"`) — the canonical feature-attachment join of
-    * training-data pipelines ("state of the user at event time" /
-    * "next action after the event"). Optional `tolerance` (in the ts
+    * default), the EARLIEST right row with `right.ts >= left.ts`
+    * (`direction = "forward"`), or whichever of the two is CLOSER in
+    * time (`direction = "nearest"`, equal distance breaking toward
+    * backward) — the full pandas `merge_asof` direction surface, the
+    * canonical feature-attachment join of training-data pipelines
+    * ("state of the user at event time" / "next action after the
+    * event"). Optional `tolerance` (in the ts
     * column's natural units — seconds for timestamps) nulls the match
     * when the attached row is further than that from the left row, the
     * pandas `merge_asof` contract.
@@ -35,20 +38,21 @@ object Joins {
            rightPrefix: String = "r_",
            direction: String = "backward",
            tolerance: Option[Double] = None): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
-    // the tolerance mask measures distance via cast-to-double; a ts type
-    // where that cast yields NULL (DATE, non-numeric strings) would
-    // silently null EVERY match instead of failing — reject it up front
-    tolerance.foreach { _ =>
+    // the tolerance mask (and nearest's distance compare) measures
+    // distance via cast-to-double; a ts type where that cast yields NULL
+    // (DATE, non-numeric strings) would silently null EVERY match
+    // instead of failing — reject it up front
+    if (tolerance.isDefined || direction == "nearest") {
       import org.apache.spark.sql.types.{NumericType, TimestampNTZType, TimestampType}
       Seq(s"left.$leftTs" -> left.schema(leftTs).dataType,
           s"right.$rightTs" -> right.schema(rightTs).dataType).foreach {
         case (nm, dt) =>
           require(dt.isInstanceOf[NumericType] ||
               dt == TimestampType || dt == TimestampNTZType,
-            s"asOf tolerance needs a numeric or timestamp ts column; " +
+            s"asOf tolerance/nearest needs a numeric or timestamp ts column; " +
               s"$nm is $dt (its cast to double is null, which would null every match)")
       }
     }
@@ -82,23 +86,53 @@ object Joins {
       .map(f => col(s"__r.${f.name}"))
     val tieBreak: Seq[org.apache.spark.sql.Column] =
       if (rOrderable.isEmpty) Nil else Seq(struct(rOrderable: _*))
-    val tOrder = if (direction == "backward") col("__t") else col("__t").desc
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(tOrder +: col("__src") +: tieBreak: _*)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val joined = lSide.unionByName(rSide)
-      .withColumn("__carried", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__src") === 1)
-    val masked = tolerance match {
-      case None => joined
-      case Some(tol) =>
-        // natural-unit distance: timestamps cast to epoch seconds,
-        // numerics to their value
-        val dist = abs(col(s"__carried.${rightPrefix + rightTs}").cast("double") -
-          col("__t").cast("double"))
-        joined.withColumn("__carried",
-          when(dist <= tol, col("__carried")).otherwise(lit(null).cast(rType)))
+    def carryWindow(reversed: Boolean) = {
+      val tOrder = if (reversed) col("__t").desc else col("__t")
+      Window.partitionBy(keys.map(col): _*)
+        .orderBy(tOrder +: col("__src") +: tieBreak: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
     }
+    def distOf(carried: Column): Column =
+      abs(carried.getField(rightPrefix + rightTs).cast("double") -
+        col("__t").cast("double"))
+    def tolMask(carried: Column): Column = tolerance match {
+      case None => carried
+      // natural-unit distance: timestamps cast to epoch seconds,
+      // numerics to their value
+      case Some(tol) =>
+        when(distOf(carried) <= tol, carried).otherwise(lit(null).cast(rType))
+    }
+    val base = lSide.unionByName(rSide)
+    val masked =
+      if (direction != "nearest") {
+        base
+          .withColumn("__carried",
+            last(col("__r"), ignoreNulls = true)
+              .over(carryWindow(direction == "forward")))
+          .filter(col("__src") === 1)
+          .withColumn("__carried", tolMask(col("__carried")))
+      } else {
+        // NEAREST: both carries over ONE union (one exchange, two
+        // in-partition sorts — no second shuffle, no join of two asOf
+        // results); tolerance masks each side BEFORE the distance
+        // compare, and equal distance breaks toward backward (the
+        // pandas merge_asof contract)
+        val both = base
+          .withColumn("__cb",
+            last(col("__r"), ignoreNulls = true).over(carryWindow(false)))
+          .withColumn("__cf",
+            last(col("__r"), ignoreNulls = true).over(carryWindow(true)))
+          .filter(col("__src") === 1)
+          .withColumn("__cb", tolMask(col("__cb")))
+          .withColumn("__cf", tolMask(col("__cf")))
+        both
+          .withColumn("__carried",
+            when(col("__cb").isNull, col("__cf"))
+              .when(col("__cf").isNull, col("__cb"))
+              .when(distOf(col("__cb")) <= distOf(col("__cf")), col("__cb"))
+              .otherwise(col("__cf")))
+          .drop("__cb", "__cf")
+      }
     masked.select(keys.map(col) ++
       lPayload.map(c => col(s"__l.$c").as(c)) ++
       rPayload.map(c => col(s"__carried.$c").as(c)): _*)

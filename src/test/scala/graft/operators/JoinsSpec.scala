@@ -58,6 +58,42 @@ class JoinsSpec extends SparkSpec {
     assert(back("t2").isEmpty && back("t1").contains(101.0))
   }
 
+  test("asOf nearest picks the closer side, ties break backward, tolerance masks") {
+    val trades = Seq(
+      (1L, ts(10), "t1"),  // back at 7 (d=3), fwd at 15 (d=5) -> back
+      (1L, ts(14), "t2"),  // back at 7 (d=7), fwd at 15 (d=1) -> fwd
+      (1L, ts(11), "t3"),  // back at 7 (d=4), fwd at 15 (d=4) -> tie: back
+      (2L, ts(10), "t4"),  // only a forward candidate
+      (3L, ts(10), "t5")   // no candidates
+    ).toDF("uid", "ts", "trade")
+    val quotes = Seq(
+      (1L, ts(7), 100.0), (1L, ts(15), 101.0), (2L, ts(12), 50.0)
+    ).toDF("uid", "ts", "px")
+    val got = Joins.asOf(trades, quotes, Seq("uid"), "ts", "ts",
+        direction = "nearest")
+      .select("trade", "r_px").as[(String, Option[Double])].collect().toMap
+    assert(got("t1").contains(100.0))
+    assert(got("t2").contains(101.0))
+    assert(got("t3").contains(100.0)) // equal distance -> backward
+    assert(got("t4").contains(50.0))
+    assert(got("t5").isEmpty)
+    // tolerance (SECONDS — ts() steps are minutes): at 180 s, t1's
+    // backward (3 min) survives, t2's forward (1 min) survives, t4's
+    // forward (2 min) survives, t3 keeps nothing (both sides 4 min)
+    val tol = Joins.asOf(trades, quotes, Seq("uid"), "ts", "ts",
+        direction = "nearest", tolerance = Some(180.0))
+      .select("trade", "r_px").as[(String, Option[Double])].collect().toMap
+    assert(tol("t1").contains(100.0) && tol("t2").contains(101.0))
+    assert(tol("t3").isEmpty && tol("t4").contains(50.0))
+    // a masked NEAR side falls back to the in-tolerance far side:
+    // trade at 13 -> back 6 min (masked at 180 s), fwd 2 min (kept)
+    val fb = Joins.asOf(Seq((1L, ts(13), "x")).toDF("uid", "ts", "trade"),
+        quotes, Seq("uid"), "ts", "ts",
+        direction = "nearest", tolerance = Some(180.0))
+      .select("r_px").as[Option[Double]].head()
+    assert(fb.contains(101.0))
+  }
+
   test("asOf with tolerance rejects ts types whose double cast is null") {
     // a DATE ts would cast to null inside the tolerance mask and silently
     // null EVERY match — the guard must fail fast instead
