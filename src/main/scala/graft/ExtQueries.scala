@@ -307,6 +307,23 @@ object ExtQueries {
           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
         FROM tok JOIN vocab USING (token) GROUP BY doc_id""")),
 
+    // JSONL INGESTION (the crawl-dump wire format): explicit schema (no
+    // inference scan), PERMISSIVE corrupt-line capture, line-splittable
+    // parallel read. The clean split of a committed fixture with two
+    // broken lines must agree with DuckDB's ignore_errors read.
+    "q_jsonl_source" -> Q(
+      (s, _) => graft.sources.JsonlDocs.clean(
+        graft.sources.JsonlDocs.read(s,
+          "/root/repo/src/test/resources/jsonl/docs.jsonl",
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING, lang STRING"))),
+      Some("""
+        SELECT doc_id, text, lang
+        FROM read_json('/root/repo/src/test/resources/jsonl/docs.jsonl',
+          format='newline_delimited', ignore_errors=true,
+          columns={'doc_id': 'BIGINT', 'text': 'VARCHAR', 'lang': 'VARCHAR'})
+        WHERE doc_id IS NOT NULL""")),
+
     // RAW-CRAWL HTML → text extraction: script/style blocks dropped, tags
     // to spaces, common entities decoded, whitespace collapsed — the
     // codegen'd regexp chain that runs before every text operator on a
