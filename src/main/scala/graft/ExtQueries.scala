@@ -423,6 +423,30 @@ object ExtQueries {
           CAST(COALESCE(a.bit_cost * 1000 // a.n_bigrams, 0) <= 4700 AS INT) AS keep
         FROM documents d LEFT JOIN agg a USING (doc_id)""")),
 
+    // MISRA–GRIES heavy hitters per language: k bounded counters per
+    // group no matter how many distinct items stream past — the
+    // frequent-items primitive for item universes too big to aggregate
+    // exactly. At k ≥ the corpus vocabulary the summary IS the exact
+    // count map (merge-order-independent), which is what this row gates;
+    // the approximate regime's n/(k+1) bounds are property-tested.
+    "q_heavy_tokens" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("token"))
+        .groupBy("lang")
+        .agg(graft.functions.HeavyHitters.sketch(col("token"), k = 64).as("hh"))
+        .select(col("lang"), posexplode(col("hh")).as(Seq("__pos", "e")))
+        .select(col("lang"), col("e.item").as("token"),
+          col("e.count_lb").as("cnt"),
+          (col("__pos") + 1).cast("long").as("rank")),
+      Some(s"""
+        WITH tok AS (SELECT lang, unnest($sqlTokens) AS token FROM documents),
+        cnt AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+                FROM tok GROUP BY 1, 2)
+        SELECT lang, token, cnt,
+          CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY cnt DESC, token) AS BIGINT) AS rank
+        FROM cnt""")),
+
     // FREQUENCY-RANKED VOCABULARY: dense ids 0..n-1 by (count desc, token
     // asc) under a bounded-heap cap — the "train the tokenizer vocab"
     // step. The full token universe never sorts (TopNRows aggregate).

@@ -35,6 +35,8 @@ object GraftFunctions {
     "word_shingles" -> (es => WordShingles(es(0), intLit(es(1), "shingle size"))),
     "minhash_signature" -> (es => MinHashSignature(es(0), intLit(es(1), "num hashes"))),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
+    "misra_gries" -> (es => MisraGriesAgg(es(0), intLit(es(1), "k"))
+      .toAggregateExpression()),
     "rolling_fingerprint" -> (es => RollingFingerprint(es(0),
       intLit(es(1), "k-gram size"), intLit(es(2), "window"))),
     // text-pipeline surface (Column compositions over built-ins)
