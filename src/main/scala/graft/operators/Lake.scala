@@ -124,10 +124,12 @@ object Lake {
     * bytes and is exact).
     */
   def diffSnapshots(oldSnap: DataFrame, newSnap: DataFrame,
-                    keyCols: Seq[String]): DataFrame = {
+                    keyCols: Seq[String], opCol: String = "op"): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(oldSnap.columns.sameElements(newSnap.columns),
       "snapshots must share a schema")
+    require(!oldSnap.columns.contains(opCol),
+      s"snapshot already has a column named $opCol — pass a different opCol")
     val valCols = oldSnap.columns.filterNot(keyCols.contains).toSeq
     val o = oldSnap.select(
       struct(keyCols.map(col): _*).as("__k"),
@@ -139,20 +141,20 @@ object Lake {
     // key with NULL in it could never be diffed
     val joined = o.join(n, o("__k") <=> n("__k"), "full_outer")
     joined
-      .withColumn("op",
+      .withColumn(opCol,
         when(o("__k").isNull, lit("insert"))
           .when(n("__k").isNull, lit("delete"))
           .when(!(col("__ov") <=> col("__nv")), lit("update"))
           .otherwise(lit(null)))
-      .filter(col("op").isNotNull)
-      .select(Seq(coalesce(o("__k"), n("__k")).as("__key"), col("op")) ++
+      .filter(col(opCol).isNotNull)
+      .select(Seq(coalesce(o("__k"), n("__k")).as("__key"), col(opCol)) ++
         // deletes carry the old values; inserts/updates the NEW row as-is
         // (a per-column coalesce would resurrect old values under
         // value→NULL updates)
-        valCols.map(c => when(col("op") === "delete", col(s"__ov.$c"))
+        valCols.map(c => when(col(opCol) === "delete", col(s"__ov.$c"))
           .otherwise(col(s"__nv.$c")).as(c)): _*)
       .select(keyCols.map(c => col(s"__key.$c")) ++
-        (col("op") +: valCols.map(col)): _*)
+        (col(opCol) +: valCols.map(col)): _*)
   }
 
   /** The Morton (Z-curve) interleave of `zCols`, each equal-width

@@ -35,12 +35,22 @@ object ChangeStreams {
     * `snapshotPath`. `isDelete` marks tombstone rows; `versionCols`
     * must give each key a total order (e.g. `(ts, seq)`) or ties break
     * partitioning-dependently. Bootstraps from an absent snapshot.
+    *
+    * Optional `changeFeedPath`: each micro-batch ALSO appends its net
+    * effect on the LIVE view — `(op ∈ insert/update/delete, row…,
+    * __batch_id)` via [[graft.operators.Lake.diffSnapshots]] of the
+    * before/after snapshots — the change-data-feed downstream
+    * incremental consumers subscribe to instead of re-diffing
+    * snapshots themselves. A batch of late rows that changes nothing
+    * appends nothing.
     */
   def cdcSnapshotStream(changelog: DataFrame, keyCols: Seq[String],
                         versionCols: Seq[String], isDelete: Column,
-                        snapshotPath: String): DataStreamWriter[Row] =
-    changelog.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      mergeBatch(batch, keyCols, versionCols, isDelete, snapshotPath)
+                        snapshotPath: String,
+                        changeFeedPath: Option[String] = None): DataStreamWriter[Row] =
+    changelog.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      mergeBatch(batch, keyCols, versionCols, isDelete, snapshotPath,
+        changeFeedPath, batchId)
     }
 
   /** One micro-batch of the merge loop (factored out so batch semantics
@@ -49,15 +59,18 @@ object ChangeStreams {
     */
   private[streaming] def mergeBatch(batch: DataFrame, keyCols: Seq[String],
                                     versionCols: Seq[String], isDelete: Column,
-                                    snapshotPath: String): Unit = {
+                                    snapshotPath: String,
+                                    changeFeedPath: Option[String] = None,
+                                    batchId: Long = -1L): Unit = {
     val spark = batch.sparkSession
     val dataCols = batch.columns.toSeq
     val marked = batch.withColumn("__is_del",
       coalesce(isDelete.cast("boolean"), lit(false)))
     val target = new org.apache.hadoop.fs.Path(snapshotPath)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val exists = fs.exists(target)
     val unioned =
-      if (fs.exists(target))
+      if (exists)
         spark.read.parquet(snapshotPath)
           .withColumnRenamed("__del", "__is_del")
           .select(marked.columns.map(col): _*)
@@ -67,6 +80,26 @@ object ChangeStreams {
         unioned, keyCols, versionCols.map(col),
         isDelete = col("__is_del"), keepTombstones = true)
       .select(dataCols.map(col) :+ col("__del"): _*)
+    // change feed: diff the LIVE views before/after, while the old
+    // snapshot is still on disk (the swap below replaces it). The diff
+    // must materialize BEFORE the swap — persist + count pins it.
+    val feed = changeFeedPath.map { _ =>
+      val before =
+        if (exists) readSnapshot(spark, snapshotPath)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(
+            merged.drop("__del").schema.fields))
+      // "_op", not "op": CDC changelogs routinely carry their own `op`
+      // column through to the snapshot, and the feed must not collide
+      val d = graft.operators.Lake.diffSnapshots(
+          before, merged.filter(!col("__del")).drop("__del"), keyCols,
+          opCol = "_op")
+        .withColumn("__batch_id", lit(batchId))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      d
+    }
     // swap-safe rewrite: the snapshot is both input and output of this
     // batch, so write aside and rename (the Lake.compact swap; rename is
     // atomic on HDFS/posix, copy-emulated on object stores)
@@ -84,6 +117,11 @@ object ChangeStreams {
         s"could not move merged snapshot into $snapshotPath")
     }
     fs.delete(bak, true)
+    feed.foreach { d =>
+      changeFeedPath.foreach(p =>
+        d.write.mode("append").parquet(p))
+      d.unpersist()
+    }
   }
 
   /** The consumer view of [[cdcSnapshotStream]]'s snapshot: live rows

@@ -47,6 +47,31 @@ class ChangeStreamsSpec extends SparkSpec {
       == Seq("b"))
   }
 
+  test("change feed: per-batch net effect on the live view, silent when nothing changes") {
+    val root = tmp("graft_snap_cdf")
+    val snapPath = root + "/snap"
+    val feedPath = root + "/feed"
+    for ((b, id) <- Seq(b1, b2, b3).zipWithIndex) {
+      ChangeStreams.mergeBatch(b.toDF("k", "v", "ver", "op"), Seq("k"),
+        Seq("ver"), col("op") === "delete", snapPath,
+        changeFeedPath = Some(feedPath), batchId = id.toLong)
+    }
+    val feed = spark.read.parquet(feedPath)
+      .select("__batch_id", "_op", "k", "v", "ver")
+      .as[(Long, String, String, Long, Long)].collect().toSet
+    assert(feed == Set(
+      // batch 0 bootstraps: every surviving key is an insert
+      (0L, "insert", "a", 11L, 2L),
+      (0L, "insert", "b", 20L, 1L),
+      (0L, "insert", "c", 30L, 1L),
+      // batch 1: b tombstoned, c updated, d inserted
+      (1L, "delete", "b", 20L, 1L),
+      (1L, "update", "c", 31L, 2L),
+      (1L, "insert", "d", 40L, 1L)
+      // batch 2 (late losers only) appends NOTHING
+    ))
+  }
+
   test("incremental merge == batch latestSnapshot over the whole log") {
     val snapPath = tmp("graft_snap2") + "/snap"
     for (b <- Seq(b1, b2, b3)) {
