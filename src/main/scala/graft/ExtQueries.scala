@@ -2180,8 +2180,9 @@ object ExtQueries {
     // oracle.
     "q_bm25_indexed" -> Q(
       (s, dir) => {
-        val idx = graft.operators.Search.buildBm25Index(
-          table(s, dir, "documents"), "doc_id", "text")
+        val idx = graft.operators.Search.bm25IndexFor(
+          table(s, dir, "documents"), cacheKey = s"$dir/documents!bm25",
+          "doc_id", "text")
         graft.operators.Search.bm25TopKIndexed(
             idx, Seq("vector", "spark", "customer"), k = 10)
           .select("id", "rank", "n_terms", "sum_tf", "dl")

@@ -118,6 +118,32 @@ object Search {
         TextFunctions.tokenCount(col(textCol)).as("dl")),
       invertedPostings(docs, idCol, textCol, maxPostings))
 
+  private val bmMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, BmIndex]()
+
+  /** [[buildBm25Index]] memoized to its persisted parquet layout — built
+    * ONCE per (JVM, cacheKey, maxPostings) under `spark.graft.indexDir`
+    * ([[IndexRoot]]) and re-read from disk, so every query served in the
+    * JVM's lifetime reuses one corpus pass (the
+    * [[Dedup.minhashIndexFor]] nightly-index contract). Serving then
+    * never touches the corpus: [[bm25TopKIndexed]] reads ≤ |Q| postings
+    * rows from the persisted table.
+    */
+  def bm25IndexFor(docs: => DataFrame, cacheKey: String,
+                   idCol: String, textCol: String,
+                   maxPostings: Int = 10000): BmIndex = {
+    val fullKey = s"$cacheKey|id=$idCol|txt=$textCol|mp=$maxPostings"
+    bmMemo.computeIfAbsent(fullKey, _ => {
+      val built = buildBm25Index(docs, idCol, textCol, maxPostings)
+      val spark = built.lengths.sparkSession
+      val lenPath = IndexRoot.path(spark, "bm25_len", fullKey)
+      val postPath = IndexRoot.path(spark, "bm25_post", fullKey)
+      built.lengths.write.mode("overwrite").parquet(lenPath)
+      built.postings.write.mode("overwrite").parquet(postPath)
+      BmIndex(spark.read.parquet(lenPath), spark.read.parquet(postPath))
+    })
+  }
+
   /** [[bm25TopK]] served FROM the persisted index: reads ≤ |Q| postings
     * rows (token-keyed — with the postings parquet bucketed or sorted by
     * token this is a pruned point lookup, never a corpus scan), explodes

@@ -85,4 +85,35 @@ class SearchSpec extends SparkSpec {
     assert(got("beta")._2 == Seq((2L, 3L), (1L, 1L)))
     assert(got("gamma") == (1L, Seq((3L, 1L))))
   }
+
+  test("bm25IndexFor: persists under the configured root, serves equal results") {
+    val docs = Seq(
+      (1L, "alpha alpha beta"), (2L, "alpha beta beta beta"), (3L, "alpha gamma")
+    ).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    spark.conf.set("spark.graft.indexDir", root)
+    try {
+      var builds = 0
+      val idx = Search.bm25IndexFor({ builds += 1; docs },
+        cacheKey = "spec!bm25", "doc_id", "text")
+      val again = Search.bm25IndexFor(
+        { builds += 1; sys.error("memo must not rebuild"): org.apache.spark.sql.DataFrame },
+        cacheKey = "spec!bm25", "doc_id", "text")
+      assert(builds == 1)
+      // the artifact landed under the configured root
+      assert(new java.io.File(root).listFiles().nonEmpty)
+      // serving from the persisted index == the inline build
+      val fromDisk = Search.bm25TopKIndexed(again, Seq("beta"), k = 3)
+        .select("id", "rank").as[(Long, Long)].collect().toSeq
+      val inline = Search.bm25TopKIndexed(
+          Search.buildBm25Index(docs, "doc_id", "text"), Seq("beta"), k = 3)
+        .select("id", "rank").as[(Long, Long)].collect().toSeq
+      assert(fromDisk == inline && fromDisk.nonEmpty)
+      // a different cap is a different artifact key (no silent sharing)
+      val other = Search.bm25IndexFor(docs, "spec!bm25", "doc_id", "text",
+        maxPostings = 1)
+      assert(other.postings.select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("postings"))).as[Int].collect().forall(_ <= 1))
+    } finally spark.conf.unset("spark.graft.indexDir")
+  }
 }
