@@ -324,6 +324,23 @@ object ExtQueries {
           columns={'doc_id': 'BIGINT', 'text': 'VARCHAR', 'lang': 'VARCHAR'})
         WHERE doc_id IS NOT NULL""")),
 
+    // CSV INGESTION (same corrupt-capture contract as JSONL): rows that
+    // cannot parse into the declared schema quarantine instead of
+    // aborting or silently dropping; the clean split must agree with
+    // DuckDB's ignore_errors read of the committed fixture.
+    "q_csv_source" -> Q(
+      (s, _) => graft.sources.CsvDocs.clean(
+        graft.sources.CsvDocs.read(s,
+          "/root/repo/src/test/resources/csv/docs.csv",
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING, lang STRING"))),
+      Some("""
+        SELECT doc_id, text, lang
+        FROM read_csv('/root/repo/src/test/resources/csv/docs.csv',
+          header=false,
+          columns={'doc_id': 'BIGINT', 'text': 'VARCHAR', 'lang': 'VARCHAR'},
+          ignore_errors=true)""")),
+
     // RAW-CRAWL HTML → text extraction: script/style blocks dropped, tags
     // to spaces, common entities decoded, whitespace collapsed — the
     // codegen'd regexp chain that runs before every text operator on a

@@ -32,4 +32,19 @@ class JsonlDocsSpec extends SparkSpec {
         StructType.fromDDL(s"doc_id BIGINT, ${JsonlDocs.CorruptCol} STRING"))
     }
   }
+
+  test("CSV twin: type-violating rows quarantine, quoted commas parse") {
+    val raw = CsvDocs.read(spark,
+      "/root/repo/src/test/resources/csv/docs.csv", schema)
+    val clean = CsvDocs.clean(raw)
+    assert(clean.count() == 8)
+    assert(clean.select("doc_id").as[Long].collect().sorted.toSeq == (1L to 8L))
+    // the quoted-comma row survives as one field
+    assert(clean.filter($"doc_id" === 4L).select("text").as[String].head()
+      == "le renard, brun et rapide, saute")
+    val bad = CsvDocs.quarantine(raw).as[String].collect().toSet
+    assert(bad == Set(
+      "not_a_number,this row has a bad id,en",
+      "also not numeric at all"))
+  }
 }
