@@ -63,6 +63,35 @@ object Lake {
       .orderBy("shard")
   }
 
+  /** [[writeOrderedShards]] in JSONL — the format trainers actually
+    * stream. Same contiguous-range contract (range-partitioned by the
+    * sampled `orderBy` boundaries, sorted within each shard, never a
+    * global single-task sort); text JSON costs more bytes than parquet,
+    * which is the point of doing it LAST, on the final curated/packed
+    * rows only. Returns the shard → row-count manifest.
+    */
+  def writeJsonlShards(df: DataFrame, path: String,
+                       orderBy: Seq[Column],
+                       numShards: Int,
+                       mode: String = "overwrite"): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    df.repartitionByRange(numShards, orderBy: _*)
+      .sortWithinPartitions(orderBy: _*)
+      .withColumn("shard", spark_partition_id().cast("long"))
+      .write.mode(mode).partitionBy("shard").json(path)
+    // explicit schema on the read-back: inference over fresh output is a
+    // wasted pass and could widen types the writer just fixed
+    df.sparkSession.read
+      .schema(org.apache.spark.sql.types.StructType(
+        df.schema.fields :+
+          org.apache.spark.sql.types.StructField("shard",
+            org.apache.spark.sql.types.LongType)))
+      .option("basePath", path)
+      .json(path)
+      .groupBy("shard").agg(count(lit(1)).as("n_rows"))
+      .orderBy("shard")
+  }
+
   /** CHANGELOG → CURRENT-STATE snapshot: the last-write-wins CDC merge
     * (the "apply the upsert/delete log" read every mutable-table lake
     * keeps re-running). For each key the row with the LARGEST

@@ -57,6 +57,31 @@ class LakeSpec extends SparkSpec {
     assert(back.count() == 5000)
   }
 
+  test("writeJsonlShards: same range contract, JSONL round-trips content exactly") {
+    val df = (0L until 2000L).map(i => (i, (i * 2654435761L) % 10000L,
+      s"text $i with ünïcode"))
+      .toDF("id", "ord", "text").repartition(7)
+    val out = Files.createTempDirectory("lake_jsonl").toString
+    val manifest = Lake.writeJsonlShards(df, out, Seq(col("ord"), col("id")), 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(manifest.map(_._2).sum == 2000L && manifest.size == 4)
+    // it is really JSONL: raw lines parse as JSON objects
+    val aLine = spark.read.textFile(s"$out/shard=0").head()
+    assert(aLine.startsWith("{") && aLine.contains("\"ord\""))
+    // contiguous cross-shard ranges
+    val back = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, ord BIGINT, text STRING, shard BIGINT"))
+      .option("basePath", out).json(out)
+    val ranges = back.groupBy("shard")
+      .agg(min(col("ord")).as("lo"), max(col("ord")).as("hi"))
+      .orderBy("shard").as[(Long, Long, Long)].collect()
+    ranges.sliding(2).foreach { case Array(a, b) => assert(a._3 <= b._2) case _ => }
+    // content round-trips exactly (unicode intact)
+    assert(back.drop("shard").as[(Long, Long, String)].collect().toSet
+      == df.as[(Long, Long, String)].collect().toSet)
+  }
+
   test("writeZOrdered clusters EVERY z dimension per file; a 1-dim sort does not") {
     // 2 independent uniform dims; 16 z-range files should each span ~1/4
     // of BOTH dims (4x4 Morton tiles), while an x-sorted layout leaves y
