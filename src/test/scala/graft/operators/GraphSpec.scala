@@ -59,6 +59,20 @@ class GraphSpec extends SparkSpec {
     assert(shuffled == got)
   }
 
+  test("pageRank plan: no cartesian; edges meet ranks in equi-joins") {
+    val df = edges.toDF("src", "dst")
+    val plan = Graph.pageRank(df, "src", "dst", iterations = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // nested-loop joins may appear ONLY as the single-row node-count
+    // broadcast (the Search stats idiom) — every BNLJ line must be a
+    // broadcast with no join condition, never a data-data pairing
+    plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .foreach(l => assert(l.contains("BuildRight") || l.contains("BuildLeft"), l))
+    // the src-keyed rank join is a hash/sort-merge equi-join
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("pageRank guards") {
     val df = edges.toDF("src", "dst")
     intercept[IllegalArgumentException] {
