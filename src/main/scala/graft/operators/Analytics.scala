@@ -271,10 +271,18 @@ object Analytics {
     * cardinality per group, typically orders of magnitude below row
     * counts), and rows join back by (group, value). Single-member groups
     * emit 0; NULL values keep NULL rank.
+    *
+    * `buckets = Some(k)` adds a `bucket` column
+    * `min(pct_ppm·k div 10⁶, k−1)` — quantile bucketing that is
+    * VALUE-deterministic: equal values always share a bucket on every
+    * engine (SQL `NTILE` splits by row position, so ties straddle
+    * bucket boundaries differently per row order — unusable as a
+    * reproducible feature).
     */
   def percentileRank(df: DataFrame, groupCols: Seq[String],
-                     value: Column): DataFrame = {
+                     value: Column, buckets: Option[Int] = None): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(buckets.forall(_ > 0), "buckets must be positive")
     val v = value.cast("long")
     val counts = df.select(groupCols.map(col) :+ v.as("__v"): _*)
       .filter(col("__v").isNotNull)
@@ -291,12 +299,18 @@ object Analytics {
       d.withColumnRenamed(c, s"__g_$c"))
     val cond = groupCols.map(c => df(c) <=> rankedR(s"__g_$c"))
       .reduce(_ && _) && (v === rankedR("__v"))
-    df.join(rankedR, cond, "left")
+    val out = df.join(rankedR, cond, "left")
       .withColumn("pct_ppm",
         when(v.isNull, lit(null).cast("long"))
           .when(col("__n") < 2, lit(0L))
           .otherwise(expr("__less * 1000000 div (__n - 1)")))
       .drop(groupCols.map(c => s"__g_$c") :+ "__v" :+ "__less" :+ "__n": _*)
+    buckets match {
+      case None => out
+      case Some(k) => out.withColumn("bucket",
+        when(col("pct_ppm").isNull, lit(null).cast("long"))
+          .otherwise(least(expr(s"pct_ppm * $k div 1000000"), lit(k - 1L))))
+    }
   }
 
   /** Join a per-group stats table back onto the fact side with NULL-SAFE

@@ -408,6 +408,15 @@ class AnalyticsSpec extends SparkSpec {
       .select(col("v").cast("int"), col("pct_ppm")).distinct()
       .as[(Int, Long)].collect().toMap
     assert(ours == wRef)
+    // quantile buckets: value-deterministic (ties share a bucket), top
+    // value lands in bucket k-1, k > distinct values still caps at k-1
+    val bucketed = Analytics.percentileRank(big, Seq("g"), col("v"),
+        buckets = Some(4))
+      .select(col("v").cast("int"), col("bucket")).distinct()
+      .as[(Int, Long)].collect().toMap
+    assert(bucketed.size == 7)                 // one bucket per value: no tie splits
+    assert(bucketed(0) == 0L && bucketed(6) == 3L)
+    assert(bucketed.values.forall(b => b >= 0 && b <= 3))
   }
 
   test("winsorize clips to exact dyadic fences, NULLs stay NULL") {
