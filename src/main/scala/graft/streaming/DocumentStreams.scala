@@ -29,6 +29,49 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object DocumentStreams {
 
+  /** STREAMING Misra–Gries heavy hitters: per group (language, host,
+    * source…), the current frequent-token summary over EVERYTHING the
+    * stream has carried so far, maintained in `k` bounded counters of
+    * `mapGroupsWithState` state — the "trending tokens" view that never
+    * re-reads history and whose state cannot grow with the vocabulary.
+    * Each micro-batch folds its exact token counts into the state with
+    * the mergeable-summaries reduction, so the classic bounds hold over
+    * the WHOLE stream: any token with total frequency > n/(k+1) is in
+    * the summary, counts never overestimate and undershoot by ≤ n/(k+1)
+    * (exact whenever a group's distinct tokens never exceed k — the
+    * [[graft.functions.MisraGriesAgg]] contract, per group, per stream).
+    * Emits one (group, summary) row per group per batch (Update mode);
+    * summary entries order (count desc, token asc).
+    */
+  def heavyTokensStream(docs: DataFrame, groupCol: String, textCol: String,
+                        k: Int): org.apache.spark.sql.Dataset[(String, Seq[(String, Long)])] = {
+    require(k > 0, "k must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(groupCol).cast("string").as("g"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("t"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[String, Long], (String, Seq[(String, Long)])](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (g, rows, state) =>
+          val acc = scala.collection.mutable.HashMap[String, Long]()
+          state.getOption.foreach(_.foreach { case (t, c) => acc.update(t, c) })
+          // exact batch counts first (one pass), then one MG reduction —
+          // identical algebra to MisraGriesAgg.merge
+          rows.foreach { case (_, t) => acc.update(t, acc.getOrElse(t, 0L) + 1L) }
+          if (acc.size > k) {
+            val cut = acc.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+            val dead = acc.collect { case (t, c) if c - cut <= 0 => t }.toSeq
+            acc.mapValuesInPlace((_, c) => c - cut)
+            dead.foreach(acc.remove)
+          }
+          state.update(acc.toMap)
+          g -> acc.toSeq.sortBy { case (t, c) => (-c, t) }
+      }
+  }
+
   /** Wire a streaming document source into the ingest-dedup loop.
     * `indexPath` must hold the historical [[Dedup.minhashBandIndex]] rows
     * (id, sig, band, bh); `outPath` receives surviving documents.

@@ -124,4 +124,37 @@ class DocumentStreamsSpec extends SparkSpec {
       99L, "doc_id", "text", cfg, exactIdx, bandIdx, outPath, 3, 128, 32)
     assert(spark.read.parquet(outPath).count() == 3)
   }
+
+  test("heavyTokensStream: state accumulates across batches, MG bounds on overflow") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF().toDF("lang", "text")
+    val q = DocumentStreams.heavyTokensStream(stream, "lang", "text", k = 4)
+      .toDF("g", "summary")
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData(("en", "a a a b"), ("en", "b c"))
+      q.processAllAvailable()
+      mem.addData(("en", "a c d"), ("de", "x x y"))
+      q.processAllAvailable()
+      val rows = spark.table("hh_stream")
+        .as[(String, Seq[(String, Long)])].collect()
+      // exact regime (distinct = 4 = k): cumulative exact counts, both
+      // groups, latest update per group wins
+      val en = rows.filter(_._1 == "en").last._2
+      assert(en == Seq(("a", 4L), ("b", 2L), ("c", 2L), ("d", 1L)))
+      val de = rows.filter(_._1 == "de").last._2
+      assert(de == Seq(("x", 2L), ("y", 1L)))
+      // overflow: a 5th distinct token trips one MG reduction; heavy 'a'
+      // must survive with count within the n/(k+1) bound (n=12, slack 2)
+      mem.addData(("en", "e"))
+      q.processAllAvailable()
+      val after = spark.table("hh_stream")
+        .as[(String, Seq[(String, Long)])].collect()
+        .filter(_._1 == "en").last._2.toMap
+      assert(after.size <= 4)
+      assert(after.contains("a") && after("a") >= 4L - 2L && after("a") <= 4L)
+    } finally q.stop()
+  }
 }
