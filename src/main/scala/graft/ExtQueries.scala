@@ -688,6 +688,28 @@ object ExtQueries {
           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""")),
 
+    // DIRECTED CONTAINMENT pairs (|A∩B|/|A| ≥ 0.8): the asymmetric
+    // quote/excerpt detector symmetric Jaccard misses. Contained-side
+    // lossless prefix filter × container posting list; engine joins
+    // hashed shingles, oracle intersects raw strings (the q_dedup_ngram
+    // collision argument).
+    "q_containment" -> Q(
+      (s, dir) => Dedup.ngramContainmentPairsFromSets(
+        Dedup.ngramSetsFor(table(s, dir, "documents"),
+          cacheKey = s"$dir/documents!ngram", "doc_id", "text"),
+        threshold = 0.8),
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+          FROM (SELECT doc_id, $sqlTokens AS toks FROM documents)
+          WHERE len(toks) >= 3)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment
+        FROM sh a, sh b
+        WHERE a.doc_id <> b.doc_id
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8""")),
+
     // Cross-document repeated-line (boilerplate) removal: later
     // occurrences of any ≥10-char line drop, the globally-first survives,
     // short/blank lines always stay. Engine shuffles 64-bit line hashes +

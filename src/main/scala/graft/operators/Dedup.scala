@@ -583,6 +583,65 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select("id1", "id2", "jaccard")
   }
 
+  /** DIRECTED n-gram CONTAINMENT pairs: (id1, id2, containment) where
+    * `containment = |A∩B| / |A| ≥ threshold` — the ASYMMETRIC dedup
+    * relation symmetric Jaccard structurally misses: a short document
+    * quoted whole inside a longer one has tiny Jaccard (the union is
+    * dominated by the container) but containment ≈ 1. The
+    * quote/excerpt/aggregator-page detector.
+    *
+    * Candidates are LOSSLESS prefix-filter on the CONTAINED side: if
+    * |A∩B| ≥ ⌈τ·|A|⌉ then A's first |A| − ⌈τ·|A|⌉ + 1 sorted shingles
+    * must hit B (choosing ⌈τ·|A|⌉ elements of A entirely outside that
+    * prefix is impossible — the count argument needs no global
+    * ordering), so A explodes only its prefix while the container side
+    * explodes its full shingle posting list; a plain equi-join on the
+    * 64-bit shingle hash meets them. `maxDf` optionally drops shingles
+    * in more than that many documents from candidate generation
+    * (boilerplate posting-cap — the [[winnowPairs]] tradeoff: reported
+    * pairs stay exact because verification reruns on full sets; pairs
+    * whose ONLY prefix overlap is ultra-common shingles can be missed).
+    * The size bound `|B| ≥ ⌈τ·|A|⌉` prunes impossible containers before
+    * the distinct.
+    */
+  def ngramContainmentPairsFromSets(sets: DataFrame, threshold: Double,
+                                    maxDf: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    require(maxDf > 0, "maxDf must be positive")
+    val prefixLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    val aPref = sets.select(col("id").as("id1"), col("sz").as("sz1"),
+      explode(slice(col("hs"), lit(1), prefixLen)).as("tok"))
+    val postingsAll = sets.select(col("id").as("id2"), col("sz").as("sz2"),
+      explode(col("hs")).as("tok"))
+    val postings =
+      if (maxDf == Int.MaxValue) postingsAll
+      else {
+        val dfCnt = postingsAll.groupBy("tok").agg(count(lit(1)).as("__df"))
+        postingsAll.join(dfCnt.filter(col("__df") <= maxDf), "tok")
+          .select("id2", "sz2", "tok")
+      }
+    val cands = aPref.join(postings, "tok")
+      .filter(col("id1") =!= col("id2"))
+      .filter(col("sz2") >= ceil(col("sz1") * threshold))
+      .select("id1", "id2").distinct()
+    val s1 = sets.select(col("id").as("id1"), col("hs").as("hs1"), col("sz").as("sz1"))
+    val s2 = sets.select(col("id").as("id2"), col("hs").as("hs2"))
+    cands.join(s1, "id1").join(s2, "id2")
+      .withColumn("containment",
+        graft.functions.SortedIntersectCount.column(col("hs1"), col("hs2"))
+          .cast("double") / col("sz1"))
+      .filter(col("containment") >= threshold)
+      .select("id1", "id2", "containment")
+  }
+
+  /** [[ngramContainmentPairsFromSets]] from raw text — one shingle pass. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int = 3, threshold: Double = 0.8,
+                            maxDf: Int = Int.MaxValue,
+                            materialize: Boolean = true): DataFrame =
+    ngramContainmentPairsFromSets(materialized(materialize,
+      ngramSetTable(df, idCol, textCol, shingleSize)), threshold, maxDf)
+
   /** Substring-sharing pairs via winnowing fingerprints
     * ([[graft.functions.RollingFingerprint]]): inverted-index join on the
     * local-minimum Rabin–Karp hashes, pairs ranked by shared-fingerprint

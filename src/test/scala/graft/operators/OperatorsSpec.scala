@@ -30,6 +30,48 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("ngram containment: catches the quote Jaccard misses, == brute force, maxDf trades recall") {
+    val quote = "the sixteen word quotation that appears verbatim inside the much " +
+      "longer containing document body here"
+    val filler = (1 to 60).map(i => s"filler$i").mkString(" ")
+    val cdocs = Seq(
+      (1L, quote),                       // short doc, wholly quoted in 2
+      (2L, s"$filler $quote $filler"),   // the container
+      (3L, "entirely unrelated text about spark engines and joins today ok")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentPairs(cdocs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // 1 ⊂ 2 at containment 1.0 — while Jaccard is tiny (union dominated
+    // by the container), so the symmetric operator must NOT pair them
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L)) == 1.0)
+    val jac = Dedup.ngramJaccardPairs(cdocs, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)))
+    // == brute force over every directed pair (driver reference)
+    def shingles(t: String): Set[Seq[String]] =
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq.sliding(3).toSet
+        .filter(_.size == 3).map(_.toSeq)
+    val texts = Map(1L -> quote, 2L -> s"$filler $quote $filler",
+      3L -> "entirely unrelated text about spark engines and joins today ok")
+    val ref = (for {
+      (a, ta) <- texts; (b, tb) <- texts if a != b
+      sa = shingles(ta); inter = (sa & shingles(tb)).size
+      c = inter.toDouble / sa.size if c >= 0.9
+    } yield (a, b)).toSet
+    assert(got.keySet == ref)
+    // a tiny maxDf starves candidate generation (documented recall trade)
+    val starved = Dedup.ngramContainmentPairs(cdocs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.9, maxDf = 1)
+    assert(starved.count() == 0L)
+    // no cartesian anywhere
+    val plan = Dedup.ngramContainmentPairs(cdocs, "doc_id", "text", 3, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("minhash LSH pairs find the same near-dup cluster") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 3, 128, 32, 0.5)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
