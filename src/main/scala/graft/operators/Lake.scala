@@ -153,12 +153,15 @@ object Lake {
     * bytes and is exact).
     */
   def diffSnapshots(oldSnap: DataFrame, newSnap: DataFrame,
-                    keyCols: Seq[String], opCol: String = "op"): DataFrame = {
+                    keyCols: Seq[String], opCol: String = "op",
+                    includeBefore: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(oldSnap.columns.sameElements(newSnap.columns),
       "snapshots must share a schema")
     require(!oldSnap.columns.contains(opCol),
       s"snapshot already has a column named $opCol — pass a different opCol")
+    require(!includeBefore || !oldSnap.columns.contains("_before"),
+      "snapshot already has a column named _before")
     val valCols = oldSnap.columns.filterNot(keyCols.contains).toSeq
     val o = oldSnap.select(
       struct(keyCols.map(col): _*).as("__k"),
@@ -180,10 +183,18 @@ object Lake {
         // deletes carry the old values; inserts/updates the NEW row as-is
         // (a per-column coalesce would resurrect old values under
         // value→NULL updates)
-        valCols.map(c => when(col(opCol) === "delete", col(s"__ov.$c"))
-          .otherwise(col(s"__nv.$c")).as(c)): _*)
+        (valCols.map(c => when(col(opCol) === "delete", col(s"__ov.$c"))
+          .otherwise(col(s"__nv.$c")).as(c)) ++
+        // the PREIMAGE: updates/deletes carry the replaced row so a
+        // downstream incremental aggregate can RETRACT it (the Delta-CDF
+        // preimage/postimage shape) — inserts have nothing to retract
+        (if (includeBefore)
+          Seq(when(col(opCol) === "insert", lit(null)).otherwise(col("__ov"))
+            .as("_before"))
+        else Nil)): _*)
       .select(keyCols.map(c => col(s"__key.$c")) ++
-        (col(opCol) +: valCols.map(col)): _*)
+        (col(opCol) +: valCols.map(col)) ++
+        (if (includeBefore) Seq(col("_before")) else Nil): _*)
   }
 
   /** The Morton (Z-curve) interleave of `zCols`, each equal-width

@@ -91,10 +91,12 @@ object ChangeStreams {
           org.apache.spark.sql.types.StructType(
             merged.drop("__del").schema.fields))
       // "_op", not "op": CDC changelogs routinely carry their own `op`
-      // column through to the snapshot, and the feed must not collide
+      // column through to the snapshot, and the feed must not collide.
+      // includeBefore: feed consumers maintaining incremental aggregates
+      // need the replaced row to retract it
       val d = graft.operators.Lake.diffSnapshots(
           before, merged.filter(!col("__del")).drop("__del"), keyCols,
-          opCol = "_op")
+          opCol = "_op", includeBefore = true)
         .withColumn("__batch_id", lit(batchId))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       d.count()

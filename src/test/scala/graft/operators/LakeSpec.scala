@@ -258,6 +258,16 @@ class LakeSpec extends SparkSpec {
     // value -> NULL carries the NEW null, not the resurrected old value
     assert(got(Some(5L)) == ((Some(5L), "update", Some("e"), None)))
     assert(got(Some(6L)) == ((Some(6L), "insert", Some("f"), Some(60L))))
+    // preimages: updates/deletes carry the replaced row, inserts null
+    val before = Lake.diffSnapshots(oldSnap, newSnap, Seq("k"),
+        includeBefore = true)
+      .select(col("k"), col("op"), col("_before.v").as("bv"),
+        col("_before").isNull.as("bnull"))
+      .as[(Option[Long], String, Option[Long], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(before(Some(2L))._3.contains(20L))   // update preimage
+    assert(before(Some(3L))._3.contains(30L))   // delete preimage
+    assert(before(Some(6L))._4)                 // insert: no preimage
   }
 
   test("latestSnapshot: last write wins, tombstones drop keys, older rows never resurface") {

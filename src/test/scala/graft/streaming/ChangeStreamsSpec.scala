@@ -70,6 +70,19 @@ class ChangeStreamsSpec extends SparkSpec {
       (1L, "insert", "d", 40L, 1L)
       // batch 2 (late losers only) appends NOTHING
     ))
+    // an INCREMENTAL AGGREGATE maintained from the feed alone equals the
+    // direct aggregate over the final snapshot: apply +v on insert,
+    // +v − before.v on update, −before.v on delete — retraction is
+    // exactly what the preimage column exists for
+    val delta = spark.read.parquet(feedPath)
+      .select(
+        when(col("_op") === "insert", col("v"))
+          .when(col("_op") === "update", col("v") - col("_before.v"))
+          .otherwise(-col("_before.v")).as("d"))
+      .agg(sum(col("d"))).as[Long].head()
+    val direct = ChangeStreams.readSnapshot(spark, snapPath)
+      .agg(sum(col("v"))).as[Long].head()
+    assert(delta == direct)
   }
 
   test("incremental merge == batch latestSnapshot over the whole log") {
