@@ -52,7 +52,11 @@ object Graph {
     require(scaleBits >= 10 && scaleBits <= 46,
       "scaleBits in [10, 46]: rank·85 must stay far from Long overflow")
     val q = 1L << scaleBits
+    // a NULL endpoint is not an edge: it would sit in the node universe
+    // collecting base rank while every join silently skipped it — drop
+    // such rows up front
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().persist()
     val outd = e.groupBy("src").agg(count(lit(1)).as("__od")).persist()
     val nodes = e.select(col("src").as("node"))

@@ -246,12 +246,17 @@ object Joins {
   def mergeIntervals(df: DataFrame, keyCols: Seq[String],
                      startCol: String, endCol: String): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
+    // a NULL bound is not an interval: it would sort arbitrarily and
+    // poison the running-max chain — drop such rows explicitly rather
+    // than emit garbage islands (callers wanting them must repair
+    // upstream)
+    val rows = df.filter(col(startCol).isNotNull && col(endCol).isNotNull)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(startCol), col(endCol))
     val prevMax = max(col(endCol))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
     val opens = when(col(startCol) > prevMax, 1L).otherwise(0L)
-    df.withColumn("__island", sum(opens).over(w))
+    rows.withColumn("__island", sum(opens).over(w))
       .groupBy((keyCols :+ "__island").map(col): _*)
       .agg(min(col(startCol)).as(startCol), max(col(endCol)).as(endCol),
         count(lit(1)).as("n_merged"))

@@ -81,5 +81,12 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Graph.pageRank(df, "src", "dst", scaleBits = 60)
     }
+    // NULL endpoints are not edges and not nodes
+    val withNulls = (edges.map { case (s, d) => (Option(s), Option(d)) } ++
+      Seq((Option.empty[String], Some("a")), (Some("a"), Option.empty[String])))
+      .toDF("src", "dst")
+    val got = Graph.pageRank(withNulls, "src", "dst", iterations = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == ref(edges, 2, 1L << 40))
   }
 }

@@ -182,6 +182,12 @@ class JoinsSpec extends SparkSpec {
     val reGot = Joins.mergeIntervals(iv.repartition(5), Seq("k"), "s", "e")
       .as[(String, Long, Long, Long)].collect().toSet
     assert(reGot == got)
+    // NULL-bounded rows are dropped, never merged as garbage islands
+    val withNulls = Seq(("c", Some(7L), Some(9L)), ("c", None, Some(5L)),
+      ("c", Some(1L), None)).toDF("k", "s", "e")
+    val cleaned = Joins.mergeIntervals(withNulls, Seq("k"), "s", "e")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(cleaned == Seq(("c", 7L, 9L, 1L)))
   }
 
   test("saltedInner equals the plain inner join") {

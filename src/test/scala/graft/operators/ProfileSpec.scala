@@ -148,6 +148,14 @@ class ProfileSpec extends SparkSpec {
       ("c", 3L, 3L, 4L, 3L * 1000000L / 13L)))
     // k larger than the key universe returns every key
     assert(Profile.keySkew(df, Seq("k"), k = 100).count() == 4L)
+    // a NULL key is a key (often the heaviest one in dirty data): it
+    // counts, ranks, and carries its share like any other
+    val withNulls = (Seq.fill(5)(Option.empty[String]) ++
+      Seq.fill(2)(Some("a"))).toDF("k")
+    val nulls = Profile.keySkew(withNulls, Seq("k"), k = 2)
+      .select("k", "cnt", "rank").as[(Option[String], Long, Long)]
+      .collect().toSeq
+    assert(nulls == Seq((None, 5L, 1L), (Some("a"), 2L, 2L)))
     // bounded plan: an ObjectHashAggregate heap, never a window sort
     val plan = Profile.keySkew(df, Seq("k"), k = 3)
       .queryExecution.executedPlan.toString
