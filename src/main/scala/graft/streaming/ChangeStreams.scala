@@ -133,4 +133,47 @@ object ChangeStreams {
     val snap = spark.read.parquet(snapshotPath)
     snap.filter(!col("__del")).drop("__del")
   }
+
+  /** INCREMENTAL VIEW MAINTENANCE: fold a change-feed slice into a
+    * per-group (sum, count) aggregate table WITHOUT touching the base
+    * snapshot — the reason the feed carries preimages. Each feed row
+    * contributes its retraction-aware delta (insert `+v`, update
+    * `+v − before.v`, delete `−before.v`; counts ±1/0), deltas reduce in
+    * one map-side-combined aggregate, and ONE outer join against the
+    * |groups|-row aggregate table applies them — groups whose counts
+    * reach zero drop. Folding feed slices batch-by-batch equals the
+    * direct groupBy over the final snapshot (spec-pinned), at the cost
+    * of reading only the feed slice: O(changes), not O(table).
+    *
+    * Average/variance maintenance is the same shape with more moments;
+    * MIN/MAX are NOT incrementally maintainable under deletes (a
+    * retracted extremum forces a group re-scan) — recompute those, or
+    * keep them approximately with a sketch.
+    */
+  def applyFeedToSums(agg: DataFrame, feed: DataFrame,
+                      groupCols: Seq[String], valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val v = col(valueCol).cast("long")
+    val before = col(s"_before.$valueCol").cast("long")
+    val deltas = feed
+      .select(groupCols.map(col) :+
+        when(col("_op") === "insert", coalesce(v, lit(0L)))
+          .when(col("_op") === "update",
+            coalesce(v, lit(0L)) - coalesce(before, lit(0L)))
+          .otherwise(-coalesce(before, lit(0L))).as("__dv") :+
+        when(col("_op") === "insert", lit(1L))
+          .when(col("_op") === "delete", lit(-1L))
+          .otherwise(lit(0L)).as("__dn"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__dv")).as("__dv"), sum(col("__dn")).as("__dn"))
+    val deltasR = groupCols.foldLeft(deltas)((d, c) =>
+      d.withColumnRenamed(c, s"__g_$c"))
+    val cond = groupCols.map(c => agg(c) <=> deltasR(s"__g_$c")).reduce(_ && _)
+    agg.join(deltasR, cond, "full_outer")
+      .select(groupCols.map(c => coalesce(agg(c), deltasR(s"__g_$c")).as(c)) ++ Seq(
+        (coalesce(col("sum_v"), lit(0L)) + coalesce(col("__dv"), lit(0L)))
+          .as("sum_v"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n")): _*)
+      .filter(col("n") > 0)
+  }
 }

@@ -85,6 +85,31 @@ class ChangeStreamsSpec extends SparkSpec {
     assert(delta == direct)
   }
 
+  test("applyFeedToSums: batch-by-batch fold == direct aggregate; empty groups drop") {
+    val root = tmp("graft_ivm")
+    val snapPath = root + "/snap"
+    val feedPath = root + "/feed"
+    for ((b, id) <- Seq(b1, b2, b3).zipWithIndex) {
+      ChangeStreams.mergeBatch(b.toDF("k", "v", "ver", "op"), Seq("k"),
+        Seq("ver"), col("op") === "delete", snapPath,
+        changeFeedPath = Some(feedPath), batchId = id.toLong)
+    }
+    // group by first letter class: 'a'..'c' vs 'd' — use the key itself
+    val feed = spark.read.parquet(feedPath)
+    val empty = Seq.empty[(String, Long, Long)].toDF("k", "sum_v", "n")
+    val folded = (0L until 3L).foldLeft(empty) { (agg, id) =>
+      ChangeStreams.applyFeedToSums(agg,
+        feed.filter(col("__batch_id") === id), Seq("k"), "v")
+    }.as[(String, Long, Long)].collect().toSet
+    val direct = ChangeStreams.readSnapshot(spark, snapPath)
+      .groupBy("k").agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(folded == direct && folded.nonEmpty)
+    // the tombstoned key 'b' is GONE from the maintained table, not a
+    // zero-count residue
+    assert(!folded.exists(_._1 == "b"))
+  }
+
   test("incremental merge == batch latestSnapshot over the whole log") {
     val snapPath = tmp("graft_snap2") + "/snap"
     for (b <- Seq(b1, b2, b3)) {
