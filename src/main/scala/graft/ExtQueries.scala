@@ -481,13 +481,21 @@ object ExtQueries {
     // Vocab-id ENCODING (the serving half): each doc as its ordered id
     // sequence, OOV → -1, token-less docs keep an empty sequence. The
     // vocab broadcasts; one doc-id shuffle; order restored by carried
-    // position, never a window sort.
+    // position, never a window sort. The id sequence ships to the driver
+    // battery as a space-joined STRING (`token_ids`): the oracle
+    // comparator sorts columns with pandas, which cannot order/hash an
+    // array column — a scalar rendering keeps the check hash-exact while
+    // the spec suite covers the typed array output directly.
     "q_vocab_encode" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
         graft.operators.TextStats.encodeWithVocab(
           docs, "doc_id", col("text"),
           graft.operators.TextStats.buildVocab(docs, col("text"), maxVocab = 200))
+          .select(col("id"),
+            array_join(transform(col("token_ids"), _.cast("string")), " ")
+              .as("token_ids"),
+            col("n_tokens"))
       },
       Some(s"""
         WITH tok AS (SELECT unnest($sqlTokens) AS token FROM documents),
@@ -503,7 +511,7 @@ object ExtQueries {
                   list(COALESCE(vid, -1) ORDER BY p) AS token_ids
                 FROM pos LEFT JOIN vocab USING (token) GROUP BY doc_id)
         SELECT d.doc_id AS id,
-          COALESCE(e.token_ids, CAST([] AS BIGINT[])) AS token_ids,
+          COALESCE(array_to_string(e.token_ids, ' '), '') AS token_ids,
           CAST(COALESCE(len(e.token_ids), 0) AS BIGINT) AS n_tokens
         FROM documents d LEFT JOIN enc e USING (doc_id)""")),
 

@@ -2,7 +2,8 @@ package graft.functions
 
 import java.io.ByteArrayInputStream
 
-import org.apache.spark.sql.Column
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -22,26 +23,40 @@ import org.apache.spark.util.sketch.BloomFilter
   * side *before* the shuffle (typically by 1/fpp for probe keys not in the
   * build side), which is where a 100 TB corpus-side scan wins.
   *
-  * The serialized sketch travels in the expression (`filterBytes`) and is
-  * deserialized once per executor JVM (transient lazy); generated code
-  * probes the deserialized `BloomFilter` via a codegen reference — one
-  * virtual call per row, no boxing.
+  * The sketch ships as a BROADCAST VARIABLE (torrent-distributed, fetched
+  * once per executor), NOT as bytes inside the expression tree: an
+  * embedded byte array is copied into every plan transform, rendered into
+  * plan strings, and serialized with the task binary — at the advertised
+  * 10⁹-gram scale (~1.2 GB) that blows task-serialization limits long
+  * before the broadcast path breaks a sweat. The expression carries only
+  * the small broadcast handle; each executor deserializes the filter once
+  * (transient lazy / one-time mutable-state init in generated code) and
+  * probes it with one virtual call per row, no boxing.
   */
-case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
+case class BloomMightContainLong(child: Expression,
+                                 filterBc: Broadcast[Array[Byte]])
     extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain_long"
 
   @transient private lazy val bloom: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
+    BloomFilter.readFrom(new ByteArrayInputStream(filterBc.value))
 
   override def nullSafeEval(v: Any): Any =
     bloom.mightContainLong(v.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val bf = ctx.addReferenceObj("graftBloom", bloom, classOf[BloomFilter].getName)
-    defineCodeGen(ctx, ev, c => s"$bf.mightContainLong($c)")
+    // reference the HANDLE, not the filter: addReferenceObj contents ride
+    // the serialized task binary, which is exactly what the broadcast
+    // design keeps small
+    val bcCls = classOf[Broadcast[_]].getName
+    val bfCls = classOf[BloomFilter].getName
+    val bcRef = ctx.addReferenceObj("graftBloomBc", filterBc, bcCls)
+    val bloomVar = ctx.addMutableState(bfCls, "graftBloom",
+      v => s"""$v = $bfCls.readFrom(
+         |  new java.io.ByteArrayInputStream((byte[]) $bcRef.value()));""".stripMargin)
+    defineCodeGen(ctx, ev, c => s"$bloomVar.mightContainLong($c)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =
@@ -49,11 +64,14 @@ case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
 }
 
 object BloomMightContainLong {
-  /** Column form; `bloom` is serialized into the plan. */
+  /** Column form; the serialized sketch is broadcast through `spark` and
+    * only the handle enters the plan.
+    */
   def column(value: Column, bloom: BloomFilter): Column = {
     val baos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(baos)
+    val bc = SparkSession.active.sparkContext.broadcast(baos.toByteArray)
     ColumnBridge.column(
-      BloomMightContainLong(ColumnBridge.expression(value), baos.toByteArray))
+      BloomMightContainLong(ColumnBridge.expression(value), bc))
   }
 }

@@ -38,12 +38,15 @@ object Graph {
     * the join. `iterations` is small and fixed (rank ordering stabilizes
     * in a handful of rounds — the classic 10-15 for full convergence);
     * every round gets a `persist` barrier so no stage recomputes a prior
-    * round. SHORT chains (≤ 5 rounds) stay LAZY — a single final action
+    * round. SHORT chains (≤ 5 rounds) stay LAZY — one action at the end
     * walks the persisted chain, avoiding the per-round action+AQE job
     * overhead that otherwise dominates wall-clock; LONG chains flip to
     * eager per-round materialization (count, then unpersist-behind),
     * which bounds live cache at two rank tables and keeps the evaluated
-    * lineage flat. `eagerEveryRound` overrides the heuristic.
+    * lineage flat. `eagerEveryRound` overrides the heuristic. The final
+    * rank table is MATERIALIZED before return and every other cached
+    * table (edges, out-degrees, nodes, superseded rounds) is released —
+    * the result is the only persist the call leaves behind.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 3, scaleBits: Int = 40,
@@ -61,30 +64,46 @@ object Graph {
     val outd = e.groupBy("src").agg(count(lit(1)).as("__od")).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().persist()
-    val nCount = nodes.agg(count(lit(1)).as("__c"))
+    // The node cardinality is a SCALAR and every round's base-rank term is
+    // a pure function of it — count it ONCE driver-side (one job over the
+    // just-persisted node table) and fold the two division terms into Long
+    // literals. The previous shape re-planned crossJoin(broadcast(count))
+    // twice per round: iterations+1 extra count jobs whose fixed overhead
+    // dominated the battery wall for this operator.
+    val n = nodes.count()
+    require(n > 0, "pageRank: edge table has no non-null edges")
+    val rank0 = q / n                       // rank⁰(v)  = Q div n
+    val teleport = ((q * 15) / 100) / n     // per-round (Q·15 div 100) div n
     val eager = eagerEveryRound.getOrElse(iterations > 5)
-    var rank = nodes.crossJoin(broadcast(nCount))
-      .select(col("node"), expr(s"$q div __c").as("rank_q"))
-    var previous: Option[DataFrame] = None
+    var rank = nodes.select(col("node"), lit(rank0).as("rank_q"))
+    var persisted = List.empty[DataFrame]
     for (_ <- 1 to iterations) {
       val contribs = e
         .join(rank.withColumnRenamed("node", "src"), "src")
         .join(outd, "src")
         .select(col("dst"), expr("(rank_q * 85) div (100 * __od)").as("__contrib"))
         .groupBy("dst").agg(sum(col("__contrib")).as("__in"))
-      val next = nodes.crossJoin(broadcast(nCount))
+      val next = nodes
         .join(contribs, col("node") === col("dst"), "left")
         .select(col("node"),
-          (expr(s"(($q * 15) div 100) div __c") + coalesce(col("__in"), lit(0L)))
-            .as("rank_q"))
+          (lit(teleport) + coalesce(col("__in"), lit(0L))).as("rank_q"))
         .persist()
       if (eager) {
         next.count() // materialize before unpersisting the parent
-        previous.foreach(_.unpersist())
-        previous = Some(next)
-      }
+        persisted.foreach(_.unpersist())
+        persisted = List(next)
+      } else persisted ::= next
       rank = next
     }
+    // Materialize the final table while the whole chain is still cached,
+    // then RELEASE everything it no longer needs — base tables and all
+    // superseded rounds. Without this, repeated calls in a long-lived JVM
+    // accumulate cached DataFrames until memory pressure evicts them. The
+    // returned table stays persisted; callers that are done with it
+    // unpersist it like any cached DataFrame.
+    rank.count()
+    persisted.filterNot(_ eq rank).foreach(_.unpersist())
+    e.unpersist(); outd.unpersist(); nodes.unpersist()
     rank
   }
 }

@@ -82,8 +82,14 @@ object ChangeStreams {
       .select(dataCols.map(col) :+ col("__del"): _*)
     // change feed: diff the LIVE views before/after, while the old
     // snapshot is still on disk (the swap below replaces it). The diff
-    // must materialize BEFORE the swap — persist + count pins it.
-    val feed = changeFeedPath.map { _ =>
+    // must be DURABLE before the swap, not merely cached: persisted
+    // blocks can be dropped (executor loss, memory pressure), and a
+    // recompute after the rename would re-read snapshotPath — by then
+    // the NEW snapshot — yielding a silently wrong/empty feed slice. So
+    // the diff is staged to parquet and read back; the feed append below
+    // consumes the staged files, whose contents can never change
+    // underneath it.
+    val feed = changeFeedPath.map { p =>
       val before =
         if (exists) readSnapshot(spark, snapshotPath)
         else spark.createDataFrame(
@@ -98,9 +104,10 @@ object ChangeStreams {
           before, merged.filter(!col("__del")).drop("__del"), keyCols,
           opCol = "_op", includeBefore = true)
         .withColumn("__batch_id", lit(batchId))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      d.count()
-      d
+      val staging = new org.apache.hadoop.fs.Path(
+        p.stripSuffix("/") + ".__feed_tmp")
+      d.write.mode("overwrite").parquet(staging.toString)
+      (spark.read.parquet(staging.toString), staging)
     }
     // swap-safe rewrite: the snapshot is both input and output of this
     // batch, so write aside and rename (the Lake.compact swap; rename is
@@ -119,10 +126,15 @@ object ChangeStreams {
         s"could not move merged snapshot into $snapshotPath")
     }
     fs.delete(bak, true)
-    feed.foreach { d =>
-      changeFeedPath.foreach(p =>
-        d.write.mode("append").parquet(p))
-      d.unpersist()
+    feed.foreach { case (d, staging) =>
+      // `d` reads the staged files, so this append is insulated from the
+      // swap above. Empty diffs append nothing (a no-op batch must not
+      // litter the feed with schema-only part files).
+      changeFeedPath.foreach { p =>
+        if (!d.isEmpty) d.write.mode("append").parquet(p)
+      }
+      staging.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(staging, true)
     }
   }
 

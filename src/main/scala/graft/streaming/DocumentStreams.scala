@@ -72,9 +72,55 @@ object DocumentStreams {
       }
   }
 
+  /** Write pre-existing history rows into a loop-owned index path in the
+    * layout the ingest loops maintain: hive-partitioned by `__batch_id`,
+    * with the seed as batch −1. The loops' retry idempotence relies on
+    * EVERY file under a loop-owned path belonging to a `__batch_id=N`
+    * partition (a flat `write.parquet(path)` seed would make partition
+    * discovery fail once the loop adds its first partitioned batch) —
+    * seed through this helper.
+    */
+  def seedIndex(rows: DataFrame, path: String): Unit =
+    rows.withColumn("__batch_id", lit(-1L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id").parquet(path)
+
+  /** Re-runnable per-batch sink write: the batch's rows land in their own
+    * `__batch_id=N` partition via DYNAMIC partition overwrite, so a
+    * foreachBatch RETRY (at-least-once delivery) rewrites exactly its own
+    * partition instead of appending duplicates. Committed batches'
+    * partitions are never touched. An empty batch writes nothing — and
+    * correctly so: batch content is deterministic given the (excluded)
+    * history, so a retry that computes empty survivors had an empty first
+    * attempt too.
+    */
+  private def writeBatchPartition(rows: DataFrame, batchId: Long,
+                                  path: String): Unit =
+    rows.withColumn("__batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id").parquet(path)
+
+  /** Read a loop-owned path as HISTORY for batch `batchId`: every
+    * committed partition EXCEPT the in-flight batch's own. The exclusion
+    * is what makes retries safe — a failed attempt may have already
+    * written this batch's partition to the index, and probing those rows
+    * would flag every retried document as a "duplicate of history" and
+    * drop it (an empty lake partition: data loss, not just duplicates).
+    * Partition pruning makes the filter free. A pre-partitioning seed
+    * without the column (legacy flat layout) is read as-is.
+    */
+  private def readHistory(spark: org.apache.spark.sql.SparkSession,
+                          path: String, batchId: Long): DataFrame = {
+    val h = spark.read.parquet(path)
+    if (h.columns.contains("__batch_id")) h.filter(col("__batch_id") =!= batchId)
+    else h
+  }
+
   /** Wire a streaming document source into the ingest-dedup loop.
     * `indexPath` must hold the historical [[Dedup.minhashBandIndex]] rows
-    * (id, sig, band, bh); `outPath` receives surviving documents.
+    * (id, sig, band, bh), seeded via [[seedIndex]]; `outPath` receives
+    * surviving documents. Both paths are loop-owned: hive-partitioned by
+    * `__batch_id`, batch retries idempotent per partition.
     */
   def ingestDedup(newDocs: DataFrame, idCol: String, textCol: String,
                   indexPath: String, outPath: String,
@@ -94,7 +140,7 @@ object DocumentStreams {
                                       shingleSize: Int, numHashes: Int,
                                       bands: Int, threshold: Double): Unit = {
     val spark = batch.sparkSession
-    val history = spark.read.parquet(indexPath)
+    val history = readHistory(spark, indexPath, batchId)
     val newIdx = Dedup.minhashBandIndex(batch, idCol, textCol,
         shingleSize, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -115,13 +161,13 @@ object DocumentStreams {
     val survivors = batch
       .join(dropIds, batch(idCol) === col("__drop"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    survivors.withColumn("__batch_id", lit(batchId))
-      .write.mode("append").parquet(outPath)
+    writeBatchPartition(survivors, batchId, outPath)
     // the index grows by the SURVIVORS' band rows only — dropped docs must
     // not suppress future docs they themselves never entered the lake for
-    newIdx.join(survivors.select(col(idCol).as("__keep")),
-        newIdx("id") === col("__keep"), "left_semi")
-      .write.mode("append").parquet(indexPath)
+    writeBatchPartition(
+      newIdx.join(survivors.select(col(idCol).as("__keep")),
+        newIdx("id") === col("__keep"), "left_semi"),
+      batchId, indexPath)
     survivors.unpersist()
     newIdx.unpersist()
   }
@@ -138,12 +184,18 @@ object DocumentStreams {
     * duplicates arrive after their originals the two policies coincide
     * (spec-pinned against the batch [[graft.operators.Curation]] prefix).
     *
-    * State is two append-only parquet indices, both O(corpus) and both
+    * State is two grow-only parquet indices, both O(corpus) and both
     * probe-joined per batch (history is never re-hashed or re-scanned in
     * full): `exactIndexPath` holds one 8-byte xxhash64 of each published
     * document's SCRUBBED text; `bandIndexPath` holds the published band
     * rows ([[Dedup.minhashBandIndex]] layout). Bootstraps from empty —
-    * absent indices mean no history yet.
+    * absent indices mean no history yet; pre-existing history seeds via
+    * [[seedIndex]]. All three paths are loop-owned, hive-partitioned by
+    * `__batch_id`, and written with dynamic partition OVERWRITE, so a
+    * foreachBatch retry (at-least-once delivery) rewrites its own
+    * partitions instead of double-publishing — and history probes exclude
+    * the in-flight batch's partition, so a retry cannot be suppressed by
+    * its own half-written rows.
     */
   def ingestCurated(newDocs: DataFrame, idCol: String, textCol: String,
                     cfg: graft.operators.Curation.Config,
@@ -185,7 +237,7 @@ object DocumentStreams {
       .withColumn("__th", xxhash64(col(textCol)))
     val fresh0 =
       if (pathExists(spark, exactIndexPath))
-        exactDeduped.join(spark.read.parquet(exactIndexPath),
+        exactDeduped.join(readHistory(spark, exactIndexPath, batchId),
           exactDeduped("__th") === col("th"), "left_anti")
       else exactDeduped
     val fresh = fresh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -201,7 +253,7 @@ object DocumentStreams {
         cfg.nearDupThreshold)
       .select(col("id2").as("__drop"))
     val dropIds = (if (pathExists(spark, bandIndexPath)) {
-      val history = spark.read.parquet(bandIndexPath)
+      val history = readHistory(spark, bandIndexPath, batchId)
       Dedup.incrementalNearDupsIndexed(
           asIndex, graft.operators.Dedup.MinhashIndex(
             history.select("id", "sig").dropDuplicates("id"),
@@ -213,13 +265,16 @@ object DocumentStreams {
     val survivors = fresh
       .join(dropIds, fresh(idCol) === col("__drop"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    survivors.drop("__th").withColumn("__batch_id", lit(batchId))
-      .write.mode("append").parquet(outPath)
-    newIdx.join(survivors.select(col(idCol).as("__keep")),
-        newIdx("id") === col("__keep"), "left_semi")
-      .write.mode("append").parquet(bandIndexPath)
-    survivors.select(col("__th").as("th"))
-      .write.mode("append").parquet(exactIndexPath)
+    // all three sinks are per-batch-partition idempotent: a retry after a
+    // failure between these writes rewrites the same partitions rather
+    // than appending a second copy of the batch (at-least-once delivery)
+    writeBatchPartition(survivors.drop("__th"), batchId, outPath)
+    writeBatchPartition(
+      newIdx.join(survivors.select(col(idCol).as("__keep")),
+        newIdx("id") === col("__keep"), "left_semi"),
+      batchId, bandIndexPath)
+    writeBatchPartition(survivors.select(col("__th").as("th")),
+      batchId, exactIndexPath)
     survivors.unpersist()
     newIdx.unpersist()
     fresh.unpersist()

@@ -22,8 +22,8 @@ class DocumentStreamsSpec extends SparkSpec {
       (2L, "completely unrelated text about spark query engines and distributed joins"),
       (3L, "another fully distinct document mentioning embeddings and similarity search")
     ).toDF("doc_id", "text")
-    Dedup.minhashBandIndex(history, "doc_id", "text")
-      .write.mode("overwrite").parquet(indexPath)
+    DocumentStreams.seedIndex(
+      Dedup.minhashBandIndex(history, "doc_id", "text"), indexPath)
 
     val mem = MemoryStream[(Long, String)]
     val stream = mem.toDF().toDF("doc_id", "text")
@@ -123,6 +123,47 @@ class DocumentStreamsSpec extends SparkSpec {
     DocumentStreams.processCuratedBatch((b1 ++ b2).toDF("doc_id", "text"),
       99L, "doc_id", "text", cfg, exactIdx, bandIdx, outPath, 3, 128, 32)
     assert(spark.read.parquet(outPath).count() == 3)
+  }
+
+  test("curated-ingest batch retry is idempotent, incl. after a partial attempt") {
+    val exactIdx = tmp("graft_r_exact")
+    val bandIdx = tmp("graft_r_band")
+    val outPath = tmp("graft_r_lake")
+    Seq(exactIdx, bandIdx).foreach(p =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    val cfg = graft.operators.Curation.Config(nearDupThreshold = 0.5)
+    val good1 = "it is a fine morning and the river is calm today so we " +
+      "walk to the old market and buy fresh bread and it is good " * 3
+    val good2 = "the cat and the hat is in the house and it is a good day " * 3
+    val b0 = Seq((1L, good1), (2L, good2)).toDF("doc_id", "text")
+
+    // full replay of an already-committed batch (at-least-once): the
+    // partition rewrite must not duplicate lake or index rows
+    DocumentStreams.processCuratedBatch(b0, 0L, "doc_id", "text", cfg,
+      exactIdx, bandIdx, outPath, 3, 128, 32)
+    DocumentStreams.processCuratedBatch(b0, 0L, "doc_id", "text", cfg,
+      exactIdx, bandIdx, outPath, 3, 128, 32)
+    assert(spark.read.parquet(outPath).count() == 2)
+    assert(spark.read.parquet(exactIdx).count() == 2)
+    assert(spark.read.parquet(bandIdx).select("id").distinct().count() == 2)
+
+    // PARTIAL first attempt: batch 1's band rows reached the index but the
+    // lake write never happened (the failure window the ADVICE flagged).
+    // The retry must not see its own half-written rows as "history" and
+    // suppress the whole batch — that would be silent data loss.
+    val good3 = "completely unrelated text about spark query engines and " +
+      "the distributed joins that it is running today and it is good " * 2
+    val b1 = Seq((10L, good3)).toDF("doc_id", "text")
+    Dedup.minhashBandIndex(
+        b1.withColumn("text", graft.functions.TextFunctions.scrubPii($"text")),
+        "doc_id", "text")
+      .withColumn("__batch_id", lit(1L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id").parquet(bandIdx)
+    DocumentStreams.processCuratedBatch(b1, 1L, "doc_id", "text", cfg,
+      exactIdx, bandIdx, outPath, 3, 128, 32)
+    assert(spark.read.parquet(outPath).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 10L))
   }
 
   test("heavyTokensStream: state accumulates across batches, MG bounds on overflow") {
