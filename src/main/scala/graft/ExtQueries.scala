@@ -2330,6 +2330,123 @@ object ExtQueries {
           n_terms, sum_tf, dl
         FROM scored ORDER BY score DESC, doc_id LIMIT 10""")
 
+  // Lake/stream MAINTENANCE twins: capabilities that normally run inside
+  // foreachBatch or a nightly layout job, driven here as deterministic
+  // batch pipelines so the driver's oracle sees them (they were
+  // spec-only before — "driver-invisible surface").
+  private val maintenanceQueries: Seq[(String, Q)] = Seq(
+    // INCREMENTAL VIEW MAINTENANCE end-to-end: base aggregate over the
+    // "before" state + change feed (diffSnapshots with preimages) folded
+    // by applyFeedToSums must EQUAL the direct aggregate over the "after"
+    // state — which is exactly what the oracle computes. The feed carries
+    // all three op kinds by construction: inserts (keys %13=0 absent
+    // before), deletes (keys %11=0 absent after), updates (%7=0 value
+    // shift), so every retraction path is exercised.
+    "q_ivm_fold" -> Q(
+      (s, dir) => {
+        val base = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("v"))
+        val before = base.filter(col("o_orderkey") % 13 =!= 0)
+        val after = base.filter(col("o_orderkey") % 11 =!= 0)
+          .withColumn("v",
+            col("v") + when(col("o_orderkey") % 7 === 0, 500L).otherwise(0L))
+        val feed = graft.operators.Lake.diffSnapshots(
+          before, after, Seq("o_orderkey"), opCol = "_op", includeBefore = true)
+        val agg0 = before.groupBy("o_orderstatus")
+          .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+        graft.streaming.ChangeStreams.applyFeedToSums(
+          agg0, feed, Seq("o_orderstatus"), "v")
+      },
+      Some("""
+        WITH base AS (SELECT o_orderkey, o_orderstatus,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        a AS (SELECT o_orderstatus,
+            v + CASE WHEN o_orderkey % 7 = 0 THEN 500 ELSE 0 END AS v
+          FROM base WHERE o_orderkey % 11 <> 0)
+        SELECT o_orderstatus, CAST(sum(v) AS BIGINT) AS sum_v,
+          CAST(count(*) AS BIGINT) AS n
+        FROM a GROUP BY 1""")),
+
+    // HLL SKETCH ALGEBRA: per-slice sketches built once, merged to a
+    // coarser grouping without re-reading data. In the coupon-exact
+    // regime (distinct-per-group far below the lgK=12 sketch's exact
+    // capacity — true at the gate's sf) the merged estimate equals the
+    // exact distinct count, so a plain COUNT(DISTINCT) oracle pins it.
+    "q_hll_merge" -> Q(
+      (s, dir) => {
+        val slices = graft.operators.Profile.distinctSketch(
+          table(s, dir, "documents")
+            .withColumn("slice", col("doc_id") % 4),
+          Seq("lang", "slice"), "doc_id")
+        graft.operators.Profile.mergeDistinctSketches(slices, Seq("lang"))
+      },
+      Some("""SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+             FROM documents GROUP BY 1""")),
+
+    // ORDERED-SHARD EXPORT invariants: shards written, read back, and
+    // checked — every row present exactly once, and the shard key-ranges
+    // pairwise disjoint in shard order (the contiguous-global-order
+    // contract a trainer streaming shard 0,1,2… relies on). Per-shard
+    // row counts are boundary-sample-dependent, so the row asserts the
+    // deterministic invariants rather than the manifest itself.
+    "q_shard_export" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select("doc_id", "lang", "text")
+        val path = graft.operators.IndexRoot.path(s, "shards", s"$dir|doc_id|8")
+        graft.operators.Lake.writeOrderedShards(
+          docs, path, Seq(col("doc_id")), numShards = 8)
+        val back = s.read.parquet(path)
+        val perShard = back.groupBy("shard")
+          .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+        val overlaps = perShard.alias("x")
+          .join(perShard.alias("y"),
+            expr("x.shard < y.shard AND x.mx >= y.mn"))
+          .agg(count(lit(1)).as("n_overlaps"))
+        back.agg(count(lit(1)).as("total_rows"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .crossJoin(overlaps)
+          .select(col("total_rows"), col("n_docs"),
+            (col("n_overlaps") === 0).cast("int").as("ranges_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS total_rows,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(1 AS INT) AS ranges_ok
+             FROM documents""")),
+
+    // STREAMING CDC MERGE LOOP, two micro-batches deep: batch 1 loads the
+    // full key set at version 1; batch 2 upserts (%5=0, value shift) and
+    // tombstones (%10=0) at version 2. The surviving live view must be
+    // the last-write-wins state the oracle computes directly. Re-running
+    // the battery re-merges onto the previous final snapshot — a no-op by
+    // the argmax merge's idempotence, so the row is rerun-stable.
+    "q_cdc_merge_loop" -> Q(
+      (s, dir) => {
+        val path = graft.operators.IndexRoot.path(s, "cdcloop", s"$dir|orders")
+        val base = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val b1 = base.withColumn("v", lit(1L)).withColumn("del", lit(false))
+        val b2 = base.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("cents", col("cents") + 100L)
+          .withColumn("v", lit(2L))
+          .withColumn("del", col("o_orderkey") % 10 === 0)
+        graft.streaming.ChangeStreams.mergeBatch(
+          b1, Seq("o_orderkey"), Seq("v"), col("del"), path)
+        graft.streaming.ChangeStreams.mergeBatch(
+          b2, Seq("o_orderkey"), Seq("v"), col("del"), path)
+        graft.streaming.ChangeStreams.readSnapshot(s, path)
+          .select("o_orderkey", "o_orderstatus", "cents", "v")
+      },
+      Some("""
+        WITH base AS (SELECT o_orderkey, o_orderstatus,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 5 = 0 THEN cents + 100 ELSE cents END AS cents,
+          CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS v
+        FROM base WHERE o_orderkey % 10 <> 0""")),
+  )
+
   // Headline analytical queries (bench anchors; also oracle-checked).
   private val headlineQueries: Seq[(String, Q)] = Seq(
     // Money sums accumulate as LONG CENTS — exact and order-independent like
@@ -2383,5 +2500,5 @@ object ExtQueries {
     textQueries ++ dedupQueries ++ simQueries ++ knnQueries ++ pqQueries ++
       curationQueries ++ quantileQueries ++ multimodalQueries ++
       resizeQueries ++ eventQueries ++ layoutQueries ++ zorderQueries ++
-      analyticsQueries ++ headlineQueries
+      analyticsQueries ++ maintenanceQueries ++ headlineQueries
 }

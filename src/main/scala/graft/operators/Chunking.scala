@@ -110,11 +110,16 @@ object Chunking {
       .withColumn("__bucket", floor(col(orderCols.head) / bucketSize))
     val bucketSums = withN.groupBy("__bucket")
       .agg(sum(col("n_tokens")).as("__bucket_sum"))
-    // window over n_buckets rows — orders of magnitude smaller than the data
+    // window over n_buckets rows — orders of magnitude smaller than the
+    // data. The constant partition key makes the single-partition intent
+    // explicit (this summary table is tiny BY CONSTRUCTION) and keeps
+    // Spark's "no partition defined" WARN out of logs where it would
+    // mask real unbounded-window mistakes.
     val bucketOffsets = bucketSums
       .withColumn("__bucket_offset",
         coalesce(sum(col("__bucket_sum"))
-          .over(Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          .over(Window.partitionBy(lit(0))
+            .orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select("__bucket", "__bucket_offset")
     val withinBucket = Window.partitionBy("__bucket")

@@ -436,14 +436,36 @@ object TextStats {
     * NOT a window sort (collect_list order is partition-dependent;
     * sorting by the carried `pos` makes the result partitioning-free).
     * Token-less documents keep an EMPTY sequence via the final left join.
+    *
+    * GUARDED like [[Similarity.knnJoin]]: the broadcast contract is
+    * enforced, not assumed — `maxBroadcastVocab` (default 4M entries)
+    * bounds the vocab with one cheap `limit(n+1).count`; beyond it the
+    * broadcast would OOM the driver, and the error says to pass
+    * `broadcastVocab = false`, which takes the same plan through a
+    * SHUFFLE join on the token (the right shape when the "vocab" is
+    * itself data-scale), or raise the bound deliberately.
     */
   def encodeWithVocab(df: DataFrame, idCol: String, text: Column,
-                      vocab: DataFrame, unkId: Long = -1L): DataFrame = {
+                      vocab: DataFrame, unkId: Long = -1L,
+                      broadcastVocab: Boolean = true,
+                      maxBroadcastVocab: Long = 1L << 22): DataFrame = {
+    require(maxBroadcastVocab > 0, "maxBroadcastVocab must be positive")
+    val vocabSide = {
+      val v = vocab.select(col("token"), col("id").as("__tid"))
+      if (broadcastVocab) {
+        val n = vocab.limit((maxBroadcastVocab + 1).min(Int.MaxValue).toInt).count()
+        require(n <= maxBroadcastVocab,
+          s"encodeWithVocab broadcasts the vocab, but it exceeds " +
+            s"$maxBroadcastVocab entries — pass broadcastVocab = false " +
+            "(shuffle join on token) for data-scale vocabularies, or raise " +
+            "maxBroadcastVocab if the driver can hold the broadcast")
+        broadcast(v)
+      } else v
+    }
     val toks = df.select(col(idCol).as("id"),
       posexplode(TextFunctions.tokens(text)).as(Seq("__pos", "token")))
     val encoded = toks
-      .join(broadcast(vocab.select(col("token"), col("id").as("__tid"))),
-        Seq("token"), "left")
+      .join(vocabSide, Seq("token"), "left")
       .groupBy("id")
       .agg(transform(
         array_sort(collect_list(struct(col("__pos"),

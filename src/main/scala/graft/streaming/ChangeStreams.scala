@@ -57,7 +57,7 @@ object ChangeStreams {
     * are testable without a streaming harness — the
     * [[DocumentStreams.processBatch]] convention).
     */
-  private[streaming] def mergeBatch(batch: DataFrame, keyCols: Seq[String],
+  private[graft] def mergeBatch(batch: DataFrame, keyCols: Seq[String],
                                     versionCols: Seq[String], isDelete: Column,
                                     snapshotPath: String,
                                     changeFeedPath: Option[String] = None,

@@ -232,4 +232,27 @@ class TextStatsSpec extends SparkSpec {
     assert(got(2L)._2.isEmpty && got(2L)._3 == 0L)
     assert(got(3L)._2 == Seq(-1L, -1L, -1L) && got(3L)._3 == 3L)
   }
+
+  test("encodeWithVocab: oversized vocab refuses broadcast; shuffle path equal") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, ""),
+      (3L, "unseen words only")
+    ).toDF("doc_id", "text")
+    val vocab = TextStats.buildVocab(docs, $"text", maxVocab = 100)
+    // the guard trips BEFORE any broadcast and points at the scale path
+    val ex = intercept[IllegalArgumentException] {
+      TextStats.encodeWithVocab(docs, "doc_id", $"text", vocab,
+        maxBroadcastVocab = 3L)
+    }
+    assert(ex.getMessage.contains("broadcastVocab = false"))
+    // the shuffle-join path (what the error directs to) matches the
+    // broadcast path bit-for-bit
+    val viaBroadcast = TextStats.encodeWithVocab(docs, "doc_id", $"text", vocab)
+      .as[(Long, Seq[Long], Long)].collect().sortBy(_._1).toSeq
+    val viaShuffle = TextStats.encodeWithVocab(docs, "doc_id", $"text", vocab,
+        broadcastVocab = false, maxBroadcastVocab = 3L)
+      .as[(Long, Seq[Long], Long)].collect().sortBy(_._1).toSeq
+    assert(viaShuffle == viaBroadcast)
+  }
 }
