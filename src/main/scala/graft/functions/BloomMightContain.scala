@@ -53,9 +53,16 @@ case class BloomMightContainLong(child: Expression,
     val bcCls = classOf[Broadcast[_]].getName
     val bfCls = classOf[BloomFilter].getName
     val bcRef = ctx.addReferenceObj("graftBloomBc", filterBc, bcCls)
+    // readFrom declares IOException; the init block runs in a method with
+    // no throws clause, so the generated code must catch it or Janino
+    // rejects the whole class and the plan silently drops to interpreted
     val bloomVar = ctx.addMutableState(bfCls, "graftBloom",
-      v => s"""$v = $bfCls.readFrom(
-         |  new java.io.ByteArrayInputStream((byte[]) $bcRef.value()));""".stripMargin)
+      v => s"""try {
+         |  $v = $bfCls.readFrom(
+         |    new java.io.ByteArrayInputStream((byte[]) $bcRef.value()));
+         |} catch (java.io.IOException e) {
+         |  throw new RuntimeException(e);
+         |}""".stripMargin)
     defineCodeGen(ctx, ev, c => s"$bloomVar.mightContainLong($c)")
   }
 

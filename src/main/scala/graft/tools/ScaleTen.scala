@@ -22,18 +22,13 @@ import org.apache.spark.sql.functions._
   * Run: sbt 'runMain graft.tools.ScaleTen [sf01Dir] [outDir]'
   */
 object ScaleTen {
-  def main(args: Array[String]): Unit = {
-    val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.driver.memory", "16g")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-
+  /** Derives the 10× corpus at `out` (idempotent per table). Key shifts are
+    * CONSISTENT across tables so foreign keys survive replication:
+    * custkey/suppkey/doc_id/vec_id shift by k·10⁷, orderkey by k·10⁸,
+    * user_id by k·10⁵. partkey is deliberately NOT shifted — per-part
+    * lineitem fan-in growing with SF is exactly TPC-H's own behavior.
+    */
+  def derive(spark: SparkSession, sf01: String, out: String): Unit = {
     if (!new java.io.File(s"$out/documents.parquet").exists()) {
       val docs = spark.read.parquet(s"$sf01/documents.parquet")
       val replicas = (0 until 10).map { k =>
@@ -102,6 +97,35 @@ object ScaleTen {
         .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
       println(s"derived 10x events/orders/lineitem at $out")
     }
+
+    if (!new java.io.File(s"$out/customer.parquet").exists()) {
+      // customer keys shift like o_custkey above (k·10⁷) so every
+      // customer⋈orders battery join sees the same match rate at 10×
+      val cust = spark.read.parquet(s"$sf01/customer.parquet")
+      (0 until 10).map { k =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(k * 10000000L))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$out/customer.parquet")
+      // nation is a fixed-universe dim (25 rows at every TPC-H SF):
+      // copy as-is; replicating it would change join semantics
+      spark.read.parquet(s"$sf01/nation.parquet")
+        .write.mode("overwrite").parquet(s"$out/nation.parquet")
+      println(s"derived 10x customer (+nation dim) at $out")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    derive(spark, sf01, out)
 
     val names = Seq("q_curation_pipeline", "q_curation_decontam",
       "q_dedup_clusters", "q_repetition", "q_embed_neardup_lsh",
