@@ -127,12 +127,14 @@ object Mixing {
       .filter(col("__q") > 0)
     // Σq is an INTEGER sum (order-independent); the per-source allocation
     // is an exact integral division of the decimal product, so every
-    // engine floors the same rational number. The unpartitioned window
-    // runs over the |sources|-row aggregate table, never over data rows.
+    // engine floors the same rational number. The constant-key window
+    // runs over the |sources|-row aggregate table, never over data rows
+    // (lit(0) keeps the single-partition plan but silences the
+    // no-partition WARN so real warnings stay visible).
     // (NOT named __Q: SQL resolution is case-insensitive, so an expr
     // referencing __Q silently binds to __q.)
     val alloc = q
-      .withColumn("__qsum", sum(col("__q")).over(Window.partitionBy()))
+      .withColumn("__qsum", sum(col("__q")).over(Window.partitionBy(lit(0))))
       .withColumn("__alloc",
         expr(s"(CAST(__q AS DECIMAL(38,0)) * CAST($totalBudget AS DECIMAL(38,0))) div __qsum"))
       .filter(col("__alloc") > 0)
@@ -171,7 +173,7 @@ object Mixing {
         col(weightCol).cast("long").as("__q"))
       .filter(col("__q") > 0)
     val alloc = q
-      .withColumn("__qsum", sum(col("__q")).over(Window.partitionBy()))
+      .withColumn("__qsum", sum(col("__q")).over(Window.partitionBy(lit(0))))
       .withColumn("__alloc",
         expr(s"(CAST(__q AS DECIMAL(38,0)) * CAST($totalBudget AS DECIMAL(38,0))) div __qsum"))
       .filter(col("__alloc") > 0)
