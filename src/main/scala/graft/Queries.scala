@@ -18,24 +18,94 @@ object Queries {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which the
-    * vectorized reader rejects; read nanos as long and convert losslessly to
-    * a micros timestamp (the generator emits micro-aligned values). The
-    * nanosAsLong flag rides as a READER option (merged into this relation's
-    * scan-side hadoop conf only) instead of a session-conf mutation, so no
-    * other battery query sees it; the explicit schema skips the footer
-    * inference step, which only consults the session conf.
-    */
+  /** Canonical post-read events schema: `ts` is a micros TIMESTAMP. */
   private[graft] val eventsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING")
+
+  /** Legacy read schema for TIMESTAMP(NANOS) files: `ts` arrives as the raw
+    * nanos BIGINT (paired with the `nanosAsLong` reader option below).
+    */
+  private[graft] val eventsNanosSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
       "event_type STRING, value DOUBLE, props STRING")
 
+  /** True iff the parquet file(s) at `path` annotate `ts` as
+    * TIMESTAMP(NANOS). The unit is read from the parquet footer — NOT
+    * assumed — because the test-data generator has emitted both nanos and
+    * micros variants across rounds; memoized per resolved path (a footer
+    * open per query construction would be wasted driver IO).
+    */
+  private val tsUnitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  private[graft] def eventsTsIsNanos(spark: SparkSession, path: String): Boolean =
+    tsUnitCache.computeIfAbsent(path, { _ =>
+      import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
+      val hconf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(hconf)
+      // `path` may be a single file or a directory of part files; the unit
+      // is uniform within one dataset, so one footer decides.
+      val file =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+            .headOption.getOrElse(
+              throw new IllegalArgumentException(s"no parquet part files under $path"))
+        else p
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, hconf))
+      try {
+        val schema = reader.getFileMetaData.getSchema
+        schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation => t.getUnit == TimeUnit.NANOS
+          case _ => false
+        }
+      } finally reader.close()
+    })
+
+  /** Events reader robust to the generator's timestamp unit. MICROS/MILLIS
+    * files read natively (explicit TIMESTAMP schema, so an
+    * isAdjustedToUTC=false footer still lands on TimestampType rather than
+    * inferred NTZ); TIMESTAMP(NANOS) files — which the vectorized reader
+    * otherwise rejects — read nanos-as-long and convert losslessly to
+    * micros (the generator emits micro-aligned values). The nanosAsLong
+    * flag rides as a READER option (merged into this relation's scan-side
+    * hadoop conf only) instead of a session-conf mutation, so no other
+    * battery query sees it; the explicit schema skips the footer inference
+    * step, which only consults the session conf.
+    */
   def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read
-      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .schema(eventsSchema)
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventsFrom(spark, s"$dir/events.parquet")
+
+  def eventsFrom(spark: SparkSession, path: String): DataFrame =
+    if (eventsTsIsNanos(spark, path))
+      spark.read
+        .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .schema(eventsNanosSchema)
+        .parquet(path)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      spark.read.schema(eventsSchema).parquet(path)
+
+  /** Streaming twin of [[eventsFrom]] (file-source requires a directory). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val probe = {
+      // unit probe: any parquet file in the directory
+      val d = new java.io.File(dir)
+      d.listFiles().find(_.getName.endsWith(".parquet"))
+        .map(_.getPath).getOrElse(dir)
+    }
+    if (eventsTsIsNanos(spark, probe))
+      spark.readStream
+        .schema(eventsNanosSchema)
+        .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      spark.readStream.schema(eventsSchema).parquet(dir)
+  }
 
   /** Evaluate a rule-JSON string against a table. */
   private def rule(tableName: String, json: String,

@@ -71,14 +71,33 @@ case class BloomMightContainLong(child: Expression,
 }
 
 object BloomMightContainLong {
-  /** Column form; the serialized sketch is broadcast through `spark` and
-    * only the handle enters the plan.
+  /** One broadcast per sketch, not per [[column]] call: a caller that
+    * probes the same filter from several plans (or re-derives the same
+    * Column) must not re-serialize and re-torrent a multi-GB sketch each
+    * time. Weak keys — when the caller drops the filter, the entry (and
+    * with it the last driver-side handle) goes with it, so the
+    * ContextCleaner can reclaim the broadcast blocks.
     */
-  def column(value: Column, bloom: BloomFilter): Column = {
-    val baos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(baos)
-    val bc = SparkSession.active.sparkContext.broadcast(baos.toByteArray)
+  private val bcCache =
+    new java.util.WeakHashMap[BloomFilter, Broadcast[Array[Byte]]]()
+
+  private def broadcastFor(bloom: BloomFilter): Broadcast[Array[Byte]] =
+    bcCache.synchronized {
+      val cached = bcCache.get(bloom)
+      if (cached != null) cached
+      else {
+        val baos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(baos)
+        val bc = SparkSession.active.sparkContext.broadcast(baos.toByteArray)
+        bcCache.put(bloom, bc)
+        bc
+      }
+    }
+
+  /** Column form; the serialized sketch is broadcast through the active
+    * session (memoized per filter) and only the handle enters the plan.
+    */
+  def column(value: Column, bloom: BloomFilter): Column =
     ColumnBridge.column(
-      BloomMightContainLong(ColumnBridge.expression(value), bc))
-  }
+      BloomMightContainLong(ColumnBridge.expression(value), broadcastFor(bloom)))
 }

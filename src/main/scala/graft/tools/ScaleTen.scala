@@ -64,14 +64,10 @@ object ScaleTen {
     }
 
     if (!new java.io.File(s"$out/events.parquet").exists()) {
-      // keep ts as the RAW nanos BIGINT (no timestamp conversion): the
-      // derived file then reads through Queries.events exactly like the
-      // original (plain INT64 matches the BIGINT schema; div 1000 still
-      // lands on micros)
-      val ev = spark.read
-        .option("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .schema(graft.Queries.eventsSchema)
-        .parquet(s"$sf01/events.parquet")
+      // read through the unit-detecting shared reader (nanos or micros
+      // source both land on a micros TIMESTAMP ts); the derived file is
+      // then a native micros file and round-trips through Queries.events
+      val ev = graft.Queries.events(spark, sf01)
       (0 until 10).map { k =>
         ev.select(
           (col("event_id") + lit(k * 10000000L)).as("event_id"),

@@ -46,12 +46,9 @@ class EventStreamsSpec extends SparkSpec {
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"),
       java.nio.file.Paths.get(sf() + "/events.parquet"))
-    // same scoped nanosAsLong reader option + explicit schema as the batch
-    // reader — the session conf stays untouched on purpose
-    val stream = spark.readStream.schema(graft.Queries.eventsSchema)
-      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .parquet(dir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    // same unit-detecting reader as the batch path (nanos and micros
+    // source files both land on a micros TIMESTAMP ts)
+    val stream = graft.Queries.eventsStream(spark, dir.toString)
     val q = EventStreams.windowedStatsStream(stream)
       .writeStream.outputMode("complete")
       .format("memory").queryName("file_win_out").start()
