@@ -27,8 +27,15 @@ val jdk17AddOpens = Seq(
 // bench driver keeps only the last 2000 chars of stdout, and every byte
 // after graft.Bench's JSON line eats into that window.
 Global / showSuccess := false
+// 48g default: the bench/verify JVM runs local[32] — 32 concurrent tasks'
+// execution memory plus the battery's persisted shared indexes. The old 8g
+// default put the whole 151-query battery into GC/eviction thrash as it
+// grew: the same 4-query slice measured 25.5 s at 8g vs 11.4 s at 48g
+// (q_pagerank 17.8→7.5, q_dedup_clusters 3.8→2.1), which is exactly the
+// round-9 "unexplained 3×" regression set. The machine has 128 GiB; 48g
+// leaves room for sbt, DuckDB oracle runs, and page cache.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
