@@ -590,7 +590,10 @@ object ExtQueries {
         graft.operators.Curation.contaminationHits(
           docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
           docs.filter(col("doc_id") % 10 === 0), "text", ngramSize = 8,
-          bloom = Some(graft.operators.Curation.BloomConfig(fpp = 0.01)))
+          bloom = Some(graft.operators.Curation.BloomConfig(fpp = 0.01,
+            // one sketch per corpus per JVM — the eval-suite sketch is a
+            // build-once artifact like the MinHash/winnow indexes above
+            sketchKey = Some(s"$dir|decontam8"))))
       },
       Some(decontaminateOracleSql)),
 
