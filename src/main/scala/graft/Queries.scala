@@ -89,15 +89,13 @@ object Queries {
     else
       spark.read.schema(eventsSchema).parquet(path)
 
-  /** Streaming twin of [[eventsFrom]] (file-source requires a directory). */
+  /** Streaming twin of [[eventsFrom]] (file-source requires a directory).
+    * The unit probe goes through the Hadoop FS API so non-local
+    * directories (hdfs://, s3a://) resolve the same way the batch reader
+    * does.
+    */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val probe = {
-      // unit probe: any parquet file in the directory
-      val d = new java.io.File(dir)
-      d.listFiles().find(_.getName.endsWith(".parquet"))
-        .map(_.getPath).getOrElse(dir)
-    }
-    if (eventsTsIsNanos(spark, probe))
+    if (eventsTsIsNanos(spark, dir))
       spark.readStream
         .schema(eventsNanosSchema)
         .option("spark.sql.legacy.parquet.nanosAsLong", "true")

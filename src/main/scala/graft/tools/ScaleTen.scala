@@ -102,11 +102,17 @@ object ScaleTen {
         cust.withColumn("c_custkey", col("c_custkey") + lit(k * 10000000L))
       }.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$out/customer.parquet")
-      // nation is a fixed-universe dim (25 rows at every TPC-H SF):
-      // copy as-is; replicating it would change join semantics
-      spark.read.parquet(s"$sf01/nation.parquet")
-        .write.mode("overwrite").parquet(s"$out/nation.parquet")
-      println(s"derived 10x customer (+nation dim) at $out")
+      // nation/region/part/supplier are copied AS-IS: nation and region
+      // are fixed-universe dims at every TPC-H SF, and part/supplier keys
+      // are referenced by the UNSHIFTED (part) and shifted (supplier)
+      // lineitem columns — replicating them would either duplicate keys
+      // or break the fan-in the derivation deliberately preserves. The
+      // rule-engine scan queries over these dims therefore measure the
+      // same data at sf1 (expected ratio ~1×).
+      for (dim <- Seq("nation", "region", "part", "supplier"))
+        spark.read.parquet(s"$sf01/$dim.parquet")
+          .write.mode("overwrite").parquet(s"$out/$dim.parquet")
+      println(s"derived 10x customer (+nation/region/part/supplier dims) at $out")
     }
   }
 

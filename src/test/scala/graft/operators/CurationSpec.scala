@@ -111,6 +111,18 @@ class CurationSpec extends SparkSpec {
         bloom = Some(Curation.BloomConfig()))
       .select("doc_id").as[Long].collect().toSet
     assert(d1 == d0)
+    // sketchKey memoization: first call builds, second reuses the cached
+    // sketch (no count/fold jobs) — results stay identical to the exact path
+    val key = Some(s"curationspec-memo-${System.nanoTime()}")
+    val m1 = Curation.contaminationHits(docs, "doc_id", "text",
+        benchmark, "text", ngramSize = 8,
+        bloom = Some(Curation.BloomConfig(sketchKey = key)))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val m2 = Curation.contaminationHits(docs, "doc_id", "text",
+        benchmark, "text", ngramSize = 8,
+        bloom = Some(Curation.BloomConfig(sketchKey = key)))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(m1 == exact && m2 == exact)
   }
 
   test("pretrainingPipeline(nearDupPairs = full-corpus pairs) == the self-contained path") {
