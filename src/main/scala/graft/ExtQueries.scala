@@ -2441,14 +2441,46 @@ object ExtQueries {
         graft.streaming.ChangeStreams.readSnapshot(s, path)
           .select("o_orderkey", "o_orderstatus", "cents", "v")
       },
-      Some("""
+      Some(cdcMergeOracleSql)),
+
+    // The SAME two-cycle merge through the PARTITIONED copy-on-write
+    // layout (snapshot laid out by a pure key function; each batch reads
+    // and rewrites ONLY its touched partitions via dynamic partition
+    // overwrite — the O(batch + touched partitions) regime the 10× sweep
+    // showed the full rewrite lacks). Same oracle: the layout must be
+    // invisible in the merged state.
+    "q_cdc_merge_part" -> Q(
+      (s, dir) => {
+        val path = graft.operators.IndexRoot.path(s, "cdcpart", s"$dir|orders")
+        val base = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val b1 = base.withColumn("v", lit(1L)).withColumn("del", lit(false))
+        val b2 = base.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("cents", col("cents") + 100L)
+          .withColumn("v", lit(2L))
+          .withColumn("del", col("o_orderkey") % 10 === 0)
+        val part = Some(("okpart", pmod(col("o_orderkey"), lit(16L))))
+        graft.streaming.ChangeStreams.mergeBatch(
+          b1, Seq("o_orderkey"), Seq("v"), col("del"), path,
+          snapshotPartition = part)
+        graft.streaming.ChangeStreams.mergeBatch(
+          b2, Seq("o_orderkey"), Seq("v"), col("del"), path,
+          snapshotPartition = part)
+        graft.streaming.ChangeStreams.readSnapshot(s, path, Some("okpart"))
+          .select("o_orderkey", "o_orderstatus", "cents", "v")
+      },
+      Some(cdcMergeOracleSql)),
+  )
+
+  // def, not val: referenced by battery rows constructed textually above
+  private def cdcMergeOracleSql = """
         WITH base AS (SELECT o_orderkey, o_orderstatus,
             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
         SELECT o_orderkey, o_orderstatus,
           CASE WHEN o_orderkey % 5 = 0 THEN cents + 100 ELSE cents END AS cents,
           CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS v
-        FROM base WHERE o_orderkey % 10 <> 0""")),
-  )
+        FROM base WHERE o_orderkey % 10 <> 0"""
 
   // Headline analytical queries (bench anchors; also oracle-checked).
   private val headlineQueries: Seq[(String, Q)] = Seq(

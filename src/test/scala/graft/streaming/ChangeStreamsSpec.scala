@@ -132,4 +132,73 @@ class ChangeStreamsSpec extends SparkSpec {
       .select("k", "v").as[(String, Long)].collect().toMap
     assert(got == Map("a" -> 11L, "b" -> 20L, "c" -> 30L))
   }
+
+  // key's first char partitions the snapshot — a pure function of the key,
+  // per the mergeBatch caller contract
+  private val byFirstChar = ("kpart", substring(col("k"), 1, 1))
+
+  test("partitioned merge == unpartitioned merge: snapshot, tombstones, feed") {
+    val root = tmp("graft_snap_part")
+    val (flatSnap, flatFeed) = (root + "/flat", root + "/flatfeed")
+    val (partSnap, partFeed) = (root + "/part", root + "/partfeed")
+    for ((b, id) <- Seq(b1, b2, b3).zipWithIndex) {
+      ChangeStreams.mergeBatch(b.toDF("k", "v", "ver", "op"), Seq("k"),
+        Seq("ver"), col("op") === "delete", flatSnap,
+        changeFeedPath = Some(flatFeed), batchId = id.toLong)
+      ChangeStreams.mergeBatch(b.toDF("k", "v", "ver", "op"), Seq("k"),
+        Seq("ver"), col("op") === "delete", partSnap,
+        changeFeedPath = Some(partFeed), batchId = id.toLong,
+        snapshotPartition = Some(byFirstChar))
+    }
+    def liveSet(p: String) =
+      ChangeStreams.readSnapshot(spark, p, partitionCol = Some("kpart"))
+        .select("k", "v", "ver").as[(String, Long, Long)].collect().toSet
+    assert(liveSet(partSnap) == liveSet(flatSnap))
+    // tombstone persists inside its partition
+    val raw = spark.read.parquet(partSnap)
+    assert(raw.filter(col("__del")).select("k").as[String].collect().toSeq
+      == Seq("b"))
+    def feedSet(p: String) = spark.read.parquet(p)
+      .select("__batch_id", "_op", "k", "v", "ver")
+      .as[(Long, String, String, Long, Long)].collect().toSet
+    assert(feedSet(partFeed) == feedSet(flatFeed) && feedSet(partFeed).nonEmpty)
+  }
+
+  test("partitioned merge rewrites ONLY the touched partitions") {
+    val snapPath = tmp("graft_snap_prune") + "/snap"
+    ChangeStreams.mergeBatch(b1.toDF("k", "v", "ver", "op"), Seq("k"),
+      Seq("ver"), col("op") === "delete", snapPath,
+      snapshotPartition = Some(byFirstChar))
+    def partFiles(part: String): Set[(String, Long)] = {
+      val dir = new java.io.File(s"$snapPath/kpart=$part")
+      if (!dir.exists()) Set.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val (a0, b0, c0) = (partFiles("a"), partFiles("b"), partFiles("c"))
+    assert(a0.nonEmpty && b0.nonEmpty && c0.nonEmpty)
+    // batch touching only key "a": partitions b and c must be byte-for-
+    // byte untouched (same files, same mtimes); a is rewritten
+    ChangeStreams.mergeBatch(
+      Seq(("a", 99L, 5L, "upsert")).toDF("k", "v", "ver", "op"), Seq("k"),
+      Seq("ver"), col("op") === "delete", snapPath,
+      snapshotPartition = Some(byFirstChar))
+    assert(partFiles("b") == b0 && partFiles("c") == c0)
+    assert(partFiles("a") != a0)
+    val got = ChangeStreams.readSnapshot(spark, snapPath, Some("kpart"))
+      .select("k", "v").as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 99L, "b" -> 20L, "c" -> 30L))
+  }
+
+  test("partitioned merge retry is idempotent") {
+    val snapPath = tmp("graft_snap_retry") + "/snap"
+    for (b <- Seq(b1, b2, b2 /* replay */, b3)) {
+      ChangeStreams.mergeBatch(b.toDF("k", "v", "ver", "op"), Seq("k"),
+        Seq("ver"), col("op") === "delete", snapPath,
+        snapshotPartition = Some(byFirstChar))
+    }
+    val got = ChangeStreams.readSnapshot(spark, snapPath, Some("kpart"))
+      .select("k", "v", "ver").as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 11L, 2L), ("c", 31L, 2L), ("d", 40L, 1L)))
+  }
 }
