@@ -739,6 +739,11 @@ object Dedup extends org.apache.spark.internal.Logging {
     * Recall for a pair at angle θ is 1 − (1 − (1 − θ/π)^planes)^tables:
     * more tables buy recall, more planes cut candidates. Defaults target
     * the near-dup regime (cos ≥ ~0.8); lower `planes` for lower thresholds.
+    *
+    * FIXED tuning does not survive corpus growth (the 10× sweep measured
+    * 26× wall-clock at 10× density with sf0.1 tuning) — size `planes`/
+    * `tables` with [[LshTuning.forCorpus]], which caps expected bucket
+    * occupancy and solves the table count for a target recall.
     */
   def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, planes: Int = 8, tables: Int = 6,
