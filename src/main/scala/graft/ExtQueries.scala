@@ -2460,7 +2460,11 @@ object ExtQueries {
           .withColumn("cents", col("cents") + 100L)
           .withColumn("v", lit(2L))
           .withColumn("del", col("o_orderkey") % 10 === 0)
-        val part = Some(("okpart", pmod(col("o_orderkey"), lit(16L))))
+        // pmod 5 on purpose: batch 2 updates keys ≡ 0 (mod 5), so the
+        // second merge touches exactly ONE of the five partitions — the
+        // battery row exercises the pruned-read/pruned-rewrite path, not
+        // just the layout
+        val part = Some(("okpart", pmod(col("o_orderkey"), lit(5L))))
         graft.streaming.ChangeStreams.mergeBatch(
           b1, Seq("o_orderkey"), Seq("v"), col("del"), path,
           snapshotPartition = part)
