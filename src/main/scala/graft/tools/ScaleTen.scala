@@ -183,6 +183,13 @@ object ScaleTen {
       val (sec, pairs) = embedLsh(out, p, t)
       println(f"| sf1 | $p | $t | $sec%.2f s | $pairs |")
     }
+    // the model-derived tuning (LshTuning.forCorpus) against the same
+    // corpus — the auto-tuned point should land on the sweep's efficient
+    // frontier without hand-searching
+    val n1 = spark.read.parquet(s"$out/embeddings.parquet").count()
+    val auto = graft.operators.LshTuning.forCorpus(n1, threshold = 0.45)
+    val (autoSec, autoPairs) = embedLsh(out, auto.planes, auto.tables)
+    println(f"| sf1 AUTO (LshTuning) | ${auto.planes} | ${auto.tables} | $autoSec%.2f s | $autoPairs |")
     spark.stop()
   }
 }
