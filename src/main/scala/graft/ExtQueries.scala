@@ -341,6 +341,21 @@ object ExtQueries {
           columns={'doc_id': 'BIGINT', 'text': 'VARCHAR', 'lang': 'VARCHAR'},
           ignore_errors=true)""")),
 
+    // ORC ROUND-TRIP: the columnar-format sibling of the parquet path —
+    // write the table to ORC once per JVM, read it back, project. The
+    // oracle reads the SAME rows from parquet, so what's gated is that
+    // Spark's ORC writer+reader preserve every value and type bit-for-bit
+    // against an independent engine's view of the source.
+    "q_orc_source" -> Q(
+      (s, dir) => {
+        val path = graft.operators.IndexRoot.path(s, "orc", s"$dir|supplier")
+        if (!new java.io.File(path).exists())
+          table(s, dir, "supplier").write.mode("overwrite").orc(path)
+        s.read.orc(path)
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      },
+      Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier")),
+
     // RAW-CRAWL HTML → text extraction: script/style blocks dropped, tags
     // to spaces, common entities decoded, whitespace collapsed — the
     // codegen'd regexp chain that runs before every text operator on a

@@ -147,8 +147,11 @@ object ScaleTen {
     // unique right key, so count() skipped the entire scoring pipeline);
     // the noop write forces every column of every row
     def time(name: String, dir: String): (Double, Long) = {
-      val df = graft.SparkEntry.queries(name)(spark, dir)
+      // construction INSIDE the timer: operators that materialize during
+      // construction (PageRank's final count, the CDC merges' writes)
+      // would otherwise run off the clock and report bogus ~0.1 s rows
       val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(name)(spark, dir)
       df.write.mode("overwrite").format("noop").save()
       val sec = (System.nanoTime() - t0) / 1e9
       (sec, df.count())
