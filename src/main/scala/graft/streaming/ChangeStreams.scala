@@ -87,6 +87,12 @@ object ChangeStreams {
                                     changeFeedPath: Option[String] = None,
                                     batchId: Long = -1L,
                                     snapshotPartition: Option[(String, Column)] = None): Unit = {
+    // An EMPTY micro-batch is a no-op, and must short-circuit: merging it
+    // anyway would (a) on bootstrap, write a schema-less snapshot
+    // directory that poisons the next merge's read, and (b) on an
+    // existing snapshot, pay a full rewrite to change nothing. The live
+    // view is unchanged, so the feed correctly appends nothing.
+    if (batch.isEmpty) return
     snapshotPartition match {
       case Some((pcol, pexpr)) =>
         mergeBatchPartitioned(batch, keyCols, versionCols, isDelete,
