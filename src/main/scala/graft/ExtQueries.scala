@@ -2432,6 +2432,30 @@ object ExtQueries {
                CAST(1 AS INT) AS ranges_ok
              FROM documents""")),
 
+    // SEEDED SHUFFLE-SHARD EXPORT: the corpus written in a keyed
+    // pseudo-random permutation (md5(seed:id) order, reproducible on any
+    // engine). The gate is EXACT: the rank of every document in the
+    // WRITTEN layout (shard asc, then in-shard key order) must equal the
+    // oracle's independent row_number over its own md5 ordering — i.e.
+    // the files on disk really are the seed's permutation, range
+    // boundaries included.
+    "q_shuffle_export" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        val path = graft.operators.IndexRoot.path(s, "shuffle", s"$dir|7|8")
+        graft.operators.Lake.writeShuffledShards(docs, path, "doc_id",
+          seed = 7L, numShards = 8)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("shard"), col("__shuffle_key"), col("doc_id"))
+        s.read.parquet(path)
+          .select(col("doc_id"), row_number().over(w).cast("long").as("rank"))
+      },
+      Some("""SELECT doc_id,
+               CAST(row_number() OVER (
+                 ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id)
+                 AS BIGINT) AS rank
+             FROM documents""")),
+
     // STREAMING CDC MERGE LOOP, two micro-batches deep: batch 1 loads the
     // full key set at version 1; batch 2 upserts (%5=0, value shift) and
     // tombstones (%10=0) at version 2. The surviving live view must be

@@ -63,6 +63,44 @@ object Lake {
       .orderBy("shard")
   }
 
+  /** SEEDED DETERMINISTIC SHUFFLE EXPORT — training-order shuffling as a
+    * shard write: rows are globally ordered by `md5(seed ":" id)` (a
+    * keyed pseudo-random permutation, identical on every engine that has
+    * md5 — reproducible across reruns, clusters, and partition layouts,
+    * unlike `orderBy(rand(seed))`, whose sample depends on the partition
+    * layout). A trainer streaming shard 0, 1, 2… reads the corpus in the
+    * seed's shuffle order with no curriculum bias; epoch n = seed + n —
+    * a fresh, equally-deterministic permutation per epoch. The shuffle
+    * key column rides along (`__shuffle_key`) as the audit trail.
+    *
+    * Shard boundaries are NOT sampled (a [[writeOrderedShards]]-style
+    * `repartitionByRange` samples keys with the RDD id in the seed, so
+    * two identical runs can cut shards differently): shard =
+    * `top16bits(key) * numShards div 65536` — fixed, contiguous
+    * keyspace ranges, so the full (assignment, order) layout is a pure
+    * function of (seed, ids). md5's uniformity makes shard sizes equal
+    * to within binomial noise. Each shard hash-routes to one task
+    * (one sorted file per shard); no sampling pass, no global sort.
+    */
+  def writeShuffledShards(df: DataFrame, path: String, idCol: String,
+                          seed: Long, numShards: Int,
+                          mode: String = "overwrite"): DataFrame = {
+    require(numShards >= 1 && numShards <= 65536,
+      "numShards in [1, 65536]: shard = top-16-bit key range")
+    val keyed = df.withColumn("__shuffle_key",
+        md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))))
+      .withColumn("shard",
+        expr(s"CAST(conv(substring(__shuffle_key, 1, 4), 16, 10) AS BIGINT)" +
+          s" * $numShards div 65536"))
+    keyed
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__shuffle_key"), col(idCol))
+      .write.mode(mode).partitionBy("shard").parquet(path)
+    df.sparkSession.read.parquet(path)
+      .groupBy("shard").agg(count(lit(1)).as("n_rows"))
+      .orderBy("shard")
+  }
+
   /** [[writeOrderedShards]] in JSONL — the format trainers actually
     * stream. Same contiguous-range contract (range-partitioned by the
     * sampled `orderBy` boundaries, sorted within each shard, never a

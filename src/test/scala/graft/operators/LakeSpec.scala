@@ -57,6 +57,38 @@ class LakeSpec extends SparkSpec {
     assert(back.count() == 5000)
   }
 
+  test("writeShuffledShards: seeded permutation is reproducible, seed-sensitive, complete") {
+    val df = (0L until 3000L).map(i => (i, s"doc$i")).toDF("id", "text")
+    def export(seed: Long): (Seq[(Long, Long)], Seq[Long]) = {
+      val out = Files.createTempDirectory("lake_shuffle").toString
+      Lake.writeShuffledShards(df, out, "id", seed, numShards = 8)
+      val back = spark.read.parquet(out)
+      val assign = back.select("id", "shard").as[(Long, Long)]
+        .collect().sortBy(_._1).toSeq
+      // the global order a trainer sees: shard asc, then in-file order
+      val order = (0L until 8L).flatMap(sh =>
+        spark.read.parquet(s"$out/shard=$sh").select("id").as[Long].collect())
+      (assign, order)
+    }
+    val (a1, o1) = export(seed = 7L)
+    val (a2, o2) = export(seed = 7L)
+    val (_, o3) = export(seed = 8L)
+    // reproducible: same seed -> identical shard assignment AND order
+    assert(a1 == a2 && o1 == o2)
+    // complete, no dup, no loss
+    assert(o1.sorted == (0L until 3000L))
+    // seed-sensitive: a different seed is a different permutation
+    assert(o1 != o3)
+    // actually shuffled: not the identity order
+    assert(o1 != (0L until 3000L))
+    // within-shard order follows the md5 key (the documented contract)
+    val out = Files.createTempDirectory("lake_shuffle_k").toString
+    Lake.writeShuffledShards(df, out, "id", 7L, numShards = 8)
+    val s0 = spark.read.parquet(s"$out/shard=0")
+      .select("__shuffle_key").as[String].collect().toSeq
+    assert(s0 == s0.sorted && s0.nonEmpty)
+  }
+
   test("writeJsonlShards: same range contract, JSONL round-trips content exactly") {
     val df = (0L until 2000L).map(i => (i, (i * 2654435761L) % 10000L,
       s"text $i with ünïcode"))
