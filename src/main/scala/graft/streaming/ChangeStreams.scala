@@ -222,11 +222,16 @@ object ChangeStreams {
       .select(dataCols.map(col) :+ col("__del"): _*)
 
     // the snapshot is input AND output of the overwrite below — stage the
-    // merged slice (and the durable feed diff) BEFORE touching the target
+    // merged slice (and the durable feed diff) BEFORE touching the target.
+    // Bootstrap (no existing snapshot) has no read-overwrite conflict and
+    // no before-image: skip the staging round-trip entirely
     val tmp = new org.apache.hadoop.fs.Path(
       snapshotPath.stripSuffix("/") + ".__merge_tmp")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val staged = spark.read.parquet(tmp.toString)
+    val staged =
+      if (exists) {
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        spark.read.parquet(tmp.toString)
+      } else merged
     val feed = changeFeedPath.map { p =>
       val before = sliceOld
         .map(s => s.filter(!col("__is_del")).drop("__is_del"))
