@@ -349,7 +349,11 @@ object ExtQueries {
     "q_orc_source" -> Q(
       (s, dir) => {
         val path = graft.operators.IndexRoot.path(s, "orc", s"$dir|supplier")
-        if (!new java.io.File(path).exists())
+        // Hadoop FS existence check, not java.io.File: IndexRoot paths may
+        // be non-local (hdfs://, s3a://) on non-local masters, where the
+        // local check is always false and the table is rewritten per call.
+        val p = new org.apache.hadoop.fs.Path(path)
+        if (!p.getFileSystem(s.sessionState.newHadoopConf()).exists(p))
           table(s, dir, "supplier").write.mode("overwrite").orc(path)
         s.read.orc(path)
           .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")

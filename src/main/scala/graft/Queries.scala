@@ -39,23 +39,32 @@ object Queries {
   private val tsUnitCache =
     new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 
-  private[graft] def eventsTsIsNanos(spark: SparkSession, path: String): Boolean =
-    tsUnitCache.computeIfAbsent(path, { _ =>
+  private[graft] def eventsTsIsNanos(spark: SparkSession, path: String): Boolean = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    // `path` may be a single file or a directory of part files; the unit
+    // is uniform within one dataset, so one footer decides.
+    val status =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p)
+          .filter(f => f.getPath.getName.endsWith(".parquet") &&
+            !f.getPath.getName.startsWith("_"))
+          .headOption.getOrElse(
+            throw new IllegalArgumentException(s"no parquet part files under $path"))
+      else fs.getFileStatus(p)
+    // Cache key includes the probed file's length + mtime: the test-data
+    // generator regenerates files IN PLACE mid-round and has flipped the
+    // ts unit between rounds, so a path-only memo could serve a stale
+    // unit to a long-lived JVM (micros file read as nanos ⇒ timestamps
+    // compressed 1000×, or a hard vectorized-reader failure the other
+    // way). A regenerated file changes mtime (and usually length), which
+    // keys a fresh footer probe; the stat above is paid anyway.
+    val key = s"${status.getPath}|${status.getLen}|${status.getModificationTime}"
+    tsUnitCache.computeIfAbsent(key, { _ =>
       import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
-      val hconf = spark.sessionState.newHadoopConf()
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(hconf)
-      // `path` may be a single file or a directory of part files; the unit
-      // is uniform within one dataset, so one footer decides.
-      val file =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).map(_.getPath)
-            .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-            .headOption.getOrElse(
-              throw new IllegalArgumentException(s"no parquet part files under $path"))
-        else p
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, hconf))
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(status.getPath, hconf))
       try {
         val schema = reader.getFileMetaData.getSchema
         schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
@@ -64,6 +73,7 @@ object Queries {
         }
       } finally reader.close()
     })
+  }
 
   /** Events reader robust to the generator's timestamp unit. MICROS/MILLIS
     * files read natively (explicit TIMESTAMP schema, so an

@@ -52,6 +52,29 @@ object Curation {
   private val sketchCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.util.sketch.BloomFilter]()
 
+  /** A cheap freshness fingerprint folded into every `sketchKey`: the
+    * benchmark's input files' (path, length, mtime) — driver-side metadata
+    * stats only, no job — so a corpus regenerated in place under the same
+    * key (the battery's own testdata is) keys a REBUILD instead of
+    * silently serving a sketch of the old corpus (whose false-negative
+    * rate against the new corpus is unbounded, not fpp). Non-file sources
+    * (in-memory benchmarks) fall back to a count, which is one cheap job
+    * on the small eval-suite side.
+    */
+  private def corpusFingerprint(df: DataFrame): String = {
+    val files = df.inputFiles
+    val raw =
+      if (files.nonEmpty) {
+        val hconf = df.sparkSession.sessionState.newHadoopConf()
+        files.sorted.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = p.getFileSystem(hconf).getFileStatus(p)
+          s"$f:${st.getLen}:${st.getModificationTime}"
+        }.mkString(",")
+      } else s"count:${df.count()}"
+    scala.util.hashing.MurmurHash3.stringHash(raw).toHexString
+  }
+
   /** BENCHMARK DECONTAMINATION hit counts: for every document sharing at
     * least one word `ngramSize`-gram with the benchmark corpus (an eval
     * set whose presence in training data would leak), the number of
@@ -91,7 +114,9 @@ object Curation {
     val (benchGrams, probes) = bloom match {
       case None => (benchGrams0, docGrams)
       case Some(bc) =>
-        val cached = bc.sketchKey.flatMap(k => Option(sketchCache.get(k)))
+        val effKey = bc.sketchKey.map(k =>
+          s"$k|${corpusFingerprint(benchmark)}")
+        val cached = effKey.flatMap(k => Option(sketchCache.get(k)))
         cached match {
           case Some(sketch) =>
             // memoized sketch: only the exact join consumes the gram
@@ -105,7 +130,12 @@ object Curation {
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             val n = math.max(bc.expectedItems.getOrElse(grams.count()), 1L)
             val sketch = grams.stat.bloomFilter("__gram", n, bc.fpp)
-            bc.sketchKey.foreach(k => sketchCache.put(k, sketch))
+            effKey.foreach { k =>
+              // sketches can be 100s of MB; a stale-keyed build must not
+              // pile up — keep the cache small rather than unbounded
+              if (sketchCache.size >= 8) sketchCache.clear()
+              sketchCache.put(k, sketch)
+            }
             (grams, docGrams.filter(
               graft.functions.BloomMightContainLong.column(col("__gram"), sketch)))
         }

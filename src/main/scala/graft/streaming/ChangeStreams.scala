@@ -29,7 +29,7 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * the snapshot by key so the union's aggregate reads co-partitioned
   * input.
   */
-object ChangeStreams {
+object ChangeStreams extends org.apache.spark.internal.Logging {
 
   /** Continuously merge a changelog stream into a snapshot parquet at
     * `snapshotPath`. `isDelete` marks tombstone rows; `versionCols`
@@ -75,7 +75,11 @@ object ChangeStreams {
     * breaking last-write-wins. Choose `expr` to match batch locality
     * (ingest date, tenant, key range); a uniform hash spreads every
     * batch across every partition and degenerates to the unpartitioned
-    * rewrite. Retries are idempotent (re-merging an already-merged
+    * rewrite — detected at runtime (batch touching ≥ half the existing
+    * partitions logs a warning, skips pruning, and merges the full table
+    * in place; results are identical either way, spec-pinned). NULL and
+    * empty-string partition values are legal and route through Hive's
+    * default partition directory. Retries are idempotent (re-merging an already-merged
     * batch reproduces the same winners), and the per-partition commit
     * has the same torn-window caveat as any multi-partition dynamic
     * overwrite — single-partition batches keep the full atomic-swap
@@ -92,15 +96,21 @@ object ChangeStreams {
     // directory that poisons the next merge's read, and (b) on an
     // existing snapshot, pay a full rewrite to change nothing. The live
     // view is unchanged, so the feed correctly appends nothing.
-    if (batch.isEmpty) return
-    snapshotPartition match {
-      case Some((pcol, pexpr)) =>
-        mergeBatchPartitioned(batch, keyCols, versionCols, isDelete,
-          snapshotPath, changeFeedPath, batchId, pcol, pexpr)
-      case None =>
-        mergeBatchFull(batch, keyCols, versionCols, isDelete,
-          snapshotPath, changeFeedPath, batchId)
-    }
+    // The batch is persisted ONCE so the emptiness probe and the merge's
+    // re-reads don't each re-evaluate an expensive upstream plan
+    // (foreachBatch hands over an unmaterialized DataFrame).
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (b.isEmpty) return
+      snapshotPartition match {
+        case Some((pcol, pexpr)) =>
+          mergeBatchPartitioned(b, keyCols, versionCols, isDelete,
+            snapshotPath, changeFeedPath, batchId, pcol, pexpr)
+        case None =>
+          mergeBatchFull(b, keyCols, versionCols, isDelete,
+            snapshotPath, changeFeedPath, batchId)
+      }
+    } finally b.unpersist(false)
   }
 
   private def mergeBatchFull(batch: DataFrame, keyCols: Seq[String],
@@ -202,15 +212,59 @@ object ChangeStreams {
     val exists = fs.exists(target)
 
     // the batch's partition footprint: a tiny driver-side list (CDC
-    // batches are partition-local by construction of `pexpr`)
+    // batches are partition-local by construction of `pexpr`).
+    // NULL and empty-string values both land in Hive's default partition
+    // directory on write and read back as NULL, so they are routed to a
+    // single NULL bucket here — an `isin(null)` would never match and the
+    // old partition's rows (tombstones included) would silently drop.
     val touched = marked.select(pexpr.cast("string").as(pcol))
-      .distinct().collect().map(_.getString(0)).toSeq
-    val inTouched = col(pcol).isin(touched: _*)
+      .distinct().collect()
+      .map(r => if (r.isNullAt(0) || r.getString(0).isEmpty) null
+                else r.getString(0))
+      .toSeq.distinct
+    val touchedNonNull = touched.filter(_ != null)
+    val inTouched = (
+      (if (touchedNonNull.nonEmpty) Seq(col(pcol).isin(touchedNonNull: _*)) else Nil) ++
+      (if (touched.contains(null)) Seq(col(pcol).isNull) else Nil)
+    ).reduce(_ || _)
 
+    // Degenerate-batch guard: when the batch touches (nearly) every
+    // existing partition, pruning buys nothing and the merge costs ~2×
+    // the flat rewrite (SCALE.md). The layout must STAY partitioned
+    // (later merges read it with pcol in the schema), so the "fallback"
+    // is a full-table merge in place: skip the pruning filter and let
+    // dynamic overwrite rewrite every partition — same cost shape as the
+    // flat path, no layout change. Loudly logged so callers learn their
+    // `pexpr` does not match batch locality.
+    val existingParts =
+      if (exists)
+        fs.listStatus(target).count(s =>
+          s.isDirectory && s.getPath.getName.startsWith(pcol + "="))
+      else 0
+    val degenerate = exists && existingParts > 1 &&
+      touched.size.toDouble >= 0.5 * existingParts
+    if (degenerate)
+      logWarning(s"CDC merge batch touches ${touched.size} of " +
+        s"$existingParts snapshot partitions; partition pruning degenerates " +
+        s"to a full rewrite — choose a snapshotPartition expr that matches " +
+        s"batch locality (see ChangeStreams.mergeBatch scaladoc)")
+    val pruneFilter = if (degenerate) lit(true) else inTouched
+
+    // The snapshot is read with an EXPLICIT schema (partition column
+    // pinned to string): partition-column type inference would round a
+    // value like "00" through int 0, so the pruning comparison (string
+    // "00") would miss the directory while dynamic overwrite still
+    // replaces it — silently dropping the partition's prior versions.
+    val snapReadSchema = org.apache.spark.sql.types.StructType(
+      marked.drop("__is_del").schema.fields :+
+        org.apache.spark.sql.types.StructField("__del",
+          org.apache.spark.sql.types.BooleanType) :+
+        org.apache.spark.sql.types.StructField(pcol,
+          org.apache.spark.sql.types.StringType))
     val sliceOld: Option[DataFrame] =
       if (exists)
-        Some(spark.read.parquet(snapshotPath)
-          .filter(inTouched) // source partition pruning: only touched dirs read
+        Some(spark.read.schema(snapReadSchema).parquet(snapshotPath)
+          .filter(pruneFilter) // source partition pruning: only touched dirs read
           .drop(pcol)
           .withColumnRenamed("__del", "__is_del")
           .select(marked.columns.map(col): _*))

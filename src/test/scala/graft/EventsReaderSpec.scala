@@ -109,6 +109,36 @@ class EventsReaderSpec extends SparkSpec {
     assert(sm == sn && sm > 0)
   }
 
+  test("in-place regeneration with a different unit is re-sniffed, not served stale") {
+    // The generator regenerates testdata IN PLACE mid-round: a path-only
+    // memo would keep serving the old unit to this JVM (micros read as
+    // nanos ⇒ the r9 1000×-compressed timestamps). The cache keys on the
+    // probed footer file's (path, length, mtime), so the swap below must
+    // flip the answer.
+    val (microsDir, nanosDir) = writeFixtures()
+    val swapDir = java.nio.file.Files
+      .createTempDirectory("graft_events_swap").toString
+    def installFrom(src: String): Unit = {
+      val dst = new java.io.File(swapDir)
+      dst.listFiles().foreach(_.delete())
+      new java.io.File(src).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .zipWithIndex.foreach { case (f, i) =>
+          val out = new java.io.File(dst, s"part-$i.parquet").toPath
+          java.nio.file.Files.copy(f.toPath, out)
+          // ensure a visibly different mtime even on coarse filesystems
+          out.toFile.setLastModified(System.currentTimeMillis() - i)
+        }
+    }
+    installFrom(microsDir)
+    assert(!Queries.eventsTsIsNanos(spark, swapDir))
+    installFrom(nanosDir)
+    new java.io.File(swapDir).listFiles()
+      .foreach(_.setLastModified(System.currentTimeMillis() + 5000))
+    assert(Queries.eventsTsIsNanos(spark, swapDir),
+      "regenerated file served a stale cached unit")
+  }
+
   test("the driver's real events file reads with sane timestamps") {
     val ev = Queries.events(spark, sf())
     val row = ev.agg(min("ts").as("lo"), max("ts").as("hi"), count("*").as("n"))

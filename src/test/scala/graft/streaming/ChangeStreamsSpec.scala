@@ -190,6 +190,79 @@ class ChangeStreamsSpec extends SparkSpec {
     assert(got == Map("a" -> 99L, "b" -> 20L, "c" -> 30L))
   }
 
+  test("partition values that defeat type inference round-trip exactly") {
+    // "00" infers back as int 0 under partition-column type inference, so
+    // a path-only string comparison would miss the directory while dynamic
+    // overwrite still replaces it — dropping the partition's other keys.
+    // The merge reads with an explicit string schema, so "00" stays "00".
+    val snapPath = tmp("graft_snap_infer") + "/snap"
+    val part = ("kpart",
+      when(col("k").startsWith("n"), lit("00"))
+        .otherwise(substring(col("k"), 1, 1)))
+    ChangeStreams.mergeBatch(
+      Seq(("n1", 10L, 1L, "upsert"), ("n2", 11L, 1L, "upsert"),
+        ("a1", 20L, 1L, "upsert"), ("b1", 30L, 1L, "upsert"),
+        ("c1", 40L, 1L, "upsert"), ("01", 50L, 1L, "upsert"))
+        .toDF("k", "v", "ver", "op"),
+      Seq("k"), Seq("ver"), col("op") === "delete", snapPath,
+      snapshotPartition = Some(part))
+    assert(new java.io.File(s"$snapPath/kpart=00").exists())
+    // touch ONLY partition "00" (1 of 5 — pruned path, not degenerate):
+    // n2's prior version must be read into the merge and survive
+    ChangeStreams.mergeBatch(
+      Seq(("n1", 99L, 2L, "upsert")).toDF("k", "v", "ver", "op"),
+      Seq("k"), Seq("ver"), col("op") === "delete", snapPath,
+      snapshotPartition = Some(part))
+    val got = ChangeStreams.readSnapshot(spark, snapPath, Some("kpart"))
+      .select("k", "v").as[(String, Long)].collect().toMap
+    assert(got == Map("n1" -> 99L, "n2" -> 11L, "a1" -> 20L,
+      "b1" -> 30L, "c1" -> 40L, "01" -> 50L))
+  }
+
+  test("null and empty partition values route through the default partition") {
+    val snapPath = tmp("graft_snap_null") + "/snap"
+    val part = ("kpart",
+      when(col("k").startsWith("z"), lit(null).cast("string"))
+        .when(col("k").startsWith("e"), lit(""))
+        .otherwise(substring(col("k"), 1, 1)))
+    ChangeStreams.mergeBatch(
+      Seq(("zed", 1L, 1L, "upsert"), ("emp", 2L, 1L, "upsert"),
+        ("a1", 3L, 1L, "upsert"), ("b1", 4L, 1L, "upsert"),
+        ("c1", 5L, 1L, "upsert")).toDF("k", "v", "ver", "op"),
+      Seq("k"), Seq("ver"), col("op") === "delete", snapPath,
+      snapshotPartition = Some(part))
+    // update a NULL-partition key (1 of 4 dirs — pruned path): the default
+    // partition's OTHER resident (empty-string-valued "emp") must be read
+    // into the merge and survive the directory rewrite
+    ChangeStreams.mergeBatch(
+      Seq(("zed", 9L, 2L, "upsert")).toDF("k", "v", "ver", "op"),
+      Seq("k"), Seq("ver"), col("op") === "delete", snapPath,
+      snapshotPartition = Some(part))
+    val got = ChangeStreams.readSnapshot(spark, snapPath, Some("kpart"))
+      .select("k", "v").as[(String, Long)].collect().toMap
+    assert(got == Map("zed" -> 9L, "emp" -> 2L, "a1" -> 3L,
+      "b1" -> 4L, "c1" -> 5L))
+  }
+
+  test("degenerate batch (touches >= half the partitions) merges the full table, same result") {
+    val root = tmp("graft_snap_degen")
+    val (flatSnap, partSnap) = (root + "/flat", root + "/part")
+    for (b <- Seq(b1, b2 /* touches 3 of 3 partitions -> degenerate */, b3)) {
+      ChangeStreams.mergeBatch(b.toDF("k", "v", "ver", "op"), Seq("k"),
+        Seq("ver"), col("op") === "delete", flatSnap)
+      ChangeStreams.mergeBatch(b.toDF("k", "v", "ver", "op"), Seq("k"),
+        Seq("ver"), col("op") === "delete", partSnap,
+        snapshotPartition = Some(byFirstChar))
+    }
+    def liveSet(p: String, pc: Option[String]) =
+      ChangeStreams.readSnapshot(spark, p, pc)
+        .select("k", "v", "ver").as[(String, Long, Long)].collect().toSet
+    assert(liveSet(partSnap, Some("kpart")) == liveSet(flatSnap, None))
+    // the layout is still partitioned afterwards (later merges depend on it)
+    assert(new java.io.File(partSnap).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("kpart=")))
+  }
+
   test("partitioned merge retry is idempotent") {
     val snapPath = tmp("graft_snap_retry") + "/snap"
     for (b <- Seq(b1, b2, b2 /* replay */, b3)) {
