@@ -844,6 +844,19 @@ object ExtQueries {
         "vec_id", "embedding", threshold = 0.45, planes = 3, tables = 8),
       golden("q_embed_neardup_lsh")),
 
+    // The DENSITY-SCALED twin: planes/tables derived from the corpus
+    // count by LshTuning.forCorpus (the production default when a caller
+    // passes no tuning) — the end-to-end gate that the scaled path
+    // computes real answers. The fixed-tuning row above stays as the
+    // hand-tuned oracle anchor; this row is what survives 100× density
+    // (SCALE.md: fixed tuning hit 26× wall at 10×). Golden fixture uses
+    // the same closed-form tuner, so the gate breaks if tuner and
+    // operator ever disagree.
+    "q_embed_neardup_tuned" -> Q(
+      (s, dir) => Dedup.embeddingPairsLsh(table(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45),
+      golden("q_embed_neardup_tuned")),
+
     // Embedding-cosine near-dup pairs: exact brute force, double math on
     // both sides (DuckDB must cast FLOAT[] → DOUBLE[] to match). The oracle
     // anchor for the LSH production path above.

@@ -741,18 +741,28 @@ object Dedup extends org.apache.spark.internal.Logging {
     * the near-dup regime (cos ≥ ~0.8); lower `planes` for lower thresholds.
     *
     * FIXED tuning does not survive corpus growth (the 10× sweep measured
-    * 26× wall-clock at 10× density with sf0.1 tuning) — size `planes`/
-    * `tables` with [[LshTuning.forCorpus]], which caps expected bucket
-    * occupancy and solves the table count for a target recall.
+    * 26× wall-clock at 10× density with sf0.1 tuning) — so the DEFAULT
+    * (`planes = 0` / `tables = 0`) derives both from the corpus count via
+    * [[LshTuning.forCorpus]], which caps expected bucket occupancy and
+    * solves the table count for a target recall. The count is one cheap
+    * job over the (persisted) id+vector projection; callers that know
+    * their density pass explicit values and skip it.
     */
   def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, planes: Int = 8, tables: Int = 6,
+                        threshold: Double, planes: Int = 0, tables: Int = 0,
                         seed: Long = 42L,
                         materialize: Boolean = true): DataFrame = {
     val base = materialized(materialize,
       df.select(col(idCol).as("id"), col(vecCol).as("v")))
+    val (planesEff, tablesEff) =
+      if (planes > 0 && tables > 0) (planes, tables)
+      else {
+        val t = LshTuning.forCorpus(base.count(), threshold)
+        (if (planes > 0) planes else t.planes,
+         if (tables > 0) tables else t.tables)
+      }
     val bucketed = base.select(col("id"),
-      explode(graft.functions.LshBucketCodes.column(col("v"), planes, tables, seed))
+      explode(graft.functions.LshBucketCodes.column(col("v"), planesEff, tablesEff, seed))
         .as("bkt"))
     val cand = bucketed.select(col("bkt"), col("id").as("id1"))
       .join(bucketed.select(col("bkt"), col("id").as("id2")), Seq("bkt"))

@@ -211,11 +211,26 @@ object Similarity {
     * so output ⊆ [[knnJoin]]'s and equals it on every candidate pair.
     * Deterministic given the seed (recall tunes via planes/tables —
     * measured in ANN_SWEEP.md for this plane family).
+    *
+    * The DEFAULT tuning (`planes = 0` / `tables = 0`) derives from the
+    * CORPUS count via [[LshTuning.forCorpus]] at `tuneThreshold` — fixed
+    * tuning does not survive density growth (SCALE.md); `tuneThreshold`
+    * is the cosine down to which neighbors should still collide with the
+    * tuner's target recall (k-NN has no hard threshold, so this bounds
+    * the recalled similarity range — lower it for far-neighbor work).
     */
   def knnJoinLsh(queries: DataFrame, corpus: DataFrame, idCol: String,
                  vecCol: String, k: Int,
-                 planes: Int = 3, tables: Int = 8, seed: Long = 42L): DataFrame = {
-    def codes(c: Column) = graft.functions.LshBucketCodes.column(c, planes, tables, seed)
+                 planes: Int = 0, tables: Int = 0, seed: Long = 42L,
+                 tuneThreshold: Double = 0.7): DataFrame = {
+    val (planesEff, tablesEff) =
+      if (planes > 0 && tables > 0) (planes, tables)
+      else {
+        val t = LshTuning.forCorpus(corpus.count(), tuneThreshold)
+        (if (planes > 0) planes else t.planes,
+         if (tables > 0) tables else t.tables)
+      }
+    def codes(c: Column) = graft.functions.LshBucketCodes.column(c, planesEff, tablesEff, seed)
     val qCodes = queries.select(col(idCol).as("query_id"),
       explode(codes(col(vecCol))).as("__code"))
     val cCodes = corpus.select(col(idCol).as("neighbor_id"),

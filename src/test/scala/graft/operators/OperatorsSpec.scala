@@ -351,6 +351,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("embeddingPairsLsh default tuning == explicit LshTuning.forCorpus params") {
+    // the production default (planes=0/tables=0) must be EXACTLY the
+    // closed-form tuner at the corpus count — no silent drift between
+    // the auto path and what LshTuningSpec pins
+    val auto = Dedup.embeddingPairsLsh(vecs, "vec_id", "embedding", 0.95,
+        materialize = false)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val t = LshTuning.forCorpus(vecs.count(), 0.95)
+    val explicit = Dedup.embeddingPairsLsh(vecs, "vec_id", "embedding", 0.95,
+        planes = t.planes, tables = t.tables, materialize = false)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(auto == explicit)
+  }
+
   test("semanticDedup drops within-cluster near-dups only; cross-cluster pairs are out of scope") {
     // hand-assigned clusters: 0/1/3 are near-parallel; put 3 in ANOTHER
     // cluster so its pairs with 0/1 must NOT be examined

@@ -39,7 +39,13 @@ object GoldenGen {
     val n = docs.length
     require(n > 0 && n <= 2000, s"golden generation is brute-force; got $n docs")
 
+    // optional 3rd arg: comma-separated fixture names to (re)generate —
+    // everything else is computed but NOT written, so a single new fixture
+    // can be added without touching committed ones (the IVF index fit in
+    // particular is the one non-replayable step)
+    val onlyFixtures = args.lift(2).map(_.split(",").map(_.trim).toSet)
     def write(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      if (!onlyFixtures.forall(_.contains(name))) return
       val dir = s"$outBase/$name"
       df.coalesce(1).write.mode("overwrite").parquet(dir)
       // keep only the part file: _SUCCESS/.crc would be git noise
@@ -255,6 +261,27 @@ object GoldenGen {
     } yield (id1, id2, cos)
     write(lshPairs.toSeq.toDF("id1", "id2", "cos"), "q_embed_neardup_lsh")
 
+    // q_embed_neardup_tuned: SAME pipeline, but planes/tables derived from
+    // the corpus count by LshTuning.forCorpus (the production default) —
+    // the end-to-end proof that the density-scaled tuning path computes
+    // real answers, not just sweep points. Deterministic: the tuner is a
+    // closed form of (n, threshold) and the planes are seeded.
+    val tuned = graft.operators.LshTuning.forCorpus(embs.length.toLong, 0.45)
+    println(s"[golden] q_embed_neardup_tuned params: planes=${tuned.planes} tables=${tuned.tables}")
+    val codesT = embs.map { case (id, v) =>
+      id -> graft.operators.Similarity
+        .queryBucketCodes(v, tuned.planes, tuned.tables, 42L).toSet
+    }.toMap
+    val tunedPairs = for {
+      i <- (0 until embs.length).iterator
+      j <- (i + 1) until embs.length
+      (id1, v1) = embs(i); (id2, v2) = embs(j)
+      if codesT(id1).intersect(codesT(id2)).nonEmpty
+      cos = cosine(v1, v2)
+      if cos >= 0.45
+    } yield (id1, id2, cos)
+    write(tunedPairs.toSeq.toDF("id1", "id2", "cos"), "q_embed_neardup_tuned")
+
     // q_ann_lsh: query = vec_id 0, planes=4, tables=8, seed=42, k=10,
     // candidates by code overlap, exact cosine, (cos desc, vec_id) order
     val qVec = embs.find(_._1 == 0L).get._2
@@ -298,18 +325,23 @@ object GoldenGen {
         .filter($"vec_id" =!= 0L).select("vec_id", "embedding"),
       "vec_id", "embedding", nClusters = 16, seed = 42L)
     val idxDir = s"$outBase/ivf_index"
-    ivf.assigned.coalesce(1).write.mode("overwrite")
-      .partitionBy("__cluster").parquet(s"$idxDir/assigned")
-    ivf.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cluster", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$idxDir/centroids")
-    def cleanTree(f: java.io.File): Unit =
-      f.listFiles().foreach { c =>
-        if (c.isDirectory) cleanTree(c)
-        else if (!c.getName.endsWith(".parquet")) c.delete()
-      }
-    cleanTree(new java.io.File(idxDir))
+    // the index directory is ITSELF a committed fixture (written directly,
+    // not via write()) — honor the fixture filter here too, else a run
+    // for one new fixture silently replaces the non-replayable k-means fit
+    if (onlyFixtures.forall(_.contains("ivf_index"))) {
+      ivf.assigned.coalesce(1).write.mode("overwrite")
+        .partitionBy("__cluster").parquet(s"$idxDir/assigned")
+      ivf.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cluster", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$idxDir/centroids")
+      def cleanTree(f: java.io.File): Unit =
+        f.listFiles().foreach { c =>
+          if (c.isDirectory) cleanTree(c)
+          else if (!c.getName.endsWith(".parquet")) c.delete()
+        }
+      cleanTree(new java.io.File(idxDir))
+    }
     val assignedBack: Array[(Long, Seq[Float], Int)] = spark.read
       .parquet(s"$idxDir/assigned")
       .select("vec_id", "embedding", "__cluster")
