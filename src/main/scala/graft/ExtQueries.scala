@@ -2462,7 +2462,13 @@ object ExtQueries {
         val path = graft.operators.IndexRoot.path(s, "shuffle", s"$dir|7|8")
         graft.operators.Lake.writeShuffledShards(docs, path, "doc_id",
           seed = 7L, numShards = 8)
+        // global rank is the ORACLE-COMPARISON projection, not the export
+        // operator (which never global-sorts); constant partition key makes
+        // the single-partition intent explicit and keeps Spark's "no
+        // partition defined" WARN out of the bench log (Chunking.scala has
+        // the same pattern over bucket sums)
         val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0))
           .orderBy(col("shard"), col("__shuffle_key"), col("doc_id"))
         s.read.parquet(path)
           .select(col("doc_id"), row_number().over(w).cast("long").as("rank"))

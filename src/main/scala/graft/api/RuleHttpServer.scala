@@ -50,7 +50,12 @@ final class RuleHttpServer(spark: SparkSession, port: Int = 0) {
       }
     } finally exchange.close()
   })
-  server.setExecutor(null) // current thread per exchange — demo-sized
+  // a small pool, not the dispatcher thread: SparkSession is thread-safe
+  // (each evaluate builds an independent local DataFrame plan), so two
+  // rules in flight must not serialize behind each other — spec-pinned by
+  // RuleHttpServerSpec's concurrent-request test
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
 
   private def respond(exchange: HttpExchange, status: Int, json: String): Unit = {
     val bytes = json.getBytes(StandardCharsets.UTF_8)
@@ -65,7 +70,10 @@ final class RuleHttpServer(spark: SparkSession, port: Int = 0) {
     server.getAddress.getPort
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdown()
+  }
 }
 
 /** `runMain graft.api.RuleHttpServer 8080` — standalone demo server. */

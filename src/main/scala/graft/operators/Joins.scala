@@ -88,7 +88,12 @@ object Joins {
       if (rOrderable.isEmpty) Nil else Seq(struct(rOrderable: _*))
     def carryWindow(reversed: Boolean) = {
       val tOrder = if (reversed) col("__t").desc else col("__t")
-      Window.partitionBy(keys.map(col): _*)
+      // a keyless as-of join is INHERENTLY one global ordered carry — make
+      // the single-partition intent explicit (constant key) instead of
+      // tripping WindowExec's "no partition defined" WARN; keyed calls
+      // (the scale path) partition by the join keys as before
+      val parts = if (keys.isEmpty) Seq(lit(0)) else keys.map(col)
+      Window.partitionBy(parts: _*)
         .orderBy(tOrder +: col("__src") +: tieBreak: _*)
         .rowsBetween(Window.unboundedPreceding, 0)
     }

@@ -75,7 +75,11 @@ object Search {
     // rank within the already-bounded k rows: the window is k-rows-wide,
     // not corpus-wide, so the single-partition sort is O(k)
     top.withColumn("rank",
+        // constant partition key: the global rank is over the k-row top
+        // table (bounded), and the explicit single-partition intent keeps
+        // WindowExec's "no partition defined" WARN out of the bench log
         row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0))
           .orderBy(col("score").desc, col("id"))).cast("long"))
       .select("id", "rank", "n_terms", "sum_tf", "dl", "score")
   }
@@ -180,7 +184,11 @@ object Search {
         max(col("dl")).as("dl"))
     val top = perDoc.orderBy(col("score").desc, col("id")).limit(k)
     top.withColumn("rank",
+        // constant partition key: the global rank is over the k-row top
+        // table (bounded), and the explicit single-partition intent keeps
+        // WindowExec's "no partition defined" WARN out of the bench log
         row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0))
           .orderBy(col("score").desc, col("id"))).cast("long"))
       .select("id", "rank", "n_terms", "sum_tf", "dl", "score")
   }

@@ -113,6 +113,15 @@ object ChangeStreams extends org.apache.spark.internal.Logging {
     } finally b.unpersist(false)
   }
 
+  /** Unpartitioned merge: rewrites the WHOLE snapshot every batch —
+    * O(table) per micro-batch, the 3.9×-at-10× row of the scale sweep
+    * (SCALE_SWEEP_r10.md, `q_cdc_merge_loop`). Kept as the oracle anchor
+    * and for small snapshots where its single atomic swap is worth more
+    * than pruning; AT SCALE callers must pass `snapshotPartition` with a
+    * locality-matched key expression and take the partitioned
+    * copy-on-write path instead (O(batch + touched partitions) —
+    * `q_cdc_merge_part` is the gated twin on the same oracle).
+    */
   private def mergeBatchFull(batch: DataFrame, keyCols: Seq[String],
                              versionCols: Seq[String], isDelete: Column,
                              snapshotPath: String,

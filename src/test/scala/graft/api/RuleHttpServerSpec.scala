@@ -39,6 +39,44 @@ class RuleHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("concurrent requests: two rules in flight share one SparkSession safely") {
+    val srv = new RuleHttpServer(spark)
+    val port = srv.start()
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // 8 requests / 2 distinct rules, all in flight at once — each answer
+      // must match ITS OWN rule (no cross-request plan or result bleed
+      // through the shared SparkSession) and nothing may 500
+      val futures = (1 to 8).map { i =>
+        Future {
+          if (i % 2 == 0)
+            ("even", post(port,
+              s"""{"Rule":{"Conditions":{"Conditions":[
+                    {"Property":"CompanyCode","Operator":"Equal","Value":"C1"}]}},
+                  "Users":$users}"""))
+          else
+            ("odd", post(port,
+              s"""{"Rule":{"Conditions":{"Conditions":[
+                    {"Property":"LoginName","Operator":"StartsWith","Value":"b"}]}},
+                  "Users":$users}"""))
+        }
+      }
+      val results = Await.result(Future.sequence(futures), 120.seconds)
+      results.foreach { case (kind, resp) =>
+        assert(resp.statusCode() == 200, s"$kind: ${resp.body()}")
+        if (kind == "even") {
+          assert(resp.body().contains("alice") && resp.body().contains("carol"))
+          assert(!resp.body().contains("bob"))
+        } else {
+          assert(resp.body().contains("bob"))
+          assert(!resp.body().contains("alice"))
+        }
+      }
+    } finally srv.stop()
+  }
+
   test("POST /rules/evaluate: invalid rule -> 400 {Error}, like the reference's BadRequest") {
     val srv = new RuleHttpServer(spark)
     val port = srv.start()
