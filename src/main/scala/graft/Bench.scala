@@ -22,6 +22,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The battery's only global windows are over BOUNDED inputs (bucket
+    // sums in Mixing/Chunking, k-row top tables in Search, the oracle rank
+    // projection in q_shuffle_export) — each declares partitionBy(lit(0))
+    // to state that intent, but Spark 4's EliminateWindowPartitions rule
+    // strips foldable partition keys, so WindowExec still logs its
+    // single-partition WARN. Those warnings are known-safe here; silence
+    // that one logger so a real unbounded-window mistake elsewhere stays
+    // visible in the log.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     def execute(name: String): Unit = {
       SparkEntry.queries(name)(spark, sfDir)

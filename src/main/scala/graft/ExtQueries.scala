@@ -1693,14 +1693,22 @@ object ExtQueries {
     // bits, unlike float PageRank whose sums depend on aggregation order.
     "q_pagerank" -> Q(
       (s, dir) => {
+        // distinct BEFORE widening to string ids: the (custkey, suppkey)
+        // int pairs shuffle at 16 bytes/row where the concat'd ids cost
+        // ~2× that, and the c*/s* namespaces are disjoint so the reversed
+        // union of a distinct pair set is itself distinct — pageRank's
+        // own re-distinct (a second full exchange of the edge table) is
+        // skipped via edgesDistinct
         val pairs = table(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
           .join(table(s, dir, "orders").select("o_orderkey", "o_custkey"),
             col("l_orderkey") === col("o_orderkey"))
+          .select("o_custkey", "l_suppkey").distinct()
           .select(concat(lit("c"), col("o_custkey")).as("src"),
             concat(lit("s"), col("l_suppkey")).as("dst"))
         val edges = pairs.union(
           pairs.select(col("dst").as("src"), col("src").as("dst")))
-        graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 3)
+        graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 3,
+          edgesDistinct = true)
       },
       pagerankOracleSql(3)),
 

@@ -50,17 +50,24 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 3, scaleBits: Int = 40,
-               eagerEveryRound: Option[Boolean] = None): DataFrame = {
+               eagerEveryRound: Option[Boolean] = None,
+               edgesDistinct: Boolean = false): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(scaleBits >= 10 && scaleBits <= 46,
       "scaleBits in [10, 46]: rank·85 must stay far from Long overflow")
     val q = 1L << scaleBits
     // a NULL endpoint is not an edge: it would sit in the node universe
     // collecting base rank while every join silently skipped it — drop
-    // such rows up front
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().persist()
+    // such rows up front. `edgesDistinct = true` is the caller's promise
+    // that the edge set carries no duplicate (src,dst) rows — e.g. it was
+    // deduplicated upstream on narrower key columns before widening to
+    // string ids — and skips the global shuffle a redundant re-distinct
+    // would cost (at 100 TB that is a full exchange of the edge table;
+    // a wrong promise double-counts contributions, so it is opt-in).
+    val dedup = (df: DataFrame) => if (edgesDistinct) df else df.distinct()
+    val e = dedup(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull))
+      .persist()
     val outd = e.groupBy("src").agg(count(lit(1)).as("__od")).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().persist()

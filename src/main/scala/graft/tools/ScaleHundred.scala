@@ -1,0 +1,160 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** TWO-decade headroom probe (VERDICT r10 #8): derives an sf10 corpus
+  * (100× sf0.1) for the three families with the steepest 10× ratios —
+  * events as-of, pair-family dedup, PageRank — and measures whether each
+  * family's sf1→sf10 ratio holds the envelope its sf0.1→sf1 ratio
+  * predicted. Only the tables those families read are derived (documents,
+  * embeddings, events, orders, lineitem); the rule-engine dims stay at
+  * their fixed universe by design (see [[ScaleTen.derive]]).
+  *
+  * The second replication level reuses ScaleTen's shape-neutral scheme
+  * with a DISJOINT namespace so level-1 and level-2 replicas can't alias:
+  *  - documents: every 3rd token gains a `y$k` suffix (level 1 used
+  *    `x$k`), so cross-replica shingle Jaccard stays ~(2/3)³ ≈ 0.3 —
+  *    below the 0.5 near-dup threshold at BOTH levels; the pair graph
+  *    scales ~100× instead of forming 100-replica cliques.
+  *  - embeddings: replica k ≥ 1 applies a deterministic per-dimension
+  *    SIGN FLIP (flip dim d iff murmur3(d, k) is odd) — an orthogonal
+  *    transform, so every within-replica inner product is preserved
+  *    exactly, while cross-replica dots of even the SAME source vector
+  *    sum ~half-negated squares ≈ 0. Rotation (level 1's trick) cannot
+  *    serve here: 64-dim vectors admit only 64 distinct rotations, so
+  *    100 total replicas would pigeonhole onto aligned pairs and leak
+  *    exact-dup pairs across blocks.
+  *  - key shifts sit one decade above level 1's so ranges can't collide:
+  *    doc_id/vec_id/custkey/suppkey +k·10⁸ (level 1: k·10⁷), orderkey
+  *    +k·10⁹ (level 1: k·10⁸), user_id +k·10⁶ (level 1: k·10⁵).
+  *
+  * Run: sbt 'runMain graft.tools.ScaleHundred [sf01] [sf1Dir] [sf10Dir]'
+  * (or direct java -cp with the Spark jars; 8g heap matches the driver
+  * bench protocol).
+  */
+object ScaleHundred {
+
+  def derive(spark: SparkSession, sf1: String, out: String): Unit = {
+    def missing(table: String) =
+      !new java.io.File(s"$out/$table.parquet").exists()
+
+    if (missing("documents")) {
+      val docs = spark.read.parquet(s"$sf1/documents.parquet")
+      (0 until 10).map { k =>
+        val tagged =
+          if (k == 0) col("text")
+          else array_join(
+            transform(split(col("text"), " "),
+              (w, i) => when(i % 3 === 0, concat(w, lit(s"y$k"))).otherwise(w)),
+            " ")
+        docs.select(
+          (col("doc_id") + lit(k * 100000000L)).as("doc_id"),
+          tagged.as("text"),
+          col("lang"), col("source"),
+          length(tagged).cast("long").as("n_chars"))
+      }.reduce(_ unionByName _)
+        .repartition(64).write.mode("overwrite").parquet(s"$out/documents.parquet")
+      println(s"derived 100x documents at $out")
+    }
+
+    if (missing("embeddings")) {
+      val emb = spark.read.parquet(s"$sf1/embeddings.parquet")
+      (0 until 10).map { k =>
+        // orthogonal per-replica sign flip (see scaladoc): murmur3 of
+        // (dim index, replica) picks the flipped dims — deterministic
+        // across runs, identity for k = 0
+        val flipped =
+          if (k == 0) col("embedding")
+          else transform(col("embedding"),
+            (x, i) => when(pmod(hash(i, lit(k)), lit(2)) === 1, -x).otherwise(x))
+        emb.select(
+          (col("vec_id") + lit(k * 100000000L)).as("vec_id"),
+          flipped.as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(64).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      println(s"derived 100x embeddings at $out")
+    }
+
+    if (missing("events")) {
+      val ev = graft.Queries.events(spark, sf1)
+      (0 until 10).map { k =>
+        ev.select(
+          (col("event_id") + lit(k * 100000000L)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(k * 1000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .repartition(64).write.mode("overwrite").parquet(s"$out/events.parquet")
+      println(s"derived 100x events at $out")
+    }
+
+    if (missing("orders")) {
+      val ord = spark.read.parquet(s"$sf1/orders.parquet")
+      (0 until 10).map { k =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * 1000000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(k * 100000000L))
+      }.reduce(_ unionByName _)
+        .repartition(64).write.mode("overwrite").parquet(s"$out/orders.parquet")
+      val li = spark.read.parquet(s"$sf1/lineitem.parquet")
+      (0 until 10).map { k =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 1000000000L))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(k * 100000000L))
+      }.reduce(_ unionByName _)
+        .repartition(64).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      println(s"derived 100x orders/lineitem at $out")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sf1 = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val sf10 = args.lift(2).getOrElse("/tmp/graft_sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ScaleTen.derive(spark, sf01, sf1)
+    derive(spark, sf1, sf10)
+
+    // Bench's measurement discipline: noop sink, cache cleared + GC'd
+    // between runs so memoized indices/persists don't cross-bill.
+    def time(name: String, dir: String): Double = {
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(100)
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // the probe set: each steep family's battery representative. The
+    // FIXED-tuning LSH row is deliberately absent — its 10× sweep row
+    // already measured the quadratic blowup the tuned twin avoids; sf10
+    // is exactly where only the density-scaled path is meaningful.
+    val names = Seq(
+      "q_asof_join", "q_asof_nearest", "q_events_session",   // event time
+      "q_dedup_minhash", "q_fingerprint_winnow",             // pair dedup
+      "q_embed_neardup_tuned",                               // tuned LSH
+      "q_dedup_clusters",                                    // CC fixpoint
+      "q_pagerank")                                          // iterative
+
+    names.foreach(n => time(n, "/root/testdata/sf0.01")) // warm codegen/JIT
+
+    println("\n| query | sf0.1 | sf1 | sf10 | r(0.1→1) | r(1→10) |")
+    println("|---|---|---|---|---|---|")
+    names.foreach { n =>
+      val t01 = time(n, sf01)
+      val t1 = time(n, sf1)
+      val t10 = time(n, sf10)
+      println(f"| $n | $t01%.2f s | $t1%.2f s | $t10%.2f s | ${t1 / t01}%.1f× | ${t10 / t1}%.1f× |")
+    }
+    spark.stop()
+  }
+}

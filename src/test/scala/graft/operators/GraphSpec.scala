@@ -73,6 +73,20 @@ class GraphSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("pageRank: edgesDistinct skips the re-shuffle but not the answer") {
+    val dd = edges.distinct.toDF("src", "dst")
+    val got = Graph.pageRank(dd, "src", "dst", iterations = 3,
+      edgesDistinct = true).as[(String, Long)].collect().toMap
+    assert(got == ref(edges, 3, 1L << 40))
+    // and a WRONG promise is observable, not silently absorbed: a
+    // duplicated (b,c) row skews b's mass 2:1 toward c instead of 1:1
+    // between a and c
+    val dup = edges.distinct :+ ("b", "c")
+    val wrong = Graph.pageRank(dup.toDF("src", "dst"), "src", "dst",
+      iterations = 3, edgesDistinct = true).as[(String, Long)].collect().toMap
+    assert(wrong != ref(edges, 3, 1L << 40))
+  }
+
   test("pageRank guards") {
     val df = edges.toDF("src", "dst")
     intercept[IllegalArgumentException] {
