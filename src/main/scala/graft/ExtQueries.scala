@@ -886,6 +886,60 @@ object ExtQueries {
              FROM embeddings WHERE vec_id <> 0
              ORDER BY cos DESC, vec_id LIMIT 10""")),
 
+    // HYBRID retrieval: reciprocal-rank fusion of the BM25 keyword
+    // ranking and the embedding-cosine ranking for the same information
+    // need — no score calibration, pure rank arithmetic (SIGIR'09 RRF).
+    // Both branch ranks are integer sufficient stats; the fused score is
+    // rational arithmetic summed in fixed list order, so DuckDB
+    // reproduces the exact bits (see Search.rrfFuse scaladoc).
+    "q_hybrid_rrf" -> Q(
+      (s, dir) => {
+        val bm = graft.operators.Search.bm25TopK(
+          table(s, dir, "documents"), "doc_id", "text",
+          Seq("vector", "spark", "customer"), k = 20).select("id", "rank")
+        val emb = table(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](emb.columns.indexOf("embedding"))
+        val ann = Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
+            "vec_id", "embedding", qv, k = 20)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+              .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+          .select(col("vec_id").as("id"), col("rank"))
+        graft.operators.Search.rrfFuse(Seq(bm, ann), "id", "rank", k = 10)
+      },
+      Some(s"""
+        WITH lens AS (SELECT doc_id, CAST(len($sqlTokens) AS BIGINT) AS dl FROM documents),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) AS tot FROM lens),
+        tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+               WHERE token IN ('vector', 'spark', 'customer') GROUP BY 1, 2),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (SELECT doc_id,
+            sum(ln((nd - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+              * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+              / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / (tot / nd)))) AS score
+          FROM tf JOIN dfq USING (token) JOIN lens USING (doc_id) CROSS JOIN stats
+          GROUP BY doc_id),
+        bm AS (SELECT doc_id AS id,
+            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+          FROM scored ORDER BY score DESC, doc_id LIMIT 20),
+        ann AS (SELECT vec_id AS id,
+            CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+          FROM (SELECT vec_id,
+              list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cos
+            FROM embeddings WHERE vec_id <> 0)
+          ORDER BY cos DESC, vec_id LIMIT 20),
+        fused AS (SELECT COALESCE(bm.id, ann.id) AS id,
+            bm.rank AS rank_0, ann.rank AS rank_1,
+            (CASE WHEN bm.rank IS NOT NULL THEN 1.0 / CAST(60 + bm.rank AS DOUBLE) ELSE 0.0 END)
+            + (CASE WHEN ann.rank IS NOT NULL THEN 1.0 / CAST(60 + ann.rank AS DOUBLE) ELSE 0.0 END) AS rrf
+          FROM bm FULL OUTER JOIN ann ON bm.id = ann.id)
+        SELECT id, CAST(row_number() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rank,
+          rank_0, rank_1, rrf
+        FROM fused ORDER BY rrf DESC, id LIMIT 10""")),
+
     // LSH-bucketed approximate top-k — approximate wrt exact top-k (recall
     // quantified in ANN_SWEEP.md) but deterministic given the seeds: the
     // golden driver-loop recomputation exact-checks the in-scan

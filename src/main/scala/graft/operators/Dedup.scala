@@ -761,18 +761,29 @@ object Dedup extends org.apache.spark.internal.Logging {
         (if (planes > 0) planes else t.planes,
          if (tables > 0) tables else t.tables)
       }
-    val bucketed = base.select(col("id"),
+    // The vector RIDES THROUGH the bucket join and verification happens
+    // INLINE on the streamed join output; only the verified (near-dup-
+    // sized) pair set is ever deduplicated. The previous shape collected
+    // ids-only candidates, ran `distinct()` over them, then joined the
+    // vectors back by id — but the candidate set is the QUADRATIC
+    // quantity (Σ bucket occupancy² per table; at a 200k-vector probe it
+    // reached ~10⁹ rows and its dedup exchange spilled past local disk),
+    // so a full exchange of candidates + two candidate-sized vector
+    // joins is exactly the wrong thing to shuffle. Carrying the vector
+    // costs vector-width × n·tables on the ONE bucket exchange — linear
+    // in the corpus — and a duplicate verification per extra co-bucket
+    // table, which only near-dup pairs (few) hit often; far pairs rarely
+    // co-bucket twice. Verified cos is a pure function of the pair, so
+    // the final distinct collapses duplicates exactly.
+    val bucketed = base.select(col("id"), col("v"),
       explode(graft.functions.LshBucketCodes.column(col("v"), planesEff, tablesEff, seed))
         .as("bkt"))
-    val cand = bucketed.select(col("bkt"), col("id").as("id1"))
-      .join(bucketed.select(col("bkt"), col("id").as("id2")), Seq("bkt"))
+    bucketed.select(col("bkt"), col("id").as("id1"), col("v").as("v1"))
+      .join(bucketed.select(col("bkt"), col("id").as("id2"), col("v").as("v2")),
+        Seq("bkt"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    cand
-      .join(base.select(col("id").as("id1"), col("v").as("v1")), "id1")
-      .join(base.select(col("id").as("id2"), col("v").as("v2")), "id2")
       .withColumn("cos", VectorFunctions.cosine(col("v1"), col("v2")))
       .filter(col("cos") >= threshold)
-      .select("id1", "id2", "cos")
+      .select("id1", "id2", "cos").distinct()
   }
 }

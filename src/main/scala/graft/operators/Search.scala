@@ -192,4 +192,58 @@ object Search {
           .orderBy(col("score").desc, col("id"))).cast("long"))
       .select("id", "rank", "n_terms", "sum_tf", "dl", "score")
   }
+
+  /** HYBRID retrieval: reciprocal-rank fusion (Cormack/Clarke/Büttcher,
+    * SIGIR'09) of independently ranked lists — the standard way to merge a
+    * lexical (BM25) and a dense (embedding-cosine) ranking without score
+    * calibration:
+    *
+    *   rrf(d) = Σ_lists 1 / (c + rank_list(d)),   absent list → 0
+    *
+    * Inputs are (id, rank) tables that are ALREADY top-K bounded by their
+    * retrievers (a rank list the size of the corpus is a retriever bug,
+    * not a fusion input), so everything here — the union, the per-id
+    * pivot, the fused sort — is lists-sized, not corpus-sized: at 100 TB
+    * the heavy lifting stays in the upstream retrievers' pruned scans and
+    * fusion is a few-hundred-row epilogue.
+    *
+    * Cross-engine determinism: the score is pure rational arithmetic (no
+    * transcendentals), and the per-list terms are summed in FIXED
+    * left-to-right list order via pivoted rank columns — never a float
+    * `sum()` whose association could vary with partitioning — so any IEEE
+    * engine reproduces the exact bits. Ties (e.g. two docs holding each
+    * other's ranks across two lists) break on ascending id.
+    *
+    * Output: (id, rank, rank_0..rank_{n-1}, rrf) — fused rank, each
+    * list's rank (null where absent), and the fused score.
+    */
+  def rrfFuse(ranked: Seq[DataFrame], idCol: String, rankCol: String,
+              k: Int, c: Int = 60): DataFrame = {
+    require(ranked.nonEmpty, "rrfFuse: no ranked lists")
+    require(k >= 1 && c >= 1, "rrfFuse: k and c must be >= 1")
+    val tagged = ranked.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol).as("id"), col(rankCol).cast("long").as("__rank"),
+        lit(i).as("__list"))
+    }.reduce(_ unionByName _)
+    // one row per id with a rank column per list ((id, list) is unique by
+    // the retriever contract, so max() is just "the" rank)
+    val pivoted = tagged.groupBy("id")
+      .pivot("__list", ranked.indices.map(i => i: Integer))
+      .agg(max(col("__rank")))
+      .toDF("id" +: ranked.indices.map(i => s"rank_$i"): _*)
+    val score = ranked.indices.map { i =>
+      val r = col(s"rank_$i")
+      when(r.isNotNull, lit(1.0) / (lit(c).cast("double") + r.cast("double")))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _) // left-to-right by construction of reduce
+    val top = pivoted.withColumn("rrf", score)
+      .orderBy(col("rrf").desc, col("id")).limit(k)
+    top.withColumn("rank",
+        // k-row bounded global rank — same intent note as bm25TopK above
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0))
+          .orderBy(col("rrf").desc, col("id"))).cast("long"))
+      .select(col("id") +: col("rank") +:
+        ranked.indices.map(i => col(s"rank_$i")) :+ col("rrf"): _*)
+  }
 }

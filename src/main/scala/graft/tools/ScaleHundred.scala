@@ -13,10 +13,19 @@ import org.apache.spark.sql.functions._
   *
   * The second replication level reuses ScaleTen's shape-neutral scheme
   * with a DISJOINT namespace so level-1 and level-2 replicas can't alias:
-  *  - documents: every 3rd token gains a `y$k` suffix (level 1 used
-  *    `x$k`), so cross-replica shingle Jaccard stays ~(2/3)³ ≈ 0.3 —
-  *    below the 0.5 near-dup threshold at BOTH levels; the pair graph
-  *    scales ~100× instead of forming 100-replica cliques.
+  *  - documents: EVERY token gains a `y$k` suffix (level 1 tagged every
+  *    3rd token with `x$k`). Level 1's sparse tagging is shingle-neutral
+  *    (cross-replica Jaccard ~(2/3)³ ≈ 0.3, under the 0.5 threshold) but
+  *    NOT substring-neutral: ~30% of 12-char winnowing windows avoid
+  *    every tagged token and collide across ALL replicas, so at 100
+  *    blocks those fingerprints sit at df ≈ 100 — just under the
+  *    posting cap — and the winnow pair join measures ~C(100,2)-sized
+  *    replica cliques instead of a 100× corpus (first probe run:
+  *    q_fingerprint_winnow 14.8× for the last decade). Tagging every
+  *    token drives BOTH cross-replica shingle Jaccard and cross-replica
+  *    substring sharing to zero, so every pair family sees 100 clean
+  *    copies of the original pair structure; within-replica structure
+  *    (including level 1's) is untouched.
   *  - embeddings: replica k ≥ 1 applies a deterministic per-dimension
   *    SIGN FLIP (flip dim d iff murmur3(d, k) is odd) — an orthogonal
   *    transform, so every within-replica inner product is preserved
@@ -45,8 +54,7 @@ object ScaleHundred {
         val tagged =
           if (k == 0) col("text")
           else array_join(
-            transform(split(col("text"), " "),
-              (w, i) => when(i % 3 === 0, concat(w, lit(s"y$k"))).otherwise(w)),
+            transform(split(col("text"), " "), w => concat(w, lit(s"y$k"))),
             " ")
         docs.select(
           (col("doc_id") + lit(k * 100000000L)).as("doc_id"),

@@ -116,4 +116,35 @@ class SearchSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("postings"))).as[Int].collect().forall(_ <= 1))
     } finally spark.conf.unset("spark.graft.indexDir")
   }
+
+  test("rrfFuse == driver-side RRF mirror; fixed association; absent ids score 0") {
+    // three lists so association order matters in float addition
+    val l0 = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val l1 = Seq((2L, 1L), (4L, 2L)).toDF("id", "rank")
+    val l2 = Seq((3L, 1L), (1L, 2L), (5L, 3L)).toDF("id", "rank")
+    val got = Search.rrfFuse(Seq(l0, l1, l2), "id", "rank", k = 10, c = 60)
+      .select("id", "rank", "rrf")
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    // independent mirror: same fixed left-to-right term order
+    def term(r: Option[Long]): Double = r.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+    val lists = Seq(Map(1L -> 1L, 2L -> 2L, 3L -> 3L),
+      Map(2L -> 1L, 4L -> 2L), Map(3L -> 1L, 1L -> 2L, 5L -> 3L))
+    val ids = lists.flatMap(_.keys).distinct
+    val expect = ids.map(i => i -> lists.map(m => term(m.get(i))).reduce(_ + _))
+      .sortBy { case (i, s) => (-s, i) }
+    assert(got.map(r => (r._1, r._3)).toSeq == expect)
+    // ranks are 1..n in fused order
+    assert(got.map(_._2).toSeq == (1L to ids.length))
+    // symmetric ranks tie exactly and break on ascending id
+    val a = Seq((7L, 1L), (8L, 2L)).toDF("id", "rank")
+    val b = Seq((8L, 1L), (7L, 2L)).toDF("id", "rank")
+    val tied = Search.rrfFuse(Seq(a, b), "id", "rank", k = 2)
+      .select("id", "rank").as[(Long, Long)].collect().sortBy(_._2)
+    assert(tied.toSeq == Seq((7L, 1L), (8L, 2L)))
+    // k bounds output
+    assert(Search.rrfFuse(Seq(l0, l1, l2), "id", "rank", k = 2).count() == 2)
+    intercept[IllegalArgumentException] {
+      Search.rrfFuse(Seq.empty, "id", "rank", k = 1)
+    }
+  }
 }
