@@ -360,6 +360,34 @@ object ExtQueries {
       },
       Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier")),
 
+    // XML ROUND-TRIP (the Wikipedia-dump ingestion shape): the documents
+    // table writes once per JVM as <doc> element rows via Spark 4's
+    // NATIVE xml source (no external connector) and reads back with an
+    // explicit schema + rowTag — per-field element escaping/unescaping
+    // must preserve every value including the free-text column. The
+    // oracle reads the same rows from parquet, so the gate is Spark's
+    // XML writer+reader fidelity against an independent engine's view
+    // of the source. Scale shape: XML is line-unsplittable, but rows
+    // land as many part files (one per input partition), so a 100 TB
+    // dump ingests with per-file parallelism — same contract as the
+    // JSONL source's quarantine-capable sibling.
+    "q_xml_source" -> Q(
+      (s, dir) => {
+        val path = graft.operators.IndexRoot.path(s, "xml", s"$dir|documents")
+        val p = new org.apache.hadoop.fs.Path(path)
+        if (!p.getFileSystem(s.sessionState.newHadoopConf()).exists(p))
+          table(s, dir, "documents")
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .write.mode("overwrite").option("rowTag", "doc")
+            .format("xml").save(path)
+        s.read.format("xml").option("rowTag", "doc")
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"))
+          .load(path)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+      },
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents")),
+
     // RAW-CRAWL HTML → text extraction: script/style blocks dropped, tags
     // to spaces, common entities decoded, whitespace collapsed — the
     // codegen'd regexp chain that runs before every text operator on a

@@ -351,6 +351,37 @@ class OperatorsSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("embeddingPairsLsh plan: dedup happens AFTER verification, never over raw candidates") {
+    // the scale contract (see scaladoc): the candidate set — the
+    // quadratic quantity — must never feed an aggregate/exchange; the
+    // only distinct runs over verified (threshold-filtered) pairs. In
+    // the optimized plan that means every Aggregate sits ABOVE the
+    // cosine filter: no Aggregate may appear between the bucket Join
+    // and the Filter that applies the threshold.
+    val plan = Dedup.embeddingPairsLsh(vecs, "vec_id", "embedding", 0.95,
+      planes = 2, tables = 8, materialize = false)
+      .queryExecution.optimizedPlan
+    def containsJoin(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collectFirst { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.isDefined
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.nonEmpty, "expected the verified-pair distinct")
+    aggs.filter(containsJoin).foreach { a =>
+      // any aggregate above the join must already sit above verification:
+      // the cosine threshold appears in a Filter below it, or — the
+      // optimizer's even better shape — pushed INTO the join condition
+      val verifiedBelow = a.child.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("cosine_similarity") => f
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.toString.contains("cosine_similarity")) => j
+      }.isDefined
+      assert(verifiedBelow,
+        s"aggregate over unverified candidates:\n$a")
+    }
+  }
+
   test("embeddingPairsLsh default tuning == explicit LshTuning.forCorpus params") {
     // the production default (planes=0/tables=0) must be EXACTLY the
     // closed-form tuner at the corpus count — no silent drift between
