@@ -1634,6 +1634,56 @@ object ExtQueries {
           CAST(8 + doc_id % 41 AS INT) AS height,
           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format
         FROM documents""")),
+
+    // IMAGE PERCEPTUAL-HASH NEAR-DUP: deterministic gradient images
+    // (pixels are pure integer functions of the id — lossless PNG/BMP, so
+    // decoded rasters equal the pattern) → REAL codec decode → integer
+    // dHash64 → the SAME pigeonhole Hamming join text SimHash uses. The
+    // oracle recomputes the ENTIRE pipeline in SQL from the pattern
+    // arithmetic (never touching a codec) and does the exact O(n²)
+    // Hamming pair join — so encoder/decoder fidelity, the luminance/
+    // downscale/difference-hash arithmetic, AND the blocking join's
+    // exactness (pigeonhole recall is provably complete at d ≤ 3) are
+    // all gated cross-engine. Same-family variants (doc_id div 4) differ
+    // in one 4×4 cell → ≤ 2 bits; cross-family hashes differ by ~24-32.
+    "q_image_neardup" -> Q(
+      (s, dir) => Dedup.simhashPairsFromTable(
+        Multimodal.dHash64(
+          Multimodal.withGradientImagePayload(
+            table(s, dir, "documents").select("doc_id"), "doc_id"),
+          "doc_id")
+          .filter(col("sh").isNotNull),
+        maxDistance = 3)
+        .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming")),
+      Some("""
+        WITH ids AS (SELECT doc_id AS id FROM documents),
+        px AS (
+          SELECT id, x.range AS x, y.range AS y,
+            (id//4*31*x.range + id//4*17*y.range + 7*x.range + 13*y.range
+             + CASE WHEN id%4 > 0 AND x.range//4 = id%4 AND y.range//4 = id%4
+                    THEN 64 ELSE 0 END) % 256 AS gray
+          FROM ids, range(36) x, range(32) y),
+        cells AS (
+          SELECT id, x//4 AS gx, y//4 AS gy, SUM(gray)//16 AS c
+          FROM px GROUP BY 1, 2, 3),
+        bits AS (
+          SELECT a.id, a.gy*8 + a.gx AS b
+          FROM cells a JOIN cells b2
+            ON a.id = b2.id AND b2.gx = a.gx + 1 AND b2.gy = a.gy
+          WHERE a.gx < 8 AND b2.c > a.c),
+        hraw AS (
+          SELECT id, SUM(CAST(1 AS HUGEINT) << CAST(b AS INT)) AS s
+          FROM bits GROUP BY id),
+        h AS (
+          SELECT ids.id,
+            CAST(CASE WHEN COALESCE(s, 0) >= CAST(1 AS HUGEINT) << 63
+                  THEN COALESCE(s, 0) - (CAST(1 AS HUGEINT) << 64)
+                  ELSE COALESCE(s, 0) END AS BIGINT) AS sh
+          FROM ids LEFT JOIN hraw ON hraw.id = ids.id)
+        SELECT a.id AS id1, b.id AS id2,
+          CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM h a JOIN h b ON a.id < b.id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3""")),
   )
 
   // Shared DuckDB CTE: gap-based sessionization of the events table

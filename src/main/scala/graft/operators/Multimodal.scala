@@ -155,6 +155,126 @@ object Multimodal {
       .toDF(idCol, "frame_idx", "frame")
   }
 
+  /** Attach a DETERMINISTIC GRADIENT image payload whose every pixel is a
+    * pure integer function of the id — the fixture that makes perceptual
+    * hashing ([[dHash64]]) gateable against a pure-SQL oracle, because
+    * PNG/BMP are lossless: decoded pixels equal the pattern, so an
+    * independent engine can recompute the hash from arithmetic alone,
+    * never touching a codec.
+    *
+    * Pattern (36×32, 8-bit gray replicated into RGB):
+    *   k = id div 4 (the content family), v = id mod 4 (the variant)
+    *   gray(x,y) = (k·31·x + k·17·y + 7·x + 13·y
+    *                + (64 if v > 0 and x div 4 == v and y div 4 == v)) mod 256
+    * Same-family variants differ in ONE 4×4 cell → a handful of dHash
+    * bits; different families mix k into both gradients → ~random
+    * patterns. Even ids encode PNG, odd BMP (both lossless — the hash
+    * must be codec-independent).
+    */
+  def withGradientImagePayload(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val (w, h) = (36, 32)
+          val k = java.lang.Math.floorDiv(id, 4L)
+          val v = java.lang.Math.floorMod(id, 4L).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val bump = if (v > 0 && x / 4 == v && y / 4 == v) 64L else 0L
+              val g = java.lang.Math.floorMod(
+                k * 31L * x + k * 17L * y + 7L * x + 13L * y + bump, 256L).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, if (id % 2 == 0) "png" else "bmp", out)
+          (id, out.toByteArray)
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
+  /** 64-bit PERCEPTUAL HASH (dHash, the difference-hash of Krawetz's
+    * pHash family): full pixel decode via the JDK codecs → integer
+    * luminance (299r + 587g + 114b) div 1000 → area-average downscale to
+    * a 9×8 grid (integer cell boundaries `g·dim div 9`, floor-div
+    * average) → bit (gy·8 + gx) set iff cell(gx+1, gy) > cell(gx, gy).
+    * Pure integer arithmetic end-to-end, so the hash is bit-reproducible
+    * on any engine. Undecodable payloads hash to NULL (one bad blob
+    * never kills the scan); callers filter nulls before pair blocking.
+    *
+    * Output (id, sh) feeds [[Dedup.simhashPairsFromTable]] directly —
+    * image near-dup detection is the SAME pigeonhole Hamming join as
+    * text SimHash, which is exactly how a 100 TB media lake dedups:
+    * hash per partition (embarrassingly parallel), then the banded
+    * equi-join; never pixels through a shuffle.
+    */
+  def dHash64(df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { items =>
+        javax.imageio.ImageIO.setUseCache(false)
+        items.map { case (id, bytes) =>
+          val sh: Option[Long] =
+            try {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+              else {
+                val (w, h) = (img.getWidth, img.getHeight)
+                val cells = Array.ofDim[Long](8, 9) // [gy][gx]
+                var gy = 0
+                while (gy < 8) {
+                  val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+                  var gx = 0
+                  while (gx < 9) {
+                    val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+                    var sum = 0L; var n = 0L
+                    var y = y0
+                    while (y < y1) {
+                      var x = x0
+                      while (x < x1) {
+                        val rgb = img.getRGB(x, y)
+                        val lum = (299L * ((rgb >> 16) & 0xff) +
+                          587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
+                        sum += lum; n += 1
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    cells(gy)(gx) = if (n == 0) 0L else sum / n
+                    gx += 1
+                  }
+                  gy += 1
+                }
+                var bitsAcc = 0L
+                var b = 0
+                while (b < 64) {
+                  val (bgy, bgx) = (b / 8, b % 8)
+                  if (cells(bgy)(bgx + 1) > cells(bgy)(bgx)) bitsAcc |= (1L << b)
+                  b += 1
+                }
+                Some(bitsAcc)
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+          (id, sh)
+        }
+      }
+      .toDF(idCol, "sh")
+      .select(col(idCol).as("id"), col("sh"))
+  }
+
   /** Resize planning over decoded media features: fit (width, height)
     * into a target box preserving aspect ratio — the standard
     * downscale-before-embedding step. Pure integer column arithmetic

@@ -491,4 +491,47 @@ class OperatorsSpec extends SparkSpec {
     val t = Multimodal.decodeFeatures(truncated, "doc_id").as[MediaFeatures].head()
     assert(t.width == -1 && t.format == "invalid")
   }
+
+  test("dHash64: codec round-trip == driver-side pattern mirror; variants near, families far") {
+    // driver mirror of the gradient pattern + dHash arithmetic — shares
+    // nothing with the operator but the spec
+    def mirror(id: Long): Long = {
+      val k = id / 4; val v = (id % 4).toInt
+      def gray(x: Int, y: Int): Long = {
+        val bump = if (v > 0 && x / 4 == v && y / 4 == v) 64L else 0L
+        java.lang.Math.floorMod(k * 31 * x + k * 17 * y + 7L * x + 13L * y + bump, 256L)
+      }
+      val cells = Array.tabulate(8, 9) { (gy, gx) =>
+        var s = 0L
+        for (x <- gx * 4 until gx * 4 + 4; y <- gy * 4 until gy * 4 + 4) s += gray(x, y)
+        s / 16
+      }
+      (0 until 64).foldLeft(0L) { (acc, b) =>
+        if (cells(b / 8)(b % 8 + 1) > cells(b / 8)(b % 8)) acc | (1L << b) else acc
+      }
+    }
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 7L, 100L, 101L)
+    val got = Multimodal.dHash64(
+        Multimodal.withGradientImagePayload(ids.toDF("doc_id"), "doc_id"), "doc_id")
+      .as[(Long, Option[Long])].collect().toMap
+    ids.foreach(i => assert(got(i).contains(mirror(i)),
+      s"id $i: PNG/BMP encode→decode→dHash must equal the pattern mirror"))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // same family (div 4): a one-cell perturbation flips at most 2 bits
+    assert(ham(got(0L).get, got(1L).get) <= 2 && ham(got(0L).get, got(3L).get) <= 2)
+    // different families mix k into the gradients: far apart
+    assert(ham(got(0L).get, got(4L).get) > 3 && ham(got(0L).get, got(100L).get) > 3)
+    // undecodable payload hashes to NULL, not a crash or a fake hash
+    val bad = Seq((1L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assert(Multimodal.dHash64(bad, "doc_id").as[(Long, Option[Long])].head()._2.isEmpty)
+    // and the pair pipeline composes: family pairs surface, cross-family don't
+    val pairs = Dedup.simhashPairsFromTable(
+        Multimodal.dHash64(
+          Multimodal.withGradientImagePayload(ids.toDF("doc_id"), "doc_id"), "doc_id")
+          .filter(col("sh").isNotNull),
+        maxDistance = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((100L, 101L)))
+    assert(!pairs.exists { case (a, b) => a / 4 != b / 4 })
+  }
 }
