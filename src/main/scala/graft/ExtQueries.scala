@@ -1684,6 +1684,49 @@ object ExtQueries {
           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
         FROM h a JOIN h b ON a.id < b.id
         WHERE bit_count(xor(a.sh, b.sh)) <= 3""")),
+
+    // AUDIO FINGERPRINT NEAR-DUP — the audio modality through the same
+    // pigeonhole Hamming join: deterministic 16-bit PCM WAV tones (every
+    // sample a pure integer function of the id; PCM is lossless) → REAL
+    // javax.sound decode → integer window-energy difference hash →
+    // simhashPairsFromTable. The oracle recomputes samples, energies,
+    // hash, and the exact O(n²) Hamming pairs from arithmetic alone, so
+    // WAV writer+reader fidelity and the fingerprint arithmetic are both
+    // gated cross-engine.
+    "q_audio_neardup" -> Q(
+      (s, dir) => Dedup.simhashPairsFromTable(
+        Multimodal.audioFingerprint64(
+          Multimodal.withToneAudioPayload(
+            table(s, dir, "documents").select("doc_id"), "doc_id"),
+          "doc_id")
+          .filter(col("sh").isNotNull),
+        maxDistance = 3)
+        .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming")),
+      Some("""
+        WITH ids AS (SELECT doc_id AS id FROM documents),
+        samp AS (
+          SELECT id, t.range AS t,
+            abs(((id//4*31 + 7) * (t.range + 1)
+                 + CASE WHEN id%4 > 0 AND t.range//32 = id%4 THEN 600 ELSE 0 END)
+                % 4096 - 2048) AS a
+          FROM ids, range(2080) t),
+        en AS (SELECT id, t//32 AS w, SUM(a) AS e FROM samp GROUP BY 1, 2),
+        bits AS (
+          SELECT a.id, a.w AS b FROM en a JOIN en b2
+            ON a.id = b2.id AND b2.w = a.w + 1
+          WHERE a.w < 64 AND b2.e > a.e),
+        hraw AS (
+          SELECT id, SUM(CAST(1 AS HUGEINT) << CAST(b AS INT)) AS s
+          FROM bits GROUP BY id),
+        h AS (SELECT ids.id,
+            CAST(CASE WHEN COALESCE(s, 0) >= CAST(1 AS HUGEINT) << 63
+                  THEN COALESCE(s, 0) - (CAST(1 AS HUGEINT) << 64)
+                  ELSE COALESCE(s, 0) END AS BIGINT) AS sh
+          FROM ids LEFT JOIN hraw ON hraw.id = ids.id)
+        SELECT a.id AS id1, b.id AS id2,
+          CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM h a JOIN h b ON a.id < b.id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3""")),
   )
 
   // Shared DuckDB CTE: gap-based sessionization of the events table

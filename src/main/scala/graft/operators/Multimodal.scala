@@ -275,6 +275,119 @@ object Multimodal {
       .select(col(idCol).as("id"), col("sh"))
   }
 
+  /** Attach a DETERMINISTIC TONE audio payload — the audio sibling of
+    * [[withGradientImagePayload]]: 16-bit mono PCM WAV (8 kHz, 2080
+    * frames = 65 windows × 32 samples) whose every sample is a pure
+    * integer function of the id, so the codec round-trip is lossless and
+    * a pure-SQL oracle can recompute [[audioFingerprint64]] from
+    * arithmetic alone:
+    *
+    *   k = id div 4 (family), v = id mod 4 (variant)
+    *   raw(t) = ((k·31 + 7)·(t + 1)
+    *             + (600 if v > 0 and t div 32 == v)) mod 4096 − 2048
+    *
+    * Same-family variants perturb ONE 32-sample window → a couple of
+    * fingerprint bits; the family slope mixes k into every window
+    * energy → ~random cross-family patterns.
+    */
+  def withToneAudioPayload(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val frames = 2080
+          val k = java.lang.Math.floorDiv(id, 4L)
+          val v = java.lang.Math.floorMod(id, 4L).toInt
+          val pcm = new Array[Byte](frames * 2)
+          var t = 0
+          while (t < frames) {
+            val bump = if (v > 0 && t / 32 == v) 600L else 0L
+            val s = (java.lang.Math.floorMod((k * 31L + 7L) * (t + 1L) + bump, 4096L) - 2048L).toInt
+            pcm(2 * t) = (s & 0xff).toByte            // little-endian int16
+            pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+            t += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          (id, out.toByteArray)
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
+  /** 64-bit AUDIO FINGERPRINT (difference hash over window energies —
+    * the Shazam/Chromaprint idea reduced to its integer skeleton): real
+    * `javax.sound.sampled` WAV decode → signed 16-bit samples → 65
+    * windows with integer boundaries `w·frames div 65` → per-window
+    * energy Σ|sample| → bit b set iff E(b+1) > E(b). Pure integer
+    * arithmetic after the codec, so the hash is bit-reproducible on any
+    * engine. Non-PCM16/mono or undecodable payloads hash to NULL.
+    *
+    * Output (id, sh) feeds [[Dedup.simhashPairsFromTable]] — audio
+    * near-dup detection rides the SAME pigeonhole Hamming join as text
+    * SimHash and image dHash: hash per partition, band-join the 8-byte
+    * codes, never samples through a shuffle.
+    */
+  def audioFingerprint64(df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { items =>
+        items.map { case (id, bytes) =>
+          val sh: Option[Long] =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                val f = ais.getFormat
+                val frames = ais.getFrameLength.toInt
+                if (f.getChannels != 1 || f.getSampleSizeInBits != 16 ||
+                    f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                    frames < 65) None
+                else {
+                  val raw = ais.readAllBytes()
+                  val n = math.min(frames, raw.length / 2)
+                  val energy = new Array[Long](65)
+                  var w = 0
+                  while (w < 65) {
+                    val t0 = w * n / 65; val t1 = (w + 1) * n / 65
+                    var e = 0L
+                    var t = t0
+                    while (t < t1) {
+                      val lo = raw(2 * t) & 0xff
+                      val hi = raw(2 * t + 1).toInt // sign-extends
+                      val s = if (f.isBigEndian) (lo << 8) | (hi & 0xff) else (hi << 8) | lo
+                      val s16 = s.toShort.toInt
+                      e += math.abs(s16.toLong)
+                      t += 1
+                    }
+                    energy(w) = e
+                    w += 1
+                  }
+                  var acc = 0L
+                  var b = 0
+                  while (b < 64) {
+                    if (energy(b + 1) > energy(b)) acc |= (1L << b)
+                    b += 1
+                  }
+                  Some(acc)
+                }
+              } finally ais.close()
+            } catch { case scala.util.control.NonFatal(_) => None }
+          (id, sh)
+        }
+      }
+      .toDF(idCol, "sh")
+      .select(col(idCol).as("id"), col("sh"))
+  }
+
   /** Resize planning over decoded media features: fit (width, height)
     * into a target box preserving aspect ratio — the standard
     * downscale-before-embedding step. Pure integer column arithmetic

@@ -534,4 +534,31 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)) && pairs.contains((100L, 101L)))
     assert(!pairs.exists { case (a, b) => a / 4 != b / 4 })
   }
+
+  test("audioFingerprint64: WAV round-trip == driver-side tone mirror; null on non-audio") {
+    def mirror(id: Long): Long = {
+      val k = id / 4; val v = (id % 4).toInt
+      def raw(t: Int): Long = {
+        val bump = if (v > 0 && t / 32 == v) 600L else 0L
+        java.lang.Math.floorMod((k * 31L + 7L) * (t + 1L) + bump, 4096L) - 2048L
+      }
+      val e = Array.tabulate(65)(w =>
+        (w * 32 until w * 32 + 32).map(t => math.abs(raw(t))).sum)
+      (0 until 64).foldLeft(0L)((acc, b) =>
+        if (e(b + 1) > e(b)) acc | (1L << b) else acc)
+    }
+    val ids = Seq(0L, 1L, 3L, 4L, 100L, 101L)
+    val got = Multimodal.audioFingerprint64(
+        Multimodal.withToneAudioPayload(ids.toDF("doc_id"), "doc_id"), "doc_id")
+      .as[(Long, Option[Long])].collect().toMap
+    ids.foreach(i => assert(got(i).contains(mirror(i)),
+      s"id $i: WAV encode→decode→fingerprint must equal the tone mirror"))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(got(0L).get, got(1L).get) <= 3)
+    assert(ham(got(0L).get, got(4L).get) > 3 && ham(got(0L).get, got(100L).get) > 3)
+    // a PNG payload is not decodable audio → NULL, never a crash
+    val img = Multimodal.withImagePayload(Seq(2L).toDF("doc_id"), "doc_id")
+    assert(Multimodal.audioFingerprint64(img, "doc_id")
+      .as[(Long, Option[Long])].head()._2.isEmpty)
+  }
 }
