@@ -1648,18 +1648,27 @@ object ExtQueries {
     // in one 4×4 cell → ≤ 2 bits; cross-family hashes differ by ~24-32.
     "q_image_neardup" -> Q(
       (s, dir) => Dedup.simhashPairsFromTable(
+        // persisted: the hash table feeds BOTH self-join sides — without
+        // the barrier every side re-encodes and re-decodes the corpus
         Multimodal.dHash64(
           Multimodal.withGradientImagePayload(
-            table(s, dir, "documents").select("doc_id"), "doc_id"),
+            // repartition BEFORE the codec stage: the sf tables are one
+            // parquet file → one partition → single-threaded encode/decode;
+            // an id-only shuffle is free next to per-item codec work
+            table(s, dir, "documents").select("doc_id").repartition(32),
+            "doc_id"),
           "doc_id")
-          .filter(col("sh").isNotNull),
+          .filter(col("sh").isNotNull)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         maxDistance = 3)
         .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming")),
       Some("""
         WITH ids AS (SELECT doc_id AS id FROM documents),
         px AS (
           SELECT id, x.range AS x, y.range AS y,
-            (id//4*31*x.range + id//4*17*y.range + 7*x.range + 13*y.range
+            (7*x.range*x.range + 13*y.range*y.range
+             + (id//4%256)*31*(x.range+1)*(y.range+1)
+             + (id//4//256%256)*53*(x.range+2)*(y.range+3)
              + CASE WHEN id%4 > 0 AND x.range//4 = id%4 AND y.range//4 = id%4
                     THEN 64 ELSE 0 END) % 256 AS gray
           FROM ids, range(36) x, range(32) y),
@@ -1695,18 +1704,28 @@ object ExtQueries {
     // gated cross-engine.
     "q_audio_neardup" -> Q(
       (s, dir) => Dedup.simhashPairsFromTable(
+        // persisted for the same both-join-sides reason as q_image_neardup
         Multimodal.audioFingerprint64(
           Multimodal.withToneAudioPayload(
-            table(s, dir, "documents").select("doc_id"), "doc_id"),
+            // NO repartition here (unlike the image row): measured at
+            // sf0.1, 32-way parallel javax.sound decode is ~1.5× SLOWER
+            // than the single-partition run — the provider path
+            // serializes internally — so spreading the rows just adds a
+            // shuffle. Revisit if the JDK's sound stack loses its lock.
+            table(s, dir, "documents").select("doc_id"),
+            "doc_id"),
           "doc_id")
-          .filter(col("sh").isNotNull),
+          .filter(col("sh").isNotNull)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         maxDistance = 3)
         .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming")),
       Some("""
         WITH ids AS (SELECT doc_id AS id FROM documents),
         samp AS (
           SELECT id, t.range AS t,
-            abs(((id//4*31 + 7) * (t.range + 1)
+            abs((((id//4%2048)*31 + 7) * (t.range + 1)
+                 + (id//4//2048%2048)*53*(t.range+3)*(t.range+5)
+                 + 3*t.range*t.range*t.range
                  + CASE WHEN id%4 > 0 AND t.range//32 = id%4 THEN 600 ELSE 0 END)
                 % 4096 - 2048) AS a
           FROM ids, range(2080) t),

