@@ -1694,6 +1694,60 @@ object ExtQueries {
         FROM h a JOIN h b ON a.id < b.id
         WHERE bit_count(xor(a.sh, b.sh)) <= 3""")),
 
+    // INCREMENTAL image dedup — the daily-ingest shape for a media lake:
+    // the "new batch" (doc_id >= 250) probes the persisted 8-byte-per-item
+    // hash index of the "history" (doc_id < 250) via the pigeonhole
+    // Hamming join; history is joined, never re-decoded. Same
+    // arithmetic-recomputable fixture as q_image_neardup, so the oracle
+    // computes both sides' hashes and the exact cross-slice Hamming
+    // pairs in pure SQL.
+    "q_image_incremental" -> Q(
+      (s, dir) => {
+        val hashed = Multimodal.dHash64(
+          Multimodal.withGradientImagePayload(
+            table(s, dir, "documents").select("doc_id").repartition(32),
+            "doc_id"),
+          "doc_id")
+          .filter(col("sh").isNotNull)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Dedup.incrementalHammingPairs(
+          hashed.filter(col("id") >= 250), hashed.filter(col("id") < 250),
+          maxDistance = 3)
+          .select(col("new_id"), col("old_id"),
+            col("hamming").cast("int").as("hamming"))
+      },
+      Some("""
+        WITH ids AS (SELECT doc_id AS id FROM documents),
+        px AS (
+          SELECT id, x.range AS x, y.range AS y,
+            (7*x.range*x.range + 13*y.range*y.range
+             + (id//4%256)*31*(x.range+1)*(y.range+1)
+             + (id//4//256%256)*53*(x.range+2)*(y.range+3)
+             + CASE WHEN id%4 > 0 AND x.range//4 = id%4 AND y.range//4 = id%4
+                    THEN 64 ELSE 0 END) % 256 AS gray
+          FROM ids, range(36) x, range(32) y),
+        cells AS (
+          SELECT id, x//4 AS gx, y//4 AS gy, SUM(gray)//16 AS c
+          FROM px GROUP BY 1, 2, 3),
+        bits AS (
+          SELECT a.id, a.gy*8 + a.gx AS b
+          FROM cells a JOIN cells b2
+            ON a.id = b2.id AND b2.gx = a.gx + 1 AND b2.gy = a.gy
+          WHERE a.gx < 8 AND b2.c > a.c),
+        hraw AS (
+          SELECT id, SUM(CAST(1 AS HUGEINT) << CAST(b AS INT)) AS s
+          FROM bits GROUP BY id),
+        h AS (
+          SELECT ids.id,
+            CAST(CASE WHEN COALESCE(s, 0) >= CAST(1 AS HUGEINT) << 63
+                  THEN COALESCE(s, 0) - (CAST(1 AS HUGEINT) << 64)
+                  ELSE COALESCE(s, 0) END AS BIGINT) AS sh
+          FROM ids LEFT JOIN hraw ON hraw.id = ids.id)
+        SELECT a.id AS new_id, b.id AS old_id,
+          CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM h a JOIN h b ON a.id >= 250 AND b.id < 250
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3""")),
+
     // AUDIO FINGERPRINT NEAR-DUP — the audio modality through the same
     // pigeonhole Hamming join: deterministic 16-bit PCM WAV tones (every
     // sample a pure integer function of the id; PCM is lossless) → REAL

@@ -532,6 +532,37 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select("id1", "id2", "hamming")
   }
 
+  /** INCREMENTAL Hamming probe between two (id, sh) 64-bit hash tables —
+    * the daily-ingest shape for SimHash text and the perceptual
+    * image/audio hashes ([[Multimodal.dHash64]],
+    * [[Multimodal.audioFingerprint64]]): a new batch's hashes probe the
+    * persisted hash index of the historical corpus (8 bytes/item — the
+    * index of a billion-item media lake is ~8 GB of longs), cost
+    * O(new batch × chunk collisions); history is only ever JOINED by its
+    * chunk key, never re-decoded or re-hashed. Same pigeonhole recall
+    * guarantee and the same verify-inline-then-dedup ordering as
+    * [[simhashPairsFromTable]]; ids may repeat across sides (re-ingest)
+    * and self-matches are excluded.
+    */
+  def incrementalHammingPairs(newHashes: DataFrame, indexHashes: DataFrame,
+                              maxDistance: Int): DataFrame = {
+    val chunks = maxDistance + 1
+    val bits = 64 / chunks
+    def chunked(df: DataFrame, idName: String, shName: String) =
+      df.select(col("id").as(idName), col("sh").as(shName),
+        explode(array((0 until chunks).map(c => struct(lit(c).as("chunk"),
+          shiftright(col("sh"), c * bits).bitwiseAND(lit((1L << bits) - 1)).as("cv"))): _*))
+          .as("b"))
+        .select(col(idName), col(shName), col("b.chunk"), col("b.cv"))
+    chunked(newHashes, "new_id", "new_sh")
+      .join(chunked(indexHashes, "old_id", "old_sh"), Seq("chunk", "cv"))
+      .filter(col("new_id") =!= col("old_id"))
+      .withColumn("hamming", bit_count(col("new_sh").bitwiseXOR(col("old_sh"))))
+      .filter(col("hamming") <= maxDistance)
+      .dropDuplicates("new_id", "old_id")
+      .select("new_id", "old_id", "hamming")
+  }
+
   /** EXACT n-gram Jaccard pairs ≥ `threshold` via PREFIX FILTERING — the
     * scalable exact set-similarity join (PPJoin family), not an O(n²) cross
     * join.

@@ -538,6 +538,34 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a / 4 != b / 4 })
   }
 
+  test("incrementalHammingPairs == cross-slice of the full Hamming pair set") {
+    val ids = (0L until 48L)
+    val hashed = Multimodal.dHash64(
+      Multimodal.withGradientImagePayload(ids.toDF("doc_id"), "doc_id"), "doc_id")
+    val full = Dedup.simhashPairsFromTable(hashed, maxDistance = 3)
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => (a, b, h) }.toSet
+    // split INSIDE family 6 (ids 24-27): near-dups only form within a
+    // family, so a boundary at a multiple of 4 would make the cross
+    // slice trivially empty
+    val inc = Dedup.incrementalHammingPairs(
+        hashed.filter(col("id") >= 26), hashed.filter(col("id") < 26),
+        maxDistance = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // full pairs orient id1 < id2; the incremental probe orients
+    // (new, old) = (>= 26, < 26) — the cross-slice subset, re-oriented
+    val expected = full.collect {
+      case (a, b, h) if a < 26 && b >= 26 => (b, a, h)
+      case (a, b, h) if a >= 26 && b < 26 => (a, b, h)
+    }
+    assert(inc == expected && inc.nonEmpty)
+    // re-ingest of an identical item is excluded as a self-match
+    val again = Dedup.incrementalHammingPairs(
+      hashed.filter(col("id") === 0), hashed.filter(col("id") === 0),
+      maxDistance = 3)
+    assert(again.count() == 0)
+  }
+
   test("audioFingerprint64: WAV round-trip == driver-side tone mirror; null on non-audio") {
     def mirror(id: Long): Long = {
       val k = id / 4; val v = (id % 4).toInt
