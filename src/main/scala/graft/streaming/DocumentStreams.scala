@@ -94,7 +94,7 @@ object DocumentStreams {
     * history, so a retry that computes empty survivors had an empty first
     * attempt too.
     */
-  private def writeBatchPartition(rows: DataFrame, batchId: Long,
+  private[streaming] def writeBatchPartition(rows: DataFrame, batchId: Long,
                                   path: String): Unit =
     rows.withColumn("__batch_id", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -109,7 +109,7 @@ object DocumentStreams {
     * Partition pruning makes the filter free. A pre-partitioning seed
     * without the column (legacy flat layout) is read as-is.
     */
-  private def readHistory(spark: org.apache.spark.sql.SparkSession,
+  private[streaming] def readHistory(spark: org.apache.spark.sql.SparkSession,
                           path: String, batchId: Long): DataFrame = {
     val h = spark.read.parquet(path)
     if (h.columns.contains("__batch_id")) h.filter(col("__batch_id") =!= batchId)
@@ -208,7 +208,7 @@ object DocumentStreams {
         exactIndexPath, bandIndexPath, outPath, shingleSize, numHashes, bands)
     }
 
-  private def pathExists(spark: org.apache.spark.sql.SparkSession,
+  private[streaming] def pathExists(spark: org.apache.spark.sql.SparkSession,
                          path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
