@@ -146,10 +146,15 @@ object ScaleHundred {
     // FIXED-tuning LSH row is deliberately absent — its 10× sweep row
     // already measured the quadratic blowup the tuned twin avoids; sf10
     // is exactly where only the density-scaled path is meaningful.
+    // q_audio_neardup is also absent: javax.sound decode is serial per
+    // JVM (documented in SCALE.md), so its single-JVM sf10 point would
+    // measure the JDK lock, not the plan.
     val names = Seq(
       "q_asof_join", "q_asof_nearest", "q_events_session",   // event time
       "q_dedup_minhash", "q_fingerprint_winnow",             // pair dedup
       "q_embed_neardup_tuned",                               // tuned LSH
+      "q_image_neardup",                                     // media Hamming
+      "q_hybrid_rrf",                                        // RRF fusion
       "q_dedup_clusters",                                    // CC fixpoint
       "q_pagerank")                                          // iterative
 
