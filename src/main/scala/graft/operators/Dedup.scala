@@ -175,11 +175,15 @@ object Dedup extends org.apache.spark.internal.Logging {
     * without re-hashing either side.
     */
   def incrementalNearDupsIndexed(newIndex: MinhashIndex, oldIndex: MinhashIndex,
-                                 numHashes: Int, threshold: Double): DataFrame = {
+                                 numHashes: Int, threshold: Double,
+                                 excludeSelf: Boolean = true): DataFrame = {
+    // excludeSelf semantics as in [[incrementalHammingPairs]]: batch
+    // re-probes exclude same-id matches; streaming ingest loops pass
+    // false so a re-sent published id is flagged as its own duplicate
     val cand = newIndex.bands.select(col("band"), col("bh"), col("id").as("new_id"))
       .join(oldIndex.bands.select(col("band"), col("bh"), col("id").as("old_id")),
         Seq("band", "bh"))
-      .filter(col("new_id") =!= col("old_id"))
+      .filter(if (excludeSelf) col("new_id") =!= col("old_id") else lit(true))
       .select("new_id", "old_id").distinct()
     cand
       .join(newIndex.sigs.select(col("id").as("new_id"), col("sig").as("new_sig")), "new_id")
@@ -541,11 +545,19 @@ object Dedup extends org.apache.spark.internal.Logging {
     * O(new batch × chunk collisions); history is only ever JOINED by its
     * chunk key, never re-decoded or re-hashed. Same pigeonhole recall
     * guarantee and the same verify-inline-then-dedup ordering as
-    * [[simhashPairsFromTable]]; ids may repeat across sides (re-ingest)
-    * and self-matches are excluded.
+    * [[simhashPairsFromTable]]; ids may repeat across sides (re-ingest).
+    *
+    * `excludeSelf` (default true) drops same-id matches — the BATCH
+    * re-probe contract, where yesterday's corpus re-run against the index
+    * must not flag every item as its own duplicate. Streaming ingest
+    * loops pass `excludeSelf = false`: there the new side is by
+    * construction not yet published, so a same-id match IS a re-sent
+    * duplicate of a published item and must be flagged
+    * ([[graft.streaming.MediaStreams]]).
     */
   def incrementalHammingPairs(newHashes: DataFrame, indexHashes: DataFrame,
-                              maxDistance: Int): DataFrame = {
+                              maxDistance: Int,
+                              excludeSelf: Boolean = true): DataFrame = {
     val chunks = maxDistance + 1
     val bits = 64 / chunks
     def chunked(df: DataFrame, idName: String, shName: String) =
@@ -556,7 +568,7 @@ object Dedup extends org.apache.spark.internal.Logging {
         .select(col(idName), col(shName), col("b.chunk"), col("b.cv"))
     chunked(newHashes, "new_id", "new_sh")
       .join(chunked(indexHashes, "old_id", "old_sh"), Seq("chunk", "cv"))
-      .filter(col("new_id") =!= col("old_id"))
+      .filter(if (excludeSelf) col("new_id") =!= col("old_id") else lit(true))
       .withColumn("hamming", bit_count(col("new_sh").bitwiseXOR(col("old_sh"))))
       .filter(col("hamming") <= maxDistance)
       .dropDuplicates("new_id", "old_id")

@@ -225,9 +225,20 @@ object Search {
       df.select(col(idCol).as("id"), col(rankCol).cast("long").as("__rank"),
         lit(i).as("__list"))
     }.reduce(_ unionByName _)
-    // one row per id with a rank column per list ((id, list) is unique by
-    // the retriever contract, so max() is just "the" rank)
-    val pivoted = tagged.groupBy("id")
+    // one row per (id, list) — the retriever contract says ids are unique
+    // WITHIN a list, and a violation must fail loudly, not fuse a quietly
+    // wrong score: the per-group count is checked inline (raise_error) so
+    // a buggy retriever surfaces as an error, at the cost of one count on
+    // k-bounded lists
+    val perList = tagged.groupBy("id", "__list")
+      .agg(max(col("__rank")).as("__r"), count(lit(1)).as("__n"))
+      .select(col("id"), col("__list"),
+        when(col("__n") === 1, col("__r")).otherwise(raise_error(concat(
+          lit("rrfFuse: id "), col("id").cast("string"),
+          lit(" appears more than once in ranked list "),
+          col("__list").cast("string"),
+          lit(" — retriever lists must be id-unique")))).as("__rank"))
+    val pivoted = perList.groupBy("id")
       .pivot("__list", ranked.indices.map(i => i: Integer))
       .agg(max(col("__rank")))
       .toDF("id" +: ranked.indices.map(i => s"rank_$i"): _*)

@@ -147,15 +147,24 @@ object DocumentStreams {
     val asIndex = graft.operators.Dedup.MinhashIndex(
       newIdx.select("id", "sig").dropDuplicates("id"),
       newIdx.select("id", "band", "bh"))
-    // near-dups of history: drop the NEW doc
+    // near-dups of history: drop the NEW doc. excludeSelf = false — the
+    // batch side is unpublished (readHistory excludes the in-flight
+    // partition), so a same-id index match is a RE-SENT published doc
+    // and must be dropped, not republished under a new batch partition
     val dupOfHistory = Dedup.incrementalNearDupsIndexed(
         asIndex, graft.operators.Dedup.MinhashIndex(
           history.select("id", "sig").dropDuplicates("id"),
           history.select("id", "band", "bh")),
-        numHashes, threshold)
+        numHashes, threshold, excludeSelf = false)
       .select(col("new_id").as("__drop"))
-    // near-dups within the batch: smallest id survives
-    val dupInBatch = Dedup.minhashPairsFromIndex(asIndex, numHashes, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // near-dups WITHIN the batch, over docs that survived the history
+    // probe (a history-dropped doc must not transitively drop batchmates
+    // that are far from everything published): smallest id survives
+    val eligible = graft.operators.Dedup.MinhashIndex(
+      asIndex.sigs.join(dupOfHistory, asIndex.sigs("id") === col("__drop"), "left_anti"),
+      asIndex.bands.join(dupOfHistory, asIndex.bands("id") === col("__drop"), "left_anti"))
+    val dupInBatch = Dedup.minhashPairsFromIndex(eligible, numHashes, threshold)
       .select(col("id2").as("__drop"))
     val dropIds = dupOfHistory.union(dupInBatch).distinct()
     val survivors = batch
@@ -169,6 +178,7 @@ object DocumentStreams {
         newIdx("id") === col("__keep"), "left_semi"),
       batchId, indexPath)
     survivors.unpersist()
+    dupOfHistory.unpersist()
     newIdx.unpersist()
   }
 
@@ -249,19 +259,27 @@ object DocumentStreams {
     val asIndex = graft.operators.Dedup.MinhashIndex(
       newIdx.select("id", "sig").dropDuplicates("id"),
       newIdx.select("id", "band", "bh"))
-    val dupInBatch = Dedup.minhashPairsFromIndex(asIndex, numHashes,
-        cfg.nearDupThreshold)
-      .select(col("id2").as("__drop"))
-    val dropIds = (if (pathExists(spark, bandIndexPath)) {
+    // history probe first (excludeSelf = false — a same-id index match is
+    // a re-sent published doc, see [[processBatch]]); the within-batch
+    // pairing then runs over history-probe SURVIVORS only, so a doc
+    // dropped as dup-of-history cannot transitively drop batchmates
+    val dupOfHistory = (if (pathExists(spark, bandIndexPath)) {
       val history = readHistory(spark, bandIndexPath, batchId)
       Dedup.incrementalNearDupsIndexed(
           asIndex, graft.operators.Dedup.MinhashIndex(
             history.select("id", "sig").dropDuplicates("id"),
             history.select("id", "band", "bh")),
-          numHashes, cfg.nearDupThreshold)
+          numHashes, cfg.nearDupThreshold, excludeSelf = false)
         .select(col("new_id").as("__drop"))
-        .union(dupInBatch)
-    } else dupInBatch).distinct()
+    } else asIndex.sigs.select(col("id").as("__drop")).limit(0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eligible = graft.operators.Dedup.MinhashIndex(
+      asIndex.sigs.join(dupOfHistory, asIndex.sigs("id") === col("__drop"), "left_anti"),
+      asIndex.bands.join(dupOfHistory, asIndex.bands("id") === col("__drop"), "left_anti"))
+    val dupInBatch = Dedup.minhashPairsFromIndex(eligible, numHashes,
+        cfg.nearDupThreshold)
+      .select(col("id2").as("__drop"))
+    val dropIds = dupOfHistory.union(dupInBatch).distinct()
     val survivors = fresh
       .join(dropIds, fresh(idCol) === col("__drop"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -276,6 +294,7 @@ object DocumentStreams {
     writeBatchPartition(survivors.select(col("__th").as("th")),
       batchId, exactIndexPath)
     survivors.unpersist()
+    dupOfHistory.unpersist()
     newIdx.unpersist()
     fresh.unpersist()
   }

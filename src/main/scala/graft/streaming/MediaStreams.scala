@@ -12,9 +12,11 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * [[graft.operators.Multimodal.audioFingerprint64]] for audio, SimHash
   * for text), drops items whose hash sits within `maxDistance` of the
   * growing published index (FIRST-ARRIVAL-WINS — the only policy an
-  * online system can implement without revoking published items) or of a
-  * smaller-id batchmate, and appends survivors to the lake plus their
-  * hashes to the index.
+  * online system can implement without revoking published items;
+  * same-id matches count, so an identical item re-sent under its
+  * published id in a later batch is dropped, not republished) or of a
+  * smaller-id batchmate that itself survived the history probe, and
+  * appends survivors to the lake plus their hashes to the index.
   *
   * State is ONE grow-only parquet index of (id, sh) longs — 16 bytes per
   * published item, so a billion-item media lake carries a ~16 GB index —
@@ -63,11 +65,29 @@ object MediaStreams {
           .select("id", "sh")
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], decodable.schema)
-    // near-dup of an already-published item: drop the NEW one
-    val dupOfHistory = Dedup.incrementalHammingPairs(decodable, history, maxDistance)
+    // near-dup of an already-published item: drop the NEW one.
+    // excludeSelf = false: the batch side is unpublished by construction
+    // (readHistory excludes the in-flight batch's partition), so a
+    // same-id match against the index is a RE-SENT published item —
+    // without this a duplicate re-ingest under its original id would
+    // slip past dedup into a second lake row. (A same-id re-send mutated
+    // beyond maxDistance is not a near-dup and is out of scope here:
+    // policing id collisions needs a full-index id probe per batch,
+    // an upstream key-integrity concern, not a content-dedup one.)
+    val dupOfHistory = Dedup.incrementalHammingPairs(decodable, history,
+        maxDistance, excludeSelf = false)
       .select(col("new_id").as("__drop"))
-    // near-dup within the batch: smallest id survives
-    val dupInBatch = Dedup.simhashPairsFromTable(decodable, maxDistance)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // near-dup WITHIN the batch, computed over items that survived the
+    // history probe: a batchmate can only be dropped via an item that is
+    // itself eligible for publication — an item dropped as dup-of-history
+    // must not transitively drop neighbours that are far from everything
+    // published. Chains within the batch still collapse (smallest id of
+    // each connected pair survives) — the same transitive-cluster policy
+    // as the batch pipeline's connected-components dedup.
+    val batchEligible = decodable.join(dupOfHistory,
+      decodable("id") === col("__drop"), "left_anti")
+    val dupInBatch = Dedup.simhashPairsFromTable(batchEligible, maxDistance)
       .select(col("id2").as("__drop"))
     val dropIds = dupOfHistory.union(dupInBatch).distinct()
     val survivors = batch
@@ -82,6 +102,7 @@ object MediaStreams {
         decodable("id") === col("__keep"), "left_semi"),
       batchId, indexPath)
     survivors.unpersist()
+    dupOfHistory.unpersist()
     hashed.unpersist()
   }
 }

@@ -105,13 +105,19 @@ object ScaleHundred {
           .withColumn("o_custkey", col("o_custkey") + lit(k * 100000000L))
       }.reduce(_ unionByName _)
         .repartition(64).write.mode("overwrite").parquet(s"$out/orders.parquet")
+      println(s"derived 100x orders at $out")
+    }
+
+    // own guard, NOT folded into orders': a run that wrote orders.parquet
+    // and died before lineitem.parquet must still derive lineitem on rerun
+    if (missing("lineitem")) {
       val li = spark.read.parquet(s"$sf1/lineitem.parquet")
       (0 until 10).map { k =>
         li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 1000000000L))
           .withColumn("l_suppkey", col("l_suppkey") + lit(k * 100000000L))
       }.reduce(_ unionByName _)
         .repartition(64).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-      println(s"derived 100x orders/lineitem at $out")
+      println(s"derived 100x lineitem at $out")
     }
   }
 

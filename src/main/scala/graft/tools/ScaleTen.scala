@@ -46,7 +46,10 @@ object ScaleTen {
       }
       replicas.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+      println(s"derived 10x documents at $out")
+    }
 
+    if (!new java.io.File(s"$out/embeddings.parquet").exists()) {
       val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
       val embReplicas = (0 until 10).map { k =>
         val rotated =
@@ -60,7 +63,7 @@ object ScaleTen {
       }
       embReplicas.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-      println(s"derived 10x corpus at $out")
+      println(s"derived 10x embeddings at $out")
     }
 
     if (!new java.io.File(s"$out/events.parquet").exists()) {
@@ -76,7 +79,12 @@ object ScaleTen {
           col("event_type"), col("value"), col("props"))
       }.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+      println(s"derived 10x events at $out")
+    }
 
+    // per-file guards (not folded under events'): a run that died between
+    // writes must still derive the missing files on rerun
+    if (!new java.io.File(s"$out/orders.parquet").exists()) {
       // 10 disjoint copies of the co-purchase graph (shifted keys):
       // PageRank's node and edge universes both scale 10×
       val ord = spark.read.parquet(s"$sf01/orders.parquet")
@@ -85,13 +93,17 @@ object ScaleTen {
           .withColumn("o_custkey", col("o_custkey") + lit(k * 10000000L))
       }.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+      println(s"derived 10x orders at $out")
+    }
+
+    if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
       val li = spark.read.parquet(s"$sf01/lineitem.parquet")
       (0 until 10).map { k =>
         li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
           .withColumn("l_suppkey", col("l_suppkey") + lit(k * 10000000L))
       }.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-      println(s"derived 10x events/orders/lineitem at $out")
+      println(s"derived 10x lineitem at $out")
     }
 
     if (!new java.io.File(s"$out/customer.parquet").exists()) {
@@ -102,18 +114,22 @@ object ScaleTen {
         cust.withColumn("c_custkey", col("c_custkey") + lit(k * 10000000L))
       }.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$out/customer.parquet")
-      // nation/region/part/supplier are copied AS-IS: nation and region
-      // are fixed-universe dims at every TPC-H SF, and part/supplier keys
-      // are referenced by the UNSHIFTED (part) and shifted (supplier)
-      // lineitem columns — replicating them would either duplicate keys
-      // or break the fan-in the derivation deliberately preserves. The
-      // rule-engine scan queries over these dims therefore measure the
-      // same data at sf1 (expected ratio ~1×).
-      for (dim <- Seq("nation", "region", "part", "supplier"))
+      println(s"derived 10x customer at $out")
+    }
+
+    // nation/region/part/supplier are copied AS-IS: nation and region
+    // are fixed-universe dims at every TPC-H SF, and part/supplier keys
+    // are referenced by the UNSHIFTED (part) and shifted (supplier)
+    // lineitem columns — replicating them would either duplicate keys
+    // or break the fan-in the derivation deliberately preserves. The
+    // rule-engine scan queries over these dims therefore measure the
+    // same data at sf1 (expected ratio ~1×).
+    for (dim <- Seq("nation", "region", "part", "supplier"))
+      if (!new java.io.File(s"$out/$dim.parquet").exists()) {
         spark.read.parquet(s"$sf01/$dim.parquet")
           .write.mode("overwrite").parquet(s"$out/$dim.parquet")
-      println(s"derived 10x customer (+nation/region/part/supplier dims) at $out")
-    }
+        println(s"copied $dim as-is to $out")
+      }
   }
 
   def main(args: Array[String]): Unit = {

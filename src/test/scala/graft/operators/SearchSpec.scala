@@ -146,5 +146,16 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Search.rrfFuse(Seq.empty, "id", "rank", k = 1)
     }
+    // a retriever that emits the same id twice in ONE list violates the
+    // (id, list)-uniqueness contract — the fusion must fail loudly, not
+    // silently pick one of the ranks
+    val dup = Seq((9L, 1L), (9L, 3L), (10L, 2L)).toDF("id", "rank")
+    val err = intercept[Throwable] {
+      Search.rrfFuse(Seq(dup, l1), "id", "rank", k = 10).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(messages(err).exists(_.contains("appears more than once")))
   }
 }

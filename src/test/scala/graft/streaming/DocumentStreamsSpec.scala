@@ -62,6 +62,25 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(hits == Set(21L))
   }
 
+  test("doc loop: published doc re-sent under its own id in a later batch is dropped") {
+    val indexPath = tmp("graft_idx_resend")
+    val outPath = tmp("graft_lake_resend")
+    val doc = (1L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    DocumentStreams.seedIndex(
+      Dedup.minhashBandIndex(Seq(doc).toDF("doc_id", "text"), "doc_id", "text"),
+      indexPath)
+    // the same (id, text) arrives again — at-least-once ACROSS batch ids
+    // (a source-level replay, not a foreachBatch retry): the same-id index
+    // match must drop it, not publish a duplicate lake row for id 1
+    DocumentStreams.processBatch(Seq(doc).toDF("doc_id", "text"), 5L,
+      "doc_id", "text", indexPath, outPath, 3, 128, 32, 0.5)
+    // zero survivors → nothing written to the lake at all
+    assert(!new java.io.File(outPath).listFiles()
+      .exists(_.getName.startsWith("__batch_id=")))
+    assert(spark.read.parquet(indexPath).select("id").distinct()
+      .as[Long].collect().toSet == Set(1L))
+  }
+
   test("ingestCurated: admission, scrub, exact+near dedup across batches; == batch prefix") {
     implicit val sqlCtx = spark.sqlContext
     val exactIdx = tmp("graft_exact_idx")

@@ -68,4 +68,45 @@ class MediaStreamsSpec extends SparkSpec {
     assert(lake2.filter(col("media_id") === 40L).count() == 1)
     assert(lake2.select("media_id").as[Long].collect().toSet == Set(8L, 40L, 99L))
   }
+
+  // deterministic id→hash hasher: exercises drop semantics without codec
+  // arithmetic in the way (the pluggable-hasher contract makes this a
+  // first-class usage, not a test backdoor)
+  private def fixedHasher(hashes: Map[Long, Long]): (DataFrame, String) => DataFrame =
+    (df, id) => {
+      val m = typedLit(hashes)
+      df.select(col(id).cast("long").as("id"),
+        element_at(m, col(id).cast("long")).as("sh"))
+    }
+
+  test("media loop: same-id re-send is dropped; no transitive drop via unpublished item") {
+    val indexPath = tmp("graft_midx2")
+    val outPath = tmp("graft_mlake2")
+    // H(100)=0; H(1)=7 (3 bits from history → dup); H(2)=63 (3 bits from
+    // H(1), 6 bits from history → NOT a dup of anything published)
+    val hasher = fixedHasher(Map(100L -> 0L, 1L -> 7L, 2L -> 63L))
+    DocumentStreams.seedIndex(
+      hasher(Seq(100L).toDF("media_id"), "media_id"), indexPath)
+
+    // batch 0: id 1 dropped as dup-of-history; id 2 is near id 1 but far
+    // from everything PUBLISHED — it must survive (the old shape dropped
+    // it transitively through the unpublished id 1)
+    MediaStreams.processMediaBatch(
+      Seq(1L, 2L).toDF("media_id").withColumn("payload", lit(Array[Byte]())),
+      0L, "media_id", hasher, indexPath, outPath, maxDistance = 3)
+    assert(spark.read.parquet(outPath).select("media_id").as[Long]
+      .collect().toSet == Set(2L))
+    assert(spark.read.parquet(indexPath).select("id").as[Long]
+      .collect().toSet == Set(100L, 2L))
+
+    // batch 1: the PUBLISHED id 100 is re-sent verbatim in a later batch —
+    // it must be dropped against the index (same-id matches count), not
+    // republished into a second lake row / second index entry
+    MediaStreams.processMediaBatch(
+      Seq(100L).toDF("media_id").withColumn("payload", lit(Array[Byte]())),
+      1L, "media_id", hasher, indexPath, outPath, maxDistance = 3)
+    val lake = spark.read.parquet(outPath)
+    assert(lake.filter(col("media_id") === 100L).count() == 0)
+    assert(spark.read.parquet(indexPath).filter(col("id") === 100L).count() == 1)
+  }
 }
