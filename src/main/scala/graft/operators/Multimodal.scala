@@ -342,9 +342,9 @@ object Multimodal {
           // spec-conformant RIFF/WAVE header composed directly (44 bytes,
           // PCM fmt chunk + data chunk): byte-identical content to what
           // AudioSystem.write produces for this format, ~10× cheaper per
-          // payload — the REAL-codec claim lives on the decode side
-          // ([[audioFingerprint64]] goes through javax.sound), which is
-          // what a lake scan actually exercises
+          // payload; [[audioFingerprint64]]'s pure parser demuxes it, and
+          // the parser==javax.sound parity spec pins both decoders to the
+          // same samples on these very payloads
           val wav = new Array[Byte](44 + pcm.length)
           def le32(off: Int, v: Int): Unit = {
             wav(off) = (v & 0xff).toByte; wav(off + 1) = ((v >> 8) & 0xff).toByte
@@ -367,13 +367,124 @@ object Multimodal {
       .toDF(idCol, "payload")
   }
 
+  /** Result of the pure RIFF/WAVE chunk walk ([[parseRiffWav]]). */
+  private[operators] sealed trait RiffParse
+  private[operators] object RiffParse {
+    /** PCM16 mono payload: `data` is the raw little-endian sample bytes. */
+    final case class Pcm16Mono(data: Array[Byte]) extends RiffParse
+    /** Well-formed RIFF/WAVE whose format the fingerprint rejects
+      * (compressed, multi-channel, or non-16-bit) — hash NULL without
+      * touching the provider registry: the provider path would decode to
+      * the same rejection for everything the JDK ships.
+      */
+    case object Rejected extends RiffParse
+    /** Not a RIFF/WAVE container (or truncated mid-chunk) — fall back to
+      * the `javax.sound` provider path, which also handles AIFF/AU.
+      */
+    case object NotRiff extends RiffParse
+  }
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def tag4(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  /** Pure RIFF/WAVE parser for the PCM16-mono subset the fingerprint
+    * accepts: `"RIFF" <size> "WAVE"` then word-aligned `<id><size>` chunks
+    * (Microsoft/IBM WAVE layout); `fmt ` must carry audioFormat=1 (PCM),
+    * channels=1, bits=16, and `data` holds the little-endian samples.
+    * ~40 lines of plain byte arithmetic, no `javax.sound` — the JDK's
+    * AudioFileReader SPI resolves through a JVM-GLOBAL synchronized
+    * registry, measured to SERIALIZE 32 concurrent decode tasks (a fat
+    * multi-core executor decodes one item at a time regardless of
+    * parallelism); this parser is lock-free and embarrassingly parallel.
+    * WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers defer to the provider path
+    * rather than re-implementing the sub-format dance.
+    */
+  private[operators] def parseRiffWav(bytes: Array[Byte]): RiffParse = {
+    if (bytes.length < 12 || tag4(bytes, 0) != "RIFF" || tag4(bytes, 8) != "WAVE")
+      return RiffParse.NotRiff
+    var off = 12
+    var fmtSeen = false
+    var fmtOk = false
+    var data: Array[Byte] = null
+    while (off + 8 <= bytes.length && data == null) {
+      val id = tag4(bytes, off)
+      val sz = le32(bytes, off + 4)
+      if (sz < 0 || off + 8 + sz > bytes.length) return RiffParse.NotRiff
+      if (id == "fmt " && sz >= 16) {
+        fmtSeen = true
+        val audioFormat = le16(bytes, off + 8)
+        if (audioFormat == 0xFFFE) return RiffParse.NotRiff
+        fmtOk = audioFormat == 1 /* PCM */ &&
+          le16(bytes, off + 10) == 1 /* mono */ &&
+          le16(bytes, off + 22) == 16 /* bits */
+      } else if (id == "data") {
+        if (!fmtSeen) return RiffParse.NotRiff // data before fmt: malformed
+        data = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + sz)
+      }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (data == null) RiffParse.NotRiff
+    else if (fmtOk) RiffParse.Pcm16Mono(data)
+    else RiffParse.Rejected
+  }
+
+  /** The 65-window energy difference hash over raw 16-bit samples —
+    * shared by the pure-parser and provider decode paths, so both are
+    * sample-for-sample identical by construction past the demux.
+    * Returns None for clips shorter than 65 frames.
+    */
+  private[operators] def fingerprint64FromPcm(raw: Array[Byte], nFrames: Int,
+                                              bigEndian: Boolean): Option[Long] = {
+    val n = math.min(nFrames, raw.length / 2)
+    if (n < 65) None
+    else {
+      val energy = new Array[Long](65)
+      var w = 0
+      while (w < 65) {
+        val t0 = w * n / 65; val t1 = (w + 1) * n / 65
+        var e = 0L
+        var t = t0
+        while (t < t1) {
+          val lo = raw(2 * t) & 0xff
+          val hi = raw(2 * t + 1).toInt // sign-extends
+          val s = if (bigEndian) (lo << 8) | (hi & 0xff) else (hi << 8) | lo
+          val s16 = s.toShort.toInt
+          e += math.abs(s16.toLong)
+          t += 1
+        }
+        energy(w) = e
+        w += 1
+      }
+      var acc = 0L
+      var b = 0
+      while (b < 64) {
+        if (energy(b + 1) > energy(b)) acc |= (1L << b)
+        b += 1
+      }
+      Some(acc)
+    }
+  }
+
   /** 64-bit AUDIO FINGERPRINT (difference hash over window energies —
-    * the Shazam/Chromaprint idea reduced to its integer skeleton): real
-    * `javax.sound.sampled` WAV decode → signed 16-bit samples → 65
-    * windows with integer boundaries `w·frames div 65` → per-window
-    * energy Σ|sample| → bit b set iff E(b+1) > E(b). Pure integer
-    * arithmetic after the codec, so the hash is bit-reproducible on any
-    * engine. Non-PCM16/mono or undecodable payloads hash to NULL.
+    * the Shazam/Chromaprint idea reduced to its integer skeleton):
+    * PCM16-mono WAV demuxed by the pure [[parseRiffWav]] byte walk →
+    * signed 16-bit samples → 65 windows with integer boundaries
+    * `w·frames div 65` → per-window energy Σ|sample| → bit b set iff
+    * E(b+1) > E(b). Pure integer arithmetic end-to-end, so the hash is
+    * bit-reproducible on any engine. Non-PCM16/mono or undecodable
+    * payloads hash to NULL.
+    *
+    * The hot path deliberately avoids `javax.sound.sampled`: its
+    * AudioFileReader SPI holds a JVM-global lock that serializes decode
+    * across ALL cores of an executor (measured: 32-way parallel decode
+    * SLOWER than one partition). The provider path survives only as the
+    * fallback for non-RIFF containers (AIFF/AU), resolved lazily once
+    * per partition, so a pure-WAV corpus never touches the registry.
     *
     * Output (id, sh) feeds [[Dedup.simhashPairsFromTable]] — audio
     * near-dup detection rides the SAME pigeonhole Hamming join as text
@@ -386,66 +497,40 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { items =>
-        // resolve the JDK's AudioFileReader providers ONCE per partition
-        // through the public SPI: AudioSystem.getAudioInputStream walks a
-        // synchronized global registry per call, and 32 concurrent
-        // decoder tasks serialize on that lock
-        val readers = {
+        // provider list for the non-RIFF fallback, resolved at most once
+        // per partition and only if a non-WAV payload actually appears
+        lazy val readers = {
           val it = java.util.ServiceLoader
             .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
           val buf = scala.collection.mutable.ArrayBuffer.empty[javax.sound.sampled.spi.AudioFileReader]
           while (it.hasNext) buf += it.next()
           buf.toList
         }
-        def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
-          val stream = new java.io.ByteArrayInputStream(bytes)
-          readers.iterator.flatMap { r =>
-            stream.reset()
-            try Some(r.getAudioInputStream(stream))
-            catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
-          }.nextOption().getOrElse(
-            throw new javax.sound.sampled.UnsupportedAudioFileException("no provider"))
-        }
-        items.map { case (id, bytes) =>
-          val sh: Option[Long] =
+        def providerDecode(bytes: Array[Byte]): Option[Long] =
+          try {
+            val stream = new java.io.ByteArrayInputStream(bytes)
+            val ais = readers.iterator.flatMap { r =>
+              stream.reset()
+              try Some(r.getAudioInputStream(stream))
+              catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+            }.nextOption().getOrElse(
+              throw new javax.sound.sampled.UnsupportedAudioFileException("no provider"))
             try {
-              val ais = open(bytes)
-              try {
-                val f = ais.getFormat
-                val frames = ais.getFrameLength.toInt
-                if (f.getChannels != 1 || f.getSampleSizeInBits != 16 ||
-                    f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-                    frames < 65) None
-                else {
-                  val raw = ais.readAllBytes()
-                  val n = math.min(frames, raw.length / 2)
-                  val energy = new Array[Long](65)
-                  var w = 0
-                  while (w < 65) {
-                    val t0 = w * n / 65; val t1 = (w + 1) * n / 65
-                    var e = 0L
-                    var t = t0
-                    while (t < t1) {
-                      val lo = raw(2 * t) & 0xff
-                      val hi = raw(2 * t + 1).toInt // sign-extends
-                      val s = if (f.isBigEndian) (lo << 8) | (hi & 0xff) else (hi << 8) | lo
-                      val s16 = s.toShort.toInt
-                      e += math.abs(s16.toLong)
-                      t += 1
-                    }
-                    energy(w) = e
-                    w += 1
-                  }
-                  var acc = 0L
-                  var b = 0
-                  while (b < 64) {
-                    if (energy(b + 1) > energy(b)) acc |= (1L << b)
-                    b += 1
-                  }
-                  Some(acc)
-                }
-              } finally ais.close()
-            } catch { case scala.util.control.NonFatal(_) => None }
+              val f = ais.getFormat
+              val frames = ais.getFrameLength.toInt
+              if (f.getChannels != 1 || f.getSampleSizeInBits != 16 ||
+                  f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                None
+              else fingerprint64FromPcm(ais.readAllBytes(), frames, f.isBigEndian)
+            } finally ais.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        items.map { case (id, bytes) =>
+          val sh: Option[Long] = parseRiffWav(bytes) match {
+            case RiffParse.Pcm16Mono(data) =>
+              fingerprint64FromPcm(data, data.length / 2, bigEndian = false)
+            case RiffParse.Rejected => None
+            case RiffParse.NotRiff  => providerDecode(bytes)
+          }
           (id, sh)
         }
       }

@@ -595,4 +595,53 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.audioFingerprint64(img, "doc_id")
       .as[(Long, Option[Long])].head()._2.isEmpty)
   }
+
+  test("parseRiffWav == javax.sound sample-for-sample; AIFF falls back; stereo rejected") {
+    val ids = Seq(0L, 1L, 7L, 42L, 4097L, 99999L)
+    val payloads = Multimodal.withToneAudioPayload(ids.toDF("doc_id"), "doc_id")
+      .select("doc_id", "payload").as[(Long, Array[Byte])].collect()
+    // the pure parser and the JDK provider must agree on the SAMPLES, not
+    // just the fingerprint: byte-for-byte equality of the demuxed PCM
+    payloads.foreach { case (id, wav) =>
+      val parsed = Multimodal.parseRiffWav(wav) match {
+        case Multimodal.RiffParse.Pcm16Mono(data) => data
+        case other => fail(s"id $id: expected Pcm16Mono, got $other")
+      }
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val f = ais.getFormat
+      assert(f.getChannels == 1 && f.getSampleSizeInBits == 16 && !f.isBigEndian)
+      val ref = ais.readAllBytes()
+      assert(java.util.Arrays.equals(parsed, ref),
+        s"id $id: parser and javax.sound must demux identical sample bytes")
+    }
+    // an AIFF twin (big-endian, non-RIFF container) rides the provider
+    // fallback and lands on the SAME fingerprint as its WAV original
+    val wav0 = payloads.head._2
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav0)),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, baos)
+    val aiff = baos.toByteArray
+    assert(Multimodal.parseRiffWav(aiff) == Multimodal.RiffParse.NotRiff)
+    val hs = Multimodal.audioFingerprint64(
+        Seq((1L, wav0), (2L, aiff)).toDF("doc_id", "payload"), "doc_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(hs(1L).nonEmpty && hs(1L) == hs(2L))
+    // a stereo PCM16 WAV is a WELL-FORMED RIFF the fingerprint rejects
+    // outright — no provider resolution, hash NULL
+    val stereoPcm = new Array[Byte](4 * 200)
+    val sf2 = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val sb = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(stereoPcm), sf2, 200L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, sb)
+    val stereoWav = sb.toByteArray
+    assert(Multimodal.parseRiffWav(stereoWav) == Multimodal.RiffParse.Rejected)
+    assert(Multimodal.audioFingerprint64(
+        Seq((9L, stereoWav)).toDF("doc_id", "payload"), "doc_id")
+      .as[(Long, Option[Long])].head()._2.isEmpty)
+  }
 }
