@@ -490,11 +490,12 @@ object Dedup extends org.apache.spark.internal.Logging {
     * (chunk index, chunk value) — no cross join.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDistance: Int = 3, materialize: Boolean = true): DataFrame =
+                   maxDistance: Int = 3, materialize: Boolean = true,
+                   maxBucket: Int = 0): DataFrame =
     // two longs per doc, consumed by BOTH self-join sides — materialize so
     // the corpus is tokenized+hashed once, not once per side
     simhashPairsFromTable(materialized(materialize,
-      simhashTable(df, idCol, textCol)), maxDistance)
+      simhashTable(df, idCol, textCol)), maxDistance, maxBucket)
 
   /** The (id, sh) 64-bit simhash table of a corpus — one hash pass. */
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -518,22 +519,57 @@ object Dedup extends org.apache.spark.internal.Logging {
     * 50k-image probe measured 35 s → this shape removes that exchange
     * entirely. Same verified-before-shuffled rule as
     * [[embeddingPairsLsh]].
+    *
+    * `maxBucket = 0` (default) is the EXACT all-pairs contract above.
+    * `maxBucket > 0` arms the DEGENERATE-CHUNK GUARD for perceptual-hash
+    * corpora, where verify-inline still leaves O(m²) join work inside a
+    * (chunk, cv) group: smooth images / silent clips put thousands of
+    * items on the SAME 16-bit chunk value (often the same full hash). In
+    * guarded mode the output is a CONNECTIVITY CERTIFICATE rather than
+    * the exhaustive pair list — same connected components, same survivor
+    * set under smallest-id policies, linear where cliques are exact:
+    *  1. exact-hash cliques collapse to their min-id representative and
+    *     emit STAR edges (rep, member, 0) — |clique|−1 edges instead of
+    *     |clique|²/2, with identical transitive closure;
+    *  2. the pigeonhole join runs over DISTINCT hashes only;
+    *  3. residual (chunk, cv) groups holding more than `maxBucket`
+    *     DISTINCT hashes are skipped — recall is lost only for a pair
+    *     whose EVERY agreeing chunk is oversized (the same quantified
+    *     trade as the winnowing df cap), and exact duplicates are never
+    *     lost (stars bypass the chunk join entirely).
+    * The guard's own cost is one count per (chunk, cv) group — linear.
     */
-  def simhashPairsFromTable(hashed: DataFrame, maxDistance: Int): DataFrame = {
+  def simhashPairsFromTable(hashed: DataFrame, maxDistance: Int,
+                            maxBucket: Int = 0): DataFrame = {
     val chunks = maxDistance + 1
     val bits = 64 / chunks
-    val chunked = hashed.select(col("id"), col("sh"),
+    def chunkify(df: DataFrame) = df.select(col("id"), col("sh"),
       explode(array((0 until chunks).map(c => struct(lit(c).as("chunk"),
         shiftright(col("sh"), c * bits).bitwiseAND(lit((1L << bits) - 1)).as("cv"))): _*))
         .as("b"))
       .select(col("id"), col("sh"), col("b.chunk"), col("b.cv"))
-    val a = chunked.select(col("chunk"), col("cv"), col("id").as("id1"), col("sh").as("sh1"))
-    val b = chunked.select(col("chunk"), col("cv"), col("id").as("id2"), col("sh").as("sh2"))
-    a.join(b, Seq("chunk", "cv")).filter(col("id1") < col("id2"))
-      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
-      .filter(col("hamming") <= maxDistance)
-      .dropDuplicates("id1", "id2")
-      .select("id1", "id2", "hamming")
+    def pigeonhole(chunked: DataFrame) = {
+      val a = chunked.select(col("chunk"), col("cv"), col("id").as("id1"), col("sh").as("sh1"))
+      val b = chunked.select(col("chunk"), col("cv"), col("id").as("id2"), col("sh").as("sh2"))
+      a.join(b, Seq("chunk", "cv")).filter(col("id1") < col("id2"))
+        .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+        .filter(col("hamming") <= maxDistance)
+        .dropDuplicates("id1", "id2")
+        .select("id1", "id2", "hamming")
+    }
+    if (maxBucket <= 0) pigeonhole(chunkify(hashed))
+    else {
+      val reps = hashed.groupBy("sh").agg(min(col("id")).as("id"))
+      val stars = hashed.select(col("sh"), col("id").as("id2"))
+        .join(reps.select(col("sh"), col("id").as("id1")), Seq("sh"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), lit(0).as("hamming"))
+      val chunked = chunkify(reps)
+      val small = chunked.groupBy("chunk", "cv")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
+        .select("chunk", "cv")
+      stars.union(pigeonhole(chunked.join(small, Seq("chunk", "cv"), "left_semi")))
+    }
   }
 
   /** INCREMENTAL Hamming probe between two (id, sh) 64-bit hash tables —
@@ -554,25 +590,55 @@ object Dedup extends org.apache.spark.internal.Logging {
     * construction not yet published, so a same-id match IS a re-sent
     * duplicate of a published item and must be flagged
     * ([[graft.streaming.MediaStreams]]).
+    *
+    * `maxBucket` arms the degenerate-chunk guard exactly as in
+    * [[simhashPairsFromTable]], reshaped for the probe: the INDEX side
+    * collapses to one min-id representative per distinct hash, exact
+    * matches ride a direct hash equi-join (never lost, never quadratic —
+    * a batch item matching a million-member smooth-hash clique costs one
+    * row), and residual (chunk, cv) groups with more than `maxBucket`
+    * DISTINCT index hashes are skipped. Guarded `old_id` is the clique
+    * representative, not necessarily the nearest member — callers that
+    * only consume `new_id` (the ingest loops) are unaffected.
     */
   def incrementalHammingPairs(newHashes: DataFrame, indexHashes: DataFrame,
                               maxDistance: Int,
-                              excludeSelf: Boolean = true): DataFrame = {
+                              excludeSelf: Boolean = true,
+                              maxBucket: Int = 0): DataFrame = {
     val chunks = maxDistance + 1
     val bits = 64 / chunks
+    val selfFilter =
+      if (excludeSelf) col("new_id") =!= col("old_id") else lit(true)
     def chunked(df: DataFrame, idName: String, shName: String) =
       df.select(col("id").as(idName), col("sh").as(shName),
         explode(array((0 until chunks).map(c => struct(lit(c).as("chunk"),
           shiftright(col("sh"), c * bits).bitwiseAND(lit((1L << bits) - 1)).as("cv"))): _*))
           .as("b"))
         .select(col(idName), col(shName), col("b.chunk"), col("b.cv"))
-    chunked(newHashes, "new_id", "new_sh")
-      .join(chunked(indexHashes, "old_id", "old_sh"), Seq("chunk", "cv"))
-      .filter(if (excludeSelf) col("new_id") =!= col("old_id") else lit(true))
-      .withColumn("hamming", bit_count(col("new_sh").bitwiseXOR(col("old_sh"))))
-      .filter(col("hamming") <= maxDistance)
-      .dropDuplicates("new_id", "old_id")
-      .select("new_id", "old_id", "hamming")
+    def probe(oldChunked: DataFrame) =
+      chunked(newHashes, "new_id", "new_sh")
+        .join(oldChunked, Seq("chunk", "cv"))
+        .filter(selfFilter)
+        .withColumn("hamming", bit_count(col("new_sh").bitwiseXOR(col("old_sh"))))
+        .filter(col("hamming") <= maxDistance)
+        .dropDuplicates("new_id", "old_id")
+        .select("new_id", "old_id", "hamming")
+    if (maxBucket <= 0) probe(chunked(indexHashes, "old_id", "old_sh"))
+    else {
+      val reps = indexHashes.groupBy("sh").agg(min(col("id")).as("id"))
+      val exactHits = newHashes.select(col("id").as("new_id"), col("sh").as("new_sh"))
+        .join(reps.select(col("id").as("old_id"), col("sh").as("old_sh")),
+          col("new_sh") === col("old_sh"))
+        .filter(selfFilter)
+        .select(col("new_id"), col("old_id"), lit(0).as("hamming"))
+      val oldChunked = chunked(reps, "old_id", "old_sh")
+      val small = oldChunked.groupBy("chunk", "cv")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
+        .select("chunk", "cv")
+      exactHits.union(
+        probe(oldChunked.join(small, Seq("chunk", "cv"), "left_semi"))
+          .filter(col("hamming") >= 1))
+    }
   }
 
   /** EXACT n-gram Jaccard pairs ≥ `threshold` via PREFIX FILTERING — the

@@ -37,14 +37,21 @@ object MediaStreams {
     * [[graft.operators.Multimodal]] hasher partially applied to the
     * payload column. `indexPath` seeds via [[DocumentStreams.seedIndex]]
     * (or bootstraps from absent); `outPath` receives survivors.
+    *
+    * `maxBucket > 0` arms [[Dedup.simhashPairsFromTable]]'s
+    * degenerate-chunk guard on both the history probe and the in-batch
+    * pairing — set it when the corpus can carry many near-constant items
+    * (smooth images, silent clips): the drop DECISIONS only need
+    * connectivity, which the guard preserves for exact cliques.
     */
   def ingestMediaDedup(newMedia: DataFrame, idCol: String,
                        hasher: (DataFrame, String) => DataFrame,
                        indexPath: String, outPath: String,
-                       maxDistance: Int = 3): DataStreamWriter[Row] =
+                       maxDistance: Int = 3,
+                       maxBucket: Int = 0): DataStreamWriter[Row] =
     newMedia.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       processMediaBatch(batch, batchId, idCol, hasher, indexPath, outPath,
-        maxDistance)
+        maxDistance, maxBucket)
     }
 
   /** One micro-batch of the loop (factored out so batch semantics are
@@ -54,7 +61,8 @@ object MediaStreams {
                                            idCol: String,
                                            hasher: (DataFrame, String) => DataFrame,
                                            indexPath: String, outPath: String,
-                                           maxDistance: Int): Unit = {
+                                           maxDistance: Int,
+                                           maxBucket: Int = 0): Unit = {
     val spark = batch.sparkSession
     val hashed = hasher(batch, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -75,7 +83,7 @@ object MediaStreams {
     // policing id collisions needs a full-index id probe per batch,
     // an upstream key-integrity concern, not a content-dedup one.)
     val dupOfHistory = Dedup.incrementalHammingPairs(decodable, history,
-        maxDistance, excludeSelf = false)
+        maxDistance, excludeSelf = false, maxBucket = maxBucket)
       .select(col("new_id").as("__drop"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // near-dup WITHIN the batch, computed over items that survived the
@@ -87,7 +95,8 @@ object MediaStreams {
     // as the batch pipeline's connected-components dedup.
     val batchEligible = decodable.join(dupOfHistory,
       decodable("id") === col("__drop"), "left_anti")
-    val dupInBatch = Dedup.simhashPairsFromTable(batchEligible, maxDistance)
+    val dupInBatch = Dedup.simhashPairsFromTable(batchEligible, maxDistance,
+        maxBucket)
       .select(col("id2").as("__drop"))
     val dropIds = dupOfHistory.union(dupInBatch).distinct()
     val survivors = batch

@@ -566,6 +566,48 @@ class OperatorsSpec extends SparkSpec {
     assert(again.count() == 0)
   }
 
+  test("Hamming degenerate-chunk guard: connectivity preserved, cliques linear, cap documented") {
+    // mixed corpus: a 10-item exact clique (sh=0), a 5-item exact clique
+    // (far), a near-dup of clique A (hamming 2), a far singleton
+    val tbl = ((0L to 9L).map(i => (i, 0L)) ++
+      (10L to 14L).map(i => (i, 0xFF000000FF000000L)) ++
+      Seq((20L, 3L), (30L, 0x5555555555555555L))).toDF("id", "sh")
+    val allIds = ((0L to 9L) ++ (10L to 14L) ++ Seq(20L, 30L)).toSet
+    def comps(pairs: Set[(Long, Long, Int)]): Set[Set[Long]] = {
+      val parent = scala.collection.mutable.Map(allIds.map(i => i -> i).toSeq: _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b, _) => parent(find(a)) = find(b) }
+      allIds.groupBy(find).values.map(_.toSet).toSet
+    }
+    val unguarded = Dedup.simhashPairsFromTable(tbl, 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val guarded = Dedup.simhashPairsFromTable(tbl, 3, maxBucket = 16)
+      .as[(Long, Long, Int)].collect().toSet
+    // the guard emits a connectivity CERTIFICATE: same components, same
+    // min-id survivor per cluster — but linear where cliques are exact
+    assert(comps(guarded) == comps(unguarded))
+    assert(unguarded.size == 45 + 10 + 10) // quadratic in the cliques
+    assert(guarded.size == 9 + 4 + 1)      // stars + one rep pair
+    assert(guarded.contains((0L, 20L, 2)))
+    // adversarial: 5000 identical hashes — 4999 star edges, never m²/2
+    val big = (0L until 5000L).map(i => (i, 42L)).toDF("id", "sh")
+    assert(Dedup.simhashPairsFromTable(big, 3, maxBucket = 100).count() == 4999)
+    // incremental probe against the giant clique: an exact batch match
+    // costs ONE row (vs 5000 unguarded), a near match finds the rep
+    val probe = Seq((9000L, 42L), (9001L, 43L)).toDF("id", "sh")
+    assert(Dedup.incrementalHammingPairs(probe, big, 3, maxBucket = 100)
+      .as[(Long, Long, Int)].collect().toSet ==
+      Set((9000L, 0L, 0), (9001L, 0L, 1)))
+    // the documented recall trade: a pair whose EVERY agreeing chunk
+    // group is oversized is skipped (here 21 distinct hashes k<<16 agree
+    // on chunks 0/2/3 and differ on chunk 1, so a cap of 10 loses the
+    // (0, 1<<16) hamming-1 pair); exact duplicates are never lost
+    val shear = (0L to 20L).map(k => (k, k << 16)).toDF("id", "sh")
+    assert(Dedup.simhashPairsFromTable(shear, 3)
+      .filter(col("id1") === 0 && col("id2") === 1).count() == 1)
+    assert(Dedup.simhashPairsFromTable(shear, 3, maxBucket = 10).count() == 0)
+  }
+
   test("audioFingerprint64: WAV round-trip == driver-side tone mirror; null on non-audio") {
     def mirror(id: Long): Long = {
       val k = id / 4; val v = (id % 4).toInt
