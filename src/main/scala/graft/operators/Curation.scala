@@ -102,11 +102,49 @@ object Curation {
   def contaminationHits(docs: DataFrame, idCol: String, textCol: String,
                         benchmark: DataFrame, benchTextCol: String,
                         ngramSize: Int = 8,
-                        bloom: Option[BloomConfig] = None): DataFrame = {
-    val benchGrams0 = benchmark
+                        bloom: Option[BloomConfig] = None): DataFrame =
+    contaminationHitsFromGrams(docs, idCol, textCol,
+      benchGramTable(benchmark, benchTextCol, ngramSize), ngramSize, bloom,
+      fingerprintOf = benchmark)
+
+  /** The benchmark's DISTINCT hashed-gram table — the build side of the
+    * contamination join, one column of longs.
+    */
+  def benchGramTable(benchmark: DataFrame, benchTextCol: String,
+                     ngramSize: Int = 8): DataFrame =
+    benchmark
       .select(explode(graft.functions.HashedShingles.column(col(benchTextCol), ngramSize))
         .as("__gram"))
       .distinct()
+
+  /** [[benchGramTable]] memoized to its persisted parquet layout (same
+    * build-once/serve-many contract as `Search.bm25IndexFor` and the
+    * dedup signature tables): an eval suite is shingled ONCE per release
+    * and every nightly decontamination run joins the stored longs — the
+    * suite text is never re-tokenized per run.
+    */
+  def benchGramsFor(benchmark: => DataFrame, cacheKey: String,
+                    benchTextCol: String, ngramSize: Int = 8): DataFrame =
+    Dedup.diskMemo(s"benchgrams$ngramSize", cacheKey)(
+      benchGramTable(benchmark, benchTextCol, ngramSize))
+
+  /** [[contaminationHits]] from a prebuilt benchmark gram table
+    * ([[benchGramTable]] / [[benchGramsFor]]) — zero benchmark-side
+    * shingling.
+    */
+  def contaminationHitsFromGrams(docs: DataFrame, idCol: String, textCol: String,
+                                 benchGrams0: DataFrame,
+                                 ngramSize: Int = 8,
+                                 bloom: Option[BloomConfig] = None): DataFrame =
+    contaminationHitsFromGrams(docs, idCol, textCol, benchGrams0, ngramSize,
+      bloom, fingerprintOf = benchGrams0)
+
+  private def contaminationHitsFromGrams(docs: DataFrame, idCol: String,
+                                         textCol: String,
+                                         benchGrams0: DataFrame,
+                                         ngramSize: Int,
+                                         bloom: Option[BloomConfig],
+                                         fingerprintOf: DataFrame): DataFrame = {
     val docGrams = docs.select(col(idCol).as("id"),
       // HashedShingles emits DISTINCT grams per doc, so the post-join
       // count is exactly |shared distinct grams| with no dedup step
@@ -115,7 +153,7 @@ object Curation {
       case None => (benchGrams0, docGrams)
       case Some(bc) =>
         val effKey = bc.sketchKey.map(k =>
-          s"$k|${corpusFingerprint(benchmark)}")
+          s"$k|${corpusFingerprint(fingerprintOf)}")
         val cached = effKey.flatMap(k => Option(sketchCache.get(k)))
         cached match {
           case Some(sketch) =>

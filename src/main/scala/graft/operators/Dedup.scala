@@ -55,7 +55,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     * persisted-index layout every dedup signature family shares (the
     * nightly index job writes it; every probe/pair query only ever reads).
     */
-  private def diskMemo(kind: String, cacheKey: String)(build: => DataFrame): DataFrame =
+  private[operators] def diskMemo(kind: String, cacheKey: String)(build: => DataFrame): DataFrame =
     diskMemoCache.computeIfAbsent(s"$kind!$cacheKey", _ => {
       val df = build
       // md5 of the FULL key, not a 32-bit hashCode: colliding keys would

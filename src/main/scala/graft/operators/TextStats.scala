@@ -219,15 +219,44 @@ object TextStats {
     */
   def importanceStats(docs: DataFrame, idCol: String, textCol: String,
                       target: DataFrame, targetTextCol: String,
-                      ngramSize: Int = 2): DataFrame = {
+                      ngramSize: Int = 2): DataFrame =
+    importanceStatsFromCounts(docs, idCol, textCol,
+      gramCounts(docs, textCol, ngramSize),
+      gramCounts(target, targetTextCol, ngramSize), ngramSize)
+
+  /** The (hashed gram, containing-doc count) VOCABULARY table of a corpus
+    * — the Zipf-small aggregate both DSIR count sides are built from.
+    */
+  def gramCounts(df: DataFrame, textCol: String, ngramSize: Int): DataFrame =
+    df.select(
+        explode(graft.functions.HashedShingles.column(col(textCol), ngramSize))
+          .as("__g"))
+      .groupBy("__g").agg(count(lit(1)).as("__cnt"))
+
+  /** [[gramCounts]] memoized to its persisted parquet layout (the
+    * `Search.bm25IndexFor` build-once/serve-many contract): the raw-corpus
+    * vocabulary is built once per corpus snapshot and the target
+    * vocabulary once per suite release; every importance-scoring run
+    * joins the stored (gram, count) longs instead of re-shingling either
+    * corpus.
+    */
+  def gramCountsFor(df: => DataFrame, cacheKey: String, textCol: String,
+                    ngramSize: Int = 2): DataFrame =
+    Dedup.diskMemo(s"gramcnt$ngramSize", cacheKey)(
+      gramCounts(df, textCol, ngramSize))
+
+  /** [[importanceStats]] from prebuilt raw/target vocabulary tables
+    * ([[gramCounts]] / [[gramCountsFor]]) — the per-run work is exactly
+    * one shingle pass over `docs` plus the two gram-keyed joins.
+    */
+  def importanceStatsFromCounts(docs: DataFrame, idCol: String, textCol: String,
+                                rawCounts: DataFrame, targetCounts: DataFrame,
+                                ngramSize: Int = 2): DataFrame = {
     val docGrams = docs.select(col(idCol).as("id"),
       explode(graft.functions.HashedShingles.column(col(textCol), ngramSize))
         .as("__g"))
-    val rawCnt = docGrams.groupBy("__g").agg(count(lit(1)).as("__raw_cnt"))
-    val targetCnt = target.select(
-        explode(graft.functions.HashedShingles.column(col(targetTextCol), ngramSize))
-          .as("__g"))
-      .groupBy("__g").agg(count(lit(1)).as("__tgt_cnt"))
+    val rawCnt = rawCounts.select(col("__g"), col("__cnt").as("__raw_cnt"))
+    val targetCnt = targetCounts.select(col("__g"), col("__cnt").as("__tgt_cnt"))
     docGrams
       .join(rawCnt, "__g")
       .join(targetCnt, Seq("__g"), "left")

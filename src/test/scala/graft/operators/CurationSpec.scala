@@ -123,6 +123,16 @@ class CurationSpec extends SparkSpec {
         bloom = Some(Curation.BloomConfig(sketchKey = key)))
       .as[(Long, Long)].collect().sorted.toSeq
     assert(m1 == exact && m2 == exact)
+    // the persisted-gram-table path (benchGramsFor → FromGrams) serves
+    // identical hits on first build AND on the disk re-read
+    val gk = s"curationspec-grams-${System.nanoTime()}"
+    (1 to 2).foreach { i =>
+      val viaIndex = Curation.contaminationHitsFromGrams(docs, "doc_id", "text",
+          Curation.benchGramsFor(benchmark, gk, "text", ngramSize = 8),
+          ngramSize = 8)
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(viaIndex == exact, s"pass $i")
+    }
   }
 
   test("pretrainingPipeline(nearDupPairs = full-corpus pairs) == the self-contained path") {

@@ -127,6 +127,21 @@ class TextStatsSpec extends SparkSpec {
     // doc 3 shares nothing
     assert(got(1L)._2 > 0 && got(3L)._2 == 0L && got(3L)._4 == got(3L)._1)
     assert(!got.contains(4L))
+    // the persisted-vocabulary path (gramCountsFor → FromCounts) serves
+    // the same stats on first build AND on the disk re-read
+    val key = System.nanoTime()
+    (1 to 2).foreach { i =>
+      val viaIndex = TextStats.importanceStatsFromCounts(
+          raw.toDF("id", "text"), "id", "text",
+          TextStats.gramCountsFor(raw.toDF("id", "text"),
+            s"textstatsspec-raw-$key", "text", ngramSize = 2),
+          TextStats.gramCountsFor(tgt.map(Tuple1(_)).toDF("t"),
+            s"textstatsspec-tgt-$key", "t", ngramSize = 2),
+          ngramSize = 2)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+      assert(viaIndex == expected, s"pass $i")
+    }
   }
 
   test("modelQualityScore == driver reference; bias-only empty docs; threshold") {
