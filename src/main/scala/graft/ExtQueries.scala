@@ -1019,6 +1019,32 @@ object ExtQueries {
         Similarity.ivfTopK(idx, "vec_id", "embedding", q, k = 10, nprobe = 4)
       },
       golden("q_ann_ivf")),
+
+    // IVF with the DENSITY-SCALED sizing default (nClusters = 0 →
+    // ivfClustersForCorpus's ≈√n rule — the LshTuning move applied to
+    // IVF): the index builds once per JVM through the memoized production
+    // path with the DERIVED k, recorded in the memo key/path. The probe
+    // sets nprobe to every cluster, which makes IVF EXACTLY the
+    // brute-force ranking — an exact SQL oracle gating the derived-k
+    // fit + partitioned-index + probe machinery end-to-end (the
+    // pruned-probe approximation itself is q_ann_ivf's golden-gated
+    // territory; recall at the derived k is in ANN_SWEEP.md).
+    "q_ann_ivf_tuned" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](emb.columns.indexOf("embedding"))
+        val idx = Similarity.ivfIndexFor(emb.filter(col("vec_id") =!= 0),
+          cacheKey = s"$dir/embeddings!vec_id!tuned",
+          "vec_id", "embedding", nClusters = 0)
+        Similarity.ivfTopK(idx, "vec_id", "embedding", q, k = 10,
+          nprobe = idx.centroids.length)
+      },
+      Some("""SELECT vec_id,
+               list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cos
+             FROM embeddings WHERE vec_id <> 0
+             ORDER BY cos DESC, vec_id LIMIT 10""")),
   )
 
   private val knnQueries: Seq[(String, Q)] = Seq(

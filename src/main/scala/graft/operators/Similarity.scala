@@ -92,13 +92,35 @@ object Similarity {
     * production layout: the offline index job writes the partitioned
     * table; online queries only ever see the cheap read side.
     */
+  /** Density-scaled IVF sizing — [[LshTuning.forCorpus]]'s move applied
+    * to IVF when the caller passes `nClusters = 0`: nlist ≈ √n balances
+    * the probe's two costs (the centroid ranking scans nlist centroids;
+    * the candidate scan reads ~nprobe·n/nlist vectors), whose sum is
+    * minimized at nlist = √(nprobe·n) — the standard IVF rule, taken at
+    * its nprobe-independent √n skeleton. Fixed nlist has the same
+    * failure mode the LSH sweep measured: at 100× the data, 16 clusters
+    * means 100× bigger candidate scans per probe.
+    */
+  def ivfClustersForCorpus(n: Long): Int = {
+    require(n > 0, "corpus size must be positive")
+    // ⌈√n⌋ with floors: at least 2 clusters (a real split), never more
+    // clusters than points (k ≤ n is the k-means feasibility bound)
+    math.min(n, math.max(2L, math.round(math.sqrt(n.toDouble)))).toInt
+  }
+
   def ivfIndexFor(df: => DataFrame, cacheKey: String,
                   idCol: String, vecCol: String,
                   nClusters: Int, seed: Long = 42L): IvfIndex = {
+    lazy val corpus = df
+    // resolve the density-scaled default BEFORE the memo key, so the key
+    // and path always record the k that was actually fit (two corpora of
+    // different sizes under nClusters = 0 never share an index)
+    val k = if (nClusters > 0) nClusters
+            else ivfClustersForCorpus(corpus.count())
     // fold every artifact-shaping parameter into the memo key and path
-    val fullKey = s"$cacheKey|id=$idCol|vec=$vecCol|k=$nClusters|seed=$seed"
+    val fullKey = s"$cacheKey|id=$idCol|vec=$vecCol|k=$k|seed=$seed"
     ivfCache.computeIfAbsent(fullKey, _ => {
-      val fresh = buildIvf(df, idCol, vecCol, nClusters, seed)
+      val fresh = buildIvf(corpus, idCol, vecCol, k, seed)
       // root from spark.graft.indexDir — shared storage on a cluster
       // ([[IndexRoot]]); node-local tmpdir only in local mode
       val path = IndexRoot.path(fresh.assigned.sparkSession, "ivf", fullKey)
@@ -125,9 +147,12 @@ object Similarity {
                nClusters: Int, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // nClusters = 0 → density-scaled default ([[ivfClustersForCorpus]])
+    val k = if (nClusters > 0) nClusters
+            else ivfClustersForCorpus(df.count())
     val feat = df.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol).cast("array<double>")).as("__features"))
-    val model = new KMeans().setK(nClusters).setSeed(seed)
+    val model = new KMeans().setK(k).setSeed(seed)
       .setFeaturesCol("__features").setPredictionCol("__cluster")
       .fit(feat)
     val assigned = model.transform(feat).drop("__features")

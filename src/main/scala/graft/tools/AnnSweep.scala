@@ -79,6 +79,27 @@ object AnnSweep {
       val r = runs.map(_._1).sum / runs.size
       println(f"| $nprobe | $r%.2f | ${ms(median(runs.map(_._2)))} | ${nprobe / 16.0}%.2f |")
     }
+
+    // density-scaled sizing (nClusters = 0 → ivfClustersForCorpus ≈ √n):
+    // the production default's recall/latency at this corpus density
+    val kDerived = Similarity.ivfClustersForCorpus(n)
+    println(s"\n## IVF sweep, density-scaled k (nClusters=0 -> k=$kDerived for n=$n)\n")
+    println("| nprobe | recall@10 | median latency | scanned fraction |")
+    println("|---|---|---|---|")
+    val idxT = Similarity.ivfIndexFor(emb.filter(col("vec_id") >= 0),
+      cacheKey = s"$sfDir/embeddings!sweep!tuned", "vec_id", "embedding",
+      nClusters = 0)
+    for (nprobe <- Seq(1, 2, 4, 8, kDerived / 2, kDerived).distinct.filter(_ >= 1)) {
+      val runs = queries.toSeq.map { case (qid, qv) =>
+        val pruned = Similarity.IvfIndex(
+          idxT.assigned.filter(col("vec_id") =!= qid), idxT.centroids)
+        val (ids, t) = timed(topIds(
+          Similarity.ivfTopK(pruned, "vec_id", "embedding", qv, k, nprobe)))
+        (recall(ids, truth(qid)), t)
+      }
+      val r = runs.map(_._1).sum / runs.size
+      println(f"| $nprobe | $r%.2f | ${ms(median(runs.map(_._2)))} | ${nprobe.toDouble / kDerived}%.2f |")
+    }
     spark.stop()
   }
 

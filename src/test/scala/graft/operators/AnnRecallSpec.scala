@@ -50,6 +50,45 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.6, f"IVF recall collapsed: $mean%.2f")
   }
 
+  test("density-scaled IVF sizing: √n rule, derived k in the memo key, recall holds") {
+    // the rule itself: √n clamped to [2, n]
+    assert(Similarity.ivfClustersForCorpus(1L) == 1)   // k ≤ n feasibility floor wins
+    assert(Similarity.ivfClustersForCorpus(4L) == 2)
+    assert(Similarity.ivfClustersForCorpus(100L) == 10)
+    assert(Similarity.ivfClustersForCorpus(1000000L) == 1000)
+    intercept[IllegalArgumentException](Similarity.ivfClustersForCorpus(0L))
+    // nClusters = 0 derives from the corpus: sf0.01 embeddings = 500 rows
+    val n = emb.count()
+    val expectK = Similarity.ivfClustersForCorpus(n)
+    val idx = Similarity.ivfIndexFor(emb, cacheKey = "recall-spec-tuned",
+      "vec_id", "embedding", nClusters = 0)
+    assert(idx.centroids.length == expectK,
+      s"derived k: expected $expectK for n=$n, got ${idx.centroids.length}")
+    // nprobe = all clusters ⇒ IVF is exactly brute force (the battery
+    // row's oracle argument); recall at a PRUNED probe stays sane too
+    val q = queryVec(0L)
+    val exact = topIds(Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding", q, 10))
+    val all = topIds(Similarity.ivfTopK(idx, "vec_id", "embedding", q, 11,
+        nprobe = idx.centroids.length)
+      .filter(col("vec_id") =!= 0L).limit(10))
+    assert(all == exact)
+    // pruned-probe recall at the derived k (averaged over 5 queries, the
+    // same protocol as the fixed-k test above)
+    val recalls = (0L to 4L).map { qid =>
+      val qv = queryVec(qid)
+      val ex = topIds(Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") =!= qid), "vec_id", "embedding", qv, 10))
+      val ap = topIds(Similarity.ivfTopK(idx, "vec_id", "embedding", qv, 11,
+          nprobe = math.max(2, expectK / 4))
+        .filter(col("vec_id") =!= qid).limit(10))
+      ex.intersect(ap).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"tuned-k ivfTopK mean recall@10 (nprobe=${math.max(2, expectK / 4)}/$expectK) = $mean%.2f")
+    assert(mean >= 0.5, f"tuned-k pruned-probe recall collapsed: $mean%.2f")
+  }
+
   test("pqTopK (ADC) recall@10 vs exact L2 brute force, and plan shape") {
     val cb = Similarity.pqCodebookFor(emb.select("embedding"),
       cacheKey = "recall-spec-pq", "embedding", m = 8, k = 16)
