@@ -913,6 +913,45 @@ object ExtQueries {
                AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45""")),
   )
 
+  /** One oracle for BOTH hybrid-RRF rows: the scan-legged exact anchor
+    * (`q_hybrid_rrf`) and the index-served production path
+    * (`q_hybrid_rrf_ann`, whose all-cluster probe makes the dense leg
+    * exactly the cosine ranking) fuse identical rank lists, so one SQL
+    * text gates both physical plans.
+    */
+  private val hybridRrfOracleSql: Option[String] =
+      Some(s"""
+        WITH lens AS (SELECT doc_id, CAST(len($sqlTokens) AS BIGINT) AS dl FROM documents),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) AS tot FROM lens),
+        tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+               WHERE token IN ('vector', 'spark', 'customer') GROUP BY 1, 2),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (SELECT doc_id,
+            sum(ln((nd - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+              * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+              / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / (tot / nd)))) AS score
+          FROM tf JOIN dfq USING (token) JOIN lens USING (doc_id) CROSS JOIN stats
+          GROUP BY doc_id),
+        bm AS (SELECT doc_id AS id,
+            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+          FROM scored ORDER BY score DESC, doc_id LIMIT 20),
+        ann AS (SELECT vec_id AS id,
+            CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+          FROM (SELECT vec_id,
+              list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cos
+            FROM embeddings WHERE vec_id <> 0)
+          ORDER BY cos DESC, vec_id LIMIT 20),
+        fused AS (SELECT COALESCE(bm.id, ann.id) AS id,
+            bm.rank AS rank_0, ann.rank AS rank_1,
+            (CASE WHEN bm.rank IS NOT NULL THEN 1.0 / CAST(60 + bm.rank AS DOUBLE) ELSE 0.0 END)
+            + (CASE WHEN ann.rank IS NOT NULL THEN 1.0 / CAST(60 + ann.rank AS DOUBLE) ELSE 0.0 END) AS rrf
+          FROM bm FULL OUTER JOIN ann ON bm.id = ann.id)
+        SELECT id, CAST(row_number() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rank,
+          rank_0, rank_1, rrf
+        FROM fused ORDER BY rrf DESC, id LIMIT 10""")
+
   private val simQueries: Seq[(String, Q)] = Seq(
     // Exact cosine top-10 for the vec_id=0 query vector.
     "q_sim_topk" -> Q(
@@ -951,37 +990,41 @@ object ExtQueries {
           .select(col("vec_id").as("id"), col("rank"))
         graft.operators.Search.rrfFuse(Seq(bm, ann), "id", "rank", k = 10)
       },
-      Some(s"""
-        WITH lens AS (SELECT doc_id, CAST(len($sqlTokens) AS BIGINT) AS dl FROM documents),
-        stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) AS tot FROM lens),
-        tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
-        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-               WHERE token IN ('vector', 'spark', 'customer') GROUP BY 1, 2),
-        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        scored AS (SELECT doc_id,
-            sum(ln((nd - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
-              * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
-              / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / (tot / nd)))) AS score
-          FROM tf JOIN dfq USING (token) JOIN lens USING (doc_id) CROSS JOIN stats
-          GROUP BY doc_id),
-        bm AS (SELECT doc_id AS id,
-            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-          FROM scored ORDER BY score DESC, doc_id LIMIT 20),
-        ann AS (SELECT vec_id AS id,
-            CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
-          FROM (SELECT vec_id,
-              list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cos
-            FROM embeddings WHERE vec_id <> 0)
-          ORDER BY cos DESC, vec_id LIMIT 20),
-        fused AS (SELECT COALESCE(bm.id, ann.id) AS id,
-            bm.rank AS rank_0, ann.rank AS rank_1,
-            (CASE WHEN bm.rank IS NOT NULL THEN 1.0 / CAST(60 + bm.rank AS DOUBLE) ELSE 0.0 END)
-            + (CASE WHEN ann.rank IS NOT NULL THEN 1.0 / CAST(60 + ann.rank AS DOUBLE) ELSE 0.0 END) AS rrf
-          FROM bm FULL OUTER JOIN ann ON bm.id = ann.id)
-        SELECT id, CAST(row_number() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rank,
-          rank_0, rank_1, rrf
-        FROM fused ORDER BY rrf DESC, id LIMIT 10""")),
+      hybridRrfOracleSql),
+
+    // The PRODUCTION hybrid path — both retriever legs served from
+    // persisted indexes, no corpus re-scan on either: BM25 from the
+    // postings/lengths tables ([[Search.bm25IndexFor]], ≤|Q| postings
+    // rows move) and the dense leg from the density-scaled partitioned
+    // IVF index ([[Similarity.ivfIndexFor]], nClusters = 0 → ≈√n).
+    // nprobe covers every cluster, so the dense RESULT equals the exact
+    // cosine ranking and the fusion shares q_hybrid_rrf's bit-exact SQL
+    // oracle — what this row gates is the physical path the 100 TB
+    // deployment runs (q_hybrid_rrf keeps the scan-legged exact anchor;
+    // pruned-nprobe hybrid recall is quantified in ANN_SWEEP.md).
+    "q_hybrid_rrf_ann" -> Q(
+      (s, dir) => {
+        val bmIdx = graft.operators.Search.bm25IndexFor(
+          table(s, dir, "documents"), cacheKey = s"$dir/documents!bm25",
+          "doc_id", "text")
+        val bm = graft.operators.Search.bm25TopKIndexed(
+          bmIdx, Seq("vector", "spark", "customer"), k = 20).select("id", "rank")
+        val emb = table(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](emb.columns.indexOf("embedding"))
+        val ivf = Similarity.ivfIndexFor(emb.filter(col("vec_id") =!= 0),
+          cacheKey = s"$dir/embeddings!vec_id!tuned",
+          "vec_id", "embedding", nClusters = 0)
+        val ann = Similarity.ivfTopK(ivf, "vec_id", "embedding", qv, k = 20,
+            nprobe = ivf.centroids.length)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+              .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+          .select(col("vec_id").as("id"), col("rank"))
+        graft.operators.Search.rrfFuse(Seq(bm, ann), "id", "rank", k = 10)
+      },
+      hybridRrfOracleSql),
+
 
     // LSH-bucketed approximate top-k — approximate wrt exact top-k (recall
     // quantified in ANN_SWEEP.md) but deterministic given the seeds: the

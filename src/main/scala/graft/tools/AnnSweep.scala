@@ -100,6 +100,37 @@ object AnnSweep {
       val r = runs.map(_._1).sum / runs.size
       println(f"| $nprobe | $r%.2f | ${ms(median(runs.map(_._2)))} | ${nprobe.toDouble / kDerived}%.2f |")
     }
+
+    // hybrid RRF with a PRUNED dense leg vs the exact hybrid: how much of
+    // the fused top-10 survives when the ANN leg probes a cluster subset
+    // (the q_hybrid_rrf_ann battery row is the nprobe=all exact gate; at
+    // scale the dense leg prunes, and fusion dampens its recall loss
+    // because the BM25 leg is unaffected)
+    println(s"\n## Hybrid RRF, pruned dense leg (BM25 leg fixed, k=10 fusion)\n")
+    println("| dense nprobe | fused-top10 overlap vs exact hybrid |")
+    println("|---|---|")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bmIdx = graft.operators.Search.bm25IndexFor(docs,
+      cacheKey = s"$sfDir/documents!sweep-bm25", "doc_id", "text")
+    val bm = graft.operators.Search.bm25TopKIndexed(
+      bmIdx, Seq("vector", "spark", "customer"), k = 20).select("id", "rank")
+    val qv0 = queries(0L)
+    def denseLeg(nprobe: Int) =
+      Similarity.ivfTopK(Similarity.IvfIndex(
+          idxT.assigned.filter(col("vec_id") =!= 0L), idxT.centroids),
+        "vec_id", "embedding", qv0, 20, nprobe)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+            .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .select(col("vec_id").as("id"), col("rank"))
+    def fusedIds(nprobe: Int): Seq[Long] =
+      graft.operators.Search.rrfFuse(Seq(bm, denseLeg(nprobe)), "id", "rank", 10)
+        .select("id").collect().map(_.getLong(0)).toSeq
+    val exactFused = fusedIds(kDerived).toSet
+    for (nprobe <- Seq(2, 4, 8, kDerived / 2).distinct) {
+      val got = fusedIds(nprobe)
+      println(f"| $nprobe/$kDerived | ${got.count(exactFused) / 10.0}%.2f |")
+    }
     spark.stop()
   }
 
