@@ -1832,6 +1832,61 @@ object ExtQueries {
         FROM h a JOIN h b ON a.id >= 250 AND b.id < 250
         WHERE bit_count(xor(a.sh, b.sh)) <= 3""")),
 
+    // VIDEO NEAR-DUP — the composition completing the media family: 8
+    // lossless BMP gradient frames per clip (frame f of clip id = the
+    // gradient pattern of effective id ((id div 4)·8 + f)·4 + id mod 4)
+    // → stub demux + every-2nd temporal sampling → per-frame dHash →
+    // ALIGNED pigeonhole Hamming join (frame position in the bucket key:
+    // only frame k meets frame k) → clip verdict at ≥ half the aligned
+    // frames matching. The oracle recomputes every sampled frame's hash
+    // from the pattern arithmetic and the exact aligned pair counts in
+    // pure SQL — codec fidelity, demux boundaries, the per-frame hash,
+    // the aligned join, and the fraction verdict all gate cross-engine.
+    "q_video_neardup" -> Q(
+      (s, dir) => Multimodal.videoNearDupPairs(
+        Multimodal.withVideoPayload(
+          table(s, dir, "documents").select("doc_id").repartition(32),
+          "doc_id", nFrames = 8),
+        "doc_id", everyNth = 2, maxDistance = 3, minMatchFrac = 0.5),
+      Some("""
+        WITH ids AS (SELECT doc_id AS id FROM documents),
+        fr AS (SELECT id, f.range AS f, ((id//4)*8 + f.range)*4 + id%4 AS e
+               FROM ids, range(0, 8, 2) f),
+        px AS (
+          SELECT id, f, x.range AS x, y.range AS y,
+            (7*x.range*x.range + 13*y.range*y.range
+             + (e//4%256)*31*(x.range+1)*(y.range+1)
+             + (e//4//256%256)*53*(x.range+2)*(y.range+3)
+             + CASE WHEN e%4 > 0 AND x.range//4 = e%4 AND y.range//4 = e%4
+                    THEN 64 ELSE 0 END) % 256 AS gray
+          FROM fr, range(36) x, range(32) y),
+        cells AS (
+          SELECT id, f, x//4 AS gx, y//4 AS gy, SUM(gray)//16 AS c
+          FROM px GROUP BY 1, 2, 3, 4),
+        bits AS (
+          SELECT a.id, a.f, a.gy*8 + a.gx AS b
+          FROM cells a JOIN cells b2
+            ON a.id = b2.id AND a.f = b2.f AND b2.gx = a.gx + 1 AND b2.gy = a.gy
+          WHERE a.gx < 8 AND b2.c > a.c),
+        hraw AS (
+          SELECT id, f, SUM(CAST(1 AS HUGEINT) << CAST(b AS INT)) AS s
+          FROM bits GROUP BY id, f),
+        h AS (
+          SELECT fr.id, fr.f,
+            CAST(CASE WHEN COALESCE(s, 0) >= CAST(1 AS HUGEINT) << 63
+                  THEN COALESCE(s, 0) - (CAST(1 AS HUGEINT) << 64)
+                  ELSE COALESCE(s, 0) END AS BIGINT) AS sh
+          FROM fr LEFT JOIN hraw ON hraw.id = fr.id AND hraw.f = fr.f),
+        nf AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1),
+        m AS (
+          SELECT a.id AS id1, b.id AS id2, CAST(count(*) AS BIGINT) AS n_matched
+          FROM h a JOIN h b ON a.f = b.f AND a.id < b.id
+          WHERE bit_count(xor(a.sh, b.sh)) <= 3
+          GROUP BY 1, 2)
+        SELECT id1, id2, n_matched, least(n1.n, n2.n) AS n_frames
+        FROM m JOIN nf n1 ON n1.id = m.id1 JOIN nf n2 ON n2.id = m.id2
+        WHERE CAST(n_matched AS DOUBLE) >= 0.5 * CAST(least(n1.n, n2.n) AS DOUBLE)""")),
+
     // AUDIO FINGERPRINT NEAR-DUP — the audio modality through the same
     // pigeonhole Hamming join: deterministic 16-bit PCM WAV tones (every
     // sample a pure integer function of the id; PCM is lossless) → REAL

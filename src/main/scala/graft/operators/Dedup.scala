@@ -641,6 +641,34 @@ object Dedup extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** ALIGNED-POSITION Hamming pairs — the video-frame shape of the
+    * pigeonhole join: input (id, pos, sh), candidates from a hash-bucket
+    * join keyed by (pos, chunk, cv), so only same-position hashes of two
+    * ids ever meet (frame 3 of clip A against frame 3 of clip B — the
+    * cheap aligned clip-fingerprint match; an unaligned variant is a
+    * different operator, not a parameter). Output one row per
+    * (id1 < id2, pos) within `maxDistance`; verify-inline-then-dedup
+    * ordering as [[simhashPairsFromTable]].
+    */
+  def alignedHammingPairs(posHashes: DataFrame, maxDistance: Int): DataFrame = {
+    val chunks = maxDistance + 1
+    val bits = 64 / chunks
+    val chunked = posHashes.select(col("id"), col("pos"), col("sh"),
+      explode(array((0 until chunks).map(c => struct(lit(c).as("chunk"),
+        shiftright(col("sh"), c * bits).bitwiseAND(lit((1L << bits) - 1)).as("cv"))): _*))
+        .as("b"))
+      .select(col("id"), col("pos"), col("sh"), col("b.chunk"), col("b.cv"))
+    val a = chunked.select(col("pos"), col("chunk"), col("cv"),
+      col("id").as("id1"), col("sh").as("sh1"))
+    val b = chunked.select(col("pos"), col("chunk"), col("cv"),
+      col("id").as("id2"), col("sh").as("sh2"))
+    a.join(b, Seq("pos", "chunk", "cv")).filter(col("id1") < col("id2"))
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= maxDistance)
+      .dropDuplicates("id1", "id2", "pos")
+      .select("id1", "id2", "pos", "hamming")
+  }
+
   /** EXACT n-gram Jaccard pairs ≥ `threshold` via PREFIX FILTERING — the
     * scalable exact set-similarity join (PPJoin family), not an O(n²) cross
     * join.

@@ -193,28 +193,10 @@ object Multimodal {
         }
         val writers = Map("png" -> writerFor("png"), "bmp" -> writerFor("bmp"))
         ids.map { id =>
-          val (w, h) = (36, 32)
-          val k = java.lang.Math.floorDiv(id, 4L)
-          val v = java.lang.Math.floorMod(id, 4L).toInt
-          val a = java.lang.Math.floorMod(k, 256L)
-          val bcoef = java.lang.Math.floorMod(k / 256L, 256L)
+          val px = gradientPixels(id)
           val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val px = new Array[Int](w * h)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val bump = if (v > 0 && x / 4 == v && y / 4 == v) 64L else 0L
-              val g = java.lang.Math.floorMod(
-                7L * x * x + 13L * y * y + a * 31L * (x + 1) * (y + 1) +
-                  bcoef * 53L * (x + 2) * (y + 3) + bump, 256L).toInt
-              px(y * w + x) = (g << 16) | (g << 8) | g
-              x += 1
-            }
-            y += 1
-          }
-          img.setRGB(0, 0, w, h, px, 0, w) // one bulk raster write, not w·h calls
+            36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          img.setRGB(0, 0, 36, 32, px, 0, 36) // one bulk raster write, not w·h calls
           val out = new java.io.ByteArrayOutputStream()
           val wtr = writers(if (id % 2 == 0) "png" else "bmp")
           val ios = javax.imageio.ImageIO.createImageOutputStream(out)
@@ -223,6 +205,34 @@ object Multimodal {
         }
       }
       .toDF(idCol, "payload")
+  }
+
+  /** The 36×32 gradient raster for a pattern id — the arithmetic the
+    * image AND video fixtures share (family = id div 4, variant = id
+    * mod 4; the variant bumps one 4×4 cell, so same-family hashes sit
+    * within a few bits).
+    */
+  private def gradientPixels(id: Long): Array[Int] = {
+    val (w, h) = (36, 32)
+    val k = java.lang.Math.floorDiv(id, 4L)
+    val v = java.lang.Math.floorMod(id, 4L).toInt
+    val a = java.lang.Math.floorMod(k, 256L)
+    val bcoef = java.lang.Math.floorMod(k / 256L, 256L)
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val bump = if (v > 0 && x / 4 == v && y / 4 == v) 64L else 0L
+        val g = java.lang.Math.floorMod(
+          7L * x * x + 13L * y * y + a * 31L * (x + 1) * (y + 1) +
+            bcoef * 53L * (x + 2) * (y + 3) + bump, 256L).toInt
+        px(y * w + x) = (g << 16) | (g << 8) | g
+        x += 1
+      }
+      y += 1
+    }
+    px
   }
 
   /** 64-bit PERCEPTUAL HASH (dHash, the difference-hash of Krawetz's
@@ -240,6 +250,54 @@ object Multimodal {
     * hash per partition (embarrassingly parallel), then the banded
     * equi-join; never pixels through a shuffle.
     */
+  /** The dHash of one decoded payload — the per-item kernel [[dHash64]]
+    * and [[videoFrameHashes]] share: ImageIO decode → integer luminance →
+    * 8×9 area-average cells → 64 horizontal difference bits. None for
+    * undecodable or sub-9×8 payloads.
+    */
+  private def dHashBytes(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk raster read
+        val cells = Array.ofDim[Long](8, 9) // [gy][gx]
+        var gy = 0
+        while (gy < 8) {
+          val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+          var gx = 0
+          while (gx < 9) {
+            val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+            var sum = 0L; var n = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = px(y * w + x)
+                val lum = (299L * ((rgb >> 16) & 0xff) +
+                  587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
+                sum += lum; n += 1
+                x += 1
+              }
+              y += 1
+            }
+            cells(gy)(gx) = if (n == 0) 0L else sum / n
+            gx += 1
+          }
+          gy += 1
+        }
+        var bitsAcc = 0L
+        var b = 0
+        while (b < 64) {
+          val (bgy, bgx) = (b / 8, b % 8)
+          if (cells(bgy)(bgx + 1) > cells(bgy)(bgx)) bitsAcc |= (1L << b)
+          b += 1
+        }
+        Some(bitsAcc)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def dHash64(df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -247,51 +305,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { items =>
         javax.imageio.ImageIO.setUseCache(false)
-        items.map { case (id, bytes) =>
-          val sh: Option[Long] =
-            try {
-              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-              if (img == null || img.getWidth < 9 || img.getHeight < 8) None
-              else {
-                val (w, h) = (img.getWidth, img.getHeight)
-                val px = img.getRGB(0, 0, w, h, null, 0, w) // one bulk raster read
-                val cells = Array.ofDim[Long](8, 9) // [gy][gx]
-                var gy = 0
-                while (gy < 8) {
-                  val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
-                  var gx = 0
-                  while (gx < 9) {
-                    val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
-                    var sum = 0L; var n = 0L
-                    var y = y0
-                    while (y < y1) {
-                      var x = x0
-                      while (x < x1) {
-                        val rgb = px(y * w + x)
-                        val lum = (299L * ((rgb >> 16) & 0xff) +
-                          587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
-                        sum += lum; n += 1
-                        x += 1
-                      }
-                      y += 1
-                    }
-                    cells(gy)(gx) = if (n == 0) 0L else sum / n
-                    gx += 1
-                  }
-                  gy += 1
-                }
-                var bitsAcc = 0L
-                var b = 0
-                while (b < 64) {
-                  val (bgy, bgx) = (b / 8, b % 8)
-                  if (cells(bgy)(bgx + 1) > cells(bgy)(bgx)) bitsAcc |= (1L << b)
-                  b += 1
-                }
-                Some(bitsAcc)
-              }
-            } catch { case scala.util.control.NonFatal(_) => None }
-          (id, sh)
-        }
+        items.map { case (id, bytes) => (id, dHashBytes(bytes)) }
       }
       .toDF(idCol, "sh")
       .select(col(idCol).as("id"), col("sh"))
@@ -536,6 +550,127 @@ object Multimodal {
       }
       .toDF(idCol, "sh")
       .select(col(idCol).as("id"), col("sh"))
+  }
+
+  // --- video near-dup -----------------------------------------------------
+
+  /** Byte length of one fixture frame: BMP of the 36×32 TYPE_INT_RGB
+    * raster is a FIXED-SIZE encoding (54-byte header + 36·3·32 pixel
+    * bytes, row stride already word-aligned), which is what lets the
+    * stub demuxer ([[sampleFrames]]) recover exact frame boundaries by
+    * arithmetic alone. Computed once per JVM by encoding a probe frame —
+    * never hard-coded against the writer's header choices.
+    */
+  lazy val videoFrameBytes: Int = encodeBmp(gradientPixels(0L)).length
+
+  private def encodeBmp(px: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 36, 32, px, 0, 36)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
+  /** Attach a REAL video-like payload: `nFrames` BMP-encoded gradient
+    * frames concatenated (losslessly — BMP, like the image fixture's
+    * arithmetic-recomputable contract). Frame `f` of clip `id` carries
+    * the [[gradientPixels]] pattern of EFFECTIVE id
+    * `((id div 4)·nFrames + f)·4 + id mod 4` — so clips of one family
+    * (id div 4) are frame-aligned near-dups (same per-frame family,
+    * variant bump only), different frames of one clip are far (distinct
+    * pattern families), and a pure-SQL oracle recomputes every frame
+    * hash from arithmetic.
+    */
+  def withVideoPayload(df: DataFrame, idCol: String, nFrames: Int = 8): DataFrame = {
+    require(nFrames > 0, "nFrames must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map { id =>
+          val k = java.lang.Math.floorDiv(id, 4L)
+          val v = java.lang.Math.floorMod(id, 4L)
+          val out = new java.io.ByteArrayOutputStream()
+          var f = 0
+          while (f < nFrames) {
+            out.write(encodeBmp(gradientPixels((k * nFrames + f) * 4L + v)))
+            f += 1
+          }
+          (id, out.toByteArray)
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
+  /** Per-frame 64-bit dHash table of a video column: [[sampleFrames]]
+    * (demux + every-nth temporal sampling, streaming — no whole-clip
+    * buffering) → the SAME dHash kernel as still images, one row per
+    * (clip, sampled frame). Undecodable frames hash NULL. This is the
+    * clip fingerprint a media lake persists: ~8 bytes per sampled frame.
+    */
+  def videoFrameHashes(df: DataFrame, idCol: String,
+                       payloadCol: String = "payload",
+                       frameBytes: Int = 0, everyNth: Int = 2): DataFrame = {
+    val fb = if (frameBytes > 0) frameBytes else videoFrameBytes
+    val spark = df.sparkSession
+    import spark.implicits._
+    sampleFrames(df, idCol, payloadCol, fb, everyNth)
+      .select(col(idCol).cast("long"), col("frame_idx"), col("frame"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions { items =>
+        javax.imageio.ImageIO.setUseCache(false)
+        items.map { case (id, f, bytes) => (id, f, dHashBytes(bytes)) }
+      }
+      .toDF(idCol, "frame_idx", "sh")
+      .select(col(idCol).as("id"), col("frame_idx"), col("sh"))
+  }
+
+  /** VIDEO near-duplicate pairs — the composition that completes the
+    * media-dedup family (text SimHash / image dHash / audio fingerprint /
+    * video): per-frame hashes ([[videoFrameHashes]]) →
+    * [[Dedup.alignedHammingPairs]] (the pigeonhole Hamming join keyed by
+    * frame position, so only ALIGNED frames of two clips ever become
+    * candidates — the standard cheap clip fingerprint match) → clip
+    * verdict by matched-frame fraction: a pair surfaces when
+    * `n_matched ≥ minMatchFrac · min(n1, n2)` over each side's decodable
+    * sampled frames.
+    *
+    * Scale shape: everything rides existing bucketed machinery — the
+    * frame-hash table is 8 bytes per sampled frame, the join never
+    * shuffles pixels, and the per-pair aggregation is bounded by matched
+    * positions. Clips with zero decodable frames never pair (an opaque
+    * blob is not evidence of duplication — the [[MediaStreams]] policy).
+    */
+  def videoNearDupPairs(df: DataFrame, idCol: String,
+                        payloadCol: String = "payload",
+                        frameBytes: Int = 0, everyNth: Int = 2,
+                        maxDistance: Int = 3,
+                        minMatchFrac: Double = 0.5,
+                        materialize: Boolean = true): DataFrame = {
+    require(minMatchFrac > 0 && minMatchFrac <= 1, "minMatchFrac in (0, 1]")
+    val fh0 = videoFrameHashes(df, idCol, payloadCol, frameBytes, everyNth)
+      .filter(col("sh").isNotNull)
+    // the hash table feeds the pair join's BOTH sides and the per-clip
+    // frame counts — materialize so each clip is demuxed + hashed once
+    val fh = if (materialize)
+      fh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else fh0
+    val perClip = fh.groupBy("id").agg(count(lit(1)).as("__nf"))
+    val matched = Dedup.alignedHammingPairs(
+        fh.select(col("id"), col("frame_idx").as("pos"), col("sh")),
+        maxDistance)
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_matched"))
+    matched
+      .join(perClip.select(col("id").as("id1"), col("__nf").as("__n1")), "id1")
+      .join(perClip.select(col("id").as("id2"), col("__nf").as("__n2")), "id2")
+      .withColumn("n_frames", least(col("__n1"), col("__n2")))
+      .filter(col("n_matched").cast("double") >=
+        lit(minMatchFrac) * col("n_frames").cast("double"))
+      .select(col("id1"), col("id2"), col("n_matched"), col("n_frames"))
   }
 
   /** Resize planning over decoded media features: fit (width, height)

@@ -566,6 +566,54 @@ class OperatorsSpec extends SparkSpec {
     assert(again.count() == 0)
   }
 
+  test("videoNearDupPairs: frame mirror, aligned matching, fraction verdict, corrupt clip") {
+    // driver mirror of the per-frame dHash: frame f of clip id carries the
+    // gradient pattern of EFFECTIVE id ((id div 4)·nFrames + f)·4 + id mod 4
+    def mirror(e: Long): Long = {
+      val k = e / 4; val v = (e % 4).toInt
+      val a = k % 256; val bc = (k / 256) % 256
+      def gray(x: Int, y: Int): Long = {
+        val bump = if (v > 0 && x / 4 == v && y / 4 == v) 64L else 0L
+        java.lang.Math.floorMod(
+          7L * x * x + 13L * y * y + a * 31L * (x + 1) * (y + 1) +
+            bc * 53L * (x + 2) * (y + 3) + bump, 256L)
+      }
+      val cells = Array.tabulate(8, 9) { (gy, gx) =>
+        var s = 0L
+        for (x <- gx * 4 until gx * 4 + 4; y <- gy * 4 until gy * 4 + 4) s += gray(x, y)
+        s / 16
+      }
+      (0 until 64).foldLeft(0L) { (acc, b) =>
+        if (cells(b / 8)(b % 8 + 1) > cells(b / 8)(b % 8)) acc | (1L << b) else acc
+      }
+    }
+    val ids = Seq(0L, 1L, 2L, 4L, 5L, 100L)
+    val vids = Multimodal.withVideoPayload(ids.toDF("doc_id"), "doc_id", nFrames = 8)
+    // every-2nd sampling → frames 0,2,4,6; each hash equals the mirror of
+    // its effective pattern id (lossless BMP round-trip)
+    val fh = Multimodal.videoFrameHashes(vids, "doc_id", everyNth = 2)
+      .as[(Long, Long, Option[Long])].collect()
+    assert(fh.length == ids.size * 4)
+    fh.foreach { case (id, f, sh) =>
+      assert(f % 2 == 0 && sh.contains(mirror((id / 4 * 8 + f) * 4 + id % 4)),
+        s"clip $id frame $f: demux→decode→dHash must equal the pattern mirror")
+    }
+    // clip verdict: same-family variant-0 pairs match on EVERY aligned
+    // frame; cross-family pairs never surface (aligned frames far apart)
+    val pairs = Multimodal.videoNearDupPairs(vids, "doc_id", everyNth = 2,
+        maxDistance = 3, minMatchFrac = 0.5)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> (p._3, p._4)).toMap
+    assert(pairs.keySet.forall { case (a, b) => a / 4 == b / 4 })
+    assert(pairs((0L, 1L)) == (4L, 4L) && pairs((4L, 5L)) == (4L, 4L))
+    // a corrupt payload decodes no frames → the clip pairs with nothing
+    val withBad = vids.unionByName(
+      Seq((999L, "definitely not video bytes".getBytes("UTF-8")))
+        .toDF("doc_id", "payload"))
+    assert(Multimodal.videoNearDupPairs(withBad, "doc_id", everyNth = 2)
+      .filter(col("id1") === 999L || col("id2") === 999L).count() == 0)
+  }
+
   test("Hamming degenerate-chunk guard: connectivity preserved, cliques linear, cap documented") {
     // mixed corpus: a 10-item exact clique (sh=0), a 5-item exact clique
     // (far), a near-dup of clique A (hamming 2), a far singleton
