@@ -1753,6 +1753,7 @@ object ExtQueries {
             (7*x.range*x.range + 13*y.range*y.range
              + (id//4%256)*31*(x.range+1)*(y.range+1)
              + (id//4//256%256)*53*(x.range+2)*(y.range+3)
+             + (id//4//65536%256)*17*(x.range+3)*(y.range+5)
              + CASE WHEN id%4 > 0 AND x.range//4 = id%4 AND y.range//4 = id%4
                     THEN 64 ELSE 0 END) % 256 AS gray
           FROM ids, range(36) x, range(32) y),
@@ -1807,6 +1808,7 @@ object ExtQueries {
             (7*x.range*x.range + 13*y.range*y.range
              + (id//4%256)*31*(x.range+1)*(y.range+1)
              + (id//4//256%256)*53*(x.range+2)*(y.range+3)
+             + (id//4//65536%256)*17*(x.range+3)*(y.range+5)
              + CASE WHEN id%4 > 0 AND x.range//4 = id%4 AND y.range//4 = id%4
                     THEN 64 ELSE 0 END) % 256 AS gray
           FROM ids, range(36) x, range(32) y),
@@ -1857,6 +1859,7 @@ object ExtQueries {
             (7*x.range*x.range + 13*y.range*y.range
              + (e//4%256)*31*(x.range+1)*(y.range+1)
              + (e//4//256%256)*53*(x.range+2)*(y.range+3)
+             + (e//4//65536%256)*17*(x.range+3)*(y.range+5)
              + CASE WHEN e%4 > 0 AND x.range//4 = e%4 AND y.range//4 = e%4
                     THEN 64 ELSE 0 END) % 256 AS gray
           FROM fr, range(36) x, range(32) y),

@@ -218,6 +218,14 @@ object Multimodal {
     val v = java.lang.Math.floorMod(id, 4L).toInt
     val a = java.lang.Math.floorMod(k, 256L)
     val bcoef = java.lang.Math.floorMod(k / 256L, 256L)
+    // third coefficient widens the distinct-pattern space to 2^24
+    // families: two coefficients alias at 65,536, which a derived sf10
+    // corpus (500k clips) exceeds — the aliasing fabricated exact
+    // cross-replica clip duplicates and a quadratic pair blow-up (the
+    // same lesson as r11's every-3rd-token tagging). ccoef = 0 for every
+    // id < 2^18, so gate-scale (sf0.01/sf0.1) hashes and oracles are
+    // bit-for-bit unchanged.
+    val ccoef = java.lang.Math.floorMod(k / 65536L, 256L)
     val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
@@ -226,7 +234,8 @@ object Multimodal {
         val bump = if (v > 0 && x / 4 == v && y / 4 == v) 64L else 0L
         val g = java.lang.Math.floorMod(
           7L * x * x + 13L * y * y + a * 31L * (x + 1) * (y + 1) +
-            bcoef * 53L * (x + 2) * (y + 3) + bump, 256L).toInt
+            bcoef * 53L * (x + 2) * (y + 3) +
+            ccoef * 17L * (x + 3) * (y + 5) + bump, 256L).toInt
         px(y * w + x) = (g << 16) | (g << 8) | g
         x += 1
       }

@@ -497,12 +497,12 @@ class OperatorsSpec extends SparkSpec {
     // nothing with the operator but the spec
     def mirror(id: Long): Long = {
       val k = id / 4; val v = (id % 4).toInt
-      val a = k % 256; val bc = (k / 256) % 256
+      val a = k % 256; val bc = (k / 256) % 256; val cc = (k / 65536) % 256
       def gray(x: Int, y: Int): Long = {
         val bump = if (v > 0 && x / 4 == v && y / 4 == v) 64L else 0L
         java.lang.Math.floorMod(
           7L * x * x + 13L * y * y + a * 31L * (x + 1) * (y + 1) +
-            bc * 53L * (x + 2) * (y + 3) + bump, 256L)
+            bc * 53L * (x + 2) * (y + 3) + cc * 17L * (x + 3) * (y + 5) + bump, 256L)
       }
       val cells = Array.tabulate(8, 9) { (gy, gx) =>
         var s = 0L
@@ -513,7 +513,9 @@ class OperatorsSpec extends SparkSpec {
         if (cells(b / 8)(b % 8 + 1) > cells(b / 8)(b % 8)) acc | (1L << b) else acc
       }
     }
-    val ids = Seq(0L, 1L, 2L, 3L, 4L, 7L, 100L, 101L)
+    // ids beyond 2^18 exercise the third (anti-aliasing) coefficient;
+    // below it the pattern is bit-identical to the two-coefficient form
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 7L, 100L, 101L, 300000L, 300001L, 5000000L)
     val got = Multimodal.dHash64(
         Multimodal.withGradientImagePayload(ids.toDF("doc_id"), "doc_id"), "doc_id")
       .as[(Long, Option[Long])].collect().toMap
@@ -571,12 +573,12 @@ class OperatorsSpec extends SparkSpec {
     // gradient pattern of EFFECTIVE id ((id div 4)·nFrames + f)·4 + id mod 4
     def mirror(e: Long): Long = {
       val k = e / 4; val v = (e % 4).toInt
-      val a = k % 256; val bc = (k / 256) % 256
+      val a = k % 256; val bc = (k / 256) % 256; val cc = (k / 65536) % 256
       def gray(x: Int, y: Int): Long = {
         val bump = if (v > 0 && x / 4 == v && y / 4 == v) 64L else 0L
         java.lang.Math.floorMod(
           7L * x * x + 13L * y * y + a * 31L * (x + 1) * (y + 1) +
-            bc * 53L * (x + 2) * (y + 3) + bump, 256L)
+            bc * 53L * (x + 2) * (y + 3) + cc * 17L * (x + 3) * (y + 5) + bump, 256L)
       }
       val cells = Array.tabulate(8, 9) { (gy, gx) =>
         var s = 0L
