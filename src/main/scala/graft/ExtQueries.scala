@@ -1834,6 +1834,74 @@ object ExtQueries {
         FROM h a JOIN h b ON a.id >= 250 AND b.id < 250
         WHERE bit_count(xor(a.sh, b.sh)) <= 3""")),
 
+    // The image pair pipeline through the GUARDED mode
+    // (maxBucket > 0): exact-hash cliques collapse to min-id STAR edges,
+    // the pigeonhole join runs over DISTINCT hashes, (chunk, cv) groups
+    // above the cap are skipped (never triggered at this corpus size —
+    // the cap path is spec-gated adversarially). The oracle recomputes
+    // the certificate exactly: hash table from the pattern arithmetic →
+    // per-hash min-id stars → distinct-hash chunk join with the same
+    // group-cap filter. Gates cross-engine that guarded mode is a
+    // faithful connectivity certificate, not just a spec claim.
+    "q_image_neardup_guarded" -> Q(
+      (s, dir) => Dedup.simhashPairsFromTable(
+        Multimodal.dHash64(
+          Multimodal.withGradientImagePayload(
+            table(s, dir, "documents").select("doc_id").repartition(32),
+            "doc_id"),
+          "doc_id")
+          .filter(col("sh").isNotNull)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        maxDistance = 3, maxBucket = 1000)
+        .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming")),
+      Some("""
+        WITH ids AS (SELECT doc_id AS id FROM documents),
+        px AS (
+          SELECT id, x.range AS x, y.range AS y,
+            (7*x.range*x.range + 13*y.range*y.range
+             + (id//4%256)*31*(x.range+1)*(y.range+1)
+             + (id//4//256%256)*53*(x.range+2)*(y.range+3)
+             + (id//4//65536%256)*17*(x.range+3)*(y.range+5)
+             + CASE WHEN id%4 > 0 AND x.range//4 = id%4 AND y.range//4 = id%4
+                    THEN 64 ELSE 0 END) % 256 AS gray
+          FROM ids, range(36) x, range(32) y),
+        cells AS (
+          SELECT id, x//4 AS gx, y//4 AS gy, SUM(gray)//16 AS c
+          FROM px GROUP BY 1, 2, 3),
+        bits AS (
+          SELECT a.id, a.gy*8 + a.gx AS b
+          FROM cells a JOIN cells b2
+            ON a.id = b2.id AND b2.gx = a.gx + 1 AND b2.gy = a.gy
+          WHERE a.gx < 8 AND b2.c > a.c),
+        hraw AS (
+          SELECT id, SUM(CAST(1 AS HUGEINT) << CAST(b AS INT)) AS s
+          FROM bits GROUP BY id),
+        h AS (
+          SELECT ids.id,
+            CAST(CASE WHEN COALESCE(s, 0) >= CAST(1 AS HUGEINT) << 63
+                  THEN COALESCE(s, 0) - (CAST(1 AS HUGEINT) << 64)
+                  ELSE COALESCE(s, 0) END AS BIGINT) AS sh
+          FROM ids LEFT JOIN hraw ON hraw.id = ids.id),
+        reps AS (SELECT sh, min(id) AS rid FROM h GROUP BY 1),
+        stars AS (
+          SELECT r.rid AS id1, h.id AS id2, 0 AS hamming
+          FROM h JOIN reps r ON h.sh = r.sh AND h.id > r.rid),
+        chunked AS (
+          SELECT rid, sh, c.range AS chunk, (sh >> (c.range*16)) & 65535 AS cv
+          FROM reps, range(4) c),
+        kept AS (
+          SELECT chunk, cv FROM chunked GROUP BY 1, 2 HAVING count(*) <= 1000),
+        cand AS (
+          SELECT DISTINCT a.rid AS id1, b.rid AS id2, a.sh AS sh1, b.sh AS sh2
+          FROM chunked a
+          JOIN kept k ON k.chunk = a.chunk AND k.cv = a.cv
+          JOIN chunked b ON b.chunk = a.chunk AND b.cv = a.cv AND a.rid < b.rid)
+        SELECT id1, id2, CAST(hamming AS INT) AS hamming FROM (
+          SELECT id1, id2, hamming FROM stars
+          UNION ALL
+          SELECT id1, id2, bit_count(xor(sh1, sh2)) AS hamming
+          FROM cand WHERE bit_count(xor(sh1, sh2)) <= 3)""")),
+
     // VIDEO NEAR-DUP — the composition completing the media family: 8
     // lossless BMP gradient frames per clip (frame f of clip id = the
     // gradient pattern of effective id ((id div 4)·8 + f)·4 + id mod 4)

@@ -669,6 +669,34 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select("id1", "id2", "pos", "hamming")
   }
 
+  /** INCREMENTAL [[alignedHammingPairs]]: a new batch's (id, pos, sh)
+    * frame hashes probe the persisted frame-hash index of the published
+    * corpus, joined by (pos, chunk, cv) — history is never re-decoded,
+    * and only same-position frames ever meet. Output
+    * (new_id, old_id, pos, hamming); `excludeSelf` semantics as in
+    * [[incrementalHammingPairs]] (streaming loops pass false so a
+    * re-sent published clip matches itself and is dropped).
+    */
+  def incrementalAlignedHammingPairs(newHashes: DataFrame, indexHashes: DataFrame,
+                                     maxDistance: Int,
+                                     excludeSelf: Boolean = true): DataFrame = {
+    val chunks = maxDistance + 1
+    val bits = 64 / chunks
+    def chunked(df: DataFrame, idName: String, shName: String) =
+      df.select(col("id").as(idName), col("pos"), col("sh").as(shName),
+        explode(array((0 until chunks).map(c => struct(lit(c).as("chunk"),
+          shiftright(col("sh"), c * bits).bitwiseAND(lit((1L << bits) - 1)).as("cv"))): _*))
+          .as("b"))
+        .select(col(idName), col("pos"), col(shName), col("b.chunk"), col("b.cv"))
+    chunked(newHashes, "new_id", "new_sh")
+      .join(chunked(indexHashes, "old_id", "old_sh"), Seq("pos", "chunk", "cv"))
+      .filter(if (excludeSelf) col("new_id") =!= col("old_id") else lit(true))
+      .withColumn("hamming", bit_count(col("new_sh").bitwiseXOR(col("old_sh"))))
+      .filter(col("hamming") <= maxDistance)
+      .dropDuplicates("new_id", "old_id", "pos")
+      .select("new_id", "old_id", "pos", "hamming")
+  }
+
   /** EXACT n-gram Jaccard pairs ≥ `threshold` via PREFIX FILTERING — the
     * scalable exact set-similarity join (PPJoin family), not an O(n²) cross
     * join.

@@ -653,6 +653,18 @@ object Multimodal {
     * shuffles pixels, and the per-pair aggregation is bounded by matched
     * positions. Clips with zero decodable frames never pair (an opaque
     * blob is not evidence of duplication — the [[MediaStreams]] policy).
+    *
+    * DEGENERATE-CONTENT CAVEAT: a frame hash shared by many clips at one
+    * position (black frames, title cards, station logos) makes the TRUE
+    * aligned-pair set quadratic in that clique — no join shape can
+    * return a quadratic answer in sub-quadratic output. The
+    * [[Dedup.simhashPairsFromTable]] `maxBucket` certificate trick does
+    * not apply here because the verdict needs PER-PAIR matched counts,
+    * not connectivity. The production mitigation is upstream: drop
+    * low-information frames before hashing (filter on
+    * [[graft.functions.TextFunctions]]-style entropy or a pixel-variance
+    * floor in the decode stage), which is standard practice precisely
+    * because it bounds this clique size.
     */
   def videoNearDupPairs(df: DataFrame, idCol: String,
                         payloadCol: String = "payload",

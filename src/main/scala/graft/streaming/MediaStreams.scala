@@ -114,4 +114,96 @@ object MediaStreams {
     dupOfHistory.unpersist()
     hashed.unpersist()
   }
+
+  /** STREAMING VIDEO ingest-dedup — the clip-level twin of
+    * [[ingestMediaDedup]]: each micro-batch's clips hash to PER-FRAME
+    * (id, frame_idx, sh) rows via a pluggable frame hasher
+    * ([[graft.operators.Multimodal.videoFrameHashes]] partially applied),
+    * probe the growing published FRAME index through the aligned
+    * pigeonhole join ([[Dedup.incrementalAlignedHammingPairs]] — history
+    * frames joined by (position, chunk key), never re-demuxed), and a
+    * clip is dropped when ≥ `minMatchFrac` of the compared aligned
+    * frames match a single published clip (or a smaller-id batchmate
+    * that itself survived the history probe). First-arrival-wins;
+    * same-id re-sends match themselves frame-for-frame and are dropped.
+    * State is one grow-only parquet of frame hashes — 8 bytes per
+    * sampled frame per published clip — hive-partitioned by
+    * `__batch_id` with the loops' usual retry-idempotence contract.
+    * Clips with ZERO decodable frames pass through un-deduped and
+    * un-indexed (the opaque-blob policy of the image loop).
+    */
+  def ingestVideoDedup(newClips: DataFrame, idCol: String,
+                       frameHasher: (DataFrame, String) => DataFrame,
+                       indexPath: String, outPath: String,
+                       maxDistance: Int = 3,
+                       minMatchFrac: Double = 0.5): DataStreamWriter[Row] =
+    newClips.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processVideoBatch(batch, batchId, idCol, frameHasher, indexPath,
+        outPath, maxDistance, minMatchFrac)
+    }
+
+  /** One micro-batch of the video loop (factored out for direct testing,
+    * like [[processMediaBatch]]).
+    */
+  private[streaming] def processVideoBatch(batch: DataFrame, batchId: Long,
+                                           idCol: String,
+                                           frameHasher: (DataFrame, String) => DataFrame,
+                                           indexPath: String, outPath: String,
+                                           maxDistance: Int,
+                                           minMatchFrac: Double): Unit = {
+    val spark = batch.sparkSession
+    val hashed = frameHasher(batch, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val decodable = hashed.filter(col("sh").isNotNull)
+    val newCounts = decodable.groupBy("id").agg(count(lit(1)).as("__nf"))
+    val history =
+      if (DocumentStreams.pathExists(spark, indexPath))
+        DocumentStreams.readHistory(spark, indexPath, batchId)
+          .select("id", "frame_idx", "sh")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], decodable.schema)
+    val oldCounts = history.groupBy("id").agg(count(lit(1)).as("__nf"))
+    def verdict(matched: DataFrame, aCounts: DataFrame, aId: String,
+                bCounts: DataFrame, bId: String): DataFrame =
+      matched
+        .join(aCounts.select(col("id").as(aId), col("__nf").as("__na")), aId)
+        .join(bCounts.select(col("id").as(bId), col("__nf").as("__nb")), bId)
+        .filter(col("n_matched").cast("double") >=
+          lit(minMatchFrac) * least(col("__na"), col("__nb")).cast("double"))
+    // dup of a PUBLISHED clip (excludeSelf = false: a re-sent id matches
+    // its own published frames and must drop, as in [[processMediaBatch]])
+    val dupOfHistory = verdict(
+        Dedup.incrementalAlignedHammingPairs(
+            decodable.select(col("id"), col("frame_idx").as("pos"), col("sh")),
+            history.select(col("id"), col("frame_idx").as("pos"), col("sh")),
+            maxDistance, excludeSelf = false)
+          .groupBy("new_id", "old_id").agg(count(lit(1)).as("n_matched")),
+        newCounts, "new_id", oldCounts, "old_id")
+      .select(col("new_id").as("__drop")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // within-batch pairing over history-probe SURVIVORS only (same
+    // no-transitive-drop-via-unpublished policy as the image loop)
+    val eligible = decodable.join(dupOfHistory,
+      decodable("id") === col("__drop"), "left_anti")
+    val dupInBatch = verdict(
+        Dedup.alignedHammingPairs(
+            eligible.select(col("id"), col("frame_idx").as("pos"), col("sh")),
+            maxDistance)
+          .groupBy("id1", "id2").agg(count(lit(1)).as("n_matched")),
+        newCounts, "id1", newCounts, "id2")
+      .select(col("id2").as("__drop"))
+    val dropIds = dupOfHistory.union(dupInBatch).distinct()
+    val survivors = batch
+      .join(dropIds, batch(idCol) === col("__drop"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    DocumentStreams.writeBatchPartition(survivors, batchId, outPath)
+    // the index grows by the decodable SURVIVORS' frame rows only
+    DocumentStreams.writeBatchPartition(
+      decodable.join(survivors.select(col(idCol).as("__keep")),
+        decodable("id") === col("__keep"), "left_semi"),
+      batchId, indexPath)
+    survivors.unpersist()
+    dupOfHistory.unpersist()
+    hashed.unpersist()
+  }
 }

@@ -568,6 +568,32 @@ class OperatorsSpec extends SparkSpec {
     assert(again.count() == 0)
   }
 
+  test("incrementalAlignedHammingPairs == cross-slice of alignedHammingPairs") {
+    // (id, pos, sh): families of 4 share a per-position base hash;
+    // variants flip ≤ 2 low bits, so family pairs match at every pos
+    val rows = for (id <- 0L until 20L; pos <- 0L until 3L) yield
+      (id, pos, (id / 4) * 2654435761L + pos * 40503L ^ (id % 4))
+    val tbl = rows.toDF("id", "pos", "sh")
+    val full = Dedup.alignedHammingPairs(tbl, maxDistance = 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(full.nonEmpty && full.forall { case (a, b, _, _) => a / 4 == b / 4 })
+    // split INSIDE family 2 (ids 8-11) so the cross slice is non-trivial
+    val inc = Dedup.incrementalAlignedHammingPairs(
+        tbl.filter(col("id") >= 10), tbl.filter(col("id") < 10),
+        maxDistance = 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val expected = full.collect {
+      case (a, b, p, h) if a < 10 && b >= 10 => (b, a, p, h)
+      case (a, b, p, h) if a >= 10 && b < 10 => (a, b, p, h)
+    }
+    assert(inc == expected && inc.nonEmpty)
+    // re-sent clip vs itself: excluded by default, flagged for the loops
+    val self = tbl.filter(col("id") === 0)
+    assert(Dedup.incrementalAlignedHammingPairs(self, self, 3).count() == 0)
+    assert(Dedup.incrementalAlignedHammingPairs(self, self, 3,
+      excludeSelf = false).count() == 3) // one match per position
+  }
+
   test("videoNearDupPairs: frame mirror, aligned matching, fraction verdict, corrupt clip") {
     // driver mirror of the per-frame dHash: frame f of clip id carries the
     // gradient pattern of EFFECTIVE id ((id div 4)·nFrames + f)·4 + id mod 4

@@ -109,4 +109,64 @@ class MediaStreamsSpec extends SparkSpec {
     assert(lake.filter(col("media_id") === 100L).count() == 0)
     assert(spark.read.parquet(indexPath).filter(col("id") === 100L).count() == 1)
   }
+
+  // deterministic id → per-frame-hash hasher for the video loop (the
+  // pluggable-frameHasher contract); ids absent from the map yield no
+  // decodable frames (the corrupt-clip shape)
+  private def fixedFrameHasher(m: Map[Long, Seq[Long]]): (DataFrame, String) => DataFrame =
+    (df, id) => df.select(col(id).cast("long").as("id"))
+      .select(col("id"), posexplode_outer(element_at(typedLit(m), col("id"))))
+      .toDF("id", "frame_idx", "sh")
+
+  test("video loop: fraction verdict vs history and batch, re-send drop, corrupt passthrough") {
+    val indexPath = tmp("graft_vidx")
+    val outPath = tmp("graft_vlake")
+    val A = Seq(0L, 0xF0F0L, 0x0F0F0F0FL, 0x5555AAAAL) // published clip 100
+    def m(xs: Long*) = xs.toSeq
+    val hasher = fixedFrameHasher(Map(
+      100L -> A,
+      // 3/4 frames within hamming 3 of clip 100 → dup of history
+      1L -> m(A(0) ^ 1, A(1) ^ 1, A(2), A(3) ^ 0xFF),
+      // only 1/4 near clip 100 → survives the history probe
+      2L -> m(A(0), A(1) ^ 0xFF, A(2) ^ 0xFF0, A(3) ^ 0xFF00),
+      // 3/4 aligned-near clip 2 (and only 1/4 near history) → in-batch dup
+      3L -> m(A(0) ^ 2, A(1) ^ 0xFF, A(2) ^ 0xFF0, A(3) ^ 0xF0F0F0),
+      // 4/4 near the PUBLISHED clip 2 (index grew) → dropped in batch 1
+      50L -> m(A(0) ^ 1, A(1) ^ 0xFF ^ 1, A(2) ^ 0xFF0 ^ 1, A(3) ^ 0xFF00 ^ 1),
+      // unrelated everywhere → published
+      60L -> m(0x123456789AL, 0x23456789ABL, 0x3456789ABCL, 0x456789ABCDL)))
+    DocumentStreams.seedIndex(
+      hasher(Seq(100L).toDF("media_id"), "media_id"), indexPath)
+
+    def clips(ids: Long*) =
+      ids.toDF("media_id").withColumn("payload", lit(Array[Byte]()))
+    MediaStreams.processVideoBatch(clips(1L, 2L, 3L), 0L, "media_id",
+      hasher, indexPath, outPath, maxDistance = 3, minMatchFrac = 0.5)
+    assert(spark.read.parquet(outPath).select("media_id").as[Long]
+      .collect().toSet == Set(2L))
+    assert(spark.read.parquet(indexPath).select("id").distinct().as[Long]
+      .collect().toSet == Set(100L, 2L))
+    // clip 2's index rows are its FRAMES (8 bytes per sampled frame)
+    assert(spark.read.parquet(indexPath).filter(col("id") === 2L).count() == 4)
+
+    // batch 1: 50 ~ published 2 (dropped), 100 re-sent (matches itself
+    // frame-for-frame → dropped), 60 fresh (kept), 999 corrupt (no
+    // decodable frames → published, NOT indexed)
+    MediaStreams.processVideoBatch(clips(50L, 100L, 60L, 999L), 1L,
+      "media_id", hasher, indexPath, outPath, maxDistance = 3,
+      minMatchFrac = 0.5)
+    val lake = spark.read.parquet(outPath)
+    assert(lake.select("media_id").as[Long].collect().toSet == Set(2L, 60L, 999L))
+    val idx = spark.read.parquet(indexPath)
+    assert(idx.select("id").distinct().as[Long].collect().toSet ==
+      Set(100L, 2L, 60L))
+
+    // retry of committed batch 1 rewrites its own partitions, no dupes
+    MediaStreams.processVideoBatch(clips(50L, 100L, 60L, 999L), 1L,
+      "media_id", hasher, indexPath, outPath, maxDistance = 3,
+      minMatchFrac = 0.5)
+    assert(spark.read.parquet(outPath).select("media_id").as[Long]
+      .collect().toSet == Set(2L, 60L, 999L))
+    assert(spark.read.parquet(outPath).count() == 3)
+  }
 }
