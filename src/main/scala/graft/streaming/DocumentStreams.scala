@@ -134,18 +134,21 @@ object DocumentStreams {
   /** One micro-batch of the ingest-dedup loop (factored out so batch
     * semantics are testable without a streaming harness).
     */
-  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
                                       idCol: String, textCol: String,
                                       indexPath: String, outPath: String,
                                       shingleSize: Int, numHashes: Int,
                                       bands: Int, threshold: Double): Unit = {
     val spark = batch.sparkSession
     val history = readHistory(spark, indexPath, batchId)
+    // slimSigs: the signature rides the band-0 row only — the persisted
+    // index a batch probes is then `bands`x smaller to scan (legacy
+    // full-sig indexes remain readable: sig reads filter isNotNull)
     val newIdx = Dedup.minhashBandIndex(batch, idCol, textCol,
-        shingleSize, numHashes, bands)
+        shingleSize, numHashes, bands, slimSigs = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val asIndex = graft.operators.Dedup.MinhashIndex(
-      newIdx.select("id", "sig").dropDuplicates("id"),
+      newIdx.filter(col("sig").isNotNull).select("id", "sig"),
       newIdx.select("id", "band", "bh"))
     // near-dups of history: drop the NEW doc. excludeSelf = false — the
     // batch side is unpublished (readHistory excludes the in-flight
@@ -153,7 +156,7 @@ object DocumentStreams {
     // and must be dropped, not republished under a new batch partition
     val dupOfHistory = Dedup.incrementalNearDupsIndexed(
         asIndex, graft.operators.Dedup.MinhashIndex(
-          history.select("id", "sig").dropDuplicates("id"),
+          history.filter(col("sig").isNotNull).select("id", "sig"), // slim-or-legacy; operator prunes to candidates, then dedups (no O(history) shuffle)
           history.select("id", "band", "bh")),
         numHashes, threshold, excludeSelf = false)
       .select(col("new_id").as("__drop"))
@@ -253,11 +256,12 @@ object DocumentStreams {
     val fresh = fresh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // near-dedup: batch band rows probe the growing index, then pair
     // within the batch (first-arrival-wins == smallest id in batch)
+    // slimSigs + isNotNull sig reads: see [[processBatch]]
     val newIdx = Dedup.minhashBandIndex(fresh, idCol, textCol,
-        shingleSize, numHashes, bands)
+        shingleSize, numHashes, bands, slimSigs = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val asIndex = graft.operators.Dedup.MinhashIndex(
-      newIdx.select("id", "sig").dropDuplicates("id"),
+      newIdx.filter(col("sig").isNotNull).select("id", "sig"),
       newIdx.select("id", "band", "bh"))
     // history probe first (excludeSelf = false — a same-id index match is
     // a re-sent published doc, see [[processBatch]]); the within-batch
@@ -267,7 +271,7 @@ object DocumentStreams {
       val history = readHistory(spark, bandIndexPath, batchId)
       Dedup.incrementalNearDupsIndexed(
           asIndex, graft.operators.Dedup.MinhashIndex(
-            history.select("id", "sig").dropDuplicates("id"),
+            history.filter(col("sig").isNotNull).select("id", "sig"), // slim-or-legacy; operator prunes to candidates, then dedups (no O(history) shuffle)
             history.select("id", "band", "bh")),
           numHashes, cfg.nearDupThreshold, excludeSelf = false)
         .select(col("new_id").as("__drop"))

@@ -57,7 +57,7 @@ object MediaStreams {
   /** One micro-batch of the loop (factored out so batch semantics are
     * testable without a streaming harness).
     */
-  private[streaming] def processMediaBatch(batch: DataFrame, batchId: Long,
+  private[graft] def processMediaBatch(batch: DataFrame, batchId: Long,
                                            idCol: String,
                                            hasher: (DataFrame, String) => DataFrame,
                                            indexPath: String, outPath: String,
@@ -145,7 +145,7 @@ object MediaStreams {
   /** One micro-batch of the video loop (factored out for direct testing,
     * like [[processMediaBatch]]).
     */
-  private[streaming] def processVideoBatch(batch: DataFrame, batchId: Long,
+  private[graft] def processVideoBatch(batch: DataFrame, batchId: Long,
                                            idCol: String,
                                            frameHasher: (DataFrame, String) => DataFrame,
                                            indexPath: String, outPath: String,

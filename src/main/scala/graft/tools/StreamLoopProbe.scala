@@ -1,0 +1,71 @@
+package graft.tools
+
+import graft.operators.{Dedup, Multimodal}
+import graft.streaming.{DocumentStreams, MediaStreams}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the streaming ingest-dedup loops — the daily-ingest
+  * shape the specs gate functionally but the bench battery doesn't time.
+  * The contract under test is the loops' cost model: per-batch cost is
+  * O(batch × collision rate), NOT O(history) — so the probe holds the
+  * MICRO-BATCH FIXED (the last `batchSize` ids) and grows the seeded
+  * history with the corpus (sf0.1 → sf1 → sf10). Flat batch times
+  * across a 100× history are the evidence; a time growing with the
+  * corpus would mean the probe join re-reads history.
+  *
+  * args: [sfDir] [batchSize=10000] — run per scale, numbers land in
+  * SCALE.md.
+  */
+object StreamLoopProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val batchSize = args.lift(1).map(_.toInt).getOrElse(10000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$dir/documents.parquet").persist()
+    val n = docs.count()
+    // ids are replica-shifted, not contiguous — take the top batchSize
+    // ids as "today's batch" and everything else as seeded history
+    val cut = docs.select(col("doc_id"))
+      .orderBy(col("doc_id").desc).limit(batchSize)
+      .agg(min(col("doc_id"))).head().getLong(0)
+    val batchDocs = docs.filter(col("doc_id") >= cut).persist()
+    val histDocs = docs.filter(col("doc_id") < cut)
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    def timed(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"(history=${n - batchSize}%d, batch=$batchSize%d)")
+    }
+
+    // media loop: image dHash over the gradient fixture
+    val imageHasher: (org.apache.spark.sql.DataFrame, String) => org.apache.spark.sql.DataFrame =
+      (df, id) => Multimodal.dHash64(
+        Multimodal.withGradientImagePayload(df.select(id).repartition(32), id), id)
+    val mIdx = tmp("slp_midx"); val mOut = tmp("slp_mlake")
+    DocumentStreams.seedIndex(
+      imageHasher(histDocs.select("doc_id"), "doc_id"), mIdx)
+    timed("media-loop batch")(MediaStreams.processMediaBatch(
+      batchDocs.select("doc_id").withColumn("payload", lit(Array[Byte]())),
+      // the pluggable hasher derives payloads from ids here, so the
+      // carried payload column is inert — hashing cost is still real
+      0L, "doc_id", imageHasher, mIdx, mOut, maxDistance = 3))
+
+    // document loop: MinHash band index at the battery parameters
+    val dIdx = tmp("slp_didx"); val dOut = tmp("slp_dlake")
+    DocumentStreams.seedIndex(
+      Dedup.minhashBandIndex(histDocs, "doc_id", "text", slimSigs = true), dIdx)
+    timed("doc-loop batch")(DocumentStreams.processBatch(
+      batchDocs.select("doc_id", "text"),
+      0L, "doc_id", "text", dIdx, dOut, 3, 128, 32, 0.7))
+
+    spark.stop()
+  }
+}
