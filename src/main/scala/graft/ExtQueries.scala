@@ -911,6 +911,45 @@ object ExtQueries {
              FROM embeddings a, embeddings b
              WHERE a.vec_id < b.vec_id
                AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45""")),
+
+    // SEMANTIC contamination (embedding-space, the paraphrase-robust
+    // complement of q_decontaminate's verbatim n-gram join): corpus item
+    // flags when its cosine to ANY "benchmark" item (vec_id % 10 = 3)
+    // reaches 0.4. Benchmark broadcasts, corpus streams with the cosine
+    // inline in the scan — nothing corpus-sized shuffles. Double math on
+    // both sides (DuckDB casts FLOAT[] → DOUBLE[]), like q_embed_neardup.
+    "q_sem_contaminate" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        graft.operators.Curation.semanticContaminationHits(
+          emb.filter(col("vec_id") % 10 =!= 3), "vec_id", "embedding",
+          emb.filter(col("vec_id") % 10 === 3), "vec_id", "embedding",
+          threshold = 0.4)
+      },
+      Some("""SELECT c.vec_id AS id, b.vec_id AS bench_id,
+               list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
+             FROM embeddings c, embeddings b
+             WHERE c.vec_id % 10 <> 3 AND b.vec_id % 10 = 3
+               AND list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""")),
+
+    // The hits as a FILTER: the decontaminated corpus (anti-join on the
+    // sparse hit id set — AQE broadcasts it; the corpus never shuffles).
+    // Projects the scalar columns so the gate hashes ids+labels, with the
+    // dropped-row set pinned by the row above sharing one oracle family.
+    "q_sem_decontaminate" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        graft.operators.Curation.semanticDecontaminate(
+          emb.filter(col("vec_id") % 10 =!= 3), "vec_id", "embedding",
+          emb.filter(col("vec_id") % 10 === 3), "vec_id", "embedding",
+          threshold = 0.4)
+          .select(col("vec_id"), col("label"))
+      },
+      Some("""SELECT c.vec_id, c.label FROM embeddings c
+             WHERE c.vec_id % 10 <> 3 AND NOT EXISTS (
+               SELECT 1 FROM embeddings b
+               WHERE b.vec_id % 10 = 3
+                 AND list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4)""")),
   )
 
   /** One oracle for BOTH hybrid-RRF rows: the scan-legged exact anchor

@@ -344,4 +344,63 @@ object Curation {
       cur.sparkSession.read.parquet(path)
     })
   }
+
+  /** SEMANTIC (embedding-space) contamination — the paraphrase-robust
+    * complement of the verbatim n-gram [[contaminationHits]]: a corpus
+    * item is contaminated when the cosine between its embedding and ANY
+    * benchmark item's embedding reaches `threshold`, so reworded or
+    * translated eval leakage that shares no 8-gram still flags. Run both
+    * checks; each catches what the other structurally misses (the n-gram
+    * join needs verbatim overlap, the embedding check needs an encoder
+    * that maps the paraphrase nearby).
+    *
+    * Plan shape at 100 TB (the [[Similarity.knnJoin]] contract, with the
+    * same enforced guard): the BENCHMARK side broadcasts — an eval suite
+    * is 10³–10⁵ vectors — and the corpus STREAMS once with the cosine
+    * computed inline in its scan stage; only hit rows (sparse by
+    * construction) survive the stage. Nothing corpus-sized is shuffled or
+    * materialized, and there is no index to build or refresh when the
+    * suite changes — the suite IS the broadcast. When a benchmark
+    * outgrows the broadcast budget, block with [[Similarity.knnJoinLsh]]
+    * (benchmark as the query side) and threshold its `cos` output — the
+    * same escape hatch the n-gram path reaches via [[BloomConfig]].
+    *
+    * Returns ("id" — the corpus `idCol`, "bench_id", "cos"), one row per
+    * (corpus item, benchmark item) pair at/above threshold.
+    */
+  def semanticContaminationHits(corpus: DataFrame, idCol: String, vecCol: String,
+                                benchmark: DataFrame, benchIdCol: String,
+                                benchVecCol: String, threshold: Double,
+                                maxBenchmark: Long = 100000L): DataFrame = {
+    require(maxBenchmark > 0, "maxBenchmark must be positive")
+    val bCount = benchmark.limit((maxBenchmark + 1).min(Int.MaxValue).toInt).count()
+    require(bCount <= maxBenchmark,
+      s"semanticContaminationHits broadcasts the benchmark side, but it " +
+        s"exceeds $maxBenchmark rows — block with Similarity.knnJoinLsh " +
+        "(bucketed candidates, no broadcast) for benchmark sets this " +
+        "large, or raise maxBenchmark if the driver can hold the broadcast")
+    val b = broadcast(benchmark.select(col(benchIdCol).as("bench_id"),
+      col(benchVecCol).as("__bvec")))
+    corpus.select(col(idCol).as("id"), col(vecCol).as("__cvec"))
+      .crossJoin(b)
+      .select(col("id"), col("bench_id"),
+        graft.functions.VectorFunctions.cosine(col("__cvec"), col("__bvec")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Embedding decontamination as a filter: drops every corpus item with
+    * at least one [[semanticContaminationHits]] row, preserving the
+    * corpus schema. The anti-join's right side is the distinct hit id
+    * set — sparse by construction, so AQE broadcasts it and the corpus
+    * passes through without shuffling.
+    */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String, vecCol: String,
+                            benchmark: DataFrame, benchIdCol: String,
+                            benchVecCol: String, threshold: Double,
+                            maxBenchmark: Long = 100000L): DataFrame = {
+    val bad = semanticContaminationHits(corpus, idCol, vecCol, benchmark,
+      benchIdCol, benchVecCol, threshold, maxBenchmark)
+      .select(col("id")).distinct()
+    corpus.join(bad, corpus(idCol) === bad("id"), "left_anti")
+  }
 }

@@ -188,4 +188,60 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, String, Long, Long)].collect()
     assert(without.exists(_._3.contains("subscribe to our newsletter")))
   }
+
+  test("semanticContaminationHits == driver brute force; decontaminate drops exactly the hit ids") {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val corpusRows = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),     // cos 1.0 to bench 100
+      2L -> Array(0.8f, 0.6f, 0f, 0f), // cos 0.8 to bench 100
+      3L -> Array(0f, 0f, 1f, 0f),     // orthogonal to both — clean
+      4L -> Array(0.6f, 0.8f, 0f, 0f)) // cos 0.8 to bench 101
+    val benchRows = Seq(
+      100L -> Array(1f, 0f, 0f, 0f),
+      101L -> Array(0f, 1f, 0f, 0f))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val bench = benchRows.toDF("vec_id", "embedding")
+
+    val got = Curation.semanticContaminationHits(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", threshold = 0.7)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val want = (for {
+      (cid, cv) <- corpusRows; (bid, bv) <- benchRows
+      c = cos(cv, bv) if c >= 0.7
+    } yield (cid, bid, c)).sorted
+    assert(got == want)
+    assert(got.map(_._1).toSet == Set(1L, 2L, 4L))
+
+    val kept = Curation.semanticDecontaminate(corpus, "vec_id", "embedding",
+      bench, "vec_id", "embedding", threshold = 0.7)
+    // corpus schema preserved; exactly the un-hit items survive
+    assert(kept.columns.toSeq == Seq("vec_id", "embedding"))
+    assert(kept.select("vec_id").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("semanticContaminationHits: inclusive threshold, empty benchmark, broadcast guard") {
+    val corpus = Seq(1L -> Array(1f, 0f)).toDF("vec_id", "embedding")
+    val bench = Seq(100L -> Array(1f, 0f)).toDF("vec_id", "embedding")
+    // identical unit vectors score exactly 1.0, and >= keeps the boundary
+    assert(Curation.semanticContaminationHits(corpus, "vec_id", "embedding",
+      bench, "vec_id", "embedding", threshold = 1.0).count() == 1L)
+    // an empty suite contaminates nothing and the filter is the identity
+    val none = bench.filter(col("vec_id") < 0L)
+    assert(Curation.semanticContaminationHits(corpus, "vec_id", "embedding",
+      none, "vec_id", "embedding", threshold = 0.0).count() == 0L)
+    assert(Curation.semanticDecontaminate(corpus, "vec_id", "embedding",
+      none, "vec_id", "embedding", threshold = 0.0).count() == 1L)
+    // the broadcast contract is enforced, not assumed
+    val big = Seq(100L, 101L, 102L).map(_ -> Array(1f, 0f)).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Curation.semanticContaminationHits(corpus, "vec_id", "embedding",
+        big, "vec_id", "embedding", threshold = 0.5, maxBenchmark = 2L)
+    }
+    assert(e.getMessage.contains("knnJoinLsh"))
+  }
 }
