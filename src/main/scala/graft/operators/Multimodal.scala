@@ -437,7 +437,11 @@ object Multimodal {
     while (off + 8 <= bytes.length && data == null) {
       val id = tag4(bytes, off)
       val sz = le32(bytes, off + 4)
-      if (sz < 0 || off + 8 + sz > bytes.length) return RiffParse.NotRiff
+      // Long arithmetic: a crafted size near 2^31 overflows the Int sum
+      // to negative and would sneak past an Int-typed bounds check, then
+      // throw in copyOfRange — a corrupt payload must hash NULL, not
+      // kill the stage
+      if (sz < 0 || off.toLong + 8L + sz > bytes.length) return RiffParse.NotRiff
       if (id == "fmt " && sz >= 16) {
         fmtSeen = true
         val audioFormat = le16(bytes, off + 8)

@@ -762,4 +762,29 @@ class OperatorsSpec extends SparkSpec {
         Seq((9L, stereoWav)).toDF("doc_id", "payload"), "doc_id")
       .as[(Long, Option[Long])].head()._2.isEmpty)
   }
+
+  test("parseRiffWav: crafted chunk sizes near 2^31 hash NULL, never throw") {
+    // a valid RIFF/WAVE preamble followed by a chunk whose declared size
+    // overflows an Int bounds sum (off + 8 + sz < 0): the corrupt-payload
+    // contract is hash-to-NULL, not an executor ArrayIndex/IllegalArgument
+    // a WELL-FORMED PCM16-mono fmt chunk precedes the hostile data chunk,
+    // so the only defense left is the bounds check itself
+    def crafted(sz: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(48)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1)             // PCM, mono
+        .putInt(8000).putInt(16000)          // rates
+        .putShort(2).putShort(16)            // block align, bits
+        .put("data".getBytes("US-ASCII")).putInt(sz)
+      b.array()
+    }
+    for (sz <- Seq(0x7FFFFFF0, Int.MaxValue, 100))
+      assert(Multimodal.parseRiffWav(crafted(sz)) == Multimodal.RiffParse.NotRiff,
+        s"size $sz must be rejected as malformed")
+    assert(Multimodal.audioFingerprint64(
+        Seq((1L, crafted(0x7FFFFFF0))).toDF("doc_id", "payload"), "doc_id")
+      .as[(Long, Option[Long])].head()._2.isEmpty)
+  }
 }
