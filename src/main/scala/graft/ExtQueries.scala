@@ -955,6 +955,24 @@ object ExtQueries {
                SELECT 1 FROM embeddings b
                WHERE b.vec_id < 50
                  AND list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4)""")),
+
+    // The LARGE-benchmark escape hatch the broadcast guard points at,
+    // proven end-to-end: cross-table sign-LSH bucket join between corpus
+    // and suite codes, vectors riding, cosine verified inline — never a
+    // broadcast, never a candidate exchange. Approximate wrt the exact
+    // row above (bucket-overlap recall) but DETERMINISTIC given the
+    // seeded planes, so the golden driver-loop recomputation (code
+    // overlap + sequential cosine) exact-checks the distributed
+    // machinery, as q_embed_neardup_lsh / q_knn_join_lsh do.
+    "q_sem_contaminate_lsh" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        graft.operators.Curation.semanticContaminationHitsLsh(
+          emb.filter(col("vec_id") >= 50), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+          threshold = 0.4, planes = 3, tables = 8)
+      },
+      golden("q_sem_contaminate_lsh")),
   )
 
   /** One oracle for BOTH hybrid-RRF rows: the scan-legged exact anchor

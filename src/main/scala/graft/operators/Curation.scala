@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The end-to-end pretraining curation pipeline, composed from the
@@ -402,5 +402,47 @@ object Curation {
       benchIdCol, benchVecCol, threshold, maxBenchmark)
       .select(col("id")).distinct()
     corpus.join(bad, corpus(idCol) === bad("id"), "left_anti")
+  }
+
+  /** [[semanticContaminationHits]] for the LARGE-benchmark regime the
+    * broadcast guard points at — the escape hatch itself: candidates come
+    * from a sign-LSH hash-bucket equi-join between the corpus's and the
+    * suite's bucket codes ([[graft.functions.LshBucketCodes]], the
+    * [[Dedup.embeddingPairsLsh]] family cross-table), vectors RIDE the
+    * bucket join and the exact cosine verifies INLINE on the streamed
+    * join output — never a broadcast, never a candidate materialization,
+    * both sides shuffle once by bucket code (each linear in its own
+    * size). Approximate wrt the exact scan (a hit is found only if the
+    * pair shares ≥ 1 bucket; recall per the plane/table formula on
+    * [[Dedup.embeddingPairsLsh]]) but fully DETERMINISTIC given the
+    * seeded hyperplanes. The default tuning (`planes = 0` / `tables = 0`)
+    * derives from the CORPUS count via [[LshTuning.forCorpus]] at
+    * `threshold` — the suite is the small side; density lives in the
+    * corpus. Same output shape as the exact path: ("id", "bench_id",
+    * "cos"), hits only.
+    */
+  def semanticContaminationHitsLsh(corpus: DataFrame, idCol: String, vecCol: String,
+                                   benchmark: DataFrame, benchIdCol: String,
+                                   benchVecCol: String, threshold: Double,
+                                   planes: Int = 0, tables: Int = 0,
+                                   seed: Long = 42L): DataFrame = {
+    val (planesEff, tablesEff) =
+      if (planes > 0 && tables > 0) (planes, tables)
+      else {
+        val t = LshTuning.forCorpus(corpus.count(), threshold)
+        (if (planes > 0) planes else t.planes,
+         if (tables > 0) tables else t.tables)
+      }
+    def bucketed(df: DataFrame, id: Column, vec: Column, idName: String, vecName: String) =
+      df.select(id.as(idName), vec.as(vecName),
+        explode(graft.functions.LshBucketCodes.column(vec, planesEff, tablesEff, seed))
+          .as("bkt"))
+    bucketed(corpus, col(idCol), col(vecCol), "id", "__cvec")
+      .join(bucketed(benchmark, col(benchIdCol), col(benchVecCol), "bench_id", "__bvec"),
+        Seq("bkt"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine(col("__cvec"), col("__bvec")))
+      .filter(col("cos") >= threshold)
+      .select("id", "bench_id", "cos").distinct()
   }
 }

@@ -244,4 +244,53 @@ class CurationSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("knnJoinLsh"))
   }
+
+  test("semanticContaminationHitsLsh == driver mirror (code overlap + cosine); subset of exact; tuned default") {
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val corpusRows = (100L until 180L).map(_ -> vec())
+    // half the suite vectors are jittered corpus vectors, so real hits exist
+    val benchRows = (0L until 20L).map { i =>
+      i -> (if (i % 2 == 0) corpusRows(i.toInt * 3)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+            else vec())
+    }
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val bench = benchRows.toDF("vec_id", "embedding")
+    val (planes, tables, seed, th) = (3, 8, 42L, 0.4)
+
+    val got = Curation.semanticContaminationHitsLsh(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", th, planes, tables, seed)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+
+    // driver mirror: bucket-code overlap (the engine's own per-vector code
+    // path) + the GoldenGen sequential-cosine accumulation order
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < 16) { val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y; i += 1 }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    def codes(v: Array[Float]) =
+      Similarity.queryBucketCodes(v.toSeq, planes, tables, seed).toSet
+    val want = (for {
+      (cid, cv) <- corpusRows; (bid, bv) <- benchRows
+      if codes(cv).intersect(codes(bv)).nonEmpty
+      c = cos(cv, bv) if c >= th
+    } yield (cid, bid, c)).sorted
+    assert(got == want)
+    assert(want.nonEmpty, "fixture must produce real hits")
+
+    // subset of the exact broadcast path, with identical cos values
+    val exact = Curation.semanticContaminationHits(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", th)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.forall(exact.contains))
+
+    // the density-tuned default (planes = tables = 0) is still a
+    // verified-hits subset of exact
+    val tuned = Curation.semanticContaminationHitsLsh(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", th)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(tuned.forall(exact.contains))
+  }
 }

@@ -282,6 +282,21 @@ object GoldenGen {
     } yield (id1, id2, cos)
     write(tunedPairs.toSeq.toDF("id1", "id2", "cos"), "q_embed_neardup_tuned")
 
+    // q_sem_contaminate_lsh: CROSS-TABLE LSH contamination — corpus
+    // (vec_id >= 50) probes the fixed suite (vec_id < 50) through the
+    // bucket join; fixed planes=3/tables=8/seed=42 (codes3 above),
+    // threshold 0.4. Driver mirror: code-overlap candidates, sequential
+    // cosine, hits only.
+    val semBench = embs.filter(_._1 < 50L)
+    val semHits = for {
+      (cid, cv) <- embs.iterator if cid >= 50L
+      (bid, bv) <- semBench.iterator
+      if codes3(cid).intersect(codes3(bid)).nonEmpty
+      cos = cosine(cv, bv)
+      if cos >= 0.4
+    } yield (cid, bid, cos)
+    write(semHits.toSeq.toDF("id", "bench_id", "cos"), "q_sem_contaminate_lsh")
+
     // q_ann_lsh: query = vec_id 0, planes=4, tables=8, seed=42, k=10,
     // candidates by code overlap, exact cosine, (cos desc, vec_id) order
     val qVec = embs.find(_._1 == 0L).get._2
