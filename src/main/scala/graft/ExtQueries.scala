@@ -973,6 +973,25 @@ object ExtQueries {
           threshold = 0.4, planes = 3, tables = 8)
       },
       golden("q_sem_contaminate_lsh")),
+
+    // INCREMENTAL embedding near-dup — the vector entry of the
+    // incremental-dedup matrix (q_dedup_incremental = text band index,
+    // q_image_incremental = 8-byte hash index, this = the embedding LSH
+    // bucket index): a new slice probes the persisted slim-layout index
+    // (history joined by stored codes, never re-hashed; vector lookups
+    // pruned to candidates). Deterministic given the seeded planes →
+    // golden driver-loop recomputation, as the whole LSH family.
+    "q_embed_incremental" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Dedup.incrementalEmbeddingPairsLsh(
+          emb.filter(col("vec_id") % 20 === 7), "vec_id", "embedding",
+          Dedup.embeddingLshIndex(
+            emb.filter(col("vec_id") % 20 =!= 7), "vec_id", "embedding",
+            planes = 3, tables = 8),
+          threshold = 0.4, planes = 3, tables = 8)
+      },
+      golden("q_embed_incremental")),
   )
 
   /** One oracle for BOTH hybrid-RRF rows: the scan-legged exact anchor

@@ -1000,4 +1000,72 @@ object Dedup extends org.apache.spark.internal.Logging {
       .filter(col("cos") >= threshold)
       .select("id1", "id2", "cos").distinct()
   }
+
+  /** The persisted EMBEDDING LSH index rows — the probe side of
+    * [[incrementalEmbeddingPairsLsh]], completing the incremental-dedup
+    * matrix (text → MinHash band index, image/audio → 8-byte hash index,
+    * video → frame-hash index, embeddings → THIS): (id, v, bkt), one row
+    * per (id, table) bucket code ([[graft.functions.LshBucketCodes]],
+    * table id packed in the code's high bits), with the VECTOR carried on
+    * the first bucket row ONLY — the band index's slim-sig layout: bucket
+    * rows are 16-byte (id, long) probes, the `tables`×-amplified rows
+    * never repeat the vector, and consumers read vectors as
+    * `filter(v.isNotNull)`.
+    *
+    * The index OWNS the tuning: probes must present the same
+    * (planes, tables, seed) or candidates are meaningless — same contract
+    * as the MinHash band index owning (shingleSize, numHashes, bands).
+    */
+  def embeddingLshIndex(df: DataFrame, idCol: String, vecCol: String,
+                        planes: Int = 3, tables: Int = 8,
+                        seed: Long = 42L): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), col("v"),
+        posexplode(graft.functions.LshBucketCodes.column(col("v"), planes, tables, seed))
+          .as(Seq("__p", "bkt")))
+      .select(col("id"),
+        when(col("__p") === 0, col("v")).as("v"), col("bkt"))
+
+  /** INCREMENTAL embedding near-dup probe: a new batch's vectors against
+    * the persisted [[embeddingLshIndex]] of the published corpus —
+    * history is only ever JOINED by its bucket codes, never re-hashed.
+    * Candidates are (new, indexed) pairs sharing ANY table's bucket code;
+    * per-batch cost is O(batch × collision rate), not O(history): the
+    * candidate set is batch-collision-sized (distinct over it is a small
+    * exchange — unlike the all-pairs self-join, where candidates are the
+    * quadratic quantity and ride the join un-exchanged), and the index's
+    * vector lookup is PRUNED to candidate ids behind a broadcast
+    * semi-join before any dedup, so history vectors are scanned once and
+    * never shuffled (the [[incrementalNearDupsIndexed]] cost model).
+    * Exact cosine verifies the survivors; output (new_id, old_id, cos).
+    * `excludeSelf` semantics as in [[incrementalHammingPairs]] (streaming
+    * loops pass false so a re-sent published id matches itself).
+    */
+  def incrementalEmbeddingPairsLsh(newVecs: DataFrame, idCol: String, vecCol: String,
+                                   index: DataFrame, threshold: Double,
+                                   planes: Int = 3, tables: Int = 8,
+                                   seed: Long = 42L,
+                                   excludeSelf: Boolean = true,
+                                   materialize: Boolean = true): DataFrame = {
+    val newSide = materialized(materialize,
+      newVecs.select(col(idCol).as("new_id"), col(vecCol).as("__nv")))
+    val newBuckets = newSide.select(col("new_id"),
+      explode(graft.functions.LshBucketCodes.column(col("__nv"), planes, tables, seed))
+        .as("bkt"))
+    // cand feeds the verify join AND the vector-lookup prune — barrier it
+    val cand = materialized(materialize,
+      newBuckets.join(index.select(col("bkt"), col("id").as("old_id")), Seq("bkt"))
+        .filter(if (excludeSelf) col("new_id") =!= col("old_id") else lit(true))
+        .select("new_id", "old_id").distinct())
+    val oldVecs = index.filter(col("v").isNotNull)
+      .select(col("id").as("old_id"), col("v").as("__ov"))
+      .join(cand.select("old_id").distinct(), Seq("old_id"), "left_semi")
+      .dropDuplicates("old_id")
+    cand
+      .join(newSide.dropDuplicates("new_id"), "new_id")
+      .join(oldVecs, "old_id")
+      .withColumn("cos", VectorFunctions.cosine(col("__nv"), col("__ov")))
+      .filter(col("cos") >= threshold)
+      .select("new_id", "old_id", "cos")
+  }
 }

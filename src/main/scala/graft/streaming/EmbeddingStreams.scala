@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming ingest-time dedup for EMBEDDINGS — the vector twin of
+  * [[DocumentStreams.ingestDedup]] (text/MinHash) and
+  * [[MediaStreams.ingestMediaDedup]] (media/Hamming), completing the
+  * incremental-dedup matrix: each micro-batch's vectors probe the growing
+  * published [[Dedup.embeddingLshIndex]] through the bucket-code join
+  * ([[Dedup.incrementalEmbeddingPairsLsh]] — history joined by its stored
+  * codes, never re-hashed; vector lookups pruned to candidates), drop
+  * items at cosine ≥ `threshold` of a published item (FIRST-ARRIVAL-WINS;
+  * same-id re-sends match themselves and are dropped) or of a smaller-id
+  * batchmate that itself survived the history probe, and append survivors
+  * to the lake plus their index rows to the index.
+  *
+  * State is ONE grow-only parquet in the slim layout (bucket rows are
+  * (id, long) pairs; the vector is stored once per item), hive-partitioned
+  * by `__batch_id` with the loops' usual retry-idempotence contract. The
+  * loop FIXES the LSH tuning (planes/tables/seed) for the life of the
+  * index — the index owns the tuning, so the density-scaled
+  * `LshTuning.forCorpus` default of the batch operators does not apply
+  * here (re-tuning would orphan every stored code; re-index to re-tune).
+  */
+object EmbeddingStreams {
+
+  /** Wire a streaming vector source into the ingest-dedup loop.
+    * `indexPath` must hold [[Dedup.embeddingLshIndex]] rows built with the
+    * SAME (planes, tables, seed), seeded via [[DocumentStreams.seedIndex]]
+    * (or bootstrapped from absent); `outPath` receives surviving rows.
+    */
+  def ingestEmbeddingDedup(newVecs: DataFrame, idCol: String, vecCol: String,
+                           indexPath: String, outPath: String,
+                           threshold: Double = 0.8,
+                           planes: Int = 3, tables: Int = 8,
+                           seed: Long = 42L): DataStreamWriter[Row] =
+    newVecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processEmbeddingBatch(batch, batchId, idCol, vecCol, indexPath,
+        outPath, threshold, planes, tables, seed)
+    }
+
+  /** One micro-batch of the loop (factored out for direct batch-semantics
+    * testing, like [[MediaStreams.processMediaBatch]]).
+    */
+  private[graft] def processEmbeddingBatch(batch: DataFrame, batchId: Long,
+                                           idCol: String, vecCol: String,
+                                           indexPath: String, outPath: String,
+                                           threshold: Double,
+                                           planes: Int, tables: Int,
+                                           seed: Long): Unit = {
+    val spark = batch.sparkSession
+    val vecs = batch.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val history =
+      if (DocumentStreams.pathExists(spark, indexPath))
+        DocumentStreams.readHistory(spark, indexPath, batchId)
+          .select("id", "v", "bkt")
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        Dedup.embeddingLshIndex(vecs, "id", "v", planes, tables, seed).schema)
+    // dup of a PUBLISHED vector: drop the NEW one. excludeSelf = false —
+    // the batch side is unpublished (readHistory excludes the in-flight
+    // partition), so a same-id index match is a RE-SENT published item
+    val dupOfHistory = Dedup.incrementalEmbeddingPairsLsh(
+        vecs, "id", "v", history, threshold, planes, tables, seed,
+        excludeSelf = false)
+      .select(col("new_id").as("__drop")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // within-batch pairing over history-probe SURVIVORS only (the loops'
+    // no-transitive-drop-via-unpublished policy); smallest id survives.
+    // FIXED tuning — the loop's contract, not the corpus-derived default.
+    val eligible = vecs.join(dupOfHistory,
+      vecs("id") === col("__drop"), "left_anti")
+    val dupInBatch = Dedup.embeddingPairsLsh(eligible, "id", "v",
+        threshold, planes, tables, seed)
+      .select(col("id2").as("__drop"))
+    val dropIds = dupOfHistory.union(dupInBatch).distinct()
+    val survivors = batch
+      .join(dropIds, batch(idCol).cast("long") === col("__drop"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    DocumentStreams.writeBatchPartition(survivors, batchId, outPath)
+    // the index grows by the SURVIVORS' rows only (null-vector rows never
+    // entered `vecs`, so undecodable items pass through un-indexed)
+    DocumentStreams.writeBatchPartition(
+      Dedup.embeddingLshIndex(
+        vecs.join(survivors.select(col(idCol).cast("long").as("__keep")),
+          vecs("id") === col("__keep"), "left_semi"),
+        "id", "v", planes, tables, seed),
+      batchId, indexPath)
+    survivors.unpersist()
+    dupOfHistory.unpersist()
+    vecs.unpersist()
+  }
+}

@@ -787,4 +787,49 @@ class OperatorsSpec extends SparkSpec {
         Seq((1L, crafted(0x7FFFFFF0))).toDF("doc_id", "payload"), "doc_id")
       .as[(Long, Option[Long])].head()._2.isEmpty)
   }
+
+  test("incrementalEmbeddingPairsLsh == cross-slice of embeddingPairsLsh; slim index; excludeSelf") {
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val bases = Array.fill(6)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    // ids 0-11 = index side (two per family); 100-105 = new side, each a
+    // jitter of family i — near its two indexed family members, far from
+    // the rest
+    val indexRows = (0 until 12).map(i => i.toLong -> jitter(bases(i / 2)))
+    val newRows = (0 until 6).map(i => (100L + i) -> jitter(bases(i)))
+    val indexDf = indexRows.toDF("vec_id", "embedding")
+    val newDf = newRows.toDF("vec_id", "embedding")
+    val (p, t, seed, th) = (3, 8, 42L, 0.8)
+
+    val idx = Dedup.embeddingLshIndex(indexDf, "vec_id", "embedding", p, t, seed)
+    // slim layout: one vector-bearing row per id, `tables` bucket rows
+    assert(idx.filter(col("v").isNotNull).count() == 12L)
+    assert(idx.count() == 12L * t)
+
+    val got = Dedup.incrementalEmbeddingPairsLsh(newDf, "vec_id", "embedding",
+        idx, th, p, t, seed)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+
+    // the re-oriented cross-slice of the all-pairs operator over the union
+    val all = Dedup.embeddingPairsLsh(
+        indexDf.unionByName(newDf), "vec_id", "embedding", th, p, t, seed)
+      .as[(Long, Long, Double)].collect()
+    val want = all.collect {
+      case (id1, id2, cos) if id1 < 100L && id2 >= 100L => (id2, id1, cos)
+    }.sorted.toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "fixture must produce cross-slice near-dups")
+
+    // excludeSelf: a re-probed id matches itself only when asked to
+    // (0.99: only the identical vector scores that high in this fixture)
+    val selfProbe = indexDf.filter(col("vec_id") === 0L)
+    assert(Dedup.incrementalEmbeddingPairsLsh(selfProbe, "vec_id", "embedding",
+        idx, 0.99, p, t, seed)
+      .filter(col("new_id") === col("old_id")).count() == 0L)
+    val selfHits = Dedup.incrementalEmbeddingPairsLsh(selfProbe, "vec_id", "embedding",
+        idx, 0.99, p, t, seed, excludeSelf = false)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(selfHits.exists { case (n, o, c) => n == 0L && o == 0L && c > 0.999 })
+  }
 }

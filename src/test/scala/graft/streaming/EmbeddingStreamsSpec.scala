@@ -1,0 +1,130 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EmbeddingStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  private def vecFor(id: Long): Array[Float] = EmbeddingSpecVecs.vecFor(id)
+
+  private def vecs(ids: Long*): DataFrame =
+    ids.map(i => i -> vecFor(i)).toDF("vec_id", "embedding")
+
+  private val TH = 0.9
+
+  test("streaming embedding ingest-dedup: history, in-batch, cross-batch, growing index") {
+    implicit val sqlCtx = spark.sqlContext
+    val indexPath = tmp("graft_eidx")
+    val outPath = tmp("graft_elake")
+
+    // history: family 0 variants 0,1 already published
+    DocumentStreams.seedIndex(
+      graft.operators.Dedup.embeddingLshIndex(vecs(0L, 1L), "vec_id", "embedding"),
+      indexPath)
+
+    val mem = MemoryStream[Long]
+    val stream = mem.toDF().toDF("vec_id")
+      .withColumn("embedding", udf(EmbeddingSpecVecs.vecFor _).apply(col("vec_id")))
+    val q = EmbeddingStreams.ingestEmbeddingDedup(stream, "vec_id", "embedding",
+      indexPath, outPath, threshold = TH).start()
+    try {
+      // batch 1: 2,3 ~ history family 0 (dropped); 8 fresh family 2
+      // (kept); 9 ~ 8 within the batch (dropped — larger id)
+      mem.addData(2L, 3L, 8L, 9L)
+      q.processAllAvailable()
+      // batch 2: 10 ~ batch-1 survivor 8 (dropped — the index GREW);
+      // 40 fresh family 10 (kept)
+      mem.addData(10L, 40L)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(spark.read.parquet(outPath).select("vec_id").as[Long]
+      .collect().toSet == Set(8L, 40L))
+    val idx = spark.read.parquet(indexPath)
+    assert(idx.select("id").distinct().as[Long].collect().toSet ==
+      Set(0L, 1L, 8L, 40L))
+    // the slim layout holds: one vector-bearing row per published id
+    assert(idx.filter(col("v").isNotNull).count() == 4L)
+  }
+
+  test("embedding loop: same-id re-send dropped; no transitive drop via unpublished; retry idempotent") {
+    val indexPath = tmp("graft_eidx2")
+    val outPath = tmp("graft_elake2")
+    DocumentStreams.seedIndex(
+      graft.operators.Dedup.embeddingLshIndex(vecs(100L), "vec_id", "embedding"),
+      indexPath)
+
+    // batch 0: 101 ~ published 100 (dropped as dup-of-history); 8 is far
+    // from everything published → kept
+    EmbeddingStreams.processEmbeddingBatch(vecs(101L, 8L), 0L,
+      "vec_id", "embedding", indexPath, outPath, TH, 3, 8, 42L)
+    assert(spark.read.parquet(outPath).select("vec_id").as[Long]
+      .collect().toSet == Set(8L))
+
+    // batch 1 — the NO-TRANSITIVE-DROP-VIA-UNPUBLISHED policy, on an
+    // explicit angle chain around the published P=100 (family-25 base):
+    // A is 20° off P (cos 0.94 ≥ 0.9 → dropped via history); B is 20° off
+    // A but 40° off P (cos 0.766 < 0.9 vs everything PUBLISHED) — B must
+    // survive; dropping it through the unpublished A would be silent loss
+    val base = vecFor(100L)
+    def rot(deg: Double): Array[Float] = {
+      // rotate in the plane spanned by `base` and a fixed orthogonal-ish
+      // axis; exact angles don't matter, only the cos chain above
+      val axis = Array.tabulate(16)(i => if (i % 2 == 0) 1f else -1f)
+      val nb = math.sqrt(base.map(x => x.toDouble * x.toDouble).sum)
+      val dotBA = base.zip(axis).map { case (x, y) => x.toDouble * y }.sum
+      val ortho = axis.zip(base).map { case (a, b) =>
+        (a - (dotBA / (nb * nb)) * b).toFloat }
+      val no = math.sqrt(ortho.map(x => x.toDouble * x.toDouble).sum)
+      val r = math.toRadians(deg)
+      base.zip(ortho).map { case (b, o) =>
+        (math.cos(r) * b / nb + math.sin(r) * o / no).toFloat }
+    }
+    val chain = Seq(200L -> rot(20.0), 201L -> rot(40.0), 45L -> vecFor(45L))
+      .toDF("vec_id", "embedding")
+    EmbeddingStreams.processEmbeddingBatch(chain, 1L,
+      "vec_id", "embedding", indexPath, outPath, TH, 3, 8, 42L)
+    assert(spark.read.parquet(outPath).select("vec_id").as[Long]
+      .collect().toSet == Set(8L, 201L, 45L))
+
+    // batch 2: the PUBLISHED id 100 re-sent verbatim — dropped against the
+    // index (same-id matches count), not republished / double-indexed
+    EmbeddingStreams.processEmbeddingBatch(vecs(100L), 2L,
+      "vec_id", "embedding", indexPath, outPath, TH, 3, 8, 42L)
+    assert(spark.read.parquet(outPath).filter(col("vec_id") === 100L).count() == 0)
+    assert(spark.read.parquet(indexPath)
+      .filter(col("id") === 100L && col("v").isNotNull).count() == 1)
+
+    // RETRY: re-delivering committed batch 1 rewrites its own partition
+    // only — no duplicates, no re-dropped survivors (readHistory excludes
+    // the in-flight batch's own index partition)
+    EmbeddingStreams.processEmbeddingBatch(chain, 1L,
+      "vec_id", "embedding", indexPath, outPath, TH, 3, 8, 42L)
+    val lake = spark.read.parquet(outPath)
+    assert(lake.filter(col("vec_id") === 45L).count() == 1)
+    assert(lake.select("vec_id").as[Long].collect().toSet == Set(8L, 201L, 45L))
+  }
+}
+
+/** Deterministic id → vector (family = id div 4; variants of a family are
+  * small jitters of its base: cosine ≈ 0.999 within, ≈ 0 across). A
+  * standalone object so the streaming test's UDF serializes without
+  * dragging the suite instance into the closure.
+  */
+object EmbeddingSpecVecs extends Serializable {
+  def vecFor(id: Long): Array[Float] = {
+    val fam = (id / 4L).toInt
+    val base = {
+      val r = new scala.util.Random(1000 + fam)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val j = new scala.util.Random(id)
+    base.map(x => x + 0.01f * j.nextGaussian().toFloat)
+  }
+}

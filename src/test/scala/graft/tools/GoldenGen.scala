@@ -297,6 +297,20 @@ object GoldenGen {
     } yield (cid, bid, cos)
     write(semHits.toSeq.toDF("id", "bench_id", "cos"), "q_sem_contaminate_lsh")
 
+    // q_embed_incremental: the incremental embedding probe — new slice
+    // (vec_id % 20 = 7) vs the index of the rest, fixed planes=3/tables=8
+    // /seed=42 (codes3), threshold 0.4. Driver mirror: code-overlap
+    // candidates, sequential cosine, excludeSelf irrelevant (slices are
+    // disjoint by id).
+    val incHits = for {
+      (nid, nv) <- embs.iterator if nid % 20L == 7L
+      (oid, ov) <- embs.iterator if oid % 20L != 7L
+      if codes3(nid).intersect(codes3(oid)).nonEmpty
+      cos = cosine(nv, ov)
+      if cos >= 0.4
+    } yield (nid, oid, cos)
+    write(incHits.toSeq.toDF("new_id", "old_id", "cos"), "q_embed_incremental")
+
     // q_ann_lsh: query = vec_id 0, planes=4, tables=8, seed=42, k=10,
     // candidates by code overlap, exact cosine, (cos desc, vec_id) order
     val qVec = embs.find(_._1 == 0L).get._2
