@@ -361,9 +361,9 @@ object Curation {
     * construction) survive the stage. Nothing corpus-sized is shuffled or
     * materialized, and there is no index to build or refresh when the
     * suite changes — the suite IS the broadcast. When a benchmark
-    * outgrows the broadcast budget, block with [[Similarity.knnJoinLsh]]
-    * (benchmark as the query side) and threshold its `cos` output — the
-    * same escape hatch the n-gram path reaches via [[BloomConfig]].
+    * outgrows the broadcast budget, use [[semanticContaminationHitsLsh]]
+    * (cross-table bucket join, no broadcast) — the same escape hatch the
+    * n-gram path reaches via [[BloomConfig]].
     *
     * Returns ("id" — the corpus `idCol`, "bench_id", "cos"), one row per
     * (corpus item, benchmark item) pair at/above threshold.
@@ -376,8 +376,8 @@ object Curation {
     val bCount = benchmark.limit((maxBenchmark + 1).min(Int.MaxValue).toInt).count()
     require(bCount <= maxBenchmark,
       s"semanticContaminationHits broadcasts the benchmark side, but it " +
-        s"exceeds $maxBenchmark rows — block with Similarity.knnJoinLsh " +
-        "(bucketed candidates, no broadcast) for benchmark sets this " +
+        s"exceeds $maxBenchmark rows — use semanticContaminationHitsLsh " +
+        "(cross-table bucket join, no broadcast) for benchmark sets this " +
         "large, or raise maxBenchmark if the driver can hold the broadcast")
     val b = broadcast(benchmark.select(col(benchIdCol).as("bench_id"),
       col(benchVecCol).as("__bvec")))

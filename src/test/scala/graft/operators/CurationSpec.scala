@@ -242,7 +242,7 @@ class CurationSpec extends SparkSpec {
       Curation.semanticContaminationHits(corpus, "vec_id", "embedding",
         big, "vec_id", "embedding", threshold = 0.5, maxBenchmark = 2L)
     }
-    assert(e.getMessage.contains("knnJoinLsh"))
+    assert(e.getMessage.contains("semanticContaminationHitsLsh"))
   }
 
   test("semanticContaminationHitsLsh == driver mirror (code overlap + cosine); subset of exact; tuned default") {
