@@ -61,7 +61,7 @@ object Curation {
     * (in-memory benchmarks) fall back to a count, which is one cheap job
     * on the small eval-suite side.
     */
-  private def corpusFingerprint(df: DataFrame): String = {
+  private[operators] def corpusFingerprint(df: DataFrame): String = {
     val files = df.inputFiles
     val raw =
       if (files.nonEmpty) {
@@ -122,11 +122,23 @@ object Curation {
     * dedup signature tables): an eval suite is shingled ONCE per release
     * and every nightly decontamination run joins the stored longs — the
     * suite text is never re-tokenized per run.
+    *
+    * FRESHNESS: [[corpusFingerprint]] of the benchmark (driver-side file
+    * (path, length, mtime) stats — no job for file sources) is folded into
+    * the memo key, so a suite regenerated IN PLACE under the same
+    * `cacheKey` keys a rebuild instead of silently serving grams of the
+    * old snapshot (whose false-negative rate against the new suite is
+    * unbounded) — the same guard the Bloom `sketchKey` path has. The
+    * fingerprint forces `benchmark` on every call; for non-file sources
+    * that costs one count job on the (small) suite side.
     */
   def benchGramsFor(benchmark: => DataFrame, cacheKey: String,
-                    benchTextCol: String, ngramSize: Int = 8): DataFrame =
-    Dedup.diskMemo(s"benchgrams$ngramSize", cacheKey)(
-      benchGramTable(benchmark, benchTextCol, ngramSize))
+                    benchTextCol: String, ngramSize: Int = 8): DataFrame = {
+    val b = benchmark
+    Dedup.diskMemo(s"benchgrams$ngramSize",
+      s"$cacheKey|fp=${corpusFingerprint(b)}")(
+      benchGramTable(b, benchTextCol, ngramSize))
+  }
 
   /** [[contaminationHits]] from a prebuilt benchmark gram table
     * ([[benchGramTable]] / [[benchGramsFor]]) — zero benchmark-side

@@ -635,7 +635,10 @@ object Dedup extends org.apache.spark.internal.Logging {
     * row), and residual (chunk, cv) groups with more than `maxBucket`
     * DISTINCT index hashes are skipped. Guarded `old_id` is the clique
     * representative, not necessarily the nearest member — callers that
-    * only consume `new_id` (the ingest loops) are unaffected.
+    * only consume `new_id` (the ingest loops) are unaffected. When the
+    * probe item IS the indexed clique's representative (re-probe under
+    * `excludeSelf`), `old_id` is the clique's second-smallest member id,
+    * so a duplicated item never silently reports "unique".
     */
   def incrementalHammingPairs(newHashes: DataFrame, indexHashes: DataFrame,
                               maxDistance: Int,
@@ -662,10 +665,31 @@ object Dedup extends org.apache.spark.internal.Logging {
     if (maxBucket <= 0) probe(chunked(indexHashes, "old_id", "old_sh"))
     else {
       val reps = indexHashes.groupBy("sh").agg(min(col("id")).as("id"))
-      val exactHits = newHashes.select(col("id").as("new_id"), col("sh").as("new_sh"))
-        .join(reps.select(col("id").as("old_id"), col("sh").as("old_sh")),
+      val exactBase = newHashes.select(col("id").as("new_id"), col("sh").as("new_sh"))
+        .join(reps.select(col("id").as("__rep_id"), col("sh").as("old_sh")),
           col("new_sh") === col("old_sh"))
-        .filter(selfFilter)
+      val exactHits =
+        (if (!excludeSelf)
+           exactBase.select(col("new_id"), col("__rep_id").as("old_id"))
+         else {
+           // A probe item that IS the min-id representative of an indexed
+           // exact-hash clique must still match the clique's OTHER members
+           // (self-filtering the rep alone would report "no duplicate"
+           // while unguarded mode reports every member): join the per-hash
+           // SECOND-smallest id and emit (new_id, secondMin, 0) for the
+           // rep-self case. One extra linear agg over the index side.
+           val seconds = indexHashes
+             .join(reps.select(col("sh"), col("id").as("__r")), Seq("sh"))
+             .filter(col("id") =!= col("__r"))
+             .groupBy("sh").agg(min(col("id")).as("__second_id"))
+             .withColumnRenamed("sh", "__ssh")
+           exactBase
+             .join(seconds, col("new_sh") === col("__ssh"), "left")
+             .select(col("new_id"),
+               when(col("new_id") =!= col("__rep_id"), col("__rep_id"))
+                 .otherwise(col("__second_id")).as("old_id"))
+             .filter(col("old_id").isNotNull)
+         })
         .select(col("new_id"), col("old_id"), lit(0).as("hamming"))
       val oldChunked = chunked(reps, "old_id", "old_sh")
       val small = oldChunked.groupBy("chunk", "cv")

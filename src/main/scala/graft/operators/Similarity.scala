@@ -108,15 +108,28 @@ object Similarity {
     math.min(n, math.max(2L, math.round(math.sqrt(n.toDouble)))).toInt
   }
 
+  /** The k derived for `nClusters = 0` calls, memoized per (cacheKey,
+    * cols, seed): without this every SERVE-side call — including memo
+    * hits — would force `df` and run a full count() just to re-derive the
+    * same k, defeating the build-once/serve-many contract. Same freshness
+    * contract as the index memo itself: the `cacheKey` must change when
+    * the corpus snapshot changes.
+    */
+  private val ivfKCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   def ivfIndexFor(df: => DataFrame, cacheKey: String,
                   idCol: String, vecCol: String,
                   nClusters: Int, seed: Long = 42L): IvfIndex = {
     lazy val corpus = df
     // resolve the density-scaled default BEFORE the memo key, so the key
     // and path always record the k that was actually fit (two corpora of
-    // different sizes under nClusters = 0 never share an index)
+    // different sizes under nClusters = 0 never share an index); the
+    // derived k is itself memoized so only the FIRST call pays the count
     val k = if (nClusters > 0) nClusters
-            else ivfClustersForCorpus(corpus.count())
+            else ivfKCache.computeIfAbsent(
+              s"$cacheKey|id=$idCol|vec=$vecCol|seed=$seed|autok",
+              _ => Integer.valueOf(ivfClustersForCorpus(corpus.count()))).intValue()
     // fold every artifact-shaping parameter into the memo key and path
     val fullKey = s"$cacheKey|id=$idCol|vec=$vecCol|k=$k|seed=$seed"
     ivfCache.computeIfAbsent(fullKey, _ => {

@@ -171,17 +171,50 @@ object TextStats {
     * relevance score.
     *
     * Plan shape: explode → per-(doc, token) count (map-side combine) →
-    * vocabulary df aggregate (Zipf-small, map-side combine) → token-keyed
-    * equi-join → per-doc bounded TopN heap ([[graft.functions.TopNRows]]).
-    * No windows: a `row_number` formulation would sort every document's
-    * whole vocabulary inside single tasks.
+    * vocabulary df aggregate (Zipf-small, map-side combine) → SKEW-SPLIT
+    * token join → per-doc bounded TopN heap
+    * ([[graft.functions.TopNRows]]). No windows: a `row_number`
+    * formulation would sort every document's whole vocabulary inside
+    * single tasks.
+    *
+    * THE SKEW SPLIT (output-identical to a plain `tf ⋈ dfreq` join): a
+    * raw token-keyed shuffle join puts a stop-token's corpus-sized tf
+    * rows on ONE shuffle partition — the classic Zipf-key skew, measured
+    * 4.5× wall at 10× data. Instead the df table splits into the HEAD —
+    * the `headTokens` highest-df tokens, bounded by construction, so its
+    * broadcast never outgrows the driver — and the TAIL (everything
+    * else). tf rows broadcast-left-join the head map-side (the skewed
+    * keys, by Zipf's law, are exactly the head — they never shuffle);
+    * only head-miss rows shuffle against the tail, where the worst key
+    * carries at most the (headTokens+1)-th token's df rows (≈ corpus
+    * tokens / headTokens under Zipf — AQE's skew-join split covers the
+    * residue). When the whole vocabulary fits in `headTokens` the tail
+    * is empty and the operator is a pure map-side join. The head
+    * boundary is deterministic ((df desc, token) is a total order), and
+    * head ∪ tail partition the vocabulary, so the union equals the plain
+    * inner join row-for-row.
+    *
+    * `materialize` barriers the tf table (it feeds the df aggregate and
+    * both join branches — without it the corpus tokenizes three times)
+    * and the Zipf-small df table.
     */
-  def salientTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val tf = df.select(col(idCol).as("id"),
+  def salientTerms(df: DataFrame, idCol: String, textCol: String, k: Int,
+                   headTokens: Int = 65536,
+                   materialize: Boolean = true): DataFrame = {
+    def mat(d: DataFrame) =
+      if (materialize) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else d
+    val tf = mat(df.select(col(idCol).as("id"),
         explode(TextFunctions.tokens(col(textCol))).as("token"))
-      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    tf.join(dfreq, "token")
+      .groupBy("id", "token").agg(count(lit(1)).as("tf")))
+    val dfreq = mat(tf.groupBy("token").agg(count(lit(1)).as("df")))
+    val head = dfreq.orderBy(col("df").desc, col("token")).limit(headTokens)
+    val tail = dfreq.join(broadcast(head.select("token")), Seq("token"), "left_anti")
+    val withHead = tf.join(broadcast(head), Seq("token"), "left")
+    val joined = withHead.filter(col("df").isNotNull)
+      .unionByName(withHead.filter(col("df").isNull).drop("df")
+        .join(tail, Seq("token")))
+    joined
       .groupBy("id")
       .agg(TopN.rows(
         struct(col("token"), col("tf"), col("df")),
@@ -239,11 +272,20 @@ object TextStats {
     * vocabulary once per suite release; every importance-scoring run
     * joins the stored (gram, count) longs instead of re-shingling either
     * corpus.
+    *
+    * FRESHNESS: the corpus fingerprint (driver-side file stats — see
+    * [[Curation.corpusFingerprint]]) is folded into the memo key, so a
+    * corpus regenerated in place under the same `cacheKey` keys a rebuild
+    * instead of serving stale counts. Forces `df` on every call (cheap:
+    * file metadata only for file sources).
     */
   def gramCountsFor(df: => DataFrame, cacheKey: String, textCol: String,
-                    ngramSize: Int = 2): DataFrame =
-    Dedup.diskMemo(s"gramcnt$ngramSize", cacheKey)(
-      gramCounts(df, textCol, ngramSize))
+                    ngramSize: Int = 2): DataFrame = {
+    val d = df
+    Dedup.diskMemo(s"gramcnt$ngramSize",
+      s"$cacheKey|fp=${Curation.corpusFingerprint(d)}")(
+      gramCounts(d, textCol, ngramSize))
+  }
 
   /** [[importanceStats]] from prebuilt raw/target vocabulary tables
     * ([[gramCounts]] / [[gramCountsFor]]) — the per-run work is exactly

@@ -331,6 +331,17 @@ class AnalyticsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert(!plan.contains("Window"), plan)
+    // the skew-split is output-identical across EVERY head boundary: the
+    // whole vocabulary in the head (pure broadcast path), none of it
+    // (pure tail join), and a boundary straddling the df order — all
+    // must equal the default. Exercises the head/tail partition property
+    // plus the deterministic (df desc, token) boundary.
+    for (h <- Seq(1, 2, 3, 1000)) {
+      val split = TextStats.salientTerms(docs, "doc_id", "text", k = 2,
+          headTokens = h, materialize = false)
+        .as[(Long, String, Long, Long, Long)].collect().sorted.toSeq
+      assert(split == expected, s"headTokens=$h")
+    }
   }
 
   test("standardize: exact z algebra, zero-variance and NULL conventions") {

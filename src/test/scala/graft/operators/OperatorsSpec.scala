@@ -674,6 +674,22 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.incrementalHammingPairs(probe, big, 3, maxBucket = 100)
       .as[(Long, Long, Int)].collect().toSet ==
       Set((9000L, 0L, 0), (9001L, 0L, 1)))
+    // rep-self re-probe (excludeSelf): a probe item that IS the indexed
+    // clique's min-id representative must still flag against the clique's
+    // OTHER members — (0, secondMin, 0), one row, never "unique" and
+    // never the 4999 unguarded rows. A singleton's rep matches nothing.
+    val repProbe = Seq((0L, 42L), (7000L, 42L)).toDF("id", "sh")
+    assert(Dedup.incrementalHammingPairs(repProbe, big, 3, maxBucket = 100)
+      .as[(Long, Long, Int)].collect().toSet ==
+      Set((0L, 1L, 0), (7000L, 0L, 0)))
+    val singleton = Seq((7L, 99L)).toDF("id", "sh")
+    assert(Dedup.incrementalHammingPairs(Seq((7L, 99L)).toDF("id", "sh"),
+      singleton, 3, maxBucket = 100).count() == 0)
+    // and with excludeSelf = false (streaming re-sent-id contract) the
+    // rep-self match itself must still surface
+    assert(Dedup.incrementalHammingPairs(Seq((7L, 99L)).toDF("id", "sh"),
+      singleton, 3, excludeSelf = false, maxBucket = 100)
+      .as[(Long, Long, Int)].collect().toSet == Set((7L, 7L, 0)))
     // the documented recall trade: a pair whose EVERY agreeing chunk
     // group is oversized is skipped (here 21 distinct hashes k<<16 agree
     // on chunks 0/2/3 and differ on chunk 1, so a cap of 10 loses the
