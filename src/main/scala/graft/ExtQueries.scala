@@ -900,6 +900,28 @@ object ExtQueries {
         "vec_id", "embedding", threshold = 0.45),
       golden("q_embed_neardup_tuned")),
 
+    // The degenerate-clique CERTIFICATE twin (maxBucket > 0): exact-
+    // duplicate VECTORS collapse to min-id star edges and the bucket join
+    // runs over DISTINCT vectors only — q_image_neardup_guarded's
+    // smooth-media guard, ported to the embedding family (the
+    // identically-embedded boilerplate hazard). The corpus gains real
+    // cliques by duplicating the FIXED vec_id < 25 slice at id + 2^40
+    // (constant across SF decades, the q_sem_contaminate suite rule; the
+    // offset clears every derived corpus's id range). maxBucket = 1000
+    // never triggers at gate scale — the cap path is spec-gated
+    // adversarially, as on the Hamming twin. Golden driver mirror
+    // recomputes the certificate: vector content groups → stars →
+    // rep-level code-overlap + sequential-cosine pairs.
+    "q_embed_neardup_guarded" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
+        val dups = emb.filter(col("vec_id") < 25)
+          .withColumn("vec_id", col("vec_id") + lit(1L << 40))
+        Dedup.embeddingPairsLsh(emb.unionByName(dups), "vec_id", "embedding",
+          threshold = 0.45, planes = 3, tables = 8, maxBucket = 1000)
+      },
+      golden("q_embed_neardup_guarded")),
+
     // Embedding-cosine near-dup pairs: exact brute force, double math on
     // both sides (DuckDB must cast FLOAT[] → DOUBLE[] to match). The oracle
     // anchor for the LSH production path above.
@@ -1106,6 +1128,42 @@ object ExtQueries {
       },
       hybridRrfOracleSql),
 
+    // The PRUNED-nprobe hybrid twin — the plan the 100 TB deployment
+    // actually runs: the dense leg probes a FRACTION of the IVF clusters
+    // (nprobe = 4 of 16 at the gate, centroids/4 at bench SFs) instead of
+    // q_hybrid_rrf_ann's oracle-exact all-cluster probe. Gated the
+    // q_ann_ivf way: at sf0.01 the dense leg serves from the COMMITTED
+    // seeded index fixture and the golden driver-loop recomputation
+    // re-derives BM25 ranks + the same-nprobe probe + the exact rrf
+    // arithmetic. Pruned-probe recall is quantified in ANN_SWEEP.md.
+    "q_hybrid_rrf_ann_pruned" -> Q(
+      (s, dir) => {
+        val bmIdx = graft.operators.Search.bm25IndexFor(
+          table(s, dir, "documents"), cacheKey = s"$dir/documents!bm25",
+          "doc_id", "text")
+        val bm = graft.operators.Search.bm25TopKIndexed(
+          bmIdx, Seq("vector", "spark", "customer"), k = 20).select("id", "rank")
+        val emb = table(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](emb.columns.indexOf("embedding"))
+        val (ivf, np) =
+          if (dir.endsWith("sf0.01"))
+            (Similarity.loadIvf(s, "/root/repo/src/test/resources/golden/ivf_index"), 4)
+          else {
+            val i = Similarity.ivfIndexFor(emb.filter(col("vec_id") =!= 0),
+              cacheKey = s"$dir/embeddings!vec_id!tuned",
+              "vec_id", "embedding", nClusters = 0)
+            (i, math.max(1, i.centroids.length / 4))
+          }
+        val ann = Similarity.ivfTopK(ivf, "vec_id", "embedding", qv, k = 20,
+            nprobe = np)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+              .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+          .select(col("vec_id").as("id"), col("rank"))
+        graft.operators.Search.rrfFuse(Seq(bm, ann), "id", "rank", k = 10)
+      },
+      golden("q_hybrid_rrf_ann_pruned")),
 
     // LSH-bucketed approximate top-k — approximate wrt exact top-k (recall
     // quantified in ANN_SWEEP.md) but deterministic given the seeds: the
@@ -1310,7 +1368,8 @@ object ExtQueries {
     * near-dup removal and chunking.
     */
   private def curationOracleSql(decontam: Boolean,
-                                spans: Boolean = false): String = {
+                                spans: Boolean = false,
+                                semdecon: Boolean = false): String = {
     val gram = (1 to 7).foldLeft("toks[i]") { (acc, k) => s"$acc || ' ' || toks[i+$k]" }
     val decontamCtes = if (!decontam) "" else s""",
         sg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 6),
@@ -1323,7 +1382,21 @@ object ExtQueries {
         contaminated AS (SELECT DISTINCT doc_id FROM sg JOIN bg USING (gr)),
         final AS (SELECT doc_id, text FROM surv
                   WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))"""
-    val src0 = if (decontam) "final" else "surv"
+    val srcNg = if (decontam) "final" else "surv"
+    // SEMANTIC decontamination stage: survivors whose embedding (vec_id
+    // keyed to doc_id, corpus slice vec_id >= 50) reaches cosine 0.4
+    // against ANY benchmark embedding (the fixed vec_id < 50 suite) drop;
+    // docs without an embedding row pass through — the stage contract.
+    val semCtes = if (!semdecon) "" else s""",
+        sembad AS (SELECT DISTINCT e.vec_id AS doc_id
+          FROM embeddings e, embeddings b
+          WHERE e.vec_id >= 50 AND b.vec_id < 50
+            AND e.vec_id IN (SELECT doc_id FROM $srcNg)
+            AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])) >= 0.4),
+        semfinal AS (SELECT doc_id, text FROM $srcNg
+                     WHERE doc_id NOT IN (SELECT doc_id FROM sembad))"""
+    val src0 = if (semdecon) "semfinal" else srcNg
     // ExactSubstr stage (q_span_dedup's raw-string-gram formulation, run
     // over the curated survivors): spans of >= spanMinTokens covered by
     // corpus-repeated 8-grams are CUT, touched docs rebuilt from the
@@ -1386,7 +1459,7 @@ object ExtQueries {
                   UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
         comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
         surv AS (SELECT e.doc_id, e.text FROM exact e LEFT JOIN comp c ON e.doc_id = c.id
-                 WHERE c.id IS NULL OR c.component = e.doc_id)$decontamCtes$spanCtes,
+                 WHERE c.id IS NULL OR c.component = e.doc_id)$decontamCtes$semCtes$spanCtes,
         st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start
                FROM (SELECT doc_id, $sqlTokens AS toks FROM $src) WHERE len(toks) > 0),
         chunks AS (SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_id,
@@ -1539,6 +1612,34 @@ object ExtQueries {
           "doc_id", "text", curationCfg)
       },
       Some(curationOracleSql(decontam = true))),
+
+    // The pipeline with the SEMANTIC (embedding-space) decontamination
+    // stage: after near-dup removal, a survivor whose embedding (vec_id
+    // keyed to doc_id; corpus slice vec_id >= 50) reaches cosine 0.4
+    // against any embedding of the FIXED vec_id < 50 suite drops before
+    // chunking — the paraphrase-robust complement of q_curation_decontam's
+    // verbatim n-gram stage. Survivors without an embedding row pass
+    // through (the stage contract). Consumes the shared persisted prefix;
+    // CurationSpec pins pretrainingPipeline(semanticDecontaminateAgainst)
+    // == this composition. Oracle: the chained CTE template with the
+    // list_cosine_similarity CTEs inserted (double math both sides).
+    "q_curation_semdecon" -> Q(
+      (s, dir) => {
+        val cur = docsCurated(s, dir)
+        val emb = table(s, dir, "embeddings")
+        val corpusEmb = emb.filter(col("vec_id") >= 50)
+          .select(col("vec_id").as("__eid"), col("embedding").as("__evec"))
+          .join(cur.select(col("doc_id").as("__eid")), Seq("__eid"), "left_semi")
+        val bad = graft.operators.Curation.semanticContaminationHits(
+            corpusEmb, "__eid", "__evec",
+            emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+            threshold = 0.4)
+          .select(col("id")).distinct()
+        graft.operators.Curation.chunkAndPack(
+          cur.join(bad, cur("doc_id") === bad("id"), "left_anti"),
+          "doc_id", "text", curationCfg)
+      },
+      Some(curationOracleSql(decontam = false, semdecon = true))),
 
     // Deterministic split assignment: doc_id-keyed 75/12.5/12.5
     // train/val/test (binary-exact boundaries), reproducible across

@@ -22,6 +22,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
 
+  // The compute loop reads elements as 4-byte floats straight out of the
+  // columnar ArrayData. On an array<double> input (easy to produce by
+  // accident — any SQL division or double literal promotes) that would
+  // REINTERPRET half of each 8-byte double as a float and silently return
+  // garbage similarities; fail analysis loudly instead.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<float> columns, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql} — cast the " +
+          "embedding to array<float> (element-wise float reads over other " +
+          "layouts would silently compute wrong similarities)")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

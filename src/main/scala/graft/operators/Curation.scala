@@ -36,6 +36,23 @@ object Curation {
       spanMinCount: Long = 2,
       spanMinTokens: Int = 8)
 
+  /** The inputs of the optional SEMANTIC decontamination stage of
+    * [[pretrainingPipeline]] — the embedding-space complement of the
+    * verbatim n-gram stage (see [[semanticContaminationHits]]):
+    * `embeddings` maps corpus ids (`embIdCol`) to their vectors
+    * (`embVecCol`); a surviving document is dropped when its embedding's
+    * cosine to ANY benchmark embedding reaches `threshold`. Documents
+    * WITHOUT an embedding row pass through (no embedding ⇒ nothing to
+    * compare — run the n-gram stage too; each catches what the other
+    * misses). `maxBenchmark` is the broadcast guard, with
+    * [[semanticContaminationHitsLsh]] as the large-suite escape hatch.
+    */
+  final case class SemanticDecontam(
+      embeddings: DataFrame, embIdCol: String, embVecCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchVecCol: String,
+      threshold: Double,
+      maxBenchmark: Long = 100000L)
+
   /** Tuning for the optional Bloom-filter semi-join pushdown of
     * [[contaminationHits]]. `expectedItems` overrides the default
     * benchmark-gram count job when the caller already knows the
@@ -246,23 +263,48 @@ object Curation {
     * the scrubbed lake), or only feed a raw-text index to a pipeline
     * whose corpus the scrub provably leaves untouched.
     */
+  /** Optional `semanticDecontaminateAgainst = Some(sd)` inserts the
+    * EMBEDDING-SPACE decontamination stage ([[SemanticDecontam]]) after
+    * the verbatim n-gram stage: survivors' ids semi-join the embedding
+    * table, hits against the benchmark embeddings are computed by the
+    * broadcast-guarded exact scan ([[semanticContaminationHits]]), and
+    * the sparse hit id set anti-joins the corpus (AQE broadcasts it — the
+    * corpus never shuffles). Ordered after n-gram decontamination so the
+    * embedding lookup only scans documents that survived every cheaper
+    * stage.
+    */
   def pretrainingPipeline(docs: DataFrame, idCol: String, textCol: String,
                           cfg: Config = Config(),
                           materialize: Boolean = true,
                           decontaminateAgainst: Option[(DataFrame, String)] = None,
-                          nearDupPairs: Option[DataFrame] = None): DataFrame = {
+                          nearDupPairs: Option[DataFrame] = None,
+                          semanticDecontaminateAgainst: Option[SemanticDecontam] = None): DataFrame = {
     val nearDeduped = curatedCorpus(docs, idCol, textCol, cfg, materialize, nearDupPairs)
     val decontaminated = decontaminateAgainst match {
       case Some((bench, bCol)) => decontaminate(nearDeduped, idCol, textCol,
         bench, bCol, cfg.decontamNgram, cfg.decontamMinHits)
       case None => nearDeduped
     }
+    val semClean = semanticDecontaminateAgainst match {
+      case Some(sd) =>
+        // restrict the embedding scan to surviving ids first — the stage
+        // cost tracks the CURATED corpus, not the raw lake
+        val emb = sd.embeddings
+          .select(col(sd.embIdCol).as("__eid"), col(sd.embVecCol).as("__evec"))
+          .join(decontaminated.select(col(idCol).as("__eid")), Seq("__eid"), "left_semi")
+        val bad = semanticContaminationHits(emb, "__eid", "__evec",
+            sd.benchmark, sd.benchIdCol, sd.benchVecCol, sd.threshold,
+            sd.maxBenchmark)
+          .select(col("id")).distinct()
+        decontaminated.join(bad, decontaminated(idCol) === bad("id"), "left_anti")
+      case None => decontaminated
+    }
     // ExactSubstr stage AFTER document-level dedup (span counts must not
     // include near-dup copies about to be dropped) and BEFORE chunking
     // (chunks must tokenize the cut text)
     val spanClean =
-      if (!cfg.dropRepeatedSpans) decontaminated
-      else graft.operators.Dedup.removeRepeatedSpans(decontaminated, idCol,
+      if (!cfg.dropRepeatedSpans) semClean
+      else graft.operators.Dedup.removeRepeatedSpans(semClean, idCol,
           textCol, cfg.spanGram, cfg.spanMinCount, cfg.spanMinTokens)
         .drop("n_cut_tokens")
     chunkAndPack(spanClean, idCol, textCol, cfg, materialize)

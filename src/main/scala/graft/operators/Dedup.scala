@@ -985,11 +985,35 @@ object Dedup extends org.apache.spark.internal.Logging {
     * solves the table count for a target recall. The count is one cheap
     * job over the (persisted) id+vector projection; callers that know
     * their density pass explicit values and skip it.
+    *
+    * `maxBucket = 0` (default) is the exact-over-candidates contract
+    * above. `maxBucket > 0` arms the DEGENERATE-CLIQUE GUARD —
+    * [[simhashPairsFromTable]]'s `maxBucket` certificate, ported to the
+    * embedding family: [[LshTuning.forCorpus]] caps EXPECTED occupancy,
+    * but a scraped corpus where thousands of empty/boilerplate documents
+    * embed IDENTICALLY puts all of them in the same bucket of every
+    * table — O(m²) inline cosine work that no tuning prevents. In
+    * guarded mode the output is a CONNECTIVITY CERTIFICATE (same
+    * connected components, same min-id survivor set, linear where
+    * cliques are exact):
+    *  1. exact-duplicate VECTORS collapse to their min-id representative
+    *     and emit star edges (rep, member, cos(v,v)) — |clique|−1 rows,
+    *     threshold-filtered like any pair (a zero vector's cos(v,v) is 0
+    *     by the cosine convention, so degenerate vectors never
+    *     self-pair, exactly as unguarded);
+    *  2. the bucket join runs over DISTINCT vectors only;
+    *  3. residual buckets holding more than `maxBucket` DISTINCT vectors
+    *     are skipped — recall is lost only for a pair whose EVERY shared
+    *     bucket is oversized (the [[simhashPairsFromTable]] trade), and
+    *     exact duplicates are never lost (stars bypass the join).
+    * The guard's own cost is one vector-keyed exchange (linear,
+    * vector-width) plus a count per bucket.
     */
   def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, planes: Int = 0, tables: Int = 0,
                         seed: Long = 42L,
-                        materialize: Boolean = true): DataFrame = {
+                        materialize: Boolean = true,
+                        maxBucket: Int = 0): DataFrame = {
     val base = materialized(materialize,
       df.select(col(idCol).as("id"), col(vecCol).as("v")))
     val (planesEff, tablesEff) =
@@ -1013,16 +1037,34 @@ object Dedup extends org.apache.spark.internal.Logging {
     // table, which only near-dup pairs (few) hit often; far pairs rarely
     // co-bucket twice. Verified cos is a pure function of the pair, so
     // the final distinct collapses duplicates exactly.
-    val bucketed = base.select(col("id"), col("v"),
+    def bucketedOf(tbl: DataFrame) = tbl.select(col("id"), col("v"),
       explode(graft.functions.LshBucketCodes.column(col("v"), planesEff, tablesEff, seed))
         .as("bkt"))
-    bucketed.select(col("bkt"), col("id").as("id1"), col("v").as("v1"))
-      .join(bucketed.select(col("bkt"), col("id").as("id2"), col("v").as("v2")),
-        Seq("bkt"))
-      .filter(col("id1") < col("id2"))
-      .withColumn("cos", VectorFunctions.cosine(col("v1"), col("v2")))
-      .filter(col("cos") >= threshold)
-      .select("id1", "id2", "cos").distinct()
+    def pairsOf(bucketed: DataFrame) =
+      bucketed.select(col("bkt"), col("id").as("id1"), col("v").as("v1"))
+        .join(bucketed.select(col("bkt"), col("id").as("id2"), col("v").as("v2")),
+          Seq("bkt"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("cos", VectorFunctions.cosine(col("v1"), col("v2")))
+        .filter(col("cos") >= threshold)
+        .select("id1", "id2", "cos").distinct()
+    if (maxBucket <= 0) pairsOf(bucketedOf(base))
+    else {
+      val reps = materialized(materialize,
+        base.groupBy("v").agg(min(col("id")).as("id")))
+      val stars = base.select(col("v"), col("id").as("id2"))
+        .join(reps.select(col("v"), col("id").as("id1")), Seq("v"))
+        .filter(col("id1") < col("id2"))
+        // cos via the same pairwise expression on (v, v): bit-identical
+        // to what the unguarded path emits for an exact-duplicate pair
+        .withColumn("cos", VectorFunctions.cosine(col("v"), col("v")))
+        .filter(col("cos") >= threshold)
+        .select("id1", "id2", "cos")
+      val bucketed = bucketedOf(reps.select(col("id"), col("v")))
+      val small = bucketed.groupBy("bkt").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucket).select("bkt")
+      stars.union(pairsOf(bucketed.join(small, Seq("bkt"), "left_semi")))
+    }
   }
 
   /** The persisted EMBEDDING LSH index rows — the probe side of
@@ -1064,32 +1106,65 @@ object Dedup extends org.apache.spark.internal.Logging {
     * Exact cosine verifies the survivors; output (new_id, old_id, cos).
     * `excludeSelf` semantics as in [[incrementalHammingPairs]] (streaming
     * loops pass false so a re-sent published id matches itself).
+    *
+    * `collapseBatch` (default true) is the degenerate-clique guard's
+    * LOSSLESS incremental form: exact-duplicate batch vectors collapse to
+    * their min-id representative BEFORE the bucket probe, and rep results
+    * expand back to every member afterwards. Unlike the certificate mode
+    * of [[embeddingPairsLsh]], the output is IDENTICAL to the uncollapsed
+    * probe — members share the rep's bucket codes (same candidates) and
+    * its vector bytes (same cos), and self-pairs are filtered
+    * post-expansion — while a batch of m identical vectors pays ONE probe
+    * against the index instead of m (the boilerplate-document ingest
+    * hazard). Assumes a well-formed batch: at most one distinct vector
+    * per id (exact duplicate ROWS are fine — ids dedup first); pass
+    * `collapseBatch = false` to reproduce the historical plan exactly.
     */
   def incrementalEmbeddingPairsLsh(newVecs: DataFrame, idCol: String, vecCol: String,
                                    index: DataFrame, threshold: Double,
                                    planes: Int = 3, tables: Int = 8,
                                    seed: Long = 42L,
                                    excludeSelf: Boolean = true,
-                                   materialize: Boolean = true): DataFrame = {
-    val newSide = materialized(materialize,
+                                   materialize: Boolean = true,
+                                   collapseBatch: Boolean = true): DataFrame = {
+    def probe(newSide: DataFrame, self: Boolean): DataFrame = {
+      val newBuckets = newSide.select(col("new_id"),
+        explode(graft.functions.LshBucketCodes.column(col("__nv"), planes, tables, seed))
+          .as("bkt"))
+      // cand feeds the verify join AND the vector-lookup prune — barrier it
+      val cand = materialized(materialize,
+        newBuckets.join(index.select(col("bkt"), col("id").as("old_id")), Seq("bkt"))
+          .filter(if (self) col("new_id") =!= col("old_id") else lit(true))
+          .select("new_id", "old_id").distinct())
+      val oldVecs = index.filter(col("v").isNotNull)
+        .select(col("id").as("old_id"), col("v").as("__ov"))
+        .join(cand.select("old_id").distinct(), Seq("old_id"), "left_semi")
+        .dropDuplicates("old_id")
+      cand
+        .join(newSide.dropDuplicates("new_id"), "new_id")
+        .join(oldVecs, "old_id")
+        .withColumn("cos", VectorFunctions.cosine(col("__nv"), col("__ov")))
+        .filter(col("cos") >= threshold)
+        .select("new_id", "old_id", "cos")
+    }
+    val rawNew = materialized(materialize,
       newVecs.select(col(idCol).as("new_id"), col(vecCol).as("__nv")))
-    val newBuckets = newSide.select(col("new_id"),
-      explode(graft.functions.LshBucketCodes.column(col("__nv"), planes, tables, seed))
-        .as("bkt"))
-    // cand feeds the verify join AND the vector-lookup prune — barrier it
-    val cand = materialized(materialize,
-      newBuckets.join(index.select(col("bkt"), col("id").as("old_id")), Seq("bkt"))
+    if (!collapseBatch) probe(rawNew, excludeSelf)
+    else {
+      val distinctNew = materialized(materialize, rawNew.dropDuplicates("new_id"))
+      val reps = materialized(materialize,
+        distinctNew.groupBy("__nv").agg(min(col("new_id")).as("new_id")))
+      val members = distinctNew
+        .join(reps.select(col("__nv"), col("new_id").as("__rep")), Seq("__nv"))
+        .select(col("__rep"), col("new_id"))
+      // self-pairs are filtered AFTER expansion: filtering at rep level
+      // would drop the whole clique's matches whenever the REP's id
+      // happens to collide with an indexed id
+      probe(reps.select(col("new_id"), col("__nv")), self = false)
+        .withColumnRenamed("new_id", "__rep")
+        .join(members, Seq("__rep"))
         .filter(if (excludeSelf) col("new_id") =!= col("old_id") else lit(true))
-        .select("new_id", "old_id").distinct())
-    val oldVecs = index.filter(col("v").isNotNull)
-      .select(col("id").as("old_id"), col("v").as("__ov"))
-      .join(cand.select("old_id").distinct(), Seq("old_id"), "left_semi")
-      .dropDuplicates("old_id")
-    cand
-      .join(newSide.dropDuplicates("new_id"), "new_id")
-      .join(oldVecs, "old_id")
-      .withColumn("cos", VectorFunctions.cosine(col("__nv"), col("__ov")))
-      .filter(col("cos") >= threshold)
-      .select("new_id", "old_id", "cos")
+        .select("new_id", "old_id", "cos")
+    }
   }
 }

@@ -208,7 +208,9 @@ object TextStats {
         explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy("id", "token").agg(count(lit(1)).as("tf")))
     val dfreq = mat(tf.groupBy("token").agg(count(lit(1)).as("df")))
-    val head = dfreq.orderBy(col("df").desc, col("token")).limit(headTokens)
+    // head is consumed twice (the broadcast join + the tail anti-join) —
+    // persist the tiny TakeOrdered result so it computes once
+    val head = mat(dfreq.orderBy(col("df").desc, col("token")).limit(headTokens))
     val tail = dfreq.join(broadcast(head.select("token")), Seq("token"), "left_anti")
     val withHead = tf.join(broadcast(head), Seq("token"), "left")
     val joined = withHead.filter(col("df").isNotNull)

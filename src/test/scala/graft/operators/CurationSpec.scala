@@ -54,6 +54,41 @@ class CurationSpec extends SparkSpec {
     assert(withDecon == Set(1L)) // doc 6 is contaminated
   }
 
+  test("pretrainingPipeline(semanticDecontaminateAgainst) == composition; missing embeddings pass") {
+    val unique = "it is a fine morning and the river is calm today so we walk " +
+      "to the old market and buy fresh bread and it is good"
+    val evening = "it is a good and quiet evening and we read the long book " +
+      "by the warm fire and the tea is hot and it is calm"
+    val docs = Seq(
+      (1L, fluent),        // embedding ~parallel to the benchmark → dropped
+      (6L, unique * 2),    // embedding orthogonal → kept
+      (7L, evening * 2)    // NO embedding row → passes (the stage contract)
+    ).toDF("doc_id", "text")
+    val emb = Seq((1L, Seq(1f, 0f, 0f)), (6L, Seq(0f, 1f, 0f))).toDF("id", "v")
+    val bench = Seq((100L, Seq(0.95f, 0.05f, 0f))).toDF("bid", "bv")
+    val cfg = Curation.Config(chunkTokens = 16, chunkStride = 16,
+      packBudgetTokens = 40, nearDupThreshold = 0.5)
+    val sd = Curation.SemanticDecontam(emb, "id", "v", bench, "bid", "bv",
+      threshold = 0.9)
+    val got = Curation.pretrainingPipeline(docs, "doc_id", "text", cfg,
+      semanticDecontaminateAgainst = Some(sd))
+    assert(got.select("doc_id").distinct().as[Long].collect().toSet == Set(6L, 7L))
+    // flag == the explicit composition (the battery row's shape)
+    val cur = Curation.curatedCorpus(docs, "doc_id", "text", cfg)
+    val corpusEmb = emb.select(col("id").as("__eid"), col("v").as("__evec"))
+      .join(cur.select(col("doc_id").as("__eid")), Seq("__eid"), "left_semi")
+    val bad = Curation.semanticContaminationHits(corpusEmb, "__eid", "__evec",
+        bench, "bid", "bv", threshold = 0.9)
+      .select(col("id")).distinct()
+    val comp = Curation.chunkAndPack(
+      cur.join(bad, cur("doc_id") === bad("id"), "left_anti"),
+      "doc_id", "text", cfg)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("doc_id", "chunk_id", "chunk_text", "n_tokens", "pack_id")
+        .as[(Long, Long, String, Long, Long)].collect().toSeq.sorted
+    assert(key(got) == key(comp))
+  }
+
   test("shared persisted prefix: chunkAndPack(curatedCorpusFor) == pretrainingPipeline") {
     val docs = Seq(
       (1L, s"$fluent alpha"),

@@ -396,6 +396,84 @@ class OperatorsSpec extends SparkSpec {
     assert(auto == explicit)
   }
 
+  test("embedding degenerate-clique guard: certificate components, linear cliques, cap trade") {
+    // mixed corpus: a 10-member exact-VECTOR clique, a 5-member exact
+    // clique far away, a near-dup of clique A, a far singleton, and two
+    // ZERO vectors (identical, but cos(0,0) = 0 — must not pair, exactly
+    // as unguarded)
+    val tbl = ((0L to 9L).map(i => (i, Seq(1f, 0f, 0f))) ++
+      (10L to 14L).map(i => (i, Seq(0f, 1f, 0f))) ++
+      Seq((20L, Seq(0.9f, 0.1f, 0f)), (30L, Seq(0f, 0f, 1f)),
+        (40L, Seq(0f, 0f, 0f)), (41L, Seq(0f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val allIds = ((0L to 14L) ++ Seq(20L, 30L, 40L, 41L)).toSet
+    def comps(pairs: Set[(Long, Long)]): Set[Set[Long]] = {
+      val parent = scala.collection.mutable.Map(allIds.map(i => i -> i).toSeq: _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+      allIds.groupBy(find).values.map(_.toSet).toSet
+    }
+    val unguarded = Dedup.embeddingPairsLsh(tbl, "vec_id", "embedding", 0.95,
+        planes = 2, tables = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val guarded = Dedup.embeddingPairsLsh(tbl, "vec_id", "embedding", 0.95,
+        planes = 2, tables = 8, maxBucket = 16)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // the certificate: same connected components (so same min-id
+    // survivors), but linear where cliques are exact
+    assert(comps(guarded) == comps(unguarded))
+    assert(unguarded.size == 45 + 10 + 10)  // quadratic cliques + 20's pairs
+    assert(guarded.size == 9 + 4 + 1)            // stars + one rep pair (0, 20)
+    assert(guarded.contains((0L, 20L)))
+    assert(!guarded.exists { case (a, b) => a == 40L || b == 41L })
+    // adversarial: 5000 identical vectors — 4999 star edges, never m²/2
+    val big = (0L until 5000L).map(i => (i, Seq(1f, 2f, 3f)))
+      .toDF("vec_id", "embedding")
+    assert(Dedup.embeddingPairsLsh(big, "vec_id", "embedding", 0.95,
+      planes = 2, tables = 8, maxBucket = 16).count() == 4999)
+    // the documented cap trade: DISTINCT near-identical vectors share
+    // every bucket, so a cap below the group size loses their pairs
+    // (exact duplicates are never lost — stars bypass the join)
+    val shear = (0L to 20L).map(k => (k, Seq(1f, k * 1e-6f, 0f)))
+      .toDF("vec_id", "embedding")
+    assert(Dedup.embeddingPairsLsh(shear, "vec_id", "embedding", 0.95,
+      planes = 2, tables = 8).count() == 210)
+    assert(Dedup.embeddingPairsLsh(shear, "vec_id", "embedding", 0.95,
+      planes = 2, tables = 8, maxBucket = 10).count() == 0)
+  }
+
+  test("incrementalEmbeddingPairsLsh collapseBatch: output identical, rep-id collision safe") {
+    // index = the 5-vector corpus; batch = an exact-vector clique whose
+    // MIN-ID MEMBER (0) also exists in the index (the rep-id collision:
+    // a rep-level self filter would drop the whole clique's matches),
+    // plus a re-sent id with its own vector, plus exact duplicate rows
+    val batch = (Seq((0L, Seq(1f, 0f, 0f)), (100L, Seq(1f, 0f, 0f)),
+      (101L, Seq(1f, 0f, 0f)), (101L, Seq(1f, 0f, 0f)),
+      (3L, Seq(0.8f, 0.2f, 0f)), (200L, Seq(0f, 0f, 1f))))
+      .toDF("vec_id", "embedding")
+    val idx = Dedup.embeddingLshIndex(vecs, "vec_id", "embedding",
+      planes = 2, tables = 8)
+    for (self <- Seq(true, false)) {
+      val collapsed = Dedup.incrementalEmbeddingPairsLsh(batch, "vec_id",
+          "embedding", idx, 0.9, planes = 2, tables = 8,
+          excludeSelf = self, collapseBatch = true)
+        .as[(Long, Long, Double)].collect().toSet
+      val plain = Dedup.incrementalEmbeddingPairsLsh(batch, "vec_id",
+          "embedding", idx, 0.9, planes = 2, tables = 8,
+          excludeSelf = self, collapseBatch = false)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(collapsed == plain, s"excludeSelf=$self")
+      // the clique members 100/101 must match old 0 even though their
+      // rep (0) is self-excluded against the index
+      if (self) {
+        assert(collapsed.exists { case (n, o, _) => n == 100L && o == 0L })
+        assert(!collapsed.exists { case (n, o, _) => n == o })
+      } else {
+        assert(collapsed.exists { case (n, o, _) => n == 0L && o == 0L })
+      }
+    }
+  }
+
   test("semanticDedup drops within-cluster near-dups only; cross-cluster pairs are out of scope") {
     // hand-assigned clusters: 0/1/3 are near-parallel; put 3 in ANOTHER
     // cluster so its pairs with 0/1 must NOT be examined

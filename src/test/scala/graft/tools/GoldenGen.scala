@@ -282,6 +282,41 @@ object GoldenGen {
     } yield (id1, id2, cos)
     write(tunedPairs.toSeq.toDF("id1", "id2", "cos"), "q_embed_neardup_tuned")
 
+    // q_embed_neardup_guarded: the degenerate-clique CERTIFICATE over a
+    // corpus with real exact-vector cliques (vec_id < 25 duplicated at
+    // id + 2^40) — min-id stars from exact-duplicate vector groups plus
+    // rep-level LSH pairs (planes=3/tables=8/seed=42, threshold 0.45,
+    // maxBucket 1000 — never triggered at this scale; the cap path is
+    // spec-gated adversarially). Driver mirror: content-group the
+    // vectors, emit stars, then code-overlap + sequential cosine over
+    // the reps only.
+    val gCorpus: Array[(Long, Seq[Float])] =
+      embs ++ embs.filter(_._1 < 25L).map { case (id, v) => (id + (1L << 40), v) }
+    val byVec: Seq[(Seq[Float], Seq[Long])] = gCorpus
+      .groupBy(_._2.toVector).toSeq
+      .map { case (_, items) => (items.head._2, items.map(_._1).sorted.toSeq) }
+    val gStars = byVec.iterator.flatMap { case (v, ids) =>
+      val cosSelf = cosine(v, v)
+      if (cosSelf >= 0.45) ids.tail.map(m => (ids.head, m, cosSelf)) else Nil
+    }.toSeq
+    val gReps: Seq[(Long, Seq[Float])] =
+      byVec.map { case (v, ids) => (ids.head, v) }.sortBy(_._1)
+    val gCodes: Map[Long, Set[Long]] = gReps.map { case (id, v) =>
+      id -> graft.operators.Similarity.queryBucketCodes(v, 3, 8, 42L).toSet
+    }.toMap
+    val occ = gReps.iterator.flatMap(r => gCodes(r._1))
+      .toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    val keptCodes = occ.collect { case (c, k) if k <= 1000 => c }.toSet
+    val gPairs = for {
+      i <- gReps.indices.iterator
+      j <- (i + 1) until gReps.size
+      (id1, v1) = gReps(i); (id2, v2) = gReps(j)
+      if gCodes(id1).intersect(gCodes(id2)).intersect(keptCodes).nonEmpty
+      cos = cosine(v1, v2)
+      if cos >= 0.45
+    } yield (id1, id2, cos)
+    write((gStars ++ gPairs).toDF("id1", "id2", "cos"), "q_embed_neardup_guarded")
+
     // q_sem_contaminate_lsh: CROSS-TABLE LSH contamination — corpus
     // (vec_id >= 50) probes the fixed suite (vec_id < 50) through the
     // bucket join; fixed planes=3/tables=8/seed=42 (codes3 above),
@@ -386,6 +421,71 @@ object GoldenGen {
     write(ivfTop.toDF("vec_id", "cos"), "q_ann_ivf")
     println(s"[golden] ivf_index: ${assignedBack.length} vectors, " +
       s"${ivf.centroids.length} centroids -> $idxDir")
+
+    // ---- q_hybrid_rrf_ann_pruned: PRUNED-nprobe hybrid fusion ----------
+    // The production hybrid shape with the dense leg actually pruned
+    // (nprobe=4 of 16 over the committed index — the same probe set as
+    // q_ann_ivf, at k=20). BM25 driver mirror: lowercase whitespace
+    // tokens, k1=1.2/b=0.75, the battery row's query terms; fusion is
+    // the exact rrfFuse arithmetic (1/(60+rank), bm term then ann term).
+    val qTerms = Seq("vector", "spark", "customer")
+    val docToks: Array[(Long, Array[String])] = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    }
+    val ndocs = docToks.length.toDouble
+    val avgdl = docToks.map(_._2.length.toLong).sum.toDouble / ndocs
+    val dfT: Map[String, Int] =
+      qTerms.map(t => t -> docToks.count(_._2.contains(t))).toMap
+    val bmScored = docToks.flatMap { case (id, toks) =>
+      val dl = toks.length.toDouble
+      val terms = qTerms.flatMap { t =>
+        val tfq = toks.count(_ == t).toDouble
+        if (tfq == 0) None
+        else {
+          val idf = math.log((ndocs - dfT(t) + 0.5) / (dfT(t) + 0.5) + 1.0)
+          Some(idf * (tfq * (1.2 + 1.0)) /
+            (tfq + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+        }
+      }
+      if (terms.isEmpty) None else Some((id, terms.sum))
+    }
+    val bmRanks: Seq[(Long, Long)] = bmScored.toSeq
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }
+    val annRanks: Seq[(Long, Long)] = assignedBack.iterator
+      .filter { case (_, _, cl) => probe.contains(cl) }
+      .map { case (id, v, _) => (id, cosine(qVec, v)) }
+      .toSeq.sortBy { case (id, c) => (-c, id) }.take(20)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }
+    val bmMap = bmRanks.toMap
+    val annMap = annRanks.toMap
+    val fusedTop = (bmMap.keySet ++ annMap.keySet).toSeq.map { id =>
+      val r0 = bmMap.get(id); val r1 = annMap.get(id)
+      val rrf = r0.map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        r1.map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      (id, r0, r1, rrf)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(10)
+      .zipWithIndex.map { case ((id, r0, r1, rrf), i) =>
+        (id, (i + 1).toLong, r0, r1, rrf)
+      }
+    write(fusedTop.toDF("id", "rank", "rank_0", "rank_1", "rrf"),
+      "q_hybrid_rrf_ann_pruned")
+    // diagnostic for ANN_SWEEP.md: fused-top10 overlap of the pruned
+    // (nprobe=4/16) hybrid vs the EXACT hybrid (brute-force dense leg)
+    locally {
+      val exactAnn = embs.iterator.filter(_._1 != 0L)
+        .map { case (id, v) => (id, cosine(qVec, v)) }
+        .toSeq.sortBy { case (id, c) => (-c, id) }.take(20)
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+      val exactFused = (bmMap.keySet ++ exactAnn.keySet).toSeq.map { id =>
+        val rrf = bmMap.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+          exactAnn.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+        (id, rrf)
+      }.sortBy { case (id, rrf) => (-rrf, id) }.take(10).map(_._1).toSet
+      val overlap = fusedTop.count { case (id, _, _, _, _) => exactFused(id) }
+      println(s"[golden] q_hybrid_rrf_ann_pruned: fused-top10 overlap vs " +
+        s"exact hybrid = $overlap/10 (dense nprobe=4/16)")
+    }
 
     // ---- q_ann_pq: committed PQ codebook + expected ADC top-k ----------
     // The per-subspace k-means fits are the non-replayable step, so the
