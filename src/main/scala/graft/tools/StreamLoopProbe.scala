@@ -52,6 +52,29 @@ object StreamLoopProbe {
     val mIdx = tmp("slp_midx"); val mOut = tmp("slp_mlake")
     DocumentStreams.seedIndex(
       imageHasher(histDocs.select("doc_id"), "doc_id"), mIdx)
+    // optional STAGE BREAKDOWN of the media batch (set
+    // SPARK_GRAFT_PROBE_STAGES=1): isolates which component carries the
+    // history-size dependence — the codec/hash stage is history-free by
+    // construction, so any growth must live in the index read + probe
+    // join, and the plan dump shows whether the batch side broadcasts
+    // (history scanned, never shuffled) or the join degenerated to an
+    // exchange of the exploded index
+    if (sys.env.contains("SPARK_GRAFT_PROBE_STAGES")) {
+      val hashed = imageHasher(batchDocs.select("doc_id"), "doc_id")
+        .persist()
+      timed("  media stage: hash batch")(hashed.count())
+      val history = spark.read.parquet(mIdx).select("id", "sh").persist()
+      timed("  media stage: read history index")(history.count())
+      val probe = Dedup.incrementalHammingPairs(
+        hashed.filter(col("sh").isNotNull), history, 3, excludeSelf = false)
+      timed("  media stage: incremental probe")(probe.count())
+      val plan = probe.queryExecution.executedPlan.toString
+      println("  media probe join: " + (
+        if (plan.contains("BroadcastHashJoin")) "BroadcastHashJoin (history scan-only)"
+        else if (plan.contains("SortMergeJoin")) "SortMergeJoin (HISTORY SHUFFLES — regression)"
+        else "other"))
+      history.unpersist(); hashed.unpersist()
+    }
     timed("media-loop batch")(MediaStreams.processMediaBatch(
       batchDocs.select("doc_id").withColumn("payload", lit(Array[Byte]())),
       // the pluggable hasher derives payloads from ids here, so the
