@@ -155,14 +155,22 @@ object ScaleHundred {
     // q_audio_neardup is also absent: javax.sound decode is serial per
     // JVM (documented in SCALE.md), so its single-JVM sf10 point would
     // measure the JDK lock, not the plan.
-    val names = Seq(
+    val all = Seq(
       "q_asof_join", "q_asof_nearest", "q_events_session",   // event time
       "q_dedup_minhash", "q_fingerprint_winnow",             // pair dedup
       "q_embed_neardup_tuned",                               // tuned LSH
       "q_image_neardup",                                     // media Hamming
+      "q_image_neardup_guarded",                             // guarded certificate (r13)
+      "q_sem_contaminate_lsh",                               // semantic LSH decontam (r13)
       "q_hybrid_rrf",                                        // RRF fusion
       "q_dedup_clusters",                                    // CC fixpoint
       "q_pagerank")                                          // iterative
+    // SPARK_GRAFT_PROBE_ONLY=a,b filters the probe set (the sweep-filter
+    // convention of ScaleFull) so a new family's third-decade point
+    // doesn't re-measure the whole table
+    val names = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+      .map(f => all.filter(f)).getOrElse(all)
 
     names.foreach(n => time(n, "/root/testdata/sf0.01")) // warm codegen/JIT
 
