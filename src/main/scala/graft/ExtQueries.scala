@@ -836,6 +836,34 @@ object ExtQueries {
           numHashes = 128, threshold = 0.5)),
       golden("q_neardup_drop")),
 
+    // QUALITY-AWARE survivor policy: cluster the near-dup pair graph
+    // (connected components) and keep the LONGEST document per cluster
+    // (score = n_chars; ties -> smallest id) — "keep the best copy"
+    // where the min-id policies keep whichever was crawled first.
+    // Oracle: the q_dedup_clusters recursive-CC formulation over the
+    // committed golden pair fixture + a per-component row_number pick.
+    "q_neardup_keep_best" -> Q(
+      (s, dir) => Dedup.keepBestPerCluster(table(s, dir, "documents"), "doc_id",
+        Dedup.minhashPairsFromIndex(docsMinhashIdx(s, dir),
+          numHashes = 128, threshold = 0.5),
+        col("n_chars")),
+      Some(s"""
+        WITH RECURSIVE
+        edges AS (SELECT id1, id2 FROM
+          read_parquet('/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')),
+        und AS (SELECT id1 AS a, id2 AS b FROM edges
+                UNION SELECT id2, id1 FROM edges),
+        reach AS (SELECT a, b FROM und
+                  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+        lab AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+                  COALESCE(c.component, d.doc_id) AS comp
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        r AS (SELECT *, row_number() OVER
+                (PARTITION BY comp ORDER BY n_chars DESC, doc_id) AS rn
+              FROM lab)
+        SELECT doc_id, text, lang, source, n_chars FROM r WHERE rn = 1""")),
+
     // INCREMENTAL dedup: a "new batch" (doc_id >= 250) probed against the
     // persisted band index of the "history" (doc_id < 250) — the history is
     // joined, never re-hashed. Oracle: the exact golden full-corpus pair
@@ -2094,6 +2122,78 @@ object ExtQueries {
     // from the pattern arithmetic and the exact aligned pair counts in
     // pure SQL — codec fidelity, demux boundaries, the per-frame hash,
     // the aligned join, and the fraction verdict all gate cross-engine.
+    // VIDEO CONTAINMENT — the unaligned, DIRECTED complement of the
+    // near-dup row: the corpus gains real TRIMMED clips (every doc_id
+    // divisible by 4, re-keyed at +2^40, whose 4-frame payload carries
+    // source frames 2..5 under the source's 8-frame indexing), and a
+    // clip is reported contained when >= 3/4 of its sampled frames match
+    // SOME container frame within Hamming 3 at ANY position — the
+    // highlight-cut / shortened-re-upload relation the aligned join
+    // structurally misses. The oracle recomputes every sampled frame's
+    // content id (trimmed payload frame j = source frame j+2), the dHash
+    // arithmetic over DISTINCT contents, the unaligned O(n^2) Hamming
+    // match, and the directed fraction verdict in pure SQL.
+    "q_video_containment" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select("doc_id")
+        val base = Multimodal.withVideoPayload(docs.repartition(32),
+          "doc_id", nFrames = 8)
+        val trimmed = Multimodal.withVideoPayload(
+            docs.filter(col("doc_id") % 4 === 0).repartition(32),
+            "doc_id", nFrames = 4, frameOffset = 2, indexFrames = 8)
+          .withColumn("doc_id", col("doc_id") + lit(1099511627776L))
+        Multimodal.videoContainmentPairs(base.unionByName(trimmed), "doc_id",
+          everyNth = 2, maxDistance = 3, minContainFrac = 0.75)
+      },
+      Some("""
+        WITH fr AS (
+          SELECT doc_id AS id, ((doc_id//4)*8 + f.range)*4 + doc_id%4 AS e
+          FROM documents, range(0, 8, 2) f
+          UNION ALL
+          SELECT doc_id + 1099511627776 AS id,
+                 ((doc_id//4)*8 + j.range + 2)*4 + doc_id%4 AS e
+          FROM documents, range(0, 4, 2) j
+          WHERE doc_id % 4 = 0),
+        es AS (SELECT DISTINCT e FROM fr),
+        px AS (
+          SELECT e, x.range AS x, y.range AS y,
+            (7*x.range*x.range + 13*y.range*y.range
+             + (e//4%256)*31*(x.range+1)*(y.range+1)
+             + (e//4//256%256)*53*(x.range+2)*(y.range+3)
+             + (e//4//65536%256)*17*(x.range+3)*(y.range+5)
+             + CASE WHEN e%4 > 0 AND x.range//4 = e%4 AND y.range//4 = e%4
+                    THEN 64 ELSE 0 END) % 256 AS gray
+          FROM es, range(36) x, range(32) y),
+        cells AS (
+          SELECT e, x//4 AS gx, y//4 AS gy, SUM(gray)//16 AS c
+          FROM px GROUP BY 1, 2, 3),
+        bits AS (
+          SELECT a.e, a.gy*8 + a.gx AS b
+          FROM cells a JOIN cells b2
+            ON a.e = b2.e AND b2.gx = a.gx + 1 AND b2.gy = a.gy
+          WHERE a.gx < 8 AND b2.c > a.c),
+        hraw AS (
+          SELECT e, SUM(CAST(1 AS HUGEINT) << CAST(b AS INT)) AS s
+          FROM bits GROUP BY e),
+        h0 AS (
+          SELECT es.e,
+            CAST(CASE WHEN COALESCE(s, 0) >= CAST(1 AS HUGEINT) << 63
+                  THEN COALESCE(s, 0) - (CAST(1 AS HUGEINT) << 64)
+                  ELSE COALESCE(s, 0) END AS BIGINT) AS sh
+          FROM es LEFT JOIN hraw ON hraw.e = es.e),
+        h AS (SELECT fr.id, fr.e, h0.sh FROM fr JOIN h0 ON h0.e = fr.e),
+        nf AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1),
+        m AS (
+          SELECT a.id AS id1, b.id AS id2,
+                 CAST(count(DISTINCT b.e) AS BIGINT) AS n_matched
+          FROM h a JOIN h b ON a.id <> b.id
+          WHERE bit_count(xor(a.sh, b.sh)) <= 3
+          GROUP BY 1, 2)
+        SELECT id1 AS container_id, id2 AS contained_id, n_matched,
+               n.n AS n_frames
+        FROM m JOIN nf n ON n.id = m.id2
+        WHERE CAST(n_matched AS DOUBLE) >= 0.75 * CAST(n.n AS DOUBLE)""")),
+
     "q_video_neardup" -> Q(
       (s, dir) => Multimodal.videoNearDupPairs(
         Multimodal.withVideoPayload(

@@ -393,6 +393,37 @@ object Dedup extends org.apache.spark.internal.Logging {
     df.join(toDrop, df(idCol) === col("__drop"), "left_anti")
   }
 
+  /** QUALITY-AWARE near-dup survivor policy: cluster the pair graph with
+    * [[connectedComponents]] and keep, per cluster, the row with the
+    * HIGHEST `score` (ties → smallest id) — "keep the best copy", the
+    * curation policy when near-duplicates differ in quality (a clean
+    * original vs a truncated scrape), where the min-id policies of
+    * [[dropNearDuplicates]]/[[exact]] keep whichever happened to be
+    * crawled first. Documents outside every pair trivially survive.
+    *
+    * `score` must cast to double; NULL scores rank below every non-null
+    * score (a doc with no quality signal never beats a scored one; an
+    * all-NULL cluster falls back to smallest id). Plan shape: the CC
+    * fixpoint is O(|near-dup subgraph|) per round (see
+    * [[connectedComponents]]); the keep step is ONE hash aggregate with
+    * map-side combine (ArgExtremum — no per-cluster window sort).
+    */
+  def keepBestPerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+                         score: Column, maxIter: Int = 25): DataFrame = {
+    val comp = connectedComponents(df, idCol, pairs, maxIter)
+      .select(col("id").as("__cid"), col("component").as("__comp"))
+    val withComp = df.join(comp, df(idCol) === col("__cid")).drop("__cid")
+    // min of (−score, id): max score, ties smallest id; NULL score → +∞
+    // so it loses to any scored row
+    val negScore = when(score.isNull, lit(Double.PositiveInfinity))
+      .otherwise(-score.cast("double"))
+    val rowStruct = struct(df.columns.map(col): _*)
+    withComp.groupBy(col("__comp"))
+      .agg(graft.functions.ArgExtremum
+        .argRow(rowStruct, struct(negScore, col(idCol)), isMax = false).as("__row"))
+      .select("__row.*")
+  }
+
   /** CONNECTED COMPONENTS over a near-duplicate pair list: every document
     * labeled with the smallest id reachable through the pair graph — the
     * transitive closure [[dropNearDuplicates]]' one-hop policy misses

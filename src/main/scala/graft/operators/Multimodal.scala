@@ -596,8 +596,18 @@ object Multimodal {
     * pattern families), and a pure-SQL oracle recomputes every frame
     * hash from arithmetic.
     */
-  def withVideoPayload(df: DataFrame, idCol: String, nFrames: Int = 8): DataFrame = {
+  /** `frameOffset`/`indexFrames` generate a TRIMMED clip: payload frame
+    * j carries the content of SOURCE frame `j + frameOffset` under the
+    * source's `indexFrames`-frame indexing (defaults reproduce the
+    * historical whole-clip payload bit-for-bit) — the fixture for
+    * containment-style dedup, where a short clip is a cut of a longer
+    * one.
+    */
+  def withVideoPayload(df: DataFrame, idCol: String, nFrames: Int = 8,
+                       frameOffset: Int = 0, indexFrames: Int = 0): DataFrame = {
     require(nFrames > 0, "nFrames must be positive")
+    require(frameOffset >= 0, "frameOffset must be non-negative")
+    val idxFrames = if (indexFrames > 0) indexFrames else nFrames
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"))
@@ -610,7 +620,8 @@ object Multimodal {
           val out = new java.io.ByteArrayOutputStream()
           var f = 0
           while (f < nFrames) {
-            out.write(encodeBmp(gradientPixels((k * nFrames + f) * 4L + v)))
+            out.write(encodeBmp(gradientPixels(
+              (k * idxFrames + f + frameOffset) * 4L + v)))
             f += 1
           }
           (id, out.toByteArray)
@@ -696,6 +707,68 @@ object Multimodal {
       .filter(col("n_matched").cast("double") >=
         lit(minMatchFrac) * col("n_frames").cast("double"))
       .select(col("id1"), col("id2"), col("n_matched"), col("n_frames"))
+  }
+
+  /** VIDEO CONTAINMENT pairs — the UNALIGNED, DIRECTED complement of
+    * [[videoNearDupPairs]]: clip B is reported as contained in clip A
+    * when ≥ `minContainFrac` of B's decodable sampled frames match SOME
+    * frame of A within `maxDistance` Hamming, at ANY position — the
+    * trimmed/re-cut relation (a highlight cut, a shortened re-upload)
+    * that the aligned join structurally misses (frame k only ever meets
+    * frame k there), exactly as [[graft.operators.Dedup.ngramContainmentPairsFromSets]]
+    * is the directed complement of symmetric Jaccard for text quotes.
+    *
+    * Output one row per DIRECTED (container_id, contained_id) passing
+    * the fraction test (both directions emit when both pass — near-dup
+    * variants contain each other); `n_matched` counts DISTINCT contained
+    * frames matched, `n_frames` the contained side's frame count.
+    *
+    * Scale shape: candidates from the SAME pigeonhole chunk join as every
+    * Hamming operator, just WITHOUT the position in the bucket key; the
+    * per-pair aggregation stays bounded by matched frames. Dropping the
+    * position key raises the degenerate-content stakes (a black frame
+    * ANYWHERE in two clips now collides, not just at one position) — the
+    * [[videoNearDupPairs]] caveat applies with more force, and the same
+    * upstream mitigation (drop low-information frames before hashing) is
+    * the production answer.
+    */
+  def videoContainmentPairs(df: DataFrame, idCol: String,
+                            payloadCol: String = "payload",
+                            frameBytes: Int = 0, everyNth: Int = 2,
+                            maxDistance: Int = 3,
+                            minContainFrac: Double = 0.75,
+                            materialize: Boolean = true): DataFrame = {
+    require(minContainFrac > 0 && minContainFrac <= 1, "minContainFrac in (0, 1]")
+    val fh0 = videoFrameHashes(df, idCol, payloadCol, frameBytes, everyNth)
+      .filter(col("sh").isNotNull)
+    val fh = if (materialize)
+      fh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else fh0
+    val perClip = fh.groupBy("id").agg(count(lit(1)).as("__nf"))
+    val chunks = maxDistance + 1
+    val bits = 64 / chunks
+    def chunked(t: DataFrame) = t.select(col("id"), col("frame_idx"), col("sh"),
+      explode(array((0 until chunks).map(c => struct(lit(c).as("chunk"),
+        shiftright(col("sh"), c * bits).bitwiseAND(lit((1L << bits) - 1)).as("cv"))): _*))
+        .as("b"))
+      .select(col("id"), col("frame_idx"), col("sh"), col("b.chunk"), col("b.cv"))
+    val c = chunked(fh)
+    // verify inline on the streamed chunk join, THEN distinct only the
+    // (pair, contained frame) survivors — the verified-before-shuffled
+    // rule of simhashPairsFromTable
+    val matched = c.select(col("chunk"), col("cv"), col("id").as("id1"), col("sh").as("sh1"))
+      .join(c.select(col("chunk"), col("cv"), col("id").as("id2"),
+        col("frame_idx").as("__f2"), col("sh").as("sh2")), Seq("chunk", "cv"))
+      .filter(col("id1") =!= col("id2"))
+      .filter(bit_count(col("sh1").bitwiseXOR(col("sh2"))) <= maxDistance)
+      .select(col("id1"), col("id2"), col("__f2")).distinct()
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_matched"))
+    matched
+      .join(perClip.select(col("id").as("id2"), col("__nf").as("n_frames")), "id2")
+      .filter(col("n_matched").cast("double") >=
+        lit(minContainFrac) * col("n_frames").cast("double"))
+      .select(col("id1").as("container_id"), col("id2").as("contained_id"),
+        col("n_matched"), col("n_frames"))
   }
 
   /** Resize planning over decoded media features: fit (width, height)

@@ -753,6 +753,58 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("id1") === 999L || col("id2") === 999L).count() == 0)
   }
 
+  test("videoContainmentPairs: trimmed clip contained, direction asymmetric, aligned join misses it") {
+    // clip 0: 8 source frames; clip at +2^40: a TRIMMED cut carrying
+    // source frames 2..5 (frameOffset=2 under the source's 8-frame
+    // indexing); clip 400: an unrelated family
+    val base = Multimodal.withVideoPayload(Seq(0L, 400L).toDF("doc_id"),
+      "doc_id", nFrames = 8)
+    val trimmed = Multimodal.withVideoPayload(Seq(0L).toDF("doc_id"),
+        "doc_id", nFrames = 4, frameOffset = 2, indexFrames = 8)
+      .withColumn("doc_id", col("doc_id") + lit(1099511627776L))
+    val all = base.unionByName(trimmed)
+    val tid = 1099511627776L
+    // sampled: clip 0 → source frames {0,2,4,6}; trimmed → payload
+    // frames {0,2} = source frames {2,4} ⊂ clip 0's set, but at payload
+    // POSITIONS {0,2} ≠ source positions {2,4} — the aligned join
+    // structurally misses the relation
+    assert(Multimodal.videoNearDupPairs(all, "doc_id", everyNth = 2,
+      maxDistance = 3, minMatchFrac = 0.5)
+      .filter(col("id1") === tid || col("id2") === tid).count() == 0)
+    val got = Multimodal.videoContainmentPairs(all, "doc_id", everyNth = 2,
+        maxDistance = 3, minContainFrac = 0.75)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> (p._3, p._4)).toMap
+    // trimmed ⊂ clip 0: 2/2 frames matched; the reverse direction is
+    // only 2/4 and must NOT surface at τ=0.75; unrelated family never
+    assert(got((0L, tid)) == (2L, 2L))
+    assert(!got.contains((tid, 0L)))
+    assert(!got.keySet.exists { case (a, b) => a == 400L || b == 400L })
+  }
+
+  test("keepBestPerCluster keeps the highest score per component; null scores lose; isolated docs survive") {
+    val docs = Seq(
+      (1L, 50L), (2L, 90L), (3L, 90L),   // cluster {1,2,3} via chain 1-2, 2-3
+      (10L, 5L),                          // isolated
+      (20L, 0L), (21L, 0L)                // cluster with one NULL score below
+    ).toDF("doc_id", "n_chars")
+      // doc 21's score is NULL: it must lose to scored doc 20
+      .withColumn("n_chars", when(col("doc_id") === 21L, lit(null).cast("long"))
+        .otherwise(col("n_chars")))
+    val pairs = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("id1", "id2")
+    val kept = Dedup.keepBestPerCluster(docs, "doc_id", pairs, col("n_chars"))
+      .select("doc_id").as[Long].collect().toSet
+    // {1,2,3}: max score 90 tie → smallest id 2; {20,21}: 20 (21 is NULL);
+    // 10 isolated survives
+    assert(kept == Set(2L, 10L, 20L))
+    // all-NULL cluster falls back to smallest id
+    val docs2 = Seq((5L, null.asInstanceOf[java.lang.Long]),
+      (6L, null.asInstanceOf[java.lang.Long])).toDF("doc_id", "n_chars")
+    assert(Dedup.keepBestPerCluster(docs2, "doc_id",
+      Seq((5L, 6L)).toDF("id1", "id2"), col("n_chars"))
+      .select("doc_id").as[Long].collect().toSet == Set(5L))
+  }
+
   test("Hamming degenerate-chunk guard: connectivity preserved, cliques linear, cap documented") {
     // mixed corpus: a 10-item exact clique (sh=0), a 5-item exact clique
     // (far), a near-dup of clique A (hamming 2), a far singleton
