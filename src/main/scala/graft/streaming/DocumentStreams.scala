@@ -210,15 +210,31 @@ object DocumentStreams {
     * the in-flight batch's partition, so a retry cannot be suppressed by
     * its own half-written rows.
     */
+  /** Optional `decontamGrams` arms INGEST-TIME DECONTAMINATION: the
+    * eval-suite guard at the door, so a benchmark-contaminated document
+    * never reaches the lake in the first place (the batch pipeline's
+    * `decontaminateAgainst` stage, run per micro-batch). Pass the
+    * PREBUILT distinct hashed-gram table of the suite
+    * ([[graft.operators.Curation.benchGramsFor]] — built once per suite
+    * release, served from its persisted layout), NOT the raw suite:
+    * the loop must never re-shingle a constant suite per batch. The
+    * stage runs on dedup SURVIVORS (cheapest-stage-first ordering of
+    * the batch pipeline); contaminated docs are neither published nor
+    * indexed — they never entered the lake and must not suppress
+    * future documents (the loops' uniform dropped-item policy; an
+    * identical future doc is contaminated too and drops the same way).
+    */
   def ingestCurated(newDocs: DataFrame, idCol: String, textCol: String,
                     cfg: graft.operators.Curation.Config,
                     exactIndexPath: String, bandIndexPath: String,
                     outPath: String,
                     shingleSize: Int = 3, numHashes: Int = 128,
-                    bands: Int = 32): DataStreamWriter[Row] =
+                    bands: Int = 32,
+                    decontamGrams: Option[DataFrame] = None): DataStreamWriter[Row] =
     newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       processCuratedBatch(batch, batchId, idCol, textCol, cfg,
-        exactIndexPath, bandIndexPath, outPath, shingleSize, numHashes, bands)
+        exactIndexPath, bandIndexPath, outPath, shingleSize, numHashes, bands,
+        decontamGrams)
     }
 
   private[streaming] def pathExists(spark: org.apache.spark.sql.SparkSession,
@@ -237,7 +253,8 @@ object DocumentStreams {
                                              bandIndexPath: String,
                                              outPath: String,
                                              shingleSize: Int, numHashes: Int,
-                                             bands: Int): Unit = {
+                                             bands: Int,
+                                             decontamGrams: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     import graft.functions.TextFunctions
     val admitted = batch.filter(
@@ -284,9 +301,20 @@ object DocumentStreams {
         cfg.nearDupThreshold)
       .select(col("id2").as("__drop"))
     val dropIds = dupOfHistory.union(dupInBatch).distinct()
-    val survivors = fresh
+    val deduped = fresh
       .join(dropIds, fresh(idCol) === col("__drop"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ingest-time decontamination on dedup survivors (see [[ingestCurated]]):
+    // the suite gram table is prebuilt and constant, the batch side is
+    // batch-sized — the join cost tracks the BATCH, never the suite scan
+    val survivors = (decontamGrams match {
+      case Some(grams) =>
+        val bad = graft.operators.Curation.contaminationHitsFromGrams(
+            deduped, idCol, textCol, grams, cfg.decontamNgram)
+          .filter(col("n_hits") >= cfg.decontamMinHits)
+          .select(col("id").as("__cdrop"))
+        deduped.join(bad, deduped(idCol) === col("__cdrop"), "left_anti")
+      case None => deduped
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // all three sinks are per-batch-partition idempotent: a retry after a
     // failure between these writes rewrites the same partitions rather
     // than appending a second copy of the batch (at-least-once delivery)

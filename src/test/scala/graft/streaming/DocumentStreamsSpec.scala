@@ -144,6 +144,67 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(outPath).count() == 3)
   }
 
+  test("ingestCurated decontamGrams: contaminated docs never publish or index; unpublished never suppresses") {
+    implicit val sqlCtx = spark.sqlContext
+    val exactIdx = tmp("graft_dc_exact"); val bandIdx = tmp("graft_dc_band")
+    val outPath = tmp("graft_dc_lake")
+    Seq(exactIdx, bandIdx).foreach(p =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    val fluent = "the cat and the hat is in the house and it is a good day " * 3
+    val secret = "the famous benchmark question about the speed of light in a vacuum"
+    val cfg = graft.operators.Curation.Config(nearDupThreshold = 0.5)
+    // the suite gram table is PREBUILT (the benchGramsFor contract)
+    val grams = graft.operators.Curation.benchGramTable(
+      Seq((100L, secret)).toDF("bid", "btext"), "btext", cfg.decontamNgram)
+      .persist()
+    // 1 and 11 share a LONG identical base of mostly-DISTINCT words
+    // (repetition adds no distinct shingles — a repeated sentence
+    // contributes ~15 trigrams no matter how many copies) so their
+    // shingle Jaccard clears the 0.5 threshold; 11's middle swaps every
+    // few words of the secret, so no 8-gram of the suite survives in it
+    val base = "the quick brown fox jumps over a lazy dog while some clever " +
+      "young student reads an old book about rivers and mountains near " +
+      "this quiet village where many kind people gather to share warm " +
+      "bread with sweet tea during one long summer evening as happy birds sing"
+    val b1 = Seq(
+      (1L, s"$base and then $secret and more words follow here"), // contaminated
+      (2L, "completely unrelated text about spark query engines and the " +
+        "distributed joins that it is running today and it is a good engine " * 2))
+    // 11: near-dup of CONTAMINATED 1 (same base) WITHOUT the suite
+    // gram — 1 never published, so 11 must not be suppressed by it
+    val b2 = Seq(
+      (11L, s"$base and then the handy reference question about the pace " +
+        "of sound in a tunnel and more words follow here"))
+    val mem = MemoryStream[(Long, String)]
+    val q = DocumentStreams.ingestCurated(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", cfg, exactIdx, bandIdx, outPath,
+      decontamGrams = Some(grams)).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(outPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 11L))
+    // the contaminated doc reached NO sink: lake, band index, hash index
+    assert(spark.read.parquet(bandIdx).select("id").distinct()
+      .as[Long].collect().toSet == Set(2L, 11L))
+    assert(spark.read.parquet(exactIdx).count() == 2)
+    // counterfactual pin (the test is not vacuous): WITHOUT the stage,
+    // doc 1 publishes and its band-index entry SUPPRESSES near-dup 11
+    val exactIdx2 = tmp("graft_dc_exact2"); val bandIdx2 = tmp("graft_dc_band2")
+    val outPath2 = tmp("graft_dc_lake2")
+    Seq(exactIdx2, bandIdx2).foreach(p =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    DocumentStreams.processCuratedBatch(b1.toDF("doc_id", "text"), 0L,
+      "doc_id", "text", cfg, exactIdx2, bandIdx2, outPath2, 3, 128, 32)
+    DocumentStreams.processCuratedBatch(b2.toDF("doc_id", "text"), 1L,
+      "doc_id", "text", cfg, exactIdx2, bandIdx2, outPath2, 3, 128, 32)
+    assert(spark.read.parquet(outPath2)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    grams.unpersist()
+  }
+
   test("curated-ingest batch retry is idempotent, incl. after a partial attempt") {
     val exactIdx = tmp("graft_r_exact")
     val bandIdx = tmp("graft_r_band")
