@@ -1554,6 +1554,42 @@ object ExtQueries {
             ORDER BY quality DESC, doc_id) AS rn FROM q) r
         WHERE rn <= 10""")),
 
+    // BUDGET-BOUNDED QUALITY SELECTION: rank by quality desc (tie →
+    // doc_id), keep the maximal prefix whose cumulative token count fits
+    // a 12k-token budget — "take the best data until the budget is
+    // spent". Same two-level distributed prefix sum as q_pack_budget
+    // (never a corpus-wide single-partition window); the oracle is the
+    // single-window formulation it must reproduce exactly. The float
+    // quality score is bit-identical across engines (q_quality proves
+    // it), so the DESC rank and therefore the prefix agree.
+    "q_select_budget" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .withColumn("quality", qualityScore(col("text")))
+        graft.operators.Sampling.selectTopUnderTokenBudget(
+            docs, "doc_id", "text", col("quality"), budgetTokens = 12000)
+          .select("doc_id", "lang", "quality", "n_tokens", "cum_tokens")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang, text, $sqlTokens AS toks FROM documents),
+        m AS (SELECT doc_id, lang,
+          CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) END AS punct_ratio,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE) / len(toks) END AS stopword_ratio,
+          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_signal,
+          CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM t),
+        q AS (SELECT doc_id, lang, n_tokens,
+          greatest(least(len_signal * 0.4 + least(stopword_ratio * 4.0, 1.0) * 0.4
+            + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 1.0), 0.0) AS quality
+        FROM m),
+        c AS (SELECT doc_id, lang, quality, n_tokens,
+          CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_tokens
+        FROM q)
+        SELECT doc_id, lang, quality, n_tokens, cum_tokens FROM c
+        WHERE cum_tokens <= 12000""")),
+
     // Overlapping token-window chunking (40-token windows every 20) — the
     // long-document → training-sequence splitter. Narrow, no shuffle.
     "q_chunk_tokens" -> Q(

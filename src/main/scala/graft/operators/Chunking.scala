@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -107,9 +107,31 @@ object Chunking {
         "(it buckets the distributed prefix sum)")
     val withN = df
       .withColumn("n_tokens", tokenCounter(col(textCol)))
-      .withColumn("__bucket", floor(col(orderCols.head) / bucketSize))
-    val bucketSums = withN.groupBy("__bucket")
-      .agg(sum(col("n_tokens")).as("__bucket_sum"))
+    withRunningTotal(withN, floor(col(orderCols.head) / bucketSize),
+        orderCols.map(col), "n_tokens")
+      // integral div, not floor(double /): a double quotient can misround
+      // at exact bin boundaries once running totals pass 2^53-scale math
+      .withColumn("pack_id", expr(s"__before div $budgetTokens"))
+      .drop("__before")
+  }
+
+  /** Appends `__before` — the EXCLUSIVE global running total of
+    * `valueCol` in the total order (`bucket` asc, then `orderCols`) — via
+    * the textbook two-level distributed prefix sum shared by
+    * [[packByTokenBudget]] and
+    * [[Sampling.selectTopUnderTokenBudget]]. `bucket` MUST be a monotone
+    * coarsening of the caller's order (`bucket(a) < bucket(b)` ⇒ a
+    * precedes b); within a bucket the window orders by `orderCols`, so
+    * quantization affects only BALANCE, never correctness. No single task
+    * ever sorts or scans the full input — the classic
+    * `sum() OVER (ORDER BY …)` formulation plans as ONE partition holding
+    * every row, which is exactly what dies first at 100 TB.
+    */
+  private[operators] def withRunningTotal(df: DataFrame, bucket: Column,
+      orderCols: Seq[Column], valueCol: String): DataFrame = {
+    val withB = df.withColumn("__bucket", bucket)
+    val bucketSums = withB.groupBy("__bucket")
+      .agg(sum(col(valueCol)).as("__bucket_sum"))
     // window over n_buckets rows — orders of magnitude smaller than the
     // data. The constant partition key makes the single-partition intent
     // explicit (this summary table is tiny BY CONSTRUCTION) and keeps
@@ -123,15 +145,12 @@ object Chunking {
           lit(0L)))
       .select("__bucket", "__bucket_offset")
     val withinBucket = Window.partitionBy("__bucket")
-      .orderBy(orderCols.map(col): _*)
+      .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    withN
+    withB
       .join(broadcast(bucketOffsets), "__bucket")
       .withColumn("__before",
-        col("__bucket_offset") + coalesce(sum(col("n_tokens")).over(withinBucket), lit(0L)))
-      // integral div, not floor(double /): a double quotient can misround
-      // at exact bin boundaries once running totals pass 2^53-scale math
-      .withColumn("pack_id", expr(s"__before div $budgetTokens"))
-      .drop("__bucket", "__bucket_offset", "__before")
+        col("__bucket_offset") + coalesce(sum(col(valueCol)).over(withinBucket), lit(0L)))
+      .drop("__bucket", "__bucket_offset")
   }
 }

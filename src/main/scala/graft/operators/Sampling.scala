@@ -220,4 +220,53 @@ object Sampling {
     }
     df.filter(hashLong(key) < thresholdExpr)
   }
+
+  /** Budget-bounded quality selection: rank documents by `score`
+    * descending (ties → smallest `idCol`; NULL scores rank LAST) and keep
+    * the maximal prefix whose cumulative token count fits `budgetTokens` —
+    * the "take the best data until the token budget is spent" step of a
+    * data-selection pipeline (the DSIR / quality-classifier consumption
+    * pattern). PREFIX semantics: the first document that would overflow
+    * the budget is dropped and so is everything ranked below it, even a
+    * later smaller document — selection is a rank cutoff, not a knapsack
+    * repack (a repack is inherently sequential and would make the chosen
+    * set depend on sizes of REJECTED better-ranked documents).
+    *
+    * Output = input columns + `n_tokens` + `cum_tokens` (inclusive
+    * running total; `cum_tokens ≤ budgetTokens` for every surviving row).
+    *
+    * The global running total is the two-level distributed prefix sum of
+    * [[Chunking.packByTokenBudget]] (coarse score buckets aggregate, the
+    * tiny bucket-sum table windows, offsets broadcast back) — no single
+    * task ever sorts the corpus. `scoreBucketWidth` quantizes the score
+    * into those coarse buckets; it affects only bucket BALANCE (ties and
+    * sub-width clusters still order exactly, by score then id, inside the
+    * within-bucket window), so tune it to the score's spread — the
+    * default suits scores in [0, 1].
+    *
+    * `tokenCounter` maps the text column to its BIGINT token count — pass
+    * `TextFunctions.bpeTokenCount(_, vocab)` to denominate the budget in
+    * real merged subwords.
+    */
+  def selectTopUnderTokenBudget(df: DataFrame, idCol: String, textCol: String,
+      score: Column, budgetTokens: Long,
+      scoreBucketWidth: Double = 1.0 / 1024,
+      tokenCounter: Column => Column =
+        graft.functions.TextFunctions.tokenCount): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(scoreBucketWidth > 0, "scoreBucketWidth must be positive")
+    val withCols = df
+      .withColumn("n_tokens", tokenCounter(col(textCol)))
+      // negated score: ascending order = best-first; NULL → +MaxValue
+      // (ranks after every finite score, monotone with its bucket below)
+      .withColumn("__negscore",
+        when(score.isNull, lit(Double.MaxValue)).otherwise(-score))
+    val bucket = when(col("__negscore") === lit(Double.MaxValue), lit(Long.MaxValue))
+      .otherwise(floor(col("__negscore") / scoreBucketWidth).cast("long"))
+    Chunking.withRunningTotal(withCols, bucket,
+        Seq(col("__negscore"), col(idCol)), "n_tokens")
+      .filter(col("__before") + col("n_tokens") <= budgetTokens)
+      .withColumn("cum_tokens", col("__before") + col("n_tokens"))
+      .drop("__before", "__negscore")
+  }
 }

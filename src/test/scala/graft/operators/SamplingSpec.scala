@@ -115,4 +115,67 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sampleByFraction(df, col("id"), "g", Map("a" -> 0.0))
       .count() == 0L)
   }
+
+  test("selectTopUnderTokenBudget equals the single-window formulation") {
+    // scores engineered for ties (2 and 5), a NULL (6), and sub-bucket
+    // clusters; token counts = word counts
+    val d = Seq(
+      (1L, "a b c", 0.9), (2L, "d e", 0.7), (3L, "f g h i", 0.7),
+      (4L, "j", 0.5), (5L, "k l m", 0.95), (6L, "n o", Double.NaN),
+      (7L, "p q r s t", 0.1)
+    ).toDF("id", "text", "q0")
+      .withColumn("score", when(col("id") === 6L, lit(null)).otherwise(col("q0")))
+      .drop("q0")
+    val w = Window.orderBy(col("score").desc_nulls_last, col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val expected = d.withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= 9L)
+      .as[(Long, String, Option[Double], Long, Long)].collect().sortBy(_._1).toSeq
+    val got = Sampling.selectTopUnderTokenBudget(d, "id", "text",
+        col("score"), budgetTokens = 9L)
+      .as[(Long, String, Option[Double], Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == expected)
+    // budget 9: 5 (3 toks, cum 3) + 1 (3, cum 6) + 2 (2, cum 8) survive;
+    // tie partner 3 (4 toks, cum 12) overflows — and PREFIX semantics
+    // drop everything below the cutoff too, including 1-token doc 4
+    assert(got.map(_._1) == Seq(1L, 2L, 5L))
+  }
+
+  test("selectTopUnderTokenBudget: prefix cutoff, NULL-last, boundary fit, tiny budget") {
+    val d = Seq(
+      (10L, "a a a a", 1.0), (20L, "b b b", 0.8), (30L, "c", 0.6)
+    ).toDF("id", "text", "score")
+    // exact boundary: budget 7 fits docs 10+20 exactly
+    val fit = Sampling.selectTopUnderTokenBudget(d, "id", "text",
+        col("score"), budgetTokens = 7L)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().sortBy(_._1)
+    assert(fit.toSeq == Seq((10L, 4L), (20L, 7L)))
+    // budget below the best doc → empty selection
+    assert(Sampling.selectTopUnderTokenBudget(d, "id", "text",
+      col("score"), budgetTokens = 3L).count() == 0L)
+    // all-NULL scores: order degrades to id, budget still respected
+    val nulls = d.withColumn("score", lit(null).cast("double"))
+    val byId = Sampling.selectTopUnderTokenBudget(nulls, "id", "text",
+        col("score"), budgetTokens = 7L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(byId == Seq(10L, 20L))
+    // invalid budget rejected
+    intercept[IllegalArgumentException] {
+      Sampling.selectTopUnderTokenBudget(d, "id", "text", col("score"), 0L)
+    }
+  }
+
+  test("selectTopUnderTokenBudget never windows over a single global partition") {
+    val d = Seq((1L, "a b", 0.5), (2L, "c", 0.9)).toDF("id", "text", "score")
+    val plan = Sampling.selectTopUnderTokenBudget(d, "id", "text",
+        col("score"), budgetTokens = 10L)
+      .queryExecution.optimizedPlan.toString
+    // the only global (empty-partition-spec) window must be over the
+    // bucket-sum aggregate, never over the input rows
+    val globalWindows = plan.linesIterator.filter(l =>
+      l.contains("Window") && !l.contains("partitionBy") &&
+        l.contains("__bucket_sum")).toSeq
+    assert(globalWindows.nonEmpty, plan)
+  }
 }
