@@ -1398,6 +1398,55 @@ object ExtQueries {
   private def curationOracleSql(decontam: Boolean,
                                 spans: Boolean = false,
                                 semdecon: Boolean = false): String = {
+    val (ctes, src) = curationChainCtes(decontam, spans, semdecon)
+    s"""
+        WITH RECURSIVE
+        $ctes,
+        st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start
+               FROM (SELECT doc_id, $sqlTokens AS toks FROM $src) WHERE len(toks) > 0),
+        chunks AS (SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_id,
+          array_to_string(list_slice(toks, start + 1, start + 40), ' ') AS chunk_text,
+          CAST(len(list_slice(toks, start + 1, start + 40)) AS BIGINT) AS n_tokens
+          FROM st),
+        packed AS (SELECT *, COALESCE(sum(n_tokens) OVER (ORDER BY doc_id, chunk_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM chunks)
+        SELECT doc_id, chunk_id, chunk_text, n_tokens,
+          CAST(before // 2000 AS BIGINT) AS pack_id
+        FROM packed"""
+  }
+
+  /** Attrition oracle: the same CTE chain with BOTH decontamination
+    * stages armed, consumed as a first-drop-stage labeling — one row per
+    * raw document, stage indices mirroring
+    * [[graft.operators.Curation.attritionReport]].
+    */
+  private def attritionOracleSql: String = {
+    val (ctes, _) = curationChainCtes(decontam = true, spans = false, semdecon = true)
+    s"""
+        WITH RECURSIVE
+        $ctes,
+        sel AS (
+          SELECT doc_id, 1 AS stage_idx, 'lang_quality' AS stage FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM kept)
+          UNION ALL SELECT doc_id, 2, 'exact_dup' FROM kept
+            WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+          UNION ALL SELECT doc_id, 3, 'near_dup' FROM exact
+            WHERE doc_id NOT IN (SELECT doc_id FROM surv)
+          UNION ALL SELECT doc_id, 4, 'decontam' FROM surv
+            WHERE doc_id IN (SELECT doc_id FROM contaminated)
+          UNION ALL SELECT doc_id, 5, 'semantic_decontam' FROM final
+            WHERE doc_id IN (SELECT doc_id FROM sembad)
+          UNION ALL SELECT doc_id, 6, 'kept' FROM semfinal)
+        SELECT doc_id, CAST(stage_idx AS INT) AS stage_idx, stage FROM sel"""
+  }
+
+  /** The curation pipeline's oracle CTE chain (filter → exact dedup →
+    * golden-pair near-dedup → optional n-gram/semantic decontamination →
+    * optional span removal), shared by the three pipeline oracles and the
+    * attrition oracle: returns (cteBlock, nameOfFinalSurvivorCte).
+    */
+  private def curationChainCtes(decontam: Boolean, spans: Boolean,
+                                semdecon: Boolean): (String, String) = {
     val gram = (1 to 7).foldLeft("toks[i]") { (acc, k) => s"$acc || ' ' || toks[i+$k]" }
     val decontamCtes = if (!decontam) "" else s""",
         sg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 6),
@@ -1457,9 +1506,7 @@ object ExtQueries {
             END AS text
           FROM tkS t LEFT JOIN spB b USING (doc_id))"""
     val src = if (spans) "respanned" else src0
-    s"""
-        WITH RECURSIVE
-        t0 AS (SELECT doc_id, text, $sqlTokens AS toks FROM documents),
+    (s"""t0 AS (SELECT doc_id, text, $sqlTokens AS toks FROM documents),
         feat AS (SELECT doc_id, text, toks,
           CASE WHEN length(text) = 0 THEN 0.0
                ELSE CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) END AS punct_ratio,
@@ -1487,18 +1534,8 @@ object ExtQueries {
                   UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
         comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
         surv AS (SELECT e.doc_id, e.text FROM exact e LEFT JOIN comp c ON e.doc_id = c.id
-                 WHERE c.id IS NULL OR c.component = e.doc_id)$decontamCtes$semCtes$spanCtes,
-        st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start
-               FROM (SELECT doc_id, $sqlTokens AS toks FROM $src) WHERE len(toks) > 0),
-        chunks AS (SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_id,
-          array_to_string(list_slice(toks, start + 1, start + 40), ' ') AS chunk_text,
-          CAST(len(list_slice(toks, start + 1, start + 40)) AS BIGINT) AS n_tokens
-          FROM st),
-        packed AS (SELECT *, COALESCE(sum(n_tokens) OVER (ORDER BY doc_id, chunk_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM chunks)
-        SELECT doc_id, chunk_id, chunk_text, n_tokens,
-          CAST(before // 2000 AS BIGINT) AS pack_id
-        FROM packed"""
+                 WHERE c.id IS NULL OR c.component = e.doc_id)$decontamCtes$semCtes$spanCtes""",
+      src)
   }
 
   private val curationQueries: Seq[(String, Q)] = Seq(
@@ -1704,6 +1741,34 @@ object ExtQueries {
           "doc_id", "text", curationCfg)
       },
       Some(curationOracleSql(decontam = false, semdecon = true))),
+
+    // CURATION ATTRITION REPORT: one row per RAW document labeling the
+    // FIRST stage that dropped it (lang_quality → exact_dup → near_dup →
+    // n-gram decontam → semantic decontam → kept) — the pipeline's
+    // observability funnel, with BOTH decontamination stages armed (the
+    // q_curation_decontam benchmark slice + the q_curation_semdecon
+    // embedding suite). Drop sets are ids-only anti-joins between
+    // persisted consecutive stage frames; the oracle runs the shared
+    // chain CTEs once and labels by set membership.
+    "q_attrition" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        graft.operators.Curation.attritionReport(
+          docs, "doc_id", "text", curationCfg,
+          decontaminateAgainst =
+            Some((docs.filter(col("doc_id") % 10 === 0), "text")),
+          nearDupPairs = Some(Dedup.minhashPairsFromIndex(
+            docsMinhashIdx(s, dir), numHashes = 128, threshold = 0.5)),
+          semanticDecontaminateAgainst =
+            Some(graft.operators.Curation.SemanticDecontam(
+              embeddings = emb.filter(col("vec_id") >= 50),
+              embIdCol = "vec_id", embVecCol = "embedding",
+              benchmark = emb.filter(col("vec_id") < 50),
+              benchIdCol = "vec_id", benchVecCol = "embedding",
+              threshold = 0.4)))
+      },
+      Some(attritionOracleSql)),
 
     // Deterministic split assignment: doc_id-keyed 75/12.5/12.5
     // train/val/test (binary-exact boundaries), reproducible across

@@ -287,15 +287,7 @@ object Curation {
     }
     val semClean = semanticDecontaminateAgainst match {
       case Some(sd) =>
-        // restrict the embedding scan to surviving ids first — the stage
-        // cost tracks the CURATED corpus, not the raw lake
-        val emb = sd.embeddings
-          .select(col(sd.embIdCol).as("__eid"), col(sd.embVecCol).as("__evec"))
-          .join(decontaminated.select(col(idCol).as("__eid")), Seq("__eid"), "left_semi")
-        val bad = semanticContaminationHits(emb, "__eid", "__evec",
-            sd.benchmark, sd.benchIdCol, sd.benchVecCol, sd.threshold,
-            sd.maxBenchmark)
-          .select(col("id")).distinct()
+        val bad = semanticBadIds(decontaminated, idCol, sd)
         decontaminated.join(bad, decontaminated(idCol) === bad("id"), "left_anti")
       case None => decontaminated
     }
@@ -308,6 +300,91 @@ object Curation {
           textCol, cfg.spanGram, cfg.spanMinCount, cfg.spanMinTokens)
         .drop("n_cut_tokens")
     chunkAndPack(spanClean, idCol, textCol, cfg, materialize)
+  }
+
+  /** The contaminated-id set of the semantic stage: `survivors`' ids
+    * restrict the embedding scan first (the stage cost tracks the CURATED
+    * corpus, not the raw lake), then the broadcast-guarded exact scan
+    * ([[semanticContaminationHits]]) yields the sparse hit set. ONE
+    * definition shared by [[pretrainingPipeline]] and [[attritionReport]]
+    * so the two can never disagree about what the stage drops.
+    */
+  private def semanticBadIds(survivors: DataFrame, idCol: String,
+                             sd: SemanticDecontam): DataFrame = {
+    val emb = sd.embeddings
+      .select(col(sd.embIdCol).as("__eid"), col(sd.embVecCol).as("__evec"))
+      .join(survivors.select(col(idCol).as("__eid")), Seq("__eid"), "left_semi")
+    semanticContaminationHits(emb, "__eid", "__evec",
+        sd.benchmark, sd.benchIdCol, sd.benchVecCol, sd.threshold,
+        sd.maxBenchmark)
+      .select(col("id")).distinct()
+  }
+
+  /** Per-document curation ATTRITION: for every input document, the FIRST
+    * pipeline stage that dropped it — `(idCol, stage_idx, stage)` with
+    * stage ∈ `lang_quality`(1) / `exact_dup`(2) / `near_dup`(3) /
+    * `decontam`(4) / `semantic_decontam`(5) / `kept`(6) — the
+    * observability face of [[pretrainingPipeline]]: exactly one row per
+    * input document, stages that are disabled (`decontaminateAgainst` /
+    * `semanticDecontaminateAgainst` = None) drop nothing, and the `kept`
+    * id set is IDENTICAL to the doc-level survivor set of the pipeline
+    * with the same arguments (spec-pinned). `groupBy(stage)` of this
+    * table is the per-stage attrition funnel a pipeline report plots.
+    *
+    * Each stage's drop set is an ids-only anti-join between consecutive
+    * survivor frames; the frames are persisted (`materialize = true`), so
+    * the chain is computed once and every anti-join is id-keyed (AQE
+    * broadcasts the sparse side) — the report costs one pipeline run plus
+    * id joins, never a re-run per stage.
+    */
+  def attritionReport(docs: DataFrame, idCol: String, textCol: String,
+                      cfg: Config = Config(),
+                      materialize: Boolean = true,
+                      decontaminateAgainst: Option[(DataFrame, String)] = None,
+                      nearDupPairs: Option[DataFrame] = None,
+                      semanticDecontaminateAgainst: Option[SemanticDecontam] = None): DataFrame = {
+    def materialized(df: DataFrame): DataFrame =
+      if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    // the exact stage chain of curatedCorpus/pretrainingPipeline, with a
+    // persisted frame per stage so drop sets are pure id anti-joins
+    val filtered = materialized(docs.filter(
+      TextFunctions.langQualityKeep(col(textCol), cfg.keepLangs, cfg.minQuality)))
+    val scrubbed = filtered.withColumn(textCol, TextFunctions.scrubPii(col(textCol)))
+    val exactDeduped = materialized(Dedup.exact(scrubbed, col(textCol), col(idCol)))
+    val pairs = nearDupPairs match {
+      case Some(p) =>
+        val ids = exactDeduped.select(col(idCol).as("__sid"))
+        p.join(ids, col("id1") === col("__sid"), "left_semi")
+          .join(ids, col("id2") === col("__sid"), "left_semi")
+      case None => Dedup.minhashPairs(exactDeduped, idCol, textCol,
+        threshold = cfg.nearDupThreshold)
+    }
+    val nearDeduped = materialized(
+      Dedup.dropNearDuplicateClusters(exactDeduped, idCol, pairs))
+    val decontaminated = materialized(decontaminateAgainst match {
+      case Some((bench, bCol)) => decontaminate(nearDeduped, idCol, textCol,
+        bench, bCol, cfg.decontamNgram, cfg.decontamMinHits)
+      case None => nearDeduped
+    })
+    val semClean = materialized(semanticDecontaminateAgainst match {
+      case Some(sd) =>
+        val bad = semanticBadIds(decontaminated, idCol, sd)
+        decontaminated.join(bad, decontaminated(idCol) === bad("id"), "left_anti")
+      case None => decontaminated
+    })
+    def ids(df: DataFrame): DataFrame = df.select(col(idCol))
+    def droppedAt(from: DataFrame, to: DataFrame, idx: Int, stage: String): DataFrame =
+      ids(from).join(ids(to).withColumnRenamed(idCol, "__kid"),
+          col(idCol) === col("__kid"), "left_anti")
+        .select(col(idCol), lit(idx).as("stage_idx"), lit(stage).as("stage"))
+    droppedAt(docs, filtered, 1, "lang_quality")
+      .unionAll(droppedAt(filtered, exactDeduped, 2, "exact_dup"))
+      .unionAll(droppedAt(exactDeduped, nearDeduped, 3, "near_dup"))
+      .unionAll(droppedAt(nearDeduped, decontaminated, 4, "decontam"))
+      .unionAll(droppedAt(decontaminated, semClean, 5, "semantic_decontam"))
+      .unionAll(ids(semClean)
+        .select(col(idCol), lit(6).as("stage_idx"), lit("kept").as("stage")))
   }
 
   /** The pipeline PREFIX — language/quality filter → PII scrub → exact

@@ -328,4 +328,64 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(tuned.forall(exact.contains))
   }
+
+  test("attritionReport: first-drop stage per doc, kept == pipeline survivors") {
+    val base = "the quick brown fox jumps over the lazy dog while the clever " +
+      "student reads an old book about lakes and forests near the quiet " +
+      "village where people gather in the evening to share warm bread"
+    val secret = "the secret benchmark phrase about rivers mountains and valleys"
+    val docs = Seq(
+      (1L, "der hund und die katze ist nicht ein zu haus und die sonne"),
+      (2L, "the cat and the dog live in a house of wood today"),
+      (3L, "the cat and the dog live in a house of wood today"), // exact dup of 2
+      (4L, s"$base and then some closing words"),
+      (5L, s"$base and then some closing lines"),               // near dup of 4
+      (6L, s"it is known that $secret flows in the story we tell"),
+      (7L, "the weather in the town is mild and the sky is blue"),
+      (8L, "the engine runs the query and the results are fast and good")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, secret)).toDF("bid", "btext")
+    val emb = Seq((7L, Array(1f, 0f, 0f))).toDF("eid", "vec")
+    val suite = Seq((900L, Array(1f, 0f, 0f))).toDF("sid", "svec")
+    val cfg = Curation.Config(minQuality = 0.0, nearDupThreshold = 0.5)
+    val sd = Curation.SemanticDecontam(emb, "eid", "vec",
+      suite, "sid", "svec", threshold = 0.9)
+    val report = Curation.attritionReport(docs, "doc_id", "text", cfg,
+      decontaminateAgainst = Some((bench, "btext")),
+      semanticDecontaminateAgainst = Some(sd))
+    val got = report.as[(Long, Int, String)].collect()
+    // exactly one row per raw document
+    assert(got.map(_._1).sorted.toSeq == (1L to 8L).toSeq)
+    val byId = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L) == ((1, "lang_quality")))
+    assert(byId(3L) == ((2, "exact_dup")))
+    assert(byId(5L) == ((3, "near_dup")))
+    assert(byId(6L) == ((4, "decontam")))
+    assert(byId(7L) == ((5, "semantic_decontam")))
+    assert(Seq(2L, 4L, 8L).forall(byId(_) == ((6, "kept"))))
+    // the kept set is the doc-level survivor set of the pipeline with the
+    // same arguments (explicit stage composition)
+    val cur = Curation.decontaminate(
+      Curation.curatedCorpus(docs, "doc_id", "text", cfg),
+      "doc_id", "text", bench, "btext", cfg.decontamNgram, cfg.decontamMinHits)
+    val semBad = Curation.semanticContaminationHits(
+        emb.join(cur.select(col("doc_id").as("eid")), Seq("eid"), "left_semi"),
+        "eid", "vec", suite, "sid", "svec", 0.9)
+      .select(col("id")).distinct()
+    val survivors = cur.join(semBad, cur("doc_id") === semBad("id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.filter(_._3 == "kept").map(_._1).toSet == survivors)
+  }
+
+  test("attritionReport: disabled stages drop nothing") {
+    val docs = Seq(
+      (1L, "the cat and the dog live in a house of wood today"),
+      (2L, "the engine runs the query and the results are fast and good")
+    ).toDF("doc_id", "text")
+    val report = Curation.attritionReport(docs, "doc_id", "text",
+        Curation.Config(minQuality = 0.0))
+      .as[(Long, Int, String)].collect()
+    assert(report.forall(_._3 == "kept"))
+    assert(report.map(_._1).sorted.toSeq == Seq(1L, 2L))
+  }
 }
