@@ -27,19 +27,40 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object EmbeddingStreams {
 
+  /** INGEST-TIME SEMANTIC DECONTAMINATION for the embedding loop — the
+    * vector twin of [[DocumentStreams.ingestCurated]]'s `decontamGrams`
+    * guard: a batch vector within cosine `threshold` of ANY vector of the
+    * fixed eval-`suite` is neither published nor indexed (it never entered
+    * the lake, so it also never suppresses a future item — the loops'
+    * uniform dropped-item policy; an identical future vector is
+    * contaminated too and drops the same way). The suite is CONSTANT and
+    * broadcast-sized ([[graft.operators.Curation.semanticContaminationHits]]'
+    * enforced guard; `maxSuite` is its ceiling) — per-batch cost tracks
+    * the BATCH, never a growing history. Batch items with a NULL vector
+    * bypass the guard (no embedding ⇒ nothing to compare — run the n-gram
+    * guard in the DOCUMENT loop too; each catches what the other misses).
+    */
+  final case class SemanticGuard(suite: DataFrame,
+                                 suiteIdCol: String, suiteVecCol: String,
+                                 threshold: Double,
+                                 maxSuite: Long = 100000L)
+
   /** Wire a streaming vector source into the ingest-dedup loop.
     * `indexPath` must hold [[Dedup.embeddingLshIndex]] rows built with the
     * SAME (planes, tables, seed), seeded via [[DocumentStreams.seedIndex]]
     * (or bootstrapped from absent); `outPath` receives surviving rows.
+    * Optional `guard` arms [[SemanticGuard]] on dedup survivors
+    * (cheapest-stage-first, matching the document loop's ordering).
     */
   def ingestEmbeddingDedup(newVecs: DataFrame, idCol: String, vecCol: String,
                            indexPath: String, outPath: String,
                            threshold: Double = 0.8,
                            planes: Int = 3, tables: Int = 8,
-                           seed: Long = 42L): DataStreamWriter[Row] =
+                           seed: Long = 42L,
+                           guard: Option[SemanticGuard] = None): DataStreamWriter[Row] =
     newVecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       processEmbeddingBatch(batch, batchId, idCol, vecCol, indexPath,
-        outPath, threshold, planes, tables, seed)
+        outPath, threshold, planes, tables, seed, guard)
     }
 
   /** One micro-batch of the loop (factored out for direct batch-semantics
@@ -50,7 +71,8 @@ object EmbeddingStreams {
                                            indexPath: String, outPath: String,
                                            threshold: Double,
                                            planes: Int, tables: Int,
-                                           seed: Long): Unit = {
+                                           seed: Long,
+                                           guard: Option[SemanticGuard] = None): Unit = {
     val spark = batch.sparkSession
     val vecs = batch.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("v"))
@@ -79,9 +101,24 @@ object EmbeddingStreams {
         threshold, planes, tables, seed)
       .select(col("id2").as("__drop"))
     val dropIds = dupOfHistory.union(dupInBatch).distinct()
-    val survivors = batch
+    val deduped = batch
       .join(dropIds, batch(idCol).cast("long") === col("__drop"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ingest-time semantic decontamination on dedup survivors (see
+    // [[SemanticGuard]]): batch-sized vector set vs the constant
+    // broadcast suite — contaminated items reach NO sink
+    val survivors = (guard match {
+      case Some(g) =>
+        val dedupedVecs = vecs.join(
+          deduped.select(col(idCol).cast("long").as("__did")),
+          vecs("id") === col("__did"), "left_semi")
+        val bad = graft.operators.Curation.semanticContaminationHits(
+            dedupedVecs, "id", "v",
+            g.suite, g.suiteIdCol, g.suiteVecCol, g.threshold, g.maxSuite)
+          .select(col("id").as("__cdrop")).distinct()
+        deduped.join(bad, deduped(idCol).cast("long") === col("__cdrop"),
+          "left_anti")
+      case None => deduped
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     DocumentStreams.writeBatchPartition(survivors, batchId, outPath)
     // the index grows by the SURVIVORS' rows only (null-vector rows never
     // entered `vecs`, so undecodable items pass through un-indexed)

@@ -110,6 +110,54 @@ class EmbeddingStreamsSpec extends SparkSpec {
     assert(lake.filter(col("vec_id") === 45L).count() == 1)
     assert(lake.select("vec_id").as[Long].collect().toSet == Set(8L, 201L, 45L))
   }
+
+  test("SemanticGuard: contaminated vectors reach no sink and never suppress") {
+    val base = vecFor(100L)
+    def rot(deg: Double): Array[Float] = {
+      val axis = Array.tabulate(16)(i => if (i % 2 == 0) 1f else -1f)
+      val nb = math.sqrt(base.map(x => x.toDouble * x.toDouble).sum)
+      val dotBA = base.zip(axis).map { case (x, y) => x.toDouble * y }.sum
+      val ortho = axis.zip(base).map { case (a, b) =>
+        (a - (dotBA / (nb * nb)) * b).toFloat }
+      val no = math.sqrt(ortho.map(x => x.toDouble * x.toDouble).sum)
+      val r = math.toRadians(deg)
+      base.zip(ortho).map { case (b, o) =>
+        (math.cos(r) * b / nb + math.sin(r) * o / no).toFloat }
+    }
+    val suite = Seq(900L -> base).toDF("sid", "svec")
+    val guard = Some(EmbeddingStreams.SemanticGuard(suite, "sid", "svec",
+      threshold = 0.95))
+    // C: 10° off the suite vector (cos 0.985 ≥ 0.95 → contaminated);
+    // L: 30° off the suite (cos 0.866 < 0.95 → passes the guard) but only
+    // 20° off C (cos 0.94 ≥ dedup 0.9 → WOULD dup-drop against C if C
+    // were published)
+    val batchC = Seq(200L -> rot(10.0), 8L -> vecFor(8L)).toDF("vec_id", "embedding")
+    val batchL = Seq(201L -> rot(30.0)).toDF("vec_id", "embedding")
+
+    val indexPath = tmp("graft_gidx"); val outPath = tmp("graft_glake")
+    Seq(indexPath, outPath).foreach(p =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    EmbeddingStreams.processEmbeddingBatch(batchC, 0L, "vec_id", "embedding",
+      indexPath, outPath, TH, 3, 8, 42L, guard)
+    EmbeddingStreams.processEmbeddingBatch(batchL, 1L, "vec_id", "embedding",
+      indexPath, outPath, TH, 3, 8, 42L, guard)
+    // C neither published nor indexed; L NOT suppressed by unpublished C
+    assert(spark.read.parquet(outPath).select("vec_id").as[Long]
+      .collect().toSet == Set(8L, 201L))
+    assert(spark.read.parquet(indexPath).select("id").distinct()
+      .as[Long].collect().toSet == Set(8L, 201L))
+    // counterfactual pin (the test is not vacuous): WITHOUT the guard, C
+    // publishes and its index entry SUPPRESSES near-dup L
+    val idx2 = tmp("graft_gidx2"); val out2 = tmp("graft_glake2")
+    Seq(idx2, out2).foreach(p =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    EmbeddingStreams.processEmbeddingBatch(batchC, 0L, "vec_id", "embedding",
+      idx2, out2, TH, 3, 8, 42L)
+    EmbeddingStreams.processEmbeddingBatch(batchL, 1L, "vec_id", "embedding",
+      idx2, out2, TH, 3, 8, 42L)
+    assert(spark.read.parquet(out2).select("vec_id").as[Long]
+      .collect().toSet == Set(200L, 8L))
+  }
 }
 
 /** Deterministic id → vector (family = id div 4; variants of a family are
