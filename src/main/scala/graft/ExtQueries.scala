@@ -600,6 +600,34 @@ object ExtQueries {
       },
       Some(decontaminateOracleSql)),
 
+    // CONTAMINATION ATTRIBUTION: which benchmark item leaked into which
+    // document — one row per (doc, bench item) pair with the count of
+    // shared distinct 8-grams; the audit face of q_decontaminate (same
+    // corpus/suite split, bench grams carrying their item id instead of
+    // collapsing). Oracle: the raw-string-gram join with the bench doc_id
+    // carried through.
+    "q_contam_attr" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.operators.Curation.contaminationAttribution(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          ngramSize = 8)
+      },
+      Some {
+        val gram = (1 to 7).foldLeft("toks[i]") { (acc, k) => s"$acc || ' ' || toks[i+$k]" }
+        s"""
+        WITH tk AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+        g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 6),
+                i -> $gram)) AS gs
+              FROM tk WHERE len(toks) >= 8),
+        bench AS (SELECT doc_id AS bench_id, unnest(gs) AS gr FROM g WHERE doc_id % 10 = 0),
+        dg AS (SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id % 10 <> 0)
+        SELECT dg.doc_id AS id, bench.bench_id,
+          CAST(count(*) AS BIGINT) AS n_shared_grams
+        FROM dg JOIN bench ON dg.gr = bench.gr GROUP BY 1, 2"""
+      }),
+
     // EXACT REPEATED-SPAN detection (Lee et al. 2021 ExactSubstr family):
     // maximal token spans covered by 8-grams occurring >= 2 times in the
     // corpus. Engine hashes grams (8 bytes); oracle intersects raw string

@@ -211,6 +211,37 @@ object Curation {
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** CONTAMINATION ATTRIBUTION — which benchmark item leaked into which
+    * document: `(id, bench_id, n_shared_grams)`, one row per (document,
+    * benchmark item) pair sharing ≥ `minHits` distinct word
+    * `ngramSize`-grams. The audit face of [[contaminationHits]]: the
+    * drop-decision path wants one row per doc against the COLLAPSED suite
+    * gram set (cheapest join), but an auditor asking "which eval question
+    * leaked, and how badly" needs the per-item pairing. The benchmark gram
+    * table carries its item id (NOT distinct-collapsed across items — a
+    * gram two suite items share attributes to both); per-doc grams are
+    * distinct by construction ([[graft.functions.HashedShingles]]), so the
+    * count is exactly |shared distinct grams| per pair. Join volume is the
+    * ACTUAL contamination volume (sparse by assumption — a corpus that
+    * verbatim-contains most of the suite has bigger problems); the
+    * filter-side scan stays the one-pass shingle explode of the hits path.
+    */
+  def contaminationAttribution(docs: DataFrame, idCol: String, textCol: String,
+                               benchmark: DataFrame, benchIdCol: String,
+                               benchTextCol: String,
+                               ngramSize: Int = 8,
+                               minHits: Long = 1L): DataFrame = {
+    val docGrams = docs.select(col(idCol).as("id"),
+      explode(graft.functions.HashedShingles.column(col(textCol), ngramSize))
+        .as("__gram"))
+    val benchGrams = benchmark.select(col(benchIdCol).as("bench_id"),
+      explode(graft.functions.HashedShingles.column(col(benchTextCol), ngramSize))
+        .as("__gram"))
+    docGrams.join(benchGrams, "__gram")
+      .groupBy("id", "bench_id").agg(count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= minHits)
+  }
+
   /** Drop every document sharing ≥ `minHits` distinct n-grams with the
     * benchmark corpus — [[contaminationHits]] as a filter.
     */

@@ -377,6 +377,33 @@ class CurationSpec extends SparkSpec {
     assert(got.filter(_._3 == "kept").map(_._1).toSet == survivors)
   }
 
+  test("contaminationAttribution: per-item pairing, counts exact, ids == hits ids") {
+    val b1 = "the secret benchmark phrase about rivers mountains and valleys" // 9 words -> 2 8-grams
+    val b2 = "the hidden test question about oceans and the deep blue water"  // 11 words -> 4 8-grams
+    val docs = Seq(
+      (1L, s"intro words $b1 and some trailing text"),
+      (2L, "we note that the hidden test question about oceans and the story ends"), // w1..w8 of b2 only
+      (3L, s"first comes $b1 and then also $b2 at the end"),
+      (4L, "a completely clean document about cooking pasta with garlic and oil")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, b1), (200L, b2)).toDF("bid", "btext")
+    val got = Curation.contaminationAttribution(docs, "doc_id", "text",
+        bench, "bid", "btext")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L, 2L), (2L, 200L, 1L), (3L, 100L, 2L), (3L, 200L, 4L)))
+    // the attributed doc set is exactly the contaminationHits doc set
+    val hitIds = Curation.contaminationHits(docs, "doc_id", "text",
+        bench, "btext")
+      .filter(col("n_hits") >= 1).select("id").as[Long].collect().toSet
+    assert(got.map(_._1) == hitIds)
+    // minHits filters PAIRS, not docs: at 2, doc 2's single-gram pairing
+    // drops while doc 3 keeps both of its rows
+    val strict = Curation.contaminationAttribution(docs, "doc_id", "text",
+        bench, "bid", "btext", minHits = 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(strict == Set((1L, 100L, 2L), (3L, 100L, 2L), (3L, 200L, 4L)))
+  }
+
   test("attritionReport: disabled stages drop nothing") {
     val docs = Seq(
       (1L, "the cat and the dog live in a house of wood today"),
