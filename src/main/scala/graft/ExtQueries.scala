@@ -1958,6 +1958,41 @@ object ExtQueries {
         SELECT doc_id, source, n_tokens FROM wd
         WHERE before + n_tokens <= alloc""")),
 
+    // TEMPERATURE mixture filled BEST-FIRST: per-language sqrt-weighted
+    // token allocations (the q_mixture_temp arithmetic) consumed in
+    // quality-descending order instead of hash order — each language's
+    // budget goes to its best documents. Same never-exceed contract;
+    // float quality is bit-identical across engines (q_quality).
+    "q_mixture_best" -> Q(
+      (s, dir) => graft.operators.Mixing.allocateByTemperatureBestFirst(
+        table(s, dir, "documents"), "doc_id", "text", "lang",
+        qualityScore(col("text")), alpha = 0.5, totalBudget = 20000L),
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang, text, $sqlTokens AS toks FROM documents),
+        m AS (SELECT doc_id, lang, toks,
+          CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) END AS punct_ratio,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE) / len(toks) END AS stopword_ratio,
+          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_signal
+        FROM t),
+        n AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+          greatest(least(len_signal * 0.4 + least(stopword_ratio * 4.0, 1.0) * 0.4
+            + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 1.0), 0.0) AS quality
+        FROM m),
+        tt AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS c FROM n GROUP BY 1),
+        qt AS (SELECT lang, CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1048576) AS BIGINT) AS q
+               FROM tt WHERE c > 0),
+        al AS (SELECT lang, CAST((q * 20000) // (SELECT sum(q) FROM qt) AS BIGINT) AS alloc
+               FROM qt),
+        w AS (SELECT n.doc_id, n.lang, n.n_tokens, al.alloc,
+                COALESCE(sum(n_tokens) OVER (PARTITION BY n.lang
+                  ORDER BY quality DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+              FROM n JOIN al USING (lang) WHERE al.alloc > 0)
+        SELECT doc_id, lang, n_tokens FROM w
+        WHERE before + n_tokens <= alloc""")),
+
     // DATA-QUALITY EXPECTATIONS: five named row contracts checked in ONE
     // scan (one aggregate; adding a rule adds a counter, not a pass).
     // NULL predicate results count as violations by contract.

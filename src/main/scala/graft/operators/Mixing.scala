@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -59,10 +59,12 @@ object Mixing {
   }
 
   /** Adds `__before` = per-source running token total over the
-    * deterministic (__h, __id) order — the two-level distributed prefix
-    * sum described above.
+    * deterministic per-source order (`orderCols`; `__bucket` must be a
+    * monotone coarsening of it within each source) — the two-level
+    * distributed prefix sum described above.
     */
-  private def withRunningTotal(base: DataFrame): DataFrame = {
+  private def withRunningTotal(base: DataFrame,
+      orderCols: Seq[Column] = Seq(col("__h"), col("__id"))): DataFrame = {
     val bucketSums = base.groupBy("__src", "__bucket")
       .agg(sum(col("n_tokens")).as("__bsum"))
     val bucketOffsets = bucketSums
@@ -71,7 +73,7 @@ object Mixing {
           .orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__src", "__bucket", "__boff")
     val within = Window.partitionBy("__src", "__bucket")
-      .orderBy("__h", "__id").rowsBetween(Window.unboundedPreceding, -1)
+      .orderBy(orderCols: _*).rowsBetween(Window.unboundedPreceding, -1)
     base
       .join(broadcast(bucketOffsets), Seq("__src", "__bucket"))
       .withColumn("__before",
@@ -116,6 +118,19 @@ object Mixing {
     require(totalBudget > 0, "totalBudget must be positive")
     require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
     val base = hashBase(df, idCol, textCol, sourceCol)
+    val alloc = temperatureAlloc(base, alpha, totalBudget)
+    withRunningTotal(base.join(broadcast(alloc), "__src"))
+      .filter(col("__before") + col("n_tokens") <= col("__alloc"))
+      .select(col("__id").as(idCol), col("__src").as(sourceCol), col("n_tokens"))
+  }
+
+  /** The temperature weight → integer allocation table (`__src`,
+    * `__alloc`) shared by [[allocateByTemperature]] and
+    * [[allocateByTemperatureBestFirst]] — see the exactness discussion
+    * above.
+    */
+  private def temperatureAlloc(base: DataFrame, alpha: Double,
+                               totalBudget: Long): DataFrame = {
     val cD = col("__c").cast("double")
     val pw =
       if (alpha == 1.0) cD
@@ -133,13 +148,42 @@ object Mixing {
     // no-partition WARN so real warnings stay visible).
     // (NOT named __Q: SQL resolution is case-insensitive, so an expr
     // referencing __Q silently binds to __q.)
-    val alloc = q
-      .withColumn("__qsum", sum(col("__q")).over(Window.partitionBy(lit(0))))
+    q.withColumn("__qsum", sum(col("__q")).over(Window.partitionBy(lit(0))))
       .withColumn("__alloc",
         expr(s"(CAST(__q AS DECIMAL(38,0)) * CAST($totalBudget AS DECIMAL(38,0))) div __qsum"))
       .filter(col("__alloc") > 0)
       .select("__src", "__alloc")
-    withRunningTotal(base.join(broadcast(alloc), "__src"))
+  }
+
+  /** [[allocateByTemperature]] filled BEST-FIRST instead of
+    * hash-uniformly: within each source the per-source token allocation is
+    * consumed in `score` descending order (ties → smallest id, NULL
+    * scores last) — "temperature-weighted budgets, filled with each
+    * source's best documents", the quality-aware capstone of a mixture
+    * build (per-source [[graft.operators.Sampling.selectTopUnderTokenBudget]]
+    * with the budgets derived from the corpus itself). Same never-exceed
+    * contract and integer allocation arithmetic; the per-source running
+    * total orders by the quantized score (`scoreBucketWidth` buckets the
+    * coarse level — balance only, order inside a bucket is exact).
+    * Output: (idCol, sourceCol, n_tokens), one row per taken document.
+    */
+  def allocateByTemperatureBestFirst(df: DataFrame, idCol: String,
+                                     textCol: String, sourceCol: String,
+                                     score: Column, alpha: Double,
+                                     totalBudget: Long,
+                                     scoreBucketWidth: Double = 1.0 / 1024): DataFrame = {
+    require(totalBudget > 0, "totalBudget must be positive")
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    require(scoreBucketWidth > 0, "scoreBucketWidth must be positive")
+    val base = df.select(col(idCol).as("__id"), col(sourceCol).as("__src"),
+        TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
+        when(score.isNull, lit(Double.MaxValue)).otherwise(-score).as("__negscore"))
+      .withColumn("__bucket",
+        when(col("__negscore") === lit(Double.MaxValue), lit(Long.MaxValue))
+          .otherwise(floor(col("__negscore") / scoreBucketWidth).cast("long")))
+    val alloc = temperatureAlloc(base, alpha, totalBudget)
+    withRunningTotal(base.join(broadcast(alloc), "__src"),
+        Seq(col("__negscore"), col("__id")))
       .filter(col("__before") + col("n_tokens") <= col("__alloc"))
       .select(col("__id").as(idCol), col("__src").as(sourceCol), col("n_tokens"))
   }

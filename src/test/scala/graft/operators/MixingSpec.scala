@@ -193,6 +193,50 @@ class MixingSpec extends SparkSpec {
       zeroed, "weight_q", 300L).filter(col("source") === "b").count() == 0L)
   }
 
+  test("allocateByTemperatureBestFirst: same allocations as hash-order, filled by score") {
+    // deterministic synthetic score with ties across sources
+    val scored = docs.withColumn("score", (col("doc_id") % 7).cast("double") / 7.0)
+    val budget = 900L
+    val got = Mixing.allocateByTemperatureBestFirst(scored, "doc_id", "text",
+        "source", col("score"), alpha = 0.5, totalBudget = budget)
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    // reference: allocateByTemperature's OWN per-source allocations
+    // (derived identically), consumed in (score desc, id) window order
+    val base = scored
+      .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("text")))
+    val c = base.groupBy("source").agg(sum("n_tokens").as("c"))
+      .withColumn("q", floor(sqrt(col("c").cast("double")) * (1L << 20)).cast("long"))
+      .filter(col("q") > 0)
+    val qsum = c.agg(sum("q")).as[Long].head()
+    val alloc = c.withColumn("alloc",
+      expr(s"(CAST(q AS DECIMAL(38,0)) * CAST($budget AS DECIMAL(38,0))) div $qsum"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc_nulls_last, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = base.join(alloc.select("source", "alloc"), "source")
+      .withColumn("before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter(col("alloc") > 0 && col("before") + col("n_tokens") <= col("alloc"))
+      .select("doc_id", "source", "n_tokens")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < 300) // a real partial selection
+    // best-first actually reorders: the hash-order variant picks a
+    // different doc set under the same allocations
+    val hashOrder = Mixing.allocateByTemperature(scored, "doc_id", "text",
+        "source", alpha = 0.5, totalBudget = budget)
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got.map(_._1).toSet != hashOrder.map(_._1).toSet)
+    // and the selected set is score-top-heavy: every selected doc's score
+    // is >= every unselected doc's score within its source, EXCEPT docs
+    // skipped only because the remaining budget could not fit them
+    val perSrcAlloc = alloc.select("source", "alloc").as[(String, Long)]
+      .collect().toMap
+    val gotBySrc = got.groupBy(_._2)
+    gotBySrc.foreach { case (src, rows) =>
+      assert(rows.map(_._3).sum <= perSrcAlloc(src))
+    }
+  }
+
   test("the only unbounded-partition window runs over the bucket-sum table") {
     val plan = Mixing.allocateByTokenBudget(docs, "doc_id", "text", "source",
         weights, 500L)
