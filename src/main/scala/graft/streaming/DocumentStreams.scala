@@ -224,17 +224,29 @@ object DocumentStreams {
     * future documents (the loops' uniform dropped-item policy; an
     * identical future doc is contaminated too and drops the same way).
     */
+  /** Optional `metricsPath` arms the PER-BATCH ATTRITION METRICS sink —
+    * the streaming twin of [[graft.operators.Curation.attritionReport]]:
+    * one row per micro-batch `(n_in, n_filtered, n_exact_dup,
+    * n_exact_history, n_dup_history, n_dup_batch, n_contaminated,
+    * n_published)` — drop counts per stage plus the published tally,
+    * summing to `n_in` — hive-partitioned by `__batch_id` with the loops'
+    * usual retry idempotence (a replayed batch rewrites its own metrics
+    * partition). Counting forces extra per-batch jobs on the (persisted,
+    * batch-sized) stage frames — that is the price of the funnel and why
+    * the sink is opt-in.
+    */
   def ingestCurated(newDocs: DataFrame, idCol: String, textCol: String,
                     cfg: graft.operators.Curation.Config,
                     exactIndexPath: String, bandIndexPath: String,
                     outPath: String,
                     shingleSize: Int = 3, numHashes: Int = 128,
                     bands: Int = 32,
-                    decontamGrams: Option[DataFrame] = None): DataStreamWriter[Row] =
+                    decontamGrams: Option[DataFrame] = None,
+                    metricsPath: Option[String] = None): DataStreamWriter[Row] =
     newDocs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       processCuratedBatch(batch, batchId, idCol, textCol, cfg,
         exactIndexPath, bandIndexPath, outPath, shingleSize, numHashes, bands,
-        decontamGrams)
+        decontamGrams, metricsPath)
     }
 
   private[streaming] def pathExists(spark: org.apache.spark.sql.SparkSession,
@@ -254,7 +266,8 @@ object DocumentStreams {
                                              outPath: String,
                                              shingleSize: Int, numHashes: Int,
                                              bands: Int,
-                                             decontamGrams: Option[DataFrame] = None): Unit = {
+                                             decontamGrams: Option[DataFrame] = None,
+                                             metricsPath: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     import graft.functions.TextFunctions
     val admitted = batch.filter(
@@ -325,6 +338,28 @@ object DocumentStreams {
       batchId, bandIndexPath)
     writeBatchPartition(survivors.select(col("__th").as("th")),
       batchId, exactIndexPath)
+    metricsPath.foreach { mPath =>
+      import spark.implicits._
+      val nIn = batch.count()
+      val nAdmitted = admitted.count()
+      val nExactDeduped = exactDeduped.count()
+      val nFresh = fresh.count()
+      val nDupHistory = dupOfHistory.count()
+      val nDeduped = deduped.count()
+      val nPublished = survivors.count()
+      // drop sets along the chain are disjoint by construction (the
+      // within-batch pairing runs over history-probe survivors; the
+      // decontamination stage over dedup survivors), so stage counts are
+      // plain differences of consecutive survivor counts
+      writeBatchPartition(Seq((
+          nIn, nIn - nAdmitted, nAdmitted - nExactDeduped,
+          nExactDeduped - nFresh, nDupHistory,
+          nFresh - nDeduped - nDupHistory, nDeduped - nPublished,
+          nPublished))
+        .toDF("n_in", "n_filtered", "n_exact_dup", "n_exact_history",
+          "n_dup_history", "n_dup_batch", "n_contaminated", "n_published"),
+        batchId, mPath)
+    }
     survivors.unpersist()
     dupOfHistory.unpersist()
     newIdx.unpersist()

@@ -52,15 +52,24 @@ object EmbeddingStreams {
     * Optional `guard` arms [[SemanticGuard]] on dedup survivors
     * (cheapest-stage-first, matching the document loop's ordering).
     */
+  /** Optional `metricsPath` arms the per-batch attrition metrics sink
+    * (the [[DocumentStreams.ingestCurated]] pattern): one row per
+    * micro-batch `(n_in, n_null_vec, n_dup_history, n_dup_batch,
+    * n_contaminated, n_published)` — `n_null_vec` items PASS THROUGH
+    * (published un-indexed and un-guarded), the rest are drop counts —
+    * hive-partitioned by `__batch_id`, retry-idempotent. Opt-in because
+    * the counts force extra per-batch jobs on the stage frames.
+    */
   def ingestEmbeddingDedup(newVecs: DataFrame, idCol: String, vecCol: String,
                            indexPath: String, outPath: String,
                            threshold: Double = 0.8,
                            planes: Int = 3, tables: Int = 8,
                            seed: Long = 42L,
-                           guard: Option[SemanticGuard] = None): DataStreamWriter[Row] =
+                           guard: Option[SemanticGuard] = None,
+                           metricsPath: Option[String] = None): DataStreamWriter[Row] =
     newVecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       processEmbeddingBatch(batch, batchId, idCol, vecCol, indexPath,
-        outPath, threshold, planes, tables, seed, guard)
+        outPath, threshold, planes, tables, seed, guard, metricsPath)
     }
 
   /** One micro-batch of the loop (factored out for direct batch-semantics
@@ -72,7 +81,8 @@ object EmbeddingStreams {
                                            threshold: Double,
                                            planes: Int, tables: Int,
                                            seed: Long,
-                                           guard: Option[SemanticGuard] = None): Unit = {
+                                           guard: Option[SemanticGuard] = None,
+                                           metricsPath: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val vecs = batch.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("v"))
@@ -128,6 +138,23 @@ object EmbeddingStreams {
           vecs("id") === col("__keep"), "left_semi"),
         "id", "v", planes, tables, seed),
       batchId, indexPath)
+    metricsPath.foreach { mPath =>
+      import spark.implicits._
+      val nIn = batch.count()
+      val nVecs = vecs.count()
+      val nDupHistory = dupOfHistory.count()
+      val nDeduped = deduped.count()
+      val nPublished = survivors.count()
+      // the within-batch pairing runs over history-probe survivors and
+      // the guard over dedup survivors, so stage drop sets are disjoint
+      // and counts are differences of consecutive survivor counts
+      DocumentStreams.writeBatchPartition(Seq((
+          nIn, nIn - nVecs, nDupHistory,
+          nIn - nDeduped - nDupHistory, nDeduped - nPublished, nPublished))
+        .toDF("n_in", "n_null_vec", "n_dup_history", "n_dup_batch",
+          "n_contaminated", "n_published"),
+        batchId, mPath)
+    }
     survivors.unpersist()
     dupOfHistory.unpersist()
     vecs.unpersist()

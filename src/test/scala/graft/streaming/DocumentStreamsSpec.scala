@@ -205,6 +205,50 @@ class DocumentStreamsSpec extends SparkSpec {
     grams.unpersist()
   }
 
+  test("curated-ingest metrics sink: per-stage counts sum to n_in, retry rewrites") {
+    val exactIdx = tmp("graft_m_exact"); val bandIdx = tmp("graft_m_band")
+    val outPath = tmp("graft_m_lake"); val mPath = tmp("graft_m_metrics")
+    Seq(exactIdx, bandIdx, mPath).foreach(p =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    val fluent = "the cat and the hat is in the house and it is a good day " * 3
+    val secret = "the famous benchmark question about the speed of light in a vacuum"
+    val cfg = graft.operators.Curation.Config(nearDupThreshold = 0.5)
+    val grams = graft.operators.Curation.benchGramTable(
+      Seq((100L, secret)).toDF("bid", "btext"), "btext", cfg.decontamNgram)
+    val b0 = Seq(
+      (1L, s"$fluent and then $secret appears here"),        // contaminated
+      (2L, "the spark engine joins the tables and it is a good plan today " * 2),
+      (3L, "the spark engine joins the tables and it is a good plan today " * 2), // exact dup of 2
+      (4L, "der die das und ist nicht ein zu " * 6))          // filtered
+    val b1 = Seq(
+      (12L, "the spark engine joins the tables and it is a good plan today " * 2), // exact replay of published 2
+      (13L, "a completely fresh document about the weather and the sea and the sun"))
+    DocumentStreams.processCuratedBatch(b0.toDF("doc_id", "text"), 0L,
+      "doc_id", "text", cfg, exactIdx, bandIdx, outPath, 3, 128, 32,
+      Some(grams), Some(mPath))
+    DocumentStreams.processCuratedBatch(b1.toDF("doc_id", "text"), 1L,
+      "doc_id", "text", cfg, exactIdx, bandIdx, outPath, 3, 128, 32,
+      Some(grams), Some(mPath))
+    def metrics(batch: Long): (Long, Long, Long, Long, Long, Long, Long, Long) =
+      spark.read.parquet(mPath)
+        .filter(col("__batch_id") === batch)
+        .select("n_in", "n_filtered", "n_exact_dup", "n_exact_history",
+          "n_dup_history", "n_dup_batch", "n_contaminated", "n_published")
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSeq match { case Seq(m) => m }
+    assert(metrics(0L) == ((4L, 1L, 1L, 0L, 0L, 0L, 1L, 1L)))
+    assert(metrics(1L) == ((2L, 0L, 0L, 1L, 0L, 0L, 0L, 1L)))
+    // every stage count is a drop tally: they sum to n_in
+    val m0 = metrics(0L)
+    assert(m0._2 + m0._3 + m0._4 + m0._5 + m0._6 + m0._7 + m0._8 == m0._1)
+    // retrying a batch rewrites its metrics partition, never appends
+    DocumentStreams.processCuratedBatch(b1.toDF("doc_id", "text"), 1L,
+      "doc_id", "text", cfg, exactIdx, bandIdx, outPath, 3, 128, 32,
+      Some(grams), Some(mPath))
+    assert(spark.read.parquet(mPath).count() == 2L)
+    assert(metrics(1L) == ((2L, 0L, 0L, 1L, 0L, 0L, 0L, 1L)))
+  }
+
   test("curated-ingest batch retry is idempotent, incl. after a partial attempt") {
     val exactIdx = tmp("graft_r_exact")
     val bandIdx = tmp("graft_r_band")

@@ -158,6 +158,38 @@ class EmbeddingStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(out2).select("vec_id").as[Long]
       .collect().toSet == Set(200L, 8L))
   }
+
+  test("embedding metrics sink: per-stage counts, retry rewrites") {
+    val indexPath = tmp("graft_midx"); val outPath = tmp("graft_mlake")
+    val mPath = tmp("graft_mm")
+    Seq(mPath).foreach(p =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    DocumentStreams.seedIndex(
+      graft.operators.Dedup.embeddingLshIndex(vecs(100L), "vec_id", "embedding"),
+      indexPath)
+    val suite = Seq(900L -> vecFor(60L)).toDF("sid", "svec")
+    val guard = Some(EmbeddingStreams.SemanticGuard(suite, "sid", "svec", 0.95))
+    // 101 ~ published 100 (dup history); 8 fresh (published); 9 ~ 8
+    // (dup in batch); 61 ~ suite vector 60 (contaminated)
+    val batch = vecs(101L, 8L, 9L, 61L)
+    EmbeddingStreams.processEmbeddingBatch(batch, 0L, "vec_id", "embedding",
+      indexPath, outPath, TH, 3, 8, 42L, guard, Some(mPath))
+    def metrics: (Long, Long, Long, Long, Long, Long) =
+      spark.read.parquet(mPath)
+        .filter(col("__batch_id") === 0L)
+        .select("n_in", "n_null_vec", "n_dup_history", "n_dup_batch",
+          "n_contaminated", "n_published")
+        .as[(Long, Long, Long, Long, Long, Long)]
+        .collect().toSeq match { case Seq(m) => m }
+    assert(metrics == ((4L, 0L, 1L, 1L, 1L, 1L)))
+    assert(spark.read.parquet(outPath).select("vec_id").as[Long]
+      .collect().toSet == Set(8L))
+    // retry rewrites the metrics partition, never appends
+    EmbeddingStreams.processEmbeddingBatch(batch, 0L, "vec_id", "embedding",
+      indexPath, outPath, TH, 3, 8, 42L, guard, Some(mPath))
+    assert(spark.read.parquet(mPath).count() == 1L)
+    assert(metrics == ((4L, 0L, 1L, 1L, 1L, 1L)))
+  }
 }
 
 /** Deterministic id → vector (family = id div 4; variants of a family are
