@@ -1834,6 +1834,69 @@ object ExtQueries {
                   / 4294967296.0 AS u
               FROM documents)""")),
 
+    // SPLIT-LEAKAGE report: near-dup pairs whose endpoints landed in
+    // DIFFERENT splits of the q_split random per-document assignment —
+    // each row an eval example with a near-copy in training data. Oracle:
+    // the golden pair fixture joined twice against the q_split hash
+    // arithmetic.
+    "q_split_leakage" -> Q(
+      (s, dir) => {
+        val assigned = graft.operators.Sampling.assignSplit(
+          table(s, dir, "documents").select("doc_id"), col("doc_id"),
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        graft.operators.Sampling.splitLeakage(assigned, "doc_id", "split",
+            Dedup.minhashPairsFromIndex(docsMinhashIdx(s, dir),
+              numHashes = 128, threshold = 0.5))
+          .select("id1", "id2", "split1", "split2")
+      },
+      Some("""
+        WITH sp AS (SELECT doc_id,
+            CASE WHEN u < 0.75 THEN 'train'
+                 WHEN u < 0.875 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (SELECT doc_id,
+                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    / 4294967296.0 AS u
+                FROM documents)),
+        e AS (SELECT id1, id2 FROM
+          read_parquet('/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet'))
+        SELECT e.id1, e.id2, s1.split AS split1, s2.split AS split2
+        FROM e JOIN sp s1 ON e.id1 = s1.doc_id JOIN sp s2 ON e.id2 = s2.doc_id
+        WHERE s1.split <> s2.split""")),
+
+    // LEAKAGE-FREE split assignment: the split coin keyed on the near-dup
+    // CLUSTER representative (connected components over the pair graph;
+    // isolated docs are their own component) — every cluster lands in one
+    // split, so the q_split_leakage report of THIS assignment is empty by
+    // construction (spec-pinned). Oracle: the recursive-CC component CTE
+    // + the same md5 hash arithmetic on the component id.
+    "q_split_clustered" -> Q(
+      (s, dir) => graft.operators.Sampling.assignSplitByCluster(
+        table(s, dir, "documents").select("doc_id"), "doc_id",
+        Dedup.minhashPairsFromIndex(docsMinhashIdx(s, dir),
+          numHashes = 128, threshold = 0.5),
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .select("doc_id", "component", "split"),
+      Some("""
+        WITH RECURSIVE
+        edges AS (SELECT id1, id2 FROM
+          read_parquet('/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')),
+        und AS (SELECT id1 AS a, id2 AS b FROM edges
+                UNION SELECT id2, id1 FROM edges),
+        reach AS (SELECT a, b FROM und
+                  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+        allc AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+        SELECT doc_id, component,
+          CASE WHEN u < 0.75 THEN 'train'
+               WHEN u < 0.875 THEN 'val'
+               ELSE 'test' END AS split
+        FROM (SELECT doc_id, component,
+                CAST(('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT)
+                  / 4294967296.0 AS u
+              FROM allc)""")),
+
     // Data mixing: deterministic per-language token-budget allocation
     // (60/20/20 en/de/fr of an 8000-token budget; es has zero weight and
     // must vanish). Engine: per-source two-level prefix sum in hash

@@ -221,6 +221,47 @@ object Sampling {
     df.filter(hashLong(key) < thresholdExpr)
   }
 
+  /** NEAR-DUP SPLIT LEAKAGE report: the near-duplicate pairs whose
+    * endpoints landed in DIFFERENT splits — each one an eval example with
+    * a near-copy in training data, the contamination a random per-document
+    * split silently creates. `assigned` is the split-labeled corpus
+    * ([[assignSplit]]'s output shape), `pairs` a near-dup pair table
+    * (id1, id2) from any of the dedup families. Output: (id1, id2,
+    * split1, split2), split1 ≠ split2. Two id-keyed joins — the report
+    * costs the pair table, never a corpus re-scan. An empty result is the
+    * acceptance check for [[assignSplitByCluster]].
+    */
+  def splitLeakage(assigned: DataFrame, idCol: String, splitCol: String,
+                   pairs: DataFrame): DataFrame = {
+    val a1 = assigned.select(col(idCol).as("__i1"), col(splitCol).as("split1"))
+    val a2 = assigned.select(col(idCol).as("__i2"), col(splitCol).as("split2"))
+    pairs.join(a1, pairs("id1") === col("__i1"))
+      .join(a2, pairs("id2") === col("__i2"))
+      .filter(col("split1") =!= col("split2"))
+      .drop("__i1", "__i2")
+  }
+
+  /** LEAKAGE-FREE split assignment: [[assignSplit]] keyed on the near-dup
+    * CLUSTER representative instead of the document id — every connected
+    * component of the pair graph ([[Dedup.connectedComponents]], isolated
+    * docs are their own component) lands in ONE split, so no eval example
+    * has a near-copy in training by construction
+    * ([[splitLeakage]] of the result is empty, spec-pinned). Fractions
+    * then hold in expectation over CLUSTERS, not documents — a corpus
+    * whose near-dup mass is very skewed will see proportionally skewed
+    * split sizes, the price of the guarantee. Output: input columns +
+    * `component` + `splitCol`.
+    */
+  def assignSplitByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+                           fractions: Seq[(String, Double)],
+                           splitCol: String = "split",
+                           maxIter: Int = 25): DataFrame = {
+    val comp = Dedup.connectedComponents(df, idCol, pairs, maxIter)
+      .withColumnRenamed("id", "__cid")
+    val withComp = df.join(comp, df(idCol) === col("__cid")).drop("__cid")
+    assignSplit(withComp, col("component"), fractions, splitCol)
+  }
+
   /** Budget-bounded quality selection: rank documents by `score`
     * descending (ties → smallest `idCol`; NULL scores rank LAST) and keep
     * the maximal prefix whose cumulative token count fits `budgetTokens` —

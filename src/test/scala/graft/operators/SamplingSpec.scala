@@ -166,6 +166,41 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("splitLeakage reports exactly the cross-split pairs; cluster assignment has none") {
+    val d = (0L until 100L).toDF("id")
+    val fracs = Seq("a" -> 0.5, "b" -> 0.5)
+    val assigned = Sampling.assignSplit(d, col("id"), fracs)
+    val byId = assigned.as[(Long, String)].collect().toMap
+    // craft one cross-split and one same-split pair from the actual coins
+    val aId = byId.collectFirst { case (i, "a") => i }.get
+    val bId = byId.collectFirst { case (i, "b") => i }.get
+    val a2 = byId.collectFirst { case (i, "a") if i != aId => i }.get
+    val pairs = Seq((aId, bId), (aId, a2)).toDF("id1", "id2")
+    val leak = Sampling.splitLeakage(assigned, "id", "split", pairs)
+      .as[(Long, Long, String, String)].collect().toSeq
+    assert(leak == Seq((aId, bId, "a", "b")))
+    // cluster-keyed assignment: chain {0,1,2} and pair {10,11} each land
+    // whole; isolated docs keep their own id as component; leakage empty
+    val cPairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id1", "id2")
+    val clustered = Sampling.assignSplitByCluster(d, "id", cPairs, fracs)
+    val rows = clustered.select("id", "component", "split")
+      .as[(Long, Long, String)].collect()
+    val comp = rows.map(r => r._1 -> r._2).toMap
+    val split = rows.map(r => r._1 -> r._3).toMap
+    assert(Seq(0L, 1L, 2L).map(comp) == Seq(0L, 0L, 0L))
+    assert(Seq(10L, 11L).map(comp) == Seq(10L, 10L))
+    assert(comp(50L) == 50L) // isolated
+    assert(split(0L) == split(1L) && split(1L) == split(2L))
+    assert(split(10L) == split(11L))
+    assert(Sampling.splitLeakage(clustered, "id", "split", cPairs).count() == 0L)
+    // the coin is the COMPONENT's assignSplit coin: docs 0,1,2 all get
+    // key-0's coin, isolated docs keep their own
+    assert(Seq(0L, 1L, 2L).map(split).forall(_ == byId(0L)))
+    assert(split(50L) == byId(50L))
+    // both splits populated at these fractions over 98 clusters
+    assert(rows.map(_._3).toSet == Set("a", "b"))
+  }
+
   test("selectTopUnderTokenBudget never windows over a single global partition") {
     val d = Seq((1L, "a b", 0.5), (2L, "c", 0.9)).toDF("id", "text", "score")
     val plan = Sampling.selectTopUnderTokenBudget(d, "id", "text",
