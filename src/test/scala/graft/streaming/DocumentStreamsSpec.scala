@@ -205,6 +205,62 @@ class DocumentStreamsSpec extends SparkSpec {
     grams.unpersist()
   }
 
+  test("compactIndex: history content preserved, partitions consolidated, loop unaffected") {
+    val indexPath = tmp("graft_c_idx"); val outPath = tmp("graft_c_lake")
+    Seq(outPath).foreach(p =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    def doc(i: Long, tail: String) =
+      (i, s"a long enough document about streaming compaction and indexes $tail")
+    // seeded index (the loop's contract) + three committed batches
+    DocumentStreams.seedIndex(
+      Dedup.minhashBandIndex(
+        Seq((100L, "an entirely separate seed document about nothing in particular here"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text"),
+      indexPath)
+    DocumentStreams.processBatch(Seq(doc(1L, "alpha alpha")).toDF("doc_id", "text"),
+      0L, "doc_id", "text", indexPath, outPath, 3, 128, 32, 0.5)
+    DocumentStreams.processBatch(
+      Seq((2L, "completely different text about graph algorithms and pagerank today"))
+        .toDF("doc_id", "text"),
+      1L, "doc_id", "text", indexPath, outPath, 3, 128, 32, 0.5)
+    DocumentStreams.processBatch(
+      Seq((3L, "a third unrelated piece mentioning tokenizers and byte level encodings"))
+        .toDF("doc_id", "text"),
+      2L, "doc_id", "text", indexPath, outPath, 3, 128, 32, 0.5)
+    val before = spark.read.parquet(indexPath)
+      .select("id", "band", "bh").as[(Long, Int, Long)].collect().toSet
+    DocumentStreams.compactIndex(spark, indexPath, uptoBatch = 1L, targetFiles = 1)
+    // content identical, partitions consolidated to {-1, 2}
+    val after = spark.read.parquet(indexPath)
+    assert(after.select("id", "band", "bh")
+      .as[(Long, Int, Long)].collect().toSet == before)
+    assert(after.select("__batch_id").distinct().as[Long].collect().toSet ==
+      Set(-1L, 2L))
+    // the loop continues against compacted history: a near-dup of the
+    // COMPACTED batch-0 doc still drops, a fresh doc still publishes
+    DocumentStreams.processBatch(Seq(
+        doc(10L, "alpha alphas"),
+        (11L, "yet another novel document on winnowing and rolling hash windows"))
+      .toDF("doc_id", "text"),
+      3L, "doc_id", "text", indexPath, outPath, 3, 128, 32, 0.5)
+    assert(spark.read.parquet(outPath).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L, 11L))
+    // a RETRY of the uncompacted batch 2 is still idempotent
+    DocumentStreams.processBatch(
+      Seq((3L, "a third unrelated piece mentioning tokenizers and byte level encodings"))
+        .toDF("doc_id", "text"),
+      2L, "doc_id", "text", indexPath, outPath, 3, 128, 32, 0.5)
+    assert(spark.read.parquet(outPath).filter(col("doc_id") === 3L).count() == 1L)
+    // compacting everything (uptoBatch covers all) leaves one partition
+    DocumentStreams.compactIndex(spark, indexPath, uptoBatch = 3L, targetFiles = 1)
+    assert(spark.read.parquet(indexPath).select("__batch_id").distinct()
+      .as[Long].collect().toSet == Set(-1L))
+    assert(spark.read.parquet(indexPath).select("id").distinct()
+      .as[Long].collect().toSet ==
+      Set(100L, 1L, 2L, 3L, 11L)) // 10 was dropped, never indexed
+  }
+
   test("curated-ingest metrics sink: per-stage counts sum to n_in, retry rewrites") {
     val exactIdx = tmp("graft_m_exact"); val bandIdx = tmp("graft_m_band")
     val outPath = tmp("graft_m_lake"); val mPath = tmp("graft_m_metrics")
