@@ -72,6 +72,22 @@ object ExtQueries {
             + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 1.0), 0.0) AS quality
         FROM m""")),
 
+    // CHARACTER-CLASS counts: the encoding-health signal (mojibake /
+    // binary-in-text detection) — exact integer counts so both engines
+    // compare bitwise; n_replacement > 0 is the classic drop rule.
+    "q_char_classes" -> Q(
+      (s, dir) => graft.operators.TextStats.charClassCounts(
+        table(s, dir, "documents"), "doc_id", "text"),
+      Some(raw"""
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_letter,
+          CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+          CAST(len(regexp_extract_all(text, '\s')) AS BIGINT) AS n_space,
+          CAST(len(regexp_extract_all(text, '[^\x00-\x7F]')) AS BIGINT) AS n_nonascii,
+          CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_replacement,
+          CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_control
+        FROM documents""")),
+
     "q_lang_id" -> Q(
       (s, dir) => table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), langId(col("text")).as("lang_pred")),

@@ -36,6 +36,30 @@ object TextStats {
         (col("__pos") + 1).cast("long").as("rank")): _*)
   }
 
+  /** Per-document CHARACTER-CLASS counts — the encoding-health signal of
+    * a crawl pipeline (mojibake, binary-in-text, template sludge): exact
+    * integer counts of letters, digits, whitespace, non-ASCII characters,
+    * Unicode replacement characters (U+FFFD — the smoking gun of a
+    * mis-decoded byte stream), and C0 control characters (excluding
+    * tab/newline/CR). Counts, not ratios, on purpose: integers compare
+    * exactly across engines and the caller picks its own thresholds
+    * (`n_replacement > 0` alone is a strong drop rule). One narrow
+    * codegen'd projection — six `regexp_count`s over the row, no shuffle,
+    * pushdown-friendly like any scan predicate.
+    */
+  def charClassCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def cnt(pattern: String): Column =
+      regexp_count(col(textCol), lit(pattern)).cast("long")
+    df.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      cnt("[A-Za-z]").as("n_letter"),
+      cnt("[0-9]").as("n_digit"),
+      cnt("\\s").as("n_space"),
+      cnt("[^\\x00-\\x7F]").as("n_nonascii"),
+      cnt("�").as("n_replacement"),
+      cnt("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("n_control"))
+  }
+
   /** Per-document REPETITION signals — the standard pretraining quality
     * filters for boilerplate/spam (the "repetition rules" family):
     *

@@ -5,6 +5,30 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 class TextStatsSpec extends SparkSpec {
+
+  test("charClassCounts: exact hand counts incl. replacement and control chars") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, W0rld! café"),
+      (2L, "bad \uFFFD bytes \uFFFD\uFFFD here\u0001\u0007"),
+      (3L, ""),
+      (4L, "tab\tand\nnewline\rare not control here")
+    ).toDF("doc_id", "text")
+    val got = TextStats.charClassCounts(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 1: "Hello, W0rld! café" — 18 chars, letters H,e,l,l,o,W,r,l,d,c,a,f
+    //   = 12 ([A-Za-z] excludes é), 1 digit, 2 spaces, 1 non-ascii (é)
+    assert(got(1L) == ((1L, 18L, 12L, 1L, 2L, 1L, 0L, 0L)))
+    // doc 2: 3 replacement chars (each also non-ascii), 2 control chars
+    val d2 = got(2L)
+    assert(d2._7 == 3L && d2._6 == 3L && d2._8 == 2L)
+    // empty doc: all zeros
+    assert(got(3L) == ((3L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    // tab/newline/CR count as whitespace, NOT control
+    val d4 = got(4L)
+    assert(d4._8 == 0L && d4._5 == 6L) // \t \n \r + 3 spaces
+  }
   import spark.implicits._
 
   private val docs = Seq(
