@@ -3262,6 +3262,29 @@ object ExtQueries {
       },
       bm25OracleSql),
 
+    // The same ranking served from the STREAMING-MAINTAINED index: the
+    // corpus arrives as three micro-batch deltas (lengths + postings
+    // partitions per batch, SearchStreams loop), queries merge the ≤|Q|
+    // matched per-batch postings rows at read (df sums — exact under the
+    // loop's unique-ids contract — postings concatenate and re-cap in
+    // invertedPostings order). Same oracle as the scan and batch-index
+    // rows: the delta-merged serve must be bit-equal.
+    "q_bm25_stream" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val base = java.nio.file.Files.createTempDirectory("graft_bm25s").toString
+        val lenP = s"$base/len"; val postP = s"$base/post"
+        (0 until 3).foreach { i =>
+          graft.streaming.SearchStreams.processBm25Batch(
+            docs.filter(col("doc_id") % 3 === i), i.toLong,
+            "doc_id", "text", lenP, postP)
+        }
+        graft.streaming.SearchStreams.bm25TopKStreamed(
+            s, lenP, postP, Seq("vector", "spark", "customer"), k = 10)
+          .select("id", "rank", "n_terms", "sum_tf", "dl")
+      },
+      bm25OracleSql),
+
     "q_salient_terms" -> Q(
       (s, dir) => graft.operators.TextStats.salientTerms(
         table(s, dir, "documents"), "doc_id", "text", k = 3),
