@@ -68,6 +68,58 @@ class SearchStreamsSpec extends SparkSpec {
     assert(got.size == 2) // capped candidate set
   }
 
+  test("compactBm25: serve identical across compaction; marker recovery completes, never re-merges") {
+    val lenP = tmp("graft_bmk_len"); val postP = tmp("graft_bmk_post")
+    corpus.grouped(2).zipWithIndex.foreach { case (rows, i) =>
+      SearchStreams.processBm25Batch(rows.toDF("doc_id", "text"), i.toLong,
+        "doc_id", "text", lenP, postP)
+    }
+    val terms = Seq("spark", "vector", "customer")
+    def serve = SearchStreams.bm25TopKStreamed(spark, lenP, postP, terms, k = 10)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+    val before = serve
+    SearchStreams.compactBm25(spark, lenP, postP, uptoBatch = 1L, targetFiles = 1)
+    assert(serve == before)
+    // postings consolidated to {seed, batch 2}, ONE merged row per token
+    // in the seed
+    val post = spark.read.parquet(postP)
+    assert(post.select("__batch_id").distinct().as[Long].collect().toSet ==
+      Set(-1L, 2L))
+    val seedTokens = post.filter(col("__batch_id") === -1L).select("token")
+      .as[String].collect()
+    assert(seedTokens.length == seedTokens.distinct.length)
+    // full compaction → single partition, still identical serve
+    SearchStreams.compactBm25(spark, lenP, postP, uptoBatch = 2L, targetFiles = 1)
+    assert(serve == before)
+    assert(spark.read.parquet(postP).select("__batch_id").distinct()
+      .as[Long].collect().toSet == Set(-1L))
+    // MARKER RECOVERY: simulate a crash that left the staged tmp and the
+    // marker but deleted nothing — a rerun must replay the publish (seed
+    // := tmp, delete range, clean up), not re-merge the already-merged
+    // seed into a double-counted one
+    SearchStreams.processBm25Batch(corpus.take(2).map { case (i, t) =>
+        (i + 100L, t) }.toDF("doc_id", "text"), 3L,
+      "doc_id", "text", lenP, postP)
+    val afterB3 = serve
+    val fs = new org.apache.hadoop.fs.Path(postP)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stage what a crashed compactBm25(upto=3) would have staged
+    val hAll = spark.read.parquet(postP).drop("__batch_id")
+    val tmpDir = new org.apache.hadoop.fs.Path(postP + "__compact_tmp")
+    hAll.write.parquet(tmpDir.toString) // raw rows, NOT merged: recovery must publish THESE
+    val marker = new org.apache.hadoop.fs.Path(postP, "_COMPACTING_UPTO")
+    val out = fs.create(marker, true)
+    out.write("3".getBytes(java.nio.charset.StandardCharsets.UTF_8)); out.close()
+    SearchStreams.compactBm25(spark, lenP, postP, uptoBatch = 3L)
+    assert(!fs.exists(marker) && !fs.exists(tmpDir))
+    assert(spark.read.parquet(postP).select("__batch_id").distinct()
+      .as[Long].collect().toSet == Set(-1L))
+    // the recovered index serves the same ranking (rows were staged
+    // unmerged, so the seed holds per-batch rows — the serve-side merge
+    // handles that shape by construction)
+    assert(serve == afterB3)
+  }
+
   test("ingestBm25 wires the loop end-to-end via MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val lenP = tmp("graft_bms_len"); val postP = tmp("graft_bms_post")
