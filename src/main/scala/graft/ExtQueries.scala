@@ -82,7 +82,7 @@ object ExtQueries {
         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_letter,
           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
-          CAST(len(regexp_extract_all(text, '\s')) AS BIGINT) AS n_space,
+          CAST(len(regexp_extract_all(text, '[ \t\n\r]')) AS BIGINT) AS n_space,
           CAST(len(regexp_extract_all(text, '[^\x00-\x7F]')) AS BIGINT) AS n_nonascii,
           CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_replacement,
           CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_control

@@ -177,7 +177,10 @@ object Mixing {
     require(scoreBucketWidth > 0, "scoreBucketWidth must be positive")
     val base = df.select(col(idCol).as("__id"), col(sourceCol).as("__src"),
         TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
-        when(score.isNull, lit(Double.MaxValue)).otherwise(-score).as("__negscore"))
+        // NULL/NaN scores rank last; a NaN must not reach the bucket
+        // floor's long cast (ANSI error)
+        when(score.isNull || isnan(score), lit(Double.MaxValue))
+          .otherwise(-score).as("__negscore"))
       .withColumn("__bucket",
         when(col("__negscore") === lit(Double.MaxValue), lit(Long.MaxValue))
           .otherwise(floor(col("__negscore") / scoreBucketWidth).cast("long")))

@@ -298,10 +298,13 @@ object Sampling {
     require(scoreBucketWidth > 0, "scoreBucketWidth must be positive")
     val withCols = df
       .withColumn("n_tokens", tokenCounter(col(textCol)))
-      // negated score: ascending order = best-first; NULL → +MaxValue
-      // (ranks after every finite score, monotone with its bucket below)
+      // negated score: ascending order = best-first; NULL/NaN → +MaxValue
+      // (ranks after every finite score, monotone with its bucket below —
+      // and a NaN must not reach the bucket floor's long cast, which
+      // errors under ANSI)
       .withColumn("__negscore",
-        when(score.isNull, lit(Double.MaxValue)).otherwise(-score))
+        when(score.isNull || isnan(score), lit(Double.MaxValue))
+          .otherwise(-score))
     val bucket = when(col("__negscore") === lit(Double.MaxValue), lit(Long.MaxValue))
       .otherwise(floor(col("__negscore") / scoreBucketWidth).cast("long"))
     Chunking.withRunningTotal(withCols, bucket,

@@ -54,7 +54,11 @@ object TextStats {
       length(col(textCol)).cast("long").as("n_chars"),
       cnt("[A-Za-z]").as("n_letter"),
       cnt("[0-9]").as("n_digit"),
-      cnt("\\s").as("n_space"),
+      // explicit class, NOT \s: Java's \s includes U+000B where RE2's
+      // does not (the one char the engines disagree on), and the
+      // text-legitimate whitespace for this signal is exactly these
+      // four — VT/FF stay in n_control where a crawl wants them flagged
+      cnt("[ \\t\\n\\r]").as("n_space"),
       cnt("[^\\x00-\\x7F]").as("n_nonascii"),
       cnt("�").as("n_replacement"),
       cnt("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("n_control"))

@@ -160,6 +160,14 @@ class SamplingSpec extends SparkSpec {
         col("score"), budgetTokens = 7L)
       .select("id").as[Long].collect().sorted.toSeq
     assert(byId == Seq(10L, 20L))
+    // a NaN score ranks last like NULL — and must not error at the
+    // bucket floor's ANSI long cast
+    val withNan = d.withColumn("score",
+      when(col("id") === 10L, lit(Double.NaN)).otherwise(col("score")))
+    val nanSel = Sampling.selectTopUnderTokenBudget(withNan, "id", "text",
+        col("score"), budgetTokens = 4L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(nanSel == Seq(20L, 30L)) // 20 (0.8, 3) + 30 (0.6, 1); NaN-10 last
     // invalid budget rejected
     intercept[IllegalArgumentException] {
       Sampling.selectTopUnderTokenBudget(d, "id", "text", col("score"), 0L)

@@ -12,7 +12,8 @@ class TextStatsSpec extends SparkSpec {
       (1L, "Hello, W0rld! café"),
       (2L, "bad \uFFFD bytes \uFFFD\uFFFD here\u0001\u0007"),
       (3L, ""),
-      (4L, "tab\tand\nnewline\rare not control here")
+      (4L, "tab\tand\nnewline\rare not control here"),
+      (5L, "vt\u000Band\u000Cff")
     ).toDF("doc_id", "text")
     val got = TextStats.charClassCounts(docs, "doc_id", "text")
       .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
@@ -28,6 +29,9 @@ class TextStatsSpec extends SparkSpec {
     // tab/newline/CR count as whitespace, NOT control
     val d4 = got(4L)
     assert(d4._8 == 0L && d4._5 == 6L) // \t \n \r + 3 spaces
+    // VT/FF are CONTROL for this signal, not whitespace (and exactly
+    // where Java's \s and RE2's \s disagree — the explicit class)
+    assert(got(5L) == ((5L, 9L, 7L, 0L, 0L, 0L, 0L, 2L)))
   }
   import spark.implicits._
 
