@@ -3285,6 +3285,66 @@ object ExtQueries {
       },
       bm25OracleSql),
 
+    // RETRIEVAL EVAL METRICS: precision/recall/RR@10 over three
+    // single-term BM25 runs, judged against an engineered qrel set (docs
+    // containing the query term with doc_id % 3 = 0 — a deterministic
+    // "human-judged subset", so hits are partial and first-relevant ranks
+    // vary). All metrics exact integer ppm (floor(1e6·x)); nDCG is
+    // deliberately absent (transcendental discounts — see
+    // Search.retrievalMetrics). Everything after the retriever runs is
+    // eval-sized: the lists are top-k bounded, qrels are suite-sized.
+    "q_retrieval_eval" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val terms = Seq("vector", "spark", "customer")
+        val results = terms.map { t =>
+          graft.operators.Search.bm25TopK(docs, "doc_id", "text", Seq(t), k = 10)
+            .select(lit(t).as("query_id"), col("id"), col("rank"))
+        }.reduce(_ unionByName _)
+        val qrels = terms.map { t =>
+          docs.filter(array_contains(tokens(col("text")), t) &&
+              col("doc_id") % 3 === 0)
+            .select(lit(t).as("query_id"), col("doc_id").as("id"))
+        }.reduce(_ unionByName _)
+        graft.operators.Search.retrievalMetrics(results, qrels, k = 10)
+      },
+      Some(s"""
+        WITH lens AS (SELECT doc_id, CAST(len($sqlTokens) AS BIGINT) AS dl FROM documents),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) AS tot FROM lens),
+        tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+               WHERE token IN ('vector', 'spark', 'customer') GROUP BY 1, 2),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (SELECT token AS query_id, doc_id,
+            ln((nd - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+              * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+              / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / (tot / nd))) AS score
+          FROM tf JOIN dfq USING (token) JOIN lens USING (doc_id) CROSS JOIN stats),
+        res AS (SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+            FROM scored) t
+          WHERE rank <= 10),
+        qr AS (SELECT t.query_id, d.doc_id
+          FROM (SELECT unnest(['vector', 'spark', 'customer']) AS query_id) t
+          JOIN documents d ON list_contains($sqlTokens, t.query_id)
+            AND d.doc_id % 3 = 0),
+        rel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM qr GROUP BY 1),
+        ret AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_ret FROM res GROUP BY 1),
+        hit AS (SELECT r.query_id, CAST(count(*) AS BIGINT) AS hits,
+                  min(r.rank) AS first_rel
+                FROM res r JOIN qr ON r.query_id = qr.query_id
+                  AND r.doc_id = qr.doc_id
+                GROUP BY 1)
+        SELECT rel.query_id, n_rel,
+          COALESCE(n_ret, CAST(0 AS BIGINT)) AS n_ret,
+          COALESCE(hits, CAST(0 AS BIGINT)) AS hits,
+          CAST(COALESCE(hits, 0) * 1000000 // 10 AS BIGINT) AS precision_ppm,
+          CAST(COALESCE(hits, 0) * 1000000 // n_rel AS BIGINT) AS recall_ppm,
+          CAST(COALESCE(1000000 // first_rel, 0) AS BIGINT) AS rr_ppm
+        FROM rel LEFT JOIN ret USING (query_id) LEFT JOIN hit USING (query_id)""")),
+
     "q_salient_terms" -> Q(
       (s, dir) => graft.operators.TextStats.salientTerms(
         table(s, dir, "documents"), "doc_id", "text", k = 3),

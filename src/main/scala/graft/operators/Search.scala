@@ -193,6 +193,68 @@ object Search {
       .select("id", "rank", "n_terms", "sum_tf", "dl", "score")
   }
 
+  /** Retrieval-quality metrics at cutoff `k` — the eval loop that closes
+    * the serving tier: given ranked results and relevance judgments
+    * (qrels), score each judged query with the standard binary-relevance
+    * set: hits@k, precision@k, recall@k and reciprocal rank.
+    *
+    * All metrics are EXACT integer parts-per-million (`x_ppm =
+    * floor(1e6·x)`), never floats: a metric dashboard diffed across
+    * engines or reruns must be bit-stable, and every one of these is a
+    * ratio of small integers (the [[graft.operators.Analytics]]
+    * cleared-denominator discipline). nDCG is deliberately absent — its
+    * log2 discounts are transcendental and would re-open the cross-engine
+    * ulp door this table exists to keep shut; RR is the monotone
+    * rank-position signal with exact arithmetic.
+    *
+    * Semantics (trec_eval conventions):
+    *  - one output row per query that has at least one qrel — unjudged
+    *    queries in `results` are dropped, judged queries missing from
+    *    `results` score zero;
+    *  - `n_rel` counts ALL judged-relevant docs (also beyond the cutoff) —
+    *    the recall denominator;
+    *  - `precision_ppm` divides by the CUTOFF `k`, not by the retrieved
+    *    count: returning fewer than k docs does not inflate precision;
+    *  - `rr_ppm = floor(1e6 / rank of the first relevant result)`, 0 when
+    *    no relevant doc was retrieved at ≤ k;
+    *  - duplicate qrel pairs count once.
+    *
+    * Plan shape at 100 TB: `results` is top-k bounded per query by its
+    * retriever (lists-sized — the [[rrfFuse]] input contract) and qrels
+    * are an eval suite (thousands of rows), so every join and aggregate
+    * here is eval-sized; nothing touches a corpus. The joins are
+    * id+query-keyed equi-joins that AQE broadcasts.
+    */
+  def retrievalMetrics(results: DataFrame, qrels: DataFrame, k: Int,
+                       queryCol: String = "query_id", idCol: String = "id",
+                       rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, "retrievalMetrics: k must be >= 1")
+    val res = results.select(col(queryCol).as("query_id"),
+        col(idCol).as("id"), col(rankCol).cast("long").as("__rank"))
+      .filter(col("__rank") <= k)
+    val qr = qrels.select(col(queryCol).as("query_id"), col(idCol).as("id"))
+      .distinct()
+    val rel = qr.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val ret = res.groupBy("query_id").agg(count(lit(1)).as("n_ret"))
+    val hit = res.join(qr, Seq("query_id", "id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("hits"), min(col("__rank")).as("__first_rel"))
+    rel.join(ret, Seq("query_id"), "left")
+      .join(hit, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("n_ret"), lit(0L)).as("n_ret"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("__first_rel"))
+      // integral `div`, never floor(a/b) on doubles (the q_pack_budget
+      // boundary-misround lesson); n_rel >= 1 by construction (the query
+      // came from qrels) and __first_rel >= 1 when present
+      .selectExpr("query_id", "n_rel", "n_ret", "hits",
+        s"hits * CAST(1000000 AS BIGINT) div CAST($k AS BIGINT) AS precision_ppm",
+        "hits * CAST(1000000 AS BIGINT) div n_rel AS recall_ppm",
+        "CASE WHEN __first_rel IS NOT NULL THEN CAST(1000000 AS BIGINT) div __first_rel " +
+          "ELSE CAST(0 AS BIGINT) END AS rr_ppm")
+  }
+
   /** HYBRID retrieval: reciprocal-rank fusion (Cormack/Clarke/Büttcher,
     * SIGIR'09) of independently ranked lists — the standard way to merge a
     * lexical (BM25) and a dense (embedding-cosine) ranking without score

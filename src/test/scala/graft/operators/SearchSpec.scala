@@ -117,6 +117,43 @@ class SearchSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.indexDir")
   }
 
+  test("retrievalMetrics: exact ppm metrics, trec_eval conventions") {
+    // qA: 4 retrieved at <= k, relevant at ranks 2 and 4 (plus one judged
+    //     doc never retrieved); qB: retrieved but its only relevant doc
+    //     sits at rank 9 > k (filtered); qC: judged, never retrieved;
+    //     qX: retrieved, unjudged -> dropped from the output entirely
+    val results = Seq(
+      ("qA", 10L, 1L), ("qA", 11L, 2L), ("qA", 12L, 3L), ("qA", 13L, 4L),
+      ("qA", 14L, 5L), // rank 5 > k=4: filtered before any metric
+      ("qB", 20L, 1L), ("qB", 21L, 2L), ("qB", 22L, 3L), ("qB", 30L, 9L),
+      ("qX", 50L, 1L)).toDF("query_id", "id", "rank")
+    val qrels = Seq(
+      ("qA", 11L), ("qA", 11L), // duplicate pair counts once
+      ("qA", 13L), ("qA", 99L),
+      ("qB", 30L),
+      ("qC", 40L), ("qC", 41L)).toDF("query_id", "id")
+    val got = Search.retrievalMetrics(results, qrels, k = 4)
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      // hits=2 of n_rel=3: P@4 = 2e6 div 4, R = 2e6 div 3 (floor), RR = 1e6 div 2
+      ("qA", 3L, 4L, 2L, 500000L, 666666L, 500000L),
+      // the relevant doc was retrieved at rank 9 > k: scores zero
+      ("qB", 1L, 3L, 0L, 0L, 0L, 0L),
+      // judged but never retrieved: all-zero row, not a missing row
+      ("qC", 2L, 0L, 0L, 0L, 0L, 0L)))
+    // perfect run: every metric saturates at exactly 1e6
+    val perfect = Search.retrievalMetrics(
+      Seq(("q", 1L, 1L), ("q", 2L, 2L)).toDF("query_id", "id", "rank"),
+      Seq(("q", 1L), ("q", 2L)).toDF("query_id", "id"), k = 2)
+      .select("precision_ppm", "recall_ppm", "rr_ppm")
+      .as[(Long, Long, Long)].head()
+    assert(perfect == ((1000000L, 1000000L, 1000000L)))
+    intercept[IllegalArgumentException] {
+      Search.retrievalMetrics(results, qrels, k = 0)
+    }
+  }
+
   test("rrfFuse == driver-side RRF mirror; fixed association; absent ids score 0") {
     // three lists so association order matters in float addition
     val l0 = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
