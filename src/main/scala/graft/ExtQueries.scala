@@ -3493,6 +3493,46 @@ object ExtQueries {
       Some("""SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
              FROM documents GROUP BY 1""")),
 
+    // COUNT-MIN SKETCH algebra: per-(lang, doc_id%4) slice sketches of
+    // the token stream merged per lang, then point-frequency estimates
+    // for three present tokens and one absent one. depth=3 × width=64 is
+    // deliberately TIGHT (thousands of distinct tokens → real
+    // collisions), so this row gates the genuinely-approximate regime:
+    // the oracle recomputes the identical md5-bucket counter sums and
+    // row-wise min in DuckDB — estimate equality, not just bounds. The
+    // CMS invariant (never below truth) and exact merge algebra are
+    // spec-pinned; the frequency twin of the q_hll_merge row.
+    "q_cms" -> Q(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .withColumn("slice", col("doc_id") % 4)
+          .select(col("lang"), col("slice"),
+            explode(tokens(col("text"))).as("token"))
+        val slices = graft.operators.Profile.cmsSketch(
+          toks, col("token"), depth = 3, width = 64,
+          sliceCols = Seq("lang", "slice"))
+        val merged = graft.operators.Profile.cmsMerge(slices, Seq("lang"))
+        graft.operators.Profile.cmsEstimate(
+          merged, Seq("vector", "spark", "customer", "zzz_not_a_token"),
+          depth = 3, width = 64, sliceCols = Seq("lang"))
+      },
+      Some(s"""
+        WITH tok AS (SELECT lang, unnest($sqlTokens) AS token FROM documents),
+        cms AS (SELECT lang, r.i AS r,
+            CAST(('0x' || substring(md5(token || ':' || CAST(r.i AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS b,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM tok CROSS JOIN range(3) r(i) GROUP BY 1, 2, 3),
+        probe AS (SELECT p.item, r.i AS r,
+            CAST(('0x' || substring(md5(p.item || ':' || CAST(r.i AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS b
+          FROM (SELECT unnest(['vector', 'spark', 'customer', 'zzz_not_a_token']) AS item) p
+          CROSS JOIN range(3) r(i)),
+        langs AS (SELECT DISTINCT lang FROM cms),
+        j AS (SELECT l.lang, pr.item, pr.r, COALESCE(c.cnt, 0) AS cnt
+          FROM langs l CROSS JOIN probe pr
+          LEFT JOIN cms c ON c.lang = l.lang AND c.r = pr.r AND c.b = pr.b)
+        SELECT lang, item, CAST(min(cnt) AS BIGINT) AS est
+        FROM j GROUP BY 1, 2""")),
+
     // ORDERED-SHARD EXPORT invariants: shards written, read back, and
     // checked — every row present exactly once, and the shard key-ranges
     // pairwise disjoint in shard order (the contiguous-global-order

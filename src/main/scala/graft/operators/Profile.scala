@@ -198,6 +198,81 @@ object Profile {
       .drop("__m")
   }
 
+  /** The count-min bucket of `item` for hash row `r`: first 8 hex chars
+    * of md5("item:r") as a long, mod `width` — the repo's cross-engine
+    * hash convention ([[Sampling]] docstrings), so a DuckDB/any-engine
+    * mirror recomputes identical buckets from the same strings.
+    */
+  private def cmsBucket(item: Column, r: Column, width: Int): Column =
+    conv(substring(md5(concat(item.cast("string"), lit(":"),
+      r.cast("string"))), 1, 8), 16, 10).cast("long") % width
+
+  /** COUNT-MIN SKETCH of an item column, as a TABLE: one row per
+    * (slice…, hash row `r`, bucket `b`) with the summed hit count — at
+    * most `depth`·`width` rows per slice NO MATTER how many distinct
+    * items stream past (the frequency twin of [[distinctSketch]]'s HLL:
+    * Misra–Gries keeps the top-k identities, CMS answers point queries
+    * for ANY item, HLL counts the universe).
+    *
+    * Why a table and not an opaque binary blob: the sketch IS relational
+    * state — merging is `GROUP BY … SUM(cnt)` ([[cmsMerge]]), point
+    * queries are an equi-join ([[cmsEstimate]]), and any engine can
+    * recompute it from the md5 convention, which is what the battery's
+    * DuckDB oracle does. Aggregation state is bounded at depth·width
+    * counters per slice and map-side combine keeps the shuffle the same
+    * size, so the operator is one bounded-output exchange at any corpus
+    * scale.
+    *
+    * Estimates are classic CMS: never BELOW the true count, above it by
+    * at most ε·N with probability 1−δ for width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉
+    * (Cormode–Muthukrishnan '05). NULL items are skipped.
+    */
+  def cmsSketch(df: DataFrame, itemCol: Column, depth: Int, width: Int,
+                sliceCols: Seq[String] = Nil): DataFrame = {
+    require(depth >= 1 && width >= 1, "cmsSketch: depth and width must be >= 1")
+    val rows = (0 until depth).map { r =>
+      struct(lit(r).as("r"), cmsBucket(itemCol, lit(r), width).as("b"))
+    }
+    df.filter(itemCol.isNotNull)
+      .select(sliceCols.map(col) :+ explode(array(rows: _*)).as("__rb"): _*)
+      .select(sliceCols.map(col) :+ col("__rb.r") :+ col("__rb.b"): _*)
+      .groupBy((sliceCols :+ "r" :+ "b").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge [[cmsSketch]] tables built over disjoint slices (optionally
+    * re-grouped to a coarser key subset; `groupCols = Nil` for one global
+    * sketch): counters ADD, so the merge is exact sketch algebra — the
+    * merged sketch equals the sketch of the concatenated data, bit for
+    * bit. Same contract as [[mergeDistinctSketches]].
+    */
+  def cmsMerge(sketches: DataFrame, groupCols: Seq[String] = Nil): DataFrame =
+    sketches.groupBy((groupCols :+ "r" :+ "b").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-query frequency estimates for `items` against a [[cmsSketch]]
+    * table: per (slice…, item), the MIN over the `depth` hash rows of the
+    * matched bucket counters (a missing bucket row is an untouched
+    * counter = 0). Output: (slice…, item, est). The probe side is
+    * items·depth rows — the join is sketch-sized, never data-sized.
+    */
+  def cmsEstimate(sketch: DataFrame, items: Seq[String], depth: Int,
+                  width: Int, sliceCols: Seq[String] = Nil): DataFrame = {
+    require(items.nonEmpty, "cmsEstimate: no probe items")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val probe = items.toDF("item")
+      .withColumn("r", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("b", cmsBucket(col("item"), col("r"), width))
+    val joined =
+      if (sliceCols.isEmpty) probe.join(sketch, Seq("r", "b"), "left")
+      else probe
+        .crossJoin(sketch.select(sliceCols.map(col): _*).distinct())
+        .join(sketch, sliceCols ++ Seq("r", "b"), "left")
+    joined.groupBy((sliceCols :+ "item").map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   private def finish(one: DataFrame, names: Seq[String]): DataFrame = {
     val perCol = names.map { c =>
       struct(lit(c).as("column"),

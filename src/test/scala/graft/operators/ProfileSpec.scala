@@ -161,4 +161,67 @@ class ProfileSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
   }
+
+  // the sketch's md5-bucket convention, recomputed independently
+  private def cmsBucketRef(item: String, r: Int, width: Int): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$item:$r".getBytes("UTF-8"))
+    val hex = digest.take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % width
+  }
+
+  test("cmsSketch/cmsEstimate == driver mirror; never under-counts; merge is exact algebra") {
+    val depth = 3; val width = 8 // tiny width: collisions guaranteed
+    val items = Seq("a", "a", "a", "b", "b", "c", "d", "e", "f", "g")
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df = items.zipWithIndex
+      .map { case (it, i) => (i % 2, it) }.toDF("slice", "item")
+
+    // driver mirror of the whole sketch table
+    val counters = items.flatMap(it => (0 until depth).map(r =>
+        (r, cmsBucketRef(it, r, width))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sk = Profile.cmsSketch(df, col("item"), depth, width)
+    val got = sk.as[(Int, Long, Long)].collect()
+      .map { case (r, b, c) => ((r, b), c) }.toMap
+    assert(got == counters)
+
+    // estimates: exact min-over-rows mirror, and never below the truth
+    val probes = Seq("a", "b", "c", "g", "zzz")
+    val est = Profile.cmsEstimate(sk, probes, depth, width)
+      .as[(String, Long)].collect().toMap
+    val mirror = probes.map(it => it -> (0 until depth)
+      .map(r => counters.getOrElse((r, cmsBucketRef(it, r, width)), 0L))
+      .min).toMap
+    assert(est == mirror)
+    probes.foreach { it =>
+      assert(est(it) >= truth.getOrElse(it, 0L), s"under-count for $it")
+    }
+
+    // merge algebra: per-slice sketches summed == the direct sketch
+    val sliced = Profile.cmsSketch(df, col("item"), depth, width,
+      sliceCols = Seq("slice"))
+    val merged = Profile.cmsMerge(sliced)
+      .as[(Int, Long, Long)].collect().sorted.toSeq
+    assert(merged == sk.as[(Int, Long, Long)].collect().sorted.toSeq)
+    // and sliced estimates survive the re-grouped keys
+    val perSlice = Profile.cmsEstimate(sliced, Seq("a"), depth, width,
+      sliceCols = Seq("slice"))
+      .as[(Int, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(perSlice(0) + perSlice(1) >= truth("a"))
+
+    // NULL items are skipped, not hashed
+    val withNull = Seq(Some("x"), None, Some("x")).toDF("item")
+    val nullSk = Profile.cmsSketch(withNull, col("item"), depth, width)
+    assert(Profile.cmsEstimate(nullSk, Seq("x"), depth, width)
+      .as[(String, Long)].head()._2 >= 2L)
+    assert(nullSk.agg(sum("cnt")).as[Long].head() == depth * 2L)
+
+    intercept[IllegalArgumentException] {
+      Profile.cmsSketch(df, col("item"), 0, width)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.cmsEstimate(sk, Nil, depth, width)
+    }
+  }
 }
