@@ -1426,7 +1426,75 @@ object ExtQueries {
           q, cb, k = 10)
       },
       golden("q_ann_pq")),
+
+    // INT8 scalar quantization top-k: per-vector max-abs scaling to
+    // array<tinyint> (4× smaller scan than float32), integer dot-product
+    // ranking — exact 64-bit arithmetic, so unlike the float ANN rows the
+    // FULL pipeline (quantize + score + rank) recomputes bit-identically
+    // in plain SQL: no golden fixture, no committed artifact, the oracle
+    // rebuilds everything from the same fixed-order double arithmetic.
+    "q_ann_int8" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](emb.columns.indexOf("embedding"))
+        Similarity.int8TopK(
+          Similarity.int8TableFor(emb.filter(col("vec_id") =!= 0),
+            cacheKey = s"$dir/embeddings!int8", "vec_id", "embedding"),
+          q, k = 10)
+      },
+      Some(int8ScoreCtes + """
+        SELECT vec_id AS id, iscore FROM s
+        ORDER BY iscore DESC, vec_id LIMIT 10""")),
+
+    // The production int8 read: byte-scan shortlist (50) + exact cosine
+    // rerank of the final 10 over the stored float vectors — the PQ-rerank
+    // contract at the int8 rung. The oracle chains the integer shortlist
+    // CTEs into the exact q_sim_topk cosine formulation.
+    "q_ann_int8_rerank" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](emb.columns.indexOf("embedding"))
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        Similarity.int8TopKRerank(
+          Similarity.int8TableFor(corpus,
+            cacheKey = s"$dir/embeddings!int8", "vec_id", "embedding"),
+          corpus, "vec_id", "embedding", q, k = 10, shortlist = 50)
+      },
+      Some(int8ScoreCtes + """,
+        short AS (SELECT vec_id FROM s ORDER BY iscore DESC, vec_id LIMIT 50)
+        SELECT t.vec_id,
+          list_cosine_similarity(t.v,
+            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cos
+        FROM t JOIN short USING (vec_id)
+        ORDER BY cos DESC, t.vec_id LIMIT 10""")),
   )
+
+  /** Shared CTE chain for the int8 rows: quantize the query (vec_id = 0)
+    * and every corpus vector with the exact [[Similarity.quantizeInt8]]
+    * arithmetic (widen to double, `x·127/maxabs + 0.5`, floor; all-zero
+    * vector → all-zero codes), then the integer dot product per corpus
+    * vector — DuckDB zip-unnests the two BIGINT lists positionally.
+    */
+  // a def, not a val: pqQueries above interpolates this during object
+  // init, before a later-declared val would be assigned
+  private def int8ScoreCtes: String = """
+        WITH q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+        qm AS (SELECT v, list_max(list_transform(v, x -> abs(x))) AS m FROM q0),
+        qq AS (SELECT CASE WHEN m > 0
+            THEN list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT))
+            ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv FROM qm),
+        t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id <> 0),
+        tm AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM t),
+        tq AS (SELECT vec_id, CASE WHEN m > 0
+            THEN list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT))
+            ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS tv FROM tm),
+        s AS (SELECT vec_id, CAST(sum(a * b) AS BIGINT) AS iscore FROM
+               (SELECT vec_id, unnest(tv) AS a, unnest(qv) AS b
+                FROM tq CROSS JOIN qq) z
+             GROUP BY vec_id)"""
 
   /** The chained per-stage DuckDB oracle of `Curation.pretrainingPipeline`
     * (battery config: en / 0.3 / near-dup 0.5 / chunk 40/40 / pack 2000).

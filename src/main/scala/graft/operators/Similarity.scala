@@ -432,4 +432,103 @@ object Similarity {
       corpus.join(broadcast(sl), corpus(idCol) === col("__sl_id"), "left_semi"),
       idCol, vecCol, query, k)
   }
+
+  // --- Int8 scalar quantization -------------------------------------------
+
+  /** INT8 scalar quantization of an embedding column — the middle rung of
+    * the compression ladder (float32 → int8 → PQ): per-vector symmetric
+    * max-abs scaling, `q_i = floor(x_i · 127 / max|x| + 0.5)`, stored as
+    * `array<tinyint>`. 4× smaller than float32 on disk AND in the scan —
+    * at 100 TB of embeddings that is the difference between a table that
+    * fits the cluster's page cache and one that doesn't — while keeping
+    * per-dimension structure PQ throws away (no codebook to fit, no drift
+    * when the corpus distribution shifts).
+    *
+    * Everything here is deterministic double arithmetic in a fixed
+    * operation order (widen float→double, then `x·127/maxabs + 0.5`,
+    * floor), so an independent engine recomputes identical codes — the
+    * battery's DuckDB oracle rebuilds the whole quantize+score pipeline.
+    * The all-zero vector quantizes to all zeros (no 0/0).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxabs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val qv = when(maxabs > lit(0.0),
+        transform(col(vecCol), x =>
+          floor(x.cast("double") * lit(127.0) / maxabs + lit(0.5))
+            .cast("tinyint")))
+      .otherwise(transform(col(vecCol), _ => lit(0).cast("tinyint")))
+    df.select(col(idCol).as("id"), qv.as("qvec"))
+  }
+
+  /** The SAME quantization applied driver-side to the query vector —
+    * bit-identical to [[quantizeInt8]]'s column arithmetic (same widen,
+    * same multiply/divide/add order, same floor).
+    */
+  private[graft] def quantizeQueryInt8(query: Seq[Float]): Array[Int] = {
+    var m = 0.0
+    query.foreach { f => val a = math.abs(f.toDouble); if (a > m) m = a }
+    if (m == 0.0) Array.fill(query.length)(0)
+    else query.map(f => math.floor(f.toDouble * 127.0 / m + 0.5).toInt).toArray
+  }
+
+  private val int8Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** [[quantizeInt8]] memoized to its persisted parquet layout — built
+    * once per (JVM, cacheKey), the offline-index contract of
+    * [[pqEncodedFor]]: the production job writes the byte table, queries
+    * only ever read it.
+    */
+  def int8TableFor(df: => DataFrame, cacheKey: String, idCol: String,
+                   vecCol: String): DataFrame = {
+    val fullKey = s"$cacheKey|id=$idCol|vec=$vecCol|int8"
+    int8Cache.computeIfAbsent(fullKey, _ => {
+      val q = quantizeInt8(df, idCol, vecCol)
+      val path = IndexRoot.path(q.sparkSession, "int8", fullKey)
+      q.write.mode("overwrite").parquet(path)
+      q.sparkSession.read.parquet(path)
+    })
+  }
+
+  /** Approximate top-k over the int8 table by INTEGER dot product of the
+    * quantized vectors — exact 64-bit arithmetic (≤ 127²·dim per pair,
+    * nowhere near overflow), so the ranking is bit-deterministic on any
+    * engine; ties break on ascending id. The scan is bytes-only (narrow
+    * columnar read, codegen'd zip_with/aggregate), plans as
+    * scan → TakeOrdered — no join, no shuffle.
+    *
+    * What the integer score MEANS: with per-vector max-abs scales the
+    * quantized dot ranks L∞-normalized similarity — close to cosine order
+    * for similarly-scaled embeddings but not identical, and the scales
+    * cancel out of no equation. This tier is therefore a SHORTLIST
+    * generator: serve reads go through [[int8TopKRerank]], which fixes
+    * the final order with exact cosine over `shortlist` full vectors
+    * (recall set by the shortlist size — the PQ-rerank contract).
+    */
+  def int8TopK(quantized: DataFrame, query: Seq[Float], k: Int): DataFrame = {
+    require(query.nonEmpty, "int8TopK: empty query vector")
+    val q = quantizeQueryInt8(query)
+    val score = aggregate(
+      zip_with(col("qvec"), typedLit(q.toSeq),
+        (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    quantized.select(col("id"), score.as("iscore"))
+      .orderBy(col("iscore").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Int8 shortlist + exact cosine rerank — the production int8 query
+    * shape (see [[int8TopK]] for why the integer order alone is not the
+    * final order): the byte scan ranks the corpus, the top-`shortlist`
+    * ids broadcast back against the stored float vectors, exact cosine
+    * re-ranks the final `k`.
+    */
+  def int8TopKRerank(quantized: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, query: Seq[Float], k: Int,
+                     shortlist: Int = 100): DataFrame = {
+    val sl = int8TopK(quantized, query, shortlist).select(col("id").as("__sl_id"))
+    bruteForceTopK(
+      corpus.join(broadcast(sl), corpus(idCol) === col("__sl_id"), "left_semi"),
+      idCol, vecCol, query, k)
+  }
 }

@@ -140,6 +140,56 @@ class AnnRecallSpec extends SparkSpec {
     encoded.unpersist()
   }
 
+  test("int8 quantization: driver-mirror codes, integer top-k mirror, rerank recall") {
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val qt = Similarity.quantizeInt8(corpus, "vec_id", "embedding")
+    // every code equals the driver-side mirror of the same arithmetic
+    val rows = corpus.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val mirror = rows.map { case (id, v) =>
+      id -> Similarity.quantizeQueryInt8(v).toSeq
+    }.toMap
+    val got = qt.as[(Long, Seq[Byte])].collect().toMap
+    assert(got.size == mirror.size)
+    mirror.foreach { case (id, qv) =>
+      assert(got(id).map(_.toInt) == qv, s"codes differ for vec $id")
+    }
+    // geometry edges: the max-abs component lands on ±127 exactly,
+    // half-up rounding at .5, the all-zero vector quantizes to zeros
+    val synth = Seq((1L, Seq(2.0f, -2.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "vec")
+    val sq = Similarity.quantizeInt8(synth, "id", "vec")
+      .as[(Long, Seq[Byte])].collect().toMap
+    assert(sq(1L) == Seq[Byte](127, -127, 64, 0))
+    assert(sq(2L) == Seq[Byte](0, 0, 0, 0))
+    // int8TopK == the integer dot-product mirror, ties on ascending id
+    val q = queryVec(0L)
+    val qq = Similarity.quantizeQueryInt8(q)
+    val expectTop = mirror.toSeq.map { case (id, tv) =>
+      (id, tv.zip(qq).map { case (a, b) => a.toLong * b.toLong }.sum)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    val gotTop = Similarity.int8TopK(qt, q, 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(gotTop == expectTop)
+    // byte scan plans as scan -> TakeOrdered: no join, no shuffle
+    val plan = Similarity.int8TopK(qt, q, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Exchange"), plan)
+    // rerank recall vs exact cosine (averaged over 5 queries)
+    val recalls = (0L to 4L).map { qid =>
+      val qv = queryVec(qid)
+      val rest = emb.filter(col("vec_id") =!= qid)
+      val restQ = Similarity.quantizeInt8(rest, "vec_id", "embedding")
+      val exact = topIds(Similarity.bruteForceTopK(rest, "vec_id", "embedding", qv, 10))
+      val approx = topIds(Similarity.int8TopKRerank(
+        restQ, rest, "vec_id", "embedding", qv, k = 10, shortlist = 50))
+      exact.intersect(approx).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"int8TopKRerank mean recall@10 (shortlist=50/500) = $mean%.2f")
+    assert(mean >= 0.7, f"int8 rerank recall collapsed: $mean%.2f")
+  }
+
   test("embeddingPairsLsh pair recall vs exact pairs at the battery parameters") {
     val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.45)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
