@@ -1299,6 +1299,41 @@ object ExtQueries {
                  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cos
              FROM embeddings WHERE vec_id <> 0
              ORDER BY cos DESC, vec_id LIMIT 10""")),
+
+    // The same probe served from the STREAMING-MAINTAINED IVF index
+    // (AnnStreams — the ANN twin of q_bm25_stream): the corpus arrives as
+    // three micro-batch deltas, each assigned to the FIXED committed
+    // centroids by the exact nearest-centroid expression and appended as
+    // a (__batch_id, __cluster)-partitioned delta; the probe scans only
+    // the nprobe nearest clusters' partitions across all batches. Shares
+    // q_ann_ivf's golden fixture: the loop's expression assignment
+    // reproduces the committed k-means assignment exactly
+    // (AnnStreamsSpec pins 499/499, no ties), so the delta-served top-10
+    // must be bit-equal to the offline probe.
+    "q_ann_ivf_stream" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](emb.columns.indexOf("embedding"))
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val centroids =
+          if (dir.endsWith("sf0.01"))
+            Similarity.loadIvf(s,
+              "/root/repo/src/test/resources/golden/ivf_index").centroids
+          else Similarity.ivfIndexFor(corpus,
+            cacheKey = s"$dir/embeddings!vec_id!16", "vec_id", "embedding",
+            nClusters = 16).centroids
+        val base = java.nio.file.Files.createTempDirectory("graft_anns").toString
+        val path = s"$base/assigned"
+        (0 until 3).foreach { i =>
+          graft.streaming.AnnStreams.processIvfBatch(
+            corpus.filter(col("vec_id") % 3 === i), i.toLong,
+            "vec_id", "embedding", centroids, path)
+        }
+        graft.streaming.AnnStreams.ivfTopKStreamed(s, path, centroids,
+          "vec_id", "embedding", q, k = 10, nprobe = 4)
+      },
+      golden("q_ann_ivf")),
   )
 
   private val knnQueries: Seq[(String, Q)] = Seq(
@@ -1469,6 +1504,67 @@ object ExtQueries {
             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cos
         FROM t JOIN short USING (vec_id)
         ORDER BY cos DESC, t.vec_id LIMIT 10""")),
+
+    // COMPOSED IVF-PQ — the billion-scale production tier (FAISS
+    // IndexIVFPQ shape): PQ codes stored INSIDE the cluster-partitioned
+    // IVF layout, so a probe reads nprobe/nlist of the corpus at m bytes
+    // per vector — both pruning axes at once. At the gate SF both parents
+    // are the COMMITTED fixtures (seeded k-means fits are the
+    // non-replayable steps), and the golden driver-loop recomputation
+    // re-derives probe set + per-candidate encode + ADC ranking over
+    // those same artifacts; at bench SFs index/codebook/codes all build
+    // once per JVM via the memoized offline paths.
+    "q_ann_ivfpq" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](emb.columns.indexOf("embedding"))
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val (idx, cb, tag) =
+          if (dir.endsWith("sf0.01"))
+            (Similarity.loadIvf(s, "/root/repo/src/test/resources/golden/ivf_index"),
+             Similarity.loadPqCodebook(s,
+               "/root/repo/src/test/resources/golden/pq_codebook"), "fix")
+          else
+            (Similarity.ivfIndexFor(corpus,
+               cacheKey = s"$dir/embeddings!vec_id!16", "vec_id", "embedding",
+               nClusters = 16),
+             Similarity.pqCodebookFor(corpus,
+               cacheKey = s"$dir/embeddings!pq!8!16", "embedding"), "built")
+        val codes = Similarity.ivfPqEncodedFor(idx, cb,
+          cacheKey = s"$dir/embeddings!ivfpq!$tag", "vec_id", "embedding")
+        Similarity.ivfPqTopK(idx.centroids, codes, q, cb, k = 10, nprobe = 4)
+      },
+      golden("q_ann_ivfpq")),
+
+    // IVF-PQ shortlist + exact float rerank — the full production query:
+    // pruned byte scan ranks 50 candidates from codes alone, exact cosine
+    // re-ranks the final 10 over the stored vectors (the int8/PQ rerank
+    // contract at the composed tier). Same committed artifacts; the
+    // golden recomputation reranks the same driver-derived shortlist.
+    "q_ann_ivfpq_rerank" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](emb.columns.indexOf("embedding"))
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val (idx, cb, tag) =
+          if (dir.endsWith("sf0.01"))
+            (Similarity.loadIvf(s, "/root/repo/src/test/resources/golden/ivf_index"),
+             Similarity.loadPqCodebook(s,
+               "/root/repo/src/test/resources/golden/pq_codebook"), "fix")
+          else
+            (Similarity.ivfIndexFor(corpus,
+               cacheKey = s"$dir/embeddings!vec_id!16", "vec_id", "embedding",
+               nClusters = 16),
+             Similarity.pqCodebookFor(corpus,
+               cacheKey = s"$dir/embeddings!pq!8!16", "embedding"), "built")
+        val codes = Similarity.ivfPqEncodedFor(idx, cb,
+          cacheKey = s"$dir/embeddings!ivfpq!$tag", "vec_id", "embedding")
+        Similarity.ivfPqTopKRerank(idx.centroids, codes, corpus,
+          "vec_id", "embedding", q, cb, k = 10, nprobe = 4, shortlist = 50)
+      },
+      golden("q_ann_ivfpq_rerank")),
   )
 
   /** Shared CTE chain for the int8 rows: quantize the query (vec_id = 0)
@@ -3600,6 +3696,37 @@ object ExtQueries {
           LEFT JOIN cms c ON c.lang = l.lang AND c.r = pr.r AND c.b = pr.b)
         SELECT lang, item, CAST(min(cnt) AS BIGINT) AS est
         FROM j GROUP BY 1, 2""")),
+
+    // CATEGORICAL DRIFT between two corpus slices (the snapshot-over-
+    // snapshot monitor): per-category counts, ppm-quantized shares
+    // (cnt·1e6 div total — BIGINT end to end, the cleared-denominator
+    // discipline) and the absolute share delta; the battery slices the
+    // documents table into a doc_id%3 "old crawl" vs the rest and drifts
+    // the source mix. Both engines compute identical floored integers —
+    // the table is bit-reproducible by construction.
+    "q_drift" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.operators.Profile.categoricalDrift(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0),
+          col("source"))
+      },
+      Some("""
+        WITH a AS (SELECT source AS category, CAST(count(*) AS BIGINT) AS c
+                   FROM documents WHERE doc_id % 3 = 0 GROUP BY 1),
+        b AS (SELECT source AS category, CAST(count(*) AS BIGINT) AS c
+              FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1),
+        ta AS (SELECT sum(c) AS t FROM a), tb AS (SELECT sum(c) AS t FROM b)
+        SELECT COALESCE(a.category, b.category) AS category,
+          COALESCE(a.c, CAST(0 AS BIGINT)) AS cnt_a,
+          COALESCE(b.c, CAST(0 AS BIGINT)) AS cnt_b,
+          CAST(COALESCE(a.c, 0) * 1000000 // ta.t AS BIGINT) AS share_a_ppm,
+          CAST(COALESCE(b.c, 0) * 1000000 // tb.t AS BIGINT) AS share_b_ppm,
+          CAST(abs(COALESCE(a.c, 0) * 1000000 // ta.t
+                 - COALESCE(b.c, 0) * 1000000 // tb.t) AS BIGINT) AS diff_ppm
+        FROM a FULL OUTER JOIN b ON a.category IS NOT DISTINCT FROM b.category
+        CROSS JOIN ta CROSS JOIN tb""")),
 
     // ORDERED-SHARD EXPORT invariants: shards written, read back, and
     // checked — every row present exactly once, and the shard key-ranges

@@ -273,6 +273,61 @@ object Profile {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** CATEGORICAL DRIFT between two corpus slices — the snapshot-over-
+    * snapshot monitor (language mix between two crawls, source mix
+    * between two training blends): per category, both counts and both
+    * shares, plus the absolute share delta. The headline scalar is
+    * [[totalVariationPpm]].
+    *
+    * Shares quantize to EXACT integer ppm FIRST (`cnt·10⁶ div total`,
+    * BIGINT floor-division — the [[graft.operators.Search.retrievalMetrics]]
+    * cleared-denominator discipline), and the delta is a difference of
+    * those quantized shares. This is a deliberate definition, not an
+    * approximation trade: it keeps every intermediate in BIGINT (safe to
+    * ~9.2·10¹² rows per slice — `cnt·10⁶ < 2⁶³`; no decimal-division
+    * rounding rules to reconcile across engines), costs at most 1 ppm
+    * per category vs the rational value, and makes the whole table
+    * bit-reproducible on any engine — a drift dashboard diffed across
+    * reruns must never flicker in the last digit.
+    *
+    * Categories present in only one slice get share 0 on the missing
+    * side (full outer join); a NULL category is a real category (both
+    * engines' GROUP BY keep it). Plan shape: two count aggregates
+    * (map-side combined, output = |categories|), a categories-sized
+    * full-outer join, and two 1-row total broadcasts — nothing here
+    * scales with rows beyond the two scans.
+    */
+  def categoricalDrift(a: DataFrame, b: DataFrame, catCol: Column): DataFrame = {
+    val ca = a.groupBy(catCol.as("category")).agg(count(lit(1)).as("cnt_a"))
+    val cb = b.groupBy(catCol.as("category")).agg(count(lit(1)).as("cnt_b"))
+    val ta = ca.agg(sum(col("cnt_a")).as("__ta"))
+    val tb = cb.agg(sum(col("cnt_b")).as("__tb"))
+    val cbR = cb.withColumnRenamed("category", "__cat_b")
+    ca.join(cbR, col("category") <=> col("__cat_b"), "full_outer")
+      .select(coalesce(col("category"), col("__cat_b")).as("category"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .crossJoin(ta).crossJoin(tb)
+      .withColumn("share_a_ppm",
+        when(col("__ta").isNull, lit(0L))
+          .otherwise(expr("cnt_a * 1000000 div __ta")))
+      .withColumn("share_b_ppm",
+        when(col("__tb").isNull, lit(0L))
+          .otherwise(expr("cnt_b * 1000000 div __tb")))
+      .withColumn("diff_ppm", abs(col("share_a_ppm") - col("share_b_ppm")))
+      .drop("__ta", "__tb")
+  }
+
+  /** The drift headline: total-variation distance over the ppm-quantized
+    * shares, `Σ|share_a − share_b| div 2` — 0 = identical mixes,
+    * 1 000 000 = disjoint supports. One row; alert when it crosses the
+    * rebalance/re-fit threshold (e.g. the IVF re-fit decision that
+    * [[graft.streaming.AnnStreams.ivfOccupancy]] feeds).
+    */
+  def totalVariationPpm(a: DataFrame, b: DataFrame, catCol: Column): DataFrame =
+    categoricalDrift(a, b, catCol)
+      .agg(expr("sum(diff_ppm) div 2").as("tvd_ppm"))
+
   private def finish(one: DataFrame, names: Seq[String]): DataFrame = {
     val perCol = names.map { c =>
       struct(lit(c).as("column"),

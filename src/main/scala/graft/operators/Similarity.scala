@@ -395,7 +395,18 @@ object Similarity {
     * TakeOrdered, no join, no shuffle, no per-candidate float math.
     */
   def pqTopK(encoded: DataFrame, query: Seq[Float], cb: PqCodebook,
-             k: Int): DataFrame = {
+             k: Int): DataFrame =
+    encoded.select(col("id"), adcDist(query, cb).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("id"))
+      .limit(k)
+
+  /** The ADC distance COLUMN against a `code` array column: the query's
+    * `m × k` exact sub-distance table computes once on the driver and
+    * embeds as literals; each row then costs `m` array lookups. Shared by
+    * [[pqTopK]] (whole-table scan) and [[ivfPqTopK]] (pruned scan) —
+    * identical arithmetic, so the two tiers' scores are comparable.
+    */
+  private def adcDist(query: Seq[Float], cb: PqCodebook): Column = {
     val table: Array[Array[Double]] = Array.tabulate(cb.m) { s =>
       cb.centroids(s).map { c =>
         var d = 0.0
@@ -408,12 +419,9 @@ object Similarity {
         d
       }
     }
-    val dist = (0 until cb.m).map { s =>
+    (0 until cb.m).map { s =>
       element_at(typedLit(table(s).toSeq), col("code").getItem(s) + 1)
     }.reduce(_ + _)
-    encoded.select(col("id"), dist.as("adc_dist"))
-      .orderBy(col("adc_dist").asc, col("id"))
-      .limit(k)
   }
 
   /** PQ SHORTLIST + EXACT RERANK — the production PQ query shape: ADC
@@ -428,6 +436,85 @@ object Similarity {
                    vecCol: String, query: Seq[Float], cb: PqCodebook,
                    k: Int, shortlist: Int = 100): DataFrame = {
     val sl = pqTopK(encoded, query, cb, shortlist).select(col("id").as("__sl_id"))
+    bruteForceTopK(
+      corpus.join(broadcast(sl), corpus(idCol) === col("__sl_id"), "left_semi"),
+      idCol, vecCol, query, k)
+  }
+
+  // --- IVF-PQ: the composed billion-scale tier ------------------------------
+
+  private val ivfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The COMPOSED IVF-PQ artifact — `(id, code)` partitioned by
+    * `__cluster`: PQ codes living inside the IVF layout, the FAISS
+    * `IndexIVFPQ` shape and the one that actually runs at 10⁹–10¹¹
+    * vectors. IVF alone still scans full float vectors in the probed
+    * clusters (dim·4 B each); PQ alone still scans EVERY code. Composed,
+    * a probe reads `nprobe/nlist` of the corpus at `m` bytes per vector —
+    * both pruning axes at once, and the only layout where a 100 TB float
+    * corpus becomes a few-GB pruned byte scan.
+    *
+    * Built once per (JVM, cacheKey) from an [[IvfIndex]]'s assigned table
+    * + a fitted [[PqCodebook]], persisted under [[IndexRoot]] like its
+    * parents; the production index job writes this table, queries only
+    * read it. Cluster-partitioned on disk ⇒ the probe's `isin` filter
+    * prunes partitions at the source.
+    */
+  def ivfPqEncodedFor(index: => IvfIndex, cb: => PqCodebook, cacheKey: String,
+                      idCol: String, vecCol: String): DataFrame = {
+    lazy val codebook = cb
+    val fullKey = s"$cacheKey|id=$idCol|vec=$vecCol|ivfpq"
+    ivfPqCache.computeIfAbsent(fullKey, _ => {
+      val enc = index.assigned.select(col(idCol).as("id"),
+        pqEncode(col(vecCol), codebook).as("code"), col("__cluster"))
+      val path = IndexRoot.path(enc.sparkSession, "ivfpq", fullKey)
+      enc.write.mode("overwrite").partitionBy("__cluster").parquet(path)
+      enc.sparkSession.read.parquet(path)
+    })
+  }
+
+  /** IVF-PQ approximate top-k: rank the coarse centroids driver-side,
+    * prune the code table to the `nprobe` nearest clusters (partition
+    * pruning — the scan never touches the other `nlist − nprobe`
+    * partitions), then ADC-rank the surviving codes with the shared
+    * [[adcDist]] lookup column. No join, no shuffle: one pruned
+    * narrow scan + TakeOrdered, `m` bytes per candidate.
+    *
+    * Probe selection is L2-to-centroid (the [[ivfTopK]] rule) and the ADC
+    * order is (dist asc, id) — both deterministic given the committed
+    * index + codebook, which is what lets the battery gate this against
+    * a golden driver-loop recomputation.
+    */
+  def ivfPqTopK(centroids: Array[Array[Double]], codes: DataFrame,
+                query: Seq[Float], cb: PqCodebook, k: Int,
+                nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1, "ivfPqTopK: nprobe must be >= 1")
+    def l2(c: Array[Double]): Double =
+      math.sqrt(c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val probe = centroids.zipWithIndex
+      .sortBy { case (c, _) => l2(c) }
+      .take(nprobe).map(_._2)
+    codes.filter(col("__cluster").isin(probe: _*))
+      .select(col("id"), adcDist(query, cb).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("id"))
+      .limit(k)
+  }
+
+  /** IVF-PQ shortlist + exact float rerank — the full production query:
+    * pruned byte scan ranks `shortlist` candidates from codes alone,
+    * the shortlist ids semi-join back to the stored float vectors
+    * (broadcast — a shortlist is hundreds of rows), and exact cosine
+    * picks the final `k`. Recall is governed by (nprobe, shortlist);
+    * the code coarseness only shapes the shortlist, never the final
+    * scores.
+    */
+  def ivfPqTopKRerank(centroids: Array[Array[Double]], codes: DataFrame,
+                      corpus: DataFrame, idCol: String, vecCol: String,
+                      query: Seq[Float], cb: PqCodebook, k: Int,
+                      nprobe: Int = 2, shortlist: Int = 100): DataFrame = {
+    val sl = ivfPqTopK(centroids, codes, query, cb, shortlist, nprobe)
+      .select(col("id").as("__sl_id"))
     bruteForceTopK(
       corpus.join(broadcast(sl), corpus(idCol) === col("__sl_id"), "left_semi"),
       idCol, vecCol, query, k)

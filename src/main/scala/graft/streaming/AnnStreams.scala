@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming IVF INDEX MAINTENANCE — the ANN twin of
+  * [[SearchStreams]]'s BM25 loop, completing the serving-maintenance
+  * tier across both retrieval legs: each micro-batch of (curated,
+  * deduped) vectors is assigned to its nearest COMMITTED coarse
+  * centroid and appended to a grow-only cluster-partitioned assigned
+  * table; probes serve from the growing path with the same
+  * partition-pruned scan as the offline [[graft.operators.Similarity.ivfTopK]].
+  *
+  * THE CENTROIDS ARE FIXED for the life of the index — the k-means fit
+  * is the offline, non-replayable step ([[graft.operators.Similarity.ivfIndexFor]]);
+  * re-fitting per batch would silently re-home every previously
+  * published vector (their stored `__cluster` would be stale), exactly
+  * the orphaned-codes hazard the embedding-dedup loop documents for its
+  * fixed LSH tuning. Re-index to re-fit. Centroid DRIFT is therefore a
+  * monitored condition, not a mutation: [[ivfOccupancy]] reports
+  * per-cluster / per-batch growth so an operator can see new data
+  * crowding into few clusters (the probe-cost failure mode) and decide
+  * to re-fit offline.
+  *
+  * CONTRACT (same as the BM25 loop): ids unique across batches — feed
+  * from the dedup loop's lake. Same-batch retries are safe: assignment
+  * is deterministic given the fixed centroids, so a retry rewrites
+  * exactly its own `(__batch_id, __cluster)` partitions. Assigned rows
+  * are NOT duplicate-tolerant (a doubled row is a doubled top-k
+  * candidate), so compaction is the marker-guarded
+  * [[SearchStreams.compactGuarded]], not the dedup loops'
+  * write-then-delete [[DocumentStreams.compactIndex]].
+  */
+object AnnStreams {
+
+  /** Nearest-committed-centroid assignment as a COLUMN: squared-L2
+    * against each centroid (exact double arithmetic, subspace-free twin
+    * of [[graft.operators.Similarity.pqEncode]]), first minimum wins.
+    * Pure built-in higher-order functions — codegen'd, embarrassingly
+    * parallel, no shuffle, no UDF. Deterministic given the centroids, so
+    * retries and independent engines reproduce identical assignments
+    * (the battery row's oracle argument).
+    */
+  def assignCluster(vec: Column, centroids: Array[Array[Double]]): Column = {
+    require(centroids.nonEmpty, "assignCluster: empty centroid set")
+    val dists = array(centroids.map { c =>
+      aggregate(
+        zip_with(vec.cast("array<double>"), typedLit(c.toSeq),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    }: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Wire a streaming vector source into the IVF maintenance loop.
+    * `assignedPath` is the loop-owned grow-only parquet, partitioned by
+    * `(__batch_id, __cluster)` so probes prune BOTH axes at the source:
+    * a query reads `nprobe` cluster sub-directories of each batch
+    * partition and nothing else.
+    */
+  def ingestIvf(newVecs: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[Array[Double]],
+                assignedPath: String): DataStreamWriter[Row] =
+    newVecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processIvfBatch(batch, batchId, idCol, vecCol, centroids, assignedPath)
+    }
+
+  /** One micro-batch: assign against the fixed centroids, append the
+    * batch's `(id, vec, __cluster)` delta. NULL vectors are skipped
+    * (nothing to index — this loop serves retrieval; the DOCUMENT
+    * record already flowed through its own lake).
+    */
+  private[graft] def processIvfBatch(batch: DataFrame, batchId: Long,
+                                     idCol: String, vecCol: String,
+                                     centroids: Array[Array[Double]],
+                                     assignedPath: String): Unit = {
+    val assigned = batch
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol),
+        assignCluster(col(vecCol), centroids).as("__cluster"))
+    assigned.withColumn("__batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id", "__cluster").parquet(assignedPath)
+  }
+
+  /** Serve an ANN probe from the growing assigned path: rank the fixed
+    * centroids driver-side (the [[graft.operators.Similarity.ivfTopK]] L2 rule),
+    * scan ONLY the `nprobe` nearest clusters' partitions across all
+    * published batches, exact cosine top-k over the survivors. The scan
+    * cost tracks `nprobe/nlist` of the published corpus regardless of
+    * how many batches have run; run [[compactIvf]] periodically to keep
+    * the partition-directory count bounded.
+    */
+  def ivfTopKStreamed(spark: SparkSession, assignedPath: String,
+                      centroids: Array[Array[Double]],
+                      idCol: String, vecCol: String,
+                      query: Seq[Float], k: Int, nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1, "ivfTopKStreamed: nprobe must be >= 1")
+    def l2(c: Array[Double]): Double =
+      math.sqrt(c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val probe = centroids.zipWithIndex
+      .sortBy { case (c, _) => l2(c) }
+      .take(nprobe).map(_._2)
+    val candidates = spark.read.parquet(assignedPath)
+      .filter(col("__cluster").isin(probe: _*))
+      .select(col(idCol), col(vecCol))
+    graft.operators.Similarity.bruteForceTopK(candidates, idCol, vecCol, query, k)
+  }
+
+  /** Per-(batch, cluster) occupancy — the DRIFT MONITOR for the fixed
+    * centroids: when recent batches' rows crowd into few clusters, new
+    * data has drifted off the committed fit and probes of it degrade
+    * toward full scans (candidate lists bloat). Reading this table costs
+    * a metadata-sized aggregate (counts over partition-pruned scans);
+    * alert on max-share growth and re-fit OFFLINE when it trips.
+    */
+  def ivfOccupancy(spark: SparkSession, assignedPath: String): DataFrame =
+    spark.read.parquet(assignedPath)
+      .groupBy(col("__batch_id"), col("__cluster"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Marker-guarded compaction of the assigned path (see
+    * [[SearchStreams.compactGuarded]]): batch partitions `≤ uptoBatch`
+    * consolidate into the seed partition, PRESERVING the `__cluster`
+    * sub-partitioning that probe pruning depends on. Call between
+    * batches with `uptoBatch` strictly below any batch that may retry.
+    */
+  def compactIvf(spark: SparkSession, assignedPath: String,
+                 uptoBatch: Long, targetFiles: Int = 8): Unit =
+    SearchStreams.compactGuarded(spark, assignedPath, uptoBatch, targetFiles,
+      extraPartitionBy = Seq("__cluster"))(identity)
+}

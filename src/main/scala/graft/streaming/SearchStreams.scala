@@ -131,10 +131,15 @@ object SearchStreams {
     * a tmp dir, record the range in `_COMPACTING_UPTO`, overwrite the
     * seed partition, delete the originals, drop the marker. A re-run that
     * finds the marker completes the interrupted deletes instead of
-    * re-merging already-merged rows.
+    * re-merging already-merged rows. `extraPartitionBy` preserves
+    * sub-partitioning (e.g. the IVF layout's `__cluster`) through the
+    * seed rewrite — shared with [[AnnStreams.compactIvf]], whose assigned
+    * rows are equally NOT duplicate-tolerant (a doubled row is a doubled
+    * top-k candidate).
     */
-  private def compactGuarded(spark: SparkSession, path: String,
-                             uptoBatch: Long, targetFiles: Int)(
+  private[streaming] def compactGuarded(spark: SparkSession, path: String,
+                             uptoBatch: Long, targetFiles: Int,
+                             extraPartitionBy: Seq[String] = Nil)(
                              transform: DataFrame => DataFrame): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -155,7 +160,7 @@ object SearchStreams {
       // staging dir LAST, the marker after it
       spark.read.parquet(tmp.toString).withColumn("__batch_id", lit(-1L))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__batch_id").parquet(path)
+        .partitionBy("__batch_id" +: extraPartitionBy: _*).parquet(path)
       deleteRange(upto)
       fs.delete(tmp, true)
       fs.delete(marker, false)

@@ -190,6 +190,45 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.7, f"int8 rerank recall collapsed: $mean%.2f")
   }
 
+  test("ivfPqTopK: composed tier == PQ at nprobe=all, pruned plan, rerank recall") {
+    val idx = Similarity.ivfIndexFor(emb, cacheKey = "recall-spec-ivfpq-idx",
+      "vec_id", "embedding", nClusters = 16)
+    val cb = Similarity.pqCodebookFor(emb.select("embedding"),
+      cacheKey = "recall-spec-ivfpq-cb", "embedding", m = 8, k = 16)
+    val codes = Similarity.ivfPqEncodedFor(idx, cb,
+      cacheKey = "recall-spec-ivfpq", "vec_id", "embedding")
+    val q = queryVec(0L)
+    // nprobe = all clusters ⇒ the composed tier degenerates to exactly
+    // the whole-table ADC ranking — the cluster layout must not change
+    // a single score or tie-break
+    val allProbe = Similarity.ivfPqTopK(idx.centroids, codes, q, cb,
+        k = 10, nprobe = idx.centroids.length)
+      .as[(Long, Double)].collect().toSeq
+    val pqAll = Similarity.pqTopK(codes.select("id", "code"), q, cb, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(allProbe == pqAll)
+    // the probe plans as a PRUNED scan: cluster partition filter reaches
+    // the source, then TakeOrdered — no join, no shuffle
+    val pruned = Similarity.ivfPqTopK(idx.centroids, codes, q, cb, k = 10, nprobe = 4)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Exchange"), plan)
+    val optimized = pruned.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("__cluster"), optimized)
+    // production query: pruned byte scan shortlist + exact float rerank
+    val recalls = (0L to 4L).map { qid =>
+      val qv = queryVec(qid)
+      val exact = topIds(Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") =!= qid), "vec_id", "embedding", qv, 10))
+      val approx = topIds(Similarity.ivfPqTopKRerank(idx.centroids, codes,
+          emb, "vec_id", "embedding", qv, cb, k = 11, nprobe = 8, shortlist = 100)
+        .filter(col("vec_id") =!= qid).limit(10))
+      exact.intersect(approx).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"ivfPqTopKRerank mean recall@10 (nprobe=8/16, shortlist=100/500) = $mean%.2f")
+    assert(mean >= 0.6, f"IVF-PQ rerank recall collapsed: $mean%.2f")
+  }
+
   test("embeddingPairsLsh pair recall vs exact pairs at the battery parameters") {
     val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.45)
       .select("id1", "id2").as[(Long, Long)].collect().toSet

@@ -224,4 +224,38 @@ class ProfileSpec extends SparkSpec {
       Profile.cmsEstimate(sk, Nil, depth, width)
     }
   }
+
+  test("categoricalDrift: ppm-quantized shares, one-sided categories, NULL category, TVD") {
+    val a = Seq("x", "x", "x", "y").toDF("c")
+    val b = Seq("x", "y", "z", "z").toDF("c")
+    val drift = Profile.categoricalDrift(a, b, col("c"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(drift("x") == ("x", 3L, 1L, 750000L, 250000L, 500000L))
+    assert(drift("y") == ("y", 1L, 1L, 250000L, 250000L, 0L))
+    // z exists only in b: share 0 on the a side
+    assert(drift("z") == ("z", 0L, 2L, 0L, 500000L, 500000L))
+    assert(Profile.totalVariationPpm(a, b, col("c"))
+      .as[Long].head() == 500000L)
+    // identical mixes → 0; disjoint supports → 1_000_000
+    assert(Profile.totalVariationPpm(a, a, col("c")).as[Long].head() == 0L)
+    val w = Seq("p", "q").toDF("c")
+    assert(Profile.totalVariationPpm(a, w, col("c")).as[Long].head() == 1000000L)
+    // floor quantization: thirds floor to 333333 ppm each
+    val thirds = Seq("u", "v", "w").toDF("c")
+    val q = Profile.categoricalDrift(thirds, thirds, col("c"))
+      .select("share_a_ppm").as[Long].collect().toSeq
+    assert(q == Seq(333333L, 333333L, 333333L))
+    // NULL category is a real category on both sides
+    val withNull = Seq(Some("x"), None, None).toDF("c")
+    val nd = Profile.categoricalDrift(withNull, withNull, col("c"))
+      .as[(Option[String], Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._6).toMap
+    assert(nd(None) == 0L && nd(Some("x")) == 0L)
+    // empty side: the other side's categories all drift at full share
+    val empty = spark.emptyDataset[String].toDF("c")
+    val oneSided = Profile.categoricalDrift(a, empty, col("c"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(oneSided.forall(r => r._3 == 0L && r._5 == 0L && r._6 == r._4))
+  }
 }

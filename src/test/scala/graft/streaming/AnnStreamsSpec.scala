@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** The streaming IVF maintenance loop ([[AnnStreams]]): fixed-centroid
+  * assignment parity with the committed offline index (the battery row's
+  * bit-equality foundation), delta-served probes vs the offline probe,
+  * partition pruning in the serve plan, occupancy, and marker-guarded
+  * compaction preserving the cluster layout.
+  */
+class AnnStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+  private lazy val committed =
+    Similarity.loadIvf(spark, "src/test/resources/golden/ivf_index")
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("anns_spec").toString + "/assigned"
+
+  private def queryVec(id: Long): Seq[Float] =
+    emb.filter(col("vec_id") === id)
+      .head().getSeq[Float](emb.columns.indexOf("embedding"))
+
+  test("expression assignment reproduces the committed k-means assignment exactly") {
+    val path = tmp()
+    AnnStreams.processIvfBatch(emb.filter(col("vec_id") =!= 0), 0L,
+      "vec_id", "embedding", committed.centroids, path)
+    val streamed = spark.read.parquet(path)
+      .select(col("vec_id"), col("__cluster").cast("int").as("sc"))
+    val offline = committed.assigned
+      .select(col("vec_id"), col("__cluster").cast("int").as("oc"))
+    val joined = streamed.join(offline, "vec_id")
+    assert(joined.count() == 499)
+    assert(joined.filter(col("sc") =!= col("oc")).count() == 0,
+      "streamed assignment diverged from the committed index")
+  }
+
+  test("delta-served probe == offline ivfTopK, bit for bit, across 3 batches") {
+    val path = tmp()
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    (0 until 3).foreach { i =>
+      AnnStreams.processIvfBatch(corpus.filter(col("vec_id") % 3 === i),
+        i.toLong, "vec_id", "embedding", committed.centroids, path)
+    }
+    val q = queryVec(0L)
+    val served = AnnStreams.ivfTopKStreamed(spark, path, committed.centroids,
+        "vec_id", "embedding", q, k = 10, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    val offline = Similarity.ivfTopK(committed, "vec_id", "embedding",
+        q, k = 10, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(served == offline)
+    // the probe prunes cluster partitions at the source: the scan's
+    // partition filters carry __cluster, and nothing exchanges before
+    // the TakeOrdered
+    val plan = AnnStreams.ivfTopKStreamed(spark, path, committed.centroids,
+        "vec_id", "embedding", q, k = 10, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__cluster"), plan)
+    assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Exchange"), plan)
+  }
+
+  test("NULL vectors are skipped; retry rewrites its own partitions") {
+    val path = tmp()
+    val rows = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("id", "v")
+      .unionByName(Seq(3L).toDF("id").withColumn("v",
+        lit(null).cast("array<float>")))
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    AnnStreams.processIvfBatch(rows, 0L, "id", "v", cents, path)
+    assert(spark.read.parquet(path).count() == 2)
+    // same-batch retry: identical content, not duplicated
+    AnnStreams.processIvfBatch(rows, 0L, "id", "v", cents, path)
+    val after = spark.read.parquet(path)
+    assert(after.count() == 2)
+    assert(after.filter(col("id") === 1L).select(col("__cluster").cast("int"))
+      .head().getInt(0) == 0)
+  }
+
+  test("occupancy reports per-(batch, cluster) counts that sum to the published rows") {
+    val path = tmp()
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    (0 until 2).foreach { i =>
+      AnnStreams.processIvfBatch(corpus.filter(col("vec_id") % 2 === i),
+        i.toLong, "vec_id", "embedding", committed.centroids, path)
+    }
+    val occ = AnnStreams.ivfOccupancy(spark, path)
+    assert(occ.agg(sum("n")).head().getLong(0) == 499L)
+    assert(occ.select(col("__batch_id").cast("long")).distinct().count() == 2)
+    // every count matches a direct group-by over the raw path
+    val direct = spark.read.parquet(path)
+      .groupBy("__batch_id", "__cluster").count()
+    assert(occ.join(direct, Seq("__batch_id", "__cluster"))
+      .filter(col("n") =!= col("count")).count() == 0)
+  }
+
+  test("compactIvf consolidates into the seed, preserves clusters, serve unchanged") {
+    val path = tmp()
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    (0 until 3).foreach { i =>
+      AnnStreams.processIvfBatch(corpus.filter(col("vec_id") % 3 === i),
+        i.toLong, "vec_id", "embedding", committed.centroids, path)
+    }
+    val q = queryVec(0L)
+    val before = AnnStreams.ivfTopKStreamed(spark, path, committed.centroids,
+      "vec_id", "embedding", q, k = 10, nprobe = 4).as[(Long, Double)].collect().toSeq
+    AnnStreams.compactIvf(spark, path, uptoBatch = 1L, targetFiles = 2)
+    // batches 0 and 1 merged into the seed; batch 2 intact
+    val ids = spark.read.parquet(path)
+      .select(col("__batch_id").cast("long")).distinct()
+      .as[Long].collect().toSet
+    assert(ids == Set(-1L, 2L))
+    // the seed keeps the __cluster sub-partitioning (pruning survives)
+    val seedDirs = new java.io.File(path + "/__batch_id=-1").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(seedDirs.nonEmpty && seedDirs.forall(_.startsWith("__cluster=")), seedDirs.mkString(","))
+    assert(spark.read.parquet(path).count() == 499)
+    val after = AnnStreams.ivfTopKStreamed(spark, path, committed.centroids,
+      "vec_id", "embedding", q, k = 10, nprobe = 4).as[(Long, Double)].collect().toSeq
+    assert(after == before)
+  }
+}

@@ -543,6 +543,33 @@ object GoldenGen {
       .toSeq.sortBy { case (id, d) => (d, id) }.take(10)
     write(pqTop.toDF("id", "adc_dist"), "q_ann_pq")
 
+    // ---- q_ann_ivfpq(_rerank): composed IVF-PQ over the COMMITTED -------
+    // fixtures (ivf_index + pq_codebook — no new non-replayable step).
+    // Driver loops: nprobe=4 L2 centroid ranking (q_ann_ivf's probe set),
+    // candidates = assigned rows in probed clusters, each encoded with
+    // encodeOne over the committed codebook, ADC-ranked (dist asc, id).
+    // Rerank: ADC shortlist of 50 within the probed clusters, then exact
+    // cosine top-10 — both deterministic given the two committed artifacts.
+    val ivfPqCands = assignedBack.iterator
+      .filter { case (_, _, cl) => probe.contains(cl) }
+      .map { case (id, v, _) =>
+        val code = encodeOne(v)
+        var d = 0.0
+        var s = 0
+        while (s < cb.m) { d += adcTable(s)(code(s)); s += 1 }
+        (id, v, d)
+      }.toSeq
+    val ivfPqTop = ivfPqCands
+      .sortBy { case (id, _, d) => (d, id) }.take(10)
+      .map { case (id, _, d) => (id, d) }
+    write(ivfPqTop.toDF("id", "adc_dist"), "q_ann_ivfpq")
+    val ivfPqShort = ivfPqCands
+      .sortBy { case (id, _, d) => (d, id) }.take(50)
+    val ivfPqRerank = ivfPqShort
+      .map { case (id, v, _) => (id, cosine(qVec, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    write(ivfPqRerank.toDF("vec_id", "cos"), "q_ann_ivfpq_rerank")
+
     spark.stop()
   }
 }
