@@ -3728,6 +3728,54 @@ object ExtQueries {
         FROM a FULL OUTER JOIN b ON a.category IS NOT DISTINCT FROM b.category
         CROSS JOIN ta CROSS JOIN tb""")),
 
+    // NUMERIC drift: the same monitor for an integer metric column
+    // (document length) — slice A's exact equi-depth 8-quantile cut
+    // points (distinct-value prefix sums, BIGINT div) bucket BOTH
+    // slices, then the categorical machinery drifts the bucket mix.
+    // Reference-side cuts are the PSI convention: stable dashboard
+    // buckets while the new slice shifts. Both engines compute the same
+    // cuts and the same count-of-cuts-below-x bucket, so the table is
+    // bit-reproducible.
+    "q_drift_numeric" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.operators.Profile.numericDrift(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0),
+          col("n_chars"), k = 8)
+      },
+      Some("""
+        WITH cnt AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+                     FROM documents WHERE doc_id % 3 = 0 AND n_chars IS NOT NULL
+                     GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+        cum AS (SELECT v, CAST(COALESCE(sum(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+                FROM cnt),
+        bkt AS (SELECT v, LEAST(bef * 8 // n, 7) AS bk FROM cum CROSS JOIN tot),
+        cuts AS (SELECT bk, CAST(max(v) AS BIGINT) AS cut FROM bkt
+                 WHERE bk < 7 GROUP BY bk),
+        cutl AS (SELECT COALESCE(list(cut ORDER BY cut), []) AS cl FROM cuts),
+        ab AS (SELECT CASE WHEN n_chars IS NULL THEN NULL
+                 ELSE CAST(len(list_filter(cl, e -> e < n_chars)) AS BIGINT) END AS bucket
+               FROM documents CROSS JOIN cutl WHERE doc_id % 3 = 0),
+        bb AS (SELECT CASE WHEN n_chars IS NULL THEN NULL
+                 ELSE CAST(len(list_filter(cl, e -> e < n_chars)) AS BIGINT) END AS bucket
+               FROM documents CROSS JOIN cutl WHERE doc_id % 3 <> 0),
+        a2 AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM ab GROUP BY 1),
+        b2 AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM bb GROUP BY 1),
+        ta AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM a2),
+        tb AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM b2)
+        SELECT COALESCE(a2.bucket, b2.bucket) AS bucket,
+          COALESCE(a2.c, CAST(0 AS BIGINT)) AS cnt_a,
+          COALESCE(b2.c, CAST(0 AS BIGINT)) AS cnt_b,
+          CAST(COALESCE(a2.c, 0) * 1000000 // ta.t AS BIGINT) AS share_a_ppm,
+          CAST(COALESCE(b2.c, 0) * 1000000 // tb.t AS BIGINT) AS share_b_ppm,
+          CAST(abs(COALESCE(a2.c, 0) * 1000000 // ta.t
+                 - COALESCE(b2.c, 0) * 1000000 // tb.t) AS BIGINT) AS diff_ppm
+        FROM a2 FULL OUTER JOIN b2 ON a2.bucket IS NOT DISTINCT FROM b2.bucket
+        CROSS JOIN ta CROSS JOIN tb""")),
+
     // ORDERED-SHARD EXPORT invariants: shards written, read back, and
     // checked — every row present exactly once, and the shard key-ranges
     // pairwise disjoint in shard order (the contiguous-global-order

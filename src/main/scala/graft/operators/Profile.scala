@@ -328,6 +328,60 @@ object Profile {
     categoricalDrift(a, b, catCol)
       .agg(expr("sum(diff_ppm) div 2").as("tvd_ppm"))
 
+  /** NUMERIC drift between two corpus slices — [[categoricalDrift]] for
+    * an integer-valued metric column (document length, token count,
+    * quality score in fixed-point): slice `a` is the REFERENCE whose
+    * exact equi-depth k-quantile cut points define the buckets, both
+    * slices bucket against those same cuts, and the per-bucket table
+    * drifts. Reference-side cuts are the PSI convention: "how has the
+    * length distribution moved relative to LAST snapshot's quantiles" —
+    * and the only choice that keeps a dashboard's buckets stable while
+    * the new slice shifts.
+    *
+    * Cuts are exact, not sketched: distinct-value counts → the two-level
+    * distributed prefix sum ([[graft.operators.Chunking.withRunningTotal]]
+    * — no single task ever sorts the full input) → each distinct value's
+    * equi-depth bucket `⌊k·cumBefore/n⌋` (BIGINT div) → the k−1 upper
+    * bucket bounds. The ≤ k−1 cut points collect to the driver (the
+    * small-k centroid-load precedent) and bucket both sides as a
+    * codegen'd `size(filter(cuts, c < x))` — count of cuts strictly
+    * below x, identical arithmetic in the DuckDB mirror's
+    * `len(list_filter(...))`. Duplicate-heavy references can yield
+    * fewer than k distinct cuts; both sides compress identically, so
+    * the comparison stays exact. NULL metric values form their own
+    * bucket (NULL category, both engines' GROUP BY).
+    *
+    * Output: one row per bucket `(bucket, cnt_a, cnt_b, share_a_ppm,
+    * share_b_ppm, diff_ppm)`; `Σ diff div 2` is the numeric TVD.
+    */
+  def numericDrift(a: DataFrame, b: DataFrame, value: Column,
+                   k: Int): DataFrame = {
+    require(k >= 2, "numericDrift: need at least 2 buckets")
+    val av = a.select(value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val counts = av.groupBy("__v").agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c")).as("__n"))
+    // __v div 1024 is a monotone coarsening of the value order — the
+    // prefix sum's bucketing contract; quantization only affects balance
+    val cum = Chunking.withRunningTotal(counts,
+      expr("__v div 1024"), Seq(col("__v")), "__c")
+    val cuts: Seq[Long] = cum.crossJoin(total)
+      .withColumn("__bkt", least(expr(s"__before * $k div __n"), lit(k - 1L)))
+      .filter(col("__bkt") < (k - 1))
+      .groupBy("__bkt").agg(max(col("__v")).as("__cut"))
+      .select("__cut").collect().map(_.getLong(0)).sorted.toSeq
+    def bucketOf(c: Column): Column = {
+      val x = c.cast("long")
+      when(x.isNull, lit(null).cast("long"))
+        .otherwise(size(filter(typedLit(cuts), e => e < x)).cast("long"))
+    }
+    categoricalDrift(
+        a.select(bucketOf(value).as("__bucket")),
+        b.select(bucketOf(value).as("__bucket")),
+        col("__bucket"))
+      .withColumnRenamed("category", "bucket")
+  }
+
   private def finish(one: DataFrame, names: Seq[String]): DataFrame = {
     val perCol = names.map { c =>
       struct(lit(c).as("column"),

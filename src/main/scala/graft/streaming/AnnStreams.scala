@@ -34,21 +34,21 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object AnnStreams {
 
-  /** Nearest-committed-centroid assignment as a COLUMN: squared-L2
-    * against each centroid (exact double arithmetic, subspace-free twin
-    * of [[graft.operators.Similarity.pqEncode]]), first minimum wins.
-    * Pure built-in higher-order functions — codegen'd, embarrassingly
-    * parallel, no shuffle, no UDF. Deterministic given the centroids, so
+  /** Nearest-committed-centroid assignment as a COLUMN: native squared-L2
+    * kernel ([[graft.functions.SquaredL2Distance]] — widen float→double,
+    * exact double arithmetic; the `array<float>` embedding convention is
+    * enforced by its type check) against each centroid, first minimum
+    * wins via `array_position(array_min)`. Codegen'd end to end — the
+    * first cut used `aggregate(zip_with(...))`, and higher-order
+    * functions are CodegenFallback: 500k assignments measured 32 s
+    * interpreted at the 10× sweep. Deterministic given the centroids, so
     * retries and independent engines reproduce identical assignments
     * (the battery row's oracle argument).
     */
   def assignCluster(vec: Column, centroids: Array[Array[Double]]): Column = {
     require(centroids.nonEmpty, "assignCluster: empty centroid set")
     val dists = array(centroids.map { c =>
-      aggregate(
-        zip_with(vec.cast("array<double>"), typedLit(c.toSeq),
-          (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.VectorFunctions.l2sq(vec, typedLit(c.toSeq))
     }: _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }

@@ -258,4 +258,46 @@ class ProfileSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Long)].collect()
     assert(oneSided.forall(r => r._3 == 0L && r._5 == 0L && r._6 == r._4))
   }
+
+  test("numericDrift: reference-side equi-depth cuts, shifted slice, identical slice, NULLs") {
+    // reference: 1..8 → k=4 equi-depth buckets {1,2},{3,4},{5,6},{7,8}
+    val a = (1L to 8L).toDF("v")
+    val same = Profile.numericDrift(a, a, col("v"), k = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(same.keySet == Set(0L, 1L, 2L, 3L))
+    assert(same.values.forall(r => r._2 == 2L && r._3 == 2L && r._6 == 0L))
+    // b shifted up: everything lands in the reference's top bucket
+    val b = Seq(100L, 200L, 300L).toDF("v")
+    val shifted = Profile.numericDrift(a, b, col("v"), k = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(shifted(3L)._3 == 3L && shifted(3L)._5 == 1000000L)
+    assert(shifted(0L)._3 == 0L && shifted(0L)._6 == 250000L)
+    // values below the reference minimum land in bucket 0
+    val low = Seq(-50L).toDF("v")
+    val lowD = Profile.numericDrift(a, low, col("v"), k = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(lowD(0L)._3 == 1L)
+    // NULL metric values form their own bucket on both sides
+    val withNull = Seq(Some(1L), Some(2L), None).toDF("v")
+    val nd = Profile.numericDrift(withNull, withNull, col("v"), k = 2)
+      .select("bucket").as[Option[Long]].collect().toSet
+    assert(nd.contains(None))
+    // duplicate-heavy reference: one distinct value → ONE cut at its max,
+    // so ≤-reference values share bucket 0 and anything above drifts
+    // into bucket 1 — upward drift stays visible even off a degenerate
+    // reference
+    val dup = Seq(5L, 5L, 5L, 5L).toDF("v")
+    val dd = Profile.numericDrift(dup, Seq(4L, 5L, 6L).toDF("v"), col("v"), k = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(dd.keySet == Set(0L, 1L))
+    assert(dd(0L)._2 == 4L && dd(0L)._3 == 2L)
+    assert(dd(1L)._2 == 0L && dd(1L)._3 == 1L)
+    intercept[IllegalArgumentException] {
+      Profile.numericDrift(a, b, col("v"), k = 1)
+    }
+  }
 }
