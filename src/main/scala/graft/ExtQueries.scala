@@ -1565,6 +1565,44 @@ object ExtQueries {
           "vec_id", "embedding", q, cb, k = 10, nprobe = 4, shortlist = 50)
       },
       golden("q_ann_ivfpq_rerank")),
+
+    // The composed tier served from the STREAMING-MAINTAINED code table
+    // (AnnStreams.ingestIvfPq — vectors assigned AND PQ-encoded at
+    // ingest by the native kernels, serving never touches a float):
+    // three micro-batch deltas in the offline artifact's exact
+    // (id, code, __cluster) layout, ADC probe over the pruned cluster
+    // partitions. Shares q_ann_ivfpq's golden: assignment parity is
+    // pinned 499/499 and the streamed encode is the same kernel as the
+    // offline table, so the delta-served top-10 must be bit-equal.
+    "q_ann_ivfpq_stream" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](emb.columns.indexOf("embedding"))
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val (centroids, cb) =
+          if (dir.endsWith("sf0.01"))
+            (Similarity.loadIvf(s,
+               "/root/repo/src/test/resources/golden/ivf_index").centroids,
+             Similarity.loadPqCodebook(s,
+               "/root/repo/src/test/resources/golden/pq_codebook"))
+          else
+            (Similarity.ivfIndexFor(corpus,
+               cacheKey = s"$dir/embeddings!vec_id!16", "vec_id", "embedding",
+               nClusters = 16).centroids,
+             Similarity.pqCodebookFor(corpus,
+               cacheKey = s"$dir/embeddings!pq!8!16", "embedding"))
+        val base = java.nio.file.Files.createTempDirectory("graft_annpqs").toString
+        val path = s"$base/codes"
+        (0 until 3).foreach { i =>
+          graft.streaming.AnnStreams.processIvfPqBatch(
+            corpus.filter(col("vec_id") % 3 === i), i.toLong,
+            "vec_id", "embedding", centroids, cb, path)
+        }
+        graft.streaming.AnnStreams.ivfPqTopKStreamed(s, path, centroids,
+          q, cb, k = 10, nprobe = 4)
+      },
+      golden("q_ann_ivfpq")),
   )
 
   /** Shared CTE chain for the int8 rows: quantize the query (vec_id = 0)

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -188,6 +188,79 @@ object SquaredL2Distance {
   }
 }
 
+/** Native product-quantization encoder: an `array<float>` vector to its
+  * `m` sub-centroid codes (nearest by squared L2 per contiguous
+  * subspace, first minimum wins) in one compiled per-row pass. The HOF
+  * formulation (per sub-centroid `aggregate(zip_with(slice(...)))`)
+  * walks an interpreted expression tree per ELEMENT per CENTROID —
+  * m·k·subDim tree interpretations per row; this expression embeds the
+  * codebook via `addReferenceObj` and costs one virtual call per row.
+  * Arithmetic is identical (widen float→double, diff² summed in index
+  * order, strict-< first-min == `array_position(array_min)` tie-break),
+  * so codes are bit-equal and every PQ golden fixture is untouched.
+  */
+case class PqEncodeCodes(child: Expression, subDim: Int,
+                         centroids: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float>, got ${other.sql} — float-element " +
+            "reads over other layouts would silently encode wrong codes")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqEncodeCodes.compute(input.asInstanceOf[ArrayData], subDim, centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCentroids", centroids,
+      "double[][][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PqEncodeCodes.compute($v, $subDim, $cbRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqEncodeCodes {
+  /** Shared by interpreted eval and generated code. */
+  def compute(v: ArrayData, subDim: Int,
+              centroids: Array[Array[Array[Double]]]): ArrayData = {
+    val m = centroids.length
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cents = centroids(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = v.getFloat(s * subDim + i).toDouble - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c } // strict <: first min wins
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(codes)
+  }
+}
+
 object VectorFunctions {
   /** Cosine similarity of two `array<float>` columns, as a codegen'd native
     * expression.
@@ -195,6 +268,14 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Product-quantization codes of an `array<float>` column against a
+    * fitted codebook, as a codegen'd native expression.
+    */
+  def pqEncodeCodes(vec: Column, subDim: Int,
+                    centroids: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncodeCodes(
+      ColumnBridge.expression(vec), subDim, centroids))
 
   /** Squared L2 distance of an `array<float>` column to an `array<double>`
     * centroid, as a codegen'd native expression.

@@ -348,19 +348,16 @@ object Similarity {
   }
 
   /** Encode a vector column to its `m` PQ codes (nearest sub-centroid per
-    * subspace, squared-L2, first-min tie-break) — pure built-in
-    * higher-order functions, embarrassingly parallel, no shuffle.
+    * subspace, squared-L2, first-min tie-break) — the native codegen'd
+    * [[graft.functions.PqEncodeCodes]] kernel (one compiled pass per
+    * row; the original per-sub-centroid `aggregate(zip_with(slice))`
+    * formulation was CodegenFallback-interpreted per element — the
+    * SCALE_SWEEP_r13 HOF lesson; arithmetic and tie-breaks bit-equal,
+    * all PQ golden fixtures unchanged). Embarrassingly parallel, no
+    * shuffle.
     */
   def pqEncode(vec: Column, cb: PqCodebook): Column =
-    array((0 until cb.m).map { s =>
-      val sub = slice(vec, s * cb.subDim + 1, cb.subDim).cast("array<double>")
-      val dists = array(cb.centroids(s).map { c =>
-        aggregate(
-          zip_with(sub, typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v)
-      }: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }: _*)
+    graft.functions.VectorFunctions.pqEncodeCodes(vec, cb.subDim, cb.centroids)
 
   /** The persisted PQ-encoded table (id + codes) for a corpus — the
     * build-once artifact ADC queries scan.
@@ -406,7 +403,7 @@ object Similarity {
     * [[pqTopK]] (whole-table scan) and [[ivfPqTopK]] (pruned scan) —
     * identical arithmetic, so the two tiers' scores are comparable.
     */
-  private def adcDist(query: Seq[Float], cb: PqCodebook): Column = {
+  private[graft] def adcDist(query: Seq[Float], cb: PqCodebook): Column = {
     val table: Array[Array[Double]] = Array.tabulate(cb.m) { s =>
       cb.centroids(s).map { c =>
         var d = 0.0

@@ -79,7 +79,12 @@ object AnnStreams {
       .filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol),
         assignCluster(col(vecCol), centroids).as("__cluster"))
-    assigned.withColumn("__batch_id", lit(batchId))
+    // one batch-sized exchange on the cluster key before the write:
+    // every task otherwise opens every cluster directory (tasks ×
+    // nlist files per batch — the long-lived loop's file-count
+    // killer); clustered, each cluster lands as one file per batch
+    assigned.repartition(col("__cluster"))
+      .withColumn("__batch_id", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch_id", "__cluster").parquet(assignedPath)
   }
@@ -106,6 +111,78 @@ object AnnStreams {
       .filter(col("__cluster").isin(probe: _*))
       .select(col(idCol), col(vecCol))
     graft.operators.Similarity.bruteForceTopK(candidates, idCol, vecCol, query, k)
+  }
+
+  /** Wire a streaming vector source into the IVF-PQ code-maintenance
+    * loop — the composed tier's streaming twin: same fixed committed
+    * centroids AND fixed committed codebook (either fit re-done =
+    * re-index), each batch appending `(id, code)` rows in the
+    * `(__batch_id, __cluster)` layout of
+    * [[graft.operators.Similarity.ivfPqEncodedFor]]. Vectors are
+    * encoded ONCE, at ingest; serving never touches a float.
+    */
+  def ingestIvfPq(newVecs: DataFrame, idCol: String, vecCol: String,
+                  centroids: Array[Array[Double]],
+                  cb: graft.operators.Similarity.PqCodebook,
+                  codesPath: String): DataStreamWriter[Row] =
+    newVecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processIvfPqBatch(batch, batchId, idCol, vecCol, centroids, cb, codesPath)
+    }
+
+  /** One micro-batch of the IVF-PQ loop: assign + encode (both native
+    * codegen'd kernels), append the batch's `(id, code, __cluster)`
+    * delta. Output columns mirror the offline artifact exactly, so the
+    * streamed table and [[graft.operators.Similarity.ivfPqEncodedFor]]'s
+    * are interchangeable to every reader.
+    */
+  private[graft] def processIvfPqBatch(batch: DataFrame, batchId: Long,
+                                       idCol: String, vecCol: String,
+                                       centroids: Array[Array[Double]],
+                                       cb: graft.operators.Similarity.PqCodebook,
+                                       codesPath: String): Unit = {
+    val assigned = batch
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol),
+        assignCluster(col(vecCol), centroids).as("__cluster"))
+    // the cluster exchange happens BEFORE the encode projection, so the
+    // m·k·subDim encode work parallelizes across the nlist post-shuffle
+    // tasks instead of the source's read partitions (a derived-fixture
+    // single parquet file read as 1–2 splits measured the encode
+    // serialized at the 10× sweep), and each cluster lands as one file
+    // per batch (the processIvfBatch file-count argument)
+    assigned.repartition(col("__cluster"))
+      .select(col("id"),
+        graft.operators.Similarity.pqEncode(col(vecCol), cb).as("code"),
+        col("__cluster"))
+      .withColumn("__batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id", "__cluster").parquet(codesPath)
+  }
+
+  /** Serve an IVF-PQ probe from the growing streamed code table: rank
+    * the fixed centroids driver-side, scan only the `nprobe` nearest
+    * clusters' partitions across all batches, ADC-rank the byte codes
+    * (the shared [[graft.operators.Similarity.adcDist]] lookup column).
+    * `m` bytes per candidate, no join, no shuffle — the serve cost is
+    * `nprobe/nlist` of the published CODES regardless of batch count.
+    */
+  def ivfPqTopKStreamed(spark: SparkSession, codesPath: String,
+                        centroids: Array[Array[Double]],
+                        query: Seq[Float],
+                        cb: graft.operators.Similarity.PqCodebook,
+                        k: Int, nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1, "ivfPqTopKStreamed: nprobe must be >= 1")
+    def l2(c: Array[Double]): Double =
+      math.sqrt(c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val probe = centroids.zipWithIndex
+      .sortBy { case (c, _) => l2(c) }
+      .take(nprobe).map(_._2)
+    spark.read.parquet(codesPath)
+      .filter(col("__cluster").isin(probe: _*))
+      .select(col("id"),
+        graft.operators.Similarity.adcDist(query, cb).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("id"))
+      .limit(k)
   }
 
   /** Per-(batch, cluster) occupancy — the DRIFT MONITOR for the fixed

@@ -97,6 +97,41 @@ class AnnStreamsSpec extends SparkSpec {
       .filter(col("n") =!= col("count")).count() == 0)
   }
 
+  test("streamed IVF-PQ codes == offline artifact; delta ADC serve == offline probe") {
+    val cb = Similarity.loadPqCodebook(spark,
+      "src/test/resources/golden/pq_codebook")
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("annpq_spec").toString + "/codes"
+    (0 until 3).foreach { i =>
+      AnnStreams.processIvfPqBatch(corpus.filter(col("vec_id") % 3 === i),
+        i.toLong, "vec_id", "embedding", committed.centroids, cb, path)
+    }
+    // the streamed table IS the offline artifact, row for row
+    val offlineCodes = Similarity.ivfPqEncodedFor(committed, cb,
+        cacheKey = "annpq-spec-offline", "vec_id", "embedding")
+      .select(col("id"), col("code"), col("__cluster").cast("int").as("cl"))
+      .as[(Long, Seq[Int], Int)].collect().toSet
+    val streamedCodes = spark.read.parquet(path)
+      .select(col("id"), col("code"), col("__cluster").cast("int").as("cl"))
+      .as[(Long, Seq[Int], Int)].collect().toSet
+    assert(streamedCodes == offlineCodes)
+    // and the delta-served ADC probe is bit-equal to the offline probe
+    val q = queryVec(0L)
+    val served = AnnStreams.ivfPqTopKStreamed(spark, path, committed.centroids,
+      q, cb, k = 10, nprobe = 4).as[(Long, Double)].collect().toSeq
+    val offline = Similarity.ivfPqTopK(committed.centroids,
+        Similarity.ivfPqEncodedFor(committed, cb,
+          cacheKey = "annpq-spec-offline", "vec_id", "embedding"),
+        q, cb, k = 10, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(served == offline)
+    // pruned-scan plan across the batch partitions
+    val plan = AnnStreams.ivfPqTopKStreamed(spark, path, committed.centroids,
+      q, cb, k = 10, nprobe = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__cluster"), plan)
+    assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Exchange"), plan)
+  }
+
   test("compactIvf consolidates into the seed, preserves clusters, serve unchanged") {
     val path = tmp()
     val corpus = emb.filter(col("vec_id") =!= 0)
