@@ -3561,6 +3561,45 @@ object ExtQueries {
           FROM tf JOIN dfq USING (token)) t
         WHERE rank <= 3""")),
 
+    // CLUSTER KEYWORDS: the salient-terms ranking lifted from documents
+    // to the IVF embedding clusters (vec_id == doc_id in the corpus) —
+    // per cluster, top-3 tokens by (cluster tf DESC, global df ASC,
+    // token): "what is this cluster about", the corpus-exploration face
+    // of the clustering. Committed index at the gate SF, memoized
+    // production index at bench SFs; integer stats only.
+    "q_cluster_keywords" -> Q(
+      (s, dir) => {
+        val idx =
+          if (dir.endsWith("sf0.01"))
+            Similarity.loadIvf(s, "/root/repo/src/test/resources/golden/ivf_index")
+          else Similarity.ivfIndexFor(
+            table(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+            cacheKey = s"$dir/embeddings!vec_id!16",
+            "vec_id", "embedding", nClusters = 16)
+        graft.operators.TextStats.clusterKeywords(
+            table(s, dir, "documents"), "doc_id", "text",
+            idx.assigned, "vec_id", "__cluster", k = 3)
+          .select(col("cluster").cast("int").as("cluster"), col("token"),
+            col("tf"), col("df"), col("rank"))
+      },
+      Some(s"""
+        WITH asg AS (SELECT vec_id, CAST(__cluster AS INT) AS cluster
+                     FROM read_parquet(
+                       '/root/repo/src/test/resources/golden/ivf_index/assigned/*/*.parquet',
+                       hive_partitioning=1)),
+        tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+        pdoc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                 FROM tok GROUP BY 1, 2),
+        dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM pdoc GROUP BY 1),
+        ctf AS (SELECT cluster, token, CAST(sum(tf) AS BIGINT) AS tf
+                FROM pdoc JOIN asg ON pdoc.doc_id = asg.vec_id GROUP BY 1, 2)
+        SELECT cluster, token, tf, df, rank FROM (
+          SELECT cluster, ctf.token AS token, tf, df,
+            CAST(row_number() OVER (PARTITION BY cluster
+              ORDER BY tf DESC, df, ctf.token) AS BIGINT) AS rank
+          FROM ctf JOIN dfq ON ctf.token = dfq.token) t
+        WHERE rank <= 3""")),
+
     // EXACT integer outlier flag: per-user purchase values more than
     // 1.5σ from the user's mean, in cleared-denominator long arithmetic —
     // bit-identical across engines where a float mean/std pipeline is

@@ -255,6 +255,56 @@ object TextStats {
         col("__t.df").as("df"), (col("__pos") + 1).cast("long").as("rank"))
   }
 
+  /** CLUSTER KEYWORDS — corpus-exploration labeling for an embedding
+    * clustering (IVF assignments, semantic-dedup clusters, any
+    * (id, cluster) table): per cluster, the top-`k` tokens by
+    * (cluster tf DESC, global df ASC, token) — the [[salientTerms]]
+    * ranking lifted from documents to clusters, so a 10⁵-cluster corpus
+    * map reads as "cluster 17 ≈ {spark, shuffle, executor}". Integer
+    * sufficient statistics only ([[salientTerms]]' ulp argument); the
+    * (tf, df) pair ships for offline tf-idf curves.
+    *
+    * Plan shape: the docs⋈assignments id-keyed equi-join runs BEFORE the
+    * explode (never multiply exploded rows through a join), per-cluster
+    * tf is one map-combined aggregate bounded by Σ cluster vocabularies,
+    * the global-df join reuses [[salientTerms]]' head/tail skew split
+    * (the Zipf head broadcasts — a stop-token's tf rows never hash to
+    * one shuffle partition), and per-cluster top-k collapses in the
+    * bounded [[graft.functions.TopN]] heap — no window sort.
+    */
+  def clusterKeywords(docs: DataFrame, idCol: String, textCol: String,
+                      assignments: DataFrame, assignIdCol: String,
+                      clusterCol: String, k: Int,
+                      headTokens: Int = 65536): DataFrame = {
+    val perDoc = docs.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("__tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = perDoc
+      .join(assignments.select(col(assignIdCol).as("id"),
+        col(clusterCol).as("cluster")), "id")
+      .groupBy("cluster", "token").agg(sum(col("__tf")).as("tf"))
+    val dfreq = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val head = dfreq.orderBy(col("df").desc, col("token")).limit(headTokens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tail = dfreq.join(broadcast(head.select("token")), Seq("token"), "left_anti")
+    val withHead = tf.join(broadcast(head), Seq("token"), "left")
+    val joined = withHead.filter(col("df").isNotNull)
+      .unionByName(withHead.filter(col("df").isNull).drop("df")
+        .join(tail, Seq("token")))
+    joined
+      .groupBy("cluster")
+      .agg(graft.functions.TopN.rows(
+        struct(col("token"), col("tf"), col("df")),
+        struct((-col("tf")).as("neg_tf"), col("df"), col("token")),
+        k, isMax = false).as("__top"))
+      .select(col("cluster"), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("cluster"), col("__t.token").as("token"),
+        col("__t.tf").as("tf"), col("__t.df").as("df"),
+        (col("__pos") + 1).cast("long").as("rank"))
+  }
+
   /** DSIR-STYLE importance statistics (the data-selection primitive of
     * "Data Selection for Language Models via Importance Resampling", Xie
     * et al. 2023): per raw-corpus document, the integer sufficient

@@ -344,6 +344,45 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("clusterKeywords equals the window formulation; unassigned docs feed df only") {
+    val docs = Seq(
+      (1L, "apple apple apple zebra common common"),
+      (2L, "common zebra zebra banana"),
+      (3L, "common apple"),
+      (4L, "kiwi kiwi unassigned")  // no cluster row: df contributor only
+    ).toDF("doc_id", "text")
+    val asg = Seq((1L, 0), (2L, 1), (3L, 0)).toDF("vec_id", "__cluster")
+    val got = TextStats.clusterKeywords(docs, "doc_id", "text",
+        asg, "vec_id", "__cluster", k = 2)
+      .as[(Int, String, Long, Long, Long)].collect().sorted.toSeq
+    // window mirror over the same inputs
+    val toks = docs.select(col("doc_id").as("id"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("__tf"))
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val ctf = tf.join(asg.withColumnRenamed("vec_id", "id"), "id")
+      .groupBy("__cluster", "token").agg(sum("__tf").as("tf"))
+    val w = Window.partitionBy("__cluster")
+      .orderBy(col("tf").desc, col("df"), col("token"))
+    val expected = ctf.join(dfq, "token")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2)
+      .select(col("__cluster").as("cluster"), col("token"), col("tf"),
+        col("df"), col("rank"))
+      .as[(Int, String, Long, Long, Long)].collect().sorted.toSeq
+    assert(got == expected)
+    // cluster 0 owns apple (tf 4); the rarity tie-break inherits (common
+    // tf 3 over zebra tf 1); kiwi appears in NO cluster but its doc
+    // still counts toward every df
+    val c0 = got.filter(_._1 == 0).sortBy(_._5).map(_._2)
+    assert(c0 == Seq("apple", "common"))
+    assert(got.forall(_._2 != "kiwi"))
+    val plan = TextStats.clusterKeywords(docs, "doc_id", "text",
+        asg, "vec_id", "__cluster", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"), plan)
+  }
+
   test("standardize: exact z algebra, zero-variance and NULL conventions") {
     val df = Seq(
       ("g", Some(1L)), ("g", Some(2L)), ("g", Some(3L)),
