@@ -235,6 +235,15 @@ object PqEncodeCodes {
   def compute(v: ArrayData, subDim: Int,
               centroids: Array[Array[Array[Double]]]): ArrayData = {
     val m = centroids.length
+    // fail LOUD on a dimension mismatch: the HOF formulation silently
+    // emitted null code elements for short vectors (zip_with padding),
+    // which is exactly the quietly-wrong-index failure a build job must
+    // never ship; uniform dims are the codebook's fit contract
+    if (v.numElements() < m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector has ${v.numElements()} elements, codebook " +
+          s"expects ${m * subDim} (m=$m × subDim=$subDim) — mixed-dimension " +
+          "corpus or wrong codebook")
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {

@@ -229,6 +229,20 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.6, f"IVF-PQ rerank recall collapsed: $mean%.2f")
   }
 
+  test("pqEncode fails loud on a dimension mismatch (no silent null codes)") {
+    val cb = Similarity.pqCodebookFor(emb.select("embedding"),
+      cacheKey = "recall-spec-pq", "embedding", m = 8, k = 16)
+    val short = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.pqEncodeTable(short, "id", "embedding", cb).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).flatMap(c => Option(c.getMessage)).exists(_.contains("pq_encode")),
+      ex.toString)
+  }
+
   test("embeddingPairsLsh pair recall vs exact pairs at the battery parameters") {
     val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.45)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
