@@ -370,10 +370,17 @@ object Profile {
       .filter(col("__bkt") < (k - 1))
       .groupBy("__bkt").agg(max(col("__v")).as("__cut"))
       .select("__cut").collect().map(_.getLong(0)).sorted.toSeq
+    // count of cuts strictly below x as a when-chain SUM, not
+    // size(filter(...)): HOFs are CodegenFallback (the SCALE_SWEEP_r13
+    // lesson) and k−1 codegen'd comparisons per row cost what a CASE
+    // chain costs
     def bucketOf(c: Column): Column = {
       val x = c.cast("long")
-      when(x.isNull, lit(null).cast("long"))
-        .otherwise(size(filter(typedLit(cuts), e => e < x)).cast("long"))
+      val below =
+        if (cuts.isEmpty) lit(0L)
+        else cuts.map(cut => when(lit(cut) < x, lit(1L)).otherwise(lit(0L)))
+          .reduce(_ + _)
+      when(x.isNull, lit(null).cast("long")).otherwise(below)
     }
     categoricalDrift(
         a.select(bucketOf(value).as("__bucket")),
