@@ -349,6 +349,48 @@ object Lake {
     * compact() per leaf directory instead, which is also the natural
     * parallelization of the maintenance job.
     */
+  /** FILE-LAYOUT health report for a lake path: one row per leaf
+    * directory (the table root counts as the leaf `""` when files sit at
+    * top level) with file count, total/min/max bytes, and the count of
+    * files under `smallFileBytes` — the "when do I need [[compact]] /
+    * the loops' compactIndex" monitor. A long-lived streaming loop's
+    * failure mode is never data volume first; it is 10⁵ tiny files
+    * making every scan listing-bound, and this table is the alert that
+    * fires BEFORE that (file_count and n_small grow linearly in batches
+    * while bytes stay flat).
+    *
+    * Driver-side recursive Hadoop-FS listing — METADATA-sized work (one
+    * row per file status, no data read), same FS-URI-general API as
+    * [[compact]]. Not a battery row: the output is a property of the
+    * physical layout, which the DuckDB oracle deliberately cannot see.
+    */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, path: String,
+                smallFileBytes: Long = 8L << 20): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"$path does not exist")
+    val rootStr = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(root).toString
+    def walk(dir: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
+      fs.listStatus(dir).toSeq.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet"))
+          Seq((org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+            s.getPath.getParent).toString, s.getLen))
+        else Nil
+      }
+    val rel = walk(root).map { case (parent, len) =>
+      (parent.stripPrefix(rootStr).stripPrefix("/"), len)
+    }
+    rel.toDF("partition", "bytes")
+      .groupBy("partition")
+      .agg(count(lit(1)).as("file_count"),
+        sum(col("bytes")).as("total_bytes"),
+        min(col("bytes")).as("min_bytes"),
+        max(col("bytes")).as("max_bytes"),
+        sum(when(col("bytes") < smallFileBytes, 1L).otherwise(0L)).as("n_small"))
+  }
+
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long = 128L << 20,
               sortBy: Seq[Column] = Nil): Int = {

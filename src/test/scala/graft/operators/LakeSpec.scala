@@ -250,6 +250,35 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("fileStats: per-leaf counts/bytes/small-file alert; compaction flattens it") {
+    val out = Files.createTempDirectory("lake_stats").toString
+    val df = (0L until 4000L).map(i => (i % 2, i, s"row $i"))
+      .toDF("part", "id", "payload")
+    df.repartition(8).write.mode("overwrite").partitionBy("part").parquet(out)
+    val stats = Lake.fileStats(spark, out)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(stats.keySet == Set("part=0", "part=1"))
+    // 8 writer tasks × 2 partitions = up to 16 files; every one tiny
+    val s0 = stats("part=0")
+    assert(s0._2 == 8L && s0._6 == 8L, s0.toString)           // all small
+    assert(s0._3 >= s0._4 && s0._3 >= s0._5 && s0._4 <= s0._5) // bytes sane
+    // flat (unpartitioned) layout reports the root as leaf ""
+    val flat = Files.createTempDirectory("lake_stats_flat").toString
+    df.drop("part").repartition(4).write.mode("overwrite").parquet(flat)
+    val fstats = Lake.fileStats(spark, flat)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(fstats.map(_._1).toSeq == Seq("") && fstats.head._2 == 4L)
+    // after compaction the alert clears: one file, n_small tracks size
+    Lake.compact(spark, flat, targetFileBytes = 1L << 30)
+    val after = Lake.fileStats(spark, flat, smallFileBytes = 1L)
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(after._2 == 1L && after._6 == 0L, after.toString)
+    intercept[IllegalArgumentException] {
+      Lake.fileStats(spark, flat + "/nope")
+    }
+  }
+
   test("filesPerPartition salt spreads a hot partition across bounded files") {
     val df = (1 to 3000).map(i => (i.toLong, "2024-01-10")).toDF("id", "dt")
       .repartition(16) // one hot partition value
