@@ -1603,6 +1603,54 @@ object ExtQueries {
           q, cb, k = 10, nprobe = 4)
       },
       golden("q_ann_ivfpq")),
+
+    // The REFIT DECISION report over the streamed IVF index: per-cluster
+    // assignment-mix drift of the most recent micro-batch vs all earlier
+    // ones (ivfOccupancy composed with the categorical drift monitor —
+    // the alert that schedules the offline re-fit). At the gate the
+    // streamed assignments equal the committed k-means assignment
+    // (pinned 499/499), so the oracle recomputes the whole report from
+    // the committed assigned table split by the same batch rule.
+    "q_ann_refit" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val centroids =
+          if (dir.endsWith("sf0.01"))
+            Similarity.loadIvf(s,
+              "/root/repo/src/test/resources/golden/ivf_index").centroids
+          else Similarity.ivfIndexFor(corpus,
+            cacheKey = s"$dir/embeddings!vec_id!16", "vec_id", "embedding",
+            nClusters = 16).centroids
+        val base = java.nio.file.Files.createTempDirectory("graft_refit").toString
+        val path = s"$base/assigned"
+        (0 until 3).foreach { i =>
+          graft.streaming.AnnStreams.processIvfBatch(
+            corpus.filter(col("vec_id") % 3 === i), i.toLong,
+            "vec_id", "embedding", centroids, path)
+        }
+        graft.streaming.AnnStreams.refitSignal(s, path, recentBatches = 1)
+      },
+      Some("""
+        WITH asg AS (SELECT vec_id, CAST(__cluster AS INT) AS cluster
+                     FROM read_parquet(
+                       '/root/repo/src/test/resources/golden/ivf_index/assigned/*/*.parquet',
+                       hive_partitioning=1)),
+        a AS (SELECT cluster, CAST(count(*) AS BIGINT) AS c FROM asg
+              WHERE vec_id % 3 < 2 GROUP BY 1),
+        b AS (SELECT cluster, CAST(count(*) AS BIGINT) AS c FROM asg
+              WHERE vec_id % 3 = 2 GROUP BY 1),
+        ta AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM a),
+        tb AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM b)
+        SELECT COALESCE(a.cluster, b.cluster) AS cluster,
+          COALESCE(a.c, CAST(0 AS BIGINT)) AS cnt_a,
+          COALESCE(b.c, CAST(0 AS BIGINT)) AS cnt_b,
+          CAST(COALESCE(a.c, 0) * 1000000 // ta.t AS BIGINT) AS share_a_ppm,
+          CAST(COALESCE(b.c, 0) * 1000000 // tb.t AS BIGINT) AS share_b_ppm,
+          CAST(abs(COALESCE(a.c, 0) * 1000000 // ta.t
+                 - COALESCE(b.c, 0) * 1000000 // tb.t) AS BIGINT) AS diff_ppm
+        FROM a FULL OUTER JOIN b ON a.cluster IS NOT DISTINCT FROM b.cluster
+        CROSS JOIN ta CROSS JOIN tb""")),
   )
 
   /** Shared CTE chain for the int8 rows: quantize the query (vec_id = 0)
@@ -3804,6 +3852,39 @@ object ExtQueries {
                  - COALESCE(b.c, 0) * 1000000 // tb.t) AS BIGINT) AS diff_ppm
         FROM a FULL OUTER JOIN b ON a.category IS NOT DISTINCT FROM b.category
         CROSS JOIN ta CROSS JOIN tb""")),
+
+    // PER-SLICE categorical drift (groupCols): the source-mix drift
+    // WITHIN each language — shares normalize per slice, slice and
+    // category keys both null-safe. The grouped twin of q_drift.
+    "q_drift_by_lang" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        graft.operators.Profile.categoricalDrift(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0),
+          col("source"), groupCols = Seq("lang"))
+      },
+      Some("""
+        WITH a AS (SELECT lang, source AS category, CAST(count(*) AS BIGINT) AS c
+                   FROM documents WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+        b AS (SELECT lang, source AS category, CAST(count(*) AS BIGINT) AS c
+              FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1, 2),
+        ta AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM a GROUP BY 1),
+        tb AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM b GROUP BY 1),
+        m AS (SELECT COALESCE(a.lang, b.lang) AS lang,
+                COALESCE(a.category, b.category) AS category,
+                COALESCE(a.c, CAST(0 AS BIGINT)) AS cnt_a,
+                COALESCE(b.c, CAST(0 AS BIGINT)) AS cnt_b
+              FROM a FULL OUTER JOIN b
+                ON a.lang IS NOT DISTINCT FROM b.lang
+               AND a.category IS NOT DISTINCT FROM b.category)
+        SELECT m.lang, category, cnt_a, cnt_b,
+          CAST(CASE WHEN ta.t IS NULL THEN 0 ELSE cnt_a * 1000000 // ta.t END AS BIGINT) AS share_a_ppm,
+          CAST(CASE WHEN tb.t IS NULL THEN 0 ELSE cnt_b * 1000000 // tb.t END AS BIGINT) AS share_b_ppm,
+          CAST(abs(CASE WHEN ta.t IS NULL THEN 0 ELSE cnt_a * 1000000 // ta.t END
+                 - CASE WHEN tb.t IS NULL THEN 0 ELSE cnt_b * 1000000 // tb.t END) AS BIGINT) AS diff_ppm
+        FROM m LEFT JOIN ta ON m.lang IS NOT DISTINCT FROM ta.lang
+               LEFT JOIN tb ON m.lang IS NOT DISTINCT FROM tb.lang""")),
 
     // NUMERIC drift: the same monitor for an integer metric column
     // (document length) — slice A's exact equi-depth 8-quantile cut

@@ -297,17 +297,42 @@ object Profile {
     * full-outer join, and two 1-row total broadcasts — nothing here
     * scales with rows beyond the two scans.
     */
-  def categoricalDrift(a: DataFrame, b: DataFrame, catCol: Column): DataFrame = {
-    val ca = a.groupBy(catCol.as("category")).agg(count(lit(1)).as("cnt_a"))
-    val cb = b.groupBy(catCol.as("category")).agg(count(lit(1)).as("cnt_b"))
-    val ta = ca.agg(sum(col("cnt_a")).as("__ta"))
-    val tb = cb.agg(sum(col("cnt_b")).as("__tb"))
-    val cbR = cb.withColumnRenamed("category", "__cat_b")
-    ca.join(cbR, col("category") <=> col("__cat_b"), "full_outer")
-      .select(coalesce(col("category"), col("__cat_b")).as("category"),
-        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
-        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
-      .crossJoin(ta).crossJoin(tb)
+  /** `groupCols` (columns present in BOTH slices) turn the monitor into
+    * its per-slice twin — drift of the source mix WITHIN each language,
+    * per-tenant category drift, the IVF refit signal per index — one
+    * row per (slice…, category), shares normalized within the slice.
+    * `Nil` (default) is the global monitor. Slice keys are null-safe
+    * like the category.
+    */
+  def categoricalDrift(a: DataFrame, b: DataFrame, catCol: Column,
+                       groupCols: Seq[String] = Nil): DataFrame = {
+    val g = groupCols.map(col)
+    val ca = a.groupBy(g :+ catCol.as("category"): _*)
+      .agg(count(lit(1)).as("cnt_a"))
+    val cb = b.groupBy(g :+ catCol.as("category"): _*)
+      .agg(count(lit(1)).as("cnt_b"))
+    // per-slice totals; groupBy() over Nil is the single global row
+    val ta = ca.groupBy(g: _*).agg(sum(col("cnt_a")).as("__ta"))
+    val tb = cb.groupBy(g: _*).agg(sum(col("cnt_b")).as("__tb"))
+    val bKeys = groupCols :+ "category"
+    val cbR = bKeys.foldLeft(cb)((d, c) => d.withColumnRenamed(c, s"__b_$c"))
+    val joinCond = bKeys.map(c => col(c) <=> col(s"__b_$c")).reduce(_ && _)
+    val merged = ca.join(cbR, joinCond, "full_outer")
+      .select(groupCols.map(c => coalesce(col(c), col(s"__b_$c")).as(c)) ++
+        Seq(coalesce(col("category"), col("__b_category")).as("category"),
+          coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+          coalesce(col("cnt_b"), lit(0L)).as("cnt_b")): _*)
+    def joinTotal(d: DataFrame, tot: DataFrame, totCol: String): DataFrame =
+      if (groupCols.isEmpty) d.crossJoin(tot)
+      else {
+        val totR = groupCols.foldLeft(tot)((x, c) =>
+          x.withColumnRenamed(c, s"__t_$c"))
+        d.join(totR,
+            groupCols.map(c => col(c) <=> col(s"__t_$c")).reduce(_ && _),
+            "left")
+          .drop(groupCols.map(c => s"__t_$c"): _*)
+      }
+    joinTotal(joinTotal(merged, ta, "__ta"), tb, "__tb")
       .withColumn("share_a_ppm",
         when(col("__ta").isNull, lit(0L))
           .otherwise(expr("cnt_a * 1000000 div __ta")))
@@ -324,9 +349,13 @@ object Profile {
     * rebalance/re-fit threshold (e.g. the IVF re-fit decision that
     * [[graft.streaming.AnnStreams.ivfOccupancy]] feeds).
     */
-  def totalVariationPpm(a: DataFrame, b: DataFrame, catCol: Column): DataFrame =
-    categoricalDrift(a, b, catCol)
+  def totalVariationPpm(a: DataFrame, b: DataFrame, catCol: Column,
+                        groupCols: Seq[String] = Nil): DataFrame = {
+    val drift = categoricalDrift(a, b, catCol, groupCols)
+    if (groupCols.isEmpty) drift.agg(expr("sum(diff_ppm) div 2").as("tvd_ppm"))
+    else drift.groupBy(groupCols.map(col): _*)
       .agg(expr("sum(diff_ppm) div 2").as("tvd_ppm"))
+  }
 
   /** NUMERIC drift between two corpus slices — [[categoricalDrift]] for
     * an integer-valued metric column (document length, token count,

@@ -197,6 +197,35 @@ object AnnStreams {
       .groupBy(col("__batch_id"), col("__cluster"))
       .agg(count(lit(1)).as("n"))
 
+  /** The REFIT DECISION report — [[ivfOccupancy]] composed with
+    * [[graft.operators.Profile.categoricalDrift]]: per cluster, how the
+    * trailing `recentBatches` micro-batches' assignment mix has drifted
+    * from everything before them. A healthy fixed-centroid index drifts
+    * in single-digit ppm; new data crowding into few clusters (the
+    * probe-cost failure mode) shows up as large `diff_ppm` rows here
+    * and a growing
+    * `Profile.totalVariationPpm(old, recent, col("__cluster"))` — the
+    * alert threshold at which an operator schedules the OFFLINE re-fit
+    * (centroids are immutable in this loop; re-fit = re-index, the
+    * documented contract).
+    *
+    * Reads only the partition column (`__cluster`) plus row existence —
+    * column IO is nil; cost is a count aggregate over the assigned
+    * table's row groups.
+    */
+  def refitSignal(spark: SparkSession, assignedPath: String,
+                  recentBatches: Int = 1): DataFrame = {
+    require(recentBatches >= 1, "refitSignal: recentBatches must be >= 1")
+    val t = spark.read.parquet(assignedPath)
+    val maxBatch = t.agg(max(col("__batch_id").cast("long"))).head().getLong(0)
+    val cut = maxBatch - recentBatches
+    graft.operators.Profile.categoricalDrift(
+        t.filter(col("__batch_id").cast("long") <= cut),
+        t.filter(col("__batch_id").cast("long") > cut),
+        col("__cluster").cast("int"))
+      .withColumnRenamed("category", "cluster")
+  }
+
   /** Marker-guarded compaction of the assigned path (see
     * [[SearchStreams.compactGuarded]]): batch partitions `≤ uptoBatch`
     * consolidate into the seed partition, PRESERVING the `__cluster`

@@ -259,6 +259,33 @@ class ProfileSpec extends SparkSpec {
     assert(oneSided.forall(r => r._3 == 0L && r._5 == 0L && r._6 == r._4))
   }
 
+  test("categoricalDrift groupCols: per-slice shares, one-sided slices, null slice keys") {
+    val a = Seq(("en", "web"), ("en", "web"), ("en", "book"),
+      ("fr", "web")).toDF("lang", "src")
+    val b = Seq(("en", "web"), ("en", "book"), ("en", "book"),
+      ("de", "web")).toDF("lang", "src")
+    val d = Profile.categoricalDrift(a, b, col("src"), groupCols = Seq("lang"))
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // en: a = {web 2/3, book 1/3}, b = {web 1/3, book 2/3}
+    assert(d(("en", "web")) == ("en", "web", 2L, 1L, 666666L, 333333L, 333333L))
+    assert(d(("en", "book")) == ("en", "book", 1L, 2L, 333333L, 666666L, 333333L))
+    // fr only in a, de only in b: full share vs 0 within their slices
+    assert(d(("fr", "web")) == ("fr", "web", 1L, 0L, 1000000L, 0L, 1000000L))
+    assert(d(("de", "web")) == ("de", "web", 0L, 1L, 0L, 1000000L, 1000000L))
+    // per-slice TVD: en drifts by 1/3, one-sided slices at the max
+    val tv = Profile.totalVariationPpm(a, b, col("src"), Seq("lang"))
+      .as[(String, Long)].collect().toMap
+    assert(tv("en") == 333333L && tv("fr") == 500000L && tv("de") == 500000L)
+    // NULL slice key is a real slice
+    val an = Seq((Option.empty[String], "x"), (Some("en"), "x")).toDF("lang", "src")
+    val nd = Profile.categoricalDrift(an, an, col("src"), Seq("lang"))
+      .select("lang").as[Option[String]].collect().toSet
+    assert(nd == Set(None, Some("en")))
+    // Nil groupCols stays the global monitor (back-compat)
+    assert(Profile.totalVariationPpm(a, a, col("src")).as[Long].head() == 0L)
+  }
+
   test("numericDrift: reference-side equi-depth cuts, shifted slice, identical slice, NULLs") {
     // reference: 1..8 → k=4 equi-depth buckets {1,2},{3,4},{5,6},{7,8}
     val a = (1L to 8L).toDF("v")

@@ -132,6 +132,30 @@ class AnnStreamsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject") && !plan.contains("Exchange"), plan)
   }
 
+  test("refitSignal: recent-batch cluster-mix drift vs history, engineered skew") {
+    val path = tmp()
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // history (batches 0, 1): balanced across both clusters
+    AnnStreams.processIvfBatch(
+      Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("id", "v"),
+      0L, "id", "v", cents, path)
+    AnnStreams.processIvfBatch(
+      Seq((3L, Seq(1.0f, 0.1f)), (4L, Seq(0.1f, 1.0f))).toDF("id", "v"),
+      1L, "id", "v", cents, path)
+    // recent batch: everything crowds into cluster 0 — drift alert
+    AnnStreams.processIvfBatch(
+      Seq((5L, Seq(1.0f, 0.0f)), (6L, Seq(0.9f, 0.2f))).toDF("id", "v"),
+      2L, "id", "v", cents, path)
+    val sig = AnnStreams.refitSignal(spark, path, recentBatches = 1)
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(sig(0) == (0, 2L, 2L, 500000L, 1000000L, 500000L))
+    assert(sig(1) == (1, 2L, 0L, 500000L, 0L, 500000L))
+    intercept[IllegalArgumentException] {
+      AnnStreams.refitSignal(spark, path, recentBatches = 0)
+    }
+  }
+
   test("compactIvf consolidates into the seed, preserves clusters, serve unchanged") {
     val path = tmp()
     val corpus = emb.filter(col("vec_id") =!= 0)
