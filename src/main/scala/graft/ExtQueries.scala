@@ -2489,6 +2489,45 @@ object ExtQueries {
     // arithmetic-recomputable fixture as q_image_neardup, so the oracle
     // computes both sides' hashes and the exact cross-slice Hamming
     // pairs in pure SQL.
+    // CONTENT-DEFINED CHUNKING — the storage-layer dedup rung: Gear
+    // rolling-hash boundaries + FNV-1a chunk hashes over the media
+    // payloads (min 64 / avg ~128 / max 512 for the ~3.5 KB BMPs).
+    // Boundaries and hashes are pure public arithmetic, recomputed by
+    // an independent driver loop in GoldenGen (shared primitives: gear
+    // table + FNV only). NULL-safe: blobs are non-null here; the spec
+    // pins null/empty/short-blob behavior.
+    "q_cdc_chunks" -> Q(
+      (s, dir) => Dedup.cdcChunkTable(
+        Multimodal.withGradientImagePayload(
+          table(s, dir, "documents").select("doc_id").repartition(32),
+          "doc_id"),
+        "doc_id", "payload", minSize = 64, maskBits = 6, maxSize = 512),
+      golden("q_cdc_chunks")),
+
+    // The storage-dedup headline over the same chunk table: logical vs
+    // stored bytes under (hash, length)-keyed chunk dedup. Oracle:
+    // plain SQL aggregation over the COMMITTED chunk fixture — the
+    // engine recomputes the chunks, the oracle only has to re-aggregate
+    // them, so a chunking bug fails q_cdc_chunks and a stats bug fails
+    // here.
+    "q_storage_dedup" -> Q(
+      (s, dir) => Dedup.cdcDedupStats(Dedup.cdcChunkTable(
+        Multimodal.withGradientImagePayload(
+          table(s, dir, "documents").select("doc_id").repartition(32),
+          "doc_id"),
+        "doc_id", "payload", minSize = 64, maskBits = 6, maxSize = 512)),
+      Some("""
+        WITH g AS (SELECT hash, length, CAST(count(*) AS BIGINT) AS n
+                   FROM read_parquet(
+                     '/root/repo/src/test/resources/golden/q_cdc_chunks/*.parquet')
+                   GROUP BY 1, 2)
+        SELECT CAST(sum(n * length) AS BIGINT) AS logical_bytes,
+               CAST(sum(length) AS BIGINT) AS stored_bytes,
+               CAST(sum(n) AS BIGINT) AS n_chunks,
+               CAST(count(*) AS BIGINT) AS n_unique_chunks,
+               CAST(sum(n * length) - sum(length) AS BIGINT) AS saved_bytes
+        FROM g""")),
+
     "q_image_incremental" -> Q(
       (s, dir) => {
         val hashed = Multimodal.dHash64(

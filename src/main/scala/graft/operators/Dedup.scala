@@ -1290,4 +1290,41 @@ object Dedup extends org.apache.spark.internal.Logging {
         .select("new_id", "old_id", "cos")
     }
   }
+
+  // --- Content-defined chunking: the storage-layer dedup rung -------------
+
+  /** The CDC chunk table of a binary column: one row per content-defined
+    * chunk `(id, offset, length, hash)` — Gear rolling-hash boundaries +
+    * FNV-1a content hashes ([[graft.functions.CdcChunks]]; native
+    * codegen'd expression, one compiled pass per blob). This is the
+    * dedup matrix extended to the STORAGE layer: shingles/perceptual
+    * hashes/cosine find similar content, the chunk table finds
+    * byte-identical sub-regions a dedup-aware store keeps once.
+    * NULL blobs contribute no rows (explode drops them); chunking is
+    * embarrassingly parallel — no shuffle until someone aggregates.
+    */
+  def cdcChunkTable(df: DataFrame, idCol: String, binCol: String,
+                    minSize: Int = 2048, maskBits: Int = 11,
+                    maxSize: Int = 65536): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(graft.functions.CdcChunks.column(col(binCol),
+          minSize, maskBits, maxSize)).as("__c"))
+      .select(col("id"), col("__c.offset").as("offset"),
+        col("__c.length").as("length"), col("__c.hash").as("hash"))
+
+  /** The storage-dedup headline over a [[cdcChunkTable]]: logical bytes
+    * (every copy), stored bytes (each distinct `(hash, length)` chunk
+    * once — the length in the key guards FNV collisions across lengths),
+    * chunk counts, and the saved-bytes delta. One map-combined aggregate
+    * over the chunk table, then a one-row reduce — the "what would a
+    * dedup-aware store save on this corpus" number.
+    */
+  def cdcDedupStats(chunks: DataFrame): DataFrame =
+    chunks.groupBy("hash", "length")
+      .agg(count(lit(1)).as("__n"))
+      .agg(sum(expr("__n * length")).as("logical_bytes"),
+        sum(col("length")).as("stored_bytes"),
+        sum(col("__n")).as("n_chunks"),
+        count(lit(1)).as("n_unique_chunks"))
+      .withColumn("saved_bytes", col("logical_bytes") - col("stored_bytes"))
 }

@@ -570,6 +570,42 @@ object GoldenGen {
       .sortBy { case (id, c) => (-c, id) }.take(10)
     write(ivfPqRerank.toDF("vec_id", "cos"), "q_ann_ivfpq_rerank")
 
+    // ---- q_cdc_chunks: content-defined chunking over media payloads ---
+    // Blobs come from the SAME payload fixture generator the media rows
+    // gate against (lossless codecs, pure-arithmetic rasters); the
+    // boundary scan is recomputed here as a PLAIN DRIVER LOOP sharing
+    // only the hash primitives (gear table + FNV-1a — the algorithm
+    // definitions), so any distribution/explode/boundary bug in the
+    // engine's expression fails the gate. Battery params: 64/6/512.
+    val blobs: Array[(Long, Array[Byte])] =
+      graft.operators.Multimodal.withGradientImagePayload(
+          docsDf.select("doc_id"), "doc_id")
+        .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    val cdcRows = blobs.flatMap { case (id, b) =>
+      val minSize = 64; val maskBits = 6; val maxSize = 512
+      val mask = (1L << maskBits) - 1L
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var start = 0
+      var h = 0L
+      var i = 0
+      while (i < b.length) {
+        h = (h << 1) + graft.functions.CdcChunks.gear(b(i) & 0xff)
+        val len = i - start + 1
+        if ((len >= minSize && (h & mask) == 0L) || len == maxSize) {
+          chunks += ((id, start.toLong, len.toLong,
+            graft.functions.CdcChunks.fnv1a64(b, start, i + 1)))
+          start = i + 1
+          h = 0L
+        }
+        i += 1
+      }
+      if (start < b.length)
+        chunks += ((id, start.toLong, (b.length - start).toLong,
+          graft.functions.CdcChunks.fnv1a64(b, start, b.length)))
+      chunks
+    }
+    write(cdcRows.toSeq.toDF("id", "offset", "length", "hash"), "q_cdc_chunks")
+
     spark.stop()
   }
 }
