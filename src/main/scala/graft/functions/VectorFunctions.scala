@@ -59,7 +59,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object CosineSimilarity {
   /** Shared by interpreted eval and generated code. */
   def compute(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    // fail LOUD on a dimension mismatch (same contract as PqEncodeCodes):
+    // truncating to the shorter side would silently score a wrong-dimension
+    // vector — the quietly-wrong failure the type check warns against
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim: vector dims differ (${x.numElements()} vs " +
+          s"${y.numElements()}) — mixed-dimension corpus or wrong query vector")
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -121,7 +128,12 @@ case class Int8DotProduct(left: Expression, right: Expression)
 object Int8DotProduct {
   /** Shared by interpreted eval and generated code. */
   def compute(x: ArrayData, y: ArrayData): Long = {
-    val n = math.min(x.numElements(), y.numElements())
+    // fail LOUD on a dimension mismatch (same contract as PqEncodeCodes)
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"int8_dot: vector dims differ (${x.numElements()} vs " +
+          s"${y.numElements()}) — mixed-dimension corpus or wrong query vector")
+    val n = x.numElements()
     var s = 0L
     var i = 0
     while (i < n) {
@@ -176,7 +188,14 @@ case class SquaredL2Distance(left: Expression, right: Expression)
 object SquaredL2Distance {
   /** Shared by interpreted eval and generated code. */
   def compute(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    // fail LOUD on a dimension mismatch: a wrong-dimension vector in the
+    // streaming IVF loop would otherwise get a truncated distance and be
+    // silently assigned to a wrong cluster (same contract as PqEncodeCodes)
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"sq_l2: vector dims differ (${x.numElements()} vs " +
+          s"${y.numElements()}) — mixed-dimension vector or wrong centroid")
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {

@@ -367,9 +367,13 @@ object Lake {
   def fileStats(spark: org.apache.spark.sql.SparkSession, path: String,
                 smallFileBytes: Long = 8L << 20): DataFrame = {
     import spark.implicits._
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(root), s"$path does not exist")
+    val rawRoot = new org.apache.hadoop.fs.Path(path)
+    val fs = rawRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(rawRoot), s"$path does not exist")
+    // qualify FIRST: listStatus returns fully-qualified absolute paths, so
+    // a relative input root would never strip and every partition would
+    // report its full absolute directory instead of the relative leaf
+    val root = fs.makeQualified(rawRoot)
     val rootStr = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(root).toString
     def walk(dir: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
       fs.listStatus(dir).toSeq.flatMap { s =>

@@ -345,9 +345,14 @@ object Profile {
 
   /** The drift headline: total-variation distance over the ppm-quantized
     * shares, `Σ|share_a − share_b| div 2` — 0 = identical mixes,
-    * 1 000 000 = disjoint supports. One row; alert when it crosses the
-    * rebalance/re-fit threshold (e.g. the IVF re-fit decision that
-    * [[graft.streaming.AnnStreams.ivfOccupancy]] feeds).
+    * ~1 000 000 = disjoint supports. BEWARE the floor-quantization
+    * deficit: each side's floored ppm shares can sum up to
+    * |categories| ppm below 10⁶ (three disjoint thirds per side give
+    * 999 999), so disjoint supports report 10⁶ − O(|categories|), not
+    * exactly 10⁶ — set alert thresholds strictly below 10⁶ (a
+    * `>= 1_000_000` alert can never fire). One row; alert when it
+    * crosses the rebalance/re-fit threshold (e.g. the IVF re-fit
+    * decision that [[graft.streaming.AnnStreams.ivfOccupancy]] feeds).
     */
   def totalVariationPpm(a: DataFrame, b: DataFrame, catCol: Column,
                         groupCols: Seq[String] = Nil): DataFrame = {

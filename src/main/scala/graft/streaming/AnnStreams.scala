@@ -217,7 +217,15 @@ object AnnStreams {
                   recentBatches: Int = 1): DataFrame = {
     require(recentBatches >= 1, "refitSignal: recentBatches must be >= 1")
     val t = spark.read.parquet(assignedPath)
-    val maxBatch = t.agg(max(col("__batch_id").cast("long"))).head().getLong(0)
+    // read max(__batch_id) as nullable: an assigned path with no published
+    // batches (seed only, or all-NULL ids) must report "no drift signal"
+    // cleanly, not NPE on getLong
+    val maxRow = t.agg(max(col("__batch_id").cast("long"))).head()
+    if (maxRow.isNullAt(0))
+      return graft.operators.Profile.categoricalDrift(
+          t.limit(0), t.limit(0), col("__cluster").cast("int"))
+        .withColumnRenamed("category", "cluster")
+    val maxBatch = maxRow.getLong(0)
     val cut = maxBatch - recentBatches
     graft.operators.Profile.categoricalDrift(
         t.filter(col("__batch_id").cast("long") <= cut),
