@@ -3714,6 +3714,59 @@ object ExtQueries {
     * co-purchase graph. The arithmetic is floor division on non-negative
     * longs at every step, so both engines produce identical bits.
     */
+  /** DuckDB twin of the quantile sketch's dyadic-node md5 bucket
+    * (`Profile.qNodeItem` + `cmsBucket`): bucket of node (level, prefix)
+    * for hash row r — `md5("l@prefix:r")`, first 8 hex chars as BIGINT,
+    * mod width. All three operands arrive as SQL expressions.
+    */
+  private def qsketchBucketSql(l: String, p: String, r: String,
+                               width: Int): String =
+    s"CAST(('0x' || substring(md5(CAST($l AS VARCHAR) || '@' || " +
+      s"CAST($p AS VARCHAR) || ':' || CAST($r AS VARCHAR)), 1, 8)) " +
+      s"AS BIGINT) % $width"
+
+  /** The quantile-walk oracle: recomputes the (merged) sketch from the
+    * raw data, then replays `Profile.quantileEstimate`'s dyadic descent
+    * as `levels` chained CTE steps — at each level the LEFT child's CMS
+    * estimate (min over depth hash rows) decides the branch, identical
+    * integer arithmetic to the engine's driver-side walk.
+    */
+  private def qsketchQuantilesOracleSql(levels: Int, depth: Int, width: Int,
+                                        qs: Seq[Long]): Option[String] = {
+    // every step references its predecessor TWICE (le + the carry), so
+    // un-materialized CTE inlining would re-expand the whole chain
+    // 2^levels times — MATERIALIZED pins each step to one evaluation
+    val steps = (levels - 1 to 0 by -1).map { l =>
+      s"""le$l AS MATERIALIZED (SELECT w.q, MIN(COALESCE(c.cnt, 0)) AS le
+           FROM w${l + 1} w CROSS JOIN range($depth) r(i)
+           LEFT JOIN cms c ON c.l = $l AND c.r = r.i
+             AND c.b = ${qsketchBucketSql(l.toString, "(2 * w.p)", "r.i", width)}
+           GROUP BY 1),
+         w$l AS MATERIALIZED (SELECT w.q, w.t,
+            CAST(CASE WHEN w.t <= w.racc + e.le THEN 2 * w.p
+                 ELSE 2 * w.p + 1 END AS BIGINT) AS p,
+            CAST(CASE WHEN w.t <= w.racc + e.le THEN w.racc
+                 ELSE w.racc + e.le END AS BIGINT) AS racc
+          FROM w${l + 1} w JOIN le$l e ON e.q = w.q)"""
+    }.mkString(",\n")
+    Some(s"""
+      WITH vals AS (SELECT CAST(length(text) AS BIGINT) AS v FROM documents),
+      cms AS MATERIALIZED (SELECT l.i AS l, r.i AS r,
+          ${qsketchBucketSql("l.i", "(v >> l.i)", "r.i", width)} AS b,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM vals CROSS JOIN range($levels) l(i) CROSS JOIN range($depth) r(i)
+        GROUP BY 1, 2, 3),
+      ntab AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cms
+               WHERE l = 0 AND r = 0),
+      qs AS (SELECT CAST(unnest([${qs.mkString(", ")}]) AS BIGINT) AS q),
+      w$levels AS MATERIALIZED (SELECT q, GREATEST(1, (n * q) // 1000000) AS t,
+          CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS racc
+        FROM qs CROSS JOIN ntab),
+      $steps
+      SELECT w.q AS q_ppm, w.p AS value, n.n AS n
+      FROM w0 w CROSS JOIN ntab n""")
+  }
+
   private def pagerankOracleSql(iters: Int): Option[String] = {
     val q = 1L << 40
     val rounds = (1 to iters).map { k =>
@@ -3860,6 +3913,68 @@ object ExtQueries {
           LEFT JOIN cms c ON c.lang = l.lang AND c.r = pr.r AND c.b = pr.b)
         SELECT lang, item, CAST(min(cnt) AS BIGINT) AS est
         FROM j GROUP BY 1, 2""")),
+
+    // QUANTILE SKETCH (dyadic CMS) — the rank/quantile member of the
+    // sketch family. Per-(lang, part) sketches merged to per-lang
+    // (GROUP BY SUM exact algebra, so the oracle recomputes the merged
+    // sketch directly from the data), then rank estimates via the
+    // left-sibling dyadic decomposition — both sides pure md5-convention
+    // integer arithmetic, bit-identical.
+    "q_qsketch_rank" -> Q(
+      (s, dir) => {
+        val vals = table(s, dir, "documents")
+          .select(col("lang"), (col("doc_id") % 4).as("part"),
+            length(col("text")).cast("long").as("v"))
+        val sliced = graft.operators.Profile.quantileSketch(
+          vals, col("v"), levels = 12, depth = 3, width = 64,
+          sliceCols = Seq("lang", "part"))
+        val merged = graft.operators.Profile.quantileSketchMerge(
+          sliced, Seq("lang"))
+        graft.operators.Profile.quantileRank(
+          merged, Seq(64L, 128L, 256L, 512L, 1024L),
+          levels = 12, depth = 3, width = 64, sliceCols = Seq("lang"))
+      },
+      Some(s"""
+        WITH vals AS (SELECT lang, CAST(length(text) AS BIGINT) AS v FROM documents),
+        cms AS (SELECT lang, l.i AS l, r.i AS r,
+            ${qsketchBucketSql("l.i", "(v >> l.i)", "r.i", 64)} AS b,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM vals CROSS JOIN range(12) l(i) CROSS JOIN range(3) r(i)
+          GROUP BY 1, 2, 3, 4),
+        probes AS (SELECT CAST(unnest([64, 128, 256, 512, 1024]) AS BIGINT) AS value),
+        nodes AS (SELECT p.value, l.i AS l, r.i AS r,
+            ${qsketchBucketSql("l.i", "((p.value >> l.i) - 1)", "r.i", 64)} AS b
+          FROM probes p CROSS JOIN range(12) l(i) CROSS JOIN range(3) r(i)
+          WHERE ((p.value >> l.i) & 1) = 1),
+        langs AS (SELECT DISTINCT lang FROM cms),
+        ne AS (SELECT lg.lang, n.value, n.l, MIN(COALESCE(c.cnt, 0)) AS ne
+          FROM langs lg CROSS JOIN nodes n
+          LEFT JOIN cms c ON c.lang = lg.lang AND c.l = n.l
+            AND c.r = n.r AND c.b = n.b
+          GROUP BY 1, 2, 3)
+        SELECT lang, value, CAST(SUM(ne) AS BIGINT) AS est_rank
+        FROM ne GROUP BY 1, 2""")),
+
+    // The quantile-ESTIMATE twin: per-part sketches merged global, then
+    // the integer dyadic-tree descent (t = max(1, N·q div 10⁶); left
+    // child's CMS estimate decides the branch). The oracle replays the
+    // walk as `levels` chained CTE steps — same arithmetic, same md5
+    // buckets, bit-identical values.
+    "q_qsketch_quantiles" -> Q(
+      (s, dir) => {
+        val vals = table(s, dir, "documents")
+          .select((col("doc_id") % 4).as("part"),
+            length(col("text")).cast("long").as("v"))
+        val sliced = graft.operators.Profile.quantileSketch(
+          vals, col("v"), levels = 12, depth = 3, width = 64,
+          sliceCols = Seq("part"))
+        val merged = graft.operators.Profile.quantileSketchMerge(sliced)
+        graft.operators.Profile.quantileEstimate(
+          merged, Seq(250000L, 500000L, 750000L, 990000L),
+          levels = 12, depth = 3, width = 64)
+      },
+      qsketchQuantilesOracleSql(levels = 12, depth = 3, width = 64,
+        qs = Seq(250000L, 500000L, 750000L, 990000L))),
 
     // CATEGORICAL DRIFT between two corpus slices (the snapshot-over-
     // snapshot monitor): per-category counts, ppm-quantized shares

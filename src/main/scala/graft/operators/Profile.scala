@@ -1,9 +1,25 @@
 package graft.operators
 
 import graft.functions.TopN
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.expressions.RowOrdering
 import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Driver-side twin of [[Profile]]'s md5 bucket convention
+  * (`conv(substring(md5("item:r"), 1, 8), 16, 10) % width`) — the
+  * quantile walk runs over the collected bounded sketch and must land in
+  * bit-identical buckets.
+  */
+private[graft] object QuantileSketchHash {
+  def bucket(item: String, r: Int, width: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$item:$r".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % width
+  }
+}
 
 /** One-pass column profiler — the "what is in this table" primitive every
   * 100 TB curation pipeline runs before anything else.
@@ -271,6 +287,191 @@ object Profile {
         .join(sketch, sliceCols ++ Seq("r", "b"), "left")
     joined.groupBy((sliceCols :+ "item").map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  // --- Quantile sketch: dyadic CMS rank/quantile summary ------------------
+
+  /** The dyadic node's CMS item string: `"l@prefix"` — level `l`'s node
+    * covering values `[prefix·2^l, (prefix+1)·2^l)`. Hashed through the
+    * same md5 convention as [[cmsBucket]] (`md5("l@prefix:r")`), so any
+    * engine recomputes identical buckets.
+    */
+  private def qNodeItem(l: Column, prefix: Column): Column =
+    concat(l.cast("string"), lit("@"), prefix.cast("string"))
+
+  /** QUANTILE SKETCH of a non-negative integer metric column, as a TABLE —
+    * the rank/quantile member of the sketch family (HLL counts the
+    * universe, CMS answers point frequencies, Misra–Gries keeps top-k
+    * identities; this answers `rank(x)` and `quantile(q)`). It is the
+    * classic dyadic range-count decomposition over a CMS
+    * (Cormode–Muthukrishnan '05 §4.2): one CMS per dyadic LEVEL
+    * `l ∈ [0, levels)`, where value `v` contributes node `v >> l` at
+    * level `l`; any rank query decomposes into ≤ `levels` node lookups.
+    *
+    * CHOSEN OVER KLL/GK deliberately: their compactions are sequential
+    * (KLL randomized, GK order-dependent), so two engines — or two
+    * partition orders — produce different summaries. Here the sketch is
+    * a pure function of the VALUE MULTISET via public hash arithmetic:
+    * deterministic under any partitioning, merge is exact `GROUP BY SUM`
+    * algebra ([[quantileSketchMerge]]), and the DuckDB oracle recomputes
+    * it bit-for-bit from the md5 convention — the [[cmsSketch]]
+    * discipline, which a random-compaction sketch cannot satisfy.
+    *
+    * Bounded state: ≤ `levels·depth·width` counter rows per slice no
+    * matter how many rows stream past; map-side combine bounds the
+    * shuffle the same way. Rank overestimates are one-sided (CMS never
+    * undercounts), at most `levels·ε·N` with width = ⌈e/ε⌉ per level.
+    *
+    * Domain contract: metric values must lie in `[0, 2^levels)` — an
+    * out-of-range value fails LOUD (a silent clamp would corrupt every
+    * rank above it). NULL metrics are skipped, matching [[cmsSketch]].
+    */
+  def quantileSketch(df: DataFrame, metricCol: Column, levels: Int,
+                     depth: Int, width: Int,
+                     sliceCols: Seq[String] = Nil): DataFrame = {
+    require(levels >= 1 && levels <= 62, "quantileSketch: levels in [1, 62]")
+    require(depth >= 1 && width >= 1, "quantileSketch: depth and width must be >= 1")
+    val bound = 1L << levels
+    val v = when(metricCol.cast("long") >= 0 && metricCol.cast("long") < bound,
+        metricCol.cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"quantileSketch: metric value out of domain [0, $bound): "),
+        metricCol.cast("string"))).cast("long"))
+    val nodes = for (l <- 0 until levels; r <- 0 until depth) yield
+      struct(lit(l).as("l"), lit(r).as("r"),
+        cmsBucket(qNodeItem(lit(l), shiftright(v, l)), lit(r), width).as("b"))
+    df.filter(metricCol.isNotNull)
+      .select(sliceCols.map(col) :+ explode(array(nodes: _*)).as("__n"): _*)
+      .select(sliceCols.map(col) :+ col("__n.l") :+ col("__n.r") :+ col("__n.b"): _*)
+      .groupBy((sliceCols :+ "l" :+ "r" :+ "b").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge [[quantileSketch]] tables built over disjoint slices
+    * (optionally re-grouped coarser; `Nil` → one global sketch): counters
+    * ADD, so the merged sketch equals the sketch of the concatenated
+    * data bit for bit — the same exact algebra as [[cmsMerge]].
+    */
+  def quantileSketchMerge(sketches: DataFrame,
+                          groupCols: Seq[String] = Nil): DataFrame =
+    sketches.groupBy((groupCols :+ "l" :+ "r" :+ "b").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Rank estimates (`#values < x`, one-sided overestimate) for probe
+    * values against a [[quantileSketch]]: `[0, x)` decomposes into the
+    * LEFT SIBLINGS along x's root-to-leaf path — for every set bit `l`
+    * of `x`, the level-`l` node `(x >> l) − 1` — and the estimate is the
+    * sum of those ≤ `levels` CMS point lookups (min over `depth` hash
+    * rows each; a missing bucket row is an untouched counter = 0). The
+    * probe side is `|probes|·levels·depth` rows — sketch-sized, never
+    * data-sized. Output: (slice…, value, est_rank).
+    */
+  def quantileRank(sketch: DataFrame, probes: Seq[Long], levels: Int,
+                   depth: Int, width: Int,
+                   sliceCols: Seq[String] = Nil): DataFrame = {
+    require(probes.nonEmpty, "quantileRank: no probe values")
+    // strictly below 2^levels: a probe of exactly 2^levels would need the
+    // (unstored) level-`levels` root node and silently report rank 0
+    require(probes.forall(p => p >= 0 && p < (1L << levels)),
+      s"quantileRank: probes must lie in [0, 2^levels=${1L << levels})")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    // (value, l, r, b) for every left sibling of every probe
+    val probeNodes = probes.toDF("value")
+      .withColumn("l", explode(sequence(lit(0), lit(levels - 1))))
+      .filter(expr("shiftright(value, l)").bitwiseAND(1) === 1)
+      .withColumn("r", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("b", cmsBucket(
+        qNodeItem(col("l"), expr("shiftright(value, l)") - 1),
+        col("r"), width))
+    val joined =
+      if (sliceCols.isEmpty) probeNodes.join(sketch, Seq("l", "r", "b"), "left")
+      else probeNodes
+        .crossJoin(sketch.select(sliceCols.map(col): _*).distinct())
+        .join(sketch, sliceCols ++ Seq("l", "r", "b"), "left")
+    // per (slice, value, node level): CMS min over hash rows; then sum the
+    // node estimates. A probe with NO set bits (x = 0) has rank 0 by
+    // definition — reattach via the probe list so it is not silently lost.
+    val nodeEst = joined
+      .groupBy((sliceCols :+ "value" :+ "l").map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("__ne"))
+    val summed = nodeEst.groupBy((sliceCols :+ "value").map(col): _*)
+      .agg(sum(col("__ne")).as("est_rank"))
+    val allProbes =
+      if (sliceCols.isEmpty) probes.toDF("value")
+      else probes.toDF("value")
+        .crossJoin(sketch.select(sliceCols.map(col): _*).distinct())
+    allProbes.join(summed, sliceCols :+ "value", "left")
+      .select((sliceCols :+ "value").map(col) :+
+        coalesce(col("est_rank"), lit(0L)).as("est_rank"): _*)
+  }
+
+  /** Quantile ESTIMATES for ppm-quantized fractions against a
+    * [[quantileSketch]]: per slice, descend the dyadic tree from the
+    * root — at each level compare the target rank against the running
+    * rank plus the LEFT child's CMS estimate, go left or right — and the
+    * level-0 prefix reached is the value estimate. Integer end-to-end
+    * (`t = max(1, N·q_ppm div 10⁶)`, the ppm discipline), so the walk is
+    * bit-reproducible and the DuckDB oracle mirrors it as `levels`
+    * chained CTE steps.
+    *
+    * The sketch is BOUNDED state (≤ levels·depth·width rows per slice),
+    * so it collects to the driver and walks in memory — the small-k
+    * centroid-load precedent, never a data-sized collect. `N` per slice
+    * is exact: level-0 row-0 counters partition the inserted values.
+    * Output: (slice…, q_ppm, value, n). Empty sketch → empty output.
+    */
+  def quantileEstimate(sketch: DataFrame, qPpms: Seq[Long], levels: Int,
+                       depth: Int, width: Int,
+                       sliceCols: Seq[String] = Nil): DataFrame = {
+    require(qPpms.nonEmpty, "quantileEstimate: no quantiles")
+    require(qPpms.forall(q => q >= 1 && q <= 1000000),
+      "quantileEstimate: q_ppm in [1, 1000000]")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val rows = sketch
+      .select(sliceCols.map(col) ++ Seq(col("l").cast("int"),
+        col("r").cast("int"), col("b").cast("long"),
+        col("cnt").cast("long")): _*)
+      .collect()
+    val bySlice = rows.groupBy(r => sliceCols.indices.map(r.get).toSeq)
+    val out = bySlice.toSeq.flatMap { case (sliceKey, rs) =>
+      val cnts: Map[(Int, Int, Long), Long] = rs.map { r =>
+        val base = sliceCols.length
+        ((r.getInt(base), r.getInt(base + 1), r.getLong(base + 2)),
+          r.getLong(base + 3))
+      }.toMap
+      def est(l: Int, p: Long): Long =
+        (0 until depth).map { r =>
+          cnts.getOrElse((l, r, QuantileSketchHash.bucket(s"$l@$p", r, width)), 0L)
+        }.min
+      val n = rs.filter { r =>
+        r.getInt(sliceCols.length) == 0 && r.getInt(sliceCols.length + 1) == 0
+      }.map(_.getLong(sliceCols.length + 3)).sum
+      qPpms.map { q =>
+        val t = math.max(1L, (n * q) / 1000000L)
+        var p = 0L
+        var racc = 0L
+        var l = levels - 1
+        while (l >= 0) {
+          val leftEst = est(l, 2 * p)
+          if (t <= racc + leftEst) p = 2 * p
+          else { racc += leftEst; p = 2 * p + 1 }
+          l -= 1
+        }
+        Row.fromSeq(sliceKey ++ Seq(q, p, n))
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      sliceCols.map(c => sketch.schema(c)) ++ Seq(
+        org.apache.spark.sql.types.StructField("q_ppm",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](out.asJava), schema)
   }
 
   /** CATEGORICAL DRIFT between two corpus slices — the snapshot-over-

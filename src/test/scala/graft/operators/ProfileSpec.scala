@@ -327,4 +327,105 @@ class ProfileSpec extends SparkSpec {
       Profile.numericDrift(a, b, col("v"), k = 1)
     }
   }
+
+  test("quantileSketch: dyadic node mirror, one-sided rank, merge is exact algebra") {
+    val levels = 8; val depth = 3; val width = 512
+    val vals: Seq[Long] = (0L until 100L) ++ Seq(5L, 5L, 50L, 50L, 50L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i % 2, v) }
+      .toDF("slice", "v")
+    val sk = Profile.quantileSketch(df, col("v"), levels, depth, width)
+
+    // driver mirror of the whole sketch table from the md5 convention
+    val counters = vals
+      .flatMap(v => for (l <- 0 until levels; r <- 0 until depth)
+        yield (l, r, cmsBucketRef(s"$l@${v >> l}", r, width)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = sk.as[(Int, Int, Long, Long)].collect()
+      .map { case (l, r, b, c) => ((l, r, b), c) }.toMap
+    assert(got == counters)
+
+    // rank estimates == left-sibling decomposition mirror, never below truth
+    val probes = Seq(0L, 1L, 7L, 50L, 99L, 100L, 255L)
+    val est = Profile.quantileRank(sk, probes, levels, depth, width)
+      .as[(Long, Long)].collect().toMap
+    def mirrorRank(x: Long): Long =
+      (0 until levels).filter(l => ((x >> l) & 1) == 1).map { l =>
+        (0 until depth).map(r => counters.getOrElse(
+          (l, r, cmsBucketRef(s"$l@${(x >> l) - 1}", r, width)), 0L)).min
+      }.sum
+    probes.foreach { x =>
+      assert(est(x) == mirrorRank(x), s"mirror mismatch at $x")
+      assert(est(x) >= vals.count(_ < x), s"under-count at $x")
+    }
+    assert(est(0L) == 0L)
+    assert(est(255L) >= vals.size) // everything is < 255 except nothing
+
+    // merge algebra: per-slice sketches summed == the direct global sketch
+    val sliced = Profile.quantileSketch(df, col("v"), levels, depth, width,
+      sliceCols = Seq("slice"))
+    val merged = Profile.quantileSketchMerge(sliced)
+      .as[(Int, Int, Long, Long)].collect().sorted.toSeq
+    assert(merged == sk.as[(Int, Int, Long, Long)].collect().sorted.toSeq)
+  }
+
+  test("quantileEstimate: uniform slices land near true quantiles, exact N, empty in → empty out") {
+    val levels = 10; val depth = 3; val width = 256
+    val df = (0L until 1000L).map(v => (if (v < 500) 0 else 1, v))
+      .toDF("slice", "v")
+    val sk = Profile.quantileSketch(df, col("v"), levels, depth, width)
+    val qs = Seq(250000L, 500000L, 750000L, 990000L)
+    val out = Profile.quantileEstimate(sk, qs, levels, depth, width)
+      .as[(Long, Long, Long)].collect()
+    assert(out.forall(_._3 == 1000L)) // N is exact, not estimated
+    val byQ = out.map(r => r._1 -> r._2).toMap
+    assert(math.abs(byQ(250000L) - 250L) <= 30, s"p25 ${byQ(250000L)}")
+    assert(math.abs(byQ(500000L) - 500L) <= 30, s"p50 ${byQ(500000L)}")
+    assert(math.abs(byQ(750000L) - 750L) <= 30, s"p75 ${byQ(750000L)}")
+    assert(math.abs(byQ(990000L) - 990L) <= 30, s"p99 ${byQ(990000L)}")
+
+    // per-slice: slice 0 holds 0..499, slice 1 holds 500..999
+    val sliced = Profile.quantileSketch(df, col("v"), levels, depth, width,
+      sliceCols = Seq("slice"))
+    val perSlice = Profile.quantileEstimate(sliced, Seq(500000L), levels,
+      depth, width, sliceCols = Seq("slice"))
+      .as[(Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(math.abs(perSlice(0) - 250L) <= 30, s"slice0 ${perSlice(0)}")
+    assert(math.abs(perSlice(1) - 750L) <= 30, s"slice1 ${perSlice(1)}")
+
+    // empty sketch → empty output (not an error, not a fabricated zero)
+    val empty = Profile.quantileSketch(df.filter(col("v") < 0), col("v"),
+      levels, depth, width)
+    assert(Profile.quantileEstimate(empty, qs, levels, depth, width).isEmpty)
+  }
+
+  test("quantileSketch: NULL metrics skipped, out-of-domain fails loud, param guards") {
+    val df = Seq(Some(5L), None, Some(7L)).toDF("v")
+    val sk = Profile.quantileSketch(df, col("v"), 4, 2, 8)
+    assert(sk.agg(sum("cnt")).as[Long].head() == 2L * 4 * 2)
+
+    def domainError(vals: Seq[Long]): Unit = {
+      val e = intercept[Throwable] {
+        Profile.quantileSketch(vals.toDF("v"), col("v"), 4, 2, 8).collect()
+      }
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("out of domain"), msgs)
+    }
+    domainError(Seq(16L)) // levels=4 → domain [0, 16)
+    domainError(Seq(-1L))
+
+    intercept[IllegalArgumentException](
+      Profile.quantileSketch(df, col("v"), 0, 2, 8))
+    intercept[IllegalArgumentException](
+      Profile.quantileSketch(df, col("v"), 63, 2, 8))
+    intercept[IllegalArgumentException](
+      Profile.quantileRank(sk, Nil, 4, 2, 8))
+    intercept[IllegalArgumentException](
+      Profile.quantileRank(sk, Seq(16L), 4, 2, 8)) // probe must be < 2^levels
+    intercept[IllegalArgumentException](
+      Profile.quantileEstimate(sk, Seq(0L), 4, 2, 8)) // q_ppm >= 1
+    intercept[IllegalArgumentException](
+      Profile.quantileEstimate(sk, Seq(1000001L), 4, 2, 8))
+  }
 }
