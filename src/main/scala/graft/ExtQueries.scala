@@ -2528,6 +2528,40 @@ object ExtQueries {
                CAST(sum(n * length) - sum(length) AS BIGINT) AS saved_bytes
         FROM g""")),
 
+    // INCREMENTAL storage dedup — the daily-ingest shape for the chunk
+    // store: the new slice (doc_id >= 250) is chunked and probes the
+    // history slice's persisted (hash, length) index; every batch chunk
+    // is annotated hit (in history) / first (new key's first occurrence
+    // — the chunk a store writes) / dup (intra-batch repeat). History is
+    // scanned never shuffled (batch keys broadcast into a left-semi
+    // probe — the incrementalHammingPairs plan). Oracle: re-derives the
+    // same labels from the COMMITTED chunk fixture — the engine
+    // recomputes both sides' chunks, the oracle only re-labels.
+    "q_cdc_incremental" -> Q(
+      (s, dir) => {
+        val blobs = Multimodal.withGradientImagePayload(
+          table(s, dir, "documents").select("doc_id").repartition(32),
+          "doc_id")
+        val history = Dedup.cdcChunkTable(
+          blobs.filter(col("doc_id") < 250), "doc_id", "payload",
+          minSize = 64, maskBits = 6, maxSize = 512)
+        Dedup.incrementalCdcChunks(
+          blobs.filter(col("doc_id") >= 250), "doc_id", "payload", history,
+          minSize = 64, maskBits = 6, maxSize = 512)
+      },
+      Some("""
+        WITH all_c AS (SELECT * FROM read_parquet(
+            '/root/repo/src/test/resources/golden/q_cdc_chunks/*.parquet')),
+        hist AS (SELECT DISTINCT hash, length FROM all_c WHERE id < 250),
+        batch AS (SELECT *, row_number() OVER (PARTITION BY hash, length
+              ORDER BY id, "offset") AS rn
+            FROM all_c WHERE id >= 250)
+        SELECT b.id, b."offset" AS "offset", b.length, b.hash,
+          CASE WHEN h.hash IS NOT NULL THEN 'hit'
+               WHEN b.rn = 1 THEN 'first' ELSE 'dup' END AS status
+        FROM batch b LEFT JOIN hist h
+          ON b.hash = h.hash AND b.length = h.length""")),
+
     "q_image_incremental" -> Q(
       (s, dir) => {
         val hashed = Multimodal.dHash64(

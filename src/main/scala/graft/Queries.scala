@@ -445,6 +445,10 @@ object Queries {
              WHERE rn = 1""")),
   )
 
+  // DuckDB mirror of TextFunctions.tokens (the ExtQueries convention)
+  private val sqlTokensQ =
+    raw"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0)"
+
   private val sqlSurfaceQueries: Seq[(String, Q)] = Seq(
     // The SAME engine through the SQL-only table-valued function surface:
     // evaluate_rule splices the library's logical plan into a spark.sql
@@ -493,6 +497,74 @@ object Queries {
       },
       Some("""SELECT * FROM customer WHERE c_acctbal > 9000
              UNION SELECT * FROM customer WHERE c_mktsegment = 'MACHINERY'""")),
+
+    // EXTENSION-TIER TVFs: the pipeline operators behind plain SQL —
+    // same analysis-time plan-splice machinery as evaluate_rule, so each
+    // row is gated against the SAME oracle as its DataFrame-API twin
+    // (identical plan → identical bits).
+    "q_sql_tvf_drift" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = table(s, dir, "documents")
+        docs.filter(col("doc_id") % 3 === 0).createOrReplaceTempView("docs_old_v")
+        docs.filter(col("doc_id") % 3 =!= 0).createOrReplaceTempView("docs_new_v")
+        s.sql("SELECT * FROM graft_drift('docs_old_v', 'docs_new_v', 'source')")
+      },
+      Some("""
+        WITH a AS (SELECT source AS category, CAST(count(*) AS BIGINT) AS c
+                   FROM documents WHERE doc_id % 3 = 0 GROUP BY 1),
+        b AS (SELECT source AS category, CAST(count(*) AS BIGINT) AS c
+              FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1),
+        ta AS (SELECT sum(c) AS t FROM a), tb AS (SELECT sum(c) AS t FROM b)
+        SELECT COALESCE(a.category, b.category) AS category,
+          COALESCE(a.c, CAST(0 AS BIGINT)) AS cnt_a,
+          COALESCE(b.c, CAST(0 AS BIGINT)) AS cnt_b,
+          CAST(COALESCE(a.c, 0) * 1000000 // ta.t AS BIGINT) AS share_a_ppm,
+          CAST(COALESCE(b.c, 0) * 1000000 // tb.t AS BIGINT) AS share_b_ppm,
+          CAST(abs(COALESCE(a.c, 0) * 1000000 // ta.t
+                 - COALESCE(b.c, 0) * 1000000 // tb.t) AS BIGINT) AS diff_ppm
+        FROM a FULL OUTER JOIN b ON a.category IS NOT DISTINCT FROM b.category
+        CROSS JOIN ta CROSS JOIN tb""")),
+
+    "q_sql_tvf_dedup" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        table(s, dir, "documents").createOrReplaceTempView("documents_v")
+        s.sql("""SELECT * FROM
+          graft_dedup_pairs('documents_v', 'doc_id', 'text', 'simhash', 3)""")
+      },
+      Some("SELECT * FROM read_parquet('/root/repo/src/test/resources/golden/q_dedup_simhash/*.parquet')")),
+
+    "q_sql_tvf_quality" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        table(s, dir, "documents").createOrReplaceTempView("documents_v")
+        s.sql("SELECT * FROM graft_quality('documents_v', 'doc_id', 'text')")
+      },
+      // the q_quality_rules oracle at the DEFAULT thresholds
+      // (minTokens 50, maxTokens 100000; the rest are shared defaults)
+      Some(raw"""
+        WITH t AS (SELECT doc_id, text, $sqlTokensQ AS toks,
+                     string_split(text, chr(10)) AS ls FROM documents),
+        m AS (SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks) END AS mean_word_len,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / len(toks) END AS symbol_ratio,
+          CAST(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE) / len(ls) AS bullet_frac,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks) END AS alpha_frac,
+          CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','of','to','in','is','it','that'], x))) AS BIGINT) AS stopword_hits
+        FROM t)
+        SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, bullet_frac,
+          alpha_frac, stopword_hits,
+          CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                AND alpha_frac >= 0.8 AND stopword_hits >= 2
+                THEN 1 ELSE 0 END AS INT) AS keep
+        FROM m""")),
   )
 
   private val tagQueries: Seq[(String, Q)] = Seq(

@@ -76,6 +76,7 @@ object GraftFunctions {
         ColumnBridge.registerFunction(spark, name, builder)
       }
       graft.plans.EvaluateRuleTvf.register(spark)
+      graft.plans.GraftTvfs.register(spark)
     }
 }
 

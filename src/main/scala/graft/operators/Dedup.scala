@@ -1327,4 +1327,68 @@ object Dedup extends org.apache.spark.internal.Logging {
         sum(col("__n")).as("n_chunks"),
         count(lit(1)).as("n_unique_chunks"))
       .withColumn("saved_bytes", col("logical_bytes") - col("stored_bytes"))
+
+  /** INCREMENTAL storage dedup — the daily-ingest twin of
+    * [[cdcDedupStats]], completing the dedup matrix's last family
+    * (text/media/video/embeddings all have incremental probes; this is
+    * the chunk-store's): chunk the NEW batch, probe the persisted
+    * `(hash, length)` chunk index of history, and annotate every batch
+    * chunk with what a dedup-aware store would do with it:
+    *
+    *   - `'hit'`   — the `(hash, length)` key exists in history: stored
+    *                 already, write nothing;
+    *   - `'first'` — a new key's FIRST batch occurrence (min `(id,
+    *                 offset)`): this is the chunk the store writes;
+    *   - `'dup'`   — an intra-batch repeat of a `'first'`: deduped
+    *                 against the batch itself.
+    *
+    * Plan shape is the [[incrementalHammingPairs]] discipline: history is
+    * SCANNED, never shuffled — the batch's distinct keys broadcast into a
+    * left-semi probe of the index, and everything after operates on
+    * batch-sized tables. At 100 TB the chunk index is the big side and a
+    * day's ingest the small one; a plan that shuffled the index would be
+    * the bottleneck.
+    */
+  def incrementalCdcChunks(newBlobs: DataFrame, idCol: String,
+                           binCol: String, chunkIndex: DataFrame,
+                           minSize: Int = 2048, maskBits: Int = 11,
+                           maxSize: Int = 65536): DataFrame = {
+    val batch = cdcChunkTable(newBlobs, idCol, binCol,
+      minSize, maskBits, maxSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchKeys = batch.select("hash", "length").distinct()
+    // history scan with the batch keys broadcast: output ≤ |batch keys|
+    val hitKeys = chunkIndex.select("hash", "length")
+      .join(broadcast(batchKeys), Seq("hash", "length"), "left_semi")
+      .distinct()
+    // first batch occurrence per key, window-free: one min(struct) agg
+    val firsts = batch.groupBy("hash", "length")
+      .agg(min(struct(col("id"), col("offset"))).as("__f"))
+      .select(col("hash"), col("length"),
+        col("__f.id").as("__fid"), col("__f.offset").as("__foff"))
+    batch
+      .join(broadcast(hitKeys.withColumn("__hit", lit(1))),
+        Seq("hash", "length"), "left")
+      .join(broadcast(firsts), Seq("hash", "length"))
+      .select(col("id"), col("offset"), col("length"), col("hash"),
+        when(col("__hit").isNotNull, lit("hit"))
+          .when(col("id") === col("__fid") && col("offset") === col("__foff"),
+            lit("first"))
+          .otherwise(lit("dup")).as("status"))
+  }
+
+  /** The ingest headline over an [[incrementalCdcChunks]] table: what the
+    * batch weighed, what hit the store, what deduped within the batch,
+    * and what actually got written. One map-combined aggregate.
+    */
+  def cdcIngestStats(annotated: DataFrame): DataFrame =
+    annotated.agg(
+      count(lit(1)).as("batch_chunks"),
+      sum(col("length")).as("batch_bytes"),
+      sum(when(col("status") === "hit", 1L).otherwise(0L)).as("hit_chunks"),
+      sum(when(col("status") === "hit", col("length")).otherwise(0L)).as("hit_bytes"),
+      sum(when(col("status") === "dup", 1L).otherwise(0L)).as("dup_chunks"),
+      sum(when(col("status") === "dup", col("length")).otherwise(0L)).as("dup_bytes"),
+      sum(when(col("status") === "first", 1L).otherwise(0L)).as("stored_chunks"),
+      sum(when(col("status") === "first", col("length")).otherwise(0L)).as("stored_bytes"))
 }

@@ -1,0 +1,119 @@
+package graft.plans
+
+import graft.operators.{Dedup, Profile, TextStats}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The EXTENSION-TIER pipeline operators as table-valued functions — the
+  * [[EvaluateRuleTvf]] machinery pointed at the LLM-data-pipeline
+  * surface, so SQL-only users reach drift monitoring, near-dup pair
+  * generation, and quality filtering without touching the Scala API:
+  *
+  * {{{
+  * SELECT * FROM graft_drift('old_crawl', 'new_crawl', 'source')
+  * SELECT * FROM graft_dedup_pairs('docs', 'doc_id', 'text', 'simhash')
+  * SELECT * FROM graft_dedup_pairs('docs', 'doc_id', 'text', 'minhash')
+  * SELECT * FROM graft_quality('docs', 'doc_id', 'text')
+  * }}}
+  *
+  * Same contract as `evaluate_rule`: the builder resolves named tables
+  * through the active session at analysis time and splices the
+  * operator's own logical plan into the outer query — SQL users get
+  * exactly the library's semantics and exactly the plans the DataFrame
+  * API produces (pushdown, codegen, AQE, the broadcast-probe shapes),
+  * because it IS the same plan.
+  */
+object GraftTvfs {
+
+  private def stringLit(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def activeSession: SparkSession =
+    SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException("no active SparkSession"))
+
+  /** `graft_drift(tableA, tableB, categoryCol)` →
+    * [[Profile.categoricalDrift]] of the two named tables over the named
+    * category column (counts, exact ppm shares, abs delta).
+    */
+  val graftDrift: Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == 3,
+      "usage: graft_drift('<tableA>', '<tableB>', '<category column>')")
+    val spark = activeSession
+    plan(Profile.categoricalDrift(
+      spark.table(stringLit(args.head, "tableA")),
+      spark.table(stringLit(args(1), "tableB")),
+      col(stringLit(args(2), "category column"))))
+  }
+
+  /** `graft_dedup_pairs(table, idCol, textCol, method[, param])` →
+    * near-duplicate pair table. Methods: `'simhash'` (param =
+    * maxDistance, default 3 — Hamming over 64-bit token simhash,
+    * pigeonhole join) and `'minhash'` (param = threshold percent,
+    * default 70 — banded MinHash-LSH with verified Jaccard ≥ p/100).
+    */
+  val graftDedupPairs: Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == 4 || args.length == 5,
+      "usage: graft_dedup_pairs('<table>', '<id col>', '<text col>', " +
+        "'simhash'|'minhash'[, <int param>])")
+    val spark = activeSession
+    val df = spark.table(stringLit(args.head, "table name"))
+    val id = stringLit(args(1), "id column")
+    val text = stringLit(args(2), "text column")
+    stringLit(args(3), "method") match {
+      case "simhash" =>
+        val d = if (args.length > 4) intLit(args(4), "maxDistance") else 3
+        plan(Dedup.simhashPairs(df, id, text, maxDistance = d))
+      case "minhash" =>
+        val pct = if (args.length > 4) intLit(args(4), "threshold percent") else 70
+        require(pct >= 1 && pct <= 100,
+          "graft_dedup_pairs: threshold percent in [1, 100]")
+        plan(Dedup.minhashPairs(df, id, text, threshold = pct / 100.0))
+      case other => throw new IllegalArgumentException(
+        s"graft_dedup_pairs: unknown method '$other' (simhash | minhash)")
+    }
+  }
+
+  /** `graft_quality(table, idCol, textCol)` →
+    * [[TextStats.qualityRuleSignals]] with the default Gopher/C4-style
+    * thresholds: per-document signals + the keep decision.
+    */
+  val graftQuality: Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == 3,
+      "usage: graft_quality('<table>', '<id col>', '<text col>')")
+    val spark = activeSession
+    plan(TextStats.qualityRuleSignals(
+      spark.table(stringLit(args.head, "table name")),
+      stringLit(args(1), "id column"), stringLit(args(2), "text column")))
+  }
+
+  val all: Map[String, Seq[Expression] => LogicalPlan] = Map(
+    "graft_drift" -> graftDrift,
+    "graft_dedup_pairs" -> graftDedupPairs,
+    "graft_quality" -> graftQuality)
+
+  private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.logical
+
+  /** Session-local runtime registration (invoked by
+    * `GraftFunctions.register` alongside [[EvaluateRuleTvf]]).
+    */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      ColumnBridge.registerTableFunction(spark, name, builder)
+    }
+}

@@ -120,6 +120,61 @@ class CdcChunksSpec extends SparkSpec {
     assert(s.getAs[Long]("n_chunks") >= s.getAs[Long]("n_unique_chunks"))
   }
 
+  test("incrementalCdcChunks: hit/first/dup labels, history scanned not shuffled, stats mirror") {
+    val sharedA = detBytes(1200, seed = 21L) // in history AND in batch
+    val sharedB = detBytes(1200, seed = 22L) // batch-internal duplicate
+    val fresh = detBytes(1200, seed = 23L)
+    val histDf = Seq((1L, sharedA), (2L, detBytes(1200, seed = 24L)))
+      .toDF("id", "payload")
+    val batchDf = Seq((10L, sharedA), (11L, sharedB), (12L, sharedB),
+        (13L, fresh))
+      .toDF("id", "payload")
+    val index = Dedup.cdcChunkTable(histDf, "id", "payload",
+      minSize = 16, maskBits = 5, maxSize = 256)
+    val ann = Dedup.incrementalCdcChunks(batchDf, "id", "payload", index,
+      minSize = 16, maskBits = 5, maxSize = 256)
+    val rows = ann.as[(Long, Long, Long, Long, String)].collect()
+
+    // id 10 re-sends history content: every chunk is a hit
+    assert(rows.filter(_._1 == 10L).forall(_._5 == "hit"))
+    // ids 11/12 share content unseen by history: 11's chunks are first,
+    // 12's are dup (min (id, offset) wins)
+    assert(rows.filter(_._1 == 11L).forall(_._5 == "first"))
+    assert(rows.filter(_._1 == 12L).forall(_._5 == "dup"))
+    // fresh content is all first
+    assert(rows.filter(_._1 == 13L).forall(_._5 == "first"))
+    // driver mirror of the full label set from independent chunkings
+    val histKeys = Dedup.cdcChunkTable(histDf, "id", "payload", 16, 5, 256)
+      .select("hash", "length").as[(Long, Long)].collect().toSet
+    val batchChunks = Dedup.cdcChunkTable(batchDf, "id", "payload", 16, 5, 256)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val firstOf = batchChunks.groupBy(c => (c._4, c._3))
+      .view.mapValues(cs => cs.map(c => (c._1, c._2)).min).toMap
+    val mirror = batchChunks.map { case (id, off, len, h) =>
+      val st = if (histKeys((h, len))) "hit"
+        else if (firstOf((h, len)) == (id, off)) "first" else "dup"
+      (id, off, len, h, st)
+    }.toSet
+    assert(rows.toSet == mirror)
+
+    // the plan probes history with the BATCH side broadcast — no shuffle
+    // of the index (the incrementalHammingPairs discipline)
+    val plan = ann.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+
+    // stats: one row, exact byte accounting, partitions sum to the batch
+    val s = Dedup.cdcIngestStats(ann).head()
+    assert(s.getAs[Long]("batch_chunks") ==
+      s.getAs[Long]("hit_chunks") + s.getAs[Long]("dup_chunks") +
+        s.getAs[Long]("stored_chunks"))
+    assert(s.getAs[Long]("batch_bytes") ==
+      s.getAs[Long]("hit_bytes") + s.getAs[Long]("dup_bytes") +
+        s.getAs[Long]("stored_bytes"))
+    assert(s.getAs[Long]("batch_bytes") == 4L * 1200L)
+    assert(s.getAs[Long]("stored_chunks") > 0 && s.getAs[Long]("hit_chunks") > 0
+      && s.getAs[Long]("dup_chunks") > 0)
+  }
+
   test("parameter validation fails loud") {
     intercept[IllegalArgumentException] {
       CdcChunks(org.apache.spark.sql.catalyst.expressions.Literal(Array[Byte](1)), 0, 4, 64)

@@ -1,0 +1,86 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.{Dedup, Profile, TextStats}
+import org.apache.spark.sql.functions._
+
+class GraftTvfsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def registered() = graft.functions.GraftFunctions.register(spark)
+
+  test("graft_drift == categoricalDrift of the same tables") {
+    registered()
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
+      .toDF("id", "cat")
+    docs.filter($"id" % 2 === 0).createOrReplaceTempView("gt_a")
+    docs.filter($"id" % 2 =!= 0).createOrReplaceTempView("gt_b")
+    val viaTvf = spark.sql("SELECT * FROM graft_drift('gt_a', 'gt_b', 'cat')")
+      .collect().toSet
+    val viaApi = Profile.categoricalDrift(
+      docs.filter($"id" % 2 === 0), docs.filter($"id" % 2 =!= 0), col("cat"))
+      .collect().toSet
+    assert(viaTvf == viaApi && viaTvf.nonEmpty)
+  }
+
+  test("graft_dedup_pairs simhash/minhash == the API twins; unknown method loud") {
+    registered()
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("gt_docs")
+    val simTvf = spark.sql(
+      "SELECT * FROM graft_dedup_pairs('gt_docs', 'doc_id', 'text', 'simhash', 3)")
+      .collect().toSet
+    assert(simTvf == Dedup.simhashPairs(docs, "doc_id", "text", 3).collect().toSet)
+    assert(simTvf.nonEmpty) // the identical pair is found
+    val mhTvf = spark.sql(
+      "SELECT * FROM graft_dedup_pairs('gt_docs', 'doc_id', 'text', 'minhash', 70)")
+      .collect().toSet
+    assert(mhTvf ==
+      Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.7).collect().toSet)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_dedup_pairs('gt_docs', 'doc_id', 'text', 'tractor')")
+        .collect()
+    }
+    assert(e.getMessage.contains("unknown method") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown method")))
+  }
+
+  test("graft_quality == qualityRuleSignals at default thresholds, composes in outer SQL") {
+    registered()
+    val docs = Seq(
+      (1L, Seq.fill(60)("the good and solid word").mkString(" ")),
+      (2L, "tiny"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("gt_q")
+    val viaTvf = spark.sql(
+      "SELECT * FROM graft_quality('gt_q', 'doc_id', 'text')").collect().toSet
+    val viaApi = TextStats.qualityRuleSignals(docs, "doc_id", "text")
+      .collect().toSet
+    assert(viaTvf == viaApi)
+    // TVF output composes like any table: filter in the outer query
+    val kept = spark.sql(
+      "SELECT doc_id FROM graft_quality('gt_q', 'doc_id', 'text') WHERE keep = 1")
+      .as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+  }
+
+  test("argument validation fails loud") {
+    registered()
+    Seq((1L, "x")).toDF("doc_id", "text").createOrReplaceTempView("gt_v")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_drift('gt_v', 'gt_v')").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_dedup_pairs('gt_v', 'doc_id', 'text', 'minhash', 0)")
+        .collect()
+    }
+    intercept[Exception] { // non-literal argument
+      spark.sql("SELECT * FROM graft_quality('gt_v', 'doc_id', lower('text'))")
+        .collect()
+    }
+  }
+}
