@@ -244,4 +244,105 @@ object AnnStreams {
                  uptoBatch: Long, targetFiles: Int = 8): Unit =
     SearchStreams.compactGuarded(spark, assignedPath, uptoBatch, targetFiles,
       extraPartitionBy = Seq("__cluster"))(identity)
+
+  // --- Marker-guarded REFIT: acting on the drift signal -------------------
+
+  /** The OFFLINE RE-FIT the [[refitSignal]] report schedules, as an
+    * actual resumable operation: re-home EVERY published vector of the
+    * assigned path under NEW centroids and atomically swap the table, so
+    * serve output switches from the old fit to the new EXACTLY ONCE —
+    * never a mix of fits, never a doubled row — no matter where a crash
+    * lands.
+    *
+    * Why not compact-style dynamic overwrite: a refit CHANGES the cluster
+    * key, so overwriting the seed partition in place would leave stale
+    * `__cluster=` directories the new fit never writes — phantom
+    * candidates under the old geometry. The swap is therefore staged +
+    * renamed:
+    *
+    *   1. stage the fully re-assigned table to `path__refit_tmp`
+    *      (seed-layout `__batch_id=-1/__cluster=…`) — serve still reads
+    *      the OLD table;
+    *   2. write the `path__refit_marker` file (the commit point);
+    *   3. rename root → `path__refit_old`, rename tmp → root — the
+    *      switch; directory rename is metadata-only;
+    *   4. delete the old dir, then the marker.
+    *
+    * A crash before the marker leaves the old table serving (stale tmp is
+    * deleted on the next attempt); a crash after it is completed by the
+    * next [[refitIvf]] call from whichever rename it died at — the state
+    * (which of root/tmp/old exist) identifies the step uniquely.
+    * CONTRACT: pause the ingest loop first; `uptoBatch` must cover every
+    * published batch (checked loudly — re-homing under a writer would
+    * resurrect the mixed-fit hazard this exists to prevent).
+    */
+  def refitIvf(spark: SparkSession, assignedPath: String,
+               newCentroids: Array[Array[Double]],
+               idCol: String, vecCol: String,
+               uptoBatch: Long, targetFiles: Int = 8): Unit = {
+    require(newCentroids.nonEmpty, "refitIvf: empty centroid set")
+    val fs = new org.apache.hadoop.fs.Path(assignedPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (resumeRefit(spark, assignedPath)) return
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(assignedPath))
+    if (!fs.exists(root)) return
+    val maxRow = spark.read.parquet(assignedPath)
+      .agg(max(col("__batch_id").cast("long"))).head()
+    if (!maxRow.isNullAt(0))
+      require(maxRow.getLong(0) <= uptoBatch,
+        s"refitIvf: published batch ${maxRow.getLong(0)} > uptoBatch " +
+          s"$uptoBatch — pause the loop and cover every batch")
+    val tmp = new org.apache.hadoop.fs.Path(assignedPath + "__refit_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale pre-marker stage
+    // stage: one pass over the published vectors, new assignment, the
+    // ingest loop's own cluster exchange + layout
+    spark.read.parquet(assignedPath)
+      .select(col(idCol), col(vecCol),
+        assignCluster(col(vecCol), newCentroids).as("__cluster"))
+      .repartition(targetFiles, col("__cluster"))
+      .withColumn("__batch_id", lit(-1L))
+      .write.partitionBy("__batch_id", "__cluster").parquet(tmp.toString)
+    val marker = refitMarker(assignedPath)
+    val out = fs.create(marker, true)
+    try out.write(s"$uptoBatch".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    swapRefit(spark, assignedPath)
+  }
+
+  private def refitMarker(assignedPath: String) =
+    new org.apache.hadoop.fs.Path(assignedPath + "__refit_marker")
+
+  /** Complete an interrupted refit if its marker exists. Returns true if
+    * a resume ran (the interrupted refit IS the refit — don't re-stage).
+    */
+  private[streaming] def resumeRefit(spark: SparkSession,
+                                     assignedPath: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(assignedPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(refitMarker(assignedPath))) return false
+    swapRefit(spark, assignedPath)
+    true
+  }
+
+  /** The post-marker tail, idempotent from any crash point: whichever of
+    * root/tmp/old exist identifies the remaining renames uniquely.
+    */
+  private def swapRefit(spark: SparkSession, assignedPath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(assignedPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(assignedPath)
+    val tmp = new org.apache.hadoop.fs.Path(assignedPath + "__refit_tmp")
+    val old = new org.apache.hadoop.fs.Path(assignedPath + "__refit_old")
+    if (fs.exists(tmp)) {
+      // the staged table is complete (marker follows the stage): move the
+      // live root aside if it is still in place, then promote the stage
+      if (fs.exists(root)) {
+        if (fs.exists(old)) fs.delete(old, true) // debris of an older refit
+        require(fs.rename(root, old), s"refit: rename $root -> $old failed")
+      }
+      require(fs.rename(tmp, root), s"refit: rename $tmp -> $root failed")
+    }
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.delete(refitMarker(assignedPath), false)
+  }
 }

@@ -164,7 +164,16 @@ object ScaleHundred {
       "q_sem_contaminate_lsh",                               // semantic LSH decontam (r13)
       "q_hybrid_rrf",                                        // RRF fusion
       "q_dedup_clusters",                                    // CC fixpoint
-      "q_pagerank")                                          // iterative
+      "q_pagerank",                                          // iterative
+      // r13 serving tier (third-decade points, VERDICT r13 #6)
+      "q_ann_int8", "q_ann_ivfpq",                           // quantized ANN offline
+      "q_ann_ivf_stream", "q_ann_ivfpq_stream",              // streamed index maintenance
+      "q_ann_refit",                                         // refit-decision report
+      "q_drift", "q_drift_numeric", "q_drift_by_lang",       // drift monitors
+      "q_cms", "q_retrieval_eval",                           // sketch + eval
+      // r14 additions
+      "q_cdc_chunks", "q_storage_dedup", "q_cdc_incremental", // CDC storage dedup
+      "q_qsketch_rank", "q_qsketch_quantiles")               // quantile sketch
     // SPARK_GRAFT_PROBE_ONLY=a,b filters the probe set (the sweep-filter
     // convention of ScaleFull) so a new family's third-decade point
     // doesn't re-measure the whole table

@@ -181,4 +181,124 @@ class AnnStreamsSpec extends SparkSpec {
       "vec_id", "embedding", q, k = 10, nprobe = 4).as[(Long, Double)].collect().toSeq
     assert(after == before)
   }
+
+  test("refitIvf: serve switches to the new fit exactly once, old geometry fully gone") {
+    val path = tmp()
+    val corpus = emb.limit(300)
+    (0 until 2).foreach { i =>
+      AnnStreams.processIvfBatch(corpus.filter(col("vec_id") % 2 === i),
+        i.toLong, "vec_id", "embedding", committed.centroids, path)
+    }
+    val q = queryVec(17L)
+    val oldServe = AnnStreams.ivfTopKStreamed(spark, path, committed.centroids,
+      "vec_id", "embedding", q, k = 10, nprobe = 16)
+      .as[(Long, Double)].collect().toSeq
+
+    // a DIFFERENT fit: fewer, shifted centroids — cluster geometry changes
+    val newCents = committed.centroids.take(5).map(_.map(_ * 0.5 + 0.01))
+    AnnStreams.refitIvf(spark, path, newCents, "vec_id", "embedding",
+      uptoBatch = 1L)
+
+    // every row re-homed exactly once: same ids, no doubles, all seed batch
+    val t = spark.read.parquet(path)
+    assert(t.count() == 300L)
+    assert(t.select("vec_id").distinct().count() == 300L)
+    assert(t.select("__batch_id").distinct().as[Long].collect().toSeq == Seq(-1L))
+    // no stale cluster dirs beyond the new fit's range
+    val clusters = t.select("__cluster").distinct().as[Int].collect()
+    assert(clusters.forall(c => c >= 0 && c < 5), clusters.toSeq.toString)
+    // serve under the new fit == offline assignment under the new fit
+    // (nprobe = all clusters → exact top-k, comparable across fits)
+    val newServe = AnnStreams.ivfTopKStreamed(spark, path, newCents,
+      "vec_id", "embedding", q, k = 10, nprobe = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(newServe == oldServe) // all-cluster probes are exact: fit-invariant
+    // pruned serve still works and the staging/marker debris is gone
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__refit_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__refit_old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__refit_marker")))
+
+    // uptoBatch must cover every published batch
+    AnnStreams.processIvfBatch(corpus.limit(10), 7L, "vec_id", "embedding",
+      newCents, path)
+    intercept[IllegalArgumentException] {
+      AnnStreams.refitIvf(spark, path, newCents, "vec_id", "embedding",
+        uptoBatch = 3L)
+    }
+  }
+
+  test("refitIvf crash-resume: completes from every post-marker state, never doubles") {
+    val fsFor = (p: String) => new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newCents = committed.centroids.take(4)
+
+    // State A: crash right after the marker, before any rename
+    // (root + tmp + marker). Manufacture it by running a real stage:
+    // refit on a CLONE, then transplant its tmp+marker next to the live
+    // table before the renames would have happened.
+    val path = tmp()
+    val corpus = emb.limit(200)
+    (0 until 2).foreach { i =>
+      AnnStreams.processIvfBatch(corpus.filter(col("vec_id") % 2 === i),
+        i.toLong, "vec_id", "embedding", committed.centroids, path)
+    }
+    val fs = fsFor(path)
+    // stage what refit WOULD stage (same arithmetic), then write the marker
+    spark.read.parquet(path)
+      .select(col("vec_id"), col("embedding"),
+        AnnStreams.assignCluster(col("embedding"), newCents).as("__cluster"))
+      .withColumn("__batch_id", lit(-1L))
+      .write.partitionBy("__batch_id", "__cluster").parquet(path + "__refit_tmp")
+    val out = fs.create(new org.apache.hadoop.fs.Path(path + "__refit_marker"), true)
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+
+    // the next refit call resumes the interrupted swap instead of re-staging
+    AnnStreams.refitIvf(spark, path, newCents, "vec_id", "embedding", 1L)
+    val t = spark.read.parquet(path)
+    assert(t.count() == 200L && t.select("vec_id").distinct().count() == 200L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__refit_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__refit_marker")))
+
+    // State B: crash between the two renames (old + tmp + marker, no root)
+    val path2 = tmp()
+    (0 until 2).foreach { i =>
+      AnnStreams.processIvfBatch(corpus.filter(col("vec_id") % 2 === i),
+        i.toLong, "vec_id", "embedding", committed.centroids, path2)
+    }
+    val fs2 = fsFor(path2)
+    spark.read.parquet(path2)
+      .select(col("vec_id"), col("embedding"),
+        AnnStreams.assignCluster(col("embedding"), newCents).as("__cluster"))
+      .withColumn("__batch_id", lit(-1L))
+      .write.partitionBy("__batch_id", "__cluster").parquet(path2 + "__refit_tmp")
+    val out2 = fs2.create(new org.apache.hadoop.fs.Path(path2 + "__refit_marker"), true)
+    try out2.write("1".getBytes("UTF-8")) finally out2.close()
+    assert(fs2.rename(new org.apache.hadoop.fs.Path(path2),
+      new org.apache.hadoop.fs.Path(path2 + "__refit_old")))
+
+    assert(AnnStreams.resumeRefit(spark, path2))
+    val t2 = spark.read.parquet(path2)
+    assert(t2.count() == 200L && t2.select("vec_id").distinct().count() == 200L)
+    assert(t2.select("__cluster").distinct().as[Int].collect().forall(_ < 4))
+    assert(!fs2.exists(new org.apache.hadoop.fs.Path(path2 + "__refit_old")))
+    assert(!fs2.exists(new org.apache.hadoop.fs.Path(path2 + "__refit_marker")))
+
+    // State C: crash after both renames (root(new) + old + marker)
+    val path3 = tmp()
+    AnnStreams.processIvfBatch(corpus, 0L, "vec_id", "embedding",
+      newCents, path3)
+    val fs3 = fsFor(path3)
+    fs3.mkdirs(new org.apache.hadoop.fs.Path(path3 + "__refit_old"))
+    val out3 = fs3.create(new org.apache.hadoop.fs.Path(path3 + "__refit_marker"), true)
+    try out3.write("0".getBytes("UTF-8")) finally out3.close()
+    assert(AnnStreams.resumeRefit(spark, path3))
+    assert(!fs3.exists(new org.apache.hadoop.fs.Path(path3 + "__refit_old")))
+    assert(!fs3.exists(new org.apache.hadoop.fs.Path(path3 + "__refit_marker")))
+    assert(spark.read.parquet(path3).count() == 200L)
+
+    // no marker → resume is a no-op
+    assert(!AnnStreams.resumeRefit(spark, path3))
+  }
 }
