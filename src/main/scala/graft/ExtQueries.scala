@@ -2529,33 +2529,40 @@ object ExtQueries {
         FROM g""")),
 
     // INCREMENTAL storage dedup — the daily-ingest shape for the chunk
-    // store: the new slice (doc_id >= 250) is chunked and probes the
-    // history slice's persisted (hash, length) index; every batch chunk
-    // is annotated hit (in history) / first (new key's first occurrence
-    // — the chunk a store writes) / dup (intra-batch repeat). History is
-    // scanned never shuffled (batch keys broadcast into a left-semi
-    // probe — the incrementalHammingPairs plan). Oracle: re-derives the
-    // same labels from the COMMITTED chunk fixture — the engine
-    // recomputes both sides' chunks, the oracle only re-labels.
+    // store: a FIXED 250-blob batch (doc_id in [250, 500) — constant at
+    // every SF, the StreamLoopProbe row-design lesson: inputs constant
+    // in production must be constant in the row) probes the persisted
+    // (hash, length) index of everything else, which GROWS with the
+    // corpus; every batch chunk is annotated hit (in history) / first
+    // (new key's first occurrence — the chunk a store writes) / dup
+    // (intra-batch repeat). History is scanned never shuffled (batch
+    // keys broadcast into a left-semi probe — the
+    // incrementalHammingPairs plan; tools/CdcIncProbe measures the probe
+    // flat across 100× history). Oracle: re-derives the same labels from
+    // the COMMITTED chunk fixture (ids 0..499 at sf0.01, so the split is
+    // identical there) — the engine recomputes both sides' chunks, the
+    // oracle only re-labels.
     "q_cdc_incremental" -> Q(
       (s, dir) => {
         val blobs = Multimodal.withGradientImagePayload(
           table(s, dir, "documents").select("doc_id").repartition(32),
           "doc_id")
         val history = Dedup.cdcChunkTable(
-          blobs.filter(col("doc_id") < 250), "doc_id", "payload",
-          minSize = 64, maskBits = 6, maxSize = 512)
+          blobs.filter(col("doc_id") < 250 || col("doc_id") >= 500),
+          "doc_id", "payload", minSize = 64, maskBits = 6, maxSize = 512)
         Dedup.incrementalCdcChunks(
-          blobs.filter(col("doc_id") >= 250), "doc_id", "payload", history,
+          blobs.filter(col("doc_id") >= 250 && col("doc_id") < 500),
+          "doc_id", "payload", history,
           minSize = 64, maskBits = 6, maxSize = 512)
       },
       Some("""
         WITH all_c AS (SELECT * FROM read_parquet(
             '/root/repo/src/test/resources/golden/q_cdc_chunks/*.parquet')),
-        hist AS (SELECT DISTINCT hash, length FROM all_c WHERE id < 250),
+        hist AS (SELECT DISTINCT hash, length FROM all_c
+                 WHERE id < 250 OR id >= 500),
         batch AS (SELECT *, row_number() OVER (PARTITION BY hash, length
               ORDER BY id, "offset") AS rn
-            FROM all_c WHERE id >= 250)
+            FROM all_c WHERE id >= 250 AND id < 500)
         SELECT b.id, b."offset" AS "offset", b.length, b.hash,
           CASE WHEN h.hash IS NOT NULL THEN 'hit'
                WHEN b.rn = 1 THEN 'first' ELSE 'dup' END AS status

@@ -181,14 +181,24 @@ object ScaleHundred {
       .map(_.split(",").map(_.trim).toSet)
       .map(f => all.filter(f)).getOrElse(all)
 
+    // SPARK_GRAFT_SWEEP_WARM_PER_SF=1: ScaleFull's canonical protocol —
+    // an untimed run AT each SF first, so one-time builds (k-means fits,
+    // BM25 postings, memoized signature tables) land in the warm-up and
+    // the timed run measures the steady-state cost production pays
+    val warmPerSf = sys.env.get("SPARK_GRAFT_SWEEP_WARM_PER_SF").contains("1")
+    def timed(n: String, dir: String): Double = {
+      if (warmPerSf) try time(n, dir) catch { case _: Throwable => () }
+      time(n, dir)
+    }
+
     names.foreach(n => time(n, "/root/testdata/sf0.01")) // warm codegen/JIT
 
     println("\n| query | sf0.1 | sf1 | sf10 | r(0.1→1) | r(1→10) |")
     println("|---|---|---|---|---|---|")
     names.foreach { n =>
-      val t01 = time(n, sf01)
-      val t1 = time(n, sf1)
-      val t10 = time(n, sf10)
+      val t01 = timed(n, sf01)
+      val t1 = timed(n, sf1)
+      val t10 = timed(n, sf10)
       println(f"| $n | $t01%.2f s | $t1%.2f s | $t10%.2f s | ${t1 / t01}%.1f× | ${t10 / t1}%.1f× |")
     }
     spark.stop()
