@@ -218,10 +218,14 @@ object Profile {
     * of md5("item:r") as a long, mod `width` — the repo's cross-engine
     * hash convention ([[Sampling]] docstrings), so a DuckDB/any-engine
     * mirror recomputes identical buckets from the same strings.
+    * Computed by the native [[graft.functions.Md5Bucket]] expression
+    * (bit-identical to the `conv(substring(md5(..)))` SQL chain, which
+    * pays a fresh MessageDigest + hex encode + string parse per call —
+    * this is the sketch-build hot path, depth×levels hashes per row).
     */
   private def cmsBucket(item: Column, r: Column, width: Int): Column =
-    conv(substring(md5(concat(item.cast("string"), lit(":"),
-      r.cast("string"))), 1, 8), 16, 10).cast("long") % width
+    graft.functions.Md5Bucket.column(
+      concat(item.cast("string"), lit(":"), r.cast("string")), width.toLong)
 
   /** COUNT-MIN SKETCH of an item column, as a TABLE: one row per
     * (slice…, hash row `r`, bucket `b`) with the summed hit count — at

@@ -19,10 +19,13 @@ object Sampling {
     * `first-8-hex-chars(md5(key))` as a long in [0, 2³²). ONE definition
     * on purpose — assignSplit/weightedSample/negativePairs docstrings all
     * pin reproducibility to this exact expression, so a drift in one copy
-    * would silently break cross-operator agreement.
+    * would silently break cross-operator agreement. Computed by the
+    * native [[graft.functions.Md5Bucket]] expression — bit-identical to
+    * `conv(substring(md5(key), 1, 8), 16, 10)` (spec-pinned), minus that
+    * chain's per-row digest allocation, hex encode, and string parse.
     */
   private[operators] def hashLong(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    graft.functions.Md5Bucket.long(key.cast("string"))
 
   /** [[hashLong]] scaled to a uniform double in [0, 1). */
   private[operators] def hashUniform(key: Column): Column =
