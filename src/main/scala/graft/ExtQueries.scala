@@ -4017,6 +4017,87 @@ object ExtQueries {
       qsketchQuantilesOracleSql(levels = 12, depth = 3, width = 64,
         qs = Seq(250000L, 500000L, 750000L, 990000L))),
 
+    // KMV (k-minimum-values) sketch — the SET-OPERATIONS member of the
+    // sketch family. Per-(lang, part) bottom-k sketches merged per lang
+    // (exact algebra: bottom-k of a union of bottom-ks = bottom-k of the
+    // union, so the oracle recomputes per-lang directly), then the
+    // distinct estimate: exact below k, ⌊(k−1)·2⁶⁰ / h_k⌋ at k — the
+    // division in DOUBLE on both engines by contract (operands exactly
+    // representable / identically rounded). fr has exactly k=64 distinct
+    // texts at sf0.01, so both branches gate.
+    "q_kmv_distinct" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .withColumn("part", col("doc_id") % 4)
+        val sliced = graft.operators.Profile.kmvSketch(
+          docs, col("text"), k = 64, sliceCols = Seq("lang", "part"))
+        val merged = graft.operators.Profile.kmvMerge(
+          sliced, k = 64, groupCols = Seq("lang"))
+        graft.operators.Profile.kmvDistinct(merged, k = 64, Seq("lang"))
+      },
+      Some("""
+        WITH h AS (SELECT DISTINCT lang,
+            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+          FROM documents),
+        ranked AS (SELECT lang, h,
+            row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+        agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+            max(h) AS kth
+          FROM ranked WHERE rn <= 64 GROUP BY 1)
+        SELECT lang, n_kept,
+          CASE WHEN n_kept < 64 THEN n_kept
+               ELSE CAST(FLOOR(63.0 * 1152921504606846976.0
+                               / CAST(kth AS DOUBLE)) AS BIGINT)
+          END AS est_distinct
+        FROM agg""")),
+
+    // KMV set-overlap estimation between two corpora ("how much does
+    // crawl B overlap crawl A") from two k-row sketches: combined
+    // bottom-k, membership matches, jaccard_ppm = matches·10⁶ div
+    // union_k, KMV union estimate, and the Beyer'07 intersection
+    // estimate in exact BIGINT arithmetic — every join sketch×sketch,
+    // never corpus×corpus. The corpora overlap by construction
+    // (doc_id%3≠0 vs doc_id%2=0 → J = 0.4 on distinct texts).
+    "q_kmv_overlap" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val a = graft.operators.Profile.kmvSketch(
+          docs.filter(col("doc_id") % 3 =!= 0), col("text"), k = 256)
+        val b = graft.operators.Profile.kmvSketch(
+          docs.filter(col("doc_id") % 2 === 0), col("text"), k = 256)
+        graft.operators.Profile.kmvOverlap(a, b, k = 256)
+      },
+      Some("""
+        WITH ha AS (SELECT DISTINCT
+            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+          FROM documents WHERE doc_id % 3 <> 0),
+        hb AS (SELECT DISTINCT
+            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+          FROM documents WHERE doc_id % 2 = 0),
+        ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        u AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL
+                                      SELECT h FROM skb)
+              ORDER BY h LIMIT 256),
+        fl AS (SELECT u.h,
+            (u.h IN (SELECT h FROM ska) AND u.h IN (SELECT h FROM skb))
+              AS b2 FROM u),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS union_k,
+            CAST(sum(CASE WHEN b2 THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+            max(h) AS kth FROM fl),
+        est AS (SELECT union_k, matches,
+            CAST(matches * 1000000 // union_k AS BIGINT) AS jaccard_ppm,
+            CASE WHEN union_k < 256 THEN union_k
+                 ELSE CAST(FLOOR(255.0 * 1152921504606846976.0
+                                 / CAST(kth AS DOUBLE)) AS BIGINT)
+            END AS est_union
+          FROM agg)
+        SELECT union_k, matches, jaccard_ppm, est_union,
+          CAST((est_union // union_k) * matches
+               + ((est_union % union_k) * matches) // union_k AS BIGINT)
+            AS est_intersection
+        FROM est""")),
+
     // CATEGORICAL DRIFT between two corpus slices (the snapshot-over-
     // snapshot monitor): per-category counts, ppm-quantized shares
     // (cnt·1e6 div total — BIGINT end to end, the cleared-denominator

@@ -75,4 +75,58 @@ object Md5Bucket {
     * [[column]] at the domain width, not a second hash definition.
     */
   def long(s: Column): Column = column(s, 1L << 32)
+
+  /** Shared by interpreted eval and generated code (see [[Md5Hash60]]). */
+  def compute60(s: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    // first 8 digest bytes big-endian, top 60 bits: the hex string is
+    // big-endian nibbles, so u64 >>> 4 IS the first-15-hex-chars integer
+    var u = 0L
+    var i = 0
+    while (i < 8) { u = (u << 8) | (digest(i) & 0xffL); i += 1 }
+    u >>> 4
+  }
+}
+
+/** 60-bit md5 prefix: first 15 hex chars of md5(s) as a long in [0, 2⁶⁰)
+  * — the wide-domain twin of [[Md5Bucket]] for sketches whose accuracy
+  * needs more than the sampler contract's 32 bits (a KMV distinct/overlap
+  * sketch over ~10¹¹ keys would collide visibly at 2³²; at 2⁶⁰ expected
+  * collisions are ~n²/2⁶¹, invisible next to the sketch's own k-error).
+  * 15 chars, not 16: the DuckDB mirror is
+  * `CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)`, and 16 chars
+  * could overflow a signed 64-bit parse.
+  */
+case class Md5Hash60(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_hash60"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a string column, got ${other.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Bucket.compute60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.Md5Bucket.compute60($v);")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression) =
+    copy(child = newChild)
+}
+
+object Md5Hash60 {
+  def column(s: Column): Column =
+    ColumnBridge.column(Md5Hash60(ColumnBridge.expression(s)))
 }

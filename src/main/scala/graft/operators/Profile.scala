@@ -628,6 +628,136 @@ object Profile {
       .withColumnRenamed("category", "bucket")
   }
 
+  // --- KMV (k-minimum-values) sketch: distinct + SET-OVERLAP estimation ---
+
+  /** The KMV hash: first 15 hex chars of md5(key) as a long in [0, 2⁶⁰)
+    * — computed by the native [[graft.functions.Md5Hash60]] expression;
+    * the DuckDB mirror is `CAST(('0x' || substring(md5(key), 1, 15)) AS
+    * BIGINT)`. 60 bits, not the sampler contract's 32: a distinct sketch
+    * over ~10¹¹ keys would collide visibly at 2³².
+    */
+  private def kmvHash(key: Column): Column =
+    graft.functions.Md5Hash60.column(key.cast("string"))
+
+  /** KMV (k-minimum-values / bottom-k) SKETCH of a key column, as a
+    * TABLE: per slice, the `k` smallest distinct 60-bit hashes of the
+    * keys, one row per (slice…, h) — the SET-OPERATIONS member of the
+    * sketch family (HLL counts one universe, CMS answers frequencies,
+    * Misra–Gries keeps identities, the dyadic CMS answers ranks; KMV is
+    * the one whose sketches COMPOSE across corpora: union, intersection,
+    * Jaccard — Beyer et al., SIGMOD'07). "How much does crawl B overlap
+    * crawl A" from two k-row tables, no cross-corpus join.
+    *
+    * Deterministic: a pure function of the key SET via public md5
+    * arithmetic — any engine recomputes it (`SELECT DISTINCT h ORDER BY
+    * h LIMIT k`), which is what the battery's DuckDB oracle does.
+    *
+    * Plan shape at 100 TB: one scan; [[graft.functions.BottomKDistinct]]
+    * dedups inside a bounded ≤ k buffer (ObjectHashAggregate, map-side
+    * combine), so the exchange carries ≤ k·partitions longs per slice —
+    * never the distinct-key universe a `distinct()` would shuffle.
+    * NULL keys are skipped, matching [[cmsSketch]].
+    */
+  def kmvSketch(df: DataFrame, keyCol: Column, k: Int,
+                sliceCols: Seq[String] = Nil): DataFrame = {
+    require(k >= 2 && k <= 8192, "kmvSketch: k in [2, 8192]")
+    val hashed = df.filter(keyCol.isNotNull)
+      .select(sliceCols.map(col) :+ kmvHash(keyCol).as("__h"): _*)
+    val agged =
+      if (sliceCols.isEmpty)
+        hashed.agg(graft.functions.BottomK.distinct(col("__h"), k).as("__hs"))
+      else hashed.groupBy(sliceCols.map(col): _*)
+        .agg(graft.functions.BottomK.distinct(col("__h"), k).as("__hs"))
+    agged.select(sliceCols.map(col) :+ explode(col("__hs")).as("h"): _*)
+  }
+
+  /** Merge [[kmvSketch]] tables (optionally re-grouped to a coarser key
+    * subset; `Nil` → one global sketch): the bottom-k of a union of
+    * bottom-k sets is the bottom-k of the union of the underlying sets,
+    * so the merge is one more [[graft.functions.BottomK]] pass over
+    * sketch rows — exact sketch algebra, duplicate-tolerant by
+    * construction (re-inserting a hash is a no-op), which is what makes
+    * per-batch sketch deltas safe to compact without markers.
+    */
+  def kmvMerge(sketches: DataFrame, k: Int,
+               groupCols: Seq[String] = Nil): DataFrame = {
+    val agged =
+      if (groupCols.isEmpty)
+        sketches.agg(graft.functions.BottomK.distinct(col("h"), k).as("__hs"))
+      else sketches.groupBy(groupCols.map(col): _*)
+        .agg(graft.functions.BottomK.distinct(col("h"), k).as("__hs"))
+    agged.select(groupCols.map(col) :+ explode(col("__hs")).as("h"): _*)
+  }
+
+  /** The KMV estimate arithmetic, shared by [[kmvDistinct]] and
+    * [[kmvOverlap]]: with fewer than k hashes the sketch IS the distinct
+    * set (exact count); at k, the classic KMV estimator
+    * `⌊(k−1)·2⁶⁰ / h_k⌋`. The division runs in DOUBLE on both engines BY
+    * CONTRACT: (k−1)·2⁶⁰ is exactly representable (k ≤ 2¹³), the operand
+    * casts, the exactly-rounded IEEE division, and the floor are
+    * bit-identical on the JVM and DuckDB — the z-score precedent. No
+    * overflow: k distinct values in [0, 2⁶⁰) force h_k ≥ k−1, so the
+    * quotient is ≤ 2⁶⁰.
+    */
+  private def kmvEstimate(k: Int, cnt: Column, kth: Column): Column =
+    when(cnt < k, cnt).otherwise(
+      // (k-1)·2⁶⁰ as a DOUBLE product — a Long shift would overflow at
+      // k > 8 (1023·2⁶⁰ > 2⁶³); the double is exact (k ≤ 2¹³ mantissa)
+      floor(lit((k - 1).toDouble * math.pow(2, 60)) / kth.cast("double"))
+        .cast("long"))
+
+  /** Distinct-count estimates from a [[kmvSketch]] table: per slice,
+    * (n_kept, est_distinct) — exact when the slice kept fewer than k
+    * hashes, the KMV estimator at k (relative error ≈ 1/√(k−2); k = 1024
+    * ≈ 3%). Sketch-sized work only.
+    */
+  def kmvDistinct(sketch: DataFrame, k: Int,
+                  sliceCols: Seq[String] = Nil): DataFrame = {
+    val agged =
+      if (sliceCols.isEmpty)
+        sketch.agg(count(lit(1)).as("n_kept"), max(col("h")).as("__kth"))
+      else sketch.groupBy(sliceCols.map(col): _*)
+        .agg(count(lit(1)).as("n_kept"), max(col("h")).as("__kth"))
+    agged.select(sliceCols.map(col) ++ Seq(col("n_kept"),
+      kmvEstimate(k, col("n_kept"), col("__kth")).as("est_distinct")): _*)
+  }
+
+  /** SET-OVERLAP estimates between two corpora from their [[kmvSketch]]
+    * tables (both built with the same `k` and key convention): ONE row —
+    * `union_k` (hashes in the combined bottom-k), `matches` (of those,
+    * present in both sketches), `jaccard_ppm = matches·10⁶ div union_k`,
+    * `est_union` (KMV estimator over the combined sketch), and
+    * `est_intersection = ⌊est_union · matches / union_k⌋` carried out in
+    * exact BIGINT arithmetic (`(u div c)·m + ((u mod c)·m) div c` — no
+    * 128-bit intermediate, no double). The Beyer'07 K-th Minimum Value
+    * set-operation estimators, relational.
+    *
+    * Every join here is sketch×sketch (≤ k rows a side) — estimating
+    * cross-crawl overlap at 100 TB costs two corpus scans (the sketch
+    * builds, each reusable for every future pairing) and then
+    * kilobyte-sized joins.
+    */
+  def kmvOverlap(sketchA: DataFrame, sketchB: DataFrame, k: Int): DataFrame = {
+    val a = sketchA.select(col("h"))
+    val b = sketchB.select(col("h"))
+    val u = kmvMerge(a.unionByName(b), k)
+    val flagged = u
+      .join(a.withColumn("__ina", lit(1)).distinct(), Seq("h"), "left")
+      .join(b.withColumn("__inb", lit(1)).distinct(), Seq("h"), "left")
+    flagged.agg(
+        count(lit(1)).as("union_k"),
+        sum(when(col("__ina") === 1 && col("__inb") === 1, 1L).otherwise(0L))
+          .as("matches"),
+        max(col("h")).as("__kth"))
+      .select(
+        col("union_k"), col("matches"),
+        expr("matches * 1000000 DIV union_k").as("jaccard_ppm"),
+        kmvEstimate(k, col("union_k"), col("__kth")).as("est_union"))
+      .withColumn("est_intersection",
+        expr("est_union DIV union_k") * col("matches") +
+          expr("(est_union % union_k) * matches DIV union_k"))
+  }
+
   private def finish(one: DataFrame, names: Seq[String]): DataFrame = {
     val perCol = names.map { c =>
       struct(lit(c).as("column"),

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the KMV sketch contract: bounded DISTINCT bottom-k under any
+  * partitioning, exact sketch-merge algebra, the estimator's two branches,
+  * and overlap estimates against ground truth on constructed sets.
+  */
+class KmvSketchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("BottomKDistinct dedups inside the buffer: duplicates never evict members") {
+    // 1000 copies of the SMALLEST value plus 5 distinct others; a plain
+    // value heap of k=4 would fill with copies of 0 and lose 1..3
+    val df = (Seq.fill(1000)(0L) ++ Seq(40L, 10L, 30L, 20L, 50L))
+      .toDF("v").repartition(7)
+    val got = df.agg(graft.functions.BottomK.distinct(col("v"), 4).as("bk"))
+      .select(explode(col("bk")).as("h")).as[Long].collect().toSeq
+    assert(got == Seq(0L, 10L, 20L, 30L))
+  }
+
+  test("bounded output, ascending order, null skip, fewer-than-k passthrough") {
+    val df = Seq(Some(3L), None, Some(1L), Some(3L), Some(2L)).toDF("v")
+    val got = df.agg(graft.functions.BottomK.distinct(col("v"), 10).as("bk"))
+      .select(explode(col("bk")).as("h")).as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("kmvSketch is partitioning-invariant and matches the sort-limit definition") {
+    val docs = (1 to 500).map(i => (s"key$i", s"s${i % 3}")).toDF("k", "slice")
+    val a = Profile.kmvSketch(docs.repartition(13), col("k"), 16, Seq("slice"))
+      .orderBy("slice", "h").collect().toSeq
+    val b = Profile.kmvSketch(docs.coalesce(1), col("k"), 16, Seq("slice"))
+      .orderBy("slice", "h").collect().toSeq
+    assert(a == b)
+    // definitional check on one slice: distinct hashes sorted, first 16
+    val wantS0 = docs.filter(col("slice") === "s0")
+      .select(graft.functions.Md5Hash60.column(col("k")).as("h"))
+      .distinct().orderBy("h").limit(16).as[Long].collect().toSeq
+    val gotS0 = a.filter(_.getString(0) == "s0").map(_.getLong(1)).toSeq
+    assert(gotS0 == wantS0)
+  }
+
+  test("kmvMerge of slice sketches equals the sketch of the union") {
+    val docs = (1 to 800).map(i => (s"key$i", s"s${i % 4}")).toDF("k", "slice")
+    val sliced = Profile.kmvSketch(docs, col("k"), 32, Seq("slice"))
+    val merged = Profile.kmvMerge(sliced, 32).orderBy("h").as[Long].collect().toSeq
+    val direct = Profile.kmvSketch(docs, col("k"), 32)
+      .orderBy("h").as[Long].collect().toSeq
+    assert(merged == direct)
+  }
+
+  test("kmvDistinct: exact below k, estimator within 3/sqrt(k-2) above") {
+    val n = 20000
+    val docs = (1 to n).map(i => s"item$i").toDF("k")
+    val k = 1024
+    val sk = Profile.kmvSketch(docs, col("k"), k)
+    val est = Profile.kmvDistinct(sk, k).collect().head
+    assert(est.getLong(0) == k) // n_kept
+    val rel = math.abs(est.getLong(1).toDouble - n) / n
+    assert(rel < 3.0 / math.sqrt(k - 2), s"est=${est.getLong(1)} rel=$rel")
+    // exact branch
+    val small = (1 to 50).map(i => s"item$i").toDF("k")
+    val exact = Profile.kmvDistinct(Profile.kmvSketch(small, col("k"), k), k)
+      .collect().head
+    assert(exact.getLong(0) == 50 && exact.getLong(1) == 50)
+  }
+
+  test("kmvOverlap recovers a constructed Jaccard within sketch error") {
+    // A = 1..12000, B = 8001..20000 → |A∩B| = 4000, |A∪B| = 20000, J = 0.2
+    val a = (1 to 12000).map(i => s"key$i").toDF("k")
+    val b = (8001 to 20000).map(i => s"key$i").toDF("k")
+    val k = 1024
+    val row = Profile.kmvOverlap(
+      Profile.kmvSketch(a, col("k"), k),
+      Profile.kmvSketch(b, col("k"), k), k).collect().head
+    val jac = row.getAs[Long]("jaccard_ppm").toDouble / 1e6
+    assert(math.abs(jac - 0.2) < 0.05, s"jaccard=$jac")
+    val eu = row.getAs[Long]("est_union").toDouble
+    assert(math.abs(eu - 20000) / 20000 < 0.15, s"est_union=$eu")
+    val ei = row.getAs[Long]("est_intersection").toDouble
+    assert(math.abs(ei - 4000) / 4000 < 0.3, s"est_intersection=$ei")
+  }
+
+  test("disjoint corpora estimate zero intersection; identical corpora estimate J=1") {
+    val a = (1 to 3000).map(i => s"left$i").toDF("k")
+    val b = (1 to 3000).map(i => s"right$i").toDF("k")
+    val k = 256
+    val sa = Profile.kmvSketch(a, col("k"), k)
+    val sb = Profile.kmvSketch(b, col("k"), k)
+    val disjoint = Profile.kmvOverlap(sa, sb, k).collect().head
+    assert(disjoint.getAs[Long]("matches") == 0L)
+    assert(disjoint.getAs[Long]("est_intersection") == 0L)
+    val same = Profile.kmvOverlap(sa, sa, k).collect().head
+    assert(same.getAs[Long]("jaccard_ppm") == 1000000L)
+  }
+
+  test("plan: sketch build is a bounded ObjectHashAggregate, no distinct exchange") {
+    val docs = (1 to 100).map(i => s"key$i").toDF("k")
+    val plan = Profile.kmvSketch(docs, col("k"), 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("bottom_k_distinct"), plan)
+  }
+}
