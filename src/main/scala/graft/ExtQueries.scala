@@ -4098,6 +4098,88 @@ object ExtQueries {
             AS est_intersection
         FROM est""")),
 
+    // STREAMING sketch maintenance, gated by the batch rows' own oracles:
+    // the corpus arrives as three micro-batch deltas, each batch builds
+    // its own bounded sketch partition, and the serve-side merge is EXACT
+    // algebra (GROUP-BY-SUM for CMS counters, re-min for KMV) — so the
+    // streamed estimates must be bit-equal to the offline rows. q_cms's
+    // estimate tail over the served sketch; a mid-stream marker-guarded
+    // compaction runs before serving so the row also gates "compaction
+    // changes nothing".
+    "q_cms_stream" -> Q(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .withColumn("slice", col("doc_id") % 4)
+          .select(col("doc_id"), col("lang"), col("slice"),
+            explode(tokens(col("text"))).as("token"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_cmsstream").toString + "/sk"
+        (0 until 3).foreach { i =>
+          graft.streaming.SketchStreams.processCmsBatch(
+            toks.filter(col("doc_id") % 3 === i), i.toLong,
+            col("token"), 3, 64, path, Seq("lang", "slice"))
+        }
+        graft.streaming.SketchStreams.compactCms(s, path, uptoBatch = 1L,
+          Seq("lang", "slice"))
+        val served = graft.streaming.SketchStreams.serveCms(s, path,
+          Seq("lang"))
+        graft.operators.Profile.cmsEstimate(
+          served, Seq("vector", "spark", "customer", "zzz_not_a_token"),
+          depth = 3, width = 64, sliceCols = Seq("lang"))
+      },
+      // identical expected output to q_cms by exact merge algebra
+      Some(s"""
+        WITH tok AS (SELECT lang, unnest($sqlTokens) AS token FROM documents),
+        cms AS (SELECT lang, r.i AS r,
+            CAST(('0x' || substring(md5(token || ':' || CAST(r.i AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS b,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM tok CROSS JOIN range(3) r(i) GROUP BY 1, 2, 3),
+        probe AS (SELECT p.item, r.i AS r,
+            CAST(('0x' || substring(md5(p.item || ':' || CAST(r.i AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS b
+          FROM (SELECT unnest(['vector', 'spark', 'customer', 'zzz_not_a_token']) AS item) p
+          CROSS JOIN range(3) r(i)),
+        langs AS (SELECT DISTINCT lang FROM cms),
+        j AS (SELECT l.lang, pr.item, pr.r, COALESCE(c.cnt, 0) AS cnt
+          FROM langs l CROSS JOIN probe pr
+          LEFT JOIN cms c ON c.lang = l.lang AND c.r = pr.r AND c.b = pr.b)
+        SELECT lang, item, CAST(min(cnt) AS BIGINT) AS est
+        FROM j GROUP BY 1, 2""")),
+
+    // The KMV loop's gate: batch deltas re-minned at serve, mid-stream
+    // compaction, then the per-lang distinct estimate — must equal
+    // q_kmv_distinct's offline answer bit-for-bit.
+    "q_kmv_stream" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_kmvstream").toString + "/sk"
+        (0 until 3).foreach { i =>
+          graft.streaming.SketchStreams.processKmvBatch(
+            docs.filter(col("doc_id") % 3 === i), i.toLong,
+            col("text"), 64, path, Seq("lang"))
+        }
+        graft.streaming.SketchStreams.compactKmv(s, path, 64,
+          uptoBatch = 1L, Seq("lang"))
+        val served = graft.streaming.SketchStreams.serveKmv(s, path, 64,
+          Seq("lang"))
+        graft.operators.Profile.kmvDistinct(served, k = 64, Seq("lang"))
+      },
+      Some("""
+        WITH h AS (SELECT DISTINCT lang,
+            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+          FROM documents),
+        ranked AS (SELECT lang, h,
+            row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+        agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+            max(h) AS kth
+          FROM ranked WHERE rn <= 64 GROUP BY 1)
+        SELECT lang, n_kept,
+          CASE WHEN n_kept < 64 THEN n_kept
+               ELSE CAST(FLOOR(63.0 * 1152921504606846976.0
+                               / CAST(kth AS DOUBLE)) AS BIGINT)
+          END AS est_distinct
+        FROM agg""")),
+
     // CATEGORICAL DRIFT between two corpus slices (the snapshot-over-
     // snapshot monitor): per-category counts, ppm-quantized shares
     // (cnt·1e6 div total — BIGINT end to end, the cleared-denominator
