@@ -4098,6 +4098,59 @@ object ExtQueries {
             AS est_intersection
         FROM est""")),
 
+    // KMV overlap MATRIX — corpus-fleet governance in one row per slice
+    // pair: token-VOCABULARY overlap across the five languages (token
+    // universes genuinely intersect: numbers, punctuation, shared words),
+    // every estimate recomputed by the oracle from the same bottom-k
+    // definition. N sketch builds + sketch-sized joins, never N² corpus
+    // joins.
+    "q_kmv_matrix" -> Q(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(col("lang"), explode(tokens(col("text"))).as("token"))
+        val sk = graft.operators.Profile.kmvSketch(
+          toks, col("token"), k = 128, sliceCols = Seq("lang"))
+        graft.operators.Profile.kmvOverlapMatrix(sk, "lang", k = 128)
+      },
+      Some(s"""
+        WITH tok AS (SELECT lang, unnest($sqlTokens) AS token FROM documents),
+        hh AS (SELECT DISTINCT lang,
+            CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS h
+          FROM tok),
+        sk AS (SELECT lang, h FROM (SELECT lang, h,
+            row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM hh)
+          WHERE rn <= 128),
+        langs AS (SELECT DISTINCT lang FROM sk),
+        pairs AS (SELECT a.lang AS la, b.lang AS lb
+          FROM langs a JOIN langs b ON a.lang < b.lang),
+        uni AS (SELECT DISTINCT p.la, p.lb, s.h
+          FROM pairs p JOIN sk s ON s.lang = p.la OR s.lang = p.lb),
+        u AS (SELECT la, lb, h FROM (SELECT la, lb, h,
+            row_number() OVER (PARTITION BY la, lb ORDER BY h) AS rn FROM uni)
+          WHERE rn <= 128),
+        fl AS (SELECT u.la, u.lb, u.h,
+            (sa.h IS NOT NULL AND sb.h IS NOT NULL) AS b2
+          FROM u
+          LEFT JOIN sk sa ON sa.lang = u.la AND sa.h = u.h
+          LEFT JOIN sk sb ON sb.lang = u.lb AND sb.h = u.h),
+        agg AS (SELECT la AS slice_a, lb AS slice_b,
+            CAST(count(*) AS BIGINT) AS union_k,
+            CAST(sum(CASE WHEN b2 THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+            max(h) AS kth
+          FROM fl GROUP BY 1, 2),
+        est AS (SELECT slice_a, slice_b, union_k, matches,
+            CAST(matches * 1000000 // union_k AS BIGINT) AS jaccard_ppm,
+            CASE WHEN union_k < 128 THEN union_k
+                 ELSE CAST(FLOOR(127.0 * 1152921504606846976.0
+                                 / CAST(kth AS DOUBLE)) AS BIGINT)
+            END AS est_union
+          FROM agg)
+        SELECT slice_a, slice_b, union_k, matches, jaccard_ppm, est_union,
+          CAST((est_union // union_k) * matches
+               + ((est_union % union_k) * matches) // union_k AS BIGINT)
+            AS est_intersection
+        FROM est""")),
+
     // STREAMING sketch maintenance, gated by the batch rows' own oracles:
     // the corpus arrives as three micro-batch deltas, each batch builds
     // its own bounded sketch partition, and the serve-side merge is EXACT

@@ -758,6 +758,47 @@ object Profile {
           expr("(est_union % union_k) * matches DIV union_k"))
   }
 
+  /** Pairwise set-overlap MATRIX across every slice of one [[kmvSketch]]
+    * table — "which of my N crawls/sources/snapshots overlap, and by how
+    * much" as one relational product: a row per unordered slice pair
+    * (`slice_a < slice_b`) with [[kmvOverlap]]'s five estimates. All work
+    * is sketch-sized: the pair-union table holds ≤ N²·2k rows before the
+    * bottom-k re-min collapses each pair to ≤ k — governance over any
+    * corpus fleet costs N reusable sketch builds, never N² corpus joins.
+    */
+  def kmvOverlapMatrix(sketch: DataFrame, sliceCol: String,
+                       k: Int): DataFrame = {
+    val s = sketch.select(col(sliceCol).as("__s"), col("h"))
+    val slices = s.select("__s").distinct()
+    val pairs = slices.select(col("__s").as("slice_a"))
+      .join(slices.select(col("__s").as("slice_b")),
+        col("slice_a") < col("slice_b"))
+    val ua = pairs.join(s, col("slice_a") === col("__s")).drop("__s")
+    val ub = pairs.join(s, col("slice_b") === col("__s")).drop("__s")
+    val uni = ua.unionByName(ub).distinct()
+    val bottom = uni.groupBy("slice_a", "slice_b")
+      .agg(graft.functions.BottomK.distinct(col("h"), k).as("__hs"))
+      .select(col("slice_a"), col("slice_b"), explode(col("__hs")).as("h"))
+    val flagged = bottom
+      .join(s.select(col("__s").as("slice_a"), col("h"),
+        lit(1).as("__ina")), Seq("slice_a", "h"), "left")
+      .join(s.select(col("__s").as("slice_b"), col("h"),
+        lit(1).as("__inb")), Seq("slice_b", "h"), "left")
+    flagged.groupBy("slice_a", "slice_b")
+      .agg(
+        count(lit(1)).as("union_k"),
+        sum(when(col("__ina") === 1 && col("__inb") === 1, 1L).otherwise(0L))
+          .as("matches"),
+        max(col("h")).as("__kth"))
+      .select(
+        col("slice_a"), col("slice_b"), col("union_k"), col("matches"),
+        expr("matches * 1000000 DIV union_k").as("jaccard_ppm"),
+        kmvEstimate(k, col("union_k"), col("__kth")).as("est_union"))
+      .withColumn("est_intersection",
+        expr("est_union DIV union_k") * col("matches") +
+          expr("(est_union % union_k) * matches DIV union_k"))
+  }
+
   private def finish(one: DataFrame, names: Seq[String]): DataFrame = {
     val perCol = names.map { c =>
       struct(lit(c).as("column"),

@@ -97,6 +97,31 @@ class KmvSketchSpec extends SparkSpec {
     assert(same.getAs[Long]("jaccard_ppm") == 1000000L)
   }
 
+  test("kmvOverlapMatrix agrees with pairwise kmvOverlap on every pair") {
+    // three slices with engineered overlaps: A∩B = 1000, A∩C = 0, B∩C = 500
+    val rows =
+      (1 to 3000).map(i => (s"key$i", "A")) ++
+      (2001 to 5000).map(i => (s"key$i", "B")) ++
+      (4501 to 7000).map(i => (s"key$i", "C"))
+    val df = rows.toDF("k", "slice")
+    val k = 256
+    val sk = Profile.kmvSketch(df, col("k"), k, Seq("slice"))
+    val matrix = Profile.kmvOverlapMatrix(sk, "slice", k)
+      .orderBy("slice_a", "slice_b").collect()
+    assert(matrix.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("A", "B"), ("A", "C"), ("B", "C")))
+    for (row <- matrix) {
+      val sa = sk.filter(col("slice") === row.getString(0)).select("h")
+      val sb = sk.filter(col("slice") === row.getString(1)).select("h")
+      val single = Profile.kmvOverlap(sa, sb, k).collect().head
+      assert(row.toSeq.drop(2) == single.toSeq,
+        s"${row.getString(0)}-${row.getString(1)}: matrix ${row.toSeq.drop(2)} vs pairwise ${single.toSeq}")
+    }
+    // the disjoint pair really reads as disjoint
+    val ac = matrix.find(r => r.getString(0) == "A" && r.getString(1) == "C").get
+    assert(ac.getAs[Long]("matches") == 0L)
+  }
+
   test("plan: sketch build is a bounded ObjectHashAggregate, no distinct exchange") {
     val docs = (1 to 100).map(i => s"key$i").toDF("k")
     val plan = Profile.kmvSketch(docs, col("k"), 16)
