@@ -565,6 +565,72 @@ object Queries {
                 AND alpha_frac >= 0.8 AND stopword_hits >= 2
                 THEN 1 ELSE 0 END AS INT) AS keep
         FROM m""")),
+
+    // KMV sketch estimates behind SQL: overlap between two named views
+    // and per-slice distinct estimates — gated against the SAME oracles
+    // as the q_kmv_* DataFrame rows (exact sketch algebra: building the
+    // per-lang sketch directly equals building per-(lang,part) and
+    // merging, so the distinct row shares q_kmv_distinct's oracle).
+    "q_sql_tvf_overlap" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = table(s, dir, "documents")
+        docs.filter(col("doc_id") % 3 =!= 0).createOrReplaceTempView("docs_a_v")
+        docs.filter(col("doc_id") % 2 === 0).createOrReplaceTempView("docs_b_v")
+        s.sql("SELECT * FROM graft_overlap('docs_a_v', 'docs_b_v', 'text', 256)")
+      },
+      Some("""
+        WITH ha AS (SELECT DISTINCT
+            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+          FROM documents WHERE doc_id % 3 <> 0),
+        hb AS (SELECT DISTINCT
+            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+          FROM documents WHERE doc_id % 2 = 0),
+        ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        u AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL
+                                      SELECT h FROM skb)
+              ORDER BY h LIMIT 256),
+        fl AS (SELECT u.h,
+            (u.h IN (SELECT h FROM ska) AND u.h IN (SELECT h FROM skb))
+              AS b2 FROM u),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS union_k,
+            CAST(sum(CASE WHEN b2 THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+            max(h) AS kth FROM fl),
+        est AS (SELECT union_k, matches,
+            CAST(matches * 1000000 // union_k AS BIGINT) AS jaccard_ppm,
+            CASE WHEN union_k < 256 THEN union_k
+                 ELSE CAST(FLOOR(255.0 * 1152921504606846976.0
+                                 / CAST(kth AS DOUBLE)) AS BIGINT)
+            END AS est_union
+          FROM agg)
+        SELECT union_k, matches, jaccard_ppm, est_union,
+          CAST((est_union // union_k) * matches
+               + ((est_union % union_k) * matches) // union_k AS BIGINT)
+            AS est_intersection
+        FROM est""")),
+
+    "q_sql_tvf_distinct" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        table(s, dir, "documents").createOrReplaceTempView("documents_v")
+        s.sql("SELECT * FROM graft_distinct('documents_v', 'text', 'lang', 64)")
+      },
+      Some("""
+        WITH h AS (SELECT DISTINCT lang,
+            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+          FROM documents),
+        ranked AS (SELECT lang, h,
+            row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+        agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+            max(h) AS kth
+          FROM ranked WHERE rn <= 64 GROUP BY 1)
+        SELECT lang, n_kept,
+          CASE WHEN n_kept < 64 THEN n_kept
+               ELSE CAST(FLOOR(63.0 * 1152921504606846976.0
+                               / CAST(kth AS DOUBLE)) AS BIGINT)
+          END AS est_distinct
+        FROM agg""")),
   )
 
   private val tagQueries: Seq[(String, Q)] = Seq(

@@ -101,10 +101,46 @@ object GraftTvfs {
       stringLit(args(1), "id column"), stringLit(args(2), "text column")))
   }
 
+  /** `graft_overlap(tableA, tableB, keyCol[, k])` → [[Profile.kmvOverlap]]
+    * of the two named tables' key sets (union_k, matches, jaccard_ppm,
+    * est_union, est_intersection) — "how much does B overlap A" for SQL
+    * users, at the cost of two sketch builds. k defaults to 1024
+    * (≈3% relative error).
+    */
+  val graftOverlap: Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == 3 || args.length == 4,
+      "usage: graft_overlap('<tableA>', '<tableB>', '<key col>'[, <k>])")
+    val spark = activeSession
+    val key = stringLit(args(2), "key column")
+    val k = if (args.length > 3) intLit(args(3), "k") else 1024
+    plan(Profile.kmvOverlap(
+      Profile.kmvSketch(spark.table(stringLit(args.head, "tableA")),
+        col(key), k),
+      Profile.kmvSketch(spark.table(stringLit(args(1), "tableB")),
+        col(key), k), k))
+  }
+
+  /** `graft_distinct(table, keyCol, sliceCol[, k])` → per-slice KMV
+    * distinct-count estimates (n_kept, est_distinct) — exact below k.
+    */
+  val graftDistinct: Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == 3 || args.length == 4,
+      "usage: graft_distinct('<table>', '<key col>', '<slice col>'[, <k>])")
+    val spark = activeSession
+    val slice = stringLit(args(2), "slice column")
+    val k = if (args.length > 3) intLit(args(3), "k") else 1024
+    plan(Profile.kmvDistinct(
+      Profile.kmvSketch(spark.table(stringLit(args.head, "table name")),
+        col(stringLit(args(1), "key column")), k, Seq(slice)),
+      k, Seq(slice)))
+  }
+
   val all: Map[String, Seq[Expression] => LogicalPlan] = Map(
     "graft_drift" -> graftDrift,
     "graft_dedup_pairs" -> graftDedupPairs,
-    "graft_quality" -> graftQuality)
+    "graft_quality" -> graftQuality,
+    "graft_overlap" -> graftOverlap,
+    "graft_distinct" -> graftDistinct)
 
   private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
     df.queryExecution.logical

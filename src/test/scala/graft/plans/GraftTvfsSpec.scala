@@ -68,6 +68,36 @@ class GraftTvfsSpec extends SparkSpec {
     assert(kept == Seq(1L))
   }
 
+  test("graft_overlap / graft_distinct == the KMV API twins; default k applies") {
+    registered()
+    val a = (1 to 500).map(i => (i.toLong, s"key$i")).toDF("id", "k")
+    val b = (301 to 800).map(i => (i.toLong, s"key$i")).toDF("id", "k")
+    a.createOrReplaceTempView("gt_ov_a")
+    b.createOrReplaceTempView("gt_ov_b")
+    val viaTvf = spark.sql(
+      "SELECT * FROM graft_overlap('gt_ov_a', 'gt_ov_b', 'k', 128)")
+      .collect().toSeq
+    val viaApi = Profile.kmvOverlap(
+      Profile.kmvSketch(a, col("k"), 128),
+      Profile.kmvSketch(b, col("k"), 128), 128).collect().toSeq
+    assert(viaTvf == viaApi)
+    // default k = 1024 > universe → exact branch everywhere
+    val exact = spark.sql(
+      "SELECT * FROM graft_overlap('gt_ov_a', 'gt_ov_b', 'k')").collect().head
+    assert(exact.getAs[Long]("est_union") == 800L)
+    assert(exact.getAs[Long]("est_intersection") == 200L)
+
+    val docs = (1 to 300).map(i => (s"key${i % 90}", s"s${i % 3}")).toDF("k", "slice")
+    docs.createOrReplaceTempView("gt_dv")
+    val dTvf = spark.sql(
+      "SELECT * FROM graft_distinct('gt_dv', 'k', 'slice', 16)")
+      .collect().toSet
+    val dApi = Profile.kmvDistinct(
+      Profile.kmvSketch(docs, col("k"), 16, Seq("slice")), 16, Seq("slice"))
+      .collect().toSet
+    assert(dTvf == dApi)
+  }
+
   test("argument validation fails loud") {
     registered()
     Seq((1L, "x")).toDF("doc_id", "text").createOrReplaceTempView("gt_v")
