@@ -4151,6 +4151,70 @@ object ExtQueries {
             AS est_intersection
         FROM est""")),
 
+    // The KMV loop's NOVELTY feed: per micro-batch, history's distinct
+    // estimate before/after absorbing the batch and the clamped delta —
+    // "how much of today's crawl is actually new". Deterministic given
+    // the batch split, so the oracle recomputes every row: per-prefix
+    // bottom-k estimates over the same 60-bit hashes.
+    "q_kmv_novelty" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_kmvnov").toString
+        val skPath = s"$base/sk"; val stPath = s"$base/stats"
+        (0 until 3).foreach { i =>
+          graft.streaming.SketchStreams.processKmvBatch(
+            docs.filter(col("doc_id") % 3 === i), i.toLong,
+            col("text"), 64, skPath, Nil, Some(stPath))
+        }
+        s.read.parquet(stPath).select(
+          col("__batch_id").cast("long").as("batch_id"),
+          col("batch_kept"), col("est_before"), col("est_after"),
+          col("est_new"))
+      },
+      Some("""
+        WITH d AS (SELECT DISTINCT doc_id % 3 AS b,
+            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+          FROM documents),
+        pre0 AS (SELECT h FROM (SELECT DISTINCT h FROM d WHERE b <= 0)
+                 ORDER BY h LIMIT 64),
+        e0 AS (SELECT CAST(count(*) AS BIGINT) AS c, max(h) AS m FROM pre0),
+        est0 AS (SELECT CASE WHEN c < 64 THEN c
+            ELSE CAST(FLOOR(63.0 * 1152921504606846976.0
+                            / CAST(m AS DOUBLE)) AS BIGINT) END AS e FROM e0),
+        pre1 AS (SELECT h FROM (SELECT DISTINCT h FROM d WHERE b <= 1)
+                 ORDER BY h LIMIT 64),
+        e1 AS (SELECT CAST(count(*) AS BIGINT) AS c, max(h) AS m FROM pre1),
+        est1 AS (SELECT CASE WHEN c < 64 THEN c
+            ELSE CAST(FLOOR(63.0 * 1152921504606846976.0
+                            / CAST(m AS DOUBLE)) AS BIGINT) END AS e FROM e1),
+        pre2 AS (SELECT h FROM (SELECT DISTINCT h FROM d WHERE b <= 2)
+                 ORDER BY h LIMIT 64),
+        e2 AS (SELECT CAST(count(*) AS BIGINT) AS c, max(h) AS m FROM pre2),
+        est2 AS (SELECT CASE WHEN c < 64 THEN c
+            ELSE CAST(FLOOR(63.0 * 1152921504606846976.0
+                            / CAST(m AS DOUBLE)) AS BIGINT) END AS e FROM e2)
+        SELECT CAST(0 AS BIGINT) AS batch_id,
+          (SELECT CAST(LEAST(count(DISTINCT h), 64) AS BIGINT) FROM d
+             WHERE b = 0) AS batch_kept,
+          CAST(0 AS BIGINT) AS est_before,
+          (SELECT e FROM est0) AS est_after,
+          (SELECT e FROM est0) AS est_new
+        UNION ALL
+        SELECT CAST(1 AS BIGINT),
+          (SELECT CAST(LEAST(count(DISTINCT h), 64) AS BIGINT) FROM d
+             WHERE b = 1),
+          (SELECT e FROM est0), (SELECT e FROM est1),
+          GREATEST(CAST(0 AS BIGINT),
+            (SELECT e FROM est1) - (SELECT e FROM est0))
+        UNION ALL
+        SELECT CAST(2 AS BIGINT),
+          (SELECT CAST(LEAST(count(DISTINCT h), 64) AS BIGINT) FROM d
+             WHERE b = 2),
+          (SELECT e FROM est1), (SELECT e FROM est2),
+          GREATEST(CAST(0 AS BIGINT),
+            (SELECT e FROM est2) - (SELECT e FROM est1))""")),
+
     // STREAMING sketch maintenance, gated by the batch rows' own oracles:
     // the corpus arrives as three micro-batch deltas, each batch builds
     // its own bounded sketch partition, and the serve-side merge is EXACT

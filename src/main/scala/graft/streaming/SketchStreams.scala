@@ -34,21 +34,63 @@ object SketchStreams {
 
   def ingestKmv(newRows: DataFrame, keyCol: Column, k: Int,
                 sketchPath: String,
-                sliceCols: Seq[String] = Nil): DataStreamWriter[Row] =
+                sliceCols: Seq[String] = Nil,
+                statsPath: Option[String] = None): DataStreamWriter[Row] =
     newRows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      processKmvBatch(batch, batchId, keyCol, k, sketchPath, sliceCols)
+      processKmvBatch(batch, batchId, keyCol, k, sketchPath, sliceCols,
+        statsPath)
     }
 
   /** One micro-batch (factored out so batch semantics are testable
     * without a streaming harness): the batch's own bottom-k sketch
-    * appends as this batch's partition.
+    * appends as this batch's partition. With `statsPath` set, one
+    * NOVELTY row per batch also appends there — `batch_kept` (the
+    * batch's global sketch size), the KMV distinct estimate of history
+    * BEFORE the batch, AFTER absorbing it, and
+    * `est_new = max(0, after − before)` (clamped: estimator jitter on a
+    * no-new-content batch must read 0, never negative) — the "how much
+    * of today's crawl is actually NEW content" dashboard feed, costed at
+    * two bounded sketch merges per batch, no corpus scan, no dedup
+    * index. Retry-idempotent like the sketch itself: the stats row is a
+    * pure function of (history excluding this batch, batch content).
     */
   private[graft] def processKmvBatch(batch: DataFrame, batchId: Long,
                                      keyCol: Column, k: Int,
                                      sketchPath: String,
-                                     sliceCols: Seq[String]): Unit =
-    DocumentStreams.writeBatchPartition(
-      Profile.kmvSketch(batch, keyCol, k, sliceCols), batchId, sketchPath)
+                                     sliceCols: Seq[String],
+                                     statsPath: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val batchSk = Profile.kmvSketch(batch, keyCol, k, sliceCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    statsPath.foreach { sp =>
+      val p = new org.apache.hadoop.fs.Path(sketchPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasHistory = fs.exists(p) && fs.listStatus(p).nonEmpty
+      // global (slice-merged) sketches; kmvDistinct over an empty sketch
+      // is the exact-branch 0 — day one reads before=0, new=after
+      def est(sketch: DataFrame): Long =
+        Profile.kmvDistinct(sketch, k).collect()
+          .headOption.map(_.getLong(1)).getOrElse(0L)
+      val beforeSk =
+        if (hasHistory)
+          Profile.kmvMerge(DocumentStreams.readHistory(spark, sketchPath,
+            batchId).select("h"), k)
+        else batchSk.select("h").limit(0)
+      val batchGlobal = Profile.kmvMerge(batchSk.select("h"), k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val kept = batchGlobal.count()
+      val before = est(beforeSk)
+      val after = est(Profile.kmvMerge(beforeSk.unionByName(batchGlobal), k))
+      import spark.implicits._
+      DocumentStreams.writeBatchPartition(
+        Seq((kept, before, after, math.max(0L, after - before)))
+          .toDF("batch_kept", "est_before", "est_after", "est_new"),
+        batchId, sp)
+      batchGlobal.unpersist()
+    }
+    DocumentStreams.writeBatchPartition(batchSk, batchId, sketchPath)
+    batchSk.unpersist()
+  }
 
   /** The CURRENT sketch: re-min across every committed batch delta —
     * bit-identical to [[Profile.kmvSketch]] over the concatenated data

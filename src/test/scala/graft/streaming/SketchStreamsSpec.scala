@@ -128,6 +128,32 @@ class SketchStreamsSpec extends SparkSpec {
       sortedRows(offline))
   }
 
+  test("KMV novelty stats: day-one before=0, repeat-content batch reads est_new=0, retry idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("graft_kmvnovspec").toString
+    val skPath = s"$base/sk"; val stPath = s"$base/stats"
+    val fresh = (1 to 400).map(i => s"key$i").toDF("k")
+    val repeat = (1 to 200).map(i => s"key$i").toDF("k") // all seen in batch 0
+    SketchStreams.processKmvBatch(fresh, 0L, col("k"), 32, skPath, Nil, Some(stPath))
+    SketchStreams.processKmvBatch(repeat, 1L, col("k"), 32, skPath, Nil, Some(stPath))
+    val stats = spark.read.parquet(stPath)
+      .select(col("__batch_id").cast("long"), col("batch_kept"),
+        col("est_before"), col("est_after"), col("est_new"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(stats.head._3 == 0L) // day one: before = 0
+    assert(stats.head._5 == stats.head._4) // new = after
+    assert(stats(1)._5 == 0L, s"repeat batch must read 0 new, got ${stats(1)}")
+    assert(stats(1)._2 == 32L) // batch sketch still bounded at k
+    // at-least-once retry of batch 1: identical row, no duplicate
+    SketchStreams.processKmvBatch(repeat, 1L, col("k"), 32, skPath, Nil, Some(stPath))
+    val again = spark.read.parquet(stPath)
+      .select(col("__batch_id").cast("long"), col("batch_kept"),
+        col("est_before"), col("est_after"), col("est_new"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(again == stats)
+  }
+
   test("KMV loop end to end over a MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp("graft_kmvm")
