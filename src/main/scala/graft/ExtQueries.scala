@@ -932,6 +932,57 @@ object ExtQueries {
     // CTE over the committed golden pair fixture (itself exact-checked by
     // q_dedup_minhash) — so the distributed hash-min iteration is gated
     // against a genuinely different algorithm.
+    // Near-dup GOVERNANCE reports over the committed pair fixture: which
+    // sources carry the duplicate mass (counts + n_chars-weighted, exact
+    // integer ppm), and the cluster-size histogram with singletons as
+    // the denominator. Both are bounded aggregates over pair/component
+    // tables — the reports cost the pairs plus one corpus scan.
+    "q_dup_mass" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Dedup.dupMassByGroup(docs, "doc_id", "source",
+          Dedup.minhashPairsFromIndex(docsMinhashIdx(s, dir),
+            numHashes = 128, threshold = 0.5),
+          weight = col("n_chars"))
+      },
+      Some("""
+        WITH members AS (SELECT DISTINCT id FROM (
+            SELECT id1 AS id FROM read_parquet('/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')
+            UNION ALL
+            SELECT id2 FROM read_parquet('/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')))
+        SELECT d.source AS "group",
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN m.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+          CAST(sum(CASE WHEN m.id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+               // count(*) AS BIGINT) AS dup_ppm,
+          CAST(sum(d.n_chars) AS BIGINT) AS w_total,
+          CAST(sum(CASE WHEN m.id IS NOT NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS w_dup,
+          CAST(sum(CASE WHEN m.id IS NOT NULL THEN d.n_chars ELSE 0 END) * 1000000
+               // sum(d.n_chars) AS BIGINT) AS dup_w_ppm
+        FROM documents d LEFT JOIN members m ON d.doc_id = m.id
+        GROUP BY 1""")),
+
+    "q_cluster_sizes" -> Q(
+      (s, dir) => Dedup.clusterSizeHistogram(
+        Dedup.connectedComponents(table(s, dir, "documents"), "doc_id",
+          Dedup.minhashPairsFromIndex(docsMinhashIdx(s, dir),
+            numHashes = 128, threshold = 0.5))),
+      Some(s"""
+        WITH RECURSIVE
+        edges AS (SELECT id1, id2 FROM
+          read_parquet('/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')),
+        und AS (SELECT id1 AS a, id2 AS b FROM edges
+                UNION SELECT id2, id1 FROM edges),
+        reach AS (SELECT a, b FROM und
+                  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+        labeled AS (SELECT d.doc_id AS id, COALESCE(c.component, d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS size
+          FROM labeled GROUP BY 1)
+        SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+        FROM sizes GROUP BY 1""")),
+
     "q_dedup_clusters" -> Q(
       (s, dir) => Dedup.connectedComponents(table(s, dir, "documents"), "doc_id",
         Dedup.minhashPairsFromIndex(docsMinhashIdx(s, dir),

@@ -424,6 +424,54 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select("__row.*")
   }
 
+  /** DUPLICATE-MASS report per group (per source/host/crawl: how much of
+    * each slice is duplicated content) — the governance face of a pair
+    * table: per `groupCol` value, document counts, documents touched by
+    * at least one near-dup pair, the exact dup share in ppm, and the
+    * same three WEIGHTED (e.g. by chars or tokens: "duplicate token
+    * mass", what dedup would actually reclaim from a training budget).
+    * Integer ppm end to end (cnt·10⁶ div total, the cleared-denominator
+    * discipline) so the dashboard never flickers across engines/reruns.
+    *
+    * Plan shape: the pair table collapses to a distinct member-id set
+    * (pair-sized, never corpus-sized), one id-keyed left join marks
+    * members, one map-combined aggregate per group — the report costs
+    * the pair table plus one corpus scan.
+    */
+  def dupMassByGroup(docs: DataFrame, idCol: String, groupCol: String,
+                     pairs: DataFrame,
+                     weight: Column = lit(1L)): DataFrame = {
+    val members = pairs.select(col("id1").as("__mid"))
+      .unionByName(pairs.select(col("id2").as("__mid")))
+      .distinct()
+      .withColumn("__dup", lit(1))
+    docs.select(col(groupCol).as("group"), col(idCol).as("__mid"),
+        weight.cast("long").as("__w"))
+      .join(members, Seq("__mid"), "left")
+      .groupBy("group")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__dup") === 1, 1L).otherwise(0L)).as("n_dup"),
+        sum(col("__w")).as("w_total"),
+        sum(when(col("__dup") === 1, col("__w")).otherwise(0L)).as("w_dup"))
+      .select(col("group"), col("n_docs"), col("n_dup"),
+        expr("n_dup * 1000000 DIV n_docs").as("dup_ppm"),
+        col("w_total"), col("w_dup"),
+        expr("w_dup * 1000000 DIV w_total").as("dup_w_ppm"))
+  }
+
+  /** Cluster-SIZE histogram over a [[connectedComponents]] labeling: one
+    * row per cluster size with the number of clusters of that size
+    * (singletons included — they are the denominator that makes "0.3% of
+    * clusters hold 40% of duplicates" readable). Two bounded hash
+    * aggregates; nothing here scales past the component table.
+    */
+  def clusterSizeHistogram(components: DataFrame): DataFrame =
+    components.groupBy("component")
+      .agg(count(lit(1)).as("size"))
+      .groupBy("size")
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** CONNECTED COMPONENTS over a near-duplicate pair list: every document
     * labeled with the smallest id reachable through the pair graph — the
     * transitive closure [[dropNearDuplicates]]' one-hop policy misses
