@@ -3076,6 +3076,52 @@ object ExtQueries {
       },
       pagerankOracleSql(3)),
 
+    // TRIANGLE COUNT over the parts-co-ordered-together graph (edges =
+    // unordered part pairs sharing an order): the degree-ordered
+    // node-iterator — orientation bounds the wedge table at m^1.5 on ANY
+    // degree sequence, where the naive neighbor self-join dies on the
+    // first hub. Oracle: the brute canonical-triple triple-join.
+    "q_triangles" -> Q(
+      (s, dir) => {
+        val lp = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = lp.as("x").join(lp.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("s"), col("y.p").as("d"))
+        graft.operators.Graph.triangleCount(edges, "s", "d")
+      },
+      Some("""
+        WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (SELECT DISTINCT x.p AS a, y.p AS b
+              FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p)
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""")),
+
+    // Degree distribution of the same graph — the first-look histogram
+    // (hub detection, power-law sanity) as two bounded aggregates.
+    "q_degree_dist" -> Q(
+      (s, dir) => {
+        val lp = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = lp.as("x").join(lp.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("s"), col("y.p").as("d"))
+        graft.operators.Graph.degreeDistribution(edges, "s", "d")
+      },
+      Some("""
+        WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (SELECT DISTINCT x.p AS a, y.p AS b
+              FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+        d AS (SELECT n, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+              GROUP BY 1)
+        SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM d GROUP BY 1""")),
+
     // NEAREST as-of (pandas merge_asof direction='nearest'): each
     // purchase gets the user's temporally CLOSEST click within 30
     // minutes, equal distance breaking backward. One union exchange,
