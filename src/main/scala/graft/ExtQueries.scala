@@ -3100,6 +3100,39 @@ object ExtQueries {
         JOIN e e2 ON e2.a = e1.b
         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""")),
 
+    // Per-node local clustering coefficients over the same graph, exact
+    // integer ppm (2T·10⁶ div d(d−1)) — the link-spam shape detector
+    // (high degree + near-zero clustering). Triangle triples exploded ×3;
+    // zero-triangle nodes keep their row.
+    "q_clustering" -> Q(
+      (s, dir) => {
+        val lp = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = lp.as("x").join(lp.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("s"), col("y.p").as("d"))
+        graft.operators.Graph.clusteringCoefficients(edges, "s", "d")
+      },
+      Some("""
+        WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (SELECT DISTINCT x.p AS a, y.p AS b
+              FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1 JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        tn AS (SELECT n, CAST(count(*) AS BIGINT) AS t FROM (
+            SELECT unnest([x, y, z]) AS n FROM tri) GROUP BY 1),
+        d AS (SELECT n, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+        SELECT d.n AS node, d.degree,
+          COALESCE(tn.t, CAST(0 AS BIGINT)) AS n_triangles,
+          CASE WHEN d.degree < 2 THEN CAST(0 AS BIGINT)
+               ELSE CAST(2 * COALESCE(tn.t, 0) * 1000000
+                         // (d.degree * (d.degree - 1)) AS BIGINT)
+          END AS coeff_ppm
+        FROM d LEFT JOIN tn ON d.n = tn.n""")),
+
     // Degree distribution of the same graph — the first-look histogram
     // (hub detection, power-law sanity) as two bounded aggregates.
     "q_degree_dist" -> Q(

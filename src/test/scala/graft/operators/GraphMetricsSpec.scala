@@ -45,6 +45,20 @@ class GraphMetricsSpec extends SparkSpec {
     assert(got == Seq((1L, 3L), (3L, 1L)))
   }
 
+  test("clustering coefficients: triangle+pendant graph, hand-computed ppm") {
+    // triangle {1,2,3} + pendant 3-4: node 3 has d=3, T=1 → 2·1e6/6;
+    // nodes 1,2 have d=2, T=1 → 1e6; node 4 has d=1 → 0
+    val got = Graph.clusteringCoefficients(
+        Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "d"), "s", "d")
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 1000000L),
+      (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L),
+      (4L, 1L, 0L, 0L)))
+  }
+
   test("hub-heavy graph agrees with the naive SQL closed form") {
     // deterministic pseudo-random graph with a hub: every node i links to
     // i+1, i+2; node 0 links to all — compare against a brute-force count
