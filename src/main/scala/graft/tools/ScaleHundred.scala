@@ -177,7 +177,7 @@ object ScaleHundred {
       "q_kmv_distinct", "q_kmv_overlap", "q_kmv_matrix",     // KMV set-ops sketch
       "q_cms_stream", "q_kmv_stream", "q_kmv_novelty",       // streamed sketch loops
       "q_dup_mass", "q_cluster_sizes",                       // dedup governance
-      "q_triangles", "q_degree_dist")                        // graph metrics
+      "q_triangles", "q_degree_dist", "q_clustering")        // graph metrics
     // SPARK_GRAFT_PROBE_ONLY=a,b filters the probe set (the sweep-filter
     // convention of ScaleFull) so a new family's third-decade point
     // doesn't re-measure the whole table
