@@ -157,19 +157,34 @@ object Graph {
     */
   def triangleCount(edges: DataFrame, srcCol: String,
                     dstCol: String): DataFrame =
-    triangles(edges, srcCol, dstCol)
-      .agg(count(lit(1)).as("n_triangles"))
+    withTriangles(edges, srcCol, dstCol) { (tri, _) =>
+      tri.agg(count(lit(1)).as("n_triangles"))
+    }
 
   /** Every triangle as one row `(x, v, w)` (x = the triangle's
     * smallest-(degree, id) vertex — each triangle appears EXACTLY once),
     * via the degree-ordered wedge machinery shared by [[triangleCount]]
     * and [[clusteringCoefficients]].
+    *
+    * The oriented edge table feeds THREE consumers (both wedge legs and
+    * the closing semi-join) and the degree table two; left lazy, Catalyst
+    * duplicates each subtree per consumer and the edge normalization runs
+    * ~30 times (PlanAudit caught exactly that: 62 shuffles for what is
+    * three joins). So the shared tables PERSIST for the call and `f`'s
+    * result is MATERIALIZED (localCheckpoint — the [[pageRank]]
+    * discipline) before they are released: intermediates never leak past
+    * the call, and the caller gets a computed table whose lineage no
+    * longer references them.
     */
-  private def triangles(edges: DataFrame, srcCol: String,
-                        dstCol: String): DataFrame = {
+  private def withTriangles(edges: DataFrame, srcCol: String,
+                            dstCol: String)(
+      f: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val und = canonical(edges, srcCol, dstCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // rank = (degree, id); orient u -> v iff rank(u) < rank(v)
     val withRanks = und
       .join(deg.select(col("n").as("a"), col("d").as("__da")), "a")
@@ -180,6 +195,7 @@ object Graph {
         when(aFirst, col("a")).otherwise(col("b")).as("u"),
         when(aFirst, col("b")).otherwise(col("a")).as("v"),
         when(aFirst, col("__db")).otherwise(col("__da")).as("__dv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // wedges at x: unordered {v, w} pairs of out-neighbors, emitted once
     // (rank(v) < rank(w)) so the closing lookup is exactly the oriented
     // (v, w) edge
@@ -190,10 +206,16 @@ object Graph {
       .filter(col("__dv") < col("__dw") ||
         (col("__dv") === col("__dw") && col("v") < col("w")))
       .select(col("x"), col("v"), col("w"))
-    wedges.join(
+    val tri = wedges.join(
         oriented.select(col("u").as("v"), col("v").as("w")),
         Seq("v", "w"), "left_semi")
       .select("x", "v", "w")
+    val result = f(tri, deg.select(col("n").as("node"),
+      col("d").as("degree"))).localCheckpoint()
+    oriented.unpersist()
+    deg.unpersist()
+    und.unpersist()
+    result
   }
 
   /** LOCAL CLUSTERING COEFFICIENTS: per node, its degree, the triangles
@@ -206,19 +228,16 @@ object Graph {
     * bound as the count.
     */
   def clusteringCoefficients(edges: DataFrame, srcCol: String,
-                             dstCol: String): DataFrame = {
-    val und = canonical(edges, srcCol, dstCol)
-    val deg = und.select(col("a").as("node"))
-      .unionAll(und.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("degree"))
-    val perNode = triangles(edges, srcCol, dstCol)
-      .select(explode(array(col("x"), col("v"), col("w"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("__t"))
-    deg.join(perNode, Seq("node"), "left")
-      .select(col("node"), col("degree"),
-        coalesce(col("__t"), lit(0L)).as("n_triangles"))
-      .withColumn("coeff_ppm",
-        when(col("degree") < 2, lit(0L)).otherwise(
-          expr("2 * n_triangles * 1000000 DIV (degree * (degree - 1))")))
-  }
+                             dstCol: String): DataFrame =
+    withTriangles(edges, srcCol, dstCol) { (tri, deg) =>
+      val perNode = tri
+        .select(explode(array(col("x"), col("v"), col("w"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("__t"))
+      deg.join(perNode, Seq("node"), "left")
+        .select(col("node"), col("degree"),
+          coalesce(col("__t"), lit(0L)).as("n_triangles"))
+        .withColumn("coeff_ppm",
+          when(col("degree") < 2, lit(0L)).otherwise(
+            expr("2 * n_triangles * 1000000 DIV (degree * (degree - 1))")))
+    }
 }
