@@ -441,8 +441,10 @@ object Dedup extends org.apache.spark.internal.Logging {
   def dupMassByGroup(docs: DataFrame, idCol: String, groupCol: String,
                      pairs: DataFrame,
                      weight: Column = lit(1L)): DataFrame = {
-    val members = pairs.select(col("id1").as("__mid"))
-      .unionByName(pairs.select(col("id2").as("__mid")))
+    // explode, not a union of two selects: the pair table is often an
+    // expensive banded-join subtree, and a two-select union scans it twice
+    val members = pairs
+      .select(explode(array(col("id1"), col("id2"))).as("__mid"))
       .distinct()
       .withColumn("__dup", lit(1))
     docs.select(col(groupCol).as("group"), col(idCol).as("__mid"),

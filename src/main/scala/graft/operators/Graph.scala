@@ -133,12 +133,13 @@ object Graph {
     * degree count.
     */
   def degreeDistribution(edges: DataFrame, srcCol: String,
-                         dstCol: String): DataFrame = {
-    val und = canonical(edges, srcCol, dstCol)
-    und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+                         dstCol: String): DataFrame =
+    // explode, not a two-select union: the canonical table carries a
+    // distinct exchange, and a union would run it twice
+    canonical(edges, srcCol, dstCol)
+      .select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
-  }
 
   /** GLOBAL TRIANGLE COUNT — the clustering-structure scalar (community
     * density, spam-farm detection on link graphs) computed with the
@@ -182,7 +183,7 @@ object Graph {
     import org.apache.spark.storage.StorageLevel
     val und = canonical(edges, srcCol, dstCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+    val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // rank = (degree, id); orient u -> v iff rank(u) < rank(v)

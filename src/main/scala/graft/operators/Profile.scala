@@ -738,8 +738,11 @@ object Profile {
     * kilobyte-sized joins.
     */
   def kmvOverlap(sketchA: DataFrame, sketchB: DataFrame, k: Int): DataFrame = {
-    val a = sketchA.select(col("h"))
-    val b = sketchB.select(col("h"))
+    // each sketch feeds the union AND a membership join; left lazy the
+    // (possibly corpus-scanning) sketch subtree would run twice per side
+    // — a ≤ k-row table is exactly what localCheckpoint is for
+    val a = sketchA.select(col("h")).localCheckpoint()
+    val b = sketchB.select(col("h")).localCheckpoint()
     val u = kmvMerge(a.unionByName(b), k)
     val flagged = u
       .join(a.withColumn("__ina", lit(1)).distinct(), Seq("h"), "left")
@@ -768,7 +771,10 @@ object Profile {
     */
   def kmvOverlapMatrix(sketch: DataFrame, sliceCol: String,
                        k: Int): DataFrame = {
-    val s = sketch.select(col(sliceCol).as("__s"), col("h"))
+    // the slice-sketch subtree feeds EIGHT consumers (slice list, both
+    // pair-union legs, both membership joins); materialize the ≤ N·k-row
+    // table once (PlanAudit: unchecked, the corpus scan ran 8×)
+    val s = sketch.select(col(sliceCol).as("__s"), col("h")).localCheckpoint()
     val slices = s.select("__s").distinct()
     val pairs = slices.select(col("__s").as("slice_a"))
       .join(slices.select(col("__s").as("slice_b")),
