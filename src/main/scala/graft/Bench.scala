@@ -50,6 +50,17 @@ object Bench {
     // so per-query numbers are attributable.
     def quiesce(): Unit = {
       spark.catalog.clearCache()
+      // clearCache only drops CATALOG cache entries; localCheckpoint /
+      // bare rdd.persist blocks (Graph.withTriangles results, Dedup CC
+      // rounds, sketch overlap tables) sit in getPersistentRDDs until the
+      // async ContextCleaner notices the RDD is unreachable. At n=215 that
+      // history is big enough to smear 1.5-6.5x onto alphabetically-late
+      // rows (BENCH_r14 `Block rdd_* already exists` tail). Every block
+      // here is dead by construction — rows rebuild their plans from
+      // scratch and all cross-row memos are parquet-backed — so drop them
+      // synchronously.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc()
       Thread.sleep(200)
     }
@@ -69,9 +80,14 @@ object Bench {
     // fresh child JVM with this JVM's own flags, so each battery reports a
     // number attributable to the query instead of to battery history. The
     // child env var is the recursion guard and keeps the child in-process.
+    // q_triangles/q_clustering joined the set in r15: #1/#2 battery costs
+    // reading 2.4-2.8x their stable isolated truth (19.7/17.6 s in-battery
+    // vs 7.1/7.4 s isolated, SCALE.md round-14 graph table) — the same
+    // battery-history sensitivity class as q_pagerank (iterative,
+    // persist-heavy, many short jobs).
     val isolatedRows: Set[String] =
       if (sys.env.contains("SPARK_GRAFT_BENCH_NO_ISOLATE")) Set.empty
-      else Set("q_pagerank")
+      else Set("q_pagerank", "q_triangles", "q_clustering")
     def isolatedProbe(name: String): Double = {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val jvmArgs = java.lang.management.ManagementFactory
@@ -96,10 +112,20 @@ object Bench {
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val p = pb.start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      // drain stdout on its own thread: readAllBytes() on this thread
+      // blocks until the child CLOSES stdout, so a hung child would hang
+      // the whole battery and the 15-minute timeout could never fire
+      val outRef = new java.util.concurrent.atomic.AtomicReference[String]("")
+      val drain = new Thread(() =>
+        try outRef.set(new String(p.getInputStream.readAllBytes(), "UTF-8"))
+        catch { case _: Throwable => () })
+      drain.setDaemon(true)
+      drain.start()
       if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
         p.destroyForcibly(); return -1.0
       }
+      drain.join(30000)
+      val out = outRef.get()
       val re = ("\"" + java.util.regex.Pattern.quote(name) +
         "\":(-?[0-9.]+)").r
       re.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)

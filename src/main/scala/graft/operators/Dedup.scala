@@ -459,7 +459,12 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select(col("group"), col("n_docs"), col("n_dup"),
         expr("n_dup * 1000000 DIV n_docs").as("dup_ppm"),
         col("w_total"), col("w_dup"),
-        expr("w_dup * 1000000 DIV w_total").as("dup_w_ppm"))
+        // all-zero / all-NULL weights would make this silently NULL
+        // (x DIV 0 = NULL); report 0 instead — "no duplicate mass" is the
+        // honest reading of a group with no mass at all (the
+        // cleared-denominator discipline of Profile.categoricalDrift)
+        when(col("w_total") > 0, expr("w_dup * 1000000 DIV w_total"))
+          .otherwise(lit(0L)).as("dup_w_ppm"))
   }
 
   /** Cluster-SIZE histogram over a [[connectedComponents]] labeling: one
@@ -1402,7 +1407,25 @@ object Dedup extends org.apache.spark.internal.Logging {
   def incrementalCdcChunks(newBlobs: DataFrame, idCol: String,
                            binCol: String, chunkIndex: DataFrame,
                            minSize: Int = 2048, maskBits: Int = 11,
-                           maxSize: Int = 65536): DataFrame = {
+                           maxSize: Int = 65536): DataFrame =
+    incrementalCdcChunksReleasable(newBlobs, idCol, binCol, chunkIndex,
+      minSize, maskBits, maxSize)._1
+
+  /** [[incrementalCdcChunks]] plus a release handle for the batch chunk
+    * table it persists (the chunk table feeds three subtrees — keys,
+    * firsts, and the annotate join — so it must stay cached until the
+    * result materializes). Long-running callers
+    * ([[graft.streaming.ChunkStoreStreams]]'s per-micro-batch loop) MUST
+    * call the handle once the annotated result is materialized, or each
+    * batch leaks one cached table for the life of the JVM (disk blocks are
+    * not LRU-evicted until unpersist) — the pageRank/withTriangles
+    * persist-and-release discipline.
+    */
+  def incrementalCdcChunksReleasable(newBlobs: DataFrame, idCol: String,
+                                     binCol: String, chunkIndex: DataFrame,
+                                     minSize: Int = 2048, maskBits: Int = 11,
+                                     maxSize: Int = 65536)
+      : (DataFrame, () => Unit) = {
     val batch = cdcChunkTable(newBlobs, idCol, binCol,
       minSize, maskBits, maxSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1416,7 +1439,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       .agg(min(struct(col("id"), col("offset"))).as("__f"))
       .select(col("hash"), col("length"),
         col("__f.id").as("__fid"), col("__f.offset").as("__foff"))
-    batch
+    val annotated = batch
       .join(broadcast(hitKeys.withColumn("__hit", lit(1))),
         Seq("hash", "length"), "left")
       .join(broadcast(firsts), Seq("hash", "length"))
@@ -1425,6 +1448,7 @@ object Dedup extends org.apache.spark.internal.Logging {
           .when(col("id") === col("__fid") && col("offset") === col("__foff"),
             lit("first"))
           .otherwise(lit("dup")).as("status"))
+    (annotated, () => { batch.unpersist(); () })
   }
 
   /** The ingest headline over an [[incrementalCdcChunks]] table: what the

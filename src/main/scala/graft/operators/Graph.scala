@@ -239,6 +239,14 @@ object Graph {
           coalesce(col("__t"), lit(0L)).as("n_triangles"))
         .withColumn("coeff_ppm",
           when(col("degree") < 2, lit(0L)).otherwise(
-            expr("2 * n_triangles * 1000000 DIV (degree * (degree - 1))")))
+            // pre-divided denominator (d(d−1) is even, so DIV 2 is exact,
+            // and floor(2T·10⁶/(d(d−1))) ≡ floor(T·10⁶/(d(d−1)/2)) —
+            // bit-identical output): the naive 2T·10⁶ numerator wraps
+            // BIGINT at a full-clique hub of degree ≈ 3·10⁶, plausible on
+            // web-scale link graphs. Remaining bounds, documented like
+            // Profile.histogram's: T ≤ 9.2·10¹² per node (full clique at
+            // degree ≈ 4.3·10⁶; real graphs sit far below the clique
+            // bound) and degree ≤ 3·10⁹ for d(d−1) itself.
+            expr("n_triangles * 1000000 DIV (degree * (degree - 1) DIV 2)")))
     }
 }

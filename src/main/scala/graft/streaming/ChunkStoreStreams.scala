@@ -60,8 +60,12 @@ object ChunkStoreStreams {
         import spark.implicits._
         Seq.empty[(Long, Long)].toDF("hash", "length")
       }
-    val ann = Dedup.incrementalCdcChunks(batch, idCol, binCol, history,
-        minSize, maskBits, maxSize)
+    // releasable form: the operator persists the batch chunk table for its
+    // three consumers; a per-micro-batch loop that never released it would
+    // accumulate one cached table per batch for the life of the JVM
+    val (rawAnn, releaseChunks) = Dedup.incrementalCdcChunksReleasable(
+      batch, idCol, binCol, history, minSize, maskBits, maxSize)
+    val ann = rawAnn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the index grows by the batch's 'first' chunks only: hits are
     // already stored; dups deduped against the batch's own firsts
@@ -72,5 +76,6 @@ object ChunkStoreStreams {
     DocumentStreams.writeBatchPartition(
       Dedup.cdcIngestStats(ann), batchId, statsPath)
     ann.unpersist()
+    releaseChunks()
   }
 }

@@ -41,6 +41,23 @@ class DedupGovernanceSpec extends SparkSpec {
     }
   }
 
+  test("dupMassByGroup: all-zero and all-NULL weight groups report dup_w_ppm 0, not NULL") {
+    // group Z carries zero weight, group N all-NULL weight: w_total is 0
+    // resp. NULL, and x DIV 0 / x DIV NULL would silently make dup_w_ppm
+    // NULL — the guard must read 0 ("no duplicate mass") instead
+    val weird = Seq((1L, "Z", Some(0L)), (2L, "Z", Some(0L)),
+        (3L, "N", None: Option[Long]), (4L, "N", None))
+      .toDF("doc_id", "source", "w")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id1", "id2")
+    val got = Dedup.dupMassByGroup(weird, "doc_id", "source", pairs,
+        weight = col("w")).orderBy("group").collect()
+    got.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("dup_w_ppm")),
+        s"dup_w_ppm NULL for group ${r.getString(0)}")
+      assert(r.getAs[Long]("dup_w_ppm") == 0L)
+    }
+  }
+
   test("clusterSizeHistogram counts singletons and transitive clusters") {
     // {1,2,3} one cluster (transitive), {4,5} one pair, 6..20 singletons
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")

@@ -67,6 +67,21 @@ class ChunkStoreStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(statsPath).count() == 2L)
   }
 
+  test("processChunkBatch leaves no persisted blocks behind (no per-batch leak)") {
+    val indexPath = tmp("graft_csidx3")
+    val statsPath = tmp("graft_csstats3")
+    // long-running ingest loops call this once per micro-batch: any
+    // lingering persisted table accumulates for the life of the JVM
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    (0L to 2L).foreach { b =>
+      ChunkStoreStreams.processChunkBatch(
+        blobs((b * 10, detBytes(1500, 50L + b)), (b * 10 + 1, detBytes(1500, 60L + b))),
+        b, "blob_id", "payload", indexPath, statsPath, 16, 5, 256)
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
+  }
+
   test("chunk-store loop end to end over a MemoryStream; compaction keeps labels") {
     implicit val sqlCtx = spark.sqlContext
     val indexPath = tmp("graft_csidx2")
