@@ -4228,6 +4228,92 @@ object ExtQueries {
             AS est_intersection
         FROM est""")),
 
+    // KMV set DIFFERENCE — the directional complement of q_kmv_overlap
+    // over the same two corpora: combined-bottom-k hashes present in
+    // exactly one sketch (only_a / only_b) and the Beyer'07 difference
+    // estimates in the same exact BIGINT split arithmetic as the
+    // intersection estimator. Sketch×sketch joins only.
+    "q_kmv_diff" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val a = graft.operators.Profile.kmvSketch(
+          docs.filter(col("doc_id") % 3 =!= 0), col("text"), k = 256)
+        val b = graft.operators.Profile.kmvSketch(
+          docs.filter(col("doc_id") % 2 === 0), col("text"), k = 256)
+        graft.operators.Profile.kmvDifference(a, b, k = 256)
+      },
+      Some("""
+        WITH ha AS (SELECT DISTINCT
+            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+          FROM documents WHERE doc_id % 3 <> 0),
+        hb AS (SELECT DISTINCT
+            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+          FROM documents WHERE doc_id % 2 = 0),
+        ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        u AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL
+                                      SELECT h FROM skb)
+              ORDER BY h LIMIT 256),
+        fl AS (SELECT u.h,
+            u.h IN (SELECT h FROM ska) AS ia,
+            u.h IN (SELECT h FROM skb) AS ib FROM u),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS union_k,
+            CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT)
+              AS matches,
+            CAST(sum(CASE WHEN ia AND NOT ib THEN 1 ELSE 0 END) AS BIGINT)
+              AS only_a,
+            CAST(sum(CASE WHEN ib AND NOT ia THEN 1 ELSE 0 END) AS BIGINT)
+              AS only_b,
+            max(h) AS kth FROM fl),
+        est AS (SELECT union_k, matches, only_a, only_b,
+            CASE WHEN union_k < 256 THEN union_k
+                 ELSE CAST(FLOOR(255.0 * 1152921504606846976.0
+                                 / CAST(kth AS DOUBLE)) AS BIGINT)
+            END AS est_union
+          FROM agg)
+        SELECT union_k, matches, only_a, only_b, est_union,
+          CAST((est_union // union_k) * only_a
+               + ((est_union % union_k) * only_a) // union_k AS BIGINT)
+            AS est_a_minus_b,
+          CAST((est_union // union_k) * only_b
+               + ((est_union % union_k) * only_b) // union_k AS BIGINT)
+            AS est_b_minus_a
+        FROM est""")),
+
+    // WEIGHTED KMV — total n_chars over the distinct-text universe per
+    // lang, from one bounded-buffer scan: bottom-k hashes each carrying
+    // max(weight), est_total_w = est_distinct·sum_w DIV n_kept in
+    // DECIMAL(38,0)-exact arithmetic. k=72 gates BOTH branches at
+    // sf0.01: de (70 distinct texts) and fr (64) land below k (the
+    // formula degenerates to the exact sampled sum), en/es/zh at k (the
+    // Horvitz–Thompson scale-up).
+    "q_kmv_weighted" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val sk = graft.operators.Profile.kmvSketchWeighted(
+          docs, col("text"), col("n_chars"), k = 72, sliceCols = Seq("lang"))
+        graft.operators.Profile.kmvWeightedSum(sk, k = 72, Seq("lang"))
+      },
+      Some("""
+        WITH hw AS (SELECT lang,
+            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h,
+            CAST(max(n_chars) AS BIGINT) AS w
+          FROM documents GROUP BY 1, 2),
+        ranked AS (SELECT lang, h, w,
+            row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM hw),
+        agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+            CAST(sum(w) AS BIGINT) AS sum_w, max(h) AS kth
+          FROM ranked WHERE rn <= 72 GROUP BY 1),
+        est AS (SELECT lang, n_kept, sum_w,
+            CASE WHEN n_kept < 72 THEN n_kept
+                 ELSE CAST(FLOOR(71.0 * 1152921504606846976.0
+                                 / CAST(kth AS DOUBLE)) AS BIGINT)
+            END AS est_distinct
+          FROM agg)
+        SELECT lang, n_kept, sum_w, est_distinct,
+          CAST(est_distinct * sum_w // n_kept AS BIGINT) AS est_total_w
+        FROM est""")),
+
     // KMV overlap MATRIX — corpus-fleet governance in one row per slice
     // pair: token-VOCABULARY overlap across the five languages (token
     // universes genuinely intersect: numbers, punctuation, shared words),

@@ -631,6 +631,55 @@ object Queries {
                                / CAST(kth AS DOUBLE)) AS BIGINT)
           END AS est_distinct
         FROM agg""")),
+
+    // Set-difference TVF: graft_difference over the same two views as
+    // q_sql_tvf_overlap — directional "how much of A is NOT in B" for
+    // SQL users; shares q_kmv_diff's oracle arithmetic.
+    "q_sql_tvf_diff" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = table(s, dir, "documents")
+        docs.filter(col("doc_id") % 3 =!= 0).createOrReplaceTempView("docs_a_v")
+        docs.filter(col("doc_id") % 2 === 0).createOrReplaceTempView("docs_b_v")
+        s.sql("SELECT * FROM graft_difference('docs_a_v', 'docs_b_v', 'text', 256)")
+      },
+      Some("""
+        WITH ha AS (SELECT DISTINCT
+            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+          FROM documents WHERE doc_id % 3 <> 0),
+        hb AS (SELECT DISTINCT
+            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
+          FROM documents WHERE doc_id % 2 = 0),
+        ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        u AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL
+                                      SELECT h FROM skb)
+              ORDER BY h LIMIT 256),
+        fl AS (SELECT u.h,
+            u.h IN (SELECT h FROM ska) AS ia,
+            u.h IN (SELECT h FROM skb) AS ib FROM u),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS union_k,
+            CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT)
+              AS matches,
+            CAST(sum(CASE WHEN ia AND NOT ib THEN 1 ELSE 0 END) AS BIGINT)
+              AS only_a,
+            CAST(sum(CASE WHEN ib AND NOT ia THEN 1 ELSE 0 END) AS BIGINT)
+              AS only_b,
+            max(h) AS kth FROM fl),
+        est AS (SELECT union_k, matches, only_a, only_b,
+            CASE WHEN union_k < 256 THEN union_k
+                 ELSE CAST(FLOOR(255.0 * 1152921504606846976.0
+                                 / CAST(kth AS DOUBLE)) AS BIGINT)
+            END AS est_union
+          FROM agg)
+        SELECT union_k, matches, only_a, only_b, est_union,
+          CAST((est_union // union_k) * only_a
+               + ((est_union % union_k) * only_a) // union_k AS BIGINT)
+            AS est_a_minus_b,
+          CAST((est_union // union_k) * only_b
+               + ((est_union % union_k) * only_b) // union_k AS BIGINT)
+            AS est_b_minus_a
+        FROM est""")),
   )
 
   private val tagQueries: Seq[(String, Q)] = Seq(

@@ -761,6 +761,110 @@ object Profile {
           expr("(est_union % union_k) * matches DIV union_k"))
   }
 
+  /** SET-DIFFERENCE estimates between two corpora from their [[kmvSketch]]
+    * tables — the directional complement of [[kmvOverlap]] ("how much of
+    * crawl A is NOT in crawl B", the novelty question between two
+    * already-sketched corpora): ONE row with `union_k`, `matches`,
+    * `only_a` / `only_b` (combined-bottom-k hashes present in exactly one
+    * sketch), `est_union`, and the Beyer'07 difference estimates
+    * `est_a_minus_b = ⌊est_union · only_a / union_k⌋` (and the b∖a twin)
+    * in the same exact BIGINT split arithmetic as the intersection
+    * estimator — `(u div c)·x + ((u mod c)·x) div c`, no 128-bit
+    * intermediate, no double. Identity by construction:
+    * `est_a_minus_b + est_b_minus_a + est_intersection ≤ est_union` with
+    * slack < 3 from the three floors.
+    *
+    * Same plan shape as [[kmvOverlap]]: sketch×sketch joins only — the
+    * corpus cost is the two reusable sketch builds.
+    */
+  def kmvDifference(sketchA: DataFrame, sketchB: DataFrame, k: Int): DataFrame = {
+    val a = sketchA.select(col("h")).localCheckpoint()
+    val b = sketchB.select(col("h")).localCheckpoint()
+    val u = kmvMerge(a.unionByName(b), k)
+    val flagged = u
+      .join(a.withColumn("__ina", lit(1)).distinct(), Seq("h"), "left")
+      .join(b.withColumn("__inb", lit(1)).distinct(), Seq("h"), "left")
+    flagged.agg(
+        count(lit(1)).as("union_k"),
+        sum(when(col("__ina") === 1 && col("__inb") === 1, 1L).otherwise(0L))
+          .as("matches"),
+        sum(when(col("__ina") === 1 && col("__inb").isNull, 1L).otherwise(0L))
+          .as("only_a"),
+        sum(when(col("__inb") === 1 && col("__ina").isNull, 1L).otherwise(0L))
+          .as("only_b"),
+        max(col("h")).as("__kth"))
+      .select(
+        col("union_k"), col("matches"), col("only_a"), col("only_b"),
+        kmvEstimate(k, col("union_k"), col("__kth")).as("est_union"))
+      .withColumn("est_a_minus_b",
+        expr("est_union DIV union_k") * col("only_a") +
+          expr("(est_union % union_k) * only_a DIV union_k"))
+      .withColumn("est_b_minus_a",
+        expr("est_union DIV union_k") * col("only_b") +
+          expr("(est_union % union_k) * only_b DIV union_k"))
+  }
+
+  /** WEIGHTED KMV sketch: the k smallest distinct 60-bit key hashes per
+    * slice, each carrying the key's weight — one row per (slice…, h, w).
+    * The hash SET is identical to [[kmvSketch]]'s (membership never looks
+    * at the weight), so a weighted sketch merges with unweighted ones and
+    * answers every [[kmvDistinct]]/[[kmvOverlap]] question; the weight
+    * column adds the SUM dimension: the kept hashes are a uniform sample
+    * of the distinct-key universe, so `est_total_w = est_distinct ·
+    * sum_w / n_kept` ([[kmvWeightedSum]]) estimates the total weight over
+    * DISTINCT keys — distinct bytes in a crawl, distinct-URL token mass —
+    * from one bounded-buffer scan.
+    *
+    * Weight contract: a BIGINT function of the KEY (duplicate rows of one
+    * key re-state its weight). If rows disagree, the MAX per hash is kept
+    * — the one associative duplicate-tolerant choice that stays a pure
+    * function of the input set (first-seen would depend on partitioning);
+    * NULL weights read as 0. The DuckDB mirror is `SELECT h, max(w) GROUP
+    * BY h ORDER BY h LIMIT k`.
+    */
+  def kmvSketchWeighted(df: DataFrame, keyCol: Column, weightCol: Column,
+                        k: Int, sliceCols: Seq[String] = Nil): DataFrame = {
+    require(k >= 2 && k <= 8192, "kmvSketchWeighted: k in [2, 8192]")
+    val hashed = df.filter(keyCol.isNotNull)
+      .select(sliceCols.map(col) ++ Seq(kmvHash(keyCol).as("__h"),
+        weightCol.cast("long").as("__w")): _*)
+    val agged =
+      if (sliceCols.isEmpty)
+        hashed.agg(graft.functions.BottomK
+          .weighted(col("__h"), col("__w"), k).as("__hs"))
+      else hashed.groupBy(sliceCols.map(col): _*)
+        .agg(graft.functions.BottomK
+          .weighted(col("__h"), col("__w"), k).as("__hs"))
+    agged.select(sliceCols.map(col) :+ explode(col("__hs")).as("__p"): _*)
+      .select(sliceCols.map(col) ++ Seq(col("__p.h").as("h"),
+        col("__p.w").as("w")): _*)
+  }
+
+  /** Distinct-universe WEIGHT estimates from a [[kmvSketchWeighted]]
+    * table: per slice, `(n_kept, sum_w, est_distinct, est_total_w)`.
+    * One formula covers both regimes: `est_total_w = est_distinct · sum_w
+    * DIV n_kept` — below k, `est_distinct = n_kept` and the quotient IS
+    * the exact sampled sum; at k it is the Horvitz–Thompson-style scale-up
+    * (each kept key stands for `est_distinct / k` keys). The product runs
+    * in DECIMAL(38,0) so `2⁶⁰-scale × 2⁶³-scale` cannot wrap (≈10³⁷ <
+    * 10³⁸), then one integral DIV back to BIGINT — exact on both engines
+    * (DuckDB's HUGEINT mirror: `est * sum_w // n`).
+    */
+  def kmvWeightedSum(wsketch: DataFrame, k: Int,
+                     sliceCols: Seq[String] = Nil): DataFrame = {
+    val agged =
+      if (sliceCols.isEmpty)
+        wsketch.agg(count(lit(1)).as("n_kept"), sum(col("w")).as("sum_w"),
+          max(col("h")).as("__kth"))
+      else wsketch.groupBy(sliceCols.map(col): _*)
+        .agg(count(lit(1)).as("n_kept"), sum(col("w")).as("sum_w"),
+          max(col("h")).as("__kth"))
+    agged.select(sliceCols.map(col) ++ Seq(col("n_kept"), col("sum_w"),
+        kmvEstimate(k, col("n_kept"), col("__kth")).as("est_distinct")): _*)
+      .withColumn("est_total_w",
+        expr("CAST(est_distinct AS DECIMAL(38,0)) * sum_w DIV n_kept"))
+  }
+
   /** Pairwise set-overlap MATRIX across every slice of one [[kmvSketch]]
     * table — "which of my N crawls/sources/snapshots overlap, and by how
     * much" as one relational product: a row per unordered slice pair

@@ -135,12 +135,31 @@ object GraftTvfs {
       k, Seq(slice)))
   }
 
+  /** `graft_difference(tableA, tableB, keyCol[, k])` →
+    * [[Profile.kmvDifference]] of the two named tables' key sets
+    * (union_k, matches, only_a, only_b, est_union, est_a_minus_b,
+    * est_b_minus_a) — "how much of A is NOT in B" for SQL users.
+    */
+  val graftDifference: Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == 3 || args.length == 4,
+      "usage: graft_difference('<tableA>', '<tableB>', '<key col>'[, <k>])")
+    val spark = activeSession
+    val key = stringLit(args(2), "key column")
+    val k = if (args.length > 3) intLit(args(3), "k") else 1024
+    plan(Profile.kmvDifference(
+      Profile.kmvSketch(spark.table(stringLit(args.head, "tableA")),
+        col(key), k),
+      Profile.kmvSketch(spark.table(stringLit(args(1), "tableB")),
+        col(key), k), k))
+  }
+
   val all: Map[String, Seq[Expression] => LogicalPlan] = Map(
     "graft_drift" -> graftDrift,
     "graft_dedup_pairs" -> graftDedupPairs,
     "graft_quality" -> graftQuality,
     "graft_overlap" -> graftOverlap,
-    "graft_distinct" -> graftDistinct)
+    "graft_distinct" -> graftDistinct,
+    "graft_difference" -> graftDifference)
 
   private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
     df.queryExecution.logical

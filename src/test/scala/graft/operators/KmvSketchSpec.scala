@@ -122,6 +122,93 @@ class KmvSketchSpec extends SparkSpec {
     assert(ac.getAs[Long]("matches") == 0L)
   }
 
+  test("kmvDifference recovers constructed directional differences") {
+    // A = 1..12000, B = 8001..20000 → |A∖B| = 8000, |B∖A| = 8000,
+    // |A∪B| = 20000 (deliberately the kmvOverlap fixture so the union
+    // estimates must agree between the two operators)
+    val a = (1 to 12000).map(i => s"key$i").toDF("k")
+    val b = (8001 to 20000).map(i => s"key$i").toDF("k")
+    val k = 1024
+    val sa = Profile.kmvSketch(a, col("k"), k)
+    val sb = Profile.kmvSketch(b, col("k"), k)
+    val row = Profile.kmvDifference(sa, sb, k).collect().head
+    assert(row.getAs[Long]("union_k") == k)
+    // partition identity on the combined bottom-k itself is exact
+    assert(row.getAs[Long]("matches") + row.getAs[Long]("only_a") +
+      row.getAs[Long]("only_b") == row.getAs[Long]("union_k"))
+    val eab = row.getAs[Long]("est_a_minus_b").toDouble
+    val eba = row.getAs[Long]("est_b_minus_a").toDouble
+    assert(math.abs(eab - 8000) / 8000 < 0.25, s"est_a_minus_b=$eab")
+    assert(math.abs(eba - 8000) / 8000 < 0.25, s"est_b_minus_a=$eba")
+    // union estimate agrees with kmvOverlap's (same definition)
+    val ov = Profile.kmvOverlap(sa, sb, k).collect().head
+    assert(row.getAs[Long]("est_union") == ov.getAs[Long]("est_union"))
+    assert(row.getAs[Long]("matches") == ov.getAs[Long]("matches"))
+    // subset: A ∖ A = 0 on both axes
+    val self = Profile.kmvDifference(sa, sa, k).collect().head
+    assert(self.getAs[Long]("only_a") == 0L &&
+      self.getAs[Long]("est_a_minus_b") == 0L &&
+      self.getAs[Long]("est_b_minus_a") == 0L)
+  }
+
+  test("weighted sketch: hash set equals the unweighted sketch; max weight per hash; null weight reads 0") {
+    val rows = (1 to 400).map(i => (s"key$i", Some(i.toLong))) ++
+      Seq(("key7", Some(999L)),           // duplicate key, bigger weight → max wins
+          ("keyNullW", None: Option[Long])) // weight NULL → 0
+    val df = rows.toDF("k", "w").repartition(9)
+    val k = 32
+    val wsk = Profile.kmvSketchWeighted(df, col("k"), col("w"), k)
+      .orderBy("h").collect()
+    val plain = Profile.kmvSketch(df, col("k"), k)
+      .orderBy("h").as[Long].collect().toSeq
+    assert(wsk.map(_.getLong(0)).toSeq == plain) // identical membership
+    // weights are max per key: recompute expected from the key set
+    val hOf = df.select(col("k"),
+        graft.functions.Md5Hash60.column(col("k")).as("h"))
+      .distinct().collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    wsk.foreach { r =>
+      val key = hOf(r.getLong(0))
+      val want =
+        if (key == "key7") 999L
+        else if (key == "keyNullW") 0L
+        else key.stripPrefix("key").toLong
+      assert(r.getLong(1) == want, s"$key: got ${r.getLong(1)}, want $want")
+    }
+  }
+
+  test("kmvWeightedSum: exact below k; scale-up estimate within sketch error at k") {
+    // exact branch: 40 keys, weight = 10·i → total 8200
+    val small = (1 to 40).map(i => (s"key$i", 10L * i)).toDF("k", "w")
+    val k = 64
+    val exact = Profile.kmvWeightedSum(
+      Profile.kmvSketchWeighted(small, col("k"), col("w"), k), k)
+      .collect().head
+    assert(exact.getAs[Long]("n_kept") == 40L)
+    assert(exact.getAs[Long]("est_distinct") == 40L)
+    assert(exact.getAs[Long]("est_total_w") == (1 to 40).map(10L * _).sum)
+    // estimator branch: 20000 keys of constant weight 7 → total 140000
+    val big = (1 to 20000).map(i => (s"item$i", 7L)).toDF("k", "w")
+    val kk = 1024
+    val est = Profile.kmvWeightedSum(
+      Profile.kmvSketchWeighted(big, col("k"), col("w"), kk), kk)
+      .collect().head
+    val tot = est.getAs[Long]("est_total_w").toDouble
+    assert(math.abs(tot - 140000) / 140000 < 3.0 / math.sqrt(kk - 2),
+      s"est_total_w=$tot")
+    // constant weight: est_total_w == est_distinct · 7 exactly
+    assert(est.getAs[Long]("est_total_w") ==
+      est.getAs[Long]("est_distinct") * 7L)
+  }
+
+  test("weighted sketch is partitioning-invariant") {
+    val df = (1 to 600).map(i => (s"key$i", (i % 13).toLong)).toDF("k", "w")
+    val a = Profile.kmvSketchWeighted(df.repartition(17), col("k"), col("w"), 24)
+      .orderBy("h").collect().toSeq
+    val b = Profile.kmvSketchWeighted(df.coalesce(1), col("k"), col("w"), 24)
+      .orderBy("h").collect().toSeq
+    assert(a == b)
+  }
+
   test("plan: sketch build is a bounded ObjectHashAggregate, no distinct exchange") {
     val docs = (1 to 100).map(i => s"key$i").toDF("k")
     val plan = Profile.kmvSketch(docs, col("k"), 16)
