@@ -286,9 +286,17 @@ object Profile {
       .withColumn("b", cmsBucket(col("item"), col("r"), width))
     val joined =
       if (sliceCols.isEmpty) probe.join(sketch, Seq("r", "b"), "left")
-      else probe
-        .crossJoin(sketch.select(sliceCols.map(col): _*).distinct())
-        .join(sketch, sliceCols ++ Seq("r", "b"), "left")
+      else {
+        // the sketch subtree feeds TWO consumers here (the slice-universe
+        // distinct and the counter join); left lazy, a corpus-scanning
+        // sketch build runs twice per estimate call. The sketch is ≤
+        // depth·width rows per slice — exactly what localCheckpoint is
+        // for (the kmvOverlap discipline).
+        val sk = sketch.localCheckpoint()
+        probe
+          .crossJoin(sk.select(sliceCols.map(col): _*).distinct())
+          .join(sk, sliceCols ++ Seq("r", "b"), "left")
+      }
     joined.groupBy((sliceCols :+ "item").map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
