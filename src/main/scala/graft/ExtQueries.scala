@@ -4803,9 +4803,248 @@ object ExtQueries {
              ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
   )
 
+  // --- STREAMING INGEST-DEDUP LOOP rows: the four modality loops driven
+  // batch-by-batch inside one row (the q_cms_stream pattern — fixed batch
+  // split of the sf corpus, exact oracle over the loops' published
+  // output). Each row gates the WHOLE loop end to end: per-batch
+  // hashing, the grow-only index probe (first-arrival-wins; the index
+  // grows by survivors only), the no-transitive-drop-via-unpublished
+  // eligibility rule, in-batch min-id dedup, and the __batch_id
+  // publication layout. The text/media/video oracles SIMULATE the loop
+  // in pure SQL over an independently-gated pair relation (the committed
+  // golden minhash pairs resp. the arithmetic-recomputed perceptual
+  // hashes — per-item hashes don't depend on the corpus split, so the
+  // full pair table restricted to batch×history IS the loop's relation);
+  // the embedding loop gates against a GoldenGen driver mirror (LSH
+  // bucket codes are not SQL-expressible).
+  private val ingestLoopQueries: Seq[(String, Q)] = Seq(
+    "q_doc_ingest_stream" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_docingest").toString
+        val idxPath = s"$base/idx"; val outPath = s"$base/out"
+        // nightly seed: the doc_id%3==0 slice is pre-published history
+        graft.streaming.DocumentStreams.seedIndex(
+          Dedup.minhashBandIndex(docs.filter(col("doc_id") % 3 === 0),
+            "doc_id", "text", shingleSize = 3, numHashes = 128, bands = 32),
+          idxPath)
+        (1 to 2).foreach { i =>
+          graft.streaming.DocumentStreams.processBatch(
+            docs.filter(col("doc_id") % 3 === i), i.toLong,
+            "doc_id", "text", idxPath, outPath,
+            shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.5)
+        }
+        s.read.parquet(outPath)
+          .select(col("doc_id"), col("__batch_id").cast("long").as("batch_id"))
+      },
+      // pair relation = the committed golden minhash pairs (battery
+      // params, independently gated by q_dedup_minhash); the CTE chain
+      // replays the loop: drop vs published history, then in-batch id2
+      // drops among history-probe survivors, index grows by survivors
+      Some("""
+        WITH p AS (SELECT id1, id2 FROM read_parquet(
+            '/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')),
+        und AS (SELECT id1 AS a, id2 AS b FROM p
+                UNION ALL SELECT id2, id1 FROM p),
+        d AS (SELECT doc_id, doc_id % 3 AS bt FROM documents),
+        s0 AS (SELECT doc_id FROM d WHERE bt = 0),
+        e1 AS (SELECT doc_id FROM d WHERE bt = 1 AND doc_id NOT IN
+                (SELECT u.a FROM und u JOIN s0 ON u.b = s0.doc_id)),
+        k1 AS (SELECT doc_id FROM e1 WHERE doc_id NOT IN
+                (SELECT p.id2 FROM p JOIN e1 x ON p.id1 = x.doc_id
+                 JOIN e1 y ON p.id2 = y.doc_id)),
+        h2 AS (SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM k1),
+        e2 AS (SELECT doc_id FROM d WHERE bt = 2 AND doc_id NOT IN
+                (SELECT u.a FROM und u JOIN h2 ON u.b = h2.doc_id)),
+        k2 AS (SELECT doc_id FROM e2 WHERE doc_id NOT IN
+                (SELECT p.id2 FROM p JOIN e2 x ON p.id1 = x.doc_id
+                 JOIN e2 y ON p.id2 = y.doc_id))
+        SELECT doc_id, CAST(1 AS BIGINT) AS batch_id FROM k1
+        UNION ALL
+        SELECT doc_id, CAST(2 AS BIGINT) AS batch_id FROM k2""")),
+
+    "q_media_ingest_stream" -> Q(
+      (s, dir) => {
+        val imgs = Multimodal.withGradientImagePayload(
+          table(s, dir, "documents").select("doc_id").repartition(32),
+          "doc_id")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_mediaingest").toString
+        val idxPath = s"$base/idx"; val outPath = s"$base/out"
+        val hasher = (df: org.apache.spark.sql.DataFrame, id: String) =>
+          Multimodal.dHash64(df, id)
+        // bootstraps from the absent index: batch 0 has no history
+        (0 until 3).foreach { i =>
+          graft.streaming.MediaStreams.processMediaBatch(
+            imgs.filter(col("doc_id") % 3 === i), i.toLong, "doc_id",
+            hasher, idxPath, outPath, maxDistance = 3)
+        }
+        s.read.parquet(outPath)
+          .select(col("doc_id"), col("__batch_id").cast("long").as("batch_id"))
+      },
+      // the q_image_neardup hash arithmetic (real codec on the engine
+      // side, pure SQL on the oracle side) + the same loop simulation
+      Some("""
+        WITH ids AS (SELECT doc_id AS id FROM documents),
+        px AS (
+          SELECT id, x.range AS x, y.range AS y,
+            (7*x.range*x.range + 13*y.range*y.range
+             + (id//4%256)*31*(x.range+1)*(y.range+1)
+             + (id//4//256%256)*53*(x.range+2)*(y.range+3)
+             + (id//4//65536%256)*17*(x.range+3)*(y.range+5)
+             + CASE WHEN id%4 > 0 AND x.range//4 = id%4 AND y.range//4 = id%4
+                    THEN 64 ELSE 0 END) % 256 AS gray
+          FROM ids, range(36) x, range(32) y),
+        cells AS (
+          SELECT id, x//4 AS gx, y//4 AS gy, SUM(gray)//16 AS c
+          FROM px GROUP BY 1, 2, 3),
+        bits AS (
+          SELECT a.id, a.gy*8 + a.gx AS b
+          FROM cells a JOIN cells b2
+            ON a.id = b2.id AND b2.gx = a.gx + 1 AND b2.gy = a.gy
+          WHERE a.gx < 8 AND b2.c > a.c),
+        hraw AS (
+          SELECT id, SUM(CAST(1 AS HUGEINT) << CAST(b AS INT)) AS s
+          FROM bits GROUP BY id),
+        h AS (
+          SELECT ids.id,
+            CAST(CASE WHEN COALESCE(s, 0) >= CAST(1 AS HUGEINT) << 63
+                  THEN COALESCE(s, 0) - (CAST(1 AS HUGEINT) << 64)
+                  ELSE COALESCE(s, 0) END AS BIGINT) AS sh
+          FROM ids LEFT JOIN hraw ON hraw.id = ids.id),
+        pr AS (SELECT a.id AS id1, b.id AS id2
+               FROM h a JOIN h b ON a.id < b.id
+               WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+        und AS (SELECT id1 AS a, id2 AS b FROM pr
+                UNION ALL SELECT id2, id1 FROM pr),
+        d AS (SELECT id, id % 3 AS bt FROM ids),
+        e0 AS (SELECT id FROM d WHERE bt = 0),
+        k0 AS (SELECT id FROM e0 WHERE id NOT IN
+                (SELECT pr.id2 FROM pr JOIN e0 x ON pr.id1 = x.id
+                 JOIN e0 y ON pr.id2 = y.id)),
+        e1 AS (SELECT id FROM d WHERE bt = 1 AND id NOT IN
+                (SELECT u.a FROM und u JOIN k0 ON u.b = k0.id)),
+        k1 AS (SELECT id FROM e1 WHERE id NOT IN
+                (SELECT pr.id2 FROM pr JOIN e1 x ON pr.id1 = x.id
+                 JOIN e1 y ON pr.id2 = y.id)),
+        h2 AS (SELECT id FROM k0 UNION ALL SELECT id FROM k1),
+        e2 AS (SELECT id FROM d WHERE bt = 2 AND id NOT IN
+                (SELECT u.a FROM und u JOIN h2 ON u.b = h2.id)),
+        k2 AS (SELECT id FROM e2 WHERE id NOT IN
+                (SELECT pr.id2 FROM pr JOIN e2 x ON pr.id1 = x.id
+                 JOIN e2 y ON pr.id2 = y.id))
+        SELECT id AS doc_id, CAST(0 AS BIGINT) AS batch_id FROM k0
+        UNION ALL SELECT id, CAST(1 AS BIGINT) FROM k1
+        UNION ALL SELECT id, CAST(2 AS BIGINT) FROM k2""")),
+
+    "q_video_ingest_stream" -> Q(
+      (s, dir) => {
+        val clips = Multimodal.withVideoPayload(
+          table(s, dir, "documents").select("doc_id").repartition(32),
+          "doc_id", nFrames = 8)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_videoingest").toString
+        val idxPath = s"$base/idx"; val outPath = s"$base/out"
+        val hasher = (df: org.apache.spark.sql.DataFrame, id: String) =>
+          Multimodal.videoFrameHashes(df, id, everyNth = 2)
+        (0 until 3).foreach { i =>
+          graft.streaming.MediaStreams.processVideoBatch(
+            clips.filter(col("doc_id") % 3 === i), i.toLong, "doc_id",
+            hasher, idxPath, outPath, maxDistance = 3, minMatchFrac = 0.5)
+        }
+        s.read.parquet(outPath)
+          .select(col("doc_id"), col("__batch_id").cast("long").as("batch_id"))
+      },
+      // the q_video_neardup frame-hash arithmetic + the clip verdict
+      // (n_matched >= frac * min(frames)) + the same loop simulation
+      Some("""
+        WITH ids AS (SELECT doc_id AS id FROM documents),
+        fr AS (SELECT id, f.range AS f, ((id//4)*8 + f.range)*4 + id%4 AS e
+               FROM ids, range(0, 8, 2) f),
+        px AS (
+          SELECT id, f, x.range AS x, y.range AS y,
+            (7*x.range*x.range + 13*y.range*y.range
+             + (e//4%256)*31*(x.range+1)*(y.range+1)
+             + (e//4//256%256)*53*(x.range+2)*(y.range+3)
+             + (e//4//65536%256)*17*(x.range+3)*(y.range+5)
+             + CASE WHEN e%4 > 0 AND x.range//4 = e%4 AND y.range//4 = e%4
+                    THEN 64 ELSE 0 END) % 256 AS gray
+          FROM fr, range(36) x, range(32) y),
+        cells AS (
+          SELECT id, f, x//4 AS gx, y//4 AS gy, SUM(gray)//16 AS c
+          FROM px GROUP BY 1, 2, 3, 4),
+        bits AS (
+          SELECT a.id, a.f, a.gy*8 + a.gx AS b
+          FROM cells a JOIN cells b2
+            ON a.id = b2.id AND a.f = b2.f AND b2.gx = a.gx + 1 AND b2.gy = a.gy
+          WHERE a.gx < 8 AND b2.c > a.c),
+        hraw AS (
+          SELECT id, f, SUM(CAST(1 AS HUGEINT) << CAST(b AS INT)) AS s
+          FROM bits GROUP BY id, f),
+        h AS (
+          SELECT fr.id, fr.f,
+            CAST(CASE WHEN COALESCE(s, 0) >= CAST(1 AS HUGEINT) << 63
+                  THEN COALESCE(s, 0) - (CAST(1 AS HUGEINT) << 64)
+                  ELSE COALESCE(s, 0) END AS BIGINT) AS sh
+          FROM fr LEFT JOIN hraw ON hraw.id = fr.id AND hraw.f = fr.f),
+        nf AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1),
+        m AS (
+          SELECT a.id AS id1, b.id AS id2, CAST(count(*) AS BIGINT) AS nm
+          FROM h a JOIN h b ON a.f = b.f AND a.id < b.id
+          WHERE bit_count(xor(a.sh, b.sh)) <= 3
+          GROUP BY 1, 2),
+        pr AS (SELECT id1, id2
+               FROM m JOIN nf n1 ON n1.id = m.id1 JOIN nf n2 ON n2.id = m.id2
+               WHERE CAST(nm AS DOUBLE)
+                     >= 0.5 * CAST(least(n1.n, n2.n) AS DOUBLE)),
+        und AS (SELECT id1 AS a, id2 AS b FROM pr
+                UNION ALL SELECT id2, id1 FROM pr),
+        d AS (SELECT id, id % 3 AS bt FROM ids),
+        e0 AS (SELECT id FROM d WHERE bt = 0),
+        k0 AS (SELECT id FROM e0 WHERE id NOT IN
+                (SELECT pr.id2 FROM pr JOIN e0 x ON pr.id1 = x.id
+                 JOIN e0 y ON pr.id2 = y.id)),
+        e1 AS (SELECT id FROM d WHERE bt = 1 AND id NOT IN
+                (SELECT u.a FROM und u JOIN k0 ON u.b = k0.id)),
+        k1 AS (SELECT id FROM e1 WHERE id NOT IN
+                (SELECT pr.id2 FROM pr JOIN e1 x ON pr.id1 = x.id
+                 JOIN e1 y ON pr.id2 = y.id)),
+        h2 AS (SELECT id FROM k0 UNION ALL SELECT id FROM k1),
+        e2 AS (SELECT id FROM d WHERE bt = 2 AND id NOT IN
+                (SELECT u.a FROM und u JOIN h2 ON u.b = h2.id)),
+        k2 AS (SELECT id FROM e2 WHERE id NOT IN
+                (SELECT pr.id2 FROM pr JOIN e2 x ON pr.id1 = x.id
+                 JOIN e2 y ON pr.id2 = y.id))
+        SELECT id AS doc_id, CAST(0 AS BIGINT) AS batch_id FROM k0
+        UNION ALL SELECT id, CAST(1 AS BIGINT) FROM k1
+        UNION ALL SELECT id, CAST(2 AS BIGINT) FROM k2""")),
+
+    "q_embed_ingest_stream" -> Q(
+      (s, dir) => {
+        val vecs = table(s, dir, "embeddings")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_embedingest").toString
+        val idxPath = s"$base/idx"; val outPath = s"$base/out"
+        (0 until 3).foreach { i =>
+          graft.streaming.EmbeddingStreams.processEmbeddingBatch(
+            vecs.filter(col("vec_id") % 3 === i), i.toLong,
+            "vec_id", "embedding", idxPath, outPath,
+            threshold = 0.45, planes = 3, tables = 8, seed = 42L)
+        }
+        s.read.parquet(outPath)
+          .select(col("vec_id"), col("__batch_id").cast("long").as("batch_id"))
+      },
+      // GoldenGen driver mirror: the same 3-batch simulation over
+      // code-overlap + sequential-cosine pairs (planes=3/tables=8/seed=42,
+      // threshold 0.45 — the q_embed_neardup_lsh convention)
+      golden("q_embed_ingest_stream")),
+  )
+
   def all: Seq[(String, Q)] =
     textQueries ++ dedupQueries ++ simQueries ++ knnQueries ++ pqQueries ++
       curationQueries ++ quantileQueries ++ multimodalQueries ++
       resizeQueries ++ eventQueries ++ layoutQueries ++ zorderQueries ++
-      analyticsQueries ++ maintenanceQueries ++ headlineQueries
+      analyticsQueries ++ maintenanceQueries ++ ingestLoopQueries ++
+      headlineQueries
 }

@@ -346,6 +346,40 @@ object GoldenGen {
     } yield (nid, oid, cos)
     write(incHits.toSeq.toDF("new_id", "old_id", "cos"), "q_embed_incremental")
 
+    // q_embed_ingest_stream: the 3-batch EMBEDDING ingest-dedup loop
+    // (EmbeddingStreams.processEmbeddingBatch) replayed as plain driver
+    // loops — batches vec_id % 3 in order; per batch: drop anything at
+    // code-overlap + cosine >= 0.45 of a PUBLISHED vector
+    // (first-arrival-wins), then in-batch id2 drops among history-probe
+    // survivors (pairs by the same relation), publish the rest and grow
+    // the published set by survivors only. planes=3/tables=8/seed=42
+    // (codes3 above — the loop's fixed-tuning contract).
+    {
+      val published = scala.collection.mutable.ArrayBuffer[(Long, Seq[Float])]()
+      val survivorRows = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      for (b <- 0 until 3) {
+        val batchV = embs.filter(_._1 % 3 == b)
+        val dropHist = batchV.filter { case (id, v) =>
+          published.exists { case (pid, pv) =>
+            codes3(id).intersect(codes3(pid)).nonEmpty && cosine(v, pv) >= 0.45
+          }
+        }.map(_._1).toSet
+        val elig = batchV.filter(x => !dropHist.contains(x._1))
+        val dropBatch = (for {
+          i <- elig.indices.iterator
+          j <- (i + 1) until elig.length
+          (id1, v1) = elig(i); (id2, v2) = elig(j)
+          if codes3(id1).intersect(codes3(id2)).nonEmpty
+          if cosine(v1, v2) >= 0.45
+        } yield id2).toSet
+        val kept = elig.filter(x => !dropBatch.contains(x._1))
+        published ++= kept
+        survivorRows ++= kept.map(x => (x._1, b.toLong))
+      }
+      write(survivorRows.toSeq.toDF("vec_id", "batch_id"),
+        "q_embed_ingest_stream")
+    }
+
     // q_ann_lsh: query = vec_id 0, planes=4, tables=8, seed=42, k=10,
     // candidates by code overlap, exact cosine, (cos desc, vec_id) order
     val qVec = embs.find(_._1 == 0L).get._2
