@@ -18,10 +18,12 @@ final case class MediaFeatures(
   * Image decode is REAL — `javax.imageio` (PNG/BMP/JPEG/GIF ship with the
   * JDK) parses the payload header inside the per-partition iterator, so
   * width/height/format come from the actual codec, and a corrupt payload
-  * degrades to a sentinel row instead of failing the job. Only the VIDEO
-  * path ([[sampleFrames]]) keeps a documented stub demuxer (no container
-  * format libs in the JDK); its per-partition flatMap shape is the real
-  * contract a native demuxer would drop into.
+  * degrades to a sentinel row instead of failing the job. Video is REAL
+  * too since round 15: [[encodeAvi]]/[[demuxAviFrames]] write and walk an
+  * actual RIFF/AVI container in pure JDK (the same RIFF discipline as the
+  * audio rung's WAV walk), with lossless '00db' DIB frames so the SQL
+  * oracles stay arithmetic-recomputable; only [[sampleFrames]]' fixed-size
+  * slicing remains as the documented legacy stub for format-less blobs.
   */
 object Multimodal {
 
@@ -569,10 +571,12 @@ object Multimodal {
 
   /** Byte length of one fixture frame: BMP of the 36×32 TYPE_INT_RGB
     * raster is a FIXED-SIZE encoding (54-byte header + 36·3·32 pixel
-    * bytes, row stride already word-aligned), which is what lets the
-    * stub demuxer ([[sampleFrames]]) recover exact frame boundaries by
-    * arithmetic alone. Computed once per JVM by encoding a probe frame —
-    * never hard-coded against the writer's header choices.
+    * bytes, row stride already word-aligned) — the boundary arithmetic of
+    * the LEGACY fixed-size slicing path ([[sampleFrames]], and
+    * [[videoFrameHashes]]' fallback for non-AVI payloads). Real AVI
+    * payloads carry their frame boundaries in the container
+    * ([[demuxAviFrames]]). Computed once per JVM by encoding a probe
+    * frame — never hard-coded against the writer's header choices.
     */
   lazy val videoFrameBytes: Int = encodeBmp(gradientPixels(0L)).length
 
@@ -586,8 +590,191 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Attach a REAL video-like payload: `nFrames` BMP-encoded gradient
-    * frames concatenated (losslessly — BMP, like the image fixture's
+  // --- AVI (RIFF) container: writer + demuxer ----------------------------
+  // AVI is the same RIFF layout the audio rung already walks (WAV), which
+  // is what made a pure-JDK demux feasible: chunks are (fourcc, LE32 size,
+  // data, even-pad); an AVI file is RIFF('AVI ') holding LIST('hdrl')
+  // (avih + one LIST('strl') per stream) and LIST('movi') whose '00db'
+  // chunks carry uncompressed DIB frames — the lossless frame encoding
+  // that keeps every video oracle arithmetic-recomputable (an MJPG '00dc'
+  // path would be lossy and break the SQL mirrors; the demuxer still
+  // passes '00dc' payloads through to ImageIO for real MJPEG files).
+
+  private def le32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+  }
+  private def fcc(out: java.io.ByteArrayOutputStream, s: String): Unit =
+    out.write(s.getBytes("ISO-8859-1"), 0, 4)
+  private def chunk(out: java.io.ByteArrayOutputStream, id: String,
+                    data: Array[Byte]): Unit = {
+    fcc(out, id); le32(out, data.length)
+    out.write(data, 0, data.length)
+    if ((data.length & 1) == 1) out.write(0) // RIFF even-pad
+  }
+
+  /** Pack BMP-encoded frames into a REAL AVI container: RIFF('AVI ') with
+    * a standard 56-byte `avih`, one 'vids'/'DIB ' stream header whose
+    * `strf` is the first frame's BITMAPINFOHEADER, '00db' frame chunks
+    * holding each BMP's DIB (the file minus its 14-byte BITMAPFILEHEADER
+    * — the standard uncompressed-AVI frame payload), and an `idx1` index
+    * (offsets relative to the 'movi' fourcc, AVIIF_KEYFRAME on every
+    * frame — DIB frames are all keyframes). Any AVI-aware tool demuxes
+    * the result; [[demuxAviFrames]] is the read side.
+    */
+  def encodeAvi(frames: Seq[Array[Byte]], fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty, "encodeAvi: no frames")
+    require(fps > 0, "encodeAvi: fps must be positive")
+    val dibs = frames.map { bmp =>
+      require(bmp.length > 54 && bmp(0) == 'B' && bmp(1) == 'M',
+        "encodeAvi: frames must be BMP files")
+      java.util.Arrays.copyOfRange(bmp, 14, bmp.length)
+    }
+    def dibU32(d: Array[Byte], o: Int): Int =
+      (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) |
+        ((d(o + 2) & 0xff) << 16) | ((d(o + 3) & 0xff) << 24)
+    val w = dibU32(dibs.head, 4); val h = dibU32(dibs.head, 8)
+    val maxFrame = dibs.map(_.length).max
+    val n = dibs.length
+
+    val avih = new java.io.ByteArrayOutputStream()
+    le32(avih, 1000000 / fps); le32(avih, 0); le32(avih, 0)
+    le32(avih, 0x10) // AVIF_HASINDEX
+    le32(avih, n); le32(avih, 0); le32(avih, 1); le32(avih, maxFrame)
+    le32(avih, w); le32(avih, h)
+    (0 until 4).foreach(_ => le32(avih, 0))
+
+    val strh = new java.io.ByteArrayOutputStream()
+    fcc(strh, "vids"); fcc(strh, "DIB ")
+    le32(strh, 0); le32(strh, 0); le32(strh, 0)
+    le32(strh, 1); le32(strh, fps) // dwScale / dwRate
+    le32(strh, 0); le32(strh, n); le32(strh, maxFrame)
+    le32(strh, -1); le32(strh, 0) // quality / sampleSize
+    // rcFrame: four 16-bit fields (0, 0, w, h)
+    strh.write(0); strh.write(0); strh.write(0); strh.write(0)
+    strh.write(w & 0xff); strh.write((w >>> 8) & 0xff)
+    strh.write(h & 0xff); strh.write((h >>> 8) & 0xff)
+
+    val strf = java.util.Arrays.copyOfRange(dibs.head, 0, 40)
+
+    val strl = new java.io.ByteArrayOutputStream()
+    fcc(strl, "strl")
+    chunk(strl, "strh", strh.toByteArray)
+    chunk(strl, "strf", strf)
+
+    val hdrl = new java.io.ByteArrayOutputStream()
+    fcc(hdrl, "hdrl")
+    chunk(hdrl, "avih", avih.toByteArray)
+    chunk(hdrl, "LIST", strl.toByteArray)
+
+    val movi = new java.io.ByteArrayOutputStream()
+    fcc(movi, "movi")
+    // idx1 offsets are relative to the 'movi' fourcc position
+    val offsets = new Array[Int](n)
+    dibs.zipWithIndex.foreach { case (d, i) =>
+      offsets(i) = movi.size() // stream starts AT the 'movi' fourcc
+      chunk(movi, "00db", d)
+    }
+    val idx1 = new java.io.ByteArrayOutputStream()
+    dibs.zipWithIndex.foreach { case (d, i) =>
+      fcc(idx1, "00db"); le32(idx1, 0x10) // AVIIF_KEYFRAME
+      le32(idx1, offsets(i)); le32(idx1, d.length)
+    }
+
+    val body = new java.io.ByteArrayOutputStream()
+    fcc(body, "AVI ")
+    chunk(body, "LIST", hdrl.toByteArray)
+    chunk(body, "LIST", movi.toByteArray)
+    chunk(body, "idx1", idx1.toByteArray)
+
+    val out = new java.io.ByteArrayOutputStream()
+    chunk(out, "RIFF", body.toByteArray)
+    out.toByteArray
+  }
+
+  /** DEMUX an AVI payload into its frames, lazily: walk the RIFF chunk
+    * tree to LIST('movi'), iterate frame chunks in stream order ('00db'
+    * uncompressed DIB → a 14-byte BITMAPFILEHEADER is rebuilt in front so
+    * ImageIO reads it as a BMP; '00dc' compressed payloads — MJPEG —
+    * pass through, ImageIO's JPEG reader takes them directly; 'rec '
+    * sub-lists are descended). Emits `(frame_idx, image bytes)`; a
+    * corrupt or non-AVI payload emits NOTHING — zero decodable frames is
+    * the loops' pass-through-un-deduped policy, never an exception on
+    * the executor.
+    */
+  def demuxAviFrames(bytes: Array[Byte]): Iterator[(Long, Array[Byte])] = {
+    def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def fourcc(o: Int): String = new String(bytes, o, 4, "ISO-8859-1")
+    if (bytes == null || bytes.length < 12 ||
+      fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Iterator.empty
+    // top-level walk to LIST('movi')
+    var pos = 12
+    var moviStart = -1; var moviEnd = -1
+    val riffEnd = math.min(bytes.length.toLong, 8L + u32(4)).toInt
+    while (pos + 8 <= riffEnd && moviStart < 0) {
+      val id = fourcc(pos); val sz = u32(pos + 4)
+      if (id == "LIST" && pos + 12 <= riffEnd && fourcc(pos + 8) == "movi") {
+        moviStart = pos + 12
+        moviEnd = math.min(pos + 8 + sz, riffEnd.toLong).toInt
+      }
+      pos += (8 + sz + (sz & 1)).toInt
+      if (sz < 0 || pos < 0) return Iterator.empty // corrupt size
+    }
+    if (moviStart < 0) return Iterator.empty
+    new Iterator[(Long, Array[Byte])] {
+      // a tiny explicit stack handles 'rec ' grouping lists
+      private var stack = List((moviStart, moviEnd))
+      private var idx = 0L
+      private var nextFrame: (Long, Array[Byte]) = null
+      private def advance(): Unit = {
+        nextFrame = null
+        while (nextFrame == null && stack.nonEmpty) {
+          val (p, end) = stack.head
+          if (p + 8 > end) stack = stack.tail
+          else {
+            val id = fourcc(p); val sz = u32(p + 4)
+            val dataStart = p + 8
+            val dataEnd = math.min(dataStart + sz, end.toLong).toInt
+            if (sz < 0 || dataEnd < dataStart) { stack = Nil } // corrupt
+            else {
+              val after = (dataStart + sz + (sz & 1)).toInt
+              stack = (after, end) :: stack.tail
+              if (id == "LIST" && dataStart + 4 <= dataEnd &&
+                fourcc(dataStart) == "rec ")
+                stack = (dataStart + 4, dataEnd) :: stack
+              else if (id.length == 4 && id.endsWith("db") && dataEnd > dataStart) {
+                // rebuild the BITMAPFILEHEADER: 'BM', file size, reserved,
+                // data offset = 14 + biSize + palette (none for 24-bit)
+                val dib = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+                val biSize = (dib(0) & 0xff) | ((dib(1) & 0xff) << 8) |
+                  ((dib(2) & 0xff) << 16) | ((dib(3) & 0xff) << 24)
+                val bmp = new java.io.ByteArrayOutputStream(14 + dib.length)
+                bmp.write('B'); bmp.write('M')
+                le32(bmp, 14 + dib.length); le32(bmp, 0); le32(bmp, 14 + biSize)
+                bmp.write(dib, 0, dib.length)
+                nextFrame = (idx, bmp.toByteArray); idx += 1
+              } else if (id.length == 4 && id.endsWith("dc") && dataEnd > dataStart) {
+                nextFrame = (idx,
+                  java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd))
+                idx += 1
+              }
+            }
+          }
+        }
+      }
+      advance()
+      override def hasNext: Boolean = nextFrame != null
+      override def next(): (Long, Array[Byte]) = {
+        val r = nextFrame; advance(); r
+      }
+    }
+  }
+
+  /** Attach a REAL video payload: `nFrames` BMP-encoded gradient frames
+    * in a REAL AVI container ([[encodeAvi]] — RIFF/avih/strl/movi/idx1;
+    * frames stay losslessly DIB-encoded, like the image fixture's
     * arithmetic-recomputable contract). Frame `f` of clip `id` carries
     * the [[gradientPixels]] pattern of EFFECTIVE id
     * `((id div 4)·nFrames + f)·4 + id mod 4` — so clips of one family
@@ -617,37 +804,55 @@ object Multimodal {
         ids.map { id =>
           val k = java.lang.Math.floorDiv(id, 4L)
           val v = java.lang.Math.floorMod(id, 4L)
-          val out = new java.io.ByteArrayOutputStream()
-          var f = 0
-          while (f < nFrames) {
-            out.write(encodeBmp(gradientPixels(
-              (k * idxFrames + f + frameOffset) * 4L + v)))
-            f += 1
+          val frames = (0 until nFrames).map { f =>
+            encodeBmp(gradientPixels(
+              (k * idxFrames + f + frameOffset) * 4L + v))
           }
-          (id, out.toByteArray)
+          (id, encodeAvi(frames))
         }
       }
       .toDF(idCol, "payload")
   }
 
-  /** Per-frame 64-bit dHash table of a video column: [[sampleFrames]]
-    * (demux + every-nth temporal sampling, streaming — no whole-clip
-    * buffering) → the SAME dHash kernel as still images, one row per
-    * (clip, sampled frame). Undecodable frames hash NULL. This is the
-    * clip fingerprint a media lake persists: ~8 bytes per sampled frame.
+  /** Per-frame 64-bit dHash table of a video column: REAL container demux
+    * ([[demuxAviFrames]] for RIFF/AVI payloads — frames walked lazily,
+    * never a whole-clip frame buffer; non-AVI payloads fall back to the
+    * fixed-size slicing of [[sampleFrames]], the legacy stub boundary) →
+    * every-nth temporal sampling → the SAME dHash kernel as still images,
+    * one row per (clip, sampled frame). Undecodable frames hash NULL; a
+    * corrupt container demuxes to zero frames (the loops' opaque-blob
+    * pass-through policy). This is the clip fingerprint a media lake
+    * persists: ~8 bytes per sampled frame.
     */
   def videoFrameHashes(df: DataFrame, idCol: String,
                        payloadCol: String = "payload",
                        frameBytes: Int = 0, everyNth: Int = 2): DataFrame = {
+    require(everyNth > 0, "everyNth must be positive")
     val fb = if (frameBytes > 0) frameBytes else videoFrameBytes
     val spark = df.sparkSession
     import spark.implicits._
-    sampleFrames(df, idCol, payloadCol, fb, everyNth)
-      .select(col(idCol).cast("long"), col("frame_idx"), col("frame"))
-      .as[(Long, Long, Array[Byte])]
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
       .mapPartitions { items =>
         javax.imageio.ImageIO.setUseCache(false)
-        items.map { case (id, f, bytes) => (id, f, dHashBytes(bytes)) }
+        items.flatMap { case (id, bytes) =>
+          val isAvi = bytes != null && bytes.length >= 12 &&
+            bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+            bytes(3) == 'F' && bytes(8) == 'A' && bytes(9) == 'V' &&
+            bytes(10) == 'I' && bytes(11) == ' '
+          val frames: Iterator[(Long, Array[Byte])] =
+            if (isAvi) demuxAviFrames(bytes).filter(_._1 % everyNth == 0)
+            else if (bytes == null) Iterator.empty
+            else {
+              val nFrames = (bytes.length + fb - 1) / fb
+              Iterator.range(0, nFrames, everyNth).map { f =>
+                val from = f * fb
+                (f.toLong, java.util.Arrays.copyOfRange(
+                  bytes, from, math.min(from + fb, bytes.length)))
+              }
+            }
+          frames.map { case (f, frame) => (id, f, dHashBytes(frame)) }
+        }
       }
       .toDF(idCol, "frame_idx", "sh")
       .select(col(idCol).as("id"), col("frame_idx"), col("sh"))

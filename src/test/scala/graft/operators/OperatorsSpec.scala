@@ -753,6 +753,57 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("id1") === 999L || col("id2") === 999L).count() == 0)
   }
 
+  test("encodeAvi/demuxAviFrames: real RIFF/AVI round-trip; corrupt and truncated payloads demux empty") {
+    val payload = Multimodal.withVideoPayload(Seq(7L).toDF("doc_id"),
+        "doc_id", nFrames = 8)
+      .select("payload").as[Array[Byte]].head()
+    // container structure: RIFF('AVI ') with an idx1 index present
+    assert(new String(payload, 0, 4, "ISO-8859-1") == "RIFF")
+    assert(new String(payload, 8, 4, "ISO-8859-1") == "AVI ")
+    assert(new String(payload, "ISO-8859-1").contains("idx1"))
+    assert(new String(payload, "ISO-8859-1").contains("movi"))
+    // demux: all 8 frames in order, each a real BMP ImageIO decodes at 36x32
+    val frames = Multimodal.demuxAviFrames(payload).toSeq
+    assert(frames.map(_._1) == (0L until 8L))
+    frames.foreach { case (_, bmp) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+      assert(img != null && img.getWidth == 36 && img.getHeight == 32)
+    }
+    // corrupt / truncated / null-ish payloads never throw, demux empty
+    assert(Multimodal.demuxAviFrames("not a container".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.demuxAviFrames(java.util.Arrays.copyOfRange(payload, 0, 100)).isEmpty)
+    assert(Multimodal.demuxAviFrames(Array.emptyByteArray).isEmpty)
+  }
+
+  test("demuxAviFrames: compressed '00dc' (MJPEG) frames pass through to ImageIO") {
+    // hand-build a minimal RIFF(AVI (LIST movi (00dc <jpeg>)))
+    def le32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >>> 8) & 0xff)
+      o.write((v >>> 16) & 0xff); o.write((v >>> 24) & 0xff)
+    }
+    val img = new java.awt.image.BufferedImage(12, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jout)
+    val jpeg = jout.toByteArray
+    val movi = new java.io.ByteArrayOutputStream()
+    movi.write("movi".getBytes("ISO-8859-1"))
+    movi.write("00dc".getBytes("ISO-8859-1")); le32(movi, jpeg.length)
+    movi.write(jpeg); if ((jpeg.length & 1) == 1) movi.write(0)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("AVI ".getBytes("ISO-8859-1"))
+    body.write("LIST".getBytes("ISO-8859-1")); le32(body, movi.size())
+    body.write(movi.toByteArray)
+    val riff = new java.io.ByteArrayOutputStream()
+    riff.write("RIFF".getBytes("ISO-8859-1")); le32(riff, body.size())
+    riff.write(body.toByteArray)
+    val frames = Multimodal.demuxAviFrames(riff.toByteArray).toSeq
+    assert(frames.size == 1)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(frames.head._2))
+    assert(back != null && back.getWidth == 12 && back.getHeight == 10)
+  }
+
   test("videoContainmentPairs: trimmed clip contained, direction asymmetric, aligned join misses it") {
     // clip 0: 8 source frames; clip at +2^40: a TRIMMED cut carrying
     // source frames 2..5 (frameOffset=2 under the source's 8-frame
