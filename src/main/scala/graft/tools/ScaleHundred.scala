@@ -115,6 +115,9 @@ object ScaleHundred {
       (0 until 10).map { k =>
         li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 1000000000L))
           .withColumn("l_suppkey", col("l_suppkey") + lit(k * 100000000L))
+          // part keys shift (see ScaleTen.derive): keeps the parts graph
+          // 10 disjoint copies instead of densifying one part universe
+          .withColumn("l_partkey", col("l_partkey") + lit(k * 100000000L))
       }.reduce(_ unionByName _)
         .repartition(64).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
       println(s"derived 100x lineitem at $out")

@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
 object ScaleTen {
   /** Derives the 10× corpus at `out` (idempotent per table). Key shifts are
     * CONSISTENT across tables so foreign keys survive replication:
-    * custkey/suppkey/doc_id/vec_id shift by k·10⁷, orderkey by k·10⁸,
-    * user_id by k·10⁵. partkey is deliberately NOT shifted — per-part
-    * lineitem fan-in growing with SF is exactly TPC-H's own behavior.
+    * custkey/suppkey/partkey/doc_id/vec_id shift by k·10⁷, orderkey by
+    * k·10⁸, user_id by k·10⁵ (partkey since round 15 — see the lineitem
+    * block: unshifted part keys densified the parts-co-ordered graph the
+    * q_triangles/q_clustering rows sweep).
     */
   def derive(spark: SparkSession, sf01: String, out: String): Unit = {
     if (!new java.io.File(s"$out/documents.parquet").exists()) {
@@ -101,6 +102,16 @@ object ScaleTen {
       (0 until 10).map { k =>
         li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
           .withColumn("l_suppkey", col("l_suppkey") + lit(k * 10000000L))
+          // part keys shift too (round 15): the parts-co-ordered GRAPH
+          // rows (q_triangles/q_clustering/q_degree_dist) key their nodes
+          // on l_partkey — unshifted, 10 order replicas pile onto one
+          // part universe and DENSIFY the graph (degree ×10 → wedges
+          // ×100: the SCALE.md densification trap, a different workload,
+          // not more of the same one). Shifted, the graph is 10 disjoint
+          // copies — per-edge cost is honestly comparable across decades.
+          // Safe because nothing in the battery joins lineitem⋈part (the
+          // part DIM is scanned standalone by the rule-engine rows).
+          .withColumn("l_partkey", col("l_partkey") + lit(k * 10000000L))
       }.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
       println(s"derived 10x lineitem at $out")
@@ -118,12 +129,12 @@ object ScaleTen {
     }
 
     // nation/region/part/supplier are copied AS-IS: nation and region
-    // are fixed-universe dims at every TPC-H SF, and part/supplier keys
-    // are referenced by the UNSHIFTED (part) and shifted (supplier)
-    // lineitem columns — replicating them would either duplicate keys
-    // or break the fan-in the derivation deliberately preserves. The
-    // rule-engine scan queries over these dims therefore measure the
-    // same data at sf1 (expected ratio ~1×).
+    // are fixed-universe dims at every TPC-H SF, and the part/supplier
+    // DIMS are only ever scanned standalone by the rule-engine rows
+    // (nothing in the battery joins lineitem to either dim), so the
+    // shifted l_suppkey/l_partkey fact columns don't need matching dim
+    // replicas. The rule-engine scan queries over these dims therefore
+    // measure the same data at sf1 (expected ratio ~1×).
     for (dim <- Seq("nation", "region", "part", "supplier"))
       if (!new java.io.File(s"$out/$dim.parquet").exists()) {
         spark.read.parquet(s"$sf01/$dim.parquet")
