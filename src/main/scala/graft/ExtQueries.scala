@@ -4820,7 +4820,13 @@ object ExtQueries {
   private val ingestLoopQueries: Seq[(String, Q)] = Seq(
     "q_doc_ingest_stream" -> Q(
       (s, dir) => {
-        val docs = table(s, dir, "documents")
+        // FIXED 500-doc input (ids 0..499 — the whole corpus at sf0.01,
+        // so the oracle is unchanged there): production ingest batches
+        // are constant-size while history grows, so the row's input must
+        // be constant across SFs too (the q_cdc_incremental /
+        // StreamLoopProbe row-design lesson); history-growth scaling is
+        // StreamLoopProbe's job, not this row's
+        val docs = table(s, dir, "documents").filter(col("doc_id") < 500)
         val base = java.nio.file.Files
           .createTempDirectory("graft_docingest").toString
         val idxPath = s"$base/idx"; val outPath = s"$base/out"
@@ -4866,8 +4872,10 @@ object ExtQueries {
 
     "q_media_ingest_stream" -> Q(
       (s, dir) => {
+        // fixed 500-image input — the q_doc_ingest_stream contract
         val imgs = Multimodal.withGradientImagePayload(
-          table(s, dir, "documents").select("doc_id").repartition(32),
+          table(s, dir, "documents").select("doc_id")
+            .filter(col("doc_id") < 500).repartition(32),
           "doc_id")
         val base = java.nio.file.Files
           .createTempDirectory("graft_mediaingest").toString
@@ -4940,8 +4948,10 @@ object ExtQueries {
 
     "q_video_ingest_stream" -> Q(
       (s, dir) => {
+        // fixed 500-clip input — the q_doc_ingest_stream contract
         val clips = Multimodal.withVideoPayload(
-          table(s, dir, "documents").select("doc_id").repartition(32),
+          table(s, dir, "documents").select("doc_id")
+            .filter(col("doc_id") < 500).repartition(32),
           "doc_id", nFrames = 8)
         val base = java.nio.file.Files
           .createTempDirectory("graft_videoingest").toString
@@ -5022,7 +5032,8 @@ object ExtQueries {
 
     "q_embed_ingest_stream" -> Q(
       (s, dir) => {
-        val vecs = table(s, dir, "embeddings")
+        // fixed 500-vector input — the q_doc_ingest_stream contract
+        val vecs = table(s, dir, "embeddings").filter(col("vec_id") < 500)
         val base = java.nio.file.Files
           .createTempDirectory("graft_embedingest").toString
         val idxPath = s"$base/idx"; val outPath = s"$base/out"
