@@ -65,6 +65,26 @@ object Bench {
       Thread.sleep(200)
     }
 
+    // CPU-steal telemetry: this host's hypervisor throttles the VM in
+    // multi-minute bursts under load (measured round 15: 0.16% idle vs
+    // 9-17% while the battery works — five identical-code runs spread
+    // 156-241 s). Reporting the run's own steal share makes a high total
+    // self-explaining instead of a phantom regression (BASELINE.md n=222
+    // reading rules). /proc/stat fields: ...,idle=4,...,steal=8.
+    def cpuTicks(): Option[Array[Long]] =
+      try {
+        val line = java.nio.file.Files
+          .readAllLines(java.nio.file.Paths.get("/proc/stat")).get(0)
+        Some(line.split("\\s+").drop(1).map(_.toLong))
+      } catch { case _: Throwable => None }
+    val ticks0 = cpuTicks()
+    def stealPct(): Double =
+      (for (a <- ticks0; b <- cpuTicks()) yield {
+        val d = b.zip(a).map { case (y, x) => y - x }
+        val tot = d.sum.toDouble
+        if (tot <= 0 || d.length < 8) -1.0 else 100.0 * d(7) / tot
+      }).getOrElse(-1.0)
+
     // local-iteration filter (driver leaves it unset → full battery)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -157,10 +177,11 @@ object Bench {
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).filter(_ >= 0).sum
+    val steal = stealPct()
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"steal_pct":${fmt(steal)},"queries":$fullQs,"sf":"$sfDir"}"""
     try
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
@@ -181,7 +202,7 @@ object Bench {
       else full = true
     }
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":{$sb},"sf":"$sfDir","full":"BENCH_FULL.json"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"steal_pct":${fmt(steal)},"queries":{$sb},"sf":"$sfDir","full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }
