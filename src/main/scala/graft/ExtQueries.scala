@@ -4314,6 +4314,71 @@ object ExtQueries {
           CAST(est_distinct * sum_w // n_kept AS BIGINT) AS est_total_w
         FROM est""")),
 
+    // WEIGHTED KMV set operations — "how many BYTES of A are not in B",
+    // not just how many documents: membership counts plus per-region
+    // weight mass over the combined bottom-k, and the Horvitz–Thompson
+    // scale-ups in DECIMAL(38,0)-exact arithmetic. Same corpora split
+    // as q_kmv_diff, weight = n_chars.
+    "q_kmv_wsets" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val a = graft.operators.Profile.kmvSketchWeighted(
+          docs.filter(col("doc_id") % 3 =!= 0), col("text"),
+          col("n_chars"), k = 256)
+        val b = graft.operators.Profile.kmvSketchWeighted(
+          docs.filter(col("doc_id") % 2 === 0), col("text"),
+          col("n_chars"), k = 256)
+        graft.operators.Profile.kmvSetWeights(a, b, k = 256)
+      },
+      Some("""
+        WITH ha AS (SELECT
+            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h,
+            CAST(max(n_chars) AS BIGINT) AS w
+          FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1),
+        hb AS (SELECT
+            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h,
+            CAST(max(n_chars) AS BIGINT) AS w
+          FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        ska AS (SELECT h, w FROM ha ORDER BY h LIMIT 256),
+        skb AS (SELECT h, w FROM hb ORDER BY h LIMIT 256),
+        u AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL
+                                      SELECT h FROM skb)
+              ORDER BY h LIMIT 256),
+        fl AS (SELECT u.h, a.w AS wa, b.w AS wb
+               FROM u LEFT JOIN ska a ON a.h = u.h
+               LEFT JOIN skb b ON b.h = u.h),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS union_k,
+            CAST(sum(CASE WHEN wa IS NOT NULL AND wb IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+            CAST(sum(CASE WHEN wa IS NOT NULL AND wb IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+            CAST(sum(CASE WHEN wb IS NOT NULL AND wa IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+            CAST(sum(CASE WHEN wa IS NOT NULL AND wb IS NOT NULL
+                     THEN greatest(COALESCE(wa,0), COALESCE(wb,0))
+                     ELSE 0 END) AS BIGINT) AS w_matched,
+            CAST(sum(CASE WHEN wa IS NOT NULL AND wb IS NULL
+                     THEN wa ELSE 0 END) AS BIGINT) AS w_only_a,
+            CAST(sum(CASE WHEN wb IS NOT NULL AND wa IS NULL
+                     THEN wb ELSE 0 END) AS BIGINT) AS w_only_b,
+            max(h) AS kth FROM fl),
+        est AS (SELECT union_k, matches, only_a, only_b,
+            w_matched, w_only_a, w_only_b,
+            CASE WHEN union_k < 256 THEN union_k
+                 ELSE CAST(FLOOR(255.0 * 1152921504606846976.0
+                                 / CAST(kth AS DOUBLE)) AS BIGINT)
+            END AS est_union
+          FROM agg)
+        SELECT union_k, matches, only_a, only_b,
+          w_matched, w_only_a, w_only_b, est_union,
+          CAST(est_union * w_matched // union_k AS BIGINT)
+            AS est_w_intersection,
+          CAST(est_union * w_only_a // union_k AS BIGINT)
+            AS est_w_a_minus_b,
+          CAST(est_union * w_only_b // union_k AS BIGINT)
+            AS est_w_b_minus_a
+        FROM est""")),
+
     // KMV overlap MATRIX — corpus-fleet governance in one row per slice
     // pair: token-VOCABULARY overlap across the five languages (token
     // universes genuinely intersect: numbers, punctuation, shared words),

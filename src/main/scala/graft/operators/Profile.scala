@@ -873,6 +873,59 @@ object Profile {
         expr("CAST(est_distinct AS DECIMAL(38,0)) * sum_w DIV n_kept"))
   }
 
+  /** WEIGHTED set operations between two corpora from their
+    * [[kmvSketchWeighted]] tables — the composition that makes the
+    * weighted sketch a full set-algebra citizen: ONE row with the
+    * [[kmvDifference]] membership counts PLUS the weight mass of each
+    * region (`w_matched` / `w_only_a` / `w_only_b` over the combined
+    * bottom-k, max per hash if the sketches ever disagree) and their
+    * Horvitz–Thompson scale-ups — "how many BYTES of crawl A are not in
+    * crawl B", not just how many documents. The combined bottom-k is a
+    * uniform sample of A∪B, so
+    * `est_w_region = est_union · w_region DIV union_k` (DECIMAL(38,0)
+    * product, the [[kmvWeightedSum]] overflow contract); below k the
+    * sample IS the union and every estimate is exact.
+    *
+    * Same plan shape as [[kmvOverlap]]: sketch×sketch joins only.
+    */
+  def kmvSetWeights(wsketchA: DataFrame, wsketchB: DataFrame,
+                    k: Int): DataFrame = {
+    val a = wsketchA.select(col("h"), col("w")).localCheckpoint()
+    val b = wsketchB.select(col("h"), col("w")).localCheckpoint()
+    val u = kmvMerge(a.select("h").unionByName(b.select("h")), k)
+    val flagged = u
+      .join(a.groupBy("h").agg(max(col("w")).as("__wa"))
+        .withColumn("__ina", lit(1)), Seq("h"), "left")
+      .join(b.groupBy("h").agg(max(col("w")).as("__wb"))
+        .withColumn("__inb", lit(1)), Seq("h"), "left")
+      .withColumn("__w", greatest(coalesce(col("__wa"), lit(0L)),
+        coalesce(col("__wb"), lit(0L))))
+    flagged.agg(
+        count(lit(1)).as("union_k"),
+        sum(when(col("__ina") === 1 && col("__inb") === 1, 1L).otherwise(0L))
+          .as("matches"),
+        sum(when(col("__ina") === 1 && col("__inb").isNull, 1L).otherwise(0L))
+          .as("only_a"),
+        sum(when(col("__inb") === 1 && col("__ina").isNull, 1L).otherwise(0L))
+          .as("only_b"),
+        sum(when(col("__ina") === 1 && col("__inb") === 1, col("__w"))
+          .otherwise(0L)).as("w_matched"),
+        sum(when(col("__ina") === 1 && col("__inb").isNull, col("__w"))
+          .otherwise(0L)).as("w_only_a"),
+        sum(when(col("__inb") === 1 && col("__ina").isNull, col("__w"))
+          .otherwise(0L)).as("w_only_b"),
+        max(col("h")).as("__kth"))
+      .select(col("union_k"), col("matches"), col("only_a"), col("only_b"),
+        col("w_matched"), col("w_only_a"), col("w_only_b"),
+        kmvEstimate(k, col("union_k"), col("__kth")).as("est_union"))
+      .withColumn("est_w_intersection",
+        expr("CAST(est_union AS DECIMAL(38,0)) * w_matched DIV union_k"))
+      .withColumn("est_w_a_minus_b",
+        expr("CAST(est_union AS DECIMAL(38,0)) * w_only_a DIV union_k"))
+      .withColumn("est_w_b_minus_a",
+        expr("CAST(est_union AS DECIMAL(38,0)) * w_only_b DIV union_k"))
+  }
+
   /** Pairwise set-overlap MATRIX across every slice of one [[kmvSketch]]
     * table — "which of my N crawls/sources/snapshots overlap, and by how
     * much" as one relational product: a row per unordered slice pair

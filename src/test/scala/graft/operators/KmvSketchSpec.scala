@@ -209,6 +209,47 @@ class KmvSketchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("kmvSetWeights: exact below k; weighted regions recovered within sketch error at k") {
+    // exact branch: A = 1..60 (w=10i), B = 41..100 (w=10i) → all sets
+    // below k=256, so every count AND weight estimate is exact
+    val a = (1 to 60).map(i => (s"key$i", 10L * i)).toDF("k", "w")
+    val b = (41 to 100).map(i => (s"key$i", 10L * i)).toDF("k", "w")
+    val k = 256
+    val sa = Profile.kmvSketchWeighted(a, col("k"), col("w"), k)
+    val sb = Profile.kmvSketchWeighted(b, col("k"), col("w"), k)
+    val row = Profile.kmvSetWeights(sa, sb, k).collect().head
+    assert(row.getAs[Long]("union_k") == 100L)
+    assert(row.getAs[Long]("matches") == 20L)
+    assert(row.getAs[Long]("only_a") == 40L && row.getAs[Long]("only_b") == 40L)
+    assert(row.getAs[Long]("w_matched") == (41 to 60).map(10L * _).sum)
+    assert(row.getAs[Long]("w_only_a") == (1 to 40).map(10L * _).sum)
+    assert(row.getAs[Long]("w_only_b") == (61 to 100).map(10L * _).sum)
+    // exact branch: est_union = union_k → scale-up is the identity
+    assert(row.getAs[Long]("est_union") == 100L)
+    assert(row.getAs[Long]("est_w_intersection") == row.getAs[Long]("w_matched"))
+    assert(row.getAs[Long]("est_w_a_minus_b") == row.getAs[Long]("w_only_a"))
+    assert(row.getAs[Long]("est_w_b_minus_a") == row.getAs[Long]("w_only_b"))
+    // counts agree with the unweighted kmvDifference on the same sets
+    val diff = Profile.kmvDifference(sa.select("h"), sb.select("h"), k)
+      .collect().head
+    assert(diff.getAs[Long]("matches") == 20L &&
+      diff.getAs[Long]("only_a") == 40L && diff.getAs[Long]("only_b") == 40L)
+
+    // estimator branch: A = 1..12000, B = 8001..20000, constant w=3 →
+    // true weights: ∩ = 12000, A∖B = 24000, B∖A = 24000
+    val bigA = (1 to 12000).map(i => (s"key$i", 3L)).toDF("k", "w")
+    val bigB = (8001 to 20000).map(i => (s"key$i", 3L)).toDF("k", "w")
+    val kk = 1024
+    val est = Profile.kmvSetWeights(
+      Profile.kmvSketchWeighted(bigA, col("k"), col("w"), kk),
+      Profile.kmvSketchWeighted(bigB, col("k"), col("w"), kk), kk)
+      .collect().head
+    def rel(got: Long, want: Double) = math.abs(got - want) / want
+    assert(rel(est.getAs[Long]("est_w_intersection"), 12000) < 0.3)
+    assert(rel(est.getAs[Long]("est_w_a_minus_b"), 24000) < 0.25)
+    assert(rel(est.getAs[Long]("est_w_b_minus_a"), 24000) < 0.25)
+  }
+
   test("plan: sketch build is a bounded ObjectHashAggregate, no distinct exchange") {
     val docs = (1 to 100).map(i => s"key$i").toDF("k")
     val plan = Profile.kmvSketch(docs, col("k"), 16)
