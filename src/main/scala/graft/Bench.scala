@@ -77,13 +77,15 @@ object Bench {
           .readAllLines(java.nio.file.Paths.get("/proc/stat")).get(0)
         Some(line.split("\\s+").drop(1).map(_.toLong))
       } catch { case _: Throwable => None }
-    val ticks0 = cpuTicks()
-    def stealPct(): Double =
-      (for (a <- ticks0; b <- cpuTicks()) yield {
-        val d = b.zip(a).map { case (y, x) => y - x }
+    def stealBetween(a: Option[Array[Long]],
+                     b: Option[Array[Long]]): Double =
+      (for (x <- a; y <- b) yield {
+        val d = y.zip(x).map { case (v, u) => v - u }
         val tot = d.sum.toDouble
         if (tot <= 0 || d.length < 8) -1.0 else 100.0 * d(7) / tot
       }).getOrElse(-1.0)
+    val ticks0 = cpuTicks()
+    def stealPct(): Double = stealBetween(ticks0, cpuTicks())
 
     // local-iteration filter (driver leaves it unset → full battery)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -108,7 +110,35 @@ object Bench {
     val isolatedRows: Set[String] =
       if (sys.env.contains("SPARK_GRAFT_BENCH_NO_ISOLATE")) Set.empty
       else Set("q_pagerank", "q_triangles", "q_clustering")
+    // Round-16 protocol: a probe row's number is the MIN over
+    // `probeTries` independent child JVMs (each already warm-up + median
+    // internally), and every try is stamped with the CPU-steal share
+    // measured around that child (r15: q_clustering's single child read
+    // 19.7 s while its fresh-JVM band is 7.6-8.5 s — with one try and no
+    // per-probe steal there was no way to tell a real regression from a
+    // hypervisor burst). MIN, not median: the tries run identical code in
+    // identical fresh JVMs, so all variation between them is host noise —
+    // the smallest reading is the closest to the query's own cost. The
+    // per-try (sec, steal) detail lands in the JSON `probes` object so an
+    // out-of-band reading is self-diagnosing.
+    val probeTries = sys.env.getOrElse("SPARK_GRAFT_PROBE_TRIES", "2").toInt
+    val probeDetail =
+      scala.collection.mutable.LinkedHashMap[String, Seq[(Double, Double)]]()
     def isolatedProbe(name: String): Double = {
+      // shrink THIS JVM's footprint first: the probe children share the
+      // host with us, and a parent heap full of ~170 earlier rows' debt
+      // competes with the child for memory bandwidth and page cache
+      quiesce()
+      val tries = (1 to probeTries).map { _ =>
+        val t0 = cpuTicks()
+        val sec = try childRun(name) catch { case _: Throwable => -1.0 }
+        (sec, stealBetween(t0, cpuTicks()))
+      }
+      probeDetail(name) = tries
+      val valid = tries.map(_._1).filter(_ >= 0)
+      if (valid.isEmpty) -1.0 else valid.min
+    }
+    def childRun(name: String): Double = {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val jvmArgs = java.lang.management.ManagementFactory
         .getRuntimeMXBean.getInputArguments.asScala.toSeq
@@ -127,28 +157,45 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
       pb.environment().put("SPARK_GRAFT_BENCH_NO_ISOLATE", "1")
       // the child also writes BENCH_FULL.json — keep it away from ours
-      pb.directory(java.nio.file.Files
-        .createTempDirectory("graft_bench_probe").toFile)
+      val probeDir = java.nio.file.Files
+        .createTempDirectory("graft_bench_probe")
+      pb.directory(probeDir.toFile)
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
-      val p = pb.start()
-      // drain stdout on its own thread: readAllBytes() on this thread
-      // blocks until the child CLOSES stdout, so a hung child would hang
-      // the whole battery and the 15-minute timeout could never fire
-      val outRef = new java.util.concurrent.atomic.AtomicReference[String]("")
-      val drain = new Thread(() =>
-        try outRef.set(new String(p.getInputStream.readAllBytes(), "UTF-8"))
-        catch { case _: Throwable => () })
-      drain.setDaemon(true)
-      drain.start()
-      if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
-        p.destroyForcibly(); return -1.0
+      try {
+        val p = pb.start()
+        // drain stdout on its own thread: readAllBytes() on this thread
+        // blocks until the child CLOSES stdout, so a hung child would hang
+        // the whole battery and the 15-minute timeout could never fire
+        val outRef = new java.util.concurrent.atomic.AtomicReference[String]("")
+        val drain = new Thread(() =>
+          try outRef.set(new String(p.getInputStream.readAllBytes(), "UTF-8"))
+          catch { case _: Throwable => () })
+        drain.setDaemon(true)
+        drain.start()
+        if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
+          p.destroyForcibly(); return -1.0
+        }
+        drain.join(30000)
+        val out = outRef.get()
+        val re = ("\"" + java.util.regex.Pattern.quote(name) +
+          "\":(-?[0-9.]+)").r
+        re.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
+      } finally {
+        // O(1) temp-dir discipline: the child is dead (or destroyed) by
+        // now, so its cwd — BENCH_FULL.json plus whatever the child's
+        // own exit hook missed — goes away with the probe
+        def del(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p,
+              java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+            val s = java.nio.file.Files.list(p)
+            try s.iterator().asScala.foreach(del) finally s.close()
+          }
+          try { java.nio.file.Files.deleteIfExists(p); () }
+          catch { case _: Throwable => () }
+        }
+        del(probeDir)
       }
-      drain.join(30000)
-      val out = outRef.get()
-      val re = ("\"" + java.util.regex.Pattern.quote(name) +
-        "\":(-?[0-9.]+)").r
-      re.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
     }
 
     val results = names.map { name =>
@@ -178,16 +225,27 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).filter(_ >= 0).sum
     val steal = stealPct()
+    // per-probe self-diagnosis: every isolated-probe row carries its
+    // per-try (sec, steal_pct) pairs — a reading above the row's quiet
+    // band should point at a stamped steal burst, not at the query
+    val probesJson = probeDetail.map { case (k, tries) =>
+      "\"" + k + "\":{\"sec\":" + fmt(tries.map(_._1).filter(_ >= 0)
+          .minOption.getOrElse(-1.0)) +
+        ",\"tries\":[" + tries.map(t => fmt(t._1)).mkString(",") +
+        "],\"steal\":[" + tries.map(t => fmt(t._2)).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"steal_pct":${fmt(steal)},"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"steal_pct":${fmt(steal)},"probes":$probesJson,"queries":$fullQs,"sf":"$sfDir"}"""
     try
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
         (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // stdout line is the contract; file is best-effort
-    val budget = 1600 // chars for the inline map; total line stays < ~1780
+    // chars for the inline map; total line (incl. the ~250-char probes
+    // object) must stay under the driver's 2000-char output capture
+    val budget = 1350
     val sb = new StringBuilder
     var kept = 0
     // stop at the FIRST entry that doesn't fit so the inline map is a
@@ -202,7 +260,7 @@ object Bench {
       else full = true
     }
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"steal_pct":${fmt(steal)},"queries":{$sb},"sf":"$sfDir","full":"BENCH_FULL.json"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"steal_pct":${fmt(steal)},"probes":$probesJson,"queries":{$sb},"sf":"$sfDir","full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -1374,7 +1374,7 @@ object ExtQueries {
           else Similarity.ivfIndexFor(corpus,
             cacheKey = s"$dir/embeddings!vec_id!16", "vec_id", "embedding",
             nClusters = 16).centroids
-        val base = java.nio.file.Files.createTempDirectory("graft_anns").toString
+        val base = Queries.tempDir("graft_anns")
         val path = s"$base/assigned"
         (0 until 3).foreach { i =>
           graft.streaming.AnnStreams.processIvfBatch(
@@ -1643,7 +1643,7 @@ object ExtQueries {
                nClusters = 16).centroids,
              Similarity.pqCodebookFor(corpus,
                cacheKey = s"$dir/embeddings!pq!8!16", "embedding"))
-        val base = java.nio.file.Files.createTempDirectory("graft_annpqs").toString
+        val base = Queries.tempDir("graft_annpqs")
         val path = s"$base/codes"
         (0 until 3).foreach { i =>
           graft.streaming.AnnStreams.processIvfPqBatch(
@@ -1673,7 +1673,7 @@ object ExtQueries {
           else Similarity.ivfIndexFor(corpus,
             cacheKey = s"$dir/embeddings!vec_id!16", "vec_id", "embedding",
             nClusters = 16).centroids
-        val base = java.nio.file.Files.createTempDirectory("graft_refit").toString
+        val base = Queries.tempDir("graft_refit")
         val path = s"$base/assigned"
         (0 until 3).foreach { i =>
           graft.streaming.AnnStreams.processIvfBatch(
@@ -3732,7 +3732,7 @@ object ExtQueries {
     "q_bm25_stream" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        val base = java.nio.file.Files.createTempDirectory("graft_bm25s").toString
+        val base = Queries.tempDir("graft_bm25s")
         val lenP = s"$base/len"; val postP = s"$base/post"
         (0 until 3).foreach { i =>
           graft.streaming.SearchStreams.processBm25Batch(
@@ -4440,8 +4440,7 @@ object ExtQueries {
     "q_kmv_novelty" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_kmvnov").toString
+        val base = Queries.tempDir("graft_kmvnov")
         val skPath = s"$base/sk"; val stPath = s"$base/stats"
         (0 until 3).foreach { i =>
           graft.streaming.SketchStreams.processKmvBatch(
@@ -4510,8 +4509,7 @@ object ExtQueries {
           .withColumn("slice", col("doc_id") % 4)
           .select(col("doc_id"), col("lang"), col("slice"),
             explode(tokens(col("text"))).as("token"))
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_cmsstream").toString + "/sk"
+        val path = Queries.tempDir("graft_cmsstream") + "/sk"
         (0 until 3).foreach { i =>
           graft.streaming.SketchStreams.processCmsBatch(
             toks.filter(col("doc_id") % 3 === i), i.toLong,
@@ -4549,8 +4547,7 @@ object ExtQueries {
     "q_kmv_stream" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_kmvstream").toString + "/sk"
+        val path = Queries.tempDir("graft_kmvstream") + "/sk"
         (0 until 3).foreach { i =>
           graft.streaming.SketchStreams.processKmvBatch(
             docs.filter(col("doc_id") % 3 === i), i.toLong,
@@ -4892,8 +4889,7 @@ object ExtQueries {
         // StreamLoopProbe row-design lesson); history-growth scaling is
         // StreamLoopProbe's job, not this row's
         val docs = table(s, dir, "documents").filter(col("doc_id") < 500)
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_docingest").toString
+        val base = Queries.tempDir("graft_docingest")
         val idxPath = s"$base/idx"; val outPath = s"$base/out"
         // nightly seed: the doc_id%3==0 slice is pre-published history
         graft.streaming.DocumentStreams.seedIndex(
@@ -4918,7 +4914,8 @@ object ExtQueries {
             '/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')),
         und AS (SELECT id1 AS a, id2 AS b FROM p
                 UNION ALL SELECT id2, id1 FROM p),
-        d AS (SELECT doc_id, doc_id % 3 AS bt FROM documents),
+        d AS (SELECT doc_id, doc_id % 3 AS bt FROM documents
+              WHERE doc_id < 500),
         s0 AS (SELECT doc_id FROM d WHERE bt = 0),
         e1 AS (SELECT doc_id FROM d WHERE bt = 1 AND doc_id NOT IN
                 (SELECT u.a FROM und u JOIN s0 ON u.b = s0.doc_id)),
@@ -4942,8 +4939,7 @@ object ExtQueries {
           table(s, dir, "documents").select("doc_id")
             .filter(col("doc_id") < 500).repartition(32),
           "doc_id")
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_mediaingest").toString
+        val base = Queries.tempDir("graft_mediaingest")
         val idxPath = s"$base/idx"; val outPath = s"$base/out"
         val hasher = (df: org.apache.spark.sql.DataFrame, id: String) =>
           Multimodal.dHash64(df, id)
@@ -4959,7 +4955,8 @@ object ExtQueries {
       // the q_image_neardup hash arithmetic (real codec on the engine
       // side, pure SQL on the oracle side) + the same loop simulation
       Some("""
-        WITH ids AS (SELECT doc_id AS id FROM documents),
+        WITH ids AS (SELECT doc_id AS id FROM documents
+                     WHERE doc_id < 500),
         px AS (
           SELECT id, x.range AS x, y.range AS y,
             (7*x.range*x.range + 13*y.range*y.range
@@ -5018,8 +5015,7 @@ object ExtQueries {
           table(s, dir, "documents").select("doc_id")
             .filter(col("doc_id") < 500).repartition(32),
           "doc_id", nFrames = 8)
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_videoingest").toString
+        val base = Queries.tempDir("graft_videoingest")
         val idxPath = s"$base/idx"; val outPath = s"$base/out"
         val hasher = (df: org.apache.spark.sql.DataFrame, id: String) =>
           Multimodal.videoFrameHashes(df, id, everyNth = 2)
@@ -5034,7 +5030,8 @@ object ExtQueries {
       // the q_video_neardup frame-hash arithmetic + the clip verdict
       // (n_matched >= frac * min(frames)) + the same loop simulation
       Some("""
-        WITH ids AS (SELECT doc_id AS id FROM documents),
+        WITH ids AS (SELECT doc_id AS id FROM documents
+                     WHERE doc_id < 500),
         fr AS (SELECT id, f.range AS f, ((id//4)*8 + f.range)*4 + id%4 AS e
                FROM ids, range(0, 8, 2) f),
         px AS (
@@ -5099,8 +5096,7 @@ object ExtQueries {
       (s, dir) => {
         // fixed 500-vector input — the q_doc_ingest_stream contract
         val vecs = table(s, dir, "embeddings").filter(col("vec_id") < 500)
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_embedingest").toString
+        val base = Queries.tempDir("graft_embedingest")
         val idxPath = s"$base/idx"; val outPath = s"$base/out"
         (0 until 3).foreach { i =>
           graft.streaming.EmbeddingStreams.processEmbeddingBatch(

@@ -5,6 +5,8 @@ import graft.rules.{RuleEvaluator, RuleSetExecutor}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** The correctness/bench query battery for the rule-engine surface
   * (SURVEY §2). Each entry exercises one operator family end-to-end: rule
   * JSON → parse → validate → compile to Column → execute, and carries an
@@ -17,6 +19,38 @@ object Queries {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Session-scoped temp ROOT for every battery row that needs scratch
+    * storage (index/out dirs of the ingest loops, ANN index builds, BM25
+    * compaction, sketch streams): ONE directory per JVM, deleted
+    * recursively on exit. Before this, each row call left its own
+    * `/tmp/graft_*` dir behind — a day of local benching accumulated
+    * 1.4k+ of them. A battery run now leaves exactly one root while
+    * alive and zero after the JVM exits (the parquet under it only needs
+    * to outlive the row's materialization, which ends with the run).
+    */
+  private lazy val tempRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_session_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          val s = java.nio.file.Files.list(p)
+          try s.iterator().asScala.foreach(del) finally s.close()
+        }
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: Throwable => () } // exit-time best effort
+      }
+      del(root)
+    }))
+    root
+  }
+
+  /** A fresh scratch dir under [[tempRoot]] — the drop-in replacement
+    * for `Files.createTempDirectory("graft_…")` in battery rows.
+    */
+  private[graft] def tempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(tempRoot, prefix).toString
 
   /** Canonical post-read events schema: `ts` is a micros TIMESTAMP. */
   private[graft] val eventsSchema = org.apache.spark.sql.types.StructType.fromDDL(

@@ -692,6 +692,90 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Pack JPEG-encoded frames into an MJPEG AVI: the lossy sibling of
+    * [[encodeAvi]]. Same RIFF('AVI ')/avih/strl/movi/idx1 layout, but the
+    * stream handler is 'MJPG', `strf` is a synthesized BITMAPINFOHEADER
+    * whose biCompression is the 'MJPG' fourcc, and frames ride in '00dc'
+    * chunks (compressed) instead of '00db' (DIB). [[demuxAviFrames]]
+    * already passes '00dc' payloads through untouched — ImageIO's JPEG
+    * reader takes them directly — so this closes the lossy path
+    * end-to-end: writer-produced MJPEG demuxes to the exact JPEG bytes
+    * that went in. Kept OUT of the oracle fixtures: JPEG is lossy, so
+    * frame pixels are not arithmetic-recomputable by a SQL mirror; specs
+    * assert on frame-byte hashes instead.
+    */
+  def encodeAviMjpeg(frames: Seq[Array[Byte]], width: Int, height: Int,
+                     fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty, "encodeAviMjpeg: no frames")
+    require(fps > 0, "encodeAviMjpeg: fps must be positive")
+    require(width > 0 && height > 0, "encodeAviMjpeg: bad dimensions")
+    frames.foreach { j =>
+      require(j.length > 3 && (j(0) & 0xff) == 0xff && (j(1) & 0xff) == 0xd8,
+        "encodeAviMjpeg: frames must be JPEG files (SOI marker)")
+    }
+    val maxFrame = frames.map(_.length).max
+    val n = frames.length
+
+    val avih = new java.io.ByteArrayOutputStream()
+    le32(avih, 1000000 / fps); le32(avih, 0); le32(avih, 0)
+    le32(avih, 0x10) // AVIF_HASINDEX
+    le32(avih, n); le32(avih, 0); le32(avih, 1); le32(avih, maxFrame)
+    le32(avih, width); le32(avih, height)
+    (0 until 4).foreach(_ => le32(avih, 0))
+
+    val strh = new java.io.ByteArrayOutputStream()
+    fcc(strh, "vids"); fcc(strh, "MJPG")
+    le32(strh, 0); le32(strh, 0); le32(strh, 0)
+    le32(strh, 1); le32(strh, fps) // dwScale / dwRate
+    le32(strh, 0); le32(strh, n); le32(strh, maxFrame)
+    le32(strh, -1); le32(strh, 0) // quality / sampleSize
+    strh.write(0); strh.write(0); strh.write(0); strh.write(0)
+    strh.write(width & 0xff); strh.write((width >>> 8) & 0xff)
+    strh.write(height & 0xff); strh.write((height >>> 8) & 0xff)
+
+    // BITMAPINFOHEADER with biCompression = 'MJPG' (no DIB to copy from)
+    val strf = new java.io.ByteArrayOutputStream()
+    le32(strf, 40); le32(strf, width); le32(strf, height)
+    strf.write(1); strf.write(0)  // biPlanes = 1
+    strf.write(24); strf.write(0) // biBitCount
+    fcc(strf, "MJPG")             // biCompression
+    le32(strf, maxFrame)          // biSizeImage (upper bound)
+    (0 until 4).foreach(_ => le32(strf, 0))
+
+    val strl = new java.io.ByteArrayOutputStream()
+    fcc(strl, "strl")
+    chunk(strl, "strh", strh.toByteArray)
+    chunk(strl, "strf", strf.toByteArray)
+
+    val hdrl = new java.io.ByteArrayOutputStream()
+    fcc(hdrl, "hdrl")
+    chunk(hdrl, "avih", avih.toByteArray)
+    chunk(hdrl, "LIST", strl.toByteArray)
+
+    val movi = new java.io.ByteArrayOutputStream()
+    fcc(movi, "movi")
+    val offsets = new Array[Int](n)
+    frames.zipWithIndex.foreach { case (j, i) =>
+      offsets(i) = movi.size()
+      chunk(movi, "00dc", j)
+    }
+    val idx1 = new java.io.ByteArrayOutputStream()
+    frames.zipWithIndex.foreach { case (j, i) =>
+      fcc(idx1, "00dc"); le32(idx1, 0x10) // MJPEG frames are keyframes
+      le32(idx1, offsets(i)); le32(idx1, j.length)
+    }
+
+    val body = new java.io.ByteArrayOutputStream()
+    fcc(body, "AVI ")
+    chunk(body, "LIST", hdrl.toByteArray)
+    chunk(body, "LIST", movi.toByteArray)
+    chunk(body, "idx1", idx1.toByteArray)
+
+    val out = new java.io.ByteArrayOutputStream()
+    chunk(out, "RIFF", body.toByteArray)
+    out.toByteArray
+  }
+
   /** DEMUX an AVI payload into its frames, lazily: walk the RIFF chunk
     * tree to LIST('movi'), iterate frame chunks in stream order ('00db'
     * uncompressed DIB → a 14-byte BITMAPFILEHEADER is rebuilt in front so
@@ -709,23 +793,28 @@ object Multimodal {
     def fourcc(o: Int): String = new String(bytes, o, 4, "ISO-8859-1")
     if (bytes == null || bytes.length < 12 ||
       fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Iterator.empty
-    // top-level walk to LIST('movi')
-    var pos = 12
-    var moviStart = -1; var moviEnd = -1
-    val riffEnd = math.min(bytes.length.toLong, 8L + u32(4)).toInt
+    // top-level walk to LIST('movi'). ALL chunk-position arithmetic is in
+    // Long: a crafted/corrupt LE32 size near 2^32 (e.g. 0xFFFFFFF7, where
+    // 8+sz+pad == 2^32) makes the Int increment 0 or negative — an
+    // executor-side infinite loop. In Long, pos strictly increases by at
+    // least 8 per chunk, so termination is structural, not size-dependent.
+    var pos = 12L
+    var moviStart = -1L; var moviEnd = -1L
+    val riffEnd = math.min(bytes.length.toLong, 8L + u32(4))
     while (pos + 8 <= riffEnd && moviStart < 0) {
-      val id = fourcc(pos); val sz = u32(pos + 4)
-      if (id == "LIST" && pos + 12 <= riffEnd && fourcc(pos + 8) == "movi") {
+      val p = pos.toInt // pos < riffEnd <= bytes.length, so Int-safe
+      val id = fourcc(p); val sz = u32(p + 4)
+      if (id == "LIST" && pos + 12 <= riffEnd && fourcc(p + 8) == "movi") {
         moviStart = pos + 12
-        moviEnd = math.min(pos + 8 + sz, riffEnd.toLong).toInt
+        moviEnd = math.min(pos + 8 + sz, riffEnd)
       }
-      pos += (8 + sz + (sz & 1)).toInt
-      if (sz < 0 || pos < 0) return Iterator.empty // corrupt size
+      pos += 8 + sz + (sz & 1)
     }
     if (moviStart < 0) return Iterator.empty
     new Iterator[(Long, Array[Byte])] {
-      // a tiny explicit stack handles 'rec ' grouping lists
-      private var stack = List((moviStart, moviEnd))
+      // a tiny explicit stack handles 'rec ' grouping lists.
+      // (moviStart/moviEnd are clamped to bytes.length above, so Int.)
+      private var stack = List((moviStart.toInt, moviEnd.toInt))
       private var idx = 0L
       private var nextFrame: (Long, Array[Byte]) = null
       private def advance(): Unit = {
@@ -737,29 +826,38 @@ object Multimodal {
             val id = fourcc(p); val sz = u32(p + 4)
             val dataStart = p + 8
             val dataEnd = math.min(dataStart + sz, end.toLong).toInt
-            if (sz < 0 || dataEnd < dataStart) { stack = Nil } // corrupt
-            else {
-              val after = (dataStart + sz + (sz & 1)).toInt
-              stack = (after, end) :: stack.tail
-              if (id == "LIST" && dataStart + 4 <= dataEnd &&
-                fourcc(dataStart) == "rec ")
-                stack = (dataStart + 4, dataEnd) :: stack
-              else if (id.length == 4 && id.endsWith("db") && dataEnd > dataStart) {
-                // rebuild the BITMAPFILEHEADER: 'BM', file size, reserved,
-                // data offset = 14 + biSize + palette (none for 24-bit)
-                val dib = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-                val biSize = (dib(0) & 0xff) | ((dib(1) & 0xff) << 8) |
-                  ((dib(2) & 0xff) << 16) | ((dib(3) & 0xff) << 24)
-                val bmp = new java.io.ByteArrayOutputStream(14 + dib.length)
-                bmp.write('B'); bmp.write('M')
-                le32(bmp, 14 + dib.length); le32(bmp, 0); le32(bmp, 14 + biSize)
-                bmp.write(dib, 0, dib.length)
-                nextFrame = (idx, bmp.toByteArray); idx += 1
-              } else if (id.length == 4 && id.endsWith("dc") && dataEnd > dataStart) {
-                nextFrame = (idx,
-                  java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd))
-                idx += 1
-              }
+            // position arithmetic in Long, clamped to this level's end:
+            // afterL >= p+8 > p guarantees monotonic progress even when a
+            // crafted sz would wrap Int math to `after <= p` (which looped
+            // forever re-emitting the same frame chunk) or to a negative
+            // offset (which made fourcc throw).
+            val after =
+              math.min(dataStart.toLong + sz + (sz & 1), end.toLong).toInt
+            stack = (after, end) :: stack.tail
+            if (id == "LIST" && dataStart + 4 <= dataEnd &&
+              fourcc(dataStart) == "rec ")
+              stack = (dataStart + 4, dataEnd) :: stack
+            // only stream 0 ('00db'/'00dc') — encodeAvi writes a single
+            // 'vids' stream first; matching any '??db' would interleave a
+            // second video/other stream into one frame_idx sequence and
+            // corrupt per-frame dHash alignment for containment joins
+            else if (id == "00db" && dataEnd - dataStart >= 40) {
+              // a DIB frame opens with a 40-byte BITMAPINFOHEADER; anything
+              // shorter is corrupt — skip it rather than read past the end
+              // rebuild the BITMAPFILEHEADER: 'BM', file size, reserved,
+              // data offset = 14 + biSize + palette (none for 24-bit)
+              val dib = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+              val biSize = (dib(0) & 0xff) | ((dib(1) & 0xff) << 8) |
+                ((dib(2) & 0xff) << 16) | ((dib(3) & 0xff) << 24)
+              val bmp = new java.io.ByteArrayOutputStream(14 + dib.length)
+              bmp.write('B'); bmp.write('M')
+              le32(bmp, 14 + dib.length); le32(bmp, 0); le32(bmp, 14 + biSize)
+              bmp.write(dib, 0, dib.length)
+              nextFrame = (idx, bmp.toByteArray); idx += 1
+            } else if (id == "00dc" && dataEnd > dataStart) {
+              nextFrame = (idx,
+                java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd))
+              idx += 1
             }
           }
         }

@@ -277,28 +277,45 @@ object Profile {
     * items·depth rows — the join is sketch-sized, never data-sized.
     */
   def cmsEstimate(sketch: DataFrame, items: Seq[String], depth: Int,
-                  width: Int, sliceCols: Seq[String] = Nil): DataFrame = {
+                  width: Int, sliceCols: Seq[String] = Nil): DataFrame =
+    cmsEstimateReleasable(sketch, items, depth, width, sliceCols)._1
+
+  /** [[cmsEstimate]] plus a release handle for the sketch table the
+    * sliced path caches. The sketch subtree feeds TWO consumers (the
+    * slice-universe distinct and the counter join); left lazy, a
+    * corpus-scanning sketch build runs twice per estimate call, so the
+    * sliced path persists it until the result materializes. Unlike the
+    * KMV set operations (≤ k rows, collected driver-local), a sliced CMS
+    * table is `slices · depth · width` rows — sketch-sized but not
+    * driver-bounded — so it stays a cached distributed table; cache (not
+    * localCheckpoint) so `spark.catalog.clearCache()` and LRU eviction
+    * also reclaim it if the handle is never called. Long-running callers
+    * should call the handle once the estimates are materialized (the
+    * [[graft.operators.Dedup.incrementalCdcChunksReleasable]]
+    * discipline); the convenience overload above is for one-shot use.
+    */
+  def cmsEstimateReleasable(sketch: DataFrame, items: Seq[String], depth: Int,
+                            width: Int, sliceCols: Seq[String] = Nil)
+      : (DataFrame, () => Unit) = {
     require(items.nonEmpty, "cmsEstimate: no probe items")
     val spark = sketch.sparkSession
     import spark.implicits._
     val probe = items.toDF("item")
       .withColumn("r", explode(sequence(lit(0), lit(depth - 1))))
       .withColumn("b", cmsBucket(col("item"), col("r"), width))
-    val joined =
-      if (sliceCols.isEmpty) probe.join(sketch, Seq("r", "b"), "left")
+    val (joined, release) =
+      if (sliceCols.isEmpty)
+        (probe.join(sketch, Seq("r", "b"), "left"), () => ())
       else {
-        // the sketch subtree feeds TWO consumers here (the slice-universe
-        // distinct and the counter join); left lazy, a corpus-scanning
-        // sketch build runs twice per estimate call. The sketch is ≤
-        // depth·width rows per slice — exactly what localCheckpoint is
-        // for (the kmvOverlap discipline).
-        val sk = sketch.localCheckpoint()
-        probe
+        val sk = sketch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val j = probe
           .crossJoin(sk.select(sliceCols.map(col): _*).distinct())
           .join(sk, sliceCols ++ Seq("r", "b"), "left")
+        (j, () => { sk.unpersist(); () })
       }
-    joined.groupBy((sliceCols :+ "item").map(col): _*)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+    (joined.groupBy((sliceCols :+ "item").map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est")), release)
   }
 
   // --- Quantile sketch: dyadic CMS rank/quantile summary ------------------
@@ -730,6 +747,26 @@ object Profile {
       kmvEstimate(k, col("n_kept"), col("__kth")).as("est_distinct")): _*)
   }
 
+  /** Collect a sketch-sized table (bounded by contract at `maxRows`,
+    * checked LOUDLY — a silently truncated sketch would skew every
+    * estimate) into a driver-local relation. The KMV set operations
+    * below consume each sketch in two subtrees (union + membership
+    * join); re-planting the ≤ k-row result as local data runs the
+    * possibly-corpus-scanning sketch build exactly once WITHOUT leaving
+    * anything persisted behind — the leak-free replacement for the
+    * per-call localCheckpoint these functions used through round 15
+    * (each call left RDD blocks for the ContextCleaner; a session
+    * calling the graft_overlap/graft_difference TVFs per query
+    * accumulated them for the JVM's life).
+    */
+  private def asLocal(df: DataFrame, maxRows: Int, what: String): DataFrame = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"$what: more than $maxRows rows — not a bottom-$maxRows sketch table")
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** SET-OVERLAP estimates between two corpora from their [[kmvSketch]]
     * tables (both built with the same `k` and key convention): ONE row —
     * `union_k` (hashes in the combined bottom-k), `matches` (of those,
@@ -747,10 +784,15 @@ object Profile {
     */
   def kmvOverlap(sketchA: DataFrame, sketchB: DataFrame, k: Int): DataFrame = {
     // each sketch feeds the union AND a membership join; left lazy the
-    // (possibly corpus-scanning) sketch subtree would run twice per side
-    // — a ≤ k-row table is exactly what localCheckpoint is for
-    val a = sketchA.select(col("h")).localCheckpoint()
-    val b = sketchB.select(col("h")).localCheckpoint()
+    // (possibly corpus-scanning) sketch subtree would run twice per side.
+    // A ≤ k-row (k ≤ 8192) table is small enough to COLLECT into a
+    // driver-local relation: the corpus scan runs exactly once, nothing
+    // stays persisted after the call (localCheckpoint here leaked one RDD
+    // block pair per call — fatal for the graft_overlap TVF, which SQL
+    // users invoke repeatedly in one session), and every downstream join
+    // against the kilobyte-sized relation broadcasts for free.
+    val a = asLocal(sketchA.select(col("h")), k, "kmvOverlap(sketchA)")
+    val b = asLocal(sketchB.select(col("h")), k, "kmvOverlap(sketchB)")
     val u = kmvMerge(a.unionByName(b), k)
     val flagged = u
       .join(a.withColumn("__ina", lit(1)).distinct(), Seq("h"), "left")
@@ -786,8 +828,11 @@ object Profile {
     * corpus cost is the two reusable sketch builds.
     */
   def kmvDifference(sketchA: DataFrame, sketchB: DataFrame, k: Int): DataFrame = {
-    val a = sketchA.select(col("h")).localCheckpoint()
-    val b = sketchB.select(col("h")).localCheckpoint()
+    // driver-local sketches, not localCheckpoint: see [[kmvOverlap]] —
+    // zero persisted blocks per call is what keeps the graft_difference
+    // TVF callable in a loop without accumulating cache
+    val a = asLocal(sketchA.select(col("h")), k, "kmvDifference(sketchA)")
+    val b = asLocal(sketchB.select(col("h")), k, "kmvDifference(sketchB)")
     val u = kmvMerge(a.unionByName(b), k)
     val flagged = u
       .join(a.withColumn("__ina", lit(1)).distinct(), Seq("h"), "left")
@@ -890,8 +935,11 @@ object Profile {
     */
   def kmvSetWeights(wsketchA: DataFrame, wsketchB: DataFrame,
                     k: Int): DataFrame = {
-    val a = wsketchA.select(col("h"), col("w")).localCheckpoint()
-    val b = wsketchB.select(col("h"), col("w")).localCheckpoint()
+    // driver-local sketches, not localCheckpoint (see [[kmvOverlap]])
+    val a = asLocal(wsketchA.select(col("h"), col("w")), k,
+      "kmvSetWeights(wsketchA)")
+    val b = asLocal(wsketchB.select(col("h"), col("w")), k,
+      "kmvSetWeights(wsketchB)")
     val u = kmvMerge(a.select("h").unionByName(b.select("h")), k)
     val flagged = u
       .join(a.groupBy("h").agg(max(col("w")).as("__wa"))
@@ -937,9 +985,13 @@ object Profile {
   def kmvOverlapMatrix(sketch: DataFrame, sliceCol: String,
                        k: Int): DataFrame = {
     // the slice-sketch subtree feeds EIGHT consumers (slice list, both
-    // pair-union legs, both membership joins); materialize the ≤ N·k-row
-    // table once (PlanAudit: unchecked, the corpus scan ran 8×)
-    val s = sketch.select(col(sliceCol).as("__s"), col("h")).localCheckpoint()
+    // pair-union legs, both membership joins); cache the ≤ N·k-row table
+    // so the corpus scan runs once (PlanAudit: unchecked, it ran 8×).
+    // persist, not localCheckpoint: N slices is not driver-bounded (so no
+    // asLocal), but cache-managed blocks are reclaimed by clearCache/LRU
+    // instead of leaking per call until the ContextCleaner notices.
+    val s = sketch.select(col(sliceCol).as("__s"), col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val slices = s.select("__s").distinct()
     val pairs = slices.select(col("__s").as("slice_a"))
       .join(slices.select(col("__s").as("slice_b")),

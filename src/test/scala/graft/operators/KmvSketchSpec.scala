@@ -151,6 +151,32 @@ class KmvSketchSpec extends SparkSpec {
       self.getAs[Long]("est_b_minus_a") == 0L)
   }
 
+  test("KMV set operations leave nothing persisted (graft_overlap/graft_difference TVF-loop safety)") {
+    // the r15 localCheckpoint implementation leaked one RDD block pair
+    // per call — a session invoking the TVFs per query accumulated them
+    // for the JVM's life. The driver-local rewrite must leave the
+    // persistent-RDD registry exactly as it found it.
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val a = (1 to 3000).map(i => s"key$i").toDF("k")
+    val b = (2001 to 5000).map(i => s"key$i").toDF("k")
+    val k = 256
+    val sa = Profile.kmvSketch(a, col("k"), k)
+    val sb = Profile.kmvSketch(b, col("k"), k)
+    val wa = Profile.kmvSketchWeighted(a, col("k"), lit(7L), k)
+    val wb = Profile.kmvSketchWeighted(b, col("k"), lit(7L), k)
+    Profile.kmvOverlap(sa, sb, k).collect()
+    Profile.kmvDifference(sa, sb, k).collect()
+    Profile.kmvSetWeights(wa, wb, k).collect()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked: ${spark.sparkContext.getPersistentRDDs.keys.toSeq.sorted}")
+    // a non-sketch table posing as a sketch fails LOUD, never truncates
+    val fake = (1 to 400).map(i => (i.toLong, 1L)).toDF("h", "w")
+    intercept[IllegalArgumentException] {
+      Profile.kmvOverlap(fake.select("h"), sb, k)
+    }
+  }
+
   test("weighted sketch: hash set equals the unweighted sketch; max weight per hash; null weight reads 0") {
     val rows = (1 to 400).map(i => (s"key$i", Some(i.toLong))) ++
       Seq(("key7", Some(999L)),           // duplicate key, bigger weight → max wins

@@ -804,6 +804,90 @@ class OperatorsSpec extends SparkSpec {
     assert(back != null && back.getWidth == 12 && back.getHeight == 10)
   }
 
+  test("encodeAviMjpeg: writer-produced MJPEG demuxes to the exact JPEG frames written") {
+    def jpegOf(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(20, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 20)
+        img.setRGB(x, y, (seed * 2654435761L.toInt + x * 31 + y * 7) & 0xffffff)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val jpegs = (0 until 5).map(jpegOf)
+    val avi = Multimodal.encodeAviMjpeg(jpegs, width = 20, height = 16)
+    assert(new String(avi, 0, 4, "ISO-8859-1") == "RIFF")
+    assert(new String(avi, 8, 4, "ISO-8859-1") == "AVI ")
+    assert(new String(avi, "ISO-8859-1").contains("MJPG"))
+    val frames = Multimodal.demuxAviFrames(avi).toSeq
+    assert(frames.map(_._1) == (0L until 5L))
+    // '00dc' is a byte-exact pass-through: frame hashes match the input
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(md.digest(b))
+    assert(frames.map(f => h(f._2)) == jpegs.map(h))
+    frames.foreach { case (_, j) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(j))
+      assert(img != null && img.getWidth == 20 && img.getHeight == 16)
+    }
+  }
+
+  test("demuxAviFrames: malformed chunk sizes terminate (no hang, no throw); short '00db' and non-stream-0 chunks skipped") {
+    def le32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >>> 8) & 0xff)
+      o.write((v >>> 16) & 0xff); o.write((v >>> 24) & 0xff)
+    }
+    def riffAvi(moviPayload: Array[Byte],
+                preMovi: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+      val movi = new java.io.ByteArrayOutputStream()
+      movi.write("movi".getBytes("ISO-8859-1")); movi.write(moviPayload)
+      val body = new java.io.ByteArrayOutputStream()
+      body.write("AVI ".getBytes("ISO-8859-1"))
+      body.write(preMovi)
+      body.write("LIST".getBytes("ISO-8859-1")); le32(body, movi.size())
+      body.write(movi.toByteArray)
+      val riff = new java.io.ByteArrayOutputStream()
+      riff.write("RIFF".getBytes("ISO-8859-1")); le32(riff, body.size())
+      riff.write(body.toByteArray)
+      riff.toByteArray
+    }
+    def chunkBytes(id: String, sz: Int, data: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(id.getBytes("ISO-8859-1")); le32(o, sz); o.write(data)
+      o.toByteArray
+    }
+    // (a) top-level chunk whose 8+sz+pad wraps to 0 in Int (sz=0xFFFFFFF7):
+    // pre-fix this looped forever in the top-level walk; now it terminates
+    // (movi unreachable past the bogus size → zero frames)
+    val wrapTop = riffAvi(Array.emptyByteArray,
+      preMovi = chunkBytes("JUNK", 0xFFFFFFF7, new Array[Byte](16)))
+    assert(Multimodal.demuxAviFrames(wrapTop).isEmpty)
+    // (b) same wrapping size INSIDE movi: pre-fix the iterator re-emitted
+    // the same chunk unboundedly; now it clamps to the list end and stops
+    val wrapIn = riffAvi(chunkBytes("00db", 0xFFFFFFF7, new Array[Byte](8)))
+    assert(Multimodal.demuxAviFrames(wrapIn).toSeq.isEmpty)
+    // (c) '00db' with < 40 data bytes (pre-fix: AIOOBE reading biSize)
+    val tiny = riffAvi(chunkBytes("00db", 2, Array[Byte](1, 2)))
+    assert(Multimodal.demuxAviFrames(tiny).isEmpty)
+    // (d) sz that wraps `after` negative (pre-fix: StringIndexOutOfBounds)
+    val negAfter = riffAvi(chunkBytes("00db", 0x7FFFFFFF, new Array[Byte](8)))
+    assert(Multimodal.demuxAviFrames(negAfter).toSeq.isEmpty)
+    // (e) second-stream '01db' chunks are NOT stream 0: ignored, so a
+    // multi-stream file yields only stream 0's frames in frame_idx order
+    val f0 = Multimodal.withVideoPayload(Seq(3L).toDF("doc_id"), "doc_id",
+      nFrames = 2).select("payload").as[Array[Byte]].head()
+    val realFrames = Multimodal.demuxAviFrames(f0).toSeq
+    assert(realFrames.size == 2)
+    val dib = java.util.Arrays.copyOfRange(realFrames.head._2, 14,
+      realFrames.head._2.length)
+    val multi = riffAvi(
+      chunkBytes("01db", dib.length, dib) ++
+        (if ((dib.length & 1) == 1) Array[Byte](0) else Array.emptyByteArray) ++
+        chunkBytes("00db", dib.length, dib) ++
+        (if ((dib.length & 1) == 1) Array[Byte](0) else Array.emptyByteArray))
+    val got = Multimodal.demuxAviFrames(multi).toSeq
+    assert(got.size == 1 && got.head._1 == 0L)
+  }
+
   test("videoContainmentPairs: trimmed clip contained, direction asymmetric, aligned join misses it") {
     // clip 0: 8 source frames; clip at +2^40: a TRIMMED cut carrying
     // source frames 2..5 (frameOffset=2 under the source's 8-frame
