@@ -974,6 +974,65 @@ object Profile {
         expr("CAST(est_union AS DECIMAL(38,0)) * w_only_b DIV union_k"))
   }
 
+  /** WEIGHTED-JACCARD estimate between two corpora from their
+    * [[kmvSketchWeighted]] tables — the ratio composition the region
+    * masses of [[kmvSetWeights]] stop short of:
+    * `J_w(A,B) = Σ_x min(w_A(x), w_B(x)) / Σ_x max(w_A(x), w_B(x))`
+    * over the union support (absent side reads weight 0), the standard
+    * weighted/soft Jaccard (Ioffe '10 frames the same quantity for
+    * consistent sampling). "How similar are two crawls BY BYTES, not by
+    * document count" from two k-row tables.
+    *
+    * Estimator: the combined bottom-k is a uniform sample of A∪B's key
+    * universe, so the ratio of the SAMPLED min-mass and max-mass sums
+    * estimates the true ratio (a ratio-of-HT-estimators — the common
+    * est_union·/union_k scale factor cancels, so the ppm needs no
+    * scale-up at all); below k the sample IS the union and
+    * `wjaccard_ppm` is EXACT. Output, ONE row: `union_k`, `matches`,
+    * `w_min_sum` / `w_max_sum` (sampled masses; max per hash within one
+    * sketch if duplicates disagree, the [[kmvSetWeights]] convention),
+    * `wjaccard_ppm = w_min_sum·10⁶ DIV w_max_sum` (DECIMAL(38,0)
+    * product, integer-exact; 0 when `w_max_sum` is 0 — all-zero weights
+    * carry no mass to compare), `est_union`, and the Horvitz–Thompson
+    * mass scale-ups `est_w_min` / `est_w_max` (the absolute-mass twins,
+    * same DECIMAL(38,0) contract as [[kmvWeightedSum]]).
+    *
+    * Same plan shape as [[kmvOverlap]]: the corpus cost is the two
+    * reusable sketch builds; everything here is driver-local sketch
+    * algebra (nothing persisted — TVF-loop safe, see [[asLocal]]).
+    */
+  def kmvWeightedJaccard(wsketchA: DataFrame, wsketchB: DataFrame,
+                         k: Int): DataFrame = {
+    val a = asLocal(wsketchA.select(col("h"), col("w")), k,
+      "kmvWeightedJaccard(wsketchA)")
+    val b = asLocal(wsketchB.select(col("h"), col("w")), k,
+      "kmvWeightedJaccard(wsketchB)")
+    val u = kmvMerge(a.select("h").unionByName(b.select("h")), k)
+    val flagged = u
+      .join(a.groupBy("h").agg(max(col("w")).as("__wa")), Seq("h"), "left")
+      .join(b.groupBy("h").agg(max(col("w")).as("__wb")), Seq("h"), "left")
+    flagged.agg(
+        count(lit(1)).as("union_k"),
+        sum(when(col("__wa").isNotNull && col("__wb").isNotNull, 1L)
+          .otherwise(0L)).as("matches"),
+        sum(least(coalesce(col("__wa"), lit(0L)),
+          coalesce(col("__wb"), lit(0L)))).as("w_min_sum"),
+        sum(greatest(coalesce(col("__wa"), lit(0L)),
+          coalesce(col("__wb"), lit(0L)))).as("w_max_sum"),
+        max(col("h")).as("__kth"))
+      .select(col("union_k"), col("matches"),
+        col("w_min_sum"), col("w_max_sum"),
+        when(col("w_max_sum") === 0L, 0L)
+          .otherwise(expr(
+            "CAST(w_min_sum AS DECIMAL(38,0)) * 1000000 DIV w_max_sum"))
+          .as("wjaccard_ppm"),
+        kmvEstimate(k, col("union_k"), col("__kth")).as("est_union"))
+      .withColumn("est_w_min",
+        expr("CAST(est_union AS DECIMAL(38,0)) * w_min_sum DIV union_k"))
+      .withColumn("est_w_max",
+        expr("CAST(est_union AS DECIMAL(38,0)) * w_max_sum DIV union_k"))
+  }
+
   /** Pairwise set-overlap MATRIX across every slice of one [[kmvSketch]]
     * table — "which of my N crawls/sources/snapshots overlap, and by how
     * much" as one relational product: a row per unordered slice pair

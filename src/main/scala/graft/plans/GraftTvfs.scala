@@ -153,13 +153,36 @@ object GraftTvfs {
         col(key), k), k))
   }
 
+  /** `graft_woverlap(tableA, tableB, keyCol, weightCol[, k])` →
+    * [[Profile.kmvWeightedJaccard]] of the two named tables' weighted
+    * key sets (union_k, matches, w_min_sum, w_max_sum, wjaccard_ppm,
+    * est_union, est_w_min, est_w_max) — "how similar are A and B by
+    * MASS (bytes, tokens), not by member count" for SQL users. k
+    * defaults to 1024; below k the ppm is exact.
+    */
+  val graftWoverlap: Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == 4 || args.length == 5,
+      "usage: graft_woverlap('<tableA>', '<tableB>', '<key col>', " +
+        "'<weight col>'[, <k>])")
+    val spark = activeSession
+    val key = stringLit(args(2), "key column")
+    val w = stringLit(args(3), "weight column")
+    val k = if (args.length > 4) intLit(args(4), "k") else 1024
+    plan(Profile.kmvWeightedJaccard(
+      Profile.kmvSketchWeighted(spark.table(stringLit(args.head, "tableA")),
+        col(key), col(w), k),
+      Profile.kmvSketchWeighted(spark.table(stringLit(args(1), "tableB")),
+        col(key), col(w), k), k))
+  }
+
   val all: Map[String, Seq[Expression] => LogicalPlan] = Map(
     "graft_drift" -> graftDrift,
     "graft_dedup_pairs" -> graftDedupPairs,
     "graft_quality" -> graftQuality,
     "graft_overlap" -> graftOverlap,
     "graft_distinct" -> graftDistinct,
-    "graft_difference" -> graftDifference)
+    "graft_difference" -> graftDifference,
+    "graft_woverlap" -> graftWoverlap)
 
   private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
     df.queryExecution.logical

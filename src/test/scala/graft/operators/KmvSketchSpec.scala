@@ -151,6 +151,55 @@ class KmvSketchSpec extends SparkSpec {
       self.getAs[Long]("est_b_minus_a") == 0L)
   }
 
+  test("kmvWeightedJaccard: exact below k, estimator within sketch error at k, zero-mass guard") {
+    // exact branch: A = keys 1..100 @ weight 10, B = keys 51..150 @ 10,
+    // except key60 where the sides disagree (A: 4, B: 10 → min 4, max 10)
+    val a = (1 to 100).map(i => (s"key$i", if (i == 60) 4L else 10L))
+      .toDF("k", "w")
+    val b = (51 to 150).map(i => (s"key$i", 10L)).toDF("k", "w")
+    val k = 1024
+    val wj = Profile.kmvWeightedJaccard(
+      Profile.kmvSketchWeighted(a, col("k"), col("w"), k),
+      Profile.kmvSketchWeighted(b, col("k"), col("w"), k), k)
+      .collect().head
+    assert(wj.getAs[Long]("union_k") == 150L)
+    assert(wj.getAs[Long]("matches") == 50L)
+    // Σmin = 49·10 + 4 = 494 (union-only keys contribute 0)
+    assert(wj.getAs[Long]("w_min_sum") == 494L)
+    // Σmax = 150·10 = 1500 (key60's max is B's 10)
+    assert(wj.getAs[Long]("w_max_sum") == 1500L)
+    assert(wj.getAs[Long]("wjaccard_ppm") == 494L * 1000000 / 1500)
+    // exact branch: est masses are the sampled masses themselves
+    assert(wj.getAs[Long]("est_union") == 150L)
+    assert(wj.getAs[Long]("est_w_min") == 494L)
+    assert(wj.getAs[Long]("est_w_max") == 1500L)
+
+    // estimator branch: 20000-key union at k=64 — the ppm ratio must
+    // land within the combined-sample band of the true 1/3
+    val bigA = (1 to 12000).map(i => (s"key$i", 5L)).toDF("k", "w")
+    val bigB = (8001 to 20000).map(i => (s"key$i", 5L)).toDF("k", "w")
+    val k2 = 64
+    val est = Profile.kmvWeightedJaccard(
+      Profile.kmvSketchWeighted(bigA, col("k"), col("w"), k2),
+      Profile.kmvSketchWeighted(bigB, col("k"), col("w"), k2), k2)
+      .collect().head
+    // true J_w = 4000·5 / 20000·5 = 0.2; at k=64 the sampling error is
+    // ~1/sqrt(62) ≈ 13% of the union — allow a generous absolute band
+    val ppm = est.getAs[Long]("wjaccard_ppm").toDouble / 1e6
+    assert(math.abs(ppm - 0.2) < 0.15, s"wjaccard=$ppm")
+    val eu = est.getAs[Long]("est_union").toDouble
+    assert(math.abs(eu - 20000) / 20000 < 0.5, s"est_union=$eu")
+
+    // all-zero weights carry no mass: ppm defined as 0, never a crash
+    val za = Seq(("x", 0L), ("y", 0L)).toDF("k", "w")
+    val zj = Profile.kmvWeightedJaccard(
+      Profile.kmvSketchWeighted(za, col("k"), col("w"), 16),
+      Profile.kmvSketchWeighted(za, col("k"), col("w"), 16), 16)
+      .collect().head
+    assert(zj.getAs[Long]("wjaccard_ppm") == 0L)
+    assert(zj.getAs[Long]("w_max_sum") == 0L)
+  }
+
   test("KMV set operations leave nothing persisted (graft_overlap/graft_difference TVF-loop safety)") {
     // the r15 localCheckpoint implementation leaked one RDD block pair
     // per call — a session invoking the TVFs per query accumulated them

@@ -98,6 +98,32 @@ class GraftTvfsSpec extends SparkSpec {
     assert(dTvf == dApi)
   }
 
+  test("graft_woverlap == kmvWeightedJaccard API twin; exact at default k") {
+    registered()
+    val a = (1 to 100).map(i => (s"key$i", 10L)).toDF("k", "w")
+    val b = (51 to 150).map(i => (s"key$i", 10L)).toDF("k", "w")
+    a.createOrReplaceTempView("gt_wj_a")
+    b.createOrReplaceTempView("gt_wj_b")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val viaTvf = spark.sql(
+      "SELECT * FROM graft_woverlap('gt_wj_a', 'gt_wj_b', 'k', 'w', 64)")
+      .collect().toSeq
+    val viaApi = Profile.kmvWeightedJaccard(
+      Profile.kmvSketchWeighted(a, col("k"), col("w"), 64),
+      Profile.kmvSketchWeighted(b, col("k"), col("w"), 64), 64)
+      .collect().toSeq
+    assert(viaTvf == viaApi)
+    // default k = 1024 > universe → exact weighted Jaccard: 500/1500
+    val exact = spark.sql(
+      "SELECT * FROM graft_woverlap('gt_wj_a', 'gt_wj_b', 'k', 'w')")
+      .collect().head
+    assert(exact.getAs[Long]("wjaccard_ppm") == 333333L)
+    assert(exact.getAs[Long]("est_w_max") == 1500L)
+    // repeated TVF calls leave nothing NEW persisted (the r15 leak
+    // class; earlier suites' blocks are not this test's concern)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == persistedBefore)
+  }
+
   test("argument validation fails loud") {
     registered()
     Seq((1L, "x")).toDF("doc_id", "text").createOrReplaceTempView("gt_v")
