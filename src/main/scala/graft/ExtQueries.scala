@@ -4872,6 +4872,136 @@ object ExtQueries {
           .select("o_orderkey", "o_orderstatus", "cents", "v")
       },
       Some(cdcMergeOracleSql)),
+
+    // CHANGE-DATA FEED — the per-batch net live-view effect the CDC
+    // merge appends for downstream incremental consumers, previously
+    // spec-only (ChangeStreamsSpec): the SAME two-cycle merge as
+    // q_cdc_merge_loop but gating the FEED, preimages included —
+    // batch 1 bootstraps (all inserts, nothing to retract), batch 2
+    // nets out to updates (+100 cents, v 1→2 with the replaced row in
+    // _before) and deletes (old values carried). Fresh session-scoped
+    // dirs per call: a feed is append-only, so reusing a cross-run
+    // IndexRoot path would make the row's output depend on history.
+    "q_change_feed" -> Q(
+      (s, dir) => {
+        val base0 = Queries.tempDir("graft_changefeed")
+        val snapPath = s"$base0/snap"; val feedPath = s"$base0/feed"
+        val base = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val b1 = base.withColumn("v", lit(1L)).withColumn("del", lit(false))
+        val b2 = base.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("cents", col("cents") + 100L)
+          .withColumn("v", lit(2L))
+          .withColumn("del", col("o_orderkey") % 10 === 0)
+        graft.streaming.ChangeStreams.mergeBatch(
+          b1, Seq("o_orderkey"), Seq("v"), col("del"), snapPath,
+          changeFeedPath = Some(feedPath), batchId = 1L)
+        graft.streaming.ChangeStreams.mergeBatch(
+          b2, Seq("o_orderkey"), Seq("v"), col("del"), snapPath,
+          changeFeedPath = Some(feedPath), batchId = 2L)
+        s.read.parquet(feedPath).select(
+          col("o_orderkey"), col("_op"), col("cents"), col("v"),
+          col("_before.cents").as("before_cents"),
+          col("_before.v").as("before_v"),
+          col("__batch_id").cast("long").as("__batch_id"))
+      },
+      Some("""
+        WITH base AS (SELECT o_orderkey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        SELECT o_orderkey, 'insert' AS _op, cents, CAST(1 AS BIGINT) AS v,
+          CAST(NULL AS BIGINT) AS before_cents,
+          CAST(NULL AS BIGINT) AS before_v,
+          CAST(1 AS BIGINT) AS __batch_id FROM base
+        UNION ALL
+        SELECT o_orderkey, 'update', cents + 100, 2, cents, 1, 2 FROM base
+        WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0
+        UNION ALL
+        SELECT o_orderkey, 'delete', cents, 1, cents, 1, 2 FROM base
+        WHERE o_orderkey % 10 = 0""")),
+
+    // SNAPSHOT-DIFF PREIMAGES — diffSnapshots(includeBefore): updates
+    // and deletes carry the REPLACED row (the Delta-CDF preimage shape a
+    // downstream incremental aggregate retracts), inserts carry NULLs.
+    // Previously spec-only (LakeSpec); the oracle replays the full-outer
+    // struct-compare with before-values as plain CASE columns.
+    "q_snapshot_preimage" -> Q(
+      (s, dir) => {
+        val base = table(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus").as("st"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val oldSnap = base
+        val newSnap = base.filter(col("o_orderkey") % 7 =!= 0)
+          .withColumn("cents", when(col("o_orderkey") % 5 === 0,
+            col("cents") + 50L).otherwise(col("cents")))
+          .unionByName(base.filter(col("o_orderkey") % 11 === 0)
+            .select((-col("o_orderkey")).as("o_orderkey"), col("st"),
+              (col("cents") + 7L).as("cents")))
+        graft.operators.Lake.diffSnapshots(oldSnap, newSnap,
+            Seq("o_orderkey"), includeBefore = true)
+          .select(col("o_orderkey"), col("op"), col("st"), col("cents"),
+            col("_before.st").as("before_st"),
+            col("_before.cents").as("before_cents"))
+      },
+      Some("""
+        WITH base AS (SELECT o_orderkey, o_orderstatus AS st,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        newv AS (SELECT o_orderkey, st,
+            CASE WHEN o_orderkey % 5 = 0 THEN cents + 50 ELSE cents END AS cents
+          FROM base WHERE o_orderkey % 7 <> 0
+          UNION ALL
+          SELECT -o_orderkey, st, cents + 7 FROM base
+          WHERE o_orderkey % 11 = 0)
+        SELECT * FROM (
+          SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+            CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                 WHEN n.o_orderkey IS NULL THEN 'delete'
+                 WHEN NOT (o.st IS NOT DISTINCT FROM n.st
+                       AND o.cents IS NOT DISTINCT FROM n.cents)
+                   THEN 'update' END AS op,
+            CASE WHEN n.o_orderkey IS NULL THEN o.st ELSE n.st END AS st,
+            CASE WHEN n.o_orderkey IS NULL THEN o.cents
+                 ELSE n.cents END AS cents,
+            CASE WHEN o.o_orderkey IS NULL THEN NULL ELSE o.st END
+              AS before_st,
+            CASE WHEN o.o_orderkey IS NULL THEN NULL ELSE o.cents END
+              AS before_cents
+          FROM base o FULL OUTER JOIN newv n
+            ON o.o_orderkey = n.o_orderkey) d
+        WHERE op IS NOT NULL""")),
+
+    // STREAMING LAKE SINK + REPLAY — the toPartitionedParquet /
+    // fromPartitionedParquet pair, previously spec-only
+    // (EventStreamsSpec): three fixed batches land date+batch
+    // partitioned, then batch 1 is RETRIED — the dynamic-partition
+    // overwrite must rewrite its own partitions, not append a second
+    // copy (the r15 append sink failed exactly this; row counts gate
+    // it). Output = the landed lake read back whole, every projected
+    // column recomputable by the oracle from `events` alone.
+    "q_lake_sink_replay" -> Q(
+      (s, dir) => {
+        val lakePath = Queries.tempDir("graft_lakesink") + "/lake"
+        val ev = events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        (0 until 3).foreach { i =>
+          graft.streaming.EventStreams.processLakeBatch(
+            ev.filter(col("event_id") % 3 === i), i.toLong, lakePath)
+        }
+        // the retry: identical content, same batch id — idempotent
+        graft.streaming.EventStreams.processLakeBatch(
+          ev.filter(col("event_id") % 3 === 1), 1L, lakePath)
+        s.read.parquet(lakePath).select(
+          col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          col("event_date").cast("string").as("event_date"),
+          col("__batch_id").cast("long").as("__batch_id"))
+      },
+      Some("""
+        SELECT event_id, user_id, event_type,
+          CAST(round(value * 100) AS BIGINT) AS cents,
+          CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+          CAST(event_id % 3 AS BIGINT) AS __batch_id
+        FROM events""")),
   )
 
   // def, not val: referenced by battery rows constructed textually above

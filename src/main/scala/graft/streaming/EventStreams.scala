@@ -107,15 +107,32 @@ object EventStreams {
     * event date — the standard streaming-ingest → partitioned-lake layout
     * (downstream batch queries prune by date at the source). Exactly-once
     * per partition-dir comes from parquet's atomic task commits + the
-    * sink's idempotent overwrite of a batch's own output.
+    * sink's idempotent overwrite of a batch's own output
+    * ([[processLakeBatch]]).
     */
   def toPartitionedParquet(events: DataFrame, path: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      batch.withColumn("event_date", to_date(col("ts")))
-        .withColumn("__batch_id", lit(batchId))
-        .write.mode("append").partitionBy("event_date").parquet(path)
+      processLakeBatch(batch, batchId, path)
     }
+
+  /** One micro-batch of the [[toPartitionedParquet]] sink (factored out
+    * so batch semantics are testable without a streaming harness — the
+    * [[DocumentStreams.processBatch]] convention). The batch lands under
+    * `event_date=…/__batch_id=…/` via DYNAMIC partition overwrite: a
+    * foreachBatch RETRY (epoch replayed after a mid-write failure)
+    * rewrites exactly the partitions the batch owns instead of appending
+    * a second copy — `__batch_id` in the partitioning is what makes the
+    * overwrite surgical (a date-only layout would have a retry clobber
+    * OTHER batches sharing the date). The r15 implementation appended;
+    * its claimed idempotence was wrong under retry.
+    */
+  def processLakeBatch(batch: DataFrame, batchId: Long, path: String): Unit =
+    batch.withColumn("event_date", to_date(col("ts")))
+      .withColumn("__batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_date", "__batch_id").parquet(path)
 
   /** Replay source for the [[toPartitionedParquet]] lake layout: stream the
     * partitioned parquet directory back (schema discovered from a batch

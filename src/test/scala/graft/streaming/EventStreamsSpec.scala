@@ -181,6 +181,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("event_date"))
   }
 
+  test("processLakeBatch retry rewrites its own partitions, never appends a second copy") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_retry").toString
+    EventStreams.processLakeBatch(
+      events.toDF().filter(col("event_id") % 2 === 0), 0L, dir)
+    EventStreams.processLakeBatch(
+      events.toDF().filter(col("event_id") % 2 =!= 0), 1L, dir)
+    val n = spark.read.parquet(dir).count()
+    assert(n == events.length)
+    // a foreachBatch retry replays the same (content, batch id): dynamic
+    // partition overwrite must leave the lake byte-identical in counts —
+    // the r15 append sink doubled batch 0 here
+    EventStreams.processLakeBatch(
+      events.toDF().filter(col("event_id") % 2 === 0), 0L, dir)
+    assert(spark.read.parquet(dir).count() == n)
+    // and the OTHER batch's partitions survive the retry untouched
+    assert(spark.read.parquet(dir)
+      .filter(col("__batch_id") === 1).count() == events.count(_.event_id % 2 != 0))
+  }
+
   test("sessionizeBatch splits on gap > 30min per user") {
     val sessions = EventStreams.sessionizeBatch(events.toDF(), 30)
       .select("user_id", "n_events").as[(Long, Long)].collect()
