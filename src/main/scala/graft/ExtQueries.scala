@@ -5062,6 +5062,185 @@ object ExtQueries {
              ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
   )
 
+  // Unique memory-sink names: one battery row can run several times in a
+  // JVM (bench warm-up + timed runs); the memory sink registers a temp
+  // view per query name, so names must not collide across runs.
+  private val memSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def memSinkName(prefix: String): String =
+    s"${prefix}_${memSinkSeq.incrementAndGet()}"
+
+  // --- TRUE STRUCTURED-STREAMING battery rows: previously spec-only
+  // operators (EventStreamsSpec) driven through a real MemoryStream →
+  // memory-sink query inside the row, gated by exact DuckDB oracles.
+  // Inputs pin event_id < 5000 on BOTH sides so the expected answer is
+  // scale-factor-independent (the ingest-loop row-design rule) and the
+  // driver-side collect that feeds the MemoryStream stays bounded at any
+  // sf. The collect is the stream-HARNESS boundary, not the operator's
+  // plan — production feeds arrive from Kafka/files; the operators
+  // themselves are watermarked streaming transforms with bounded state.
+  private val streamTwinQueries: Seq[(String, Q)] = Seq(
+    // EVENT-TIME SESSIONIZATION, streamed: the flatMapGroupsWithState
+    // interval-merge sessionizer fed the pinned corpus as three
+    // CONSECUTIVE time-ordered micro-batches (determinism holds for any
+    // batch split of an in-order stream — EventStreams.mergeSessions),
+    // then a far-future sentinel advances the watermark past every open
+    // session's end + gap so event-time timeouts flush ALL sessions.
+    // Oracle: the batch gap-sessionization SQL (q_events_session's CTE)
+    // restricted to the same pinned slice — stream must equal batch.
+    // GRANULARITY CONTRACT: the sessionizer's per-key state is epoch
+    // MILLIS (ts.getTime), so session bounds and gap decisions truncate
+    // sub-millisecond precision; the oracle sessionizes the same
+    // millis-truncated timestamps so both engines decide identical gaps.
+    "q_session_stream" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val pinned = events(s, dir).filter(col("event_id") < 5000)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.Event].collect()
+          .sortBy(e => (e.ts.getTime, e.event_id))
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[graft.streaming.Event]
+        val name = memSinkName("sess_stream_out")
+        val q = EventStreams
+          .sessionizeStreamEventTime(mem.toDS(), gapMinutes = 30,
+            watermarkDelay = "1 minutes")
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        try {
+          val batchLen = math.max(1, (pinned.length + 2) / 3)
+          pinned.grouped(batchLen).foreach { b =>
+            mem.addData(b.toSeq: _*); q.processAllAvailable()
+          }
+          val far = pinned.map(_.ts.getTime).max + 90L * 24 * 3600 * 1000
+          mem.addData(graft.streaming.Event(
+            -1L, new java.sql.Timestamp(far), -1L, "view", 0.0))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(name).filter(col("user_id") =!= -1L)
+          .select("user_id", "session_start", "session_end", "n_events")
+      },
+      Some("""
+        WITH src AS (SELECT event_id, user_id,
+            date_trunc('milliseconds', ts) AS ts
+          FROM events WHERE event_id < 5000),
+        lagged AS (
+          SELECT user_id, event_id, ts,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM src),
+        flagged AS (
+          SELECT *, CASE WHEN prev_ts IS NULL
+              OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+          FROM lagged),
+        sess AS (
+          SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM flagged)
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+          count(*) AS n_events
+        FROM sess GROUP BY user_id, sess_id""")),
+
+    // STREAMING EXACTLY-ONCE DEDUP: dropDuplicatesWithinWatermark keyed on
+    // the id ALONE, fed three batches where batches 2 and 3 RE-SEND every
+    // earlier batch's events as retransmissions with shifted timestamps
+    // and garbled values — a `dropDuplicates(id, ts)` impostor, or a sink
+    // that let any replay through, would surface the +999 garble and fail
+    // the hash gate. Expected output = exactly the first-arrival
+    // originals. The pinned slice spans ~1.5 days, far inside the 90-day
+    // watermark horizon, so no original can be late-dropped.
+    "q_event_dedup_stream" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val pinned = events(s, dir).filter(col("event_id") < 5000)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.Event].collect()
+        def replay(e: graft.streaming.Event, secs: Long) = e.copy(
+          ts = new java.sql.Timestamp(e.ts.getTime + secs * 1000),
+          value = e.value + 999.0)
+        val b0 = pinned.filter(_.event_id % 3 == 0)
+        val b1 = pinned.filter(_.event_id % 3 == 1)
+        val b2 = pinned.filter(_.event_id % 3 == 2)
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[graft.streaming.Event]
+        val name = memSinkName("dedup_stream_out")
+        val q = EventStreams
+          .dedupStream(mem.toDF(), Seq("event_id"), watermarkDelay = "90 days")
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        try {
+          mem.addData(b0.toSeq: _*); q.processAllAvailable()
+          mem.addData((b1 ++ b0.map(replay(_, 1))).toSeq: _*)
+          q.processAllAvailable()
+          mem.addData((b2 ++ b1.map(replay(_, 2)) ++ b0.map(replay(_, 3))).toSeq: _*)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(name).select(col("event_id"), col("user_id"),
+          col("event_type"), round(col("value") * 100).cast("long").as("cents"),
+          col("ts"))
+      },
+      Some("""
+        SELECT event_id, user_id, event_type,
+          CAST(round(value * 100) AS BIGINT) AS cents, ts
+        FROM events WHERE event_id < 5000""")),
+
+    // SKEW-SALTED JOIN (previously spec-only, JoinsSpec): the left side
+    // salts by row hash, the right side replicates across the salt
+    // domain, so one hot orderkey spreads over `saltBuckets` tasks instead
+    // of one straggler. Result must equal the plain join bit-for-bit —
+    // gated through the same long-cents aggregation as q1_agg.
+    "q_salted_join" -> Q(
+      (s, dir) => {
+        val l = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("okey"), col("l_extendedprice"))
+        val o = table(s, dir, "orders")
+          .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+        graft.operators.Joins.saltedInner(l, o, Seq("okey"), saltBuckets = 8)
+          .groupBy(col("o_orderstatus"))
+          .agg((sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
+            .as("sum_price"), count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT o_orderstatus,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               count(*) AS cnt
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY 1""")),
+
+    // kNN LABEL PROPAGATION: every 10th vector plays "unlabeled query",
+    // the rest are the labeled seed corpus; each query takes the majority
+    // label of its 5 highest-inner-product seeds (exact integer dot on
+    // 1e-4-quantized vectors — bit-reproducible across engines, unlike
+    // float dots whose sums depend on aggregation order). The oracle
+    // recomputes the same quantized dot, rank, and vote in pure SQL.
+    "q_knn_label" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Similarity.labelPropagate(
+          emb.filter(col("vec_id") % 10 === 0),
+          emb.filter(col("vec_id") % 10 =!= 0),
+          idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 5)
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label,
+            list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+          FROM embeddings),
+        q AS (SELECT vec_id, qe FROM e WHERE vec_id % 10 = 0),
+        sd AS (SELECT vec_id, label, qe FROM e WHERE vec_id % 10 <> 0),
+        p AS (SELECT q.vec_id AS query_id, sd.vec_id AS sid, sd.label,
+            list_sum(list_transform(range(1, len(q.qe) + 1),
+              i -> q.qe[i] * sd.qe[i])) AS dot
+          FROM q CROSS JOIN sd),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY dot DESC, sid) AS rn FROM p),
+        v AS (SELECT query_id, label, count(*) AS n_votes
+          FROM r WHERE rn <= 5 GROUP BY 1, 2),
+        w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY n_votes DESC, label) AS rn2 FROM v)
+        SELECT query_id, label AS pred_label, n_votes
+        FROM w WHERE rn2 = 1""")),
+  )
+
   // --- STREAMING INGEST-DEDUP LOOP rows: the four modality loops driven
   // batch-by-batch inside one row (the q_cms_stream pattern — fixed batch
   // split of the sf corpus, exact oracle over the loops' published
@@ -5315,5 +5494,5 @@ object ExtQueries {
       curationQueries ++ quantileQueries ++ multimodalQueries ++
       resizeQueries ++ eventQueries ++ layoutQueries ++ zorderQueries ++
       analyticsQueries ++ maintenanceQueries ++ ingestLoopQueries ++
-      headlineQueries
+      streamTwinQueries ++ headlineQueries
 }

@@ -240,6 +240,68 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** kNN LABEL PROPAGATION (semi-supervised labeling): each query vector
+    * takes the majority label of its `k` highest-inner-product labeled
+    * seeds — the standard way to stretch a small human-labeled quality set
+    * over an unlabeled corpus before training a cheap classifier on the
+    * result. Votes tie-break to the smallest label; neighbor rank
+    * tie-breaks to the smallest seed id, so the prediction is a pure
+    * function of the inputs.
+    *
+    * Similarity is the EXACT INTEGER dot product of 1e-4-quantized
+    * vectors (`round(x·10⁴)` per dimension, BIGINT accumulation): a float
+    * dot product depends on summation order, so two equally-near seeds
+    * could swap ranks between partitionings and flip a vote; 64-dim
+    * quantized products stay ≤ ~6.4e9, far inside exact-integer range.
+    * MIPS semantics (inner product, not cosine) — callers with unit-norm
+    * embeddings get cosine ranking for free; un-normalized corpora rank
+    * by inner product, the retrieval-model convention.
+    *
+    * Plan shape is [[knnJoin]]'s guarded broadcast: the bounded QUERY
+    * batch broadcasts, the labeled seed corpus streams past it once, and
+    * the bounded [[graft.functions.TopN]] heap collapses each query's
+    * candidates to k rows map-side (k·partitions shuffle rows). The vote
+    * itself is two hash aggregations over ≤ k·|queries| rows.
+    *
+    * Output: (query_id, pred_label, n_votes).
+    */
+  def labelPropagate(queries: DataFrame, seeds: DataFrame, idCol: String,
+                     vecCol: String, labelCol: String, k: Int,
+                     maxQueries: Long = 100000L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qCount = queries.limit((maxQueries + 1).min(Int.MaxValue).toInt).count()
+    require(qCount <= maxQueries,
+      s"labelPropagate broadcasts the query side, but it exceeds $maxQueries " +
+        "rows — propagate in bounded query batches (or raise maxQueries if " +
+        "the driver can hold the broadcast)")
+    def quant(c: Column): Column =
+      transform(c, x => round(x.cast("double") * 10000).cast("long"))
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), quant(col(vecCol)).as("__qvec")))
+    val scored = seeds
+      .select(col(idCol).as("neighbor_id"), quant(col(vecCol)).as("__svec"),
+        col(labelCol).as("__label"))
+      .crossJoin(q)
+      .select(col("query_id"), col("neighbor_id"), col("__label"),
+        aggregate(zip_with(col("__qvec"), col("__svec"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot"))
+    val votes = scored.groupBy("query_id")
+      .agg(graft.functions.TopN.rows(
+        struct(col("__label")),
+        struct((-col("dot")).as("neg_dot"), col("neighbor_id")),
+        k, isMax = false).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__t"))
+      .groupBy(col("query_id"), col("__t.__label").as("pred_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    votes.groupBy("query_id")
+      .agg(graft.functions.ArgExtremum.argRow(
+        struct(col("pred_label"), col("n_votes")),
+        struct((-col("n_votes")).as("neg_votes"), col("pred_label")),
+        isMax = false).as("__w"))
+      .select(col("query_id"), col("__w.pred_label").as("pred_label"),
+        col("__w.n_votes").as("n_votes"))
+  }
+
   /** Batch kNN join, LSH-blocked — the production path when Q·N exact
     * scoring is too hot: candidates are (query, corpus) pairs sharing a
     * full sign-pattern bucket in ANY of `tables` hyperplane tables (same

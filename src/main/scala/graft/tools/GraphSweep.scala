@@ -33,7 +33,11 @@ object GraphSweep {
     val runs = args.lift(3).map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", parts)
+      // derive mode reuses the partitions slot as the OUT DIR — it must
+      // not reach the int-typed shuffle conf (r16: the derive path threw
+      // INVALID_CONF_VALUE before deriving anything)
+      .config("spark.sql.shuffle.partitions",
+        if (query == "derive") "32" else parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LabelPropagateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic synthetic embeddings (seeded per id), labeled by seed id
+  private def vec(i: Long): Seq[Float] = {
+    val rnd = new scala.util.Random(i * 6151 + 29)
+    Seq.fill(16)(rnd.nextFloat() * 2f - 1f)
+  }
+  private lazy val emb = (0L until 90L)
+    .map(i => (i, vec(i), (i % 4).toInt))
+    .toDF("vec_id", "embedding", "label").repartition(5)
+  private lazy val queries = emb.filter($"vec_id" % 30 === 0) // 3 queries
+  private lazy val seeds = emb.filter($"vec_id" % 30 =!= 0)
+
+  private def qdot(a: Seq[Float], b: Seq[Float]): Long =
+    a.zip(b).map { case (x, y) =>
+      math.round(x.toDouble * 10000) * math.round(y.toDouble * 10000)
+    }.sum
+
+  test("labelPropagate == driver-reference vote over exact quantized dots") {
+    val got = Similarity
+      .labelPropagate(queries, seeds, "vec_id", "embedding", "label", k = 5)
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    val sd = seeds.as[(Long, Seq[Float], Int)].collect()
+    val expected = queries.as[(Long, Seq[Float], Int)].collect().map {
+      case (qid, qv, _) =>
+        val top = sd.map { case (sid, sv, l) => (sid, l, qdot(qv, sv)) }
+          .sortBy { case (sid, _, d) => (-d, sid) }.take(5)
+        val (label, votes) = top.groupBy(_._2).view.mapValues(_.length).toSeq
+          .sortBy { case (l, n) => (-n, l) }.head
+        (qid, label, votes.toLong)
+    }.sortBy(_._1).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("vote ties break to the smallest label; rank ties to the smallest seed id") {
+    val q = Seq((0L, Seq(1f, 0f, 0f, 0f), -1)).toDF("vec_id", "embedding", "label")
+    // the 4 nearest split votes 2/2 across labels 3 and 1 -> label 1 wins
+    val s = Seq(
+      (1L, Seq(0.9f, 0f, 0f, 0f), 3), (2L, Seq(0.9f, 0f, 0f, 0f), 3),
+      (3L, Seq(0.8f, 0f, 0f, 0f), 1), (4L, Seq(0.8f, 0f, 0f, 0f), 1),
+      (5L, Seq(0.7f, 0f, 0f, 0f), 2)) // excluded at k=4
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .labelPropagate(q, s, "vec_id", "embedding", "label", k = 4)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got == Seq((0L, 1, 2L)))
+    // three seeds at an IDENTICAL dot, k cuts between them: the two
+    // smallest ids (labels 3, 3) take the slots, never id 3 (label 1) —
+    // a wrong rank tie-break would flip the vote to a 1/1 tie -> label 1
+    val s2 = Seq(
+      (1L, Seq(0.9f, 0f, 0f, 0f), 3), (2L, Seq(0.9f, 0f, 0f, 0f), 3),
+      (3L, Seq(0.9f, 0f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got2 = Similarity
+      .labelPropagate(q, s2, "vec_id", "embedding", "label", k = 2)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got2 == Seq((0L, 3, 2L)))
+  }
+
+  test("query-side broadcast guard refuses an unbounded query batch") {
+    val e = intercept[IllegalArgumentException](
+      Similarity.labelPropagate(queries, seeds, "vec_id", "embedding",
+        "label", k = 3, maxQueries = 2L))
+    assert(e.getMessage.contains("labelPropagate"))
+  }
+}
