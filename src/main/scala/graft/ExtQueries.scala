@@ -5206,6 +5206,56 @@ object ExtQueries {
              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              GROUP BY 1""")),
 
+    // STREAMING MISRA–GRIES HEAVY HITTERS in the exact regime: the
+    // per-group k-counter state carries across three micro-batches
+    // (mapGroupsWithState), each batch's emission lands stamped with its
+    // batch id, and the row serves each group's LAST emission — the
+    // sketch's final state. The pinned corpus keeps every group's
+    // distinct-token count under k, so MG never reduces and the served
+    // counts must equal exact corpus counts — any cross-batch state loss,
+    // double-count, or spurious reduction breaks the hash gate.
+    "q_heavy_stream" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val docs = table(s, dir, "documents").filter(col("doc_id") < 30)
+          .select(col("doc_id"), col("lang"), col("text"))
+          .as[(Long, String, String)].collect()
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, String)]
+        val outPath = Queries.tempDir("graft_hhstream") + "/out"
+        val sink = (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                    id: Long) =>
+          df.withColumn("__batch_id", lit(id))
+            .write.mode("append").parquet(outPath)
+        val q = graft.streaming.DocumentStreams
+          .heavyTokensStream(mem.toDF().toDF("doc_id", "lang", "text"),
+            "lang", "text", k = 64)
+          .toDF("g", "hh")
+          .writeStream.outputMode("update").foreachBatch(sink).start()
+        try {
+          (0 until 3).foreach { i =>
+            mem.addData(docs.filter(_._1 % 3 == i).toSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.read.parquet(outPath).groupBy(col("g"))
+          .agg(graft.functions.ArgExtremum.argRow(
+            struct(col("hh")), struct(col("__batch_id")), isMax = true).as("w"))
+          .select(col("g").as("lang"), posexplode(col("w.hh")).as(Seq("__pos", "e")))
+          .select(col("lang"), col("e._1").as("token"), col("e._2").as("cnt"),
+            (col("__pos") + 1).cast("long").as("rank"))
+      },
+      Some(s"""
+        WITH tok AS (SELECT lang, unnest($sqlTokens) AS token
+          FROM documents WHERE doc_id < 30),
+        cnt AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY 1, 2)
+        SELECT lang, token, cnt,
+          CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY cnt DESC, token) AS BIGINT) AS rank
+        FROM cnt""")),
+
     // kNN LABEL PROPAGATION: every 10th vector plays "unlabeled query",
     // the rest are the labeled seed corpus; each query takes the majority
     // label of its 5 highest-inner-product seeds (exact integer dot on

@@ -714,6 +714,39 @@ object Queries {
                + ((est_union % union_k) * only_b) // union_k AS BIGINT)
             AS est_b_minus_a
         FROM est""")),
+
+    // Label propagation behind SQL: graft_knn_label over the
+    // every-10th-vector query/seed split — shares q_knn_label's oracle
+    // (the TVF splices the library's exact plan, so the quantized-dot
+    // rank and vote are bit-identical).
+    "q_sql_tvf_knn" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = table(s, dir, "embeddings")
+        emb.filter(col("vec_id") % 10 === 0).createOrReplaceTempView("emb_q_v")
+        emb.filter(col("vec_id") % 10 =!= 0).createOrReplaceTempView("emb_s_v")
+        s.sql("SELECT * FROM graft_knn_label('emb_q_v', 'emb_s_v', " +
+          "'vec_id', 'embedding', 'label', 5)")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label,
+            list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+          FROM embeddings),
+        q AS (SELECT vec_id, qe FROM e WHERE vec_id % 10 = 0),
+        sd AS (SELECT vec_id, label, qe FROM e WHERE vec_id % 10 <> 0),
+        p AS (SELECT q.vec_id AS query_id, sd.vec_id AS sid, sd.label,
+            list_sum(list_transform(range(1, len(q.qe) + 1),
+              i -> q.qe[i] * sd.qe[i])) AS dot
+          FROM q CROSS JOIN sd),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY dot DESC, sid) AS rn FROM p),
+        v AS (SELECT query_id, label, count(*) AS n_votes
+          FROM r WHERE rn <= 5 GROUP BY 1, 2),
+        w AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY n_votes DESC, label) AS rn2 FROM v)
+        SELECT query_id, label AS pred_label, n_votes
+        FROM w WHERE rn2 = 1""")),
   )
 
   private val tagQueries: Seq[(String, Q)] = Seq(

@@ -175,6 +175,25 @@ object GraftTvfs {
         col(key), col(w), k), k))
   }
 
+  /** `graft_knn_label(queriesTable, seedsTable, idCol, vecCol, labelCol
+    * [, k])` → [[graft.operators.Similarity.labelPropagate]]: each query
+    * row's majority label over its k highest-inner-product labeled seeds
+    * (exact quantized-integer dots — bit-reproducible votes). k defaults
+    * to 5. The query table must stay inside the broadcast guard.
+    */
+  val graftKnnLabel: Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == 5 || args.length == 6,
+      "usage: graft_knn_label('<queries table>', '<seeds table>', " +
+        "'<id col>', '<vector col>', '<label col>'[, <k>])")
+    val spark = activeSession
+    val k = if (args.length > 5) intLit(args(5), "k") else 5
+    plan(graft.operators.Similarity.labelPropagate(
+      spark.table(stringLit(args.head, "queries table")),
+      spark.table(stringLit(args(1), "seeds table")),
+      stringLit(args(2), "id column"), stringLit(args(3), "vector column"),
+      stringLit(args(4), "label column"), k))
+  }
+
   val all: Map[String, Seq[Expression] => LogicalPlan] = Map(
     "graft_drift" -> graftDrift,
     "graft_dedup_pairs" -> graftDedupPairs,
@@ -182,7 +201,8 @@ object GraftTvfs {
     "graft_overlap" -> graftOverlap,
     "graft_distinct" -> graftDistinct,
     "graft_difference" -> graftDifference,
-    "graft_woverlap" -> graftWoverlap)
+    "graft_woverlap" -> graftWoverlap,
+    "graft_knn_label" -> graftKnnLabel)
 
   private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
     df.queryExecution.logical

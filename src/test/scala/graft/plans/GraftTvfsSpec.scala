@@ -124,6 +124,35 @@ class GraftTvfsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet == persistedBefore)
   }
 
+  test("graft_knn_label == labelPropagate API twin; default k applies") {
+    registered()
+    def vec(i: Long): Seq[Float] = {
+      val rnd = new scala.util.Random(i * 3571 + 17)
+      Seq.fill(8)(rnd.nextFloat() * 2f - 1f)
+    }
+    val emb = (0L until 60L).map(i => (i, vec(i), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    emb.filter($"vec_id" % 20 === 0).createOrReplaceTempView("gt_knn_q")
+    emb.filter($"vec_id" % 20 =!= 0).createOrReplaceTempView("gt_knn_s")
+    val viaTvf = spark.sql(
+      "SELECT * FROM graft_knn_label('gt_knn_q', 'gt_knn_s', 'vec_id', " +
+        "'embedding', 'label', 7)").collect().toSeq.sortBy(_.getLong(0))
+    val viaApi = graft.operators.Similarity.labelPropagate(
+      emb.filter($"vec_id" % 20 === 0), emb.filter($"vec_id" % 20 =!= 0),
+      "vec_id", "embedding", "label", 7)
+      .collect().toSeq.sortBy(_.getLong(0))
+    assert(viaTvf == viaApi && viaTvf.nonEmpty)
+    // default k = 5
+    val dflt = spark.sql(
+      "SELECT * FROM graft_knn_label('gt_knn_q', 'gt_knn_s', 'vec_id', " +
+        "'embedding', 'label')").collect().toSeq.sortBy(_.getLong(0))
+    val dfltApi = graft.operators.Similarity.labelPropagate(
+      emb.filter($"vec_id" % 20 === 0), emb.filter($"vec_id" % 20 =!= 0),
+      "vec_id", "embedding", "label", 5)
+      .collect().toSeq.sortBy(_.getLong(0))
+    assert(dflt == dfltApi)
+  }
+
   test("argument validation fails loud") {
     registered()
     Seq((1L, "x")).toDF("doc_id", "text").createOrReplaceTempView("gt_v")
