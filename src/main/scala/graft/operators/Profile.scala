@@ -653,6 +653,79 @@ object Profile {
       .withColumnRenamed("category", "bucket")
   }
 
+  /** EMBEDDING-SPACE drift monitor — the drift family's third member
+    * (categorical shares, numeric quantile buckets, now centroid shift):
+    * per slice, how far corpus B's embedding centroid moved from corpus
+    * A's — "did the upgraded encoder / new crawl shift my vector space
+    * per source" before an ANN index silently degrades.
+    *
+    * All arithmetic is EXACT INTEGER so both engines agree bit-for-bit:
+    * vectors quantize at 1e-4, per-dim sums accumulate in BIGINT, the
+    * centroid is `sum div n` (truncating division — Spark `div` and
+    * DuckDB `//` agree on negatives), and the drift metrics are computed
+    * on the quantized centroids: `cos2_ppm` = ⌊cos²·10⁶⌋ between the two
+    * centroids (DECIMAL(38,0) intermediates, NULL when either centroid
+    * is the zero vector), `cos_sign` = the cosine's sign (cos² loses it),
+    * `dist2` = squared L2 distance in quantized units. Slices present in
+    * only one corpus survive the full-outer join with NULL metrics —
+    * appearing/disappearing sources ARE drift.
+    *
+    * Plan shape at 100 TB: one scan per corpus; posexplode fans each row
+    * to `dims` (slice, pos, q) triples that hash-aggregate with map-side
+    * combine, so the exchange carries dims·slices rows per side; the
+    * centroid join is slice-count-sized. No corpus ever joins a corpus.
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: Column,
+                     sliceCols: Seq[String] = Nil): DataFrame = {
+    def centroids(df: DataFrame, nName: String): DataFrame = {
+      val q = df.filter(vecCol.isNotNull)
+        .select(sliceCols.map(col) :+ posexplode(
+          transform(vecCol, x => round(x.cast("double") * 10000).cast("long")))
+          .as(Seq("__pos", "__q")): _*)
+      val perDim = q.groupBy((sliceCols.map(col) :+ col("__pos")): _*)
+        .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
+      val grouped =
+        if (sliceCols.isEmpty) perDim.agg(
+          sort_array(collect_list(struct(col("__pos"), col("__s")))).as("__sv"),
+          max(col("__n")).as(nName))
+        else perDim.groupBy(sliceCols.map(col): _*).agg(
+          sort_array(collect_list(struct(col("__pos"), col("__s")))).as("__sv"),
+          max(col("__n")).as(nName))
+      grouped.withColumn("__sum", expr("transform(__sv, t -> t.__s)"))
+        .withColumn("__mean", expr(s"transform(__sum, s -> s div $nName)"))
+        .drop("__sv", "__sum")
+    }
+    val ca = centroids(a, "n_a").withColumnRenamed("__mean", "__ma")
+    val cb = centroids(b, "n_b").withColumnRenamed("__mean", "__mb")
+    val joined =
+      if (sliceCols.isEmpty) ca.crossJoin(cb)
+      else {
+        val cbR = sliceCols.foldLeft(cb)((d, c) =>
+          d.withColumnRenamed(c, s"__r_$c"))
+        val cond = sliceCols.map(c => ca(c) <=> cbR(s"__r_$c")).reduce(_ && _)
+        ca.join(cbR, cond, "full_outer")
+          .select(sliceCols.map(c =>
+            coalesce(ca(c), cbR(s"__r_$c")).as(c)) ++
+            Seq(col("n_a"), col("__ma"), col("n_b"), col("__mb")): _*)
+      }
+    joined
+      .withColumn("__dot", expr(
+        "aggregate(zip_with(__ma, __mb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("__na2", expr(
+        "aggregate(__ma, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("__nb2", expr(
+        "aggregate(__mb, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("dist2", expr(
+        "aggregate(zip_with(__ma, __mb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cos2_ppm", expr(
+        """CASE WHEN __na2 = 0 OR __nb2 = 0 THEN NULL
+           ELSE (CAST(__dot AS DECIMAL(38,0)) * __dot * 1000000)
+                div (CAST(__na2 AS DECIMAL(38,0)) * __nb2) END"""))
+      .withColumn("cos_sign", signum(col("__dot")).cast("int"))
+      .select(sliceCols.map(col) ++ Seq(col("n_a"), col("n_b"),
+        col("cos2_ppm"), col("cos_sign"), col("dist2")): _*)
+  }
+
   // --- KMV (k-minimum-values) sketch: distinct + SET-OVERLAP estimation ---
 
   /** The KMV hash: first 15 hex chars of md5(key) as a long in [0, 2⁶⁰)
