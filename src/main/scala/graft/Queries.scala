@@ -747,6 +747,21 @@ object Queries {
             ORDER BY n_votes DESC, label) AS rn2 FROM v)
         SELECT query_id, label AS pred_label, n_votes
         FROM w WHERE rn2 = 1""")),
+
+    // Per-group quantiles behind SQL: graft_quantiles in exact mode —
+    // shares q_group_quantiles' oracle (same plan via the TVF splice).
+    "q_sql_tvf_quantiles" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        table(s, dir, "documents").createOrReplaceTempView("documents_qv")
+        s.sql("SELECT * FROM graft_quantiles('documents_qv', 'n_chars', " +
+          "'lang', 'exact')")
+      },
+      Some("""SELECT lang,
+               quantile_cont(n_chars, 0.25) AS p25,
+               quantile_cont(n_chars, 0.50) AS p50,
+               quantile_cont(n_chars, 0.75) AS p75
+             FROM documents GROUP BY lang""")),
   )
 
   private val tagQueries: Seq[(String, Q)] = Seq(

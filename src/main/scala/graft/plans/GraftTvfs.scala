@@ -194,6 +194,27 @@ object GraftTvfs {
       stringLit(args(4), "label column"), k))
   }
 
+  /** `graft_quantiles(table, valueCol, groupCol[, 'exact'|'approx'])` →
+    * [[Profile.groupQuantiles]] at the dashboard probes (p25/p50/p75).
+    * `'exact'` (the default) is oracle-reproducible; `'approx'` is the
+    * t-digest path for corpus-scale columns.
+    */
+  val graftQuantiles: Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == 3 || args.length == 4,
+      "usage: graft_quantiles('<table>', '<value col>', '<group col>'" +
+        "[, 'exact'|'approx'])")
+    val spark = activeSession
+    val mode =
+      if (args.length > 3) stringLit(args(3), "mode") else "exact"
+    require(mode == "exact" || mode == "approx",
+      s"graft_quantiles: unknown mode '$mode' (exact | approx)")
+    plan(Profile.groupQuantiles(
+      spark.table(stringLit(args.head, "table name")),
+      Seq(stringLit(args(2), "group column")),
+      stringLit(args(1), "value column"),
+      probs = Seq(0.25, 0.5, 0.75), exact = mode == "exact"))
+  }
+
   val all: Map[String, Seq[Expression] => LogicalPlan] = Map(
     "graft_drift" -> graftDrift,
     "graft_dedup_pairs" -> graftDedupPairs,
@@ -202,7 +223,8 @@ object GraftTvfs {
     "graft_distinct" -> graftDistinct,
     "graft_difference" -> graftDifference,
     "graft_woverlap" -> graftWoverlap,
-    "graft_knn_label" -> graftKnnLabel)
+    "graft_knn_label" -> graftKnnLabel,
+    "graft_quantiles" -> graftQuantiles)
 
   private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
     df.queryExecution.logical

@@ -153,6 +153,24 @@ class GraftTvfsSpec extends SparkSpec {
     assert(dflt == dfltApi)
   }
 
+  test("graft_quantiles == groupQuantiles API twin; bad mode loud") {
+    registered()
+    val df = (1 to 100).map(i => (i.toLong, s"g${i % 2}"))
+      .toDF("v", "g")
+    df.createOrReplaceTempView("gt_qtl_v")
+    val viaTvf = spark.sql(
+      "SELECT * FROM graft_quantiles('gt_qtl_v', 'v', 'g', 'exact')")
+      .collect().toSeq.sortBy(_.getString(0))
+    val viaApi = Profile.groupQuantiles(df, Seq("g"), "v",
+      probs = Seq(0.25, 0.5, 0.75), exact = true)
+      .collect().toSeq.sortBy(_.getString(0))
+    assert(viaTvf == viaApi && viaTvf.size == 2)
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_quantiles('gt_qtl_v', 'v', 'g', 'median')")
+      .collect())
+    assert(e.getMessage.contains("unknown mode"))
+  }
+
   test("argument validation fails loud") {
     registered()
     Seq((1L, "x")).toDF("doc_id", "text").createOrReplaceTempView("gt_v")
