@@ -4802,6 +4802,34 @@ object ExtQueries {
         FROM cta FULL OUTER JOIN ctb ON cta.label = ctb.label
         LEFT JOIN met ON met.label = COALESCE(cta.label, ctb.label)""")),
 
+    // STREAMING EMBEDDING-DRIFT MONITOR: the odd half of the corpus
+    // arrives as three micro-batches, each landing its per-label centroid
+    // shift vs the CONSTANT even-half reference under __batch_id (plus a
+    // batch-1 retry — the dynamic-overwrite idempotence contract, gated
+    // by row counts). The oracle recomputes every batch's drift with the
+    // q_drift_embed arithmetic.
+    "q_drift_embed_stream" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val reference = emb.filter(col("vec_id") % 2 === 0)
+        val statsPath = Queries.tempDir("graft_driftstream") + "/stats"
+        def batchOf(i: Int) = emb.filter(
+          col("vec_id") % 2 =!= 0 && col("vec_id") % 3 === i)
+        (0 until 3).foreach { i =>
+          graft.streaming.EmbeddingStreams.processDriftBatch(
+            batchOf(i), i.toLong, reference, "embedding", Seq("label"),
+            statsPath)
+        }
+        // the retry: same batch content, same id — must rewrite, not add
+        graft.streaming.EmbeddingStreams.processDriftBatch(
+          batchOf(1), 1L, reference, "embedding", Seq("label"), statsPath)
+        s.read.parquet(statsPath).select(col("label"), col("n_a"),
+          col("n_b"), col("cos2_ppm"), col("cos_sign"), col("dist2"),
+          col("__batch_id").cast("long").as("batch_id"))
+      },
+      Some((0 until 3).map(embedDriftBatchOracle).mkString(
+        "", " UNION ALL ", ""))),
+
     // ORDERED-SHARD EXPORT invariants: shards written, read back, and
     // checked — every row present exactly once, and the shard key-ranges
     // pairwise disjoint in shard order (the contiguous-global-order
@@ -5052,7 +5080,45 @@ object ExtQueries {
         FROM events""")),
   )
 
-  // def, not val: referenced by battery rows constructed textually above
+  // def, not val: referenced by battery rows constructed textually above.
+  // One micro-batch of q_drift_embed_stream's oracle — the q_drift_embed
+  // arithmetic with the batch's b-side filter and a batch_id column.
+  private def embedDriftBatchOracle(i: Int): String = s"""
+        (WITH e AS (SELECT vec_id, label,
+            list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+          FROM embeddings),
+        xa AS (SELECT label, unnest(qe) AS q,
+            unnest(range(1, len(qe) + 1)) AS pos FROM e WHERE vec_id % 2 = 0),
+        xb AS (SELECT label, unnest(qe) AS q,
+            unnest(range(1, len(qe) + 1)) AS pos FROM e
+          WHERE vec_id % 2 <> 0 AND vec_id % 3 = $i),
+        sa AS (SELECT label, pos, CAST(sum(q) AS BIGINT) AS s,
+            CAST(count(*) AS BIGINT) AS n FROM xa GROUP BY 1, 2),
+        sb AS (SELECT label, pos, CAST(sum(q) AS BIGINT) AS s,
+            CAST(count(*) AS BIGINT) AS n FROM xb GROUP BY 1, 2),
+        ma AS (SELECT label, pos, s // n AS m FROM sa),
+        mb AS (SELECT label, pos, s // n AS m FROM sb),
+        met AS (SELECT ma.label,
+            CAST(sum(ma.m * mb.m) AS BIGINT) AS dot,
+            CAST(sum(ma.m * ma.m) AS BIGINT) AS na2,
+            CAST(sum(mb.m * mb.m) AS BIGINT) AS nb2,
+            CAST(sum((ma.m - mb.m) * (ma.m - mb.m)) AS BIGINT) AS dist2
+          FROM ma JOIN mb ON ma.label = mb.label AND ma.pos = mb.pos
+          GROUP BY 1),
+        cta AS (SELECT label, max(n) AS n_a FROM sa GROUP BY 1),
+        ctb AS (SELECT label, max(n) AS n_b FROM sb GROUP BY 1)
+        SELECT COALESCE(cta.label, ctb.label) AS label, n_a, n_b,
+          CASE WHEN na2 = 0 OR nb2 = 0 THEN NULL
+               ELSE CAST((CAST(dot AS HUGEINT) * dot * 1000000)
+                         // (CAST(na2 AS HUGEINT) * nb2) AS BIGINT) END
+            AS cos2_ppm,
+          CAST(CASE WHEN dot > 0 THEN 1 WHEN dot < 0 THEN -1
+               WHEN dot IS NULL THEN NULL ELSE 0 END AS INT) AS cos_sign,
+          dist2, CAST($i AS BIGINT) AS batch_id
+        FROM cta FULL OUTER JOIN ctb ON cta.label = ctb.label
+        LEFT JOIN met ON met.label = COALESCE(cta.label, ctb.label))"""
+
   private def cdcMergeOracleSql = """
         WITH base AS (SELECT o_orderkey, o_orderstatus,
             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

@@ -159,4 +159,39 @@ object EmbeddingStreams {
     dupOfHistory.unpersist()
     vecs.unpersist()
   }
+
+  /** STREAMING EMBEDDING-DRIFT MONITOR — the monitors family's vector
+    * member (the [[SketchStreams]] KMV-novelty pattern): per micro-batch,
+    * the batch's per-slice centroid shift against a CONSTANT reference
+    * corpus ([[graft.operators.Profile.embeddingDrift]]; reference = side
+    * A, the batch = side B), landed as one row per slice under
+    * `__batch_id` — "is today's ingest drifting away from the corpus my
+    * ANN index / quality model was fit on", answered before the index
+    * degrades. Retry-idempotent: the row set is a pure function of
+    * (reference, batch) and lands via dynamic partition overwrite.
+    *
+    * Per-batch cost tracks the BATCH plus one reference scan; pre-
+    * aggregate the reference once (a future refinement) only if the
+    * reference is corpus-sized — the intended reference is the bounded
+    * fit/eval corpus.
+    */
+  def driftMonitorStream(newVecs: DataFrame, reference: DataFrame,
+                         vecCol: String, sliceCols: Seq[String],
+                         statsPath: String): DataStreamWriter[Row] =
+    newVecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      processDriftBatch(batch, batchId, reference, vecCol, sliceCols,
+        statsPath)
+    }
+
+  /** One micro-batch of the drift monitor (factored out for direct
+    * batch-semantics testing, like [[processEmbeddingBatch]]).
+    */
+  private[graft] def processDriftBatch(batch: DataFrame, batchId: Long,
+                                       reference: DataFrame, vecCol: String,
+                                       sliceCols: Seq[String],
+                                       statsPath: String): Unit =
+    DocumentStreams.writeBatchPartition(
+      graft.operators.Profile.embeddingDrift(reference, batch, col(vecCol),
+        sliceCols),
+      batchId, statsPath)
 }

@@ -190,6 +190,39 @@ class EmbeddingStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(mPath).count() == 1L)
     assert(metrics == ((4L, 0L, 1L, 1L, 1L, 1L)))
   }
+
+  test("drift monitor: per-batch rows == direct embeddingDrift; MemoryStream end-to-end; retry rewrites") {
+    implicit val sqlCtx = spark.sqlContext
+    val statsPath = tmp("graft_edrift") + "/stats"
+    val reference = (0L until 12L).map(i => (i, vecFor(i), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val b0 = (100L until 106L).map(i => (i, vecFor(i), (i % 2).toInt))
+    val b1 = (200L until 210L).map(i => (i, vecFor(i), (i % 2).toInt))
+    val mem = MemoryStream[(Long, Array[Float], Int)]
+    val q = EmbeddingStreams.driftMonitorStream(
+        mem.toDF().toDF("vec_id", "embedding", "label"),
+        reference, "embedding", Seq("label"), statsPath)
+      .start()
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(statsPath)
+    assert(landed.count() == 4L) // 2 labels × 2 batches
+    val got1 = landed.filter(col("__batch_id") === 1)
+      .select("label", "n_a", "n_b", "cos2_ppm", "cos_sign", "dist2")
+      .collect().map(_.toSeq).toSet
+    val direct1 = graft.operators.Profile.embeddingDrift(
+        reference, b1.toDF("vec_id", "embedding", "label"),
+        col("embedding"), Seq("label"))
+      .collect().map(_.toSeq).toSet
+    assert(got1 == direct1)
+    // retry: same content, same batch id — rewrites its partition
+    EmbeddingStreams.processDriftBatch(
+      b1.toDF("vec_id", "embedding", "label"), 1L, reference,
+      "embedding", Seq("label"), statsPath)
+    assert(spark.read.parquet(statsPath).count() == 4L)
+  }
 }
 
 /** Deterministic id → vector (family = id div 4; variants of a family are
