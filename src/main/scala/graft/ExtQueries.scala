@@ -475,6 +475,40 @@ object ExtQueries {
           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
         FROM u""")),
 
+    // CANONICAL URL KEY (crawl-level URL dedup): five synthetic URL
+    // shapes exercise every rule — case, www, default port, userinfo,
+    // duplicate slashes, fragment, tracking params in first/middle
+    // positions, empty path, non-URL → NULL. The oracle CONSTRUCTS the
+    // expected key directly from doc_id arithmetic (an independent
+    // expectation, not a replay of the regexp chain).
+    "q_url_canon" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val k = col("doc_id") % 7
+        val url = when(col("doc_id") % 5 === 0, concat(
+            lit("HTTPS://WWW.Example"), k, lit(".COM:443//a//b/"),
+            col("doc_id"), lit("?utm_source=x&id="), col("doc_id"),
+            lit("&fbclid=z#frag")))
+          .when(col("doc_id") % 5 === 1, concat(
+            lit("http://user:pw@Example"), k, lit(".com:80/path?utm_a=1")))
+          .when(col("doc_id") % 5 === 2, concat(
+            lit("https://www.example"), k, lit(".com")))
+          .when(col("doc_id") % 5 === 3, lit("not a url"))
+          .otherwise(concat(lit("https://example"), k,
+            lit(".com/x%20y/?a=1&utm_medium=m&b=2")))
+        docs.select(col("doc_id"),
+          graft.functions.TextFunctions.canonicalUrl(url).as("canon"))
+      },
+      Some("""SELECT doc_id, CASE doc_id % 5
+          WHEN 0 THEN 'https://example' || (doc_id % 7) || '.com/a/b/'
+            || doc_id || '?id=' || doc_id
+          WHEN 1 THEN 'http://example' || (doc_id % 7) || '.com/path'
+          WHEN 2 THEN 'https://example' || (doc_id % 7) || '.com/'
+          WHEN 3 THEN NULL
+          ELSE 'https://example' || (doc_id % 7) || '.com/x%20y/?a=1&b=2'
+          END AS canon
+        FROM documents""")),
+
     // BIGRAM-LM "perplexity" filter (CCNet family): per-doc surprisal
     // under the corpus's own bigram model, in EXACT INTEGER BITS
     // (bitlen differences — ln's libm rounding differs across engines,

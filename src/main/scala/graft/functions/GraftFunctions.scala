@@ -47,6 +47,7 @@ object GraftFunctions {
     "scrub_pii" -> composed(cs => TextFunctions.scrubPii(cs(0))),
     "strip_html" -> composed(cs => TextFunctions.stripHtml(cs(0))),
     "url_host" -> composed(cs => TextFunctions.urlHost(cs(0))),
+    "url_canonical" -> composed(cs => TextFunctions.canonicalUrl(cs(0))),
     "pii_counts" -> composed(cs => TextFunctions.piiCounts(cs(0))),
     "bpe_tokens" -> composed(cs => TextFunctions.bpeTokens(cs(0))),
     "bpe_token_count" -> composed(cs => TextFunctions.bpeTokenCount(cs(0))),

@@ -210,6 +210,52 @@ object TextFunctions {
     lower(regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1))
 
+  /** CANONICAL URL KEY for crawl-level dedup (a dedup key, NOT a
+    * fetchable-URL normalizer): lower-cased scheme and host, userinfo
+    * gone, default ports (http:80 / https:443) gone, leading `www.`
+    * gone, fragment gone, duplicate path slashes collapsed, tracking
+    * parameters (`utm_*`, `fbclid`, `gclid`) removed with separators
+    * repaired, empty path normalized to `/`. URLs differing only in
+    * these dimensions are the same crawl target in practice — the
+    * standard key for URL-level dedup and per-page frequency caps.
+    * Dot-segment resolution (`/a/../b`) is out of scope (iterative;
+    * crawl frontiers resolve links before queueing). NULL for inputs
+    * without a `scheme://` prefix — a non-URL has no canonical key,
+    * and `''` would silently collide all of them into one dedup group.
+    *
+    * Composed from codegen'd string/regexp primitives; every pattern is
+    * RE2-compatible (no lookarounds), so a SQL oracle replays the
+    * identical chain.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val schemePat = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+    val scheme = lower(regexp_extract(url, schemePat, 1))
+    val afterScheme = regexp_replace(url, schemePat, "")
+    val hostport0 = lower(regexp_extract(afterScheme, "^([^/?#]*)", 1))
+    val hostport1 = regexp_replace(hostport0, "^[^/?#@]*@", "")
+    val hostport2 = when(scheme === "https",
+        regexp_replace(hostport1, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport1, ":80$", ""))
+      .otherwise(hostport1)
+    val host = regexp_replace(hostport2, "^www\\.", "")
+    val rest = regexp_replace(
+      regexp_replace(afterScheme, "^[^/?#]*", ""), "#.*$", "")
+    val path0 = regexp_extract(rest, "^([^?]*)", 1)
+    val path = when(length(path0) === 0, lit("/"))
+      .otherwise(regexp_replace(path0, "/{2,}", "/"))
+    // mid-list params drop with their '&'; a first-position param takes
+    // the following '&' so the next param inherits the '?'; a lone
+    // leftover separator strips last
+    val query0 = regexp_extract(rest, "(\\?.*)$", 1)
+    val query1 = regexp_replace(query0,
+      "&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*", "")
+    val query2 = regexp_replace(query1,
+      "\\?(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*&?", "?")
+    val query = regexp_replace(query2, "[?&]$", "")
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, path, query))
+  }
+
   /** Count of PII matches by kind, as a struct — the audit twin of
     * [[scrubPii]] (what would be redacted, without redacting).
     */

@@ -307,4 +307,30 @@ class FunctionsSpec extends SparkSpec {
       .select(TextFunctions.urlHost(col("u"))).as[String].collect().toSeq
     assert(got == cases.map(_._2))
   }
+
+  test("canonicalUrl: every rule, separator repair, NULL on non-URLs") {
+    val cases = Seq(
+      // scheme/host case, www, default port, dup slashes, fragment
+      "HTTPS://WWW.Ex.COM:443//a//b?x=1#f" -> Some("https://ex.com/a/b?x=1"),
+      "http://user:pw@Ex.org:80/p" -> Some("http://ex.org/p"),
+      // non-default port and non-http(s) scheme keep their port
+      "https://ex.com:8443/p" -> Some("https://ex.com:8443/p"),
+      "ftp://Ex.com:80/p" -> Some("ftp://ex.com:80/p"),
+      // empty path -> '/'
+      "https://ex.com" -> Some("https://ex.com/"),
+      "https://ex.com?a=1" -> Some("https://ex.com/?a=1"),
+      // tracking params: first, middle, last, only, name-prefix safety
+      "https://ex.com/p?utm_source=a&id=2" -> Some("https://ex.com/p?id=2"),
+      "https://ex.com/p?id=2&fbclid=z" -> Some("https://ex.com/p?id=2"),
+      "https://ex.com/p?a=1&gclid=g&b=2" -> Some("https://ex.com/p?a=1&b=2"),
+      "https://ex.com/p?utm_a=1&utm_b=2" -> Some("https://ex.com/p"),
+      "https://ex.com/p?xfbclid=1" -> Some("https://ex.com/p?xfbclid=1"),
+      // non-URLs have no canonical key
+      "not a url" -> None,
+      "relative/path?utm_a=1" -> None)
+    val got = cases.map(_._1).toDF("u")
+      .select(TextFunctions.canonicalUrl(col("u")))
+      .as[Option[String]].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
 }
