@@ -5217,6 +5217,21 @@ object ExtQueries {
   private def memSinkName(prefix: String): String =
     s"${prefix}_${memSinkSeq.incrementAndGet()}"
 
+  // The MemoryStream rows drive PINNED ≤5k-row streams, but a stateful
+  // streaming query allocates one state-store instance per shuffle
+  // partition per operator PER MICRO-BATCH — at the battery's 32
+  // partitions that fixed overhead dwarfs the data (q_session_stream
+  // read 6.7 s of which <1 s is work). Production streams size their own
+  // partitions; these rows clamp to 4 for the query's lifetime and
+  // restore. Results are partition-invariant (the oracles don't change).
+  private def withShufflePartitions[T](s: org.apache.spark.sql.SparkSession,
+                                       n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
   // --- TRUE STRUCTURED-STREAMING battery rows: previously spec-only
   // operators (EventStreamsSpec) driven through a real MemoryStream →
   // memory-sink query inside the row, gated by exact DuckDB oracles.
@@ -5250,21 +5265,23 @@ object ExtQueries {
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[graft.streaming.Event]
         val name = memSinkName("sess_stream_out")
-        val q = EventStreams
-          .sessionizeStreamEventTime(mem.toDS(), gapMinutes = 30,
-            watermarkDelay = "1 minutes")
-          .writeStream.outputMode("append").format("memory")
-          .queryName(name).start()
-        try {
-          val batchLen = math.max(1, (pinned.length + 2) / 3)
-          pinned.grouped(batchLen).foreach { b =>
-            mem.addData(b.toSeq: _*); q.processAllAvailable()
-          }
-          val far = pinned.map(_.ts.getTime).max + 90L * 24 * 3600 * 1000
-          mem.addData(graft.streaming.Event(
-            -1L, new java.sql.Timestamp(far), -1L, "view", 0.0))
-          q.processAllAvailable()
-        } finally q.stop()
+        withShufflePartitions(s, 4) {
+          val q = EventStreams
+            .sessionizeStreamEventTime(mem.toDS(), gapMinutes = 30,
+              watermarkDelay = "1 minutes")
+            .writeStream.outputMode("append").format("memory")
+            .queryName(name).start()
+          try {
+            val batchLen = math.max(1, (pinned.length + 2) / 3)
+            pinned.grouped(batchLen).foreach { b =>
+              mem.addData(b.toSeq: _*); q.processAllAvailable()
+            }
+            val far = pinned.map(_.ts.getTime).max + 90L * 24 * 3600 * 1000
+            mem.addData(graft.streaming.Event(
+              -1L, new java.sql.Timestamp(far), -1L, "view", 0.0))
+            q.processAllAvailable()
+          } finally q.stop()
+        }
         s.table(name).filter(col("user_id") =!= -1L)
           .select("user_id", "session_start", "session_end", "n_events")
       },
@@ -5312,17 +5329,19 @@ object ExtQueries {
         val mem = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[graft.streaming.Event]
         val name = memSinkName("dedup_stream_out")
-        val q = EventStreams
-          .dedupStream(mem.toDF(), Seq("event_id"), watermarkDelay = "90 days")
-          .writeStream.outputMode("append").format("memory")
-          .queryName(name).start()
-        try {
-          mem.addData(b0.toSeq: _*); q.processAllAvailable()
-          mem.addData((b1 ++ b0.map(replay(_, 1))).toSeq: _*)
-          q.processAllAvailable()
-          mem.addData((b2 ++ b1.map(replay(_, 2)) ++ b0.map(replay(_, 3))).toSeq: _*)
-          q.processAllAvailable()
-        } finally q.stop()
+        withShufflePartitions(s, 4) {
+          val q = EventStreams
+            .dedupStream(mem.toDF(), Seq("event_id"), watermarkDelay = "90 days")
+            .writeStream.outputMode("append").format("memory")
+            .queryName(name).start()
+          try {
+            mem.addData(b0.toSeq: _*); q.processAllAvailable()
+            mem.addData((b1 ++ b0.map(replay(_, 1))).toSeq: _*)
+            q.processAllAvailable()
+            mem.addData((b2 ++ b1.map(replay(_, 2)) ++ b0.map(replay(_, 3))).toSeq: _*)
+            q.processAllAvailable()
+          } finally q.stop()
+        }
         s.table(name).select(col("event_id"), col("user_id"),
           col("event_type"), round(col("value") * 100).cast("long").as("cents"),
           col("ts"))
@@ -5376,17 +5395,19 @@ object ExtQueries {
                     id: Long) =>
           df.withColumn("__batch_id", lit(id))
             .write.mode("append").parquet(outPath)
-        val q = graft.streaming.DocumentStreams
-          .heavyTokensStream(mem.toDF().toDF("doc_id", "lang", "text"),
-            "lang", "text", k = 64)
-          .toDF("g", "hh")
-          .writeStream.outputMode("update").foreachBatch(sink).start()
-        try {
-          (0 until 3).foreach { i =>
-            mem.addData(docs.filter(_._1 % 3 == i).toSeq: _*)
-            q.processAllAvailable()
-          }
-        } finally q.stop()
+        withShufflePartitions(s, 4) {
+          val q = graft.streaming.DocumentStreams
+            .heavyTokensStream(mem.toDF().toDF("doc_id", "lang", "text"),
+              "lang", "text", k = 64)
+            .toDF("g", "hh")
+            .writeStream.outputMode("update").foreachBatch(sink).start()
+          try {
+            (0 until 3).foreach { i =>
+              mem.addData(docs.filter(_._1 % 3 == i).toSeq: _*)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
         s.read.parquet(outPath).groupBy(col("g"))
           .agg(graft.functions.ArgExtremum.argRow(
             struct(col("hh")), struct(col("__batch_id")), isMax = true).as("w"))
