@@ -332,5 +332,12 @@ class FunctionsSpec extends SparkSpec {
       .select(TextFunctions.canonicalUrl(col("u")))
       .as[Option[String]].collect().toSeq
     assert(got == cases.map(_._2))
+    // canonicalization is IDEMPOTENT: a canonical key re-canonicalizes
+    // to itself (the dedup-key contract — keys can be safely re-passed
+    // through the pipeline stage)
+    val keys = got.flatten.toDF("u")
+    val twice = keys.select(TextFunctions.canonicalUrl(col("u")))
+      .as[Option[String]].collect().toSeq
+    assert(twice == got.flatten.map(Some(_)))
   }
 }
