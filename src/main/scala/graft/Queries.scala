@@ -762,6 +762,51 @@ object Queries {
                quantile_cont(n_chars, 0.50) AS p50,
                quantile_cont(n_chars, 0.75) AS p75
              FROM documents GROUP BY lang""")),
+
+    // AS-OF join behind SQL (Spark SQL has no ASOF; DuckDB does — the
+    // TVF closes exactly that gap): each purchase gets the user's latest
+    // prior click. Shares q_asof_join's oracle.
+    "q_sql_tvf_asof" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val ev = events(s, dir)
+        ev.filter(col("event_type") === "purchase")
+          .createOrReplaceTempView("ev_purchase_v")
+        ev.filter(col("event_type") === "click")
+          .createOrReplaceTempView("ev_click_v")
+        s.sql("SELECT * FROM graft_asof('ev_purchase_v', 'ev_click_v', " +
+          "'user_id', 'ts', 'ts')")
+      },
+      Some("""SELECT p.user_id, p.event_id, p.ts, p.event_type, p.value, p.props,
+               c.event_id AS r_event_id, c.ts AS r_ts, c.event_type AS r_event_type,
+               c.value AS r_value, c.props AS r_props
+             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+               ON p.user_id = c.user_id AND c.ts <= p.ts""")),
+
+    // Gap sessionization behind SQL. Shares q_events_session's oracle.
+    "q_sql_tvf_session" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        events(s, dir).createOrReplaceTempView("events_sess_v")
+        s.sql("SELECT * FROM graft_sessionize('events_sess_v', 30)")
+      },
+      Some("""
+        WITH lagged AS (
+          SELECT user_id, event_id, ts,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        flagged AS (
+          SELECT *, CASE WHEN prev_ts IS NULL
+              OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+          FROM lagged),
+        sess AS (
+          SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM flagged)
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+          count(*) AS n_events
+        FROM sess GROUP BY user_id, sess_id""")),
   )
 
   private val tagQueries: Seq[(String, Q)] = Seq(

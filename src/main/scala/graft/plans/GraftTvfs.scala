@@ -215,6 +215,43 @@ object GraftTvfs {
       probs = Seq(0.25, 0.5, 0.75), exact = mode == "exact"))
   }
 
+  /** `graft_asof(leftTable, rightTable, keyCol, leftTsCol, rightTsCol
+    * [, direction])` → [[graft.operators.Joins.asOf]]: each left row gets
+    * the keyed right row nearest in time (backward = latest ≤, the
+    * default; forward = earliest ≥; nearest). Spark SQL has no ASOF
+    * join — this TVF is the SQL user's route to the union-sort plan
+    * (one shuffle, no range join).
+    */
+  val graftAsof: Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == 5 || args.length == 6,
+      "usage: graft_asof('<left table>', '<right table>', '<key col>', " +
+        "'<left ts col>', '<right ts col>'[, 'backward'|'forward'|'nearest'])")
+    val spark = activeSession
+    val dir = if (args.length > 5) stringLit(args(5), "direction")
+      else "backward"
+    plan(graft.operators.Joins.asOf(
+      spark.table(stringLit(args.head, "left table")),
+      spark.table(stringLit(args(1), "right table")),
+      keys = Seq(stringLit(args(2), "key column")),
+      leftTs = stringLit(args(3), "left ts column"),
+      rightTs = stringLit(args(4), "right ts column"),
+      direction = dir))
+  }
+
+  /** `graft_sessionize(table, gapMinutes)` →
+    * [[graft.streaming.EventStreams.sessionizeBatch]]: gap-based
+    * sessions per user (user_id/session_start/session_end/n_events) —
+    * the lag + running-sum plan, one shuffle per user key.
+    */
+  val graftSessionize: Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == 2,
+      "usage: graft_sessionize('<events table>', <gap minutes>)")
+    val spark = activeSession
+    plan(graft.streaming.EventStreams.sessionizeBatch(
+      spark.table(stringLit(args.head, "events table")),
+      intLit(args(1), "gap minutes")))
+  }
+
   val all: Map[String, Seq[Expression] => LogicalPlan] = Map(
     "graft_drift" -> graftDrift,
     "graft_dedup_pairs" -> graftDedupPairs,
@@ -224,7 +261,9 @@ object GraftTvfs {
     "graft_difference" -> graftDifference,
     "graft_woverlap" -> graftWoverlap,
     "graft_knn_label" -> graftKnnLabel,
-    "graft_quantiles" -> graftQuantiles)
+    "graft_quantiles" -> graftQuantiles,
+    "graft_asof" -> graftAsof,
+    "graft_sessionize" -> graftSessionize)
 
   private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
     df.queryExecution.logical

@@ -171,6 +171,43 @@ class GraftTvfsSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown mode"))
   }
 
+  test("graft_asof / graft_sessionize == the API twins; bad direction loud") {
+    registered()
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val left = Seq((1L, ts(10), "p1"), (1L, ts(100), "p2"), (2L, ts(50), "p3"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts(5), "c1"), (1L, ts(60), "c2"), (2L, ts(70), "c3"))
+      .toDF("user_id", "ts", "tag")
+    left.createOrReplaceTempView("gt_asof_l")
+    right.createOrReplaceTempView("gt_asof_r")
+    val viaTvf = spark.sql(
+      "SELECT * FROM graft_asof('gt_asof_l', 'gt_asof_r', 'user_id', 'ts', 'ts')")
+      .collect().map(_.toSeq).toSet
+    val viaApi = graft.operators.Joins.asOf(left, right, Seq("user_id"),
+      "ts", "ts").collect().map(_.toSeq).toSet
+    assert(viaTvf == viaApi && viaTvf.nonEmpty)
+    val fwd = spark.sql("SELECT * FROM graft_asof('gt_asof_l', 'gt_asof_r', " +
+      "'user_id', 'ts', 'ts', 'forward')").collect().map(_.toSeq).toSet
+    val fwdApi = graft.operators.Joins.asOf(left, right, Seq("user_id"),
+      "ts", "ts", direction = "forward").collect().map(_.toSeq).toSet
+    assert(fwd == fwdApi && fwd != viaTvf)
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_asof('gt_asof_l', 'gt_asof_r', 'user_id', " +
+        "'ts', 'ts', 'sideways')").collect())
+    assert(e.getMessage.contains("backward|forward|nearest"))
+
+    val ev = Seq((1L, ts(0), 7L, "view", 0.0), (2L, ts(10), 7L, "view", 0.0),
+      (3L, ts(90), 7L, "view", 0.0), (4L, ts(5), 8L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    ev.createOrReplaceTempView("gt_sess_v")
+    val sessTvf = spark.sql(
+      "SELECT * FROM graft_sessionize('gt_sess_v', 30)")
+      .collect().map(_.toSeq).toSet
+    val sessApi = graft.streaming.EventStreams.sessionizeBatch(ev, 30)
+      .collect().map(_.toSeq).toSet
+    assert(sessTvf == sessApi && sessTvf.size == 3)
+  }
+
   test("argument validation fails loud") {
     registered()
     Seq((1L, "x")).toDF("doc_id", "text").createOrReplaceTempView("gt_v")
