@@ -4836,6 +4836,54 @@ object ExtQueries {
         FROM cta FULL OUTER JOIN ctb ON cta.label = ctb.label
         LEFT JOIN met ON met.label = COALESCE(cta.label, ctb.label)""")),
 
+    // Embedding drift behind SQL — shares q_drift_embed's oracle (the
+    // TVF splices the same plan).
+    "q_sql_tvf_drift_embed" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = table(s, dir, "embeddings")
+        emb.filter(col("vec_id") % 2 === 0)
+          .createOrReplaceTempView("emb_drift_a_v")
+        emb.filter(col("vec_id") % 2 =!= 0)
+          .createOrReplaceTempView("emb_drift_b_v")
+        s.sql("SELECT * FROM graft_drift_embed('emb_drift_a_v', " +
+          "'emb_drift_b_v', 'embedding', 'label')")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label,
+            list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+          FROM embeddings),
+        xa AS (SELECT label, unnest(qe) AS q,
+            unnest(range(1, len(qe) + 1)) AS pos FROM e WHERE vec_id % 2 = 0),
+        xb AS (SELECT label, unnest(qe) AS q,
+            unnest(range(1, len(qe) + 1)) AS pos FROM e WHERE vec_id % 2 <> 0),
+        sa AS (SELECT label, pos, CAST(sum(q) AS BIGINT) AS s,
+            CAST(count(*) AS BIGINT) AS n FROM xa GROUP BY 1, 2),
+        sb AS (SELECT label, pos, CAST(sum(q) AS BIGINT) AS s,
+            CAST(count(*) AS BIGINT) AS n FROM xb GROUP BY 1, 2),
+        ma AS (SELECT label, pos, s // n AS m FROM sa),
+        mb AS (SELECT label, pos, s // n AS m FROM sb),
+        met AS (SELECT ma.label,
+            CAST(sum(ma.m * mb.m) AS BIGINT) AS dot,
+            CAST(sum(ma.m * ma.m) AS BIGINT) AS na2,
+            CAST(sum(mb.m * mb.m) AS BIGINT) AS nb2,
+            CAST(sum((ma.m - mb.m) * (ma.m - mb.m)) AS BIGINT) AS dist2
+          FROM ma JOIN mb ON ma.label = mb.label AND ma.pos = mb.pos
+          GROUP BY 1),
+        cta AS (SELECT label, max(n) AS n_a FROM sa GROUP BY 1),
+        ctb AS (SELECT label, max(n) AS n_b FROM sb GROUP BY 1)
+        SELECT COALESCE(cta.label, ctb.label) AS label, n_a, n_b,
+          CASE WHEN na2 = 0 OR nb2 = 0 THEN NULL
+               ELSE CAST((CAST(dot AS HUGEINT) * dot * 1000000)
+                         // (CAST(na2 AS HUGEINT) * nb2) AS BIGINT) END
+            AS cos2_ppm,
+          CAST(CASE WHEN dot > 0 THEN 1 WHEN dot < 0 THEN -1
+               WHEN dot IS NULL THEN NULL ELSE 0 END AS INT) AS cos_sign,
+          dist2
+        FROM cta FULL OUTER JOIN ctb ON cta.label = ctb.label
+        LEFT JOIN met ON met.label = COALESCE(cta.label, ctb.label)""")),
+
     // STREAMING EMBEDDING-DRIFT MONITOR: the odd half of the corpus
     // arrives as three micro-batches, each landing its per-label centroid
     // shift vs the CONSTANT even-half reference under __batch_id (plus a

@@ -252,6 +252,24 @@ object GraftTvfs {
       intLit(args(1), "gap minutes")))
   }
 
+  /** `graft_drift_embed(tableA, tableB, vecCol, sliceCol)` →
+    * [[Profile.embeddingDrift]]: per-slice quantized-centroid shift
+    * between the two named tables' embedding columns (n_a, n_b,
+    * cos2_ppm, cos_sign, dist2) — the drift family's vector member for
+    * SQL users.
+    */
+  val graftDriftEmbed: Seq[Expression] => LogicalPlan = { args =>
+    require(args.length == 4,
+      "usage: graft_drift_embed('<tableA>', '<tableB>', '<vector col>', " +
+        "'<slice col>')")
+    val spark = activeSession
+    plan(Profile.embeddingDrift(
+      spark.table(stringLit(args.head, "tableA")),
+      spark.table(stringLit(args(1), "tableB")),
+      col(stringLit(args(2), "vector column")),
+      Seq(stringLit(args(3), "slice column"))))
+  }
+
   val all: Map[String, Seq[Expression] => LogicalPlan] = Map(
     "graft_drift" -> graftDrift,
     "graft_dedup_pairs" -> graftDedupPairs,
@@ -263,7 +281,8 @@ object GraftTvfs {
     "graft_knn_label" -> graftKnnLabel,
     "graft_quantiles" -> graftQuantiles,
     "graft_asof" -> graftAsof,
-    "graft_sessionize" -> graftSessionize)
+    "graft_sessionize" -> graftSessionize,
+    "graft_drift_embed" -> graftDriftEmbed)
 
   private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
     df.queryExecution.logical

@@ -208,6 +208,24 @@ class GraftTvfsSpec extends SparkSpec {
     assert(sessTvf == sessApi && sessTvf.size == 3)
   }
 
+  test("graft_drift_embed == embeddingDrift API twin") {
+    registered()
+    def vec(i: Long): Seq[Float] = {
+      val rnd = new scala.util.Random(i * 911 + 5)
+      Seq.fill(8)(rnd.nextFloat() * 2f - 1f)
+    }
+    val a = (0L until 30L).map(i => (i, vec(i), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val b = (50L until 90L).map(i => (i, vec(i), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+    a.createOrReplaceTempView("gt_de_a"); b.createOrReplaceTempView("gt_de_b")
+    val viaTvf = spark.sql("SELECT * FROM graft_drift_embed('gt_de_a', " +
+      "'gt_de_b', 'embedding', 'label')").collect().map(_.toSeq).toSet
+    val viaApi = Profile.embeddingDrift(a, b, col("embedding"), Seq("label"))
+      .collect().map(_.toSeq).toSet
+    assert(viaTvf == viaApi && viaTvf.size == 2)
+  }
+
   test("argument validation fails loud") {
     registered()
     Seq((1L, "x")).toDF("doc_id", "text").createOrReplaceTempView("gt_v")
