@@ -122,6 +122,7 @@ object Bench {
     // per-try (sec, steal) detail lands in the JSON `probes` object so an
     // out-of-band reading is self-diagnosing.
     val probeTries = sys.env.getOrElse("SPARK_GRAFT_PROBE_TRIES", "2").toInt
+    val probeTriesMax = sys.env.getOrElse("SPARK_GRAFT_PROBE_TRIES_MAX", "4").toInt
     val probeDetail =
       scala.collection.mutable.LinkedHashMap[String, Seq[(Double, Double)]]()
     def isolatedProbe(name: String): Double = {
@@ -129,12 +130,23 @@ object Bench {
       // host with us, and a parent heap full of ~170 earlier rows' debt
       // competes with the child for memory bandwidth and page cache
       quiesce()
-      val tries = (1 to probeTries).map { _ =>
+      // ADAPTIVE tries (round-16): identical fresh JVMs should agree —
+      // when they don't (r16 battery: q_clustering tries 17.1/10.3 s vs
+      // a 6.8 s quiet standalone), the disagreement IS the host-noise
+      // signal, so keep probing until the two best tries agree within
+      // 15% (or the cap); the noise-floor min is what gets reported.
+      val tries = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+      def stable: Boolean = {
+        val valid = tries.map(_._1).filter(_ >= 0).sorted
+        valid.size >= 2 && valid(1) <= valid(0) * 1.15
+      }
+      while (tries.size < probeTries ||
+             (tries.size < probeTriesMax && !stable)) {
         val t0 = cpuTicks()
         val sec = try childRun(name) catch { case _: Throwable => -1.0 }
-        (sec, stealBetween(t0, cpuTicks()))
+        tries += ((sec, stealBetween(t0, cpuTicks())))
       }
-      probeDetail(name) = tries
+      probeDetail(name) = tries.toSeq
       val valid = tries.map(_._1).filter(_ >= 0)
       if (valid.isEmpty) -1.0 else valid.min
     }
