@@ -5479,6 +5479,22 @@ object ExtQueries {
     // 1e-4-quantized vectors — bit-reproducible across engines, unlike
     // float dots whose sums depend on aggregation order). The oracle
     // recomputes the same quantized dot, rank, and vote in pure SQL.
+    // The LSH-blocked scale rung: bucket-overlap candidates (fixed
+    // planes=3/tables=8/seed=42 — the embedding family's convention),
+    // same integer-dot rank and vote. Golden: an independent driver
+    // recomputation of candidates + quantized dots + vote (bucket codes
+    // are not SQL-expressible).
+    "q_knn_label_lsh" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        Similarity.labelPropagateLsh(
+          emb.filter(col("vec_id") % 50 === 0),
+          emb.filter(col("vec_id") % 50 =!= 0),
+          idCol = "vec_id", vecCol = "embedding", labelCol = "label",
+          k = 5, planes = 3, tables = 8, seed = 42L)
+      },
+      golden("q_knn_label_lsh")),
+
     "q_knn_label" -> Q(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")

@@ -272,19 +272,35 @@ object Similarity {
     val qCount = queries.limit((maxQueries + 1).min(Int.MaxValue).toInt).count()
     require(qCount <= maxQueries,
       s"labelPropagate broadcasts the query side, but it exceeds $maxQueries " +
-        "rows — propagate in bounded query batches (or raise maxQueries if " +
-        "the driver can hold the broadcast)")
-    def quant(c: Column): Column =
-      transform(c, x => round(x.cast("double") * 10000).cast("long"))
+        "rows — use labelPropagateLsh (bucketed candidates) or propagate in " +
+        "bounded query batches (or raise maxQueries if the driver can hold " +
+        "the broadcast)")
     val q = broadcast(queries.select(
-      col(idCol).as("query_id"), quant(col(vecCol)).as("__qvec")))
+      col(idCol).as("query_id"), quantizeVec(col(vecCol)).as("__qvec")))
     val scored = seeds
-      .select(col(idCol).as("neighbor_id"), quant(col(vecCol)).as("__svec"),
-        col(labelCol).as("__label"))
+      .select(col(idCol).as("neighbor_id"),
+        quantizeVec(col(vecCol)).as("__svec"), col(labelCol).as("__label"))
       .crossJoin(q)
       .select(col("query_id"), col("neighbor_id"), col("__label"),
-        aggregate(zip_with(col("__qvec"), col("__svec"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("dot"))
+        quantizedDot(col("__qvec"), col("__svec")).as("dot"))
+    voteTopK(scored, k)
+  }
+
+  /** 1e-4 quantization: the exact-integer-arithmetic contract shared by
+    * [[labelPropagate]] variants (float dot sums are order-dependent).
+    */
+  private def quantizeVec(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 10000).cast("long"))
+
+  private def quantizedDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** The vote tail shared by the [[labelPropagate]] family: bounded
+    * top-k heap per query over (dot desc, neighbor_id), then the
+    * majority label (ties → smallest label) via one ArgExtremum hash
+    * aggregate. Input: (query_id, neighbor_id, __label, dot).
+    */
+  private def voteTopK(scored: DataFrame, k: Int): DataFrame = {
     val votes = scored.groupBy("query_id")
       .agg(graft.functions.TopN.rows(
         struct(col("__label")),
@@ -300,6 +316,52 @@ object Similarity {
         isMax = false).as("__w"))
       .select(col("query_id"), col("__w.pred_label").as("pred_label"),
         col("__w.n_votes").as("n_votes"))
+  }
+
+  /** kNN label propagation, LSH-BLOCKED — the scale rung for when
+    * [[labelPropagate]]'s Q·N exact scan is too hot: candidate
+    * (query, seed) pairs share a full sign-pattern bucket in ANY of
+    * `tables` hyperplane tables (the [[knnJoinLsh]] family), generated
+    * by one hash equi-join on exploded bucket codes with an ids-only
+    * distinct — never a cross join. Candidates then score the SAME
+    * exact integer dot and vote with the same tie rules, so the
+    * prediction is deterministic given the seed and equals
+    * [[labelPropagate]] whenever the buckets recall each query's true
+    * top-k (recall tunes via planes/tables; ANN_SWEEP.md quantifies the
+    * plane family). The query side still broadcasts ids + quantized
+    * vectors into the scoring join; the win is pruning scored pairs
+    * from Q·N to bucket collisions. DEFAULT tuning derives from the
+    * SEED-corpus count via [[LshTuning.forCorpus]].
+    */
+  def labelPropagateLsh(queries: DataFrame, seeds: DataFrame, idCol: String,
+                        vecCol: String, labelCol: String, k: Int,
+                        planes: Int = 0, tables: Int = 0, seed: Long = 42L,
+                        tuneThreshold: Double = 0.7): DataFrame = {
+    require(k > 0, "k must be positive")
+    val (planesEff, tablesEff) =
+      if (planes > 0 && tables > 0) (planes, tables)
+      else {
+        val t = LshTuning.forCorpus(seeds.count(), tuneThreshold)
+        (if (planes > 0) planes else t.planes,
+         if (tables > 0) tables else t.tables)
+      }
+    def codes(c: Column) =
+      graft.functions.LshBucketCodes.column(c, planesEff, tablesEff, seed)
+    val qCodes = queries.select(col(idCol).as("query_id"),
+      explode(codes(col(vecCol))).as("__code"))
+    val sCodes = seeds.select(col(idCol).as("neighbor_id"),
+      explode(codes(col(vecCol))).as("__code"))
+    val pairs = sCodes.join(qCodes, "__code")
+      .select("query_id", "neighbor_id").distinct()
+    val scored = pairs
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        quantizeVec(col(vecCol)).as("__qvec"))), "query_id")
+      .join(seeds.select(col(idCol).as("neighbor_id"),
+        quantizeVec(col(vecCol)).as("__svec"), col(labelCol).as("__label")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("__label"),
+        quantizedDot(col("__qvec"), col("__svec")).as("dot"))
+    voteTopK(scored, k)
   }
 
   /** Batch kNN join, LSH-blocked — the production path when Q·N exact

@@ -63,6 +63,46 @@ class LabelPropagateSpec extends SparkSpec {
     assert(got2 == Seq((0L, 3, 2L)))
   }
 
+  test("labelPropagateLsh == driver mirror (bucket candidates, same dot/vote)") {
+    val got = Similarity.labelPropagateLsh(queries, seeds, "vec_id",
+        "embedding", "label", k = 5, planes = 3, tables = 8, seed = 42L)
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    def codes(v: Seq[Float]) =
+      Similarity.queryBucketCodes(v, 3, 8, 42L).toSet
+    val sd = seeds.as[(Long, Seq[Float], Int)].collect()
+    val expected = queries.as[(Long, Seq[Float], Int)].collect().flatMap {
+      case (qid, qv, _) =>
+        val qc = codes(qv)
+        val top = sd.filter { case (_, sv, _) => codes(sv).intersect(qc).nonEmpty }
+          .map { case (sid, sv, l) => (sid, l, qdot(qv, sv)) }
+          .sortBy { case (sid, _, d) => (-d, sid) }.take(5)
+        if (top.isEmpty) None
+        else {
+          val (label, votes) = top.groupBy(_._2).view.mapValues(_.length)
+            .toSeq.sortBy { case (l, n) => (-n, l) }.head
+          Some((qid, label, votes.toLong))
+        }
+    }.sortBy(_._1).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("labelPropagateLsh == labelPropagate on exact-duplicate clusters (total recall)") {
+    // identical vectors share every bucket, so LSH recalls the full
+    // top-k and the two rungs must agree exactly
+    val base = Seq(Seq(1f, 0f, 0f), Seq(0f, 1f, 0f), Seq(0f, 0f, 1f))
+    val emb = (0L until 30L).map(i =>
+      (i, base((i % 3).toInt), (i % 3).toInt + 10))
+      .toDF("vec_id", "embedding", "label")
+    val q = emb.filter($"vec_id" < 3)
+    val sds = emb.filter($"vec_id" >= 3)
+    val brute = Similarity.labelPropagate(q, sds, "vec_id", "embedding",
+      "label", k = 5).as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    val lsh = Similarity.labelPropagateLsh(q, sds, "vec_id", "embedding",
+        "label", k = 5, planes = 3, tables = 8, seed = 42L)
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(lsh == brute && brute.size == 3)
+  }
+
   test("query-side broadcast guard refuses an unbounded query batch") {
     val e = intercept[IllegalArgumentException](
       Similarity.labelPropagate(queries, seeds, "vec_id", "embedding",

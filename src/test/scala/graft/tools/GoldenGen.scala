@@ -411,6 +411,32 @@ object GoldenGen {
     write(knnRows.toSeq.toDF("query_id", "neighbor_id", "cos", "rank"),
       "q_knn_join_lsh")
 
+    // q_knn_label_lsh: queries = vec_id % 50 == 0, labeled seeds = rest,
+    // planes=3/tables=8/seed=42 (codes3), k=5 — per query: bucket-overlap
+    // candidates, EXACT INTEGER dot on 1e-4-quantized vectors
+    // (labelPropagate's arithmetic), (dot desc, id) top-5, majority vote
+    // (votes desc, label asc).
+    val labelsById = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    def qvec(v: Seq[Float]): Array[Long] =
+      v.map(x => math.round(x.toDouble * 10000)).toArray
+    def qdot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val lpQueries = embs.filter(_._1 % 50 == 0)
+    val lpSeeds = embs.filter(_._1 % 50 != 0)
+    val lpRows = lpQueries.map { case (qid, qv) =>
+      val qc = codes3(qid); val qq = qvec(qv)
+      val top = lpSeeds.iterator
+        .filter { case (sid, _) => codes3(sid).intersect(qc).nonEmpty }
+        .map { case (sid, sv) => (sid, labelsById(sid), qdot(qq, qvec(sv))) }
+        .toSeq.sortBy { case (sid, _, d) => (-d, sid) }.take(5)
+      val (label, votes) = top.groupBy(_._2).view.mapValues(_.size).toSeq
+        .sortBy { case (l, n) => (-n, l) }.head
+      (qid, label, votes.toLong)
+    }
+    write(lpRows.toSeq.toDF("query_id", "pred_label", "n_votes"),
+      "q_knn_label_lsh")
+
     // ---- q_ann_ivf: committed seeded IVF index + expected probe top-k ---
     // The k-means fit is the one non-replayable build step, so the SEEDED
     // INDEX ITSELF is the fixture (assigned table partitioned by cluster +
