@@ -327,8 +327,15 @@ object Similarity {
     * exact integer dot and vote with the same tie rules, so the
     * prediction is deterministic given the seed and equals
     * [[labelPropagate]] whenever the buckets recall each query's true
-    * top-k (recall tunes via planes/tables; ANN_SWEEP.md quantifies the
-    * plane family). The query side still broadcasts ids + quantized
+    * top-k (recall tunes via planes/tables; ANN_SWEEP.md's round-16
+    * table quantifies VOTE agreement per tuning — more tables beat more
+    * planes, (4, 16) reads 85% on the synthetic corpus). Caveat: the
+    * bucket family is ANGULAR while the vote ranks by unnormalized
+    * integer dot (MIPS) — on corpora with widely varying norms a
+    * small-norm angular neighbor can displace a larger-dot candidate
+    * the buckets never surfaced; on unit-normalized embeddings (the
+    * intended production shape) dot ≡ cosine and the gap closes to
+    * pure top-k recall. The query side still broadcasts ids + quantized
     * vectors into the scoring join; the win is pruning scored pairs
     * from Q·N to bucket collisions. DEFAULT tuning derives from the
     * SEED-corpus count via [[LshTuning.forCorpus]].
