@@ -10,8 +10,11 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * [[MediaStreams.ingestMediaDedup]] (media/Hamming), completing the
   * incremental-dedup matrix: each micro-batch's vectors probe the growing
   * published [[Dedup.embeddingLshIndex]] through the bucket-code join
-  * ([[Dedup.incrementalEmbeddingPairsLsh]] — history joined by its stored
-  * codes, never re-hashed; vector lookups pruned to candidates), drop
+  * (the [[Dedup.incrementalEmbeddingPairsLsh]] cost model — history
+  * joined by its stored codes, never re-hashed; vector lookups pruned to
+  * candidates — inlined here with the batch's exact-dup collapse HOISTED
+  * so both the history probe and the in-batch pairing share it, two
+  * exchanges per batch total), drop
   * items at cosine ≥ `threshold` of a published item (FIRST-ARRIVAL-WINS;
   * same-id re-sends match themselves and are dropped) or of a smaller-id
   * batchmate that itself survived the history probe, and append survivors
@@ -84,33 +87,88 @@ object EmbeddingStreams {
                                            guard: Option[SemanticGuard] = None,
                                            metricsPath: Option[String] = None): Unit = {
     val spark = batch.sparkSession
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val vecs = batch.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("v"))
       .filter(col("v").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val history =
-      if (DocumentStreams.pathExists(spark, indexPath))
-        DocumentStreams.readHistory(spark, indexPath, batchId)
+      .persist(mem)
+    // BARRIER BUDGET (round-17): the generic per-probe operators spent
+    // ~10 exchanges + ~8 broadcast builds per micro-batch — at batch
+    // scale each AQE stage materialization is its own Spark job, and the
+    // loop's quiet-host cost was pure job-launch overhead (33 stage-jobs
+    // per batch measured by graft.tools.JobCount). This inlined plan
+    // computes the SAME drop sets (EmbeddingStreamsSpec + the
+    // q_embed_ingest_stream golden mirror pin them) with exactly TWO
+    // exchanges per batch: the exact-dup collapse and the candidate
+    // distinct. Everything else is broadcast-sized by construction.
+    //
+    // ONE exact-dup collapse for the whole batch (was: rebuilt inside the
+    // history probe, and absent from the in-batch pass): reps holds the
+    // min-id representative of each distinct vector, so a batch of m
+    // identical vectors (the boilerplate-ingest hazard) pays ONE history
+    // probe and ONE in-batch pairing instead of m. Member expansion is
+    // exact: clique members share the rep's codes and vector bytes, so a
+    // rep-level verdict is every member's verdict.
+    val reps = vecs.groupBy("v").agg(min(col("id")).as("rid")).persist(mem)
+    val memb = vecs.join(reps, Seq("v")) // (v, id, rid); reps broadcasts
+    def bucketed(of: DataFrame) = of.select(col("rid"), col("v"),
+      explode(graft.functions.LshBucketCodes.column(col("v"), planes, tables, seed))
+        .as("bkt"))
+    // cliques dup of a PUBLISHED vector: drop every member. No
+    // rid≠old_id filter (excludeSelf=false semantics) — the batch side
+    // is unpublished (readHistory excludes the in-flight partition), so
+    // a same-id index match is a RE-SENT published item and drops.
+    // History is only ever JOINED by its stored codes (never re-hashed)
+    // and its vector rows stream against the broadcast candidate set —
+    // per-batch cost is O(batch × collision rate), not O(history).
+    val dropRepsH = (
+      if (DocumentStreams.pathExists(spark, indexPath)) {
+        val index = DocumentStreams.readHistory(spark, indexPath, batchId)
           .select("id", "v", "bkt")
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        Dedup.embeddingLshIndex(vecs, "id", "v", planes, tables, seed).schema)
-    // dup of a PUBLISHED vector: drop the NEW one. excludeSelf = false —
-    // the batch side is unpublished (readHistory excludes the in-flight
-    // partition), so a same-id index match is a RE-SENT published item
-    val dupOfHistory = Dedup.incrementalEmbeddingPairsLsh(
-        vecs, "id", "v", history, threshold, planes, tables, seed,
-        excludeSelf = false)
-      .select(col("new_id").as("__drop")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // ids-only distinct BEFORE any vector moves: the candidate set is
+        // the collision-sized quantity, and a pair co-bucketing in k
+        // tables must verify once, not k times
+        val candH = bucketed(reps).select(col("rid"), col("bkt"))
+          .join(index.select(col("bkt"), col("id").as("old_id")), Seq("bkt"))
+          .select("rid", "old_id").distinct()
+        candH.join(reps.select(col("rid"), col("v")), Seq("rid"))
+          .join(index.filter(col("v").isNotNull)
+            .select(col("id").as("old_id"), col("v").as("__ov")), Seq("old_id"))
+          .filter(graft.functions.VectorFunctions.cosine(col("v"), col("__ov"))
+            >= threshold)
+          .select("rid")
+      } else reps.select("rid").limit(0) // bootstrap: no history, no probe
+    ).persist(mem)
     // within-batch pairing over history-probe SURVIVORS only (the loops'
     // no-transitive-drop-via-unpublished policy); smallest id survives.
     // FIXED tuning — the loop's contract, not the corpus-derived default.
-    val eligible = vecs.join(dupOfHistory,
-      vecs("id") === col("__drop"), "left_anti")
-    val dupInBatch = Dedup.embeddingPairsLsh(eligible, "id", "v",
-        threshold, planes, tables, seed)
-      .select(col("id2").as("__drop"))
-    val dropIds = dupOfHistory.union(dupInBatch).distinct()
+    // Rep-level pair (rid1 < rid2) drops rid2's WHOLE clique (every
+    // member outranks rid2 > rid1); non-min members of a non-degenerate
+    // clique drop against their own rep (the star drop — cos(v,v) is the
+    // pairwise expression on identical bytes, 1 for any non-zero vector,
+    // 0 by the cosine convention for degenerate ones, which therefore
+    // never self-pair). Together these reproduce the uncollapsed
+    // id1<id2 pair drops exactly.
+    val eligB = bucketed(reps.join(dropRepsH, Seq("rid"), "left_anti")
+      .select(col("rid"), col("v")))
+    val pairDropReps = eligB
+      .select(col("bkt"), col("rid").as("rid1"), col("v").as("v1"))
+      .join(eligB.select(col("bkt"), col("rid").as("rid2"), col("v").as("v2")),
+        Seq("bkt"))
+      .filter(col("rid1") < col("rid2"))
+      .filter(graft.functions.VectorFunctions.cosine(col("v1"), col("v2"))
+        >= threshold)
+      .select(col("rid2").as("rid"))
+    val stars = memb.filter(col("id") =!= col("rid"))
+      .filter(graft.functions.VectorFunctions.cosine(col("v"), col("v"))
+        >= threshold)
+      .select("id")
+    // member-level drop set: anti-join consumers are duplicate-tolerant,
+    // so no distinct is spent on it
+    val dropIds = memb.join(dropRepsH.union(pairDropReps), Seq("rid"),
+        "left_semi").select("id")
+      .union(stars)
+      .withColumnRenamed("id", "__drop")
     val deduped = batch
       .join(dropIds, batch(idCol).cast("long") === col("__drop"), "left_anti")
     // ingest-time semantic decontamination on dedup survivors (see
@@ -142,7 +200,9 @@ object EmbeddingStreams {
       import spark.implicits._
       val nIn = batch.count()
       val nVecs = vecs.count()
-      val nDupHistory = dupOfHistory.count()
+      // members of history-dropped cliques (memb is one row per id, so
+      // this is an exact per-item count)
+      val nDupHistory = memb.join(dropRepsH, Seq("rid"), "left_semi").count()
       val nDeduped = deduped.count()
       val nPublished = survivors.count()
       // the within-batch pairing runs over history-probe survivors and
@@ -156,7 +216,8 @@ object EmbeddingStreams {
         batchId, mPath)
     }
     survivors.unpersist()
-    dupOfHistory.unpersist()
+    dropRepsH.unpersist()
+    reps.unpersist()
     vecs.unpersist()
   }
 
