@@ -84,6 +84,40 @@ object Bench {
         val tot = d.sum.toDouble
         if (tot <= 0 || d.length < 8) -1.0 else 100.0 * d(7) / tot
       }).getOrElse(-1.0)
+    // Round-17 probe telemetry: r16's per-try steal stamps DISPROVED the
+    // steal hypothesis (q_clustering tries 22.9-29.1 s at ≤0.03% steal),
+    // so an out-of-band try needs more host state to be self-explaining.
+    // iowait share and host BUSY share (non-idle, non-iowait — i.e. all
+    // compute on the host, this child's and anyone else's) come from the
+    // same /proc/stat window as steal; CPU pressure-stall time comes from
+    // /proc/pressure/cpu (`some total=` usec — time ANY runnable task
+    // waited for a CPU). The child reports its OWN process-CPU and GC
+    // seconds (below), so a reader can split a slow try three ways:
+    // busy ≫ child share → another process competed (the driver's sbt /
+    // DuckDB phases are invisible to steal but not to busy%); psi/iow
+    // high at normal busy → the host stalled the child; busy ≈ child
+    // share with child cpu/gc up → the child itself did more work.
+    def iowaitBetween(a: Option[Array[Long]],
+                      b: Option[Array[Long]]): Double =
+      (for (x <- a; y <- b) yield {
+        val d = y.zip(x).map { case (v, u) => v - u }
+        val tot = d.sum.toDouble
+        if (tot <= 0 || d.length < 5) -1.0 else 100.0 * d(4) / tot
+      }).getOrElse(-1.0)
+    def busyBetween(a: Option[Array[Long]],
+                    b: Option[Array[Long]]): Double =
+      (for (x <- a; y <- b) yield {
+        val d = y.zip(x).map { case (v, u) => v - u }
+        val tot = d.sum.toDouble
+        if (tot <= 0 || d.length < 5) -1.0
+        else 100.0 * (tot - d(3) - d(4)) / tot
+      }).getOrElse(-1.0)
+    def psiCpuUsec(): Option[Long] =
+      try {
+        val line = java.nio.file.Files
+          .readAllLines(java.nio.file.Paths.get("/proc/pressure/cpu")).get(0)
+        "total=(\\d+)".r.findFirstMatchIn(line).map(_.group(1).toLong)
+      } catch { case _: Throwable => None }
     val ticks0 = cpuTicks()
     def stealPct(): Double = stealBetween(ticks0, cpuTicks())
 
@@ -123,8 +157,15 @@ object Bench {
     // out-of-band reading is self-diagnosing.
     val probeTries = sys.env.getOrElse("SPARK_GRAFT_PROBE_TRIES", "2").toInt
     val probeTriesMax = sys.env.getOrElse("SPARK_GRAFT_PROBE_TRIES_MAX", "4").toInt
+    // per-try stamps: query seconds, then the host window (steal/iowait/
+    // busy %, CPU-pressure ms) and the child's self-report (process-CPU
+    // seconds, GC seconds) — see the telemetry note above for how a
+    // reader attributes an out-of-band try with these
+    final case class Try17(sec: Double, wall: Double, steal: Double,
+                           iow: Double, busy: Double, psiMs: Double,
+                           cpu: Double, gc: Double)
     val probeDetail =
-      scala.collection.mutable.LinkedHashMap[String, Seq[(Double, Double)]]()
+      scala.collection.mutable.LinkedHashMap[String, Seq[Try17]]()
     def isolatedProbe(name: String): Double = {
       // shrink THIS JVM's footprint first: the probe children share the
       // host with us, and a parent heap full of ~170 earlier rows' debt
@@ -135,22 +176,36 @@ object Bench {
       // a 6.8 s quiet standalone), the disagreement IS the host-noise
       // signal, so keep probing until the two best tries agree within
       // 15% (or the cap); the noise-floor min is what gets reported.
-      val tries = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+      // PROBE_TRIES=1 opts OUT of the stability extension — a single
+      // probe means a single child, and PROBE_TRIES_MAX only governs the
+      // adaptive mode (round-17, restoring the single-probe knob).
+      val tries = scala.collection.mutable.ArrayBuffer[Try17]()
       def stable: Boolean = {
-        val valid = tries.map(_._1).filter(_ >= 0).sorted
+        val valid = tries.map(_.sec).filter(_ >= 0).sorted
         valid.size >= 2 && valid(1) <= valid(0) * 1.15
       }
       while (tries.size < probeTries ||
-             (tries.size < probeTriesMax && !stable)) {
-        val t0 = cpuTicks()
-        val sec = try childRun(name) catch { case _: Throwable => -1.0 }
-        tries += ((sec, stealBetween(t0, cpuTicks())))
+             (probeTries > 1 && tries.size < probeTriesMax && !stable)) {
+        val t0 = cpuTicks(); val p0 = psiCpuUsec()
+        val w0 = System.nanoTime()
+        val (sec, cpu, gc) =
+          try childRun(name) catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+        val wall = (System.nanoTime() - w0) / 1e9
+        val t1 = cpuTicks(); val p1 = psiCpuUsec()
+        // host stamps cover the child's WHOLE wall window (startup +
+        // warm-up + runs), and `cpu`/`gc` are the child's lifetime
+        // totals — so the comparable pair is busy% vs
+        // 100·cpu/(wall·ncpus), NOT anything derived from `sec`
+        tries += Try17(sec, wall, stealBetween(t0, t1), iowaitBetween(t0, t1),
+          busyBetween(t0, t1),
+          (for (a <- p0; b <- p1) yield (b - a) / 1000.0).getOrElse(-1.0),
+          cpu, gc)
       }
       probeDetail(name) = tries.toSeq
-      val valid = tries.map(_._1).filter(_ >= 0)
+      val valid = tries.map(_.sec).filter(_ >= 0)
       if (valid.isEmpty) -1.0 else valid.min
     }
-    def childRun(name: String): Double = {
+    def childRun(name: String): (Double, Double, Double) = {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val jvmArgs = java.lang.management.ManagementFactory
         .getRuntimeMXBean.getInputArguments.asScala.toSeq
@@ -186,13 +241,16 @@ object Bench {
         drain.setDaemon(true)
         drain.start()
         if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
-          p.destroyForcibly(); return -1.0
+          p.destroyForcibly(); return (-1.0, -1.0, -1.0)
         }
         drain.join(30000)
         val out = outRef.get()
-        val re = ("\"" + java.util.regex.Pattern.quote(name) +
-          "\":(-?[0-9.]+)").r
-        re.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
+        def num(key: String): Double = {
+          val re = ("\"" + java.util.regex.Pattern.quote(key) +
+            "\":(-?[0-9.]+)").r
+          re.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
+        }
+        (num(name), num("proc_cpu_sec"), num("gc_sec"))
       } finally {
         // O(1) temp-dir discipline: the child is dead (or destroyed) by
         // now, so its cwd — BENCH_FULL.json plus whatever the child's
@@ -210,7 +268,12 @@ object Bench {
       }
     }
 
-    val results = names.map { name =>
+    // Probes run BEFORE the battery (round-17): an out-of-band try can
+    // then never be post-battery host state (page cache churned by ~240
+    // earlier rows, a hypervisor that throttles sustained load) — the
+    // children meet the same near-idle host the driver's first row does.
+    val (probeFirst, batteryRest) = names.partition(isolatedRows.contains)
+    val results = (probeFirst ++ batteryRest).map { name =>
       val t =
         if (isolatedRows.contains(name))
           try isolatedProbe(name) catch { case _: Throwable => -1.0 }
@@ -237,27 +300,48 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).filter(_ >= 0).sum
     val steal = stealPct()
-    // per-probe self-diagnosis: every isolated-probe row carries its
-    // per-try (sec, steal_pct) pairs — a reading above the row's quiet
-    // band should point at a stamped steal burst, not at the query
+    // this JVM's own compute self-report — in the PARENT line these are
+    // battery-wide; in a probe CHILD's line the parent parses them back
+    // as the try's cpu/gc stamps
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val procCpuSec = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        b.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+    val gcSec = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime.max(0L)).sum / 1000.0
+    // per-probe self-diagnosis: every isolated-probe row carries per-try
+    // stamps — sec, host steal/iowait/busy %, CPU-pressure ms, and the
+    // child's own process-CPU and GC seconds. Attribution rules live in
+    // BASELINE.md: busy% ≫ 100·cpu/(sec·ncpus) → external competition;
+    // psi/iow up → host stall; cpu/gc up at matched busy → the child
+    // itself worked more.
     val probesJson = probeDetail.map { case (k, tries) =>
-      "\"" + k + "\":{\"sec\":" + fmt(tries.map(_._1).filter(_ >= 0)
+      def arr(f: Try17 => Double) =
+        "[" + tries.map(t => fmt(f(t))).mkString(",") + "]"
+      "\"" + k + "\":{\"sec\":" + fmt(tries.map(_.sec).filter(_ >= 0)
           .minOption.getOrElse(-1.0)) +
-        ",\"tries\":[" + tries.map(t => fmt(t._1)).mkString(",") +
-        "],\"steal\":[" + tries.map(t => fmt(t._2)).mkString(",") + "]}"
+        ",\"tries\":" + arr(_.sec) + ",\"wall\":" + arr(_.wall) +
+        ",\"steal\":" + arr(_.steal) +
+        ",\"iow\":" + arr(_.iow) + ",\"busy\":" + arr(_.busy) +
+        ",\"psi_ms\":" + arr(_.psiMs) + ",\"cpu\":" + arr(_.cpu) +
+        ",\"gc\":" + arr(_.gc) + "}"
     }.mkString("{", ",", "}")
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"steal_pct":${fmt(steal)},"probes":$probesJson,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"steal_pct":${fmt(steal)},"proc_cpu_sec":${fmt(procCpuSec)},"gc_sec":${fmt(gcSec)},"probes":$probesJson,"queries":$fullQs,"sf":"$sfDir"}"""
     try
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
         (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // stdout line is the contract; file is best-effort
-    // chars for the inline map; total line (incl. the ~250-char probes
-    // object) must stay under the driver's 2000-char output capture
-    val budget = 1350
+    // chars for the inline map; total line (incl. the ~900-char probes
+    // object with its round-17 per-try host stamps) must stay under the
+    // driver's 2000-char output capture
+    val budget = 750
     val sb = new StringBuilder
     var kept = 0
     // stop at the FIRST entry that doesn't fit so the inline map is a
@@ -272,7 +356,7 @@ object Bench {
       else full = true
     }
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"steal_pct":${fmt(steal)},"probes":$probesJson,"queries":{$sb},"sf":"$sfDir","full":"BENCH_FULL.json"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"steal_pct":${fmt(steal)},"proc_cpu_sec":${fmt(procCpuSec)},"gc_sec":${fmt(gcSec)},"probes":$probesJson,"queries":{$sb},"sf":"$sfDir","full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }
