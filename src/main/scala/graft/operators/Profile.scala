@@ -832,12 +832,66 @@ object Profile {
     * calling the graft_overlap/graft_difference TVFs per query
     * accumulated them for the JVM's life).
     */
-  private def asLocal(df: DataFrame, maxRows: Int, what: String): DataFrame = {
+  private def boundedRows(df: DataFrame, maxRows: Int,
+                          what: String): Array[org.apache.spark.sql.Row] = {
     val rows = df.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"$what: more than $maxRows rows — not a bottom-$maxRows sketch table")
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), df.schema)
+    rows
+  }
+
+  /** Collect one sketch side as (hash → max weight) driver-side data —
+    * the set operations' input contract is "a bottom-k table" and the
+    * collect is LOUDLY bounded at k+1 rows, so this is sketch algebra on
+    * kilobytes, not a driver-side corpus walk. The (possibly
+    * corpus-scanning) sketch subtree runs exactly once and nothing stays
+    * persisted after the call — the leak-free replacement for the
+    * per-call localCheckpoint these functions used through round 15.
+    * `w` is `max` per hash with NULL ignored (None only when every
+    * duplicate's weight is NULL) — the [[kmvSetWeights]] convention.
+    */
+  private def localSketch(df: DataFrame, k: Int, what: String,
+                          weighted: Boolean): Map[Long, Option[Long]] =
+    boundedRows(df, k, what).toSeq
+      .map(r => (r.getLong(0),
+        if (weighted && !r.isNullAt(1)) Some(r.getLong(1)) else None))
+      .groupBy(_._1).view.mapValues { vs =>
+        val ws = vs.flatMap(_._2)
+        if (ws.isEmpty) None else Some(ws.max)
+      }.toMap
+
+  /** The flagged combined bottom-k, computed driver-side: for each hash
+    * of the bottom-`k` of A∪B (ascending), membership and max-weight per
+    * side. Through round 16 this table was built as a distributed plan
+    * (union → BottomK agg → two membership joins) — ~6 AQE stage jobs
+    * and hundreds of scheduled tasks for kilobyte inputs, which priced
+    * q_kmv_diff at 2.5× its r15 cost. The fold below is the same
+    * algebra on the already-collected sketches; the estimate arithmetic
+    * downstream stays in Spark expressions over a one-row local
+    * relation, so every published value is produced by the exact same
+    * Column code as before.
+    */
+  private def flaggedUnion(a: Map[Long, Option[Long]],
+                           b: Map[Long, Option[Long]], k: Int)
+      : Seq[(Long, Boolean, Option[Long], Boolean, Option[Long])] =
+    (a.keySet ++ b.keySet).toSeq.sorted.take(k).map { h =>
+      (h, a.contains(h), a.getOrElse(h, None),
+       b.contains(h), b.getOrElse(h, None))
+    }
+
+  /** Plant driver-computed aggregate stats as a ONE-ROW local relation
+    * (nullable BIGINTs — `None` encodes what a Spark `sum`/`max` over
+    * zero rows returns) so the estimator projections run unchanged.
+    */
+  private def statsRow(spark: org.apache.spark.sql.SparkSession,
+                       fields: Seq[(String, Option[Long])]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(fields.map { case (n, _) =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.LongType, nullable = true)
+    })
+    val row = org.apache.spark.sql.Row(
+      fields.map(_._2.map(Long.box).orNull): _*)
+    spark.createDataFrame(java.util.Arrays.asList(row), schema)
   }
 
   /** SET-OVERLAP estimates between two corpora from their [[kmvSketch]]
@@ -856,25 +910,24 @@ object Profile {
     * kilobyte-sized joins.
     */
   def kmvOverlap(sketchA: DataFrame, sketchB: DataFrame, k: Int): DataFrame = {
-    // each sketch feeds the union AND a membership join; left lazy the
+    // each sketch feeds the union AND the membership flags; left lazy the
     // (possibly corpus-scanning) sketch subtree would run twice per side.
-    // A ≤ k-row (k ≤ 8192) table is small enough to COLLECT into a
-    // driver-local relation: the corpus scan runs exactly once, nothing
-    // stays persisted after the call (localCheckpoint here leaked one RDD
-    // block pair per call — fatal for the graft_overlap TVF, which SQL
-    // users invoke repeatedly in one session), and every downstream join
-    // against the kilobyte-sized relation broadcasts for free.
-    val a = asLocal(sketchA.select(col("h")), k, "kmvOverlap(sketchA)")
-    val b = asLocal(sketchB.select(col("h")), k, "kmvOverlap(sketchB)")
-    val u = kmvMerge(a.unionByName(b), k)
-    val flagged = u
-      .join(a.withColumn("__ina", lit(1)).distinct(), Seq("h"), "left")
-      .join(b.withColumn("__inb", lit(1)).distinct(), Seq("h"), "left")
-    flagged.agg(
-        count(lit(1)).as("union_k"),
-        sum(when(col("__ina") === 1 && col("__inb") === 1, 1L).otherwise(0L))
-          .as("matches"),
-        max(col("h")).as("__kth"))
+    // A ≤ k-row (k ≤ 8192) table is small enough to COLLECT: the corpus
+    // scan runs exactly once, nothing stays persisted after the call
+    // (localCheckpoint here leaked one RDD block pair per call — fatal
+    // for the graft_overlap TVF, which SQL users invoke repeatedly in
+    // one session), and the set algebra folds driver-side
+    // ([[flaggedUnion]]) instead of spending exchanges on kilobytes.
+    val a = localSketch(sketchA.select(col("h")), k, "kmvOverlap(sketchA)",
+      weighted = false)
+    val b = localSketch(sketchB.select(col("h")), k, "kmvOverlap(sketchB)",
+      weighted = false)
+    val u = flaggedUnion(a, b, k)
+    val matches = u.count(r => r._2 && r._4).toLong
+    statsRow(sketchA.sparkSession, Seq(
+        "union_k" -> Some(u.length.toLong),
+        "matches" -> (if (u.isEmpty) None else Some(matches)),
+        "__kth" -> u.lastOption.map(_._1)))
       .select(
         col("union_k"), col("matches"),
         expr("matches * 1000000 DIV union_k").as("jaccard_ppm"),
@@ -901,24 +954,22 @@ object Profile {
     * corpus cost is the two reusable sketch builds.
     */
   def kmvDifference(sketchA: DataFrame, sketchB: DataFrame, k: Int): DataFrame = {
-    // driver-local sketches, not localCheckpoint: see [[kmvOverlap]] —
-    // zero persisted blocks per call is what keeps the graft_difference
-    // TVF callable in a loop without accumulating cache
-    val a = asLocal(sketchA.select(col("h")), k, "kmvDifference(sketchA)")
-    val b = asLocal(sketchB.select(col("h")), k, "kmvDifference(sketchB)")
-    val u = kmvMerge(a.unionByName(b), k)
-    val flagged = u
-      .join(a.withColumn("__ina", lit(1)).distinct(), Seq("h"), "left")
-      .join(b.withColumn("__inb", lit(1)).distinct(), Seq("h"), "left")
-    flagged.agg(
-        count(lit(1)).as("union_k"),
-        sum(when(col("__ina") === 1 && col("__inb") === 1, 1L).otherwise(0L))
-          .as("matches"),
-        sum(when(col("__ina") === 1 && col("__inb").isNull, 1L).otherwise(0L))
-          .as("only_a"),
-        sum(when(col("__inb") === 1 && col("__ina").isNull, 1L).otherwise(0L))
-          .as("only_b"),
-        max(col("h")).as("__kth"))
+    // driver-local sketch algebra, not localCheckpoint: see
+    // [[kmvOverlap]] — zero persisted blocks per call is what keeps the
+    // graft_difference TVF callable in a loop without accumulating cache
+    val a = localSketch(sketchA.select(col("h")), k,
+      "kmvDifference(sketchA)", weighted = false)
+    val b = localSketch(sketchB.select(col("h")), k,
+      "kmvDifference(sketchB)", weighted = false)
+    val u = flaggedUnion(a, b, k)
+    def cnt(f: ((Long, Boolean, Option[Long], Boolean, Option[Long])) => Boolean) =
+      if (u.isEmpty) None else Some(u.count(f).toLong)
+    statsRow(sketchA.sparkSession, Seq(
+        "union_k" -> Some(u.length.toLong),
+        "matches" -> cnt(r => r._2 && r._4),
+        "only_a" -> cnt(r => r._2 && !r._4),
+        "only_b" -> cnt(r => r._4 && !r._2),
+        "__kth" -> u.lastOption.map(_._1)))
       .select(
         col("union_k"), col("matches"), col("only_a"), col("only_b"),
         kmvEstimate(k, col("union_k"), col("__kth")).as("est_union"))
@@ -1008,34 +1059,30 @@ object Profile {
     */
   def kmvSetWeights(wsketchA: DataFrame, wsketchB: DataFrame,
                     k: Int): DataFrame = {
-    // driver-local sketches, not localCheckpoint (see [[kmvOverlap]])
-    val a = asLocal(wsketchA.select(col("h"), col("w")), k,
-      "kmvSetWeights(wsketchA)")
-    val b = asLocal(wsketchB.select(col("h"), col("w")), k,
-      "kmvSetWeights(wsketchB)")
-    val u = kmvMerge(a.select("h").unionByName(b.select("h")), k)
-    val flagged = u
-      .join(a.groupBy("h").agg(max(col("w")).as("__wa"))
-        .withColumn("__ina", lit(1)), Seq("h"), "left")
-      .join(b.groupBy("h").agg(max(col("w")).as("__wb"))
-        .withColumn("__inb", lit(1)), Seq("h"), "left")
-      .withColumn("__w", greatest(coalesce(col("__wa"), lit(0L)),
-        coalesce(col("__wb"), lit(0L))))
-    flagged.agg(
-        count(lit(1)).as("union_k"),
-        sum(when(col("__ina") === 1 && col("__inb") === 1, 1L).otherwise(0L))
-          .as("matches"),
-        sum(when(col("__ina") === 1 && col("__inb").isNull, 1L).otherwise(0L))
-          .as("only_a"),
-        sum(when(col("__inb") === 1 && col("__ina").isNull, 1L).otherwise(0L))
-          .as("only_b"),
-        sum(when(col("__ina") === 1 && col("__inb") === 1, col("__w"))
-          .otherwise(0L)).as("w_matched"),
-        sum(when(col("__ina") === 1 && col("__inb").isNull, col("__w"))
-          .otherwise(0L)).as("w_only_a"),
-        sum(when(col("__inb") === 1 && col("__ina").isNull, col("__w"))
-          .otherwise(0L)).as("w_only_b"),
-        max(col("h")).as("__kth"))
+    // driver-local sketch algebra, not localCheckpoint (see [[kmvOverlap]])
+    val a = localSketch(wsketchA.select(col("h"), col("w")), k,
+      "kmvSetWeights(wsketchA)", weighted = true)
+    val b = localSketch(wsketchB.select(col("h"), col("w")), k,
+      "kmvSetWeights(wsketchB)", weighted = true)
+    val u = flaggedUnion(a, b, k)
+    def cnt(f: ((Long, Boolean, Option[Long], Boolean, Option[Long])) => Boolean) =
+      if (u.isEmpty) None else Some(u.count(f).toLong)
+    // __w = greatest(coalesce(wa, 0), coalesce(wb, 0)), the max-per-hash
+    // convention; region sums in plain Long addition (the same wrap
+    // semantics as a non-ANSI Spark sum)
+    def wsum(f: ((Long, Boolean, Option[Long], Boolean, Option[Long])) => Boolean) =
+      if (u.isEmpty) None
+      else Some(u.filter(f)
+        .map(r => math.max(r._3.getOrElse(0L), r._5.getOrElse(0L))).sum)
+    statsRow(wsketchA.sparkSession, Seq(
+        "union_k" -> Some(u.length.toLong),
+        "matches" -> cnt(r => r._2 && r._4),
+        "only_a" -> cnt(r => r._2 && !r._4),
+        "only_b" -> cnt(r => r._4 && !r._2),
+        "w_matched" -> wsum(r => r._2 && r._4),
+        "w_only_a" -> wsum(r => r._2 && !r._4),
+        "w_only_b" -> wsum(r => r._4 && !r._2),
+        "__kth" -> u.lastOption.map(_._1)))
       .select(col("union_k"), col("matches"), col("only_a"), col("only_b"),
         col("w_matched"), col("w_only_a"), col("w_only_b"),
         kmvEstimate(k, col("union_k"), col("__kth")).as("est_union"))
@@ -1076,23 +1123,25 @@ object Profile {
     */
   def kmvWeightedJaccard(wsketchA: DataFrame, wsketchB: DataFrame,
                          k: Int): DataFrame = {
-    val a = asLocal(wsketchA.select(col("h"), col("w")), k,
-      "kmvWeightedJaccard(wsketchA)")
-    val b = asLocal(wsketchB.select(col("h"), col("w")), k,
-      "kmvWeightedJaccard(wsketchB)")
-    val u = kmvMerge(a.select("h").unionByName(b.select("h")), k)
-    val flagged = u
-      .join(a.groupBy("h").agg(max(col("w")).as("__wa")), Seq("h"), "left")
-      .join(b.groupBy("h").agg(max(col("w")).as("__wb")), Seq("h"), "left")
-    flagged.agg(
-        count(lit(1)).as("union_k"),
-        sum(when(col("__wa").isNotNull && col("__wb").isNotNull, 1L)
-          .otherwise(0L)).as("matches"),
-        sum(least(coalesce(col("__wa"), lit(0L)),
-          coalesce(col("__wb"), lit(0L)))).as("w_min_sum"),
-        sum(greatest(coalesce(col("__wa"), lit(0L)),
-          coalesce(col("__wb"), lit(0L)))).as("w_max_sum"),
-        max(col("h")).as("__kth"))
+    val a = localSketch(wsketchA.select(col("h"), col("w")), k,
+      "kmvWeightedJaccard(wsketchA)", weighted = true)
+    val b = localSketch(wsketchB.select(col("h"), col("w")), k,
+      "kmvWeightedJaccard(wsketchB)", weighted = true)
+    val u = flaggedUnion(a, b, k)
+    // NOTE the historical flag convention here: `matches` counts hashes
+    // whose max-weight is non-NULL on BOTH sides (a hash present in a
+    // sketch with only NULL weights does not match), unlike the
+    // membership flags of [[kmvSetWeights]] — preserved verbatim
+    def agg(f: Seq[(Long, Boolean, Option[Long], Boolean, Option[Long])] => Long) =
+      if (u.isEmpty) None else Some(f(u))
+    statsRow(wsketchA.sparkSession, Seq(
+        "union_k" -> Some(u.length.toLong),
+        "matches" -> agg(_.count(r => r._3.isDefined && r._5.isDefined).toLong),
+        "w_min_sum" -> agg(_.map(r =>
+          math.min(r._3.getOrElse(0L), r._5.getOrElse(0L))).sum),
+        "w_max_sum" -> agg(_.map(r =>
+          math.max(r._3.getOrElse(0L), r._5.getOrElse(0L))).sum),
+        "__kth" -> u.lastOption.map(_._1)))
       .select(col("union_k"), col("matches"),
         col("w_min_sum"), col("w_max_sum"),
         when(col("w_max_sum") === 0L, 0L)
