@@ -245,12 +245,15 @@ object TextFunctions {
       .otherwise(regexp_replace(path0, "/{2,}", "/"))
     // mid-list params drop with their '&'; a first-position param takes
     // the following '&' so the next param inherits the '?'; a lone
-    // leftover separator strips last
+    // leftover separator strips last. The first-position pattern is
+    // ANCHORED (query0 always starts with '?'): unanchored, a literal
+    // '?' inside a later param's VALUE (`?a=x?utm_b=2&c=3`) would be
+    // mangled. Names match case-insensitively ((?i:…) — RE2-compatible
+    // scoped flag): `UTM_SOURCE=` is the same tracker as `utm_source=`.
+    val trackers = "(?i:utm_[A-Za-z0-9_]*|fbclid|gclid)"
     val query0 = regexp_extract(rest, "(\\?.*)$", 1)
-    val query1 = regexp_replace(query0,
-      "&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*", "")
-    val query2 = regexp_replace(query1,
-      "\\?(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*&?", "?")
+    val query1 = regexp_replace(query0, "&" + trackers + "=[^&]*", "")
+    val query2 = regexp_replace(query1, "^\\?" + trackers + "=[^&]*&?", "?")
     val query = regexp_replace(query2, "[?&]$", "")
     when(scheme === "", lit(null).cast("string"))
       .otherwise(concat(scheme, lit("://"), host, path, query))

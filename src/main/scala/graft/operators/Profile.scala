@@ -670,6 +670,14 @@ object Profile {
     * only one corpus survive the full-outer join with NULL metrics —
     * appearing/disappearing sources ARE drift.
     *
+    * Dimensionality contract: vectors within a slice must share one
+    * length — ragged input FAILS LOUD (the mean would divide short
+    * dims' sums by the wrong n). A dim-count mismatch BETWEEN the two
+    * corpora yields NULL metrics for that slice (zip_with null-pads the
+    * shorter centroid and the integer folds propagate the NULL) — a
+    * changed encoder width reads as a visible NULL row, never as a
+    * silently-wrong number.
+    *
     * Plan shape at 100 TB: one scan per corpus; posexplode fans each row
     * to `dims` (slice, pos, q) triples that hash-aggregate with map-side
     * combine, so the exchange carries dims·slices rows per side; the
@@ -687,11 +695,24 @@ object Profile {
       val grouped =
         if (sliceCols.isEmpty) perDim.agg(
           sort_array(collect_list(struct(col("__pos"), col("__s")))).as("__sv"),
-          max(col("__n")).as(nName))
+          max(col("__n")).as(nName), min(col("__n")).as("__nmin"))
         else perDim.groupBy(sliceCols.map(col): _*).agg(
           sort_array(collect_list(struct(col("__pos"), col("__s")))).as("__sv"),
-          max(col("__n")).as(nName))
-      grouped.withColumn("__sum", expr("transform(__sv, t -> t.__s)"))
+          max(col("__n")).as(nName), min(col("__n")).as("__nmin"))
+      // RAGGED-INPUT GUARD: the mean divides every dimension's sum by the
+      // slice's vector COUNT, which is only the per-dim row count when
+      // every vector in the slice has the same length. Mixed lengths
+      // would silently divide short dims' sums by the wrong n — fail
+      // loud instead (free: min/max of a column already aggregated).
+      grouped.withColumn(nName,
+          when(col("__nmin") === col(nName), col(nName))
+            .otherwise(raise_error(concat(
+              lit("embeddingDrift: ragged vector lengths within a slice " +
+                "(per-dim counts "), col("__nmin"), lit(".."), col(nName),
+              lit(") — fix the input; centroids over mixed-length " +
+                "vectors are undefined")).cast("string")).cast("long")))
+        .drop("__nmin")
+        .withColumn("__sum", expr("transform(__sv, t -> t.__s)"))
         .withColumn("__mean", expr(s"transform(__sum, s -> s div $nName)"))
         .drop("__sv", "__sum")
     }

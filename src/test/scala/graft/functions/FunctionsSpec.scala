@@ -325,6 +325,10 @@ class FunctionsSpec extends SparkSpec {
       "https://ex.com/p?a=1&gclid=g&b=2" -> Some("https://ex.com/p?a=1&b=2"),
       "https://ex.com/p?utm_a=1&utm_b=2" -> Some("https://ex.com/p"),
       "https://ex.com/p?xfbclid=1" -> Some("https://ex.com/p?xfbclid=1"),
+      // tracker names match case-insensitively; a literal '?' inside a
+      // later param's VALUE is data, not a first-position anchor
+      "https://ex.com/p?UTM_Source=a&FBCLID=z&id=2" -> Some("https://ex.com/p?id=2"),
+      "https://ex.com/p?a=x?utm_b=2&c=3" -> Some("https://ex.com/p?a=x?utm_b=2&c=3"),
       // non-URLs have no canonical key
       "not a url" -> None,
       "relative/path?utm_a=1" -> None)

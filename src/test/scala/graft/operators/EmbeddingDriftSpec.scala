@@ -77,4 +77,27 @@ class EmbeddingDriftSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getLong(0) == 10L &&
       rows.head.getLong(1) == 10L)
   }
+
+  test("ragged vector lengths within a slice fail loud, never divide by the wrong n") {
+    // two 2-dim + one 3-dim vector in one slice: dim 2's sum would be
+    // divided by 3 under the old max(__n) arithmetic — now a raised error
+    val a = Seq((1L, Seq(1f, 2f)), (2L, Seq(3f, 4f)), (3L, Seq(5f, 6f, 7f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((9L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Profile.embeddingDrift(a, b, col("embedding")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("ragged vector lengths")))
+  }
+
+  test("a dim-count mismatch BETWEEN corpora reads NULL metrics, not wrong numbers") {
+    val a = Seq((1L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    val b = Seq((2L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val r = Profile.embeddingDrift(a, b, col("embedding")).collect().head
+    // n_a, n_b real; cos2_ppm / cos_sign / dist2 all NULL (zip_with pads)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L &&
+      r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
 }

@@ -424,15 +424,18 @@ object GoldenGen {
       a.zip(b).map { case (x, y) => x * y }.sum
     val lpQueries = embs.filter(_._1 % 50 == 0)
     val lpSeeds = embs.filter(_._1 % 50 != 0)
-    val lpRows = lpQueries.map { case (qid, qv) =>
+    val lpRows = lpQueries.flatMap { case (qid, qv) =>
       val qc = codes3(qid); val qq = qvec(qv)
       val top = lpSeeds.iterator
         .filter { case (sid, _) => codes3(sid).intersect(qc).nonEmpty }
         .map { case (sid, sv) => (sid, labelsById(sid), qdot(qq, qvec(sv))) }
         .toSeq.sortBy { case (sid, _, d) => (-d, sid) }.take(5)
-      val (label, votes) = top.groupBy(_._2).view.mapValues(_.size).toSeq
-        .sortBy { case (l, n) => (-n, l) }.head
-      (qid, label, votes.toLong)
+      // mirror the operator: a query with ZERO bucket collisions emits no
+      // row (labelPropagateLsh drops it) — .head here would crash golden
+      // regeneration at a tuning/sf where some bucket list comes up empty
+      top.groupBy(_._2).view.mapValues(_.size).toSeq
+        .sortBy { case (l, n) => (-n, l) }.headOption
+        .map { case (label, votes) => (qid, label, votes.toLong) }
     }
     write(lpRows.toSeq.toDF("query_id", "pred_label", "n_votes"),
       "q_knn_label_lsh")
