@@ -5770,6 +5770,39 @@ object ExtQueries {
       // code-overlap + sequential-cosine pairs (planes=3/tables=8/seed=42,
       // threshold 0.45 — the q_embed_neardup_lsh convention)
       golden("q_embed_ingest_stream")),
+
+    // PER-BATCH ATTRITION METRICS for the embed ingest loop (VERDICT-r16
+    // #7): the metricsPath sink armed end-to-end with the SemanticGuard,
+    // one row per micro-batch — n_in through n_published, stage counts
+    // summing to n_in by construction (null-vector items pass through
+    // into n_published; the fixture has none, which the mirror's
+    // n_null_vec = 0 column asserts). Golden mirror replays the funnel
+    // per batch: history drop → in-batch drop → contamination (cos ≥ 0.4
+    // of any vec_id < 50 suite vector) → published.
+    "q_embed_metrics_stream" -> Q(
+      (s, dir) => {
+        // fixed 500-vector input — the q_doc_ingest_stream contract
+        val emb = table(s, dir, "embeddings")
+        val vecs = emb.filter(col("vec_id") < 500)
+        val suite = emb.filter(col("vec_id") < 50)
+        val base = Queries.tempDir("graft_embmetrics")
+        val idxPath = s"$base/idx"; val outPath = s"$base/out"
+        val mPath = s"$base/metrics"
+        val guard = Some(graft.streaming.EmbeddingStreams.SemanticGuard(
+          suite, "vec_id", "embedding", threshold = 0.4))
+        (0 until 3).foreach { i =>
+          graft.streaming.EmbeddingStreams.processEmbeddingBatch(
+            vecs.filter(col("vec_id") % 3 === i), i.toLong,
+            "vec_id", "embedding", idxPath, outPath,
+            threshold = 0.45, planes = 3, tables = 8, seed = 42L,
+            guard, Some(mPath))
+        }
+        s.read.parquet(mPath).select(
+          col("__batch_id").cast("long").as("batch_id"),
+          col("n_in"), col("n_null_vec"), col("n_dup_history"),
+          col("n_dup_batch"), col("n_contaminated"), col("n_published"))
+      },
+      golden("q_embed_metrics_stream")),
   )
 
   def all: Seq[(String, Q)] =

@@ -380,6 +380,50 @@ object GoldenGen {
         "q_embed_ingest_stream")
     }
 
+    // q_embed_metrics_stream: the embed loop's PER-BATCH ATTRITION
+    // METRICS sink, with the SemanticGuard armed — same 3-batch replay as
+    // q_embed_ingest_stream (threshold 0.45, codes3 tuning) plus the
+    // guard stage on dedup survivors (contaminated = within cosine 0.4
+    // of ANY suite vector, suite = vec_id < 50 — the q_sem_contaminate
+    // convention; brute over the broadcast-sized suite, exactly what
+    // Curation.semanticContaminationHits computes). One row per batch:
+    // (n_in, n_null_vec, n_dup_history, n_dup_batch, n_contaminated,
+    // n_published); the stage counts are differences of consecutive
+    // survivor counts, so they SUM to n_in by construction — the funnel
+    // identity the battery row gates.
+    {
+      val suite = embs.filter(_._1 < 50L)
+      val published = scala.collection.mutable.ArrayBuffer[(Long, Seq[Float])]()
+      val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long, Long, Long)]()
+      for (b <- 0 until 3) {
+        val batchV = embs.filter(_._1 % 3 == b)
+        val dropHist = batchV.filter { case (id, v) =>
+          published.exists { case (pid, pv) =>
+            codes3(id).intersect(codes3(pid)).nonEmpty && cosine(v, pv) >= 0.45
+          }
+        }.map(_._1).toSet
+        val elig = batchV.filter(x => !dropHist.contains(x._1))
+        val dropBatch = (for {
+          i <- elig.indices.iterator
+          j <- (i + 1) until elig.length
+          (id1, v1) = elig(i); (id2, v2) = elig(j)
+          if codes3(id1).intersect(codes3(id2)).nonEmpty
+          if cosine(v1, v2) >= 0.45
+        } yield id2).toSet
+        val deduped = elig.filter(x => !dropBatch.contains(x._1))
+        val contaminated = deduped.filter { case (_, v) =>
+          suite.exists { case (_, sv) => cosine(v, sv) >= 0.4 }
+        }.map(_._1).toSet
+        val kept = deduped.filter(x => !contaminated.contains(x._1))
+        published ++= kept
+        rows += ((b.toLong, batchV.length.toLong, 0L, dropHist.size.toLong,
+          dropBatch.size.toLong, contaminated.size.toLong, kept.length.toLong))
+      }
+      write(rows.toSeq.toDF("batch_id", "n_in", "n_null_vec",
+          "n_dup_history", "n_dup_batch", "n_contaminated", "n_published"),
+        "q_embed_metrics_stream")
+    }
+
     // q_ann_lsh: query = vec_id 0, planes=4, tables=8, seed=42, k=10,
     // candidates by code overlap, exact cosine, (cos desc, vec_id) order
     val qVec = embs.find(_._1 == 0L).get._2
