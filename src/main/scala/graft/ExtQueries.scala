@@ -5803,6 +5803,69 @@ object ExtQueries {
           col("n_dup_batch"), col("n_contaminated"), col("n_published"))
       },
       golden("q_embed_metrics_stream")),
+
+    // INDEX COMPACTION MUST BE INVISIBLE (VERDICT-r16 #4, LSH family):
+    // the q_embed_ingest_stream protocol with
+    // [[graft.streaming.DocumentStreams.compactIndex]] run between
+    // batches 1 and 2 — batches 0–1's index partitions consolidate into
+    // the seed (asserted: exactly one __batch_id dir remains), then
+    // batch 2 probes the compacted history. Same golden as the
+    // uncompacted row: identical published rows, or the gate goes red.
+    "q_embed_compact_loop" -> Q(
+      (s, dir) => {
+        val vecs = table(s, dir, "embeddings").filter(col("vec_id") < 500)
+        val base = Queries.tempDir("graft_embcompact")
+        val idxPath = s"$base/idx"; val outPath = s"$base/out"
+        def run(i: Int): Unit =
+          graft.streaming.EmbeddingStreams.processEmbeddingBatch(
+            vecs.filter(col("vec_id") % 3 === i), i.toLong,
+            "vec_id", "embedding", idxPath, outPath,
+            threshold = 0.45, planes = 3, tables = 8, seed = 42L)
+        run(0); run(1)
+        graft.streaming.DocumentStreams.compactIndex(s, idxPath,
+          uptoBatch = 1L, targetFiles = 2)
+        val dirs = new java.io.File(idxPath).listFiles()
+          .count(f => f.isDirectory && f.getName.startsWith("__batch_id="))
+        require(dirs == 1,
+          s"compactIndex left $dirs __batch_id partitions, expected 1 (seed)")
+        run(2)
+        s.read.parquet(outPath)
+          .select(col("vec_id"), col("__batch_id").cast("long").as("batch_id"))
+      },
+      golden("q_embed_ingest_stream")),
+
+    // INDEX COMPACTION MUST BE INVISIBLE (VERDICT-r16 #4, BM25 family):
+    // the q_bm25_stream protocol with the marker-guarded
+    // [[graft.streaming.SearchStreams.compactBm25]] between batches 1
+    // and 2 — postings deltas merge into one row per token in the seed
+    // (exact df sums, re-capped postings), lengths consolidate, exactly
+    // one __batch_id dir remains on both paths (asserted), and serving
+    // over compacted-seed + live batch 2 must reproduce the SAME oracle
+    // as the never-compacted row.
+    "q_bm25_compact_loop" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val base = Queries.tempDir("graft_bm25c")
+        val lenP = s"$base/len"; val postP = s"$base/post"
+        def run(i: Int): Unit =
+          graft.streaming.SearchStreams.processBm25Batch(
+            docs.filter(col("doc_id") % 3 === i), i.toLong,
+            "doc_id", "text", lenP, postP)
+        run(0); run(1)
+        graft.streaming.SearchStreams.compactBm25(s, lenP, postP,
+          uptoBatch = 1L, targetFiles = 2)
+        Seq(lenP, postP).foreach { p =>
+          val dirs = new java.io.File(p).listFiles()
+            .count(f => f.isDirectory && f.getName.startsWith("__batch_id="))
+          require(dirs == 1,
+            s"compactBm25 left $dirs __batch_id partitions at $p, expected 1")
+        }
+        run(2)
+        graft.streaming.SearchStreams.bm25TopKStreamed(
+            s, lenP, postP, Seq("vector", "spark", "customer"), k = 10)
+          .select("id", "rank", "n_terms", "sum_tf", "dl")
+      },
+      bm25OracleSql),
   )
 
   def all: Seq[(String, Q)] =

@@ -169,8 +169,13 @@ object EmbeddingStreams {
         "left_semi").select("id")
       .union(stars)
       .withColumnRenamed("id", "__drop")
-    val deduped = batch
+    // with the metrics sink armed, deduped is consumed three times (the
+    // guard/survivor chain, its own count, and the published-count
+    // arithmetic) — persist it so the dedup DAG runs once, not per count
+    val deduped0 = batch
       .join(dropIds, batch(idCol).cast("long") === col("__drop"), "left_anti")
+    val deduped =
+      if (metricsPath.isDefined) deduped0.persist(mem) else deduped0
     // ingest-time semantic decontamination on dedup survivors (see
     // [[SemanticGuard]]): batch-sized vector set vs the constant
     // broadcast suite — contaminated items reach NO sink
@@ -187,24 +192,35 @@ object EmbeddingStreams {
           "left_anti")
       case None => deduped
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    DocumentStreams.writeBatchPartition(survivors, batchId, outPath)
-    // the index grows by the SURVIVORS' rows only (null-vector rows never
-    // entered `vecs`, so undecodable items pass through un-indexed)
-    DocumentStreams.writeBatchPartition(
-      Dedup.embeddingLshIndex(
-        vecs.join(survivors.select(col(idCol).cast("long").as("__keep")),
-          vecs("id") === col("__keep"), "left_semi"),
-        "id", "v", planes, tables, seed),
-      batchId, indexPath)
+    // METRICS RUN BEFORE THE SINKS when armed, and in ONE action: a
+    // tagged union over the stage frames aggregates all five counts in a
+    // single execution. Two reasons this ordering matters: (a) each
+    // count() as its own execution paid 5 × batches of fixed AQE/driver
+    // overhead; (b) a parquet WRITE does not load a cached child's
+    // column buffers (measured: after both sinks, deduped's cache
+    // reported isCachedColumnBuffersLoaded=false and its first count
+    // re-ran the whole dedup DAG) — the counting exec is what
+    // materializes the deduped/survivors buffers, so the writes below
+    // then consume loaded caches instead of re-deriving them.
     metricsPath.foreach { mPath =>
       import spark.implicits._
-      val nIn = batch.count()
-      val nVecs = vecs.count()
-      // members of history-dropped cliques (memb is one row per id, so
-      // this is an exact per-item count)
-      val nDupHistory = memb.join(dropRepsH, Seq("rid"), "left_semi").count()
-      val nDeduped = deduped.count()
-      val nPublished = survivors.count()
+      val m = Seq(
+          batch.select(lit("in").as("__k")),
+          vecs.select(lit("vec").as("__k")),
+          // members of history-dropped cliques (memb is one row per
+          // batch row, so this is an exact per-item count)
+          memb.join(dropRepsH, Seq("rid"), "left_semi")
+            .select(lit("dh").as("__k")),
+          deduped.select(lit("dd").as("__k")),
+          survivors.select(lit("pub").as("__k")))
+        .reduce(_ unionByName _)
+        .groupBy("__k").agg(count(lit(1)).as("__c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nIn = m.getOrElse("in", 0L)
+      val nVecs = m.getOrElse("vec", 0L)
+      val nDupHistory = m.getOrElse("dh", 0L)
+      val nDeduped = m.getOrElse("dd", 0L)
+      val nPublished = m.getOrElse("pub", 0L)
       // the within-batch pairing runs over history-probe survivors and
       // the guard over dedup survivors, so stage drop sets are disjoint
       // and counts are differences of consecutive survivor counts
@@ -215,7 +231,17 @@ object EmbeddingStreams {
           "n_contaminated", "n_published"),
         batchId, mPath)
     }
+    DocumentStreams.writeBatchPartition(survivors, batchId, outPath)
+    // the index grows by the SURVIVORS' rows only (null-vector rows never
+    // entered `vecs`, so undecodable items pass through un-indexed)
+    DocumentStreams.writeBatchPartition(
+      Dedup.embeddingLshIndex(
+        vecs.join(survivors.select(col(idCol).cast("long").as("__keep")),
+          vecs("id") === col("__keep"), "left_semi"),
+        "id", "v", planes, tables, seed),
+      batchId, indexPath)
     survivors.unpersist()
+    if (metricsPath.isDefined) deduped.unpersist()
     dropRepsH.unpersist()
     reps.unpersist()
     vecs.unpersist()

@@ -80,11 +80,14 @@ object JobCount {
       val bySite = jobMs.asScala.toSeq.groupBy(j =>
           jobSite.get(j._1).takeWhile(_ != ' '))
         .map { case (site, js) =>
+          // the LAST job's stage name in the group names the action
           (site, js.size, js.map(_._2).sum,
-           js.map(j => jobTasks.getOrDefault(j._1, Int.box(0)).toInt).sum)
+           js.map(j => jobTasks.getOrDefault(j._1, Int.box(0)).toInt).sum,
+           js.maxBy(_._1)._1)
         }.toSeq.sortBy(-_._3)
-      bySite.take(15).foreach { case (site, cnt, ms, tk) =>
-        println(f"  $site%-12s jobs=$cnt%3d  ms=$ms%6d  tasks=$tk%5d")
+      bySite.take(15).foreach { case (site, cnt, ms, tk, lastJob) =>
+        val nm = jobSite.getOrDefault(lastJob, "?").dropWhile(_ != ' ').take(40)
+        println(f"  $site%-12s jobs=$cnt%3d  ms=$ms%6d  tasks=$tk%5d $nm%s")
       }
     }
     spark.stop()
