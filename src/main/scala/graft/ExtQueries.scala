@@ -5289,51 +5289,61 @@ object ExtQueries {
   // sf. The collect is the stream-HARNESS boundary, not the operator's
   // plan — production feeds arrive from Kafka/files; the operators
   // themselves are watermarked streaming transforms with bounded state.
-  private val streamTwinQueries: Seq[(String, Q)] = Seq(
-    // EVENT-TIME SESSIONIZATION, streamed: the flatMapGroupsWithState
-    // interval-merge sessionizer fed the pinned corpus as three
-    // CONSECUTIVE time-ordered micro-batches (determinism holds for any
-    // batch split of an in-order stream — EventStreams.mergeSessions),
-    // then a far-future sentinel advances the watermark past every open
-    // session's end + gap so event-time timeouts flush ALL sessions.
-    // Oracle: the batch gap-sessionization SQL (q_events_session's CTE)
-    // restricted to the same pinned slice — stream must equal batch.
-    // GRANULARITY CONTRACT: the sessionizer's per-key state is epoch
-    // MILLIS (ts.getTime), so session bounds and gap decisions truncate
-    // sub-millisecond precision; the oracle sessionizes the same
-    // millis-truncated timestamps so both engines decide identical gaps.
-    "q_session_stream" -> Q(
-      (s, dir) => {
-        import s.implicits._
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val pinned = events(s, dir).filter(col("event_id") < 5000)
-          .select("event_id", "ts", "user_id", "event_type", "value")
-          .as[graft.streaming.Event].collect()
-          .sortBy(e => (e.ts.getTime, e.event_id))
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[graft.streaming.Event]
-        val name = memSinkName("sess_stream_out")
-        withShufflePartitions(s, 4) {
-          val q = EventStreams
-            .sessionizeStreamEventTime(mem.toDS(), gapMinutes = 30,
-              watermarkDelay = "1 minutes")
-            .writeStream.outputMode("append").format("memory")
-            .queryName(name).start()
-          try {
-            val batchLen = math.max(1, (pinned.length + 2) / 3)
-            pinned.grouped(batchLen).foreach { b =>
-              mem.addData(b.toSeq: _*); q.processAllAvailable()
-            }
-            val far = pinned.map(_.ts.getTime).max + 90L * 24 * 3600 * 1000
-            mem.addData(graft.streaming.Event(
-              -1L, new java.sql.Timestamp(far), -1L, "view", 0.0))
-            q.processAllAvailable()
-          } finally q.stop()
+  //
+  // Each stateful row runs under TWO split protocols (VERDICT-r16 #5):
+  // the even 3-way split and an UNEVEN one (a 1-row trickle, then one
+  // huge batch, then the remainder) — real arrival is bursty, and
+  // watermark/state progress under skewed batch sizes must produce the
+  // SAME answer as the even protocol (the `_uneven` rows share their
+  // even twin's oracle verbatim).
+  /** Split `n` items into batch lengths: even thirds, or 1/≈80%/rest. */
+  private def evenSplit(n: Int): Seq[Int] = {
+    val b = math.max(1, (n + 2) / 3); Seq(b, b, math.max(0, n - 2 * b))
+  }
+  private def unevenSplit(n: Int): Seq[Int] = {
+    val big = math.max(1, (n - 1) * 4 / 5)
+    Seq(1, big, math.max(0, n - 1 - big))
+  }
+  private def slicesOf[T](items: Array[T], sizes: Seq[Int]): Seq[Array[T]] = {
+    var off = 0
+    sizes.map { len =>
+      val s = items.slice(off, math.min(items.length, off + len))
+      off += len; s
+    }.filter(_.nonEmpty)
+  }
+
+  private def runSessionStream(s: org.apache.spark.sql.SparkSession,
+                               dir: String,
+                               split: Int => Seq[Int]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val pinned = events(s, dir).filter(col("event_id") < 5000)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[graft.streaming.Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.Event]
+    val name = memSinkName("sess_stream_out")
+    withShufflePartitions(s, 4) {
+      val q = EventStreams
+        .sessionizeStreamEventTime(mem.toDS(), gapMinutes = 30,
+          watermarkDelay = "1 minutes")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        slicesOf(pinned, split(pinned.length)).foreach { b =>
+          mem.addData(b.toSeq: _*); q.processAllAvailable()
         }
-        s.table(name).filter(col("user_id") =!= -1L)
-          .select("user_id", "session_start", "session_end", "n_events")
-      },
-      Some("""
+        val far = pinned.map(_.ts.getTime).max + 90L * 24 * 3600 * 1000
+        mem.addData(graft.streaming.Event(
+          -1L, new java.sql.Timestamp(far), -1L, "view", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    s.table(name).filter(col("user_id") =!= -1L)
+      .select("user_id", "session_start", "session_end", "n_events")
+  }
+  private val sessionStreamOracle = Some("""
         WITH src AS (SELECT event_id, user_id,
             date_trunc('milliseconds', ts) AS ts
           FROM events WHERE event_id < 5000),
@@ -5351,7 +5361,115 @@ object ExtQueries {
           FROM flagged)
         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
           count(*) AS n_events
-        FROM sess GROUP BY user_id, sess_id""")),
+        FROM sess GROUP BY user_id, sess_id""")
+
+  private def runEventDedupStream(s: org.apache.spark.sql.SparkSession,
+                                  dir: String,
+                                  split: Int => Seq[Int]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val pinned = events(s, dir).filter(col("event_id") < 5000)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[graft.streaming.Event].collect()
+    def replay(e: graft.streaming.Event, secs: Long) = e.copy(
+      ts = new java.sql.Timestamp(e.ts.getTime + secs * 1000),
+      value = e.value + 999.0)
+    // the split yields the ORIGINALS per batch; every later batch also
+    // re-sends every EARLIER batch's events as garbled retransmissions
+    val parts = slicesOf(pinned, split(pinned.length))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.Event]
+    val name = memSinkName("dedup_stream_out")
+    withShufflePartitions(s, 4) {
+      val q = EventStreams
+        .dedupStream(mem.toDF(), Seq("event_id"), watermarkDelay = "90 days")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        parts.zipWithIndex.foreach { case (b, i) =>
+          val replays = parts.take(i).zipWithIndex.flatMap { case (p, j) =>
+            p.map(replay(_, (i - j).toLong))
+          }
+          mem.addData((b ++ replays).toSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    s.table(name).select(col("event_id"), col("user_id"),
+      col("event_type"), round(col("value") * 100).cast("long").as("cents"),
+      col("ts"))
+  }
+  private val eventDedupOracle = Some("""
+        SELECT event_id, user_id, event_type,
+          CAST(round(value * 100) AS BIGINT) AS cents, ts
+        FROM events WHERE event_id < 5000""")
+
+  private def runHeavyStream(s: org.apache.spark.sql.SparkSession,
+                             dir: String,
+                             split: Int => Seq[Int]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 30)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect()
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val outPath = Queries.tempDir("graft_hhstream") + "/out"
+    val sink = (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                id: Long) =>
+      df.withColumn("__batch_id", lit(id))
+        .write.mode("append").parquet(outPath)
+    withShufflePartitions(s, 4) {
+      val q = graft.streaming.DocumentStreams
+        .heavyTokensStream(mem.toDF().toDF("doc_id", "lang", "text"),
+          "lang", "text", k = 64)
+        .toDF("g", "hh")
+        .writeStream.outputMode("update").foreachBatch(sink).start()
+      try {
+        slicesOf(docs, split(docs.length)).foreach { b =>
+          mem.addData(b.toSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    s.read.parquet(outPath).groupBy(col("g"))
+      .agg(graft.functions.ArgExtremum.argRow(
+        struct(col("hh")), struct(col("__batch_id")), isMax = true).as("w"))
+      .select(col("g").as("lang"), posexplode(col("w.hh")).as(Seq("__pos", "e")))
+      .select(col("lang"), col("e._1").as("token"), col("e._2").as("cnt"),
+        (col("__pos") + 1).cast("long").as("rank"))
+  }
+  private val heavyStreamOracle = Some(s"""
+        WITH tok AS (SELECT lang, unnest($sqlTokens) AS token
+          FROM documents WHERE doc_id < 30),
+        cnt AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY 1, 2)
+        SELECT lang, token, cnt,
+          CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY cnt DESC, token) AS BIGINT) AS rank
+        FROM cnt""")
+
+  private val streamTwinQueries: Seq[(String, Q)] = Seq(
+    // EVENT-TIME SESSIONIZATION, streamed: the flatMapGroupsWithState
+    // interval-merge sessionizer fed the pinned corpus as three
+    // CONSECUTIVE time-ordered micro-batches (determinism holds for any
+    // batch split of an in-order stream — EventStreams.mergeSessions),
+    // then a far-future sentinel advances the watermark past every open
+    // session's end + gap so event-time timeouts flush ALL sessions.
+    // Oracle: the batch gap-sessionization SQL (q_events_session's CTE)
+    // restricted to the same pinned slice — stream must equal batch.
+    // GRANULARITY CONTRACT: the sessionizer's per-key state is epoch
+    // MILLIS (ts.getTime), so session bounds and gap decisions truncate
+    // sub-millisecond precision; the oracle sessionizes the same
+    // millis-truncated timestamps so both engines decide identical gaps.
+    "q_session_stream" -> Q(
+      (s, dir) => runSessionStream(s, dir, evenSplit),
+      sessionStreamOracle),
+    // the same sessionizer under BURSTY arrival: one event trickles in,
+    // the bulk lands as a single huge batch, the tail follows — the
+    // watermark jumps unevenly between micro-batches, and flushed
+    // sessions must still equal the batch gap-sessionization exactly
+    "q_session_stream_uneven" -> Q(
+      (s, dir) => runSessionStream(s, dir, unevenSplit),
+      sessionStreamOracle),
 
     // STREAMING EXACTLY-ONCE DEDUP: dropDuplicatesWithinWatermark keyed on
     // the id ALONE, fed three batches where batches 2 and 3 RE-SEND every
@@ -5362,42 +5480,15 @@ object ExtQueries {
     // originals. The pinned slice spans ~1.5 days, far inside the 90-day
     // watermark horizon, so no original can be late-dropped.
     "q_event_dedup_stream" -> Q(
-      (s, dir) => {
-        import s.implicits._
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val pinned = events(s, dir).filter(col("event_id") < 5000)
-          .select("event_id", "ts", "user_id", "event_type", "value")
-          .as[graft.streaming.Event].collect()
-        def replay(e: graft.streaming.Event, secs: Long) = e.copy(
-          ts = new java.sql.Timestamp(e.ts.getTime + secs * 1000),
-          value = e.value + 999.0)
-        val b0 = pinned.filter(_.event_id % 3 == 0)
-        val b1 = pinned.filter(_.event_id % 3 == 1)
-        val b2 = pinned.filter(_.event_id % 3 == 2)
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[graft.streaming.Event]
-        val name = memSinkName("dedup_stream_out")
-        withShufflePartitions(s, 4) {
-          val q = EventStreams
-            .dedupStream(mem.toDF(), Seq("event_id"), watermarkDelay = "90 days")
-            .writeStream.outputMode("append").format("memory")
-            .queryName(name).start()
-          try {
-            mem.addData(b0.toSeq: _*); q.processAllAvailable()
-            mem.addData((b1 ++ b0.map(replay(_, 1))).toSeq: _*)
-            q.processAllAvailable()
-            mem.addData((b2 ++ b1.map(replay(_, 2)) ++ b0.map(replay(_, 3))).toSeq: _*)
-            q.processAllAvailable()
-          } finally q.stop()
-        }
-        s.table(name).select(col("event_id"), col("user_id"),
-          col("event_type"), round(col("value") * 100).cast("long").as("cents"),
-          col("ts"))
-      },
-      Some("""
-        SELECT event_id, user_id, event_type,
-          CAST(round(value * 100) AS BIGINT) AS cents, ts
-        FROM events WHERE event_id < 5000""")),
+      (s, dir) => runEventDedupStream(s, dir, evenSplit),
+      eventDedupOracle),
+    // bursty retransmission: the 1-row first batch's event is re-sent by
+    // BOTH later batches (garbled twice over), and the huge second
+    // batch's entire payload replays inside the small third — expected
+    // output is still exactly the first-arrival originals
+    "q_event_dedup_stream_uneven" -> Q(
+      (s, dir) => runEventDedupStream(s, dir, unevenSplit),
+      eventDedupOracle),
 
     // SKEW-SALTED JOIN (previously spec-only, JoinsSpec): the left side
     // salts by row hash, the right side replicates across the salt
@@ -5430,48 +5521,15 @@ object ExtQueries {
     // counts must equal exact corpus counts — any cross-batch state loss,
     // double-count, or spurious reduction breaks the hash gate.
     "q_heavy_stream" -> Q(
-      (s, dir) => {
-        import s.implicits._
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val docs = table(s, dir, "documents").filter(col("doc_id") < 30)
-          .select(col("doc_id"), col("lang"), col("text"))
-          .as[(Long, String, String)].collect()
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, String, String)]
-        val outPath = Queries.tempDir("graft_hhstream") + "/out"
-        val sink = (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                    id: Long) =>
-          df.withColumn("__batch_id", lit(id))
-            .write.mode("append").parquet(outPath)
-        withShufflePartitions(s, 4) {
-          val q = graft.streaming.DocumentStreams
-            .heavyTokensStream(mem.toDF().toDF("doc_id", "lang", "text"),
-              "lang", "text", k = 64)
-            .toDF("g", "hh")
-            .writeStream.outputMode("update").foreachBatch(sink).start()
-          try {
-            (0 until 3).foreach { i =>
-              mem.addData(docs.filter(_._1 % 3 == i).toSeq: _*)
-              q.processAllAvailable()
-            }
-          } finally q.stop()
-        }
-        s.read.parquet(outPath).groupBy(col("g"))
-          .agg(graft.functions.ArgExtremum.argRow(
-            struct(col("hh")), struct(col("__batch_id")), isMax = true).as("w"))
-          .select(col("g").as("lang"), posexplode(col("w.hh")).as(Seq("__pos", "e")))
-          .select(col("lang"), col("e._1").as("token"), col("e._2").as("cnt"),
-            (col("__pos") + 1).cast("long").as("rank"))
-      },
-      Some(s"""
-        WITH tok AS (SELECT lang, unnest($sqlTokens) AS token
-          FROM documents WHERE doc_id < 30),
-        cnt AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
-          FROM tok GROUP BY 1, 2)
-        SELECT lang, token, cnt,
-          CAST(row_number() OVER (PARTITION BY lang
-            ORDER BY cnt DESC, token) AS BIGINT) AS rank
-        FROM cnt""")),
+      (s, dir) => runHeavyStream(s, dir, evenSplit),
+      heavyStreamOracle),
+    // bursty arrival for the cross-batch MG state: a single document,
+    // then ~80% of the corpus in one batch, then the tail — the exact
+    // regime's final state (and so the served last emission) must be
+    // split-invariant
+    "q_heavy_stream_uneven" -> Q(
+      (s, dir) => runHeavyStream(s, dir, unevenSplit),
+      heavyStreamOracle),
 
     // kNN LABEL PROPAGATION: every 10th vector plays "unlabeled query",
     // the rest are the labeled seed corpus; each query takes the majority
