@@ -47,11 +47,64 @@ object LshTuning {
       math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
     val theta = math.acos(threshold)
     val pCollide = math.pow(1.0 - theta / math.Pi, planes.toDouble)
-    val tables =
-      if (pCollide >= 1.0) 1
-      else math.min(maxTables.toLong,
-        math.max(1L, math.ceil(
-          math.log1p(-targetRecall) / math.log1p(-pCollide)).toLong)).toInt
-    Params(planes, tables)
+    Params(planes, tablesFor(pCollide, targetRecall, maxTables))
+  }
+
+  private def tablesFor(pCollide: Double, perItemRecall: Double,
+                        maxTables: Int): Int =
+    if (pCollide >= 1.0) 1
+    else math.min(maxTables.toLong,
+      math.max(1L, math.ceil(
+        math.log1p(-perItemRecall) / math.log1p(-pCollide)).toLong)).toInt
+
+  /** Tuning for a MAJORITY-VOTE consumer ([[Similarity.labelPropagateLsh]]
+    * and kin): a missed neighbor only matters when it flips the vote, so
+    * the per-neighbor recall the tables must buy is LOWER than a
+    * pair-recall target — the ANN_SWEEP round-16 lesson that neighbor
+    * recall understates a voting operator's robustness, folded back into
+    * the tuner.
+    *
+    * Model: each of the k true neighbors independently survives bucket
+    * pruning with per-neighbor recall r = 1 − (1 − p)^tables; the vote
+    * is PESSIMISTICALLY assumed correct only when a strict majority
+    * (⌊k/2⌋ + 1) of the true top-k survives — i.e. the adversary holds a
+    * minimal majority and every miss hits it. `targetVote` is then
+    * P[Binom(k, r) ≥ ⌊k/2⌋+1], inverted for the smallest r that reaches
+    * it; the plane cap is [[forCorpus]]'s occupancy rule unchanged. At
+    * k = 5 / targetVote 0.95 this needs r ≈ 0.81 instead of 0.95 —
+    * one-third fewer tables at the q_knn_label scale (4 vs 6), and the
+    * candidate fraction follows (ANN_SWEEP round-17 table).
+    *
+    * The model counts COLLISION loss only: it is exact for the
+    * unit-normalized regime, where the angular buckets and the dot
+    * ranking agree. On corpora with wide norm spread the MIPS-vs-angle
+    * mismatch (ANN_SWEEP round-16 caveat) adds disagreements no table
+    * count removes — measured there, vote-tuned defaults trade ≤ a few
+    * points of agreement for the candidate-fraction cut.
+    */
+  def forVote(n: Long, threshold: Double, k: Int,
+              targetVote: Double = 0.95,
+              targetBucket: Int = 250,
+              maxTables: Int = 64): Params = {
+    require(k > 0, "k must be positive")
+    require(targetVote > 0 && targetVote < 1, "targetVote in (0, 1)")
+    val base = forCorpus(n, threshold, targetBucket, 0.5, maxTables)
+    val m = k / 2 + 1
+    def voteProb(r: Double): Double = {
+      def comb(a: Int, b: Int): Double =
+        (1 to b).map(i => (a - b + i).toDouble / i).product
+      (m to k).map(j =>
+        comb(k, j) * math.pow(r, j) * math.pow(1 - r, k - j)).sum
+    }
+    // smallest per-neighbor recall whose pessimistic vote survival meets
+    // the target (voteProb is monotone in r — bisect to 1e-4)
+    var lo = 0.0; var hi = 1.0
+    (0 until 40).foreach { _ =>
+      val mid = (lo + hi) / 2
+      if (voteProb(mid) >= targetVote) hi = mid else lo = mid
+    }
+    val theta = math.acos(threshold)
+    val pCollide = math.pow(1.0 - theta / math.Pi, base.planes.toDouble)
+    Params(base.planes, tablesFor(pCollide, hi, maxTables))
   }
 }

@@ -338,7 +338,10 @@ object Similarity {
     * pure top-k recall. The query side still broadcasts ids + quantized
     * vectors into the scoring join; the win is pruning scored pairs
     * from Q·N to bucket collisions. DEFAULT tuning derives from the
-    * SEED-corpus count via [[LshTuning.forCorpus]].
+    * SEED-corpus count via [[LshTuning.forCorpus]]; for corpora with
+    * real cluster structure (top-k genuinely at ≥ `tuneThreshold`),
+    * pass [[LshTuning.forVote]]'s Params explicitly — measured to reach
+    * the vote target at half the tables there (ANN_SWEEP round-17).
     */
   def labelPropagateLsh(queries: DataFrame, seeds: DataFrame, idCol: String,
                         vecCol: String, labelCol: String, k: Int,
@@ -348,6 +351,16 @@ object Similarity {
     val (planesEff, tablesEff) =
       if (planes > 0 && tables > 0) (planes, tables)
       else {
+        // DEFAULT stays the pair-recall tuner: the round-17 vote-target
+        // mode ([[LshTuning.forVote]]) was measured on this family
+        // (ANN_SWEEP round-17) and its candidate cut costs agreement
+        // point-for-point on weakly-clustered corpora, where the true
+        // top-k sit far below the tuning threshold angle and collision
+        // losses are query-correlated — the binomial premise only holds
+        // when neighbors really live at ≥ tuneThreshold (measured: the
+        // clustered regime reaches the vote target at HALF the
+        // pair-recall tables). Callers whose corpora have real cluster
+        // structure opt in by passing forVote's Params explicitly.
         val t = LshTuning.forCorpus(seeds.count(), tuneThreshold)
         (if (planes > 0) planes else t.planes,
          if (tables > 0) tables else t.tables)

@@ -45,4 +45,38 @@ class LshTuningSpec extends AnyFunSuite {
       assert(recall >= 0.95 - 1e-9, s"n=$n thr=$thr recall=$recall")
     }
   }
+
+  test("forVote: same planes, fewer-or-equal tables than pair-recall tuning") {
+    for (n <- Seq(2000L, 50000L); thr <- Seq(0.7, 0.9); k <- Seq(3, 5, 11)) {
+      val pair = LshTuning.forCorpus(n, thr)
+      val vote = LshTuning.forVote(n, thr, k)
+      assert(vote.planes == pair.planes, s"n=$n thr=$thr k=$k")
+      assert(vote.tables <= pair.tables, s"n=$n thr=$thr k=$k")
+    }
+    // the measured q_knn_label-scale cut: (3, 6) pair-recall -> (3, 4)
+    // vote at k=5/0.95 (ANN_SWEEP round-17)
+    assert(LshTuning.forCorpus(1800, 0.7) == LshTuning.Params(3, 6))
+    assert(LshTuning.forVote(1800, 0.7, k = 5) == LshTuning.Params(3, 4))
+  }
+
+  test("forVote model closes: pessimistic majority-vote survival meets the target") {
+    for (n <- Seq(2000L, 50000L); thr <- Seq(0.7, 0.9); k <- Seq(3, 5, 11)) {
+      val vote = LshTuning.forVote(n, thr, k, maxTables = 100000)
+      val theta = math.acos(thr)
+      val pc = math.pow(1 - theta / math.Pi, vote.planes.toDouble)
+      val r = 1 - math.pow(1 - pc, vote.tables.toDouble)
+      val m = k / 2 + 1
+      def comb(a: Int, b: Int): Double =
+        (1 to b).map(i => (a - b + i).toDouble / i).product
+      val pVote = (m to k).map(j =>
+        comb(k, j) * math.pow(r, j) * math.pow(1 - r, k - j)).sum
+      assert(pVote >= 0.95 - 1e-6, s"n=$n thr=$thr k=$k pVote=$pVote")
+    }
+  }
+
+  test("larger k tolerates lower per-neighbor recall (tables non-increasing in k)") {
+    val tables = Seq(3, 5, 9, 21).map(k =>
+      LshTuning.forVote(100000, 0.8, k, maxTables = 100000).tables)
+    assert(tables == tables.sorted.reverse)
+  }
 }
