@@ -684,7 +684,66 @@ object Profile {
     * centroid join is slice-count-sized. No corpus ever joins a corpus.
     */
   def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: Column,
-                     sliceCols: Seq[String] = Nil): DataFrame = {
+                     sliceCols: Seq[String] = Nil): DataFrame =
+    embeddingDriftFromRef(
+      embeddingRefCentroids(a, vecCol, sliceCols), b, vecCol, sliceCols)
+
+  /** The REFERENCE side of [[embeddingDrift]], pre-aggregated: per slice,
+    * `(…slices, n_a, __ma)` — the quantized integer centroid and vector
+    * count. Slice-count-sized, a pure function of the reference corpus;
+    * a monitor comparing many batches against one constant reference
+    * builds this ONCE (one corpus scan) and feeds it to
+    * [[embeddingDriftFromRef]] per batch — the constant-side memo
+    * ([[graft.streaming.EmbeddingStreams.driftMonitorStream]] persists
+    * it under the monitor's own state path).
+    */
+  def embeddingRefCentroids(a: DataFrame, vecCol: Column,
+                            sliceCols: Seq[String] = Nil): DataFrame =
+    driftCentroids(a, vecCol, sliceCols, "n_a")
+      .withColumnRenamed("__mean", "__ma")
+
+  /** [[embeddingDrift]] against a PREBUILT reference centroid table
+    * ([[embeddingRefCentroids]] layout). Per call: one scan of `b`, a
+    * slice-count-sized join — the reference corpus is never rescanned.
+    */
+  def embeddingDriftFromRef(refCentroids: DataFrame, b: DataFrame,
+                            vecCol: Column,
+                            sliceCols: Seq[String] = Nil): DataFrame = {
+    val ca = refCentroids
+    val cb = driftCentroids(b, vecCol, sliceCols, "n_b")
+      .withColumnRenamed("__mean", "__mb")
+    val joined =
+      if (sliceCols.isEmpty) ca.crossJoin(cb)
+      else {
+        val cbR = sliceCols.foldLeft(cb)((d, c) =>
+          d.withColumnRenamed(c, s"__r_$c"))
+        val cond = sliceCols.map(c => ca(c) <=> cbR(s"__r_$c")).reduce(_ && _)
+        ca.join(cbR, cond, "full_outer")
+          .select(sliceCols.map(c =>
+            coalesce(ca(c), cbR(s"__r_$c")).as(c)) ++
+            Seq(col("n_a"), col("__ma"), col("n_b"), col("__mb")): _*)
+      }
+    joined
+      .withColumn("__dot", expr(
+        "aggregate(zip_with(__ma, __mb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("__na2", expr(
+        "aggregate(__ma, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("__nb2", expr(
+        "aggregate(__mb, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("dist2", expr(
+        "aggregate(zip_with(__ma, __mb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cos2_ppm", expr(
+        """CASE WHEN __na2 = 0 OR __nb2 = 0 THEN NULL
+           ELSE (CAST(__dot AS DECIMAL(38,0)) * __dot * 1000000)
+                div (CAST(__na2 AS DECIMAL(38,0)) * __nb2) END"""))
+      .withColumn("cos_sign", signum(col("__dot")).cast("int"))
+      .select(sliceCols.map(col) ++ Seq(col("n_a"), col("n_b"),
+        col("cos2_ppm"), col("cos_sign"), col("dist2")): _*)
+  }
+
+  private def driftCentroids(df0: DataFrame, vecCol: Column,
+                             sliceCols: Seq[String],
+                             nName: String): DataFrame = {
     def centroids(df: DataFrame, nName: String): DataFrame = {
       val q = df.filter(vecCol.isNotNull)
         .select(sliceCols.map(col) :+ posexplode(
@@ -716,35 +775,7 @@ object Profile {
         .withColumn("__mean", expr(s"transform(__sum, s -> s div $nName)"))
         .drop("__sv", "__sum")
     }
-    val ca = centroids(a, "n_a").withColumnRenamed("__mean", "__ma")
-    val cb = centroids(b, "n_b").withColumnRenamed("__mean", "__mb")
-    val joined =
-      if (sliceCols.isEmpty) ca.crossJoin(cb)
-      else {
-        val cbR = sliceCols.foldLeft(cb)((d, c) =>
-          d.withColumnRenamed(c, s"__r_$c"))
-        val cond = sliceCols.map(c => ca(c) <=> cbR(s"__r_$c")).reduce(_ && _)
-        ca.join(cbR, cond, "full_outer")
-          .select(sliceCols.map(c =>
-            coalesce(ca(c), cbR(s"__r_$c")).as(c)) ++
-            Seq(col("n_a"), col("__ma"), col("n_b"), col("__mb")): _*)
-      }
-    joined
-      .withColumn("__dot", expr(
-        "aggregate(zip_with(__ma, __mb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
-      .withColumn("__na2", expr(
-        "aggregate(__ma, 0L, (acc, x) -> acc + x * x)"))
-      .withColumn("__nb2", expr(
-        "aggregate(__mb, 0L, (acc, x) -> acc + x * x)"))
-      .withColumn("dist2", expr(
-        "aggregate(zip_with(__ma, __mb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
-      .withColumn("cos2_ppm", expr(
-        """CASE WHEN __na2 = 0 OR __nb2 = 0 THEN NULL
-           ELSE (CAST(__dot AS DECIMAL(38,0)) * __dot * 1000000)
-                div (CAST(__na2 AS DECIMAL(38,0)) * __nb2) END"""))
-      .withColumn("cos_sign", signum(col("__dot")).cast("int"))
-      .select(sliceCols.map(col) ++ Seq(col("n_a"), col("n_b"),
-        col("cos2_ppm"), col("cos_sign"), col("dist2")): _*)
+    centroids(df0, nName)
   }
 
   // --- KMV (k-minimum-values) sketch: distinct + SET-OVERLAP estimation ---

@@ -257,10 +257,14 @@ object EmbeddingStreams {
     * degrades. Retry-idempotent: the row set is a pure function of
     * (reference, batch) and lands via dynamic partition overwrite.
     *
-    * Per-batch cost tracks the BATCH plus one reference scan; pre-
-    * aggregate the reference once (a future refinement) only if the
-    * reference is corpus-sized — the intended reference is the bounded
-    * fit/eval corpus.
+    * Per-batch cost tracks the BATCH alone (round-17): the reference's
+    * centroid table ([[graft.operators.Profile.embeddingRefCentroids]] —
+    * slice-count-sized) is built ONCE per monitor lifetime and persisted
+    * as parquet under `statsPath + "__ref"`, so a corpus-sized reference
+    * costs one scan for the monitor's whole life, never one per batch.
+    * The memo is monitor-owned state: the reference is CONSTANT for a
+    * given statsPath (the monitor's documented contract) — point a new
+    * reference at a NEW statsPath, or delete the `__ref` dir to rebuild.
     */
   def driftMonitorStream(newVecs: DataFrame, reference: DataFrame,
                          vecCol: String, sliceCols: Seq[String],
@@ -276,9 +280,16 @@ object EmbeddingStreams {
   private[graft] def processDriftBatch(batch: DataFrame, batchId: Long,
                                        reference: DataFrame, vecCol: String,
                                        sliceCols: Seq[String],
-                                       statsPath: String): Unit =
+                                       statsPath: String): Unit = {
+    val spark = batch.sparkSession
+    val refPath = statsPath + "__ref"
+    if (!DocumentStreams.pathExists(spark, refPath))
+      graft.operators.Profile
+        .embeddingRefCentroids(reference, col(vecCol), sliceCols)
+        .write.parquet(refPath)
     DocumentStreams.writeBatchPartition(
-      graft.operators.Profile.embeddingDrift(reference, batch, col(vecCol),
-        sliceCols),
+      graft.operators.Profile.embeddingDriftFromRef(
+        spark.read.parquet(refPath), batch, col(vecCol), sliceCols),
       batchId, statsPath)
+  }
 }
