@@ -89,6 +89,27 @@ object StreamLoopProbe {
       batchDocs.select("doc_id", "text"),
       0L, "doc_id", "text", dIdx, dOut, 3, 128, 32, 0.7))
 
+    // embedding loop (round-17, probing the inlined 2-exchange batch
+    // plan): FIXED 500-vector batch (the battery rows' contract) against
+    // the seeded history of everything else — per-batch cost must track
+    // the batch and its bucket collisions, not the history size, across
+    // the sf0.1 → sf1 decade. Battery tuning: threshold 0.45, (3, 8, 42).
+    val embDf = spark.read.parquet(s"$dir/embeddings.parquet").persist()
+    val nE = embDf.count()
+    val eCut = embDf.select(col("vec_id")).orderBy(col("vec_id").desc)
+      .limit(500).agg(min(col("vec_id"))).head().getLong(0)
+    val eBatch = embDf.filter(col("vec_id") >= eCut)
+    val eIdx = tmp("slp_eidx"); val eOut = tmp("slp_elake")
+    DocumentStreams.seedIndex(
+      graft.operators.Dedup.embeddingLshIndex(
+        embDf.filter(col("vec_id") < eCut), "vec_id", "embedding", 3, 8, 42L),
+      eIdx)
+    val t0e = System.nanoTime()
+    graft.streaming.EmbeddingStreams.processEmbeddingBatch(
+      eBatch, 0L, "vec_id", "embedding", eIdx, eOut, 0.45, 3, 8, 42L)
+    println(f"embed-loop batch: ${(System.nanoTime() - t0e) / 1e9}%.1f s " +
+      f"(history=${nE - 500}%d, batch=500)")
+
     spark.stop()
   }
 }
