@@ -46,7 +46,25 @@ object EmbeddingStreams {
   final case class SemanticGuard(suite: DataFrame,
                                  suiteIdCol: String, suiteVecCol: String,
                                  threshold: Double,
-                                 maxSuite: Long = 100000L)
+                                 maxSuite: Long = 100000L) {
+    /** The suite validated (≤ `maxSuite`, loudly) and projected ONCE per
+      * guard INSTANCE: a streaming loop holds one guard for its whole
+      * life, so the generic operator's per-call bound check — an extra
+      * Spark action per micro-batch — is paid once here. Same contract
+      * as [[graft.operators.Curation.semanticContaminationHits]]'s
+      * enforced guard; the loop's hit computation uses this projection
+      * with the identical crossJoin + cosine arithmetic.
+      */
+    @transient lazy val validatedSuite: DataFrame = {
+      val n = suite.limit(((maxSuite + 1).min(Int.MaxValue.toLong)).toInt).count()
+      require(n <= maxSuite,
+        s"SemanticGuard: suite exceeds $maxSuite rows — the guard " +
+          "broadcasts the suite; use the LSH contamination path for " +
+          "suites this large, or raise maxSuite if the driver can hold it")
+      broadcast(suite.select(col(suiteIdCol).as("bench_id"),
+        col(suiteVecCol).as("__bvec")))
+    }
+  }
 
   /** Wire a streaming vector source into the ingest-dedup loop.
     * `indexPath` must hold [[Dedup.embeddingLshIndex]] rows built with the
@@ -184,9 +202,14 @@ object EmbeddingStreams {
         val dedupedVecs = vecs.join(
           deduped.select(col(idCol).cast("long").as("__did")),
           vecs("id") === col("__did"), "left_semi")
-        val bad = graft.operators.Curation.semanticContaminationHits(
-            dedupedVecs, "id", "v",
-            g.suite, g.suiteIdCol, g.suiteVecCol, g.threshold, g.maxSuite)
+        // semanticContaminationHits' arithmetic over the once-validated
+        // suite (see [[SemanticGuard.validatedSuite]] — the per-call
+        // bound-check action moves out of the per-batch path)
+        val bad = dedupedVecs.crossJoin(g.validatedSuite)
+          .select(col("id"),
+            graft.functions.VectorFunctions.cosine(col("v"), col("__bvec"))
+              .as("cos"))
+          .filter(col("cos") >= g.threshold)
           .select(col("id").as("__cdrop")).distinct()
         deduped.join(bad, deduped(idCol).cast("long") === col("__cdrop"),
           "left_anti")
