@@ -152,17 +152,10 @@ object MediaStreams {
                                            maxDistance: Int,
                                            minMatchFrac: Double): Unit = {
     val spark = batch.sparkSession
-    val hashed = frameHasher(batch, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val hashed = frameHasher(batch, idCol).persist(mem)
     val decodable = hashed.filter(col("sh").isNotNull)
     val newCounts = decodable.groupBy("id").agg(count(lit(1)).as("__nf"))
-    val history =
-      if (DocumentStreams.pathExists(spark, indexPath))
-        DocumentStreams.readHistory(spark, indexPath, batchId)
-          .select("id", "frame_idx", "sh")
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], decodable.schema)
-    val oldCounts = history.groupBy("id").agg(count(lit(1)).as("__nf"))
     def verdict(matched: DataFrame, aCounts: DataFrame, aId: String,
                 bCounts: DataFrame, bId: String): DataFrame =
       matched
@@ -171,16 +164,36 @@ object MediaStreams {
         .filter(col("n_matched").cast("double") >=
           lit(minMatchFrac) * least(col("__na"), col("__nb")).cast("double"))
     // dup of a PUBLISHED clip (excludeSelf = false: a re-sent id matches
-    // its own published frames and must drop, as in [[processMediaBatch]])
-    val dupOfHistory = verdict(
-        Dedup.incrementalAlignedHammingPairs(
+    // its own published frames and must drop, as in [[processMediaBatch]]).
+    // The history frame-count lookup is PRUNED to matched old ids before
+    // aggregating (round-17): the clip verdict only needs counts for
+    // clips something matched, and an unpruned groupBy over the whole
+    // index was an O(history) exchange PER BATCH — the one history-sized
+    // shuffle in a loop whose contract is O(batch × collision rate).
+    // History frames are still scanned once (behind the broadcast
+    // semi-join), never shuffled.
+    val matchedH: Option[DataFrame] =
+      if (DocumentStreams.pathExists(spark, indexPath)) {
+        val history = DocumentStreams.readHistory(spark, indexPath, batchId)
+          .select("id", "frame_idx", "sh")
+        Some(Dedup.incrementalAlignedHammingPairs(
             decodable.select(col("id"), col("frame_idx").as("pos"), col("sh")),
             history.select(col("id"), col("frame_idx").as("pos"), col("sh")),
             maxDistance, excludeSelf = false)
-          .groupBy("new_id", "old_id").agg(count(lit(1)).as("n_matched")),
-        newCounts, "new_id", oldCounts, "old_id")
-      .select(col("new_id").as("__drop")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .groupBy("new_id", "old_id").agg(count(lit(1)).as("n_matched"))
+          .persist(mem))
+      } else None
+    val dupOfHistory = matchedH.map { m =>
+      val history = DocumentStreams.readHistory(spark, indexPath, batchId)
+        .select("id", "frame_idx", "sh")
+      val oldCounts = history
+        .join(m.select(col("old_id").as("id")).distinct(),
+          Seq("id"), "left_semi")
+        .groupBy("id").agg(count(lit(1)).as("__nf"))
+      verdict(m, newCounts, "new_id", oldCounts, "old_id")
+        .select(col("new_id").as("__drop"))
+    }.getOrElse(decodable.select(col("id").as("__drop")).limit(0))
+      .persist(mem)
     // within-batch pairing over history-probe SURVIVORS only (same
     // no-transitive-drop-via-unpublished policy as the image loop)
     val eligible = decodable.join(dupOfHistory,
@@ -192,7 +205,8 @@ object MediaStreams {
           .groupBy("id1", "id2").agg(count(lit(1)).as("n_matched")),
         newCounts, "id1", newCounts, "id2")
       .select(col("id2").as("__drop"))
-    val dropIds = dupOfHistory.union(dupInBatch).distinct()
+    // anti-join consumers are duplicate-tolerant — no distinct spent
+    val dropIds = dupOfHistory.union(dupInBatch)
     val survivors = batch
       .join(dropIds, batch(idCol) === col("__drop"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -204,6 +218,7 @@ object MediaStreams {
       batchId, indexPath)
     survivors.unpersist()
     dupOfHistory.unpersist()
+    matchedH.foreach(_.unpersist())
     hashed.unpersist()
   }
 }
