@@ -221,7 +221,8 @@ object DocumentStreams {
       asIndex.bands.join(dupOfHistory, asIndex.bands("id") === col("__drop"), "left_anti"))
     val dupInBatch = Dedup.minhashPairsFromIndex(eligible, numHashes, threshold)
       .select(col("id2").as("__drop"))
-    val dropIds = dupOfHistory.union(dupInBatch).distinct()
+    // anti-join consumers are duplicate-tolerant — no distinct spent
+    val dropIds = dupOfHistory.union(dupInBatch)
     val survivors = batch
       .join(dropIds, batch(idCol) === col("__drop"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -365,7 +366,8 @@ object DocumentStreams {
     val dupInBatch = Dedup.minhashPairsFromIndex(eligible, numHashes,
         cfg.nearDupThreshold)
       .select(col("id2").as("__drop"))
-    val dropIds = dupOfHistory.union(dupInBatch).distinct()
+    // anti-join consumers are duplicate-tolerant — no distinct spent
+    val dropIds = dupOfHistory.union(dupInBatch)
     val deduped = fresh
       .join(dropIds, fresh(idCol) === col("__drop"), "left_anti")
     // ingest-time decontamination on dedup survivors (see [[ingestCurated]]):
@@ -396,7 +398,11 @@ object DocumentStreams {
       val nAdmitted = admitted.count()
       val nExactDeduped = exactDeduped.count()
       val nFresh = fresh.count()
-      val nDupHistory = dupOfHistory.count()
+      // DOCS dropped by history, not probe PAIRS: the probe emits one
+      // row per (new, old) match, so a doc near two published docs
+      // carries two rows — counting rows overcounted the stage and drove
+      // n_dup_batch (a difference) negative (round-17 fix, spec-pinned)
+      val nDupHistory = dupOfHistory.select("__drop").distinct().count()
       val nDeduped = deduped.count()
       val nPublished = survivors.count()
       // drop sets along the chain are disjoint by construction (the

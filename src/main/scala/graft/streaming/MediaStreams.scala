@@ -98,7 +98,8 @@ object MediaStreams {
     val dupInBatch = Dedup.simhashPairsFromTable(batchEligible, maxDistance,
         maxBucket)
       .select(col("id2").as("__drop"))
-    val dropIds = dupOfHistory.union(dupInBatch).distinct()
+    // anti-join consumers are duplicate-tolerant — no distinct spent
+    val dropIds = dupOfHistory.union(dupInBatch)
     val survivors = batch
       .join(dropIds, batch(idCol) === col("__drop"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -305,6 +305,35 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(metrics(1L) == ((2L, 0L, 0L, 1L, 0L, 0L, 0L, 1L)))
   }
 
+  test("metrics: a doc near-dupping TWO published docs counts ONCE in n_dup_history") {
+    // the history probe emits one row per (new, old) match — counting
+    // rows overcounted multi-match docs and drove n_dup_batch (a
+    // difference) negative; the fixture publishes two mutually-far docs
+    // and then sends one doc near BOTH
+    val exactIdx = tmp("graft_mm_exact"); val bandIdx = tmp("graft_mm_band")
+    val outPath = tmp("graft_mm_lake"); val mPath = tmp("graft_mm_metrics")
+    Seq(exactIdx, bandIdx, mPath).foreach(p =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    val cfg = graft.operators.Curation.Config(nearDupThreshold = 0.3)
+    val sentA = "the quick brown fox jumps over the lazy dog near the river bank today "
+    val sentB = "many people enjoy reading interesting books about science and history every evening "
+    val b0 = Seq((1L, sentA * 4), (2L, sentB * 4))
+    val b1 = Seq((10L, sentA * 2 + sentB * 2))
+    DocumentStreams.processCuratedBatch(b0.toDF("doc_id", "text"), 0L,
+      "doc_id", "text", cfg, exactIdx, bandIdx, outPath, 3, 128, 32,
+      None, Some(mPath))
+    DocumentStreams.processCuratedBatch(b1.toDF("doc_id", "text"), 1L,
+      "doc_id", "text", cfg, exactIdx, bandIdx, outPath, 3, 128, 32,
+      None, Some(mPath))
+    // both seeds published and far apart; the mixed doc matched BOTH
+    assert(spark.read.parquet(outPath).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    val m1 = spark.read.parquet(mPath).filter(col("__batch_id") === 1L)
+      .select("n_in", "n_dup_history", "n_dup_batch", "n_published")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(m1 == Seq((1L, 1L, 0L, 0L)))
+  }
+
   test("curated-ingest batch retry is idempotent, incl. after a partial attempt") {
     val exactIdx = tmp("graft_r_exact")
     val bandIdx = tmp("graft_r_band")
