@@ -120,6 +120,16 @@ object Bench {
       } catch { case _: Throwable => None }
     val ticks0 = cpuTicks()
     def stealPct(): Double = stealBetween(ticks0, cpuTicks())
+    // this JVM's own compute counters, readable mid-run (per-row deltas)
+    def procCpuSecNow(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean =>
+          b.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+    def gcSecNow(): Double = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime.max(0L)).sum / 1000.0
 
     // local-iteration filter (driver leaves it unset → full battery)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -268,6 +278,24 @@ object Bench {
       }
     }
 
+    // Round-18 per-ROW host stamps: the r17 driver battery ran at 3.98%
+    // mean steal and 19 rows read >0.4 s above r16 from host noise alone —
+    // only a full out-of-band re-run could adjudicate them, because battery
+    // rows (unlike probes) carried no per-row host state. Every timed run
+    // of every battery row is now wrapped in the same /proc/stat +
+    // /proc/pressure window the probes use, plus this JVM's own
+    // process-CPU and GC deltas, and the per-run stamps land in
+    // BENCH_FULL.json's `rows` object. Reading rule (same split as the
+    // probes): busy% ≫ 100·cpu/(sec·ncpus) → another process competed;
+    // steal/psi/iow up at matched busy → the host stalled us; cpu/gc up at
+    // matched busy → the row itself did more work. The reported `sec` is
+    // the median run — its stamps are the matching index in the arrays.
+    final case class RunStamp(sec: Double, steal: Double, iow: Double,
+                              busy: Double, psiMs: Double,
+                              cpu: Double, gc: Double)
+    val rowDetail =
+      scala.collection.mutable.LinkedHashMap[String, Seq[RunStamp]]()
+
     // Probes run BEFORE the battery (round-17): an out-of-band try can
     // then never be post-battery host state (page cache churned by ~240
     // earlier rows, a hypervisor that throttles sustained load) — the
@@ -279,12 +307,21 @@ object Bench {
           try isolatedProbe(name) catch { case _: Throwable => -1.0 }
         else try {
           execute(name) // warm-up
-          val times = (1 to runs).map { _ =>
+          val stamps = (1 to runs).map { _ =>
             quiesce()
-            val t0 = System.nanoTime()
+            val t0 = cpuTicks(); val p0 = psiCpuUsec()
+            val c0 = procCpuSecNow(); val g0 = gcSecNow()
+            val w0 = System.nanoTime()
             execute(name)
-            (System.nanoTime() - t0) / 1e9
-          }.sorted
+            val sec = (System.nanoTime() - w0) / 1e9
+            val t1 = cpuTicks(); val p1 = psiCpuUsec()
+            RunStamp(sec, stealBetween(t0, t1), iowaitBetween(t0, t1),
+              busyBetween(t0, t1),
+              (for (a <- p0; b <- p1) yield (b - a) / 1000.0).getOrElse(-1.0),
+              procCpuSecNow() - c0, gcSecNow() - g0)
+          }
+          rowDetail(name) = stamps
+          val times = stamps.map(_.sec).sorted
           times(times.length / 2)
         } catch { case _: Throwable => -1.0 }
       name -> t
@@ -303,15 +340,8 @@ object Bench {
     // this JVM's own compute self-report — in the PARENT line these are
     // battery-wide; in a probe CHILD's line the parent parses them back
     // as the try's cpu/gc stamps
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val procCpuSec = osBean match {
-      case b: com.sun.management.OperatingSystemMXBean =>
-        b.getProcessCpuTime / 1e9
-      case _ => -1.0
-    }
-    val gcSec = java.lang.management.ManagementFactory
-      .getGarbageCollectorMXBeans.asScala
-      .map(_.getCollectionTime.max(0L)).sum / 1000.0
+    val procCpuSec = procCpuSecNow()
+    val gcSec = gcSecNow()
     // per-probe self-diagnosis: every isolated-probe row carries per-try
     // stamps — sec, host steal/iowait/busy %, CPU-pressure ms, and the
     // child's own process-CPU and GC seconds. Attribution rules live in
@@ -331,11 +361,32 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // per-row self-diagnosis (round-18, VERDICT-r17 #1): one entry per
+    // battery row with the median `sec` plus per-run stamp arrays — a
+    // >0.4 s delta vs the previous round is attributable from this file
+    // alone (stamped steal/busy/psi, own cpu/gc, or genuinely unexplained).
+    // Probe rows live in `probes` with richer per-child stamps instead.
+    val rowsJson = rowDetail.map { case (k, st) =>
+      def arr(f: RunStamp => Double) =
+        "[" + st.map(r => fmt(f(r))).mkString(",") + "]"
+      "\"" + k + "\":{\"sec\":" + fmt({
+          val srt = st.map(_.sec).sorted; srt(srt.length / 2)
+        }) +
+        ",\"runs\":" + arr(_.sec) + ",\"steal\":" + arr(_.steal) +
+        ",\"iow\":" + arr(_.iow) + ",\"busy\":" + arr(_.busy) +
+        ",\"psi_ms\":" + arr(_.psiMs) + ",\"cpu\":" + arr(_.cpu) +
+        ",\"gc\":" + arr(_.gc) + "}"
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"steal_pct":${fmt(steal)},"proc_cpu_sec":${fmt(procCpuSec)},"gc_sec":${fmt(gcSec)},"probes":$probesJson,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"steal_pct":${fmt(steal)},"proc_cpu_sec":${fmt(procCpuSec)},"gc_sec":${fmt(gcSec)},"probes":$probesJson,"rows":$rowsJson,"queries":$fullQs,"sf":"$sfDir"}"""
+    // SPARK_GRAFT_BENCH_FULL (round-18, VERDICT-r17 #6): out-of-band
+    // verification runs kept clobbering the driver's working-tree
+    // BENCH_FULL.json — point the full map elsewhere with the env var;
+    // the default stays the driver's artifact path
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     try
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_FULL.json"),
+        java.nio.file.Paths.get(fullPath),
         (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // stdout line is the contract; file is best-effort
     // chars for the inline map; total line (incl. the ~900-char probes
@@ -356,7 +407,7 @@ object Bench {
       else full = true
     }
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"steal_pct":${fmt(steal)},"proc_cpu_sec":${fmt(procCpuSec)},"gc_sec":${fmt(gcSec)},"probes":$probesJson,"queries":{$sb},"sf":"$sfDir","full":"BENCH_FULL.json"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"steal_pct":${fmt(steal)},"proc_cpu_sec":${fmt(procCpuSec)},"gc_sec":${fmt(gcSec)},"probes":$probesJson,"queries":{$sb},"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 }

@@ -5880,7 +5880,10 @@ object ExtQueries {
             "vec_id", "embedding", idxPath, outPath,
             threshold = 0.45, planes = 3, tables = 8, seed = 42L)
         run(0); run(1)
-        graft.streaming.DocumentStreams.compactIndex(s, idxPath,
+        // the embed-specific wrapper also AUDITS the slim-layout
+        // invariant (one non-null vector row per id) the per-batch
+        // history probe's cost model relies on
+        graft.streaming.EmbeddingStreams.compactEmbeddingIndex(s, idxPath,
           uptoBatch = 1L, targetFiles = 2)
         val dirs = new java.io.File(idxPath).listFiles()
           .count(f => f.isDirectory && f.getName.startsWith("__batch_id="))

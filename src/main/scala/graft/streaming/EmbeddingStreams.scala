@@ -56,7 +56,10 @@ object EmbeddingStreams {
       * with the identical crossJoin + cosine arithmetic.
       */
     @transient lazy val validatedSuite: DataFrame = {
-      val n = suite.limit(((maxSuite + 1).min(Int.MaxValue.toLong)).toInt).count()
+      // clamp BEFORE the +1: maxSuite near Long.MaxValue would wrap
+      // negative and crash the guard at first use instead of validating
+      val n = suite
+        .limit((math.min(maxSuite, Int.MaxValue - 1L) + 1).toInt).count()
       require(n <= maxSuite,
         s"SemanticGuard: suite exceeds $maxSuite rows — the guard " +
           "broadcasts the suite; use the LSH contamination path for " +
@@ -76,10 +79,16 @@ object EmbeddingStreams {
   /** Optional `metricsPath` arms the per-batch attrition metrics sink
     * (the [[DocumentStreams.ingestCurated]] pattern): one row per
     * micro-batch `(n_in, n_null_vec, n_dup_history, n_dup_batch,
-    * n_contaminated, n_published)` — `n_null_vec` items PASS THROUGH
-    * (published un-indexed and un-guarded), the rest are drop counts —
-    * hive-partitioned by `__batch_id`, retry-idempotent. Opt-in because
-    * the counts force extra per-batch jobs on the stage frames.
+    * n_contaminated, n_published)`, hive-partitioned by `__batch_id`,
+    * retry-idempotent. FUNNEL IDENTITY: the three drop counts and
+    * `n_published` partition the batch —
+    * `n_dup_history + n_dup_batch + n_contaminated + n_published = n_in`
+    * always. `n_null_vec` is NOT a drop count: null-vector items PASS
+    * THROUGH (published un-indexed and un-guarded), so they are counted
+    * inside `n_published` too — `n_null_vec` is the pass-through
+    * SUB-COUNT of `n_published` (`n_null_vec ≤ n_published`), pinned with
+    * a null-vector batch in `EmbeddingStreamsSpec`. Opt-in because the
+    * counts force extra per-batch jobs on the stage frames.
     */
   def ingestEmbeddingDedup(newVecs: DataFrame, idCol: String, vecCol: String,
                            indexPath: String, outPath: String,
@@ -149,6 +158,15 @@ object EmbeddingStreams {
         val candH = bucketed(reps).select(col("rid"), col("bkt"))
           .join(index.select(col("bkt"), col("id").as("old_id")), Seq("bkt"))
           .select("rid", "old_id").distinct()
+        // INVARIANT RELIED ON: one non-null vector row per indexed id
+        // ([[Dedup.embeddingLshIndex]]'s slim layout, preserved by
+        // partition-rewrite retries and audited by
+        // [[compactEmbeddingIndex]]). A violated invariant cannot change
+        // correctness (dropRepsH feeds duplicate-tolerant anti/semi
+        // joins) but silently multiplies this cosine-verify join's cost;
+        // a defensive per-batch dropDuplicates here would be an
+        // O(history) exchange — the audit lives at compaction time
+        // instead, where the index is already being rewritten.
         candH.join(reps.select(col("rid"), col("v")), Seq("rid"))
           .join(index.filter(col("v").isNotNull)
             .select(col("id").as("old_id"), col("v").as("__ov")), Seq("old_id"))
@@ -246,7 +264,10 @@ object EmbeddingStreams {
       val nPublished = m.getOrElse("pub", 0L)
       // the within-batch pairing runs over history-probe survivors and
       // the guard over dedup survivors, so stage drop sets are disjoint
-      // and counts are differences of consecutive survivor counts
+      // and counts are differences of consecutive survivor counts;
+      // null-vec items are dropped by NO stage (they bypass vecs and the
+      // guard), so drops + published = n_in and n_null_vec rides inside
+      // n_published (the doc comment's funnel identity)
       DocumentStreams.writeBatchPartition(Seq((
           nIn, nIn - nVecs, nDupHistory,
           nIn - nDeduped - nDupHistory, nDeduped - nPublished, nPublished))
@@ -268,6 +289,33 @@ object EmbeddingStreams {
     dropRepsH.unpersist()
     reps.unpersist()
     vecs.unpersist()
+  }
+
+  /** [[DocumentStreams.compactIndex]] for the embedding loop's index,
+    * plus the AUDIT of the invariant the per-batch history probe's cost
+    * model rests on: exactly one NON-NULL vector row per indexed id (the
+    * [[Dedup.embeddingLshIndex]] slim layout — bucket rows are (id, long)
+    * pairs, the vector rides the first bucket row only). A duplicated
+    * vector row — a future compaction bug, a hand-seeded index — cannot
+    * change the loop's output (its consumers are duplicate-tolerant
+    * anti/semi joins) but silently fans out the cosine-verify join every
+    * batch thereafter; checking per batch would itself cost an O(history)
+    * exchange, so the audit runs HERE, where the index is already being
+    * rewritten, and fails loudly.
+    */
+  def compactEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, uptoBatch: Long,
+                            targetFiles: Int = 8): Unit = {
+    DocumentStreams.compactIndex(spark, indexPath, uptoBatch, targetFiles)
+    val dup = spark.read.parquet(indexPath)
+      .filter(col("v").isNotNull)
+      .groupBy("id").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).count()
+    require(dup == 0,
+      "compactEmbeddingIndex: an id holds more than one non-null vector " +
+        s"row at $indexPath — the slim-layout invariant the per-batch " +
+        "history probe's cost model relies on is broken; re-seed the " +
+        "index via Dedup.embeddingLshIndex")
   }
 
   /** STREAMING EMBEDDING-DRIFT MONITOR — the monitors family's vector
@@ -306,10 +354,22 @@ object EmbeddingStreams {
                                        statsPath: String): Unit = {
     val spark = batch.sparkSession
     val refPath = statsPath + "__ref"
-    if (!DocumentStreams.pathExists(spark, refPath))
+    // the memo is trusted only on its _SUCCESS marker (crash-safety): a
+    // first-batch write that died partway leaves the directory existing
+    // but markerless — a bare pathExists check would skip the rebuild
+    // forever and every later batch would read a partial table. A
+    // marker-less dir is deleted and rebuilt; the marker is the last
+    // thing the committer writes, so marker ⇒ complete table.
+    val fsPath = new org.apache.hadoop.fs.Path(refPath)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = fs.exists(
+      new org.apache.hadoop.fs.Path(fsPath, "_SUCCESS"))
+    if (!committed) {
+      if (fs.exists(fsPath)) fs.delete(fsPath, true) // partial stage
       graft.operators.Profile
         .embeddingRefCentroids(reference, col(vecCol), sliceCols)
         .write.parquet(refPath)
+    }
     DocumentStreams.writeBatchPartition(
       graft.operators.Profile.embeddingDriftFromRef(
         spark.read.parquet(refPath), batch, col(vecCol), sliceCols),

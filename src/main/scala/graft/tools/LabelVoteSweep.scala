@@ -70,11 +70,12 @@ object LabelVoteSweep {
     val nSeeds = seeds.count()
     val nPairs = brute.size.toLong * nSeeds
     println(s"corpus=$sfDir queries=${brute.size} seeds=$nSeeds k=5")
-    // the two DERIVED defaults at this corpus: pair-recall tuning
-    // (forCorpus, the pre-r17 default) vs vote-target tuning (forVote,
-    // the labelPropagateLsh default from r17) — the sweep's job is to
-    // show the vote-tuned candidate fraction drops while agreement stays
-    // in band
+    // the two DERIVED tunings at this corpus: pair-recall tuning
+    // (forCorpus — labelPropagateLsh's default) vs vote-target tuning
+    // (forVote, the OPT-IN vote-target mode from r17; measurably wrong
+    // out of its unit-norm clustered regime, so it never became the
+    // default) — the sweep's job is to show the vote-tuned candidate
+    // fraction drops while agreement stays in band
     val tCorpus = graft.operators.LshTuning.forCorpus(nSeeds, tuneTh)
     val tVote = graft.operators.LshTuning.forVote(nSeeds, tuneTh, k = 5)
     println(s"forCorpus default=(${tCorpus.planes},${tCorpus.tables}) " +

@@ -191,6 +191,101 @@ class EmbeddingStreamsSpec extends SparkSpec {
     assert(metrics == ((4L, 0L, 1L, 1L, 1L, 1L)))
   }
 
+  test("metrics funnel with NULL vectors: drops + published = n_in; n_null_vec is a pass-through sub-count of n_published") {
+    val indexPath = tmp("graft_nidx"); val outPath = tmp("graft_nlake")
+    val mPath = tmp("graft_nm")
+    Seq(mPath).foreach(p =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    DocumentStreams.seedIndex(
+      graft.operators.Dedup.embeddingLshIndex(vecs(100L), "vec_id", "embedding"),
+      indexPath)
+    val suite = Seq(900L -> vecFor(60L)).toDF("sid", "svec")
+    val guard = Some(EmbeddingStreams.SemanticGuard(suite, "sid", "svec", 0.95))
+    // 300 NULL vector (pass-through); 101 ~ published 100 (dup history);
+    // 8 fresh (published); 9 ~ 8 (dup in batch); 61 ~ suite 60
+    // (contaminated)
+    val batch = Seq(
+        300L -> Option.empty[Array[Float]],
+        101L -> Some(vecFor(101L)), 8L -> Some(vecFor(8L)),
+        9L -> Some(vecFor(9L)), 61L -> Some(vecFor(61L)))
+      .toDF("vec_id", "embedding")
+    EmbeddingStreams.processEmbeddingBatch(batch, 0L, "vec_id", "embedding",
+      indexPath, outPath, TH, 3, 8, 42L, guard, Some(mPath))
+    val Seq(m) = spark.read.parquet(mPath)
+      .select("n_in", "n_null_vec", "n_dup_history", "n_dup_batch",
+        "n_contaminated", "n_published")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(m == ((5L, 1L, 1L, 1L, 1L, 2L)))
+    // the documented identity: drop stages + published partition the batch
+    assert(m._3 + m._4 + m._5 + m._6 == m._1)
+    assert(m._2 <= m._6) // null-vec rides inside n_published
+    // the null-vec item is published but NOT indexed
+    assert(spark.read.parquet(outPath).select("vec_id").as[Long]
+      .collect().toSet == Set(8L, 300L))
+    assert(spark.read.parquet(indexPath)
+      .filter(col("id") === 300L).count() == 0)
+  }
+
+  test("SemanticGuard: maxSuite near Long.MaxValue validates instead of overflowing") {
+    val suite = Seq(900L -> vecFor(60L)).toDF("sid", "svec")
+    val g = EmbeddingStreams.SemanticGuard(suite, "sid", "svec", 0.95,
+      maxSuite = Long.MaxValue)
+    assert(g.validatedSuite.count() == 1L)
+  }
+
+  test("compactEmbeddingIndex: audits the one-non-null-vector-row-per-id invariant") {
+    val indexPath = tmp("graft_cidx"); val outPath = tmp("graft_clake")
+    Seq(indexPath, outPath).foreach(p =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    EmbeddingStreams.processEmbeddingBatch(vecs(8L, 40L), 0L,
+      "vec_id", "embedding", indexPath, outPath, TH, 3, 8, 42L)
+    EmbeddingStreams.processEmbeddingBatch(vecs(100L), 1L,
+      "vec_id", "embedding", indexPath, outPath, TH, 3, 8, 42L)
+    // healthy: audit passes and the layout compacts to the seed partition
+    EmbeddingStreams.compactEmbeddingIndex(spark, indexPath, uptoBatch = 1L,
+      targetFiles = 1)
+    assert(new java.io.File(indexPath).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("__batch_id=")) == 1)
+    // doctor the index: a SECOND non-null vector row for a published id
+    // (the hand-seeded-index hazard) — the next compaction fails loudly
+    DocumentStreams.writeBatchPartition(
+      graft.operators.Dedup.embeddingLshIndex(vecs(8L), "vec_id", "embedding"),
+      99L, indexPath)
+    val e = intercept[IllegalArgumentException] {
+      EmbeddingStreams.compactEmbeddingIndex(spark, indexPath,
+        uptoBatch = 99L, targetFiles = 1)
+    }
+    assert(e.getMessage.contains("slim-layout invariant"))
+  }
+
+  test("drift monitor: a partial __ref memo (no _SUCCESS) is rebuilt, not trusted") {
+    val statsPath = tmp("graft_edriftp") + "/stats"
+    val reference = (0L until 12L).map(i => (i, vecFor(i), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val b0 = (100L until 106L).map(i => (i, vecFor(i), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+    // simulate a first-batch crash partway through the memo write: the
+    // directory exists, holds a stray file, but carries no _SUCCESS
+    val refDir = new java.io.File(statsPath + "__ref")
+    refDir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(refDir, "part-garbage.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    EmbeddingStreams.processDriftBatch(b0, 0L, reference, "embedding",
+      Seq("label"), statsPath)
+    // the memo was rebuilt (marker present) and the landed rows match the
+    // direct computation — a trusted partial table would have failed or
+    // mis-centroided
+    assert(new java.io.File(refDir, "_SUCCESS").exists())
+    val got = spark.read.parquet(statsPath)
+      .select("label", "n_a", "n_b", "cos2_ppm", "cos_sign", "dist2")
+      .collect().map(_.toSeq).toSet
+    val direct = graft.operators.Profile.embeddingDrift(
+        reference, b0, col("embedding"), Seq("label"))
+      .collect().map(_.toSeq).toSet
+    assert(got == direct)
+  }
+
   test("drift monitor: per-batch rows == direct embeddingDrift; MemoryStream end-to-end; retry rewrites") {
     implicit val sqlCtx = spark.sqlContext
     val statsPath = tmp("graft_edrift") + "/stats"
