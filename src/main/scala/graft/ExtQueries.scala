@@ -4942,6 +4942,44 @@ object ExtQueries {
                CAST(1 AS INT) AS ranges_ok
              FROM documents""")),
 
+    // JSONL SHARD EXPORT with EXACT membership (the format trainers
+    // actually stream): writeJsonlShardsRanked cuts balanced contiguous
+    // shards by GLOBAL RANK (shard = rank·S div n — a pure function of
+    // the data, unlike repartitionByRange's run-seeded boundary samples),
+    // so the oracle recomputes every row's shard with plain row_number
+    // arithmetic. The gate reads the written JSONL back: membership,
+    // and text length per doc (JSON escaping round-trip), exact; the
+    // shard → count manifest is asserted against the read-back inside
+    // the row.
+    "q_jsonl_export" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select("doc_id", "lang", "text")
+        val path = Queries.tempDir("graft_jsonl") + "/shards"
+        val manifest = graft.operators.Lake.writeJsonlShardsRanked(
+          docs, path, Seq(col("doc_id")), numShards = 8)
+        val back = s.read
+          .schema(org.apache.spark.sql.types.StructType(
+            docs.schema.fields :+
+              org.apache.spark.sql.types.StructField("shard",
+                org.apache.spark.sql.types.LongType)))
+          .option("basePath", path).json(path)
+        // manifest == files: the returned counts must equal what a reader
+        // sees (a manifest that drifts from the shards is worse than none)
+        val m = manifest.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val fromFiles = back.groupBy("shard").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        require(m == fromFiles,
+          s"jsonl manifest/file mismatch: manifest=$m files=$fromFiles")
+        back.select(col("doc_id"), col("shard"), col("lang"),
+          length(col("text")).cast("long").as("text_len"))
+      },
+      Some("""
+        WITH n AS (SELECT count(*) AS c FROM documents)
+        SELECT doc_id,
+          CAST((row_number() OVER (ORDER BY doc_id) - 1) * 8 // (SELECT c FROM n) AS BIGINT) AS shard,
+          lang, CAST(length(text) AS BIGINT) AS text_len
+        FROM documents""")),
+
     // SEEDED SHUFFLE-SHARD EXPORT: the corpus written in a keyed
     // pseudo-random permutation (md5(seed:id) order, reproducible on any
     // engine). The gate is EXACT: the rank of every document in the
@@ -5553,6 +5591,30 @@ object ExtQueries {
       },
       golden("q_knn_label_lsh")),
 
+    // LSH label propagation at the OPT-IN VOTE-TARGET tuning
+    // (LshTuning.forVote), executed end-to-end IN ITS REGIME: the pinned
+    // clustered fixture (Queries.clusteredLabelCorpus — unit-normalized,
+    // real cluster structure, SF-independent) where the collision-loss
+    // model is exact and ANN_SWEEP round-17 measured 100% vote agreement
+    // at 23.6% of the brute candidate pairs. Tuning derived the
+    // production way (n = 1800 seeds, threshold 0.9, k = 5); golden =
+    // the independent driver mirror (bucket overlap + quantized integer
+    // dot + majority vote) at the same derived params.
+    "q_knn_label_vote" -> Q(
+      (s, dir) => {
+        val emb = Queries.clusteredLabelCorpus(s)
+        // the fixture is pinned at 2000 rows → 1800 seeds; deriving the
+        // count with an extra action would buy nothing
+        val t = graft.operators.LshTuning.forVote(1800L, threshold = 0.9,
+          k = 5)
+        Similarity.labelPropagateLsh(
+          emb.filter(col("vec_id") % 10 === 0),
+          emb.filter(col("vec_id") % 10 =!= 0),
+          idCol = "vec_id", vecCol = "embedding", labelCol = "label",
+          k = 5, planes = t.planes, tables = t.tables, seed = 42L)
+      },
+      golden("q_knn_label_vote")),
+
     "q_knn_label" -> Q(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
@@ -5927,6 +5989,112 @@ object ExtQueries {
           .select("id", "rank", "n_terms", "sum_tf", "dl")
       },
       bm25OracleSql),
+
+    // STREAMING CHUNK-STORE INGEST — the storage family's loop, the last
+    // loop without an oracle-gated battery row (VERDICT-r17 #4): three
+    // micro-batches of blobs (doc_id % 3, the loop convention) are
+    // CDC-chunked, probe the grow-only (hash, length) index of earlier
+    // batches' STORED chunks, and land a per-batch cdcIngestStats row.
+    // The stats rows are served; they transitively gate the index too —
+    // batch t's hit counts are computed against the index batches < t
+    // published, so a wrong index surfaces as wrong later-batch stats.
+    // Oracle: replays the batch order over the committed q_cdc_chunks
+    // golden (ids 0..499 at sf0.01 = the whole corpus) — a key is in
+    // history for batch t iff it occurs in any batch < t (every key's
+    // first occurrence was stored as 'first').
+    "q_chunk_ingest_stream" -> Q(
+      (s, dir) => {
+        // fixed 500-blob input — the q_doc_ingest_stream contract
+        val blobs = Multimodal.withGradientImagePayload(
+          table(s, dir, "documents").select("doc_id")
+            .filter(col("doc_id") < 500).repartition(32),
+          "doc_id")
+        val base = Queries.tempDir("graft_chunkingest")
+        val idxPath = s"$base/idx"; val statsPath = s"$base/stats"
+        (0 until 3).foreach { i =>
+          graft.streaming.ChunkStoreStreams.processChunkBatch(
+            blobs.filter(col("doc_id") % 3 === i), i.toLong,
+            "doc_id", "payload", idxPath, statsPath,
+            minSize = 64, maskBits = 6, maxSize = 512)
+        }
+        s.read.parquet(statsPath).select(
+          col("__batch_id").cast("long").as("batch_id"),
+          col("batch_chunks"), col("batch_bytes"),
+          col("hit_chunks"), col("hit_bytes"),
+          col("dup_chunks"), col("dup_bytes"),
+          col("stored_chunks"), col("stored_bytes"))
+      },
+      Some("""
+        WITH b AS (SELECT id, "offset", length, hash, id % 3 AS bt
+                   FROM read_parquet(
+                     '/root/repo/src/test/resources/golden/q_cdc_chunks/*.parquet')
+                   WHERE id < 500),
+        fb AS (SELECT hash, length, min(bt) AS first_bt
+               FROM b GROUP BY 1, 2),
+        lab AS (SELECT b.bt, b.length,
+            CASE WHEN b.bt > f.first_bt THEN 'hit'
+                 WHEN row_number() OVER (PARTITION BY b.bt, b.hash, b.length
+                        ORDER BY b.id, b."offset") = 1 THEN 'first'
+                 ELSE 'dup' END AS status
+          FROM b JOIN fb f ON b.hash = f.hash AND b.length = f.length)
+        SELECT CAST(bt AS BIGINT) AS batch_id,
+          CAST(count(*) AS BIGINT) AS batch_chunks,
+          CAST(sum(length) AS BIGINT) AS batch_bytes,
+          CAST(sum(CASE WHEN status = 'hit' THEN 1 ELSE 0 END) AS BIGINT) AS hit_chunks,
+          CAST(sum(CASE WHEN status = 'hit' THEN length ELSE 0 END) AS BIGINT) AS hit_bytes,
+          CAST(sum(CASE WHEN status = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+          CAST(sum(CASE WHEN status = 'dup' THEN length ELSE 0 END) AS BIGINT) AS dup_bytes,
+          CAST(sum(CASE WHEN status = 'first' THEN 1 ELSE 0 END) AS BIGINT) AS stored_chunks,
+          CAST(sum(CASE WHEN status = 'first' THEN length ELSE 0 END) AS BIGINT) AS stored_bytes
+        FROM lab GROUP BY 1""")),
+
+    // IVF REFIT MUST BE INVISIBLE (VERDICT-r17 #5 — the compaction-twin
+    // pattern applied to the marker-guarded refit): the q_ann_ivf_stream
+    // protocol with AnnStreams.refitIvf run between batches 1 and 2,
+    // re-homing EVERY published vector under the REVERSED centroid list —
+    // a real refit (every __cluster value changes; the whole table is
+    // staged, marker-committed, and atomically swapped into the seed
+    // partition — asserted) with PRESERVED geometry, so the nprobe=4
+    // probe must pick the same four clusters (renumbered), see the same
+    // candidates, and reproduce the SAME committed golden as the
+    // never-refit row. A refit that lost, doubled, or mis-homed any row
+    // surfaces as a changed top-10.
+    "q_ann_ivf_refit_loop" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .head().getSeq[Float](emb.columns.indexOf("embedding"))
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val centroids =
+          if (dir.endsWith("sf0.01"))
+            Similarity.loadIvf(s,
+              "/root/repo/src/test/resources/golden/ivf_index").centroids
+          else Similarity.ivfIndexFor(corpus,
+            cacheKey = s"$dir/embeddings!vec_id!16", "vec_id", "embedding",
+            nClusters = 16).centroids
+        val base = Queries.tempDir("graft_annrefit")
+        val path = s"$base/assigned"
+        (0 until 2).foreach { i =>
+          graft.streaming.AnnStreams.processIvfBatch(
+            corpus.filter(col("vec_id") % 3 === i), i.toLong,
+            "vec_id", "embedding", centroids, path)
+        }
+        val refit = centroids.reverse
+        graft.streaming.AnnStreams.refitIvf(s, path, refit,
+          "vec_id", "embedding", uptoBatch = 1L)
+        // the swap completed: the whole table lives in the seed partition
+        val dirs = new java.io.File(path).listFiles()
+          .count(f => f.isDirectory && f.getName.startsWith("__batch_id="))
+        require(dirs == 1,
+          s"refitIvf left $dirs __batch_id partitions, expected 1 (seed)")
+        // the loop continues under the NEW fit
+        graft.streaming.AnnStreams.processIvfBatch(
+          corpus.filter(col("vec_id") % 3 === 2), 2L,
+          "vec_id", "embedding", refit, path)
+        graft.streaming.AnnStreams.ivfTopKStreamed(s, path, refit,
+          "vec_id", "embedding", q, k = 10, nprobe = 4)
+      },
+      golden("q_ann_ivf")),
   )
 
   def all: Seq[(String, Q)] =

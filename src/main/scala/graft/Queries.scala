@@ -149,6 +149,31 @@ object Queries {
       spark.readStream.schema(eventsSchema).parquet(dir)
   }
 
+  /** PINNED CLUSTERED LABEL CORPUS — the vote-regime fixture
+    * ([[graft.tools.LabelVoteSweep]]'s `clustered` mode, shared so the
+    * battery row, the sweep, and the golden mirror all read the same
+    * bytes): 200 families × 10 members, 64-dim, UNIT-NORMALIZED members
+    * jittered 0.08 around a per-family Gaussian base, label = family
+    * mod 7 — real cluster structure (true top-k at cosine ≈ 0.99), the
+    * regime [[graft.operators.LshTuning.forVote]]'s collision-loss model
+    * is stated for. Deterministic (fixed `scala.util.Random` seeds) and
+    * SF-independent, so one committed golden gates it at every SF.
+    */
+  private[graft] def clusteredLabelCorpus(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until 2000).map { i =>
+      val fam = i / 10
+      val base = {
+        val r = new scala.util.Random(7000 + fam)
+        Array.fill(64)(r.nextGaussian())
+      }
+      val j = new scala.util.Random(i)
+      val v = base.map(x => x + 0.08 * j.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(x => (x / n).toFloat).toSeq, fam % 7)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
   /** Evaluate a rule-JSON string against a table. */
   private def rule(tableName: String, json: String,
                    params: Map[String, Any] = Map.empty)

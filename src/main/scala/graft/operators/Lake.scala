@@ -130,6 +130,49 @@ object Lake {
       .orderBy("shard")
   }
 
+  /** [[writeJsonlShards]] with DETERMINISTIC shard membership — the
+    * reproducible-export contract ([[writeShuffledShards]]'s argument
+    * applied to ORDERED shards): `repartitionByRange` samples boundary
+    * keys with the RDD id in the seed, so two identical runs can cut
+    * shards differently; here shard membership is a pure function of the
+    * data instead — global rank r (0-based, over the TOTAL `orderBy`
+    * order; include a unique tiebreaker) lands in shard
+    * `r * numShards / n`, the balanced contiguous split an auditor (or a
+    * DuckDB oracle) recomputes with plain `row_number()` arithmetic.
+    *
+    * Scale: one count, one range-shuffle sort, one `zipWithIndex` pass —
+    * the sort's sampled partition CUTS stay nondeterministic, but ranks
+    * are a pure function of the data (per-partition offsets are summed in
+    * order), so the (assignment, order) layout is bit-reproducible across
+    * runs, clusters, and partition layouts. The full corpus is never
+    * sorted in one task. Returns the shard → row-count manifest.
+    */
+  def writeJsonlShardsRanked(df: DataFrame, path: String,
+                             orderBy: Seq[Column],
+                             numShards: Int,
+                             mode: String = "overwrite"): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    val spark = df.sparkSession
+    val n = df.count()
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+
+        org.apache.spark.sql.types.StructField("shard",
+          org.apache.spark.sql.types.LongType))
+    val ranked = df.orderBy(orderBy: _*).rdd.zipWithIndex().map {
+      case (row, r) =>
+        org.apache.spark.sql.Row.fromSeq(
+          row.toSeq :+ r * numShards / n)
+    }
+    spark.createDataFrame(ranked, outSchema)
+      .write.mode(mode).partitionBy("shard").json(path)
+    spark.read
+      .schema(outSchema)
+      .option("basePath", path)
+      .json(path)
+      .groupBy("shard").agg(count(lit(1)).as("n_rows"))
+      .orderBy("shard")
+  }
+
   /** CHANGELOG → CURRENT-STATE snapshot: the last-write-wins CDC merge
     * (the "apply the upsert/delete log" read every mutable-table lake
     * keeps re-running). For each key the row with the LARGEST

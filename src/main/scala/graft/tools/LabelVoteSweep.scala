@@ -41,20 +41,8 @@ object LabelVoteSweep {
     val clustered = args.lift(1).contains("clustered")
     val tuneTh = if (clustered) 0.9 else 0.7
     val emb0 =
-      if (clustered) {
-        val rows = (0 until 2000).map { i =>
-          val fam = i / 10
-          val base = {
-            val r = new scala.util.Random(7000 + fam)
-            Array.fill(64)(r.nextGaussian())
-          }
-          val j = new scala.util.Random(i)
-          val v = base.map(x => x + 0.08 * j.nextGaussian())
-          val n = math.sqrt(v.map(x => x * x).sum)
-          (i.toLong, v.map(x => (x / n).toFloat).toSeq, fam % 7)
-        }
-        rows.toDF("vec_id", "embedding", "label")
-      } else spark.read.parquet(s"$sfDir/embeddings.parquet")
+      if (clustered) graft.Queries.clusteredLabelCorpus(spark)
+      else spark.read.parquet(s"$sfDir/embeddings.parquet")
     val emb =
       if (!normalize) emb0
       else emb0.withColumn("embedding", expr(

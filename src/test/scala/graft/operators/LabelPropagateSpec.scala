@@ -103,6 +103,27 @@ class LabelPropagateSpec extends SparkSpec {
     assert(lsh == brute && brute.size == 3)
   }
 
+  test("forVote tuning in its regime: LSH vote == brute vote on the pinned clustered fixture") {
+    // the q_knn_label_vote battery row's meaningfulness claim, pinned:
+    // on the unit-norm clustered corpus (the regime forVote's
+    // collision-loss model is stated for), the vote-target tuning's
+    // FEWER tables still reproduce every brute prediction (ANN_SWEEP
+    // round-17 measured 100% agreement at 23.6% of Q·N candidates)
+    val emb = graft.Queries.clusteredLabelCorpus(spark)
+    val q = emb.filter($"vec_id" % 10 === 0)
+    val sds = emb.filter($"vec_id" % 10 =!= 0)
+    val t = LshTuning.forVote(1800L, 0.9, k = 5)
+    assert(t.tables < LshTuning.forCorpus(1800L, 0.9).tables)
+    val brute = Similarity.labelPropagate(q, sds, "vec_id", "embedding",
+        "label", k = 5, maxQueries = 500L)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> r._2).toMap
+    val lsh = Similarity.labelPropagateLsh(q, sds, "vec_id", "embedding",
+        "label", k = 5, planes = t.planes, tables = t.tables, seed = 42L)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(brute.size == 200)
+    assert(lsh == brute)
+  }
+
   test("query-side broadcast guard refuses an unbounded query batch") {
     val e = intercept[IllegalArgumentException](
       Similarity.labelPropagate(queries, seeds, "vec_id", "embedding",

@@ -114,6 +114,32 @@ class LakeSpec extends SparkSpec {
       == df.as[(Long, Long, String)].collect().toSet)
   }
 
+  test("writeJsonlShardsRanked: membership is rank arithmetic, reproducible across runs and layouts") {
+    val df = (0L until 1000L).map(i => (i, s"t$i")).toDF("id", "text")
+    def export(input: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val out = Files.createTempDirectory("lake_jsonlr").toString
+      Lake.writeJsonlShardsRanked(input, out, Seq(col("id")), 4)
+      spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, text STRING, shard BIGINT"))
+        .option("basePath", out).json(out)
+        .select("id", "shard").as[(Long, Long)].collect().toMap
+    }
+    val run1 = export(df.repartition(7))
+    // membership IS the row_number arithmetic: shard = rank * S div n
+    assert(run1 == (0L until 1000L).map(i => i -> i * 4 / 1000).toMap)
+    // a second run from a DIFFERENT partition layout cuts identically —
+    // the repartitionByRange writers can't promise this (run-seeded
+    // boundary samples); the ranked writer's whole point is that it does
+    val run2 = export(df.repartition(3).sortWithinPartitions(desc("text")))
+    assert(run2 == run1)
+    // manifest equals balanced contiguous quarters
+    val out3 = Files.createTempDirectory("lake_jsonlr3").toString
+    val manifest = Lake.writeJsonlShardsRanked(df, out3, Seq(col("id")), 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(manifest == Seq((0L, 250L), (1L, 250L), (2L, 250L), (3L, 250L)))
+  }
+
   test("writeZOrdered clusters EVERY z dimension per file; a 1-dim sort does not") {
     // 2 independent uniform dims; 16 z-range files should each span ~1/4
     // of BOTH dims (4x4 Morton tiles), while an x-sorted layout leaves y

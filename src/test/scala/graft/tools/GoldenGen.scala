@@ -484,6 +484,37 @@ object GoldenGen {
     write(lpRows.toSeq.toDF("query_id", "pred_label", "n_votes"),
       "q_knn_label_lsh")
 
+    // q_knn_label_vote: labelPropagateLsh at the OPT-IN forVote tuning,
+    // on the PINNED clustered fixture (Queries.clusteredLabelCorpus —
+    // deterministic, SF-independent; the DATA is shared, the machinery
+    // below is recomputed). Tuning derived exactly as the battery row
+    // derives it (n = 1800 seeds, threshold 0.9, k = 5); mirror = bucket
+    // overlap at those params + quantized integer dot + majority vote.
+    {
+      val cl: Array[(Long, Seq[Float], Int)] =
+        graft.Queries.clusteredLabelCorpus(spark)
+          .as[(Long, Seq[Float], Int)].collect().sortBy(_._1)
+      val tv = graft.operators.LshTuning.forVote(1800L, 0.9, k = 5)
+      val codesV = cl.map { case (id, v, _) =>
+        id -> graft.operators.Similarity
+          .queryBucketCodes(v, tv.planes, tv.tables, 42L).toSet
+      }.toMap
+      val vQueries = cl.filter(_._1 % 10 == 0)
+      val vSeeds = cl.filter(_._1 % 10 != 0)
+      val voteRows = vQueries.toSeq.flatMap { case (qid, qv, _) =>
+        val qc = codesV(qid); val qq = qvec(qv)
+        val top = vSeeds.iterator
+          .filter { case (sid, _, _) => codesV(sid).intersect(qc).nonEmpty }
+          .map { case (sid, sv, sl) => (sid, sl, qdot(qq, qvec(sv))) }
+          .toSeq.sortBy { case (sid, _, d) => (-d, sid) }.take(5)
+        top.groupBy(_._2).view.mapValues(_.size).toSeq
+          .sortBy { case (l, nv) => (-nv, l) }.headOption
+          .map { case (label, votes) => (qid, label, votes.toLong) }
+      }
+      write(voteRows.toDF("query_id", "pred_label", "n_votes"),
+        "q_knn_label_vote")
+    }
+
     // ---- q_ann_ivf: committed seeded IVF index + expected probe top-k ---
     // The k-means fit is the one non-replayable build step, so the SEEDED
     // INDEX ITSELF is the fixture (assigned table partitioned by cluster +
