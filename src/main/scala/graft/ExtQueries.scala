@@ -5658,36 +5658,66 @@ object ExtQueries {
   // full pair table restricted to batch×history IS the loop's relation);
   // the embedding loop gates against a GoldenGen driver mirror (LSH
   // bucket codes are not SQL-expressible).
+  /** The q_doc_ingest_stream protocol, shared with its compaction twin:
+    * FIXED 500-doc input (ids 0..499 — the whole corpus at sf0.01, so the
+    * oracle is unchanged there); production ingest batches are
+    * constant-size while history grows, so the row's input must be
+    * constant across SFs too (the q_cdc_incremental / StreamLoopProbe
+    * row-design lesson); history-growth scaling is StreamLoopProbe's job.
+    */
+  private def runDocIngest(s: org.apache.spark.sql.SparkSession, dir: String,
+                           compactAfterBatch1: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 500)
+    val base = Queries.tempDir("graft_docingest")
+    val idxPath = s"$base/idx"; val outPath = s"$base/out"
+    // nightly seed: the doc_id%3==0 slice is pre-published history
+    graft.streaming.DocumentStreams.seedIndex(
+      Dedup.minhashBandIndex(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", shingleSize = 3, numHashes = 128, bands = 32),
+      idxPath)
+    def run(i: Int): Unit =
+      graft.streaming.DocumentStreams.processBatch(
+        docs.filter(col("doc_id") % 3 === i), i.toLong,
+        "doc_id", "text", idxPath, outPath,
+        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.5)
+    run(1)
+    if (compactAfterBatch1) {
+      graft.streaming.DocumentStreams.compactIndex(s, idxPath,
+        uptoBatch = 1L, targetFiles = 2)
+      val dirs = new java.io.File(idxPath).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("__batch_id="))
+      require(dirs == 1,
+        s"compactIndex left $dirs __batch_id partitions, expected 1 (seed)")
+    }
+    run(2)
+    s.read.parquet(outPath)
+      .select(col("doc_id"), col("__batch_id").cast("long").as("batch_id"))
+  }
+
   private val ingestLoopQueries: Seq[(String, Q)] = Seq(
     "q_doc_ingest_stream" -> Q(
-      (s, dir) => {
-        // FIXED 500-doc input (ids 0..499 — the whole corpus at sf0.01,
-        // so the oracle is unchanged there): production ingest batches
-        // are constant-size while history grows, so the row's input must
-        // be constant across SFs too (the q_cdc_incremental /
-        // StreamLoopProbe row-design lesson); history-growth scaling is
-        // StreamLoopProbe's job, not this row's
-        val docs = table(s, dir, "documents").filter(col("doc_id") < 500)
-        val base = Queries.tempDir("graft_docingest")
-        val idxPath = s"$base/idx"; val outPath = s"$base/out"
-        // nightly seed: the doc_id%3==0 slice is pre-published history
-        graft.streaming.DocumentStreams.seedIndex(
-          Dedup.minhashBandIndex(docs.filter(col("doc_id") % 3 === 0),
-            "doc_id", "text", shingleSize = 3, numHashes = 128, bands = 32),
-          idxPath)
-        (1 to 2).foreach { i =>
-          graft.streaming.DocumentStreams.processBatch(
-            docs.filter(col("doc_id") % 3 === i), i.toLong,
-            "doc_id", "text", idxPath, outPath,
-            shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.5)
-        }
-        s.read.parquet(outPath)
-          .select(col("doc_id"), col("__batch_id").cast("long").as("batch_id"))
-      },
+      (s, dir) => runDocIngest(s, dir, compactAfterBatch1 = false),
       // pair relation = the committed golden minhash pairs (battery
       // params, independently gated by q_dedup_minhash); the CTE chain
       // replays the loop: drop vs published history, then in-batch id2
       // drops among history-probe survivors, index grows by survivors
+      docIngestOracle),
+
+    // INDEX COMPACTION MUST BE INVISIBLE — the MINHASH BAND family
+    // (round-18, completing the compaction-twin matrix the embed/BM25
+    // twins started): the q_doc_ingest_stream protocol with
+    // [[graft.streaming.DocumentStreams.compactIndex]] run between
+    // batches 1 and 2 — the seed + batch-1 band-index partitions
+    // consolidate (asserted: one __batch_id dir), then batch 2 probes
+    // compacted history. Same oracle as the uncompacted row: identical
+    // published rows, or the gate goes red.
+    "q_doc_compact_loop" -> Q(
+      (s, dir) => runDocIngest(s, dir, compactAfterBatch1 = true),
+      docIngestOracle),
+  ) ++ ingestLoopQueries2
+
+  private lazy val docIngestOracle: Option[String] =
       Some("""
         WITH p AS (SELECT id1, id2 FROM read_parquet(
             '/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')),
@@ -5709,8 +5739,9 @@ object ExtQueries {
                  JOIN e2 y ON p.id2 = y.doc_id))
         SELECT doc_id, CAST(1 AS BIGINT) AS batch_id FROM k1
         UNION ALL
-        SELECT doc_id, CAST(2 AS BIGINT) AS batch_id FROM k2""")),
+        SELECT doc_id, CAST(2 AS BIGINT) AS batch_id FROM k2""")
 
+  private lazy val ingestLoopQueries2: Seq[(String, Q)] = Seq(
     "q_media_ingest_stream" -> Q(
       (s, dir) => {
         // fixed 500-image input — the q_doc_ingest_stream contract
@@ -6003,27 +6034,57 @@ object ExtQueries {
     // history for batch t iff it occurs in any batch < t (every key's
     // first occurrence was stored as 'first').
     "q_chunk_ingest_stream" -> Q(
-      (s, dir) => {
-        // fixed 500-blob input — the q_doc_ingest_stream contract
-        val blobs = Multimodal.withGradientImagePayload(
-          table(s, dir, "documents").select("doc_id")
-            .filter(col("doc_id") < 500).repartition(32),
-          "doc_id")
-        val base = Queries.tempDir("graft_chunkingest")
-        val idxPath = s"$base/idx"; val statsPath = s"$base/stats"
-        (0 until 3).foreach { i =>
-          graft.streaming.ChunkStoreStreams.processChunkBatch(
-            blobs.filter(col("doc_id") % 3 === i), i.toLong,
-            "doc_id", "payload", idxPath, statsPath,
-            minSize = 64, maskBits = 6, maxSize = 512)
-        }
-        s.read.parquet(statsPath).select(
-          col("__batch_id").cast("long").as("batch_id"),
-          col("batch_chunks"), col("batch_bytes"),
-          col("hit_chunks"), col("hit_bytes"),
-          col("dup_chunks"), col("dup_bytes"),
-          col("stored_chunks"), col("stored_bytes"))
-      },
+      (s, dir) => runChunkIngest(s, dir, compactAfterBatch1 = false),
+      chunkIngestOracle),
+
+    // INDEX COMPACTION MUST BE INVISIBLE — the CHUNK-STORE family
+    // (round-18): the q_chunk_ingest_stream protocol with
+    // [[graft.streaming.DocumentStreams.compactIndex]] between batches 1
+    // and 2 (chunk index rows are (hash, length)-keyed probe facts —
+    // duplicate-tolerant, so the write-then-delete compaction applies;
+    // one __batch_id dir asserted). Same oracle: batch 2's hit counts
+    // must be computed against identical history content.
+    "q_chunk_compact_loop" -> Q(
+      (s, dir) => runChunkIngest(s, dir, compactAfterBatch1 = true),
+      chunkIngestOracle),
+  ) ++ ingestLoopQueries3
+
+  /** The q_chunk_ingest_stream protocol, shared with its compaction twin
+    * (fixed 500-blob input — the q_doc_ingest_stream contract).
+    */
+  private def runChunkIngest(s: org.apache.spark.sql.SparkSession,
+                             dir: String, compactAfterBatch1: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val blobs = Multimodal.withGradientImagePayload(
+      table(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") < 500).repartition(32),
+      "doc_id")
+    val base = Queries.tempDir("graft_chunkingest")
+    val idxPath = s"$base/idx"; val statsPath = s"$base/stats"
+    def run(i: Int): Unit =
+      graft.streaming.ChunkStoreStreams.processChunkBatch(
+        blobs.filter(col("doc_id") % 3 === i), i.toLong,
+        "doc_id", "payload", idxPath, statsPath,
+        minSize = 64, maskBits = 6, maxSize = 512)
+    run(0); run(1)
+    if (compactAfterBatch1) {
+      graft.streaming.DocumentStreams.compactIndex(s, idxPath,
+        uptoBatch = 1L, targetFiles = 2)
+      val dirs = new java.io.File(idxPath).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("__batch_id="))
+      require(dirs == 1,
+        s"compactIndex left $dirs __batch_id partitions, expected 1 (seed)")
+    }
+    run(2)
+    s.read.parquet(statsPath).select(
+      col("__batch_id").cast("long").as("batch_id"),
+      col("batch_chunks"), col("batch_bytes"),
+      col("hit_chunks"), col("hit_bytes"),
+      col("dup_chunks"), col("dup_bytes"),
+      col("stored_chunks"), col("stored_bytes"))
+  }
+
+  private lazy val chunkIngestOracle: Option[String] =
       Some("""
         WITH b AS (SELECT id, "offset", length, hash, id % 3 AS bt
                    FROM read_parquet(
@@ -6046,8 +6107,9 @@ object ExtQueries {
           CAST(sum(CASE WHEN status = 'dup' THEN length ELSE 0 END) AS BIGINT) AS dup_bytes,
           CAST(sum(CASE WHEN status = 'first' THEN 1 ELSE 0 END) AS BIGINT) AS stored_chunks,
           CAST(sum(CASE WHEN status = 'first' THEN length ELSE 0 END) AS BIGINT) AS stored_bytes
-        FROM lab GROUP BY 1""")),
+        FROM lab GROUP BY 1""")
 
+  private lazy val ingestLoopQueries3: Seq[(String, Q)] = Seq(
     // IVF REFIT MUST BE INVISIBLE (VERDICT-r17 #5 — the compaction-twin
     // pattern applied to the marker-guarded refit): the q_ann_ivf_stream
     // protocol with AnnStreams.refitIvf run between batches 1 and 2,
