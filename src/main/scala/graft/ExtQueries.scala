@@ -4912,6 +4912,43 @@ object ExtQueries {
       Some((0 until 3).map(embedDriftBatchOracle).mkString(
         "", " UNION ALL ", ""))),
 
+    // DRIFT ALARM with DEBOUNCE (round-18, the "when does the monitor
+    // actually page" composition): the same 3-batch drift protocol, then
+    // Profile.driftAlarm over the landed stats — breach = dist2 ≥ 18e6,
+    // alarm only after 2 CONSECUTIVE breaching batches. At sf0.01 the
+    // fixture exercises every debounce case: sustained breach (alarms
+    // from batch 1 on), single spike (never alarms), breach-gap-breach
+    // (counter resets — no alarm). Oracle: the same per-batch drift
+    // arithmetic + the identical window in DuckDB; dist2 is exact
+    // integer on both engines, so the breach decisions are bit-equal.
+    "q_drift_alarm" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val reference = emb.filter(col("vec_id") % 2 === 0)
+        val statsPath = Queries.tempDir("graft_driftalarm") + "/stats"
+        (0 until 3).foreach { i =>
+          graft.streaming.EmbeddingStreams.processDriftBatch(
+            emb.filter(col("vec_id") % 2 =!= 0 && col("vec_id") % 3 === i),
+            i.toLong, reference, "embedding", Seq("label"), statsPath)
+        }
+        graft.operators.Profile.driftAlarm(
+          s.read.parquet(statsPath), Seq("label"), col("__batch_id"),
+          breach = col("dist2") >= lit(18000000L), consecutive = 2)
+      },
+      Some(s"""
+        WITH stats AS (${(0 until 3).map(embedDriftBatchOracle)
+          .mkString("", " UNION ALL ", "")}),
+        b AS (SELECT label, batch_id,
+            CASE WHEN dist2 >= 18000000 THEN 1 ELSE 0 END AS breached
+          FROM stats)
+        SELECT label, batch_id, breached,
+          CAST(CASE WHEN sum(breached) OVER (PARTITION BY label
+                 ORDER BY batch_id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) = 2
+               AND count(*) OVER (PARTITION BY label
+                 ORDER BY batch_id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) = 2
+               THEN 1 ELSE 0 END AS INT) AS alarm
+        FROM b""")),
+
     // ORDERED-SHARD EXPORT invariants: shards written, read back, and
     // checked — every row present exactly once, and the shard key-ranges
     // pairwise disjoint in shard order (the contiguous-global-order

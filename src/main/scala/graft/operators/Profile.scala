@@ -1255,6 +1255,39 @@ object Profile {
           expr("(est_union % union_k) * matches DIV union_k"))
   }
 
+  /** DRIFT ALARM with DEBOUNCE over a monitor's landed stats table (the
+    * "when does the drift monitor actually page someone" composition —
+    * [[embeddingDrift]] / [[categoricalDrift]] / any stats family): per
+    * slice, a batch ALARMS when `breach` (a caller-supplied boolean over
+    * the stats row, e.g. `col("dist2") >= lit(18000000L)`) has held for
+    * `consecutive` landed batches in a row — a single noisy batch never
+    * pages; a sustained breach pages on every breaching batch from the
+    * `consecutive`-th on; a breach-gap-breach resets the counter. NULL
+    * metrics read as non-breach (a slice absent from one side has no
+    * drift signal, not an alarm).
+    *
+    * "Consecutive" means consecutive LANDED batches in `batchCol` order —
+    * the monitor's retry-idempotent partitions make that the stream
+    * order. Scale: one window over (slice, batch); the stats table is
+    * slices × batches — metadata-sized, never the corpus.
+    */
+  def driftAlarm(stats: DataFrame, sliceCols: Seq[String], batchCol: Column,
+                 breach: Column, consecutive: Int = 2): DataFrame = {
+    require(consecutive >= 1, "driftAlarm: consecutive must be >= 1")
+    val breached = coalesce(breach.cast("int"), lit(0))
+    // project first, window over the projection: the window must order by
+    // the RENAMED batch column or it would reference a dropped input
+    val base = stats.select(sliceCols.map(col) :+
+      batchCol.cast("long").as("batch_id") :+ breached.as("breached"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sliceCols.map(col): _*)
+      .orderBy(col("batch_id"))
+      .rowsBetween(-(consecutive - 1L), 0L)
+    base.withColumn("alarm",
+      (sum(col("breached")).over(w) === consecutive &&
+        count(lit(1)).over(w) === consecutive).cast("int"))
+  }
+
   private def finish(one: DataFrame, names: Seq[String]): DataFrame = {
     val perCol = names.map { c =>
       struct(lit(c).as("column"),

@@ -428,4 +428,43 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Profile.quantileEstimate(sk, Seq(1000001L), 4, 2, 8))
   }
+
+  test("driftAlarm: debounce — sustained breach pages, single spike and breach-gap-breach do not") {
+    import spark.implicits._
+    // one slice per debounce case; metric = the breach decision input
+    val stats = Seq(
+      ("sustained", 0L, 5L), ("sustained", 1L, 9L), ("sustained", 2L, 9L),
+      ("spike", 0L, 1L), ("spike", 1L, 9L), ("spike", 2L, 1L),
+      ("gap", 0L, 9L), ("gap", 1L, 1L), ("gap", 2L, 9L),
+      ("nulls", 0L, 9L), ("nulls", 2L, 9L))
+      .toDF("slice", "__batch_id", "m")
+      // the nulls slice: batch 1 carries a NULL metric (absent side)
+      .union(Seq(("nulls", 1L)).toDF("slice", "__batch_id")
+        .withColumn("m", lit(null).cast("long")))
+    val got = Profile.driftAlarm(stats, Seq("slice"), col("__batch_id"),
+        breach = col("m") >= 8L, consecutive = 2)
+      .as[(String, Long, Int, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // sustained: breaches at 1,2 -> alarms at 2 only (batch 1 is the
+    // FIRST breach; 2 consecutive reached at batch 2)
+    assert(got(("sustained", 0L)) == ((0, 0)))
+    assert(got(("sustained", 1L)) == ((1, 0)))
+    assert(got(("sustained", 2L)) == ((1, 1)))
+    // spike: one breaching batch, never an alarm
+    assert(got(("spike", 1L)) == ((1, 0)))
+    assert(got.filter(_._1._1 == "spike").values.forall(_._2 == 0))
+    // gap: breach-gap-breach resets the counter
+    assert(got.filter(_._1._1 == "gap").values.forall(_._2 == 0))
+    // NULL metric reads as non-breach, so it also resets
+    assert(got(("nulls", 1L)) == ((0, 0)))
+    assert(got.filter(_._1._1 == "nulls").values.forall(_._2 == 0))
+    // consecutive = 1: no debounce, every breach alarms
+    val one = Profile.driftAlarm(stats, Seq("slice"), col("__batch_id"),
+        breach = col("m") >= 8L, consecutive = 1)
+      .as[(String, Long, Int, Int)].collect()
+    assert(one.forall(r => r._3 == r._4))
+    intercept[IllegalArgumentException](
+      Profile.driftAlarm(stats, Seq("slice"), col("__batch_id"),
+        col("m") >= 8L, consecutive = 0))
+  }
 }
