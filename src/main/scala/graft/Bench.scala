@@ -233,6 +233,12 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_BENCH_RUNS", runs.toString)
       pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
       pb.environment().put("SPARK_GRAFT_BENCH_NO_ISOLATE", "1")
+      // the child must NOT inherit an absolute SPARK_GRAFT_BENCH_FULL —
+      // it would clobber the parent's full-map artifact mid-run (the
+      // parent rewrites it last, so only a crashed parent would show it,
+      // but the temp-dir isolation is the contract); pin the child's
+      // full map to its own cwd
+      pb.environment().put("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
       // the child also writes BENCH_FULL.json — keep it away from ours
       val probeDir = java.nio.file.Files
         .createTempDirectory("graft_bench_probe")
