@@ -299,8 +299,11 @@ object Bench {
     final case class RunStamp(sec: Double, steal: Double, iow: Double,
                               busy: Double, psiMs: Double,
                               cpu: Double, gc: Double)
+    // per row: the REPORTED seconds (the quiet-preferring median below —
+    // not necessarily the plain median of the runs array) + every run's
+    // stamps
     val rowDetail =
-      scala.collection.mutable.LinkedHashMap[String, Seq[RunStamp]]()
+      scala.collection.mutable.LinkedHashMap[String, (Double, Seq[RunStamp])]()
 
     // Probes run BEFORE the battery (round-17): an out-of-band try can
     // then never be post-battery host state (page cache churned by ~240
@@ -313,7 +316,7 @@ object Bench {
           try isolatedProbe(name) catch { case _: Throwable => -1.0 }
         else try {
           execute(name) // warm-up
-          val stamps = (1 to runs).map { _ =>
+          def runSet(): Seq[RunStamp] = (1 to runs).map { _ =>
             quiesce()
             val t0 = cpuTicks(); val p0 = psiCpuUsec()
             val c0 = procCpuSecNow(); val g0 = gcSecNow()
@@ -326,9 +329,29 @@ object Bench {
               (for (a <- p0; b <- p1) yield (b - a) / 1000.0).getOrElse(-1.0),
               procCpuSecNow() - c0, gcSecNow() - g0)
           }
-          rowDetail(name) = stamps
-          val times = stamps.map(_.sec).sorted
-          times(times.length / 2)
+          // STEAL-AWARE RESAMPLE (round-18): this host's hypervisor
+          // throttles in multi-minute bursts that hit SPECIFIC rows
+          // (battery r18-1: one row at 18% steal while neighbors read
+          // 0.1%). If EVERY timed run of a row landed in a burst
+          // (steal > SPARK_GRAFT_STEAL_RETRY_PCT, default 5), one extra
+          // run set is measured after the storm had a chance to pass —
+          // bounded at one resample so a long storm still ends the
+          // battery. The reported median prefers runs stamped quiet
+          // (≥2 of them), so a single stormy run stops polluting the
+          // median; every run's stamps stay in the JSON either way, so
+          // the selection is auditable, never silent.
+          val retryPct = sys.env
+            .getOrElse("SPARK_GRAFT_STEAL_RETRY_PCT", "5.0").toDouble
+          var stamps = runSet()
+          if (retryPct > 0 &&
+              stamps.forall(r => r.steal > retryPct))
+            stamps = stamps ++ runSet()
+          val quiet = stamps.filter(r => r.steal >= 0 && r.steal <= retryPct)
+          val basis = if (retryPct > 0 && quiet.size >= 2) quiet else stamps
+          val times = basis.map(_.sec).sorted
+          val reported = times(times.length / 2)
+          rowDetail(name) = (reported, stamps)
+          reported
         } catch { case _: Throwable => -1.0 }
       name -> t
     }
@@ -372,12 +395,13 @@ object Bench {
     // >0.4 s delta vs the previous round is attributable from this file
     // alone (stamped steal/busy/psi, own cpu/gc, or genuinely unexplained).
     // Probe rows live in `probes` with richer per-child stamps instead.
-    val rowsJson = rowDetail.map { case (k, st) =>
+    val rowsJson = rowDetail.map { case (k, (reported, st)) =>
       def arr(f: RunStamp => Double) =
         "[" + st.map(r => fmt(f(r))).mkString(",") + "]"
-      "\"" + k + "\":{\"sec\":" + fmt({
-          val srt = st.map(_.sec).sorted; srt(srt.length / 2)
-        }) +
+      // `sec` is the REPORTED value (quiet-preferring median; see the
+      // resample note above) — more than `runs` entries in the arrays
+      // means the row was resampled after an all-runs steal storm
+      "\"" + k + "\":{\"sec\":" + fmt(reported) +
         ",\"runs\":" + arr(_.sec) + ",\"steal\":" + arr(_.steal) +
         ",\"iow\":" + arr(_.iow) + ",\"busy\":" + arr(_.busy) +
         ",\"psi_ms\":" + arr(_.psiMs) + ",\"cpu\":" + arr(_.cpu) +

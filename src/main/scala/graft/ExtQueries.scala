@@ -5418,6 +5418,62 @@ object ExtQueries {
     s.table(name).filter(col("user_id") =!= -1L)
       .select("user_id", "session_start", "session_end", "n_events")
   }
+  /** The sessionizer driven through a REAL FILE SOURCE at
+    * `maxFilesPerTrigger = 1` — the rate-limited ingest shape production
+    * streams actually run (one file per micro-batch, the watermark
+    * advancing file by file), completing the MemoryStream twins with a
+    * source whose batch boundaries the ENGINE draws, not the harness.
+    * Slice files are written time-ordered with STRICTLY INCREASING
+    * mtimes and lexicographic names (the file source orders pending
+    * files by modification time, path-tiebroken; same-ms mtimes would
+    * make the batch order nondeterministic on a fast filesystem), the
+    * far-future sentinel as the LAST file so event-time timeouts flush
+    * every open session. Same oracle as the MemoryStream twin: the
+    * source must be invisible in the flushed sessions.
+    */
+  private def runSessionStreamFiles(s: org.apache.spark.sql.SparkSession,
+                                    dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val pinned = events(s, dir).filter(col("event_id") < 5000)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[graft.streaming.Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val root = Queries.tempDir("graft_sessfiles")
+    val srcDir = s"$root/in"
+    new java.io.File(srcDir).mkdirs()
+    val far = pinned.map(_.ts.getTime).max + 90L * 24 * 3600 * 1000
+    val batches = slicesOf(pinned, evenSplit(pinned.length)) :+
+      Array(graft.streaming.Event(
+        -1L, new java.sql.Timestamp(far), -1L, "view", 0.0))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val stage = s"$root/stage_$i"
+      s.createDataset(b.toSeq).coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part under $stage"))
+      val dest = new java.io.File(srcDir, f"slice-$i%03d.parquet")
+      require(part.renameTo(dest), s"rename $part -> $dest failed")
+      java.nio.file.Files.setLastModifiedTime(dest.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
+    }
+    val name = memSinkName("sess_files_out")
+    withShufflePartitions(s, 4) {
+      val src = s.readStream
+        .schema(org.apache.spark.sql.Encoders.product[graft.streaming.Event].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .as[graft.streaming.Event]
+      val q = EventStreams
+        .sessionizeStreamEventTime(src, gapMinutes = 30,
+          watermarkDelay = "1 minutes")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name).filter(col("user_id") =!= -1L)
+      .select("user_id", "session_start", "session_end", "n_events")
+  }
+
   private val sessionStreamOracle = Some("""
         WITH src AS (SELECT event_id, user_id,
             date_trunc('milliseconds', ts) AS ts
@@ -5544,6 +5600,13 @@ object ExtQueries {
     // sessions must still equal the batch gap-sessionization exactly
     "q_session_stream_uneven" -> Q(
       (s, dir) => runSessionStream(s, dir, unevenSplit),
+      sessionStreamOracle),
+    // the same sessionizer fed by a REAL rate-limited FILE SOURCE
+    // (maxFilesPerTrigger = 1, mtime-ordered slice files, sentinel file
+    // last) — the engine draws the batch boundaries; the flushed
+    // sessions must still equal the batch gap-sessionization exactly
+    "q_session_stream_files" -> Q(
+      (s, dir) => runSessionStreamFiles(s, dir),
       sessionStreamOracle),
 
     // STREAMING EXACTLY-ONCE DEDUP: dropDuplicatesWithinWatermark keyed on
