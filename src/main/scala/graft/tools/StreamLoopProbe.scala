@@ -110,6 +110,54 @@ object StreamLoopProbe {
     println(f"embed-loop batch: ${(System.nanoTime() - t0e) / 1e9}%.1f s " +
       f"(history=${nE - 500}%d, batch=500)")
 
+    // chunk-store loop (round-18): FIXED 250-blob batch against the
+    // seeded (hash, length) chunk index of everything else — per-batch
+    // cost must track the batch (payload synthesis + chunking + the
+    // broadcast key probe), not the history chunk count, across the
+    // sf0.01 → sf0.1 decade (250 → n−250 blobs of history). Battery
+    // params: minSize 64, maskBits 6, maxSize 512. The seed is the raw
+    // chunk table — the probe reads only (hash, length), so 'first'
+    // pre-filtering is immaterial to its cost.
+    val blobs = Multimodal.withGradientImagePayload(
+      docs.select("doc_id").repartition(32), "doc_id")
+    val cCut = docs.select(col("doc_id")).orderBy(col("doc_id").desc)
+      .limit(250).agg(min(col("doc_id"))).head().getLong(0)
+    val cIdx = tmp("slp_cidx"); val cStats = tmp("slp_cstats")
+    DocumentStreams.seedIndex(
+      Dedup.cdcChunkTable(blobs.filter(col("doc_id") < cCut),
+        "doc_id", "payload", minSize = 64, maskBits = 6, maxSize = 512),
+      cIdx)
+    // stage breakdown (the media-stage discipline): which component
+    // carries any history dependence — chunking is history-free by
+    // construction, so growth must live in the index read or the
+    // broadcast key probe
+    if (sys.env.contains("SPARK_GRAFT_PROBE_STAGES")) {
+      val history = spark.read.parquet(cIdx).select("hash", "length")
+        .persist()
+      timed("  chunk stage: read history index")(history.count())
+      val batchChunks = Dedup.cdcChunkTable(
+          blobs.filter(col("doc_id") >= cCut), "doc_id", "payload",
+          minSize = 64, maskBits = 6, maxSize = 512)
+        .persist()
+      timed("  chunk stage: chunk batch")(batchChunks.count())
+      val probe = Dedup.incrementalCdcChunks(
+        blobs.filter(col("doc_id") >= cCut), "doc_id", "payload",
+        history, minSize = 64, maskBits = 6, maxSize = 512)
+      timed("  chunk stage: incremental probe")(probe.count())
+      val plan = probe.queryExecution.executedPlan.toString
+      println("  chunk probe join: " + (
+        if (plan.contains("BroadcastHashJoin")) "BroadcastHashJoin (history scan-only)"
+        else if (plan.contains("SortMergeJoin")) "SortMergeJoin (HISTORY SHUFFLES — regression)"
+        else "other"))
+      history.unpersist(); batchChunks.unpersist()
+    }
+    val t0c = System.nanoTime()
+    graft.streaming.ChunkStoreStreams.processChunkBatch(
+      blobs.filter(col("doc_id") >= cCut), 0L, "doc_id", "payload",
+      cIdx, cStats, minSize = 64, maskBits = 6, maxSize = 512)
+    println(f"chunk-loop batch: ${(System.nanoTime() - t0c) / 1e9}%.1f s " +
+      f"(history=${n - 250}%d blobs, batch=250)")
+
     spark.stop()
   }
 }
