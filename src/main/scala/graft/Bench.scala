@@ -304,6 +304,11 @@ object Bench {
     // stamps
     val rowDetail =
       scala.collection.mutable.LinkedHashMap[String, (Double, Seq[RunStamp])]()
+    // parsed ONCE, outside the per-row try: a malformed value must fail
+    // the battery loudly, not silently turn every row into -1.0 inside
+    // the rows' catch-all
+    val retryPct = sys.env
+      .getOrElse("SPARK_GRAFT_STEAL_RETRY_PCT", "5.0").toDouble
 
     // Probes run BEFORE the battery (round-17): an out-of-band try can
     // then never be post-battery host state (page cache churned by ~240
@@ -324,10 +329,15 @@ object Bench {
             execute(name)
             val sec = (System.nanoTime() - w0) / 1e9
             val t1 = cpuTicks(); val p1 = psiCpuUsec()
+            // keep the -1 unavailable sentinel: on a JVM without the
+            // com.sun.management bean, (-1)-(-1) would stamp cpu as 0.0
+            // and read as "did no self-compute" under the attribution
+            // rules instead of "counter unavailable"
+            val c1 = procCpuSecNow()
             RunStamp(sec, stealBetween(t0, t1), iowaitBetween(t0, t1),
               busyBetween(t0, t1),
               (for (a <- p0; b <- p1) yield (b - a) / 1000.0).getOrElse(-1.0),
-              procCpuSecNow() - c0, gcSecNow() - g0)
+              if (c0 < 0 || c1 < 0) -1.0 else c1 - c0, gcSecNow() - g0)
           }
           // STEAL-AWARE RESAMPLE (round-18): this host's hypervisor
           // throttles in multi-minute bursts that hit SPECIFIC rows
@@ -340,14 +350,19 @@ object Bench {
           // (≥2 of them), so a single stormy run stops polluting the
           // median; every run's stamps stay in the JSON either way, so
           // the selection is auditable, never silent.
-          val retryPct = sys.env
-            .getOrElse("SPARK_GRAFT_STEAL_RETRY_PCT", "5.0").toDouble
           var stamps = runSet()
           if (retryPct > 0 &&
               stamps.forall(r => r.steal > retryPct))
             stamps = stamps ++ runSet()
           val quiet = stamps.filter(r => r.steal >= 0 && r.steal <= retryPct)
-          val basis = if (retryPct > 0 && quiet.size >= 2) quiet else stamps
+          // quiet-preferring basis: at runs >= 2 demand two quiet runs
+          // (one quiet outlier shouldn't own the median); at runs = 1 a
+          // single quiet run IS the better estimate — requiring two
+          // would make the resample a guaranteed no-op there and report
+          // the stormy run it just paid to replace
+          val basis =
+            if (retryPct > 0 && quiet.size >= math.min(runs, 2)) quiet
+            else stamps
           val times = basis.map(_.sec).sorted
           val reported = times(times.length / 2)
           rowDetail(name) = (reported, stamps)

@@ -5758,6 +5758,17 @@ object ExtQueries {
   // full pair table restricted to batch×history IS the loop's relation);
   // the embedding loop gates against a GoldenGen driver mirror (LSH
   // bucket codes are not SQL-expressible).
+  /** Compaction/refit twins' shared layout assert: the whole table must
+    * live in exactly ONE `__batch_id=` partition (the seed) after the
+    * operation, or the row fails before serving anything.
+    */
+  private def assertSinglePartition(path: String, what: String): Unit = {
+    val dirs = new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("__batch_id="))
+    require(dirs == 1,
+      s"$what left $dirs __batch_id partitions at $path, expected 1 (seed)")
+  }
+
   /** The q_doc_ingest_stream protocol, shared with its compaction twin:
     * FIXED 500-doc input (ids 0..499 — the whole corpus at sf0.01, so the
     * oracle is unchanged there); production ingest batches are
@@ -5785,10 +5796,7 @@ object ExtQueries {
     if (compactAfterBatch1) {
       graft.streaming.DocumentStreams.compactIndex(s, idxPath,
         uptoBatch = 1L, targetFiles = 2)
-      val dirs = new java.io.File(idxPath).listFiles()
-        .count(f => f.isDirectory && f.getName.startsWith("__batch_id="))
-      require(dirs == 1,
-        s"compactIndex left $dirs __batch_id partitions, expected 1 (seed)")
+      assertSinglePartition(idxPath, "compactIndex")
     }
     run(2)
     s.read.parquet(outPath)
@@ -6078,10 +6086,7 @@ object ExtQueries {
         // history probe's cost model relies on
         graft.streaming.EmbeddingStreams.compactEmbeddingIndex(s, idxPath,
           uptoBatch = 1L, targetFiles = 2)
-        val dirs = new java.io.File(idxPath).listFiles()
-          .count(f => f.isDirectory && f.getName.startsWith("__batch_id="))
-        require(dirs == 1,
-          s"compactIndex left $dirs __batch_id partitions, expected 1 (seed)")
+        assertSinglePartition(idxPath, "compactIndex")
         run(2)
         s.read.parquet(outPath)
           .select(col("vec_id"), col("__batch_id").cast("long").as("batch_id"))
@@ -6108,12 +6113,7 @@ object ExtQueries {
         run(0); run(1)
         graft.streaming.SearchStreams.compactBm25(s, lenP, postP,
           uptoBatch = 1L, targetFiles = 2)
-        Seq(lenP, postP).foreach { p =>
-          val dirs = new java.io.File(p).listFiles()
-            .count(f => f.isDirectory && f.getName.startsWith("__batch_id="))
-          require(dirs == 1,
-            s"compactBm25 left $dirs __batch_id partitions at $p, expected 1")
-        }
+        Seq(lenP, postP).foreach(assertSinglePartition(_, "compactBm25"))
         run(2)
         graft.streaming.SearchStreams.bm25TopKStreamed(
             s, lenP, postP, Seq("vector", "spark", "customer"), k = 10)
@@ -6170,10 +6170,7 @@ object ExtQueries {
     if (compactAfterBatch1) {
       graft.streaming.DocumentStreams.compactIndex(s, idxPath,
         uptoBatch = 1L, targetFiles = 2)
-      val dirs = new java.io.File(idxPath).listFiles()
-        .count(f => f.isDirectory && f.getName.startsWith("__batch_id="))
-      require(dirs == 1,
-        s"compactIndex left $dirs __batch_id partitions, expected 1 (seed)")
+      assertSinglePartition(idxPath, "compactIndex")
     }
     run(2)
     s.read.parquet(statsPath).select(
@@ -6245,10 +6242,7 @@ object ExtQueries {
         graft.streaming.AnnStreams.refitIvf(s, path, refit,
           "vec_id", "embedding", uptoBatch = 1L)
         // the swap completed: the whole table lives in the seed partition
-        val dirs = new java.io.File(path).listFiles()
-          .count(f => f.isDirectory && f.getName.startsWith("__batch_id="))
-        require(dirs == 1,
-          s"refitIvf left $dirs __batch_id partitions, expected 1 (seed)")
+        assertSinglePartition(path, "refitIvf")
         // the loop continues under the NEW fit
         graft.streaming.AnnStreams.processIvfBatch(
           corpus.filter(col("vec_id") % 3 === 2), 2L,

@@ -117,8 +117,15 @@ object Lake {
       .sortWithinPartitions(orderBy: _*)
       .withColumn("shard", spark_partition_id().cast("long"))
       .write.mode(mode).partitionBy("shard").json(path)
-    // explicit schema on the read-back: inference over fresh output is a
-    // wasted pass and could widen types the writer just fixed
+    jsonlManifest(df, path)
+  }
+
+  /** Shared JSONL read-back manifest for the two shard exporters:
+    * explicit schema (inference over fresh output is a wasted pass and
+    * could widen types the writer just fixed) + the shard → row-count
+    * table.
+    */
+  private def jsonlManifest(df: DataFrame, path: String): DataFrame =
     df.sparkSession.read
       .schema(org.apache.spark.sql.types.StructType(
         df.schema.fields :+
@@ -128,7 +135,6 @@ object Lake {
       .json(path)
       .groupBy("shard").agg(count(lit(1)).as("n_rows"))
       .orderBy("shard")
-  }
 
   /** [[writeJsonlShards]] with DETERMINISTIC shard membership — the
     * reproducible-export contract ([[writeShuffledShards]]'s argument
@@ -165,12 +171,7 @@ object Lake {
     }
     spark.createDataFrame(ranked, outSchema)
       .write.mode(mode).partitionBy("shard").json(path)
-    spark.read
-      .schema(outSchema)
-      .option("basePath", path)
-      .json(path)
-      .groupBy("shard").agg(count(lit(1)).as("n_rows"))
-      .orderBy("shard")
+    jsonlManifest(df, path)
   }
 
   /** CHANGELOG → CURRENT-STATE snapshot: the last-write-wins CDC merge

@@ -354,21 +354,29 @@ object EmbeddingStreams {
                                        statsPath: String): Unit = {
     val spark = batch.sparkSession
     val refPath = statsPath + "__ref"
-    // the memo is trusted only on its _SUCCESS marker (crash-safety): a
+    // the memo is trusted only on a COMMIT MARKER (crash-safety): a
     // first-batch write that died partway leaves the directory existing
     // but markerless — a bare pathExists check would skip the rebuild
     // forever and every later batch would read a partial table. A
-    // marker-less dir is deleted and rebuilt; the marker is the last
-    // thing the committer writes, so marker ⇒ complete table.
+    // marker-less dir is deleted and rebuilt. The marker is OURS
+    // (`_GRAFT_COMMIT`, written after the parquet write returns), not
+    // the committer's `_SUCCESS` — a deployment with
+    // marksuccessfuljobs=false (common on object stores) writes no
+    // _SUCCESS, and trusting it alone would delete and rebuild the
+    // reference EVERY batch, silently breaking the one-scan-per-
+    // monitor-lifetime contract. _SUCCESS is still accepted for memos
+    // written by older code.
     val fsPath = new org.apache.hadoop.fs.Path(refPath)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = fs.exists(
-      new org.apache.hadoop.fs.Path(fsPath, "_SUCCESS"))
+    def marker(name: String) = new org.apache.hadoop.fs.Path(fsPath, name)
+    val committed = fs.exists(marker("_GRAFT_COMMIT")) ||
+      fs.exists(marker("_SUCCESS"))
     if (!committed) {
       if (fs.exists(fsPath)) fs.delete(fsPath, true) // partial stage
       graft.operators.Profile
         .embeddingRefCentroids(reference, col(vecCol), sliceCols)
         .write.parquet(refPath)
+      fs.create(marker("_GRAFT_COMMIT"), true).close()
     }
     DocumentStreams.writeBatchPartition(
       graft.operators.Profile.embeddingDriftFromRef(

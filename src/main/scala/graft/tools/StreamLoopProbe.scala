@@ -132,23 +132,35 @@ object StreamLoopProbe {
     // construction, so growth must live in the index read or the
     // broadcast key probe
     if (sys.env.contains("SPARK_GRAFT_PROBE_STAGES")) {
+      // the chunk stage's own counts — the shared timed() would print
+      // the probe-level batchSize, misstating this stage's fixed 250
+      def timedC(label: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        f
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+          f"(history=${n - 250}%d blobs, batch=250)")
+      }
       val history = spark.read.parquet(cIdx).select("hash", "length")
         .persist()
-      timed("  chunk stage: read history index")(history.count())
+      timedC("  chunk stage: read history index")(history.count())
       val batchChunks = Dedup.cdcChunkTable(
           blobs.filter(col("doc_id") >= cCut), "doc_id", "payload",
           minSize = 64, maskBits = 6, maxSize = 512)
         .persist()
-      timed("  chunk stage: chunk batch")(batchChunks.count())
-      val probe = Dedup.incrementalCdcChunks(
+      timedC("  chunk stage: chunk batch")(batchChunks.count())
+      // releasable form: the non-releasable variant would leak its
+      // internally persisted batch chunk table into the TIMED loop
+      // measurement below (Dedup's own caller contract)
+      val (probe, releaseChunks) = Dedup.incrementalCdcChunksReleasable(
         blobs.filter(col("doc_id") >= cCut), "doc_id", "payload",
         history, minSize = 64, maskBits = 6, maxSize = 512)
-      timed("  chunk stage: incremental probe")(probe.count())
+      timedC("  chunk stage: incremental probe")(probe.count())
       val plan = probe.queryExecution.executedPlan.toString
       println("  chunk probe join: " + (
         if (plan.contains("BroadcastHashJoin")) "BroadcastHashJoin (history scan-only)"
         else if (plan.contains("SortMergeJoin")) "SortMergeJoin (HISTORY SHUFFLES — regression)"
         else "other"))
+      releaseChunks()
       history.unpersist(); batchChunks.unpersist()
     }
     val t0c = System.nanoTime()

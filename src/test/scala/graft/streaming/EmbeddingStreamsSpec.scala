@@ -273,10 +273,11 @@ class EmbeddingStreamsSpec extends SparkSpec {
       Array[Byte](1, 2, 3))
     EmbeddingStreams.processDriftBatch(b0, 0L, reference, "embedding",
       Seq("label"), statsPath)
-    // the memo was rebuilt (marker present) and the landed rows match the
-    // direct computation — a trusted partial table would have failed or
-    // mis-centroided
-    assert(new java.io.File(refDir, "_SUCCESS").exists())
+    // the memo was rebuilt (our commit marker present — written by the
+    // monitor itself, so the memo survives committers configured to not
+    // write _SUCCESS) and the landed rows match the direct computation —
+    // a trusted partial table would have failed or mis-centroided
+    assert(new java.io.File(refDir, "_GRAFT_COMMIT").exists())
     val got = spark.read.parquet(statsPath)
       .select("label", "n_a", "n_b", "cos2_ppm", "cos_sign", "dist2")
       .collect().map(_.toSeq).toSet
