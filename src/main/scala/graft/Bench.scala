@@ -339,22 +339,28 @@ object Bench {
               (for (a <- p0; b <- p1) yield (b - a) / 1000.0).getOrElse(-1.0),
               if (c0 < 0 || c1 < 0) -1.0 else c1 - c0, gcSecNow() - g0)
           }
-          // STEAL-AWARE RESAMPLE (round-18): this host's hypervisor
-          // throttles in multi-minute bursts that hit SPECIFIC rows
-          // (battery r18-1: one row at 18% steal while neighbors read
-          // 0.1%). If EVERY timed run of a row landed in a burst
-          // (steal > SPARK_GRAFT_STEAL_RETRY_PCT, default 5), one extra
-          // run set is measured after the storm had a chance to pass —
-          // bounded at one resample so a long storm still ends the
-          // battery. The reported median prefers runs stamped quiet
-          // (≥2 of them), so a single stormy run stops polluting the
-          // median; every run's stamps stay in the JSON either way, so
-          // the selection is auditable, never silent.
+          // STEAL-AWARE RESAMPLE (round-19, VERDICT-r18 #1): this host's
+          // hypervisor throttles in multi-minute bursts that hit SPECIFIC
+          // rows (battery r18-1: one row at 18% steal while neighbors read
+          // 0.1%). Round 18 resampled only when EVERY run was stormy, which
+          // left quiet-MINORITY rows reporting a likely-stormy median (r18
+          // battery: 9 rows with 2-of-3 stormy runs, e.g. q_heavy_stream
+          // 3.24 s at steal stamps [6.6, 5.7, 1.8] vs its ~2.0 s quiet
+          // band). The trigger is now the SAME condition the basis
+          // selection uses: fewer quiet-stamped runs than the basis needs
+          // (min(runs, 2)) → one extra run set after the storm had a
+          // chance to pass — bounded at one resample so a long storm still
+          // ends the battery. The reported median prefers runs stamped
+          // quiet, so stormy runs stop polluting it; every run's stamps
+          // stay in the JSON either way, so the selection is auditable,
+          // never silent.
+          def quietOf(st: Seq[RunStamp]): Seq[RunStamp] =
+            st.filter(r => r.steal >= 0 && r.steal <= retryPct)
           var stamps = runSet()
           if (retryPct > 0 &&
-              stamps.forall(r => r.steal > retryPct))
+              quietOf(stamps).size < math.min(runs, 2))
             stamps = stamps ++ runSet()
-          val quiet = stamps.filter(r => r.steal >= 0 && r.steal <= retryPct)
+          val quiet = quietOf(stamps)
           // quiet-preferring basis: at runs >= 2 demand two quiet runs
           // (one quiet outlier shouldn't own the median); at runs = 1 a
           // single quiet run IS the better estimate — requiring two
@@ -415,7 +421,7 @@ object Bench {
         "[" + st.map(r => fmt(f(r))).mkString(",") + "]"
       // `sec` is the REPORTED value (quiet-preferring median; see the
       // resample note above) — more than `runs` entries in the arrays
-      // means the row was resampled after an all-runs steal storm
+      // means the row was resampled after a quiet-minority steal storm
       "\"" + k + "\":{\"sec\":" + fmt(reported) +
         ",\"runs\":" + arr(_.sec) + ",\"steal\":" + arr(_.steal) +
         ",\"iow\":" + arr(_.iow) + ",\"busy\":" + arr(_.busy) +

@@ -1,6262 +1,32 @@
 package graft
 
-import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
-import graft.streaming.EventStreams
-import org.apache.spark.sql.functions._
-
 /** LLM-data-pipeline extension battery: dedup, similarity search, text
   * analysis, multimodal plumbing, event windows/sessions — each a
   * first-class operator with a DuckDB oracle where SQL can express it.
+  * The family sections live in `graft/battery/` (one file each, split
+  * at round 19); this object is the stable aggregation point the
+  * driver contract reads. Order is load-bearing only for stable
+  * round-to-round diffs — names are unique across families.
   */
 object ExtQueries {
-  import Queries.{Q, table, events}
-
-  // DuckDB mirror of TextFunctions.tokens
-  private val sqlTokens =
-    raw"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0)"
-
-  // the PII patterns are RE2-compatible by construction (TextFunctions),
-  // so the same strings drop into DuckDB SQL literals verbatim
-  private val sqlEmailPattern = graft.functions.TextFunctions.emailPattern
-  private val sqlUrlPattern = graft.functions.TextFunctions.urlPattern
-  private val sqlPhonePattern = graft.functions.TextFunctions.phonePattern
-
-  /** Golden-fixture oracle: an INDEPENDENT single-node brute-force
-    * recomputation of a deterministic operator over the sf0.01 corpus
-    * (see [[graft.tools.GoldenGen]] in test sources), committed as parquet
-    * and SELECTed directly by the DuckDB gate. Anchors the operators whose
-    * logic (rolling hashes, banded signatures) plain SQL cannot express.
-    */
-  private def golden(name: String): Option[String] =
-    Some(s"SELECT * FROM read_parquet('/root/repo/src/test/resources/golden/$name/*.parquet')")
-
-  // Raw-string-gram contamination oracle, shared by the exact and
-  // Bloom-pushdown battery rows (identical expected output by design).
-  private val decontaminateOracleSql: String = {
-    val gram = (1 to 7).foldLeft("toks[i]") { (acc, k) => s"$acc || ' ' || toks[i+$k]" }
-    s"""
-        WITH tk AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
-        g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 6),
-                i -> $gram)) AS gs
-              FROM tk WHERE len(toks) >= 8),
-        bench AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id % 10 = 0),
-        dg AS (SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id % 10 <> 0)
-        SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_hits
-        FROM dg JOIN bench USING (gr) GROUP BY 1"""
-  }
-
-  private val textQueries: Seq[(String, Q)] = Seq(
-    "q_token_count" -> Q(
-      (s, dir) => table(s, dir, "documents")
-        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens")),
-      Some(s"SELECT doc_id, CAST(len($sqlTokens) AS BIGINT) AS n_tokens FROM documents")),
-
-    "q_quality" -> Q(
-      (s, dir) => table(s, dir, "documents")
-        .select(col("doc_id"),
-          punctRatio(col("text")).as("punct_ratio"),
-          stopwordRatio(col("text")).as("stopword_ratio"),
-          qualityScore(col("text")).as("quality")),
-      Some(s"""
-        WITH t AS (SELECT doc_id, text, $sqlTokens AS toks FROM documents),
-        m AS (SELECT doc_id,
-          CASE WHEN length(text) = 0 THEN 0.0
-               ELSE CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) END AS punct_ratio,
-          CASE WHEN len(toks) = 0 THEN 0.0
-               ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE) / len(toks) END AS stopword_ratio,
-          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_signal
-        FROM t)
-        SELECT doc_id, punct_ratio, stopword_ratio,
-          greatest(least(len_signal * 0.4 + least(stopword_ratio * 4.0, 1.0) * 0.4
-            + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 1.0), 0.0) AS quality
-        FROM m""")),
-
-    // CHARACTER-CLASS counts: the encoding-health signal (mojibake /
-    // binary-in-text detection) — exact integer counts so both engines
-    // compare bitwise; n_replacement > 0 is the classic drop rule.
-    "q_char_classes" -> Q(
-      (s, dir) => graft.operators.TextStats.charClassCounts(
-        table(s, dir, "documents"), "doc_id", "text"),
-      Some(raw"""
-        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-          CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_letter,
-          CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
-          CAST(len(regexp_extract_all(text, '[ \t\n\r]')) AS BIGINT) AS n_space,
-          CAST(len(regexp_extract_all(text, '[^\x00-\x7F]')) AS BIGINT) AS n_nonascii,
-          CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_replacement,
-          CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_control
-        FROM documents""")),
-
-    "q_lang_id" -> Q(
-      (s, dir) => table(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), langId(col("text")).as("lang_pred")),
-      Some(s"""
-        WITH t AS (SELECT doc_id, lang, $sqlTokens AS toks FROM documents),
-        sc AS (SELECT doc_id, lang,
-          len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','it'], x))) AS s_en,
-          len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
-          len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))) AS s_fr,
-          len(list_filter(toks, x -> list_contains(['el','los','las','es','un','una','que','en'], x))) AS s_es
-        FROM t)
-        SELECT doc_id, lang,
-          CASE WHEN greatest(s_en,s_de,s_fr,s_es) > 0 AND s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'
-               WHEN greatest(s_en,s_de,s_fr,s_es) > 0 AND s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de'
-               WHEN greatest(s_en,s_de,s_fr,s_es) > 0 AND s_fr = greatest(s_en,s_de,s_fr,s_es) THEN 'fr'
-               WHEN greatest(s_en,s_de,s_fr,s_es) > 0 AND s_es = greatest(s_en,s_de,s_fr,s_es) THEN 'es'
-               ELSE 'und' END AS lang_pred
-        FROM sc""")),
-
-    // BPE-ish pretokenization (GPT-2 regex family, lookahead-free so the
-    // identical pattern runs under Java regex and DuckDB's RE2): the token
-    // stream + count an LLM tokenizer budget is measured in. The token
-    // ARRAY joins on U+0001 (never produced by the tokenizer) because the
-    // gate hashes scalar cells — the raw array stays covered by
-    // TextFunctionsSpec.
-    "q_bpe_tokens" -> Q(
-      (s, dir) => table(s, dir, "documents")
-        .select(col("doc_id"),
-          array_join(bpeTokens(col("text")), "\u0001").as("toks_joined"),
-          bpeTokenCount(col("text")).as("n_bpe")),
-      Some {
-        val pat = graft.functions.TextFunctions.bpePattern.replace("'", "''")
-        raw"""SELECT doc_id,
-               array_to_string(list_filter(regexp_extract_all(text, '$pat'),
-                           x -> NOT regexp_matches(x, '^\s+$$')), chr(1)) AS toks_joined,
-               CAST(len(list_filter(regexp_extract_all(text, '$pat'),
-                           x -> NOT regexp_matches(x, '^\s+$$'))) AS BIGINT) AS n_bpe
-             FROM documents"""
-      }),
-
-    // FULL vocab-driven BPE (committed merges fixture, greedy ranked merge
-    // loop inside the codegen'd expression): real subword tokens, not
-    // pretokens. The merge loop is not SQL-expressible → golden fixture
-    // from an independently-written single-node encoder over the same
-    // committed merges file.
-    "q_bpe_merge" -> Q(
-      (s, dir) => table(s, dir, "documents")
-        .select(col("doc_id"),
-          array_join(bpeEncode(col("text")), "\u0001").as("toks_joined"),
-          bpeTokenCount(col("text"), graft.functions.BpeVocab.bundled).as("n_tokens")),
-      golden("q_bpe_merge")),
-
-    // BYTE-LEVEL BPE (exact GPT-2 semantics: bytes_to_unicode remap, then
-    // the ranked merge loop over the byte alphabet) — lossless on any
-    // input, zero unknown tokens. Golden fixture from an independent
-    // encoder with its OWN remap table built from the published ranges.
-    "q_bpe_bytes" -> Q(
-      (s, dir) => table(s, dir, "documents")
-        .select(col("doc_id"),
-          array_join(bpeEncodeBytes(col("text")), "").as("toks_joined"),
-          bpeTokenCountBytes(col("text")).as("n_tokens")),
-      golden("q_bpe_bytes")),
-
-    // Chunking denominated in REAL merged tokens (the LLM context unit):
-    // windows of 24 subwords, chunk text = subword concatenation. Golden
-    // fixture from the independent encoder + a plain slicing loop.
-    "q_chunk_bpe" -> Q(
-      (s, dir) => graft.operators.Chunking.chunkByBpeTokens(
-        table(s, dir, "documents"), "doc_id", "text",
-        chunkTokens = 24, stride = 24),
-      golden("q_chunk_bpe")),
-
-    "q_fingerprint" -> Q(
-      (s, dir) => table(s, dir, "documents")
-        .select(col("doc_id"), fingerprint(col("text")).as("fp")),
-      Some("SELECT doc_id, md5(text) AS fp FROM documents")),
-
-    // Heuristic quality rules (the Gopher/C4 pre-filter family): one
-    // tokenize-once narrow projection, integer numerators, one division per
-    // signal at the end — bit-identical across engines. Thresholds chosen
-    // to split this corpus non-trivially (280 keep / 220 drop at sf0.01).
-    "q_quality_rules" -> Q(
-      (s, dir) => graft.operators.TextStats.qualityRuleSignals(
-        table(s, dir, "documents"), "doc_id", "text",
-        graft.operators.TextStats.QualityRules(
-          minTokens = 20, maxTokens = 80,
-          minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
-          maxSymbolRatio = 0.1, maxBulletFrac = 0.9,
-          minAlphaFrac = 0.8, minStopwordHits = 2)),
-      Some(raw"""
-        WITH t AS (SELECT doc_id, text, $sqlTokens AS toks,
-                     string_split(text, chr(10)) AS ls FROM documents),
-        m AS (SELECT doc_id,
-          CAST(len(toks) AS BIGINT) AS n_tokens,
-          CASE WHEN len(toks) = 0 THEN 0.0
-               ELSE CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks) END AS mean_word_len,
-          CASE WHEN len(toks) = 0 THEN 0.0
-               ELSE CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / len(toks) END AS symbol_ratio,
-          CAST(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE) / len(ls) AS bullet_frac,
-          CASE WHEN len(toks) = 0 THEN 0.0
-               ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks) END AS alpha_frac,
-          CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','of','to','in','is','it','that'], x))) AS BIGINT) AS stopword_hits
-        FROM t)
-        SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, bullet_frac,
-          alpha_frac, stopword_hits,
-          CAST(CASE WHEN n_tokens BETWEEN 20 AND 80
-                AND mean_word_len BETWEEN 3.0 AND 10.0
-                AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
-                AND alpha_frac >= 0.8 AND stopword_hits >= 2
-                THEN 1 ELSE 0 END AS INT) AS keep
-        FROM m""")),
-
-    // Canonical normalization (lower → NFC → whitespace collapse → trim)
-    // + the near-exact dedup fingerprint over it. The corpus is already
-    // lowercase/single-spaced, so every 5th document is deterministically
-    // enriched with case, extra whitespace, and a DECOMPOSED accent
-    // (e + U+0301) on BOTH sides — the oracle then checks real composition
-    // work (100 changed / 400 untouched at sf0.01), not a no-op.
-    "q_normalize" -> Q(
-      (s, dir) => table(s, dir, "documents")
-        .withColumn("text",
-          when(col("doc_id") % 5 === 0,
-            concat(lit("HEADER  Line\n"), col("text"), lit("  Cafe\u0301 TAIL")))
-            .otherwise(col("text")))
-        .select(col("doc_id"),
-          normalizeText(col("text")).as("norm"),
-          md5(normalizeText(col("text"))).as("norm_fp"),
-          (normalizeText(col("text")) =!= col("text")).cast("int").as("changed")),
-      Some(raw"""
-        WITH enriched AS (SELECT doc_id,
-          CASE WHEN doc_id % 5 = 0
-               THEN 'HEADER  Line' || chr(10) || text || '  Cafe' || chr(769) || ' TAIL'
-               ELSE text END AS text
-          FROM documents),
-        n AS (SELECT doc_id, text,
-          trim(regexp_replace(nfc_normalize(lower(text)), '\s+', ' ', 'g')) AS norm
-          FROM enriched)
-        SELECT doc_id, norm, md5(norm) AS norm_fp,
-          CAST(CASE WHEN norm <> text THEN 1 ELSE 0 END AS INT) AS changed
-        FROM n""")),
-
-    // PII redaction (emails → URLs → phone runs, RE2-compatible patterns so
-    // Spark's Java regex and DuckDB's RE2 agree) + the audit counts. The
-    // synthetic corpus carries no PII of its own, so every 7th document is
-    // deterministically enriched with an email + phone contact line on BOTH
-    // sides — the oracle then verifies real redaction work, not a no-op.
-    "q_scrub_pii" -> Q(
-      (s, dir) => table(s, dir, "documents")
-        .withColumn("text",
-          when(col("doc_id") % 7 === 0,
-            concat(col("text"), lit(" contact user"), col("doc_id"),
-              lit("@example.com or 555-123-4567")))
-            .otherwise(col("text")))
-        .select(col("doc_id"), scrubPii(col("text")).as("clean"),
-          piiCounts(col("text")).as("__pii"))
-        .select(col("doc_id"), col("clean"), col("__pii.n_email"),
-          col("__pii.n_url"), col("__pii.n_phone")),
-      Some(s"""
-        WITH enriched AS (SELECT doc_id,
-          CASE WHEN doc_id % 7 = 0
-               THEN text || ' contact user' || doc_id || '@example.com or 555-123-4567'
-               ELSE text END AS text
-          FROM documents),
-        s AS (SELECT doc_id, text,
-          regexp_replace(text, '$sqlEmailPattern', '<EMAIL>', 'g') AS after_email
-          FROM enriched),
-        s2 AS (SELECT doc_id, text, after_email,
-          regexp_replace(after_email, '$sqlUrlPattern', '<URL>', 'g') AS after_url
-          FROM s)
-        SELECT doc_id,
-          regexp_replace(after_url, '$sqlPhonePattern', '<PHONE>', 'g') AS clean,
-          CAST(len(regexp_extract_all(text, '$sqlEmailPattern')) AS INT) AS n_email,
-          CAST(len(regexp_extract_all(after_email, '$sqlUrlPattern')) AS INT) AS n_url,
-          CAST(len(regexp_extract_all(after_url, '$sqlPhonePattern')) AS INT) AS n_phone
-        FROM s2""")),
-
-    // Vocabulary mining: 10 most frequent tokens per language — two bounded
-    // aggregations (map-side partial on both), never a full vocabulary sort.
-    "q_top_tokens" -> Q(
-      (s, dir) => graft.operators.TextStats.topTokensPerGroup(
-        table(s, dir, "documents"), Seq("lang"), col("text"), k = 10),
-      Some(s"""
-        WITH tok AS (SELECT lang, unnest($sqlTokens) AS token FROM documents),
-        cnt AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2)
-        SELECT lang, token, cnt, rank FROM (
-          SELECT lang, token, cnt,
-            row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rank
-          FROM cnt) t
-        WHERE rank <= 10""")),
-
-    // Repetition quality signals (the pretraining "repetition rules"
-    // family): duplicate-line fraction (narrow array arithmetic) and
-    // top-bigram fraction (distributed two-aggregation max, never a
-    // per-row quadratic loop).
-    "q_repetition" -> Q(
-      (s, dir) => graft.operators.TextStats.repetitionSignals(
-        table(s, dir, "documents"), "doc_id", "text"),
-      Some(s"""
-        WITH lines AS (SELECT doc_id,
-          list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
-          FROM documents),
-        ls AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
-          CASE WHEN len(ls) > 0
-               THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
-               ELSE 0.0 END AS dup_line_frac
-          FROM lines),
-        t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
-        bg AS (SELECT doc_id,
-          unnest(list_transform(range(1, len(toks)),
-            i -> toks[i] || ' ' || toks[i+1])) AS bigram
-          FROM t WHERE len(toks) >= 2),
-        cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
-        top AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-          CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
-          FROM cnt GROUP BY doc_id)
-        SELECT l.doc_id AS id, l.n_lines, l.dup_line_frac,
-          COALESCE(t.n_bigrams, 0) AS n_bigrams,
-          COALESCE(t.top_bigram_frac, 0.0) AS top_bigram_frac
-        FROM ls l LEFT JOIN top t ON l.doc_id = t.doc_id""")),
-
-    // Corpus-frequency token rarity (perplexity-proxy quality signal):
-    // vocabulary counts joined back per occurrence, all-integer aggregates
-    // (exact + aggregation-order-free; logs are an offline concern).
-    "q_rarity" -> Q(
-      (s, dir) => graft.operators.TextStats.tokenRarity(
-        table(s, dir, "documents"), "doc_id", "text"),
-      Some(s"""
-        WITH tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
-        vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
-        SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens,
-          CAST(sum(cnt) AS BIGINT) AS sum_token_cnt,
-          CAST(min(cnt) AS BIGINT) AS min_cnt,
-          CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
-        FROM tok JOIN vocab USING (token) GROUP BY doc_id""")),
-
-    // JSONL INGESTION (the crawl-dump wire format): explicit schema (no
-    // inference scan), PERMISSIVE corrupt-line capture, line-splittable
-    // parallel read. The clean split of a committed fixture with two
-    // broken lines must agree with DuckDB's ignore_errors read.
-    "q_jsonl_source" -> Q(
-      (s, _) => graft.sources.JsonlDocs.clean(
-        graft.sources.JsonlDocs.read(s,
-          "/root/repo/src/test/resources/jsonl/docs.jsonl",
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "doc_id BIGINT, text STRING, lang STRING"))),
-      Some("""
-        SELECT doc_id, text, lang
-        FROM read_json('/root/repo/src/test/resources/jsonl/docs.jsonl',
-          format='newline_delimited', ignore_errors=true,
-          columns={'doc_id': 'BIGINT', 'text': 'VARCHAR', 'lang': 'VARCHAR'})
-        WHERE doc_id IS NOT NULL""")),
-
-    // CSV INGESTION (same corrupt-capture contract as JSONL): rows that
-    // cannot parse into the declared schema quarantine instead of
-    // aborting or silently dropping; the clean split must agree with
-    // DuckDB's ignore_errors read of the committed fixture.
-    "q_csv_source" -> Q(
-      (s, _) => graft.sources.CsvDocs.clean(
-        graft.sources.CsvDocs.read(s,
-          "/root/repo/src/test/resources/csv/docs.csv",
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "doc_id BIGINT, text STRING, lang STRING"))),
-      Some("""
-        SELECT doc_id, text, lang
-        FROM read_csv('/root/repo/src/test/resources/csv/docs.csv',
-          header=false,
-          columns={'doc_id': 'BIGINT', 'text': 'VARCHAR', 'lang': 'VARCHAR'},
-          ignore_errors=true)""")),
-
-    // ORC ROUND-TRIP: the columnar-format sibling of the parquet path —
-    // write the table to ORC once per JVM, read it back, project. The
-    // oracle reads the SAME rows from parquet, so what's gated is that
-    // Spark's ORC writer+reader preserve every value and type bit-for-bit
-    // against an independent engine's view of the source.
-    "q_orc_source" -> Q(
-      (s, dir) => {
-        val path = graft.operators.IndexRoot.path(s, "orc", s"$dir|supplier")
-        // Hadoop FS existence check, not java.io.File: IndexRoot paths may
-        // be non-local (hdfs://, s3a://) on non-local masters, where the
-        // local check is always false and the table is rewritten per call.
-        val p = new org.apache.hadoop.fs.Path(path)
-        if (!p.getFileSystem(s.sessionState.newHadoopConf()).exists(p))
-          table(s, dir, "supplier").write.mode("overwrite").orc(path)
-        s.read.orc(path)
-          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
-      },
-      Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier")),
-
-    // XML ROUND-TRIP (the Wikipedia-dump ingestion shape): the documents
-    // table writes once per JVM as <doc> element rows via Spark 4's
-    // NATIVE xml source (no external connector) and reads back with an
-    // explicit schema + rowTag — per-field element escaping/unescaping
-    // must preserve every value including the free-text column. The
-    // oracle reads the same rows from parquet, so the gate is Spark's
-    // XML writer+reader fidelity against an independent engine's view
-    // of the source. Scale shape: XML is line-unsplittable, but rows
-    // land as many part files (one per input partition), so a 100 TB
-    // dump ingests with per-file parallelism — same contract as the
-    // JSONL source's quarantine-capable sibling.
-    "q_xml_source" -> Q(
-      (s, dir) => {
-        val path = graft.operators.IndexRoot.path(s, "xml", s"$dir|documents")
-        val p = new org.apache.hadoop.fs.Path(path)
-        if (!p.getFileSystem(s.sessionState.newHadoopConf()).exists(p))
-          table(s, dir, "documents")
-            .select("doc_id", "text", "lang", "source", "n_chars")
-            .write.mode("overwrite").option("rowTag", "doc")
-            .format("xml").save(path)
-        s.read.format("xml").option("rowTag", "doc")
-          .schema(org.apache.spark.sql.types.StructType.fromDDL(
-            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"))
-          .load(path)
-          .select("doc_id", "text", "lang", "source", "n_chars")
-      },
-      Some("SELECT doc_id, text, lang, source, n_chars FROM documents")),
-
-    // RAW-CRAWL HTML → text extraction: script/style blocks dropped, tags
-    // to spaces, common entities decoded, whitespace collapsed — the
-    // codegen'd regexp chain that runs before every text operator on a
-    // markup corpus. The HTML is built from table columns with identical
-    // literals in both engines, so the strip itself is what's gated.
-    "q_html_strip" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val html = concat(
-          lit("<html><head><title>"), col("source"),
-          lit("</title><style>p {color: red}</style></head><body><h1>"),
-          col("source"),
-          lit("</h1><script type=\"text/js\">var x = 1 < 2;</script><p>"),
-          col("text"),
-          lit("</p><a href=\"http://x.com\">link &amp; more</a>&nbsp;" +
-            "&#39;q&#39; &lt;tag&gt; &quot;qq&quot;</body></html>"))
-        docs.select(col("doc_id"),
-            graft.functions.TextFunctions.stripHtml(html).as("clean"))
-          .withColumn("n_chars", length(col("clean")).cast("long"))
-      },
-      Some(raw"""
-        WITH h AS (SELECT doc_id,
-            '<html><head><title>' || source ||
-            '</title><style>p {color: red}</style></head><body><h1>' ||
-            source ||
-            '</h1><script type="text/js">var x = 1 < 2;</script><p>' ||
-            text ||
-            '</p><a href="http://x.com">link &amp; more</a>&nbsp;' ||
-            '&#39;q&#39; &lt;tag&gt; &quot;qq&quot;</body></html>' AS html
-          FROM documents),
-        s1 AS (SELECT doc_id, regexp_replace(html,
-            '(?is)<(script|style)[^>]*>.*?</(script|style)\s*>', ' ', 'g') AS t
-          FROM h),
-        s2 AS (SELECT doc_id,
-            regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s1),
-        s3 AS (SELECT doc_id,
-            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-              regexp_replace(regexp_replace(t,
-                '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
-                '&#39;', chr(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
-            AS t FROM s2),
-        s4 AS (SELECT doc_id,
-            trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean FROM s3)
-        SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_chars
-        FROM s4""")),
-
-    // URL host extraction (per-host caps / host-level crawl aggregation):
-    // lower-cased authority host, userinfo and port stripped, '' for
-    // non-URLs — same regexp_extract no-match contract on both engines.
-    "q_url_host" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val url = when(col("doc_id") % 97 === 0, lit("not a url"))
-          .otherwise(concat(
-            lit("https://user@"), col("source"), lit(".Example.COM"),
-            when(col("doc_id") % 2 === 0, lit(":8443")).otherwise(lit("")),
-            lit("/docs/"), col("doc_id"), lit("?ref=1#top")))
-        docs.select(col("doc_id"),
-          graft.functions.TextFunctions.urlHost(url).as("host"))
-      },
-      Some("""
-        WITH u AS (SELECT doc_id,
-            CASE WHEN doc_id % 97 = 0 THEN 'not a url'
-                 ELSE 'https://user@' || source || '.Example.COM' ||
-                   CASE WHEN doc_id % 2 = 0 THEN ':8443' ELSE '' END ||
-                   '/docs/' || doc_id || '?ref=1#top' END AS url
-          FROM documents)
-        SELECT doc_id, lower(regexp_extract(url,
-          '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
-        FROM u""")),
-
-    // CANONICAL URL KEY (crawl-level URL dedup): five synthetic URL
-    // shapes exercise every rule — case, www, default port, userinfo,
-    // duplicate slashes, fragment, tracking params in first/middle
-    // positions, empty path, non-URL → NULL. The oracle CONSTRUCTS the
-    // expected key directly from doc_id arithmetic (an independent
-    // expectation, not a replay of the regexp chain).
-    "q_url_canon" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val k = col("doc_id") % 7
-        val url = when(col("doc_id") % 5 === 0, concat(
-            lit("HTTPS://WWW.Example"), k, lit(".COM:443//a//b/"),
-            col("doc_id"), lit("?utm_source=x&id="), col("doc_id"),
-            lit("&fbclid=z#frag")))
-          .when(col("doc_id") % 5 === 1, concat(
-            lit("http://user:pw@Example"), k, lit(".com:80/path?utm_a=1")))
-          .when(col("doc_id") % 5 === 2, concat(
-            lit("https://www.example"), k, lit(".com")))
-          .when(col("doc_id") % 5 === 3, lit("not a url"))
-          .otherwise(concat(lit("https://example"), k,
-            lit(".com/x%20y/?a=1&utm_medium=m&b=2")))
-        docs.select(col("doc_id"),
-          graft.functions.TextFunctions.canonicalUrl(url).as("canon"))
-      },
-      Some("""SELECT doc_id, CASE doc_id % 5
-          WHEN 0 THEN 'https://example' || (doc_id % 7) || '.com/a/b/'
-            || doc_id || '?id=' || doc_id
-          WHEN 1 THEN 'http://example' || (doc_id % 7) || '.com/path'
-          WHEN 2 THEN 'https://example' || (doc_id % 7) || '.com/'
-          WHEN 3 THEN NULL
-          ELSE 'https://example' || (doc_id % 7) || '.com/x%20y/?a=1&b=2'
-          END AS canon
-        FROM documents""")),
-
-    // BIGRAM-LM "perplexity" filter (CCNet family): per-doc surprisal
-    // under the corpus's own bigram model, in EXACT INTEGER BITS
-    // (bitlen differences — ln's libm rounding differs across engines,
-    // bit-length does not). Engine joins hashed bigrams (8 bytes); the
-    // oracle uses raw strings (the q_dedup_ngram collision argument).
-    "q_perplexity" -> Q(
-      (s, dir) => graft.operators.TextStats.bigramBitCost(
-        table(s, dir, "documents"), "doc_id", "text", keepMilliBits = 4700L),
-      Some(s"""
-        WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
-        bg AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
-                 unnest(toks[2:len(toks)]) AS w2 FROM t WHERE len(toks) >= 2),
-        c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
-        c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
-        v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS vs FROM
-                (SELECT unnest($sqlTokens) AS token FROM documents)),
-        cost AS (SELECT doc_id,
-            CAST(length(bin(c1 + vs)) - length(bin(c12)) AS BIGINT) AS cost
-          FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
-        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                  CAST(sum(cost) AS BIGINT) AS bit_cost FROM cost GROUP BY 1)
-        SELECT d.doc_id AS id,
-          CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-          CAST(COALESCE(a.bit_cost, 0) AS BIGINT) AS bit_cost,
-          CAST(COALESCE(a.bit_cost * 1000 // a.n_bigrams, 0) AS BIGINT) AS milli_bits,
-          CAST(COALESCE(a.bit_cost * 1000 // a.n_bigrams, 0) <= 4700 AS INT) AS keep
-        FROM documents d LEFT JOIN agg a USING (doc_id)""")),
-
-    // MISRA–GRIES heavy hitters per language: k bounded counters per
-    // group no matter how many distinct items stream past — the
-    // frequent-items primitive for item universes too big to aggregate
-    // exactly. At k ≥ the corpus vocabulary the summary IS the exact
-    // count map (merge-order-independent), which is what this row gates;
-    // the approximate regime's n/(k+1) bounds are property-tested.
-    "q_heavy_tokens" -> Q(
-      (s, dir) => table(s, dir, "documents")
-        .select(col("lang"), explode(tokens(col("text"))).as("token"))
-        .groupBy("lang")
-        .agg(graft.functions.HeavyHitters.sketch(col("token"), k = 64).as("hh"))
-        .select(col("lang"), posexplode(col("hh")).as(Seq("__pos", "e")))
-        .select(col("lang"), col("e.item").as("token"),
-          col("e.count_lb").as("cnt"),
-          (col("__pos") + 1).cast("long").as("rank")),
-      Some(s"""
-        WITH tok AS (SELECT lang, unnest($sqlTokens) AS token FROM documents),
-        cnt AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
-                FROM tok GROUP BY 1, 2)
-        SELECT lang, token, cnt,
-          CAST(row_number() OVER (PARTITION BY lang
-            ORDER BY cnt DESC, token) AS BIGINT) AS rank
-        FROM cnt""")),
-
-    // FREQUENCY-RANKED VOCABULARY: dense ids 0..n-1 by (count desc, token
-    // asc) under a bounded-heap cap — the "train the tokenizer vocab"
-    // step. The full token universe never sorts (TopNRows aggregate).
-    "q_vocab" -> Q(
-      (s, dir) => graft.operators.TextStats.buildVocab(
-        table(s, dir, "documents"), col("text"), maxVocab = 1000),
-      Some(s"""
-        WITH tok AS (SELECT unnest($sqlTokens) AS token FROM documents),
-        cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1)
-        SELECT token, cnt, CAST(rn - 1 AS BIGINT) AS id FROM (
-          SELECT token, cnt,
-            row_number() OVER (ORDER BY cnt DESC, token) AS rn FROM cnt) r
-        WHERE rn <= 1000""")),
-
-    // Vocab-id ENCODING (the serving half): each doc as its ordered id
-    // sequence, OOV → -1, token-less docs keep an empty sequence. The
-    // vocab broadcasts; one doc-id shuffle; order restored by carried
-    // position, never a window sort. The id sequence ships to the driver
-    // battery as a space-joined STRING (`token_ids`): the oracle
-    // comparator sorts columns with pandas, which cannot order/hash an
-    // array column — a scalar rendering keeps the check hash-exact while
-    // the spec suite covers the typed array output directly.
-    "q_vocab_encode" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        graft.operators.TextStats.encodeWithVocab(
-          docs, "doc_id", col("text"),
-          graft.operators.TextStats.buildVocab(docs, col("text"), maxVocab = 200))
-          .select(col("id"),
-            array_join(transform(col("token_ids"), _.cast("string")), " ")
-              .as("token_ids"),
-            col("n_tokens"))
-      },
-      Some(s"""
-        WITH tok AS (SELECT unnest($sqlTokens) AS token FROM documents),
-        cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
-        vocab AS (SELECT token, CAST(rn - 1 AS BIGINT) AS vid FROM (
-          SELECT token, cnt,
-            row_number() OVER (ORDER BY cnt DESC, token) AS rn FROM cnt) r
-          WHERE rn <= 200),
-        t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
-        pos AS (SELECT doc_id, unnest(toks) AS token,
-                  unnest(range(1, len(toks) + 1)) AS p FROM t),
-        enc AS (SELECT doc_id,
-                  list(COALESCE(vid, -1) ORDER BY p) AS token_ids
-                FROM pos LEFT JOIN vocab USING (token) GROUP BY doc_id)
-        SELECT d.doc_id AS id,
-          COALESCE(array_to_string(e.token_ids, ' '), '') AS token_ids,
-          CAST(COALESCE(len(e.token_ids), 0) AS BIGINT) AS n_tokens
-        FROM documents d LEFT JOIN enc e USING (doc_id)""")),
-
-    // KEY-SKEW profile: the 20 heaviest event users with exact counts and
-    // integer ppm share — the pre-shuffle "which keys melt a task" report.
-    // Bounded heap + single-row total broadcast; no full key sort.
-    "q_key_skew" -> Q(
-      (s, dir) => graft.operators.Profile.keySkew(
-        events(s, dir).select("user_id", "event_type"), Seq("user_id"), k = 20),
-      Some("""
-        WITH cnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
-                     FROM events GROUP BY 1),
-        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
-                  CAST(count(*) AS BIGINT) AS n_keys FROM cnt)
-        SELECT user_id, cnt, CAST(rn AS BIGINT) AS rank, n_keys,
-          CAST(cnt * 1000000 // tot AS BIGINT) AS ppm
-        FROM (SELECT user_id, cnt,
-                row_number() OVER (ORDER BY cnt DESC, user_id) AS rn FROM cnt) r
-        CROSS JOIN tot WHERE rn <= 20""")),
-
-    // Benchmark decontamination: documents sharing any word 8-gram with
-    // the "benchmark" slice (doc_id % 10 = 0), with distinct-shared-gram
-    // counts. Engine joins on HASHED grams (8 bytes/gram, fused per-row
-    // expression); the oracle intersects the raw string grams — equality
-    // of results is the ~2^-64 collision argument q_dedup_ngram already
-    // pins.
-    "q_decontaminate" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        // the eval-suite gram table is a build-once artifact (persisted
-        // under IndexRoot like the MinHash/winnow indexes): nightly runs
-        // pay one corpus shingle pass + the gram join, never the suite's
-        graft.operators.Curation.contaminationHitsFromGrams(
-          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
-          graft.operators.Curation.benchGramsFor(
-            docs.filter(col("doc_id") % 10 === 0),
-            cacheKey = s"$dir/documents%10=0!grams8", "text", ngramSize = 8),
-          ngramSize = 8)
-      },
-      Some(decontaminateOracleSql)),
-
-    // CONTAMINATION ATTRIBUTION: which benchmark item leaked into which
-    // document — one row per (doc, bench item) pair with the count of
-    // shared distinct 8-grams; the audit face of q_decontaminate (same
-    // corpus/suite split, bench grams carrying their item id instead of
-    // collapsing). Oracle: the raw-string-gram join with the bench doc_id
-    // carried through.
-    "q_contam_attr" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        graft.operators.Curation.contaminationAttribution(
-          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
-          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
-          ngramSize = 8)
-      },
-      Some {
-        val gram = (1 to 7).foldLeft("toks[i]") { (acc, k) => s"$acc || ' ' || toks[i+$k]" }
-        s"""
-        WITH tk AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
-        g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 6),
-                i -> $gram)) AS gs
-              FROM tk WHERE len(toks) >= 8),
-        bench AS (SELECT doc_id AS bench_id, unnest(gs) AS gr FROM g WHERE doc_id % 10 = 0),
-        dg AS (SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id % 10 <> 0)
-        SELECT dg.doc_id AS id, bench.bench_id,
-          CAST(count(*) AS BIGINT) AS n_shared_grams
-        FROM dg JOIN bench ON dg.gr = bench.gr GROUP BY 1, 2"""
-      }),
-
-    // EXACT REPEATED-SPAN detection (Lee et al. 2021 ExactSubstr family):
-    // maximal token spans covered by 8-grams occurring >= 2 times in the
-    // corpus. Engine hashes grams (8 bytes); oracle intersects raw string
-    // grams (the q_dedup_ngram collision argument); the span algebra
-    // (per-doc gaps-and-islands) must agree exactly.
-    "q_span_dedup" -> Q(
-      (s, dir) => graft.operators.Dedup.repeatedSpans(
-        table(s, dir, "documents"), "doc_id", "text",
-        gramSize = 8, minCount = 2, minSpanTokens = 8),
-      Some {
-        val gram = (1 to 7).foldLeft("toks[i]") { (acc, k) => s"$acc || ' ' || toks[i+$k]" }
-        s"""
-        WITH tk AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
-        g0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 6, 1)),
-                 i -> {'pos': i - 1, 'gr': $gram})) AS u FROM tk),
-        g AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.gr AS gr FROM g0),
-        cnt AS (SELECT gr, count(*) AS c FROM g GROUP BY 1),
-        dup AS (SELECT doc_id, pos FROM g JOIN cnt USING (gr) WHERE c >= 2),
-        isl AS (SELECT doc_id, pos,
-            sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
-              OVER (PARTITION BY doc_id ORDER BY pos) AS island
-          FROM (SELECT doc_id, pos,
-                  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-                FROM dup)),
-        spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
-                  FROM isl GROUP BY doc_id, island)
-        SELECT doc_id AS id, span_start, span_end,
-          span_end - span_start + 1 AS span_tokens
-        FROM spans WHERE span_end - span_start + 1 >= 8"""
-      }),
-
-    // The same contamination scan through the Bloom-filter semi-join
-    // pushdown (the very-large-benchmark-suite regime: sketch pre-filter
-    // in the corpus scan, then the exact gram join). Bloom filters have no
-    // false negatives and the exact join removes false positives, so this
-    // gates BIT-IDENTICAL output — same oracle — through a genuinely
-    // different physical plan.
-    "q_decontam_bloom" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        graft.operators.Curation.contaminationHits(
-          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
-          docs.filter(col("doc_id") % 10 === 0), "text", ngramSize = 8,
-          bloom = Some(graft.operators.Curation.BloomConfig(fpp = 0.01,
-            // one sketch per corpus per JVM — the eval-suite sketch is a
-            // build-once artifact like the MinHash/winnow indexes above
-            sketchKey = Some(s"$dir|decontam8"))))
-      },
-      Some(decontaminateOracleSql)),
-
-    // DSIR importance statistics: integer sufficient stats of the hashed
-    // word-bigram likelihood ratio between the "target" slice (doc_id %
-    // 10 = 0, standing in for the high-quality corpus) and the raw rest.
-    // Engine joins HASHED grams; the oracle intersects raw string grams
-    // (the q_dedup_ngram collision argument). Importance weights are one
-    // log away offline — the sums ship exact.
-    "q_importance" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        // both vocabulary tables are build-once artifacts (raw: once per
-        // corpus snapshot; target: once per suite release) — the per-run
-        // cost is one shingle pass over the scored docs + two joins
-        graft.operators.TextStats.importanceStatsFromCounts(
-          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
-          graft.operators.TextStats.gramCountsFor(
-            docs.filter(col("doc_id") % 10 =!= 0),
-            cacheKey = s"$dir/documents%10<>0!gramcnt2", "text", ngramSize = 2),
-          graft.operators.TextStats.gramCountsFor(
-            docs.filter(col("doc_id") % 10 === 0),
-            cacheKey = s"$dir/documents%10=0!gramcnt2", "text", ngramSize = 2),
-          ngramSize = 2)
-      },
-      Some(s"""
-        WITH tk AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
-        g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-                range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS gr
-              FROM tk WHERE len(toks) >= 2),
-        raw AS (SELECT doc_id, gr FROM g WHERE doc_id % 10 <> 0),
-        rawcnt AS (SELECT gr, count(*) AS rc FROM raw GROUP BY 1),
-        tgtcnt AS (SELECT gr, count(*) AS tc FROM g WHERE doc_id % 10 = 0 GROUP BY 1)
-        SELECT r.doc_id AS id, CAST(count(*) AS BIGINT) AS n_grams,
-          CAST(sum(COALESCE(t.tc, 0)) AS BIGINT) AS sum_target_cnt,
-          CAST(sum(c.rc) AS BIGINT) AS sum_corpus_cnt,
-          CAST(sum(CASE WHEN t.tc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen_target
-        FROM raw r
-        JOIN rawcnt c USING (gr)
-        LEFT JOIN tgtcnt t USING (gr)
-        GROUP BY 1""")),
-
-    // Winnowing fingerprints: substring-sharing pairs via an inverted-index
-    // join on local-min Rabin-Karp hashes (shared-fingerprint count >= 3).
-    // Rolling-hash arithmetic is not expressible in DuckDB SQL -> golden
-    // fixture from the independent brute-force recomputation.
-    "q_fingerprint_winnow" -> Q(
-      (s, dir) => Dedup.winnowPairsFromPostings(
-        Dedup.winnowPostingsFor(table(s, dir, "documents"),
-          cacheKey = s"$dir/documents!winnow", "doc_id", "text")),
-      golden("q_fingerprint_winnow")),
-  )
-
-  /** The SHARED MinHash index of the documents corpus (battery params:
-    * shingle 3, 128 hashes, 32 bands): built once per JVM and re-read from
-    * its parquet layout, so the four pair pipelines below (pairs, greedy
-    * drop, clustering, incremental) consume one signature pass — the
-    * nightly-index-job shape — instead of re-tokenizing the corpus per
-    * query.
-    */
-  private def docsMinhashIdx(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Dedup.minhashIndexFor(table(s, dir, "documents"),
-      cacheKey = s"$dir/documents!minhash!3!128!32",
-      "doc_id", "text", shingleSize = 3, numHashes = 128, bands = 32)
-
-  /** The battery's curation config (both pipeline rows share it). */
-  private val curationCfg = graft.operators.Curation.Config(
-    keepLangs = Set("en"), minQuality = 0.3, nearDupThreshold = 0.5,
-    chunkTokens = 40, chunkStride = 40, packBudgetTokens = 2000L)
-
-  /** The SHARED persisted curation prefix over the documents corpus:
-    * filter → scrub → exact dedup → near-dup removal (pairs from the
-    * persisted band index), built once per JVM ([[graft.operators
-    * .Curation.curatedCorpusFor]]) — both pipeline rows chunk+pack from
-    * this one artifact.
-    */
-  private def docsCurated(s: org.apache.spark.sql.SparkSession, dir: String) =
-    graft.operators.Curation.curatedCorpusFor(
-      table(s, dir, "documents"),
-      cacheKey = s"$dir/documents!curated",
-      "doc_id", "text", curationCfg,
-      nearDupPairs = Some(Dedup.minhashPairsFromIndex(docsMinhashIdx(s, dir),
-        numHashes = 128, threshold = 0.5)))
-
-  private val dedupQueries: Seq[(String, Q)] = Seq(
-    // Exact dedup: smallest doc_id survives per distinct text.
-    "q_dedup_exact" -> Q(
-      (s, dir) => Dedup.exact(table(s, dir, "documents"), col("text"), col("doc_id")),
-      Some("""SELECT doc_id, text, lang, source, n_chars FROM
-             (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn
-              FROM documents) t WHERE rn = 1""")),
-
-    // Exact word-trigram Jaccard pairs (≥ 0.5). Oracle does the naive
-    // quadratic version; the Spark path adds only a provably lossless
-    // size-ratio guard, so results must match exactly.
-    "q_dedup_ngram" -> Q(
-      (s, dir) => Dedup.ngramJaccardPairsFromSets(
-        Dedup.ngramSetsFor(table(s, dir, "documents"),
-          cacheKey = s"$dir/documents!ngram", "doc_id", "text"),
-        threshold = 0.5),
-      Some(s"""
-        WITH sh AS (
-          SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-          FROM (SELECT doc_id, $sqlTokens AS toks FROM documents)
-          WHERE len(toks) >= 3)
-        SELECT a.doc_id AS id1, b.doc_id AS id2,
-          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-        FROM sh a, sh b
-        WHERE a.doc_id < b.doc_id
-          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""")),
-
-    // DIRECTED CONTAINMENT pairs (|A∩B|/|A| ≥ 0.8): the asymmetric
-    // quote/excerpt detector symmetric Jaccard misses. Contained-side
-    // lossless prefix filter × container posting list; engine joins
-    // hashed shingles, oracle intersects raw strings (the q_dedup_ngram
-    // collision argument).
-    "q_containment" -> Q(
-      (s, dir) => Dedup.ngramContainmentPairsFromSets(
-        Dedup.ngramSetsFor(table(s, dir, "documents"),
-          cacheKey = s"$dir/documents!ngram", "doc_id", "text"),
-        threshold = 0.8),
-      Some(s"""
-        WITH sh AS (
-          SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-          FROM (SELECT doc_id, $sqlTokens AS toks FROM documents)
-          WHERE len(toks) >= 3)
-        SELECT a.doc_id AS id1, b.doc_id AS id2,
-          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment
-        FROM sh a, sh b
-        WHERE a.doc_id <> b.doc_id
-          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8""")),
-
-    // Cross-document repeated-line (boilerplate) removal: later
-    // occurrences of any ≥10-char line drop, the globally-first survives,
-    // short/blank lines always stay. Engine shuffles 64-bit line hashes +
-    // a hash-aggregate first-occurrence (never a per-line window); the
-    // oracle is the window formulation over raw line text.
-    "q_line_dedup" -> Q(
-      (s, dir) => Dedup.dropRepeatedLines(table(s, dir, "documents"),
-        "doc_id", "text", minLineLen = 10),
-      Some("""
-        WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
-                     unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
-                   FROM documents),
-        r AS (SELECT doc_id, line, pos,
-                CASE WHEN length(line) >= 10
-                     THEN row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
-                     ELSE 1 END AS rn
-              FROM l),
-        k AS (SELECT doc_id, line, pos FROM r WHERE rn = 1),
-        agg AS (SELECT doc_id AS id,
-                  string_agg(line, chr(10) ORDER BY pos) AS text,
-                  CAST(count(*) AS BIGINT) AS n_kept
-                FROM k GROUP BY doc_id)
-        SELECT a.id, a.text,
-          CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
-          CAST(len(string_split(d.text, chr(10))) - a.n_kept AS BIGINT) AS n_dropped
-        FROM agg a JOIN documents d ON a.id = d.doc_id""")),
-
-    // MinHash-LSH near-dup pairs — approximate wrt true Jaccard but fully
-    // DETERMINISTIC given the seeds, so the golden brute-force (all-pairs
-    // band agreement + signature estimate) is an exact oracle for the
-    // distributed banding/join/distinct machinery.
-    "q_dedup_minhash" -> Q(
-      (s, dir) => Dedup.minhashPairsFromIndex(docsMinhashIdx(s, dir),
-        numHashes = 128, threshold = 0.5).select(col("id1"), col("id2")),
-      golden("q_dedup_minhash")),
-
-    // SimHash near-dup pairs (Hamming ≤ 3 over 64-bit token simhash).
-    // Pigeonhole chunking is lossless for d ≤ 3 over 4 chunks, so the
-    // golden all-pairs Hamming scan is the exact expectation.
-    "q_dedup_simhash" -> Q(
-      (s, dir) => Dedup.simhashPairsFromTable(
-        Dedup.simhashTableFor(table(s, dir, "documents"),
-          cacheKey = s"$dir/documents!simhash", "doc_id", "text"),
-        maxDistance = 3),
-      golden("q_dedup_simhash")),
-
-    // Corpus after greedy near-dup removal (LSH pairs, smaller id survives).
-    "q_neardup_drop" -> Q(
-      (s, dir) => Dedup.dropNearDuplicates(table(s, dir, "documents"), "doc_id",
-        Dedup.minhashPairsFromIndex(docsMinhashIdx(s, dir),
-          numHashes = 128, threshold = 0.5)),
-      golden("q_neardup_drop")),
-
-    // QUALITY-AWARE survivor policy: cluster the near-dup pair graph
-    // (connected components) and keep the LONGEST document per cluster
-    // (score = n_chars; ties -> smallest id) — "keep the best copy"
-    // where the min-id policies keep whichever was crawled first.
-    // Oracle: the q_dedup_clusters recursive-CC formulation over the
-    // committed golden pair fixture + a per-component row_number pick.
-    "q_neardup_keep_best" -> Q(
-      (s, dir) => Dedup.keepBestPerCluster(table(s, dir, "documents"), "doc_id",
-        Dedup.minhashPairsFromIndex(docsMinhashIdx(s, dir),
-          numHashes = 128, threshold = 0.5),
-        col("n_chars")),
-      Some(s"""
-        WITH RECURSIVE
-        edges AS (SELECT id1, id2 FROM
-          read_parquet('/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')),
-        und AS (SELECT id1 AS a, id2 AS b FROM edges
-                UNION SELECT id2, id1 FROM edges),
-        reach AS (SELECT a, b FROM und
-                  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-        comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
-        lab AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
-                  COALESCE(c.component, d.doc_id) AS comp
-                FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
-        r AS (SELECT *, row_number() OVER
-                (PARTITION BY comp ORDER BY n_chars DESC, doc_id) AS rn
-              FROM lab)
-        SELECT doc_id, text, lang, source, n_chars FROM r WHERE rn = 1""")),
-
-    // INCREMENTAL dedup: a "new batch" (doc_id >= 250) probed against the
-    // persisted band index of the "history" (doc_id < 250) — the history is
-    // joined, never re-hashed. Oracle: the exact golden full-corpus pair
-    // fixture restricted to cross pairs (deterministic seeds make the
-    // split-and-probe path produce identical band collisions).
-    "q_dedup_incremental" -> Q(
-      (s, dir) => {
-        val idx = docsMinhashIdx(s, dir)
-        Dedup.incrementalNearDupsIndexed(
-          Dedup.sliceIndex(idx, col("id") >= 250),
-          Dedup.sliceIndex(idx, col("id") < 250),
-          numHashes = 128, threshold = 0.5)
-          .select("new_id", "old_id")
-      },
-      Some("""SELECT id2 AS new_id, id1 AS old_id
-             FROM read_parquet('/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')
-             WHERE id1 < 250 AND id2 >= 250""")),
-
-    // Transitive near-dup clustering: connected components over the
-    // MinHash-LSH pair graph (A~B, B~C ⇒ one cluster even without an A~C
-    // pair). The oracle computes the closure independently — a recursive
-    // CTE over the committed golden pair fixture (itself exact-checked by
-    // q_dedup_minhash) — so the distributed hash-min iteration is gated
-    // against a genuinely different algorithm.
-    // Near-dup GOVERNANCE reports over the committed pair fixture: which
-    // sources carry the duplicate mass (counts + n_chars-weighted, exact
-    // integer ppm), and the cluster-size histogram with singletons as
-    // the denominator. Both are bounded aggregates over pair/component
-    // tables — the reports cost the pairs plus one corpus scan.
-    "q_dup_mass" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        Dedup.dupMassByGroup(docs, "doc_id", "source",
-          Dedup.minhashPairsFromIndex(docsMinhashIdx(s, dir),
-            numHashes = 128, threshold = 0.5),
-          weight = col("n_chars"))
-      },
-      Some("""
-        WITH members AS (SELECT DISTINCT id FROM (
-            SELECT id1 AS id FROM read_parquet('/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')
-            UNION ALL
-            SELECT id2 FROM read_parquet('/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')))
-        SELECT d.source AS "group",
-          CAST(count(*) AS BIGINT) AS n_docs,
-          CAST(sum(CASE WHEN m.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-          CAST(sum(CASE WHEN m.id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
-               // count(*) AS BIGINT) AS dup_ppm,
-          CAST(sum(d.n_chars) AS BIGINT) AS w_total,
-          CAST(sum(CASE WHEN m.id IS NOT NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS w_dup,
-          CAST(sum(CASE WHEN m.id IS NOT NULL THEN d.n_chars ELSE 0 END) * 1000000
-               // sum(d.n_chars) AS BIGINT) AS dup_w_ppm
-        FROM documents d LEFT JOIN members m ON d.doc_id = m.id
-        GROUP BY 1""")),
-
-    "q_cluster_sizes" -> Q(
-      (s, dir) => Dedup.clusterSizeHistogram(
-        Dedup.connectedComponents(table(s, dir, "documents"), "doc_id",
-          Dedup.minhashPairsFromIndex(docsMinhashIdx(s, dir),
-            numHashes = 128, threshold = 0.5))),
-      Some(s"""
-        WITH RECURSIVE
-        edges AS (SELECT id1, id2 FROM
-          read_parquet('/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')),
-        und AS (SELECT id1 AS a, id2 AS b FROM edges
-                UNION SELECT id2, id1 FROM edges),
-        reach AS (SELECT a, b FROM und
-                  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-        comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
-        labeled AS (SELECT d.doc_id AS id, COALESCE(c.component, d.doc_id) AS component
-          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
-        sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS size
-          FROM labeled GROUP BY 1)
-        SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
-        FROM sizes GROUP BY 1""")),
-
-    "q_dedup_clusters" -> Q(
-      (s, dir) => Dedup.connectedComponents(table(s, dir, "documents"), "doc_id",
-        Dedup.minhashPairsFromIndex(docsMinhashIdx(s, dir),
-          numHashes = 128, threshold = 0.5)),
-      Some(s"""
-        WITH RECURSIVE
-        edges AS (SELECT id1, id2 FROM
-          read_parquet('/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')),
-        und AS (SELECT id1 AS a, id2 AS b FROM edges
-                UNION SELECT id2, id1 FROM edges),
-        reach AS (SELECT a, b FROM und
-                  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-        comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
-        SELECT d.doc_id AS id, COALESCE(c.component, d.doc_id) AS component
-        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""")),
-
-    // LSH-blocked embedding near-dup pairs — the PRODUCTION path (bucket
-    // join, no cross join). Approximate wrt TRUE near-dup recall (see the
-    // exact q_embed_neardup twin + ANN_SWEEP.md) but fully DETERMINISTIC
-    // given the seeded hyperplanes, so the golden all-pairs recomputation
-    // (driver-loop bucket codes + sequential-cosine verify) exact-checks
-    // the distributed explode/join/distinct machinery.
-    "q_embed_neardup_lsh" -> Q(
-      (s, dir) => Dedup.embeddingPairsLsh(table(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.45, planes = 3, tables = 8),
-      golden("q_embed_neardup_lsh")),
-
-    // The DENSITY-SCALED twin: planes/tables derived from the corpus
-    // count by LshTuning.forCorpus (the production default when a caller
-    // passes no tuning) — the end-to-end gate that the scaled path
-    // computes real answers. The fixed-tuning row above stays as the
-    // hand-tuned oracle anchor; this row is what survives 100× density
-    // (SCALE.md: fixed tuning hit 26× wall at 10×). Golden fixture uses
-    // the same closed-form tuner, so the gate breaks if tuner and
-    // operator ever disagree.
-    "q_embed_neardup_tuned" -> Q(
-      (s, dir) => Dedup.embeddingPairsLsh(table(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.45),
-      golden("q_embed_neardup_tuned")),
-
-    // The degenerate-clique CERTIFICATE twin (maxBucket > 0): exact-
-    // duplicate VECTORS collapse to min-id star edges and the bucket join
-    // runs over DISTINCT vectors only — q_image_neardup_guarded's
-    // smooth-media guard, ported to the embedding family (the
-    // identically-embedded boilerplate hazard). The corpus gains real
-    // cliques by duplicating the FIXED vec_id < 25 slice at id + 2^40
-    // (constant across SF decades, the q_sem_contaminate suite rule; the
-    // offset clears every derived corpus's id range). maxBucket = 1000
-    // never triggers at gate scale — the cap path is spec-gated
-    // adversarially, as on the Hamming twin. Golden driver mirror
-    // recomputes the certificate: vector content groups → stars →
-    // rep-level code-overlap + sequential-cosine pairs.
-    "q_embed_neardup_guarded" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings").select("vec_id", "embedding")
-        val dups = emb.filter(col("vec_id") < 25)
-          .withColumn("vec_id", col("vec_id") + lit(1L << 40))
-        Dedup.embeddingPairsLsh(emb.unionByName(dups), "vec_id", "embedding",
-          threshold = 0.45, planes = 3, tables = 8, maxBucket = 1000)
-      },
-      golden("q_embed_neardup_guarded")),
-
-    // Embedding-cosine near-dup pairs: exact brute force, double math on
-    // both sides (DuckDB must cast FLOAT[] → DOUBLE[] to match). The oracle
-    // anchor for the LSH production path above.
-    "q_embed_neardup" -> Q(
-      (s, dir) => Dedup.embeddingPairs(table(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.45),
-      Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
-               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
-             FROM embeddings a, embeddings b
-             WHERE a.vec_id < b.vec_id
-               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45""")),
-
-    // SEMANTIC contamination (embedding-space, the paraphrase-robust
-    // complement of q_decontaminate's verbatim n-gram join): corpus item
-    // flags when its cosine to ANY "benchmark" item reaches 0.4. The
-    // benchmark is the FIXED slice vec_id < 50 — an eval suite does not
-    // grow with the training corpus, and the derived sf1/sf10 corpora
-    // shift replica ids upward, so the slice is the same 50 vectors at
-    // every decade and the row stays linear-in-corpus (a %-split bench
-    // made it quadratic by construction: 28x at the third decade).
-    // Benchmark broadcasts, corpus streams with the cosine inline in the
-    // scan — nothing corpus-sized shuffles. Double math on both sides
-    // (DuckDB casts FLOAT[] → DOUBLE[]), like q_embed_neardup.
-    "q_sem_contaminate" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        graft.operators.Curation.semanticContaminationHits(
-          emb.filter(col("vec_id") >= 50), "vec_id", "embedding",
-          emb.filter(col("vec_id") < 50), "vec_id", "embedding",
-          threshold = 0.4)
-      },
-      Some("""SELECT c.vec_id AS id, b.vec_id AS bench_id,
-               list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
-             FROM embeddings c, embeddings b
-             WHERE c.vec_id >= 50 AND b.vec_id < 50
-               AND list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""")),
-
-    // The hits as a FILTER: the decontaminated corpus (anti-join on the
-    // sparse hit id set — AQE broadcasts it; the corpus never shuffles).
-    // Projects the scalar columns so the gate hashes ids+labels, with the
-    // dropped-row set pinned by the row above sharing one oracle family.
-    "q_sem_decontaminate" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        graft.operators.Curation.semanticDecontaminate(
-          emb.filter(col("vec_id") >= 50), "vec_id", "embedding",
-          emb.filter(col("vec_id") < 50), "vec_id", "embedding",
-          threshold = 0.4)
-          .select(col("vec_id"), col("label"))
-      },
-      Some("""SELECT c.vec_id, c.label FROM embeddings c
-             WHERE c.vec_id >= 50 AND NOT EXISTS (
-               SELECT 1 FROM embeddings b
-               WHERE b.vec_id < 50
-                 AND list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4)""")),
-
-    // The LARGE-benchmark escape hatch the broadcast guard points at,
-    // proven end-to-end: cross-table sign-LSH bucket join between corpus
-    // and suite codes, vectors riding, cosine verified inline — never a
-    // broadcast, never a candidate exchange. Approximate wrt the exact
-    // row above (bucket-overlap recall) but DETERMINISTIC given the
-    // seeded planes, so the golden driver-loop recomputation (code
-    // overlap + sequential cosine) exact-checks the distributed
-    // machinery, as q_embed_neardup_lsh / q_knn_join_lsh do.
-    "q_sem_contaminate_lsh" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        graft.operators.Curation.semanticContaminationHitsLsh(
-          emb.filter(col("vec_id") >= 50), "vec_id", "embedding",
-          emb.filter(col("vec_id") < 50), "vec_id", "embedding",
-          threshold = 0.4, planes = 3, tables = 8)
-      },
-      golden("q_sem_contaminate_lsh")),
-
-    // INCREMENTAL embedding near-dup — the vector entry of the
-    // incremental-dedup matrix (q_dedup_incremental = text band index,
-    // q_image_incremental = 8-byte hash index, this = the embedding LSH
-    // bucket index): a new slice probes the persisted slim-layout index
-    // (history joined by stored codes, never re-hashed; vector lookups
-    // pruned to candidates). Deterministic given the seeded planes →
-    // golden driver-loop recomputation, as the whole LSH family.
-    "q_embed_incremental" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        Dedup.incrementalEmbeddingPairsLsh(
-          emb.filter(col("vec_id") % 20 === 7), "vec_id", "embedding",
-          Dedup.embeddingLshIndex(
-            emb.filter(col("vec_id") % 20 =!= 7), "vec_id", "embedding",
-            planes = 3, tables = 8),
-          threshold = 0.4, planes = 3, tables = 8)
-      },
-      golden("q_embed_incremental")),
-  )
-
-  /** One oracle for BOTH hybrid-RRF rows: the scan-legged exact anchor
-    * (`q_hybrid_rrf`) and the index-served production path
-    * (`q_hybrid_rrf_ann`, whose all-cluster probe makes the dense leg
-    * exactly the cosine ranking) fuse identical rank lists, so one SQL
-    * text gates both physical plans.
-    */
-  private val hybridRrfOracleSql: Option[String] =
-      Some(s"""
-        WITH lens AS (SELECT doc_id, CAST(len($sqlTokens) AS BIGINT) AS dl FROM documents),
-        stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) AS tot FROM lens),
-        tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
-        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-               WHERE token IN ('vector', 'spark', 'customer') GROUP BY 1, 2),
-        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        scored AS (SELECT doc_id,
-            sum(ln((nd - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
-              * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
-              / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / (tot / nd)))) AS score
-          FROM tf JOIN dfq USING (token) JOIN lens USING (doc_id) CROSS JOIN stats
-          GROUP BY doc_id),
-        bm AS (SELECT doc_id AS id,
-            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-          FROM scored ORDER BY score DESC, doc_id LIMIT 20),
-        ann AS (SELECT vec_id AS id,
-            CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
-          FROM (SELECT vec_id,
-              list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cos
-            FROM embeddings WHERE vec_id <> 0)
-          ORDER BY cos DESC, vec_id LIMIT 20),
-        fused AS (SELECT COALESCE(bm.id, ann.id) AS id,
-            bm.rank AS rank_0, ann.rank AS rank_1,
-            (CASE WHEN bm.rank IS NOT NULL THEN 1.0 / CAST(60 + bm.rank AS DOUBLE) ELSE 0.0 END)
-            + (CASE WHEN ann.rank IS NOT NULL THEN 1.0 / CAST(60 + ann.rank AS DOUBLE) ELSE 0.0 END) AS rrf
-          FROM bm FULL OUTER JOIN ann ON bm.id = ann.id)
-        SELECT id, CAST(row_number() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rank,
-          rank_0, rank_1, rrf
-        FROM fused ORDER BY rrf DESC, id LIMIT 10""")
-
-  private val simQueries: Seq[(String, Q)] = Seq(
-    // Exact cosine top-10 for the vec_id=0 query vector.
-    "q_sim_topk" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") === 0)
-          .head().getSeq[Float](emb.columns.indexOf("embedding"))
-        Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
-          "vec_id", "embedding", q, k = 10)
-      },
-      Some("""SELECT vec_id,
-               list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cos
-             FROM embeddings WHERE vec_id <> 0
-             ORDER BY cos DESC, vec_id LIMIT 10""")),
-
-    // HYBRID retrieval: reciprocal-rank fusion of the BM25 keyword
-    // ranking and the embedding-cosine ranking for the same information
-    // need — no score calibration, pure rank arithmetic (SIGIR'09 RRF).
-    // Both branch ranks are integer sufficient stats; the fused score is
-    // rational arithmetic summed in fixed list order, so DuckDB
-    // reproduces the exact bits (see Search.rrfFuse scaladoc).
-    "q_hybrid_rrf" -> Q(
-      (s, dir) => {
-        val bm = graft.operators.Search.bm25TopK(
-          table(s, dir, "documents"), "doc_id", "text",
-          Seq("vector", "spark", "customer"), k = 20).select("id", "rank")
-        val emb = table(s, dir, "embeddings")
-        val qv = emb.filter(col("vec_id") === 0)
-          .head().getSeq[Float](emb.columns.indexOf("embedding"))
-        val ann = Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
-            "vec_id", "embedding", qv, k = 20)
-          .withColumn("rank", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
-              .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-          .select(col("vec_id").as("id"), col("rank"))
-        graft.operators.Search.rrfFuse(Seq(bm, ann), "id", "rank", k = 10)
-      },
-      hybridRrfOracleSql),
-
-    // The PRODUCTION hybrid path — both retriever legs served from
-    // persisted indexes, no corpus re-scan on either: BM25 from the
-    // postings/lengths tables ([[Search.bm25IndexFor]], ≤|Q| postings
-    // rows move) and the dense leg from the density-scaled partitioned
-    // IVF index ([[Similarity.ivfIndexFor]], nClusters = 0 → ≈√n).
-    // nprobe covers every cluster, so the dense RESULT equals the exact
-    // cosine ranking and the fusion shares q_hybrid_rrf's bit-exact SQL
-    // oracle — what this row gates is the physical path the 100 TB
-    // deployment runs (q_hybrid_rrf keeps the scan-legged exact anchor;
-    // pruned-nprobe hybrid recall is quantified in ANN_SWEEP.md).
-    "q_hybrid_rrf_ann" -> Q(
-      (s, dir) => {
-        val bmIdx = graft.operators.Search.bm25IndexFor(
-          table(s, dir, "documents"), cacheKey = s"$dir/documents!bm25",
-          "doc_id", "text")
-        val bm = graft.operators.Search.bm25TopKIndexed(
-          bmIdx, Seq("vector", "spark", "customer"), k = 20).select("id", "rank")
-        val emb = table(s, dir, "embeddings")
-        val qv = emb.filter(col("vec_id") === 0)
-          .head().getSeq[Float](emb.columns.indexOf("embedding"))
-        val ivf = Similarity.ivfIndexFor(emb.filter(col("vec_id") =!= 0),
-          cacheKey = s"$dir/embeddings!vec_id!tuned",
-          "vec_id", "embedding", nClusters = 0)
-        val ann = Similarity.ivfTopK(ivf, "vec_id", "embedding", qv, k = 20,
-            nprobe = ivf.centroids.length)
-          .withColumn("rank", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
-              .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-          .select(col("vec_id").as("id"), col("rank"))
-        graft.operators.Search.rrfFuse(Seq(bm, ann), "id", "rank", k = 10)
-      },
-      hybridRrfOracleSql),
-
-    // The PRUNED-nprobe hybrid twin — the plan the 100 TB deployment
-    // actually runs: the dense leg probes a FRACTION of the IVF clusters
-    // (nprobe = 4 of 16 at the gate, centroids/4 at bench SFs) instead of
-    // q_hybrid_rrf_ann's oracle-exact all-cluster probe. Gated the
-    // q_ann_ivf way: at sf0.01 the dense leg serves from the COMMITTED
-    // seeded index fixture and the golden driver-loop recomputation
-    // re-derives BM25 ranks + the same-nprobe probe + the exact rrf
-    // arithmetic. Pruned-probe recall is quantified in ANN_SWEEP.md.
-    "q_hybrid_rrf_ann_pruned" -> Q(
-      (s, dir) => {
-        val bmIdx = graft.operators.Search.bm25IndexFor(
-          table(s, dir, "documents"), cacheKey = s"$dir/documents!bm25",
-          "doc_id", "text")
-        val bm = graft.operators.Search.bm25TopKIndexed(
-          bmIdx, Seq("vector", "spark", "customer"), k = 20).select("id", "rank")
-        val emb = table(s, dir, "embeddings")
-        val qv = emb.filter(col("vec_id") === 0)
-          .head().getSeq[Float](emb.columns.indexOf("embedding"))
-        val (ivf, np) =
-          if (dir.endsWith("sf0.01"))
-            (Similarity.loadIvf(s, "/root/repo/src/test/resources/golden/ivf_index"), 4)
-          else {
-            val i = Similarity.ivfIndexFor(emb.filter(col("vec_id") =!= 0),
-              cacheKey = s"$dir/embeddings!vec_id!tuned",
-              "vec_id", "embedding", nClusters = 0)
-            (i, math.max(1, i.centroids.length / 4))
-          }
-        val ann = Similarity.ivfTopK(ivf, "vec_id", "embedding", qv, k = 20,
-            nprobe = np)
-          .withColumn("rank", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
-              .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-          .select(col("vec_id").as("id"), col("rank"))
-        graft.operators.Search.rrfFuse(Seq(bm, ann), "id", "rank", k = 10)
-      },
-      golden("q_hybrid_rrf_ann_pruned")),
-
-    // LSH-bucketed approximate top-k — approximate wrt exact top-k (recall
-    // quantified in ANN_SWEEP.md) but deterministic given the seeds: the
-    // golden driver-loop recomputation exact-checks the in-scan
-    // arrays_overlap candidate filter + TakeOrdered path.
-    "q_ann_lsh" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") === 0)
-          .head().getSeq[Float](emb.columns.indexOf("embedding"))
-        Similarity.lshTopK(emb.filter(col("vec_id") =!= 0),
-          "vec_id", "embedding", q, k = 10, planes = 4, tables = 8)
-      },
-      golden("q_ann_lsh")),
-
-    // IVF (k-means inverted file) approximate top-k. The index is built
-    // ONCE per dataset (offline in production; memoized +
-    // cluster-partitioned on disk here), so this measures PROBE latency:
-    // centroid ranking + a partition-pruned scan of nprobe clusters. At
-    // the correctness SF the probe runs against the COMMITTED seeded index
-    // fixture (the k-means fit is the one non-replayable step), gated by
-    // the golden driver-loop recomputation over that same index; at bench
-    // SFs the index builds once per JVM via the memoized production path.
-    "q_ann_ivf" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") === 0)
-          .head().getSeq[Float](emb.columns.indexOf("embedding"))
-        val idx =
-          if (dir.endsWith("sf0.01"))
-            Similarity.loadIvf(s, "/root/repo/src/test/resources/golden/ivf_index")
-          else Similarity.ivfIndexFor(emb.filter(col("vec_id") =!= 0),
-            cacheKey = s"$dir/embeddings!vec_id!16",
-            "vec_id", "embedding", nClusters = 16)
-        Similarity.ivfTopK(idx, "vec_id", "embedding", q, k = 10, nprobe = 4)
-      },
-      golden("q_ann_ivf")),
-
-    // IVF with the DENSITY-SCALED sizing default (nClusters = 0 →
-    // ivfClustersForCorpus's ≈√n rule — the LshTuning move applied to
-    // IVF): the index builds once per JVM through the memoized production
-    // path with the DERIVED k, recorded in the memo key/path. The probe
-    // sets nprobe to every cluster, which makes IVF EXACTLY the
-    // brute-force ranking — an exact SQL oracle gating the derived-k
-    // fit + partitioned-index + probe machinery end-to-end (the
-    // pruned-probe approximation itself is q_ann_ivf's golden-gated
-    // territory; recall at the derived k is in ANN_SWEEP.md).
-    "q_ann_ivf_tuned" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") === 0)
-          .head().getSeq[Float](emb.columns.indexOf("embedding"))
-        val idx = Similarity.ivfIndexFor(emb.filter(col("vec_id") =!= 0),
-          cacheKey = s"$dir/embeddings!vec_id!tuned",
-          "vec_id", "embedding", nClusters = 0)
-        Similarity.ivfTopK(idx, "vec_id", "embedding", q, k = 10,
-          nprobe = idx.centroids.length)
-      },
-      Some("""SELECT vec_id,
-               list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cos
-             FROM embeddings WHERE vec_id <> 0
-             ORDER BY cos DESC, vec_id LIMIT 10""")),
-
-    // The same probe served from the STREAMING-MAINTAINED IVF index
-    // (AnnStreams — the ANN twin of q_bm25_stream): the corpus arrives as
-    // three micro-batch deltas, each assigned to the FIXED committed
-    // centroids by the exact nearest-centroid expression and appended as
-    // a (__batch_id, __cluster)-partitioned delta; the probe scans only
-    // the nprobe nearest clusters' partitions across all batches. Shares
-    // q_ann_ivf's golden fixture: the loop's expression assignment
-    // reproduces the committed k-means assignment exactly
-    // (AnnStreamsSpec pins 499/499, no ties), so the delta-served top-10
-    // must be bit-equal to the offline probe.
-    "q_ann_ivf_stream" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") === 0)
-          .head().getSeq[Float](emb.columns.indexOf("embedding"))
-        val corpus = emb.filter(col("vec_id") =!= 0)
-        val centroids =
-          if (dir.endsWith("sf0.01"))
-            Similarity.loadIvf(s,
-              "/root/repo/src/test/resources/golden/ivf_index").centroids
-          else Similarity.ivfIndexFor(corpus,
-            cacheKey = s"$dir/embeddings!vec_id!16", "vec_id", "embedding",
-            nClusters = 16).centroids
-        val base = Queries.tempDir("graft_anns")
-        val path = s"$base/assigned"
-        (0 until 3).foreach { i =>
-          graft.streaming.AnnStreams.processIvfBatch(
-            corpus.filter(col("vec_id") % 3 === i), i.toLong,
-            "vec_id", "embedding", centroids, path)
-        }
-        graft.streaming.AnnStreams.ivfTopKStreamed(s, path, centroids,
-          "vec_id", "embedding", q, k = 10, nprobe = 4)
-      },
-      golden("q_ann_ivf")),
-  )
-
-  private val knnQueries: Seq[(String, Q)] = Seq(
-    // Batch kNN JOIN, exact: every query vector (vec_id % 50 = 0) gets its
-    // 5 nearest corpus vectors. Queries broadcast; the corpus side never
-    // shuffles; per-query top-k collapses map-side in the bounded heap.
-    // Oracle: the naive cross join + row_number window.
-    "q_knn_join" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        Similarity.knnJoin(
-          emb.filter(col("vec_id") % 50 === 0),
-          emb.filter(col("vec_id") % 50 =!= 0),
-          "vec_id", "embedding", k = 5)
-      },
-      Some("""
-        WITH pairs AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-            list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-              CAST(c.embedding AS DOUBLE[])) AS cos
-          FROM embeddings q, embeddings c
-          WHERE q.vec_id % 50 = 0 AND c.vec_id % 50 <> 0)
-        SELECT query_id, neighbor_id, cos, rank FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-            ORDER BY cos DESC, neighbor_id) AS rank
-          FROM pairs) t
-        WHERE rank <= 5""")),
-
-    // LSH-blocked kNN join — the production path (banded equi-join on
-    // exploded bucket codes, ids-only pair distinct, exact rerank).
-    // Approximate wrt exact kNN but DETERMINISTIC given the seeded planes,
-    // so the golden driver-loop recomputation (bucket overlap + sequential
-    // cosine + per-query sort) exact-checks the distributed machinery.
-    "q_knn_join_lsh" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        Similarity.knnJoinLsh(
-          emb.filter(col("vec_id") % 50 === 0),
-          emb.filter(col("vec_id") % 50 =!= 0),
-          "vec_id", "embedding", k = 5, planes = 3, tables = 8)
-      },
-      golden("q_knn_join_lsh")),
-
-    // SEMANTIC DEDUP (SemDeDup policy): within-cluster embedding near-dup
-    // removal over the IVF assignments — pair generation is one self
-    // equi-join on the cluster key (partition-local in the index layout),
-    // exact cosine verify, smaller id survives. Cross-cluster pairs are
-    // deliberately out of scope (the policy's documented approximation).
-    "q_semantic_dedup" -> Q(
-      (s, dir) => {
-        val idx =
-          if (dir.endsWith("sf0.01"))
-            Similarity.loadIvf(s, "/root/repo/src/test/resources/golden/ivf_index")
-          else Similarity.ivfIndexFor(
-            table(s, dir, "embeddings").filter(col("vec_id") =!= 0),
-            cacheKey = s"$dir/embeddings!vec_id!16",
-            "vec_id", "embedding", nClusters = 16)
-        Dedup.semanticDedup(idx.assigned, "vec_id", "embedding", threshold = 0.45)
-          .select(col("vec_id"), col("__cluster").cast("int").as("cluster"))
-      },
-      Some("""
-        WITH a AS (SELECT CAST(__cluster AS INT) AS c, vec_id,
-                     CAST(embedding AS DOUBLE[]) AS e
-                   FROM read_parquet(
-                     '/root/repo/src/test/resources/golden/ivf_index/assigned/*/*.parquet',
-                     hive_partitioning=1)),
-        p AS (SELECT y.vec_id AS i2 FROM a x JOIN a y
-                ON x.c = y.c AND x.vec_id < y.vec_id
-              WHERE list_cosine_similarity(x.e, y.e) >= 0.45)
-        SELECT vec_id, c AS cluster FROM a
-        WHERE vec_id NOT IN (SELECT DISTINCT i2 FROM p)""")),
-
-    // CLUSTER-BALANCED sampling: exact-5 per IVF cluster in deterministic
-    // hash order — the "semantic diversity" selection stage (per-cluster
-    // quotas instead of frequency-weighted sampling). Reuses the committed
-    // IVF fixture at the gate SF (the memoized production index at bench
-    // SFs) and the bounded-heap stratified sampler — no new machinery,
-    // which is the point: diversity sampling IS stratification over the
-    // clustering.
-    "q_cluster_sample" -> Q(
-      (s, dir) => {
-        val idx =
-          if (dir.endsWith("sf0.01"))
-            Similarity.loadIvf(s, "/root/repo/src/test/resources/golden/ivf_index")
-          else Similarity.ivfIndexFor(
-            table(s, dir, "embeddings").filter(col("vec_id") =!= 0),
-            cacheKey = s"$dir/embeddings!vec_id!16",
-            "vec_id", "embedding", nClusters = 16)
-        graft.operators.Sampling.stratifiedExactN(
-          idx.assigned.select(col("__cluster").cast("int").as("cluster"), col("vec_id")),
-          Seq("cluster"), n = 5,
-          orderBy = Seq(md5(col("vec_id").cast("string")), col("vec_id")))
-      },
-      Some("""
-        SELECT CAST(__cluster AS INT) AS cluster, vec_id FROM (
-          SELECT *, row_number() OVER (PARTITION BY __cluster
-            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) rn
-          FROM read_parquet(
-            '/root/repo/src/test/resources/golden/ivf_index/assigned/*/*.parquet',
-            hive_partitioning=1)) t
-        WHERE rn <= 5""")),
-  )
-
-  private val pqQueries: Seq[(String, Q)] = Seq(
-    // PRODUCT-QUANTIZATION ADC top-k: 64-dim floats → 8 byte-codes
-    // against a committed per-subspace codebook (the k-means fits are the
-    // non-replayable step, exactly like q_ann_ivf); the gate checks the
-    // distributed encode + asymmetric-distance scan against a driver-loop
-    // recomputation over the same codebook. At bench SFs the codebook
-    // builds once per JVM via the memoized offline path.
-    "q_ann_pq" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") === 0)
-          .head().getSeq[Float](emb.columns.indexOf("embedding"))
-        val (cb, cbTag) =
-          if (dir.endsWith("sf0.01"))
-            (Similarity.loadPqCodebook(s,
-              "/root/repo/src/test/resources/golden/pq_codebook"), "fix")
-          else (Similarity.pqCodebookFor(emb.filter(col("vec_id") =!= 0),
-            cacheKey = s"$dir/embeddings!pq!8!16", "embedding"), "built")
-        Similarity.pqTopK(
-          Similarity.pqEncodedFor(emb.filter(col("vec_id") =!= 0),
-            cacheKey = s"$dir/embeddings!pqenc!$cbTag", "vec_id", "embedding", cb),
-          q, cb, k = 10)
-      },
-      golden("q_ann_pq")),
-
-    // INT8 scalar quantization top-k: per-vector max-abs scaling to
-    // array<tinyint> (4× smaller scan than float32), integer dot-product
-    // ranking — exact 64-bit arithmetic, so unlike the float ANN rows the
-    // FULL pipeline (quantize + score + rank) recomputes bit-identically
-    // in plain SQL: no golden fixture, no committed artifact, the oracle
-    // rebuilds everything from the same fixed-order double arithmetic.
-    "q_ann_int8" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") === 0)
-          .head().getSeq[Float](emb.columns.indexOf("embedding"))
-        Similarity.int8TopK(
-          Similarity.int8TableFor(emb.filter(col("vec_id") =!= 0),
-            cacheKey = s"$dir/embeddings!int8", "vec_id", "embedding"),
-          q, k = 10)
-      },
-      Some(int8ScoreCtes + """
-        SELECT vec_id AS id, iscore FROM s
-        ORDER BY iscore DESC, vec_id LIMIT 10""")),
-
-    // The production int8 read: byte-scan shortlist (50) + exact cosine
-    // rerank of the final 10 over the stored float vectors — the PQ-rerank
-    // contract at the int8 rung. The oracle chains the integer shortlist
-    // CTEs into the exact q_sim_topk cosine formulation.
-    "q_ann_int8_rerank" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") === 0)
-          .head().getSeq[Float](emb.columns.indexOf("embedding"))
-        val corpus = emb.filter(col("vec_id") =!= 0)
-        Similarity.int8TopKRerank(
-          Similarity.int8TableFor(corpus,
-            cacheKey = s"$dir/embeddings!int8", "vec_id", "embedding"),
-          corpus, "vec_id", "embedding", q, k = 10, shortlist = 50)
-      },
-      Some(int8ScoreCtes + """,
-        short AS (SELECT vec_id FROM s ORDER BY iscore DESC, vec_id LIMIT 50)
-        SELECT t.vec_id,
-          list_cosine_similarity(t.v,
-            (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS cos
-        FROM t JOIN short USING (vec_id)
-        ORDER BY cos DESC, t.vec_id LIMIT 10""")),
-
-    // COMPOSED IVF-PQ — the billion-scale production tier (FAISS
-    // IndexIVFPQ shape): PQ codes stored INSIDE the cluster-partitioned
-    // IVF layout, so a probe reads nprobe/nlist of the corpus at m bytes
-    // per vector — both pruning axes at once. At the gate SF both parents
-    // are the COMMITTED fixtures (seeded k-means fits are the
-    // non-replayable steps), and the golden driver-loop recomputation
-    // re-derives probe set + per-candidate encode + ADC ranking over
-    // those same artifacts; at bench SFs index/codebook/codes all build
-    // once per JVM via the memoized offline paths.
-    "q_ann_ivfpq" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") === 0)
-          .head().getSeq[Float](emb.columns.indexOf("embedding"))
-        val corpus = emb.filter(col("vec_id") =!= 0)
-        val (idx, cb, tag) =
-          if (dir.endsWith("sf0.01"))
-            (Similarity.loadIvf(s, "/root/repo/src/test/resources/golden/ivf_index"),
-             Similarity.loadPqCodebook(s,
-               "/root/repo/src/test/resources/golden/pq_codebook"), "fix")
-          else
-            (Similarity.ivfIndexFor(corpus,
-               cacheKey = s"$dir/embeddings!vec_id!16", "vec_id", "embedding",
-               nClusters = 16),
-             Similarity.pqCodebookFor(corpus,
-               cacheKey = s"$dir/embeddings!pq!8!16", "embedding"), "built")
-        val codes = Similarity.ivfPqEncodedFor(idx, cb,
-          cacheKey = s"$dir/embeddings!ivfpq!$tag", "vec_id", "embedding")
-        Similarity.ivfPqTopK(idx.centroids, codes, q, cb, k = 10, nprobe = 4)
-      },
-      golden("q_ann_ivfpq")),
-
-    // IVF-PQ shortlist + exact float rerank — the full production query:
-    // pruned byte scan ranks 50 candidates from codes alone, exact cosine
-    // re-ranks the final 10 over the stored vectors (the int8/PQ rerank
-    // contract at the composed tier). Same committed artifacts; the
-    // golden recomputation reranks the same driver-derived shortlist.
-    "q_ann_ivfpq_rerank" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") === 0)
-          .head().getSeq[Float](emb.columns.indexOf("embedding"))
-        val corpus = emb.filter(col("vec_id") =!= 0)
-        val (idx, cb, tag) =
-          if (dir.endsWith("sf0.01"))
-            (Similarity.loadIvf(s, "/root/repo/src/test/resources/golden/ivf_index"),
-             Similarity.loadPqCodebook(s,
-               "/root/repo/src/test/resources/golden/pq_codebook"), "fix")
-          else
-            (Similarity.ivfIndexFor(corpus,
-               cacheKey = s"$dir/embeddings!vec_id!16", "vec_id", "embedding",
-               nClusters = 16),
-             Similarity.pqCodebookFor(corpus,
-               cacheKey = s"$dir/embeddings!pq!8!16", "embedding"), "built")
-        val codes = Similarity.ivfPqEncodedFor(idx, cb,
-          cacheKey = s"$dir/embeddings!ivfpq!$tag", "vec_id", "embedding")
-        Similarity.ivfPqTopKRerank(idx.centroids, codes, corpus,
-          "vec_id", "embedding", q, cb, k = 10, nprobe = 4, shortlist = 50)
-      },
-      golden("q_ann_ivfpq_rerank")),
-
-    // The composed tier served from the STREAMING-MAINTAINED code table
-    // (AnnStreams.ingestIvfPq — vectors assigned AND PQ-encoded at
-    // ingest by the native kernels, serving never touches a float):
-    // three micro-batch deltas in the offline artifact's exact
-    // (id, code, __cluster) layout, ADC probe over the pruned cluster
-    // partitions. Shares q_ann_ivfpq's golden: assignment parity is
-    // pinned 499/499 and the streamed encode is the same kernel as the
-    // offline table, so the delta-served top-10 must be bit-equal.
-    "q_ann_ivfpq_stream" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") === 0)
-          .head().getSeq[Float](emb.columns.indexOf("embedding"))
-        val corpus = emb.filter(col("vec_id") =!= 0)
-        val (centroids, cb) =
-          if (dir.endsWith("sf0.01"))
-            (Similarity.loadIvf(s,
-               "/root/repo/src/test/resources/golden/ivf_index").centroids,
-             Similarity.loadPqCodebook(s,
-               "/root/repo/src/test/resources/golden/pq_codebook"))
-          else
-            (Similarity.ivfIndexFor(corpus,
-               cacheKey = s"$dir/embeddings!vec_id!16", "vec_id", "embedding",
-               nClusters = 16).centroids,
-             Similarity.pqCodebookFor(corpus,
-               cacheKey = s"$dir/embeddings!pq!8!16", "embedding"))
-        val base = Queries.tempDir("graft_annpqs")
-        val path = s"$base/codes"
-        (0 until 3).foreach { i =>
-          graft.streaming.AnnStreams.processIvfPqBatch(
-            corpus.filter(col("vec_id") % 3 === i), i.toLong,
-            "vec_id", "embedding", centroids, cb, path)
-        }
-        graft.streaming.AnnStreams.ivfPqTopKStreamed(s, path, centroids,
-          q, cb, k = 10, nprobe = 4)
-      },
-      golden("q_ann_ivfpq")),
-
-    // The REFIT DECISION report over the streamed IVF index: per-cluster
-    // assignment-mix drift of the most recent micro-batch vs all earlier
-    // ones (ivfOccupancy composed with the categorical drift monitor —
-    // the alert that schedules the offline re-fit). At the gate the
-    // streamed assignments equal the committed k-means assignment
-    // (pinned 499/499), so the oracle recomputes the whole report from
-    // the committed assigned table split by the same batch rule.
-    "q_ann_refit" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        val corpus = emb.filter(col("vec_id") =!= 0)
-        val centroids =
-          if (dir.endsWith("sf0.01"))
-            Similarity.loadIvf(s,
-              "/root/repo/src/test/resources/golden/ivf_index").centroids
-          else Similarity.ivfIndexFor(corpus,
-            cacheKey = s"$dir/embeddings!vec_id!16", "vec_id", "embedding",
-            nClusters = 16).centroids
-        val base = Queries.tempDir("graft_refit")
-        val path = s"$base/assigned"
-        (0 until 3).foreach { i =>
-          graft.streaming.AnnStreams.processIvfBatch(
-            corpus.filter(col("vec_id") % 3 === i), i.toLong,
-            "vec_id", "embedding", centroids, path)
-        }
-        graft.streaming.AnnStreams.refitSignal(s, path, recentBatches = 1)
-      },
-      Some("""
-        WITH asg AS (SELECT vec_id, CAST(__cluster AS INT) AS cluster
-                     FROM read_parquet(
-                       '/root/repo/src/test/resources/golden/ivf_index/assigned/*/*.parquet',
-                       hive_partitioning=1)),
-        a AS (SELECT cluster, CAST(count(*) AS BIGINT) AS c FROM asg
-              WHERE vec_id % 3 < 2 GROUP BY 1),
-        b AS (SELECT cluster, CAST(count(*) AS BIGINT) AS c FROM asg
-              WHERE vec_id % 3 = 2 GROUP BY 1),
-        ta AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM a),
-        tb AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM b)
-        SELECT COALESCE(a.cluster, b.cluster) AS cluster,
-          COALESCE(a.c, CAST(0 AS BIGINT)) AS cnt_a,
-          COALESCE(b.c, CAST(0 AS BIGINT)) AS cnt_b,
-          CAST(COALESCE(a.c, 0) * 1000000 // ta.t AS BIGINT) AS share_a_ppm,
-          CAST(COALESCE(b.c, 0) * 1000000 // tb.t AS BIGINT) AS share_b_ppm,
-          CAST(abs(COALESCE(a.c, 0) * 1000000 // ta.t
-                 - COALESCE(b.c, 0) * 1000000 // tb.t) AS BIGINT) AS diff_ppm
-        FROM a FULL OUTER JOIN b ON a.cluster IS NOT DISTINCT FROM b.cluster
-        CROSS JOIN ta CROSS JOIN tb""")),
-  )
-
-  /** Shared CTE chain for the int8 rows: quantize the query (vec_id = 0)
-    * and every corpus vector with the exact [[Similarity.quantizeInt8]]
-    * arithmetic (widen to double, `x·127/maxabs + 0.5`, floor; all-zero
-    * vector → all-zero codes), then the integer dot product per corpus
-    * vector — DuckDB zip-unnests the two BIGINT lists positionally.
-    */
-  // a def, not a val: pqQueries above interpolates this during object
-  // init, before a later-declared val would be assigned
-  private def int8ScoreCtes: String = """
-        WITH q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
-        qm AS (SELECT v, list_max(list_transform(v, x -> abs(x))) AS m FROM q0),
-        qq AS (SELECT CASE WHEN m > 0
-            THEN list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT))
-            ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv FROM qm),
-        t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-              FROM embeddings WHERE vec_id <> 0),
-        tm AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM t),
-        tq AS (SELECT vec_id, CASE WHEN m > 0
-            THEN list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT))
-            ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS tv FROM tm),
-        s AS (SELECT vec_id, CAST(sum(a * b) AS BIGINT) AS iscore FROM
-               (SELECT vec_id, unnest(tv) AS a, unnest(qv) AS b
-                FROM tq CROSS JOIN qq) z
-             GROUP BY vec_id)"""
-
-  /** The chained per-stage DuckDB oracle of `Curation.pretrainingPipeline`
-    * (battery config: en / 0.3 / near-dup 0.5 / chunk 40/40 / pack 2000).
-    * The scrub stage is provably a no-op on this corpus (0 regex hits for
-    * all three PII patterns, verified in DuckDB), so the chain skips it;
-    * the near-dup stage reuses the exact golden pair fixture restricted to
-    * filter+dedup survivors (band collisions are per-pair, so the
-    * full-corpus fixture restricted to surviving endpoints IS the pair set
-    * of the filtered corpus). `decontam = true` inserts the
-    * q_decontaminate CTEs (benchmark = raw doc_id % 10 = 0 slice) between
-    * near-dup removal and chunking.
-    */
-  private def curationOracleSql(decontam: Boolean,
-                                spans: Boolean = false,
-                                semdecon: Boolean = false): String = {
-    val (ctes, src) = curationChainCtes(decontam, spans, semdecon)
-    s"""
-        WITH RECURSIVE
-        $ctes,
-        st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start
-               FROM (SELECT doc_id, $sqlTokens AS toks FROM $src) WHERE len(toks) > 0),
-        chunks AS (SELECT doc_id, CAST(start // 40 AS BIGINT) AS chunk_id,
-          array_to_string(list_slice(toks, start + 1, start + 40), ' ') AS chunk_text,
-          CAST(len(list_slice(toks, start + 1, start + 40)) AS BIGINT) AS n_tokens
-          FROM st),
-        packed AS (SELECT *, COALESCE(sum(n_tokens) OVER (ORDER BY doc_id, chunk_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM chunks)
-        SELECT doc_id, chunk_id, chunk_text, n_tokens,
-          CAST(before // 2000 AS BIGINT) AS pack_id
-        FROM packed"""
-  }
-
-  /** Attrition oracle: the same CTE chain with BOTH decontamination
-    * stages armed, consumed as a first-drop-stage labeling — one row per
-    * raw document, stage indices mirroring
-    * [[graft.operators.Curation.attritionReport]].
-    */
-  private def attritionOracleSql: String = {
-    val (ctes, _) = curationChainCtes(decontam = true, spans = false, semdecon = true)
-    s"""
-        WITH RECURSIVE
-        $ctes,
-        sel AS (
-          SELECT doc_id, 1 AS stage_idx, 'lang_quality' AS stage FROM documents
-            WHERE doc_id NOT IN (SELECT doc_id FROM kept)
-          UNION ALL SELECT doc_id, 2, 'exact_dup' FROM kept
-            WHERE doc_id NOT IN (SELECT doc_id FROM exact)
-          UNION ALL SELECT doc_id, 3, 'near_dup' FROM exact
-            WHERE doc_id NOT IN (SELECT doc_id FROM surv)
-          UNION ALL SELECT doc_id, 4, 'decontam' FROM surv
-            WHERE doc_id IN (SELECT doc_id FROM contaminated)
-          UNION ALL SELECT doc_id, 5, 'semantic_decontam' FROM final
-            WHERE doc_id IN (SELECT doc_id FROM sembad)
-          UNION ALL SELECT doc_id, 6, 'kept' FROM semfinal)
-        SELECT doc_id, CAST(stage_idx AS INT) AS stage_idx, stage FROM sel"""
-  }
-
-  /** The curation pipeline's oracle CTE chain (filter → exact dedup →
-    * golden-pair near-dedup → optional n-gram/semantic decontamination →
-    * optional span removal), shared by the three pipeline oracles and the
-    * attrition oracle: returns (cteBlock, nameOfFinalSurvivorCte).
-    */
-  private def curationChainCtes(decontam: Boolean, spans: Boolean,
-                                semdecon: Boolean): (String, String) = {
-    val gram = (1 to 7).foldLeft("toks[i]") { (acc, k) => s"$acc || ' ' || toks[i+$k]" }
-    val decontamCtes = if (!decontam) "" else s""",
-        sg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 6),
-                 i -> $gram))) AS gr
-               FROM (SELECT doc_id, $sqlTokens AS toks FROM surv) WHERE len(toks) >= 8),
-        bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(toks) - 6),
-                 i -> $gram))) AS gr
-               FROM (SELECT $sqlTokens AS toks FROM documents WHERE doc_id % 10 = 0)
-               WHERE len(toks) >= 8),
-        contaminated AS (SELECT DISTINCT doc_id FROM sg JOIN bg USING (gr)),
-        final AS (SELECT doc_id, text FROM surv
-                  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))"""
-    val srcNg = if (decontam) "final" else "surv"
-    // SEMANTIC decontamination stage: survivors whose embedding (vec_id
-    // keyed to doc_id, corpus slice vec_id >= 50) reaches cosine 0.4
-    // against ANY benchmark embedding (the fixed vec_id < 50 suite) drop;
-    // docs without an embedding row pass through — the stage contract.
-    val semCtes = if (!semdecon) "" else s""",
-        sembad AS (SELECT DISTINCT e.vec_id AS doc_id
-          FROM embeddings e, embeddings b
-          WHERE e.vec_id >= 50 AND b.vec_id < 50
-            AND e.vec_id IN (SELECT doc_id FROM $srcNg)
-            AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                  CAST(b.embedding AS DOUBLE[])) >= 0.4),
-        semfinal AS (SELECT doc_id, text FROM $srcNg
-                     WHERE doc_id NOT IN (SELECT doc_id FROM sembad))"""
-    val src0 = if (semdecon) "semfinal" else srcNg
-    // ExactSubstr stage (q_span_dedup's raw-string-gram formulation, run
-    // over the curated survivors): spans of >= spanMinTokens covered by
-    // corpus-repeated 8-grams are CUT, touched docs rebuilt from the
-    // surviving tokens single-space joined, untouched docs byte-identical
-    val spanCtes = if (!spans) "" else s""",
-        tkS AS (SELECT doc_id, text, $sqlTokens AS toks FROM $src0),
-        gS0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 6, 1)),
-                  i -> {'pos': i - 1, 'gr': $gram})) AS u FROM tkS),
-        gS AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.gr AS gr FROM gS0),
-        cntS AS (SELECT gr, count(*) AS c FROM gS GROUP BY 1),
-        dupS AS (SELECT doc_id, pos FROM gS JOIN cntS USING (gr) WHERE c >= 2),
-        islS AS (SELECT doc_id, pos,
-            sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
-              OVER (PARTITION BY doc_id ORDER BY pos) AS island
-          FROM (SELECT doc_id, pos,
-                  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-                FROM dupS)),
-        spansS AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
-                   FROM islS GROUP BY doc_id, island),
-        spB AS (SELECT doc_id, list({'s': s, 'e': e}) AS sp FROM spansS
-                WHERE e - s + 1 >= 8 GROUP BY doc_id),
-        respanned AS (SELECT t.doc_id,
-            CASE WHEN b.sp IS NULL THEN t.text
-                 ELSE array_to_string(list_filter(
-                   list_transform(range(1, len(t.toks) + 1),
-                     i -> CASE WHEN len(list_filter(b.sp,
-                            x -> i - 1 >= x.s AND i - 1 <= x.e)) = 0
-                          THEN t.toks[i] END),
-                   x -> x IS NOT NULL), ' ')
-            END AS text
-          FROM tkS t LEFT JOIN spB b USING (doc_id))"""
-    val src = if (spans) "respanned" else src0
-    (s"""t0 AS (SELECT doc_id, text, $sqlTokens AS toks FROM documents),
-        feat AS (SELECT doc_id, text, toks,
-          CASE WHEN length(text) = 0 THEN 0.0
-               ELSE CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) END AS punct_ratio,
-          CASE WHEN len(toks) = 0 THEN 0.0
-               ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE) / len(toks) END AS stopword_ratio,
-          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_signal,
-          len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','it'], x))) AS s_en,
-          len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
-          len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))) AS s_fr,
-          len(list_filter(toks, x -> list_contains(['el','los','las','es','un','una','que','en'], x))) AS s_es
-          FROM t0),
-        kept AS (SELECT doc_id, text FROM feat
-          WHERE greatest(s_en, s_de, s_fr, s_es) > 0
-            AND s_en = greatest(s_en, s_de, s_fr, s_es)
-            AND greatest(least(len_signal * 0.4 + least(stopword_ratio * 4.0, 1.0) * 0.4
-                  + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 1.0), 0.0) >= 0.3),
-        exact AS (SELECT doc_id, text FROM
-          (SELECT doc_id, text, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn
-           FROM kept) WHERE rn = 1),
-        edges AS (SELECT id1, id2 FROM
-          read_parquet('/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')
-          WHERE id1 IN (SELECT doc_id FROM exact) AND id2 IN (SELECT doc_id FROM exact)),
-        und AS (SELECT id1 AS a, id2 AS b FROM edges UNION SELECT id2, id1 FROM edges),
-        reach AS (SELECT a, b FROM und
-                  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-        comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
-        surv AS (SELECT e.doc_id, e.text FROM exact e LEFT JOIN comp c ON e.doc_id = c.id
-                 WHERE c.id IS NULL OR c.component = e.doc_id)$decontamCtes$semCtes$spanCtes""",
-      src)
-  }
-
-  private val curationQueries: Seq[(String, Q)] = Seq(
-    // Deterministic stratified sample: 20 docs per language, ranked by
-    // (md5(text), doc_id) — reproducible across engines/partitionings. One
-    // ObjectHashAggregate (bounded per-group heap, map-side combine), not a
-    // window sort of whole strata.
-    "q_sample_stratified" -> Q(
-      (s, dir) => graft.operators.Sampling.stratifiedExactN(
-        table(s, dir, "documents"), Seq("lang"), n = 20,
-        orderBy = Seq(md5(col("text")), col("doc_id"))),
-      Some("""SELECT doc_id, text, lang, source, n_chars FROM
-             (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) rn
-              FROM documents) t WHERE rn <= 20""")),
-
-    // Deterministic uniform sample: global smallest-50 by (md5(text), doc_id)
-    // — plans as TakeOrderedAndProject (per-partition top-k, no shuffle).
-    "q_sample_uniform" -> Q(
-      (s, dir) => graft.operators.Sampling.uniformExactN(
-        table(s, dir, "documents"), n = 50,
-        orderBy = Seq(md5(col("text")), col("doc_id"))),
-      Some("""SELECT doc_id, text, lang, source, n_chars FROM documents
-              ORDER BY md5(text), doc_id LIMIT 50""")),
-
-    // PER-SOURCE DOCUMENT CAP: at most 10 docs per source, best quality
-    // first (common-crawl-style per-host caps — stops one domain from
-    // dominating the mix). Same bounded-heap aggregate as the stratified
-    // sample; the ordering key is the float quality score, which is
-    // bit-identical across engines (q_quality proves it), tie-broken by
-    // doc_id.
-    "q_source_cap" -> Q(
-      (s, dir) => graft.operators.Sampling.stratifiedExactN(
-        table(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            qualityScore(col("text")).as("quality")),
-        Seq("source"), n = 10,
-        orderBy = Seq(negate(col("quality")), col("doc_id"))),
-      Some(s"""
-        WITH t AS (SELECT doc_id, source, text, $sqlTokens AS toks FROM documents),
-        m AS (SELECT doc_id, source,
-          CASE WHEN length(text) = 0 THEN 0.0
-               ELSE CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) END AS punct_ratio,
-          CASE WHEN len(toks) = 0 THEN 0.0
-               ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE) / len(toks) END AS stopword_ratio,
-          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_signal
-        FROM t),
-        q AS (SELECT doc_id, source,
-          greatest(least(len_signal * 0.4 + least(stopword_ratio * 4.0, 1.0) * 0.4
-            + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 1.0), 0.0) AS quality
-        FROM m)
-        SELECT doc_id, source, quality FROM (
-          SELECT *, row_number() OVER (PARTITION BY source
-            ORDER BY quality DESC, doc_id) AS rn FROM q) r
-        WHERE rn <= 10""")),
-
-    // BUDGET-BOUNDED QUALITY SELECTION: rank by quality desc (tie →
-    // doc_id), keep the maximal prefix whose cumulative token count fits
-    // a 12k-token budget — "take the best data until the budget is
-    // spent". Same two-level distributed prefix sum as q_pack_budget
-    // (never a corpus-wide single-partition window); the oracle is the
-    // single-window formulation it must reproduce exactly. The float
-    // quality score is bit-identical across engines (q_quality proves
-    // it), so the DESC rank and therefore the prefix agree.
-    "q_select_budget" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-          .withColumn("quality", qualityScore(col("text")))
-        graft.operators.Sampling.selectTopUnderTokenBudget(
-            docs, "doc_id", "text", col("quality"), budgetTokens = 12000)
-          .select("doc_id", "lang", "quality", "n_tokens", "cum_tokens")
-      },
-      Some(s"""
-        WITH t AS (SELECT doc_id, lang, text, $sqlTokens AS toks FROM documents),
-        m AS (SELECT doc_id, lang,
-          CASE WHEN length(text) = 0 THEN 0.0
-               ELSE CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) END AS punct_ratio,
-          CASE WHEN len(toks) = 0 THEN 0.0
-               ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE) / len(toks) END AS stopword_ratio,
-          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_signal,
-          CAST(len(toks) AS BIGINT) AS n_tokens
-        FROM t),
-        q AS (SELECT doc_id, lang, n_tokens,
-          greatest(least(len_signal * 0.4 + least(stopword_ratio * 4.0, 1.0) * 0.4
-            + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 1.0), 0.0) AS quality
-        FROM m),
-        c AS (SELECT doc_id, lang, quality, n_tokens,
-          CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_tokens
-        FROM q)
-        SELECT doc_id, lang, quality, n_tokens, cum_tokens FROM c
-        WHERE cum_tokens <= 12000""")),
-
-    // Overlapping token-window chunking (40-token windows every 20) — the
-    // long-document → training-sequence splitter. Narrow, no shuffle.
-    "q_chunk_tokens" -> Q(
-      (s, dir) => graft.operators.Chunking.chunkByTokens(
-        table(s, dir, "documents"), "doc_id", "text",
-        chunkTokens = 40, stride = 20),
-      Some(s"""
-        WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
-        st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 20)) AS start
-               FROM t WHERE len(toks) > 0)
-        SELECT doc_id, CAST(start // 20 AS BIGINT) AS chunk_id,
-          array_to_string(list_slice(toks, start + 1, start + 40), ' ') AS chunk_text,
-          CAST(len(list_slice(toks, start + 1, start + 40)) AS BIGINT) AS n_tokens
-        FROM st""")),
-
-    // Contiguous-fill sequence packing into 2000-token bins, doc_id order.
-    // The Spark side computes the global running token total with a
-    // two-level distributed prefix sum (bucket sums → tiny bucket-offset
-    // window → within-bucket window); the oracle is the single-window
-    // formulation the distributed plan must reproduce exactly.
-    "q_pack_budget" -> Q(
-      (s, dir) => graft.operators.Chunking.packByTokenBudget(
-        table(s, dir, "documents"), "doc_id", "text",
-        budgetTokens = 2000, bucketSize = 100)
-        .select("doc_id", "lang", "n_tokens", "pack_id"),
-      Some(s"""
-        WITH n AS (SELECT doc_id, lang, CAST(len($sqlTokens) AS BIGINT) AS n_tokens
-                   FROM documents),
-        c AS (SELECT *, COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
-              FROM n)
-        SELECT doc_id, lang, n_tokens, CAST(before // 2000 AS BIGINT) AS pack_id FROM c""")),
-
-    // The END-TO-END curation pipeline (lang/quality filter → scrub →
-    // exact dedup → transitive near-dup removal → chunk → pack), gated by
-    // chaining the per-stage oracle SQL. The scrub stage is provably a
-    // no-op on this corpus (0 regex hits for all three PII patterns,
-    // verified in DuckDB), so the oracle chain skips it; the
-    // near-dup stage reuses the exact golden pair fixture restricted to
-    // filter+dedup survivors (band collisions are per-pair, so the
-    // full-corpus fixture restricted to surviving endpoints IS the pair
-    // set of the filtered corpus).
-    // Both pipeline rows consume the SHARED persisted curation prefix
-    // (docsCurated: filter → scrub → exact dedup → near-dup removal,
-    // fed by the persisted band index) — built once per JVM, so the
-    // expensive scrub+signature+CC chain is paid ONCE for the two rows
-    // instead of per row; each row then runs only its own suffix
-    // (± decontamination, then chunk+pack). This is the production
-    // nightly shape: curate the lake once, derive every training-set
-    // variant from the curated corpus.
-    "q_curation_pipeline" -> Q(
-      (s, dir) => graft.operators.Curation.chunkAndPack(
-        docsCurated(s, dir), "doc_id", "text", curationCfg),
-      Some(curationOracleSql(decontam = false))),
-
-    // The same pipeline with the DECONTAMINATION stage enabled: after
-    // near-dup removal, any document sharing a word 8-gram with the
-    // "benchmark" slice (raw doc_id % 10 = 0) drops before chunking. The
-    // oracle chain inserts the q_decontaminate CTEs (raw string grams vs
-    // the engine's hashed grams — the q_dedup_ngram collision argument).
-    // Curation with the ExactSubstr SPAN-REMOVAL stage enabled (Lee et
-    // al. 2021): corpus-repeated 8-gram spans are cut from the curated
-    // survivors before chunking. Consumes the same shared persisted
-    // prefix as the other two pipeline rows; only the span+chunk suffix
-    // is this row's own work. Spec pins pretrainingPipeline(
-    // dropRepeatedSpans = true) == this composition.
-    "q_curation_spans" -> Q(
-      (s, dir) => graft.operators.Curation.chunkAndPack(
-        graft.operators.Dedup.removeRepeatedSpans(
-            docsCurated(s, dir), "doc_id", "text",
-            gramSize = 8, minCount = 2, minSpanTokens = 8)
-          .drop("n_cut_tokens"),
-        "doc_id", "text", curationCfg),
-      Some(curationOracleSql(decontam = false, spans = true))),
-
-    "q_curation_decontam" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        graft.operators.Curation.chunkAndPack(
-          graft.operators.Curation.decontaminate(
-            docsCurated(s, dir), "doc_id", "text",
-            docs.filter(col("doc_id") % 10 === 0), "text",
-            curationCfg.decontamNgram, curationCfg.decontamMinHits),
-          "doc_id", "text", curationCfg)
-      },
-      Some(curationOracleSql(decontam = true))),
-
-    // The pipeline with the SEMANTIC (embedding-space) decontamination
-    // stage: after near-dup removal, a survivor whose embedding (vec_id
-    // keyed to doc_id; corpus slice vec_id >= 50) reaches cosine 0.4
-    // against any embedding of the FIXED vec_id < 50 suite drops before
-    // chunking — the paraphrase-robust complement of q_curation_decontam's
-    // verbatim n-gram stage. Survivors without an embedding row pass
-    // through (the stage contract). Consumes the shared persisted prefix;
-    // CurationSpec pins pretrainingPipeline(semanticDecontaminateAgainst)
-    // == this composition. Oracle: the chained CTE template with the
-    // list_cosine_similarity CTEs inserted (double math both sides).
-    "q_curation_semdecon" -> Q(
-      (s, dir) => {
-        val cur = docsCurated(s, dir)
-        val emb = table(s, dir, "embeddings")
-        val corpusEmb = emb.filter(col("vec_id") >= 50)
-          .select(col("vec_id").as("__eid"), col("embedding").as("__evec"))
-          .join(cur.select(col("doc_id").as("__eid")), Seq("__eid"), "left_semi")
-        val bad = graft.operators.Curation.semanticContaminationHits(
-            corpusEmb, "__eid", "__evec",
-            emb.filter(col("vec_id") < 50), "vec_id", "embedding",
-            threshold = 0.4)
-          .select(col("id")).distinct()
-        graft.operators.Curation.chunkAndPack(
-          cur.join(bad, cur("doc_id") === bad("id"), "left_anti"),
-          "doc_id", "text", curationCfg)
-      },
-      Some(curationOracleSql(decontam = false, semdecon = true))),
-
-    // CURATION ATTRITION REPORT: one row per RAW document labeling the
-    // FIRST stage that dropped it (lang_quality → exact_dup → near_dup →
-    // n-gram decontam → semantic decontam → kept) — the pipeline's
-    // observability funnel, with BOTH decontamination stages armed (the
-    // q_curation_decontam benchmark slice + the q_curation_semdecon
-    // embedding suite). Drop sets are ids-only anti-joins between
-    // persisted consecutive stage frames; the oracle runs the shared
-    // chain CTEs once and labels by set membership.
-    "q_attrition" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val emb = table(s, dir, "embeddings")
-        graft.operators.Curation.attritionReport(
-          docs, "doc_id", "text", curationCfg,
-          decontaminateAgainst =
-            Some((docs.filter(col("doc_id") % 10 === 0), "text")),
-          nearDupPairs = Some(Dedup.minhashPairsFromIndex(
-            docsMinhashIdx(s, dir), numHashes = 128, threshold = 0.5)),
-          semanticDecontaminateAgainst =
-            Some(graft.operators.Curation.SemanticDecontam(
-              embeddings = emb.filter(col("vec_id") >= 50),
-              embIdCol = "vec_id", embVecCol = "embedding",
-              benchmark = emb.filter(col("vec_id") < 50),
-              benchIdCol = "vec_id", benchVecCol = "embedding",
-              threshold = 0.4)))
-      },
-      Some(attritionOracleSql)),
-
-    // Deterministic split assignment: doc_id-keyed 75/12.5/12.5
-    // train/val/test (binary-exact boundaries), reproducible across
-    // engines — pure per-row hash arithmetic, no shuffle.
-    // DETERMINISTIC per-stratum Bernoulli sample (sampleBy without the
-    // randomness): keep iff hash32(doc_id) < floor(frac(lang)·2³²) —
-    // binary-exact fractions, driver-computed integer thresholds, one
-    // pushdown-friendly filter. Unlisted strata drop entirely.
-    "q_sample_frac" -> Q(
-      (s, dir) => graft.operators.Sampling.sampleByFraction(
-        table(s, dir, "documents").select("doc_id", "lang", "n_chars"),
-        col("doc_id"), "lang",
-        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0)),
-      Some("""
-        SELECT doc_id, lang, n_chars FROM (
-          SELECT doc_id, lang, n_chars,
-            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
-          FROM documents)
-        WHERE (lang = 'en' AND h < 2147483648)
-           OR (lang = 'de' AND h < 1073741824)
-           OR (lang = 'fr' AND h < 4294967296)""")),
-
-    "q_split" -> Q(
-      (s, dir) => graft.operators.Sampling.assignSplit(
-        table(s, dir, "documents").select("doc_id", "lang"),
-        col("doc_id"),
-        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)),
-      Some("""
-        SELECT doc_id, lang,
-          CASE WHEN u < 0.75 THEN 'train'
-               WHEN u < 0.875 THEN 'val'
-               ELSE 'test' END AS split
-        FROM (SELECT doc_id, lang,
-                CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                  / 4294967296.0 AS u
-              FROM documents)""")),
-
-    // SPLIT-LEAKAGE report: near-dup pairs whose endpoints landed in
-    // DIFFERENT splits of the q_split random per-document assignment —
-    // each row an eval example with a near-copy in training data. Oracle:
-    // the golden pair fixture joined twice against the q_split hash
-    // arithmetic.
-    "q_split_leakage" -> Q(
-      (s, dir) => {
-        val assigned = graft.operators.Sampling.assignSplit(
-          table(s, dir, "documents").select("doc_id"), col("doc_id"),
-          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
-        graft.operators.Sampling.splitLeakage(assigned, "doc_id", "split",
-            Dedup.minhashPairsFromIndex(docsMinhashIdx(s, dir),
-              numHashes = 128, threshold = 0.5))
-          .select("id1", "id2", "split1", "split2")
-      },
-      Some("""
-        WITH sp AS (SELECT doc_id,
-            CASE WHEN u < 0.75 THEN 'train'
-                 WHEN u < 0.875 THEN 'val'
-                 ELSE 'test' END AS split
-          FROM (SELECT doc_id,
-                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                    / 4294967296.0 AS u
-                FROM documents)),
-        e AS (SELECT id1, id2 FROM
-          read_parquet('/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet'))
-        SELECT e.id1, e.id2, s1.split AS split1, s2.split AS split2
-        FROM e JOIN sp s1 ON e.id1 = s1.doc_id JOIN sp s2 ON e.id2 = s2.doc_id
-        WHERE s1.split <> s2.split""")),
-
-    // LEAKAGE-FREE split assignment: the split coin keyed on the near-dup
-    // CLUSTER representative (connected components over the pair graph;
-    // isolated docs are their own component) — every cluster lands in one
-    // split, so the q_split_leakage report of THIS assignment is empty by
-    // construction (spec-pinned). Oracle: the recursive-CC component CTE
-    // + the same md5 hash arithmetic on the component id.
-    "q_split_clustered" -> Q(
-      (s, dir) => graft.operators.Sampling.assignSplitByCluster(
-        table(s, dir, "documents").select("doc_id"), "doc_id",
-        Dedup.minhashPairsFromIndex(docsMinhashIdx(s, dir),
-          numHashes = 128, threshold = 0.5),
-        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
-        .select("doc_id", "component", "split"),
-      Some("""
-        WITH RECURSIVE
-        edges AS (SELECT id1, id2 FROM
-          read_parquet('/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')),
-        und AS (SELECT id1 AS a, id2 AS b FROM edges
-                UNION SELECT id2, id1 FROM edges),
-        reach AS (SELECT a, b FROM und
-                  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
-        comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
-        allc AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
-                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
-        SELECT doc_id, component,
-          CASE WHEN u < 0.75 THEN 'train'
-               WHEN u < 0.875 THEN 'val'
-               ELSE 'test' END AS split
-        FROM (SELECT doc_id, component,
-                CAST(('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT)
-                  / 4294967296.0 AS u
-              FROM allc)""")),
-
-    // Data mixing: deterministic per-language token-budget allocation
-    // (60/20/20 en/de/fr of an 8000-token budget; es has zero weight and
-    // must vanish). Engine: per-source two-level prefix sum in hash
-    // order; oracle: the single-window formulation.
-    "q_mixture" -> Q(
-      (s, dir) => graft.operators.Mixing.allocateByTokenBudget(
-        table(s, dir, "documents"), "doc_id", "text", "lang",
-        Map("en" -> 0.6, "de" -> 0.2, "fr" -> 0.2), totalBudget = 8000L),
-      Some(s"""
-        WITH n AS (SELECT doc_id, lang, md5(text) AS h,
-                     CAST(len($sqlTokens) AS BIGINT) AS n_tokens
-                   FROM documents),
-        a AS (SELECT *,
-          CASE lang WHEN 'en' THEN CAST(floor(8000 * 0.6) AS BIGINT)
-                    WHEN 'de' THEN CAST(floor(8000 * 0.2) AS BIGINT)
-                    WHEN 'fr' THEN CAST(floor(8000 * 0.2) AS BIGINT)
-                    ELSE 0 END AS alloc,
-          COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
-          FROM n)
-        SELECT doc_id, lang, n_tokens FROM a
-        WHERE alloc > 0 AND before + n_tokens <= alloc""")),
-
-    // UPSAMPLING mixture: weights that EXCEED source availability repeat
-    // the source in full epochs (de: 2 full + partial at sf0.01) plus a
-    // deterministic hash-order partial pass — the Wikipedia-at-5-epochs
-    // shape. Engine: per-source totals broadcast + explode(sequence) +
-    // the shared prefix sum; oracle: unnest(range) + single window.
-    "q_mixture_epochs" -> Q(
-      (s, dir) => graft.operators.Mixing.allocateWithEpochs(
-        table(s, dir, "documents"), "doc_id", "text", "lang",
-        Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), totalBudget = 30000L),
-      Some(s"""
-        WITH n AS (SELECT doc_id, lang, md5(text) AS h,
-                     CAST(len($sqlTokens) AS BIGINT) AS n_tokens FROM documents),
-        a AS (SELECT *, CASE lang WHEN 'en' THEN CAST(floor(30000 * 0.5) AS BIGINT)
-                                  WHEN 'de' THEN CAST(floor(30000 * 0.3) AS BIGINT)
-                                  WHEN 'fr' THEN CAST(floor(30000 * 0.2) AS BIGINT)
-                                  ELSE 0 END AS alloc FROM n),
-        f AS (SELECT * FROM a WHERE alloc > 0),
-        t AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS T FROM f GROUP BY 1),
-        e AS (SELECT f.*, t.T,
-                CAST(CASE WHEN t.T > 0 THEN f.alloc // t.T ELSE 0 END AS BIGINT) AS epochs
-              FROM f JOIN t USING (lang)),
-        e2 AS (SELECT *, alloc - epochs * T AS rem FROM e),
-        fullp AS (SELECT doc_id, lang, n_tokens, unnest(range(epochs)) AS epoch
-                  FROM e2 WHERE epochs > 0),
-        w AS (SELECT *, COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM e2),
-        part AS (SELECT doc_id, lang, n_tokens, epochs AS epoch FROM w
-                 WHERE before + n_tokens <= rem)
-        SELECT doc_id, lang, n_tokens, epoch FROM fullp
-        UNION ALL SELECT * FROM part""")),
-
-    // TEMPERATURE-BALANCED mixture: weights derived from the corpus as
-    // c^0.5 (the multilingual α-sampling knob) — no caller weight map.
-    // The only float step (sqrt, correctly rounded by IEEE-754 in both
-    // engines) is quantized to an integer Q20 before any sum or division,
-    // so the allocation arithmetic is exact integer on both sides.
-    "q_mixture_temp" -> Q(
-      (s, dir) => graft.operators.Mixing.allocateByTemperature(
-        table(s, dir, "documents"), "doc_id", "text", "lang",
-        alpha = 0.5, totalBudget = 20000L),
-      Some(s"""
-        WITH n AS (SELECT doc_id, lang, md5(text) AS h,
-                     CAST(len($sqlTokens) AS BIGINT) AS n_tokens FROM documents),
-        t AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS c FROM n GROUP BY 1),
-        qt AS (SELECT lang, CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1048576) AS BIGINT) AS q
-               FROM t WHERE c > 0),
-        al AS (SELECT lang, CAST((q * 20000) // (SELECT sum(q) FROM qt) AS BIGINT) AS alloc
-               FROM qt),
-        w AS (SELECT n.doc_id, n.lang, n.n_tokens, n.h, al.alloc,
-                COALESCE(sum(n_tokens) OVER (PARTITION BY n.lang ORDER BY h, doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
-              FROM n JOIN al USING (lang) WHERE al.alloc > 0)
-        SELECT doc_id, lang, n_tokens FROM w
-        WHERE before + n_tokens <= alloc""")),
-
-    // QUALITY-WEIGHTED mixture via the WEIGHT-TABLE allocator (the
-    // composition form: weights produced by another operator flow in as a
-    // DataFrame, no driver collect). Per-source weight = integer mean of
-    // per-doc Q16-quantized quality — per-doc floats quantize BEFORE any
-    // sum, so both engines aggregate exact integers.
-    "q_mixture_quality" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val w = docs.select(col("source"),
-            floor(qualityScore(col("text")) * 65536).cast("long").as("__wq"))
-          .groupBy("source")
-          .agg(expr("sum(__wq) div count(1)").as("weight_q"))
-        graft.operators.Mixing.allocateByWeightTable(
-          docs, "doc_id", "text", "source", w, "weight_q",
-          totalBudget = 20000L)
-      },
-      Some(s"""
-        WITH t AS (SELECT doc_id, source, text, $sqlTokens AS toks FROM documents),
-        m AS (SELECT doc_id, source, text, toks,
-          CASE WHEN length(text) = 0 THEN 0.0
-               ELSE CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) END AS punct_ratio,
-          CASE WHEN len(toks) = 0 THEN 0.0
-               ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE) / len(toks) END AS stopword_ratio,
-          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_signal
-        FROM t),
-        qual AS (SELECT doc_id, source, text, toks,
-          greatest(least(len_signal * 0.4 + least(stopword_ratio * 4.0, 1.0) * 0.4
-            + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 1.0), 0.0) AS quality
-        FROM m),
-        wq AS (SELECT source,
-                 CAST(sum(CAST(floor(quality * 65536) AS BIGINT)) // count(*) AS BIGINT) AS w
-               FROM qual GROUP BY 1),
-        pos AS (SELECT source, w FROM wq WHERE w > 0),
-        al AS (SELECT source,
-                 CAST((w * 20000) // (SELECT sum(w) FROM pos) AS BIGINT) AS alloc
-               FROM pos),
-        n AS (SELECT doc_id, source, md5(text) AS h,
-                CAST(len(toks) AS BIGINT) AS n_tokens FROM qual),
-        wd AS (SELECT n.doc_id, n.source, n.n_tokens, al.alloc,
-                 COALESCE(sum(n_tokens) OVER (PARTITION BY n.source
-                   ORDER BY h, doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
-               FROM n JOIN al USING (source) WHERE al.alloc > 0)
-        SELECT doc_id, source, n_tokens FROM wd
-        WHERE before + n_tokens <= alloc""")),
-
-    // TEMPERATURE mixture filled BEST-FIRST: per-language sqrt-weighted
-    // token allocations (the q_mixture_temp arithmetic) consumed in
-    // quality-descending order instead of hash order — each language's
-    // budget goes to its best documents. Same never-exceed contract;
-    // float quality is bit-identical across engines (q_quality).
-    "q_mixture_best" -> Q(
-      (s, dir) => graft.operators.Mixing.allocateByTemperatureBestFirst(
-        table(s, dir, "documents"), "doc_id", "text", "lang",
-        qualityScore(col("text")), alpha = 0.5, totalBudget = 20000L),
-      Some(s"""
-        WITH t AS (SELECT doc_id, lang, text, $sqlTokens AS toks FROM documents),
-        m AS (SELECT doc_id, lang, toks,
-          CASE WHEN length(text) = 0 THEN 0.0
-               ELSE CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) END AS punct_ratio,
-          CASE WHEN len(toks) = 0 THEN 0.0
-               ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE) / len(toks) END AS stopword_ratio,
-          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_signal
-        FROM t),
-        n AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
-          greatest(least(len_signal * 0.4 + least(stopword_ratio * 4.0, 1.0) * 0.4
-            + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 1.0), 0.0) AS quality
-        FROM m),
-        tt AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS c FROM n GROUP BY 1),
-        qt AS (SELECT lang, CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1048576) AS BIGINT) AS q
-               FROM tt WHERE c > 0),
-        al AS (SELECT lang, CAST((q * 20000) // (SELECT sum(q) FROM qt) AS BIGINT) AS alloc
-               FROM qt),
-        w AS (SELECT n.doc_id, n.lang, n.n_tokens, al.alloc,
-                COALESCE(sum(n_tokens) OVER (PARTITION BY n.lang
-                  ORDER BY quality DESC, doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
-              FROM n JOIN al USING (lang) WHERE al.alloc > 0)
-        SELECT doc_id, lang, n_tokens FROM w
-        WHERE before + n_tokens <= alloc""")),
-
-    // DATA-QUALITY EXPECTATIONS: five named row contracts checked in ONE
-    // scan (one aggregate; adding a rule adds a counter, not a pass).
-    // NULL predicate results count as violations by contract.
-    "q_expectations" -> Q(
-      (s, dir) => graft.operators.Profile.expectations(
-        table(s, dir, "documents"), Seq(
-          "doc_id_not_null" -> col("doc_id").isNotNull,
-          "n_chars_consistent" -> (col("n_chars") === length(col("text"))),
-          "lang_known" -> col("lang").isin("en", "de", "fr", "es"),
-          "text_min_80_chars" -> (length(col("text")) >= 80),
-          "source_well_formed" -> col("source").rlike("^src[0-9]+$"))),
-      Some {
-        val rules = Seq(
-          "doc_id_not_null" -> "doc_id IS NOT NULL",
-          "n_chars_consistent" -> "n_chars = length(text)",
-          "lang_known" -> "lang IN ('en','de','fr','es')",
-          "text_min_80_chars" -> "length(text) >= 80",
-          "source_well_formed" -> "regexp_matches(source, '^src[0-9]+$')")
-        rules.map { case (name, pred) =>
-          s"""SELECT '$name' AS rule, count(*) AS n_rows,
-               CAST(sum(CASE WHEN COALESCE($pred, false) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
-               CAST(sum(CASE WHEN COALESCE($pred, false) THEN 0 ELSE 1 END) = 0 AS INT) AS pass
-             FROM documents"""
-        }.mkString(" UNION ALL ")
-      }),
-
-    // One-pass table profile (exact distinct for the oracle; production
-    // default is the HLL sketch).
-    "q_profile" -> Q(
-      (s, dir) => graft.operators.Profile.profile(
-        table(s, dir, "documents"), exactDistinct = true),
-      Some(Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
-        s"""SELECT '$c' AS "column", count(*) AS n_rows,
-             count(*) - count($c) AS n_nulls,
-             count(DISTINCT $c) AS n_distinct,
-             CAST(min($c) AS VARCHAR) AS min_value,
-             CAST(max($c) AS VARCHAR) AS max_value
-           FROM documents"""
-      }.mkString(" UNION ALL "))),
-  )
-
-  private val quantileQueries: Seq[(String, Q)] = Seq(
-    // EXACT integer equal-width histogram of document lengths: bucket
-    // boundaries via integer division only, so both engines bucket
-    // identically (no float-boundary wobble).
-    "q_histogram" -> Q(
-      (s, dir) => graft.operators.Profile.histogram(
-        table(s, dir, "documents"), "n_chars", nBuckets = 16),
-      Some("""
-        WITH s AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents)
-        SELECT ((n_chars - mn) * 16) // (mx - mn + 1) AS bucket,
-          count(*) AS cnt, min(n_chars) AS lo, max(n_chars) AS hi
-        FROM documents, s GROUP BY 1""")),
-
-    // Per-language length quantiles (exact interpolation for the oracle;
-    // production default is the t-digest sketch). Quartile fractions of
-    // integer inputs are exact dyadics, so Spark's percentile and DuckDB's
-    // quantile_cont agree bit-for-bit.
-    "q_group_quantiles" -> Q(
-      (s, dir) => graft.operators.Profile.groupQuantiles(
-        table(s, dir, "documents"), Seq("lang"), "n_chars",
-        probs = Seq(0.25, 0.5, 0.75), exact = true),
-      Some("""SELECT lang,
-               quantile_cont(n_chars, 0.25) AS p25,
-               quantile_cont(n_chars, 0.50) AS p50,
-               quantile_cont(n_chars, 0.75) AS p75
-             FROM documents GROUP BY lang""")),
-  )
-
-  private val multimodalQueries: Seq[(String, Q)] = Seq(
-    // Binary payload column + typed metadata plumbing.
-    "q_mm_payload" -> Q(
-      (s, dir) => Multimodal.withPayload(table(s, dir, "documents"), "text")
-        .select(col("doc_id"), octet_length(col("payload")).cast("long").as("n_bytes"),
-          md5(col("payload")).as("digest"),
-          col("media_meta.declared_bytes").as("declared_bytes")),
-      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             md5(text) AS digest,
-             CAST(octet_length(encode(text)) AS BIGINT) AS declared_bytes
-             FROM documents""")),
-
-    // REAL codec round-trip: withImagePayload encodes a PNG (even id) /
-    // BMP (odd id) with arithmetic dimensions via the JDK's own ImageIO
-    // writers; decodeFeatures parses width/height/format back out of the
-    // actual byte stream with the matching readers. The oracle recomputes
-    // the dimension arithmetic — so a header-parse bug, format confusion,
-    // or encoder/decoder disagreement all fail the gate. (n_bytes/checksum
-    // are codec-dependent encodings, deliberately not projected.)
-    "q_mm_decode" -> Q(
-      (s, dir) => Multimodal.decodeFeatures(
-        Multimodal.withImagePayload(
-          table(s, dir, "documents").select("doc_id"), "doc_id"), "doc_id")
-        .select("media_id", "width", "height", "format"),
-      Some("""
-        SELECT doc_id AS media_id,
-          CAST(8 + doc_id % 57 AS INT) AS width,
-          CAST(8 + doc_id % 41 AS INT) AS height,
-          CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format
-        FROM documents""")),
-
-    // IMAGE PERCEPTUAL-HASH NEAR-DUP: deterministic gradient images
-    // (pixels are pure integer functions of the id — lossless PNG/BMP, so
-    // decoded rasters equal the pattern) → REAL codec decode → integer
-    // dHash64 → the SAME pigeonhole Hamming join text SimHash uses. The
-    // oracle recomputes the ENTIRE pipeline in SQL from the pattern
-    // arithmetic (never touching a codec) and does the exact O(n²)
-    // Hamming pair join — so encoder/decoder fidelity, the luminance/
-    // downscale/difference-hash arithmetic, AND the blocking join's
-    // exactness (pigeonhole recall is provably complete at d ≤ 3) are
-    // all gated cross-engine. Same-family variants (doc_id div 4) differ
-    // in one 4×4 cell → ≤ 2 bits; cross-family hashes differ by ~24-32.
-    "q_image_neardup" -> Q(
-      (s, dir) => Dedup.simhashPairsFromTable(
-        // persisted: the hash table feeds BOTH self-join sides — without
-        // the barrier every side re-encodes and re-decodes the corpus
-        Multimodal.dHash64(
-          Multimodal.withGradientImagePayload(
-            // repartition BEFORE the codec stage: the sf tables are one
-            // parquet file → one partition → single-threaded encode/decode;
-            // an id-only shuffle is free next to per-item codec work
-            table(s, dir, "documents").select("doc_id").repartition(32),
-            "doc_id"),
-          "doc_id")
-          .filter(col("sh").isNotNull)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-        maxDistance = 3)
-        .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming")),
-      Some("""
-        WITH ids AS (SELECT doc_id AS id FROM documents),
-        px AS (
-          SELECT id, x.range AS x, y.range AS y,
-            (7*x.range*x.range + 13*y.range*y.range
-             + (id//4%256)*31*(x.range+1)*(y.range+1)
-             + (id//4//256%256)*53*(x.range+2)*(y.range+3)
-             + (id//4//65536%256)*17*(x.range+3)*(y.range+5)
-             + CASE WHEN id%4 > 0 AND x.range//4 = id%4 AND y.range//4 = id%4
-                    THEN 64 ELSE 0 END) % 256 AS gray
-          FROM ids, range(36) x, range(32) y),
-        cells AS (
-          SELECT id, x//4 AS gx, y//4 AS gy, SUM(gray)//16 AS c
-          FROM px GROUP BY 1, 2, 3),
-        bits AS (
-          SELECT a.id, a.gy*8 + a.gx AS b
-          FROM cells a JOIN cells b2
-            ON a.id = b2.id AND b2.gx = a.gx + 1 AND b2.gy = a.gy
-          WHERE a.gx < 8 AND b2.c > a.c),
-        hraw AS (
-          SELECT id, SUM(CAST(1 AS HUGEINT) << CAST(b AS INT)) AS s
-          FROM bits GROUP BY id),
-        h AS (
-          SELECT ids.id,
-            CAST(CASE WHEN COALESCE(s, 0) >= CAST(1 AS HUGEINT) << 63
-                  THEN COALESCE(s, 0) - (CAST(1 AS HUGEINT) << 64)
-                  ELSE COALESCE(s, 0) END AS BIGINT) AS sh
-          FROM ids LEFT JOIN hraw ON hraw.id = ids.id)
-        SELECT a.id AS id1, b.id AS id2,
-          CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-        FROM h a JOIN h b ON a.id < b.id
-        WHERE bit_count(xor(a.sh, b.sh)) <= 3""")),
-
-    // INCREMENTAL image dedup — the daily-ingest shape for a media lake:
-    // the "new batch" (doc_id >= 250) probes the persisted 8-byte-per-item
-    // hash index of the "history" (doc_id < 250) via the pigeonhole
-    // Hamming join; history is joined, never re-decoded. Same
-    // arithmetic-recomputable fixture as q_image_neardup, so the oracle
-    // computes both sides' hashes and the exact cross-slice Hamming
-    // pairs in pure SQL.
-    // CONTENT-DEFINED CHUNKING — the storage-layer dedup rung: Gear
-    // rolling-hash boundaries + FNV-1a chunk hashes over the media
-    // payloads (min 64 / avg ~128 / max 512 for the ~3.5 KB BMPs).
-    // Boundaries and hashes are pure public arithmetic, recomputed by
-    // an independent driver loop in GoldenGen (shared primitives: gear
-    // table + FNV only). NULL-safe: blobs are non-null here; the spec
-    // pins null/empty/short-blob behavior.
-    "q_cdc_chunks" -> Q(
-      (s, dir) => Dedup.cdcChunkTable(
-        Multimodal.withGradientImagePayload(
-          table(s, dir, "documents").select("doc_id").repartition(32),
-          "doc_id"),
-        "doc_id", "payload", minSize = 64, maskBits = 6, maxSize = 512),
-      golden("q_cdc_chunks")),
-
-    // The storage-dedup headline over the same chunk table: logical vs
-    // stored bytes under (hash, length)-keyed chunk dedup. Oracle:
-    // plain SQL aggregation over the COMMITTED chunk fixture — the
-    // engine recomputes the chunks, the oracle only has to re-aggregate
-    // them, so a chunking bug fails q_cdc_chunks and a stats bug fails
-    // here.
-    "q_storage_dedup" -> Q(
-      (s, dir) => Dedup.cdcDedupStats(Dedup.cdcChunkTable(
-        Multimodal.withGradientImagePayload(
-          table(s, dir, "documents").select("doc_id").repartition(32),
-          "doc_id"),
-        "doc_id", "payload", minSize = 64, maskBits = 6, maxSize = 512)),
-      Some("""
-        WITH g AS (SELECT hash, length, CAST(count(*) AS BIGINT) AS n
-                   FROM read_parquet(
-                     '/root/repo/src/test/resources/golden/q_cdc_chunks/*.parquet')
-                   GROUP BY 1, 2)
-        SELECT CAST(sum(n * length) AS BIGINT) AS logical_bytes,
-               CAST(sum(length) AS BIGINT) AS stored_bytes,
-               CAST(sum(n) AS BIGINT) AS n_chunks,
-               CAST(count(*) AS BIGINT) AS n_unique_chunks,
-               CAST(sum(n * length) - sum(length) AS BIGINT) AS saved_bytes
-        FROM g""")),
-
-    // INCREMENTAL storage dedup — the daily-ingest shape for the chunk
-    // store: a FIXED 250-blob batch (doc_id in [250, 500) — constant at
-    // every SF, the StreamLoopProbe row-design lesson: inputs constant
-    // in production must be constant in the row) probes the persisted
-    // (hash, length) index of everything else, which GROWS with the
-    // corpus; every batch chunk is annotated hit (in history) / first
-    // (new key's first occurrence — the chunk a store writes) / dup
-    // (intra-batch repeat). History is scanned never shuffled (batch
-    // keys broadcast into a left-semi probe — the
-    // incrementalHammingPairs plan; tools/CdcIncProbe measures the probe
-    // flat across 100× history). Oracle: re-derives the same labels from
-    // the COMMITTED chunk fixture (ids 0..499 at sf0.01, so the split is
-    // identical there) — the engine recomputes both sides' chunks, the
-    // oracle only re-labels.
-    "q_cdc_incremental" -> Q(
-      (s, dir) => {
-        val blobs = Multimodal.withGradientImagePayload(
-          table(s, dir, "documents").select("doc_id").repartition(32),
-          "doc_id")
-        val history = Dedup.cdcChunkTable(
-          blobs.filter(col("doc_id") < 250 || col("doc_id") >= 500),
-          "doc_id", "payload", minSize = 64, maskBits = 6, maxSize = 512)
-        Dedup.incrementalCdcChunks(
-          blobs.filter(col("doc_id") >= 250 && col("doc_id") < 500),
-          "doc_id", "payload", history,
-          minSize = 64, maskBits = 6, maxSize = 512)
-      },
-      Some("""
-        WITH all_c AS (SELECT * FROM read_parquet(
-            '/root/repo/src/test/resources/golden/q_cdc_chunks/*.parquet')),
-        hist AS (SELECT DISTINCT hash, length FROM all_c
-                 WHERE id < 250 OR id >= 500),
-        batch AS (SELECT *, row_number() OVER (PARTITION BY hash, length
-              ORDER BY id, "offset") AS rn
-            FROM all_c WHERE id >= 250 AND id < 500)
-        SELECT b.id, b."offset" AS "offset", b.length, b.hash,
-          CASE WHEN h.hash IS NOT NULL THEN 'hit'
-               WHEN b.rn = 1 THEN 'first' ELSE 'dup' END AS status
-        FROM batch b LEFT JOIN hist h
-          ON b.hash = h.hash AND b.length = h.length""")),
-
-    "q_image_incremental" -> Q(
-      (s, dir) => {
-        val hashed = Multimodal.dHash64(
-          Multimodal.withGradientImagePayload(
-            table(s, dir, "documents").select("doc_id").repartition(32),
-            "doc_id"),
-          "doc_id")
-          .filter(col("sh").isNotNull)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        Dedup.incrementalHammingPairs(
-          hashed.filter(col("id") >= 250), hashed.filter(col("id") < 250),
-          maxDistance = 3)
-          .select(col("new_id"), col("old_id"),
-            col("hamming").cast("int").as("hamming"))
-      },
-      Some("""
-        WITH ids AS (SELECT doc_id AS id FROM documents),
-        px AS (
-          SELECT id, x.range AS x, y.range AS y,
-            (7*x.range*x.range + 13*y.range*y.range
-             + (id//4%256)*31*(x.range+1)*(y.range+1)
-             + (id//4//256%256)*53*(x.range+2)*(y.range+3)
-             + (id//4//65536%256)*17*(x.range+3)*(y.range+5)
-             + CASE WHEN id%4 > 0 AND x.range//4 = id%4 AND y.range//4 = id%4
-                    THEN 64 ELSE 0 END) % 256 AS gray
-          FROM ids, range(36) x, range(32) y),
-        cells AS (
-          SELECT id, x//4 AS gx, y//4 AS gy, SUM(gray)//16 AS c
-          FROM px GROUP BY 1, 2, 3),
-        bits AS (
-          SELECT a.id, a.gy*8 + a.gx AS b
-          FROM cells a JOIN cells b2
-            ON a.id = b2.id AND b2.gx = a.gx + 1 AND b2.gy = a.gy
-          WHERE a.gx < 8 AND b2.c > a.c),
-        hraw AS (
-          SELECT id, SUM(CAST(1 AS HUGEINT) << CAST(b AS INT)) AS s
-          FROM bits GROUP BY id),
-        h AS (
-          SELECT ids.id,
-            CAST(CASE WHEN COALESCE(s, 0) >= CAST(1 AS HUGEINT) << 63
-                  THEN COALESCE(s, 0) - (CAST(1 AS HUGEINT) << 64)
-                  ELSE COALESCE(s, 0) END AS BIGINT) AS sh
-          FROM ids LEFT JOIN hraw ON hraw.id = ids.id)
-        SELECT a.id AS new_id, b.id AS old_id,
-          CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-        FROM h a JOIN h b ON a.id >= 250 AND b.id < 250
-        WHERE bit_count(xor(a.sh, b.sh)) <= 3""")),
-
-    // The image pair pipeline through the GUARDED mode
-    // (maxBucket > 0): exact-hash cliques collapse to min-id STAR edges,
-    // the pigeonhole join runs over DISTINCT hashes, (chunk, cv) groups
-    // above the cap are skipped (never triggered at this corpus size —
-    // the cap path is spec-gated adversarially). The oracle recomputes
-    // the certificate exactly: hash table from the pattern arithmetic →
-    // per-hash min-id stars → distinct-hash chunk join with the same
-    // group-cap filter. Gates cross-engine that guarded mode is a
-    // faithful connectivity certificate, not just a spec claim.
-    "q_image_neardup_guarded" -> Q(
-      (s, dir) => Dedup.simhashPairsFromTable(
-        Multimodal.dHash64(
-          Multimodal.withGradientImagePayload(
-            table(s, dir, "documents").select("doc_id").repartition(32),
-            "doc_id"),
-          "doc_id")
-          .filter(col("sh").isNotNull)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-        maxDistance = 3, maxBucket = 1000)
-        .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming")),
-      Some("""
-        WITH ids AS (SELECT doc_id AS id FROM documents),
-        px AS (
-          SELECT id, x.range AS x, y.range AS y,
-            (7*x.range*x.range + 13*y.range*y.range
-             + (id//4%256)*31*(x.range+1)*(y.range+1)
-             + (id//4//256%256)*53*(x.range+2)*(y.range+3)
-             + (id//4//65536%256)*17*(x.range+3)*(y.range+5)
-             + CASE WHEN id%4 > 0 AND x.range//4 = id%4 AND y.range//4 = id%4
-                    THEN 64 ELSE 0 END) % 256 AS gray
-          FROM ids, range(36) x, range(32) y),
-        cells AS (
-          SELECT id, x//4 AS gx, y//4 AS gy, SUM(gray)//16 AS c
-          FROM px GROUP BY 1, 2, 3),
-        bits AS (
-          SELECT a.id, a.gy*8 + a.gx AS b
-          FROM cells a JOIN cells b2
-            ON a.id = b2.id AND b2.gx = a.gx + 1 AND b2.gy = a.gy
-          WHERE a.gx < 8 AND b2.c > a.c),
-        hraw AS (
-          SELECT id, SUM(CAST(1 AS HUGEINT) << CAST(b AS INT)) AS s
-          FROM bits GROUP BY id),
-        h AS (
-          SELECT ids.id,
-            CAST(CASE WHEN COALESCE(s, 0) >= CAST(1 AS HUGEINT) << 63
-                  THEN COALESCE(s, 0) - (CAST(1 AS HUGEINT) << 64)
-                  ELSE COALESCE(s, 0) END AS BIGINT) AS sh
-          FROM ids LEFT JOIN hraw ON hraw.id = ids.id),
-        reps AS (SELECT sh, min(id) AS rid FROM h GROUP BY 1),
-        stars AS (
-          SELECT r.rid AS id1, h.id AS id2, 0 AS hamming
-          FROM h JOIN reps r ON h.sh = r.sh AND h.id > r.rid),
-        chunked AS (
-          SELECT rid, sh, c.range AS chunk, (sh >> (c.range*16)) & 65535 AS cv
-          FROM reps, range(4) c),
-        kept AS (
-          SELECT chunk, cv FROM chunked GROUP BY 1, 2 HAVING count(*) <= 1000),
-        cand AS (
-          SELECT DISTINCT a.rid AS id1, b.rid AS id2, a.sh AS sh1, b.sh AS sh2
-          FROM chunked a
-          JOIN kept k ON k.chunk = a.chunk AND k.cv = a.cv
-          JOIN chunked b ON b.chunk = a.chunk AND b.cv = a.cv AND a.rid < b.rid)
-        SELECT id1, id2, CAST(hamming AS INT) AS hamming FROM (
-          SELECT id1, id2, hamming FROM stars
-          UNION ALL
-          SELECT id1, id2, bit_count(xor(sh1, sh2)) AS hamming
-          FROM cand WHERE bit_count(xor(sh1, sh2)) <= 3)""")),
-
-    // VIDEO NEAR-DUP — the composition completing the media family: 8
-    // lossless BMP gradient frames per clip (frame f of clip id = the
-    // gradient pattern of effective id ((id div 4)·8 + f)·4 + id mod 4)
-    // → stub demux + every-2nd temporal sampling → per-frame dHash →
-    // ALIGNED pigeonhole Hamming join (frame position in the bucket key:
-    // only frame k meets frame k) → clip verdict at ≥ half the aligned
-    // frames matching. The oracle recomputes every sampled frame's hash
-    // from the pattern arithmetic and the exact aligned pair counts in
-    // pure SQL — codec fidelity, demux boundaries, the per-frame hash,
-    // the aligned join, and the fraction verdict all gate cross-engine.
-    // VIDEO CONTAINMENT — the unaligned, DIRECTED complement of the
-    // near-dup row: the corpus gains real TRIMMED clips (every doc_id
-    // divisible by 4, re-keyed at +2^40, whose 4-frame payload carries
-    // source frames 2..5 under the source's 8-frame indexing), and a
-    // clip is reported contained when >= 3/4 of its sampled frames match
-    // SOME container frame within Hamming 3 at ANY position — the
-    // highlight-cut / shortened-re-upload relation the aligned join
-    // structurally misses. The oracle recomputes every sampled frame's
-    // content id (trimmed payload frame j = source frame j+2), the dHash
-    // arithmetic over DISTINCT contents, the unaligned O(n^2) Hamming
-    // match, and the directed fraction verdict in pure SQL.
-    "q_video_containment" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents").select("doc_id")
-        val base = Multimodal.withVideoPayload(docs.repartition(32),
-          "doc_id", nFrames = 8)
-        val trimmed = Multimodal.withVideoPayload(
-            docs.filter(col("doc_id") % 4 === 0).repartition(32),
-            "doc_id", nFrames = 4, frameOffset = 2, indexFrames = 8)
-          .withColumn("doc_id", col("doc_id") + lit(1099511627776L))
-        Multimodal.videoContainmentPairs(base.unionByName(trimmed), "doc_id",
-          everyNth = 2, maxDistance = 3, minContainFrac = 0.75)
-      },
-      Some("""
-        WITH fr AS (
-          SELECT doc_id AS id, ((doc_id//4)*8 + f.range)*4 + doc_id%4 AS e
-          FROM documents, range(0, 8, 2) f
-          UNION ALL
-          SELECT doc_id + 1099511627776 AS id,
-                 ((doc_id//4)*8 + j.range + 2)*4 + doc_id%4 AS e
-          FROM documents, range(0, 4, 2) j
-          WHERE doc_id % 4 = 0),
-        es AS (SELECT DISTINCT e FROM fr),
-        px AS (
-          SELECT e, x.range AS x, y.range AS y,
-            (7*x.range*x.range + 13*y.range*y.range
-             + (e//4%256)*31*(x.range+1)*(y.range+1)
-             + (e//4//256%256)*53*(x.range+2)*(y.range+3)
-             + (e//4//65536%256)*17*(x.range+3)*(y.range+5)
-             + CASE WHEN e%4 > 0 AND x.range//4 = e%4 AND y.range//4 = e%4
-                    THEN 64 ELSE 0 END) % 256 AS gray
-          FROM es, range(36) x, range(32) y),
-        cells AS (
-          SELECT e, x//4 AS gx, y//4 AS gy, SUM(gray)//16 AS c
-          FROM px GROUP BY 1, 2, 3),
-        bits AS (
-          SELECT a.e, a.gy*8 + a.gx AS b
-          FROM cells a JOIN cells b2
-            ON a.e = b2.e AND b2.gx = a.gx + 1 AND b2.gy = a.gy
-          WHERE a.gx < 8 AND b2.c > a.c),
-        hraw AS (
-          SELECT e, SUM(CAST(1 AS HUGEINT) << CAST(b AS INT)) AS s
-          FROM bits GROUP BY e),
-        h0 AS (
-          SELECT es.e,
-            CAST(CASE WHEN COALESCE(s, 0) >= CAST(1 AS HUGEINT) << 63
-                  THEN COALESCE(s, 0) - (CAST(1 AS HUGEINT) << 64)
-                  ELSE COALESCE(s, 0) END AS BIGINT) AS sh
-          FROM es LEFT JOIN hraw ON hraw.e = es.e),
-        h AS (SELECT fr.id, fr.e, h0.sh FROM fr JOIN h0 ON h0.e = fr.e),
-        nf AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1),
-        m AS (
-          SELECT a.id AS id1, b.id AS id2,
-                 CAST(count(DISTINCT b.e) AS BIGINT) AS n_matched
-          FROM h a JOIN h b ON a.id <> b.id
-          WHERE bit_count(xor(a.sh, b.sh)) <= 3
-          GROUP BY 1, 2)
-        SELECT id1 AS container_id, id2 AS contained_id, n_matched,
-               n.n AS n_frames
-        FROM m JOIN nf n ON n.id = m.id2
-        WHERE CAST(n_matched AS DOUBLE) >= 0.75 * CAST(n.n AS DOUBLE)""")),
-
-    "q_video_neardup" -> Q(
-      (s, dir) => Multimodal.videoNearDupPairs(
-        Multimodal.withVideoPayload(
-          table(s, dir, "documents").select("doc_id").repartition(32),
-          "doc_id", nFrames = 8),
-        "doc_id", everyNth = 2, maxDistance = 3, minMatchFrac = 0.5),
-      Some("""
-        WITH ids AS (SELECT doc_id AS id FROM documents),
-        fr AS (SELECT id, f.range AS f, ((id//4)*8 + f.range)*4 + id%4 AS e
-               FROM ids, range(0, 8, 2) f),
-        px AS (
-          SELECT id, f, x.range AS x, y.range AS y,
-            (7*x.range*x.range + 13*y.range*y.range
-             + (e//4%256)*31*(x.range+1)*(y.range+1)
-             + (e//4//256%256)*53*(x.range+2)*(y.range+3)
-             + (e//4//65536%256)*17*(x.range+3)*(y.range+5)
-             + CASE WHEN e%4 > 0 AND x.range//4 = e%4 AND y.range//4 = e%4
-                    THEN 64 ELSE 0 END) % 256 AS gray
-          FROM fr, range(36) x, range(32) y),
-        cells AS (
-          SELECT id, f, x//4 AS gx, y//4 AS gy, SUM(gray)//16 AS c
-          FROM px GROUP BY 1, 2, 3, 4),
-        bits AS (
-          SELECT a.id, a.f, a.gy*8 + a.gx AS b
-          FROM cells a JOIN cells b2
-            ON a.id = b2.id AND a.f = b2.f AND b2.gx = a.gx + 1 AND b2.gy = a.gy
-          WHERE a.gx < 8 AND b2.c > a.c),
-        hraw AS (
-          SELECT id, f, SUM(CAST(1 AS HUGEINT) << CAST(b AS INT)) AS s
-          FROM bits GROUP BY id, f),
-        h AS (
-          SELECT fr.id, fr.f,
-            CAST(CASE WHEN COALESCE(s, 0) >= CAST(1 AS HUGEINT) << 63
-                  THEN COALESCE(s, 0) - (CAST(1 AS HUGEINT) << 64)
-                  ELSE COALESCE(s, 0) END AS BIGINT) AS sh
-          FROM fr LEFT JOIN hraw ON hraw.id = fr.id AND hraw.f = fr.f),
-        nf AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1),
-        m AS (
-          SELECT a.id AS id1, b.id AS id2, CAST(count(*) AS BIGINT) AS n_matched
-          FROM h a JOIN h b ON a.f = b.f AND a.id < b.id
-          WHERE bit_count(xor(a.sh, b.sh)) <= 3
-          GROUP BY 1, 2)
-        SELECT id1, id2, n_matched, least(n1.n, n2.n) AS n_frames
-        FROM m JOIN nf n1 ON n1.id = m.id1 JOIN nf n2 ON n2.id = m.id2
-        WHERE CAST(n_matched AS DOUBLE) >= 0.5 * CAST(least(n1.n, n2.n) AS DOUBLE)""")),
-
-    // AUDIO FINGERPRINT NEAR-DUP — the audio modality through the same
-    // pigeonhole Hamming join: deterministic 16-bit PCM WAV tones (every
-    // sample a pure integer function of the id; PCM is lossless) → REAL
-    // javax.sound decode → integer window-energy difference hash →
-    // simhashPairsFromTable. The oracle recomputes samples, energies,
-    // hash, and the exact O(n²) Hamming pairs from arithmetic alone, so
-    // WAV writer+reader fidelity and the fingerprint arithmetic are both
-    // gated cross-engine.
-    "q_audio_neardup" -> Q(
-      (s, dir) => Dedup.simhashPairsFromTable(
-        // persisted for the same both-join-sides reason as q_image_neardup
-        Multimodal.audioFingerprint64(
-          Multimodal.withToneAudioPayload(
-            // NO repartition here (unlike the image row): measured at
-            // sf0.1, 32-way parallel javax.sound decode is ~1.5× SLOWER
-            // than the single-partition run — the provider path
-            // serializes internally — so spreading the rows just adds a
-            // shuffle. Revisit if the JDK's sound stack loses its lock.
-            table(s, dir, "documents").select("doc_id"),
-            "doc_id"),
-          "doc_id")
-          .filter(col("sh").isNotNull)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-        maxDistance = 3)
-        .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming")),
-      Some("""
-        WITH ids AS (SELECT doc_id AS id FROM documents),
-        samp AS (
-          SELECT id, t.range AS t,
-            abs((((id//4%2048)*31 + 7) * (t.range + 1)
-                 + (id//4//2048%2048)*53*(t.range+3)*(t.range+5)
-                 + 3*t.range*t.range*t.range
-                 + CASE WHEN id%4 > 0 AND t.range//32 = id%4 THEN 600 ELSE 0 END)
-                % 4096 - 2048) AS a
-          FROM ids, range(2080) t),
-        en AS (SELECT id, t//32 AS w, SUM(a) AS e FROM samp GROUP BY 1, 2),
-        bits AS (
-          SELECT a.id, a.w AS b FROM en a JOIN en b2
-            ON a.id = b2.id AND b2.w = a.w + 1
-          WHERE a.w < 64 AND b2.e > a.e),
-        hraw AS (
-          SELECT id, SUM(CAST(1 AS HUGEINT) << CAST(b AS INT)) AS s
-          FROM bits GROUP BY id),
-        h AS (SELECT ids.id,
-            CAST(CASE WHEN COALESCE(s, 0) >= CAST(1 AS HUGEINT) << 63
-                  THEN COALESCE(s, 0) - (CAST(1 AS HUGEINT) << 64)
-                  ELSE COALESCE(s, 0) END AS BIGINT) AS sh
-          FROM ids LEFT JOIN hraw ON hraw.id = ids.id)
-        SELECT a.id AS id1, b.id AS id2,
-          CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-        FROM h a JOIN h b ON a.id < b.id
-        WHERE bit_count(xor(a.sh, b.sh)) <= 3""")),
-  )
-
-  // Shared DuckDB CTE: gap-based sessionization of the events table
-  // (mirrors EventStreams.sessionizeBatch at gapMinutes = 30).
-  private val sessionCte = """
-        WITH lagged AS (
-          SELECT user_id, event_id, ts,
-            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-          FROM events),
-        flagged AS (
-          SELECT *, CASE WHEN prev_ts IS NULL
-              OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
-          FROM lagged),
-        sess AS (
-          SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS UNBOUNDED PRECEDING) AS sess_id
-          FROM flagged)"""
-
-  private val resizeQueries: Seq[(String, Q)] = Seq(
-    // Resize planning over REAL-decoded dimensions: fit into a 32×32 box
-    // (payload dims reach 64×48, so both axes actually downscale), aspect
-    // preserved, no upscaling. Oracle applies the same IEEE arithmetic to
-    // the same arithmetic dimensions.
-    "q_mm_resize" -> Q(
-      (s, dir) => Multimodal.resizeToFit(
-        Multimodal.decodeFeatures(
-          Multimodal.withImagePayload(
-            table(s, dir, "documents").select("doc_id"), "doc_id"), "doc_id"),
-        targetW = 32, targetH = 32)
-        .select("media_id", "width", "height", "resized_width", "resized_height"),
-      Some("""
-        WITH d AS (SELECT doc_id AS media_id,
-                     CAST(8 + doc_id % 57 AS INT) AS width,
-                     CAST(8 + doc_id % 41 AS INT) AS height
-                   FROM documents)
-        SELECT media_id, width, height,
-          CAST(greatest(floor(width * least(32.0 / width, 32.0 / height, 1.0)), 1) AS INT)
-            AS resized_width,
-          CAST(greatest(floor(height * least(32.0 / width, 32.0 / height, 1.0)), 1) AS INT)
-            AS resized_height
-        FROM d""")),
-  )
-
-  private val eventQueries: Seq[(String, Q)] = Seq(
-    // AS-OF join: each purchase gets the user's latest prior click.
-    "q_asof_join" -> Q(
-      (s, dir) => {
-        val ev = events(s, dir)
-        graft.operators.Joins.asOf(
-          ev.filter(col("event_type") === "purchase"),
-          ev.filter(col("event_type") === "click"),
-          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts")
-      },
-      Some("""SELECT p.user_id, p.event_id, p.ts, p.event_type, p.value, p.props,
-               c.event_id AS r_event_id, c.ts AS r_ts, c.event_type AS r_event_type,
-               c.value AS r_value, c.props AS r_props
-             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-               ON p.user_id = c.user_id AND c.ts <= p.ts""")),
-
-    // CHANGELOG → CURRENT STATE (CDC last-write-wins merge): events as a
-    // per-user upsert log versioned by (ts, event_id); a user whose
-    // LATEST event is an 'error' is a tombstone and drops entirely —
-    // older rows must not resurface. One ObjectHashAggregate argmax (no
-    // per-key sort; a million-update hot key still reduces map-side).
-    "q_cdc_snapshot" -> Q(
-      (s, dir) => graft.operators.Lake.latestSnapshot(
-          events(s, dir)
-            .withColumn("cents", round(col("value") * 100).cast("long"))
-            .select("event_id", "user_id", "event_type", "cents", "ts"),
-          Seq("user_id"), Seq(col("ts"), col("event_id")),
-          isDelete = col("event_type") === "error")
-        .select("event_id", "user_id", "event_type", "cents"),
-      Some("""
-        WITH c AS (SELECT event_id, user_id, event_type,
-                     CAST(round(value * 100) AS BIGINT) AS cents, ts FROM events),
-        r AS (SELECT *, row_number() OVER (PARTITION BY user_id
-                ORDER BY ts DESC, event_id DESC) AS rn FROM c)
-        SELECT event_id, user_id, event_type, cents FROM r
-        WHERE rn = 1 AND event_type <> 'error'""")),
-
-    // SNAPSHOT DIFF (the inverse of the CDC merge): the changelog that
-    // turns yesterday's partial-state snapshot into today's — one
-    // null-safe full-outer join, struct compare, op in
-    // {insert, update, delete}. Old = the LWW state of a filtered log
-    // slice, new = of the full log, both via latestSnapshot semantics.
-    "q_snapshot_diff" -> Q(
-      (s, dir) => {
-        val base = events(s, dir)
-          .withColumn("cents", round(col("value") * 100).cast("long"))
-          .select("event_id", "user_id", "event_type", "cents", "ts")
-        def snap(log: org.apache.spark.sql.DataFrame) =
-          graft.operators.Lake.latestSnapshot(log, Seq("user_id"),
-              Seq(col("ts"), col("event_id")),
-              isDelete = col("event_type") === "error")
-            .select("user_id", "event_type", "cents", "event_id")
-        graft.operators.Lake.diffSnapshots(
-          snap(base.filter(col("event_id") % 4 =!= 0 &&
-            col("user_id") % 11 =!= 0)),
-          snap(base), Seq("user_id"))
-      },
-      Some("""
-        WITH c AS (SELECT event_id, user_id, event_type,
-                     CAST(round(value * 100) AS BIGINT) AS cents, ts FROM events),
-        snew AS (SELECT user_id, event_type, cents, event_id FROM (
-            SELECT *, row_number() OVER (PARTITION BY user_id
-              ORDER BY ts DESC, event_id DESC) AS rn FROM c) r
-          WHERE rn = 1 AND event_type <> 'error'),
-        sold AS (SELECT user_id, event_type, cents, event_id FROM (
-            SELECT *, row_number() OVER (PARTITION BY user_id
-              ORDER BY ts DESC, event_id DESC) AS rn FROM c
-            WHERE event_id % 4 <> 0 AND user_id % 11 <> 0) r
-          WHERE rn = 1 AND event_type <> 'error')
-        SELECT * FROM (
-          SELECT COALESCE(n.user_id, o.user_id) AS user_id,
-            CASE WHEN o.user_id IS NULL THEN 'insert'
-                 WHEN n.user_id IS NULL THEN 'delete'
-                 WHEN NOT (o.event_type IS NOT DISTINCT FROM n.event_type
-                       AND o.cents IS NOT DISTINCT FROM n.cents
-                       AND o.event_id IS NOT DISTINCT FROM n.event_id)
-                   THEN 'update' END AS op,
-            CASE WHEN n.user_id IS NULL THEN o.event_type
-                 ELSE n.event_type END AS event_type,
-            CASE WHEN n.user_id IS NULL THEN o.cents ELSE n.cents END AS cents,
-            CASE WHEN n.user_id IS NULL THEN o.event_id
-                 ELSE n.event_id END AS event_id
-          FROM sold o FULL OUTER JOIN snew n ON o.user_id = n.user_id) d
-        WHERE op IS NOT NULL""")),
-
-    // FORWARD as-of with tolerance: each purchase gets the user's NEXT
-    // click within 30 minutes (pandas merge_asof(direction='forward',
-    // tolerance=...)). Same union-sort plan, time-reversed; the tolerance
-    // is a post-mask, not a join condition. Tie at equal ts -> largest
-    // right ordering (event_id), mirrored in the oracle's ORDER BY.
-    // EXACT-INTEGER PAGERANK (3 damped rounds, Q40 fixed point) over the
-    // customer↔supplier co-purchase graph — link-analysis quality
-    // weighting (the CommonCrawl host-rank idea). Floor division on
-    // non-negative longs at every step: both engines produce identical
-    // bits, unlike float PageRank whose sums depend on aggregation order.
-    "q_pagerank" -> Q(
-      (s, dir) => {
-        // distinct BEFORE widening to string ids: the (custkey, suppkey)
-        // int pairs shuffle at 16 bytes/row where the concat'd ids cost
-        // ~2× that, and the c*/s* namespaces are disjoint so the reversed
-        // union of a distinct pair set is itself distinct — pageRank's
-        // own re-distinct (a second full exchange of the edge table) is
-        // skipped via edgesDistinct
-        val pairs = table(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-          .join(table(s, dir, "orders").select("o_orderkey", "o_custkey"),
-            col("l_orderkey") === col("o_orderkey"))
-          .select("o_custkey", "l_suppkey").distinct()
-          .select(concat(lit("c"), col("o_custkey")).as("src"),
-            concat(lit("s"), col("l_suppkey")).as("dst"))
-        val edges = pairs.union(
-          pairs.select(col("dst").as("src"), col("src").as("dst")))
-        graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 3,
-          edgesDistinct = true)
-      },
-      pagerankOracleSql(3)),
-
-    // TRIANGLE COUNT over the parts-co-ordered-together graph (edges =
-    // unordered part pairs sharing an order): the degree-ordered
-    // node-iterator — orientation bounds the wedge table at m^1.5 on ANY
-    // degree sequence, where the naive neighbor self-join dies on the
-    // first hub. Oracle: the brute canonical-triple triple-join.
-    "q_triangles" -> Q(
-      (s, dir) => {
-        val lp = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val edges = lp.as("x").join(lp.as("y"),
-            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-          .select(col("x.p").as("s"), col("y.p").as("d"))
-        graft.operators.Graph.triangleCount(edges, "s", "d")
-      },
-      Some("""
-        WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        e AS (SELECT DISTINCT x.p AS a, y.p AS b
-              FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p)
-        SELECT CAST(count(*) AS BIGINT) AS n_triangles
-        FROM e e1
-        JOIN e e2 ON e2.a = e1.b
-        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""")),
-
-    // Per-node local clustering coefficients over the same graph, exact
-    // integer ppm (2T·10⁶ div d(d−1)) — the link-spam shape detector
-    // (high degree + near-zero clustering). Triangle triples exploded ×3;
-    // zero-triangle nodes keep their row.
-    "q_clustering" -> Q(
-      (s, dir) => {
-        val lp = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val edges = lp.as("x").join(lp.as("y"),
-            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-          .select(col("x.p").as("s"), col("y.p").as("d"))
-        graft.operators.Graph.clusteringCoefficients(edges, "s", "d")
-      },
-      Some("""
-        WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        e AS (SELECT DISTINCT x.p AS a, y.p AS b
-              FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
-        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
-          FROM e e1 JOIN e e2 ON e2.a = e1.b
-          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
-        tn AS (SELECT n, CAST(count(*) AS BIGINT) AS t FROM (
-            SELECT unnest([x, y, z]) AS n FROM tri) GROUP BY 1),
-        d AS (SELECT n, CAST(count(*) AS BIGINT) AS degree FROM (
-            SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
-        SELECT d.n AS node, d.degree,
-          COALESCE(tn.t, CAST(0 AS BIGINT)) AS n_triangles,
-          CASE WHEN d.degree < 2 THEN CAST(0 AS BIGINT)
-               ELSE CAST(2 * COALESCE(tn.t, 0) * 1000000
-                         // (d.degree * (d.degree - 1)) AS BIGINT)
-          END AS coeff_ppm
-        FROM d LEFT JOIN tn ON d.n = tn.n""")),
-
-    // Degree distribution of the same graph — the first-look histogram
-    // (hub detection, power-law sanity) as two bounded aggregates.
-    "q_degree_dist" -> Q(
-      (s, dir) => {
-        val lp = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val edges = lp.as("x").join(lp.as("y"),
-            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-          .select(col("x.p").as("s"), col("y.p").as("d"))
-        graft.operators.Graph.degreeDistribution(edges, "s", "d")
-      },
-      Some("""
-        WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        e AS (SELECT DISTINCT x.p AS a, y.p AS b
-              FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
-        d AS (SELECT n, CAST(count(*) AS BIGINT) AS degree FROM (
-                SELECT a AS n FROM e UNION ALL SELECT b FROM e)
-              GROUP BY 1)
-        SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
-        FROM d GROUP BY 1""")),
-
-    // NEAREST as-of (pandas merge_asof direction='nearest'): each
-    // purchase gets the user's temporally CLOSEST click within 30
-    // minutes, equal distance breaking backward. One union exchange,
-    // two in-partition carries — never a join of two as-of results.
-    "q_asof_nearest" -> Q(
-      (s, dir) => {
-        val ev = events(s, dir)
-        graft.operators.Joins.asOf(
-          ev.filter(col("event_type") === "purchase"),
-          ev.filter(col("event_type") === "click"),
-          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-          direction = "nearest", tolerance = Some(1800.0))
-      },
-      Some("""
-        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
-        c AS (SELECT * FROM events WHERE event_type = 'click'),
-        j AS (SELECT p.event_id AS pid, c.event_id AS r_event_id, c.ts AS r_ts,
-                c.event_type AS r_event_type, c.value AS r_value, c.props AS r_props,
-                row_number() OVER (PARTITION BY p.event_id
-                  ORDER BY abs(epoch(c.ts) - epoch(p.ts)),
-                    CAST(c.ts <= p.ts AS INT) DESC, c.event_id DESC) AS rn
-              FROM p JOIN c ON p.user_id = c.user_id
-               AND abs(epoch(c.ts) - epoch(p.ts)) <= 1800)
-        SELECT p.user_id, p.event_id, p.ts, p.event_type, p.value, p.props,
-               j.r_event_id, j.r_ts, j.r_event_type, j.r_value, j.r_props
-        FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON p.event_id = j.pid""")),
-
-    "q_asof_forward" -> Q(
-      (s, dir) => {
-        val ev = events(s, dir)
-        graft.operators.Joins.asOf(
-          ev.filter(col("event_type") === "purchase"),
-          ev.filter(col("event_type") === "click"),
-          keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-          direction = "forward", tolerance = Some(1800.0))
-      },
-      Some("""
-        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
-        c AS (SELECT * FROM events WHERE event_type = 'click'),
-        j AS (SELECT p.event_id AS pid, c.event_id AS r_event_id, c.ts AS r_ts,
-                c.event_type AS r_event_type, c.value AS r_value, c.props AS r_props,
-                row_number() OVER (PARTITION BY p.event_id
-                  ORDER BY c.ts, c.event_id DESC) AS rn
-              FROM p JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts
-               AND epoch(c.ts) - epoch(p.ts) <= 1800)
-        SELECT p.user_id, p.event_id, p.ts, p.event_type, p.value, p.props,
-               j.r_event_id, j.r_ts, j.r_event_type, j.r_value, j.r_props
-        FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON p.event_id = j.pid""")),
-
-    "q_events_window" -> Q(
-      (s, dir) => EventStreams.windowedStatsBatch(events(s, dir)),
-      Some("""SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS cnt,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-             FROM events GROUP BY 1, 2""")),
-
-    // Stream-stream interval join's batch twin: purchase ← clicks of the
-    // same user within the preceding hour.
-    "q_events_join" -> Q(
-      (s, dir) => EventStreams.clickPurchaseJoinBatch(events(s, dir), windowMinutes = 60),
-      Some("""SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
-               c.event_id AS click_id, c.ts AS click_ts
-             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-             JOIN (SELECT * FROM events WHERE event_type = 'click') c
-               ON p.user_id = c.user_id
-              AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE""")),
-
-    // Left-outer twin of the interval join: purchases with NO prior click
-    // survive with null click columns (the streaming twin holds them until
-    // the watermark proves completeness, then emits identically).
-    "q_events_join_outer" -> Q(
-      (s, dir) => EventStreams.clickPurchaseJoinBatch(events(s, dir),
-        windowMinutes = 60, joinType = "left_outer"),
-      Some("""SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
-               c.event_id AS click_id, c.ts AS click_ts
-             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-             LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-               ON p.user_id = c.user_id
-              AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE""")),
-
-    // RANGE JOIN (no equi-key): each purchase event attaches to every
-    // multi-event session (any user's) whose time window covers it. Spark
-    // would plan the bare inequality join as a BroadcastNestedLoopJoin;
-    // Joins.rangeJoin turns it into a binned hash equi-join (30-min bins
-    // ~ the typical session length). Oracle does the naive inequality join.
-    "q_range_join" -> Q(
-      (s, dir) => {
-        val ev = events(s, dir)
-        val sess = EventStreams.sessionizeBatch(ev, gapMinutes = 30)
-          .filter(col("n_events") >= 2)
-          .select(col("user_id").as("sess_user_id"),
-            col("session_start"), col("session_end"))
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("event_id"), col("user_id"), col("ts"))
-        graft.operators.Joins.rangeJoin(purchases, sess,
-          "ts", "session_start", "session_end", binWidth = 1800)
-      },
-      Some(s"""
-        $sessionCte,
-        agg AS (SELECT user_id AS sess_user_id, min(ts) AS session_start,
-                  max(ts) AS session_end, count(*) AS n
-                FROM sess GROUP BY user_id, sess_id),
-        p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
-        SELECT p.event_id, p.user_id, p.ts, a.sess_user_id, a.session_start, a.session_end
-        FROM p JOIN agg a ON p.ts >= a.session_start AND p.ts <= a.session_end
-        WHERE a.n >= 2""")),
-
-    // INTERVAL-OVERLAP JOIN (no equi-key): pairs of concurrent multi-event
-    // sessions across users — binned equi-join + canonical-bin filter, each
-    // overlapping pair emitted exactly once, no distinct, no cross join.
-    "q_range_overlap" -> Q(
-      (s, dir) => {
-        val sess = EventStreams.sessionizeBatch(events(s, dir), gapMinutes = 30)
-          .filter(col("n_events") >= 2)
-        val a = sess.select(col("user_id").as("u1"),
-          col("session_start").as("start1"), col("session_end").as("end1"))
-        val b = sess.select(col("user_id").as("u2"),
-          col("session_start").as("start2"), col("session_end").as("end2"))
-        graft.operators.Joins.intervalOverlapJoin(a, b,
-          "start1", "end1", "start2", "end2", binWidth = 1800)
-          .filter(struct(col("u1"), col("start1")) < struct(col("u2"), col("start2")))
-      },
-      Some(s"""
-        $sessionCte,
-        agg AS (SELECT user_id, min(ts) AS s, max(ts) AS e, count(*) AS n
-                FROM sess GROUP BY user_id, sess_id)
-        SELECT a.user_id AS u1, a.s AS start1, a.e AS end1,
-               b.user_id AS u2, b.s AS start2, b.e AS end2
-        FROM agg a JOIN agg b
-          ON a.s <= b.e AND b.s <= a.e
-         AND (a.user_id, a.s) < (b.user_id, b.s)
-        WHERE a.n >= 2 AND b.n >= 2""")),
-
-    // CONVERSION FUNNEL (view → click → purchase): per user, earliest view,
-    // earliest click at-or-after it, earliest purchase at-or-after that;
-    // stage = deepest step reached. Per step one user-key hash equi-join
-    // (ordering as a join filter, no theta join) + one map-side-combined
-    // min aggregation — no per-user window sorts.
-    "q_events_funnel" -> Q(
-      (s, dir) => EventStreams.funnel(events(s, dir), "user_id", "ts",
-        "event_type", Seq("view", "click", "purchase")),
-      Some("""
-        WITH v AS (SELECT user_id, min(ts) AS ts_1 FROM events
-                   WHERE event_type = 'view' GROUP BY 1),
-        c AS (SELECT v.user_id, v.ts_1, min(e.ts) AS ts_2
-              FROM v LEFT JOIN events e
-                ON e.user_id = v.user_id AND e.event_type = 'click'
-               AND e.ts >= v.ts_1
-              GROUP BY 1, 2),
-        p AS (SELECT c.user_id, c.ts_1, c.ts_2, min(e.ts) AS ts_3
-              FROM c LEFT JOIN events e
-                ON e.user_id = c.user_id AND e.event_type = 'purchase'
-               AND e.ts >= c.ts_2
-              GROUP BY 1, 2, 3)
-        SELECT user_id, ts_1, ts_2, ts_3,
-          CAST(CASE WHEN ts_3 IS NOT NULL THEN 3
-                    WHEN ts_2 IS NOT NULL THEN 2
-                    ELSE 1 END AS INT) AS stage
-        FROM p""")),
-
-    "q_events_session" -> Q(
-      (s, dir) => EventStreams.sessionizeBatch(events(s, dir), gapMinutes = 30),
-      Some(s"""
-        $sessionCte
-        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-          count(*) AS n_events
-        FROM sess GROUP BY user_id, sess_id""")),
-  )
-
-  private val layoutQueries: Seq[(String, Q)] = Seq(
-    // Shuffle-free co-located join over the bucketed-table layout: both
-    // sides written bucketed by the join key ONCE per JVM (the nightly
-    // layout job), then joined with no Exchange on either side
-    // (spec-pinned in BucketingSpec; this row makes the layout's RESULT
-    // driver-verifiable against a plain join oracle).
-    "q_bucketed_join" -> Q(
-      (s, dir) => {
-        val sfx = graft.operators.KeyDigest(dir)
-        val o = graft.operators.Bucketing.ensureBucketed(
-          s, s"b_orders_$sfx", Seq("o_orderkey"), 8)(table(s, dir, "orders"))
-        val l = graft.operators.Bucketing.ensureBucketed(
-          s, s"b_lineitem_$sfx", Seq("l_orderkey"), 8)(table(s, dir, "lineitem"))
-        l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .groupBy(col("o_orderstatus"))
-          // long-cents accumulation, same as q1_agg (exact for 2-dec money)
-          .agg((sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
-            .as("sum_price"),
-            count(lit(1)).as("cnt"))
-      },
-      Some("""SELECT o_orderstatus,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-               count(*) AS cnt
-             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             GROUP BY 1""")),
-  )
-
-  private val zorderQueries: Seq[(String, Q)] = Seq(
-    // Z-ORDERED layout scan: the events table laid out on the Morton
-    // interleave of (user_id, cents) — written once per JVM (the nightly
-    // layout job), then a two-dimensional range predicate + aggregate
-    // over the z-ordered files must equal the same query on the raw
-    // table. The layout's PRUNING property (every z dimension's min/max
-    // footer span narrow in every file) is spec-pinned in LakeSpec; this
-    // row makes the layout's correctness driver-visible.
-    "q_zorder_scan" -> Q(
-      (s, dir) => {
-        val ev = events(s, dir)
-          .withColumn("cents", round(col("value") * 100).cast("long"))
-          .select("event_id", "user_id", "cents")
-        graft.operators.Lake.ensureZOrdered(ev, s"$dir/events!zorder",
-            Seq("user_id", "cents"))
-          .filter(col("user_id").between(40, 90) &&
-            col("cents").between(10000L, 30000L))
-          .groupBy("user_id")
-          .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
-      },
-      Some("""
-        SELECT user_id, count(*) AS cnt,
-          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-        FROM events
-        WHERE user_id BETWEEN 40 AND 90
-          AND CAST(round(value * 100) AS BIGINT) BETWEEN 10000 AND 30000
-        GROUP BY 1""")),
-  )
-
-  private val analyticsQueries: Seq[(String, Q)] = Seq(
-    // PIVOT with explicit values (no distinct-discovery job) and
-    // zero-filled absent cells: order counts by priority × status.
-    "q_pivot" -> Q(
-      (s, dir) => graft.operators.Analytics.pivotCounts(
-        table(s, dir, "orders"), Seq("o_orderpriority"), "o_orderstatus",
-        Seq("F", "O", "P")),
-      Some("""SELECT o_orderpriority,
-               count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
-               count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
-               count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
-             FROM orders GROUP BY 1""")),
-
-    // ROLLUP (year, status) with the grouping-id convention; money sums
-    // accumulate as long cents (the q1_agg pattern).
-    "q_rollup" -> Q(
-      (s, dir) => graft.operators.Analytics.rollupAgg(
-        table(s, dir, "orders")
-          .withColumn("yr", year(col("o_orderdate")).cast("int")),
-        Seq("yr", "o_orderstatus"),
-        Seq(count(lit(1)).as("cnt"),
-          (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0)
-            .as("sum_price"))),
-      Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus,
-               count(*) AS cnt,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-               CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus) AS INT) AS gid
-             FROM orders
-             GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)""")),
-
-    // CUBE twin of q_rollup: every (yr, status) margin, driver-visible.
-    "q_cube" -> Q(
-      (s, dir) => graft.operators.Analytics.cubeAgg(
-        table(s, dir, "orders")
-          .withColumn("yr", year(col("o_orderdate")).cast("int")),
-        Seq("yr", "o_orderstatus"),
-        Seq(count(lit(1)).as("cnt"))),
-      Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus,
-               count(*) AS cnt,
-               CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus) AS INT) AS gid
-             FROM orders
-             GROUP BY CUBE (year(o_orderdate), o_orderstatus)""")),
-
-    // ROBUST Tukey-fence outliers per user over purchase cents: Q1/Q3 at
-    // dyadic 0.25/0.75 of integer cents and a dyadic fence multiplier
-    // keep every fence exactly representable — both engines flag
-    // identical rows. (Uniform synthetic values have no 1.5-IQR tail;
-    // k=0.25 exercises real flags.)
-    "q_outliers_iqr" -> Q(
-      (s, dir) => graft.operators.Analytics.tukeyOutliers(
-        events(s, dir)
-          .withColumn("cents", round(col("value") * 100).cast("long"))
-          .select("event_id", "user_id", "cents"),
-        Seq("user_id"), col("cents"), k = 0.25)
-        .filter(col("outlier") === 1)
-        .select("event_id", "user_id", "cents", "q1", "q3"),
-      Some("""
-        WITH c AS (SELECT event_id, user_id,
-                     CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-        st AS (SELECT user_id,
-                 quantile_cont(cents, 0.25) AS q1,
-                 quantile_cont(cents, 0.75) AS q3
-               FROM c GROUP BY 1)
-        SELECT event_id, user_id, cents, q1, q3
-        FROM c JOIN st USING (user_id)
-        WHERE cents < q1 - 0.25 * (q3 - q1) OR cents > q3 + 0.25 * (q3 - q1)""")),
-
-    // ROBUST SCALING: (x − median)/MAD per event-type — the 50%-breakdown
-    // normalization monitoring pipelines use where one outlier would
-    // corrupt mean/stddev. Dyadic exact medians over integer cents →
-    // identical doubles on both engines.
-    "q_robust_scale" -> Q(
-      (s, dir) => graft.operators.Analytics.robustStandardize(
-        events(s, dir)
-          .withColumn("cents", round(col("value") * 100).cast("long"))
-          .select("event_id", "event_type", "cents"),
-        Seq("event_type"), col("cents")),
-      Some("""
-        WITH c AS (SELECT event_id, event_type,
-                     CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-        med AS (SELECT event_type, quantile_cont(CAST(cents AS DOUBLE), 0.5) AS m
-                FROM c GROUP BY 1),
-        mad AS (SELECT event_type,
-                  quantile_cont(abs(CAST(cents AS DOUBLE) - m), 0.5) AS d
-                FROM c JOIN med USING (event_type) GROUP BY 1)
-        SELECT event_id, event_type, cents,
-          CASE WHEN cents IS NULL THEN NULL
-               WHEN d = 0 THEN 0.0
-               ELSE (CAST(cents AS DOUBLE) - m) / d END AS robust_z
-        FROM c JOIN med USING (event_type) JOIN mad USING (event_type)""")),
-
-    // PERCENTILE RANK (ECDF): percent_rank semantics in exact integer
-    // ppm — counts aggregate first, the prefix runs over the
-    // distinct-value table, rows join back; no data-row window sort.
-    "q_pct_rank" -> Q(
-      (s, dir) => graft.operators.Analytics.percentileRank(
-        events(s, dir)
-          .withColumn("cents", round(col("value") * 100).cast("long"))
-          .select("event_id", "event_type", "cents"),
-        Seq("event_type"), col("cents")),
-      Some("""
-        WITH c AS (SELECT event_id, event_type,
-                     CAST(round(value * 100) AS BIGINT) AS cents FROM events)
-        SELECT event_id, event_type, cents,
-          CAST((rank() OVER (PARTITION BY event_type ORDER BY cents) - 1)
-            * 1000000 // (count(*) OVER (PARTITION BY event_type) - 1)
-            AS BIGINT) AS pct_ppm
-        FROM c""")),
-
-    // WINSORIZE: clip each event's cents into its event-type's exact
-    // [p(1/64), p(63/64)] band — heavy-tail taming without row drops.
-    // Dyadic probs over integer cents: the interpolated fences and the
-    // clipped doubles are bit-identical on both engines (the
-    // q_outliers_iqr argument).
-    "q_winsorize" -> Q(
-      (s, dir) => graft.operators.Analytics.winsorize(
-        events(s, dir)
-          .withColumn("cents", round(col("value") * 100).cast("long"))
-          .select("event_id", "event_type", "cents"),
-        Seq("event_type"), col("cents")),
-      Some("""
-        WITH c AS (SELECT event_id, event_type,
-                     CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-        st AS (SELECT event_type,
-                 quantile_cont(cents, 0.015625) AS lo,
-                 quantile_cont(cents, 0.984375) AS hi
-               FROM c GROUP BY 1)
-        SELECT event_id, event_type, cents,
-          CASE WHEN cents IS NULL THEN NULL
-               ELSE least(greatest(CAST(cents AS DOUBLE), lo), hi) END AS winsorized
-        FROM c JOIN st USING (event_type)""")),
-
-    // PER-GROUP STANDARDIZATION: z-scores whose float tail is one
-    // integer-numerator division and one correctly-rounded sqrt — no
-    // order-dependent float accumulation, so the doubles are
-    // bit-identical across engines (flagOutliers' algebra, emitting the
-    // score instead of the flag).
-    "q_standardize" -> Q(
-      (s, dir) => graft.operators.Analytics.standardize(
-        events(s, dir)
-          .withColumn("cents", round(col("value") * 100).cast("long"))
-          .select("event_id", "event_type", "cents"),
-        Seq("event_type"), col("cents")),
-      Some("""
-        WITH c AS (SELECT event_id, event_type,
-                     CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-        st AS (SELECT event_type, CAST(count(cents) AS BIGINT) AS n,
-                 CAST(sum(cents) AS BIGINT) AS s,
-                 CAST(sum(cents * cents) AS BIGINT) AS sq
-               FROM c GROUP BY 1)
-        SELECT event_id, event_type, cents, n,
-          CASE WHEN cents IS NULL THEN NULL
-               WHEN n < 2 OR n * sq - s * s = 0 THEN 0.0
-               ELSE CAST(n * cents - s AS DOUBLE) / sqrt(CAST(n * sq - s * s AS DOUBLE))
-          END AS z
-        FROM c JOIN st USING (event_type)""")),
-
-    // MERGE OVERLAPPING INTERVALS (gaps-and-islands): each event opens a
-    // 5-minute activity window; overlapping/touching windows per user
-    // coalesce into spans. Per-KEY windows only (parallel across users),
-    // then one map-side-combined aggregate.
-    "q_merge_intervals" -> Q(
-      (s, dir) => graft.operators.Joins.mergeIntervals(
-        events(s, dir).select(col("user_id"),
-          unix_micros(col("ts")).as("start_us"),
-          (unix_micros(col("ts")) + 300000000L).as("end_us")),
-        Seq("user_id"), "start_us", "end_us"),
-      Some("""
-        WITH iv AS (SELECT user_id, epoch_us(ts) AS start_us,
-                      epoch_us(ts) + 300000000 AS end_us FROM events),
-        mx AS (SELECT user_id, start_us, end_us,
-                 max(end_us) OVER (PARTITION BY user_id
-                   ORDER BY start_us, end_us
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev
-               FROM iv),
-        isl AS (SELECT user_id, start_us, end_us,
-                  CAST(sum(CASE WHEN start_us > max_prev THEN 1 ELSE 0 END)
-                    OVER (PARTITION BY user_id ORDER BY start_us, end_us
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS island
-                FROM mx)
-        SELECT user_id, CAST(min(start_us) AS BIGINT) AS start_us,
-          CAST(max(end_us) AS BIGINT) AS end_us,
-          CAST(count(*) AS BIGINT) AS n_merged
-        FROM isl GROUP BY user_id, island""")),
-
-    // PER-USER ordered window signals: 3-row moving sum + lag delta over
-    // integer cents, deterministic (ts, event_id) order — the window-
-    // function family, integer-exact on both engines.
-    "q_window_ts" -> Q(
-      (s, dir) => graft.operators.Analytics.timeSeriesStats(
-        events(s, dir)
-          .withColumn("cents", round(col("value") * 100).cast("long"))
-          .select("event_id", "user_id", "ts", "cents"),
-        Seq("user_id"), Seq("ts", "event_id"), col("cents"), frameRows = 3)
-        .select("event_id", "user_id", "cents", "mov_sum", "delta"),
-      Some("""
-        WITH c AS (SELECT event_id, user_id, ts,
-                     CAST(round(value * 100) AS BIGINT) AS cents FROM events)
-        SELECT event_id, user_id, cents,
-          CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_sum,
-          cents - lag(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-            AS delta
-        FROM c""")),
-
-    // COHORT RETENTION over the events table: users bucketed by
-    // first-event day, counted once per later active day-offset.
-    "q_retention" -> Q(
-      (s, dir) => graft.operators.Analytics.retentionCohorts(
-        events(s, dir), "user_id", "ts"),
-      Some("""
-        WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort
-                   FROM events GROUP BY 1),
-        act AS (SELECT DISTINCT e.user_id, f.cohort,
-                  CAST(date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS INT) AS k
-                FROM events e JOIN f USING (user_id))
-        SELECT cohort, k, count(*) AS n_users FROM act GROUP BY 1, 2""")),
-
-    // PER-LANGUAGE weighted sample: 10 docs per language, A-ES keys
-    // proportional to n_chars — group quotas + within-group weighting in
-    // one bounded-heap aggregate. Oracle: the row_number window over the
-    // identical ln(u)/w expression.
-    "q_weighted_stratified" -> Q(
-      (s, dir) => graft.operators.Sampling.stratifiedWeightedSample(
-        table(s, dir, "documents").select("doc_id", "lang", "n_chars"),
-        Seq("lang"), n = 10, weight = col("n_chars"), key = col("doc_id")),
-      Some("""
-        SELECT doc_id, lang, n_chars FROM (
-          SELECT doc_id, lang, n_chars,
-            row_number() OVER (PARTITION BY lang ORDER BY
-              ln(greatest(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), 1)
-                 / 4294967296.0) / n_chars DESC, doc_id) AS rn
-          FROM documents WHERE n_chars > 0) t
-        WHERE rn <= 10""")),
-
-    // DETERMINISTIC weighted sample (A-ES, proportional to n_chars):
-    // hash-uniform u, ln(u)/w ranking, largest-50. The ln(u)/w key itself
-    // is never emitted (last-ulp libm variation) — only its ORDER is used,
-    // identically on both engines.
-    "q_weighted_sample" -> Q(
-      (s, dir) => graft.operators.Sampling.weightedSample(
-        table(s, dir, "documents").select("doc_id", "lang", "n_chars"),
-        n = 50, weight = col("n_chars"), key = col("doc_id")),
-      Some("""
-        SELECT doc_id, lang, n_chars FROM (
-          SELECT doc_id, lang, n_chars,
-            ln(greatest(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), 1)
-               / 4294967296.0) / n_chars AS aes
-          FROM documents WHERE n_chars > 0)
-        ORDER BY aes DESC, doc_id LIMIT 50""")),
-
-    // CONTRASTIVE negative mining: 5 deterministic pseudo-random corpus
-    // negatives per anchor (doc_id % 50 = 0) via hash-bucket probes —
-    // never a cross join. Same md5 arithmetic on both engines.
-    "q_negatives" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        graft.operators.Sampling.negativePairs(
-          docs.filter(col("doc_id") % 50 === 0), "doc_id",
-          docs, "doc_id", k = 5, nBuckets = 32)
-      },
-      Some("""
-        WITH cand AS (SELECT doc_id AS c,
-            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS b
-          FROM documents),
-        slots AS (SELECT a.doc_id AS anchor, r.i AS slot,
-            CAST(('0x' || substring(md5(CAST(a.doc_id AS VARCHAR) || ':' ||
-              CAST(r.i AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS b
-          FROM documents a, range(5) r(i) WHERE a.doc_id % 50 = 0),
-        j AS (SELECT anchor, slot, c,
-                md5(CAST(anchor AS VARCHAR) || ':' || CAST(slot AS VARCHAR)
-                  || ':' || CAST(c AS VARCHAR)) AS h
-              FROM slots JOIN cand USING (b) WHERE c <> anchor)
-        SELECT anchor, slot, c AS negative FROM (
-          SELECT *, row_number() OVER (PARTITION BY anchor, slot
-            ORDER BY h, c) AS rn FROM j) t
-        WHERE rn = 1""")),
-
-    // MODEL-BASED quality classification: fastText-style hashed-bigram
-    // linear model, committed Q16-quantized weights fixture (trained by
-    // tools/QualityTrain against heuristic-quality labels, 0.996 train
-    // acc). Integer logits: exact BIGINT sums on both engines; sigmoid is
-    // one exp away offline, the keep decision gates here exactly.
-    "q_quality_model" -> Q(
-      (s, dir) => graft.operators.TextStats.modelQualityScore(
-        table(s, dir, "documents"), "doc_id", "text",
-        s.read.parquet("/root/repo/src/test/resources/golden/quality_weights"),
-        nBuckets = 1024),
-      Some(s"""
-        WITH tk AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
-        uni AS (SELECT doc_id, unnest(toks) AS f FROM tk),
-        bi AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-                 i -> toks[i] || ' ' || toks[i+1])) AS f
-               FROM tk WHERE len(toks) >= 2),
-        feats AS (SELECT doc_id,
-            CAST(('0x' || substring(md5(f), 1, 8)) AS BIGINT) % 1024 AS b
-          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
-        w AS (SELECT bucket, w_q16
-              FROM read_parquet('/root/repo/src/test/resources/golden/quality_weights/*.parquet')),
-        s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-                CAST(sum(COALESCE(w_q16, 0)) AS BIGINT) AS sw
-              FROM feats LEFT JOIN w ON b = bucket GROUP BY 1),
-        bias AS (SELECT w_q16 AS b0 FROM w WHERE bucket = -1)
-        SELECT d.doc_id AS id,
-          COALESCE(n_feats, CAST(0 AS BIGINT)) AS n_feats,
-          b0 + COALESCE(sw, CAST(0 AS BIGINT)) AS logit_q16,
-          CAST(b0 + COALESCE(sw, CAST(0 AS BIGINT)) >= 0 AS INT) AS keep
-        FROM documents d CROSS JOIN bias LEFT JOIN s ON d.doc_id = s.doc_id""")),
-
-    // SALIENT TERMS: top-3 per document by (tf DESC, df ASC, token) —
-    // integer-exact keyword screening; the (tf, df) pair ships so true
-    // tf-idf curves apply offline.
-    // BM25 ranked retrieval: top-10 documents for a 3-term keyword query.
-    // Both engines compute the same double formula in the same operation
-    // order, but the projected battery columns are the INTEGER sufficient
-    // stats + rank (the q_weighted_sample precedent: ln may differ in the
-    // last ulp between libms, which can only flip a rank at a near-exact
-    // score collision between different stat vectors).
-    "q_bm25" -> Q(
-      (s, dir) => graft.operators.Search.bm25TopK(
-          table(s, dir, "documents"), "doc_id", "text",
-          Seq("vector", "spark", "customer"), k = 10)
-        .select("id", "rank", "n_terms", "sum_tf", "dl"),
-      bm25OracleSql),
-
-    // The same ranking served FROM the index tables ([[Search.buildBm25Index]]
-    // → [[Search.bm25TopKIndexed]]): only the ≤|Q| matched postings rows
-    // move and the corpus is never re-scanned — the build-once/serve-many
-    // shape. Output equals the scan path whenever no matched token
-    // overflows the postings cap (spec-pinned), so the two rows share one
-    // oracle.
-    "q_bm25_indexed" -> Q(
-      (s, dir) => {
-        val idx = graft.operators.Search.bm25IndexFor(
-          table(s, dir, "documents"), cacheKey = s"$dir/documents!bm25",
-          "doc_id", "text")
-        graft.operators.Search.bm25TopKIndexed(
-            idx, Seq("vector", "spark", "customer"), k = 10)
-          .select("id", "rank", "n_terms", "sum_tf", "dl")
-      },
-      bm25OracleSql),
-
-    // The same ranking served from the STREAMING-MAINTAINED index: the
-    // corpus arrives as three micro-batch deltas (lengths + postings
-    // partitions per batch, SearchStreams loop), queries merge the ≤|Q|
-    // matched per-batch postings rows at read (df sums — exact under the
-    // loop's unique-ids contract — postings concatenate and re-cap in
-    // invertedPostings order). Same oracle as the scan and batch-index
-    // rows: the delta-merged serve must be bit-equal.
-    "q_bm25_stream" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val base = Queries.tempDir("graft_bm25s")
-        val lenP = s"$base/len"; val postP = s"$base/post"
-        (0 until 3).foreach { i =>
-          graft.streaming.SearchStreams.processBm25Batch(
-            docs.filter(col("doc_id") % 3 === i), i.toLong,
-            "doc_id", "text", lenP, postP)
-        }
-        graft.streaming.SearchStreams.bm25TopKStreamed(
-            s, lenP, postP, Seq("vector", "spark", "customer"), k = 10)
-          .select("id", "rank", "n_terms", "sum_tf", "dl")
-      },
-      bm25OracleSql),
-
-    // RETRIEVAL EVAL METRICS: precision/recall/RR@10 over three
-    // single-term BM25 runs, judged against an engineered qrel set (docs
-    // containing the query term with doc_id % 3 = 0 — a deterministic
-    // "human-judged subset", so hits are partial and first-relevant ranks
-    // vary). All metrics exact integer ppm (floor(1e6·x)); nDCG is
-    // deliberately absent (transcendental discounts — see
-    // Search.retrievalMetrics). Everything after the retriever runs is
-    // eval-sized: the lists are top-k bounded, qrels are suite-sized.
-    "q_retrieval_eval" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val terms = Seq("vector", "spark", "customer")
-        val results = terms.map { t =>
-          graft.operators.Search.bm25TopK(docs, "doc_id", "text", Seq(t), k = 10)
-            .select(lit(t).as("query_id"), col("id"), col("rank"))
-        }.reduce(_ unionByName _)
-        val qrels = terms.map { t =>
-          docs.filter(array_contains(tokens(col("text")), t) &&
-              col("doc_id") % 3 === 0)
-            .select(lit(t).as("query_id"), col("doc_id").as("id"))
-        }.reduce(_ unionByName _)
-        graft.operators.Search.retrievalMetrics(results, qrels, k = 10)
-      },
-      Some(s"""
-        WITH lens AS (SELECT doc_id, CAST(len($sqlTokens) AS BIGINT) AS dl FROM documents),
-        stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) AS tot FROM lens),
-        tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
-        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-               WHERE token IN ('vector', 'spark', 'customer') GROUP BY 1, 2),
-        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        scored AS (SELECT token AS query_id, doc_id,
-            ln((nd - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
-              * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
-              / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / (tot / nd))) AS score
-          FROM tf JOIN dfq USING (token) JOIN lens USING (doc_id) CROSS JOIN stats),
-        res AS (SELECT query_id, doc_id, rank FROM (
-            SELECT query_id, doc_id,
-              CAST(row_number() OVER (PARTITION BY query_id
-                ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-            FROM scored) t
-          WHERE rank <= 10),
-        qr AS (SELECT t.query_id, d.doc_id
-          FROM (SELECT unnest(['vector', 'spark', 'customer']) AS query_id) t
-          JOIN documents d ON list_contains($sqlTokens, t.query_id)
-            AND d.doc_id % 3 = 0),
-        rel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM qr GROUP BY 1),
-        ret AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_ret FROM res GROUP BY 1),
-        hit AS (SELECT r.query_id, CAST(count(*) AS BIGINT) AS hits,
-                  min(r.rank) AS first_rel
-                FROM res r JOIN qr ON r.query_id = qr.query_id
-                  AND r.doc_id = qr.doc_id
-                GROUP BY 1)
-        SELECT rel.query_id, n_rel,
-          COALESCE(n_ret, CAST(0 AS BIGINT)) AS n_ret,
-          COALESCE(hits, CAST(0 AS BIGINT)) AS hits,
-          CAST(COALESCE(hits, 0) * 1000000 // 10 AS BIGINT) AS precision_ppm,
-          CAST(COALESCE(hits, 0) * 1000000 // n_rel AS BIGINT) AS recall_ppm,
-          CAST(COALESCE(1000000 // first_rel, 0) AS BIGINT) AS rr_ppm
-        FROM rel LEFT JOIN ret USING (query_id) LEFT JOIN hit USING (query_id)""")),
-
-    "q_salient_terms" -> Q(
-      (s, dir) => graft.operators.TextStats.salientTerms(
-        table(s, dir, "documents"), "doc_id", "text", k = 3),
-      Some(s"""
-        WITH tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
-        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
-        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
-        SELECT doc_id AS id, token, tf, df, rank FROM (
-          SELECT doc_id, token, tf, df,
-            row_number() OVER (PARTITION BY doc_id
-              ORDER BY tf DESC, df, token) AS rank
-          FROM tf JOIN dfq USING (token)) t
-        WHERE rank <= 3""")),
-
-    // CLUSTER KEYWORDS: the salient-terms ranking lifted from documents
-    // to the IVF embedding clusters (vec_id == doc_id in the corpus) —
-    // per cluster, top-3 tokens by (cluster tf DESC, global df ASC,
-    // token): "what is this cluster about", the corpus-exploration face
-    // of the clustering. Committed index at the gate SF, memoized
-    // production index at bench SFs; integer stats only.
-    "q_cluster_keywords" -> Q(
-      (s, dir) => {
-        val idx =
-          if (dir.endsWith("sf0.01"))
-            Similarity.loadIvf(s, "/root/repo/src/test/resources/golden/ivf_index")
-          else Similarity.ivfIndexFor(
-            table(s, dir, "embeddings").filter(col("vec_id") =!= 0),
-            cacheKey = s"$dir/embeddings!vec_id!16",
-            "vec_id", "embedding", nClusters = 16)
-        graft.operators.TextStats.clusterKeywords(
-            table(s, dir, "documents"), "doc_id", "text",
-            idx.assigned, "vec_id", "__cluster", k = 3)
-          .select(col("cluster").cast("int").as("cluster"), col("token"),
-            col("tf"), col("df"), col("rank"))
-      },
-      Some(s"""
-        WITH asg AS (SELECT vec_id, CAST(__cluster AS INT) AS cluster
-                     FROM read_parquet(
-                       '/root/repo/src/test/resources/golden/ivf_index/assigned/*/*.parquet',
-                       hive_partitioning=1)),
-        tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
-        pdoc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-                 FROM tok GROUP BY 1, 2),
-        dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM pdoc GROUP BY 1),
-        ctf AS (SELECT cluster, token, CAST(sum(tf) AS BIGINT) AS tf
-                FROM pdoc JOIN asg ON pdoc.doc_id = asg.vec_id GROUP BY 1, 2)
-        SELECT cluster, token, tf, df, rank FROM (
-          SELECT cluster, ctf.token AS token, tf, df,
-            CAST(row_number() OVER (PARTITION BY cluster
-              ORDER BY tf DESC, df, ctf.token) AS BIGINT) AS rank
-          FROM ctf JOIN dfq ON ctf.token = dfq.token) t
-        WHERE rank <= 3""")),
-
-    // EXACT integer outlier flag: per-user purchase values more than
-    // 1.5σ from the user's mean, in cleared-denominator long arithmetic —
-    // bit-identical across engines where a float mean/std pipeline is
-    // aggregation-order dependent.
-    "q_outliers" -> Q(
-      (s, dir) => graft.operators.Analytics.flagOutliers(
-        events(s, dir)
-          .withColumn("cents", round(col("value") * 100).cast("long")),
-        Seq("user_id"), col("cents"), kNum = 3, kDen = 2)
-        .filter(col("outlier") === 1)
-        .select("event_id", "user_id", "cents", "n"),
-      Some("""
-        WITH c AS (SELECT event_id, user_id,
-                     CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-        st AS (SELECT user_id, count(cents) AS n, sum(cents) AS s,
-                 sum(cents * cents) AS sq FROM c GROUP BY 1)
-        SELECT event_id, user_id, cents, n
-        FROM c JOIN st USING (user_id)
-        WHERE n >= 2
-          AND 4 * (n * cents - s) * (n * cents - s) > 9 * (n * sq - s * s)""")),
-  )
-
-  /** DuckDB mirror of [[graft.operators.Graph.pageRank]]'s exact integer
-    * iteration, unrolled to `iters` CTEs over the customer↔supplier
-    * co-purchase graph. The arithmetic is floor division on non-negative
-    * longs at every step, so both engines produce identical bits.
-    */
-  /** DuckDB twin of the quantile sketch's dyadic-node md5 bucket
-    * (`Profile.qNodeItem` + `cmsBucket`): bucket of node (level, prefix)
-    * for hash row r — `md5("l@prefix:r")`, first 8 hex chars as BIGINT,
-    * mod width. All three operands arrive as SQL expressions.
-    */
-  private def qsketchBucketSql(l: String, p: String, r: String,
-                               width: Int): String =
-    s"CAST(('0x' || substring(md5(CAST($l AS VARCHAR) || '@' || " +
-      s"CAST($p AS VARCHAR) || ':' || CAST($r AS VARCHAR)), 1, 8)) " +
-      s"AS BIGINT) % $width"
-
-  /** The quantile-walk oracle: recomputes the (merged) sketch from the
-    * raw data, then replays `Profile.quantileEstimate`'s dyadic descent
-    * as `levels` chained CTE steps — at each level the LEFT child's CMS
-    * estimate (min over depth hash rows) decides the branch, identical
-    * integer arithmetic to the engine's driver-side walk.
-    */
-  private def qsketchQuantilesOracleSql(levels: Int, depth: Int, width: Int,
-                                        qs: Seq[Long]): Option[String] = {
-    // every step references its predecessor TWICE (le + the carry), so
-    // un-materialized CTE inlining would re-expand the whole chain
-    // 2^levels times — MATERIALIZED pins each step to one evaluation
-    val steps = (levels - 1 to 0 by -1).map { l =>
-      s"""le$l AS MATERIALIZED (SELECT w.q, MIN(COALESCE(c.cnt, 0)) AS le
-           FROM w${l + 1} w CROSS JOIN range($depth) r(i)
-           LEFT JOIN cms c ON c.l = $l AND c.r = r.i
-             AND c.b = ${qsketchBucketSql(l.toString, "(2 * w.p)", "r.i", width)}
-           GROUP BY 1),
-         w$l AS MATERIALIZED (SELECT w.q, w.t,
-            CAST(CASE WHEN w.t <= w.racc + e.le THEN 2 * w.p
-                 ELSE 2 * w.p + 1 END AS BIGINT) AS p,
-            CAST(CASE WHEN w.t <= w.racc + e.le THEN w.racc
-                 ELSE w.racc + e.le END AS BIGINT) AS racc
-          FROM w${l + 1} w JOIN le$l e ON e.q = w.q)"""
-    }.mkString(",\n")
-    Some(s"""
-      WITH vals AS (SELECT CAST(length(text) AS BIGINT) AS v FROM documents),
-      cms AS MATERIALIZED (SELECT l.i AS l, r.i AS r,
-          ${qsketchBucketSql("l.i", "(v >> l.i)", "r.i", width)} AS b,
-          CAST(count(*) AS BIGINT) AS cnt
-        FROM vals CROSS JOIN range($levels) l(i) CROSS JOIN range($depth) r(i)
-        GROUP BY 1, 2, 3),
-      ntab AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cms
-               WHERE l = 0 AND r = 0),
-      qs AS (SELECT CAST(unnest([${qs.mkString(", ")}]) AS BIGINT) AS q),
-      w$levels AS MATERIALIZED (SELECT q, GREATEST(1, (n * q) // 1000000) AS t,
-          CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS racc
-        FROM qs CROSS JOIN ntab),
-      $steps
-      SELECT w.q AS q_ppm, w.p AS value, n.n AS n
-      FROM w0 w CROSS JOIN ntab n""")
-  }
-
-  private def pagerankOracleSql(iters: Int): Option[String] = {
-    val q = 1L << 40
-    val rounds = (1 to iters).map { k =>
-      s"""r$k AS (SELECT n.node,
-           CAST((($q * 15) // 100) // c + COALESCE(s.i, 0) AS BIGINT) AS r
-         FROM nodes n CROSS JOIN nn
-         LEFT JOIN (SELECT e.dst,
-             CAST(sum((r.r * 85) // (100 * o.od)) AS BIGINT) AS i
-           FROM e JOIN r${k - 1} r ON e.src = r.node
-           JOIN outd o ON e.src = o.src
-           GROUP BY e.dst) s ON n.node = s.dst)"""
-    }.mkString(",\n")
-    Some(s"""
-      WITH pr AS (SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
-              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      e AS (SELECT DISTINCT src, dst FROM
-              (SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr)),
-      outd AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY 1),
-      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-      nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nodes),
-      r0 AS (SELECT node, CAST($q // c AS BIGINT) AS r
-             FROM nodes CROSS JOIN nn),
-      $rounds
-      SELECT node, r AS rank_q FROM r$iters""")
-  }
-
-  /** One oracle for BOTH `q_bm25` and `q_bm25_indexed` — the indexed
-    * serving path is contractually equal to the scan path when no matched
-    * token overflows the postings cap (true here: the corpus is far below
-    * the default cap).
-    */
-  private lazy val bm25OracleSql: Option[String] =
-    Some(s"""
-        WITH lens AS (SELECT doc_id, CAST(len($sqlTokens) AS BIGINT) AS dl FROM documents),
-        stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) AS tot FROM lens),
-        tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
-        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-               WHERE token IN ('vector', 'spark', 'customer') GROUP BY 1, 2),
-        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        scored AS (SELECT doc_id,
-            sum(ln((nd - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
-              * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
-              / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / (tot / nd)))) AS score,
-            CAST(count(*) AS BIGINT) AS n_terms,
-            CAST(sum(tf) AS BIGINT) AS sum_tf,
-            max(dl) AS dl
-          FROM tf JOIN dfq USING (token) JOIN lens USING (doc_id) CROSS JOIN stats
-          GROUP BY doc_id)
-        SELECT doc_id AS id,
-          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
-          n_terms, sum_tf, dl
-        FROM scored ORDER BY score DESC, doc_id LIMIT 10""")
-
-  // Lake/stream MAINTENANCE twins: capabilities that normally run inside
-  // foreachBatch or a nightly layout job, driven here as deterministic
-  // batch pipelines so the driver's oracle sees them (they were
-  // spec-only before — "driver-invisible surface").
-  private val maintenanceQueries: Seq[(String, Q)] = Seq(
-    // INCREMENTAL VIEW MAINTENANCE end-to-end: base aggregate over the
-    // "before" state + change feed (diffSnapshots with preimages) folded
-    // by applyFeedToSums must EQUAL the direct aggregate over the "after"
-    // state — which is exactly what the oracle computes. The feed carries
-    // all three op kinds by construction: inserts (keys %13=0 absent
-    // before), deletes (keys %11=0 absent after), updates (%7=0 value
-    // shift), so every retraction path is exercised.
-    "q_ivm_fold" -> Q(
-      (s, dir) => {
-        val base = table(s, dir, "orders").select(
-          col("o_orderkey"), col("o_orderstatus"),
-          round(col("o_totalprice") * 100).cast("long").as("v"))
-        val before = base.filter(col("o_orderkey") % 13 =!= 0)
-        val after = base.filter(col("o_orderkey") % 11 =!= 0)
-          .withColumn("v",
-            col("v") + when(col("o_orderkey") % 7 === 0, 500L).otherwise(0L))
-        val feed = graft.operators.Lake.diffSnapshots(
-          before, after, Seq("o_orderkey"), opCol = "_op", includeBefore = true)
-        val agg0 = before.groupBy("o_orderstatus")
-          .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
-        graft.streaming.ChangeStreams.applyFeedToSums(
-          agg0, feed, Seq("o_orderstatus"), "v")
-      },
-      Some("""
-        WITH base AS (SELECT o_orderkey, o_orderstatus,
-            CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
-        a AS (SELECT o_orderstatus,
-            v + CASE WHEN o_orderkey % 7 = 0 THEN 500 ELSE 0 END AS v
-          FROM base WHERE o_orderkey % 11 <> 0)
-        SELECT o_orderstatus, CAST(sum(v) AS BIGINT) AS sum_v,
-          CAST(count(*) AS BIGINT) AS n
-        FROM a GROUP BY 1""")),
-
-    // HLL SKETCH ALGEBRA: per-slice sketches built once, merged to a
-    // coarser grouping without re-reading data. In the coupon-exact
-    // regime (distinct-per-group far below the lgK=12 sketch's exact
-    // capacity — true at the gate's sf) the merged estimate equals the
-    // exact distinct count, so a plain COUNT(DISTINCT) oracle pins it.
-    "q_hll_merge" -> Q(
-      (s, dir) => {
-        val slices = graft.operators.Profile.distinctSketch(
-          table(s, dir, "documents")
-            .withColumn("slice", col("doc_id") % 4),
-          Seq("lang", "slice"), "doc_id")
-        graft.operators.Profile.mergeDistinctSketches(slices, Seq("lang"))
-      },
-      Some("""SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
-             FROM documents GROUP BY 1""")),
-
-    // COUNT-MIN SKETCH algebra: per-(lang, doc_id%4) slice sketches of
-    // the token stream merged per lang, then point-frequency estimates
-    // for three present tokens and one absent one. depth=3 × width=64 is
-    // deliberately TIGHT (thousands of distinct tokens → real
-    // collisions), so this row gates the genuinely-approximate regime:
-    // the oracle recomputes the identical md5-bucket counter sums and
-    // row-wise min in DuckDB — estimate equality, not just bounds. The
-    // CMS invariant (never below truth) and exact merge algebra are
-    // spec-pinned; the frequency twin of the q_hll_merge row.
-    "q_cms" -> Q(
-      (s, dir) => {
-        val toks = table(s, dir, "documents")
-          .withColumn("slice", col("doc_id") % 4)
-          .select(col("lang"), col("slice"),
-            explode(tokens(col("text"))).as("token"))
-        val slices = graft.operators.Profile.cmsSketch(
-          toks, col("token"), depth = 3, width = 64,
-          sliceCols = Seq("lang", "slice"))
-        val merged = graft.operators.Profile.cmsMerge(slices, Seq("lang"))
-        graft.operators.Profile.cmsEstimate(
-          merged, Seq("vector", "spark", "customer", "zzz_not_a_token"),
-          depth = 3, width = 64, sliceCols = Seq("lang"))
-      },
-      Some(s"""
-        WITH tok AS (SELECT lang, unnest($sqlTokens) AS token FROM documents),
-        cms AS (SELECT lang, r.i AS r,
-            CAST(('0x' || substring(md5(token || ':' || CAST(r.i AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS b,
-            CAST(count(*) AS BIGINT) AS cnt
-          FROM tok CROSS JOIN range(3) r(i) GROUP BY 1, 2, 3),
-        probe AS (SELECT p.item, r.i AS r,
-            CAST(('0x' || substring(md5(p.item || ':' || CAST(r.i AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS b
-          FROM (SELECT unnest(['vector', 'spark', 'customer', 'zzz_not_a_token']) AS item) p
-          CROSS JOIN range(3) r(i)),
-        langs AS (SELECT DISTINCT lang FROM cms),
-        j AS (SELECT l.lang, pr.item, pr.r, COALESCE(c.cnt, 0) AS cnt
-          FROM langs l CROSS JOIN probe pr
-          LEFT JOIN cms c ON c.lang = l.lang AND c.r = pr.r AND c.b = pr.b)
-        SELECT lang, item, CAST(min(cnt) AS BIGINT) AS est
-        FROM j GROUP BY 1, 2""")),
-
-    // QUANTILE SKETCH (dyadic CMS) — the rank/quantile member of the
-    // sketch family. Per-(lang, part) sketches merged to per-lang
-    // (GROUP BY SUM exact algebra, so the oracle recomputes the merged
-    // sketch directly from the data), then rank estimates via the
-    // left-sibling dyadic decomposition — both sides pure md5-convention
-    // integer arithmetic, bit-identical.
-    "q_qsketch_rank" -> Q(
-      (s, dir) => {
-        val vals = table(s, dir, "documents")
-          .select(col("lang"), (col("doc_id") % 4).as("part"),
-            length(col("text")).cast("long").as("v"))
-        val sliced = graft.operators.Profile.quantileSketch(
-          vals, col("v"), levels = 12, depth = 3, width = 64,
-          sliceCols = Seq("lang", "part"))
-        val merged = graft.operators.Profile.quantileSketchMerge(
-          sliced, Seq("lang"))
-        graft.operators.Profile.quantileRank(
-          merged, Seq(64L, 128L, 256L, 512L, 1024L),
-          levels = 12, depth = 3, width = 64, sliceCols = Seq("lang"))
-      },
-      Some(s"""
-        WITH vals AS (SELECT lang, CAST(length(text) AS BIGINT) AS v FROM documents),
-        cms AS (SELECT lang, l.i AS l, r.i AS r,
-            ${qsketchBucketSql("l.i", "(v >> l.i)", "r.i", 64)} AS b,
-            CAST(count(*) AS BIGINT) AS cnt
-          FROM vals CROSS JOIN range(12) l(i) CROSS JOIN range(3) r(i)
-          GROUP BY 1, 2, 3, 4),
-        probes AS (SELECT CAST(unnest([64, 128, 256, 512, 1024]) AS BIGINT) AS value),
-        nodes AS (SELECT p.value, l.i AS l, r.i AS r,
-            ${qsketchBucketSql("l.i", "((p.value >> l.i) - 1)", "r.i", 64)} AS b
-          FROM probes p CROSS JOIN range(12) l(i) CROSS JOIN range(3) r(i)
-          WHERE ((p.value >> l.i) & 1) = 1),
-        langs AS (SELECT DISTINCT lang FROM cms),
-        ne AS (SELECT lg.lang, n.value, n.l, MIN(COALESCE(c.cnt, 0)) AS ne
-          FROM langs lg CROSS JOIN nodes n
-          LEFT JOIN cms c ON c.lang = lg.lang AND c.l = n.l
-            AND c.r = n.r AND c.b = n.b
-          GROUP BY 1, 2, 3)
-        SELECT lang, value, CAST(SUM(ne) AS BIGINT) AS est_rank
-        FROM ne GROUP BY 1, 2""")),
-
-    // The quantile-ESTIMATE twin: per-part sketches merged global, then
-    // the integer dyadic-tree descent (t = max(1, N·q div 10⁶); left
-    // child's CMS estimate decides the branch). The oracle replays the
-    // walk as `levels` chained CTE steps — same arithmetic, same md5
-    // buckets, bit-identical values.
-    "q_qsketch_quantiles" -> Q(
-      (s, dir) => {
-        val vals = table(s, dir, "documents")
-          .select((col("doc_id") % 4).as("part"),
-            length(col("text")).cast("long").as("v"))
-        val sliced = graft.operators.Profile.quantileSketch(
-          vals, col("v"), levels = 12, depth = 3, width = 64,
-          sliceCols = Seq("part"))
-        val merged = graft.operators.Profile.quantileSketchMerge(sliced)
-        graft.operators.Profile.quantileEstimate(
-          merged, Seq(250000L, 500000L, 750000L, 990000L),
-          levels = 12, depth = 3, width = 64)
-      },
-      qsketchQuantilesOracleSql(levels = 12, depth = 3, width = 64,
-        qs = Seq(250000L, 500000L, 750000L, 990000L))),
-
-    // KMV (k-minimum-values) sketch — the SET-OPERATIONS member of the
-    // sketch family. Per-(lang, part) bottom-k sketches merged per lang
-    // (exact algebra: bottom-k of a union of bottom-ks = bottom-k of the
-    // union, so the oracle recomputes per-lang directly), then the
-    // distinct estimate: exact below k, ⌊(k−1)·2⁶⁰ / h_k⌋ at k — the
-    // division in DOUBLE on both engines by contract (operands exactly
-    // representable / identically rounded). fr has exactly k=64 distinct
-    // texts at sf0.01, so both branches gate.
-    "q_kmv_distinct" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-          .withColumn("part", col("doc_id") % 4)
-        val sliced = graft.operators.Profile.kmvSketch(
-          docs, col("text"), k = 64, sliceCols = Seq("lang", "part"))
-        val merged = graft.operators.Profile.kmvMerge(
-          sliced, k = 64, groupCols = Seq("lang"))
-        graft.operators.Profile.kmvDistinct(merged, k = 64, Seq("lang"))
-      },
-      Some("""
-        WITH h AS (SELECT DISTINCT lang,
-            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
-          FROM documents),
-        ranked AS (SELECT lang, h,
-            row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
-        agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
-            max(h) AS kth
-          FROM ranked WHERE rn <= 64 GROUP BY 1)
-        SELECT lang, n_kept,
-          CASE WHEN n_kept < 64 THEN n_kept
-               ELSE CAST(FLOOR(63.0 * 1152921504606846976.0
-                               / CAST(kth AS DOUBLE)) AS BIGINT)
-          END AS est_distinct
-        FROM agg""")),
-
-    // KMV set-overlap estimation between two corpora ("how much does
-    // crawl B overlap crawl A") from two k-row sketches: combined
-    // bottom-k, membership matches, jaccard_ppm = matches·10⁶ div
-    // union_k, KMV union estimate, and the Beyer'07 intersection
-    // estimate in exact BIGINT arithmetic — every join sketch×sketch,
-    // never corpus×corpus. The corpora overlap by construction
-    // (doc_id%3≠0 vs doc_id%2=0 → J = 0.4 on distinct texts).
-    "q_kmv_overlap" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val a = graft.operators.Profile.kmvSketch(
-          docs.filter(col("doc_id") % 3 =!= 0), col("text"), k = 256)
-        val b = graft.operators.Profile.kmvSketch(
-          docs.filter(col("doc_id") % 2 === 0), col("text"), k = 256)
-        graft.operators.Profile.kmvOverlap(a, b, k = 256)
-      },
-      Some("""
-        WITH ha AS (SELECT DISTINCT
-            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
-          FROM documents WHERE doc_id % 3 <> 0),
-        hb AS (SELECT DISTINCT
-            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
-          FROM documents WHERE doc_id % 2 = 0),
-        ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
-        skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
-        u AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL
-                                      SELECT h FROM skb)
-              ORDER BY h LIMIT 256),
-        fl AS (SELECT u.h,
-            (u.h IN (SELECT h FROM ska) AND u.h IN (SELECT h FROM skb))
-              AS b2 FROM u),
-        agg AS (SELECT CAST(count(*) AS BIGINT) AS union_k,
-            CAST(sum(CASE WHEN b2 THEN 1 ELSE 0 END) AS BIGINT) AS matches,
-            max(h) AS kth FROM fl),
-        est AS (SELECT union_k, matches,
-            CAST(matches * 1000000 // union_k AS BIGINT) AS jaccard_ppm,
-            CASE WHEN union_k < 256 THEN union_k
-                 ELSE CAST(FLOOR(255.0 * 1152921504606846976.0
-                                 / CAST(kth AS DOUBLE)) AS BIGINT)
-            END AS est_union
-          FROM agg)
-        SELECT union_k, matches, jaccard_ppm, est_union,
-          CAST((est_union // union_k) * matches
-               + ((est_union % union_k) * matches) // union_k AS BIGINT)
-            AS est_intersection
-        FROM est""")),
-
-    // KMV set DIFFERENCE — the directional complement of q_kmv_overlap
-    // over the same two corpora: combined-bottom-k hashes present in
-    // exactly one sketch (only_a / only_b) and the Beyer'07 difference
-    // estimates in the same exact BIGINT split arithmetic as the
-    // intersection estimator. Sketch×sketch joins only.
-    "q_kmv_diff" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val a = graft.operators.Profile.kmvSketch(
-          docs.filter(col("doc_id") % 3 =!= 0), col("text"), k = 256)
-        val b = graft.operators.Profile.kmvSketch(
-          docs.filter(col("doc_id") % 2 === 0), col("text"), k = 256)
-        graft.operators.Profile.kmvDifference(a, b, k = 256)
-      },
-      Some("""
-        WITH ha AS (SELECT DISTINCT
-            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
-          FROM documents WHERE doc_id % 3 <> 0),
-        hb AS (SELECT DISTINCT
-            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
-          FROM documents WHERE doc_id % 2 = 0),
-        ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
-        skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
-        u AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL
-                                      SELECT h FROM skb)
-              ORDER BY h LIMIT 256),
-        fl AS (SELECT u.h,
-            u.h IN (SELECT h FROM ska) AS ia,
-            u.h IN (SELECT h FROM skb) AS ib FROM u),
-        agg AS (SELECT CAST(count(*) AS BIGINT) AS union_k,
-            CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT)
-              AS matches,
-            CAST(sum(CASE WHEN ia AND NOT ib THEN 1 ELSE 0 END) AS BIGINT)
-              AS only_a,
-            CAST(sum(CASE WHEN ib AND NOT ia THEN 1 ELSE 0 END) AS BIGINT)
-              AS only_b,
-            max(h) AS kth FROM fl),
-        est AS (SELECT union_k, matches, only_a, only_b,
-            CASE WHEN union_k < 256 THEN union_k
-                 ELSE CAST(FLOOR(255.0 * 1152921504606846976.0
-                                 / CAST(kth AS DOUBLE)) AS BIGINT)
-            END AS est_union
-          FROM agg)
-        SELECT union_k, matches, only_a, only_b, est_union,
-          CAST((est_union // union_k) * only_a
-               + ((est_union % union_k) * only_a) // union_k AS BIGINT)
-            AS est_a_minus_b,
-          CAST((est_union // union_k) * only_b
-               + ((est_union % union_k) * only_b) // union_k AS BIGINT)
-            AS est_b_minus_a
-        FROM est""")),
-
-    // WEIGHTED KMV — total n_chars over the distinct-text universe per
-    // lang, from one bounded-buffer scan: bottom-k hashes each carrying
-    // max(weight), est_total_w = est_distinct·sum_w DIV n_kept in
-    // DECIMAL(38,0)-exact arithmetic. k=72 gates BOTH branches at
-    // sf0.01: de (70 distinct texts) and fr (64) land below k (the
-    // formula degenerates to the exact sampled sum), en/es/zh at k (the
-    // Horvitz–Thompson scale-up).
-    "q_kmv_weighted" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val sk = graft.operators.Profile.kmvSketchWeighted(
-          docs, col("text"), col("n_chars"), k = 72, sliceCols = Seq("lang"))
-        graft.operators.Profile.kmvWeightedSum(sk, k = 72, Seq("lang"))
-      },
-      Some("""
-        WITH hw AS (SELECT lang,
-            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h,
-            CAST(max(n_chars) AS BIGINT) AS w
-          FROM documents GROUP BY 1, 2),
-        ranked AS (SELECT lang, h, w,
-            row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM hw),
-        agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
-            CAST(sum(w) AS BIGINT) AS sum_w, max(h) AS kth
-          FROM ranked WHERE rn <= 72 GROUP BY 1),
-        est AS (SELECT lang, n_kept, sum_w,
-            CASE WHEN n_kept < 72 THEN n_kept
-                 ELSE CAST(FLOOR(71.0 * 1152921504606846976.0
-                                 / CAST(kth AS DOUBLE)) AS BIGINT)
-            END AS est_distinct
-          FROM agg)
-        SELECT lang, n_kept, sum_w, est_distinct,
-          CAST(est_distinct * sum_w // n_kept AS BIGINT) AS est_total_w
-        FROM est""")),
-
-    // WEIGHTED KMV set operations — "how many BYTES of A are not in B",
-    // not just how many documents: membership counts plus per-region
-    // weight mass over the combined bottom-k, and the Horvitz–Thompson
-    // scale-ups in DECIMAL(38,0)-exact arithmetic. Same corpora split
-    // as q_kmv_diff, weight = n_chars.
-    "q_kmv_wsets" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val a = graft.operators.Profile.kmvSketchWeighted(
-          docs.filter(col("doc_id") % 3 =!= 0), col("text"),
-          col("n_chars"), k = 256)
-        val b = graft.operators.Profile.kmvSketchWeighted(
-          docs.filter(col("doc_id") % 2 === 0), col("text"),
-          col("n_chars"), k = 256)
-        graft.operators.Profile.kmvSetWeights(a, b, k = 256)
-      },
-      Some("""
-        WITH ha AS (SELECT
-            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h,
-            CAST(max(n_chars) AS BIGINT) AS w
-          FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1),
-        hb AS (SELECT
-            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h,
-            CAST(max(n_chars) AS BIGINT) AS w
-          FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
-        ska AS (SELECT h, w FROM ha ORDER BY h LIMIT 256),
-        skb AS (SELECT h, w FROM hb ORDER BY h LIMIT 256),
-        u AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL
-                                      SELECT h FROM skb)
-              ORDER BY h LIMIT 256),
-        fl AS (SELECT u.h, a.w AS wa, b.w AS wb
-               FROM u LEFT JOIN ska a ON a.h = u.h
-               LEFT JOIN skb b ON b.h = u.h),
-        agg AS (SELECT CAST(count(*) AS BIGINT) AS union_k,
-            CAST(sum(CASE WHEN wa IS NOT NULL AND wb IS NOT NULL
-                     THEN 1 ELSE 0 END) AS BIGINT) AS matches,
-            CAST(sum(CASE WHEN wa IS NOT NULL AND wb IS NULL
-                     THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
-            CAST(sum(CASE WHEN wb IS NOT NULL AND wa IS NULL
-                     THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
-            CAST(sum(CASE WHEN wa IS NOT NULL AND wb IS NOT NULL
-                     THEN greatest(COALESCE(wa,0), COALESCE(wb,0))
-                     ELSE 0 END) AS BIGINT) AS w_matched,
-            CAST(sum(CASE WHEN wa IS NOT NULL AND wb IS NULL
-                     THEN wa ELSE 0 END) AS BIGINT) AS w_only_a,
-            CAST(sum(CASE WHEN wb IS NOT NULL AND wa IS NULL
-                     THEN wb ELSE 0 END) AS BIGINT) AS w_only_b,
-            max(h) AS kth FROM fl),
-        est AS (SELECT union_k, matches, only_a, only_b,
-            w_matched, w_only_a, w_only_b,
-            CASE WHEN union_k < 256 THEN union_k
-                 ELSE CAST(FLOOR(255.0 * 1152921504606846976.0
-                                 / CAST(kth AS DOUBLE)) AS BIGINT)
-            END AS est_union
-          FROM agg)
-        SELECT union_k, matches, only_a, only_b,
-          w_matched, w_only_a, w_only_b, est_union,
-          CAST(est_union * w_matched // union_k AS BIGINT)
-            AS est_w_intersection,
-          CAST(est_union * w_only_a // union_k AS BIGINT)
-            AS est_w_a_minus_b,
-          CAST(est_union * w_only_b // union_k AS BIGINT)
-            AS est_w_b_minus_a
-        FROM est""")),
-
-    // WEIGHTED JACCARD over weighted KMV sketches — "how similar are
-    // two crawls BY BYTES": Σmin(w)/Σmax(w) over the union support as a
-    // ppm ratio whose HT scale factors cancel. ONE row gates BOTH
-    // branches: k=1024 holds every distinct text at sf0.01 (union below
-    // k → the ppm is EXACT — the judge-requested exact-branch anchor)
-    // and k=64 exercises the combined-bottom-k estimator, both
-    // recomputed by the oracle from the same bottom-k definition.
-    "q_kmv_wjaccard" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        def wj(k: Int) = graft.operators.Profile.kmvWeightedJaccard(
-          graft.operators.Profile.kmvSketchWeighted(
-            docs.filter(col("doc_id") % 3 =!= 0), col("text"),
-            col("n_chars"), k),
-          graft.operators.Profile.kmvSketchWeighted(
-            docs.filter(col("doc_id") % 2 === 0), col("text"),
-            col("n_chars"), k), k)
-        wj(1024).withColumn("k", lit(1024))
-          .unionByName(wj(64).withColumn("k", lit(64)))
-      },
-      Some {
-        def block(k: Int): String = s"""
-        ha$k AS (SELECT
-            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h,
-            CAST(max(n_chars) AS BIGINT) AS w
-          FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1),
-        hb$k AS (SELECT
-            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h,
-            CAST(max(n_chars) AS BIGINT) AS w
-          FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
-        ska$k AS (SELECT h, w FROM ha$k ORDER BY h LIMIT $k),
-        skb$k AS (SELECT h, w FROM hb$k ORDER BY h LIMIT $k),
-        u$k AS (SELECT DISTINCT h FROM (SELECT h FROM ska$k UNION ALL
-                                        SELECT h FROM skb$k)
-                ORDER BY h LIMIT $k),
-        fl$k AS (SELECT u$k.h, a.w AS wa, b.w AS wb
-                 FROM u$k LEFT JOIN ska$k a ON a.h = u$k.h
-                 LEFT JOIN skb$k b ON b.h = u$k.h),
-        agg$k AS (SELECT CAST(count(*) AS BIGINT) AS union_k,
-            CAST(sum(CASE WHEN wa IS NOT NULL AND wb IS NOT NULL
-                     THEN 1 ELSE 0 END) AS BIGINT) AS matches,
-            CAST(sum(least(COALESCE(wa,0), COALESCE(wb,0))) AS BIGINT)
-              AS w_min_sum,
-            CAST(sum(greatest(COALESCE(wa,0), COALESCE(wb,0))) AS BIGINT)
-              AS w_max_sum,
-            max(h) AS kth FROM fl$k),
-        est$k AS (SELECT union_k, matches, w_min_sum, w_max_sum,
-            CASE WHEN w_max_sum = 0 THEN CAST(0 AS BIGINT)
-                 ELSE CAST(CAST(w_min_sum AS HUGEINT) * 1000000
-                           // w_max_sum AS BIGINT) END AS wjaccard_ppm,
-            CASE WHEN union_k < $k THEN union_k
-                 ELSE CAST(FLOOR(${k - 1}.0 * 1152921504606846976.0
-                                 / CAST(kth AS DOUBLE)) AS BIGINT)
-            END AS est_union
-          FROM agg$k),
-        out$k AS (SELECT union_k, matches, w_min_sum, w_max_sum,
-            wjaccard_ppm, est_union,
-            CAST(CAST(est_union AS HUGEINT) * w_min_sum
-                 // union_k AS BIGINT) AS est_w_min,
-            CAST(CAST(est_union AS HUGEINT) * w_max_sum
-                 // union_k AS BIGINT) AS est_w_max,
-            CAST($k AS INT) AS k FROM est$k)"""
-        s"""
-        WITH ${block(1024)}, ${block(64)}
-        SELECT * FROM out1024 UNION ALL SELECT * FROM out64"""
-      }),
-
-    // KMV overlap MATRIX — corpus-fleet governance in one row per slice
-    // pair: token-VOCABULARY overlap across the five languages (token
-    // universes genuinely intersect: numbers, punctuation, shared words),
-    // every estimate recomputed by the oracle from the same bottom-k
-    // definition. N sketch builds + sketch-sized joins, never N² corpus
-    // joins.
-    "q_kmv_matrix" -> Q(
-      (s, dir) => {
-        val toks = table(s, dir, "documents")
-          .select(col("lang"), explode(tokens(col("text"))).as("token"))
-        val sk = graft.operators.Profile.kmvSketch(
-          toks, col("token"), k = 128, sliceCols = Seq("lang"))
-        graft.operators.Profile.kmvOverlapMatrix(sk, "lang", k = 128)
-      },
-      Some(s"""
-        WITH tok AS (SELECT lang, unnest($sqlTokens) AS token FROM documents),
-        hh AS (SELECT DISTINCT lang,
-            CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS h
-          FROM tok),
-        sk AS (SELECT lang, h FROM (SELECT lang, h,
-            row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM hh)
-          WHERE rn <= 128),
-        langs AS (SELECT DISTINCT lang FROM sk),
-        pairs AS (SELECT a.lang AS la, b.lang AS lb
-          FROM langs a JOIN langs b ON a.lang < b.lang),
-        uni AS (SELECT DISTINCT p.la, p.lb, s.h
-          FROM pairs p JOIN sk s ON s.lang = p.la OR s.lang = p.lb),
-        u AS (SELECT la, lb, h FROM (SELECT la, lb, h,
-            row_number() OVER (PARTITION BY la, lb ORDER BY h) AS rn FROM uni)
-          WHERE rn <= 128),
-        fl AS (SELECT u.la, u.lb, u.h,
-            (sa.h IS NOT NULL AND sb.h IS NOT NULL) AS b2
-          FROM u
-          LEFT JOIN sk sa ON sa.lang = u.la AND sa.h = u.h
-          LEFT JOIN sk sb ON sb.lang = u.lb AND sb.h = u.h),
-        agg AS (SELECT la AS slice_a, lb AS slice_b,
-            CAST(count(*) AS BIGINT) AS union_k,
-            CAST(sum(CASE WHEN b2 THEN 1 ELSE 0 END) AS BIGINT) AS matches,
-            max(h) AS kth
-          FROM fl GROUP BY 1, 2),
-        est AS (SELECT slice_a, slice_b, union_k, matches,
-            CAST(matches * 1000000 // union_k AS BIGINT) AS jaccard_ppm,
-            CASE WHEN union_k < 128 THEN union_k
-                 ELSE CAST(FLOOR(127.0 * 1152921504606846976.0
-                                 / CAST(kth AS DOUBLE)) AS BIGINT)
-            END AS est_union
-          FROM agg)
-        SELECT slice_a, slice_b, union_k, matches, jaccard_ppm, est_union,
-          CAST((est_union // union_k) * matches
-               + ((est_union % union_k) * matches) // union_k AS BIGINT)
-            AS est_intersection
-        FROM est""")),
-
-    // The KMV loop's NOVELTY feed: per micro-batch, history's distinct
-    // estimate before/after absorbing the batch and the clamped delta —
-    // "how much of today's crawl is actually new". Deterministic given
-    // the batch split, so the oracle recomputes every row: per-prefix
-    // bottom-k estimates over the same 60-bit hashes.
-    "q_kmv_novelty" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val base = Queries.tempDir("graft_kmvnov")
-        val skPath = s"$base/sk"; val stPath = s"$base/stats"
-        (0 until 3).foreach { i =>
-          graft.streaming.SketchStreams.processKmvBatch(
-            docs.filter(col("doc_id") % 3 === i), i.toLong,
-            col("text"), 64, skPath, Nil, Some(stPath))
-        }
-        s.read.parquet(stPath).select(
-          col("__batch_id").cast("long").as("batch_id"),
-          col("batch_kept"), col("est_before"), col("est_after"),
-          col("est_new"))
-      },
-      Some("""
-        WITH d AS (SELECT DISTINCT doc_id % 3 AS b,
-            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
-          FROM documents),
-        pre0 AS (SELECT h FROM (SELECT DISTINCT h FROM d WHERE b <= 0)
-                 ORDER BY h LIMIT 64),
-        e0 AS (SELECT CAST(count(*) AS BIGINT) AS c, max(h) AS m FROM pre0),
-        est0 AS (SELECT CASE WHEN c < 64 THEN c
-            ELSE CAST(FLOOR(63.0 * 1152921504606846976.0
-                            / CAST(m AS DOUBLE)) AS BIGINT) END AS e FROM e0),
-        pre1 AS (SELECT h FROM (SELECT DISTINCT h FROM d WHERE b <= 1)
-                 ORDER BY h LIMIT 64),
-        e1 AS (SELECT CAST(count(*) AS BIGINT) AS c, max(h) AS m FROM pre1),
-        est1 AS (SELECT CASE WHEN c < 64 THEN c
-            ELSE CAST(FLOOR(63.0 * 1152921504606846976.0
-                            / CAST(m AS DOUBLE)) AS BIGINT) END AS e FROM e1),
-        pre2 AS (SELECT h FROM (SELECT DISTINCT h FROM d WHERE b <= 2)
-                 ORDER BY h LIMIT 64),
-        e2 AS (SELECT CAST(count(*) AS BIGINT) AS c, max(h) AS m FROM pre2),
-        est2 AS (SELECT CASE WHEN c < 64 THEN c
-            ELSE CAST(FLOOR(63.0 * 1152921504606846976.0
-                            / CAST(m AS DOUBLE)) AS BIGINT) END AS e FROM e2)
-        SELECT CAST(0 AS BIGINT) AS batch_id,
-          (SELECT CAST(LEAST(count(DISTINCT h), 64) AS BIGINT) FROM d
-             WHERE b = 0) AS batch_kept,
-          CAST(0 AS BIGINT) AS est_before,
-          (SELECT e FROM est0) AS est_after,
-          (SELECT e FROM est0) AS est_new
-        UNION ALL
-        SELECT CAST(1 AS BIGINT),
-          (SELECT CAST(LEAST(count(DISTINCT h), 64) AS BIGINT) FROM d
-             WHERE b = 1),
-          (SELECT e FROM est0), (SELECT e FROM est1),
-          GREATEST(CAST(0 AS BIGINT),
-            (SELECT e FROM est1) - (SELECT e FROM est0))
-        UNION ALL
-        SELECT CAST(2 AS BIGINT),
-          (SELECT CAST(LEAST(count(DISTINCT h), 64) AS BIGINT) FROM d
-             WHERE b = 2),
-          (SELECT e FROM est1), (SELECT e FROM est2),
-          GREATEST(CAST(0 AS BIGINT),
-            (SELECT e FROM est2) - (SELECT e FROM est1))""")),
-
-    // STREAMING sketch maintenance, gated by the batch rows' own oracles:
-    // the corpus arrives as three micro-batch deltas, each batch builds
-    // its own bounded sketch partition, and the serve-side merge is EXACT
-    // algebra (GROUP-BY-SUM for CMS counters, re-min for KMV) — so the
-    // streamed estimates must be bit-equal to the offline rows. q_cms's
-    // estimate tail over the served sketch; a mid-stream marker-guarded
-    // compaction runs before serving so the row also gates "compaction
-    // changes nothing".
-    "q_cms_stream" -> Q(
-      (s, dir) => {
-        val toks = table(s, dir, "documents")
-          .withColumn("slice", col("doc_id") % 4)
-          .select(col("doc_id"), col("lang"), col("slice"),
-            explode(tokens(col("text"))).as("token"))
-        val path = Queries.tempDir("graft_cmsstream") + "/sk"
-        (0 until 3).foreach { i =>
-          graft.streaming.SketchStreams.processCmsBatch(
-            toks.filter(col("doc_id") % 3 === i), i.toLong,
-            col("token"), 3, 64, path, Seq("lang", "slice"))
-        }
-        graft.streaming.SketchStreams.compactCms(s, path, uptoBatch = 1L,
-          Seq("lang", "slice"))
-        val served = graft.streaming.SketchStreams.serveCms(s, path,
-          Seq("lang"))
-        graft.operators.Profile.cmsEstimate(
-          served, Seq("vector", "spark", "customer", "zzz_not_a_token"),
-          depth = 3, width = 64, sliceCols = Seq("lang"))
-      },
-      // identical expected output to q_cms by exact merge algebra
-      Some(s"""
-        WITH tok AS (SELECT lang, unnest($sqlTokens) AS token FROM documents),
-        cms AS (SELECT lang, r.i AS r,
-            CAST(('0x' || substring(md5(token || ':' || CAST(r.i AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS b,
-            CAST(count(*) AS BIGINT) AS cnt
-          FROM tok CROSS JOIN range(3) r(i) GROUP BY 1, 2, 3),
-        probe AS (SELECT p.item, r.i AS r,
-            CAST(('0x' || substring(md5(p.item || ':' || CAST(r.i AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS b
-          FROM (SELECT unnest(['vector', 'spark', 'customer', 'zzz_not_a_token']) AS item) p
-          CROSS JOIN range(3) r(i)),
-        langs AS (SELECT DISTINCT lang FROM cms),
-        j AS (SELECT l.lang, pr.item, pr.r, COALESCE(c.cnt, 0) AS cnt
-          FROM langs l CROSS JOIN probe pr
-          LEFT JOIN cms c ON c.lang = l.lang AND c.r = pr.r AND c.b = pr.b)
-        SELECT lang, item, CAST(min(cnt) AS BIGINT) AS est
-        FROM j GROUP BY 1, 2""")),
-
-    // The KMV loop's gate: batch deltas re-minned at serve, mid-stream
-    // compaction, then the per-lang distinct estimate — must equal
-    // q_kmv_distinct's offline answer bit-for-bit.
-    "q_kmv_stream" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val path = Queries.tempDir("graft_kmvstream") + "/sk"
-        (0 until 3).foreach { i =>
-          graft.streaming.SketchStreams.processKmvBatch(
-            docs.filter(col("doc_id") % 3 === i), i.toLong,
-            col("text"), 64, path, Seq("lang"))
-        }
-        graft.streaming.SketchStreams.compactKmv(s, path, 64,
-          uptoBatch = 1L, Seq("lang"))
-        val served = graft.streaming.SketchStreams.serveKmv(s, path, 64,
-          Seq("lang"))
-        graft.operators.Profile.kmvDistinct(served, k = 64, Seq("lang"))
-      },
-      Some("""
-        WITH h AS (SELECT DISTINCT lang,
-            CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h
-          FROM documents),
-        ranked AS (SELECT lang, h,
-            row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
-        agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
-            max(h) AS kth
-          FROM ranked WHERE rn <= 64 GROUP BY 1)
-        SELECT lang, n_kept,
-          CASE WHEN n_kept < 64 THEN n_kept
-               ELSE CAST(FLOOR(63.0 * 1152921504606846976.0
-                               / CAST(kth AS DOUBLE)) AS BIGINT)
-          END AS est_distinct
-        FROM agg""")),
-
-    // CATEGORICAL DRIFT between two corpus slices (the snapshot-over-
-    // snapshot monitor): per-category counts, ppm-quantized shares
-    // (cnt·1e6 div total — BIGINT end to end, the cleared-denominator
-    // discipline) and the absolute share delta; the battery slices the
-    // documents table into a doc_id%3 "old crawl" vs the rest and drifts
-    // the source mix. Both engines compute identical floored integers —
-    // the table is bit-reproducible by construction.
-    "q_drift" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        graft.operators.Profile.categoricalDrift(
-          docs.filter(col("doc_id") % 3 === 0),
-          docs.filter(col("doc_id") % 3 =!= 0),
-          col("source"))
-      },
-      Some("""
-        WITH a AS (SELECT source AS category, CAST(count(*) AS BIGINT) AS c
-                   FROM documents WHERE doc_id % 3 = 0 GROUP BY 1),
-        b AS (SELECT source AS category, CAST(count(*) AS BIGINT) AS c
-              FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1),
-        ta AS (SELECT sum(c) AS t FROM a), tb AS (SELECT sum(c) AS t FROM b)
-        SELECT COALESCE(a.category, b.category) AS category,
-          COALESCE(a.c, CAST(0 AS BIGINT)) AS cnt_a,
-          COALESCE(b.c, CAST(0 AS BIGINT)) AS cnt_b,
-          CAST(COALESCE(a.c, 0) * 1000000 // ta.t AS BIGINT) AS share_a_ppm,
-          CAST(COALESCE(b.c, 0) * 1000000 // tb.t AS BIGINT) AS share_b_ppm,
-          CAST(abs(COALESCE(a.c, 0) * 1000000 // ta.t
-                 - COALESCE(b.c, 0) * 1000000 // tb.t) AS BIGINT) AS diff_ppm
-        FROM a FULL OUTER JOIN b ON a.category IS NOT DISTINCT FROM b.category
-        CROSS JOIN ta CROSS JOIN tb""")),
-
-    // PER-SLICE categorical drift (groupCols): the source-mix drift
-    // WITHIN each language — shares normalize per slice, slice and
-    // category keys both null-safe. The grouped twin of q_drift.
-    "q_drift_by_lang" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        graft.operators.Profile.categoricalDrift(
-          docs.filter(col("doc_id") % 3 === 0),
-          docs.filter(col("doc_id") % 3 =!= 0),
-          col("source"), groupCols = Seq("lang"))
-      },
-      Some("""
-        WITH a AS (SELECT lang, source AS category, CAST(count(*) AS BIGINT) AS c
-                   FROM documents WHERE doc_id % 3 = 0 GROUP BY 1, 2),
-        b AS (SELECT lang, source AS category, CAST(count(*) AS BIGINT) AS c
-              FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1, 2),
-        ta AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM a GROUP BY 1),
-        tb AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM b GROUP BY 1),
-        m AS (SELECT COALESCE(a.lang, b.lang) AS lang,
-                COALESCE(a.category, b.category) AS category,
-                COALESCE(a.c, CAST(0 AS BIGINT)) AS cnt_a,
-                COALESCE(b.c, CAST(0 AS BIGINT)) AS cnt_b
-              FROM a FULL OUTER JOIN b
-                ON a.lang IS NOT DISTINCT FROM b.lang
-               AND a.category IS NOT DISTINCT FROM b.category)
-        SELECT m.lang, category, cnt_a, cnt_b,
-          CAST(CASE WHEN ta.t IS NULL THEN 0 ELSE cnt_a * 1000000 // ta.t END AS BIGINT) AS share_a_ppm,
-          CAST(CASE WHEN tb.t IS NULL THEN 0 ELSE cnt_b * 1000000 // tb.t END AS BIGINT) AS share_b_ppm,
-          CAST(abs(CASE WHEN ta.t IS NULL THEN 0 ELSE cnt_a * 1000000 // ta.t END
-                 - CASE WHEN tb.t IS NULL THEN 0 ELSE cnt_b * 1000000 // tb.t END) AS BIGINT) AS diff_ppm
-        FROM m LEFT JOIN ta ON m.lang IS NOT DISTINCT FROM ta.lang
-               LEFT JOIN tb ON m.lang IS NOT DISTINCT FROM tb.lang""")),
-
-    // NUMERIC drift: the same monitor for an integer metric column
-    // (document length) — slice A's exact equi-depth 8-quantile cut
-    // points (distinct-value prefix sums, BIGINT div) bucket BOTH
-    // slices, then the categorical machinery drifts the bucket mix.
-    // Reference-side cuts are the PSI convention: stable dashboard
-    // buckets while the new slice shifts. Both engines compute the same
-    // cuts and the same count-of-cuts-below-x bucket, so the table is
-    // bit-reproducible.
-    "q_drift_numeric" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        graft.operators.Profile.numericDrift(
-          docs.filter(col("doc_id") % 3 === 0),
-          docs.filter(col("doc_id") % 3 =!= 0),
-          col("n_chars"), k = 8)
-      },
-      Some("""
-        WITH cnt AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
-                     FROM documents WHERE doc_id % 3 = 0 AND n_chars IS NOT NULL
-                     GROUP BY 1),
-        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
-        cum AS (SELECT v, CAST(COALESCE(sum(c) OVER (ORDER BY v
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
-                FROM cnt),
-        bkt AS (SELECT v, LEAST(bef * 8 // n, 7) AS bk FROM cum CROSS JOIN tot),
-        cuts AS (SELECT bk, CAST(max(v) AS BIGINT) AS cut FROM bkt
-                 WHERE bk < 7 GROUP BY bk),
-        cutl AS (SELECT COALESCE(list(cut ORDER BY cut), []) AS cl FROM cuts),
-        ab AS (SELECT CASE WHEN n_chars IS NULL THEN NULL
-                 ELSE CAST(len(list_filter(cl, e -> e < n_chars)) AS BIGINT) END AS bucket
-               FROM documents CROSS JOIN cutl WHERE doc_id % 3 = 0),
-        bb AS (SELECT CASE WHEN n_chars IS NULL THEN NULL
-                 ELSE CAST(len(list_filter(cl, e -> e < n_chars)) AS BIGINT) END AS bucket
-               FROM documents CROSS JOIN cutl WHERE doc_id % 3 <> 0),
-        a2 AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM ab GROUP BY 1),
-        b2 AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM bb GROUP BY 1),
-        ta AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM a2),
-        tb AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM b2)
-        SELECT COALESCE(a2.bucket, b2.bucket) AS bucket,
-          COALESCE(a2.c, CAST(0 AS BIGINT)) AS cnt_a,
-          COALESCE(b2.c, CAST(0 AS BIGINT)) AS cnt_b,
-          CAST(COALESCE(a2.c, 0) * 1000000 // ta.t AS BIGINT) AS share_a_ppm,
-          CAST(COALESCE(b2.c, 0) * 1000000 // tb.t AS BIGINT) AS share_b_ppm,
-          CAST(abs(COALESCE(a2.c, 0) * 1000000 // ta.t
-                 - COALESCE(b2.c, 0) * 1000000 // tb.t) AS BIGINT) AS diff_ppm
-        FROM a2 FULL OUTER JOIN b2 ON a2.bucket IS NOT DISTINCT FROM b2.bucket
-        CROSS JOIN ta CROSS JOIN tb""")),
-
-    // EMBEDDING-SPACE drift: per-label centroid shift between the even
-    // and odd halves of the embedding corpus — the drift family's vector
-    // member. Exact quantized-integer centroids (sum div n truncates the
-    // same way in Spark `div` and DuckDB `//`), so cos2_ppm/cos_sign/
-    // dist2 must match bit-for-bit.
-    "q_drift_embed" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        graft.operators.Profile.embeddingDrift(
-          emb.filter(col("vec_id") % 2 === 0),
-          emb.filter(col("vec_id") % 2 =!= 0),
-          col("embedding"), Seq("label"))
-      },
-      Some("""
-        WITH e AS (SELECT vec_id, label,
-            list_transform(embedding,
-              x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
-          FROM embeddings),
-        xa AS (SELECT label, unnest(qe) AS q,
-            unnest(range(1, len(qe) + 1)) AS pos FROM e WHERE vec_id % 2 = 0),
-        xb AS (SELECT label, unnest(qe) AS q,
-            unnest(range(1, len(qe) + 1)) AS pos FROM e WHERE vec_id % 2 <> 0),
-        sa AS (SELECT label, pos, CAST(sum(q) AS BIGINT) AS s,
-            CAST(count(*) AS BIGINT) AS n FROM xa GROUP BY 1, 2),
-        sb AS (SELECT label, pos, CAST(sum(q) AS BIGINT) AS s,
-            CAST(count(*) AS BIGINT) AS n FROM xb GROUP BY 1, 2),
-        ma AS (SELECT label, pos, s // n AS m FROM sa),
-        mb AS (SELECT label, pos, s // n AS m FROM sb),
-        met AS (SELECT ma.label,
-            CAST(sum(ma.m * mb.m) AS BIGINT) AS dot,
-            CAST(sum(ma.m * ma.m) AS BIGINT) AS na2,
-            CAST(sum(mb.m * mb.m) AS BIGINT) AS nb2,
-            CAST(sum((ma.m - mb.m) * (ma.m - mb.m)) AS BIGINT) AS dist2
-          FROM ma JOIN mb ON ma.label = mb.label AND ma.pos = mb.pos
-          GROUP BY 1),
-        cta AS (SELECT label, max(n) AS n_a FROM sa GROUP BY 1),
-        ctb AS (SELECT label, max(n) AS n_b FROM sb GROUP BY 1)
-        SELECT COALESCE(cta.label, ctb.label) AS label, n_a, n_b,
-          CASE WHEN na2 = 0 OR nb2 = 0 THEN NULL
-               ELSE CAST((CAST(dot AS HUGEINT) * dot * 1000000)
-                         // (CAST(na2 AS HUGEINT) * nb2) AS BIGINT) END
-            AS cos2_ppm,
-          CAST(CASE WHEN dot > 0 THEN 1 WHEN dot < 0 THEN -1
-               WHEN dot IS NULL THEN NULL ELSE 0 END AS INT) AS cos_sign,
-          dist2
-        FROM cta FULL OUTER JOIN ctb ON cta.label = ctb.label
-        LEFT JOIN met ON met.label = COALESCE(cta.label, ctb.label)""")),
-
-    // Embedding drift behind SQL — shares q_drift_embed's oracle (the
-    // TVF splices the same plan).
-    "q_sql_tvf_drift_embed" -> Q(
-      (s, dir) => {
-        graft.functions.GraftFunctions.register(s)
-        val emb = table(s, dir, "embeddings")
-        emb.filter(col("vec_id") % 2 === 0)
-          .createOrReplaceTempView("emb_drift_a_v")
-        emb.filter(col("vec_id") % 2 =!= 0)
-          .createOrReplaceTempView("emb_drift_b_v")
-        s.sql("SELECT * FROM graft_drift_embed('emb_drift_a_v', " +
-          "'emb_drift_b_v', 'embedding', 'label')")
-      },
-      Some("""
-        WITH e AS (SELECT vec_id, label,
-            list_transform(embedding,
-              x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
-          FROM embeddings),
-        xa AS (SELECT label, unnest(qe) AS q,
-            unnest(range(1, len(qe) + 1)) AS pos FROM e WHERE vec_id % 2 = 0),
-        xb AS (SELECT label, unnest(qe) AS q,
-            unnest(range(1, len(qe) + 1)) AS pos FROM e WHERE vec_id % 2 <> 0),
-        sa AS (SELECT label, pos, CAST(sum(q) AS BIGINT) AS s,
-            CAST(count(*) AS BIGINT) AS n FROM xa GROUP BY 1, 2),
-        sb AS (SELECT label, pos, CAST(sum(q) AS BIGINT) AS s,
-            CAST(count(*) AS BIGINT) AS n FROM xb GROUP BY 1, 2),
-        ma AS (SELECT label, pos, s // n AS m FROM sa),
-        mb AS (SELECT label, pos, s // n AS m FROM sb),
-        met AS (SELECT ma.label,
-            CAST(sum(ma.m * mb.m) AS BIGINT) AS dot,
-            CAST(sum(ma.m * ma.m) AS BIGINT) AS na2,
-            CAST(sum(mb.m * mb.m) AS BIGINT) AS nb2,
-            CAST(sum((ma.m - mb.m) * (ma.m - mb.m)) AS BIGINT) AS dist2
-          FROM ma JOIN mb ON ma.label = mb.label AND ma.pos = mb.pos
-          GROUP BY 1),
-        cta AS (SELECT label, max(n) AS n_a FROM sa GROUP BY 1),
-        ctb AS (SELECT label, max(n) AS n_b FROM sb GROUP BY 1)
-        SELECT COALESCE(cta.label, ctb.label) AS label, n_a, n_b,
-          CASE WHEN na2 = 0 OR nb2 = 0 THEN NULL
-               ELSE CAST((CAST(dot AS HUGEINT) * dot * 1000000)
-                         // (CAST(na2 AS HUGEINT) * nb2) AS BIGINT) END
-            AS cos2_ppm,
-          CAST(CASE WHEN dot > 0 THEN 1 WHEN dot < 0 THEN -1
-               WHEN dot IS NULL THEN NULL ELSE 0 END AS INT) AS cos_sign,
-          dist2
-        FROM cta FULL OUTER JOIN ctb ON cta.label = ctb.label
-        LEFT JOIN met ON met.label = COALESCE(cta.label, ctb.label)""")),
-
-    // STREAMING EMBEDDING-DRIFT MONITOR: the odd half of the corpus
-    // arrives as three micro-batches, each landing its per-label centroid
-    // shift vs the CONSTANT even-half reference under __batch_id (plus a
-    // batch-1 retry — the dynamic-overwrite idempotence contract, gated
-    // by row counts). The oracle recomputes every batch's drift with the
-    // q_drift_embed arithmetic.
-    "q_drift_embed_stream" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        val reference = emb.filter(col("vec_id") % 2 === 0)
-        val statsPath = Queries.tempDir("graft_driftstream") + "/stats"
-        def batchOf(i: Int) = emb.filter(
-          col("vec_id") % 2 =!= 0 && col("vec_id") % 3 === i)
-        (0 until 3).foreach { i =>
-          graft.streaming.EmbeddingStreams.processDriftBatch(
-            batchOf(i), i.toLong, reference, "embedding", Seq("label"),
-            statsPath)
-        }
-        // the retry: same batch content, same id — must rewrite, not add
-        graft.streaming.EmbeddingStreams.processDriftBatch(
-          batchOf(1), 1L, reference, "embedding", Seq("label"), statsPath)
-        s.read.parquet(statsPath).select(col("label"), col("n_a"),
-          col("n_b"), col("cos2_ppm"), col("cos_sign"), col("dist2"),
-          col("__batch_id").cast("long").as("batch_id"))
-      },
-      Some((0 until 3).map(embedDriftBatchOracle).mkString(
-        "", " UNION ALL ", ""))),
-
-    // DRIFT ALARM with DEBOUNCE (round-18, the "when does the monitor
-    // actually page" composition): the same 3-batch drift protocol, then
-    // Profile.driftAlarm over the landed stats — breach = dist2 ≥ 18e6,
-    // alarm only after 2 CONSECUTIVE breaching batches. At sf0.01 the
-    // fixture exercises every debounce case: sustained breach (alarms
-    // from batch 1 on), single spike (never alarms), breach-gap-breach
-    // (counter resets — no alarm). Oracle: the same per-batch drift
-    // arithmetic + the identical window in DuckDB; dist2 is exact
-    // integer on both engines, so the breach decisions are bit-equal.
-    "q_drift_alarm" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        val reference = emb.filter(col("vec_id") % 2 === 0)
-        val statsPath = Queries.tempDir("graft_driftalarm") + "/stats"
-        (0 until 3).foreach { i =>
-          graft.streaming.EmbeddingStreams.processDriftBatch(
-            emb.filter(col("vec_id") % 2 =!= 0 && col("vec_id") % 3 === i),
-            i.toLong, reference, "embedding", Seq("label"), statsPath)
-        }
-        graft.operators.Profile.driftAlarm(
-          s.read.parquet(statsPath), Seq("label"), col("__batch_id"),
-          breach = col("dist2") >= lit(18000000L), consecutive = 2)
-      },
-      Some(s"""
-        WITH stats AS (${(0 until 3).map(embedDriftBatchOracle)
-          .mkString("", " UNION ALL ", "")}),
-        b AS (SELECT label, batch_id,
-            CASE WHEN dist2 >= 18000000 THEN 1 ELSE 0 END AS breached
-          FROM stats)
-        SELECT label, batch_id, breached,
-          CAST(CASE WHEN sum(breached) OVER (PARTITION BY label
-                 ORDER BY batch_id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) = 2
-               AND count(*) OVER (PARTITION BY label
-                 ORDER BY batch_id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) = 2
-               THEN 1 ELSE 0 END AS INT) AS alarm
-        FROM b""")),
-
-    // ORDERED-SHARD EXPORT invariants: shards written, read back, and
-    // checked — every row present exactly once, and the shard key-ranges
-    // pairwise disjoint in shard order (the contiguous-global-order
-    // contract a trainer streaming shard 0,1,2… relies on). Per-shard
-    // row counts are boundary-sample-dependent, so the row asserts the
-    // deterministic invariants rather than the manifest itself.
-    "q_shard_export" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents").select("doc_id", "lang", "text")
-        val path = graft.operators.IndexRoot.path(s, "shards", s"$dir|doc_id|8")
-        graft.operators.Lake.writeOrderedShards(
-          docs, path, Seq(col("doc_id")), numShards = 8)
-        val back = s.read.parquet(path)
-        val perShard = back.groupBy("shard")
-          .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-        val overlaps = perShard.alias("x")
-          .join(perShard.alias("y"),
-            expr("x.shard < y.shard AND x.mx >= y.mn"))
-          .agg(count(lit(1)).as("n_overlaps"))
-        back.agg(count(lit(1)).as("total_rows"),
-            countDistinct(col("doc_id")).as("n_docs"))
-          .crossJoin(overlaps)
-          .select(col("total_rows"), col("n_docs"),
-            (col("n_overlaps") === 0).cast("int").as("ranges_ok"))
-      },
-      Some("""SELECT CAST(count(*) AS BIGINT) AS total_rows,
-               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-               CAST(1 AS INT) AS ranges_ok
-             FROM documents""")),
-
-    // JSONL SHARD EXPORT with EXACT membership (the format trainers
-    // actually stream): writeJsonlShardsRanked cuts balanced contiguous
-    // shards by GLOBAL RANK (shard = rank·S div n — a pure function of
-    // the data, unlike repartitionByRange's run-seeded boundary samples),
-    // so the oracle recomputes every row's shard with plain row_number
-    // arithmetic. The gate reads the written JSONL back: membership,
-    // and text length per doc (JSON escaping round-trip), exact; the
-    // shard → count manifest is asserted against the read-back inside
-    // the row.
-    "q_jsonl_export" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents").select("doc_id", "lang", "text")
-        val path = Queries.tempDir("graft_jsonl") + "/shards"
-        val manifest = graft.operators.Lake.writeJsonlShardsRanked(
-          docs, path, Seq(col("doc_id")), numShards = 8)
-        val back = s.read
-          .schema(org.apache.spark.sql.types.StructType(
-            docs.schema.fields :+
-              org.apache.spark.sql.types.StructField("shard",
-                org.apache.spark.sql.types.LongType)))
-          .option("basePath", path).json(path)
-        // manifest == files: the returned counts must equal what a reader
-        // sees (a manifest that drifts from the shards is worse than none)
-        val m = manifest.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val fromFiles = back.groupBy("shard").count().collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        require(m == fromFiles,
-          s"jsonl manifest/file mismatch: manifest=$m files=$fromFiles")
-        back.select(col("doc_id"), col("shard"), col("lang"),
-          length(col("text")).cast("long").as("text_len"))
-      },
-      Some("""
-        WITH n AS (SELECT count(*) AS c FROM documents)
-        SELECT doc_id,
-          CAST((row_number() OVER (ORDER BY doc_id) - 1) * 8 // (SELECT c FROM n) AS BIGINT) AS shard,
-          lang, CAST(length(text) AS BIGINT) AS text_len
-        FROM documents""")),
-
-    // SEEDED SHUFFLE-SHARD EXPORT: the corpus written in a keyed
-    // pseudo-random permutation (md5(seed:id) order, reproducible on any
-    // engine). The gate is EXACT: the rank of every document in the
-    // WRITTEN layout (shard asc, then in-shard key order) must equal the
-    // oracle's independent row_number over its own md5 ordering — i.e.
-    // the files on disk really are the seed's permutation, range
-    // boundaries included.
-    "q_shuffle_export" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents").select("doc_id", "text")
-        val path = graft.operators.IndexRoot.path(s, "shuffle", s"$dir|7|8")
-        graft.operators.Lake.writeShuffledShards(docs, path, "doc_id",
-          seed = 7L, numShards = 8)
-        // global rank is the ORACLE-COMPARISON projection, not the export
-        // operator (which never global-sorts); constant partition key makes
-        // the single-partition intent explicit and keeps Spark's "no
-        // partition defined" WARN out of the bench log (Chunking.scala has
-        // the same pattern over bucket sums)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(0))
-          .orderBy(col("shard"), col("__shuffle_key"), col("doc_id"))
-        s.read.parquet(path)
-          .select(col("doc_id"), row_number().over(w).cast("long").as("rank"))
-      },
-      Some("""SELECT doc_id,
-               CAST(row_number() OVER (
-                 ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id)
-                 AS BIGINT) AS rank
-             FROM documents""")),
-
-    // STREAMING CDC MERGE LOOP, two micro-batches deep: batch 1 loads the
-    // full key set at version 1; batch 2 upserts (%5=0, value shift) and
-    // tombstones (%10=0) at version 2. The surviving live view must be
-    // the last-write-wins state the oracle computes directly. Re-running
-    // the battery re-merges onto the previous final snapshot — a no-op by
-    // the argmax merge's idempotence, so the row is rerun-stable.
-    "q_cdc_merge_loop" -> Q(
-      (s, dir) => {
-        val path = graft.operators.IndexRoot.path(s, "cdcloop", s"$dir|orders")
-        val base = table(s, dir, "orders").select(
-          col("o_orderkey"), col("o_orderstatus"),
-          round(col("o_totalprice") * 100).cast("long").as("cents"))
-        val b1 = base.withColumn("v", lit(1L)).withColumn("del", lit(false))
-        val b2 = base.filter(col("o_orderkey") % 5 === 0)
-          .withColumn("cents", col("cents") + 100L)
-          .withColumn("v", lit(2L))
-          .withColumn("del", col("o_orderkey") % 10 === 0)
-        graft.streaming.ChangeStreams.mergeBatch(
-          b1, Seq("o_orderkey"), Seq("v"), col("del"), path)
-        graft.streaming.ChangeStreams.mergeBatch(
-          b2, Seq("o_orderkey"), Seq("v"), col("del"), path)
-        graft.streaming.ChangeStreams.readSnapshot(s, path)
-          .select("o_orderkey", "o_orderstatus", "cents", "v")
-      },
-      Some(cdcMergeOracleSql)),
-
-    // The SAME two-cycle merge through the PARTITIONED copy-on-write
-    // layout (snapshot laid out by a pure key function; each batch reads
-    // and rewrites ONLY its touched partitions via dynamic partition
-    // overwrite — the O(batch + touched partitions) regime the 10× sweep
-    // showed the full rewrite lacks). Same oracle: the layout must be
-    // invisible in the merged state.
-    "q_cdc_merge_part" -> Q(
-      (s, dir) => {
-        val path = graft.operators.IndexRoot.path(s, "cdcpart", s"$dir|orders")
-        val base = table(s, dir, "orders").select(
-          col("o_orderkey"), col("o_orderstatus"),
-          round(col("o_totalprice") * 100).cast("long").as("cents"))
-        val b1 = base.withColumn("v", lit(1L)).withColumn("del", lit(false))
-        val b2 = base.filter(col("o_orderkey") % 5 === 0)
-          .withColumn("cents", col("cents") + 100L)
-          .withColumn("v", lit(2L))
-          .withColumn("del", col("o_orderkey") % 10 === 0)
-        // pmod 5 on purpose: batch 2 updates keys ≡ 0 (mod 5), so the
-        // second merge touches exactly ONE of the five partitions — the
-        // battery row exercises the pruned-read/pruned-rewrite path, not
-        // just the layout
-        val part = Some(("okpart", pmod(col("o_orderkey"), lit(5L))))
-        graft.streaming.ChangeStreams.mergeBatch(
-          b1, Seq("o_orderkey"), Seq("v"), col("del"), path,
-          snapshotPartition = part)
-        graft.streaming.ChangeStreams.mergeBatch(
-          b2, Seq("o_orderkey"), Seq("v"), col("del"), path,
-          snapshotPartition = part)
-        graft.streaming.ChangeStreams.readSnapshot(s, path, Some("okpart"))
-          .select("o_orderkey", "o_orderstatus", "cents", "v")
-      },
-      Some(cdcMergeOracleSql)),
-
-    // CHANGE-DATA FEED — the per-batch net live-view effect the CDC
-    // merge appends for downstream incremental consumers, previously
-    // spec-only (ChangeStreamsSpec): the SAME two-cycle merge as
-    // q_cdc_merge_loop but gating the FEED, preimages included —
-    // batch 1 bootstraps (all inserts, nothing to retract), batch 2
-    // nets out to updates (+100 cents, v 1→2 with the replaced row in
-    // _before) and deletes (old values carried). Fresh session-scoped
-    // dirs per call: a feed is append-only, so reusing a cross-run
-    // IndexRoot path would make the row's output depend on history.
-    "q_change_feed" -> Q(
-      (s, dir) => {
-        val base0 = Queries.tempDir("graft_changefeed")
-        val snapPath = s"$base0/snap"; val feedPath = s"$base0/feed"
-        val base = table(s, dir, "orders").select(
-          col("o_orderkey"), col("o_orderstatus"),
-          round(col("o_totalprice") * 100).cast("long").as("cents"))
-        val b1 = base.withColumn("v", lit(1L)).withColumn("del", lit(false))
-        val b2 = base.filter(col("o_orderkey") % 5 === 0)
-          .withColumn("cents", col("cents") + 100L)
-          .withColumn("v", lit(2L))
-          .withColumn("del", col("o_orderkey") % 10 === 0)
-        graft.streaming.ChangeStreams.mergeBatch(
-          b1, Seq("o_orderkey"), Seq("v"), col("del"), snapPath,
-          changeFeedPath = Some(feedPath), batchId = 1L)
-        graft.streaming.ChangeStreams.mergeBatch(
-          b2, Seq("o_orderkey"), Seq("v"), col("del"), snapPath,
-          changeFeedPath = Some(feedPath), batchId = 2L)
-        s.read.parquet(feedPath).select(
-          col("o_orderkey"), col("_op"), col("cents"), col("v"),
-          col("_before.cents").as("before_cents"),
-          col("_before.v").as("before_v"),
-          col("__batch_id").cast("long").as("__batch_id"))
-      },
-      Some("""
-        WITH base AS (SELECT o_orderkey,
-            CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
-        SELECT o_orderkey, 'insert' AS _op, cents, CAST(1 AS BIGINT) AS v,
-          CAST(NULL AS BIGINT) AS before_cents,
-          CAST(NULL AS BIGINT) AS before_v,
-          CAST(1 AS BIGINT) AS __batch_id FROM base
-        UNION ALL
-        SELECT o_orderkey, 'update', cents + 100, 2, cents, 1, 2 FROM base
-        WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0
-        UNION ALL
-        SELECT o_orderkey, 'delete', cents, 1, cents, 1, 2 FROM base
-        WHERE o_orderkey % 10 = 0""")),
-
-    // SNAPSHOT-DIFF PREIMAGES — diffSnapshots(includeBefore): updates
-    // and deletes carry the REPLACED row (the Delta-CDF preimage shape a
-    // downstream incremental aggregate retracts), inserts carry NULLs.
-    // Previously spec-only (LakeSpec); the oracle replays the full-outer
-    // struct-compare with before-values as plain CASE columns.
-    "q_snapshot_preimage" -> Q(
-      (s, dir) => {
-        val base = table(s, dir, "orders").select(
-          col("o_orderkey"), col("o_orderstatus").as("st"),
-          round(col("o_totalprice") * 100).cast("long").as("cents"))
-        val oldSnap = base
-        val newSnap = base.filter(col("o_orderkey") % 7 =!= 0)
-          .withColumn("cents", when(col("o_orderkey") % 5 === 0,
-            col("cents") + 50L).otherwise(col("cents")))
-          .unionByName(base.filter(col("o_orderkey") % 11 === 0)
-            .select((-col("o_orderkey")).as("o_orderkey"), col("st"),
-              (col("cents") + 7L).as("cents")))
-        graft.operators.Lake.diffSnapshots(oldSnap, newSnap,
-            Seq("o_orderkey"), includeBefore = true)
-          .select(col("o_orderkey"), col("op"), col("st"), col("cents"),
-            col("_before.st").as("before_st"),
-            col("_before.cents").as("before_cents"))
-      },
-      Some("""
-        WITH base AS (SELECT o_orderkey, o_orderstatus AS st,
-            CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
-        newv AS (SELECT o_orderkey, st,
-            CASE WHEN o_orderkey % 5 = 0 THEN cents + 50 ELSE cents END AS cents
-          FROM base WHERE o_orderkey % 7 <> 0
-          UNION ALL
-          SELECT -o_orderkey, st, cents + 7 FROM base
-          WHERE o_orderkey % 11 = 0)
-        SELECT * FROM (
-          SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
-            CASE WHEN o.o_orderkey IS NULL THEN 'insert'
-                 WHEN n.o_orderkey IS NULL THEN 'delete'
-                 WHEN NOT (o.st IS NOT DISTINCT FROM n.st
-                       AND o.cents IS NOT DISTINCT FROM n.cents)
-                   THEN 'update' END AS op,
-            CASE WHEN n.o_orderkey IS NULL THEN o.st ELSE n.st END AS st,
-            CASE WHEN n.o_orderkey IS NULL THEN o.cents
-                 ELSE n.cents END AS cents,
-            CASE WHEN o.o_orderkey IS NULL THEN NULL ELSE o.st END
-              AS before_st,
-            CASE WHEN o.o_orderkey IS NULL THEN NULL ELSE o.cents END
-              AS before_cents
-          FROM base o FULL OUTER JOIN newv n
-            ON o.o_orderkey = n.o_orderkey) d
-        WHERE op IS NOT NULL""")),
-
-    // STREAMING LAKE SINK + REPLAY — the toPartitionedParquet /
-    // fromPartitionedParquet pair, previously spec-only
-    // (EventStreamsSpec): three fixed batches land date+batch
-    // partitioned, then batch 1 is RETRIED — the dynamic-partition
-    // overwrite must rewrite its own partitions, not append a second
-    // copy (the r15 append sink failed exactly this; row counts gate
-    // it). Output = the landed lake read back whole, every projected
-    // column recomputable by the oracle from `events` alone.
-    "q_lake_sink_replay" -> Q(
-      (s, dir) => {
-        val lakePath = Queries.tempDir("graft_lakesink") + "/lake"
-        val ev = events(s, dir)
-          .select("event_id", "ts", "user_id", "event_type", "value")
-        (0 until 3).foreach { i =>
-          graft.streaming.EventStreams.processLakeBatch(
-            ev.filter(col("event_id") % 3 === i), i.toLong, lakePath)
-        }
-        // the retry: identical content, same batch id — idempotent
-        graft.streaming.EventStreams.processLakeBatch(
-          ev.filter(col("event_id") % 3 === 1), 1L, lakePath)
-        s.read.parquet(lakePath).select(
-          col("event_id"), col("user_id"), col("event_type"),
-          round(col("value") * 100).cast("long").as("cents"),
-          col("event_date").cast("string").as("event_date"),
-          col("__batch_id").cast("long").as("__batch_id"))
-      },
-      Some("""
-        SELECT event_id, user_id, event_type,
-          CAST(round(value * 100) AS BIGINT) AS cents,
-          CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
-          CAST(event_id % 3 AS BIGINT) AS __batch_id
-        FROM events""")),
-  )
-
-  // def, not val: referenced by battery rows constructed textually above.
-  // One micro-batch of q_drift_embed_stream's oracle — the q_drift_embed
-  // arithmetic with the batch's b-side filter and a batch_id column.
-  private def embedDriftBatchOracle(i: Int): String = s"""
-        (WITH e AS (SELECT vec_id, label,
-            list_transform(embedding,
-              x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
-          FROM embeddings),
-        xa AS (SELECT label, unnest(qe) AS q,
-            unnest(range(1, len(qe) + 1)) AS pos FROM e WHERE vec_id % 2 = 0),
-        xb AS (SELECT label, unnest(qe) AS q,
-            unnest(range(1, len(qe) + 1)) AS pos FROM e
-          WHERE vec_id % 2 <> 0 AND vec_id % 3 = $i),
-        sa AS (SELECT label, pos, CAST(sum(q) AS BIGINT) AS s,
-            CAST(count(*) AS BIGINT) AS n FROM xa GROUP BY 1, 2),
-        sb AS (SELECT label, pos, CAST(sum(q) AS BIGINT) AS s,
-            CAST(count(*) AS BIGINT) AS n FROM xb GROUP BY 1, 2),
-        ma AS (SELECT label, pos, s // n AS m FROM sa),
-        mb AS (SELECT label, pos, s // n AS m FROM sb),
-        met AS (SELECT ma.label,
-            CAST(sum(ma.m * mb.m) AS BIGINT) AS dot,
-            CAST(sum(ma.m * ma.m) AS BIGINT) AS na2,
-            CAST(sum(mb.m * mb.m) AS BIGINT) AS nb2,
-            CAST(sum((ma.m - mb.m) * (ma.m - mb.m)) AS BIGINT) AS dist2
-          FROM ma JOIN mb ON ma.label = mb.label AND ma.pos = mb.pos
-          GROUP BY 1),
-        cta AS (SELECT label, max(n) AS n_a FROM sa GROUP BY 1),
-        ctb AS (SELECT label, max(n) AS n_b FROM sb GROUP BY 1)
-        SELECT COALESCE(cta.label, ctb.label) AS label, n_a, n_b,
-          CASE WHEN na2 = 0 OR nb2 = 0 THEN NULL
-               ELSE CAST((CAST(dot AS HUGEINT) * dot * 1000000)
-                         // (CAST(na2 AS HUGEINT) * nb2) AS BIGINT) END
-            AS cos2_ppm,
-          CAST(CASE WHEN dot > 0 THEN 1 WHEN dot < 0 THEN -1
-               WHEN dot IS NULL THEN NULL ELSE 0 END AS INT) AS cos_sign,
-          dist2, CAST($i AS BIGINT) AS batch_id
-        FROM cta FULL OUTER JOIN ctb ON cta.label = ctb.label
-        LEFT JOIN met ON met.label = COALESCE(cta.label, ctb.label))"""
-
-  private def cdcMergeOracleSql = """
-        WITH base AS (SELECT o_orderkey, o_orderstatus,
-            CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
-        SELECT o_orderkey, o_orderstatus,
-          CASE WHEN o_orderkey % 5 = 0 THEN cents + 100 ELSE cents END AS cents,
-          CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS v
-        FROM base WHERE o_orderkey % 10 <> 0"""
-
-  // Headline analytical queries (bench anchors; also oracle-checked).
-  private val headlineQueries: Seq[(String, Q)] = Seq(
-    // Money sums accumulate as LONG CENTS — exact and order-independent like
-    // the decimal accumulator it replaces (the only rounding is the initial
-    // 2-decimal quantization, identical to the oracle's DECIMAL(18,2) cast
-    // for money-shaped values), but codegen stays on primitive longs: 2.3×
-    // faster than the BigDecimal-backed decimal(28,2) sum at sf0.1. Overflow
-    // headroom: long cents hold 9.2e16 dollars — far beyond a 100 TB sum.
-    // The FINAL projected column is DOUBLE on both sides: the driver hashes
-    // value representations, and Spark decimal vs DuckDB decimal render
-    // trailing zeros / dtypes differently even when numerically equal.
-    "q1_agg" -> Q(
-      (s, dir) => table(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          (sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"),
-          (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("sum_price"),
-          count(lit(1)).as("cnt")),
-      Some("""SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-               count(*) AS cnt
-             FROM lineitem GROUP BY 1, 2""")),
-
-    // 3-table join: dimension side broadcast, fact-side aggregation.
-    "q3_topk_join" -> Q(
-      (s, dir) => {
-        val cust = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-        val ord = table(s, dir, "orders")
-        val li = table(s, dir, "lineitem")
-        li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-          .groupBy(col("l_orderkey"))
-          // same long-units accumulation as q1_agg, at 1e-4 quantization
-          .agg((sum(round((col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000)
-            .cast("long")) / 10000.0).as("revenue"))
-          .orderBy(col("revenue").desc, col("l_orderkey"))
-          .limit(10)
-      },
-      Some("""SELECT l_orderkey,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-             FROM lineitem
-             JOIN orders ON l_orderkey = o_orderkey
-             JOIN customer ON o_custkey = c_custkey
-             WHERE c_mktsegment = 'BUILDING'
-             GROUP BY l_orderkey
-             ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
-  )
-
-  // Unique memory-sink names: one battery row can run several times in a
-  // JVM (bench warm-up + timed runs); the memory sink registers a temp
-  // view per query name, so names must not collide across runs.
-  private val memSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-  private def memSinkName(prefix: String): String =
-    s"${prefix}_${memSinkSeq.incrementAndGet()}"
-
-  // The MemoryStream rows drive PINNED ≤5k-row streams, but a stateful
-  // streaming query allocates one state-store instance per shuffle
-  // partition per operator PER MICRO-BATCH — at the battery's 32
-  // partitions that fixed overhead dwarfs the data (q_session_stream
-  // read 6.7 s of which <1 s is work). Production streams size their own
-  // partitions; these rows clamp to 4 for the query's lifetime and
-  // restore. Results are partition-invariant (the oracles don't change).
-  private def withShufflePartitions[T](s: org.apache.spark.sql.SparkSession,
-                                       n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, old)
-  }
-
-  // --- TRUE STRUCTURED-STREAMING battery rows: previously spec-only
-  // operators (EventStreamsSpec) driven through a real MemoryStream →
-  // memory-sink query inside the row, gated by exact DuckDB oracles.
-  // Inputs pin event_id < 5000 on BOTH sides so the expected answer is
-  // scale-factor-independent (the ingest-loop row-design rule) and the
-  // driver-side collect that feeds the MemoryStream stays bounded at any
-  // sf. The collect is the stream-HARNESS boundary, not the operator's
-  // plan — production feeds arrive from Kafka/files; the operators
-  // themselves are watermarked streaming transforms with bounded state.
-  //
-  // Each stateful row runs under TWO split protocols (VERDICT-r16 #5):
-  // the even 3-way split and an UNEVEN one (a 1-row trickle, then one
-  // huge batch, then the remainder) — real arrival is bursty, and
-  // watermark/state progress under skewed batch sizes must produce the
-  // SAME answer as the even protocol (the `_uneven` rows share their
-  // even twin's oracle verbatim).
-  /** Split `n` items into batch lengths: even thirds, or 1/≈80%/rest. */
-  private def evenSplit(n: Int): Seq[Int] = {
-    val b = math.max(1, (n + 2) / 3); Seq(b, b, math.max(0, n - 2 * b))
-  }
-  private def unevenSplit(n: Int): Seq[Int] = {
-    val big = math.max(1, (n - 1) * 4 / 5)
-    Seq(1, big, math.max(0, n - 1 - big))
-  }
-  private def slicesOf[T](items: Array[T], sizes: Seq[Int]): Seq[Array[T]] = {
-    var off = 0
-    sizes.map { len =>
-      val s = items.slice(off, math.min(items.length, off + len))
-      off += len; s
-    }.filter(_.nonEmpty)
-  }
-
-  private def runSessionStream(s: org.apache.spark.sql.SparkSession,
-                               dir: String,
-                               split: Int => Seq[Int]): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val pinned = events(s, dir).filter(col("event_id") < 5000)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .as[graft.streaming.Event].collect()
-      .sortBy(e => (e.ts.getTime, e.event_id))
-    val mem = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[graft.streaming.Event]
-    val name = memSinkName("sess_stream_out")
-    withShufflePartitions(s, 4) {
-      val q = EventStreams
-        .sessionizeStreamEventTime(mem.toDS(), gapMinutes = 30,
-          watermarkDelay = "1 minutes")
-        .writeStream.outputMode("append").format("memory")
-        .queryName(name).start()
-      try {
-        slicesOf(pinned, split(pinned.length)).foreach { b =>
-          mem.addData(b.toSeq: _*); q.processAllAvailable()
-        }
-        val far = pinned.map(_.ts.getTime).max + 90L * 24 * 3600 * 1000
-        mem.addData(graft.streaming.Event(
-          -1L, new java.sql.Timestamp(far), -1L, "view", 0.0))
-        q.processAllAvailable()
-      } finally q.stop()
-    }
-    s.table(name).filter(col("user_id") =!= -1L)
-      .select("user_id", "session_start", "session_end", "n_events")
-  }
-  /** The sessionizer driven through a REAL FILE SOURCE at
-    * `maxFilesPerTrigger = 1` — the rate-limited ingest shape production
-    * streams actually run (one file per micro-batch, the watermark
-    * advancing file by file), completing the MemoryStream twins with a
-    * source whose batch boundaries the ENGINE draws, not the harness.
-    * Slice files are written time-ordered with STRICTLY INCREASING
-    * mtimes and lexicographic names (the file source orders pending
-    * files by modification time, path-tiebroken; same-ms mtimes would
-    * make the batch order nondeterministic on a fast filesystem), the
-    * far-future sentinel as the LAST file so event-time timeouts flush
-    * every open session. Same oracle as the MemoryStream twin: the
-    * source must be invisible in the flushed sessions.
-    */
-  private def runSessionStreamFiles(s: org.apache.spark.sql.SparkSession,
-                                    dir: String): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val pinned = events(s, dir).filter(col("event_id") < 5000)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .as[graft.streaming.Event].collect()
-      .sortBy(e => (e.ts.getTime, e.event_id))
-    val root = Queries.tempDir("graft_sessfiles")
-    val srcDir = s"$root/in"
-    new java.io.File(srcDir).mkdirs()
-    val far = pinned.map(_.ts.getTime).max + 90L * 24 * 3600 * 1000
-    val batches = slicesOf(pinned, evenSplit(pinned.length)) :+
-      Array(graft.streaming.Event(
-        -1L, new java.sql.Timestamp(far), -1L, "view", 0.0))
-    batches.zipWithIndex.foreach { case (b, i) =>
-      val stage = s"$root/stage_$i"
-      s.createDataset(b.toSeq).coalesce(1).write.parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part under $stage"))
-      val dest = new java.io.File(srcDir, f"slice-$i%03d.parquet")
-      require(part.renameTo(dest), s"rename $part -> $dest failed")
-      java.nio.file.Files.setLastModifiedTime(dest.toPath,
-        java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
-    }
-    val name = memSinkName("sess_files_out")
-    withShufflePartitions(s, 4) {
-      val src = s.readStream
-        .schema(org.apache.spark.sql.Encoders.product[graft.streaming.Event].schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(srcDir)
-        .as[graft.streaming.Event]
-      val q = EventStreams
-        .sessionizeStreamEventTime(src, gapMinutes = 30,
-          watermarkDelay = "1 minutes")
-        .writeStream.outputMode("append").format("memory")
-        .queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    s.table(name).filter(col("user_id") =!= -1L)
-      .select("user_id", "session_start", "session_end", "n_events")
-  }
-
-  private val sessionStreamOracle = Some("""
-        WITH src AS (SELECT event_id, user_id,
-            date_trunc('milliseconds', ts) AS ts
-          FROM events WHERE event_id < 5000),
-        lagged AS (
-          SELECT user_id, event_id, ts,
-            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-          FROM src),
-        flagged AS (
-          SELECT *, CASE WHEN prev_ts IS NULL
-              OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
-          FROM lagged),
-        sess AS (
-          SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS UNBOUNDED PRECEDING) AS sess_id
-          FROM flagged)
-        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-          count(*) AS n_events
-        FROM sess GROUP BY user_id, sess_id""")
-
-  private def runEventDedupStream(s: org.apache.spark.sql.SparkSession,
-                                  dir: String,
-                                  split: Int => Seq[Int]): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val pinned = events(s, dir).filter(col("event_id") < 5000)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .as[graft.streaming.Event].collect()
-    def replay(e: graft.streaming.Event, secs: Long) = e.copy(
-      ts = new java.sql.Timestamp(e.ts.getTime + secs * 1000),
-      value = e.value + 999.0)
-    // the split yields the ORIGINALS per batch; every later batch also
-    // re-sends every EARLIER batch's events as garbled retransmissions
-    val parts = slicesOf(pinned, split(pinned.length))
-    val mem = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[graft.streaming.Event]
-    val name = memSinkName("dedup_stream_out")
-    withShufflePartitions(s, 4) {
-      val q = EventStreams
-        .dedupStream(mem.toDF(), Seq("event_id"), watermarkDelay = "90 days")
-        .writeStream.outputMode("append").format("memory")
-        .queryName(name).start()
-      try {
-        parts.zipWithIndex.foreach { case (b, i) =>
-          val replays = parts.take(i).zipWithIndex.flatMap { case (p, j) =>
-            p.map(replay(_, (i - j).toLong))
-          }
-          mem.addData((b ++ replays).toSeq: _*); q.processAllAvailable()
-        }
-      } finally q.stop()
-    }
-    s.table(name).select(col("event_id"), col("user_id"),
-      col("event_type"), round(col("value") * 100).cast("long").as("cents"),
-      col("ts"))
-  }
-  private val eventDedupOracle = Some("""
-        SELECT event_id, user_id, event_type,
-          CAST(round(value * 100) AS BIGINT) AS cents, ts
-        FROM events WHERE event_id < 5000""")
-
-  private def runHeavyStream(s: org.apache.spark.sql.SparkSession,
-                             dir: String,
-                             split: Int => Seq[Int]): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val docs = table(s, dir, "documents").filter(col("doc_id") < 30)
-      .select(col("doc_id"), col("lang"), col("text"))
-      .as[(Long, String, String)].collect()
-    val mem = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, String, String)]
-    val outPath = Queries.tempDir("graft_hhstream") + "/out"
-    val sink = (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                id: Long) =>
-      df.withColumn("__batch_id", lit(id))
-        .write.mode("append").parquet(outPath)
-    withShufflePartitions(s, 4) {
-      val q = graft.streaming.DocumentStreams
-        .heavyTokensStream(mem.toDF().toDF("doc_id", "lang", "text"),
-          "lang", "text", k = 64)
-        .toDF("g", "hh")
-        .writeStream.outputMode("update").foreachBatch(sink).start()
-      try {
-        slicesOf(docs, split(docs.length)).foreach { b =>
-          mem.addData(b.toSeq: _*); q.processAllAvailable()
-        }
-      } finally q.stop()
-    }
-    s.read.parquet(outPath).groupBy(col("g"))
-      .agg(graft.functions.ArgExtremum.argRow(
-        struct(col("hh")), struct(col("__batch_id")), isMax = true).as("w"))
-      .select(col("g").as("lang"), posexplode(col("w.hh")).as(Seq("__pos", "e")))
-      .select(col("lang"), col("e._1").as("token"), col("e._2").as("cnt"),
-        (col("__pos") + 1).cast("long").as("rank"))
-  }
-  private val heavyStreamOracle = Some(s"""
-        WITH tok AS (SELECT lang, unnest($sqlTokens) AS token
-          FROM documents WHERE doc_id < 30),
-        cnt AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
-          FROM tok GROUP BY 1, 2)
-        SELECT lang, token, cnt,
-          CAST(row_number() OVER (PARTITION BY lang
-            ORDER BY cnt DESC, token) AS BIGINT) AS rank
-        FROM cnt""")
-
-  private val streamTwinQueries: Seq[(String, Q)] = Seq(
-    // EVENT-TIME SESSIONIZATION, streamed: the flatMapGroupsWithState
-    // interval-merge sessionizer fed the pinned corpus as three
-    // CONSECUTIVE time-ordered micro-batches (determinism holds for any
-    // batch split of an in-order stream — EventStreams.mergeSessions),
-    // then a far-future sentinel advances the watermark past every open
-    // session's end + gap so event-time timeouts flush ALL sessions.
-    // Oracle: the batch gap-sessionization SQL (q_events_session's CTE)
-    // restricted to the same pinned slice — stream must equal batch.
-    // GRANULARITY CONTRACT: the sessionizer's per-key state is epoch
-    // MILLIS (ts.getTime), so session bounds and gap decisions truncate
-    // sub-millisecond precision; the oracle sessionizes the same
-    // millis-truncated timestamps so both engines decide identical gaps.
-    "q_session_stream" -> Q(
-      (s, dir) => runSessionStream(s, dir, evenSplit),
-      sessionStreamOracle),
-    // the same sessionizer under BURSTY arrival: one event trickles in,
-    // the bulk lands as a single huge batch, the tail follows — the
-    // watermark jumps unevenly between micro-batches, and flushed
-    // sessions must still equal the batch gap-sessionization exactly
-    "q_session_stream_uneven" -> Q(
-      (s, dir) => runSessionStream(s, dir, unevenSplit),
-      sessionStreamOracle),
-    // the same sessionizer fed by a REAL rate-limited FILE SOURCE
-    // (maxFilesPerTrigger = 1, mtime-ordered slice files, sentinel file
-    // last) — the engine draws the batch boundaries; the flushed
-    // sessions must still equal the batch gap-sessionization exactly
-    "q_session_stream_files" -> Q(
-      (s, dir) => runSessionStreamFiles(s, dir),
-      sessionStreamOracle),
-
-    // STREAMING EXACTLY-ONCE DEDUP: dropDuplicatesWithinWatermark keyed on
-    // the id ALONE, fed three batches where batches 2 and 3 RE-SEND every
-    // earlier batch's events as retransmissions with shifted timestamps
-    // and garbled values — a `dropDuplicates(id, ts)` impostor, or a sink
-    // that let any replay through, would surface the +999 garble and fail
-    // the hash gate. Expected output = exactly the first-arrival
-    // originals. The pinned slice spans ~1.5 days, far inside the 90-day
-    // watermark horizon, so no original can be late-dropped.
-    "q_event_dedup_stream" -> Q(
-      (s, dir) => runEventDedupStream(s, dir, evenSplit),
-      eventDedupOracle),
-    // bursty retransmission: the 1-row first batch's event is re-sent by
-    // BOTH later batches (garbled twice over), and the huge second
-    // batch's entire payload replays inside the small third — expected
-    // output is still exactly the first-arrival originals
-    "q_event_dedup_stream_uneven" -> Q(
-      (s, dir) => runEventDedupStream(s, dir, unevenSplit),
-      eventDedupOracle),
-
-    // SKEW-SALTED JOIN (previously spec-only, JoinsSpec): the left side
-    // salts by row hash, the right side replicates across the salt
-    // domain, so one hot orderkey spreads over `saltBuckets` tasks instead
-    // of one straggler. Result must equal the plain join bit-for-bit —
-    // gated through the same long-cents aggregation as q1_agg.
-    "q_salted_join" -> Q(
-      (s, dir) => {
-        val l = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("okey"), col("l_extendedprice"))
-        val o = table(s, dir, "orders")
-          .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
-        graft.operators.Joins.saltedInner(l, o, Seq("okey"), saltBuckets = 8)
-          .groupBy(col("o_orderstatus"))
-          .agg((sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
-            .as("sum_price"), count(lit(1)).as("cnt"))
-      },
-      Some("""SELECT o_orderstatus,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-               count(*) AS cnt
-             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             GROUP BY 1""")),
-
-    // STREAMING MISRA–GRIES HEAVY HITTERS in the exact regime: the
-    // per-group k-counter state carries across three micro-batches
-    // (mapGroupsWithState), each batch's emission lands stamped with its
-    // batch id, and the row serves each group's LAST emission — the
-    // sketch's final state. The pinned corpus keeps every group's
-    // distinct-token count under k, so MG never reduces and the served
-    // counts must equal exact corpus counts — any cross-batch state loss,
-    // double-count, or spurious reduction breaks the hash gate.
-    "q_heavy_stream" -> Q(
-      (s, dir) => runHeavyStream(s, dir, evenSplit),
-      heavyStreamOracle),
-    // bursty arrival for the cross-batch MG state: a single document,
-    // then ~80% of the corpus in one batch, then the tail — the exact
-    // regime's final state (and so the served last emission) must be
-    // split-invariant
-    "q_heavy_stream_uneven" -> Q(
-      (s, dir) => runHeavyStream(s, dir, unevenSplit),
-      heavyStreamOracle),
-
-    // kNN LABEL PROPAGATION: every 10th vector plays "unlabeled query",
-    // the rest are the labeled seed corpus; each query takes the majority
-    // label of its 5 highest-inner-product seeds (exact integer dot on
-    // 1e-4-quantized vectors — bit-reproducible across engines, unlike
-    // float dots whose sums depend on aggregation order). The oracle
-    // recomputes the same quantized dot, rank, and vote in pure SQL.
-    // The LSH-blocked scale rung: bucket-overlap candidates (fixed
-    // planes=3/tables=8/seed=42 — the embedding family's convention),
-    // same integer-dot rank and vote. Golden: an independent driver
-    // recomputation of candidates + quantized dots + vote (bucket codes
-    // are not SQL-expressible).
-    "q_knn_label_lsh" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        Similarity.labelPropagateLsh(
-          emb.filter(col("vec_id") % 50 === 0),
-          emb.filter(col("vec_id") % 50 =!= 0),
-          idCol = "vec_id", vecCol = "embedding", labelCol = "label",
-          k = 5, planes = 3, tables = 8, seed = 42L)
-      },
-      golden("q_knn_label_lsh")),
-
-    // LSH label propagation at the OPT-IN VOTE-TARGET tuning
-    // (LshTuning.forVote), executed end-to-end IN ITS REGIME: the pinned
-    // clustered fixture (Queries.clusteredLabelCorpus — unit-normalized,
-    // real cluster structure, SF-independent) where the collision-loss
-    // model is exact and ANN_SWEEP round-17 measured 100% vote agreement
-    // at 23.6% of the brute candidate pairs. Tuning derived the
-    // production way (n = 1800 seeds, threshold 0.9, k = 5); golden =
-    // the independent driver mirror (bucket overlap + quantized integer
-    // dot + majority vote) at the same derived params.
-    "q_knn_label_vote" -> Q(
-      (s, dir) => {
-        val emb = Queries.clusteredLabelCorpus(s)
-        // the fixture is pinned at 2000 rows → 1800 seeds; deriving the
-        // count with an extra action would buy nothing
-        val t = graft.operators.LshTuning.forVote(1800L, threshold = 0.9,
-          k = 5)
-        Similarity.labelPropagateLsh(
-          emb.filter(col("vec_id") % 10 === 0),
-          emb.filter(col("vec_id") % 10 =!= 0),
-          idCol = "vec_id", vecCol = "embedding", labelCol = "label",
-          k = 5, planes = t.planes, tables = t.tables, seed = 42L)
-      },
-      golden("q_knn_label_vote")),
-
-    "q_knn_label" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        Similarity.labelPropagate(
-          emb.filter(col("vec_id") % 10 === 0),
-          emb.filter(col("vec_id") % 10 =!= 0),
-          idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 5)
-      },
-      Some("""
-        WITH e AS (SELECT vec_id, label,
-            list_transform(embedding,
-              x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
-          FROM embeddings),
-        q AS (SELECT vec_id, qe FROM e WHERE vec_id % 10 = 0),
-        sd AS (SELECT vec_id, label, qe FROM e WHERE vec_id % 10 <> 0),
-        p AS (SELECT q.vec_id AS query_id, sd.vec_id AS sid, sd.label,
-            list_sum(list_transform(range(1, len(q.qe) + 1),
-              i -> q.qe[i] * sd.qe[i])) AS dot
-          FROM q CROSS JOIN sd),
-        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-            ORDER BY dot DESC, sid) AS rn FROM p),
-        v AS (SELECT query_id, label, count(*) AS n_votes
-          FROM r WHERE rn <= 5 GROUP BY 1, 2),
-        w AS (SELECT *, row_number() OVER (PARTITION BY query_id
-            ORDER BY n_votes DESC, label) AS rn2 FROM v)
-        SELECT query_id, label AS pred_label, n_votes
-        FROM w WHERE rn2 = 1""")),
-  )
-
-  // --- STREAMING INGEST-DEDUP LOOP rows: the four modality loops driven
-  // batch-by-batch inside one row (the q_cms_stream pattern — fixed batch
-  // split of the sf corpus, exact oracle over the loops' published
-  // output). Each row gates the WHOLE loop end to end: per-batch
-  // hashing, the grow-only index probe (first-arrival-wins; the index
-  // grows by survivors only), the no-transitive-drop-via-unpublished
-  // eligibility rule, in-batch min-id dedup, and the __batch_id
-  // publication layout. The text/media/video oracles SIMULATE the loop
-  // in pure SQL over an independently-gated pair relation (the committed
-  // golden minhash pairs resp. the arithmetic-recomputed perceptual
-  // hashes — per-item hashes don't depend on the corpus split, so the
-  // full pair table restricted to batch×history IS the loop's relation);
-  // the embedding loop gates against a GoldenGen driver mirror (LSH
-  // bucket codes are not SQL-expressible).
-  /** Compaction/refit twins' shared layout assert: the whole table must
-    * live in exactly ONE `__batch_id=` partition (the seed) after the
-    * operation, or the row fails before serving anything.
-    */
-  private def assertSinglePartition(path: String, what: String): Unit = {
-    val dirs = new java.io.File(path).listFiles()
-      .count(f => f.isDirectory && f.getName.startsWith("__batch_id="))
-    require(dirs == 1,
-      s"$what left $dirs __batch_id partitions at $path, expected 1 (seed)")
-  }
-
-  /** The q_doc_ingest_stream protocol, shared with its compaction twin:
-    * FIXED 500-doc input (ids 0..499 — the whole corpus at sf0.01, so the
-    * oracle is unchanged there); production ingest batches are
-    * constant-size while history grows, so the row's input must be
-    * constant across SFs too (the q_cdc_incremental / StreamLoopProbe
-    * row-design lesson); history-growth scaling is StreamLoopProbe's job.
-    */
-  private def runDocIngest(s: org.apache.spark.sql.SparkSession, dir: String,
-                           compactAfterBatch1: Boolean)
-      : org.apache.spark.sql.DataFrame = {
-    val docs = table(s, dir, "documents").filter(col("doc_id") < 500)
-    val base = Queries.tempDir("graft_docingest")
-    val idxPath = s"$base/idx"; val outPath = s"$base/out"
-    // nightly seed: the doc_id%3==0 slice is pre-published history
-    graft.streaming.DocumentStreams.seedIndex(
-      Dedup.minhashBandIndex(docs.filter(col("doc_id") % 3 === 0),
-        "doc_id", "text", shingleSize = 3, numHashes = 128, bands = 32),
-      idxPath)
-    def run(i: Int): Unit =
-      graft.streaming.DocumentStreams.processBatch(
-        docs.filter(col("doc_id") % 3 === i), i.toLong,
-        "doc_id", "text", idxPath, outPath,
-        shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.5)
-    run(1)
-    if (compactAfterBatch1) {
-      graft.streaming.DocumentStreams.compactIndex(s, idxPath,
-        uptoBatch = 1L, targetFiles = 2)
-      assertSinglePartition(idxPath, "compactIndex")
-    }
-    run(2)
-    s.read.parquet(outPath)
-      .select(col("doc_id"), col("__batch_id").cast("long").as("batch_id"))
-  }
-
-  private val ingestLoopQueries: Seq[(String, Q)] = Seq(
-    "q_doc_ingest_stream" -> Q(
-      (s, dir) => runDocIngest(s, dir, compactAfterBatch1 = false),
-      // pair relation = the committed golden minhash pairs (battery
-      // params, independently gated by q_dedup_minhash); the CTE chain
-      // replays the loop: drop vs published history, then in-batch id2
-      // drops among history-probe survivors, index grows by survivors
-      docIngestOracle),
-
-    // INDEX COMPACTION MUST BE INVISIBLE — the MINHASH BAND family
-    // (round-18, completing the compaction-twin matrix the embed/BM25
-    // twins started): the q_doc_ingest_stream protocol with
-    // [[graft.streaming.DocumentStreams.compactIndex]] run between
-    // batches 1 and 2 — the seed + batch-1 band-index partitions
-    // consolidate (asserted: one __batch_id dir), then batch 2 probes
-    // compacted history. Same oracle as the uncompacted row: identical
-    // published rows, or the gate goes red.
-    "q_doc_compact_loop" -> Q(
-      (s, dir) => runDocIngest(s, dir, compactAfterBatch1 = true),
-      docIngestOracle),
-  ) ++ ingestLoopQueries2
-
-  private lazy val docIngestOracle: Option[String] =
-      Some("""
-        WITH p AS (SELECT id1, id2 FROM read_parquet(
-            '/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')),
-        und AS (SELECT id1 AS a, id2 AS b FROM p
-                UNION ALL SELECT id2, id1 FROM p),
-        d AS (SELECT doc_id, doc_id % 3 AS bt FROM documents
-              WHERE doc_id < 500),
-        s0 AS (SELECT doc_id FROM d WHERE bt = 0),
-        e1 AS (SELECT doc_id FROM d WHERE bt = 1 AND doc_id NOT IN
-                (SELECT u.a FROM und u JOIN s0 ON u.b = s0.doc_id)),
-        k1 AS (SELECT doc_id FROM e1 WHERE doc_id NOT IN
-                (SELECT p.id2 FROM p JOIN e1 x ON p.id1 = x.doc_id
-                 JOIN e1 y ON p.id2 = y.doc_id)),
-        h2 AS (SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM k1),
-        e2 AS (SELECT doc_id FROM d WHERE bt = 2 AND doc_id NOT IN
-                (SELECT u.a FROM und u JOIN h2 ON u.b = h2.doc_id)),
-        k2 AS (SELECT doc_id FROM e2 WHERE doc_id NOT IN
-                (SELECT p.id2 FROM p JOIN e2 x ON p.id1 = x.doc_id
-                 JOIN e2 y ON p.id2 = y.doc_id))
-        SELECT doc_id, CAST(1 AS BIGINT) AS batch_id FROM k1
-        UNION ALL
-        SELECT doc_id, CAST(2 AS BIGINT) AS batch_id FROM k2""")
-
-  private lazy val ingestLoopQueries2: Seq[(String, Q)] = Seq(
-    "q_media_ingest_stream" -> Q(
-      (s, dir) => {
-        // fixed 500-image input — the q_doc_ingest_stream contract
-        val imgs = Multimodal.withGradientImagePayload(
-          table(s, dir, "documents").select("doc_id")
-            .filter(col("doc_id") < 500).repartition(32),
-          "doc_id")
-        val base = Queries.tempDir("graft_mediaingest")
-        val idxPath = s"$base/idx"; val outPath = s"$base/out"
-        val hasher = (df: org.apache.spark.sql.DataFrame, id: String) =>
-          Multimodal.dHash64(df, id)
-        // bootstraps from the absent index: batch 0 has no history
-        (0 until 3).foreach { i =>
-          graft.streaming.MediaStreams.processMediaBatch(
-            imgs.filter(col("doc_id") % 3 === i), i.toLong, "doc_id",
-            hasher, idxPath, outPath, maxDistance = 3)
-        }
-        s.read.parquet(outPath)
-          .select(col("doc_id"), col("__batch_id").cast("long").as("batch_id"))
-      },
-      // the q_image_neardup hash arithmetic (real codec on the engine
-      // side, pure SQL on the oracle side) + the same loop simulation
-      Some("""
-        WITH ids AS (SELECT doc_id AS id FROM documents
-                     WHERE doc_id < 500),
-        px AS (
-          SELECT id, x.range AS x, y.range AS y,
-            (7*x.range*x.range + 13*y.range*y.range
-             + (id//4%256)*31*(x.range+1)*(y.range+1)
-             + (id//4//256%256)*53*(x.range+2)*(y.range+3)
-             + (id//4//65536%256)*17*(x.range+3)*(y.range+5)
-             + CASE WHEN id%4 > 0 AND x.range//4 = id%4 AND y.range//4 = id%4
-                    THEN 64 ELSE 0 END) % 256 AS gray
-          FROM ids, range(36) x, range(32) y),
-        cells AS (
-          SELECT id, x//4 AS gx, y//4 AS gy, SUM(gray)//16 AS c
-          FROM px GROUP BY 1, 2, 3),
-        bits AS (
-          SELECT a.id, a.gy*8 + a.gx AS b
-          FROM cells a JOIN cells b2
-            ON a.id = b2.id AND b2.gx = a.gx + 1 AND b2.gy = a.gy
-          WHERE a.gx < 8 AND b2.c > a.c),
-        hraw AS (
-          SELECT id, SUM(CAST(1 AS HUGEINT) << CAST(b AS INT)) AS s
-          FROM bits GROUP BY id),
-        h AS (
-          SELECT ids.id,
-            CAST(CASE WHEN COALESCE(s, 0) >= CAST(1 AS HUGEINT) << 63
-                  THEN COALESCE(s, 0) - (CAST(1 AS HUGEINT) << 64)
-                  ELSE COALESCE(s, 0) END AS BIGINT) AS sh
-          FROM ids LEFT JOIN hraw ON hraw.id = ids.id),
-        pr AS (SELECT a.id AS id1, b.id AS id2
-               FROM h a JOIN h b ON a.id < b.id
-               WHERE bit_count(xor(a.sh, b.sh)) <= 3),
-        und AS (SELECT id1 AS a, id2 AS b FROM pr
-                UNION ALL SELECT id2, id1 FROM pr),
-        d AS (SELECT id, id % 3 AS bt FROM ids),
-        e0 AS (SELECT id FROM d WHERE bt = 0),
-        k0 AS (SELECT id FROM e0 WHERE id NOT IN
-                (SELECT pr.id2 FROM pr JOIN e0 x ON pr.id1 = x.id
-                 JOIN e0 y ON pr.id2 = y.id)),
-        e1 AS (SELECT id FROM d WHERE bt = 1 AND id NOT IN
-                (SELECT u.a FROM und u JOIN k0 ON u.b = k0.id)),
-        k1 AS (SELECT id FROM e1 WHERE id NOT IN
-                (SELECT pr.id2 FROM pr JOIN e1 x ON pr.id1 = x.id
-                 JOIN e1 y ON pr.id2 = y.id)),
-        h2 AS (SELECT id FROM k0 UNION ALL SELECT id FROM k1),
-        e2 AS (SELECT id FROM d WHERE bt = 2 AND id NOT IN
-                (SELECT u.a FROM und u JOIN h2 ON u.b = h2.id)),
-        k2 AS (SELECT id FROM e2 WHERE id NOT IN
-                (SELECT pr.id2 FROM pr JOIN e2 x ON pr.id1 = x.id
-                 JOIN e2 y ON pr.id2 = y.id))
-        SELECT id AS doc_id, CAST(0 AS BIGINT) AS batch_id FROM k0
-        UNION ALL SELECT id, CAST(1 AS BIGINT) FROM k1
-        UNION ALL SELECT id, CAST(2 AS BIGINT) FROM k2""")),
-
-    "q_video_ingest_stream" -> Q(
-      (s, dir) => {
-        // fixed 500-clip input — the q_doc_ingest_stream contract
-        val clips = Multimodal.withVideoPayload(
-          table(s, dir, "documents").select("doc_id")
-            .filter(col("doc_id") < 500).repartition(32),
-          "doc_id", nFrames = 8)
-        val base = Queries.tempDir("graft_videoingest")
-        val idxPath = s"$base/idx"; val outPath = s"$base/out"
-        val hasher = (df: org.apache.spark.sql.DataFrame, id: String) =>
-          Multimodal.videoFrameHashes(df, id, everyNth = 2)
-        (0 until 3).foreach { i =>
-          graft.streaming.MediaStreams.processVideoBatch(
-            clips.filter(col("doc_id") % 3 === i), i.toLong, "doc_id",
-            hasher, idxPath, outPath, maxDistance = 3, minMatchFrac = 0.5)
-        }
-        s.read.parquet(outPath)
-          .select(col("doc_id"), col("__batch_id").cast("long").as("batch_id"))
-      },
-      // the q_video_neardup frame-hash arithmetic + the clip verdict
-      // (n_matched >= frac * min(frames)) + the same loop simulation
-      Some("""
-        WITH ids AS (SELECT doc_id AS id FROM documents
-                     WHERE doc_id < 500),
-        fr AS (SELECT id, f.range AS f, ((id//4)*8 + f.range)*4 + id%4 AS e
-               FROM ids, range(0, 8, 2) f),
-        px AS (
-          SELECT id, f, x.range AS x, y.range AS y,
-            (7*x.range*x.range + 13*y.range*y.range
-             + (e//4%256)*31*(x.range+1)*(y.range+1)
-             + (e//4//256%256)*53*(x.range+2)*(y.range+3)
-             + (e//4//65536%256)*17*(x.range+3)*(y.range+5)
-             + CASE WHEN e%4 > 0 AND x.range//4 = e%4 AND y.range//4 = e%4
-                    THEN 64 ELSE 0 END) % 256 AS gray
-          FROM fr, range(36) x, range(32) y),
-        cells AS (
-          SELECT id, f, x//4 AS gx, y//4 AS gy, SUM(gray)//16 AS c
-          FROM px GROUP BY 1, 2, 3, 4),
-        bits AS (
-          SELECT a.id, a.f, a.gy*8 + a.gx AS b
-          FROM cells a JOIN cells b2
-            ON a.id = b2.id AND a.f = b2.f AND b2.gx = a.gx + 1 AND b2.gy = a.gy
-          WHERE a.gx < 8 AND b2.c > a.c),
-        hraw AS (
-          SELECT id, f, SUM(CAST(1 AS HUGEINT) << CAST(b AS INT)) AS s
-          FROM bits GROUP BY id, f),
-        h AS (
-          SELECT fr.id, fr.f,
-            CAST(CASE WHEN COALESCE(s, 0) >= CAST(1 AS HUGEINT) << 63
-                  THEN COALESCE(s, 0) - (CAST(1 AS HUGEINT) << 64)
-                  ELSE COALESCE(s, 0) END AS BIGINT) AS sh
-          FROM fr LEFT JOIN hraw ON hraw.id = fr.id AND hraw.f = fr.f),
-        nf AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1),
-        m AS (
-          SELECT a.id AS id1, b.id AS id2, CAST(count(*) AS BIGINT) AS nm
-          FROM h a JOIN h b ON a.f = b.f AND a.id < b.id
-          WHERE bit_count(xor(a.sh, b.sh)) <= 3
-          GROUP BY 1, 2),
-        pr AS (SELECT id1, id2
-               FROM m JOIN nf n1 ON n1.id = m.id1 JOIN nf n2 ON n2.id = m.id2
-               WHERE CAST(nm AS DOUBLE)
-                     >= 0.5 * CAST(least(n1.n, n2.n) AS DOUBLE)),
-        und AS (SELECT id1 AS a, id2 AS b FROM pr
-                UNION ALL SELECT id2, id1 FROM pr),
-        d AS (SELECT id, id % 3 AS bt FROM ids),
-        e0 AS (SELECT id FROM d WHERE bt = 0),
-        k0 AS (SELECT id FROM e0 WHERE id NOT IN
-                (SELECT pr.id2 FROM pr JOIN e0 x ON pr.id1 = x.id
-                 JOIN e0 y ON pr.id2 = y.id)),
-        e1 AS (SELECT id FROM d WHERE bt = 1 AND id NOT IN
-                (SELECT u.a FROM und u JOIN k0 ON u.b = k0.id)),
-        k1 AS (SELECT id FROM e1 WHERE id NOT IN
-                (SELECT pr.id2 FROM pr JOIN e1 x ON pr.id1 = x.id
-                 JOIN e1 y ON pr.id2 = y.id)),
-        h2 AS (SELECT id FROM k0 UNION ALL SELECT id FROM k1),
-        e2 AS (SELECT id FROM d WHERE bt = 2 AND id NOT IN
-                (SELECT u.a FROM und u JOIN h2 ON u.b = h2.id)),
-        k2 AS (SELECT id FROM e2 WHERE id NOT IN
-                (SELECT pr.id2 FROM pr JOIN e2 x ON pr.id1 = x.id
-                 JOIN e2 y ON pr.id2 = y.id))
-        SELECT id AS doc_id, CAST(0 AS BIGINT) AS batch_id FROM k0
-        UNION ALL SELECT id, CAST(1 AS BIGINT) FROM k1
-        UNION ALL SELECT id, CAST(2 AS BIGINT) FROM k2""")),
-
-    "q_embed_ingest_stream" -> Q(
-      (s, dir) => {
-        // fixed 500-vector input — the q_doc_ingest_stream contract
-        val vecs = table(s, dir, "embeddings").filter(col("vec_id") < 500)
-        val base = Queries.tempDir("graft_embedingest")
-        val idxPath = s"$base/idx"; val outPath = s"$base/out"
-        (0 until 3).foreach { i =>
-          graft.streaming.EmbeddingStreams.processEmbeddingBatch(
-            vecs.filter(col("vec_id") % 3 === i), i.toLong,
-            "vec_id", "embedding", idxPath, outPath,
-            threshold = 0.45, planes = 3, tables = 8, seed = 42L)
-        }
-        s.read.parquet(outPath)
-          .select(col("vec_id"), col("__batch_id").cast("long").as("batch_id"))
-      },
-      // GoldenGen driver mirror: the same 3-batch simulation over
-      // code-overlap + sequential-cosine pairs (planes=3/tables=8/seed=42,
-      // threshold 0.45 — the q_embed_neardup_lsh convention)
-      golden("q_embed_ingest_stream")),
-
-    // PER-BATCH ATTRITION METRICS for the embed ingest loop (VERDICT-r16
-    // #7): the metricsPath sink armed end-to-end with the SemanticGuard,
-    // one row per micro-batch — n_in through n_published, stage counts
-    // summing to n_in by construction (null-vector items pass through
-    // into n_published; the fixture has none, which the mirror's
-    // n_null_vec = 0 column asserts). Golden mirror replays the funnel
-    // per batch: history drop → in-batch drop → contamination (cos ≥ 0.4
-    // of any vec_id < 50 suite vector) → published.
-    "q_embed_metrics_stream" -> Q(
-      (s, dir) => {
-        // fixed 500-vector input — the q_doc_ingest_stream contract
-        val emb = table(s, dir, "embeddings")
-        val vecs = emb.filter(col("vec_id") < 500)
-        val suite = emb.filter(col("vec_id") < 50)
-        val base = Queries.tempDir("graft_embmetrics")
-        val idxPath = s"$base/idx"; val outPath = s"$base/out"
-        val mPath = s"$base/metrics"
-        val guard = Some(graft.streaming.EmbeddingStreams.SemanticGuard(
-          suite, "vec_id", "embedding", threshold = 0.4))
-        (0 until 3).foreach { i =>
-          graft.streaming.EmbeddingStreams.processEmbeddingBatch(
-            vecs.filter(col("vec_id") % 3 === i), i.toLong,
-            "vec_id", "embedding", idxPath, outPath,
-            threshold = 0.45, planes = 3, tables = 8, seed = 42L,
-            guard, Some(mPath))
-        }
-        s.read.parquet(mPath).select(
-          col("__batch_id").cast("long").as("batch_id"),
-          col("n_in"), col("n_null_vec"), col("n_dup_history"),
-          col("n_dup_batch"), col("n_contaminated"), col("n_published"))
-      },
-      golden("q_embed_metrics_stream")),
-
-    // INDEX COMPACTION MUST BE INVISIBLE (VERDICT-r16 #4, LSH family):
-    // the q_embed_ingest_stream protocol with
-    // [[graft.streaming.DocumentStreams.compactIndex]] run between
-    // batches 1 and 2 — batches 0–1's index partitions consolidate into
-    // the seed (asserted: exactly one __batch_id dir remains), then
-    // batch 2 probes the compacted history. Same golden as the
-    // uncompacted row: identical published rows, or the gate goes red.
-    "q_embed_compact_loop" -> Q(
-      (s, dir) => {
-        val vecs = table(s, dir, "embeddings").filter(col("vec_id") < 500)
-        val base = Queries.tempDir("graft_embcompact")
-        val idxPath = s"$base/idx"; val outPath = s"$base/out"
-        def run(i: Int): Unit =
-          graft.streaming.EmbeddingStreams.processEmbeddingBatch(
-            vecs.filter(col("vec_id") % 3 === i), i.toLong,
-            "vec_id", "embedding", idxPath, outPath,
-            threshold = 0.45, planes = 3, tables = 8, seed = 42L)
-        run(0); run(1)
-        // the embed-specific wrapper also AUDITS the slim-layout
-        // invariant (one non-null vector row per id) the per-batch
-        // history probe's cost model relies on
-        graft.streaming.EmbeddingStreams.compactEmbeddingIndex(s, idxPath,
-          uptoBatch = 1L, targetFiles = 2)
-        assertSinglePartition(idxPath, "compactIndex")
-        run(2)
-        s.read.parquet(outPath)
-          .select(col("vec_id"), col("__batch_id").cast("long").as("batch_id"))
-      },
-      golden("q_embed_ingest_stream")),
-
-    // INDEX COMPACTION MUST BE INVISIBLE (VERDICT-r16 #4, BM25 family):
-    // the q_bm25_stream protocol with the marker-guarded
-    // [[graft.streaming.SearchStreams.compactBm25]] between batches 1
-    // and 2 — postings deltas merge into one row per token in the seed
-    // (exact df sums, re-capped postings), lengths consolidate, exactly
-    // one __batch_id dir remains on both paths (asserted), and serving
-    // over compacted-seed + live batch 2 must reproduce the SAME oracle
-    // as the never-compacted row.
-    "q_bm25_compact_loop" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val base = Queries.tempDir("graft_bm25c")
-        val lenP = s"$base/len"; val postP = s"$base/post"
-        def run(i: Int): Unit =
-          graft.streaming.SearchStreams.processBm25Batch(
-            docs.filter(col("doc_id") % 3 === i), i.toLong,
-            "doc_id", "text", lenP, postP)
-        run(0); run(1)
-        graft.streaming.SearchStreams.compactBm25(s, lenP, postP,
-          uptoBatch = 1L, targetFiles = 2)
-        Seq(lenP, postP).foreach(assertSinglePartition(_, "compactBm25"))
-        run(2)
-        graft.streaming.SearchStreams.bm25TopKStreamed(
-            s, lenP, postP, Seq("vector", "spark", "customer"), k = 10)
-          .select("id", "rank", "n_terms", "sum_tf", "dl")
-      },
-      bm25OracleSql),
-
-    // STREAMING CHUNK-STORE INGEST — the storage family's loop, the last
-    // loop without an oracle-gated battery row (VERDICT-r17 #4): three
-    // micro-batches of blobs (doc_id % 3, the loop convention) are
-    // CDC-chunked, probe the grow-only (hash, length) index of earlier
-    // batches' STORED chunks, and land a per-batch cdcIngestStats row.
-    // The stats rows are served; they transitively gate the index too —
-    // batch t's hit counts are computed against the index batches < t
-    // published, so a wrong index surfaces as wrong later-batch stats.
-    // Oracle: replays the batch order over the committed q_cdc_chunks
-    // golden (ids 0..499 at sf0.01 = the whole corpus) — a key is in
-    // history for batch t iff it occurs in any batch < t (every key's
-    // first occurrence was stored as 'first').
-    "q_chunk_ingest_stream" -> Q(
-      (s, dir) => runChunkIngest(s, dir, compactAfterBatch1 = false),
-      chunkIngestOracle),
-
-    // INDEX COMPACTION MUST BE INVISIBLE — the CHUNK-STORE family
-    // (round-18): the q_chunk_ingest_stream protocol with
-    // [[graft.streaming.DocumentStreams.compactIndex]] between batches 1
-    // and 2 (chunk index rows are (hash, length)-keyed probe facts —
-    // duplicate-tolerant, so the write-then-delete compaction applies;
-    // one __batch_id dir asserted). Same oracle: batch 2's hit counts
-    // must be computed against identical history content.
-    "q_chunk_compact_loop" -> Q(
-      (s, dir) => runChunkIngest(s, dir, compactAfterBatch1 = true),
-      chunkIngestOracle),
-  ) ++ ingestLoopQueries3
-
-  /** The q_chunk_ingest_stream protocol, shared with its compaction twin
-    * (fixed 500-blob input — the q_doc_ingest_stream contract).
-    */
-  private def runChunkIngest(s: org.apache.spark.sql.SparkSession,
-                             dir: String, compactAfterBatch1: Boolean)
-      : org.apache.spark.sql.DataFrame = {
-    val blobs = Multimodal.withGradientImagePayload(
-      table(s, dir, "documents").select("doc_id")
-        .filter(col("doc_id") < 500).repartition(32),
-      "doc_id")
-    val base = Queries.tempDir("graft_chunkingest")
-    val idxPath = s"$base/idx"; val statsPath = s"$base/stats"
-    def run(i: Int): Unit =
-      graft.streaming.ChunkStoreStreams.processChunkBatch(
-        blobs.filter(col("doc_id") % 3 === i), i.toLong,
-        "doc_id", "payload", idxPath, statsPath,
-        minSize = 64, maskBits = 6, maxSize = 512)
-    run(0); run(1)
-    if (compactAfterBatch1) {
-      graft.streaming.DocumentStreams.compactIndex(s, idxPath,
-        uptoBatch = 1L, targetFiles = 2)
-      assertSinglePartition(idxPath, "compactIndex")
-    }
-    run(2)
-    s.read.parquet(statsPath).select(
-      col("__batch_id").cast("long").as("batch_id"),
-      col("batch_chunks"), col("batch_bytes"),
-      col("hit_chunks"), col("hit_bytes"),
-      col("dup_chunks"), col("dup_bytes"),
-      col("stored_chunks"), col("stored_bytes"))
-  }
-
-  private lazy val chunkIngestOracle: Option[String] =
-      Some("""
-        WITH b AS (SELECT id, "offset", length, hash, id % 3 AS bt
-                   FROM read_parquet(
-                     '/root/repo/src/test/resources/golden/q_cdc_chunks/*.parquet')
-                   WHERE id < 500),
-        fb AS (SELECT hash, length, min(bt) AS first_bt
-               FROM b GROUP BY 1, 2),
-        lab AS (SELECT b.bt, b.length,
-            CASE WHEN b.bt > f.first_bt THEN 'hit'
-                 WHEN row_number() OVER (PARTITION BY b.bt, b.hash, b.length
-                        ORDER BY b.id, b."offset") = 1 THEN 'first'
-                 ELSE 'dup' END AS status
-          FROM b JOIN fb f ON b.hash = f.hash AND b.length = f.length)
-        SELECT CAST(bt AS BIGINT) AS batch_id,
-          CAST(count(*) AS BIGINT) AS batch_chunks,
-          CAST(sum(length) AS BIGINT) AS batch_bytes,
-          CAST(sum(CASE WHEN status = 'hit' THEN 1 ELSE 0 END) AS BIGINT) AS hit_chunks,
-          CAST(sum(CASE WHEN status = 'hit' THEN length ELSE 0 END) AS BIGINT) AS hit_bytes,
-          CAST(sum(CASE WHEN status = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
-          CAST(sum(CASE WHEN status = 'dup' THEN length ELSE 0 END) AS BIGINT) AS dup_bytes,
-          CAST(sum(CASE WHEN status = 'first' THEN 1 ELSE 0 END) AS BIGINT) AS stored_chunks,
-          CAST(sum(CASE WHEN status = 'first' THEN length ELSE 0 END) AS BIGINT) AS stored_bytes
-        FROM lab GROUP BY 1""")
-
-  private lazy val ingestLoopQueries3: Seq[(String, Q)] = Seq(
-    // IVF REFIT MUST BE INVISIBLE (VERDICT-r17 #5 — the compaction-twin
-    // pattern applied to the marker-guarded refit): the q_ann_ivf_stream
-    // protocol with AnnStreams.refitIvf run between batches 1 and 2,
-    // re-homing EVERY published vector under the REVERSED centroid list —
-    // a real refit (every __cluster value changes; the whole table is
-    // staged, marker-committed, and atomically swapped into the seed
-    // partition — asserted) with PRESERVED geometry, so the nprobe=4
-    // probe must pick the same four clusters (renumbered), see the same
-    // candidates, and reproduce the SAME committed golden as the
-    // never-refit row. A refit that lost, doubled, or mis-homed any row
-    // surfaces as a changed top-10.
-    "q_ann_ivf_refit_loop" -> Q(
-      (s, dir) => {
-        val emb = table(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") === 0)
-          .head().getSeq[Float](emb.columns.indexOf("embedding"))
-        val corpus = emb.filter(col("vec_id") =!= 0)
-        val centroids =
-          if (dir.endsWith("sf0.01"))
-            Similarity.loadIvf(s,
-              "/root/repo/src/test/resources/golden/ivf_index").centroids
-          else Similarity.ivfIndexFor(corpus,
-            cacheKey = s"$dir/embeddings!vec_id!16", "vec_id", "embedding",
-            nClusters = 16).centroids
-        val base = Queries.tempDir("graft_annrefit")
-        val path = s"$base/assigned"
-        (0 until 2).foreach { i =>
-          graft.streaming.AnnStreams.processIvfBatch(
-            corpus.filter(col("vec_id") % 3 === i), i.toLong,
-            "vec_id", "embedding", centroids, path)
-        }
-        val refit = centroids.reverse
-        graft.streaming.AnnStreams.refitIvf(s, path, refit,
-          "vec_id", "embedding", uptoBatch = 1L)
-        // the swap completed: the whole table lives in the seed partition
-        assertSinglePartition(path, "refitIvf")
-        // the loop continues under the NEW fit
-        graft.streaming.AnnStreams.processIvfBatch(
-          corpus.filter(col("vec_id") % 3 === 2), 2L,
-          "vec_id", "embedding", refit, path)
-        graft.streaming.AnnStreams.ivfTopKStreamed(s, path, refit,
-          "vec_id", "embedding", q, k = 10, nprobe = 4)
-      },
-      golden("q_ann_ivf")),
-  )
+  import Queries.Q
 
   def all: Seq[(String, Q)] =
-    textQueries ++ dedupQueries ++ simQueries ++ knnQueries ++ pqQueries ++
-      curationQueries ++ quantileQueries ++ multimodalQueries ++
-      resizeQueries ++ eventQueries ++ layoutQueries ++ zorderQueries ++
-      analyticsQueries ++ maintenanceQueries ++ ingestLoopQueries ++
-      streamTwinQueries ++ headlineQueries
+    TextBattery.queries ++
+      DedupBattery.queries ++
+      SimilarityBattery.queries ++
+      KnnBattery.queries ++
+      PqBattery.queries ++
+      CurationBattery.queries ++
+      QuantileBattery.queries ++
+      MultimodalBattery.queries ++
+      ResizeBattery.queries ++
+      EventBattery.queries ++
+      LayoutBattery.queries ++
+      ZorderBattery.queries ++
+      AnalyticsBattery.queries ++
+      MaintenanceBattery.queries ++
+      IngestLoopBattery.queries ++
+      StreamTwinBattery.queries ++
+      HeadlineBattery.queries
 }

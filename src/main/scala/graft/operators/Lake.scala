@@ -146,31 +146,54 @@ object Lake {
     * `r * numShards / n`, the balanced contiguous split an auditor (or a
     * DuckDB oracle) recomputes with plain `row_number()` arithmetic.
     *
-    * Scale: one count, one range-shuffle sort, one `zipWithIndex` pass —
-    * the sort's sampled partition CUTS stay nondeterministic, but ranks
-    * are a pure function of the data (per-partition offsets are summed in
-    * order), so the (assignment, order) layout is bit-reproducible across
-    * runs, clusters, and partition layouts. The full corpus is never
-    * sorted in one task. Returns the shard → row-count manifest.
+    * Scale: one range-shuffle sort (persisted, spill-to-disk), one
+    * `zipWithIndex` pass — the sort's sampled partition CUTS stay
+    * nondeterministic, but ranks are a pure function of the data
+    * (per-partition offsets are summed in order), so the
+    * (assignment, order) layout is bit-reproducible across runs,
+    * clusters, and partition layouts. The full corpus is never sorted in
+    * one task. The sorted RDD is persisted before `zipWithIndex` so the
+    * offset job, the row count `n`, and the write all read the SAME
+    * materialization — a non-deterministic source (or a count racing an
+    * external append) can no longer desynchronize `n` from the ranks and
+    * push shard ids outside [0, numShards). Returns the shard →
+    * row-count manifest.
+    *
+    * `mode` must be "overwrite": shard membership is a pure function of
+    * THIS DataFrame's global ranks, so appending to an existing export
+    * would interleave two inconsistent rank layouts under one path and
+    * the read-back manifest would mix both — the reproducible-export
+    * contract cannot survive an append. Use [[writeJsonlShards]] for
+    * append-style exports.
     */
   def writeJsonlShardsRanked(df: DataFrame, path: String,
                              orderBy: Seq[Column],
                              numShards: Int,
                              mode: String = "overwrite"): DataFrame = {
     require(numShards >= 1, "numShards must be >= 1")
+    require(mode == "overwrite",
+      s"writeJsonlShardsRanked mode must be 'overwrite' (got '$mode'): " +
+        "rank-based shard membership is computed from this DataFrame " +
+        "alone, so appending would overlap rank-shards from different " +
+        "exports and corrupt the manifest")
     val spark = df.sparkSession
-    val n = df.count()
     val outSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+
         org.apache.spark.sql.types.StructField("shard",
           org.apache.spark.sql.types.LongType))
-    val ranked = df.orderBy(orderBy: _*).rdd.zipWithIndex().map {
-      case (row, r) =>
-        org.apache.spark.sql.Row.fromSeq(
-          row.toSeq :+ r * numShards / n)
-    }
-    spark.createDataFrame(ranked, outSchema)
-      .write.mode(mode).partitionBy("shard").json(path)
+    val sorted = df.orderBy(orderBy: _*).rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // zipWithIndex's internal offset job materializes the persist;
+      // count() and the write then read the same cached blocks
+      val zipped = sorted.zipWithIndex()
+      val n = sorted.count()
+      val ranked = zipped.map { case (row, r) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r * numShards / n)
+      }
+      spark.createDataFrame(ranked, outSchema)
+        .write.mode(mode).partitionBy("shard").json(path)
+    } finally sorted.unpersist(blocking = false)
     jsonlManifest(df, path)
   }
 

@@ -1274,6 +1274,16 @@ object Profile {
   def driftAlarm(stats: DataFrame, sliceCols: Seq[String], batchCol: Column,
                  breach: Column, consecutive: Int = 2): DataFrame = {
     require(consecutive >= 1, "driftAlarm: consecutive must be >= 1")
+    // the output schema aliases batch_id/breached/alarm alongside the
+    // slice columns; a slice column with one of those names would produce
+    // duplicate output columns and an ambiguous window orderBy that fails
+    // analysis with an opaque error — refuse it with an actionable one
+    val reserved = Set("batch_id", "breached", "alarm")
+    val clash = sliceCols.filter(c => reserved.contains(c.toLowerCase))
+    require(clash.isEmpty,
+      s"driftAlarm: sliceCols ${clash.mkString(", ")} collide with the " +
+        "reserved output columns (batch_id, breached, alarm) — rename " +
+        "the slice column before calling")
     val breached = coalesce(breach.cast("int"), lit(0))
     // project first, window over the projection: the window must order by
     // the RENAMED batch column or it would reference a dropped input

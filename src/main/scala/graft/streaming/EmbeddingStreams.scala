@@ -372,7 +372,24 @@ object EmbeddingStreams {
     val committed = fs.exists(marker("_GRAFT_COMMIT")) ||
       fs.exists(marker("_SUCCESS"))
     if (!committed) {
-      if (fs.exists(fsPath)) fs.delete(fsPath, true) // partial stage
+      if (fs.exists(fsPath)) {
+        // a NON-EMPTY markerless dir is either a crashed partial write
+        // (expected, silent rebuild) or a memo written by pre-marker code
+        // on a committer with marksuccessfuljobs=false — that second case
+        // is a ONE-TIME rebuild from the CURRENT reference DataFrame,
+        // which silently changes the baseline if the reference moved
+        // since; warn so the upgrade effect is visible in the log
+        val nonEmpty = try fs.listStatus(fsPath).nonEmpty
+          catch { case _: Throwable => false }
+        if (nonEmpty)
+          org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+            s"driftMonitorStream: deleting markerless non-empty ref memo " +
+              s"at $refPath and rebuilding the drift baseline from the " +
+              "current reference DataFrame (expected once after a crash " +
+              "mid-first-batch, or once when upgrading a memo written by " +
+              "pre-marker code on a no-_SUCCESS committer)")
+        fs.delete(fsPath, true) // partial or pre-marker stage
+      }
       graft.operators.Profile
         .embeddingRefCentroids(reference, col(vecCol), sliceCols)
         .write.parquet(refPath)

@@ -155,6 +155,11 @@ object ScaleTen {
     spark.sparkContext.setLogLevel("ERROR")
 
     derive(spark, sf01, out)
+    // third arg "derive-only": stop after the corpus lands — the mode
+    // battery-level sf1 anchors use (the battery rows re-run through
+    // graft.Bench with SPARK_GRAFT_SF_DIR pointed here; the sweep below
+    // is the per-family decade protocol, not the battery one)
+    if (args.lift(2).contains("derive-only")) { spark.stop(); return }
 
     val names = Seq("q_curation_pipeline", "q_curation_decontam",
       "q_dedup_clusters", "q_repetition", "q_embed_neardup_lsh",

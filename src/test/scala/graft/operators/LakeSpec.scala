@@ -138,6 +138,12 @@ class LakeSpec extends SparkSpec {
     val manifest = Lake.writeJsonlShardsRanked(df, out3, Seq(col("id")), 4)
       .as[(Long, Long)].collect().toSeq
     assert(manifest == Seq((0L, 250L), (1L, 250L), (2L, 250L), (3L, 250L)))
+    // append would overlap rank-shards from two exports under one path
+    // and corrupt the manifest — refused loudly
+    val err = intercept[IllegalArgumentException](
+      Lake.writeJsonlShardsRanked(df, out3, Seq(col("id")), 4,
+        mode = "append"))
+    assert(err.getMessage.contains("overwrite"))
   }
 
   test("writeZOrdered clusters EVERY z dimension per file; a 1-dim sort does not") {

@@ -466,5 +466,13 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Profile.driftAlarm(stats, Seq("slice"), col("__batch_id"),
         col("m") >= 8L, consecutive = 0))
+    // a slice column named after a reserved output column would produce
+    // duplicate output names and an ambiguous window orderBy — refused
+    // loudly up front instead of failing analysis with an opaque error
+    val clash = stats.withColumnRenamed("slice", "batch_id")
+    val err = intercept[IllegalArgumentException](
+      Profile.driftAlarm(clash, Seq("batch_id"), col("__batch_id"),
+        col("m") >= 8L))
+    assert(err.getMessage.contains("reserved"))
   }
 }
