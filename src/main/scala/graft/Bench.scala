@@ -13,6 +13,49 @@ import scala.jdk.CollectionConverters._
   * queries.
   */
 object Bench {
+  /** One timed run's host + self stamps (see the telemetry notes in
+    * main): `sec` wall seconds, host-wide steal/iowait/busy %, CPU
+    * pressure-stall ms over the window, this JVM's process-CPU and GC
+    * second deltas. -1 marks an unavailable counter.
+    */
+  private[graft] final case class RunStamp(sec: Double, steal: Double,
+                                           iow: Double, busy: Double,
+                                           psiMs: Double, cpu: Double,
+                                           gc: Double)
+
+  private[graft] def quietRuns(stamps: Seq[RunStamp],
+                               retryPct: Double): Seq[RunStamp] =
+    stamps.filter(r => r.steal >= 0 && r.steal <= retryPct)
+
+  /** Quiet-minority resample trigger (round-19, VERDICT-r18 #1): fire
+    * when fewer runs stamped quiet than the basis selection needs
+    * (min(runs, 2)) — the SAME condition [[reportedSec]] uses, so a
+    * resample is measured exactly when the report would otherwise fall
+    * back to stormy runs. Round 18 fired only when ALL runs were stormy,
+    * which left 2-of-3-stormy rows reporting storm-inflated medians
+    * (r18 battery: 9 such rows). retryPct <= 0 disables the protocol.
+    */
+  private[graft] def needsResample(stamps: Seq[RunStamp], runs: Int,
+                                   retryPct: Double): Boolean =
+    retryPct > 0 && quietRuns(stamps, retryPct).size < math.min(runs, 2)
+
+  /** The reported seconds for a battery row: the median over
+    * quiet-stamped runs when at least min(runs, 2) of them exist
+    * (one quiet outlier shouldn't own the median at runs >= 2; at
+    * runs = 1 a single quiet run IS the better estimate), else the
+    * plain median over every run — the stamped all-stormy fallback,
+    * auditable from the JSON arrays.
+    */
+  private[graft] def reportedSec(stamps: Seq[RunStamp], runs: Int,
+                                 retryPct: Double): Double = {
+    val quiet = quietRuns(stamps, retryPct)
+    val basis =
+      if (retryPct > 0 && quiet.size >= math.min(runs, 2)) quiet
+      else stamps
+    val times = basis.map(_.sec).sorted
+    times(times.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -296,9 +339,6 @@ object Bench {
     // steal/psi/iow up at matched busy → the host stalled us; cpu/gc up at
     // matched busy → the row itself did more work. The reported `sec` is
     // the median run — its stamps are the matching index in the arrays.
-    final case class RunStamp(sec: Double, steal: Double, iow: Double,
-                              busy: Double, psiMs: Double,
-                              cpu: Double, gc: Double)
     // per row: the REPORTED seconds (the quiet-preferring median below —
     // not necessarily the plain median of the runs array) + every run's
     // stamps
@@ -342,35 +382,18 @@ object Bench {
           // STEAL-AWARE RESAMPLE (round-19, VERDICT-r18 #1): this host's
           // hypervisor throttles in multi-minute bursts that hit SPECIFIC
           // rows (battery r18-1: one row at 18% steal while neighbors read
-          // 0.1%). Round 18 resampled only when EVERY run was stormy, which
-          // left quiet-MINORITY rows reporting a likely-stormy median (r18
-          // battery: 9 rows with 2-of-3 stormy runs, e.g. q_heavy_stream
-          // 3.24 s at steal stamps [6.6, 5.7, 1.8] vs its ~2.0 s quiet
-          // band). The trigger is now the SAME condition the basis
-          // selection uses: fewer quiet-stamped runs than the basis needs
-          // (min(runs, 2)) → one extra run set after the storm had a
-          // chance to pass — bounded at one resample so a long storm still
-          // ends the battery. The reported median prefers runs stamped
-          // quiet, so stormy runs stop polluting it; every run's stamps
-          // stay in the JSON either way, so the selection is auditable,
-          // never silent.
-          def quietOf(st: Seq[RunStamp]): Seq[RunStamp] =
-            st.filter(r => r.steal >= 0 && r.steal <= retryPct)
+          // 0.1%). When fewer runs stamp quiet than the report needs
+          // ([[needsResample]] — the quiet-minority trigger), one extra
+          // run set is measured after the storm had a chance to pass —
+          // bounded at one resample so a long storm still ends the
+          // battery. The reported median prefers runs stamped quiet
+          // ([[reportedSec]]), so stormy runs stop polluting it; every
+          // run's stamps stay in the JSON either way, so the selection is
+          // auditable, never silent.
           var stamps = runSet()
-          if (retryPct > 0 &&
-              quietOf(stamps).size < math.min(runs, 2))
+          if (needsResample(stamps, runs, retryPct))
             stamps = stamps ++ runSet()
-          val quiet = quietOf(stamps)
-          // quiet-preferring basis: at runs >= 2 demand two quiet runs
-          // (one quiet outlier shouldn't own the median); at runs = 1 a
-          // single quiet run IS the better estimate — requiring two
-          // would make the resample a guaranteed no-op there and report
-          // the stormy run it just paid to replace
-          val basis =
-            if (retryPct > 0 && quiet.size >= math.min(runs, 2)) quiet
-            else stamps
-          val times = basis.map(_.sec).sorted
-          val reported = times(times.length / 2)
+          val reported = reportedSec(stamps, runs, retryPct)
           rowDetail(name) = (reported, stamps)
           reported
         } catch { case _: Throwable => -1.0 }
