@@ -327,6 +327,32 @@ private[graft] object AnalyticsBattery {
     // SALIENT TERMS: top-3 per document by (tf DESC, df ASC, token) —
     // integer-exact keyword screening; the (tf, df) pair ships so true
     // tf-idf curves apply offline.
+    // INVERTED-POSTINGS INDEX SHAPE, driver-gated (was spec-only —
+    // SearchSpec pinned df/tf-order/cap; this row puts the table itself
+    // under the oracle hash): the token→postings table q_bm25_indexed
+    // serves from, exploded back to (token, df, id, tf) rows for the
+    // three query terms, with the Zipf postings cap (8) far BELOW the
+    // terms' df so the tf-ordered TopN truncation (highest tf first,
+    // id tie-break) is itself gated — DuckDB recomputes the cap with a
+    // row_number window over the same (tf DESC, id) order.
+    "q_inverted_postings" -> Q(
+      (s, dir) => graft.operators.Search.invertedPostings(
+          table(s, dir, "documents"), "doc_id", "text", maxPostings = 8)
+        .filter(col("token").isin("vector", "spark", "customer"))
+        .select(col("token"), col("df"), explode(col("postings")).as("p"))
+        .select(col("token"), col("df"),
+          col("p.id").as("id"), col("p.tf").as("tf")),
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+        tf AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tok
+               WHERE token IN ('vector', 'spark', 'customer') GROUP BY 1, 2),
+        dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        ranked AS (SELECT token, doc_id, tf,
+            row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS rn
+          FROM tf)
+        SELECT token, df, doc_id AS id, tf
+        FROM ranked JOIN dfq USING (token) WHERE rn <= 8""")),
+
     // BM25 ranked retrieval: top-10 documents for a 3-term keyword query.
     // Both engines compute the same double formula in the same operation
     // order, but the projected battery columns are the INTEGER sufficient

@@ -40,6 +40,33 @@ private[graft] object LayoutBattery {
              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              GROUP BY 1""")),
 
+    // PARTITIONED LAKE WRITER with hot-partition small-files control
+    // (was spec-only — LakeSpec pinned file counts vs the naive writer;
+    // this row puts the round-trip CONTENT under the oracle hash): route
+    // the documents projection into lang= dirs with a filesPerPartition=2
+    // row-hash salt, assert the physical layout via fileStats (every
+    // partition dir holds ≤ 2 files — the writer's contract — and at
+    // least one dir actually split: deterministic here, the salt is
+    // xxhash64 of the whole row over ≥64 rows/lang at every SF), then
+    // return the full read-back so the partition-column restore and row
+    // fidelity are driver-gated.
+    "q_partitioned_write" -> Q(
+      (s, dir) => {
+        val out = Queries.tempDir("graft_partwrite") + "/docs"
+        graft.operators.Lake.writePartitioned(
+          table(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars")),
+          out, Seq("lang"), filesPerPartition = 2)
+        val stats = graft.operators.Lake.fileStats(s, out)
+          .select(col("partition"), col("file_count")).collect()
+        require(stats.nonEmpty && stats.forall(_.getLong(1) <= 2L),
+          s"filesPerPartition=2 exceeded: ${stats.mkString(", ")}")
+        require(stats.exists(_.getLong(1) == 2L),
+          "expected at least one salt-split partition at this SF")
+        s.read.parquet(out).select(col("doc_id"), col("lang"), col("n_chars"))
+      },
+      Some("SELECT doc_id, lang, n_chars FROM documents")),
+
     // PARQUET SMALL-FILE COMPACTION MUST BE INVISIBLE (VERDICT-r18 #4 —
     // the q_*_compact_loop pattern applied to the lake maintenance
     // operator): spray the documents projection across 32 tiny files

@@ -26,6 +26,32 @@ private[graft] object MultimodalBattery {
              CAST(octet_length(encode(text)) AS BIGINT) AS declared_bytes
              FROM documents""")),
 
+    // FRAME SAMPLING over opaque binary payloads (the format-less legacy
+    // slicing shape, [[Multimodal.sampleFrames]]; was spec-only): every
+    // 2nd 32-byte frame of each document's UTF-8 payload, lazily demuxed
+    // per partition. The oracle recomputes the slicing with substring
+    // arithmetic — byte-exact because the fixture text is pure ASCII at
+    // every SF (measured: octet_length(encode(text)) == length(text) for
+    // all rows at sf0.001/0.01/0.1, so VARCHAR substring IS the byte
+    // slice and DuckDB md5 hashes the same UTF-8 bytes — the
+    // q_mm_payload precedent). Tail frames arrive short, never padded.
+    "q_frame_sample" -> Q(
+      (s, dir) => Multimodal.sampleFrames(
+          Multimodal.withPayload(table(s, dir, "documents"), "text"),
+          "doc_id", "payload", frameBytes = 32, everyNth = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          octet_length(col("frame")).cast("long").as("n_bytes"),
+          md5(col("frame")).as("digest")),
+      Some("""
+        WITH n AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS nb
+                   FROM documents),
+        f AS (SELECT doc_id, text, nb,
+                unnest(range(0, (nb + 31) // 32, 2)) AS frame_idx FROM n)
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+          CAST(length(substring(text, CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS BIGINT) AS n_bytes,
+          md5(substring(text, CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS digest
+        FROM f""")),
+
     // REAL codec round-trip: withImagePayload encodes a PNG (even id) /
     // BMP (odd id) with arithmetic dimensions via the JDK's own ImageIO
     // writers; decodeFeatures parses width/height/format back out of the
