@@ -213,6 +213,31 @@ private[graft] object BatteryUtil {
   }
 
 
+  /** The admission prefix of every curation oracle (tokenize → language/
+    * quality features → `kept`), parameterized by a WHERE suffix on the
+    * documents source so the streaming chain can run it on the
+    * `doc_id < 500` loop slice. Mirrors `langQualityKeep` exactly.
+    */
+  private[graft] def admissionCtes(where: String): String =
+    s"""t0 AS (SELECT doc_id, text, $sqlTokens AS toks FROM documents$where),
+        feat AS (SELECT doc_id, text, toks,
+          CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) END AS punct_ratio,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE) / len(toks) END AS stopword_ratio,
+          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_signal,
+          len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','it'], x))) AS s_en,
+          len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
+          len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))) AS s_fr,
+          len(list_filter(toks, x -> list_contains(['el','los','las','es','un','una','que','en'], x))) AS s_es
+          FROM t0),
+        kept AS (SELECT doc_id, text FROM feat
+          WHERE greatest(s_en, s_de, s_fr, s_es) > 0
+            AND s_en = greatest(s_en, s_de, s_fr, s_es)
+            AND greatest(least(len_signal * 0.4 + least(stopword_ratio * 4.0, 1.0) * 0.4
+                  + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 1.0), 0.0) >= 0.3)"""
+
+
   /** The curation pipeline's oracle CTE chain (filter → exact dedup →
     * golden-pair near-dedup → optional n-gram/semantic decontamination →
     * optional span removal), shared by the three pipeline oracles and the
@@ -279,23 +304,7 @@ private[graft] object BatteryUtil {
             END AS text
           FROM tkS t LEFT JOIN spB b USING (doc_id))"""
     val src = if (spans) "respanned" else src0
-    (s"""t0 AS (SELECT doc_id, text, $sqlTokens AS toks FROM documents),
-        feat AS (SELECT doc_id, text, toks,
-          CASE WHEN length(text) = 0 THEN 0.0
-               ELSE CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) END AS punct_ratio,
-          CASE WHEN len(toks) = 0 THEN 0.0
-               ELSE CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','of','to','in','is','it','that'], x))) AS DOUBLE) / len(toks) END AS stopword_ratio,
-          least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_signal,
-          len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','it'], x))) AS s_en,
-          len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) AS s_de,
-          len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))) AS s_fr,
-          len(list_filter(toks, x -> list_contains(['el','los','las','es','un','una','que','en'], x))) AS s_es
-          FROM t0),
-        kept AS (SELECT doc_id, text FROM feat
-          WHERE greatest(s_en, s_de, s_fr, s_es) > 0
-            AND s_en = greatest(s_en, s_de, s_fr, s_es)
-            AND greatest(least(len_signal * 0.4 + least(stopword_ratio * 4.0, 1.0) * 0.4
-                  + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 1.0), 0.0) >= 0.3),
+    (s"""${admissionCtes("")},
         exact AS (SELECT doc_id, text FROM
           (SELECT doc_id, text, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn
            FROM kept) WHERE rn = 1),
@@ -835,6 +844,138 @@ private[graft] object BatteryUtil {
         SELECT doc_id, CAST(1 AS BIGINT) AS batch_id FROM k1
         UNION ALL
         SELECT doc_id, CAST(2 AS BIGINT) AS batch_id FROM k2""")
+
+
+  /** The q_curated_ingest_stream / q_curated_metrics_stream protocol:
+    * the FULL streaming curation loop ([[graft.streaming.DocumentStreams
+    * .processCuratedBatch]] — admission → PII scrub → exact dedup (batch
+    * + history hash index) → near-dedup (batch + growing band index) →
+    * n-gram decontamination → publish), bootstrapped from EMPTY indices,
+    * over the docs<500 slice in three doc_id%3 batches with the
+    * attrition-metrics sink armed. Returns (outPath, metricsPath).
+    *
+    * Oracle-ability rests on two measured corpus facts the batch
+    * pipeline rows already lean on: the scrub is an identity on this
+    * corpus (0 regex hits for all three PII patterns at every SF,
+    * verified in DuckDB), so the committed raw-text golden minhash pairs
+    * ARE the scrubbed-text pair relation; and signatures are per-doc, so
+    * the full-corpus pair fixture restricted to each stage's survivor
+    * set is exactly the pair relation the loop sees.
+    */
+  private[graft] def runCuratedIngest(s: org.apache.spark.sql.SparkSession,
+                               dir: String): (String, String) = {
+    val docs = table(s, dir, "documents").filter(col("doc_id") < 500)
+    val base = Queries.tempDir("graft_curingest")
+    val exactP = s"$base/exact"; val bandP = s"$base/band"
+    val outP = s"$base/out"; val metP = s"$base/metrics"
+    // the q_curation_decontam suite (raw doc_id % 10 = 0 slice of the
+    // FULL corpus), prebuilt once per (JVM, corpus) — the loop contract
+    val grams = graft.operators.Curation.benchGramsFor(
+      table(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+      cacheKey = s"$dir/documents!benchgrams", "text")
+    (0 until 3).foreach { i =>
+      graft.streaming.DocumentStreams.processCuratedBatch(
+        docs.filter(col("doc_id") % 3 === i), i.toLong, "doc_id", "text",
+        curationCfg, exactP, bandP, outP,
+        shingleSize = 3, numHashes = 128, bands = 32,
+        decontamGrams = Some(grams), metricsPath = Some(metP))
+    }
+    (outP, metP)
+  }
+
+
+  /** The shared oracle CTE chain for both curated-ingest rows: the
+    * [[docIngestOracle]] loop simulation composed with the admission
+    * filter, per-batch exact dedup (in-batch smallest-id + published-
+    * history text), first-arrival-wins near-dedup over the golden pair
+    * fixture, and per-batch n-gram decontamination — each batch's
+    * published set `p{i}` feeding the next batch's history, exactly the
+    * loop's grow-only-index semantics (contaminated and dropped docs are
+    * never indexed and never suppress future docs).
+    */
+  private[graft] lazy val curatedIngestChain: String = {
+    val gram = (1 to 7).foldLeft("toks[i]") { (acc, k) => s"$acc || ' ' || toks[i+$k]" }
+    def batch(i: Int): String = {
+      val hist = (0 until i)
+      val xCte =
+        if (hist.isEmpty) s"x$i AS MATERIALIZED (SELECT doc_id, text FROM xb$i)"
+        else {
+          val histTexts = hist.map(j => s"SELECT text FROM p$j").mkString(" UNION ALL ")
+          s"x$i AS MATERIALIZED (SELECT doc_id, text FROM xb$i WHERE text NOT IN ($histTexts))"
+        }
+      val dCte =
+        if (hist.isEmpty) s"d$i AS MATERIALIZED (SELECT doc_id FROM xb$i WHERE FALSE)"
+        else {
+          val histIds = hist.map(j => s"SELECT doc_id FROM p$j").mkString(" UNION ALL ")
+          s"""d$i AS MATERIALIZED (SELECT DISTINCT x.doc_id FROM x$i x JOIN und u ON x.doc_id = u.a
+              WHERE u.b IN ($histIds))"""
+        }
+      s"""
+        a$i AS MATERIALIZED (SELECT doc_id, text FROM keptb WHERE bt = $i),
+        xb$i AS MATERIALIZED (SELECT doc_id, text FROM
+           (SELECT doc_id, text, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn
+            FROM a$i) WHERE rn = 1),
+        $xCte,
+        $dCte,
+        f$i AS MATERIALIZED (SELECT doc_id, text FROM x$i
+                WHERE doc_id NOT IN (SELECT doc_id FROM d$i)),
+        n$i AS MATERIALIZED (SELECT doc_id, text FROM f$i WHERE doc_id NOT IN
+                (SELECT p.id2 FROM p JOIN f$i fa ON p.id1 = fa.doc_id
+                 JOIN f$i fb ON p.id2 = fb.doc_id)),
+        sg$i AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+                   i -> $gram))) AS gr
+                 FROM (SELECT doc_id, $sqlTokens AS toks FROM n$i) WHERE len(toks) >= 8),
+        c$i AS MATERIALIZED (SELECT DISTINCT doc_id FROM sg$i JOIN bg USING (gr)),
+        p$i AS MATERIALIZED (SELECT doc_id, text FROM n$i
+                WHERE doc_id NOT IN (SELECT doc_id FROM c$i))"""
+    }
+    s"""${admissionCtes(" WHERE doc_id < 500")},
+        keptb AS MATERIALIZED (SELECT doc_id, text, doc_id % 3 AS bt FROM kept),
+        p AS MATERIALIZED (SELECT id1, id2 FROM read_parquet(
+            '/root/repo/src/test/resources/golden/q_dedup_minhash/*.parquet')),
+        und AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM p
+                UNION ALL SELECT id2, id1 FROM p),
+        bg AS MATERIALIZED (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+                 i -> $gram))) AS gr
+               FROM (SELECT $sqlTokens AS toks FROM documents WHERE doc_id % 10 = 0)
+               WHERE len(toks) >= 8),
+        ${batch(0)},
+        ${batch(1)},
+        ${batch(2)}"""
+  }
+
+
+  private[graft] lazy val curatedIngestOracle: Option[String] =
+    Some(s"""
+        WITH $curatedIngestChain
+        SELECT doc_id, CAST(0 AS BIGINT) AS batch_id FROM p0
+        UNION ALL SELECT doc_id, CAST(1 AS BIGINT) AS batch_id FROM p1
+        UNION ALL SELECT doc_id, CAST(2 AS BIGINT) AS batch_id FROM p2""")
+
+
+  /** The attrition-metrics funnel recomputed per batch: every count is a
+    * cardinality of a chain CTE, and the per-stage columns are the same
+    * consecutive differences the loop writes (disjoint drop sets by
+    * construction).
+    */
+  private[graft] lazy val curatedMetricsOracle: Option[String] = {
+    def row(i: Int): String = s"""
+        SELECT CAST($i AS BIGINT) AS batch_id,
+          (SELECT count(*) FROM allb WHERE bt = $i) AS n_in,
+          (SELECT count(*) FROM allb WHERE bt = $i)
+            - (SELECT count(*) FROM a$i) AS n_filtered,
+          (SELECT count(*) FROM a$i) - (SELECT count(*) FROM xb$i) AS n_exact_dup,
+          (SELECT count(*) FROM xb$i) - (SELECT count(*) FROM x$i) AS n_exact_history,
+          (SELECT count(*) FROM d$i) AS n_dup_history,
+          (SELECT count(*) FROM x$i) - (SELECT count(*) FROM n$i)
+            - (SELECT count(*) FROM d$i) AS n_dup_batch,
+          (SELECT count(*) FROM n$i) - (SELECT count(*) FROM p$i) AS n_contaminated,
+          (SELECT count(*) FROM p$i) AS n_published"""
+    Some(s"""
+        WITH $curatedIngestChain,
+        allb AS (SELECT doc_id, doc_id % 3 AS bt FROM documents WHERE doc_id < 500)
+        ${row(0)} UNION ALL ${row(1)} UNION ALL ${row(2)}""")
+  }
 
 
   /** The q_chunk_ingest_stream protocol, shared with its compaction twin

@@ -34,6 +34,42 @@ private[graft] object IngestLoopBattery {
     "q_doc_compact_loop" -> Q(
       (s, dir) => runDocIngest(s, dir, compactAfterBatch1 = true),
       docIngestOracle),
+
+    // The FULL streaming curation loop under one oracle hash (was
+    // spec-only: DocumentStreamsSpec pinned the stage semantics, but no
+    // driver gate composed them): admission → scrub → exact dedup
+    // (in-batch + history hash index) → first-arrival-wins near-dedup
+    // (in-batch + growing band index) → n-gram decontamination →
+    // publish, three batches bootstrapped from EMPTY indices. The
+    // oracle unrolls the three batches over the admission CTEs + golden
+    // pair fixture + suite-gram CTEs — see [[BatteryUtil
+    // .curatedIngestChain]] for the composition argument. Like every
+    // golden-anchored loop oracle (docIngestOracle), the pair fixture
+    // pins this oracle to the sf0.01 corpus the driver gates at; the
+    // row itself runs at any SF.
+    "q_curated_ingest_stream" -> Q(
+      (s, dir) => {
+        val (outP, _) = runCuratedIngest(s, dir)
+        s.read.parquet(outP)
+          .select(col("doc_id"), col("__batch_id").cast("long").as("batch_id"))
+      },
+      curatedIngestOracle),
+
+    // The loop's ATTRITION-METRICS sink (COVERAGE's streaming funnel row,
+    // was spec-only): one row per micro-batch with per-stage drop counts
+    // summing to n_in — every count recomputed by the oracle as a
+    // cardinality of the same chain, so a funnel that drops the right
+    // docs for the wrong stage-attribution reasons still goes red.
+    "q_curated_metrics_stream" -> Q(
+      (s, dir) => {
+        val (_, metP) = runCuratedIngest(s, dir)
+        s.read.parquet(metP)
+          .select(col("__batch_id").cast("long").as("batch_id"),
+            col("n_in"), col("n_filtered"), col("n_exact_dup"),
+            col("n_exact_history"), col("n_dup_history"),
+            col("n_dup_batch"), col("n_contaminated"), col("n_published"))
+      },
+      curatedMetricsOracle),
   ) ++ ingestLoopQueries2
 
 

@@ -309,9 +309,10 @@ object DocumentStreams {
   }
 
   /** One micro-batch of the curated-ingest loop (factored out for direct
-    * batch-semantics testing, like [[processBatch]]).
+    * batch-semantics testing and the battery protocol, like
+    * [[processBatch]]).
     */
-  private[streaming] def processCuratedBatch(batch: DataFrame, batchId: Long,
+  private[graft] def processCuratedBatch(batch: DataFrame, batchId: Long,
                                              idCol: String, textCol: String,
                                              cfg: graft.operators.Curation.Config,
                                              exactIndexPath: String,

@@ -88,6 +88,12 @@ def classify(name, old_e, new_e, delta, bands, ncpus):
     ev.append("%s run stamps: steal %.1f%% iow %.1f%% busy %.1f%% "
               "psi %.0fms cpu %.1fs gc %.1fs" %
               (label_side, steal, iow, busy, psi, cpu, gc))
+    # a resampled row whose every run still stamped stormy reported the
+    # stamped all-stormy fallback median -- name that in the evidence
+    steals = [s for s in (slower.get("steal") or []) if s >= 0]
+    if len(steals) > 3 and steals and min(steals) > STEAL_STORM_PCT:
+        ev.append("all-stormy fallback after resample (%d runs, min "
+                  "steal %.1f%%)" % (len(steals), min(steals)))
     # 2) host stall on the slower side's reported run
     if steal > STEAL_STORM_PCT or iow > STEAL_STORM_PCT or \
        (sec > 0 and psi > PSI_STORM_MS_PER_SEC * sec):
@@ -110,6 +116,14 @@ def classify(name, old_e, new_e, delta, bands, ncpus):
         if gc > 0.5 and ogc >= 0 and gc > max(ogc * SELF_WORK_RATIO, 0.5):
             ev.append("gc %.1fs vs %.1fs" % (gc, ogc))
             return ("self-work(gc)", "; ".join(ev))
+    # 5) an IMPROVEMENT none of the stamp rules claim: the old read was
+    #    quiet-stamped yet slower -- the measured shared-battery-JVM
+    #    context class (BASELINE.md round-18/19: same work costs less in
+    #    a fresh or less-loaded JVM; q_sql_tvf_knn adjudication). Only
+    #    ADVERSE movers stay "unexplained" -- they are the actionable
+    #    ones.
+    if delta < 0:
+        return ("improved(context)", "; ".join(ev))
     return ("unexplained", "; ".join(ev))
 
 
