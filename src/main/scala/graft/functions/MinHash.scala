@@ -61,7 +61,72 @@ object MinHashSignature {
   }
 }
 
+/** Native equal-position count of two `array<bigint>` signatures — the
+  * verify kernel of every MinHash candidate join. The composed form
+  * `size(filter(zip_with(s1, s2, (x, y) -> x === y), p -> p))` walks an
+  * interpreted higher-order expression tree per element and allocates TWO
+  * intermediate arrays per candidate pair (the zip_with booleans and the
+  * filter survivors) — paid once per (id1, id2) candidate in every
+  * near-dup verify across the dedup family. Semantics mirror the HOF form
+  * exactly so estimates are bit-equal: zip_with pads the shorter side
+  * with nulls, `x === y` over a null is null, and `filter(p -> p)` keeps
+  * strict trues — i.e. the count over the COMMON prefix of positions
+  * where both elements are non-null and equal.
+  */
+case class SigMatchCount(left: Expression,
+                         right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_match_count"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<bigint> signature columns, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SigMatchCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SigMatchCount.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SigMatchCount {
+  /** Shared by interpreted eval and generated code. */
+  def compute(x: ArrayData, y: ArrayData): Int = {
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i))
+        c += 1
+      i += 1
+    }
+    c
+  }
+}
+
 object MinHashFunctions {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), numHashes))
+
+  /** Equal-position count of two signature columns, as a codegen'd native
+    * expression (HOF-equivalent semantics — see [[SigMatchCount]]).
+    */
+  def sigMatchCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SigMatchCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

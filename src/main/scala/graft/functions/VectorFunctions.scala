@@ -289,6 +289,78 @@ object PqEncodeCodes {
   }
 }
 
+/** Native 64-bit integer dot product over two `array<bigint>` columns —
+  * the scoring kernel of the quantized kNN label-propagation tier
+  * ([[graft.operators.Similarity]]'s `quantizedDot`). Same CodegenFallback
+  * lesson as [[Int8DotProduct]]: the HOF form
+  * `aggregate(zip_with(a, b, (x, y) -> x * y), 0L, +)` walks an
+  * interpreted expression tree per element and allocates an intermediate
+  * array per PAIR — Q·N pairs in the propagation join. NULL semantics
+  * mirror the HOF form exactly so scores are bit-equal: a length
+  * mismatch (zip_with null-pads the shorter side → null product →
+  * absorbing null sum) or any null element yields a NULL dot; otherwise
+  * long-widened products sum in index order (wrapping, like the HOF).
+  */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_dot"
+  // the kernel itself introduces nulls (length mismatch / null element),
+  // independent of child nullability
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<bigint> columns, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql} — quantize to " +
+          "long first (long-element reads over other layouts would " +
+          "silently compute wrong scores)")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = LongDotProduct.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long ${ev.value}_r = graft.functions.LongDotProduct.compute($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }
+    """)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object LongDotProduct {
+  /** Shared by interpreted eval and generated code. Boxed return: null
+    * encodes the HOF form's absorbing-null result (length mismatch or a
+    * null element), which the expression surfaces as a NULL dot.
+    */
+  def compute(x: ArrayData, y: ArrayData): java.lang.Long = {
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+}
+
 object VectorFunctions {
   /** Cosine similarity of two `array<float>` columns, as a codegen'd native
     * expression.
@@ -317,5 +389,13 @@ object VectorFunctions {
     */
   def int8Dot(a: Column, b: Column): Column =
     ColumnBridge.column(Int8DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** 64-bit integer dot product of two `array<bigint>` columns, as a
+    * codegen'd native expression (HOF-equivalent null semantics — see
+    * [[LongDotProduct]]).
+    */
+  def longDot(a: Column, b: Column): Column =
+    ColumnBridge.column(LongDotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

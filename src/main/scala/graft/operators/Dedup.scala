@@ -255,7 +255,12 @@ object Dedup extends org.apache.spark.internal.Logging {
     val s2 = index.sigs.select(col("id").as("id2"), col("sig").as("sig2"))
     cand.join(s1, "id1").join(s2, "id2")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), p => p))
+        // native codegen'd verify kernel, NOT size(filter(zip_with(...))):
+        // HOFs are CodegenFallback (interpreted per element, two
+        // intermediate arrays per candidate pair) and this estimate is
+        // paid once per banded candidate ([[graft.functions.SigMatchCount]];
+        // bit-identical count, so thresholds and goldens are untouched)
+        graft.functions.MinHashFunctions.sigMatchCount(col("sig1"), col("sig2"))
           .cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select("id1", "id2", "est_jaccard")
@@ -299,8 +304,9 @@ object Dedup extends org.apache.spark.internal.Logging {
       .join(newIndex.sigs.select(col("id").as("new_id"), col("sig").as("new_sig")), "new_id")
       .join(oldSigs, "old_id")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("new_sig"), col("old_sig"), (x, y) => x === y), p => p))
-          .cast("double") / numHashes)
+        // native verify kernel — see [[minhashPairsFromIndex]]'s note
+        graft.functions.MinHashFunctions.sigMatchCount(
+          col("new_sig"), col("old_sig")).cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select("new_id", "old_id", "est_jaccard")
   }
@@ -378,8 +384,9 @@ object Dedup extends org.apache.spark.internal.Logging {
       .dropDuplicates("old_id")
     cand.join(newSigs, "new_id").join(oldSigs, "old_id")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("new_sig"), col("old_sig"), (x, y) => x === y), p => p))
-          .cast("double") / numHashes)
+        // native verify kernel — see [[minhashPairsFromIndex]]'s note
+        graft.functions.MinHashFunctions.sigMatchCount(
+          col("new_sig"), col("old_sig")).cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select("new_id", "old_id", "est_jaccard")
   }

@@ -65,8 +65,17 @@ object Graph {
     // would cost (at 100 TB that is a full exchange of the edge table;
     // a wrong promise double-counts contributions, so it is opt-in).
     val dedup = (df: DataFrame) => if (edgesDistinct) df else df.distinct()
+    // The edge table is the BIG side of every iteration's join and is
+    // keyed by src in all of them (the rank join, the out-degree
+    // aggregate) — so it is hash-partitioned by src ONCE before the
+    // persist, and the cached partitioning is reused by every consumer
+    // (guide §2.4: operations keyed the same way share one exchange).
+    // Without this, each of the `iterations` rank joins and the out-degree
+    // groupBy re-exchanged the full edge table: 1 + iterations full-edge
+    // shuffles collapse to 1 — at 100 TB the edge exchange IS the job.
     val e = dedup(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull))
+      .repartition(col("src"))
       .persist()
     val outd = e.groupBy("src").agg(count(lit(1)).as("__od")).persist()
     val nodes = e.select(col("src").as("node"))
@@ -85,13 +94,18 @@ object Graph {
     var rank = nodes.select(col("node"), lit(rank0).as("rank_q"))
     var persisted = List.empty[DataFrame]
     for (_ <- 1 to iterations) {
+      // SHUFFLE_HASH on the node-sized sides: sort-merge would re-SORT the
+      // cached edge table by src every iteration (the partitioning is
+      // cached, an ordering is not); hashing the rank/out-degree tables
+      // streams the edges unsorted — the deliberate small-side hash join
+      // of guide §3.1, safe because both build sides are node-count-sized
       val contribs = e
-        .join(rank.withColumnRenamed("node", "src"), "src")
-        .join(outd, "src")
+        .join(rank.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+        .join(outd.hint("shuffle_hash"), "src")
         .select(col("dst"), expr("(rank_q * 85) div (100 * __od)").as("__contrib"))
         .groupBy("dst").agg(sum(col("__contrib")).as("__in"))
       val next = nodes
-        .join(contribs, col("node") === col("dst"), "left")
+        .join(contribs.hint("shuffle_hash"), col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(teleport) + coalesce(col("__in"), lit(0L))).as("rank_q"))
         .persist()
@@ -192,10 +206,15 @@ object Graph {
       .join(deg.select(col("n").as("b"), col("d").as("__db")), "b")
     val aFirst = col("__da") < col("__db") ||
       (col("__da") === col("__db") && col("a") < col("b"))
+    // hash-partitioned by u BEFORE the persist: both wedge legs join on
+    // x = u, so the cached partitioning makes the wedge self-join
+    // exchange-free (guide §2.4) — one m-row exchange here replaces two
+    // at the join (and the legs' sorts, with the hash hint below)
     val oriented = withRanks.select(
         when(aFirst, col("a")).otherwise(col("b")).as("u"),
         when(aFirst, col("b")).otherwise(col("a")).as("v"),
         when(aFirst, col("__db")).otherwise(col("__da")).as("__dv"))
+      .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // wedges at x: unordered {v, w} pairs of out-neighbors, emitted once
     // (rank(v) < rank(w)) so the closing lookup is exactly the oriented
@@ -203,12 +222,17 @@ object Graph {
     val e1 = oriented.select(col("u").as("x"), col("v"), col("__dv"))
     val e2 = oriented.select(col("u").as("x"), col("v").as("w"),
       col("__dv").as("__dw"))
-    val wedges = e1.join(e2, Seq("x"))
+    // SHUFFLE_HASH, both stages (guide §3.1): sort-merge would SORT the
+    // wedge table — the m^1.5-row quantity this orientation exists to
+    // bound — at the closing semi-join, and both (already co-partitioned)
+    // legs at the self-join. Hashing the m-row side instead streams the
+    // m^1.5 rows unsorted; per-partition build sides are edge-sized.
+    val wedges = e1.join(e2.hint("shuffle_hash"), Seq("x"))
       .filter(col("__dv") < col("__dw") ||
         (col("__dv") === col("__dw") && col("v") < col("w")))
       .select(col("x"), col("v"), col("w"))
     val tri = wedges.join(
-        oriented.select(col("u").as("v"), col("v").as("w")),
+        oriented.select(col("u").as("v"), col("v").as("w")).hint("shuffle_hash"),
         Seq("v", "w"), "left_semi")
       .select("x", "v", "w")
     val result = f(tri, deg.select(col("n").as("node"),

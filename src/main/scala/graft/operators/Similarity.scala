@@ -292,8 +292,15 @@ object Similarity {
   private def quantizeVec(c: Column): Column =
     transform(c, x => round(x.cast("double") * 10000).cast("long"))
 
+  // native codegen'd kernel, NOT aggregate(zip_with(...)): higher-order
+  // functions are CodegenFallback (interpreted per element, intermediate
+  // array per PAIR) and this dot is paid Q·N times in the propagation
+  // join — the [[graft.functions.Int8DotProduct]] lesson one type up.
+  // NULL semantics (length mismatch / null element → null dot) and the
+  // wrapping long arithmetic mirror the HOF form exactly, so votes and
+  // the battery goldens are bit-identical ([[graft.functions.LongDotProduct]]).
   private def quantizedDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.longDot(a, b)
 
   /** The vote tail shared by the [[labelPropagate]] family: bounded
     * top-k heap per query over (dot desc, neighbor_id), then the

@@ -65,17 +65,31 @@ object ChunkStoreStreams {
     // accumulate one cached table per batch for the life of the JVM
     val (rawAnn, releaseChunks) = Dedup.incrementalCdcChunksReleasable(
       batch, idCol, binCol, history, minSize, maskBits, maxSize)
-    val ann = rawAnn
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materializeCut, not persist: BOTH sinks consume the annotated
+    // table, and a parquet write does not load a cached child's buffers —
+    // persisted, each sink re-ran the probe-and-annotate joins (and the
+    // index write then invalidated the cache for any later consumer via
+    // refreshByPath). The CDC chunk pass runs exactly once into blocks.
+    val ann = DocumentStreams.materializeCut(rawAnn)
+    // STATS BEFORE INDEX (round-19): `ann`'s lineage reads indexPath (the
+    // history probe), and a committed write to a path CLEARS every cached
+    // plan that reads it (Spark's refreshByPath) — with the index written
+    // first, the stats write found ann's cache invalidated and re-ran the
+    // probe-and-annotate joins per batch. statsPath is in no lineage, so
+    // writing it first consumes the loaded cache and the index write
+    // (after which nothing is consumed) stays the only invalidating one.
+    // Both writes stay per-batch-partition idempotent; a crash between
+    // them now leaves a stats row without its index partition instead of
+    // the reverse — either way the batch retry rewrites both.
+    DocumentStreams.writeBatchPartition(
+      Dedup.cdcIngestStats(ann), batchId, statsPath)
     // the index grows by the batch's 'first' chunks only: hits are
     // already stored; dups deduped against the batch's own firsts
     DocumentStreams.writeBatchPartition(
       ann.filter(col("status") === "first")
         .select("id", "offset", "length", "hash"),
       batchId, indexPath)
-    DocumentStreams.writeBatchPartition(
-      Dedup.cdcIngestStats(ann), batchId, statsPath)
-    ann.unpersist()
+    DocumentStreams.releaseCut(ann)
     releaseChunks()
   }
 }

@@ -152,6 +152,38 @@ object DocumentStreams {
     fs.delete(tmp, true)
   }
 
+  /** Materialize a batch-sized frame ONCE and cut its lineage (round-19,
+    * shared by every ingest loop): the loops' sink frames were merely
+    * persisted, which loses twice at write time — (a) a parquet write
+    * does not load a cached child's column buffers (measured in the
+    * round-17 embed-loop work: after both sinks the cache reported
+    * isCachedColumnBuffersLoaded=false), so each sink consuming the
+    * frame re-ran the whole batch DAG; and (b) a committed write to a
+    * path CLEARS every cached plan whose lineage reads it (Spark's
+    * refreshByPath), so writing the index invalidated frames derived
+    * from the index probe mid-batch (measured on the curated loop: the
+    * third sink cost 3.8–5.4 s re-running a ~0.5 s DAG, and per-batch
+    * wall grew 3→7→11 s). localCheckpoint computes the rows once and
+    * replaces the plan with an RDD scan — no lineage, nothing to
+    * invalidate, every sink reads the blocks. The trade (checkpoint
+    * blocks don't survive executor loss) sits inside the loops'
+    * at-least-once contract: a lost block fails the batch; the retry
+    * rewrites exactly its own partitions.
+    */
+  private[streaming] def materializeCut(df: DataFrame): DataFrame =
+    df.localCheckpoint()
+
+  /** Release a [[materializeCut]] frame's blocks deterministically — a
+    * long-lived loop must not wait on the periodic ContextCleaner GC to
+    * reclaim one batch-sized block set per micro-batch.
+    */
+  private[streaming] def releaseCut(df: DataFrame): Unit = {
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+    }
+    ()
+  }
+
   /** Read a loop-owned path as HISTORY for batch `batchId`: every
     * committed partition EXCEPT the in-flight batch's own. The exclusion
     * is what makes retries safe — a failed attempt may have already
@@ -223,9 +255,11 @@ object DocumentStreams {
       .select(col("id2").as("__drop"))
     // anti-join consumers are duplicate-tolerant — no distinct spent
     val dropIds = dupOfHistory.union(dupInBatch)
-    val survivors = batch
-      .join(dropIds, batch(idCol) === col("__drop"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materializeCut, not persist: both sinks consume survivors, and a
+    // parquet write does not load a cached child's buffers — persisted,
+    // the batch DAG ran once per sink (see [[materializeCut]])
+    val survivors = materializeCut(batch
+      .join(dropIds, batch(idCol) === col("__drop"), "left_anti"))
     writeBatchPartition(survivors, batchId, outPath)
     // the index grows by the SURVIVORS' band rows only — dropped docs must
     // not suppress future docs they themselves never entered the lake for
@@ -233,7 +267,7 @@ object DocumentStreams {
       newIdx.join(survivors.select(col(idCol).as("__keep")),
         newIdx("id") === col("__keep"), "left_semi"),
       batchId, indexPath)
-    survivors.unpersist()
+    releaseCut(survivors)
     dupOfHistory.unpersist()
     newIdx.unpersist()
   }
@@ -369,12 +403,34 @@ object DocumentStreams {
       .select(col("id2").as("__drop"))
     // anti-join consumers are duplicate-tolerant — no distinct spent
     val dropIds = dupOfHistory.union(dupInBatch)
-    val deduped = fresh
+    // with the metrics sink armed, deduped is consumed twice (the
+    // decontamination/survivor chain and its own count) — persist it so
+    // the dedup DAG runs once, not per consumer (the embedding loop's
+    // discipline)
+    val deduped0 = fresh
       .join(dropIds, fresh(idCol) === col("__drop"), "left_anti")
+    val deduped =
+      if (metricsPath.isDefined)
+        deduped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else deduped0
     // ingest-time decontamination on dedup survivors (see [[ingestCurated]]):
     // the suite gram table is prebuilt and constant, the batch side is
     // batch-sized — the join cost tracks the BATCH, never the suite scan
-    val survivors = (decontamGrams match {
+    // survivors is LOCAL-CHECKPOINTED, not persisted (round-19): its
+    // lineage reads BOTH index paths (exact-history anti join, band-index
+    // probe), and this loop writes three sinks — after each committed
+    // write Spark's refreshByPath CLEARS every cached plan that reads the
+    // written path, so a merely-persisted survivors was invalidated by
+    // the band-index write and the exact-index write then re-ran the
+    // whole admission→dedup→decontam DAG per batch (measured: the
+    // third write cost 3.8-5.4 s against a ~0.5 s loaded-cache write;
+    // the per-batch wall grew 3→7→11 s across 3 tiny batches).
+    // localCheckpoint materializes the rows once and cuts the lineage to
+    // an RDD scan, so no sink write can invalidate it. The trade —
+    // checkpoint blocks don't survive executor loss — is inside the
+    // loops' at-least-once contract: a lost block fails the batch and
+    // the retry rewrites its own partitions.
+    val survivors = materializeCut(decontamGrams match {
       case Some(grams) =>
         val bad = graft.operators.Curation.contaminationHitsFromGrams(
             deduped, idCol, textCol, grams, cfg.decontamNgram)
@@ -382,30 +438,42 @@ object DocumentStreams {
           .select(col("id").as("__cdrop"))
         deduped.join(bad, deduped(idCol) === col("__cdrop"), "left_anti")
       case None => deduped
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // all three sinks are per-batch-partition idempotent: a retry after a
-    // failure between these writes rewrites the same partitions rather
-    // than appending a second copy of the batch (at-least-once delivery)
-    writeBatchPartition(survivors.drop("__th"), batchId, outPath)
-    writeBatchPartition(
-      newIdx.join(survivors.select(col(idCol).as("__keep")),
-        newIdx("id") === col("__keep"), "left_semi"),
-      batchId, bandIndexPath)
-    writeBatchPartition(survivors.select(col("__th").as("th")),
-      batchId, exactIndexPath)
+    })
+    // METRICS RUN BEFORE THE SINKS when armed, and in ONE action (the
+    // [[EmbeddingStreams.processEmbeddingBatch]] discipline): a tagged
+    // union over the stage frames aggregates all seven counts in a single
+    // execution. Two reasons: (a) each count() as its own execution paid
+    // 7 × batches of fixed AQE/driver overhead per micro-batch; (b) the
+    // counting exec is what loads the persisted frames' column buffers,
+    // so the sink writes below consume loaded caches instead of
+    // re-deriving them (a parquet write alone does not populate a cached
+    // child's buffers).
     metricsPath.foreach { mPath =>
       import spark.implicits._
-      val nIn = batch.count()
-      val nAdmitted = admitted.count()
-      val nExactDeduped = exactDeduped.count()
-      val nFresh = fresh.count()
-      // DOCS dropped by history, not probe PAIRS: the probe emits one
-      // row per (new, old) match, so a doc near two published docs
-      // carries two rows — counting rows overcounted the stage and drove
-      // n_dup_batch (a difference) negative (round-17 fix, spec-pinned)
-      val nDupHistory = dupOfHistory.select("__drop").distinct().count()
-      val nDeduped = deduped.count()
-      val nPublished = survivors.count()
+      val m = Seq(
+          batch.select(lit("in").as("__k")),
+          admitted.select(lit("adm").as("__k")),
+          exactDeduped.select(lit("ed").as("__k")),
+          fresh.select(lit("fr").as("__k")),
+          // DOCS dropped by history, not probe PAIRS: the probe emits one
+          // row per (new, old) match, so a doc near two published docs
+          // carries two rows — counting rows overcounted the stage and
+          // drove n_dup_batch (a difference) negative (round-17 fix,
+          // spec-pinned)
+          dupOfHistory.select("__drop").distinct()
+            .select(lit("dh").as("__k")),
+          deduped.select(lit("dd").as("__k")),
+          survivors.select(lit("pub").as("__k")))
+        .reduce(_ unionByName _)
+        .groupBy("__k").agg(count(lit(1)).as("__c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nIn = m.getOrElse("in", 0L)
+      val nAdmitted = m.getOrElse("adm", 0L)
+      val nExactDeduped = m.getOrElse("ed", 0L)
+      val nFresh = m.getOrElse("fr", 0L)
+      val nDupHistory = m.getOrElse("dh", 0L)
+      val nDeduped = m.getOrElse("dd", 0L)
+      val nPublished = m.getOrElse("pub", 0L)
       // drop sets along the chain are disjoint by construction (the
       // within-batch pairing runs over history-probe survivors; the
       // decontamination stage over dedup survivors), so stage counts are
@@ -419,7 +487,18 @@ object DocumentStreams {
           "n_dup_history", "n_dup_batch", "n_contaminated", "n_published"),
         batchId, mPath)
     }
-    survivors.unpersist()
+    // all three sinks are per-batch-partition idempotent: a retry after a
+    // failure between these writes rewrites the same partitions rather
+    // than appending a second copy of the batch (at-least-once delivery)
+    writeBatchPartition(survivors.drop("__th"), batchId, outPath)
+    writeBatchPartition(
+      newIdx.join(survivors.select(col(idCol).as("__keep")),
+        newIdx("id") === col("__keep"), "left_semi"),
+      batchId, bandIndexPath)
+    writeBatchPartition(survivors.select(col("__th").as("th")),
+      batchId, exactIndexPath)
+    releaseCut(survivors)
+    if (metricsPath.isDefined) deduped.unpersist()
     dupOfHistory.unpersist()
     newIdx.unpersist()
     fresh.unpersist()

@@ -215,7 +215,7 @@ object EmbeddingStreams {
     // ingest-time semantic decontamination on dedup survivors (see
     // [[SemanticGuard]]): batch-sized vector set vs the constant
     // broadcast suite — contaminated items reach NO sink
-    val survivors = (guard match {
+    val survivorsLazy = (guard match {
       case Some(g) =>
         val dedupedVecs = vecs.join(
           deduped.select(col(idCol).cast("long").as("__did")),
@@ -232,7 +232,11 @@ object EmbeddingStreams {
         deduped.join(bad, deduped(idCol).cast("long") === col("__cdrop"),
           "left_anti")
       case None => deduped
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+    // materializeCut, not persist: the metrics action and BOTH sinks
+    // consume survivors, and a parquet write does not load a cached
+    // child's buffers ([[DocumentStreams.materializeCut]])
+    val survivors = DocumentStreams.materializeCut(survivorsLazy)
     // METRICS RUN BEFORE THE SINKS when armed, and in ONE action: a
     // tagged union over the stage frames aggregates all five counts in a
     // single execution. Two reasons this ordering matters: (a) each
@@ -284,7 +288,7 @@ object EmbeddingStreams {
           vecs("id") === col("__keep"), "left_semi"),
         "id", "v", planes, tables, seed),
       batchId, indexPath)
-    survivors.unpersist()
+    DocumentStreams.releaseCut(survivors)
     if (metricsPath.isDefined) deduped.unpersist()
     dropRepsH.unpersist()
     reps.unpersist()

@@ -100,9 +100,11 @@ object MediaStreams {
       .select(col("id2").as("__drop"))
     // anti-join consumers are duplicate-tolerant — no distinct spent
     val dropIds = dupOfHistory.union(dupInBatch)
-    val survivors = batch
-      .join(dropIds, batch(idCol) === col("__drop"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materializeCut, not persist: both sinks consume survivors, and a
+    // parquet write does not load a cached child's buffers — persisted,
+    // the batch DAG ran once per sink ([[DocumentStreams.materializeCut]])
+    val survivors = DocumentStreams.materializeCut(batch
+      .join(dropIds, batch(idCol) === col("__drop"), "left_anti"))
     DocumentStreams.writeBatchPartition(survivors, batchId, outPath)
     // the index grows by the DECODABLE SURVIVORS' hashes only: dropped
     // items never entered the lake and must not suppress future items;
@@ -111,7 +113,7 @@ object MediaStreams {
       decodable.join(survivors.select(col(idCol).as("__keep")),
         decodable("id") === col("__keep"), "left_semi"),
       batchId, indexPath)
-    survivors.unpersist()
+    DocumentStreams.releaseCut(survivors)
     dupOfHistory.unpersist()
     hashed.unpersist()
   }
@@ -208,16 +210,16 @@ object MediaStreams {
       .select(col("id2").as("__drop"))
     // anti-join consumers are duplicate-tolerant — no distinct spent
     val dropIds = dupOfHistory.union(dupInBatch)
-    val survivors = batch
-      .join(dropIds, batch(idCol) === col("__drop"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materializeCut, not persist — see [[processMediaBatch]]'s note
+    val survivors = DocumentStreams.materializeCut(batch
+      .join(dropIds, batch(idCol) === col("__drop"), "left_anti"))
     DocumentStreams.writeBatchPartition(survivors, batchId, outPath)
     // the index grows by the decodable SURVIVORS' frame rows only
     DocumentStreams.writeBatchPartition(
       decodable.join(survivors.select(col(idCol).as("__keep")),
         decodable("id") === col("__keep"), "left_semi"),
       batchId, indexPath)
-    survivors.unpersist()
+    DocumentStreams.releaseCut(survivors)
     dupOfHistory.unpersist()
     matchedH.foreach(_.unpersist())
     hashed.unpersist()
