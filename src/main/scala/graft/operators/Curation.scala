@@ -374,9 +374,11 @@ object Curation {
                       decontaminateAgainst: Option[(DataFrame, String)] = None,
                       nearDupPairs: Option[DataFrame] = None,
                       semanticDecontaminateAgainst: Option[SemanticDecontam] = None): DataFrame = {
+    // eager lineage cut, not a lazy persist (round-20): concurrent AQE
+    // stage builds race an unmaterialized cache and re-run its upstream
+    // DAG once per branch — see [[graft.operators.Dedup]]'s materialized
     def materialized(df: DataFrame): DataFrame =
-      if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
+      if (materialize) df.localCheckpoint() else df
     // the exact stage chain of curatedCorpus/pretrainingPipeline, with a
     // persisted frame per stage so drop sets are pure id anti-joins
     val filtered = materialized(docs.filter(
@@ -431,9 +433,11 @@ object Curation {
                     cfg: Config = Config(),
                     materialize: Boolean = true,
                     nearDupPairs: Option[DataFrame] = None): DataFrame = {
+    // eager lineage cut, not a lazy persist (round-20): concurrent AQE
+    // stage builds race an unmaterialized cache and re-run its upstream
+    // DAG once per branch — see [[graft.operators.Dedup]]'s materialized
     def materialized(df: DataFrame): DataFrame =
-      if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
+      if (materialize) df.localCheckpoint() else df
     // Cheapest-first, highest-reduction-first: the language + quality
     // filter runs on the RAW text and the 3-pattern scrub chain only
     // touches surviving documents (a minority of a raw crawl). Filtering
@@ -464,9 +468,11 @@ object Curation {
   def chunkAndPack(corpus: DataFrame, idCol: String, textCol: String,
                    cfg: Config = Config(),
                    materialize: Boolean = true): DataFrame = {
+    // eager lineage cut, not a lazy persist (round-20): concurrent AQE
+    // stage builds race an unmaterialized cache and re-run its upstream
+    // DAG once per branch — see [[graft.operators.Dedup]]'s materialized
     def materialized(df: DataFrame): DataFrame =
-      if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else df
+      if (materialize) df.localCheckpoint() else df
     val chunks = materialized(Chunking.chunkByTokens(corpus, idCol, textCol,
         cfg.chunkTokens, cfg.chunkStride)
       .withColumnRenamed("chunk_text", "__text"))

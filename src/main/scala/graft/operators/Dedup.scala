@@ -40,12 +40,24 @@ object Dedup extends org.apache.spark.internal.Logging {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     graft.functions.MinHashFunctions.minhashSignature(shingles, numHashes)
 
-  /** Persist an intermediate that multiple plan branches consume. Storage is
-    * reclaimed by Spark's ContextCleaner once the DataFrame is unreferenced;
-    * pass `materialize = false` on the operators to keep plans fully lazy.
+  /** Materialize an intermediate that multiple plan branches consume.
+    * EAGER localCheckpoint, not a lazy persist (round-20): AQE runs a
+    * downstream query's stage builds CONCURRENTLY, and two branches
+    * hitting a lazily-persisted frame before its cache exists RACE — each
+    * re-runs the frame's whole upstream DAG (the candidate-table
+    * double-band-join this barrier exists to stop was still running twice
+    * under persist; only one result wins the cache). The eager checkpoint
+    * computes the rows exactly once, every consumer reads the finished
+    * blocks, and downstream plans shrink to an RDD scan. Storage is
+    * reclaimed by Spark's ContextCleaner once the DataFrame is
+    * unreferenced; pass `materialize = false` on the operators to keep
+    * plans fully lazy. Trade: checkpoint blocks are unreplicated — an
+    * executor loss fails the job instead of recomputing, which the batch
+    * callers absorb by retrying the query and the streaming loops by the
+    * at-least-once contract.
     */
   private def materialized(enabled: Boolean, df: DataFrame): DataFrame =
-    if (enabled) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    if (enabled) df.localCheckpoint() else df
 
   private val diskMemoCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()

@@ -71,24 +71,20 @@ object ChunkStoreStreams {
     // index write then invalidated the cache for any later consumer via
     // refreshByPath). The CDC chunk pass runs exactly once into blocks.
     val ann = DocumentStreams.materializeCut(rawAnn)
-    // STATS BEFORE INDEX (round-19): `ann`'s lineage reads indexPath (the
-    // history probe), and a committed write to a path CLEARS every cached
-    // plan that reads it (Spark's refreshByPath) — with the index written
-    // first, the stats write found ann's cache invalidated and re-ran the
-    // probe-and-annotate joins per batch. statsPath is in no lineage, so
-    // writing it first consumes the loaded cache and the index write
-    // (after which nothing is consumed) stays the only invalidating one.
-    // Both writes stay per-batch-partition idempotent; a crash between
-    // them now leaves a stats row without its index partition instead of
-    // the reverse — either way the batch retry rewrites both.
-    DocumentStreams.writeBatchPartition(
-      Dedup.cdcIngestStats(ann), batchId, statsPath)
-    // the index grows by the batch's 'first' chunks only: hits are
-    // already stored; dups deduped against the batch's own firsts
-    DocumentStreams.writeBatchPartition(
+    // CONCURRENT sinks (round-20, §2.6 — supersedes the round-19
+    // stats-before-index ordering, which protected a PERSISTED ann from
+    // the index commit's refreshByPath): ann is lineage-cut, so both
+    // writes read an RDD scan no refresh can invalidate, and ordering
+    // stops mattering. Both writes stay per-batch-partition idempotent;
+    // a crash now leaves any subset committed — either way the batch
+    // retry rewrites both. The index grows by the batch's 'first' chunks
+    // only: hits are already stored; dups deduped against the batch's
+    // own firsts.
+    DocumentStreams.writeBatchPartitionsPar(Seq(
+      Dedup.cdcIngestStats(ann) -> statsPath,
       ann.filter(col("status") === "first")
-        .select("id", "offset", "length", "hash"),
-      batchId, indexPath)
+        .select("id", "offset", "length", "hash") -> indexPath),
+      batchId)
     DocumentStreams.releaseCut(ann)
     releaseChunks()
   }

@@ -82,6 +82,7 @@ object DocumentStreams {
     */
   def seedIndex(rows: DataFrame, path: String): Unit =
     rows.withColumn("__batch_id", lit(-1L))
+      .hint("rebalance")
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch_id").parquet(path)
 
@@ -96,9 +97,58 @@ object DocumentStreams {
     */
   private[streaming] def writeBatchPartition(rows: DataFrame, batchId: Long,
                                   path: String): Unit =
+    // REBALANCE before the write (round-20, guide §6 small files): the
+    // sink frames inherit their upstream partitioning (32 scan/shuffle
+    // partitions at local defaults, more on a cluster), so every batch
+    // landed up to one TINY file per task per partition dir — and every
+    // LATER batch's history scan paid one task per file (measured on the
+    // curated loop: 32 files/batch/path; the per-batch localCheckpoint
+    // execution grew 22→25→38 jobs across three batches from scan-task
+    // inflation alone). The AQE rebalance sizes output files by
+    // advisoryPartitionSizeInBytes — one file per batch at toy SF,
+    // ~64 MB files at 100 TB — which is the §6 prescription, not a
+    // local-mode constant. Cost: one batch-sized exchange per sink write.
     rows.withColumn("__batch_id", lit(batchId))
+      .hint("rebalance")
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch_id").parquet(path)
+
+  /** Write several per-batch sink partitions CONCURRENTLY (round-20,
+    * guide §2.6 — overlap independent jobs): a micro-batch's sinks are
+    * independent writes over already-materialized frames, and running
+    * them sequentially leaves the cluster idle through each write's
+    * driver-side commit while the next write waits. 2-3 jobs in flight
+    * back-fill each other's task tails and overlap their commits.
+    *
+    * Caller contract (what keeps this safe): every sink frame must be
+    * lineage-cut ([[materializeCut]]) or derive only from frames whose
+    * lineage reads NONE of the sibling sink paths — a committed write
+    * refreshes its path (Spark refreshByPath), and with ordering gone a
+    * sibling's mid-flight input must have nothing that refresh can
+    * invalidate. Each write stays per-batch-partition idempotent; the
+    * crash window widens from "a prefix of the sinks committed" to "any
+    * subset committed", which the loops' at-least-once retry already
+    * absorbs (the retry rewrites every sink's own partition).
+    */
+  private[streaming] def writeBatchPartitionsPar(
+      sinks: Seq[(DataFrame, String)], batchId: Long): Unit =
+    if (sinks.sizeIs <= 1)
+      sinks.foreach { case (df, p) => writeBatchPartition(df, batchId, p) }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(sinks.size)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val fs = sinks.map { case (df, p) =>
+          scala.concurrent.Future(writeBatchPartition(df, batchId, p))
+        }
+        // await ALL before rethrowing: a failed batch must not leave a
+        // sibling write racing a foreachBatch retry's rewrite
+        val results = fs.map(f => scala.util.Try(scala.concurrent.Await
+          .result(f, scala.concurrent.duration.Duration.Inf)))
+        results.foreach(_.get)
+      } finally pool.shutdown()
+    }
 
   /** COMPACT a loop-owned INDEX path: consolidate every committed batch
     * partition with `__batch_id ≤ uptoBatch` (plus the seed) into the
@@ -193,9 +243,29 @@ object DocumentStreams {
     * Partition pruning makes the filter free. A pre-partitioning seed
     * without the column (legacy flat layout) is read as-is.
     */
+  /** Per-path schema memo for [[readHistory]] (round-20, guide §6
+    * listing/planning cost): a loop-owned path's schema is FIXED for the
+    * loop's life (every batch writes the same columns), but a bare
+    * `spark.read.parquet` re-infers it from file footers on EVERY
+    * micro-batch — per-batch driver work that grows with the file count.
+    * The first read of a path infers once and caches; later batches hand
+    * the cached schema to `read.schema(...)`, skipping inference
+    * entirely. Keyed by path; paths are loop-owned temp dirs, so a stale
+    * entry cannot alias a different layout.
+    */
+  private val historySchemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   private[streaming] def readHistory(spark: org.apache.spark.sql.SparkSession,
                           path: String, batchId: Long): DataFrame = {
-    val h = spark.read.parquet(path)
+    val cached = historySchemaMemo.get(path)
+    val h =
+      if (cached != null) spark.read.schema(cached).parquet(path)
+      else {
+        val inferred = spark.read.parquet(path)
+        historySchemaMemo.put(path, inferred.schema)
+        inferred
+      }
     if (h.columns.contains("__batch_id")) h.filter(col("__batch_id") =!= batchId)
     else h
   }
@@ -228,9 +298,11 @@ object DocumentStreams {
     // slimSigs: the signature rides the band-0 row only — the persisted
     // index a batch probes is then `bands`x smaller to scan (legacy
     // full-sig indexes remain readable: sig reads filter isNotNull)
-    val newIdx = Dedup.minhashBandIndex(batch, idCol, textCol,
-        shingleSize, numHashes, bands, slimSigs = true)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager lineage cut, not a lazy persist (round-20): concurrent AQE
+    // stage builds race an unmaterialized cache and re-run its upstream
+    // DAG once per branch — see [[processCuratedBatch]]'s `fresh` note
+    val newIdx = materializeCut(Dedup.minhashBandIndex(batch, idCol, textCol,
+        shingleSize, numHashes, bands, slimSigs = true))
     val asIndex = graft.operators.Dedup.MinhashIndex(
       newIdx.filter(col("sig").isNotNull).select("id", "sig"),
       newIdx.select("id", "band", "bh"))
@@ -238,13 +310,12 @@ object DocumentStreams {
     // batch side is unpublished (readHistory excludes the in-flight
     // partition), so a same-id index match is a RE-SENT published doc
     // and must be dropped, not republished under a new batch partition
-    val dupOfHistory = Dedup.incrementalNearDupsIndexed(
+    val dupOfHistory = materializeCut(Dedup.incrementalNearDupsIndexed(
         asIndex, graft.operators.Dedup.MinhashIndex(
           history.filter(col("sig").isNotNull).select("id", "sig"), // slim-or-legacy; operator prunes to candidates, then dedups (no O(history) shuffle)
           history.select("id", "band", "bh")),
         numHashes, threshold, excludeSelf = false)
-      .select(col("new_id").as("__drop"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("new_id").as("__drop")))
     // near-dups WITHIN the batch, over docs that survived the history
     // probe (a history-dropped doc must not transitively drop batchmates
     // that are far from everything published): smallest id survives
@@ -260,16 +331,20 @@ object DocumentStreams {
     // the batch DAG ran once per sink (see [[materializeCut]])
     val survivors = materializeCut(batch
       .join(dropIds, batch(idCol) === col("__drop"), "left_anti"))
-    writeBatchPartition(survivors, batchId, outPath)
-    // the index grows by the SURVIVORS' band rows only — dropped docs must
-    // not suppress future docs they themselves never entered the lake for
-    writeBatchPartition(
+    // CONCURRENT sinks (round-20, §2.6): survivors is lineage-cut and the
+    // index keep-frame derives from newIdx (lineage = the batch source
+    // only) ⋈ the cut survivors — neither input reads a sibling sink path,
+    // so the two writes overlap safely. The index grows by the SURVIVORS'
+    // band rows only — dropped docs must not suppress future docs they
+    // themselves never entered the lake for.
+    writeBatchPartitionsPar(Seq(
+      survivors -> outPath,
       newIdx.join(survivors.select(col(idCol).as("__keep")),
-        newIdx("id") === col("__keep"), "left_semi"),
-      batchId, indexPath)
+        newIdx("id") === col("__keep"), "left_semi") -> indexPath),
+      batchId)
     releaseCut(survivors)
-    dupOfHistory.unpersist()
-    newIdx.unpersist()
+    releaseCut(dupOfHistory)
+    releaseCut(newIdx)
   }
 
   /** STREAMING INGEST-TIME CURATION — the streaming twin of
@@ -371,13 +446,25 @@ object DocumentStreams {
         exactDeduped.join(readHistory(spark, exactIndexPath, batchId),
           exactDeduped("__th") === col("th"), "left_anti")
       else exactDeduped
-    val fresh = fresh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EAGER lineage cuts, not lazy persists, for every shared stage frame
+    // (round-20): AQE materializes a query's stages CONCURRENTLY, and a
+    // lazily-persisted frame referenced by several branches of one
+    // downstream execution is RACED — each in-flight stage build finds
+    // the cache unmaterialized and re-runs the frame's whole upstream DAG
+    // (measured on this loop: the survivors execution ran the 32-task
+    // admission-chain source scan many times per batch; batch 2's
+    // checkpoint was 38 jobs / 1 620 tasks where ~500 would do). An eager
+    // localCheckpoint computes each frame EXACTLY once, in dependency
+    // order, and every consumer — including the concurrent AQE stages —
+    // reads the finished blocks; downstream plans shrink to RDD scans,
+    // which also kills every refreshByPath hazard. Same at-least-once
+    // trade as [[materializeCut]] on survivors.
+    val fresh = materializeCut(fresh0)
     // near-dedup: batch band rows probe the growing index, then pair
     // within the batch (first-arrival-wins == smallest id in batch)
     // slimSigs + isNotNull sig reads: see [[processBatch]]
-    val newIdx = Dedup.minhashBandIndex(fresh, idCol, textCol,
-        shingleSize, numHashes, bands, slimSigs = true)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newIdx = materializeCut(Dedup.minhashBandIndex(fresh, idCol, textCol,
+        shingleSize, numHashes, bands, slimSigs = true))
     val asIndex = graft.operators.Dedup.MinhashIndex(
       newIdx.filter(col("sig").isNotNull).select("id", "sig"),
       newIdx.select("id", "band", "bh"))
@@ -385,16 +472,16 @@ object DocumentStreams {
     // a re-sent published doc, see [[processBatch]]); the within-batch
     // pairing then runs over history-probe SURVIVORS only, so a doc
     // dropped as dup-of-history cannot transitively drop batchmates
-    val dupOfHistory = (if (pathExists(spark, bandIndexPath)) {
-      val history = readHistory(spark, bandIndexPath, batchId)
-      Dedup.incrementalNearDupsIndexed(
-          asIndex, graft.operators.Dedup.MinhashIndex(
-            history.filter(col("sig").isNotNull).select("id", "sig"), // slim-or-legacy; operator prunes to candidates, then dedups (no O(history) shuffle)
-            history.select("id", "band", "bh")),
-          numHashes, cfg.nearDupThreshold, excludeSelf = false)
-        .select(col("new_id").as("__drop"))
-    } else asIndex.sigs.select(col("id").as("__drop")).limit(0))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupOfHistory = materializeCut(
+      if (pathExists(spark, bandIndexPath)) {
+        val history = readHistory(spark, bandIndexPath, batchId)
+        Dedup.incrementalNearDupsIndexed(
+            asIndex, graft.operators.Dedup.MinhashIndex(
+              history.filter(col("sig").isNotNull).select("id", "sig"), // slim-or-legacy; operator prunes to candidates, then dedups (no O(history) shuffle)
+              history.select("id", "band", "bh")),
+            numHashes, cfg.nearDupThreshold, excludeSelf = false)
+          .select(col("new_id").as("__drop"))
+      } else asIndex.sigs.select(col("id").as("__drop")).limit(0))
     val eligible = graft.operators.Dedup.MinhashIndex(
       asIndex.sigs.join(dupOfHistory, asIndex.sigs("id") === col("__drop"), "left_anti"),
       asIndex.bands.join(dupOfHistory, asIndex.bands("id") === col("__drop"), "left_anti"))
@@ -404,15 +491,13 @@ object DocumentStreams {
     // anti-join consumers are duplicate-tolerant — no distinct spent
     val dropIds = dupOfHistory.union(dupInBatch)
     // with the metrics sink armed, deduped is consumed twice (the
-    // decontamination/survivor chain and its own count) — persist it so
-    // the dedup DAG runs once, not per consumer (the embedding loop's
-    // discipline)
+    // decontamination/survivor chain and its own count) — eagerly cut so
+    // the dedup DAG runs once, not per consumer (and never raced by
+    // concurrent AQE stage builds; see the `fresh` note)
     val deduped0 = fresh
       .join(dropIds, fresh(idCol) === col("__drop"), "left_anti")
     val deduped =
-      if (metricsPath.isDefined)
-        deduped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else deduped0
+      if (metricsPath.isDefined) materializeCut(deduped0) else deduped0
     // ingest-time decontamination on dedup survivors (see [[ingestCurated]]):
     // the suite gram table is prebuilt and constant, the batch side is
     // batch-sized — the join cost tracks the BATCH, never the suite scan
@@ -487,20 +572,31 @@ object DocumentStreams {
           "n_dup_history", "n_dup_batch", "n_contaminated", "n_published"),
         batchId, mPath)
     }
-    // all three sinks are per-batch-partition idempotent: a retry after a
-    // failure between these writes rewrites the same partitions rather
-    // than appending a second copy of the batch (at-least-once delivery)
-    writeBatchPartition(survivors.drop("__th"), batchId, outPath)
-    writeBatchPartition(
+    // the band-index keep frame is lineage-cut BEFORE the concurrent
+    // writes below (round-20): its plan otherwise reaches newIdx → fresh →
+    // the exact-history anti join, whose lineage READS exactIndexPath —
+    // and with the three sinks now unordered, the exact-index commit's
+    // refreshByPath could invalidate the band write's input mid-flight
+    // (a correctness-neutral but costly recompute). Cut, it is an RDD
+    // scan no refresh can touch.
+    val keepIdx = materializeCut(
       newIdx.join(survivors.select(col(idCol).as("__keep")),
-        newIdx("id") === col("__keep"), "left_semi"),
-      batchId, bandIndexPath)
-    writeBatchPartition(survivors.select(col("__th").as("th")),
-      batchId, exactIndexPath)
+        newIdx("id") === col("__keep"), "left_semi"))
+    // all three sinks are per-batch-partition idempotent: a retry after a
+    // failure between/among these writes rewrites the same partitions
+    // rather than appending a second copy of the batch (at-least-once
+    // delivery). They run CONCURRENTLY (§2.6): every input is lineage-cut,
+    // so no sink's commit can invalidate a sibling's input.
+    writeBatchPartitionsPar(Seq(
+      survivors.drop("__th") -> outPath,
+      keepIdx -> bandIndexPath,
+      survivors.select(col("__th").as("th")) -> exactIndexPath),
+      batchId)
+    releaseCut(keepIdx)
     releaseCut(survivors)
-    if (metricsPath.isDefined) deduped.unpersist()
-    dupOfHistory.unpersist()
-    newIdx.unpersist()
-    fresh.unpersist()
+    if (metricsPath.isDefined) releaseCut(deduped)
+    releaseCut(dupOfHistory)
+    releaseCut(newIdx)
+    releaseCut(fresh)
   }
 }

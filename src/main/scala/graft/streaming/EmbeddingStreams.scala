@@ -114,11 +114,17 @@ object EmbeddingStreams {
                                            guard: Option[SemanticGuard] = None,
                                            metricsPath: Option[String] = None): Unit = {
     val spark = batch.sparkSession
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val vecs = batch.select(col(idCol).cast("long").as("id"),
-        col(vecCol).as("v"))
-      .filter(col("v").isNotNull)
-      .persist(mem)
+    // EAGER lineage cuts (materializeCut), not lazy persists, for every
+    // shared stage frame (round-20): AQE materializes a consumer query's
+    // stages CONCURRENTLY, and branches hitting a lazily-persisted frame
+    // before its cache exists RACE — each re-runs the frame's upstream
+    // DAG (see [[DocumentStreams.processCuratedBatch]]'s note; measured
+    // there as 32-task source scans multiplying per batch). Cut, each
+    // frame computes exactly once and every consumer reads blocks.
+    val vecs = DocumentStreams.materializeCut(
+      batch.select(col(idCol).cast("long").as("id"),
+          col(vecCol).as("v"))
+        .filter(col("v").isNotNull))
     // BARRIER BUDGET (round-17): the generic per-probe operators spent
     // ~10 exchanges + ~8 broadcast builds per micro-batch — at batch
     // scale each AQE stage materialization is its own Spark job, and the
@@ -136,7 +142,8 @@ object EmbeddingStreams {
     // probe and ONE in-batch pairing instead of m. Member expansion is
     // exact: clique members share the rep's codes and vector bytes, so a
     // rep-level verdict is every member's verdict.
-    val reps = vecs.groupBy("v").agg(min(col("id")).as("rid")).persist(mem)
+    val reps = DocumentStreams.materializeCut(
+      vecs.groupBy("v").agg(min(col("id")).as("rid")))
     val memb = vecs.join(reps, Seq("v")) // (v, id, rid); reps broadcasts
     def bucketed(of: DataFrame) = of.select(col("rid"), col("v"),
       explode(graft.functions.LshBucketCodes.column(col("v"), planes, tables, seed))
@@ -148,7 +155,7 @@ object EmbeddingStreams {
     // History is only ever JOINED by its stored codes (never re-hashed)
     // and its vector rows stream against the broadcast candidate set —
     // per-batch cost is O(batch × collision rate), not O(history).
-    val dropRepsH = (
+    val dropRepsH = DocumentStreams.materializeCut(
       if (DocumentStreams.pathExists(spark, indexPath)) {
         val index = DocumentStreams.readHistory(spark, indexPath, batchId)
           .select("id", "v", "bkt")
@@ -174,7 +181,7 @@ object EmbeddingStreams {
             >= threshold)
           .select("rid")
       } else reps.select("rid").limit(0) // bootstrap: no history, no probe
-    ).persist(mem)
+    )
     // within-batch pairing over history-probe SURVIVORS only (the loops'
     // no-transitive-drop-via-unpublished policy); smallest id survives.
     // FIXED tuning — the loop's contract, not the corpus-derived default.
@@ -207,11 +214,13 @@ object EmbeddingStreams {
       .withColumnRenamed("id", "__drop")
     // with the metrics sink armed, deduped is consumed three times (the
     // guard/survivor chain, its own count, and the published-count
-    // arithmetic) — persist it so the dedup DAG runs once, not per count
+    // arithmetic) — eagerly cut so the dedup DAG runs once, not per count
+    // (and never raced by concurrent AQE stage builds)
     val deduped0 = batch
       .join(dropIds, batch(idCol).cast("long") === col("__drop"), "left_anti")
     val deduped =
-      if (metricsPath.isDefined) deduped0.persist(mem) else deduped0
+      if (metricsPath.isDefined) DocumentStreams.materializeCut(deduped0)
+      else deduped0
     // ingest-time semantic decontamination on dedup survivors (see
     // [[SemanticGuard]]): batch-sized vector set vs the constant
     // broadcast suite — contaminated items reach NO sink
@@ -279,20 +288,23 @@ object EmbeddingStreams {
           "n_contaminated", "n_published"),
         batchId, mPath)
     }
-    DocumentStreams.writeBatchPartition(survivors, batchId, outPath)
-    // the index grows by the SURVIVORS' rows only (null-vector rows never
-    // entered `vecs`, so undecodable items pass through un-indexed)
-    DocumentStreams.writeBatchPartition(
+    // CONCURRENT sinks (round-20, §2.6): survivors is lineage-cut and the
+    // index frame derives from vecs (lineage = the batch source only) ⋈
+    // the cut survivors — neither input reads a sibling sink path. The
+    // index grows by the SURVIVORS' rows only (null-vector rows never
+    // entered `vecs`, so undecodable items pass through un-indexed).
+    DocumentStreams.writeBatchPartitionsPar(Seq(
+      survivors -> outPath,
       Dedup.embeddingLshIndex(
         vecs.join(survivors.select(col(idCol).cast("long").as("__keep")),
           vecs("id") === col("__keep"), "left_semi"),
-        "id", "v", planes, tables, seed),
-      batchId, indexPath)
+        "id", "v", planes, tables, seed) -> indexPath),
+      batchId)
     DocumentStreams.releaseCut(survivors)
-    if (metricsPath.isDefined) deduped.unpersist()
-    dropRepsH.unpersist()
-    reps.unpersist()
-    vecs.unpersist()
+    if (metricsPath.isDefined) DocumentStreams.releaseCut(deduped)
+    DocumentStreams.releaseCut(dropRepsH)
+    DocumentStreams.releaseCut(reps)
+    DocumentStreams.releaseCut(vecs)
   }
 
   /** [[DocumentStreams.compactIndex]] for the embedding loop's index,

@@ -64,8 +64,12 @@ object MediaStreams {
                                            maxDistance: Int,
                                            maxBucket: Int = 0): Unit = {
     val spark = batch.sparkSession
-    val hashed = hasher(batch, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager lineage cuts, not lazy persists (round-20): concurrent AQE
+    // stage builds race an unmaterialized cache and re-run its upstream
+    // DAG once per branch — here that is the CODEC pass (decode + hash),
+    // the most expensive thing in the loop. See
+    // [[DocumentStreams.processCuratedBatch]]'s `fresh` note.
+    val hashed = DocumentStreams.materializeCut(hasher(batch, idCol))
     val decodable = hashed.filter(col("sh").isNotNull)
     val history =
       if (DocumentStreams.pathExists(spark, indexPath))
@@ -82,10 +86,10 @@ object MediaStreams {
     // beyond maxDistance is not a near-dup and is out of scope here:
     // policing id collisions needs a full-index id probe per batch,
     // an upstream key-integrity concern, not a content-dedup one.)
-    val dupOfHistory = Dedup.incrementalHammingPairs(decodable, history,
-        maxDistance, excludeSelf = false, maxBucket = maxBucket)
-      .select(col("new_id").as("__drop"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupOfHistory = DocumentStreams.materializeCut(
+      Dedup.incrementalHammingPairs(decodable, history,
+          maxDistance, excludeSelf = false, maxBucket = maxBucket)
+        .select(col("new_id").as("__drop")))
     // near-dup WITHIN the batch, computed over items that survived the
     // history probe: a batchmate can only be dropped via an item that is
     // itself eligible for publication — an item dropped as dup-of-history
@@ -105,17 +109,20 @@ object MediaStreams {
     // the batch DAG ran once per sink ([[DocumentStreams.materializeCut]])
     val survivors = DocumentStreams.materializeCut(batch
       .join(dropIds, batch(idCol) === col("__drop"), "left_anti"))
-    DocumentStreams.writeBatchPartition(survivors, batchId, outPath)
-    // the index grows by the DECODABLE SURVIVORS' hashes only: dropped
-    // items never entered the lake and must not suppress future items;
-    // null-hash passthroughs carry no evidence to index
-    DocumentStreams.writeBatchPartition(
+    // CONCURRENT sinks (round-20, §2.6): survivors is lineage-cut and the
+    // index frame derives from hashed (lineage = the batch source only) ⋈
+    // the cut survivors — neither input reads a sibling sink path. The
+    // index grows by the DECODABLE SURVIVORS' hashes only: dropped items
+    // never entered the lake and must not suppress future items;
+    // null-hash passthroughs carry no evidence to index.
+    DocumentStreams.writeBatchPartitionsPar(Seq(
+      survivors -> outPath,
       decodable.join(survivors.select(col(idCol).as("__keep")),
-        decodable("id") === col("__keep"), "left_semi"),
-      batchId, indexPath)
+        decodable("id") === col("__keep"), "left_semi") -> indexPath),
+      batchId)
     DocumentStreams.releaseCut(survivors)
-    dupOfHistory.unpersist()
-    hashed.unpersist()
+    DocumentStreams.releaseCut(dupOfHistory)
+    DocumentStreams.releaseCut(hashed)
   }
 
   /** STREAMING VIDEO ingest-dedup — the clip-level twin of
@@ -155,8 +162,9 @@ object MediaStreams {
                                            maxDistance: Int,
                                            minMatchFrac: Double): Unit = {
     val spark = batch.sparkSession
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val hashed = frameHasher(batch, idCol).persist(mem)
+    // eager lineage cuts — see [[processMediaBatch]]'s note; the frame
+    // hasher (demux + per-frame hash) is the loop's dominant compute
+    val hashed = DocumentStreams.materializeCut(frameHasher(batch, idCol))
     val decodable = hashed.filter(col("sh").isNotNull)
     val newCounts = decodable.groupBy("id").agg(count(lit(1)).as("__nf"))
     def verdict(matched: DataFrame, aCounts: DataFrame, aId: String,
@@ -183,8 +191,8 @@ object MediaStreams {
             decodable.select(col("id"), col("frame_idx").as("pos"), col("sh")),
             history.select(col("id"), col("frame_idx").as("pos"), col("sh")),
             maxDistance, excludeSelf = false)
-          .groupBy("new_id", "old_id").agg(count(lit(1)).as("n_matched"))
-          .persist(mem))
+          .groupBy("new_id", "old_id").agg(count(lit(1)).as("n_matched")))
+          .map(DocumentStreams.materializeCut)
       } else None
     val dupOfHistory = matchedH.map { m =>
       val history = DocumentStreams.readHistory(spark, indexPath, batchId)
@@ -196,10 +204,10 @@ object MediaStreams {
       verdict(m, newCounts, "new_id", oldCounts, "old_id")
         .select(col("new_id").as("__drop"))
     }.getOrElse(decodable.select(col("id").as("__drop")).limit(0))
-      .persist(mem)
+    val dupOfHistoryCut = DocumentStreams.materializeCut(dupOfHistory)
     // within-batch pairing over history-probe SURVIVORS only (same
     // no-transitive-drop-via-unpublished policy as the image loop)
-    val eligible = decodable.join(dupOfHistory,
+    val eligible = decodable.join(dupOfHistoryCut,
       decodable("id") === col("__drop"), "left_anti")
     val dupInBatch = verdict(
         Dedup.alignedHammingPairs(
@@ -209,19 +217,21 @@ object MediaStreams {
         newCounts, "id1", newCounts, "id2")
       .select(col("id2").as("__drop"))
     // anti-join consumers are duplicate-tolerant — no distinct spent
-    val dropIds = dupOfHistory.union(dupInBatch)
+    val dropIds = dupOfHistoryCut.union(dupInBatch)
     // materializeCut, not persist — see [[processMediaBatch]]'s note
     val survivors = DocumentStreams.materializeCut(batch
       .join(dropIds, batch(idCol) === col("__drop"), "left_anti"))
-    DocumentStreams.writeBatchPartition(survivors, batchId, outPath)
-    // the index grows by the decodable SURVIVORS' frame rows only
-    DocumentStreams.writeBatchPartition(
+    // CONCURRENT sinks (round-20, §2.6) — same input-safety argument as
+    // [[processMediaBatch]]; the index grows by the decodable SURVIVORS'
+    // frame rows only
+    DocumentStreams.writeBatchPartitionsPar(Seq(
+      survivors -> outPath,
       decodable.join(survivors.select(col(idCol).as("__keep")),
-        decodable("id") === col("__keep"), "left_semi"),
-      batchId, indexPath)
+        decodable("id") === col("__keep"), "left_semi") -> indexPath),
+      batchId)
     DocumentStreams.releaseCut(survivors)
-    dupOfHistory.unpersist()
-    matchedH.foreach(_.unpersist())
-    hashed.unpersist()
+    DocumentStreams.releaseCut(dupOfHistoryCut)
+    matchedH.foreach(DocumentStreams.releaseCut)
+    DocumentStreams.releaseCut(hashed)
   }
 }

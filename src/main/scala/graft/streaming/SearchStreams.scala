@@ -47,8 +47,10 @@ object SearchStreams {
                                       lengthsPath: String, postingsPath: String,
                                       maxPostings: Int = 10000): Unit = {
     val delta = Search.buildBm25Index(batch, idCol, textCol, maxPostings)
-    DocumentStreams.writeBatchPartition(delta.lengths, batchId, lengthsPath)
-    DocumentStreams.writeBatchPartition(delta.postings, batchId, postingsPath)
+    // CONCURRENT sinks (round-20, §2.6): both deltas derive from the
+    // batch source alone — neither lineage reads a sibling sink path
+    DocumentStreams.writeBatchPartitionsPar(Seq(
+      delta.lengths -> lengthsPath, delta.postings -> postingsPath), batchId)
   }
 
   /** Serve a query from the growing delta index: the ≤ |Q| matched
