@@ -458,11 +458,23 @@ object Bench {
     // BENCH_FULL.json — point the full map elsewhere with the env var;
     // the default stays the driver's artifact path
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
-    try
+    try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(fullPath),
         (fullLine + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // stdout line is the contract; file is best-effort
+      // cpu-stamped sibling (round-20, VERDICT-r19 #8): the driver's
+      // 8-core scaling run CLOBBERED the 32-core per-row record in r19
+      // (both runs write the same default path). The canonical path above
+      // stays the driver contract; this extra copy keys the full map by
+      // core count so a main+scaling pair leaves two distinct files.
+      val stamped =
+        if (fullPath.endsWith(".json"))
+          fullPath.stripSuffix(".json") + s"_c$cpus.json"
+        else fullPath + s"_c$cpus"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(stamped),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // stdout line is the contract; file is best-effort
     // chars for the inline map; total line (incl. the ~900-char probes
     // object with its round-17 per-try host stamps) must stay under the
     // driver's 2000-char output capture

@@ -200,10 +200,20 @@ object Graph {
     val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // rank = (degree, id); orient u -> v iff rank(u) < rank(v)
+    // rank = (degree, id); orient u -> v iff rank(u) < rank(v).
+    // SHUFFLE_HASH on the degree side (round-20, guide §3.1 — found via
+    // the plan-capture hook below: these two joins were the remaining
+    // SortMergeJoins of the operator, each SORTING the m-row canonical
+    // edge table inside the `oriented` cache build): deg is node-sized,
+    // so hashing it streams the edges unsorted — the same deliberate
+    // small-side hash join as the wedge legs. Skew note (ADVICE r19):
+    // the build side is the DEGREE table (one row per node), so a hub
+    // vertex is one build row, not a hot build partition.
     val withRanks = und
-      .join(deg.select(col("n").as("a"), col("d").as("__da")), "a")
-      .join(deg.select(col("n").as("b"), col("d").as("__db")), "b")
+      .join(deg.select(col("n").as("a"), col("d").as("__da"))
+        .hint("shuffle_hash"), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("__db"))
+        .hint("shuffle_hash"), "b")
     val aFirst = col("__da") < col("__db") ||
       (col("__da") === col("__db") && col("a") < col("b"))
     // hash-partitioned by u BEFORE the persist: both wedge legs join on
@@ -235,8 +245,24 @@ object Graph {
         oriented.select(col("u").as("v"), col("v").as("w")).hint("shuffle_hash"),
         Seq("v", "w"), "left_semi")
       .select("x", "v", "w")
-    val result = f(tri, deg.select(col("n").as("node"),
-      col("d").as("degree"))).localCheckpoint()
+    val resultLazy = f(tri, deg.select(col("n").as("node"),
+      col("d").as("degree")))
+    // plan-capture hook (round-20, dev-only): the RETURNED frame is a
+    // localCheckpoint — an RDD scan whose explain proves nothing about
+    // the wedge machinery (the r19 plan dumps were vacuous for exactly
+    // this reason). With -Dgraft.plan.capture.dir set, the PRE-checkpoint
+    // plan (the wedge self-join + closing semi-join this operator exists
+    // to shape) is written there; unset in production and the bench.
+    sys.props.get("graft.plan.capture.dir").foreach { d =>
+      val p = java.nio.file.Paths.get(d,
+        s"withTriangles_${System.nanoTime()}.txt")
+      java.nio.file.Files.write(p, resultLazy.queryExecution
+        .explainString(org.apache.spark.sql.execution
+          .ExplainMode.fromString("formatted"))
+        .getBytes("UTF-8"))
+      ()
+    }
+    val result = resultLazy.localCheckpoint()
     oriented.unpersist()
     deg.unpersist()
     und.unpersist()
@@ -258,7 +284,10 @@ object Graph {
       val perNode = tri
         .select(explode(array(col("x"), col("v"), col("w"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("__t"))
-      deg.join(perNode, Seq("node"), "left")
+      // SHUFFLE_HASH (round-20, §3.1): both sides are node-sized but
+      // sort-merge would SORT each — hashing the per-node triangle
+      // counts streams the degree table unsorted
+      deg.join(perNode.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"), col("degree"),
           coalesce(col("__t"), lit(0L)).as("n_triangles"))
         .withColumn("coeff_ppm",

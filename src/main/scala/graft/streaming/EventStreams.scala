@@ -130,6 +130,15 @@ object EventStreams {
   def processLakeBatch(batch: DataFrame, batchId: Long, path: String): Unit =
     batch.withColumn("event_date", to_date(col("ts")))
       .withColumn("__batch_id", lit(batchId))
+      // REBALANCE by the date key before the partitioned write (round-20,
+      // guide §6 small files): without it every scan task holding rows of
+      // d dates writes d files — dates × tasks tiny files per batch at
+      // cluster scale (at sf0.1 the batch scan is one task, so the local
+      // layout was already one file per date — measured, LakeSinkProbe).
+      // The AQE rebalance clusters rows by date AND splits a hot date by
+      // advisory size, so output files track bytes, not task count, and
+      // one skewed date cannot serialize the write.
+      .hint("rebalance", col("event_date"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("event_date", "__batch_id").parquet(path)
