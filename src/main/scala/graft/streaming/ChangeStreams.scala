@@ -145,6 +145,19 @@ object ChangeStreams extends org.apache.spark.internal.Logging {
         unioned, keyCols, versionCols.map(col),
         isDelete = col("__is_del"), keepTombstones = true)
       .select(dataCols.map(col) :+ col("__del"): _*)
+    // swap-safe rewrite: the snapshot is both input and output of this
+    // batch, so write aside and rename (the Lake.compact swap; rename is
+    // atomic on HDFS/posix, copy-emulated on object stores). The tmp
+    // write comes FIRST (round-20, the mergeBatchPartitioned ordering):
+    // it is the one full computation of `merged`, and the feed diff
+    // below reads the STAGED files back instead of re-running the whole
+    // union+argmax plan a second time — the feed-armed merge previously
+    // computed `merged` twice per micro-batch (feed staging, then this
+    // write).
+    val tmp = new org.apache.hadoop.fs.Path(
+      snapshotPath.stripSuffix("/") + ".__merge_tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val staged = spark.read.parquet(tmp.toString)
     // change feed: diff the LIVE views before/after, while the old
     // snapshot is still on disk (the swap below replaces it). The diff
     // must be DURABLE before the swap, not merely cached: persisted
@@ -160,13 +173,13 @@ object ChangeStreams extends org.apache.spark.internal.Logging {
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(
-            merged.drop("__del").schema.fields))
+            staged.drop("__del").schema.fields))
       // "_op", not "op": CDC changelogs routinely carry their own `op`
       // column through to the snapshot, and the feed must not collide.
       // includeBefore: feed consumers maintaining incremental aggregates
       // need the replaced row to retract it
       val d = graft.operators.Lake.diffSnapshots(
-          before, merged.filter(!col("__del")).drop("__del"), keyCols,
+          before, staged.filter(!col("__del")).drop("__del"), keyCols,
           opCol = "_op", includeBefore = true)
         .withColumn("__batch_id", lit(batchId))
       val staging = new org.apache.hadoop.fs.Path(
@@ -174,12 +187,6 @@ object ChangeStreams extends org.apache.spark.internal.Logging {
       d.write.mode("overwrite").parquet(staging.toString)
       (spark.read.parquet(staging.toString), staging)
     }
-    // swap-safe rewrite: the snapshot is both input and output of this
-    // batch, so write aside and rename (the Lake.compact swap; rename is
-    // atomic on HDFS/posix, copy-emulated on object stores)
-    val tmp = new org.apache.hadoop.fs.Path(
-      snapshotPath.stripSuffix("/") + ".__merge_tmp")
-    merged.write.mode("overwrite").parquet(tmp.toString)
     val bak = new org.apache.hadoop.fs.Path(
       snapshotPath.stripSuffix("/") + ".__merge_old")
     fs.delete(bak, true)
