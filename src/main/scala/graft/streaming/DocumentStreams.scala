@@ -535,10 +535,30 @@ object DocumentStreams {
     // child's buffers).
     metricsPath.foreach { mPath =>
       import spark.implicits._
+      // The first three funnel counts (n_in, n_admitted, n_exactDeduped)
+      // fold into ONE aggregate over ONE batch scan (round-20): as union
+      // branches they re-derived the admission chain from the source —
+      // three extra batch scans plus the exact-dedup exchange per
+      // micro-batch. count(admission predicate) ≡ the admitted filter's
+      // cardinality, and count(DISTINCT struct(scrubbed text)) over
+      // admitted rows ≡ |Dedup.exact(scrubbed)| — exact dedup emits one
+      // row per distinct key, and the struct wrapper keeps a NULL-text
+      // group countable (count_distinct alone would skip it). The funnel
+      // identity and the q_curated_metrics_stream oracle pin equality.
+      val keep = TextFunctions.langQualityKeep(col(textCol),
+        cfg.keepLangs, cfg.minQuality)
+      val head = batch.agg(
+          count(lit(1)).as("in"),
+          count(when(keep, lit(1))).as("adm"),
+          countDistinct(when(keep,
+            struct(TextFunctions.scrubPii(col(textCol))))).as("ed"))
+        .head()
+      val nIn = head.getLong(0)
+      val nAdmitted = head.getLong(1)
+      val nExactDeduped = head.getLong(2)
+      // the remaining stage frames are lineage-cut RDDs — one cheap
+      // tagged-union aggregation covers all four
       val m = Seq(
-          batch.select(lit("in").as("__k")),
-          admitted.select(lit("adm").as("__k")),
-          exactDeduped.select(lit("ed").as("__k")),
           fresh.select(lit("fr").as("__k")),
           // DOCS dropped by history, not probe PAIRS: the probe emits one
           // row per (new, old) match, so a doc near two published docs
@@ -552,9 +572,6 @@ object DocumentStreams {
         .reduce(_ unionByName _)
         .groupBy("__k").agg(count(lit(1)).as("__c"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val nIn = m.getOrElse("in", 0L)
-      val nAdmitted = m.getOrElse("adm", 0L)
-      val nExactDeduped = m.getOrElse("ed", 0L)
       val nFresh = m.getOrElse("fr", 0L)
       val nDupHistory = m.getOrElse("dh", 0L)
       val nDeduped = m.getOrElse("dd", 0L)
