@@ -1445,9 +1445,14 @@ object Dedup extends org.apache.spark.internal.Logging {
                                      minSize: Int = 2048, maskBits: Int = 11,
                                      maxSize: Int = 65536)
       : (DataFrame, () => Unit) = {
+    // EAGER localCheckpoint, not a lazy persist (round-20): the chunk
+    // table's three consumers are branches of ONE downstream execution,
+    // whose concurrent AQE stage builds raced the unmaterialized cache
+    // and re-ran the whole decode+chunk pass per branch (the
+    // [[materialized]] finding). Eager, the CDC chunk pass runs once.
     val batch = cdcChunkTable(newBlobs, idCol, binCol,
       minSize, maskBits, maxSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val batchKeys = batch.select("hash", "length").distinct()
     // history scan with the batch keys broadcast: output ≤ |batch keys|
     val hitKeys = chunkIndex.select("hash", "length")
@@ -1467,7 +1472,16 @@ object Dedup extends org.apache.spark.internal.Logging {
           .when(col("id") === col("__fid") && col("offset") === col("__foff"),
             lit("first"))
           .otherwise(lit("dup")).as("status"))
-    (annotated, () => { batch.unpersist(); () })
+    (annotated, () => {
+      // release the checkpoint's blocks, not Dataset.unpersist (a
+      // localCheckpoint is not in the CacheManager — unpersist would
+      // no-op and the loop would leak one block set per micro-batch)
+      batch.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          r.rdd.unpersist(false)
+      }
+      ()
+    })
   }
 
   /** The ingest headline over an [[incrementalCdcChunks]] table: what the
